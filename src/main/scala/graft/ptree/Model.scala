@@ -1,0 +1,40 @@
+package graft.ptree
+
+/** Flat relational encoding of one path-compressed prefix-tree (radix trie)
+  * node.
+  *
+  * Same table shape as the reference's `PTLayout`
+  * (/root/reference/PrefixTree.ecl:267-276): a trie is just a dataset of
+  * nodes with parent pointers, so it stores/partitions/joins like any other
+  * table.
+  *
+  *  - `id`       unique node id; 0 is reserved for the virtual root. Ids are
+  *               partition-local: `(partitionId << 44) | localCounter`, so id
+  *               assignment needs no cross-partition coordination (the
+  *               reference seeds `computeNode * 10^14`,
+  *               /root/reference/PrefixTree.ecl:172-181). Supports 2^20
+  *               partitions x 2^44 nodes each within a signed Long.
+  *  - `parent_id` 0 means "child of the root" (ecl:269).
+  *  - `_max`/`_min` max/min length of any word in the subtree under this
+  *               node (ecl:270-271) - the query's length-window prune key.
+  *  - `is_word`  end-cap flag; end-cap rows carry the FULL word in `node`
+  *               (ecl:280, 283), so the word set is recoverable from
+  *               end-caps alone.
+  *  - `compute_node` originating partition id (ecl:273, 284).
+  *  - `node`     multi-char edge label (path compression), or the whole
+  *               word on end-caps.
+  */
+final case class PTNode(
+    id: Long,
+    parent_id: Long,
+    _max: Int,
+    _min: Int,
+    is_word: Boolean,
+    compute_node: Int,
+    node: String
+)
+
+object PTNode {
+  /** Partition-id shift: ids are `(pid << PART_SHIFT) | counter`. */
+  final val PART_SHIFT = 44
+}

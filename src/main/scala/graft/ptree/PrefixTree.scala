@@ -1,0 +1,91 @@
+package graft.ptree
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed path-compressed prefix-tree construction.
+  *
+  * Spark-native equivalent of the reference's `Create(infile, infield,
+  * dist_length)` macro (/root/reference/PrefixTree.ecl:50-301), re-designed
+  * around Spark's execution model:
+  *
+  *   - exactly ONE shuffle (the prefix repartition - mirroring the
+  *     reference's single `DISTRIBUTE`, ecl:84); everything downstream is
+  *     partition-local, like the reference's pervasive `LOCAL` flags;
+  *   - dedup happens inside the sorted per-partition scan (adjacent skip),
+  *     NOT via a separate `.distinct()` - that would cost a second shuffle;
+  *   - the two `ITERATE` marking passes + NORMALIZE + ROLLUP collapse into
+  *     a single `sortWithinPartitions + mapPartitions` streaming builder
+  *     (Kernels.buildTrie) with O(word length) state - Spark's sort
+  *     machinery (spill-capable) does the heavy lifting.
+  *
+  * Partitioning: hash of the first `prefixLen` chars (the reference's
+  * DOCUMENTED intent; its code hashes only the single char at position
+  * `dist_length` - SURVEY.md A.q1 - which caps parallelism at alphabet
+  * size). Words sharing a prefix >= prefixLen colocate, so their trie
+  * nodes are shared; words sharing a shorter prefix land in different
+  * partitions and duplicate at most `prefixLen` shallow nodes per
+  * partition - the classic partitioned-trie forest trade-off, identical
+  * to the reference's. The virtual root (id 0) spans all partitions.
+  *
+  * Scale notes (100 TB): the one shuffle keys on a short prefix -
+  * low-cardinality prefixes skew. `prefixLen` is the knob: longer prefix =
+  * finer keys = better balance but less node sharing near the root.
+  * Construction memory is O(max word length) per task regardless of
+  * partition size; Spark's external sort spills, so partitions far larger
+  * than executor memory still build.
+  *
+  * Duplicate semantics: the reference emits one end-cap PER duplicate
+  * occurrence (distinct ids, never merged - SURVEY.md A.q2), making query
+  * output multiplicity depend on corpus multiplicity. We dedup: one
+  * end-cap per distinct word. Documented divergence; the DuckDB oracle
+  * compares against `SELECT DISTINCT`.
+  */
+object PrefixTree {
+
+  /** Build a trie table from `df`'s string column `col`.
+    *
+    * @param prefixLen     distribution-key prefix length (reference's
+    *                      `dist_length`, ecl:56-63)
+    * @param numPartitions 0 = use spark.sql.shuffle.partitions
+    */
+  def create(
+      df: DataFrame,
+      col: String,
+      prefixLen: Int = 2,
+      numPartitions: Int = 0
+  ): Dataset[PTNode] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    df.select(trim(column(col)).as("word"))
+      .filter($"word" =!= "")
+      .repartition(parts, substring($"word", 1, prefixLen))
+      .sortWithinPartitions($"word")
+      .as[String]
+      .mapPartitions { it =>
+        Kernels.buildTrie(TaskContext.getPartitionId(), it)
+      }
+  }
+
+  /** Persist a trie pre-organized for the query join: repartitioned by
+    * `parent_id` so the per-iteration frontier join shuffles only the
+    * (small) frontier side. The Spark analog of the reference's
+    * `BUILDINDEX(..., parent_id)` (/root/reference/PrefixTree.ecl:612-613).
+    */
+  def writeIndexed(trie: Dataset[PTNode], path: String, buckets: Int = 32): Unit =
+    trie
+      .repartition(buckets, trie("parent_id"))
+      .sortWithinPartitions("parent_id")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): Dataset[PTNode] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[PTNode]
+  }
+}

@@ -1,0 +1,169 @@
+package graft.ptree
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Fuzzy (Levenshtein) trie search.
+  *
+  * Spark-native equivalent of `QueryThorLevenshtein` / `QueryRoxieLevenshtein`
+  * (/root/reference/PrefixTree.ecl:314-446, 459-588), with two physical modes
+  * mirroring the reference's Thor/Roxie split:
+  *
+  *   - '''broadcast mode''' (default when the trie fits): the trie is
+  *     collected once into a `Map[parentId -> children]`, broadcast, and a
+  *     SINGLE `mapPartitions` over the query dataset runs the whole pruned
+  *     traversal per query (Kernels.search). Zero per-iteration Spark jobs,
+  *     zero shuffles - the honest analog of Roxie's indexed point lookups
+  *     (ecl:655), and the fast path at any query-set size. A distinct-word
+  *     dictionary trie is tiny relative to a 100 TB corpus (dedup happens at
+  *     build), so this covers most real corpora.
+  *
+  *   - '''join mode''' (tries larger than executor memory): the literal
+  *     iterate-to-fixpoint of the reference's LOOP (ecl:430-442) as a
+  *     driver-side loop of inner joins `frontier.node_id = trie.parent_id`
+  *     with the same two prune predicates attached (branch-and-bound on the
+  *     DP row-min, ecl:434; subtree length window, ecl:440-441 - kept
+  *     separate per the author's double-count warning, SURVEY.md B.q3).
+  *     Rows reaching an end-cap exit the loop into the result (ECL LOOP
+  *     emission semantics, ecl:431). `localCheckpoint` truncates lineage
+  *     each iteration so plans don't grow with trie depth.
+  */
+object Query {
+
+  /** Output schema matches the reference's Thor projection (ecl:445):
+    * (query_string, node = matched word, final_distance).
+    */
+  def queryBatch(
+      queries: DataFrame,
+      col: String,
+      trie: Dataset[PTNode],
+      maxDist: Int,
+      broadcastThreshold: Long = 20L * 1000 * 1000
+  ): DataFrame = {
+    val n = trie.count()
+    if (n <= broadcastThreshold) queryBroadcast(queries, col, trie, maxDist)
+    else queryJoin(queries, col, trie, maxDist)
+  }
+
+  /** Single-string query (reference's Roxie macro, ecl:459-588): pure
+    * driver-side traversal over a prebuilt children index - no Spark jobs
+    * at all once the index is built (see [[childrenIndex]]).
+    */
+  def queryOne(
+      query: String,
+      children: Map[Long, Array[PTNode]],
+      maxDist: Int
+  ): Seq[(String, Int)] =
+    Kernels.search(query, maxDist, children.getOrElse(_, null))
+
+  /** Collect a trie into the serving-side index: parent_id -> children. */
+  def childrenIndex(trie: Dataset[PTNode]): Map[Long, Array[PTNode]] =
+    trie.collect().groupBy(_.parent_id)
+
+  def queryBroadcast(
+      queries: DataFrame,
+      col: String,
+      trie: Dataset[PTNode],
+      maxDist: Int
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val index = childrenIndex(trie)
+    val bc = spark.sparkContext.broadcast(index)
+    queries
+      .select(column(col).cast(StringType).as("query_string"))
+      .as[String]
+      .mapPartitions { it =>
+        val idx = bc.value
+        val lookup: Long => Array[PTNode] = idx.getOrElse(_, null)
+        it.flatMap { q =>
+          Kernels.search(q, maxDist, lookup).map { case (w, d) => (q, w, d) }
+        }
+      }
+      .toDF("query_string", "node", "final_distance")
+  }
+
+  def queryJoin(
+      queries: DataFrame,
+      col: String,
+      trie: Dataset[PTNode],
+      maxDist: Int
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+
+    // DP state = row ++ [rowMin]; element_at(state, len(q)+1) is the exact
+    // distance cell, state[last] the branch-and-bound lower bound - same
+    // packing idea as the reference's byte-string state (ecl:332-372) but
+    // as a native array<int> column.
+    val extend = udf { (q: String, edge: String, state: Seq[Int]) =>
+      val row = state.dropRight(1).toArray
+      val consumed = 0 // consumed is implicit: row(0) tracks it
+      val (nr, mn) = Kernels.extendRow(q, edge, row, row(0))
+      nr.toSeq :+ mn
+    }
+
+    // Trie side: pre-partition ONCE by parent_id and cache - every loop
+    // iteration reuses the same exchange instead of re-shuffling 100 TB of
+    // trie. Only the (shrinking) frontier moves per iteration.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val t = trie.toDF().repartition(parts, $"parent_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var frontier = queries
+      .select(column(col).cast(StringType).as("query_string"))
+      .withColumn("node_id", lit(0L))
+      .withColumn(
+        "state",
+        concat(sequence(lit(0), length($"query_string")), array(lit(0)))
+      )
+      .localCheckpoint()
+
+    var results: DataFrame = null
+    while (!frontier.isEmpty) {
+      val joined = frontier
+        .join(
+          t,
+          frontier("node_id") === t("parent_id") &&
+            element_at(frontier("state"), -1) <= lit(maxDist) &&
+            length(frontier("query_string")) <= t("_max") + lit(maxDist) &&
+            length(frontier("query_string")) >= t("_min") - lit(maxDist),
+          "inner"
+        )
+
+      // End-caps exit the loop into the result set (ecl:431): the exact
+      // distance is the parent row's cell [len(q)], computed WITHOUT
+      // advancing the DP (end-caps carry the full word, not an edge).
+      val emitted = joined
+        .filter($"is_word" &&
+          element_at($"state", length($"query_string") + 1) <= lit(maxDist))
+        .select(
+          $"query_string",
+          $"node",
+          element_at($"state", length($"query_string") + 1).as("final_distance")
+        )
+      results = if (results == null) emitted.localCheckpoint()
+                else results.union(emitted).localCheckpoint()
+
+      frontier = joined
+        .filter(!$"is_word")
+        .withColumn("state2", extend($"query_string", $"node", $"state"))
+        .filter(element_at($"state2", -1) <= lit(maxDist))
+        .select($"query_string", t("id").as("node_id"), $"state2".as("state"))
+        .localCheckpoint()
+    }
+    t.unpersist()
+    if (results == null)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("query_string", StringType),
+          StructField("node", StringType),
+          StructField("final_distance", IntegerType)
+        ))
+      )
+    else results.withColumn("final_distance", $"final_distance".cast(IntegerType))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ptree
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end Spark tests: create + query vs Spark's own levenshtein()
+  * brute-force join (independent math, same oracle family as DuckDB's).
+  */
+class PrefixTreeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dictDf = Seq(
+    "dog", "drop", "door", "doors", "cat", "category", "a", "ab", "abc",
+    "kaminski", "kaminsky", "bayliss", "baylis", "muharemagic", "dog ", " cat", ""
+  ).toDF("w")
+
+  private lazy val trie = PrefixTree.create(dictDf, "w", prefixLen = 2, numPartitions = 4)
+
+  private def brute(queries: Seq[String], k: Int): Set[(String, String, Int)] = {
+    val words = dictDf
+      .select(trim($"w").as("word")).filter($"word" =!= "").distinct()
+    queries.toDF("q")
+      .crossJoin(words)
+      .withColumn("d", levenshtein($"q", $"word"))
+      .filter($"d" <= k)
+      .as[(String, String, Int)].collect().toSet
+  }
+
+  test("create: end-caps == trimmed distinct words (multi-partition)") {
+    val caps = trie.filter(_.is_word).map(_.node).collect().toSet
+    val expect = dictDf.select(trim($"w")).as[String].collect().toSet - ""
+    assert(caps == expect)
+  }
+
+  test("create: parent links resolve within partition forests") {
+    val nodes = trie.collect()
+    val byId = nodes.map(n => n.id -> n).toMap
+    assert(byId.size == nodes.length, "ids globally unique across partitions")
+    assert(nodes.forall(n => n.parent_id == 0 || byId.contains(n.parent_id)))
+  }
+
+  test("queryBroadcast matches brute-force levenshtein join") {
+    val queries = Seq("dog", "doer", "kaminski", "baylizz", "zzz", "ab")
+    for (k <- 0 to 2) {
+      val got = Query
+        .queryBroadcast(queries.toDF("q"), "q", trie, k)
+        .as[(String, String, Int)].collect().toSet
+      assert(got == brute(queries, k), s"k=$k")
+    }
+  }
+
+  test("queryJoin (loop mode) matches broadcast mode") {
+    val queries = Seq("dog", "doer", "kaminski", "ab").toDF("q")
+    val a = Query.queryBroadcast(queries, "q", trie, 2)
+      .as[(String, String, Int)].collect().toSet
+    val b = Query.queryJoin(queries, "q", trie, 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(a == b)
+  }
+
+  test("queryOne (serving path) without Spark jobs") {
+    val idx = Query.childrenIndex(trie)
+    assert(Query.queryOne("kaminski", idx, 1).toSet == Set(("kaminski", 0), ("kaminsky", 1)))
+    assert(Query.queryOne("zzzzz", idx, 2).isEmpty)
+  }
+
+  test("reference fixture: duplicate words dedup (A.q2 divergence)") {
+    val t = PrefixTree.create(Seq("dog", "dog", "cat").toDF("w"), "w", 2, 2)
+    assert(t.filter(_.is_word).count() == 2)
+  }
+}
