@@ -21,7 +21,8 @@ object Kernels {
     */
   def initRow(queryLen: Int): Array[Int] = Array.tabulate(queryLen + 1)(identity)
 
-  /** Extend a Levenshtein DP row across a multi-character trie edge.
+  /** Extend a Levenshtein DP row across a multi-character trie edge,
+    * restricted to the Ukkonen band.
     *
     * `row(j)` = edit distance between the trie path consumed so far and
     * `query.substring(0, j)`; `consumed` = number of trie-path chars that
@@ -29,44 +30,109 @@ object Kernels {
     * char of `edge`. `newRowMin` is a lower bound on the distance of ANY
     * word extending this path - the branch-and-bound prune key
     * (ecl:364-372).
+    *
+    * Banding: any DP cell (i, j) with |i - j| > maxDist is >= maxDist + 1,
+    * so only the 2*maxDist+1 cells around the diagonal are computed per
+    * path char; everything else is pinned at the saturation value
+    * `maxDist + 1`. All distances this function returns are therefore
+    * `min(true distance, maxDist + 1)` - exact whenever they matter
+    * (<= maxDist) and "too far" otherwise. For k << |query| this cuts the
+    * inner loop from O(|query|) to O(k) per char.
     */
   def extendRow(
       query: String,
       edge: String,
       row: Array[Int],
-      consumed: Int
+      consumed: Int,
+      maxDist: Int
   ): (Array[Int], Int) = {
     val n = query.length
     // never alias the caller's row: the DFS reuses it across sibling edges
-    var prev = java.util.Arrays.copyOf(row, n + 1)
-    var cur = new Array[Int](n + 1)
+    val src = java.util.Arrays.copyOf(row, n + 1)
+    val (res, mn) = extendRowBuffers(query, edge, src, consumed, maxDist,
+      new Array[Int](n + 1), new Array[Int](n + 1))
+    // this row may be stored/serialized (join mode): saturate every
+    // out-of-band cell so no stale garbage escapes
+    val d = consumed + edge.length
+    val inf = maxDist + 1
+    var j = 0
+    while (j <= n) {
+      if (j < d - maxDist || j > d + maxDist) res(j) = inf
+      j += 1
+    }
+    (res, mn)
+  }
+
+  /** Allocation-free core of [[extendRow]]: ping-pongs between the two
+    * caller-owned scratch buffers (the hot DFS pools one pair per
+    * recursion level). Only band cells are written per char; the cells
+    * one past each band end are pinned to the saturation value so a
+    * REUSED buffer never leaks stale values into the next char's reads
+    * (band ends shift by at most 1 per char, so those two guards cover
+    * every out-of-band read). Cells further outside the band are
+    * garbage: callers must treat any cell `j` with |consumed' - j| >
+    * maxDist as saturated rather than reading it (see the end-cap check
+    * in [[search]]).
+    */
+  def extendRowBuffers(
+      query: String,
+      edge: String,
+      src: Array[Int],
+      consumed: Int,
+      maxDist: Int,
+      bufA: Array[Int],
+      bufB: Array[Int]
+  ): (Array[Int], Int) = {
+    val n = query.length
+    val inf = maxDist + 1
+    var prev = src
+    var cur = bufA
+    var spare = bufB
+    if (edge.isEmpty) {
+      var j = 0
+      var mn = Int.MaxValue
+      while (j <= n) { if (prev(j) < mn) mn = prev(j); j += 1 }
+      return (prev, mn)
+    }
     var i = 0
-    var rowMin = Int.MaxValue
+    var rowMin = inf
     while (i < edge.length) {
       val c = edge.charAt(i)
-      rowMin = consumed + i + 1
-      cur(0) = rowMin
-      var j = 1
-      while (j <= n) {
-        val cost = if (query.charAt(j - 1) == c) 0 else 1
-        var v = prev(j - 1) + cost // substitute / match
-        val del = cur(j - 1) + 1 // delete from query
-        val ins = prev(j) + 1 // insert into query
-        if (del < v) v = del
-        if (ins < v) v = ins
+      val d = consumed + i + 1 // path chars consumed after this edge char
+      val lo = if (d - maxDist > 0) d - maxDist else 0
+      val hi = if (d + maxDist < n) d + maxDist else n
+      // band has moved past the query's end: every cell from here on is
+      // > maxDist, for this char and all deeper ones - saturate and bail
+      if (lo > hi) return (prev, inf)
+      if (lo > 0) cur(lo - 1) = inf // guard below the band
+      rowMin = inf
+      var j = lo
+      while (j <= hi) {
+        var v =
+          if (j == 0) d
+          else {
+            val cost = if (query.charAt(j - 1) == c) 0 else 1
+            var m = prev(j - 1) + cost // substitute / match
+            val del = cur(j - 1) + 1 // delete from query
+            val ins = prev(j) + 1 // insert into query
+            if (del < m) m = del
+            if (ins < m) m = ins
+            m
+          }
+        if (v > inf) v = inf
         cur(j) = v
         if (v < rowMin) rowMin = v
         j += 1
       }
-      val tmp = prev; prev = cur; cur = tmp
+      if (hi < n) cur(hi + 1) = inf // guard above the band
+      if (i == 0) { // src is read-only: rotate through the two scratch bufs
+        prev = cur; cur = spare; spare = null
+      } else {
+        val tmp = prev; prev = cur; cur = tmp
+      }
       i += 1
     }
-    if (edge.isEmpty) {
-      var j = 0
-      rowMin = Int.MaxValue
-      while (j <= n) { if (row(j) < rowMin) rowMin = row(j); j += 1 }
-      (row, rowMin)
-    } else (prev, rowMin)
+    (prev, rowMin)
   }
 
   /** Exact distance(query, path-so-far): the last DP cell. */
@@ -92,31 +158,41 @@ object Kernels {
       query: String,
       maxDist: Int,
       children: Long => Array[PTNode]
-  ): List[(String, Int)] = {
+  ): ArrayBuffer[(String, Int)] = {
     val n = query.length
-    var out: List[(String, Int)] = Nil
-    // stack of (nodeId, dpRow, consumedChars)
-    var stack: List[(Long, Array[Int], Int)] = List((0L, initRow(n), 0))
-    while (stack.nonEmpty) {
-      val (nodeId, row, consumed) = stack.head
-      stack = stack.tail
+    val out = new ArrayBuffer[(String, Int)]()
+    // two pooled scratch rows per recursion level: zero allocation on the
+    // hot path (a query visits thousands of nodes; rows live only along
+    // the current DFS path)
+    val pool = new ArrayBuffer[Array[Int]]()
+    def buf(i: Int): Array[Int] = {
+      while (pool.length <= i) pool += new Array[Int](n + 1)
+      pool(i)
+    }
+    def go(nodeId: Long, row: Array[Int], consumed: Int, level: Int): Unit = {
       val kids = children(nodeId)
-      if (kids != null) {
-        var i = 0
-        while (i < kids.length) {
-          val child = kids(i)
-          if (child.is_word) {
-            val d = finalDistance(row)
-            if (d <= maxDist) out = (child.node, d) :: out
-          } else if (n <= child._max + maxDist && n >= child._min - maxDist) {
-            val (newRow, rowMin) = extendRow(query, child.node, row, consumed)
-            if (rowMin <= maxDist)
-              stack = (child.id, newRow, consumed + child.node.length) :: stack
+      if (kids == null) return
+      var i = 0
+      while (i < kids.length) {
+        val child = kids(i)
+        if (child.is_word) {
+          // row(n) is only valid inside the band; outside it the true
+          // distance exceeds maxDist by the banding argument
+          if (consumed - n <= maxDist && n - consumed <= maxDist) {
+            val d = row(n)
+            if (d <= maxDist) out += ((child.node, d))
           }
-          i += 1
+        } else if (n <= child._max + maxDist && n >= child._min - maxDist) {
+          val (newRow, rowMin) = extendRowBuffers(
+            query, child.node, row, consumed, maxDist,
+            buf(2 * level), buf(2 * level + 1))
+          if (rowMin <= maxDist)
+            go(child.id, newRow, consumed + child.node.length, level + 1)
         }
+        i += 1
       }
     }
+    go(0L, initRow(n), 0, 0)
     out
   }
 

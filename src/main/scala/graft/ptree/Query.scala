@@ -56,7 +56,7 @@ object Query {
       children: Map[Long, Array[PTNode]],
       maxDist: Int
   ): Seq[(String, Int)] =
-    Kernels.search(query, maxDist, children.getOrElse(_, null))
+    Kernels.search(query, maxDist, children.getOrElse(_, null)).toSeq
 
   /** Collect a trie into the serving-side index: parent_id -> children. */
   def childrenIndex(trie: Dataset[PTNode]): Map[Long, Array[PTNode]] =
@@ -74,6 +74,9 @@ object Query {
     val bc = spark.sparkContext.broadcast(index)
     queries
       .select(column(col).cast(StringType).as("query_string"))
+      // spread the query set over every core: the input's file partitioning
+      // (often 1 block) would otherwise serialize the whole batch
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[String]
       .mapPartitions { it =>
         val idx = bc.value
@@ -98,10 +101,12 @@ object Query {
     // distance cell, state[last] the branch-and-bound lower bound - same
     // packing idea as the reference's byte-string state (ecl:332-372) but
     // as a native array<int> column.
-    val extend = udf { (q: String, edge: String, state: Seq[Int]) =>
+    // `depth` (trie chars consumed) is threaded as its own column: the
+    // banded DP saturates row(0) at maxDist+1, so the all-insertions cell
+    // can no longer double as the consumed counter.
+    val extend = udf { (q: String, edge: String, state: Seq[Int], depth: Int) =>
       val row = state.dropRight(1).toArray
-      val consumed = 0 // consumed is implicit: row(0) tracks it
-      val (nr, mn) = Kernels.extendRow(q, edge, row, row(0))
+      val (nr, mn) = Kernels.extendRow(q, edge, row, depth, maxDist)
       nr.toSeq :+ mn
     }
 
@@ -119,6 +124,7 @@ object Query {
         "state",
         concat(sequence(lit(0), length($"query_string")), array(lit(0)))
       )
+      .withColumn("depth", lit(0))
       .localCheckpoint()
 
     var results: DataFrame = null
@@ -149,9 +155,14 @@ object Query {
 
       frontier = joined
         .filter(!$"is_word")
-        .withColumn("state2", extend($"query_string", $"node", $"state"))
+        .withColumn("state2", extend($"query_string", $"node", $"state", $"depth"))
         .filter(element_at($"state2", -1) <= lit(maxDist))
-        .select($"query_string", t("id").as("node_id"), $"state2".as("state"))
+        .select(
+          $"query_string",
+          t("id").as("node_id"),
+          $"state2".as("state"),
+          ($"depth" + length($"node")).cast(IntegerType).as("depth")
+        )
         .localCheckpoint()
     }
     t.unpersist()

@@ -45,7 +45,7 @@ class KernelsSpec extends AnyFunSuite {
       var row = Kernels.initRow(q.length)
       var consumed = 0
       for (c <- w) {
-        val (r2, _) = Kernels.extendRow(q, c.toString, row, consumed)
+        val (r2, _) = Kernels.extendRow(q, c.toString, row, consumed, 100)
         row = r2; consumed += 1
       }
       assert(Kernels.finalDistance(row) == lev(w, q), s"q=$q w=$w")
@@ -54,11 +54,25 @@ class KernelsSpec extends AnyFunSuite {
 
   test("extendRow over a multi-char edge == char-by-char") {
     val q = "dogma"
-    val whole = Kernels.extendRow(q, "drops", Kernels.initRow(q.length), 0)
+    val whole = Kernels.extendRow(q, "drops", Kernels.initRow(q.length), 0, 100)
     var row = Kernels.initRow(q.length); var c = 0
-    for (ch <- "drops") { row = Kernels.extendRow(q, ch.toString, row, c)._1; c += 1 }
+    for (ch <- "drops") { row = Kernels.extendRow(q, ch.toString, row, c, 100)._1; c += 1 }
     assert(whole._1.toSeq == row.toSeq)
     assert(whole._2 == row.min)
+  }
+
+  test("banded extendRow: saturated cells never hide a true match") {
+    // band k=1 over a long query: exact distances <= k survive; cells
+    // outside the band report k+1 (saturation), never an undercount
+    val q = "abcdefgh"
+    for (k <- 0 to 3; w <- Seq("abcdefgh", "abcdefg", "abcdefghx", "abxdefgh", "zzzzzzzz")) {
+      val (row, mn) = Kernels.extendRow(q, w, Kernels.initRow(q.length), 0, k)
+      val d = Kernels.finalDistance(row)
+      val truth = lev(w, q)
+      if (truth <= k) assert(d == truth, s"k=$k w=$w")
+      else assert(d > k, s"k=$k w=$w")
+      assert(mn <= d)
+    }
   }
 
   // FIXTURES.md §2 micro-corpora -------------------------------------------
@@ -108,6 +122,13 @@ class KernelsSpec extends AnyFunSuite {
     }
     // partition id seeding
     assert(nodes.forall(n => (n.id >> PTNode.PART_SHIFT) == 7))
+  }
+
+  test("band walks past a short query on a long edge (regression)") {
+    // parent survives at the band edge, then a long edge pushes the band
+    // entirely past the query end - must saturate, not overflow
+    assert(trieSearch(Set("kaminski", "ka"), "ab", 2) == bruteSearch(Set("kaminski", "ka"), "ab", 2))
+    assert(trieSearch(Set("abcdefghij"), "ab", 2) == Set.empty)
   }
 
   test("property: trie search == brute force") {
