@@ -2,20 +2,40 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 
 import graft.ptree.{PrefixTree, Query}
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every entry in [[queries]] has a matching DuckDB oracle in [[oracleSql]]
-  * (or is explicitly rows-only). Column names and types are aligned on both
-  * sides: the driver sorts columns by name and hashes values.
+  * unless the operator is sketch/hash-based (MinHash, SimHash, LSH,
+  * xxhash fingerprints, stub decodes) — those get rows-only checks here
+  * and exactness/recall specs in ScalaTest instead.
+  *
+  * Oracle-parity rules: columns aliased identically on both sides;
+  * aggregate sums go through DECIMAL so both engines are exact, then cast
+  * to DOUBLE; ratios are computed with identical expressions and rounded;
+  * timestamps are emitted as formatted strings (parquet tz metadata would
+  * otherwise make the compare engine-dependent).
   */
 object SparkEntry {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as raw nanos and truncate to micros (the
+    * same floor DuckDB's epoch_ms applies later).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Flagship: fuzzy-match perturbed customer names against a prefix tree
     * of all customer names (the reference's end-to-end lifecycle:
@@ -40,20 +60,36 @@ object SparkEntry {
       )
   }
 
+  private def docWords(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(explode(DedupOps.tokens(col("text"))).as("word"))
+      .distinct()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // --- prefix-tree core (the reference's own surface) ------------------
+    // ------------------------------------------------------------------
+    // Prefix-tree core (the reference's own surface)
+    // ------------------------------------------------------------------
     "pt_fuzzy_customer" -> ((s, dir) => ptFuzzyCustomer(s, dir)),
+    "pt_fuzzy_words" -> { (s, dir) =>
+      // word corpus: part-name tokens fuzzy-matched against document vocab
+      val dict = PrefixTree.create(docWords(s, dir), "word", prefixLen = 2)
+      val q = tbl(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("query_string"))
+        .distinct()
+      Query.queryBroadcast(q, "query_string", dict, maxDist = 1)
+        .select(col("query_string"), col("node"),
+          col("final_distance").cast(IntegerType).as("final_distance"))
+    },
     "pt_words_roundtrip" -> { (s, dir) =>
       // construction correctness: end-caps reconstruct the distinct word set
-      val words = tbl(s, dir, "documents")
-        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
-        .filter(col("word") =!= "")
-      PrefixTree.create(words, "word", prefixLen = 2)
+      PrefixTree.create(docWords(s, dir), "word", prefixLen = 2)
         .filter(col("is_word"))
         .select(col("node").as("word"))
         .distinct()
     },
-    // --- relational basics ----------------------------------------------
+    // ------------------------------------------------------------------
+    // Relational basics
+    // ------------------------------------------------------------------
     "q1_agg" -> { (s, dir) =>
       tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -63,18 +99,124 @@ object SparkEntry {
           count(lit(1)).as("count_order")
         )
     },
-    "dedup_exact" -> { (s, dir) =>
-      tbl(s, dir, "documents")
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-        .select(col("doc_id"), col("n_copies"))
+    "q3_join" -> { (s, dir) =>
+      tbl(s, dir, "orders")
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_orders")
+        )
     },
+    "q4_topk" -> { (s, dir) =>
+      tbl(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+    "q5_window" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      tbl(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk").cast(IntegerType).as("rnk"))
+    },
+    "q6_filter" -> { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24
+        )
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            col("l_discount").cast(DecimalType(8, 2))).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_rows")
+        )
+    },
+    // ------------------------------------------------------------------
+    // Deduplication suite
+    // ------------------------------------------------------------------
+    "dedup_exact" -> ((s, dir) => DedupOps.exactDedup(tbl(s, dir, "documents"), "doc_id", "text")),
+    "dedup_jaccard" -> { (s, dir) =>
+      DedupOps.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, shingleLen = 3)
+    },
+    "dedup_minhash" -> { (s, dir) => // sketch-based: rows-only oracle; exactness spec in ScalaTest
+      DedupOps.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleLen = 3, threshold = 0.5)
+    },
+    "dedup_simhash" -> { (s, dir) => // sketch-based: rows-only oracle
+      DedupOps.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+    },
+    "dedup_embedding" -> { (s, dir) => // LSH-bucketed cosine pairs: rows-only oracle
+      SimilarityOps.cosinePairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, dim = 64, bits = 4)
+    },
+    // ------------------------------------------------------------------
+    // Similarity search
+    // ------------------------------------------------------------------
+    "knn_cosine" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      SimilarityOps.bruteTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    },
+    "ann_lsh" -> { (s, dir) => // approximate: rows-only oracle; recall spec in ScalaTest
+      val emb = tbl(s, dir, "embeddings")
+      SimilarityOps.lshTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64, bits = 6)
+    },
+    // ------------------------------------------------------------------
+    // Text analysis
+    // ------------------------------------------------------------------
     "text_tokens" -> { (s, dir) =>
       tbl(s, dir, "documents")
         .select(
           col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).cast(IntegerType).as("n_tokens")
+          TextOps.wordCount(col("text")).as("n_tokens"),
+          TextOps.subwordCount(col("text")).as("n_subwords")
         )
+    },
+    "text_quality" -> ((s, dir) => TextOps.qualitySignals(tbl(s, dir, "documents"), "doc_id", "text")),
+    "text_langid" -> { (s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+    },
+    "text_fingerprint" -> { (s, dir) => // xxhash64-based: rows-only oracle
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    },
+    // ------------------------------------------------------------------
+    // Multimodal plumbing (decode stubbed; schema/batching real)
+    // ------------------------------------------------------------------
+    "media_decode" -> { (s, dir) => // stub decode: rows-only oracle
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").withColumn("payload", encode(col("text"), "utf-8")),
+        "doc_id", "payload", "image")
+      MultimodalOps.decodeAndFeaturize(media)
+        .select(col("media_id"), col("width"), col("height"), col("format"),
+          size(col("features")).as("n_features"))
+    },
+    // ------------------------------------------------------------------
+    // Event streams (batch halves of the streaming operators)
+    // ------------------------------------------------------------------
+    "events_window" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value")
+        )
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value")
+        )
+    },
+    "events_sessionize" -> { (s, dir) =>
+      StreamOps.sessionize(events(s, dir), gapMinutes = 30)
     }
   )
 
@@ -86,9 +228,17 @@ object SparkEntry {
         |      FROM customer WHERE c_custkey % 7 = 0) q
         |CROSS JOIN customer d
         |WHERE levenshtein(q.query_string, d.c_name) <= 2""".stripMargin,
+    "pt_fuzzy_words" ->
+      """WITH dict AS (SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |              FROM documents),
+        |     q AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS query_string FROM part)
+        |SELECT q.query_string, dict.word AS node,
+        |       CAST(levenshtein(q.query_string, dict.word) AS INT) AS final_distance
+        |FROM q CROSS JOIN dict
+        |WHERE dict.word <> '' AND levenshtein(q.query_string, dict.word) <= 1""".stripMargin,
     "pt_words_roundtrip" ->
       """SELECT DISTINCT word FROM (
-        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents
         |) WHERE word <> ''""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -96,12 +246,134 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |       COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q4_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_window" ->
+      """SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders
+        |) WHERE rnk <= 3""".stripMargin,
+    "q6_filter" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |         unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                               FOR i IN generate_series(1, greatest(len(tk)-2, 1))])) AS tok
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                                   t -> t <> '') AS tk FROM documents)
+        |), sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.id < b.id
+        |  GROUP BY a.id, b.id
+        |)
+        |SELECT id_a, id_b,
+        |       round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON id_a = sa.id
+        |JOIN sizes sb ON id_b = sb.id
+        |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+    "knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+        |           (sqrt(list_dot_product(q.qv, q.qv)) *
+        |            sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+        |         sim
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS cosine_sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
-        |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
-        |FROM documents""".stripMargin
+        |       CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS INT) AS n_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_subwords
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(tk) AS INT) AS n_words,
+        |       round(length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE / len(tk), 4) AS mean_word_len,
+        |       round((length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')))::DOUBLE
+        |             / greatest(length(text), 1), 4) AS alpha_ratio,
+        |       round(len(list_distinct(tk))::DOUBLE / greatest(len(tk), 1), 4) AS distinct_ratio,
+        |       round(CASE WHEN len(tk) BETWEEN 20 AND 5000 THEN 0.25 ELSE 0 END
+        |           + CASE WHEN length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE / len(tk)
+        |                       BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END
+        |           + CASE WHEN (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')))::DOUBLE
+        |                       / greatest(length(text), 1) >= 0.8 THEN 0.25 ELSE 0 END
+        |           + CASE WHEN len(list_distinct(tk))::DOUBLE / greatest(len(tk), 1) >= 0.3
+        |                  THEN 0.25 ELSE 0 END, 2) AS quality_score
+        |FROM base""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                                   x -> x <> '')) AS tk
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |         len(list_intersect(tk, ['der','die','und','das','ist','nicht','ein','zu'])) AS s_de,
+        |         len(list_intersect(tk, ['the','and','of','to','a','in','is','it'])) AS s_en,
+        |         len(list_intersect(tk, ['el','la','de','que','y','los','en','un'])) AS s_es,
+        |         len(list_intersect(tk, ['le','la','les','et','des','un','une','est'])) AS s_fr
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+        |            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |            ELSE 'de' END AS lang_pred
+        |FROM s""".stripMargin,
+    "events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ms
+        |  FROM events
+        |), y AS (
+        |  SELECT user_id, ms,
+        |         SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x
+        |)
+        |SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+        |       COUNT(*) AS n_events
+        |FROM y GROUP BY user_id, sess""".stripMargin
   )
 }

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns beside typed metadata, processed in batched
+  * per-partition passes.
+  *
+  * The Spark-side mechanics here - schema, partition sizing, batch
+  * iteration, metadata propagation - are real and tested. The actual
+  * codec calls are STUBBED (this environment has no image/audio
+  * libraries): `decodeImageMeta` parses just enough of real PNG/JPEG
+  * headers to be deterministic, and `extractFeatures` computes a
+  * deterministic byte-histogram "feature vector" standing in for a model
+  * embedding. Swapping in a real decoder changes only the function body,
+  * not the pipeline.
+  *
+  * Scale notes: payload columns dominate row size, so operators
+  * repartition by byte budget, never row count ([[repartitionForPayload]]),
+  * and all metadata-only transforms prune the binary column before
+  * shuffling (never shuffle pixels you don't need).
+  */
+object MultimodalOps {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true)
+  ))
+
+  /** Wrap raw binary + metadata into the standard media frame. */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String, kind: String): DataFrame =
+    df.select(
+      F.col(idCol).cast(LongType).as("media_id"),
+      lit(kind).as("kind"),
+      F.col(payloadCol).cast(BinaryType).as("payload"),
+      map(lit("src_col"), lit(payloadCol)).as("meta")
+    )
+
+  /** Partition so each task holds ~`targetBytes` of payload: row counts
+    * are meaningless when one column is 10KB-10MB per row.
+    */
+  def repartitionForPayload(df: DataFrame, payloadCol: String, targetBytes: Long): DataFrame = {
+    val total = df.agg(sum(length(F.col(payloadCol)))).head().getLong(0)
+    val parts = math.max(1, math.min(100000, (total / math.max(1, targetBytes)).toInt))
+    df.repartition(parts)
+  }
+
+  /** STUB decode: width/height/format from PNG (IHDR) or JPEG (SOF0)
+    * headers when present; otherwise a deterministic pseudo-size derived
+    * from the payload hash, so the pipeline behaves identically with
+    * fake payloads in tests.
+    */
+  def decodeImageMeta(payload: Array[Byte]): (Int, Int, String) = {
+    if (payload == null || payload.length == 0) (0, 0, "empty")
+    else if (payload.length > 24 &&
+      payload(0) == 0x89.toByte && payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') {
+      def be32(o: Int) = ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
+        ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
+      (be32(16), be32(20), "png")
+    } else {
+      val h = java.util.Arrays.hashCode(payload)
+      (64 + math.abs(h % 1920), 64 + math.abs((h / 7) % 1080), "raw")
+    }
+  }
+
+  /** STUB feature extraction: 16-bin byte histogram normalized to [0,1] -
+    * the deterministic stand-in for an embedding model. Real models slot
+    * in here (ONNX/JNI call per batch); the batching shape is what
+    * matters: one model session per PARTITION, amortized over rows.
+    */
+  def extractFeatures(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    if (payload != null) {
+      var i = 0
+      while (i < payload.length) { hist((payload(i) & 0xff) >> 4) += 1f; i += 1 }
+      val n = math.max(1, payload.length).toFloat
+      var b = 0
+      while (b < 16) { hist(b) /= n; b += 1 }
+    }
+    hist
+  }
+
+  /** Batched decode pass: mapPartitions so per-partition setup (a real
+    * decoder context) happens once per task, not once per row. Output:
+    * media frame columns + (width, height, format, features).
+    */
+  def decodeAndFeaturize(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(media.schema.fields.filterNot(_.name == "payload") ++ Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("format", StringType),
+      StructField("features", ArrayType(FloatType))
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      // real impl: open decoder/model session here, once per partition
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val (w, h, fmt) = decodeImageMeta(payload)
+        val feats = extractFeatures(payload)
+        Row.fromSeq(
+          r.toSeq.zip(r.schema.fieldNames).collect { case (v, n) if n != "payload" => v } ++
+            Seq(w, h, fmt, feats.toSeq)
+        )
+      }
+    }(enc)
+  }
+
+  /** Deterministic frame sampling plumbing for video-like payloads: emit
+    * every `stride`-th chunk of `chunkBytes` as its own row (stands in
+    * for keyframe extraction; the chunking/explode shape is the real
+    * part).
+    */
+  def sampleChunks(media: DataFrame, chunkBytes: Int, stride: Int): DataFrame =
+    media
+      .withColumn("n_chunks", (length(F.col("payload")) / chunkBytes).cast(IntegerType))
+      .withColumn("chunk_idx",
+        explode(filter(sequence(lit(0), greatest(F.col("n_chunks") - 1, lit(0))),
+          i => i % stride === 0)))
+      .withColumn("chunk",
+        expr(s"substring(payload, chunk_idx * $chunkBytes + 1, $chunkBytes)"))
+      .select(F.col("media_id"), F.col("kind"), F.col("chunk_idx"), F.col("chunk"))
+}

