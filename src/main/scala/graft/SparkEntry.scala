@@ -124,6 +124,27 @@ object SparkEntry {
         .filter(col("rnk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("rnk").cast(IntegerType).as("rnk"))
     },
+    "fuzzy_brute_baseline" -> { (s, dir) =>
+      // the computation pt_fuzzy_customer replaces: full cross join +
+      // levenshtein. Same output, same oracle - exists so the bench JSON
+      // shows trie-vs-brute-force directly.
+      val cust = tbl(s, dir, "customer")
+      val q = cust
+        .filter(col("c_custkey") % 7 === 0)
+        .select(expr("concat(substr(c_name, 1, length(c_name)-1), 'X')").as("query_string"))
+      graft.ops.OpsUtil.spread(q)
+        .crossJoin(cust.select(col("c_name").as("node")))
+        .withColumn("final_distance", levenshtein(col("query_string"), col("node")))
+        .filter(col("final_distance") <= 2)
+        .select(col("query_string"), col("node"),
+          col("final_distance").cast(IntegerType).as("final_distance"))
+    },
+    "setops_nations" -> { (s, dir) =>
+      val c = tbl(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = tbl(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersect(sup).withColumn("op", lit("both"))
+        .union(c.except(sup).withColumn("op", lit("cust_only")))
+    },
     "q6_filter" -> { (s, dir) =>
       tbl(s, dir, "lineitem")
         .filter(
@@ -148,10 +169,10 @@ object SparkEntry {
     },
     "dedup_minhash" -> { (s, dir) => // sketch-based: rows-only oracle; exactness spec in ScalaTest
       DedupOps.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        numHashes = 64, bands = 16, shingleLen = 3, threshold = 0.5)
+        numHashes = 64, bands = 8, shingleLen = 3, threshold = 0.5)
     },
     "dedup_simhash" -> { (s, dir) => // sketch-based: rows-only oracle
-      DedupOps.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+      DedupOps.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
     },
     "dedup_embedding" -> { (s, dir) => // LSH-bucketed cosine pairs: rows-only oracle
       SimilarityOps.cosinePairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
@@ -264,6 +285,21 @@ object SparkEntry {
         |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
         |  FROM orders
         |) WHERE rnk <= 3""".stripMargin,
+    "fuzzy_brute_baseline" ->
+      """SELECT q.query_string AS query_string, d.c_name AS node,
+        |       CAST(levenshtein(q.query_string, d.c_name) AS INT) AS final_distance
+        |FROM (SELECT substr(c_name, 1, length(c_name)-1) || 'X' AS query_string
+        |      FROM customer WHERE c_custkey % 7 = 0) q
+        |CROSS JOIN customer d
+        |WHERE levenshtein(q.query_string, d.c_name) <= 2""".stripMargin,
+    "setops_nations" ->
+      """SELECT nationkey, 'both' AS op FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' AS op FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   EXCEPT SELECT s_nationkey FROM supplier)""".stripMargin,
     "q6_filter" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
         |       COUNT(*) AS n_rows

@@ -27,17 +27,40 @@ object DedupOps {
   /** Distinct word `n`-shingles as strings ("a b c"). For n = 1 this is
     * the distinct token set. Documents shorter than `n` words yield their
     * whole token list as one (short) shingle.
+    *
+    * Implemented as a tight Scala kernel rather than nested
+    * transform/slice/concat_ws expressions: higher-order functions do not
+    * participate in whole-stage codegen, and their per-element ArrayData
+    * allocation made sketch queries GC-bound. One kernel call per row
+    * scales linearly at any data size (no shuffle, no state).
     */
+  private[graft] def shingleArray(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty[String]
+    val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return if (n <= 1) Array.empty[String] else Array("")
+    if (n <= 1) return toks.distinct
+    val upper = math.max(toks.length - n, 0)
+    val seen = new scala.collection.mutable.LinkedHashSet[String]
+    var i = 0
+    while (i <= upper) {
+      seen += toks.slice(i, math.min(i + n, toks.length)).mkString(" ")
+      i += 1
+    }
+    seen.toArray
+  }
+
   def shingleStrings(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    if (n <= 1) array_distinct(toks)
-    else
-      array_distinct(
-        transform(
-          sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))
-        )
-      )
+    val u = udf((t: String) => shingleArray(t, n))
+    u(c)
+  }
+
+  /** xxhash64 over UTF-8 bytes, identical to Spark SQL's `xxhash64(str)`
+    * with the default seed.
+    */
+  private[graft] def xxh64String(s: String, seed: Long = 42L): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seed)
   }
 
   // ---------------------------------------------------------------------
@@ -121,34 +144,29 @@ object DedupOps {
     val prime = 2147483647L // 2^31 - 1, Mersenne
     val as = Array.fill(numHashes)(1 + rnd.nextInt(Int.MaxValue - 1).toLong)
     val bs = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
-    val aLit = array(as.map(lit(_)).toIndexedSeq: _*)
-    val bLit = array(bs.map(lit(_)).toIndexedSeq: _*)
-    val shingles = array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(tokens(F.col(textCol))) - shingleLen, lit(0))),
-        i => pmod(xxhash64(concat_ws(" ", slice(tokens(F.col(textCol)), i + 1, lit(shingleLen)))),
-          lit(prime))
-      )
-    )
-    val hashIdx = sequence(lit(0), lit(numHashes - 1))
-    // Shape matters: a naive `transform(hashIdx, h -> array_min(...))`
-    // re-evaluates the shingle pipeline once PER HASH FUNCTION (Catalyst
-    // collapses the projection and inlines the array into the lambda).
-    // Folding the other way - aggregate over shingles, element-wise min
-    // against each shingle's hash vector - binds each shingle to a lambda
-    // variable, so tokenize+hash runs exactly once per shingle.
+    // One kernel call per document: tokenize -> shingle -> hash -> running
+    // minima, all on primitive arrays. (The expression-tree formulations -
+    // nested transform/aggregate/zip_with - are interpreted per element
+    // and turned this stage GC-bound; see shingleArray's scaladoc.)
+    val sigUdf = udf { text: String =>
+      val shingles = shingleArray(text, shingleLen)
+      val sig = Array.fill(numHashes)(prime)
+      var i = 0
+      while (i < shingles.length) {
+        val s = java.lang.Math.floorMod(xxh64String(shingles(i)), prime)
+        var h = 0
+        while (h < numHashes) {
+          val v = (as(h) * s + bs(h)) % prime
+          if (v < sig(h)) sig(h) = v
+          h += 1
+        }
+        i += 1
+      }
+      sig
+    }
     OpsUtil.spread(df).select(
       F.col(idCol).as("id"),
-      aggregate(
-        shingles,
-        transform(hashIdx, _ => lit(prime)),
-        (acc, s) => zip_with(
-          acc,
-          transform(hashIdx, h =>
-            pmod(element_at(aLit, h + 1) * s + element_at(bLit, h + 1), lit(prime))),
-          (x, y) => least(x, y)
-        )
-      ).as("signature")
+      sigUdf(F.col(textCol)).as("signature")
     )
   }
 
@@ -170,33 +188,40 @@ object DedupOps {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
+    // bucket key per band: order-sensitive hash of that signature slice
+    val bucketsUdf = udf { sig: Seq[Long] =>
+      Array.tabulate(bands) { b =>
+        var h = 0xcbf29ce484222325L ^ b
+        var j = b * r
+        while (j < (b + 1) * r) { h = (h ^ sig(j)) * 0x100000001b3L; j += 1 }
+        h
+      }
+    }
     val banded = sigs.select(
       col("id"),
       col("signature"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), xxhash64(b, slice(col("signature"), b * lit(r) + 1, lit(r))).as("bucket"))
-        )
-      ).as("bb")
+      posexplode(bucketsUdf(col("signature"))).as(Seq("band", "bucket"))
     )
-    val cand = banded.as("a")
+    val estUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var eq = 0; var i = 0
+      while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / numHashes
+    }
+    // estimate BEFORE deduping band collisions: the estimate is a cheap
+    // kernel over arrays already in hand, and dropping the signature
+    // columns first means the dedup shuffle moves 24-byte rows instead of
+    // kilobyte signature pairs
+    banded.as("a")
       .join(
         banded.as("b"),
-        col("a.bb.band") === col("b.bb.band") &&
-          col("a.bb.bucket") === col("b.bb.bucket") &&
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id")
       )
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.signature").as("sig_a"), col("b.signature").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand
-      .withColumn(
-        "est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast(DoubleType) / lit(numHashes.toDouble)
-      )
+        estUdf(col("a.signature"), col("b.signature")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
@@ -209,8 +234,10 @@ object DedupOps {
     * (per-row, no state) - kept as a UDF until a codegen Expression is
     * warranted.
     */
-  private val simhash64 = udf { toks: Seq[String] =>
+  private val simhash64 = udf { text: String =>
     val counts = new Array[Int](64)
+    val toks = if (text == null) Array.empty[String]
+      else text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
     toks.foreach { t =>
       val h = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32 |
         (scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xffffffffL)
@@ -229,7 +256,7 @@ object DedupOps {
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     OpsUtil.spread(df).select(
       F.col(idCol).as("id"),
-      simhash64(tokens(F.col(textCol))).as("simhash")
+      simhash64(F.col(textCol)).as("simhash")
     )
 
   /** Near-dup pairs with Hamming distance <= `maxHamming`, found by the
@@ -266,11 +293,12 @@ object DedupOps {
           col("a.bk.key") === col("b.bk.key") &&
           col("a.id") < col("b.id")
       )
+      // filter on hamming FIRST (codegen'd xor+bit_count on values already
+      // in the join row), then dedupe the narrow survivors
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming").cast(IntegerType).as("hamming"))
   }
 }

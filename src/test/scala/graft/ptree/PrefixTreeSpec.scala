@@ -64,6 +64,20 @@ class PrefixTreeSpec extends SparkSpec {
     assert(Query.queryOne("zzzzz", idx, 2).isEmpty)
   }
 
+  test("writeIndexed/read roundtrip: indexed trie answers identically") {
+    val dir = java.nio.file.Files.createTempDirectory("pt_index").toString
+    PrefixTree.writeIndexed(trie, dir, buckets = 4)
+    val back = PrefixTree.read(spark, dir)
+    val queries = Seq("dog", "kaminski", "ab").toDF("q")
+    val a = Query.queryBroadcast(queries, "q", trie, 2)
+      .as[(String, String, Int)].collect().toSet
+    val b = Query.queryBroadcast(queries, "q", back, 2)
+      .as[(String, String, Int)].collect().toSet
+    val c = Query.queryJoin(queries, "q", back, 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(a == b && a == c)
+  }
+
   test("reference fixture: duplicate words dedup (A.q2 divergence)") {
     val t = PrefixTree.create(Seq("dog", "dog", "cat").toDF("w"), "w", 2, 2)
     assert(t.filter(_.is_word).count() == 2)
