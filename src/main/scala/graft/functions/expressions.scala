@@ -1,0 +1,201 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's scalar kernels.
+  *
+  * Each generates code as a single static call into [[ExprKernels]] - no
+  * UDF serde, inline null handling, and the call participates in
+  * whole-stage codegen like any built-in function. This is the
+  * preference-order step above "Scala UDF" for operators Spark lacks
+  * (the reference implements the same kernels as embedded C++,
+  * /root/reference/PrefixTree.ecl:101-394).
+  */
+object ExprKernels {
+
+  // universal-hash coefficients are deterministic in (numHashes, seed):
+  // computed once per JVM, not per row
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, (Array[Long], Array[Long])]()
+  private def coefs(numHashes: Int, seed: Int): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent(
+      (numHashes.toLong << 32) | (seed.toLong & 0xffffffffL),
+      _ => {
+        val rnd = new scala.util.Random(seed)
+        (Array.fill(numHashes)(1 + rnd.nextInt(Int.MaxValue - 1).toLong),
+          Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong))
+      })
+
+  /** MinHash signature of a document: tokenize, word-shingle, hash,
+    * running minima - one pass, primitive arrays.
+    */
+  def minhashSig(text: UTF8String, numHashes: Int, shingleLen: Int, seed: Int): ArrayData = {
+    val shingles = graft.ops.DedupOps.shingleArray(if (text == null) null else text.toString, shingleLen)
+    val prime = 2147483647L
+    val (as, bs) = coefs(numHashes, seed)
+    val sig = Array.fill(numHashes)(prime)
+    var i = 0
+    while (i < shingles.length) {
+      val s = java.lang.Math.floorMod(graft.ops.DedupOps.xxh64String(shingles(i)), prime)
+      var h = 0
+      while (h < numHashes) {
+        val v = (as(h) * s + bs(h)) % prime
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simhash(text: UTF8String): Long =
+    graft.ops.DedupOps.simhashKernel(if (text == null) null else text.toString)
+
+  /** Banded Levenshtein DP step for the join-mode trie traversal:
+    * state = DP row ++ [rowMin]; returns the state after consuming
+    * `edge`. See graft.ptree.Kernels.extendRow.
+    */
+  def levExtend(
+      query: UTF8String,
+      edge: UTF8String,
+      state: ArrayData,
+      depth: Int,
+      maxDist: Int
+  ): ArrayData = {
+    val st = state.toIntArray()
+    val row = java.util.Arrays.copyOf(st, st.length - 1)
+    val (nr, mn) = graft.ptree.Kernels.extendRow(query.toString, edge.toString, row, depth, maxDist)
+    val out = java.util.Arrays.copyOf(nr, nr.length + 1)
+    out(nr.length) = mn
+    new GenericArrayData(out)
+  }
+}
+
+/** `minhash_sig(text)` - array<bigint> MinHash signature. */
+case class MinHashSig(
+    child: Expression,
+    numHashes: Int = 64,
+    shingleLen: Int = 3,
+    seed: Int = 42
+) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.minhashSig(v.asInstanceOf[UTF8String], numHashes, shingleLen, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ExprKernels.minhashSig($c, $numHashes, $shingleLen, $seed)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** `simhash64(text)` - 64-bit SimHash fingerprint. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.simhash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** `pt_lev_extend(query, edge, state, depth)` - banded incremental
+  * Levenshtein DP over a trie edge (join-mode traversal step).
+  */
+case class PtLevExtend(
+    first: Expression,
+    second: Expression,
+    third: Expression,
+    fourth: Expression,
+    maxDist: Int
+) extends QuaternaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = first.dataType.isInstanceOf[StringType] &&
+      second.dataType.isInstanceOf[StringType] &&
+      third.dataType.isInstanceOf[ArrayType] &&
+      fourth.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName(query string, edge string, state array<int>, depth int)")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable || fourth.nullable
+  override def nullSafeEval(q: Any, e: Any, s: Any, d: Any): Any =
+    ExprKernels.levExtend(
+      q.asInstanceOf[UTF8String], e.asInstanceOf[UTF8String],
+      s.asInstanceOf[ArrayData], d.asInstanceOf[Int], maxDist)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, e, s, d) =>
+      s"graft.functions.ExprKernels.levExtend($q, $e, $s, $d, $maxDist)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, fo: Expression): PtLevExtend =
+    copy(first = f, second = s, third = t, fourth = fo)
+  override def prettyName: String = "pt_lev_extend"
+}
+
+/** Column-API and SQL-registration surface for the native expressions. */
+object GraftFunctions {
+
+  def minhash_sig(c: Column, numHashes: Int = 64, shingleLen: Int = 3, seed: Int = 42): Column =
+    Bridge.column(MinHashSig(Bridge.expression(c), numHashes, shingleLen, seed))
+
+  def simhash64(c: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(c)))
+
+  def pt_lev_extend(q: Column, e: Column, s: Column, d: Column, maxDist: Int): Column =
+    Bridge.column(PtLevExtend(
+      Bridge.expression(q), Bridge.expression(e),
+      Bridge.expression(s), Bridge.expression(d), maxDist))
+
+  /** Runtime registration: makes the functions callable from SQL text in
+    * an existing session (`SELECT simhash64(text) FROM docs`).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("pt_lev_extend", {
+      case Seq(q, e, s, d, Literal(k: Int, IntegerType)) => PtLevExtend(q, e, s, d, k)
+      case es => throw new IllegalArgumentException(
+        s"pt_lev_extend(query, edge, state, depth, maxDistLiteral); got ${es.length} args")
+    }, "built-in")
+  }
+}
+
+/** Builder-time extension point: `SparkSession.builder()
+  * .withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) installs the
+  * native functions cluster-wide.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (es: Seq[Expression]) => MinHashSig(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+  }
+}

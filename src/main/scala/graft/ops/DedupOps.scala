@@ -140,33 +140,16 @@ object DedupOps {
       shingleLen: Int = 3,
       seed: Int = 42
   ): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val prime = 2147483647L // 2^31 - 1, Mersenne
-    val as = Array.fill(numHashes)(1 + rnd.nextInt(Int.MaxValue - 1).toLong)
-    val bs = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
-    // One kernel call per document: tokenize -> shingle -> hash -> running
-    // minima, all on primitive arrays. (The expression-tree formulations -
-    // nested transform/aggregate/zip_with - are interpreted per element
-    // and turned this stage GC-bound; see shingleArray's scaladoc.)
-    val sigUdf = udf { text: String =>
-      val shingles = shingleArray(text, shingleLen)
-      val sig = Array.fill(numHashes)(prime)
-      var i = 0
-      while (i < shingles.length) {
-        val s = java.lang.Math.floorMod(xxh64String(shingles(i)), prime)
-        var h = 0
-        while (h < numHashes) {
-          val v = (as(h) * s + bs(h)) % prime
-          if (v < sig(h)) sig(h) = v
-          h += 1
-        }
-        i += 1
-      }
-      sig
-    }
+    // One native-expression call per document: tokenize -> shingle ->
+    // hash -> running minima, all on primitive arrays inside whole-stage
+    // codegen (graft.functions.MinHashSig). The expression-tree
+    // formulations tried first - nested transform/aggregate/zip_with -
+    // are interpreted per element and turned this stage GC-bound.
     OpsUtil.spread(df).select(
       F.col(idCol).as("id"),
-      sigUdf(F.col(textCol)).as("signature")
+      graft.functions.GraftFunctions
+        .minhash_sig(F.col(textCol), numHashes, shingleLen, seed)
+        .as("signature")
     )
   }
 
@@ -234,7 +217,7 @@ object DedupOps {
     * (per-row, no state) - kept as a UDF until a codegen Expression is
     * warranted.
     */
-  private val simhash64 = udf { text: String =>
+  private[graft] def simhashKernel(text: String): Long = {
     val counts = new Array[Int](64)
     val toks = if (text == null) Array.empty[String]
       else text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
@@ -256,7 +239,7 @@ object DedupOps {
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     OpsUtil.spread(df).select(
       F.col(idCol).as("id"),
-      simhash64(F.col(textCol)).as("simhash")
+      graft.functions.GraftFunctions.simhash64(F.col(textCol)).as("simhash")
     )
 
   /** Near-dup pairs with Hamming distance <= `maxHamming`, found by the

@@ -1,6 +1,6 @@
 package graft.ptree
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
@@ -103,12 +103,10 @@ object Query {
     // as a native array<int> column.
     // `depth` (trie chars consumed) is threaded as its own column: the
     // banded DP saturates row(0) at maxDist+1, so the all-insertions cell
-    // can no longer double as the consumed counter.
-    val extend = udf { (q: String, edge: String, state: Seq[Int], depth: Int) =>
-      val row = state.dropRight(1).toArray
-      val (nr, mn) = Kernels.extendRow(q, edge, row, depth, maxDist)
-      nr.toSeq :+ mn
-    }
+    // can no longer double as the consumed counter. The DP step itself is
+    // a native codegen expression (graft.functions.PtLevExtend), not a UDF.
+    def extend(q: Column, e: Column, s: Column, d: Column): Column =
+      graft.functions.GraftFunctions.pt_lev_extend(q, e, s, d, maxDist)
 
     // Trie side: pre-partition ONCE by parent_id and cache - every loop
     // iteration reuses the same exchange instead of re-shuffling 100 TB of

@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Native Catalyst expressions: eval == kernel, codegen path exercised
+  * through real query execution, SQL registration usable from text.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox leaps over the lazy dog"),
+    (3L, "")
+  ).toDF("id", "text")
+
+  test("simhash64 expression matches the kernel, incl. empty text") {
+    val got = docs.select($"id", GraftFunctions.simhash64($"text")).as[(Long, Long)]
+      .collect().toMap
+    for ((id, t) <- Seq(1L -> "the quick brown fox jumps over the lazy dog",
+                        2L -> "the quick brown fox leaps over the lazy dog", 3L -> ""))
+      assert(got(id) == DedupOps.simhashKernel(t), s"id=$id")
+  }
+
+  test("minhash_sig: deterministic, identical for identical text, 64 longs") {
+    val sigs = docs.select($"id", GraftFunctions.minhash_sig($"text")).as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(sigs(1L).length == 64)
+    assert(sigs(1L) != sigs(2L)) // one word differs -> some positions differ
+    // docs share 4 of 10 distinct shingles -> expected agreement ~ 0.4*64
+    val agree = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree > 12 && agree < 48, s"agreement should track jaccard 0.4, got $agree")
+    // re-run: bit-identical (coefficients cached, hashing deterministic)
+    val again = docs.select($"id", GraftFunctions.minhash_sig($"text")).as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(again == sigs)
+  }
+
+  test("SQL registration: functions callable from SQL text") {
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("fdocs")
+    val r = spark.sql(
+      "SELECT id, simhash64(text) AS sh, size(minhash_sig(text)) AS n FROM fdocs ORDER BY id")
+      .as[(Long, Long, Int)].collect()
+    assert(r.length == 3)
+    assert(r.forall(_._3 == 64))
+    assert(r(0)._2 == DedupOps.simhashKernel("the quick brown fox jumps over the lazy dog"))
+  }
+
+  test("GraftExtensions injects the functions into a registry") {
+    // apply the extension to an isolated registry (a second in-JVM
+    // SparkContext would be needed to test via builder.withExtensions;
+    // registerFunctions is the same code path the builder invokes)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(exts)
+    val reg = org.apache.spark.sql.graftbridge.Bridge
+      .registerFunctions(exts, new SimpleFunctionRegistry)
+    assert(reg.functionExists(FunctionIdentifier("minhash_sig")))
+    assert(reg.functionExists(FunctionIdentifier("simhash64")))
+    val e = reg.lookupFunction(FunctionIdentifier("simhash64"),
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal("a b c")))
+    assert(e.isInstanceOf[SimHash64])
+  }
+
+  test("pt_lev_extend expression == pure kernel") {
+    import graft.ptree.Kernels
+    val df = Seq(("dogma", "drops", Seq(0, 1, 2, 3, 4, 5) :+ 0, 0)).toDF("q", "e", "st", "d")
+    val out = df.select(
+      GraftFunctions.pt_lev_extend($"q", $"e", $"st", $"d", 3).as("r")
+    ).as[Seq[Int]].collect()(0)
+    val (row, mn) = Kernels.extendRow("dogma", "drops", Array(0, 1, 2, 3, 4, 5), 0, 3)
+    assert(out == (row.toSeq :+ mn))
+  }
+}
