@@ -158,8 +158,21 @@ object Kernels {
       query: String,
       maxDist: Int,
       children: Long => Array[PTNode]
-  ): ArrayBuffer[(String, Int)] = {
+  ): ArrayBuffer[(String, Int)] = searchCounted(query, maxDist, children)._1
+
+  /** [[search]] plus the number of trie nodes examined - the measurable
+    * form of the branch-and-bound claim: examined nodes should be far
+    * fewer than |dictionary| per query (brute force examines every word).
+    */
+  def searchCounted(
+      query: String,
+      maxDist: Int,
+      children: Long => Array[PTNode]
+  ): (ArrayBuffer[(String, Int)], SearchStats) = {
     val n = query.length
+    var visited = 0L
+    var cells = 0L
+    val band = 2L * maxDist + 1
     val out = new ArrayBuffer[(String, Int)]()
     // two pooled scratch rows per recursion level: zero allocation on the
     // hot path (a query visits thousands of nodes; rows live only along
@@ -175,6 +188,7 @@ object Kernels {
       var i = 0
       while (i < kids.length) {
         val child = kids(i)
+        visited += 1
         if (child.is_word) {
           // row(n) is only valid inside the band; outside it the true
           // distance exceeds maxDist by the banding argument
@@ -183,6 +197,7 @@ object Kernels {
             if (d <= maxDist) out += ((child.node, d))
           }
         } else if (n <= child._max + maxDist && n >= child._min - maxDist) {
+          cells += child.node.length * band // banded DP work for this edge
           val (newRow, rowMin) = extendRowBuffers(
             query, child.node, row, consumed, maxDist,
             buf(2 * level), buf(2 * level + 1))
@@ -193,7 +208,7 @@ object Kernels {
       }
     }
     go(0L, initRow(n), 0, 0)
-    out
+    (out, SearchStats(visited, cells))
   }
 
   /** Streaming radix-trie builder over one partition's SORTED, DISTINCT

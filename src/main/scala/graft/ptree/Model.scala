@@ -38,3 +38,10 @@ object PTNode {
   /** Partition-id shift: ids are `(pid << PART_SHIFT) | counter`. */
   final val PART_SHIFT = 44
 }
+
+/** Work counters from one pruned traversal: `nodes` = trie nodes
+  * examined, `cells` = banded DP cells computed (upper bound). The
+  * apples-to-apples comparison against brute force is `cells` vs
+  * sum over (query, word) pairs of (|q|+1)*(|w|+1) full-matrix cells.
+  */
+final case class SearchStats(nodes: Long, cells: Long)

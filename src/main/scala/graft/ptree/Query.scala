@@ -66,7 +66,9 @@ object Query {
       queries: DataFrame,
       col: String,
       trie: Dataset[PTNode],
-      maxDist: Int
+      maxDist: Int,
+      visitCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+      cellCounter: Option[org.apache.spark.util.LongAccumulator] = None
   ): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -82,7 +84,10 @@ object Query {
         val idx = bc.value
         val lookup: Long => Array[PTNode] = idx.getOrElse(_, null)
         it.flatMap { q =>
-          Kernels.search(q, maxDist, lookup).map { case (w, d) => (q, w, d) }
+          val (hits, stats) = Kernels.searchCounted(q, maxDist, lookup)
+          visitCounter.foreach(_.add(stats.nodes))
+          cellCounter.foreach(_.add(stats.cells))
+          hits.map { case (w, d) => (q, w, d) }
         }
       }
       .toDF("query_string", "node", "final_distance")

@@ -64,6 +64,26 @@ class PrefixTreeSpec extends SparkSpec {
     assert(Query.queryOne("zzzzz", idx, 2).isEmpty)
   }
 
+  test("branch-and-bound visits far fewer nodes than brute-force comparisons") {
+    // real corpus shape: all customer names at sf0.01 (1500 names; at
+    // sf0.001's 150 names every word is within ~3 edits of every other,
+    // so k=2 pruning legitimately cannot discard subtrees)
+    val cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    val t = PrefixTree.create(cust, "c_name", prefixLen = 12)
+    val dictSize = t.filter(_.is_word).count()
+    val q = cust.limit(30).select(expr("concat(substr(c_name,1,length(c_name)-1),'X')").as("q"))
+    val nodesAcc = spark.sparkContext.longAccumulator("pt.nodesVisited")
+    val cellsAcc = spark.sparkContext.longAccumulator("pt.dpCells")
+    val res = Query.queryBroadcast(q, "q", t, 2, Some(nodesAcc), Some(cellsAcc))
+    res.count() // action populates the accumulators
+    // apples-to-apples unit: DP cells. Brute force fills a full
+    // (|q|+1)x(|w|+1) matrix per (query, word) pair; names are 18 chars.
+    val bruteCells = dictSize * 30L * 19L * 19L
+    assert(cellsAcc.value > 0 && nodesAcc.value > 0)
+    assert(cellsAcc.value < bruteCells / 5,
+      s"trie ${cellsAcc.value} cells vs brute $bruteCells - pruned DP should cut work substantially")
+  }
+
   test("writeIndexed/read roundtrip: indexed trie answers identically") {
     val dir = java.nio.file.Files.createTempDirectory("pt_index").toString
     PrefixTree.writeIndexed(trie, dir, buckets = 4)
