@@ -109,7 +109,8 @@ object DedupOps {
       }
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = filtered.as("a")
-      .join(filtered.as("b"), F.col("a.tok") === F.col("b.tok") && F.col("a.id") < F.col("b.id"))
+      .join(filtered.as("b").hint("shuffle_hash"),
+        F.col("a.tok") === F.col("b.tok") && F.col("a.id") < F.col("b.id"))
       .groupBy(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -194,9 +195,11 @@ object DedupOps {
     // kernel over arrays already in hand, and dropping the signature
     // columns first means the dedup shuffle moves 24-byte rows instead of
     // kilobyte signature pairs
+    // shuffle-hash join, never broadcast: both sides are corpus-sized
+    // (broadcasting the banded table stalls the driver and cannot scale)
     banded.as("a")
       .join(
-        banded.as("b"),
+        banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id")
@@ -271,7 +274,7 @@ object DedupOps {
     )
     keyed.as("a")
       .join(
-        keyed.as("b"),
+        keyed.as("b").hint("shuffle_hash"),
         col("a.bk.blk") === col("b.bk.blk") &&
           col("a.bk.key") === col("b.bk.key") &&
           col("a.id") < col("b.id")

@@ -150,7 +150,7 @@ object SimilarityOps {
       norm(F.col(vecCol)).as("nrm"),
       lshBucket(F.col(vecCol), dim, bits, seed).as("bucket"))
     b.as("a")
-      .join(b.as("b"),
+      .join(b.as("b").hint("shuffle_hash"),
         F.col("a.bucket") === F.col("b.bucket") && F.col("a.id") < F.col("b.id"))
       .withColumn("cosine_sim",
         dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")))

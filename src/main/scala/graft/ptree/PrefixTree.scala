@@ -47,7 +47,12 @@ object PrefixTree {
   /** Build a trie table from `df`'s string column `col`.
     *
     * @param prefixLen     distribution-key prefix length (reference's
-    *                      `dist_length`, ecl:56-63)
+    *                      `dist_length`, ecl:56-63). `<= 0` hashes the
+    *                      WHOLE word instead: maximum balance for skewed
+    *                      prefix distributions, at the cost of internal-
+    *                      node sharing (identical words still colocate,
+    *                      so dedup and query correctness are unaffected -
+    *                      partitions just duplicate more shallow paths).
     * @param numPartitions 0 = use spark.sql.shuffle.partitions
     */
   def create(
@@ -61,9 +66,11 @@ object PrefixTree {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
+    val distKey =
+      if (prefixLen > 0) substring($"word", 1, prefixLen) else $"word"
     df.select(trim(column(col)).as("word"))
       .filter($"word" =!= "")
-      .repartition(parts, substring($"word", 1, prefixLen))
+      .repartition(parts, distKey)
       .sortWithinPartitions($"word")
       .as[String]
       .mapPartitions { it =>

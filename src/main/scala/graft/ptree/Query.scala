@@ -130,7 +130,10 @@ object Query {
       .withColumn("depth", lit(0))
       .localCheckpoint()
 
-    var results: DataFrame = null
+    // each iteration's emissions are checkpointed once and unioned at the
+    // end - re-checkpointing a growing union would rematerialize all
+    // prior results every iteration (O(depth^2))
+    var emitted: List[DataFrame] = Nil
     while (!frontier.isEmpty) {
       val joined = frontier
         .join(
@@ -145,7 +148,7 @@ object Query {
       // End-caps exit the loop into the result set (ecl:431): the exact
       // distance is the parent row's cell [len(q)], computed WITHOUT
       // advancing the DP (end-caps carry the full word, not an edge).
-      val emitted = joined
+      val stepEmitted = joined
         .filter($"is_word" &&
           element_at($"state", length($"query_string") + 1) <= lit(maxDist))
         .select(
@@ -153,8 +156,8 @@ object Query {
           $"node",
           element_at($"state", length($"query_string") + 1).as("final_distance")
         )
-      results = if (results == null) emitted.localCheckpoint()
-                else results.union(emitted).localCheckpoint()
+        .localCheckpoint()
+      if (!stepEmitted.isEmpty) emitted ::= stepEmitted
 
       frontier = joined
         .filter(!$"is_word")
@@ -169,7 +172,7 @@ object Query {
         .localCheckpoint()
     }
     t.unpersist()
-    if (results == null)
+    if (emitted.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(
@@ -178,6 +181,8 @@ object Query {
           StructField("final_distance", IntegerType)
         ))
       )
-    else results.withColumn("final_distance", $"final_distance".cast(IntegerType))
+    else
+      emitted.reduce(_ union _)
+        .withColumn("final_distance", $"final_distance".cast(IntegerType))
   }
 }

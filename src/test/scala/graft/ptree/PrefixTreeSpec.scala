@@ -98,6 +98,14 @@ class PrefixTreeSpec extends SparkSpec {
     assert(a == b && a == c)
   }
 
+  test("prefixLen <= 0 (whole-word hashing, skew mode) answers identically") {
+    val t = PrefixTree.create(dictDf, "w", prefixLen = 0, numPartitions = 4)
+    val queries = Seq("dog", "doer", "kaminski", "ab")
+    val got = Query.queryBroadcast(queries.toDF("q"), "q", t, 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(got == brute(queries, 2))
+  }
+
   test("reference fixture: duplicate words dedup (A.q2 divergence)") {
     val t = PrefixTree.create(Seq("dog", "dog", "cat").toDF("w"), "w", 2, 2)
     assert(t.filter(_.is_word).count() == 2)
