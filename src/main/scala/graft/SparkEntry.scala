@@ -191,6 +191,12 @@ object SparkEntry {
       SimilarityOps.lshTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64, bits = 6)
     },
+    "ann_ivf" -> { (s, dir) => // approximate: rows-only oracle; recall spec in ScalaTest
+      val emb = tbl(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nCentroids = 32, nProbe = 8)
+    },
     // ------------------------------------------------------------------
     // Text analysis
     // ------------------------------------------------------------------

@@ -10,13 +10,17 @@ import org.apache.spark.sql.types._
   * pipelines: exact, token-set Jaccard, MinHash+LSH, and SimHash.
   *
   * Design rules (100 TB mindset):
-  *   - everything is `org.apache.spark.sql.functions` expressions
-  *     (whole-stage codegen) except the single SimHash kernel;
+  *   - per-row sketch math lives in tight Scala kernels exposed as native
+  *     Catalyst expressions (graft.functions) - scalar, shuffle-free,
+  *     inside whole-stage codegen; cheap column work stays in
+  *     `org.apache.spark.sql.functions` expressions;
   *   - no all-pairs comparisons: candidate generation is always a
-  *     key-equality self-join (shared token / LSH bucket / SimHash band),
-  *     so Catalyst plans a shuffled hash join on the bucket key instead
-  *     of a cross join;
-  *   - exact similarity is only computed on candidate pairs.
+  *     key-equality self-join (shared shingle / LSH bucket / SimHash
+  *     block), explicitly hinted shuffle_hash - both sides are
+  *     corpus-sized, so a broadcast plan can neither scale nor keep the
+  *     driver healthy;
+  *   - pair shuffles move narrow rows: the cheap verdict (estimate /
+  *     hamming) is computed before any dedup shuffle, signatures dropped.
   */
 object DedupOps {
 
@@ -126,12 +130,8 @@ object DedupOps {
   // MinHash + LSH (the scale path for near-dup detection)
   // ---------------------------------------------------------------------
 
-  /** Per-document MinHash signature over hashed word `shingleLen`-shingles.
-    *
-    * Pure expression pipeline: shingles via `transform(sequence(...))`
-    * over the token array, `numHashes` universal-hash minima via nested
-    * `transform`/`array_min` - all codegen, no UDFs, no explode (the
-    * signature is computed row-local, so this stage is shuffle-free).
+  /** Per-document MinHash signature over hashed word `shingleLen`-shingles
+    * (row-local, shuffle-free; one native-expression call per document).
     */
   def minhashSignatures(
       df: DataFrame,

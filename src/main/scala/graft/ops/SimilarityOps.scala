@@ -132,6 +132,76 @@ object SimilarityOps {
       )
   }
 
+  /** IVF-style approximate top-k: partition the corpus into inverted
+    * lists by nearest centroid, probe only the `nProbe` lists nearest to
+    * each query. Centroids here are a deterministic sample of corpus
+    * vectors (k-means refinement slots in without changing the plan
+    * shape). The scale story vs LSH: list sizes adapt to the data
+    * distribution, and `nProbe` trades recall for candidate count at
+    * query time without rebuilding the index.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nCentroids: Int = 64,
+      nProbe: Int = 8
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    // deterministic centroid sample: first nCentroids vectors by id
+    val centroids: Array[(Int, Array[Double])] = corpus
+      .select(F.col(corpusId).cast("long").as("id"), F.col(corpusVec).as("v"))
+      .orderBy("id")
+      .limit(nCentroids)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        val v = r.getAs[scala.collection.Seq[Number]]("v").map(_.doubleValue()).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (i, v.map(_ / math.max(n, 1e-12)))
+      }
+    val bc = spark.sparkContext.broadcast(centroids)
+    def nearestLists(n: Int) = udf { vec: scala.collection.Seq[Float] =>
+      val cs = bc.value
+      val v = vec.map(_.toDouble).toArray
+      cs.map { case (cid, c) =>
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * c(i); i += 1 }
+        (cid, d)
+      }.sortBy(-_._2).take(n).map(_._1)
+    }
+    val cb = OpsUtil.spread(corpus).select(
+      F.col(corpusId).as("neighbor_id"),
+      F.col(corpusVec).as("cv"),
+      norm(F.col(corpusVec)).as("cn"),
+      element_at(nearestLists(1)(F.col(corpusVec)), 1).as("list_id"))
+    val qb = broadcast(queries.select(
+      F.col(queryId).as("query_id"),
+      F.col(queryVec).as("qv"),
+      norm(F.col(queryVec)).as("qn"),
+      explode(nearestLists(nProbe)(F.col(queryVec))).as("list_id")))
+    val scored = cb
+      .join(qb, Seq("list_id"))
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .withColumn("cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    val w = Window
+      .partitionBy("query_id")
+      .orderBy(F.col("cosine_sim").desc, F.col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select(
+        F.col("query_id"),
+        F.col("neighbor_id"),
+        F.col("rank").cast(IntegerType).as("rank"),
+        round(F.col("cosine_sim"), 6).as("cosine_sim")
+      )
+  }
+
   /** All pairs with cosine >= threshold, LSH-bucketed (embedding near-dup
     * dedup). Exact cosine verified on bucket-collision candidates only.
     */

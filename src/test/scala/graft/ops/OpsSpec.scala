@@ -112,6 +112,21 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("IVF topK achieves good recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Float]) = base.map(x => x + rnd.nextGaussian().toFloat * 0.05f)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 200).map(i => (i.toLong, jitter(centers(i % 4)))).toDF("id", "v")
+    val queries = vecs.filter($"id" < 8)
+    val brute = SimilarityOps.bruteTopK(vecs, "id", "v", queries, "id", "v", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityOps.ivfTopK(vecs, "id", "v", queries, "id", "v", 5,
+      nCentroids = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.7, s"recall $recall too low")
+  }
+
   test("multimodal: PNG header decode + deterministic features + chunking") {
     // minimal PNG header: signature + IHDR length/type + width=320 height=200
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,

@@ -64,6 +64,18 @@ class PrefixTreeSpec extends SparkSpec {
     assert(Query.queryOne("zzzzz", idx, 2).isEmpty)
   }
 
+  test("join mode matches broadcast mode on the real name corpus") {
+    // the 100 TB path (trie too big to collect) on realistic data: deep
+    // shared prefixes, multi-iteration driver loop
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val t = PrefixTree.create(cust, "c_name", prefixLen = 12)
+    val q = cust.limit(12)
+      .select(expr("concat(substr(c_name,1,length(c_name)-1),'X')").as("q"))
+    val a = Query.queryBroadcast(q, "q", t, 1).as[(String, String, Int)].collect().toSet
+    val b = Query.queryJoin(q, "q", t, 1).as[(String, String, Int)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("branch-and-bound visits far fewer nodes than brute-force comparisons") {
     // real corpus shape: all customer names at sf0.01 (1500 names; at
     // sf0.001's 150 names every word is within ~3 edits of every other,
