@@ -42,9 +42,15 @@ object Query {
       maxDist: Int,
       broadcastThreshold: Long = 20L * 1000 * 1000
   ): DataFrame = {
-    val n = trie.count()
-    if (n <= broadcastThreshold) queryBroadcast(queries, col, trie, maxDist)
-    else queryJoin(queries, col, trie, maxDist)
+    // persist across the mode decision: count() + collect()/join would
+    // otherwise run trie construction twice. Both modes consume the trie
+    // eagerly (collect, or the checkpointing loop), so unpersisting on
+    // return is safe.
+    val t = trie.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (t.count() <= broadcastThreshold) queryBroadcast(queries, col, t, maxDist)
+      else queryJoin(queries, col, t, maxDist)
+    } finally t.unpersist()
   }
 
   /** Single-string query (reference's Roxie macro, ecl:459-588): pure

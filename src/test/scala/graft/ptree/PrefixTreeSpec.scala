@@ -49,6 +49,17 @@ class PrefixTreeSpec extends SparkSpec {
     }
   }
 
+  test("queryBatch auto mode picks each side of the threshold correctly") {
+    val queries = Seq("dog", "kaminski").toDF("q")
+    val expect = Query.queryBroadcast(queries, "q", trie, 1)
+      .as[(String, String, Int)].collect().toSet
+    val viaBroadcast = Query.queryBatch(queries, "q", trie, 1)
+      .as[(String, String, Int)].collect().toSet // trie << default threshold
+    val viaJoin = Query.queryBatch(queries, "q", trie, 1, broadcastThreshold = 1)
+      .as[(String, String, Int)].collect().toSet // forced join mode
+    assert(viaBroadcast == expect && viaJoin == expect)
+  }
+
   test("queryJoin (loop mode) matches broadcast mode") {
     val queries = Seq("dog", "doer", "kaminski", "ab").toDF("q")
     val a = Query.queryBroadcast(queries, "q", trie, 2)
