@@ -58,6 +58,61 @@ object ExprKernels {
   def simhash(text: UTF8String): Long =
     graft.ops.DedupOps.simhashKernel(if (text == null) null else text.toString)
 
+  /** Dot product of two numeric arrays, accumulated in double in element
+    * order (bit-identical to the `aggregate(zip_with(...))` formulation
+    * it replaces - those higher-order functions are interpreted per
+    * element and do not participate in whole-stage codegen).
+    */
+  def vecDot(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    if (isFloat) while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    else while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** L2 norm, double accumulation in element order. */
+  def vecNorm(a: ArrayData, isFloat: Boolean): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    if (isFloat) while (i < n) { val x = a.getFloat(i).toDouble; acc += x * x; i += 1 }
+    else while (i < n) { val x = a.getDouble(i); acc += x * x; i += 1 }
+    math.sqrt(acc)
+  }
+
+  // random-hyperplane matrices are deterministic in (dim, bits, seed):
+  // generated once per JVM in the same order as the expression-tree
+  // formulation they replace (Array.fill(bits, dim)(rnd.nextGaussian()))
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
+  private def planes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] =
+    planeCache.computeIfAbsent((dim, bits, seed), _ => {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(bits, dim)(rnd.nextGaussian())
+    })
+
+  /** Sign-pattern LSH bucket id from `bits` fixed random hyperplanes:
+    * bit i is set iff dot(vec, plane_i) >= 0.
+    */
+  def rhBucket(v: ArrayData, dim: Int, bits: Int, seed: Long, isFloat: Boolean): Long = {
+    val ps = planes(dim, bits, seed)
+    val n = math.min(v.numElements(), dim)
+    var bucket = 0L
+    var b = 0
+    while (b < bits) {
+      val p = ps(b)
+      var acc = 0.0
+      var i = 0
+      if (isFloat) while (i < n) { acc += v.getFloat(i).toDouble * p(i); i += 1 }
+      else while (i < n) { acc += v.getDouble(i) * p(i); i += 1 }
+      if (acc >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
   /** Banded Levenshtein DP step for the join-mode trie traversal:
     * state = DP row ++ [rowMin]; returns the state after consuming
     * `edge`. See graft.ptree.Kernels.extendRow.
@@ -117,6 +172,80 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+private[functions] object VecTypes {
+  /** Some(true) = array<float>, Some(false) = array<double>, None = not a
+    * numeric vector type this kernel accepts.
+    */
+  def elemIsFloat(dt: DataType): Option[Boolean] = dt match {
+    case ArrayType(FloatType, _)  => Some(true)
+    case ArrayType(DoubleType, _) => Some(false)
+    case _                        => None
+  }
+}
+
+/** `vec_dot(a, b)` - dot product of two array<float|double> columns in
+  * double. Both sides must have the same element type.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  private def isFloat: Boolean = VecTypes.elemIsFloat(left.dataType).get
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (VecTypes.elemIsFloat(left.dataType), VecTypes.elemIsFloat(right.dataType)) match {
+      case (Some(a), Some(b)) => a == b
+      case _                  => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two arrays of the same float/double element type, " +
+        s"got ${left.dataType} and ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.vecDot($a, $b, $isFloat)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot"
+}
+
+/** `vec_norm(a)` - L2 norm of an array<float|double> column in double. */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  private def isFloat: Boolean = VecTypes.elemIsFloat(child.dataType).get
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (VecTypes.elemIsFloat(child.dataType).isDefined)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${child.dataType}")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.vecNorm(v.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.vecNorm($c, $isFloat)")
+  override protected def withNewChildInternal(c: Expression): VecNorm = copy(child = c)
+  override def prettyName: String = "vec_norm"
+}
+
+/** `rh_bucket(vec)` - random-hyperplane LSH bucket id (bigint) from
+  * `bits` fixed Gaussian hyperplanes, deterministic in (dim, bits, seed).
+  */
+case class RhBucket(child: Expression, dim: Int, bits: Int, seed: Long)
+    extends UnaryExpression {
+  private def isFloat: Boolean = VecTypes.elemIsFloat(child.dataType).get
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (VecTypes.elemIsFloat(child.dataType).isDefined)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.rhBucket(v.asInstanceOf[ArrayData], dim, bits, seed, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ExprKernels.rhBucket($c, $dim, $bits, ${seed}L, $isFloat)")
+  override protected def withNewChildInternal(c: Expression): RhBucket = copy(child = c)
+  override def prettyName: String = "rh_bucket"
+}
+
 /** `pt_lev_extend(query, edge, state, depth)` - banded incremental
   * Levenshtein DP over a trie edge (join-mode traversal step).
   */
@@ -161,6 +290,15 @@ object GraftFunctions {
   def simhash64(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
 
+  def vec_dot(a: Column, b: Column): Column =
+    Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  def vec_norm(a: Column): Column =
+    Bridge.column(VecNorm(Bridge.expression(a)))
+
+  def rh_bucket(v: Column, dim: Int, bits: Int, seed: Long): Column =
+    Bridge.column(RhBucket(Bridge.expression(v), dim, bits, seed))
+
   def pt_lev_extend(q: Column, e: Column, s: Column, d: Column, maxDist: Int): Column =
     Bridge.column(PtLevExtend(
       Bridge.expression(q), Bridge.expression(e),
@@ -173,6 +311,8 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "built-in")
     reg.createOrReplaceTempFunction("pt_lev_extend", {
       case Seq(q, e, s, d, Literal(k: Int, IntegerType)) => PtLevExtend(q, e, s, d, k)
       case es => throw new IllegalArgumentException(

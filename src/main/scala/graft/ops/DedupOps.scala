@@ -111,7 +111,11 @@ object DedupOps {
         val hot = toks.groupBy("tok").count().filter(F.col("count") > maxTokenDocFreq).select("tok")
         toks.join(broadcast(hot), Seq("tok"), "left_anti")
       }
-    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    // sizes over the SAME token universe as the intersection: with a
+    // hot-token filter active, Jaccard is then exact within the filtered
+    // universe instead of a systematic underestimate (numerator filtered,
+    // denominator not)
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = filtered.as("a")
       .join(filtered.as("b").hint("shuffle_hash"),
         F.col("a.tok") === F.col("b.tok") && F.col("a.id") < F.col("b.id"))
@@ -215,10 +219,10 @@ object DedupOps {
   // SimHash
   // ---------------------------------------------------------------------
 
-  /** 64-bit SimHash over tokens: each token's xxhash64 votes +-1 per bit,
-    * the sign of each bit-sum forms the fingerprint. One small kernel
-    * (per-row, no state) - kept as a UDF until a codegen Expression is
-    * warranted.
+  /** 64-bit SimHash over tokens: each token is hashed to 64 bits by two
+    * MurmurHash3 passes (hi/lo 32 bits) and votes +-1 per bit; the sign
+    * of each bit-sum forms the fingerprint. Exposed as the native codegen
+    * expression `graft.functions.SimHash64`.
     */
   private[graft] def simhashKernel(text: String): Long = {
     val counts = new Array[Int](64)

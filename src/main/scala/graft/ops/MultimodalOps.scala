@@ -45,15 +45,17 @@ object MultimodalOps {
     * are meaningless when one column is 10KB-10MB per row.
     */
   def repartitionForPayload(df: DataFrame, payloadCol: String, targetBytes: Long): DataFrame = {
-    val total = df.agg(sum(length(F.col(payloadCol)))).head().getLong(0)
+    // coalesce: sum() is NULL on an empty frame / all-null payloads
+    val total = df.agg(coalesce(sum(length(F.col(payloadCol))), lit(0L))).head().getLong(0)
     val parts = math.max(1, math.min(100000, (total / math.max(1, targetBytes)).toInt))
     df.repartition(parts)
   }
 
-  /** STUB decode: width/height/format from PNG (IHDR) or JPEG (SOF0)
-    * headers when present; otherwise a deterministic pseudo-size derived
+  /** STUB decode: width/height/format from the PNG IHDR header when
+    * present; any other payload gets a deterministic pseudo-size derived
     * from the payload hash, so the pipeline behaves identically with
-    * fake payloads in tests.
+    * fake payloads in tests. (A real decoder - including JPEG SOF0
+    * parsing - slots into this function body without touching the plan.)
     */
   def decodeImageMeta(payload: Array[Byte]): (Int, Int, String) = {
     if (payload == null || payload.length == 0) (0, 0, "empty")

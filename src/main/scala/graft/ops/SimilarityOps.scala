@@ -23,13 +23,15 @@ object SimilarityOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product / L2 norm as native codegen expressions
+    * (graft.functions.{VecDot, VecNorm}): double accumulation in element
+    * order, bit-identical to the `aggregate(zip_with(...))` trees they
+    * replace - which are interpreted per element, don't participate in
+    * whole-stage codegen, and made these stages allocation-bound.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.vec_dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = graft.functions.GraftFunctions.vec_norm(a)
 
   /** Exact top-k nearest neighbours by cosine for each query vector.
     *
@@ -72,21 +74,12 @@ object SimilarityOps {
   }
 
   /** Sign-pattern bucket id from `bits` fixed random hyperplanes
-    * (deterministic in `seed` and the vector dimension `dim`).
+    * (deterministic in `seed` and the vector dimension `dim`). Native
+    * codegen expression; plane matrix generated once per JVM, in the
+    * same (seed, order) as the expression-tree version it replaces.
     */
-  def lshBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
-    val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      val pl = array(p.map(lit(_)).toIndexedSeq: _*)
-      when(
-        aggregate(zip_with(vec, pl, (x, y) => x.cast(DoubleType) * y),
-          lit(0.0), (acc, v) => acc + v) >= 0,
-        lit(1L << i)
-      ).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def lshBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column =
+    graft.functions.GraftFunctions.rh_bucket(vec, dim, bits, seed)
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * (equi-join on bucket id - no cross join). Recall grows with fewer

@@ -85,7 +85,11 @@ object TextOps {
     * word order. (A fold-style polynomial hash would need wrapping Long
     * arithmetic, which ANSI mode rejects; hashing the token join with an
     * unambiguous separator has the same collision properties here.)
+    * The separator is U+0001, which whitespace-split tokens can never
+    * contain, so token boundaries survive the join ("ab c" != "a bc");
+    * written as an escape because a raw control char in source is
+    * invisible in most viewers.
     */
   def fingerprint(text: Column): Column =
-    xxhash64(concat_ws("", DedupOps.tokens(text)))
+    xxhash64(concat_ws("\u0001", DedupOps.tokens(text)))
 }

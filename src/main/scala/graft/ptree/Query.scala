@@ -140,6 +140,7 @@ object Query {
     // end - re-checkpointing a growing union would rematerialize all
     // prior results every iteration (O(depth^2))
     var emitted: List[DataFrame] = Nil
+    try {
     while (!frontier.isEmpty) {
       val joined = frontier
         .join(
@@ -177,7 +178,9 @@ object Query {
         )
         .localCheckpoint()
     }
-    t.unpersist()
+    // finally (not success-path only): an exception mid-loop must not
+    // leak the cached trie partitioning
+    } finally t.unpersist()
     if (emitted.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

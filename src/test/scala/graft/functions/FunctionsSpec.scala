@@ -66,6 +66,45 @@ class FunctionsSpec extends SparkSpec {
     assert(e.isInstanceOf[SimHash64])
   }
 
+  test("vec_dot / vec_norm match the interpreted HOF formulation, float and double") {
+    import org.apache.spark.sql.types.DoubleType
+    val vf = Seq((Array(1.0f, 2.0f, -3.5f), Array(0.5f, -1.0f, 2.0f))).toDF("a", "b")
+    val vd = Seq((Array(1.0, 2.0, -3.5), Array(0.5, -1.0, 2.0))).toDF("a", "b")
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    def hofNorm(a: org.apache.spark.sql.Column) =
+      sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v))
+    for (df <- Seq(vf, vd)) {
+      val r = df.select(
+        GraftFunctions.vec_dot($"a", $"b"), hofDot($"a", $"b"),
+        GraftFunctions.vec_norm($"a"), hofNorm($"a")
+      ).as[(Double, Double, Double, Double)].collect()(0)
+      assert(r._1 == r._2, "dot must be bit-identical to the HOF tree")
+      assert(r._3 == r._4, "norm must be bit-identical to the HOF tree")
+    }
+  }
+
+  test("rh_bucket matches the per-plane expression-tree formulation") {
+    import org.apache.spark.sql.types.DoubleType
+    val dim = 8; val bits = 5; val seed = 42L
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    val vecs = Seq(
+      Tuple1(Array.tabulate(dim)(i => (i - 3).toFloat)),
+      Tuple1(Array.tabulate(dim)(i => math.sin(i + 1).toFloat))
+    ).toDF("v")
+    val treeBucket = planes.zipWithIndex.map { case (p, i) =>
+      val pl = array(p.map(lit(_)).toIndexedSeq: _*)
+      when(aggregate(zip_with($"v", pl, (x, y) => x.cast(DoubleType) * y),
+        lit(0.0), (acc, v) => acc + v) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val r = vecs.select(GraftFunctions.rh_bucket($"v", dim, bits, seed), treeBucket)
+      .as[(Long, Long)].collect()
+    r.foreach { case (native, tree) => assert(native == tree) }
+  }
+
   test("pt_lev_extend expression == pure kernel") {
     import graft.ptree.Kernels
     val df = Seq(("dogma", "drops", Seq(0, 1, 2, 3, 4, 5) :+ 0, 0)).toDF("q", "e", "st", "d")
