@@ -6,7 +6,7 @@ import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 
 import graft.ptree.{PrefixTree, Query}
-import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, GraphOps, JoinOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -150,6 +150,62 @@ object SparkEntry {
       c.intersect(sup).withColumn("op", lit("both"))
         .union(c.except(sup).withColumn("op", lit("cust_only")))
     },
+    "q7_rollup" -> { (s, dir) =>
+      // OLAP ROLLUP with grouping_id: subtotal rows per returnflag and a
+      // grand total, disambiguated from genuine NULL groups by gid
+      tbl(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast(IntegerType).as("gid"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n_rows")
+        )
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          col("gid"), col("sum_qty"), col("n_rows"))
+    },
+    "q8_semi_anti" -> { (s, dir) =>
+      // left-semi / left-anti joins: customers with vs without orders,
+      // rolled up per nation
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders").select(col("o_custkey"))
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+        .withColumn("segment", lit("has_orders"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+        .withColumn("segment", lit("no_orders"))
+      semi.unionByName(anti)
+        .select(col("c_nationkey").cast(IntegerType).as("c_nationkey"),
+          col("segment"), col("n_cust"))
+    },
+    "q9_percentile" -> { (s, dir) =>
+      // exact percentiles (linear interpolation) per group
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price")
+        )
+    },
+    "events_asof" -> { (s, dir) =>
+      // as-of join: for each purchase, the user's latest click at-or-
+      // before it (JoinOps.asofJoin: union + running window, one shuffle)
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      JoinOps.asofJoin(p, c, "user_id", "ts", "ts")
+        .select(
+          col("event_id").as("purchase_id"),
+          col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("r_event_id").as("click_id"),
+          (unix_millis(col("ts")) - unix_millis(col("r_ts"))).as("gap_ms")
+        )
+    },
     "q6_filter" -> { (s, dir) =>
       tbl(s, dir, "lineitem")
         .filter(
@@ -182,6 +238,14 @@ object SparkEntry {
     "dedup_embedding" -> { (s, dir) => // LSH-bucketed cosine pairs: rows-only oracle
       SimilarityOps.cosinePairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35, dim = 64, bits = 4)
+    },
+    "dedup_clusters" -> { (s, dir) =>
+      // near-dup pairs -> duplicate clusters: connected components by
+      // min-label propagation (GraphOps), oracled by a recursive CTE
+      GraphOps.connectedComponents(
+        DedupOps.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5, shingleLen = 3),
+        "id_a", "id_b")
     },
     // ------------------------------------------------------------------
     // Similarity search
@@ -220,6 +284,14 @@ object SparkEntry {
     "text_fingerprint" -> { (s, dir) => // xxhash64-based: rows-only oracle
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    },
+    "text_ngrams" -> { (s, dir) =>
+      // corpus-wide top-20 word bigrams by document frequency
+      tbl(s, dir, "documents")
+        .select(explode(DedupOps.shingleStrings(col("text"), 2)).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("ngram").asc)
+        .limit(20)
     },
     // ------------------------------------------------------------------
     // Multimodal plumbing (decode stubbed; schema/batching real)
@@ -319,6 +391,74 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q7_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q8_semi_anti" ->
+      """SELECT CAST(c_nationkey AS INT) AS c_nationkey, 'has_orders' AS segment,
+        |       COUNT(*) AS n_cust
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_nationkey
+        |UNION ALL
+        |SELECT CAST(c_nationkey AS INT) AS c_nationkey, 'no_orders' AS segment,
+        |       COUNT(*) AS n_cust
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_nationkey""".stripMargin,
+    "q9_percentile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "events_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       c.event_id AS click_id,
+        |       epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "text_ngrams" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(tk[i:i+1], ' ')
+        |                               FOR i IN generate_series(1, greatest(len(tk)-1, 1))])) AS ngram
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                                   t -> t <> '') AS tk FROM documents)
+        |)
+        |SELECT ngram, COUNT(*) AS doc_freq FROM sh GROUP BY ngram
+        |ORDER BY doc_freq DESC, ngram ASC LIMIT 20""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id,
+        |         unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                               FOR i IN generate_series(1, greatest(len(tk)-2, 1))])) AS tok
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                                   t -> t <> '') AS tk FROM documents)
+        |), sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.id < b.id
+        |  GROUP BY a.id, b.id
+        |), edges AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON id_a = sa.id
+        |  JOIN sizes sb ON id_b = sb.id
+        |  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        |), und AS (
+        |  SELECT id_a AS a, id_b AS b FROM edges
+        |  UNION SELECT id_b, id_a FROM edges
+        |), reach AS (
+        |  SELECT a AS id, b AS peer FROM und
+        |  UNION
+        |  SELECT r.id, u.b AS peer FROM reach r JOIN und u ON r.peer = u.a
+        |)
+        |SELECT id, least(id, min(peer)) AS cluster_id FROM reach GROUP BY id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,

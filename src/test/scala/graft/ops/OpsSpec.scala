@@ -14,6 +14,39 @@ class OpsSpec extends SparkSpec {
     (5L, "the quick brown fox jumps over the lazy dog near the river bank") // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("asofJoin: inclusive latest-at-or-before match per key, null when none") {
+    val trades = Seq(
+      (1L, 100L, 10L), // key 1: ts 100
+      (1L, 205L, 11L),
+      (2L, 50L, 20L),
+      (3L, 99L, 30L) // key 3 has no quotes at all
+    ).toDF("k", "ts", "trade_id")
+    val quotes = Seq(
+      (1L, 90L, 1.0),
+      (1L, 100L, 2.0), // equal ts -> inclusive match for trade at 100
+      (1L, 300L, 3.0), // in the future of both key-1 trades
+      (2L, 60L, 4.0) // after key 2's only trade
+    ).toDF("k", "ts", "px")
+    val got = JoinOps.asofJoin(trades, quotes, "k", "ts", "ts")
+      .select($"trade_id", $"r_px")
+      .as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got(10L).contains(2.0)) // equal-ts quote wins (inclusive)
+    assert(got(11L).contains(2.0)) // latest at-or-before 205 is ts=100
+    assert(got(20L).isEmpty) // only quote is in the future
+    assert(got(30L).isEmpty) // no quotes for the key
+  }
+
+  test("connectedComponents: min-label per component, chains collapse") {
+    // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}; {7,8}
+    val edges = Seq((2L, 1L), (2L, 3L), (9L, 3L), (5L, 6L), (8L, 7L))
+      .toDF("id_a", "id_b")
+    val got = GraphOps.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("exactDedup keeps min id and counts copies") {
     val r = DedupOps.exactDedup(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toSet
