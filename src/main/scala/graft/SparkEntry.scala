@@ -80,6 +80,23 @@ object SparkEntry {
         .select(col("query_string"), col("node"),
           col("final_distance").cast(IntegerType).as("final_distance"))
     },
+    "pt_index_roundtrip" -> { (s, dir) =>
+      // the reference's full lifecycle (ecl:611-640): build trie, OUTPUT
+      // to storage, BUILDINDEX on parent_id, query through the index.
+      // Same query set and oracle as pt_fuzzy_words - what's exercised
+      // here is that persistence+read-back preserves the trie exactly.
+      val dict = PrefixTree.create(docWords(s, dir), "word", prefixLen = 2)
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_pt_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      PrefixTree.writeIndexed(dict, path)
+      val back = PrefixTree.read(s, path)
+      val q = tbl(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("query_string"))
+        .distinct()
+      Query.queryBroadcast(q, "query_string", back, maxDist = 1)
+        .select(col("query_string"), col("node"),
+          col("final_distance").cast(IntegerType).as("final_distance"))
+    },
     "pt_words_roundtrip" -> { (s, dir) =>
       // construction correctness: end-caps reconstruct the distinct word set
       PrefixTree.create(docWords(s, dir), "word", prefixLen = 2)
@@ -333,6 +350,14 @@ object SparkEntry {
         |CROSS JOIN customer d
         |WHERE levenshtein(q.query_string, d.c_name) <= 2""".stripMargin,
     "pt_fuzzy_words" ->
+      """WITH dict AS (SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |              FROM documents),
+        |     q AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS query_string FROM part)
+        |SELECT q.query_string, dict.word AS node,
+        |       CAST(levenshtein(q.query_string, dict.word) AS INT) AS final_distance
+        |FROM q CROSS JOIN dict
+        |WHERE dict.word <> '' AND levenshtein(q.query_string, dict.word) <= 1""".stripMargin,
+    "pt_index_roundtrip" ->
       """WITH dict AS (SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
         |              FROM documents),
         |     q AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS query_string FROM part)

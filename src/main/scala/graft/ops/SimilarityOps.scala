@@ -127,11 +127,15 @@ object SimilarityOps {
 
   /** IVF-style approximate top-k: partition the corpus into inverted
     * lists by nearest centroid, probe only the `nProbe` lists nearest to
-    * each query. Centroids here are a deterministic sample of corpus
-    * vectors (k-means refinement slots in without changing the plan
-    * shape). The scale story vs LSH: list sizes adapt to the data
-    * distribution, and `nProbe` trades recall for candidate count at
-    * query time without rebuilding the index.
+    * each query. Centroids are seeded from a deterministic sample of
+    * corpus vectors and refined with `lloydIters` distributed k-means
+    * steps (assign -> per-dimension partial sums -> recenter; the sums
+    * shuffle (nCentroids x dim) rows, never vectors). The scale story vs
+    * LSH: list sizes adapt to the data distribution, and `nProbe` trades
+    * recall for candidate count at query time without rebuilding the
+    * index. (Distributed FP summation makes refined centroids
+    * deterministic only up to reduction order - irrelevant at the
+    * recall level this serves, same caveat as every distributed k-means.)
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -142,11 +146,12 @@ object SimilarityOps {
       queryVec: String,
       k: Int,
       nCentroids: Int = 64,
-      nProbe: Int = 8
+      nProbe: Int = 8,
+      lloydIters: Int = 2
   ): DataFrame = {
     val spark = corpus.sparkSession
-    // deterministic centroid sample: first nCentroids vectors by id
-    val centroids: Array[(Int, Array[Double])] = corpus
+    // deterministic centroid seed: first nCentroids vectors by id
+    var centroids: Array[(Int, Array[Double])] = corpus
       .select(F.col(corpusId).cast("long").as("id"), F.col(corpusVec).as("v"))
       .orderBy("id")
       .limit(nCentroids)
@@ -157,6 +162,40 @@ object SimilarityOps {
         val n = math.sqrt(v.map(x => x * x).sum)
         (i, v.map(_ / math.max(n, 1e-12)))
       }
+    for (_ <- 0 until lloydIters) {
+      val bcIter = spark.sparkContext.broadcast(centroids)
+      val assign = udf { vec: scala.collection.Seq[Float] =>
+        val cs = bcIter.value
+        var best = -1; var bestD = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          val cv = cs(c)._2
+          var d = 0.0; var i = 0
+          val n = math.min(vec.length, cv.length)
+          while (i < n) { d += vec(i).toDouble * cv(i); i += 1 }
+          if (d > bestD) { bestD = d; best = cs(c)._1 }
+          c += 1
+        }
+        best
+      }
+      val sums = OpsUtil.spread(corpus)
+        .select(assign(F.col(corpusVec)).as("cid"),
+          posexplode(F.col(corpusVec)).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(F.col("x").cast(DoubleType)).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCid = sums.groupBy(_.getInt(0))
+      centroids = centroids.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(rows) if rows.nonEmpty =>
+            val mean = new Array[Double](old.length)
+            rows.foreach { r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3) }
+            val nrm = math.sqrt(mean.map(x => x * x).sum)
+            (cid, mean.map(_ / math.max(nrm, 1e-12)))
+          case _ => (cid, old) // empty cluster keeps its seed
+        }
+      }
+    }
     val bc = spark.sparkContext.broadcast(centroids)
     def nearestLists(n: Int) = udf { vec: scala.collection.Seq[Float] =>
       val cs = bc.value

@@ -73,6 +73,25 @@ object StreamOps {
       .toDF("user_id", "session_start_ms", "session_end_ms", "n_events")
   }
 
+  /** Streaming exact dedup: drop rows whose normalized-text fingerprint
+    * (graft.ops.TextOps.fingerprint) was already seen within the
+    * watermark horizon. `dropDuplicatesWithinWatermark` expires
+    * fingerprint state once the watermark passes it - bounded state at
+    * any stream length, where a plain streaming dropDuplicates would
+    * hold every fingerprint forever. The batch-parity counterpart is
+    * `dropDuplicates` on the same fingerprint column.
+    */
+  def streamingDedup(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      lateness: String
+  ): DataFrame =
+    docs
+      .withColumn("fp", graft.ops.TextOps.fingerprint(F.col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Streaming fuzzy-match: a stream of query strings against a static
     * broadcast trie (stream-static pattern). `trieIndex` is the collected
     * children map from `graft.ptree.Query.childrenIndex`.

@@ -37,6 +37,17 @@ class OpsSpec extends SparkSpec {
     assert(got(30L).isEmpty) // no quotes for the key
   }
 
+  test("asofJoin plans exactly one shuffle (no range-join pair blowup)") {
+    val l = Seq((1L, 10L, "x")).toDF("k", "ts", "payload")
+    val r = Seq((1L, 5L, 2.0)).toDF("k", "ts", "px")
+    val plan = JoinOps.asofJoin(l, r, "k", "ts", "ts")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "asof must not degrade to a product join")
+  }
+
   test("connectedComponents: min-label per component, chains collapse") {
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}; {7,8}
     val edges = Seq((2L, 1L), (2L, 3L), (9L, 3L), (5L, 6L), (8L, 7L))

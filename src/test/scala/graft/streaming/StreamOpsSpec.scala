@@ -49,6 +49,30 @@ class StreamOpsSpec extends SparkSpec {
     ))
   }
 
+  test("streamingDedup: first occurrence survives, dupes within watermark dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts(0), 1L, "the quick brown fox"),
+      (ts(1), 2L, "The  Quick  Brown  Fox"), // same normalized fingerprint
+      (ts(2), 3L, "a different document"),
+      (ts(3), 4L, "the quick brown fox") // dup again
+    )
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    mem.addData(rows: _*)
+    val sq = StreamOps
+      .streamingDedup(mem.toDF().toDF("ts", "doc_id", "text"), "ts", "text", "10 minutes")
+      .writeStream.format("memory").queryName("sd").outputMode("append").start()
+    sq.processAllAvailable()
+    val kept = spark.table("sd").select("doc_id").as[Long].collect().toSet
+    sq.stop()
+    assert(kept == Set(1L, 3L), s"got $kept")
+    // batch parity: dropDuplicates on the same fingerprint keeps 2 rows
+    val batch = rows.toDF("ts", "doc_id", "text")
+      .withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
+      .dropDuplicates("fp")
+    assert(batch.count() == 2)
+  }
+
   test("streamFuzzyMatch: stream-static join against a broadcast trie") {
     implicit val sqlCtx = spark.sqlContext
     val trie = PrefixTree.create(Seq("dog", "drop", "cat").toDF("w"), "w", 2, 2)
