@@ -171,7 +171,8 @@ object DedupOps {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleLen: Int = 3,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBucketSize: Long = Long.MaxValue
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
@@ -185,11 +186,24 @@ object DedupOps {
         h
       }
     }
-    val banded = sigs.select(
+    val bandedAll = sigs.select(
       col("id"),
       col("signature"),
       posexplode(bucketsUdf(col("signature"))).as(Seq("band", "bucket"))
     )
+    // skew guard for the self-join: a bucket with B members yields
+    // O(B^2) candidate pairs, and oversized buckets at corpus scale are
+    // degenerate (boilerplate/empty-ish documents) with near-zero
+    // precision. Dropping them bounds the worst key; the anti-join
+    // broadcasts only the (few) hot bucket keys. Off by default so
+    // small-corpus results are exhaustive.
+    val banded =
+      if (maxBucketSize == Long.MaxValue) bandedAll
+      else {
+        val hot = bandedAll.groupBy("band", "bucket").count()
+          .filter(col("count") > maxBucketSize).select("band", "bucket")
+        bandedAll.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      }
     val estUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
       var eq = 0; var i = 0
       while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
@@ -259,7 +273,8 @@ object DedupOps {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxBlockSize: Long = Long.MaxValue
   ): DataFrame = {
     val blocks = maxHamming + 1
     val width = 64 / blocks
@@ -271,11 +286,19 @@ object DedupOps {
           .bitwiseAND(lit((1L << width) - 1)).as("key")
       )
     }
-    val keyed = fps.select(
+    val keyedAll = fps.select(
       col("id"),
       col("simhash"),
       explode(array(blockStructs: _*)).as("bk")
     )
+    // same skew guard as minhashLshPairs: bound the quadratic worst key
+    val keyed =
+      if (maxBlockSize == Long.MaxValue) keyedAll
+      else {
+        val hot = keyedAll.groupBy("bk").count()
+          .filter(col("count") > maxBlockSize).select("bk")
+        keyedAll.join(broadcast(hot), Seq("bk"), "left_anti")
+      }
     keyed.as("a")
       .join(
         keyed.as("b").hint("shuffle_hash"),

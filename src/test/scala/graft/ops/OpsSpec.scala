@@ -86,6 +86,21 @@ class OpsSpec extends SparkSpec {
     assert(ests.forall(e => e >= 0 && e <= 1))
   }
 
+  test("bucket-size caps drop degenerate hot buckets (skew guard)") {
+    // 8 identical docs -> every band bucket has 8 members -> 28 pairs;
+    // with the cap below that, the hot buckets are dropped entirely
+    val clones = (1L to 8L).map(i => (i, "same text everywhere here")).toDF("doc_id", "text")
+    val uncapped = DedupOps.minhashLshPairs(clones, "doc_id", "text",
+      numHashes = 16, bands = 4)
+    assert(uncapped.count() == 28)
+    val capped = DedupOps.minhashLshPairs(clones, "doc_id", "text",
+      numHashes = 16, bands = 4, maxBucketSize = 4)
+    assert(capped.count() == 0)
+    val simCapped = DedupOps.simhashPairs(clones, "doc_id", "text",
+      maxHamming = 3, maxBlockSize = 4)
+    assert(simCapped.count() == 0)
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, distinct far") {
     val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
       .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
