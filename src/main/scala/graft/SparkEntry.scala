@@ -80,6 +80,34 @@ object SparkEntry {
         .select(col("query_string"), col("node"),
           col("final_distance").cast(IntegerType).as("final_distance"))
     },
+    "pt_fuzzy_joinmode" -> { (s, dir) =>
+      // the LOOP path (reference ecl:430-442) against the oracle: the
+      // literal iterate-to-fixpoint driver loop of inner joins, for
+      // tries too large to broadcast. Same math as broadcast mode -
+      // this query pins that equivalence to DuckDB, not just to specs.
+      val cust = tbl(s, dir, "customer")
+      val trie = PrefixTree.create(cust, "c_name", prefixLen = 12)
+      val queries = cust
+        .filter(col("c_custkey") % 35 === 0)
+        .select(expr("concat(substr(c_name, 1, length(c_name)-1), 'X')").as("query_string"))
+      Query.queryJoin(queries, "query_string", trie, maxDist = 2)
+        .select(col("query_string"), col("node"),
+          col("final_distance").cast(IntegerType).as("final_distance"))
+    },
+    "pt_serving" -> { (s, dir) =>
+      // the Roxie serving path (reference ecl:459-588): point queries
+      // over the collected children index, zero Spark jobs per call
+      val cust = tbl(s, dir, "customer")
+      val trie = PrefixTree.create(cust, "c_name", prefixLen = 12)
+      val idx = Query.childrenIndex(trie)
+      val qs = Seq("Customer#000000042", "Customer#0000000X9", "Customer#00000012")
+      val rows = qs.flatMap { q =>
+        Query.queryOne(q, idx, maxDist = 2).map { case (w, d) => (q, w, d) }
+      }
+      import s.implicits._
+      rows.toDF("query_string", "node", "final_distance")
+        .withColumn("final_distance", col("final_distance").cast(IntegerType))
+    },
     "pt_index_roundtrip" -> { (s, dir) =>
       // the reference's full lifecycle (ecl:611-640): build trie, OUTPUT
       // to storage, BUILDINDEX on parent_id, query through the index.
@@ -357,6 +385,19 @@ object SparkEntry {
         |       CAST(levenshtein(q.query_string, dict.word) AS INT) AS final_distance
         |FROM q CROSS JOIN dict
         |WHERE dict.word <> '' AND levenshtein(q.query_string, dict.word) <= 1""".stripMargin,
+    "pt_fuzzy_joinmode" ->
+      """SELECT q.query_string AS query_string, d.c_name AS node,
+        |       CAST(levenshtein(q.query_string, d.c_name) AS INT) AS final_distance
+        |FROM (SELECT substr(c_name, 1, length(c_name)-1) || 'X' AS query_string
+        |      FROM customer WHERE c_custkey % 35 = 0) q
+        |CROSS JOIN customer d
+        |WHERE levenshtein(q.query_string, d.c_name) <= 2""".stripMargin,
+    "pt_serving" ->
+      """SELECT q.query_string AS query_string, d.c_name AS node,
+        |       CAST(levenshtein(q.query_string, d.c_name) AS INT) AS final_distance
+        |FROM (VALUES ('Customer#000000042'), ('Customer#0000000X9'), ('Customer#00000012')) q(query_string)
+        |CROSS JOIN customer d
+        |WHERE levenshtein(q.query_string, d.c_name) <= 2""".stripMargin,
     "pt_index_roundtrip" ->
       """WITH dict AS (SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
         |              FROM documents),

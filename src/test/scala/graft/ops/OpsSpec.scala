@@ -37,6 +37,26 @@ class OpsSpec extends SparkSpec {
     assert(got(30L).isEmpty) // no quotes for the key
   }
 
+  test("asofJoin == in-memory latest-at-or-before reference on random data") {
+    val rnd = new scala.util.Random(7)
+    val leftRows = Seq.tabulate(200)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    // dedup right on (k, ts): tie order among identical timestamps is
+    // documented as unspecified, so the fixture avoids it
+    val rightRows = Seq.fill(300)(
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val expected = leftRows.map { case (k, ts, lid) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 <= ts)
+      lid -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+    }.toMap
+    val got = JoinOps.asofJoin(
+      leftRows.toDF("k", "ts", "lid"), rightRows.toDF("k", "ts", "px"),
+      "k", "ts", "ts")
+      .select($"lid", $"r_px").as[(Long, Option[Double])].collect().toMap
+    assert(got == expected)
+  }
+
   test("asofJoin plans exactly one shuffle (no range-join pair blowup)") {
     val l = Seq((1L, 10L, "x")).toDF("k", "ts", "payload")
     val r = Seq((1L, 5L, 2.0)).toDF("k", "ts", "px")
