@@ -240,7 +240,12 @@ object SparkEntry {
       val ev = events(s, dir)
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
+      // dedup right side on (key, ts): asofJoin documents the winner
+      // among co-timestamped right rows as unspecified (as does DuckDB
+      // ASOF), so pin it to max(event_id) on both sides of the oracle
       val c = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("event_id"))
         .select(col("event_id"), col("user_id"), col("ts"))
       JoinOps.asofJoin(p, c, "user_id", "ts", "ts")
         .select(
@@ -483,7 +488,8 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "events_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |     c AS (SELECT max(event_id) AS event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click' GROUP BY user_id, ts)
         |SELECT p.event_id AS purchase_id, p.user_id AS user_id,
         |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
         |       c.event_id AS click_id,

@@ -59,27 +59,43 @@ object ExprKernels {
     graft.ops.DedupOps.simhashKernel(if (text == null) null else text.toString)
 
   /** Dot product of two numeric arrays, accumulated in double in element
-    * order (bit-identical to the `aggregate(zip_with(...))` formulation
-    * it replaces - those higher-order functions are interpreted per
-    * element and do not participate in whole-stage codegen).
+    * order - matching the `aggregate(zip_with(...))` formulation it
+    * replaces on ALL inputs (those higher-order functions are
+    * interpreted per element and do not participate in whole-stage
+    * codegen): equal-length non-null arrays give the bit-identical sum;
+    * length-mismatched arrays and null elements give NULL (zip_with pads
+    * the short side with null, which the old tree propagated to NULL).
+    * `checkNull` is a compile-time constant from the array type's
+    * containsNull, so the common non-null path pays no per-element test.
     */
-  def vecDot(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def vecDotBoxed(a: ArrayData, b: ArrayData, isFloat: Boolean, checkNull: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    if (checkNull) {
+      var i = 0
+      while (i < n) { if (a.isNullAt(i) || b.isNullAt(i)) return null; i += 1 }
+    }
     var acc = 0.0
     var i = 0
     if (isFloat) while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     else while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 
-  /** L2 norm, double accumulation in element order. */
-  def vecNorm(a: ArrayData, isFloat: Boolean): Double = {
+  /** L2 norm, double accumulation in element order; null elements give
+    * NULL (matching sqrt(aggregate(transform(...))) null propagation).
+    */
+  def vecNormBoxed(a: ArrayData, isFloat: Boolean, checkNull: Boolean): java.lang.Double = {
     val n = a.numElements()
+    if (checkNull) {
+      var i = 0
+      while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    }
     var acc = 0.0
     var i = 0
     if (isFloat) while (i < n) { val x = a.getFloat(i).toDouble; acc += x * x; i += 1 }
     else while (i < n) { val x = a.getDouble(i); acc += x * x; i += 1 }
-    math.sqrt(acc)
+    java.lang.Double.valueOf(math.sqrt(acc))
   }
 
   // random-hyperplane matrices are deterministic in (dim, bits, seed):
@@ -94,11 +110,19 @@ object ExprKernels {
     })
 
   /** Sign-pattern LSH bucket id from `bits` fixed random hyperplanes:
-    * bit i is set iff dot(vec, plane_i) >= 0.
+    * bit i is set iff dot(vec, plane_i) >= 0. A vector whose length
+    * differs from `dim`, or with a null element, gets bucket 0 - the
+    * same value the per-plane expression tree produced (zip_with padded
+    * with null -> null dot -> `when(null >= 0)` false for every bit).
     */
-  def rhBucket(v: ArrayData, dim: Int, bits: Int, seed: Long, isFloat: Boolean): Long = {
+  def rhBucket(v: ArrayData, dim: Int, bits: Int, seed: Long, isFloat: Boolean, checkNull: Boolean): Long = {
+    val n = v.numElements()
+    if (n != dim) return 0L
+    if (checkNull) {
+      var i = 0
+      while (i < n) { if (v.isNullAt(i)) return 0L; i += 1 }
+    }
     val ps = planes(dim, bits, seed)
-    val n = math.min(v.numElements(), dim)
     var bucket = 0L
     var b = 0
     while (b < bits) {
@@ -188,6 +212,9 @@ private[functions] object VecTypes {
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   private def isFloat: Boolean = VecTypes.elemIsFloat(left.dataType).get
+  private def checkNull: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = (VecTypes.elemIsFloat(left.dataType), VecTypes.elemIsFloat(right.dataType)) match {
       case (Some(a), Some(b)) => a == b
@@ -199,10 +226,18 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
         s"got ${left.dataType} and ${right.dataType}")
   }
   override def dataType: DataType = DoubleType
+  // NULL beyond null inputs: length mismatch / null elements (see kernel)
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
-    ExprKernels.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat)
+    ExprKernels.vecDotBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat, checkNull)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.vecDot($a, $b, $isFloat)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("vecDot")
+      s"""
+         |java.lang.Double $tmp = graft.functions.ExprKernels.vecDotBoxed($a, $b, $isFloat, $checkNull);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
   override def prettyName: String = "vec_dot"
@@ -211,16 +246,24 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 /** `vec_norm(a)` - L2 norm of an array<float|double> column in double. */
 case class VecNorm(child: Expression) extends UnaryExpression {
   private def isFloat: Boolean = VecTypes.elemIsFloat(child.dataType).get
+  private def checkNull: Boolean = child.dataType.asInstanceOf[ArrayType].containsNull
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (VecTypes.elemIsFloat(child.dataType).isDefined)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<float> or array<double>, got ${child.dataType}")
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
-    ExprKernels.vecNorm(v.asInstanceOf[ArrayData], isFloat)
+    ExprKernels.vecNormBoxed(v.asInstanceOf[ArrayData], isFloat, checkNull)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.vecNorm($c, $isFloat)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("vecNorm")
+      s"""
+         |java.lang.Double $tmp = graft.functions.ExprKernels.vecNormBoxed($c, $isFloat, $checkNull);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): VecNorm = copy(child = c)
   override def prettyName: String = "vec_norm"
 }
@@ -231,6 +274,7 @@ case class VecNorm(child: Expression) extends UnaryExpression {
 case class RhBucket(child: Expression, dim: Int, bits: Int, seed: Long)
     extends UnaryExpression {
   private def isFloat: Boolean = VecTypes.elemIsFloat(child.dataType).get
+  private def checkNull: Boolean = child.dataType.asInstanceOf[ArrayType].containsNull
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (VecTypes.elemIsFloat(child.dataType).isDefined)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -238,10 +282,10 @@ case class RhBucket(child: Expression, dim: Int, bits: Int, seed: Long)
       s"$prettyName requires array<float> or array<double>, got ${child.dataType}")
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
-    ExprKernels.rhBucket(v.asInstanceOf[ArrayData], dim, bits, seed, isFloat)
+    ExprKernels.rhBucket(v.asInstanceOf[ArrayData], dim, bits, seed, isFloat, checkNull)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.ExprKernels.rhBucket($c, $dim, $bits, ${seed}L, $isFloat)")
+      s"graft.functions.ExprKernels.rhBucket($c, $dim, $bits, ${seed}L, $isFloat, $checkNull)")
   override protected def withNewChildInternal(c: Expression): RhBucket = copy(child = c)
   override def prettyName: String = "rh_bucket"
 }
@@ -313,6 +357,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "built-in")
+    reg.createOrReplaceTempFunction("rh_bucket", {
+      case Seq(v, Literal(d: Int, IntegerType), Literal(b: Int, IntegerType),
+          Literal(s: Long, LongType)) => RhBucket(v, d, b, s)
+      case Seq(v, Literal(d: Int, IntegerType), Literal(b: Int, IntegerType),
+          Literal(s: Int, IntegerType)) => RhBucket(v, d, b, s.toLong)
+      case es => throw new IllegalArgumentException(
+        s"rh_bucket(vec, dimLiteral, bitsLiteral, seedLiteral); got ${es.length} args")
+    }, "built-in")
     reg.createOrReplaceTempFunction("pt_lev_extend", {
       case Seq(q, e, s, d, Literal(k: Int, IntegerType)) => PtLevExtend(q, e, s, d, k)
       case es => throw new IllegalArgumentException(
@@ -337,5 +389,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (es: Seq[Expression]) => VecDot(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
+      (es: Seq[Expression]) => VecNorm(es.head)))
   }
 }

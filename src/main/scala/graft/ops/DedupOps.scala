@@ -200,9 +200,12 @@ object DedupOps {
     val banded =
       if (maxBucketSize == Long.MaxValue) bandedAll
       else {
-        val hot = bandedAll.groupBy("band", "bucket").count()
+        // materialize once: the count and the anti-join would otherwise
+        // each re-execute the scan+signature+explode subplan
+        val mat = bandedAll.localCheckpoint()
+        val hot = mat.groupBy("band", "bucket").count()
           .filter(col("count") > maxBucketSize).select("band", "bucket")
-        bandedAll.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+        mat.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
       }
     val estUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
       var eq = 0; var i = 0
@@ -295,9 +298,10 @@ object DedupOps {
     val keyed =
       if (maxBlockSize == Long.MaxValue) keyedAll
       else {
-        val hot = keyedAll.groupBy("bk").count()
+        val mat = keyedAll.localCheckpoint()
+        val hot = mat.groupBy("bk").count()
           .filter(col("count") > maxBlockSize).select("bk")
-        keyedAll.join(broadcast(hot), Seq("bk"), "left_anti")
+        mat.join(broadcast(hot), Seq("bk"), "left_anti")
       }
     keyed.as("a")
       .join(

@@ -42,6 +42,10 @@ object GraphOps {
       .withColumn("label", F.col("id"))
       .localCheckpoint()
 
+    // empty edge list: no vertices, and sum(label) below would be NULL
+    if (labels.isEmpty)
+      return labels.select(F.col("id"), F.col("label").as("cluster_id"))
+
     // labels only ever decrease, so the fixpoint test is one cheap
     // aggregate per round (sum through DECIMAL: ANSI mode would throw on
     // a Long overflow for large id spaces)

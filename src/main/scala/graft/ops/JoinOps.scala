@@ -23,6 +23,8 @@ object JoinOps {
     * making the match inclusive. If `right` contains several rows with
     * identical (key, ts), which one wins is unspecified - pre-dedup when
     * that matters (DuckDB/pandas ASOF leave it unspecified too).
+    * NULL keys follow SQL join semantics: a NULL-keyed left row never
+    * matches (right NULL keys are dropped before the union).
     *
     * Output: all left columns (original names) + all right columns
     * prefixed with `rightPrefix`.
@@ -49,7 +51,10 @@ object JoinOps {
       lStruct.as("__l"),
       lit(null).cast(rType).as("__r")
     )
-    val r = right.select(
+    // SQL join semantics for NULL keys: Window.partitionBy would group
+    // the NULLs together and happily "match" them; dropping NULL-keyed
+    // right rows leaves NULL-keyed left rows unmatched instead
+    val r = right.filter(F.col(key).isNotNull).select(
       F.col(key).as("__key"),
       F.col(rightTs).as("__ts"),
       lit(0).as("__side"),

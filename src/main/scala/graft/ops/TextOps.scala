@@ -82,14 +82,12 @@ object TextOps {
 
   /** Order-sensitive 64-bit document fingerprint over normalized tokens -
     * cheap exact-dup key that ignores case/whitespace differences but not
-    * word order. (A fold-style polynomial hash would need wrapping Long
-    * arithmetic, which ANSI mode rejects; hashing the token join with an
-    * unambiguous separator has the same collision properties here.)
-    * The separator is U+0001, which whitespace-split tokens can never
-    * contain, so token boundaries survive the join ("ab c" != "a bc");
-    * written as an escape because a raw control char in source is
-    * invisible in most viewers.
+    * word order. Hashes the token ARRAY structurally (Spark's xxhash64
+    * chains element hashes), so token boundaries are part of the hash
+    * with no separator convention at all - no separator character can be
+    * smuggled inside a token to alias two token sequences ("ab c" vs
+    * "a bc", or a token containing the separator itself).
     */
   def fingerprint(text: Column): Column =
-    xxhash64(concat_ws("\u0001", DedupOps.tokens(text)))
+    xxhash64(DedupOps.tokens(text))
 }

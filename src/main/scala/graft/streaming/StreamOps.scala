@@ -91,6 +91,7 @@ object StreamOps {
       .withColumn("fp", graft.ops.TextOps.fingerprint(F.col(textCol)))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
+      .drop("fp") // working column - callers get their input schema back
 
   /** Streaming fuzzy-match: a stream of query strings against a static
     * broadcast trie (stream-static pattern). `trieIndex` is the collected

@@ -86,6 +86,24 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("vec_dot/vec_norm/rh_bucket edge semantics match the old HOF trees") {
+    // length mismatch -> NULL (zip_with pads with null -> null sum)
+    val mism = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(mism.select(GraftFunctions.vec_dot($"a", $"b"))
+      .as[Option[Double]].collect()(0).isEmpty)
+    // null element -> NULL
+    val withNull = Seq((Seq[java.lang.Float](1.0f, null, 3.0f),
+      Seq[java.lang.Float](1.0f, 1.0f, 1.0f))).toDF("a", "b")
+    assert(withNull.select(GraftFunctions.vec_dot($"a", $"b"))
+      .as[Option[Double]].collect()(0).isEmpty)
+    assert(withNull.select(GraftFunctions.vec_norm($"a"))
+      .as[Option[Double]].collect()(0).isEmpty)
+    // rh_bucket: wrong-length vector -> bucket 0 (old tree: all-null dots)
+    val short = Seq(Tuple1(Array(1.0f, 2.0f))).toDF("v")
+    assert(short.select(GraftFunctions.rh_bucket($"v", dim = 8, bits = 5, seed = 42L))
+      .as[Long].collect()(0) == 0L)
+  }
+
   test("rh_bucket matches the per-plane expression-tree formulation") {
     import org.apache.spark.sql.types.DoubleType
     val dim = 8; val bits = 5; val seed = 42L

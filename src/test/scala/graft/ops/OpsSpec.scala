@@ -68,6 +68,20 @@ class OpsSpec extends SparkSpec {
       "asof must not degrade to a product join")
   }
 
+  test("asofJoin: NULL keys never match (SQL join semantics)") {
+    val l = Seq((Some(1L), 10L, 100L), (None, 10L, 101L)).toDF("k", "ts", "lid")
+    val r = Seq((Some(1L), 5L, 1.0), (None, 5L, 2.0)).toDF("k", "ts", "px")
+    val got = JoinOps.asofJoin(l, r, "k", "ts", "ts")
+      .select($"lid", $"r_px").as[(Long, Option[Double])].collect().toMap
+    assert(got(100L).contains(1.0))
+    assert(got(101L).isEmpty, "NULL-keyed left row must stay unmatched")
+  }
+
+  test("connectedComponents: empty edge list yields empty result, no NPE") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(GraphOps.connectedComponents(empty, "id_a", "id_b").count() == 0)
+  }
+
   test("connectedComponents: min-label per component, chains collapse") {
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}; {7,8}
     val edges = Seq((2L, 1L), (2L, 3L), (9L, 3L), (5L, 6L), (8L, 7L))
