@@ -162,37 +162,59 @@ object SimilarityOps {
         val n = math.sqrt(v.map(x => x * x).sum)
         (i, v.map(_ / math.max(n, 1e-12)))
       }
-    for (_ <- 0 until lloydIters) {
-      val bcIter = spark.sparkContext.broadcast(centroids)
-      val assign = udf { vec: scala.collection.Seq[Float] =>
-        val cs = bcIter.value
-        var best = -1; var bestD = Double.NegativeInfinity
-        var c = 0
-        while (c < cs.length) {
-          val cv = cs(c)._2
-          var d = 0.0; var i = 0
-          val n = math.min(vec.length, cv.length)
-          while (i < n) { d += vec(i).toDouble * cv(i); i += 1 }
-          if (d > bestD) { bestD = d; best = cs(c)._1 }
-          c += 1
-        }
-        best
-      }
-      val sums = OpsUtil.spread(corpus)
-        .select(assign(F.col(corpusVec)).as("cid"),
-          posexplode(F.col(corpusVec)).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg(sum(F.col("x").cast(DoubleType)).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val byCid = sums.groupBy(_.getInt(0))
-      centroids = centroids.map { case (cid, old) =>
-        byCid.get(cid) match {
-          case Some(rows) if rows.nonEmpty =>
-            val mean = new Array[Double](old.length)
-            rows.foreach { r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3) }
+    // Lloyd step as treeAggregate of per-partition partial sums: each
+    // task accumulates (sum-vector, count) per centroid locally, the
+    // driver combines nCentroids x dim doubles - NO shuffle of corpus
+    // rows (genuine per-partition imperative logic, the one place RDD
+    // beats the DataFrame formulation: posexplode+groupBy moved |corpus|
+    // x dim rows through an exchange per iteration)
+    if (lloydIters > 0) {
+      import spark.implicits._
+      val dim0 = centroids.headOption.map(_._2.length).getOrElse(0)
+      val nC = centroids.length
+      val vecs = OpsUtil.spread(corpus.select(F.col(corpusVec)))
+        .as[Seq[Float]].rdd
+      for (_ <- 0 until lloydIters) {
+        val bcIter = spark.sparkContext.broadcast(centroids)
+        val zero: (Array[Array[Double]], Array[Long]) =
+          (Array.fill(nC)(new Array[Double](dim0)), new Array[Long](nC))
+        val (sums, counts) = vecs.treeAggregate(zero)(
+          seqOp = { case ((s, c), v) =>
+            val cs = bcIter.value
+            var best = 0; var bestD = Double.NegativeInfinity
+            var ci = 0
+            while (ci < cs.length) {
+              val cv = cs(ci)._2
+              var d = 0.0; var i = 0
+              val n = math.min(v.length, cv.length)
+              while (i < n) { d += v(i).toDouble * cv(i); i += 1 }
+              if (d > bestD) { bestD = d; best = ci }
+              ci += 1
+            }
+            val acc = s(best)
+            var i = 0
+            val n = math.min(v.length, dim0)
+            while (i < n) { acc(i) += v(i); i += 1 }
+            c(best) += 1
+            (s, c)
+          },
+          combOp = { case ((s1, c1), (s2, c2)) =>
+            var ci = 0
+            while (ci < nC) {
+              val a = s1(ci); val b = s2(ci)
+              var i = 0
+              while (i < dim0) { a(i) += b(i); i += 1 }
+              c1(ci) += c2(ci)
+              ci += 1
+            }
+            (s1, c1)
+          })
+        centroids = centroids.zipWithIndex.map { case ((cid, old), ci) =>
+          if (counts(ci) > 0) {
+            val mean = sums(ci).map(_ / counts(ci))
             val nrm = math.sqrt(mean.map(x => x * x).sum)
             (cid, mean.map(_ / math.max(nrm, 1e-12)))
-          case _ => (cid, old) // empty cluster keeps its seed
+          } else (cid, old) // empty cluster keeps its seed
         }
       }
     }

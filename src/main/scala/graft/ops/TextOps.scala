@@ -80,6 +80,26 @@ object TextOps {
     )
   }
 
+  /** Redact common PII shapes - emails, phone-ish digit runs, IPv4
+    * addresses - with typed placeholders. A pure regexp_replace chain:
+    * codegen'd, streams at scan speed, RE2-safe patterns (no
+    * lookaround), applied email -> IP -> phone so the broader digit-run
+    * pattern can't eat the inside of an address it should label.
+    * A production pipeline swaps in its own pattern set/NER here; the
+    * operator shape (Column in, Column out, fuses into any projection)
+    * is the part that matters at 100 TB.
+    */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phone = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "[EMAIL]"),
+        ipv4, "[IP]"),
+      phone, "[PHONE]")
+  }
+
   /** Order-sensitive 64-bit document fingerprint over normalized tokens -
     * cheap exact-dup key that ignores case/whitespace differences but not
     * word order. Hashes the token ARRAY structurally (Spark's xxhash64

@@ -154,6 +154,19 @@ class OpsSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("redactPii replaces emails, phones, IPs; leaves clean text alone") {
+    val got = Seq(
+      "contact bob.smith+x@example.co.uk today",
+      "call +1 (555) 123-4567 now",
+      "server at 192.168.0.1 responded",
+      "nothing sensitive here 42"
+    ).toDF("t").select(TextOps.redactPii($"t")).as[String].collect()
+    assert(got(0) == "contact [EMAIL] today")
+    assert(got(1) == "call [PHONE] now")
+    assert(got(2) == "server at [IP] responded")
+    assert(got(3) == "nothing sensitive here 42")
+  }
+
   test("langId picks dominant stopword language; und when none") {
     val r = Seq(
       (1L, "the cat and the dog sat in a field of flowers it is nice"),
