@@ -289,6 +289,12 @@ object SparkEntry {
       SimilarityOps.cosinePairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35, dim = 64, bits = 4)
     },
+    "dedup_fuzzy" -> { (s, dir) =>
+      // trie-accelerated fuzzy dedup: the reference's algorithm applied
+      // to the training-data problem it was built for - vocabulary
+      // normalization by edit-distance clusters
+      DedupOps.fuzzyDedup(docWords(s, dir), "word", maxDist = 1)
+    },
     "dedup_clusters" -> { (s, dir) =>
       // near-dup pairs -> duplicate clusters: connected components by
       // min-label propagation (GraphOps), oracled by a recursive CTE
@@ -505,6 +511,26 @@ object SparkEntry {
         |)
         |SELECT ngram, COUNT(*) AS doc_freq FROM sh GROUP BY ngram
         |ORDER BY doc_freq DESC, ngram ASC LIMIT 20""".stripMargin,
+    "dedup_fuzzy" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT w FROM (
+        |    SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |    FROM documents
+        |  ) WHERE w <> ''
+        |), edges AS (
+        |  SELECT a.w AS a, b.w AS b FROM v a JOIN v b
+        |  ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+        |), und AS (
+        |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+        |), reach AS (
+        |  SELECT a AS id, b AS peer FROM und
+        |  UNION
+        |  SELECT r.id, u.b AS peer FROM reach r JOIN und u ON r.peer = u.a
+        |)
+        |SELECT v.w AS value,
+        |       coalesce(least(v.w, m.mn), v.w) AS cluster_id
+        |FROM v LEFT JOIN (SELECT id, min(peer) AS mn FROM reach GROUP BY id) m
+        |ON v.w = m.id""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id AS id,

@@ -83,6 +83,43 @@ object DedupOps {
       .select(F.col(idCol), F.col("n_copies"))
 
   // ---------------------------------------------------------------------
+  // Trie-accelerated fuzzy (edit-distance) dedup
+  // ---------------------------------------------------------------------
+
+  /** Cluster values whose Levenshtein distance is <= `maxDist`: build a
+    * prefix tree over the distinct trimmed values, SELF-QUERY it with the
+    * branch-and-bound traversal (the reference's own algorithm - this is
+    * the operator the trie exists for), take matched pairs as edges, and
+    * collapse them into clusters with [[GraphOps.connectedComponents]].
+    *
+    * Output: (value, cluster_id = min value in the cluster), one row per
+    * distinct non-empty value; singletons are their own cluster. At
+    * corpus scale this replaces the O(n^2) all-pairs levenshtein join
+    * with the pruned trie frontier per value.
+    */
+  def fuzzyDedup(
+      df: DataFrame,
+      textCol: String,
+      maxDist: Int,
+      prefixLen: Int = 2
+  ): DataFrame = {
+    val vals = df.select(trim(F.col(textCol)).as("value"))
+      .filter(F.col("value") =!= "")
+      .distinct()
+      .localCheckpoint() // consumed three times: trie build, query, join-back
+    val trie = graft.ptree.PrefixTree.create(vals, "value", prefixLen)
+    val pairs = graft.ptree.Query.queryBroadcast(vals, "value", trie, maxDist)
+      .filter(F.col("query_string") < F.col("node")) // each undirected edge once
+      .select(F.col("query_string").as("a"), F.col("node").as("b"))
+    val clustered = GraphOps.connectedComponents(pairs, "a", "b")
+    // CC only covers values with >= 1 near-match; singletons join back
+    vals
+      .join(clustered, vals("value") === clustered("id"), "left")
+      .select(F.col("value"),
+        coalesce(F.col("cluster_id"), F.col("value")).as("cluster_id"))
+  }
+
+  // ---------------------------------------------------------------------
   // Exact token-set Jaccard (the ground truth the sketches approximate)
   // ---------------------------------------------------------------------
 

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
-import org.apache.spark.sql.types._
 
 /** Graph operators over relational edge lists (the shape dedup pipelines
   * produce: near-dup PAIRS in, duplicate CLUSTERS out).
@@ -13,7 +12,9 @@ object GraphOps {
   /** Connected components of an undirected edge list by iterative
     * min-label propagation: every vertex starts labeled with its own id
     * and repeatedly adopts the minimum label among itself and its
-    * neighbors, until a fixpoint.
+    * neighbors, until a fixpoint. Vertex ids may be any orderable
+    * column type (long ids, strings, ...) - "min" is the column type's
+    * ordering.
     *
     * Scale notes: converges in O(component diameter) rounds, each round
     * one equi-join + one aggregation; `localCheckpoint` truncates lineage
@@ -30,9 +31,7 @@ object GraphOps {
     // materialize the (possibly expensive) edge computation ONCE before
     // symmetrizing: union(sym, sym.swapped) would otherwise execute the
     // upstream pair-generation plan twice
-    val sym = edges.select(
-      F.col(srcCol).cast(LongType).as("a"),
-      F.col(dstCol).cast(LongType).as("b"))
+    val sym = edges.select(F.col(srcCol).as("a"), F.col(dstCol).as("b"))
       .localCheckpoint()
     val und = sym.union(sym.select(F.col("b").as("a"), F.col("a").as("b")))
       .distinct()
@@ -42,19 +41,7 @@ object GraphOps {
       .withColumn("label", F.col("id"))
       .localCheckpoint()
 
-    // empty edge list: no vertices, and sum(label) below would be NULL
-    if (labels.isEmpty)
-      return labels.select(F.col("id"), F.col("label").as("cluster_id"))
-
-    // labels only ever decrease, so the fixpoint test is one cheap
-    // aggregate per round (sum through DECIMAL: ANSI mode would throw on
-    // a Long overflow for large id spaces)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(F.col("label").cast(DecimalType(38, 0)))).head()
-        .getDecimal(0)
-
-    var prevSum = labelSum(labels)
-    var converged = false
+    var converged = labels.isEmpty // empty edge list: nothing to propagate
     while (!converged) {
       val nbrMin = und
         .join(labels, und("a") === labels("id"))
@@ -66,9 +53,13 @@ object GraphOps {
           F.col("id"),
           least(F.col("label"), coalesce(F.col("nbr_label"), F.col("label"))).as("label"))
         .localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      // fixpoint test works for ANY label type: labels only ever
+      // decrease, so "no row changed" is one anti-join-shaped probe over
+      // the two (checkpointed, vertex-sized) label frames
+      converged = next
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(F.col("label") =!= F.col("old"))
+        .isEmpty
       labels = next
     }
     labels.select(F.col("id"), F.col("label").as("cluster_id"))

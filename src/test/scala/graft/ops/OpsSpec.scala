@@ -92,6 +92,17 @@ class OpsSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("fuzzyDedup clusters edit-distance neighbours via the trie") {
+    val words = Seq("dog", "dig", "cat", "cot", "zebra", "dog", " cat ")
+      .toDF("w")
+    val got = DedupOps.fuzzyDedup(words, "w", maxDist = 1)
+      .as[(String, String)].collect().toMap
+    assert(got == Map(
+      "dog" -> "dig", "dig" -> "dig", // min of {dog, dig}
+      "cat" -> "cat", "cot" -> "cat",
+      "zebra" -> "zebra"))
+  }
+
   test("exactDedup keeps min id and counts copies") {
     val r = DedupOps.exactDedup(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toSet
