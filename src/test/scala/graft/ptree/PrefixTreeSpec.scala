@@ -121,6 +121,30 @@ class PrefixTreeSpec extends SparkSpec {
     assert(a == b && a == c)
   }
 
+  test("writeIndexedTable: bucketed trie joins on parent_id with no trie-side shuffle") {
+    PrefixTree.writeIndexedTable(trie, "pt_spec_bucketed", buckets = 4)
+    try {
+      val back = PrefixTree.readTable(spark, "pt_spec_bucketed")
+      // correctness through the catalog roundtrip
+      val queries = Seq("dog", "kaminski", "ab").toDF("q")
+      val a = Query.queryBroadcast(queries, "q", trie, 2)
+        .as[(String, String, Int)].collect().toSet
+      val b = Query.queryBroadcast(queries, "q", back, 2)
+        .as[(String, String, Int)].collect().toSet
+      assert(a == b)
+      // the BUILDINDEX point: an equi-join on parent_id reads buckets
+      // directly - only the probe side shuffles (disable broadcast so
+      // the join strategy is partitioning-sensitive)
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val frontier = Seq(0L, 1L).toDF("node_id")
+        val plan = frontier.join(back.toDF(), $"node_id" === $"parent_id")
+          .queryExecution.executedPlan.toString
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+        assert(exchanges == 1, s"bucketed side must not re-shuffle; plan:\n$plan")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS pt_spec_bucketed")
+  }
+
   test("prefixLen <= 0 (whole-word hashing, skew mode) answers identically") {
     val t = PrefixTree.create(dictDf, "w", prefixLen = 0, numPartitions = 4)
     val queries = Seq("dog", "doer", "kaminski", "ab")

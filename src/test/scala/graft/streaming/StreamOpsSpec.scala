@@ -73,6 +73,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.count() == 2)
   }
 
+  test("streamingDedup state expires with the watermark (bounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val sq = StreamOps
+      .streamingDedup(mem.toDF().toDF("ts", "doc_id", "text"), "ts", "text", "10 minutes")
+      .writeStream.format("memory").queryName("sde").outputMode("append").start()
+    // batch 1: first occurrence survives
+    mem.addData((ts(0), 1L, "recurring boilerplate"))
+    sq.processAllAvailable()
+    // batch 2: advance the watermark hours past batch 1 + lateness
+    mem.addData((Timestamp.valueOf("2024-01-01 14:00:00"), 2L, "fresh content"))
+    sq.processAllAvailable()
+    // batch 3: same text again - its fingerprint state has EXPIRED, so
+    // it is treated as new (this is the bounded-state trade: dedup is
+    // guaranteed only within the watermark horizon)
+    mem.addData((Timestamp.valueOf("2024-01-01 14:01:00"), 3L, "recurring boilerplate"))
+    sq.processAllAvailable()
+    val kept = spark.table("sde").select("doc_id").as[Long].collect().toSet
+    sq.stop()
+    assert(kept == Set(1L, 2L, 3L), s"got $kept")
+  }
+
   test("streamFuzzyMatch: stream-static join against a broadcast trie") {
     implicit val sqlCtx = spark.sqlContext
     val trie = PrefixTree.create(Seq("dog", "drop", "cat").toDF("w"), "w", 2, 2)
