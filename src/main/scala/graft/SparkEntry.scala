@@ -341,6 +341,11 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
     },
+    "text_redact" -> { (s, dir) =>
+      // PII redaction at scan speed (regexp chain, codegen'd)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.redactPii(col("text")).as("redacted"))
+    },
     "text_ngrams" -> { (s, dir) =>
       // corpus-wide top-20 word bigrams by document frequency
       tbl(s, dir, "documents")
@@ -359,6 +364,18 @@ object SparkEntry {
       MultimodalOps.decodeAndFeaturize(media)
         .select(col("media_id"), col("width"), col("height"), col("format"),
           size(col("features")).as("n_features"))
+    },
+    "media_chunks" -> { (s, dir) =>
+      // frame-sampling plumbing: every 2nd 64-byte chunk; output is
+      // chunk METADATA (id, index, byte count) so the whole explode/
+      // substring pipeline is oracle-checkable without binary compares
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").withColumn("payload", encode(col("text"), "utf-8")),
+        "doc_id", "payload", "video")
+      MultimodalOps.sampleChunks(media, chunkBytes = 64, stride = 2)
+        .select(col("media_id"),
+          col("chunk_idx").cast(IntegerType).as("chunk_idx"),
+          length(col("chunk")).cast(IntegerType).as("chunk_bytes"))
     },
     // ------------------------------------------------------------------
     // Event streams (batch halves of the streaming operators)
@@ -501,6 +518,25 @@ object SparkEntry {
         |       c.event_id AS click_id,
         |       epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "text_redact" ->
+      """SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(
+        |           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+        |         '\+?[0-9][0-9()\-\s]{6,}[0-9]', '[PHONE]', 'g') AS redacted
+        |FROM documents""".stripMargin,
+    "media_chunks" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        |), c AS (
+        |  SELECT doc_id, n,
+        |         unnest(generate_series(0, greatest(CAST(floor(n / 64) AS INT) - 1, 0))) AS idx
+        |  FROM b
+        |)
+        |SELECT doc_id AS media_id, CAST(idx AS INT) AS chunk_idx,
+        |       CAST(least(64, n - idx * 64) AS INT) AS chunk_bytes
+        |FROM c WHERE idx % 2 = 0""".stripMargin,
     "text_ngrams" ->
       """WITH sh AS (
         |  SELECT doc_id,
