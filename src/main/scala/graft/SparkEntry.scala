@@ -524,14 +524,14 @@ object SparkEntry {
         |         regexp_replace(
         |           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
-        |         '\+?[0-9][0-9()\-\s]{6,}[0-9]', '[PHONE]', 'g') AS redacted
+        |         '\+[0-9][0-9()\- ]{5,16}[0-9]|\(?[0-9]{3}\)?[\- ][0-9]{3}[\- ][0-9]{4}', '[PHONE]', 'g') AS redacted
         |FROM documents""".stripMargin,
     "media_chunks" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
         |), c AS (
         |  SELECT doc_id, n,
-        |         unnest(generate_series(0, greatest(CAST(floor(n / 64) AS INT) - 1, 0))) AS idx
+        |         unnest(generate_series(0, CAST(ceil(n / 64.0) AS INT) - 1)) AS idx
         |  FROM b
         |)
         |SELECT doc_id AS media_id, CAST(idx AS INT) AS chunk_idx,

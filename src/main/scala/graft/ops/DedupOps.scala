@@ -108,7 +108,10 @@ object DedupOps {
       .distinct()
       .localCheckpoint() // consumed three times: trie build, query, join-back
     val trie = graft.ptree.PrefixTree.create(vals, "value", prefixLen)
-    val pairs = graft.ptree.Query.queryBroadcast(vals, "value", trie, maxDist)
+    // queryBatch, not queryBroadcast: it sizes the trie and falls back to
+    // the join-mode loop when a collect would not fit - fuzzyDedup's
+    // whole point is the corpus-scale path
+    val pairs = graft.ptree.Query.queryBatch(vals, "value", trie, maxDist)
       .filter(F.col("query_string") < F.col("node")) // each undirected edge once
       .select(F.col("query_string").as("a"), F.col("node").as("b"))
     val clustered = GraphOps.connectedComponents(pairs, "a", "b")

@@ -17,9 +17,9 @@ object GraphOps {
     * ordering.
     *
     * Scale notes: converges in O(component diameter) rounds, each round
-    * one equi-join + one aggregation; `localCheckpoint` truncates lineage
-    * per round (the same driver-loop discipline as the trie traversal's
-    * join mode). Near-dup graphs are overwhelmingly many tiny components,
+    * one equi-join + one aggregation + one vertex-sized convergence
+    * probe; `localCheckpoint` truncates lineage per round (the same
+    * driver-loop discipline as the trie traversal's join mode). Near-dup graphs are overwhelmingly many tiny components,
     * where diameter is small and this loop beats the O(log n)-round
     * large-star/small-star algorithm on constant factors; a giant-
     * component graph would want the latter behind the same edge-list API.
@@ -47,20 +47,17 @@ object GraphOps {
         .join(labels, und("a") === labels("id"))
         .groupBy(und("b").as("nid"))
         .agg(min(F.col("label")).as("nbr_label"))
+      // old and new labels are both in hand here, so the any-type
+      // fixpoint test is a flag column, not another join
       val next = labels
         .join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(
           F.col("id"),
-          least(F.col("label"), coalesce(F.col("nbr_label"), F.col("label"))).as("label"))
+          least(F.col("label"), coalesce(F.col("nbr_label"), F.col("label"))).as("label"),
+          (coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")).as("changed"))
         .localCheckpoint()
-      // fixpoint test works for ANY label type: labels only ever
-      // decrease, so "no row changed" is one anti-join-shaped probe over
-      // the two (checkpointed, vertex-sized) label frames
-      converged = next
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(F.col("label") =!= F.col("old"))
-        .isEmpty
-      labels = next
+      converged = next.filter(F.col("changed")).isEmpty
+      labels = next.drop("changed")
     }
     labels.select(F.col("id"), F.col("label").as("cluster_id"))
   }

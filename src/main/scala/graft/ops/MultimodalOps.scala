@@ -117,14 +117,18 @@ object MultimodalOps {
   /** Deterministic frame sampling plumbing for video-like payloads: emit
     * every `stride`-th chunk of `chunkBytes` as its own row (stands in
     * for keyframe extraction; the chunking/explode shape is the real
-    * part).
+    * part). Chunk count is ceil(len / chunkBytes): a trailing partial
+    * chunk is a real (short) chunk, and an empty/null payload yields
+    * zero rows - no phantom chunk, no silently dropped tail.
     */
   def sampleChunks(media: DataFrame, chunkBytes: Int, stride: Int): DataFrame =
     media
-      .withColumn("n_chunks", (length(F.col("payload")) / chunkBytes).cast(IntegerType))
+      .withColumn("n_chunks",
+        ((length(F.col("payload")) + chunkBytes - 1) / chunkBytes).cast(IntegerType))
       .withColumn("chunk_idx",
-        explode(filter(sequence(lit(0), greatest(F.col("n_chunks") - 1, lit(0))),
-          i => i % stride === 0)))
+        explode(when(F.col("n_chunks") > 0,
+          filter(sequence(lit(0), F.col("n_chunks") - 1), i => i % stride === 0)
+        ).otherwise(array().cast("array<int>"))))
       .withColumn("chunk",
         expr(s"substring(payload, chunk_idx * $chunkBytes + 1, $chunkBytes)"))
       .select(F.col("media_id"), F.col("kind"), F.col("chunk_idx"), F.col("chunk"))

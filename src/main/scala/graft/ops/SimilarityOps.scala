@@ -172,8 +172,11 @@ object SimilarityOps {
       import spark.implicits._
       val dim0 = centroids.headOption.map(_._2.length).getOrElse(0)
       val nC = centroids.length
+      // persist: every iteration re-reads the corpus otherwise (scan +
+      // spread's repartition, once per Lloyd step)
       val vecs = OpsUtil.spread(corpus.select(F.col(corpusVec)))
         .as[Seq[Float]].rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       for (_ <- 0 until lloydIters) {
         val bcIter = spark.sparkContext.broadcast(centroids)
         val zero: (Array[Array[Double]], Array[Long]) =
@@ -216,7 +219,9 @@ object SimilarityOps {
             (cid, mean.map(_ / math.max(nrm, 1e-12)))
           } else (cid, old) // empty cluster keeps its seed
         }
+        bcIter.destroy() // per-iteration broadcast, not needed past here
       }
+      vecs.unpersist(blocking = false)
     }
     val bc = spark.sparkContext.broadcast(centroids)
     def nearestLists(n: Int) = udf { vec: scala.collection.Seq[Float] =>

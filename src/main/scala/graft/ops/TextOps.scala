@@ -80,19 +80,22 @@ object TextOps {
     )
   }
 
-  /** Redact common PII shapes - emails, phone-ish digit runs, IPv4
-    * addresses - with typed placeholders. A pure regexp_replace chain:
-    * codegen'd, streams at scan speed, RE2-safe patterns (no
-    * lookaround), applied email -> IP -> phone so the broader digit-run
-    * pattern can't eat the inside of an address it should label.
-    * A production pipeline swaps in its own pattern set/NER here; the
-    * operator shape (Column in, Column out, fuses into any projection)
-    * is the part that matters at 100 TB.
+  /** Redact common PII shapes - emails, phone numbers, IPv4 addresses -
+    * with typed placeholders. A pure regexp_replace chain: codegen'd,
+    * streams at scan speed, RE2-safe patterns (no lookaround), applied
+    * email -> IP -> phone so the digit-heavy phone patterns can't eat
+    * the inside of an address they should label. The phone pattern is
+    * deliberately structural (either a +international run or a 3-3-4
+    * grouped number), NOT a bare digit-run: a naive `[0-9\-\s]{8,}`
+    * devours dates, timestamps, and numeric lists - silently corrupting
+    * non-PII training text. A production pipeline swaps in its own
+    * pattern set/NER here; the operator shape (Column in, Column out,
+    * fuses into any projection) is the part that matters at 100 TB.
     */
   def redactPii(text: Column): Column = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ipv4 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-    val phone = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+    val phone = "\\+[0-9][0-9()\\- ]{5,16}[0-9]|\\(?[0-9]{3}\\)?[\\- ][0-9]{3}[\\- ][0-9]{4}"
     regexp_replace(
       regexp_replace(
         regexp_replace(text, email, "[EMAIL]"),

@@ -169,13 +169,17 @@ class OpsSpec extends SparkSpec {
     val got = Seq(
       "contact bob.smith+x@example.co.uk today",
       "call +1 (555) 123-4567 now",
+      "or 555 123 4567 or (555) 123-4567",
       "server at 192.168.0.1 responded",
-      "nothing sensitive here 42"
+      "nothing sensitive here 42",
+      "released 2024-01-01 14:30 and 1999 2000 2001" // dates/years survive
     ).toDF("t").select(TextOps.redactPii($"t")).as[String].collect()
     assert(got(0) == "contact [EMAIL] today")
     assert(got(1) == "call [PHONE] now")
-    assert(got(2) == "server at [IP] responded")
-    assert(got(3) == "nothing sensitive here 42")
+    assert(got(2) == "or [PHONE] or [PHONE]")
+    assert(got(3) == "server at [IP] responded")
+    assert(got(4) == "nothing sensitive here 42")
+    assert(got(5) == "released 2024-01-01 14:30 and 1999 2000 2001")
   }
 
   test("langId picks dominant stopword language; und when none") {
@@ -268,5 +272,14 @@ class OpsSpec extends SparkSpec {
     val chunks = MultimodalOps.sampleChunks(
       media.filter($"media_id" === 2), chunkBytes = 3, stride = 2).collect()
     assert(chunks.map(_.getAs[Int]("chunk_idx")).toSet == Set(0, 2))
+    // partial tail chunk is a real (short) chunk; empty payload -> no rows
+    val tailMedia = MultimodalOps.asMedia(
+      Seq((3L, "0123456789abc".getBytes), (4L, Array.empty[Byte]))
+        .toDF("id", "payload"), "id", "payload", "video")
+    val tail = MultimodalOps.sampleChunks(tailMedia, chunkBytes = 3, stride = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Array[Byte]]("chunk").length)).toSet
+    assert(tail == Set((3L, 0, 3), (3L, 2, 3), (3L, 4, 1)))
   }
 }
