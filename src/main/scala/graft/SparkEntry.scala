@@ -224,6 +224,18 @@ object SparkEntry {
         .select(col("c_nationkey").cast(IntegerType).as("c_nationkey"),
           col("segment"), col("n_cust"))
     },
+    "q10_sample" -> { (s, dir) =>
+      // deterministic md5-keyed ~10% sample: reproducible across runs,
+      // engines, and partitionings (df.sample is none of those); keyed
+      // on l_orderkey so an order's lines are kept or dropped together
+      graft.ops.SampleOps
+        .deterministicSample(tbl(s, dir, "lineitem"), "l_orderkey", 0.1)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders")
+        )
+    },
     "q9_percentile" -> { (s, dir) =>
       // exact percentiles (linear interpolation) per group
       tbl(s, dir, "lineitem")
@@ -503,6 +515,12 @@ object SparkEntry {
         |FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |GROUP BY c_nationkey""".stripMargin,
+    "q10_sample" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem
+        |WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) < '1999999a'""".stripMargin,
     "q9_percentile" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,

@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Sampling operators for training-data pipelines. */
+object SampleOps {
+
+  /** Deterministic ~`fraction` sample keyed on a column's md5: a row is
+    * kept iff the first 8 hex chars of md5(key) fall below the
+    * fraction's threshold.
+    *
+    * Why not `df.sample`: its output depends on seed, partitioning, and
+    * row order - re-running on a re-partitioned copy of the data picks
+    * a different subset. This selection is a pure function of the key,
+    * so it is reproducible across runs, engines (anything with md5 can
+    * replicate the exact subset), cluster layouts, and incremental
+    * loads - the property a training-data pipeline actually needs from
+    * a holdout/subsample split. Keys sharing a value are kept or
+    * dropped TOGETHER (sample by entity, not by row).
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    if (fraction >= 1.0) df
+    else {
+      val threshold = f"${math.round(fraction * 0x100000000L)}%08x"
+      df.filter(
+        substring(md5(F.col(keyCol).cast(StringType)), 1, 8) < lit(threshold))
+    }
+  }
+}

@@ -165,6 +165,23 @@ class OpsSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("deterministicSample: reproducible, entity-consistent, ~fraction sized") {
+    val rows = (1L to 2000L).map(i => (i % 500, i)).toDF("key", "v")
+    val a = SampleOps.deterministicSample(rows, "key", 0.2)
+    val b = SampleOps.deterministicSample(rows.repartition(7), "key", 0.2)
+    // identical subset regardless of partitioning (df.sample is not)
+    assert(a.select("v").as[Long].collect().toSet ==
+      b.select("v").as[Long].collect().toSet)
+    // keys are kept or dropped together: 4 rows per kept key
+    val perKey = a.groupBy("key").count().select("count").as[Long].collect()
+    assert(perKey.forall(_ == 4))
+    // sample size tracks the fraction (500 keys, p=0.2 -> ~100)
+    assert(perKey.length > 60 && perKey.length < 140, s"got ${perKey.length} keys")
+    // boundary fractions
+    assert(SampleOps.deterministicSample(rows, "key", 0.0).count() == 0)
+    assert(SampleOps.deterministicSample(rows, "key", 1.0).count() == 2000)
+  }
+
   test("redactPii replaces emails, phones, IPs; leaves clean text alone") {
     val got = Seq(
       "contact bob.smith+x@example.co.uk today",
