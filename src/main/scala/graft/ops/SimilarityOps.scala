@@ -84,6 +84,12 @@ object SimilarityOps {
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * (equi-join on bucket id - no cross join). Recall grows with fewer
     * bits / more probes; `bits` trades candidate-set size vs recall.
+    * `multiProbe` additionally probes every Hamming-1 neighbor bucket
+    * of the query's bucket (bits+1 probes total): a near neighbor that
+    * landed just across one hyperplane is recovered without rebuilding
+    * the index - the standard recall knob when re-hashing is expensive.
+    * Only the (small, broadcast) query side fans out; the corpus is
+    * still hashed exactly once.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -95,21 +101,31 @@ object SimilarityOps {
       k: Int,
       dim: Int,
       bits: Int = 8,
-      seed: Long = 42L
+      seed: Long = 42L,
+      multiProbe: Boolean = false
   ): DataFrame = {
     val cb = OpsUtil.spread(corpus).select(
       F.col(corpusId).as("neighbor_id"),
       F.col(corpusVec).as("cv"),
       norm(F.col(corpusVec)).as("cn"),
       lshBucket(F.col(corpusVec), dim, bits, seed).as("bucket"))
+    val exact = lshBucket(F.col(queryVec), dim, bits, seed)
+    val probeBuckets =
+      if (!multiProbe) array(exact)
+      else array(exact +: (0 until bits).map(i => exact.bitwiseXOR(lit(1L << i))): _*)
     val qb = broadcast(queries.select(
       F.col(queryId).as("query_id"),
       F.col(queryVec).as("qv"),
       norm(F.col(queryVec)).as("qn"),
-      lshBucket(F.col(queryVec), dim, bits, seed).as("bucket")))
-    val scored = cb
+      explode(probeBuckets).as("bucket")))
+    val joined = cb
       .join(qb, Seq("bucket"))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
+    // multi-probe only: a corpus vector can collide with several probes
+    // of one query (single-probe pairs are unique - skip the shuffle)
+    val cand =
+      if (multiProbe) joined.dropDuplicates("query_id", "neighbor_id") else joined
+    val scored = cand
       .withColumn("cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     val w = Window
       .partitionBy("query_id")

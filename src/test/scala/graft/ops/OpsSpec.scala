@@ -248,6 +248,14 @@ class OpsSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.6, s"recall $recall too low")
+    // multi-probe (Hamming-1 neighbor buckets) can only widen the
+    // candidate set: recall dominates single-probe and should be high
+    val mp = SimilarityOps.lshTopK(vecs, "id", "v", queries, "id", "v", 5,
+      dim = 16, bits = 4, multiProbe = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val mpRecall = (brute & mp).size.toDouble / brute.size
+    assert(mpRecall >= recall, s"multi-probe $mpRecall < single $recall")
+    assert(mpRecall >= 0.85, s"multi-probe recall $mpRecall too low")
   }
 
   test("IVF topK achieves good recall vs brute force on clustered vectors") {
