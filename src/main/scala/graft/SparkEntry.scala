@@ -27,6 +27,16 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Hot-key cap shared by the sketch-dedup pipelines (jaccard token doc
+    * freq / LSH bucket size / SimHash block size). A key with B members
+    * yields O(B²) pairs in the candidate self-join, and keys that hot at
+    * corpus scale are degenerate (stop-shingles, boilerplate, empty-ish
+    * docs) with near-zero precision — dropping them bounds the worst
+    * shuffle key. One constant so every oracle below can mirror the same
+    * filter by interpolation.
+    */
+  private val skewCap = 50L
+
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read it as raw nanos and truncate to micros (the
     * same floor DuckDB's epoch_ms applies later).
@@ -51,8 +61,11 @@ object SparkEntry {
     val queries = cust
       .filter(col("c_custkey") % 7 === 0)
       .select(expr("concat(substr(c_name, 1, length(c_name)-1), 'X')").as("query_string"))
+    // queryBatch, not queryBroadcast: it sizes the trie first and falls
+    // back to the join-mode loop when a driver collect would not fit -
+    // every entry path keeps the 100x off-ramp
     Query
-      .queryBroadcast(queries, "query_string", trie, maxDist = 2)
+      .queryBatch(queries, "query_string", trie, maxDist = 2)
       .select(
         col("query_string"),
         col("node"),
@@ -76,7 +89,7 @@ object SparkEntry {
       val q = tbl(s, dir, "part")
         .select(explode(split(col("p_name"), " ")).as("query_string"))
         .distinct()
-      Query.queryBroadcast(q, "query_string", dict, maxDist = 1)
+      Query.queryBatch(q, "query_string", dict, maxDist = 1)
         .select(col("query_string"), col("node"),
           col("final_distance").cast(IntegerType).as("final_distance"))
     },
@@ -121,7 +134,7 @@ object SparkEntry {
       val q = tbl(s, dir, "part")
         .select(explode(split(col("p_name"), " ")).as("query_string"))
         .distinct()
-      Query.queryBroadcast(q, "query_string", back, maxDist = 1)
+      Query.queryBatch(q, "query_string", back, maxDist = 1)
         .select(col("query_string"), col("node"),
           col("final_distance").cast(IntegerType).as("final_distance"))
     },
@@ -286,18 +299,30 @@ object SparkEntry {
     // Deduplication suite
     // ------------------------------------------------------------------
     "dedup_exact" -> ((s, dir) => DedupOps.exactDedup(tbl(s, dir, "documents"), "doc_id", "text")),
+    // Skew caps are ON in every shipped sketch-dedup pipeline: one
+    // degenerate stop-shingle/boilerplate bucket with B members is an
+    // O(B^2) self-join key at corpus scale. The caps are part of the
+    // operator's semantics here, so each DuckDB oracle mirrors the same
+    // hot-key filter.
     "dedup_jaccard" -> { (s, dir) =>
       DedupOps.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5, shingleLen = 3)
+        threshold = 0.5, maxTokenDocFreq = skewCap, shingleLen = 3)
     },
-    "dedup_minhash" -> { (s, dir) => // sketch-based: rows-only oracle; exactness spec in ScalaTest
+    "dedup_minhash" -> { (s, dir) =>
+      // md5-based signatures + slice band keys: the oracle replays the
+      // ENTIRE sketch pipeline (signatures, banding, skew cap, estimate)
+      // independently in DuckDB - a full hash-match, not rows-only
       DedupOps.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        numHashes = 64, bands = 8, shingleLen = 3, threshold = 0.5)
+        numHashes = 64, bands = 8, shingleLen = 3, threshold = 0.5,
+        maxBucketSize = skewCap)
     },
-    "dedup_simhash" -> { (s, dir) => // sketch-based: rows-only oracle
-      DedupOps.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+    "dedup_simhash" -> { (s, dir) =>
+      DedupOps.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, maxBlockSize = skewCap)
     },
-    "dedup_embedding" -> { (s, dir) => // LSH-bucketed cosine pairs: rows-only oracle
+    "dedup_embedding" -> { (s, dir) =>
+      // oracle replays the hyperplane bucketing with the SAME plane
+      // constants (interpolated into the SQL), then exact cosine
       SimilarityOps.cosinePairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35, dim = 64, bits = 4)
     },
@@ -312,7 +337,7 @@ object SparkEntry {
       // min-label propagation (GraphOps), oracled by a recursive CTE
       GraphOps.connectedComponents(
         DedupOps.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.5, shingleLen = 3),
+          threshold = 0.5, maxTokenDocFreq = skewCap, shingleLen = 3),
         "id_a", "id_b")
     },
     // ------------------------------------------------------------------
@@ -586,16 +611,19 @@ object SparkEntry {
         |FROM v LEFT JOIN (SELECT id, min(peer) AS mn FROM reach GROUP BY id) m
         |ON v.w = m.id""".stripMargin,
     "dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
+      s"""WITH RECURSIVE sh AS (
         |  SELECT doc_id AS id,
         |         unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
         |                               FOR i IN generate_series(1, greatest(len(tk)-2, 1))])) AS tok
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
         |                                   t -> t <> '') AS tk FROM documents)
-        |), sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        |), flt AS ( -- mirror of the engine's hot-token skew cap
+        |  SELECT id, tok FROM sh
+        |  WHERE tok NOT IN (SELECT tok FROM sh GROUP BY tok HAVING COUNT(*) > $skewCap)
+        |), sizes AS (SELECT id, COUNT(*) AS sz FROM flt GROUP BY id),
         |inter AS (
         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.id < b.id
+        |  FROM flt a JOIN flt b ON a.tok = b.tok AND a.id < b.id
         |  GROUP BY a.id, b.id
         |), edges AS (
         |  SELECT id_a, id_b FROM inter
@@ -615,16 +643,19 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
     "dedup_jaccard" ->
-      """WITH sh AS (
+      s"""WITH sh AS (
         |  SELECT doc_id AS id,
         |         unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
         |                               FOR i IN generate_series(1, greatest(len(tk)-2, 1))])) AS tok
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
         |                                   t -> t <> '') AS tk FROM documents)
-        |), sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        |), flt AS ( -- mirror of the engine's hot-token skew cap
+        |  SELECT id, tok FROM sh
+        |  WHERE tok NOT IN (SELECT tok FROM sh GROUP BY tok HAVING COUNT(*) > $skewCap)
+        |), sizes AS (SELECT id, COUNT(*) AS sz FROM flt GROUP BY id),
         |inter AS (
         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.id < b.id
+        |  FROM flt a JOIN flt b ON a.tok = b.tok AND a.id < b.id
         |  GROUP BY a.id, b.id
         |)
         |SELECT id_a, id_b,

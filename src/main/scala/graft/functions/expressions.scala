@@ -20,10 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object ExprKernels {
 
   // universal-hash coefficients are deterministic in (numHashes, seed):
-  // computed once per JVM, not per row
+  // computed once per JVM, not per row. private[graft]: the DuckDB oracle
+  // SQL is generated from the SAME arrays (SparkEntry interpolates them),
+  // so the independent reimplementation uses identical constants.
   private val coefCache =
     new java.util.concurrent.ConcurrentHashMap[Long, (Array[Long], Array[Long])]()
-  private def coefs(numHashes: Int, seed: Int): (Array[Long], Array[Long]) =
+  private[graft] def coefs(numHashes: Int, seed: Int): (Array[Long], Array[Long]) =
     coefCache.computeIfAbsent(
       (numHashes.toLong << 32) | (seed.toLong & 0xffffffffL),
       _ => {
@@ -32,8 +34,51 @@ object ExprKernels {
           Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong))
       })
 
+  // MessageDigest is not thread-safe; one instance per task thread
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def md5Bytes(s: String): Array[Byte] = {
+    val d = md5Local.get()
+    d.reset()
+    d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** First 60 bits of md5(s) as a non-negative long - the value of
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT` in DuckDB and
+    * `conv(substr(md5(s), 1, 15), 16, 10)` in Spark SQL. The sketch
+    * kernels hash through md5 EXACTLY so an independent engine can
+    * replay the whole sketch pipeline from its own md5 (the correctness
+    * oracle does); 60 bits keeps the value unambiguous in a signed 64-bit
+    * integer in every engine.
+    */
+  private[graft] def md5Hash60(s: String): Long = {
+    val b = md5Bytes(s)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v >>> 4 // big-endian u64 of bytes 0..7 >> 4 == first 15 hex chars
+  }
+
+  /** Full first 8 md5 bytes, big-endian (== hex chars 1..16): bit j of
+    * the result is `(lo >> j) & 1` for j<32 / `(hi >> (j-32)) & 1`
+    * otherwise, with hi/lo the 32-bit ints from hex chars 1-8 / 9-16.
+    */
+  private[graft] def md5Hash64(s: String): Long = {
+    val b = md5Bytes(s)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v
+  }
+
   /** MinHash signature of a document: tokenize, word-shingle, hash,
-    * running minima - one pass, primitive arrays.
+    * running minima - one pass, primitive arrays. The per-shingle base
+    * value goes through md5 (not xxhash64) so the signature is
+    * recomputable in ANY engine with md5 - the DuckDB oracle replays
+    * this pipeline independently and must hash-match.
     */
   def minhashSig(text: UTF8String, numHashes: Int, shingleLen: Int, seed: Int): ArrayData = {
     val shingles = graft.ops.DedupOps.shingleArray(if (text == null) null else text.toString, shingleLen)
@@ -42,7 +87,7 @@ object ExprKernels {
     val sig = Array.fill(numHashes)(prime)
     var i = 0
     while (i < shingles.length) {
-      val s = java.lang.Math.floorMod(graft.ops.DedupOps.xxh64String(shingles(i)), prime)
+      val s = md5Hash60(shingles(i)) % prime
       var h = 0
       while (h < numHashes) {
         val v = (as(h) * s + bs(h)) % prime
@@ -57,6 +102,36 @@ object ExprKernels {
   /** 64-bit SimHash over whitespace tokens. */
   def simhash(text: UTF8String): Long =
     graft.ops.DedupOps.simhashKernel(if (text == null) null else text.toString)
+
+  /** Fraction of agreeing positions between two equal-length signature
+    * arrays - the MinHash Jaccard estimate. Null elements never agree;
+    * a length mismatch compares only the common prefix against the
+    * left length (signatures from minhash_sig always have equal length).
+    */
+  def sigAgree(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n == 0) return 0.0
+    val m = math.min(n, b.numElements())
+    var eq = 0
+    var i = 0
+    while (i < m) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
+  /** Distinct word n-shingles as an array<string> (see
+    * DedupOps.shingleArray) - the tokenize+shingle step as one codegen'd
+    * kernel call instead of a Scala UDF on the corpus-sized hot path.
+    */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val arr = graft.ops.DedupOps.shingleArray(if (text == null) null else text.toString, n)
+    val out = new Array[Any](arr.length)
+    var i = 0
+    while (i < arr.length) { out(i) = UTF8String.fromString(arr(i)); i += 1 }
+    new GenericArrayData(out)
+  }
 
   /** Dot product of two numeric arrays, accumulated in double in element
     * order - matching the `aggregate(zip_with(...))` formulation it
@@ -103,7 +178,7 @@ object ExprKernels {
   // formulation they replace (Array.fill(bits, dim)(rnd.nextGaussian()))
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
-  private def planes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] =
+  private[graft] def planes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] =
     planeCache.computeIfAbsent((dim, bits, seed), _ => {
       val rnd = new scala.util.Random(seed)
       Array.fill(bits, dim)(rnd.nextGaussian())
@@ -177,6 +252,45 @@ case class MinHashSig(
       s"graft.functions.ExprKernels.minhashSig($c, $numHashes, $shingleLen, $seed)")
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
   override def prettyName: String = "minhash_sig"
+}
+
+/** `sig_agree(a, b)` - fraction of agreeing positions between two
+  * array<bigint> MinHash signatures (the Jaccard estimate).
+  */
+case class SigAgree(left: Expression, right: Expression) extends BinaryExpression {
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.sigAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.sigAgree($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgree =
+    copy(left = l, right = r)
+  override def prettyName: String = "sig_agree"
+}
+
+/** `shingles(text, n)` - distinct word n-shingles as array<string>. */
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.shingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.shingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Shingles = copy(child = c)
+  override def prettyName: String = "shingles"
 }
 
 /** `simhash64(text)` - 64-bit SimHash fingerprint. */
@@ -334,6 +448,12 @@ object GraftFunctions {
   def simhash64(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
 
+  def sig_agree(a: Column, b: Column): Column =
+    Bridge.column(SigAgree(Bridge.expression(a), Bridge.expression(b)))
+
+  def shingles(c: Column, n: Int): Column =
+    Bridge.column(Shingles(Bridge.expression(c), n))
+
   def vec_dot(a: Column, b: Column): Column =
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
 
@@ -355,6 +475,12 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("sig_agree", es => SigAgree(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("shingles", {
+      case Seq(c, Literal(n: Int, IntegerType)) => Shingles(c, n)
+      case es => throw new IllegalArgumentException(
+        s"shingles(text, nLiteral); got ${es.length} args")
+    }, "built-in")
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "built-in")
     reg.createOrReplaceTempFunction("rh_bucket", {

@@ -53,10 +53,8 @@ object DedupOps {
     seen.toArray
   }
 
-  def shingleStrings(c: Column, n: Int): Column = {
-    val u = udf((t: String) => shingleArray(t, n))
-    u(c)
-  }
+  def shingleStrings(c: Column, n: Int): Column =
+    graft.functions.GraftFunctions.shingles(c, n)
 
   /** xxhash64 over UTF-8 bytes, identical to Spark SQL's `xxhash64(str)`
     * with the default seed.
@@ -217,20 +215,19 @@ object DedupOps {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
-    // bucket key per band: order-sensitive hash of that signature slice
-    val bucketsUdf = udf { sig: Seq[Long] =>
-      Array.tabulate(bands) { b =>
-        var h = 0xcbf29ce484222325L ^ b
-        var j = b * r
-        while (j < (b + 1) * r) { h = (h ^ sig(j)) * 0x100000001b3L; j += 1 }
-        h
-      }
+    // bucket key per band: the signature SLICE itself (r longs). Raw
+    // slices instead of a hash of the slice keeps the whole banding
+    // stage in builtin codegen'd expressions (no UDF) and makes the
+    // bucket key reproducible by the independent DuckDB oracle; the
+    // r*8-byte key is slightly wider on the shuffle than an 8-byte hash,
+    // which the narrow candidate rows can afford.
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"), slice(col("signature"), b * r + 1, r).as("bucket"))
     }
-    val bandedAll = sigs.select(
-      col("id"),
-      col("signature"),
-      posexplode(bucketsUdf(col("signature"))).as(Seq("band", "bucket"))
-    )
+    val bandedAll = sigs
+      .select(col("id"), col("signature"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("signature"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     // skew guard for the self-join: a bucket with B members yields
     // O(B^2) candidate pairs, and oversized buckets at corpus scale are
     // degenerate (boilerplate/empty-ish documents) with near-zero
@@ -247,11 +244,6 @@ object DedupOps {
           .filter(col("count") > maxBucketSize).select("band", "bucket")
         mat.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
       }
-    val estUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
-      var eq = 0; var i = 0
-      while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
-      eq.toDouble / numHashes
-    }
     // estimate BEFORE deduping band collisions: the estimate is a cheap
     // kernel over arrays already in hand, and dropping the signature
     // columns first means the dedup shuffle moves 24-byte rows instead of
@@ -266,7 +258,8 @@ object DedupOps {
           col("a.id") < col("b.id")
       )
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        estUdf(col("a.signature"), col("b.signature")).as("est_jaccard"))
+        graft.functions.GraftFunctions
+          .sig_agree(col("a.signature"), col("b.signature")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
@@ -276,18 +269,18 @@ object DedupOps {
   // SimHash
   // ---------------------------------------------------------------------
 
-  /** 64-bit SimHash over tokens: each token is hashed to 64 bits by two
-    * MurmurHash3 passes (hi/lo 32 bits) and votes +-1 per bit; the sign
-    * of each bit-sum forms the fingerprint. Exposed as the native codegen
-    * expression `graft.functions.SimHash64`.
+  /** 64-bit SimHash over tokens: each token is hashed to 64 bits (the
+    * first 8 md5 bytes, big-endian - recomputable in any engine with
+    * md5, which is how the DuckDB oracle replays this pipeline) and
+    * votes +-1 per bit; the sign of each bit-sum forms the fingerprint.
+    * Exposed as the native codegen expression `graft.functions.SimHash64`.
     */
   private[graft] def simhashKernel(text: String): Long = {
     val counts = new Array[Int](64)
     val toks = if (text == null) Array.empty[String]
       else text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
     toks.foreach { t =>
-      val h = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32 |
-        (scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xffffffffL)
+      val h = graft.functions.ExprKernels.md5Hash64(t)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

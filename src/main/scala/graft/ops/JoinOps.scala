@@ -53,8 +53,11 @@ object JoinOps {
     )
     // SQL join semantics for NULL keys: Window.partitionBy would group
     // the NULLs together and happily "match" them; dropping NULL-keyed
-    // right rows leaves NULL-keyed left rows unmatched instead
-    val r = right.filter(F.col(key).isNotNull).select(
+    // right rows leaves NULL-keyed left rows unmatched instead. NULL
+    // timestamps likewise: `left.ts >= NULL` never matches in SQL ASOF,
+    // but a null-ts right row would sort first (nulls-first ascending)
+    // and be carried forward into every left row of its key
+    val r = right.filter(F.col(key).isNotNull && F.col(rightTs).isNotNull).select(
       F.col(key).as("__key"),
       F.col(rightTs).as("__ts"),
       lit(0).as("__side"),

@@ -25,7 +25,11 @@ object SampleOps {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
     if (fraction >= 1.0) df
     else {
-      val threshold = f"${math.round(fraction * 0x100000000L)}%08x"
+      // clamp: fraction within 2^-33 of 1.0 passes the >= 1.0 guard but
+      // rounds to 0x100000000, whose 9-char hex would compare BELOW most
+      // 8-char md5 prefixes and keep ~6% instead of ~100%
+      val raw = math.min(math.round(fraction * 0x100000000L), 0xffffffffL)
+      val threshold = f"$raw%08x"
       df.filter(
         substring(md5(F.col(keyCol).cast(StringType)), 1, 8) < lit(threshold))
     }

@@ -77,6 +77,17 @@ class OpsSpec extends SparkSpec {
     assert(got(101L).isEmpty, "NULL-keyed left row must stay unmatched")
   }
 
+  test("asofJoin: NULL right timestamps never match (ts >= NULL is false)") {
+    // the null-ts quote would sort first (nulls-first ascending) and be
+    // carried into every key-1 trade if not filtered
+    val l = Seq((1L, 10L, 100L), (1L, 3L, 101L)).toDF("k", "ts", "lid")
+    val r = Seq((1L, Some(5L), 1.0), (1L, None, 9.9)).toDF("k", "ts", "px")
+    val got = JoinOps.asofJoin(l, r, "k", "ts", "ts")
+      .select($"lid", $"r_px").as[(Long, Option[Double])].collect().toMap
+    assert(got(100L).contains(1.0))
+    assert(got(101L).isEmpty, "before any valid quote: must stay unmatched")
+  }
+
   test("connectedComponents: empty edge list yields empty result, no NPE") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(GraphOps.connectedComponents(empty, "id_a", "id_b").count() == 0)
@@ -180,6 +191,9 @@ class OpsSpec extends SparkSpec {
     // boundary fractions
     assert(SampleOps.deterministicSample(rows, "key", 0.0).count() == 0)
     assert(SampleOps.deterministicSample(rows, "key", 1.0).count() == 2000)
+    // within 2^-33 of 1.0: rounds to 2^32, which must clamp to 0xffffffff
+    // (the unclamped 9-char "100000000" kept only md5 prefixes < "1")
+    assert(SampleOps.deterministicSample(rows, "key", 1.0 - 1e-12).count() == 2000)
   }
 
   test("redactPii replaces emails, phones, IPs; leaves clean text alone") {
