@@ -37,6 +37,29 @@ object SparkEntry {
     */
   private val skewCap = 50L
 
+  /** DuckDB VALUES list of the universal-hash coefficients used by
+    * `minhash_sig` - the oracle replays the signature pipeline with
+    * IDENTICAL constants (they are deterministic in (numHashes, seed),
+    * and all kernel arithmetic stays within 63 bits: a < 2^31, s < 2^31,
+    * so a*s+b < 2^62 - exact in any engine's BIGINT).
+    */
+  private def coefValues(numHashes: Int, seed: Int): String = {
+    val (as, bs) = graft.functions.ExprKernels.coefs(numHashes, seed)
+    (0 until numHashes).map(h => s"($h,${as(h)},${bs(h)})").mkString(",")
+  }
+
+  /** DuckDB VALUES table `p(pb, pv)` of the random-hyperplane matrix used
+    * by `rh_bucket`. Double.toString emits the shortest round-tripping
+    * decimal, and DuckDB's parse is correctly rounded, so the
+    * interpolated literals come back bit-identical.
+    */
+  private def planeValues(dim: Int, bits: Int, seed: Long): String = {
+    val ps = graft.functions.ExprKernels.planes(dim, bits, seed)
+    ps.zipWithIndex.map { case (row, b) =>
+      s"($b, [${row.mkString(",")}]::DOUBLE[])"
+    }.mkString("(VALUES ", ",", ") p(pb, pv)")
+  }
+
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read it as raw nanos and truncate to micros (the
     * same floor DuckDB's epoch_ms applies later).
@@ -348,16 +371,25 @@ object SparkEntry {
       SimilarityOps.bruteTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     },
-    "ann_lsh" -> { (s, dir) => // approximate: rows-only oracle; recall spec in ScalaTest
+    "ann_lsh" -> { (s, dir) =>
+      // deterministic in (seed, dim, bits): the oracle replays the
+      // hyperplane signs with the SAME interpolated plane constants
       val emb = tbl(s, dir, "embeddings")
       SimilarityOps.lshTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64, bits = 6)
     },
-    "ann_ivf" -> { (s, dir) => // approximate: rows-only oracle; recall spec in ScalaTest
+    "ann_ivf" -> { (s, dir) =>
+      // lloydIters = 0 makes the whole pipeline a deterministic function
+      // of the data (seed centroids = first nCentroids vectors by id,
+      // normalized), so the DuckDB oracle replays coarse quantization +
+      // probing + exact re-ranking bit-for-bit. The Lloyd-refined path
+      // stays covered by the ScalaTest recall spec - distributed FP
+      // summation makes refined centroids deterministic only up to
+      // reduction order, which is not oracle material.
       val emb = tbl(s, dir, "embeddings")
       SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nCentroids = 32, nProbe = 8)
+        k = 5, nCentroids = 32, nProbe = 8, lloydIters = 0)
     },
     // ------------------------------------------------------------------
     // Text analysis
@@ -374,7 +406,7 @@ object SparkEntry {
     "text_langid" -> { (s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
     },
-    "text_fingerprint" -> { (s, dir) => // xxhash64-based: rows-only oracle
+    "text_fingerprint" -> { (s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
     },
@@ -394,7 +426,8 @@ object SparkEntry {
     // ------------------------------------------------------------------
     // Multimodal plumbing (decode stubbed; schema/batching real)
     // ------------------------------------------------------------------
-    "media_decode" -> { (s, dir) => // stub decode: rows-only oracle
+    "media_decode" -> { (s, dir) =>
+      // stub decode is md5-derived, so the oracle replays the pseudo-dims
       val media = MultimodalOps.asMedia(
         tbl(s, dir, "documents").withColumn("payload", encode(col("text"), "utf-8")),
         "doc_id", "payload", "image")
@@ -744,6 +777,167 @@ object SparkEntry {
         |)
         |SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
         |       COUNT(*) AS n_events
-        |FROM y GROUP BY user_id, sess""".stripMargin
+        |FROM y GROUP BY user_id, sess""".stripMargin,
+    // --------------------------------------------------------------------
+    // Sketch replays: the md5-based kernels are reimplemented from scratch
+    // in DuckDB SQL with the engine's own constants interpolated in, so
+    // these are full hash-matches, not rows-only checks.
+    // --------------------------------------------------------------------
+    "dedup_minhash" ->
+      s"""WITH coef(h, a, b) AS (VALUES ${coefValues(64, 42)}),
+        |tk AS (
+        |  SELECT doc_id AS id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                                   t -> t <> '') AS tk FROM documents
+        |), sh AS (
+        |  SELECT id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                                   FOR i IN generate_series(1, greatest(len(tk)-2, 1))])) AS sh
+        |  FROM tk
+        |), hv AS ( -- per-shingle base value: first 15 md5 hex chars mod the Mersenne prime
+        |  SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647 AS s FROM sh
+        |), sigv AS (
+        |  SELECT id, h, min((a * s + b) % 2147483647) AS v
+        |  FROM hv CROSS JOIN coef GROUP BY id, h
+        |), sig AS (
+        |  SELECT id, list(v ORDER BY h) AS sig FROM sigv GROUP BY id
+        |), banded AS ( -- band key = the signature slice itself (8 longs per band)
+        |  SELECT id, sig, band, sig[band*8+1 : band*8+8] AS bucket
+        |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band)
+        |), keep AS ( -- mirror of the engine's bucket-size skew cap
+        |  SELECT band, bucket FROM banded GROUP BY band, bucket HAVING COUNT(*) <= $skewCap
+        |), b2 AS (
+        |  SELECT banded.* FROM banded SEMI JOIN keep USING (band, bucket)
+        |), pairs AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        |  FROM b2 x JOIN b2 y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+        |), est AS ( -- Jaccard estimate = fraction of agreeing signature positions
+        |  SELECT id_a, id_b,
+        |         len([i FOR i IN generate_series(1, 64) IF sa.sig[i] = sb.sig[i]]) / 64.0 AS e
+        |  FROM pairs JOIN sig sa ON id_a = sa.id JOIN sig sb ON id_b = sb.id
+        |)
+        |SELECT id_a, id_b, round(e, 6) AS est_jaccard FROM est WHERE e >= 0.5""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                                          t -> t <> '')) AS tok FROM documents
+        |), th AS ( -- 64-bit token hash: first 16 md5 hex chars as unsigned
+        |  SELECT id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tk
+        |), votes AS ( -- each token votes +-1 per bit
+        |  SELECT id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+        |  GROUP BY id, j
+        |), bits AS ( -- docs with zero tokens get all-zero bits
+        |  SELECT d.doc_id AS id, jj.j,
+        |         CASE WHEN coalesce(v.cnt, 0) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) jj
+        |  LEFT JOIN votes v ON v.id = d.doc_id AND v.j = jj.j
+        |), bl AS (
+        |  SELECT id, list(bit ORDER BY j) AS bl FROM bits GROUP BY id
+        |), keyed AS ( -- pigeonhole blocks: 4 x 16-bit slices of the fingerprint
+        |  SELECT id, bl, blk,
+        |         list_sum([bl[blk*16 + jj] * (2**(jj-1))::BIGINT FOR jj IN generate_series(1, 16)]) AS key
+        |  FROM bl CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS blk)
+        |), keep AS ( -- mirror of the engine's block-size skew cap
+        |  SELECT blk, key FROM keyed GROUP BY blk, key HAVING COUNT(*) <= $skewCap
+        |), k2 AS (
+        |  SELECT keyed.* FROM keyed SEMI JOIN keep USING (blk, key)
+        |), pairs AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        |  FROM k2 x JOIN k2 y ON x.blk = y.blk AND x.key = y.key AND x.id < y.id
+        |), ham AS (
+        |  SELECT id_a, id_b,
+        |         len([i FOR i IN generate_series(1, 64) IF a.bl[i] <> b.bl[i]]) AS hamming
+        |  FROM pairs JOIN bl a ON id_a = a.id JOIN bl b ON id_b = b.id
+        |)
+        |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM ham WHERE hamming <= 3""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH v AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), bk AS ( -- sign-pattern bucket from the engine's own hyperplanes
+        |  SELECT id, SUM(CASE WHEN list_dot_product(v.v, p.pv) >= 0 THEN (2**p.pb)::BIGINT ELSE 0 END) AS bucket
+        |  FROM v CROSS JOIN ${planeValues(64, 4, 42L)}
+        |  GROUP BY id
+        |), b AS (
+        |  SELECT v.id, v.v, v.nrm, bk.bucket FROM v JOIN bk ON v.id = bk.id
+        |)
+        |SELECT a.id AS id_a, b2.id AS id_b,
+        |       round(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm), 6) AS cosine_sim
+        |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+        |WHERE list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) >= 0.35""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH v AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), bk AS (
+        |  SELECT id, SUM(CASE WHEN list_dot_product(v.v, p.pv) >= 0 THEN (2**p.pb)::BIGINT ELSE 0 END) AS bucket
+        |  FROM v CROSS JOIN ${planeValues(64, 6, 42L)}
+        |  GROUP BY id
+        |), b AS (
+        |  SELECT v.id, v.v, v.nrm, bk.bucket FROM v JOIN bk ON v.id = bk.id
+        |), scored AS ( -- candidates = the query's bucket only (single probe)
+        |  SELECT q.id AS query_id, c.id AS neighbor_id,
+        |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+        |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.id <> c.id
+        |  WHERE q.id < 10
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS cosine_sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "ann_ivf" ->
+      """WITH cent AS ( -- seed centroids: first 32 vectors by id, L2-normalized
+        |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid,
+        |         [x / greatest(sqrt(list_dot_product(vv, vv)), 1e-12) FOR x IN vv] AS cv
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings ORDER BY vec_id LIMIT 32)
+        |), v AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), corpus_assign AS ( -- inverted list = argmax dot(v, centroid)
+        |  SELECT id, v, nrm, cid AS list_id FROM (
+        |    SELECT v.id, v.v, v.nrm, c.cid,
+        |           ROW_NUMBER() OVER (PARTITION BY v.id
+        |                              ORDER BY list_dot_product(v.v, c.cv) DESC, c.cid ASC) AS rn
+        |    FROM v CROSS JOIN cent c
+        |  ) WHERE rn = 1
+        |), query_probe AS ( -- each query probes its nProbe nearest lists
+        |  SELECT id, v, nrm, cid AS list_id FROM (
+        |    SELECT v.id, v.v, v.nrm, c.cid,
+        |           ROW_NUMBER() OVER (PARTITION BY v.id
+        |                              ORDER BY list_dot_product(v.v, c.cv) DESC, c.cid ASC) AS rn
+        |    FROM v CROSS JOIN cent c
+        |    WHERE v.id < 10
+        |  ) WHERE rn <= 8
+        |), scored AS (
+        |  SELECT q.id AS query_id, c.id AS neighbor_id,
+        |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+        |  FROM query_probe q JOIN corpus_assign c ON q.list_id = c.list_id AND q.id <> c.id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS cosine_sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |       ('0x' || substr(md5(array_to_string(
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''),
+        |          ' ')), 1, 15))::BIGINT AS fp
+        |FROM documents""".stripMargin,
+    "media_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+        |                 ELSE 64 + (('0x' || substr(md5(text), 1, 8))::BIGINT % 1920) END AS INT) AS width,
+        |       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+        |                 ELSE 64 + (('0x' || substr(md5(text), 9, 8))::BIGINT % 1080) END AS INT) AS height,
+        |       CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' ELSE 'raw' END AS format,
+        |       CAST(16 AS INT) AS n_features
+        |FROM documents""".stripMargin
   )
 }

@@ -40,10 +40,13 @@ object ExprKernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  private def md5Bytes(s: String): Array[Byte] = {
+  private def md5Bytes(s: String): Array[Byte] =
+    md5OfBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private[graft] def md5OfBytes(data: Array[Byte]): Array[Byte] = {
     val d = md5Local.get()
     d.reset()
-    d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.digest(data)
   }
 
   /** First 60 bits of md5(s) as a non-negative long - the value of

@@ -53,9 +53,11 @@ object MultimodalOps {
 
   /** STUB decode: width/height/format from the PNG IHDR header when
     * present; any other payload gets a deterministic pseudo-size derived
-    * from the payload hash, so the pipeline behaves identically with
-    * fake payloads in tests. (A real decoder - including JPEG SOF0
-    * parsing - slots into this function body without touching the plan.)
+    * from the payload's md5 (hex chars 1-8 / 9-16 as unsigned ints), so
+    * the pipeline behaves identically with fake payloads in tests AND
+    * the DuckDB correctness oracle can replay the pseudo-dims from its
+    * own md5. (A real decoder - including JPEG SOF0 parsing - slots into
+    * this function body without touching the plan.)
     */
   def decodeImageMeta(payload: Array[Byte]): (Int, Int, String) = {
     if (payload == null || payload.length == 0) (0, 0, "empty")
@@ -65,8 +67,10 @@ object MultimodalOps {
         ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
       (be32(16), be32(20), "png")
     } else {
-      val h = java.util.Arrays.hashCode(payload)
-      (64 + math.abs(h % 1920), 64 + math.abs((h / 7) % 1080), "raw")
+      val d = graft.functions.ExprKernels.md5OfBytes(payload)
+      def be32u(o: Int): Long = ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+        ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+      (64 + (be32u(0) % 1920).toInt, 64 + (be32u(4) % 1080).toInt, "raw")
     }
   }
 

@@ -103,14 +103,17 @@ object TextOps {
       phone, "[PHONE]")
   }
 
-  /** Order-sensitive 64-bit document fingerprint over normalized tokens -
+  /** Order-sensitive 60-bit document fingerprint over normalized tokens -
     * cheap exact-dup key that ignores case/whitespace differences but not
-    * word order. Hashes the token ARRAY structurally (Spark's xxhash64
-    * chains element hashes), so token boundaries are part of the hash
-    * with no separator convention at all - no separator character can be
-    * smuggled inside a token to alias two token sequences ("ab c" vs
-    * "a bc", or a token containing the separator itself).
+    * word order. Tokens are space-joined and md5'd: the join is
+    * unambiguous because tokens are produced by splitting on whitespace
+    * and so can never contain the separator, and md5 (over xxhash64)
+    * makes the fingerprint recomputable in ANY engine - the DuckDB
+    * correctness oracle replays it from its own md5. 60 bits (15 hex
+    * chars) keeps the value positive in a signed 64-bit integer
+    * everywhere.
     */
   def fingerprint(text: Column): Column =
-    xxhash64(DedupOps.tokens(text))
+    conv(substring(md5(concat_ws(" ", DedupOps.tokens(text))), 1, 15), 16, 10)
+      .cast(LongType)
 }
