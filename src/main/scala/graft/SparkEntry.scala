@@ -161,6 +161,23 @@ object SparkEntry {
         .select(col("query_string"), col("node"),
           col("final_distance").cast(IntegerType).as("final_distance"))
     },
+    "pt_fuzzy_dups" -> { (s, dir) =>
+      // reference duplicate-multiplicity semantics (ecl:205-208: one
+      // end-cap per occurrence, never merged): the corpus here is
+      // part-name TOKENS with duplicates kept, and every match reports
+      // the matched word's corpus multiplicity. Oracled against a
+      // non-DISTINCT brute-force join grouped to counts.
+      val toks = tbl(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .select(trim(col("word")).as("word"))
+        .filter(col("word") =!= "")
+      val trie = PrefixTree.create(toks, "word", prefixLen = 2)
+      val q = toks.select(col("word").as("query_string")).distinct()
+      Query.queryBatch(q, "query_string", trie, maxDist = 1)
+        .select(col("query_string"), col("node"),
+          col("final_distance").cast(IntegerType).as("final_distance"),
+          col("n_occurrences"))
+    },
     "pt_words_roundtrip" -> { (s, dir) =>
       // construction correctness: end-caps reconstruct the distinct word set
       PrefixTree.create(docWords(s, dir), "word", prefixLen = 2)
@@ -504,6 +521,16 @@ object SparkEntry {
         |       CAST(levenshtein(q.query_string, dict.word) AS INT) AS final_distance
         |FROM q CROSS JOIN dict
         |WHERE dict.word <> '' AND levenshtein(q.query_string, dict.word) <= 1""".stripMargin,
+    "pt_fuzzy_dups" ->
+      """WITH c AS (
+        |  SELECT trim(unnest(string_split(p_name, ' '))) AS w FROM part
+        |), corpus AS (SELECT w FROM c WHERE w <> ''),
+        |q AS (SELECT DISTINCT w AS query_string FROM corpus)
+        |SELECT q.query_string, corpus.w AS node,
+        |       CAST(levenshtein(q.query_string, corpus.w) AS INT) AS final_distance,
+        |       COUNT(*) AS n_occurrences
+        |FROM q JOIN corpus ON levenshtein(q.query_string, corpus.w) <= 1
+        |GROUP BY 1, 2, 3""".stripMargin,
     "pt_words_roundtrip" ->
       """SELECT DISTINCT word FROM (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents

@@ -158,22 +158,24 @@ object Kernels {
       query: String,
       maxDist: Int,
       children: Long => Array[PTNode]
-  ): ArrayBuffer[(String, Int)] = searchCounted(query, maxDist, children)._1
+  ): ArrayBuffer[(String, Int)] =
+    searchCounted(query, maxDist, children)._1.map { case (w, d, _) => (w, d) }
 
   /** [[search]] plus the number of trie nodes examined - the measurable
     * form of the branch-and-bound claim: examined nodes should be far
     * fewer than |dictionary| per query (brute force examines every word).
+    * Hits carry the end-cap's `n_occurrences` (corpus multiplicity).
     */
   def searchCounted(
       query: String,
       maxDist: Int,
       children: Long => Array[PTNode]
-  ): (ArrayBuffer[(String, Int)], SearchStats) = {
+  ): (ArrayBuffer[(String, Int, Long)], SearchStats) = {
     val n = query.length
     var visited = 0L
     var cells = 0L
     val band = 2L * maxDist + 1
-    val out = new ArrayBuffer[(String, Int)]()
+    val out = new ArrayBuffer[(String, Int, Long)]()
     // two pooled scratch rows per recursion level: zero allocation on the
     // hot path (a query visits thousands of nodes; rows live only along
     // the current DFS path)
@@ -194,7 +196,7 @@ object Kernels {
           // distance exceeds maxDist by the banding argument
           if (consumed - n <= maxDist && n - consumed <= maxDist) {
             val d = row(n)
-            if (d <= maxDist) out += ((child.node, d))
+            if (d <= maxDist) out += ((child.node, d, child.n_occurrences))
           }
         } else if (n <= child._max + maxDist && n >= child._min - maxDist) {
           cells += child.node.length * band // banded DP work for this edge
@@ -211,8 +213,11 @@ object Kernels {
     (out, SearchStats(visited, cells))
   }
 
-  /** Streaming radix-trie builder over one partition's SORTED, DISTINCT
-    * word iterator. Single ascending pass, O(max word length) state.
+  /** Streaming radix-trie builder over one partition's SORTED word
+    * iterator (duplicates allowed - they arrive adjacent and collapse
+    * into one end-cap carrying `n_occurrences`, preserving the
+    * reference's per-occurrence multiplicity, ecl:205-208, without
+    * duplicate rows). Single ascending pass, O(max word length) state.
     *
     * Spark-first redesign of the reference's construction pipeline (two
     * directional `ITERATE` boundary-marking passes + id assignment +
@@ -229,7 +234,7 @@ object Kernels {
     * labels along a path concatenate to the word; `_min <= len <= _max`
     * along each word's path.
     */
-  def buildTrie(partitionId: Int, sortedDistinctWords: Iterator[String]): Iterator[PTNode] = {
+  def buildTrie(partitionId: Int, sortedWords: Iterator[String]): Iterator[PTNode] = {
     val pidBase = partitionId.toLong << PTNode.PART_SHIFT
     var counter = 0L
     def nextId(): Long = { counter += 1; pidBase | counter }
@@ -257,7 +262,7 @@ object Kernels {
       i
     }
 
-    def insert(w: String): Unit = {
+    def insert(w: String, count: Long): Unit = {
       val div = if (prev == null) 0 else lcp(prev, w)
       // 1. finalize open nodes lying entirely beyond the divergence point
       while (stack.nonEmpty && stack.head.start >= div) {
@@ -292,24 +297,33 @@ object Kernels {
       val parent = if (stack.isEmpty) 0L else stack.head.id
       val fresh = new Open(div, w.substring(div), nextId(), parent, w.length, w.length)
       stack = fresh :: stack
-      out += PTNode(nextId(), fresh.id, w.length, w.length, is_word = true, partitionId, w)
+      out += PTNode(nextId(), fresh.id, w.length, w.length, is_word = true, partitionId, w,
+        n_occurrences = count)
       prev = w
     }
 
     new Iterator[PTNode] {
       private var idx = 0
       private var done = false
+      private var lookahead: String = null
       private def fill(): Unit = {
         if (idx >= out.length) { out.clear(); idx = 0 }
         while (idx >= out.length && !done) {
-          var moved = false
-          while (!moved && sortedDistinctWords.hasNext) {
-            val w = sortedDistinctWords.next()
-            if (prev == null || w != prev) { insert(w); moved = true }
-          }
-          if (!moved) { // input exhausted: finalize the remaining path
+          var w = lookahead
+          lookahead = null
+          if (w == null && sortedWords.hasNext) w = sortedWords.next()
+          if (w == null) { // input exhausted: finalize the remaining path
             while (stack.nonEmpty) { emit(stack.head); stack = stack.tail }
             done = true
+          } else {
+            // sorted input: all copies of w are adjacent - consume the
+            // whole run and fold it into one count
+            var count = 1L
+            while (lookahead == null && sortedWords.hasNext) {
+              val nxt = sortedWords.next()
+              if (nxt == w) count += 1 else lookahead = nxt
+            }
+            insert(w, count)
           }
         }
       }

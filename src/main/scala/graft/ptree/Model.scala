@@ -23,6 +23,12 @@ package graft.ptree
   *  - `compute_node` originating partition id (ecl:273, 284).
   *  - `node`     multi-char edge label (path compression), or the whole
   *               word on end-caps.
+  *  - `n_occurrences` corpus multiplicity of the word on end-caps (1 on
+  *               internal nodes). The reference emits one end-cap PER
+  *               duplicate occurrence (ecl:205-208, never merged by its
+  *               ROLLUP); a count-carrying single end-cap preserves that
+  *               observable multiplicity without letting duplicate-heavy
+  *               corpora bloat the trie.
   */
 final case class PTNode(
     id: Long,
@@ -31,7 +37,8 @@ final case class PTNode(
     _min: Int,
     is_word: Boolean,
     compute_node: Int,
-    node: String
+    node: String,
+    n_occurrences: Long = 1L
 )
 
 object PTNode {

@@ -38,9 +38,13 @@ import org.apache.spark.sql.functions._
   *
   * Duplicate semantics: the reference emits one end-cap PER duplicate
   * occurrence (distinct ids, never merged - SURVEY.md A.q2), making query
-  * output multiplicity depend on corpus multiplicity. We dedup: one
-  * end-cap per distinct word. Documented divergence; the DuckDB oracle
-  * compares against `SELECT DISTINCT`.
+  * output multiplicity depend on corpus multiplicity. We emit ONE end-cap
+  * per distinct word carrying `n_occurrences` (the run length in the
+  * sorted partition scan - free to compute, no extra shuffle): the same
+  * observable multiplicity without letting duplicate-heavy corpora bloat
+  * the trie, and query results expose it as a column
+  * (SparkEntry.pt_fuzzy_dups oracles it against a non-DISTINCT
+  * brute-force join).
   */
 object PrefixTree {
 

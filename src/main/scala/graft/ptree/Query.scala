@@ -32,8 +32,12 @@ import org.apache.spark.storage.StorageLevel
   */
 object Query {
 
-  /** Output schema matches the reference's Thor projection (ecl:445):
-    * (query_string, node = matched word, final_distance).
+  /** Output schema: the reference's Thor projection (ecl:445) -
+    * (query_string, node = matched word, final_distance) - plus
+    * `n_occurrences`, the matched word's corpus multiplicity (the
+    * reference expresses multiplicity as repeated end-cap rows,
+    * ecl:205-208; callers wanting that shape filter/explode on the
+    * count, callers wanting dedup semantics just drop the column).
     */
   def queryBatch(
       queries: DataFrame,
@@ -93,11 +97,28 @@ object Query {
           val (hits, stats) = Kernels.searchCounted(q, maxDist, lookup)
           visitCounter.foreach(_.add(stats.nodes))
           cellCounter.foreach(_.add(stats.cells))
-          hits.map { case (w, d) => (q, w, d) }
+          hits.map { case (w, d, c) => (q, w, d, c) }
         }
       }
-      .toDF("query_string", "node", "final_distance")
+      .toDF("query_string", "node", "final_distance", "n_occurrences")
   }
+
+  /** One frontier-expansion step of the join-mode loop: inner join
+    * `frontier.node_id = trie.parent_id` with the branch-and-bound and
+    * length-window prunes attached (reference ecl:434, 440-441).
+    * `private[ptree]` so the plan spec can assert the 100 TB property
+    * directly: with the trie pre-partitioned on parent_id, this join
+    * must shuffle ONLY the frontier side.
+    */
+  private[ptree] def frontierJoin(frontier: DataFrame, t: DataFrame, maxDist: Int): DataFrame =
+    frontier.join(
+      t,
+      frontier("node_id") === t("parent_id") &&
+        element_at(frontier("state"), -1) <= lit(maxDist) &&
+        length(frontier("query_string")) <= t("_max") + lit(maxDist) &&
+        length(frontier("query_string")) >= t("_min") - lit(maxDist),
+      "inner"
+    )
 
   def queryJoin(
       queries: DataFrame,
@@ -125,6 +146,11 @@ object Query {
     val parts = spark.sessionState.conf.numShufflePartitions
     val t = trie.toDF().repartition(parts, $"parent_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the cache BEFORE the first join plans against it: an
+    // unexecuted AQE cache plan reports UnknownPartitioning, and the
+    // first iteration would then defensively re-shuffle the whole trie
+    // (PrefixTreeSpec's per-iteration plan test pins this down)
+    t.count()
 
     var frontier = queries
       .select(column(col).cast(StringType).as("query_string"))
@@ -142,15 +168,7 @@ object Query {
     var emitted: List[DataFrame] = Nil
     try {
     while (!frontier.isEmpty) {
-      val joined = frontier
-        .join(
-          t,
-          frontier("node_id") === t("parent_id") &&
-            element_at(frontier("state"), -1) <= lit(maxDist) &&
-            length(frontier("query_string")) <= t("_max") + lit(maxDist) &&
-            length(frontier("query_string")) >= t("_min") - lit(maxDist),
-          "inner"
-        )
+      val joined = frontierJoin(frontier, t, maxDist)
 
       // End-caps exit the loop into the result set (ecl:431): the exact
       // distance is the parent row's cell [len(q)], computed WITHOUT
@@ -161,7 +179,8 @@ object Query {
         .select(
           $"query_string",
           $"node",
-          element_at($"state", length($"query_string") + 1).as("final_distance")
+          element_at($"state", length($"query_string") + 1).as("final_distance"),
+          $"n_occurrences"
         )
         .localCheckpoint()
       if (!stepEmitted.isEmpty) emitted ::= stepEmitted
@@ -187,7 +206,8 @@ object Query {
         StructType(Seq(
           StructField("query_string", StringType),
           StructField("node", StringType),
-          StructField("final_distance", IntegerType)
+          StructField("final_distance", IntegerType),
+          StructField("n_occurrences", LongType)
         ))
       )
     else

@@ -88,6 +88,32 @@ class OpsSpec extends SparkSpec {
     assert(got(101L).isEmpty, "before any valid quote: must stay unmatched")
   }
 
+  test("connectedComponentsStar matches min-label CC (long and string ids)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
+      .toDF("id_a", "id_b")
+    val a = GraphOps.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val b = GraphOps.connectedComponentsStar(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+    val sedges = Seq(("cat", "cap"), ("cap", "car"), ("dog", "dot")).toDF("a", "b")
+    val sa = GraphOps.connectedComponents(sedges, "a", "b").as[(String, String)].collect().toSet
+    val sb = GraphOps.connectedComponentsStar(sedges, "a", "b").as[(String, String)].collect().toSet
+    assert(sa == sb)
+    assert(GraphOps.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b").count() == 0)
+  }
+
+  test("connectedComponentsStar: 64-chain converges in O(log n) rounds") {
+    // the giant-component shape where min-label degenerates: a chain of
+    // diameter n needs ~n min-label rounds; star contraction is O(log n)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (out, rounds) = GraphOps.connectedComponentsStarCounted(chain, "id_a", "id_b")
+    val labels = out.as[(Long, Long)].collect()
+    assert(labels.length == 64 && labels.forall(_._2 == 0L))
+    assert(rounds <= 12, s"rounds=$rounds - star contraction should need ~log2(64)=6, not ~63")
+  }
+
   test("connectedComponents: empty edge list yields empty result, no NPE") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(GraphOps.connectedComponents(empty, "id_a", "id_b").count() == 0)

@@ -16,6 +16,11 @@ class PrefixTreeSpec extends SparkSpec {
 
   private lazy val trie = PrefixTree.create(dictDf, "w", prefixLen = 2, numPartitions = 4)
 
+  /** Project a query result down to the reference's 3-column shape. */
+  private def rows3(df: org.apache.spark.sql.DataFrame): Set[(String, String, Int)] =
+    df.select("query_string", "node", "final_distance")
+      .as[(String, String, Int)].collect().toSet
+
   private def brute(queries: Seq[String], k: Int): Set[(String, String, Int)] = {
     val words = dictDf
       .select(trim($"w").as("word")).filter($"word" =!= "").distinct()
@@ -42,31 +47,26 @@ class PrefixTreeSpec extends SparkSpec {
   test("queryBroadcast matches brute-force levenshtein join") {
     val queries = Seq("dog", "doer", "kaminski", "baylizz", "zzz", "ab")
     for (k <- 0 to 2) {
-      val got = Query
-        .queryBroadcast(queries.toDF("q"), "q", trie, k)
-        .as[(String, String, Int)].collect().toSet
+      val got = rows3(Query.queryBroadcast(queries.toDF("q"), "q", trie, k))
       assert(got == brute(queries, k), s"k=$k")
     }
   }
 
   test("queryBatch auto mode picks each side of the threshold correctly") {
     val queries = Seq("dog", "kaminski").toDF("q")
-    val expect = Query.queryBroadcast(queries, "q", trie, 1)
-      .as[(String, String, Int)].collect().toSet
-    val viaBroadcast = Query.queryBatch(queries, "q", trie, 1)
-      .as[(String, String, Int)].collect().toSet // trie << default threshold
-    val viaJoin = Query.queryBatch(queries, "q", trie, 1, broadcastThreshold = 1)
-      .as[(String, String, Int)].collect().toSet // forced join mode
+    val expect = rows3(Query.queryBroadcast(queries, "q", trie, 1))
+    val viaBroadcast = rows3(Query.queryBatch(queries, "q", trie, 1)) // trie << default threshold
+    val viaJoin = rows3(Query.queryBatch(queries, "q", trie, 1, broadcastThreshold = 1)) // forced join mode
     assert(viaBroadcast == expect && viaJoin == expect)
   }
 
   test("queryJoin (loop mode) matches broadcast mode") {
     val queries = Seq("dog", "doer", "kaminski", "ab").toDF("q")
     val a = Query.queryBroadcast(queries, "q", trie, 2)
-      .as[(String, String, Int)].collect().toSet
+      .as[(String, String, Int, Long)].collect().toSet
     val b = Query.queryJoin(queries, "q", trie, 2)
-      .as[(String, String, Int)].collect().toSet
-    assert(a == b)
+      .as[(String, String, Int, Long)].collect().toSet
+    assert(a == b) // including the n_occurrences column
   }
 
   test("queryOne (serving path) without Spark jobs") {
@@ -82,8 +82,8 @@ class PrefixTreeSpec extends SparkSpec {
     val t = PrefixTree.create(cust, "c_name", prefixLen = 12)
     val q = cust.limit(12)
       .select(expr("concat(substr(c_name,1,length(c_name)-1),'X')").as("q"))
-    val a = Query.queryBroadcast(q, "q", t, 1).as[(String, String, Int)].collect().toSet
-    val b = Query.queryJoin(q, "q", t, 1).as[(String, String, Int)].collect().toSet
+    val a = rows3(Query.queryBroadcast(q, "q", t, 1))
+    val b = rows3(Query.queryJoin(q, "q", t, 1))
     assert(a == b && a.nonEmpty)
   }
 
@@ -112,12 +112,9 @@ class PrefixTreeSpec extends SparkSpec {
     PrefixTree.writeIndexed(trie, dir, buckets = 4)
     val back = PrefixTree.read(spark, dir)
     val queries = Seq("dog", "kaminski", "ab").toDF("q")
-    val a = Query.queryBroadcast(queries, "q", trie, 2)
-      .as[(String, String, Int)].collect().toSet
-    val b = Query.queryBroadcast(queries, "q", back, 2)
-      .as[(String, String, Int)].collect().toSet
-    val c = Query.queryJoin(queries, "q", back, 2)
-      .as[(String, String, Int)].collect().toSet
+    val a = rows3(Query.queryBroadcast(queries, "q", trie, 2))
+    val b = rows3(Query.queryBroadcast(queries, "q", back, 2))
+    val c = rows3(Query.queryJoin(queries, "q", back, 2))
     assert(a == b && a == c)
   }
 
@@ -127,10 +124,8 @@ class PrefixTreeSpec extends SparkSpec {
       val back = PrefixTree.readTable(spark, "pt_spec_bucketed")
       // correctness through the catalog roundtrip
       val queries = Seq("dog", "kaminski", "ab").toDF("q")
-      val a = Query.queryBroadcast(queries, "q", trie, 2)
-        .as[(String, String, Int)].collect().toSet
-      val b = Query.queryBroadcast(queries, "q", back, 2)
-        .as[(String, String, Int)].collect().toSet
+      val a = rows3(Query.queryBroadcast(queries, "q", trie, 2))
+      val b = rows3(Query.queryBroadcast(queries, "q", back, 2))
       assert(a == b)
       // the BUILDINDEX point: an equi-join on parent_id reads buckets
       // directly - only the probe side shuffles (disable broadcast so
@@ -148,13 +143,50 @@ class PrefixTreeSpec extends SparkSpec {
   test("prefixLen <= 0 (whole-word hashing, skew mode) answers identically") {
     val t = PrefixTree.create(dictDf, "w", prefixLen = 0, numPartitions = 4)
     val queries = Seq("dog", "doer", "kaminski", "ab")
-    val got = Query.queryBroadcast(queries.toDF("q"), "q", t, 2)
-      .as[(String, String, Int)].collect().toSet
+    val got = rows3(Query.queryBroadcast(queries.toDF("q"), "q", t, 2))
     assert(got == brute(queries, 2))
   }
 
-  test("reference fixture: duplicate words dedup (A.q2 divergence)") {
-    val t = PrefixTree.create(Seq("dog", "dog", "cat").toDF("w"), "w", 2, 2)
-    assert(t.filter(_.is_word).count() == 2)
+  test("join mode: per-iteration join shuffles only the frontier side") {
+    // the 100 TB property behind queryJoin's one-time trie repartition:
+    // each loop iteration's equi-join must reuse the trie's cached
+    // hash partitioning on parent_id and exchange ONLY the frontier
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val t = trie.toDF().repartition(parts, $"parent_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        t.count() // materialize: an unexecuted AQE cache plan reports
+        // UnknownPartitioning and would force a defensive re-shuffle
+        val frontier = Seq(("dog", 0L)).toDF("query_string", "node_id")
+          .withColumn("state",
+            concat(sequence(lit(0), length($"query_string")), array(lit(0))))
+          .withColumn("depth", lit(0))
+        val plan = Query.frontierJoin(frontier, t, 2)
+          .queryExecution.executedPlan.toString
+        // count only exchanges ABOVE the cache scan: the cached subtree's
+        // exchanges ran once at materialization, not per iteration
+        val perIteration = plan.split("InMemoryRelation")(0)
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(perIteration).length
+        assert(exchanges == 1,
+          s"trie side must not re-shuffle per iteration; plan:\n$plan")
+      } finally t.unpersist()
+    }
+  }
+
+  test("duplicate words collapse to one end-cap carrying n_occurrences") {
+    val t = PrefixTree.create(
+      Seq("dog", "dog", "dog", "cat", "dot").toDF("w"), "w", 2, 2)
+    val caps = t.filter(_.is_word).collect().map(n => n.node -> n.n_occurrences).toMap
+    assert(caps == Map("dog" -> 3L, "cat" -> 1L, "dot" -> 1L))
+    // multiplicity flows through both query modes (reference ecl:205-208
+    // emits one row per occurrence; we report the count)
+    val q = Seq("dog").toDF("q")
+    val bc = Query.queryBroadcast(q, "q", t, 1)
+      .as[(String, String, Int, Long)].collect().toSet
+    val jm = Query.queryJoin(q, "q", t, 1)
+      .as[(String, String, Int, Long)].collect().toSet
+    assert(bc == Set(("dog", "dog", 0, 3L), ("dog", "dot", 1, 1L)))
+    assert(jm == bc)
   }
 }
