@@ -141,8 +141,13 @@ object DedupOps {
       maxTokenDocFreq: Long = Long.MaxValue,
       shingleLen: Int = 1
   ): DataFrame = {
-    val toks = OpsUtil.spread(df)
+    val toks0 = OpsUtil.spread(df)
       .select(F.col(idCol).as("id"), explode(shingleStrings(F.col(textCol), shingleLen)).as("tok"))
+    // with the skew cap active the token table feeds FOUR consumers (hot
+    // count, sizes, both join sides); materialize it once instead of
+    // re-running scan+shingle per consumer. This is the inverted index
+    // every production near-dup pipeline materializes anyway; disk-backed.
+    val toks = if (maxTokenDocFreq == Long.MaxValue) toks0 else toks0.localCheckpoint()
     val filtered =
       if (maxTokenDocFreq == Long.MaxValue) toks
       else {
@@ -214,7 +219,12 @@ object DedupOps {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
+    val sigs0 = minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
+    // with the skew cap active the signatures feed three consumers (hot
+    // count + both join sides): checkpoint the COMPACT per-doc signatures
+    // (1 row/doc) rather than the bands-times-exploded table downstream -
+    // banding from cached signatures is a cheap slice+explode
+    val sigs = if (maxBucketSize == Long.MaxValue) sigs0 else sigs0.localCheckpoint()
     // bucket key per band: the signature SLICE itself (r longs). Raw
     // slices instead of a hash of the slice keeps the whole banding
     // stage in builtin codegen'd expressions (no UDF) and makes the
@@ -237,12 +247,9 @@ object DedupOps {
     val banded =
       if (maxBucketSize == Long.MaxValue) bandedAll
       else {
-        // materialize once: the count and the anti-join would otherwise
-        // each re-execute the scan+signature+explode subplan
-        val mat = bandedAll.localCheckpoint()
-        val hot = mat.groupBy("band", "bucket").count()
+        val hot = bandedAll.groupBy("band", "bucket").count()
           .filter(col("count") > maxBucketSize).select("band", "bucket")
-        mat.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+        bandedAll.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
       }
     // estimate BEFORE deduping band collisions: the estimate is a cheap
     // kernel over arrays already in hand, and dropping the signature
@@ -314,7 +321,10 @@ object DedupOps {
   ): DataFrame = {
     val blocks = maxHamming + 1
     val width = 64 / blocks
-    val fps = simhashFingerprints(df, idCol, textCol)
+    val fps0 = simhashFingerprints(df, idCol, textCol)
+    // same shape as minhashLshPairs: checkpoint the compact per-doc
+    // fingerprints (8 bytes/doc) once when the cap adds a third consumer
+    val fps = if (maxBlockSize == Long.MaxValue) fps0 else fps0.localCheckpoint()
     val blockStructs = (0 until blocks).map { bIdx =>
       struct(
         lit(bIdx).as("blk"),
@@ -331,10 +341,9 @@ object DedupOps {
     val keyed =
       if (maxBlockSize == Long.MaxValue) keyedAll
       else {
-        val mat = keyedAll.localCheckpoint()
-        val hot = mat.groupBy("bk").count()
+        val hot = keyedAll.groupBy("bk").count()
           .filter(col("count") > maxBlockSize).select("bk")
-        mat.join(broadcast(hot), Seq("bk"), "left_anti")
+        keyedAll.join(broadcast(hot), Seq("bk"), "left_anti")
       }
     keyed.as("a")
       .join(
