@@ -526,5 +526,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
       (es: Seq[Expression]) => VecNorm(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("sig_agree"),
+      new ExpressionInfo(classOf[SigAgree].getName, "sig_agree"),
+      (es: Seq[Expression]) => SigAgree(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+      {
+        case Seq(c, Literal(n: Int, IntegerType)) => Shingles(c, n)
+        case es => throw new IllegalArgumentException(
+          s"shingles(text, nLiteral); got ${es.length} args")
+      }))
   }
 }

@@ -16,6 +16,12 @@ private[graft] object OpsUtil {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // logical-stats probe, NOT df.rdd.getNumPartitions: touching .rdd
+    // forces a physical-planning pass per call. Small inputs (< ~32 MB
+    // per core) arrive as a handful of file splits and would serialize a
+    // compute-heavy narrow stage; large inputs already carry a split per
+    // ~128 MB, so repartitioning them would only add a pointless shuffle.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(target.toLong) * 32L * 1024 * 1024) df.repartition(target) else df
   }
 }

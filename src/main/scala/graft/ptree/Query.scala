@@ -120,11 +120,20 @@ object Query {
       "inner"
     )
 
+  /** @param withPath thread the reference's `cumulative_nodes` debug
+    *   column (ecl:405-406, 424-425) through the loop: the concatenation
+    *   of edge labels consumed so far, emitted as `path` on every result
+    *   row. For an end-cap emission the parent path spells exactly the
+    *   matched word (`path == node` - spec'd), which is the traversal-
+    *   debugging property the reference kept the column for. Off by
+    *   default: it widens every frontier shuffle row by the path length.
+    */
   def queryJoin(
       queries: DataFrame,
       col: String,
       trie: Dataset[PTNode],
-      maxDist: Int
+      maxDist: Int,
+      withPath: Boolean = false
   ): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -152,7 +161,7 @@ object Query {
     // (PrefixTreeSpec's per-iteration plan test pins this down)
     t.count()
 
-    var frontier = queries
+    val frontier0 = queries
       .select(column(col).cast(StringType).as("query_string"))
       .withColumn("node_id", lit(0L))
       .withColumn(
@@ -160,7 +169,9 @@ object Query {
         concat(sequence(lit(0), length($"query_string")), array(lit(0)))
       )
       .withColumn("depth", lit(0))
-      .localCheckpoint()
+    var frontier =
+      (if (withPath) frontier0.withColumn("path", lit("")) else frontier0)
+        .localCheckpoint()
 
     // each iteration's emissions are checkpointed once and unioned at the
     // end - re-checkpointing a growing union would rematerialize all
@@ -173,28 +184,30 @@ object Query {
       // End-caps exit the loop into the result set (ecl:431): the exact
       // distance is the parent row's cell [len(q)], computed WITHOUT
       // advancing the DP (end-caps carry the full word, not an edge).
+      val emitCols = Seq(
+        $"query_string",
+        $"node",
+        element_at($"state", length($"query_string") + 1).as("final_distance"),
+        $"n_occurrences"
+      ) ++ (if (withPath) Seq($"path") else Nil)
       val stepEmitted = joined
         .filter($"is_word" &&
           element_at($"state", length($"query_string") + 1) <= lit(maxDist))
-        .select(
-          $"query_string",
-          $"node",
-          element_at($"state", length($"query_string") + 1).as("final_distance"),
-          $"n_occurrences"
-        )
+        .select(emitCols: _*)
         .localCheckpoint()
       if (!stepEmitted.isEmpty) emitted ::= stepEmitted
 
+      val stepCols = Seq(
+        $"query_string",
+        t("id").as("node_id"),
+        $"state2".as("state"),
+        ($"depth" + length($"node")).cast(IntegerType).as("depth")
+      ) ++ (if (withPath) Seq(concat($"path", $"node").as("path")) else Nil)
       frontier = joined
         .filter(!$"is_word")
         .withColumn("state2", extend($"query_string", $"node", $"state", $"depth"))
         .filter(element_at($"state2", -1) <= lit(maxDist))
-        .select(
-          $"query_string",
-          t("id").as("node_id"),
-          $"state2".as("state"),
-          ($"depth" + length($"node")).cast(IntegerType).as("depth")
-        )
+        .select(stepCols: _*)
         .localCheckpoint()
     }
     // finally (not success-path only): an exception mid-loop must not
@@ -208,7 +221,7 @@ object Query {
           StructField("node", StringType),
           StructField("final_distance", IntegerType),
           StructField("n_occurrences", LongType)
-        ))
+        ) ++ (if (withPath) Seq(StructField("path", StringType)) else Nil))
       )
     else
       emitted.reduce(_ union _)

@@ -174,6 +174,18 @@ class PrefixTreeSpec extends SparkSpec {
     }
   }
 
+  test("withPath: the traversal path spells the matched word exactly") {
+    // the reference's cumulative_nodes invariant (ecl:405-425): edge
+    // labels down to an end-cap's parent concatenate to the word
+    val queries = Seq("dog", "doer", "kaminski").toDF("q")
+    val rows = Query.queryJoin(queries, "q", trie, 2, withPath = true)
+      .select("node", "path").as[(String, String)].collect()
+    assert(rows.nonEmpty && rows.forall { case (node, path) => path == node })
+    // default schema is unchanged (no path column)
+    assert(!Query.queryJoin(queries, "q", trie, 1)
+      .schema.fieldNames.contains("path"))
+  }
+
   test("duplicate words collapse to one end-cap carrying n_occurrences") {
     val t = PrefixTree.create(
       Seq("dog", "dog", "dog", "cat", "dot").toDF("w"), "w", 2, 2)
