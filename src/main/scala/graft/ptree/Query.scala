@@ -177,38 +177,56 @@ object Query {
     // end - re-checkpointing a growing union would rematerialize all
     // prior results every iteration (O(depth^2))
     var emitted: List[DataFrame] = Nil
+    var nFrontier = frontier.count()
     try {
-    while (!frontier.isEmpty) {
-      val joined = frontierJoin(frontier, t, maxDist)
-
-      // End-caps exit the loop into the result set (ecl:431): the exact
-      // distance is the parent row's cell [len(q)], computed WITHOUT
-      // advancing the DP (end-caps carry the full word, not an edge).
-      val emitCols = Seq(
+    while (nFrontier > 0) {
+      // ONE join execution + ONE materialization per iteration: project
+      // down to the surviving columns, advance the DP for non-end-caps,
+      // filter both branch conditions, THEN checkpoint - emitted rows and
+      // the next frontier are cheap filters over the cached result.
+      // (Checkpointing the raw full-width join was measured slower than
+      // running the join per branch; the projected+filtered form is
+      // narrower than either.)
+      val surviveCols = Seq(
         $"query_string",
+        $"is_word",
         $"node",
+        $"n_occurrences",
+        t("id").as("next_id"),
+        // end-caps exit the loop into the result set (ecl:431): the exact
+        // distance is the parent row's cell [len(q)], computed WITHOUT
+        // advancing the DP (end-caps carry the full word, not an edge)
         element_at($"state", length($"query_string") + 1).as("final_distance"),
-        $"n_occurrences"
+        when(!$"is_word", extend($"query_string", $"node", $"state", $"depth"))
+          .as("state2"),
+        $"depth"
       ) ++ (if (withPath) Seq($"path") else Nil)
-      val stepEmitted = joined
-        .filter($"is_word" &&
-          element_at($"state", length($"query_string") + 1) <= lit(maxDist))
-        .select(emitCols: _*)
+      val step = frontierJoin(frontier, t, maxDist)
+        .select(surviveCols: _*)
+        .filter(
+          ($"is_word" && $"final_distance" <= lit(maxDist)) ||
+            (!$"is_word" && element_at($"state2", -1) <= lit(maxDist)))
         .localCheckpoint()
-      if (!stepEmitted.isEmpty) emitted ::= stepEmitted
+
+      // ONE control-flow job per iteration: both branch counts from the
+      // cached step (separate isEmpty probes would each schedule a job)
+      val cnts = step.agg(
+        count(when($"is_word", 1)).as("n_emit"),
+        count(when(!$"is_word", 1)).as("n_frontier")).head()
+      nFrontier = cnts.getLong(1)
+
+      val emitCols = Seq(
+        $"query_string", $"node", $"final_distance", $"n_occurrences"
+      ) ++ (if (withPath) Seq($"path") else Nil)
+      if (cnts.getLong(0) > 0) emitted ::= step.filter($"is_word").select(emitCols: _*)
 
       val stepCols = Seq(
         $"query_string",
-        t("id").as("node_id"),
+        $"next_id".as("node_id"),
         $"state2".as("state"),
         ($"depth" + length($"node")).cast(IntegerType).as("depth")
       ) ++ (if (withPath) Seq(concat($"path", $"node").as("path")) else Nil)
-      frontier = joined
-        .filter(!$"is_word")
-        .withColumn("state2", extend($"query_string", $"node", $"state", $"depth"))
-        .filter(element_at($"state2", -1) <= lit(maxDist))
-        .select(stepCols: _*)
-        .localCheckpoint()
+      frontier = step.filter(!$"is_word").select(stepCols: _*)
     }
     // finally (not success-path only): an exception mid-loop must not
     // leak the cached trie partitioning
