@@ -161,6 +161,36 @@ object SparkEntry {
         .select(col("query_string"), col("node"),
           col("final_distance").cast(IntegerType).as("final_distance"))
     },
+    "pt_incremental" -> { (s, dir) =>
+      // incremental maintenance: build the trie on half the corpus,
+      // merge the other half (rebuild input = vocabulary-sized weighted
+      // end-caps + new slice, never the original raw corpus), then run
+      // the flagship fuzzy query. Oracle = the SAME brute-force SQL as
+      // pt_fuzzy_customer: merge must be indistinguishable from a
+      // full-corpus build.
+      val cust = tbl(s, dir, "customer")
+      val half1 = PrefixTree.create(
+        cust.filter(col("c_custkey") % 2 === 0), "c_name", prefixLen = 12)
+      val trie = PrefixTree.merge(
+        half1, cust.filter(col("c_custkey") % 2 =!= 0), "c_name", prefixLen = 12)
+      val queries = cust
+        .filter(col("c_custkey") % 7 === 0)
+        .select(expr("concat(substr(c_name, 1, length(c_name)-1), 'X')").as("query_string"))
+      Query.queryBatch(queries, "query_string", trie, maxDist = 2)
+        .select(col("query_string"), col("node"),
+          col("final_distance").cast(IntegerType).as("final_distance"))
+    },
+    "pt_topk" -> { (s, dir) =>
+      // best-k variant of the flagship query: rank window over the
+      // thresholded trie matches, deterministic (distance, node) ties
+      val cust = tbl(s, dir, "customer")
+      val trie = PrefixTree.create(cust, "c_name", prefixLen = 12)
+      val queries = cust
+        .filter(col("c_custkey") % 7 === 0)
+        .select(expr("concat(substr(c_name, 1, length(c_name)-1), 'X')").as("query_string"))
+        .distinct()
+      Query.fuzzyTopK(queries, "query_string", trie, maxDist = 2, k = 3)
+    },
     "pt_fuzzy_dups" -> { (s, dir) =>
       // reference duplicate-multiplicity semantics (ecl:205-208: one
       // end-cap per occurrence, never merged): the corpus here is
@@ -288,6 +318,19 @@ object SparkEntry {
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
           countDistinct(col("l_orderkey")).as("n_orders")
         )
+    },
+    "q11_stratified" -> { (s, dir) =>
+      // per-stratum deterministic sampling: rebalance a training mix by
+      // downsampling strata at different rates, reproducibly (pure
+      // function of the key, so the oracle replays the exact subset)
+      graft.ops.SampleOps.stratifiedSample(
+        tbl(s, dir, "lineitem"), "l_orderkey", "l_returnflag",
+        Map("R" -> 0.2, "A" -> 0.05, "N" -> 0.02))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
     },
     "q9_percentile" -> { (s, dir) =>
       // exact percentiles (linear interpolation) per group
@@ -521,6 +564,41 @@ object SparkEntry {
         |       CAST(levenshtein(q.query_string, dict.word) AS INT) AS final_distance
         |FROM q CROSS JOIN dict
         |WHERE dict.word <> '' AND levenshtein(q.query_string, dict.word) <= 1""".stripMargin,
+    "pt_incremental" ->
+      """SELECT q.query_string AS query_string, d.c_name AS node,
+        |       CAST(levenshtein(q.query_string, d.c_name) AS INT) AS final_distance
+        |FROM (SELECT substr(c_name, 1, length(c_name)-1) || 'X' AS query_string
+        |      FROM customer WHERE c_custkey % 7 = 0) q
+        |CROSS JOIN customer d
+        |WHERE levenshtein(q.query_string, d.c_name) <= 2""".stripMargin,
+    "pt_topk" ->
+      """WITH q AS (SELECT DISTINCT substr(c_name, 1, length(c_name)-1) || 'X' AS query_string
+        |           FROM customer WHERE c_custkey % 7 = 0),
+        |scored AS (
+        |  SELECT q.query_string, d.c_name AS node,
+        |         levenshtein(q.query_string, d.c_name) AS fd
+        |  FROM q CROSS JOIN customer d
+        |  WHERE levenshtein(q.query_string, d.c_name) <= 2
+        |), ranked AS (
+        |  SELECT query_string, node, CAST(fd AS INT) AS final_distance,
+        |         ROW_NUMBER() OVER (PARTITION BY query_string
+        |                            ORDER BY fd ASC, node ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_string, node, final_distance, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q11_stratified" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem
+        |WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) <
+        |      CASE l_returnflag
+        |        WHEN 'R' THEN '${graft.ops.SampleOps.hexThreshold(0.2)}'
+        |        WHEN 'A' THEN '${graft.ops.SampleOps.hexThreshold(0.05)}'
+        |        WHEN 'N' THEN '${graft.ops.SampleOps.hexThreshold(0.02)}'
+        |        ELSE '00000000' END
+        |GROUP BY l_returnflag""".stripMargin,
     "pt_fuzzy_dups" ->
       """WITH c AS (
         |  SELECT trim(unnest(string_split(p_name, ' '))) AS w FROM part

@@ -34,4 +34,36 @@ object SampleOps {
         substring(md5(F.col(keyCol).cast(StringType)), 1, 8) < lit(threshold))
     }
   }
+
+  private[graft] def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    // same clamp as deterministicSample: fraction ~ 1.0 must not produce
+    // a 9-char threshold that lexicographically underruns 8-char prefixes
+    f"${math.min(math.round(fraction * 0x100000000L), 0xffffffffL)}%08x"
+  }
+
+  /** Per-stratum deterministic sampling: each stratum value gets its own
+    * keep-fraction (e.g. downsample boilerplate-heavy sources hard,
+    * keep rare ones whole); strata absent from `fractions` get
+    * `defaultFraction`. The same md5-threshold selection as
+    * [[deterministicSample]], so within a stratum the choice is still a
+    * pure, engine-independent function of the key - rebalancing a
+    * training mix stays reproducible under reruns, repartitioning, and
+    * incremental loads. A single codegen'd CASE chain over the stratum
+    * column: scan-speed, no shuffle, no per-stratum passes.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0
+  ): DataFrame = {
+    val s = F.col(strataCol).cast(StringType)
+    val thr = fractions.toSeq.sortBy(_._1).foldRight(
+      lit(hexThreshold(defaultFraction))) { case ((value, fraction), elseCol) =>
+      when(s === value, lit(hexThreshold(fraction))).otherwise(elseCol)
+    }
+    df.filter(substring(md5(F.col(keyCol).cast(StringType)), 1, 8) < thr)
+  }
 }

@@ -234,7 +234,21 @@ object Kernels {
     * labels along a path concatenate to the word; `_min <= len <= _max`
     * along each word's path.
     */
-  def buildTrie(partitionId: Int, sortedWords: Iterator[String]): Iterator[PTNode] = {
+  def buildTrie(partitionId: Int, sortedWords: Iterator[String]): Iterator[PTNode] =
+    buildTrieCounted(partitionId, sortedWords.map((_, 1L)))
+
+  /** Weighted form of [[buildTrie]]: each input row carries a
+    * pre-aggregated occurrence count (runs of equal words SUM their
+    * counts into one end-cap). This is what makes incremental
+    * maintenance cheap: a trie decomposes losslessly into
+    * (word, n_occurrences) end-caps, so merging new corpus slices
+    * rebuilds from vocabulary-sized weighted words, never the raw
+    * corpus (PrefixTree.merge).
+    */
+  def buildTrieCounted(
+      partitionId: Int,
+      sortedWordCounts: Iterator[(String, Long)]
+  ): Iterator[PTNode] = {
     val pidBase = partitionId.toLong << PTNode.PART_SHIFT
     var counter = 0L
     def nextId(): Long = { counter += 1; pidBase | counter }
@@ -305,25 +319,25 @@ object Kernels {
     new Iterator[PTNode] {
       private var idx = 0
       private var done = false
-      private var lookahead: String = null
+      private var lookahead: (String, Long) = null
       private def fill(): Unit = {
         if (idx >= out.length) { out.clear(); idx = 0 }
         while (idx >= out.length && !done) {
           var w = lookahead
           lookahead = null
-          if (w == null && sortedWords.hasNext) w = sortedWords.next()
+          if (w == null && sortedWordCounts.hasNext) w = sortedWordCounts.next()
           if (w == null) { // input exhausted: finalize the remaining path
             while (stack.nonEmpty) { emit(stack.head); stack = stack.tail }
             done = true
           } else {
-            // sorted input: all copies of w are adjacent - consume the
-            // whole run and fold it into one count
-            var count = 1L
-            while (lookahead == null && sortedWords.hasNext) {
-              val nxt = sortedWords.next()
-              if (nxt == w) count += 1 else lookahead = nxt
+            // sorted input: all rows of this word are adjacent - consume
+            // the whole run and fold the counts into one end-cap
+            var count = w._2
+            while (lookahead == null && sortedWordCounts.hasNext) {
+              val nxt = sortedWordCounts.next()
+              if (nxt._1 == w._1) count += nxt._2 else lookahead = nxt
             }
-            insert(w, count)
+            insert(w._1, count)
           }
         }
       }

@@ -64,6 +64,22 @@ object PrefixTree {
       col: String,
       prefixLen: Int = 2,
       numPartitions: Int = 0
+  ): Dataset[PTNode] =
+    createCounted(df.select(column(col), lit(1L).as("__cnt")), col, "__cnt",
+      prefixLen, numPartitions)
+
+  /** [[create]] from pre-aggregated (word, count) rows: runs of equal
+    * words SUM their counts into one `n_occurrences`-carrying end-cap.
+    * This is the primitive behind [[merge]]: a trie decomposes
+    * losslessly into its weighted end-caps, so incremental corpus
+    * additions shuffle vocabulary-sized rows, never the raw corpus.
+    */
+  def createCounted(
+      df: DataFrame,
+      col: String,
+      countCol: String,
+      prefixLen: Int = 2,
+      numPartitions: Int = 0
   ): Dataset[PTNode] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -72,14 +88,37 @@ object PrefixTree {
       else spark.sessionState.conf.numShufflePartitions
     val distKey =
       if (prefixLen > 0) substring($"word", 1, prefixLen) else $"word"
-    df.select(trim(column(col)).as("word"))
-      .filter($"word" =!= "")
+    df.select(trim(column(col)).as("word"),
+        column(countCol).cast("long").as("cnt"))
+      .filter($"word" =!= "" && $"cnt" > 0)
       .repartition(parts, distKey)
       .sortWithinPartitions($"word")
-      .as[String]
+      .as[(String, Long)]
       .mapPartitions { it =>
-        Kernels.buildTrie(TaskContext.getPartitionId(), it)
+        Kernels.buildTrieCounted(TaskContext.getPartitionId(), it)
       }
+  }
+
+  /** Incremental maintenance: fold a new corpus slice into an existing
+    * trie. The trie's end-caps already carry (word, n_occurrences), so
+    * the rebuild input is |vocabulary| + |new slice| weighted rows - at
+    * corpus scale this is orders of magnitude smaller than re-sorting
+    * the raw corpus the original trie was built from. The result is
+    * IDENTICAL to building one trie over the concatenated corpus
+    * (spec'd, including counts), because construction only depends on
+    * the weighted word multiset.
+    */
+  def merge(
+      trie: Dataset[PTNode],
+      df: DataFrame,
+      col: String,
+      prefixLen: Int = 2,
+      numPartitions: Int = 0
+  ): Dataset[PTNode] = {
+    val caps = trie.filter(_.is_word).toDF()
+      .select(column("node").as("word"), column("n_occurrences").as("cnt"))
+    val fresh = df.select(trim(column(col)).as("word"), lit(1L).as("cnt"))
+    createCounted(caps.unionByName(fresh), "word", "cnt", prefixLen, numPartitions)
   }
 
   /** Persist a trie pre-organized for the query join: repartitioned by

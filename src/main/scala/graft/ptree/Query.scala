@@ -57,6 +57,33 @@ object Query {
     } finally t.unpersist()
   }
 
+  /** Best-`k` matches per query within `maxDist`: the reference's
+    * fixed-threshold query composed with a rank window - composition,
+    * not a new physical operator, because `Window` + `row_number`
+    * already express the semantics (and Catalyst pushes the rank limit
+    * into a per-partition top-k). Ties break by (distance, node) so the
+    * result is deterministic and oracle-comparable.
+    */
+  def fuzzyTopK(
+      queries: DataFrame,
+      col: String,
+      trie: Dataset[PTNode],
+      maxDist: Int,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_string")
+      .orderBy(column("final_distance").asc, column("node").asc)
+    queryBatch(queries, col, trie, maxDist)
+      .withColumn("rank", row_number().over(w))
+      .filter(column("rank") <= k)
+      .select(
+        column("query_string"),
+        column("node"),
+        column("final_distance").cast(IntegerType).as("final_distance"),
+        column("rank").cast(IntegerType).as("rank"))
+  }
+
   /** Single-string query (reference's Roxie macro, ecl:459-588): pure
     * driver-side traversal over a prebuilt children index - no Spark jobs
     * at all once the index is built (see [[childrenIndex]]).

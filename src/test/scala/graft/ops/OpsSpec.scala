@@ -222,6 +222,21 @@ class OpsSpec extends SparkSpec {
     assert(SampleOps.deterministicSample(rows, "key", 1.0 - 1e-12).count() == 2000)
   }
 
+  test("stratifiedSample: per-stratum fractions, deterministic, default drops") {
+    val rows = (1 to 3000)
+      .map(i => (i.toLong, Seq("a", "b", "c")(i % 3))).toDF("key", "s")
+    val got = SampleOps.stratifiedSample(rows, "key", "s", Map("a" -> 0.5, "b" -> 0.1))
+    val counts = got.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(!counts.contains("c")) // unlisted stratum: defaultFraction 0
+    assert(math.abs(counts("a") - 500) < 100, s"a=${counts("a")}")
+    assert(math.abs(counts("b") - 100) < 60, s"b=${counts("b")}")
+    // within a stratum the selection is EXACTLY deterministicSample's:
+    // the same keys survive (pure function of the key, engine-independent)
+    val viaPlain = SampleOps.deterministicSample(rows.filter($"s" === "a"), "key", 0.5)
+      .as[(Long, String)].collect().toSet
+    assert(got.filter($"s" === "a").as[(Long, String)].collect().toSet == viaPlain)
+  }
+
   test("redactPii replaces emails, phones, IPs; leaves clean text alone") {
     val got = Seq(
       "contact bob.smith+x@example.co.uk today",

@@ -186,6 +186,37 @@ class PrefixTreeSpec extends SparkSpec {
       .schema.fieldNames.contains("path"))
   }
 
+  test("merge: incremental trie == trie over the concatenated corpus") {
+    val a = Seq("dog", "dog", "cat").toDF("w")
+    val b = Seq("dog", "door", "cat", "ant").toDF("w")
+    val merged = PrefixTree.merge(PrefixTree.create(a, "w", 2, 2), b, "w", 2, 2)
+    val full = PrefixTree.create(a.union(b), "w", 2, 2)
+    // same weighted word multiset (counts fold: dog 2+1, cat 1+1)
+    val mc = merged.filter(_.is_word).collect().map(n => n.node -> n.n_occurrences).toMap
+    val fc = full.filter(_.is_word).collect().map(n => n.node -> n.n_occurrences).toMap
+    assert(mc == fc && mc == Map("dog" -> 3L, "cat" -> 2L, "door" -> 1L, "ant" -> 1L))
+    // identical answers through the query path
+    val q = Seq("dog", "doot").toDF("q")
+    val x = Query.queryBroadcast(q, "q", merged, 1)
+      .as[(String, String, Int, Long)].collect().toSet
+    val y = Query.queryBroadcast(q, "q", full, 1)
+      .as[(String, String, Int, Long)].collect().toSet
+    assert(x == y && x.nonEmpty)
+  }
+
+  test("fuzzyTopK returns the k best matches with deterministic ties") {
+    val qs = Seq("dog", "kaminski")
+    val got = Query.fuzzyTopK(qs.toDF("q"), "q", trie, maxDist = 2, k = 2)
+      .as[(String, String, Int, Int)].collect()
+    val byQ = got.groupBy(_._1)
+    for (q <- qs) {
+      val expect = brute(Seq(q), 2).toSeq.map { case (_, w, d) => (d, w) }
+        .sorted.take(2)
+        .zipWithIndex.map { case ((d, w), i) => (q, w, d, i + 1) }
+      assert(byQ.getOrElse(q, Array.empty).sortBy(_._4).toSeq == expect, s"q=$q")
+    }
+  }
+
   test("duplicate words collapse to one end-cap carrying n_occurrences") {
     val t = PrefixTree.create(
       Seq("dog", "dog", "dog", "cat", "dot").toDF("w"), "w", 2, 2)
