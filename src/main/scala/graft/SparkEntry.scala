@@ -423,6 +423,21 @@ object SparkEntry {
           threshold = 0.5, maxTokenDocFreq = skewCap, shingleLen = 3),
         "id_a", "id_b")
     },
+    "dedup_keep_best" -> { (s, dir) =>
+      // the full near-dup pipeline end-to-end: pairs -> clusters ->
+      // one surviving doc per cluster (best quality score, ties to the
+      // smallest id). Singleton docs survive as their own cluster.
+      val docs = tbl(s, dir, "documents")
+      val clusters = GraphOps.connectedComponents(
+        DedupOps.jaccardPairs(docs, "doc_id", "text",
+          threshold = 0.5, maxTokenDocFreq = skewCap, shingleLen = 3),
+        "id_a", "id_b")
+      val scored = docs.join(
+        TextOps.qualitySignals(docs, "doc_id", "text")
+          .select(col("doc_id").as("qid"), col("quality_score")),
+        col("doc_id") === col("qid"))
+      DedupOps.keepBestPerCluster(scored, "doc_id", "quality_score", clusters)
+    },
     // ------------------------------------------------------------------
     // Similarity search
     // ------------------------------------------------------------------
@@ -780,6 +795,60 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE base AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id AS id,
+        |         unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                               FOR i IN generate_series(1, greatest(len(tk)-2, 1))])) AS tok
+        |  FROM base
+        |), flt AS (
+        |  SELECT id, tok FROM sh
+        |  WHERE tok NOT IN (SELECT tok FROM sh GROUP BY tok HAVING COUNT(*) > $skewCap)
+        |), sizes AS (SELECT id, COUNT(*) AS sz FROM flt GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+        |  FROM flt a JOIN flt b ON a.tok = b.tok AND a.id < b.id
+        |  GROUP BY a.id, b.id
+        |), edges AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON id_a = sa.id
+        |  JOIN sizes sb ON id_b = sb.id
+        |  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        |), und AS (
+        |  SELECT id_a AS a, id_b AS b FROM edges
+        |  UNION SELECT id_b, id_a FROM edges
+        |), reach AS (
+        |  SELECT a AS id, b AS peer FROM und
+        |  UNION
+        |  SELECT r.id, u.b AS peer FROM reach r JOIN und u ON r.peer = u.a
+        |), clus AS (
+        |  SELECT id, least(id, min(peer)) AS cluster_id FROM reach GROUP BY id
+        |), quality AS (
+        |  SELECT doc_id,
+        |         round(CASE WHEN len(tk) BETWEEN 20 AND 5000 THEN 0.25 ELSE 0 END
+        |             + CASE WHEN length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE / len(tk)
+        |                         BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END
+        |             + CASE WHEN (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')))::DOUBLE
+        |                         / greatest(length(text), 1) >= 0.8 THEN 0.25 ELSE 0 END
+        |             + CASE WHEN len(list_distinct(tk))::DOUBLE / greatest(len(tk), 1) >= 0.3
+        |                    THEN 0.25 ELSE 0 END, 2) AS q
+        |  FROM base
+        |), all_docs AS (
+        |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, q.q
+        |  FROM documents d
+        |  LEFT JOIN clus c ON d.doc_id = c.id
+        |  JOIN quality q ON d.doc_id = q.doc_id
+        |), ranked AS (
+        |  SELECT cluster_id, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC) AS rk,
+        |         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+        |  FROM all_docs
+        |)
+        |SELECT cluster_id, doc_id, n_members FROM ranked WHERE rk = 1""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH sh AS (
         |  SELECT doc_id AS id,

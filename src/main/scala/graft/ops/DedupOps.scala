@@ -120,6 +120,38 @@ object DedupOps {
         coalesce(F.col("cluster_id"), F.col("value")).as("cluster_id"))
   }
 
+  /** Terminal step of every near-dup pipeline: resolve clusters to one
+    * surviving document each - the highest `scoreCol` wins, ties to the
+    * smallest id. Documents in no cluster (the overwhelming majority at
+    * corpus scale) are their own survivors via the left join. Output:
+    * (cluster_id, <idCol> = survivor, n_members).
+    *
+    * Scale shape: one equi-join docs->clusters (clusters is vertex-sized,
+    * far smaller than the corpus) and one window over cluster_id -
+    * cluster sizes are bounded by the upstream pair generation, so no
+    * skewed window partitions.
+    */
+  def keepBestPerCluster(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      clusters: DataFrame // (id, cluster_id) as produced by GraphOps
+  ): DataFrame = {
+    val joined = docs
+      .join(clusters, docs(idCol) === clusters("id"), "left")
+      .select(
+        docs(idCol).as("doc"),
+        F.col(scoreCol).as("score"),
+        coalesce(F.col("cluster_id"), docs(idCol)).as("cluster_id"))
+    val byCluster = Window.partitionBy("cluster_id")
+    joined
+      .withColumn("rk",
+        row_number().over(byCluster.orderBy(F.col("score").desc, F.col("doc").asc)))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(F.col("rk") === 1)
+      .select(F.col("cluster_id"), F.col("doc").as(idCol), F.col("n_members"))
+  }
+
   // ---------------------------------------------------------------------
   // Exact token-set Jaccard (the ground truth the sketches approximate)
   // ---------------------------------------------------------------------
