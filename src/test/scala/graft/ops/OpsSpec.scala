@@ -183,6 +183,25 @@ class OpsSpec extends SparkSpec {
     assert(simCapped.count() == 0)
   }
 
+  test("jaccardPairs: hot-token cap bounds candidate pairs, keeps real matches") {
+    // every doc shares a stop token, so uncapped candidate generation is
+    // quadratic in the corpus (the 100 TB scale-killer); docs 1,2 are
+    // genuine near-dups via their OTHER tokens and must survive the cap
+    val docs = (Seq(
+      (1L, "the alpha beta gamma delta"),
+      (2L, "the alpha beta gamma epsilon")) ++
+      (3L to 40L).map(i => (i, s"the unique$i token$i word$i"))).toDF("doc_id", "text")
+    // threshold 0 exposes the raw candidate-pair count
+    assert(DedupOps.jaccardPairs(docs, "doc_id", "text", threshold = 0.0)
+      .count() == 40L * 39 / 2) // every pair collides on 'the'
+    val capped = DedupOps.jaccardPairs(docs, "doc_id", "text",
+      threshold = 0.0, maxTokenDocFreq = 10)
+    val pairs = capped.as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // jaccard is exact within the filtered universe: 3 shared / 5 union
+    assert(pairs.head._3 == 0.6)
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, distinct far") {
     val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
       .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap

@@ -95,6 +95,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L), s"got $kept")
   }
 
+  test("sampling operators are streaming-safe: same subset as batch") {
+    // deterministic/stratified sampling are stateless codegen'd filters,
+    // so they apply unchanged to a stream, and the md5-keyed selection
+    // picks the IDENTICAL subset the batch run picks
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 500L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    val batch = graft.ops.SampleOps.stratifiedSample(
+      rows.toDF("key", "s"), "key", "s", Map("a" -> 0.5, "b" -> 0.1))
+      .as[(Long, String)].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val sq = graft.ops.SampleOps.stratifiedSample(
+      mem.toDF().toDF("key", "s"), "key", "s", Map("a" -> 0.5, "b" -> 0.1))
+      .writeStream.format("memory").queryName("strat").outputMode("append").start()
+    sq.processAllAvailable()
+    val streamed = spark.table("strat").as[(Long, String)].collect().toSet
+    sq.stop()
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streamFuzzyMatch: stream-static join against a broadcast trie") {
     implicit val sqlCtx = spark.sqlContext
     val trie = PrefixTree.create(Seq("dog", "drop", "cat").toDF("w"), "w", 2, 2)
