@@ -208,6 +208,21 @@ object SparkEntry {
           col("final_distance").cast(IntegerType).as("final_distance"),
           col("n_occurrences"))
     },
+    "pt_autocomplete" -> { (s, dir) =>
+      // serving-side autocomplete over the document vocabulary: trie
+      // descent per prefix (O(|prefix| + |answer|), zero Spark jobs per
+      // call), with corpus multiplicity. Oracle: LIKE + GROUP BY over
+      // the raw token stream.
+      val words = tbl(s, dir, "documents")
+        .select(explode(DedupOps.tokens(col("text"))).as("word"))
+      val trie = PrefixTree.create(words, "word", prefixLen = 2)
+      val idx = Query.childrenIndex(trie)
+      val prefixes = Seq("jo", "ha", "ro", "co", "zz")
+      import s.implicits._
+      prefixes
+        .flatMap(p => Query.prefixOne(p, idx).map { case (w, n) => (p, w, n) })
+        .toDF("prefix", "word", "n_occurrences")
+    },
     "pt_words_roundtrip" -> { (s, dir) =>
       // construction correctness: end-caps reconstruct the distinct word set
       PrefixTree.create(docWords(s, dir), "word", prefixLen = 2)
@@ -624,6 +639,15 @@ object SparkEntry {
         |       COUNT(*) AS n_occurrences
         |FROM q JOIN corpus ON levenshtein(q.query_string, corpus.w) <= 1
         |GROUP BY 1, 2, 3""".stripMargin,
+    "pt_autocomplete" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                            t -> t <> '')) AS word
+        |  FROM documents
+        |), p AS (SELECT unnest(['jo', 'ha', 'ro', 'co', 'zz']) AS prefix)
+        |SELECT p.prefix, toks.word, COUNT(*) AS n_occurrences
+        |FROM p JOIN toks ON toks.word LIKE p.prefix || '%'
+        |GROUP BY p.prefix, toks.word""".stripMargin,
     "pt_words_roundtrip" ->
       """SELECT DISTINCT word FROM (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents

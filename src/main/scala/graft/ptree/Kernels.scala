@@ -213,6 +213,58 @@ object Kernels {
     (out, SearchStats(visited, cells))
   }
 
+  /** All dictionary words extending `prefix`, via trie descent: follow
+    * the unique edge path matching the prefix (path compression: an edge
+    * may consume part of the prefix or extend past its end), then
+    * enumerate every end-cap in the matched subtree. O(|prefix| +
+    * |answer|) node visits - the classic trie autocomplete; a flat scan
+    * is O(|dictionary|). Because the trie is a per-partition forest with
+    * shared shallow paths duplicated, the descent naturally fans out
+    * over each partition's root children; identical words colocate, so
+    * no result is ever duplicated.
+    *
+    * Output: (word, n_occurrences) per matching dictionary word.
+    */
+  def prefixSearch(
+      prefix: String,
+      children: Long => Array[PTNode]
+  ): ArrayBuffer[(String, Long)] = {
+    val out = new ArrayBuffer[(String, Long)]()
+    def collect(nodeId: Long): Unit = {
+      val kids = children(nodeId)
+      if (kids == null) return
+      var i = 0
+      while (i < kids.length) {
+        val k = kids(i)
+        if (k.is_word) out += ((k.node, k.n_occurrences)) else collect(k.id)
+        i += 1
+      }
+    }
+    def go(nodeId: Long, consumed: Int): Unit = {
+      val kids = children(nodeId)
+      if (kids == null) return
+      val rest = prefix.substring(consumed)
+      var i = 0
+      while (i < kids.length) {
+        val k = kids(i)
+        // end-caps during descent spell words of length == consumed <
+        // |prefix|, which can never extend the prefix - only internal
+        // edges participate until the prefix is fully consumed
+        if (!k.is_word) {
+          val edge = k.node
+          if (rest.length <= edge.length) {
+            if (edge.startsWith(rest)) collect(k.id) // subtree fully matches
+          } else if (rest.startsWith(edge)) {
+            go(k.id, consumed + edge.length)
+          }
+        }
+        i += 1
+      }
+    }
+    if (prefix.isEmpty) collect(0L) else go(0L, 0)
+    out
+  }
+
   /** Streaming radix-trie builder over one partition's SORTED word
     * iterator (duplicates allowed - they arrive adjacent and collapse
     * into one end-cap carrying `n_occurrences`, preserving the

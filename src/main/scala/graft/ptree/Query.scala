@@ -99,6 +99,21 @@ object Query {
   def childrenIndex(trie: Dataset[PTNode]): Map[Long, Array[PTNode]] =
     trie.collect().groupBy(_.parent_id)
 
+  /** Serving-side autocomplete: all dictionary words extending `prefix`,
+    * with their corpus multiplicity, by O(|prefix| + |answer|) trie
+    * descent over the collected children index (Kernels.prefixSearch) -
+    * no Spark jobs. The batch-shaped equivalent is an honest codegen'd
+    * scan: `trie.filter(_.is_word).filter(startswith(col("node"),
+    * lit(prefix)))` - at batch granularity Spark's scan beats pointer
+    * chasing, so the trie descent is reserved for the serving path where
+    * per-call latency matters.
+    */
+  def prefixOne(
+      prefix: String,
+      children: Map[Long, Array[PTNode]]
+  ): Seq[(String, Long)] =
+    Kernels.prefixSearch(prefix, children.getOrElse(_, null)).toSeq
+
   def queryBroadcast(
       queries: DataFrame,
       col: String,

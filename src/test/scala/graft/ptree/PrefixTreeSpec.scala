@@ -186,6 +186,20 @@ class PrefixTreeSpec extends SparkSpec {
       .schema.fieldNames.contains("path"))
   }
 
+  test("prefixOne (autocomplete): trie descent == flat startsWith scan") {
+    val idx = Query.childrenIndex(trie)
+    val words = dictDf.select(trim($"w")).as[String].collect().toSet - ""
+    // exact edge boundary, mid-edge, exact word, root, and no-match
+    for (p <- Seq("do", "doo", "dog", "cat", "kamins", "a", "", "zzz", "doors")) {
+      val got = Query.prefixOne(p, idx).map(_._1).toSet
+      assert(got == words.filter(_.startsWith(p)), s"prefix '$p'")
+    }
+    // multiplicity comes back with the word
+    val t = PrefixTree.create(Seq("dog", "dog", "dot").toDF("w"), "w", 2, 2)
+    assert(Query.prefixOne("do", Query.childrenIndex(t)).toSet ==
+      Set(("dog", 2L), ("dot", 1L)))
+  }
+
   test("merge: incremental trie == trie over the concatenated corpus") {
     val a = Seq("dog", "dog", "cat").toDF("w")
     val b = Seq("dog", "door", "cat", "ant").toDF("w")
