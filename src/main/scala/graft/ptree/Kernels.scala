@@ -21,6 +21,31 @@ object Kernels {
     */
   def initRow(queryLen: Int): Array[Int] = Array.tabulate(queryLen + 1)(identity)
 
+  /** Unicode code points of `s`. ALL edit-distance units in these
+    * kernels are CODE POINTS, matching Spark SQL's `length()` and
+    * `levenshtein()` - a surrogate pair (emoji, astral CJK) is one
+    * edit, not two. (DuckDB's `levenshtein` is byte-based and disagrees
+    * with Spark on any non-ASCII input; the DuckDB oracles therefore
+    * only bind on ASCII corpora, while the in-repo brute-force oracle -
+    * Spark's own `levenshtein` - binds everywhere, spec'd with an
+    * astral-plane fixture.)
+    */
+  private[ptree] def codePoints(s: String): Array[Int] = {
+    val n = s.codePointCount(0, s.length)
+    val out = new Array[Int](n)
+    var ci = 0
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(ci)
+      out(i) = cp
+      ci += Character.charCount(cp)
+      i += 1
+    }
+    out
+  }
+
+  @inline private[ptree] def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
   /** Extend a Levenshtein DP row across a multi-character trie edge,
     * restricted to the Ukkonen band.
     *
@@ -46,14 +71,15 @@ object Kernels {
       consumed: Int,
       maxDist: Int
   ): (Array[Int], Int) = {
-    val n = query.length
+    val qcp = codePoints(query)
+    val n = qcp.length
     // never alias the caller's row: the DFS reuses it across sibling edges
     val src = java.util.Arrays.copyOf(row, n + 1)
-    val (res, mn) = extendRowBuffers(query, edge, src, consumed, maxDist,
+    val (res, mn) = extendRowBuffers(qcp, edge, src, consumed, maxDist,
       new Array[Int](n + 1), new Array[Int](n + 1))
     // this row may be stored/serialized (join mode): saturate every
     // out-of-band cell so no stale garbage escapes
-    val d = consumed + edge.length
+    val d = consumed + cpLen(edge)
     val inf = maxDist + 1
     var j = 0
     while (j <= n) {
@@ -75,7 +101,7 @@ object Kernels {
     * in [[search]]).
     */
   def extendRowBuffers(
-      query: String,
+      queryCp: Array[Int],
       edge: String,
       src: Array[Int],
       consumed: Int,
@@ -83,7 +109,7 @@ object Kernels {
       bufA: Array[Int],
       bufB: Array[Int]
   ): (Array[Int], Int) = {
-    val n = query.length
+    val n = queryCp.length
     val inf = maxDist + 1
     var prev = src
     var cur = bufA
@@ -94,11 +120,16 @@ object Kernels {
       while (j <= n) { if (prev(j) < mn) mn = prev(j); j += 1 }
       return (prev, mn)
     }
-    var i = 0
+    // edge code points are streamed via codePointAt stepping (ei = char
+    // index, k = code-point ordinal): no per-call allocation on the hot
+    // DFS path; the query side IS materialized (queryCp) because the DP
+    // inner loop random-accesses it by column index
+    var ei = 0
+    var k = 0
     var rowMin = inf
-    while (i < edge.length) {
-      val c = edge.charAt(i)
-      val d = consumed + i + 1 // path chars consumed after this edge char
+    while (ei < edge.length) {
+      val c = edge.codePointAt(ei)
+      val d = consumed + k + 1 // path code points consumed after this one
       val lo = if (d - maxDist > 0) d - maxDist else 0
       val hi = if (d + maxDist < n) d + maxDist else n
       // band has moved past the query's end: every cell from here on is
@@ -111,7 +142,7 @@ object Kernels {
         var v =
           if (j == 0) d
           else {
-            val cost = if (query.charAt(j - 1) == c) 0 else 1
+            val cost = if (queryCp(j - 1) == c) 0 else 1
             var m = prev(j - 1) + cost // substitute / match
             val del = cur(j - 1) + 1 // delete from query
             val ins = prev(j) + 1 // insert into query
@@ -125,12 +156,13 @@ object Kernels {
         j += 1
       }
       if (hi < n) cur(hi + 1) = inf // guard above the band
-      if (i == 0) { // src is read-only: rotate through the two scratch bufs
+      if (k == 0) { // src is read-only: rotate through the two scratch bufs
         prev = cur; cur = spare; spare = null
       } else {
         val tmp = prev; prev = cur; cur = tmp
       }
-      i += 1
+      ei += Character.charCount(c)
+      k += 1
     }
     (prev, rowMin)
   }
@@ -171,7 +203,8 @@ object Kernels {
       maxDist: Int,
       children: Long => Array[PTNode]
   ): (ArrayBuffer[(String, Int, Long)], SearchStats) = {
-    val n = query.length
+    val qcp = codePoints(query)
+    val n = qcp.length
     var visited = 0L
     var cells = 0L
     val band = 2L * maxDist + 1
@@ -199,12 +232,13 @@ object Kernels {
             if (d <= maxDist) out += ((child.node, d, child.n_occurrences))
           }
         } else if (n <= child._max + maxDist && n >= child._min - maxDist) {
-          cells += child.node.length * band // banded DP work for this edge
+          val edgeLen = cpLen(child.node)
+          cells += edgeLen * band // banded DP work for this edge
           val (newRow, rowMin) = extendRowBuffers(
-            query, child.node, row, consumed, maxDist,
+            qcp, child.node, row, consumed, maxDist,
             buf(2 * level), buf(2 * level + 1))
           if (rowMin <= maxDist)
-            go(child.id, newRow, consumed + child.node.length, level + 1)
+            go(child.id, newRow, consumed + edgeLen, level + 1)
         }
         i += 1
       }
@@ -325,10 +359,15 @@ object Kernels {
       val m = math.min(a.length, b.length)
       var i = 0
       while (i < m && a.charAt(i) == b.charAt(i)) i += 1
+      // never split a surrogate pair: if the divergence lands on the low
+      // half (both strings share the high half at i-1), back up so the
+      // edge boundary stays on a code-point boundary
+      if (i > 0 && i < m && Character.isHighSurrogate(a.charAt(i - 1))) i -= 1
       i
     }
 
     def insert(w: String, count: Long): Unit = {
+      val wlen = cpLen(w) // _max/_min are code-point lengths (query parity)
       val div = if (prev == null) 0 else lcp(prev, w)
       // 1. finalize open nodes lying entirely beyond the divergence point
       while (stack.nonEmpty && stack.head.start >= div) {
@@ -354,16 +393,16 @@ object Kernels {
       var s = stack
       while (s.nonEmpty) {
         val o = s.head
-        if (w.length < o.minLen) o.minLen = w.length
-        if (w.length > o.maxLen) o.maxLen = w.length
+        if (wlen < o.minLen) o.minLen = wlen
+        if (wlen > o.maxLen) o.maxLen = wlen
         s = s.tail
       }
       // 4. open the new edge for w's suffix (div < w.length always holds
       //    for sorted distinct input) and emit w's end-cap under it
       val parent = if (stack.isEmpty) 0L else stack.head.id
-      val fresh = new Open(div, w.substring(div), nextId(), parent, w.length, w.length)
+      val fresh = new Open(div, w.substring(div), nextId(), parent, wlen, wlen)
       stack = fresh :: stack
-      out += PTNode(nextId(), fresh.id, w.length, w.length, is_word = true, partitionId, w,
+      out += PTNode(nextId(), fresh.id, wlen, wlen, is_word = true, partitionId, w,
         n_occurrences = count)
       prev = w
     }

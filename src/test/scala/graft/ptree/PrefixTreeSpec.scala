@@ -186,6 +186,36 @@ class PrefixTreeSpec extends SparkSpec {
       .schema.fieldNames.contains("path"))
   }
 
+  test("astral-plane text: edit distance counts code points, like Spark's levenshtein") {
+    // real training corpora contain emoji/astral CJK: a surrogate pair
+    // must be ONE edit (Spark SQL semantics), not two UTF-16 units.
+    // DuckDB's levenshtein is byte-based and disagrees with Spark on any
+    // non-ASCII input, so Spark's own levenshtein is the oracle here.
+    val g = new String(Character.toChars(0x1F600)) // 😀
+    val r = new String(Character.toChars(0x1F680)) // 🚀
+    val corpus = Seq(s"ca$g", s"ca$r", s"c$g$r", "cat", s"$g$g", s"$g$r", g)
+    val t = PrefixTree.create(corpus.toDF("w"), "w", prefixLen = 1, numPartitions = 2)
+    // builder must never split a surrogate pair across an edge boundary
+    t.collect().foreach { n =>
+      assert(!Character.isLowSurrogate(n.node.head), s"edge '${n.node}' starts mid-pair")
+      assert(!Character.isHighSurrogate(n.node.last), s"edge '${n.node}' ends mid-pair")
+    }
+    val queries = Seq(s"ca$g", s"$g$g", "ca", g, s"c$g")
+    for (k <- 0 to 2) {
+      val expect = queries.toDF("q")
+        .crossJoin(corpus.toDF("w"))
+        .withColumn("d", levenshtein($"q", $"w"))
+        .filter($"d" <= k)
+        .as[(String, String, Int)].collect().toSet
+      val bc = rows3(Query.queryBroadcast(queries.toDF("q"), "q", t, k))
+      val jm = rows3(Query.queryJoin(queries.toDF("q"), "q", t, k))
+      assert(bc == expect && jm == expect, s"k=$k")
+    }
+    // autocomplete across a surrogate boundary
+    assert(Query.prefixOne(s"ca", Query.childrenIndex(t)).map(_._1).toSet ==
+      corpus.filter(_.startsWith("ca")).toSet)
+  }
+
   test("prefixOne (autocomplete): trie descent == flat startsWith scan") {
     val idx = Query.childrenIndex(trie)
     val words = dictDf.select(trim($"w")).as[String].collect().toSet - ""
