@@ -1023,10 +1023,12 @@ object SparkEntry {
         |  SELECT id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
         |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
         |  GROUP BY id, j
-        |), bits AS ( -- docs with zero tokens get all-zero bits
+        |), bits AS ( -- docs with zero tokens get all-zero bits; NULL-text
+        |             -- docs are excluded entirely (engine: simhash64(NULL)
+        |             -- is NULL and null block keys never join)
         |  SELECT d.doc_id AS id, jj.j,
         |         CASE WHEN coalesce(v.cnt, 0) > 0 THEN 1 ELSE 0 END AS bit
-        |  FROM documents d
+        |  FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) jj
         |  LEFT JOIN votes v ON v.id = d.doc_id AND v.j = jj.j
         |), bl AS (

@@ -445,6 +445,14 @@ case class PtLevExtend(
 /** Column-API and SQL-registration surface for the native expressions. */
 object GraftFunctions {
 
+  // literal-argument builders shared by runtime registration and the
+  // SparkSessionExtensions path (one definition, no drift between them)
+  private[functions] val shinglesBuilder: Seq[Expression] => Expression = {
+    case Seq(c, Literal(n: Int, IntegerType)) => Shingles(c, n)
+    case es => throw new IllegalArgumentException(
+      s"shingles(text, nLiteral); got ${es.length} args")
+  }
+
   def minhash_sig(c: Column, numHashes: Int = 64, shingleLen: Int = 3, seed: Int = 42): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), numHashes, shingleLen, seed))
 
@@ -479,11 +487,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("sig_agree", es => SigAgree(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("shingles", {
-      case Seq(c, Literal(n: Int, IntegerType)) => Shingles(c, n)
-      case es => throw new IllegalArgumentException(
-        s"shingles(text, nLiteral); got ${es.length} args")
-    }, "built-in")
+    reg.createOrReplaceTempFunction("shingles", shinglesBuilder, "built-in")
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "built-in")
     reg.createOrReplaceTempFunction("rh_bucket", {
@@ -533,10 +537,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((
       FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "shingles"),
-      {
-        case Seq(c, Literal(n: Int, IntegerType)) => Shingles(c, n)
-        case es => throw new IllegalArgumentException(
-          s"shingles(text, nLiteral); got ${es.length} args")
-      }))
+      GraftFunctions.shinglesBuilder))
   }
 }

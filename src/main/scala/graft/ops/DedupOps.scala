@@ -56,15 +56,6 @@ object DedupOps {
   def shingleStrings(c: Column, n: Int): Column =
     graft.functions.GraftFunctions.shingles(c, n)
 
-  /** xxhash64 over UTF-8 bytes, identical to Spark SQL's `xxhash64(str)`
-    * with the default seed.
-    */
-  private[graft] def xxh64String(s: String, seed: Long = 42L): Long = {
-    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    org.apache.spark.sql.catalyst.expressions.XXH64
-      .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seed)
-  }
-
   // ---------------------------------------------------------------------
   // Exact dedup
   // ---------------------------------------------------------------------

@@ -20,7 +20,11 @@ private[graft] object OpsUtil {
     // forces a physical-planning pass per call. Small inputs (< ~32 MB
     // per core) arrive as a handful of file splits and would serialize a
     // compute-heavy narrow stage; large inputs already carry a split per
-    // ~128 MB, so repartitioning them would only add a pointless shuffle.
+    // ~128 MB for every splittable source, so repartitioning them would
+    // only add a pointless shuffle. Caveat: a LARGE non-splittable file
+    // (one multi-GB .json.gz) defeats the byte heuristic - callers
+    // ingesting such sources should repartition explicitly at read time
+    // (that shuffle is the unavoidable price of a non-splittable codec).
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes < BigInt(target.toLong) * 32L * 1024 * 1024) df.repartition(target) else df
   }

@@ -37,9 +37,11 @@ object SampleOps {
 
   private[graft] def hexThreshold(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
-    // same clamp as deterministicSample: fraction ~ 1.0 must not produce
-    // a 9-char threshold that lexicographically underruns 8-char prefixes
-    f"${math.min(math.round(fraction * 0x100000000L), 0xffffffffL)}%08x"
+    // fraction 1.0 must keep EVERYTHING: "g" sorts above every hex char,
+    // so md5_prefix < "g" is always true (a clamped "ffffffff" would
+    // drop the ~1-in-2^32 keys whose prefix is exactly ffffffff)
+    if (fraction >= 1.0) "g"
+    else f"${math.min(math.round(fraction * 0x100000000L), 0xffffffffL)}%08x"
   }
 
   /** Per-stratum deterministic sampling: each stratum value gets its own

@@ -114,6 +114,10 @@ object TextOps {
     * everywhere.
     */
   def fingerprint(text: Column): Column =
-    conv(substring(md5(concat_ws(" ", DedupOps.tokens(text))), 1, 15), 16, 10)
-      .cast(LongType)
+    // NULL-preserving: concat_ws treats a NULL token array as "", which
+    // would silently collide NULL docs with empty docs (and diverge from
+    // the oracle's md5(NULL) = NULL)
+    when(text.isNotNull,
+      conv(substring(md5(concat_ws(" ", DedupOps.tokens(text))), 1, 15), 16, 10)
+        .cast(LongType))
 }

@@ -74,7 +74,10 @@ object Query {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_string")
       .orderBy(column("final_distance").asc, column("node").asc)
-    queryBatch(queries, col, trie, maxDist)
+    // distinct first: a duplicated query string would rank its duplicated
+    // match rows into adjacent slots and silently push genuine
+    // runners-up past k ("best k per distinct query" is the semantics)
+    queryBatch(queries.select(column(col)).distinct(), col, trie, maxDist)
       .withColumn("rank", row_number().over(w))
       .filter(column("rank") <= k)
       .select(

@@ -219,6 +219,11 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
+    // NULL text fingerprints to NULL, not to the empty-doc fingerprint
+    val nulls = Seq((1L, Some("")), (2L, Option.empty[String]))
+      .toDF("id", "t").select($"id", TextOps.fingerprint($"t").as("fp"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(nulls(1L).isDefined && nulls(2L).isEmpty)
   }
 
   test("deterministicSample: reproducible, entity-consistent, ~fraction sized") {
@@ -254,6 +259,10 @@ class OpsSpec extends SparkSpec {
     val viaPlain = SampleOps.deterministicSample(rows.filter($"s" === "a"), "key", 0.5)
       .as[(Long, String)].collect().toSet
     assert(got.filter($"s" === "a").as[(Long, String)].collect().toSet == viaPlain)
+    // fraction 1.0 keeps the stratum WHOLE (a hex-clamped threshold would
+    // drop the 1-in-2^32 keys whose md5 prefix is exactly ffffffff)
+    val whole = SampleOps.stratifiedSample(rows, "key", "s", Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))
+    assert(whole.count() == 3000)
   }
 
   test("redactPii replaces emails, phones, IPs; leaves clean text alone") {

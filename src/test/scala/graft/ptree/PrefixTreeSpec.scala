@@ -250,7 +250,9 @@ class PrefixTreeSpec extends SparkSpec {
 
   test("fuzzyTopK returns the k best matches with deterministic ties") {
     val qs = Seq("dog", "kaminski")
-    val got = Query.fuzzyTopK(qs.toDF("q"), "q", trie, maxDist = 2, k = 2)
+    // feed each query TWICE: duplicate query strings must not consume
+    // rank slots (top-k is per distinct query)
+    val got = Query.fuzzyTopK((qs ++ qs).toDF("q"), "q", trie, maxDist = 2, k = 2)
       .as[(String, String, Int, Int)].collect()
     val byQ = got.groupBy(_._1)
     for (q <- qs) {
