@@ -554,6 +554,27 @@ object SparkEntry {
     },
     "events_sessionize" -> { (s, dir) =>
       StreamOps.sessionize(events(s, dir), gapMinutes = 30)
+    },
+    "q12_json" -> { (s, dir) =>
+      // semi-structured surface in one pass: JSON extraction from the
+      // props column, calendar-day date math, scalar math on aggregates,
+      // and a sorted set-aggregate (array functions). All codegen'd
+      // column expressions - the JSON path never leaves the scan stage.
+      events(s, dir)
+        .select(
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+          col("value")
+        )
+        .groupBy(col("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"),
+          round(sqrt(sum(col("k"))), 6).as("sqrt_k"),
+          concat_ws(",", sort_array(collect_set(col("event_type")))).as("types")
+        )
     }
   )
 
@@ -976,6 +997,14 @@ object SparkEntry {
         |SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
         |       COUNT(*) AS n_events
         |FROM y GROUP BY user_id, sess""".stripMargin,
+    "q12_json" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |       round(sqrt(CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)), 6) AS sqrt_k,
+        |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+        |FROM events GROUP BY 1""".stripMargin,
     // --------------------------------------------------------------------
     // Sketch replays: the md5-based kernels are reimplemented from scratch
     // in DuckDB SQL with the engine's own constants interpolated in, so

@@ -93,6 +93,41 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp") // working column - callers get their input schema back
 
+  /** Continuously maintain a prefix-tree index over a stream of strings
+    * (`foreachBatch` + `graft.ptree.PrefixTree.merge`): each micro-batch
+    * folds into the running trie via a VOCABULARY-sized rebuild - the
+    * trie decomposes losslessly into weighted end-caps, so per-batch
+    * cost is O(|vocab| + |batch|) regardless of how much raw corpus the
+    * stream has carried. This is the streaming half of the reference's
+    * Create lifecycle (its Thor side rebuilds from the full file each
+    * time - /root/reference/PrefixTree.ecl:592-613).
+    *
+    * `onUpdate` fires after each batch with the new trie (e.g. to
+    * refresh a serving index via `Query.childrenIndex`). State lineage
+    * is cut with `localCheckpoint` every batch so the plan stays flat
+    * across an unbounded stream.
+    */
+  def trieMaintenance(
+      stream: DataFrame,
+      col: String,
+      initial: Dataset[graft.ptree.PTNode],
+      prefixLen: Int = 2,
+      numPartitions: Int = 0
+  )(onUpdate: Dataset[graft.ptree.PTNode] => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    @volatile var state = initial.localCheckpoint()
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          state = graft.ptree.PrefixTree
+            .merge(state, batch.toDF(), col, prefixLen, numPartitions)
+            .localCheckpoint()
+          onUpdate(state)
+        }
+      }
+      .start()
+  }
+
   /** Streaming fuzzy-match: a stream of query strings against a static
     * broadcast trie (stream-static pattern). `trieIndex` is the collected
     * children map from `graft.ptree.Query.childrenIndex`.

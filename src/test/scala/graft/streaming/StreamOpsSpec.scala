@@ -115,6 +115,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("trieMaintenance: streamed micro-batches == full-corpus build") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq("dog", "drop")
+    val batch2 = Seq("cat", "car", "cart", "dog") // "dog" again: count must accumulate
+    @volatile var latest: org.apache.spark.sql.Dataset[graft.ptree.PTNode] = null
+    val mem = MemoryStream[String]
+    val initial = PrefixTree.create(spark.emptyDataset[String].toDF("w"), "w", 2, 2)
+    val sq = StreamOps.trieMaintenance(mem.toDF().toDF("w"), "w", initial, 2, 2)(latest = _)
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    // end-caps (word -> occurrence count) must match one build over everything
+    val streamed = latest.filter(_.is_word).collect()
+      .map(n => n.node -> n.n_occurrences).toMap
+    val full = PrefixTree.create((batch1 ++ batch2).toDF("w"), "w", 2, 2)
+      .filter(_.is_word).collect().map(n => n.node -> n.n_occurrences).toMap
+    assert(streamed == full)
+    assert(streamed("dog") == 2L)
+    // and the maintained trie serves queries
+    val got = Query.queryBroadcast(Seq("cat").toDF("q"), "q", latest, 1)
+      .select("node").as[String].collect().toSet
+    assert(got == Set("cat", "car", "cart"))
+  }
+
   test("streamFuzzyMatch: stream-static join against a broadcast trie") {
     implicit val sqlCtx = spark.sqlContext
     val trie = PrefixTree.create(Seq("dog", "drop", "cat").toDF("w"), "w", 2, 2)
