@@ -555,6 +555,21 @@ object SparkEntry {
     "events_sessionize" -> { (s, dir) =>
       StreamOps.sessionize(events(s, dir), gapMinutes = 30)
     },
+    "events_range" -> { (s, dir) =>
+      // range join: assign every event to the session interval that
+      // contains it (user-key equality + ts-in-[start,end]). Binned
+      // equi-join, not Spark's default broadcast-nested-loop for this
+      // predicate shape; 1h bins ~ session length
+      val ev = events(s, dir).withColumn("ms", unix_millis(col("ts")))
+      val sessions = StreamOps.sessionize(ev, gapMinutes = 30)
+      JoinOps.rangeJoin(
+        sessions, "session_start_ms", "session_end_ms",
+        ev.select(col("event_id"), col("user_id").as("uid"), col("ms")), "ms",
+        keys = Seq("user_id" -> "uid"),
+        binWidth = 3600000.0)
+        .select(col("r_event_id").as("event_id"), col("user_id"),
+          col("session_start_ms"), col("n_events"))
+    },
     "q12_json" -> { (s, dir) =>
       // semi-structured surface in one pass: JSON extraction from the
       // props column, calendar-day date math, scalar math on aggregates,
@@ -997,6 +1012,25 @@ object SparkEntry {
         |SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
         |       COUNT(*) AS n_events
         |FROM y GROUP BY user_id, sess""".stripMargin,
+    "events_range" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ms
+        |  FROM events
+        |), y AS (
+        |  SELECT user_id, ms,
+        |         SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x
+        |), sessions AS (
+        |  SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+        |         COUNT(*) AS n_events
+        |  FROM y GROUP BY user_id, sess
+        |)
+        |SELECT e.event_id, s.user_id, s.session_start_ms, s.n_events
+        |FROM events e JOIN sessions s
+        |  ON e.user_id = s.user_id
+        | AND epoch_ms(e.ts) BETWEEN s.session_start_ms AND s.session_end_ms""".stripMargin,
     "q12_json" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |       COUNT(*) AS n_events,

@@ -29,6 +29,79 @@ object JoinOps {
     * Output: all left columns (original names) + all right columns
     * prefixed with `rightPrefix`.
     */
+  /** Range (interval-containment) join: pair every left row's interval
+    * `[loCol, hiCol]` (inclusive) with every right row whose `ptCol`
+    * falls inside it, optionally also requiring equality on `keys`
+    * (left name -> right name). SQL-NULL semantics: a NULL bound/point/
+    * key never matches; inverted intervals (hi < lo) match nothing.
+    *
+    * Spark's built-in plan for this predicate shape is a broadcast
+    * nested loop - a cross product that dies at scale. Binning turns it
+    * into a shuffled equi-join: intervals explode to the fixed-width
+    * bins they overlap, points map to their ONE bin, and the bin (plus
+    * any keys) is the join key, followed by the exact containment
+    * filter. A qualifying (interval, point) pair meets in exactly one
+    * bin - the point's - so no post-join dedup is needed.
+    *
+    * `binWidth` is the knob: about the typical interval length is right
+    * (each interval then explodes to ~2 bins). Degenerate wide intervals
+    * (> `maxBinsPerRow` bins - the [0, MAX] row that would explode to
+    * billions of bin copies) take a broadcast escape hatch instead: they
+    * are assumed FEW (heavy-hitter discipline, same as the dedup skew
+    * caps), broadcast whole, and matched by predicate only. Numeric
+    * bounds/points only - cast timestamps to epoch millis first.
+    *
+    * Output: all left columns (original names) + all right columns
+    * prefixed with `rightPrefix`.
+    */
+  def rangeJoin(
+      left: DataFrame,
+      loCol: String,
+      hiCol: String,
+      right: DataFrame,
+      ptCol: String,
+      keys: Seq[(String, String)] = Nil,
+      binWidth: Double = 0.0,
+      maxBinsPerRow: Int = 256,
+      rightPrefix: String = "r_"
+  ): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive (pick ~ the typical interval length)")
+    val lCols = left.columns
+    val rCols = right.columns
+    val outCols =
+      lCols.map(c => F.col(s"l.$c").as(c)) ++
+        rCols.map(c => F.col(s"r.$c").as(rightPrefix + c))
+    def bin(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / binWidth).cast("long")
+
+    val keyCond = keys
+      .map { case (lk, rk) => F.col(s"l.$lk") === F.col(s"r.$rk") }
+      .foldLeft(lit(true))(_ && _)
+    val contains =
+      F.col(s"r.$ptCol") >= F.col(s"l.$loCol") && F.col(s"r.$ptCol") <= F.col(s"l.$hiCol")
+
+    val l = left
+      .filter(F.col(loCol).isNotNull && F.col(hiCol).isNotNull && F.col(loCol) <= F.col(hiCol))
+      .withColumn("__nbins", bin(F.col(hiCol)) - bin(F.col(loCol)) + 1L)
+    val r = right.filter(F.col(ptCol).isNotNull).alias("r")
+
+    // narrow intervals: explode to overlapped bins, equi-join on the bin
+    val narrow = l
+      .filter(F.col("__nbins") <= maxBinsPerRow)
+      .withColumn("__bin", explode(sequence(bin(F.col(loCol)), bin(F.col(hiCol)))))
+      .alias("l")
+      .join(r, keyCond && F.col("l.__bin") === bin(F.col(s"r.$ptCol")))
+      .filter(contains)
+      .select(outCols: _*)
+
+    // wide intervals: few by assumption - broadcast and match by predicate
+    val wide = broadcast(l.filter(F.col("__nbins") > maxBinsPerRow).alias("l"))
+      .join(r, keyCond && contains)
+      .select(outCols: _*)
+
+    narrow.unionByName(wide)
+  }
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,

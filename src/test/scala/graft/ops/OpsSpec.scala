@@ -57,6 +57,76 @@ class OpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("rangeJoin == brute-force containment on random data (keys + no keys)") {
+    val rnd = new scala.util.Random(11)
+    val ivals = Seq.tabulate(120) { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (rnd.nextInt(4).toLong, lo, lo + rnd.nextInt(80).toLong, i.toLong)
+    }
+    val pts = Seq.tabulate(200)(j =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong, j.toLong))
+    val lDf = ivals.toDF("k", "lo", "hi", "iid")
+    val rDf = pts.toDF("k", "pt", "pid")
+    // keyed
+    val expectedK = (for {
+      (k, lo, hi, iid) <- ivals; (k2, pt, pid) <- pts
+      if k == k2 && pt >= lo && pt <= hi
+    } yield (iid, pid)).toSet
+    val gotK = JoinOps.rangeJoin(lDf, "lo", "hi", rDf, "pt",
+      keys = Seq("k" -> "k"), binWidth = 50.0)
+      .select($"iid", $"r_pid").as[(Long, Long)].collect().toSet
+    assert(gotK == expectedK && expectedK.nonEmpty)
+    // keyless
+    val expected = (for {
+      (_, lo, hi, iid) <- ivals; (_, pt, pid) <- pts
+      if pt >= lo && pt <= hi
+    } yield (iid, pid)).toSet
+    val got = JoinOps.rangeJoin(lDf, "lo", "hi", rDf, "pt", binWidth = 50.0)
+      .select($"iid", $"r_pid").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("rangeJoin: wide intervals take the broadcast escape hatch, exactly once each") {
+    val ivals = Seq(
+      (0L, 5L, 1L), // narrow
+      (0L, 1000000L, 2L), // wide: would explode to 100k bins at width 10
+      (-500000L, 500000L, 3L) // wide, negative lo (floor-div bin math)
+    ).toDF("lo", "hi", "iid")
+    val pts = Seq((3L, 10L), (999999L, 11L), (-400000L, 12L)).toDF("pt", "pid")
+    val got = JoinOps.rangeJoin(ivals, "lo", "hi", pts, "pt",
+      binWidth = 10.0, maxBinsPerRow = 64)
+      .select($"iid", $"r_pid").as[(Long, Long)].collect().toSeq
+    // no duplicates (each pair emitted exactly once) and exact matches
+    assert(got.size == got.toSet.size)
+    assert(got.toSet == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 10L), (3L, 12L)))
+  }
+
+  test("rangeJoin: NULLs and inverted intervals never match") {
+    val ivals = Seq(
+      (Some(1L), Some(10L), 1L),
+      (None, Some(10L), 2L), // null lo
+      (Some(1L), None, 3L), // null hi
+      (Some(10L), Some(1L), 4L) // inverted
+    ).toDF("lo", "hi", "iid")
+    val pts = Seq((Some(5L), 10L), (None, 11L)).toDF("pt", "pid")
+    val got = JoinOps.rangeJoin(ivals, "lo", "hi", pts, "pt", binWidth = 4.0)
+      .select($"iid", $"r_pid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+  }
+
+  test("rangeJoin narrow path plans an equi-join, not a nested-loop product") {
+    val l = Seq((1L, 0L, 9L, 1L)).toDF("k", "lo", "hi", "iid")
+    val r = Seq((1L, 5L, 1L)).toDF("k", "pt", "pid")
+    val plan = JoinOps.rangeJoin(l, "lo", "hi", r, "pt",
+      keys = Seq("k" -> "k"), binWidth = 10.0)
+      .queryExecution.executedPlan.toString
+    // the wide branch is an (empty) broadcast join by design; the narrow
+    // branch must never be a product
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(plan.contains("hashpartitioning") || plan.contains("BroadcastHashJoin"),
+      s"narrow path must be an equi-join, plan:\n$plan")
+  }
+
   test("asofJoin plans exactly one shuffle (no range-join pair blowup)") {
     val l = Seq((1L, 10L, "x")).toDF("k", "ts", "payload")
     val r = Seq((1L, 5L, 2.0)).toDF("k", "ts", "px")
