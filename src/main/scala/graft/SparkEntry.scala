@@ -496,6 +496,9 @@ object SparkEntry {
     "text_langid" -> { (s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
     },
+    "text_bigram_lm" -> ((s, dir) =>
+      // corpus-trained bigram LM fluency (add-one smoothing, <s> marker)
+      TextOps.bigramFluency(tbl(s, dir, "documents"), "doc_id", "text")),
     "text_fingerprint" -> { (s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
@@ -993,6 +996,31 @@ object SparkEntry {
         |            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
         |            ELSE 'de' END AS lang_pred
         |FROM s""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_prepend('<s>', list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                                         t -> t <> '')) AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), bg AS (
+        |  SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
+        |  FROM base, generate_series(1, len(tk) - 1) AS g(i)
+        |), types AS (
+        |  SELECT prev, cur, count(*) AS c_bg FROM bg GROUP BY 1, 2
+        |), pv AS (
+        |  SELECT prev, sum(c_bg) AS c_prev FROM types GROUP BY 1
+        |), v AS (
+        |  SELECT count(DISTINCT cur) AS vocab FROM types
+        |), p AS (
+        |  SELECT t.prev, t.cur,
+        |         round((t.c_bg + 1)::DOUBLE / (pv.c_prev + v.vocab), 12) AS p
+        |  FROM types t JOIN pv USING (prev) CROSS JOIN v
+        |)
+        |SELECT doc_id,
+        |       CAST(count(*) AS INT) AS n_bigrams,
+        |       round(CAST(sum(CAST(p AS DECIMAL(32,12))) AS DOUBLE) / count(*), 6) AS fluency
+        |FROM bg JOIN p USING (prev, cur)
+        |GROUP BY doc_id""".stripMargin,
     "events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type, COUNT(*) AS n_events,

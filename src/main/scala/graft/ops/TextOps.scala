@@ -103,6 +103,68 @@ object TextOps {
       phone, "[PHONE]")
   }
 
+  /** Bigram language-model fluency score: train add-one-smoothed bigram
+    * transition probabilities on the corpus itself, then score every
+    * document by the MEAN probability the model assigns its next-token
+    * transitions. Boilerplate and templated text (transitions the corpus
+    * has seen thousands of times) score high; lexical soup scores near
+    * the smoothing floor - a standard cheap fluency/typicality signal
+    * for training-data curation.
+    *
+    * Model: P(cur | prev) = (c(prev,cur) + 1) / (c(prev) + V), with a
+    * `<s>` start marker per document and V = |distinct next-tokens|.
+    * Docs with no tokens yield no transitions and are dropped.
+    *
+    * Scale shape: the corpus is reduced ONCE to the bigram-TYPE table
+    * (groupBy shuffle), which is checkpointed compactly and enriched
+    * with c(prev) and V at type-table size - the denominator join on the
+    * skewed `prev` key happens on one row per bigram type, never on the
+    * corpus. The corpus then takes a single (prev, cur) equi-join
+    * against the enriched types (AQE splits hot types) and one groupBy
+    * doc. Per-transition probabilities are rounded to 12 dp and summed
+    * as DECIMAL so the doc mean is order-independent and replayable by
+    * any engine.
+    */
+  def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val marked = concat(array(lit("<s>")), DedupOps.tokens(F.col(textCol)))
+    val n = size(marked)
+    val bigrams = OpsUtil
+      .spread(df.filter(F.col(textCol).isNotNull))
+      .select(
+        F.col(idCol),
+        explode(arrays_zip(slice(marked, 1, n - 1), slice(marked, 2, n - 1))).as("bg"))
+      .select(
+        F.col(idCol),
+        F.col("bg").getField("0").as("prev"),
+        F.col("bg").getField("1").as("cur"))
+
+    // one corpus reduction to bigram types; checkpoint the COMPACT table
+    // so the three downstream aggregates don't re-scan the corpus
+    val types = bigrams
+      .groupBy("prev", "cur")
+      .agg(count(lit(1)).as("c_bg"))
+      .localCheckpoint()
+    val prevTotals = types.groupBy("prev").agg(sum("c_bg").as("c_prev"))
+    val vocab = types.agg(countDistinct("cur").as("vocab"))
+    val enriched = types
+      .join(prevTotals, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .select(
+        F.col("prev"),
+        F.col("cur"),
+        round((F.col("c_bg") + 1).cast(DoubleType) / (F.col("c_prev") + F.col("vocab")), 12)
+          .as("p"))
+
+    bigrams
+      .join(enriched, Seq("prev", "cur"))
+      .groupBy(F.col(idCol))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_bigrams"),
+        round(
+          (sum(F.col("p").cast(DecimalType(32, 12))).cast(DoubleType) / count(lit(1))),
+          6).as("fluency"))
+  }
+
   /** Order-sensitive 60-bit document fingerprint over normalized tokens -
     * cheap exact-dup key that ignores case/whitespace differences but not
     * word order. Tokens are space-joined and md5'd: the join is
