@@ -1004,7 +1004,7 @@ object SparkEntry {
         |  FROM documents WHERE text IS NOT NULL
         |), bg AS (
         |  SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
-        |  FROM base, generate_series(1, len(tk) - 1) AS g(i)
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM base)
         |), types AS (
         |  SELECT prev, cur, count(*) AS c_bg FROM bg GROUP BY 1, 2
         |), pv AS (

@@ -132,7 +132,7 @@ object TextOps {
       .spread(df.filter(F.col(textCol).isNotNull))
       .select(
         F.col(idCol),
-        explode(arrays_zip(slice(marked, 1, n - 1), slice(marked, 2, n - 1))).as("bg"))
+        explode(arrays_zip(slice(marked, lit(1), n - 1), slice(marked, lit(2), n - 1))).as("bg"))
       .select(
         F.col(idCol),
         F.col("bg").getField("0").as("prev"),
