@@ -26,6 +26,14 @@ private[graft] object OpsUtil {
     // ingesting such sources should repartition explicitly at read time
     // (that shuffle is the unavoidable price of a non-splittable codec).
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < BigInt(target.toLong) * 32L * 1024 * 1024) df.repartition(target) else df
+    if (bytes >= BigInt(Long.MaxValue)) {
+      // stats unknown: LogicalRDD / localCheckpointed inputs report the
+      // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue; joins of
+      // unknowns can exceed it). Fall back to the physical partition
+      // count - these in-memory inputs are exactly the ones that arrive
+      // with fewer partitions than cores after a collect-free rebuild.
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    } else if (bytes < BigInt(target.toLong) * 32L * 1024 * 1024) df.repartition(target)
+    else df
   }
 }

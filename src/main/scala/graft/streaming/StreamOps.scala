@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming operators over the `events` shape
@@ -37,38 +38,112 @@ object StreamOps {
         F.col("sum_value")
       )
 
-  /** Sessionization with custom state: per-user sessions closed after
-    * `gapMinutes` of inactivity (flatMapGroupsWithState with event-time
-    * timeout). Emits (user_id, session_start, session_end, n_events).
+  /** Batch sessionization: per-user sessions closed after `gapMinutes`
+    * of inactivity. Emits (user_id, session_start_ms, session_end_ms,
+    * n_events).
+    *
+    * Sort-based, NOT state-based: one shuffle on user_id, then a window
+    * `lag` marks session starts and a running sum numbers them - O(1)
+    * state per row inside Spark's external-sort window operator, which
+    * spills. A hot key (bot account with 10^8 events) sorts on disk
+    * instead of materializing an in-memory per-key array, so the plan
+    * survives 100x skew. For unbounded streams use [[sessionizeStream]].
     */
   def sessionize(
       events: Dataset[org.apache.spark.sql.Row],
       gapMinutes: Int
   ): DataFrame = {
+    val gapMs = gapMinutes * 60000L
+    val byUser = Window.partitionBy("user_id").orderBy("ms")
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(
+        F.col("user_id").cast(LongType).as("user_id"),
+        unix_millis(F.col("ts").cast(TimestampType)).as("ms"))
+      .withColumn("prev_ms", lag("ms", 1).over(byUser))
+      .withColumn(
+        "new_sess",
+        when(F.col("prev_ms").isNull || F.col("ms") - F.col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum("new_sess").over(running))
+      .groupBy("user_id", "sess")
+      .agg(
+        min("ms").as("session_start_ms"),
+        max("ms").as("session_end_ms"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+  }
+
+  /** Streaming sessionization: genuine incremental state via
+    * `flatMapGroupsWithState` + event-time timeout. Sessions spanning
+    * micro-batch boundaries stay open in `GroupState` (as compact
+    * (start, end, count) intervals - never raw timestamps) until either
+    * a later event closes them by exceeding the gap, or the watermark
+    * passes `session_end + gap` and the timeout fires. State per key is
+    * O(#open sessions), which the gap semantics bound to the handful of
+    * late-data islands inside the watermark horizon - independent of
+    * how many events the key has ever produced.
+    *
+    * Emits (user_id, session_start_ms, session_end_ms, n_events) in
+    * append mode, each session exactly once, once it can no longer grow.
+    */
+  def sessionizeStream(
+      events: Dataset[org.apache.spark.sql.Row],
+      gapMinutes: Int,
+      lateness: String
+  ): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
-    case class Sess(start: Long, end: Long, n: Long)
-    val typed = events
+    events
       .select(F.col("user_id").cast(LongType), F.col("ts").cast(TimestampType))
+      .withWatermark("ts", lateness)
       .as[(Long, java.sql.Timestamp)]
-    typed
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (uid, rows, state: GroupState[(Long, Long, Long)]) =>
-          // batch-mode execution: all rows for the key arrive at once -
-          // sort and split on gaps. (Streaming mode would use the event-
-          // time timeout to close sessions incrementally.)
-          val ts = rows.map(_._2.getTime).toArray.sorted
-          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
-          var start = ts.head; var prev = ts.head; var n = 1L
-          for (t <- ts.tail) {
-            if (t - prev > gapMs) { out += ((uid, start, prev, n)); start = t; n = 0L }
-            prev = t; n += 1
+      .flatMapGroupsWithState[List[(Long, Long, Long)], (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[List[(Long, Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end+gap for the earliest open session(s):
+            // emit everything that can no longer be extended
+            val wm = state.getCurrentWatermarkMs()
+            val (closed, open) = state.get.partition { case (_, e, _) => e + gapMs <= wm }
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open)
+              state.setTimeoutTimestamp(math.max(open.map(_._2).min + gapMs, wm + 1))
+            }
+            closed.iterator.map { case (s, e, n) => (uid, s, e, n) }
+          } else {
+            // merge this batch's (batch-bounded, sorted) timestamps into
+            // the open-session intervals; a timestamp within gap of an
+            // interval extends it, and one that bridges two intervals
+            // merges them
+            var sessions = state.getOption.getOrElse(Nil) // sorted by start
+            val batchTs = rows.map(_._2.getTime).toArray.sorted
+            for (t <- batchTs) {
+              val (before, rest) = sessions.span { case (_, e, _) => e < t - gapMs }
+              rest match {
+                case (s, e, n) :: tail if t >= s - gapMs =>
+                  // touches this interval; may also bridge into the next
+                  val (s2, e2, n2) = (math.min(s, t), math.max(e, t), n + 1)
+                  tail match {
+                    case (s3, e3, n3) :: tail2 if s3 - e2 <= gapMs =>
+                      sessions = before ::: (s2, math.max(e2, e3), n2 + n3) :: tail2
+                    case _ => sessions = before ::: (s2, e2, n2) :: tail
+                  }
+                case _ => sessions = before ::: (t, t, 1L) :: rest
+              }
+            }
+            val wm = state.getCurrentWatermarkMs()
+            val (closed, open) = sessions.partition { case (_, e, _) => e + gapMs <= wm }
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open)
+              state.setTimeoutTimestamp(math.max(open.map(_._2).min + gapMs, wm + 1))
+            }
+            closed.iterator.map { case (s, e, n) => (uid, s, e, n) }
           }
-          out += ((uid, start, prev, n))
-          out.iterator
       }
       .toDF("user_id", "session_start_ms", "session_end_ms", "n_events")
   }
@@ -119,14 +194,31 @@ object StreamOps {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
+          val prev = state
           state = graft.ptree.PrefixTree
             .merge(state, batch.toDF(), col, prefixLen, numPartitions)
-            .localCheckpoint()
+            .localCheckpoint() // eager: materialized before prev is freed
+          // free the superseded trie's checkpoint blocks NOW instead of
+          // waiting on driver GC + ContextCleaner - over an unbounded
+          // stream the orphaned blocks would otherwise accumulate in
+          // executor storage until a full GC happens to run
+          unpersistCheckpoint(prev)
           onUpdate(state)
         }
       }
       .start()
   }
+
+  /** Drop the storage blocks behind a `localCheckpoint`ed Dataset.
+    * `Dataset.unpersist` only consults the cache manager, which knows
+    * nothing about checkpoint RDDs - the blocks live on the RDD inside
+    * the plan's `LogicalRDD` leaf, so unpersist that directly.
+    */
+  private def unpersistCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Streaming fuzzy-match: a stream of query strings against a static
     * broadcast trie (stream-static pattern). `trieIndex` is the collected

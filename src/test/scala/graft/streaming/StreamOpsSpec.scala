@@ -49,6 +49,58 @@ class StreamOpsSpec extends SparkSpec {
     ))
   }
 
+  test("sessionizeStream: session spanning two micro-batches emits ONCE, merged") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sq = StreamOps
+      .sessionizeStream(mem.toDF().toDF("user_id", "ts"), gapMinutes = 30, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // batch 1: two events for u1, 10 min apart - session stays OPEN in state
+    mem.addData((1L, ts(0)), (1L, ts(10)))
+    sq.processAllAvailable()
+    assert(spark.table("sess").count() == 0, "open session must not emit yet")
+    // batch 2: u1 again 10 min later - same session continues across the
+    // micro-batch boundary (the round-3 impl would have split it here)
+    mem.addData((1L, ts(20)))
+    sq.processAllAvailable()
+    // batch 3+4: another user far in the future advances the watermark
+    // past u1's end+gap; the event-time timeout then closes u1's session
+    mem.addData((2L, Timestamp.valueOf("2024-01-01 14:00:00")))
+    sq.processAllAvailable()
+    mem.addData((2L, Timestamp.valueOf("2024-01-01 14:01:00")))
+    sq.processAllAvailable()
+    val got = spark.table("sess").as[(Long, Long, Long, Long)].collect().toSet
+    sq.stop()
+    assert(got == Set((1L, ts(0).getTime, ts(20).getTime, 3L)), s"got $got")
+  }
+
+  test("sessionizeStream: late event inside watermark bridges two open islands") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sq = StreamOps
+      .sessionizeStream(mem.toDF().toDF("user_id", "ts"), gapMinutes = 10, lateness = "2 hours")
+      .writeStream.format("memory").queryName("sessl").outputMode("append").start()
+    // two islands 40 min apart (> gap), both open (watermark lags 2h)
+    mem.addData((1L, ts(0)), (1L, ts(40)))
+    sq.processAllAvailable()
+    // late arrival at :32 bridges neither (gap 10: 32-0>10... 40-32<=10):
+    // merges into the second island only
+    mem.addData((1L, ts(32)))
+    sq.processAllAvailable()
+    // flush: far-future watermark closes everything via timeout
+    mem.addData((2L, Timestamp.valueOf("2024-01-02 10:00:00")))
+    sq.processAllAvailable()
+    mem.addData((2L, Timestamp.valueOf("2024-01-02 10:01:00")))
+    sq.processAllAvailable()
+    val got = spark.table("sessl").filter(col("user_id") === 1L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    sq.stop()
+    assert(got == Set(
+      (1L, ts(0).getTime, ts(0).getTime, 1L),
+      (1L, ts(32).getTime, ts(40).getTime, 2L)
+    ), s"got $got")
+  }
+
   test("streamingDedup: first occurrence survives, dupes within watermark dropped") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
