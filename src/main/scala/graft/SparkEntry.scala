@@ -126,9 +126,14 @@ object SparkEntry {
       val queries = cust
         .filter(col("c_custkey") % 35 === 0)
         .select(expr("concat(substr(c_name, 1, length(c_name)-1), 'X')").as("query_string"))
-      Query.queryJoin(queries, "query_string", trie, maxDist = 2)
+      // withPath threads the reference's cumulative_nodes debug column
+      // (ecl:405-406) through the loop; at an end-cap the traversed path
+      // spells the matched word, which the oracle checks independently
+      // (path = node) rather than trusting the spec alone
+      Query.queryJoin(queries, "query_string", trie, maxDist = 2, withPath = true)
         .select(col("query_string"), col("node"),
-          col("final_distance").cast(IntegerType).as("final_distance"))
+          col("final_distance").cast(IntegerType).as("final_distance"),
+          col("path"))
     },
     "pt_serving" -> { (s, dir) =>
       // the Roxie serving path (reference ecl:459-588): point queries
@@ -614,7 +619,8 @@ object SparkEntry {
         |WHERE dict.word <> '' AND levenshtein(q.query_string, dict.word) <= 1""".stripMargin,
     "pt_fuzzy_joinmode" ->
       """SELECT q.query_string AS query_string, d.c_name AS node,
-        |       CAST(levenshtein(q.query_string, d.c_name) AS INT) AS final_distance
+        |       CAST(levenshtein(q.query_string, d.c_name) AS INT) AS final_distance,
+        |       d.c_name AS path
         |FROM (SELECT substr(c_name, 1, length(c_name)-1) || 'X' AS query_string
         |      FROM customer WHERE c_custkey % 35 = 0) q
         |CROSS JOIN customer d

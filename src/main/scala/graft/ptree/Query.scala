@@ -44,17 +44,40 @@ object Query {
       col: String,
       trie: Dataset[PTNode],
       maxDist: Int,
-      broadcastThreshold: Long = 20L * 1000 * 1000
+      broadcastThresholdBytes: Long = 512L * 1024 * 1024
   ): DataFrame = {
-    // persist across the mode decision: count() + collect()/join would
-    // otherwise run trie construction twice. Both modes consume the trie
-    // eagerly (collect, or the checkpointing loop), so unpersisting on
-    // return is safe.
+    // persist across the mode decision: the sizing agg + collect()/join
+    // would otherwise run trie construction twice. Both modes consume the
+    // trie eagerly (collect, or the checkpointing loop), so unpersisting
+    // on return is safe.
     val t = trie.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      if (t.count() <= broadcastThreshold) queryBroadcast(queries, col, t, maxDist)
+      if (estimatedIndexBytes(t) <= broadcastThresholdBytes)
+        queryBroadcast(queries, col, t, maxDist)
       else queryJoin(queries, col, t, maxDist)
     } finally t.unpersist()
+  }
+
+  /** Estimated JVM heap for the collected children index
+    * (`Map[parent_id -> Array[PTNode]]`) - the quantity the broadcast
+    * decision must bound. A row COUNT is the wrong guard: 20M nodes with
+    * 8-char edges is ~3 GB, with 200-char document-shard payloads it is
+    * ~10 GB, and both the driver (one copy at collect + one serialized in
+    * the broadcast) and EVERY executor (a full deserialized copy each on
+    * a 1000-node cluster) pay it. Model: per node, the PTNode object
+    * (header 16 + 3 longs + 3 ints + bool + padding + String ref ≈ 72 B)
+    * plus its slot in a children array and amortized map-entry overhead
+    * (≈ 56 B) → 128 B fixed, plus the String payload at 2 B/char (UTF-16
+    * worst case; compact strings halve it for ASCII). One single-pass agg
+    * over the (persisted) trie - same cost as the count() it replaces.
+    * The 512 MB default leaves a multi-GB driver comfortable: ~2 copies
+    * driver-side during collect+broadcast plus serialization scratch.
+    */
+  private[ptree] def estimatedIndexBytes(trie: Dataset[PTNode]): Long = {
+    val r = trie.toDF()
+      .agg(count(lit(1)), coalesce(sum(length(column("node"))), lit(0L)))
+      .head()
+    r.getLong(0) * 128L + 2L * r.getLong(1)
   }
 
   /** Best-`k` matches per query within `maxDist`: the reference's

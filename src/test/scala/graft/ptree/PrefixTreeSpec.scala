@@ -56,8 +56,29 @@ class PrefixTreeSpec extends SparkSpec {
     val queries = Seq("dog", "kaminski").toDF("q")
     val expect = rows3(Query.queryBroadcast(queries, "q", trie, 1))
     val viaBroadcast = rows3(Query.queryBatch(queries, "q", trie, 1)) // trie << default threshold
-    val viaJoin = rows3(Query.queryBatch(queries, "q", trie, 1, broadcastThreshold = 1)) // forced join mode
+    val viaJoin = rows3(Query.queryBatch(queries, "q", trie, 1, broadcastThresholdBytes = 1)) // forced join mode
     assert(viaBroadcast == expect && viaJoin == expect)
+  }
+
+  test("broadcast sizing is byte-based: wide payloads route to join mode at equal row count") {
+    // same number of nodes, 100x the string payload: a row-count guard
+    // sees identical tries; the byte estimate must separate them
+    val narrow = PrefixTree.create(Seq("aaa", "bbb", "ccc").toDF("w"), "w", 1, 2)
+    val wide = PrefixTree.create(
+      Seq("a" * 300, "b" * 300, "c" * 300).toDF("w"), "w", 1, 2)
+    assert(narrow.count() == wide.count(), "spec premise: equal node counts")
+    val nb = Query.estimatedIndexBytes(narrow)
+    val wb = Query.estimatedIndexBytes(wide)
+    assert(wb > nb * 4, s"estimate must scale with payload bytes (narrow=$nb wide=$wb)")
+    // a threshold between the two routes narrow -> broadcast, wide -> join,
+    // and BOTH still return the right answer
+    val thr = (nb + wb) / 2
+    val q = Seq("a" * 300).toDF("q")
+    val got = rows3(Query.queryBatch(q, "q", wide, 0, broadcastThresholdBytes = thr))
+    assert(got == Set(("a" * 300, "a" * 300, 0)))
+    val q2 = Seq("aaa").toDF("q")
+    assert(rows3(Query.queryBatch(q2, "q", narrow, 0, broadcastThresholdBytes = thr)) ==
+      Set(("aaa", "aaa", 0)))
   }
 
   test("queryJoin (loop mode) matches broadcast mode") {
