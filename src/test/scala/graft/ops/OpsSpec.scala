@@ -272,6 +272,52 @@ class OpsSpec extends SparkSpec {
     assert(pairs.head._3 == 0.6)
   }
 
+  test("skew stress: degenerate bucket at B >> cap stays bounded in all three pipelines") {
+    // one degenerate key with 500 members (boilerplate clones - the shape
+    // of real corpus skew: empty-ish pages, licence headers) versus a cap
+    // of 10: uncapped candidate generation is C(500,2) = 124,750 pairs
+    // from that single bucket; capped output must contain EXACTLY the
+    // genuine near-dup pairs, proving the quadratic key never reaches the
+    // pair shuffle. sf0.01 runs only exercise benign distributions, so
+    // this is the one place the caps face the skew they exist for.
+    val clones = (1000L to 1499L).map(i => (i, "lorem ipsum boilerplate header text"))
+    val genuine = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf"),
+      (3L, "hotel india juliett kilo lima mike november"),
+      (4L, "hotel india juliett kilo lima mike november"),
+      (5L, "oscar papa quebec romeo sierra tango uniform"),
+      (6L, "oscar papa quebec romeo sierra tango uniform"))
+    val corpus = (clones ++ genuine).toDF("doc_id", "text")
+    val genuinePairs = Set((1L, 2L), (3L, 4L), (5L, 6L))
+
+    // minhash LSH: every clone collides with every clone in EVERY band
+    val mhUncapped = DedupOps.minhashLshPairs(corpus, "doc_id", "text",
+      numHashes = 16, bands = 4)
+    assert(mhUncapped.count() >= 500L * 499 / 2, "premise: uncapped IS quadratic")
+    val mh = DedupOps.minhashLshPairs(corpus, "doc_id", "text",
+      numHashes = 16, bands = 4, maxBucketSize = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(mh.map(p => (p._1, p._2)).toSet == genuinePairs, s"got ${mh.toSeq}")
+    assert(mh.forall(_._3 == 1.0))
+
+    // simhash: clones share one fingerprint -> every block key is hot
+    val shUncapped = DedupOps.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+    assert(shUncapped.count() >= 500L * 499 / 2)
+    val sh = DedupOps.simhashPairs(corpus, "doc_id", "text",
+      maxHamming = 3, maxBlockSize = 10)
+      .as[(Long, Long, Int)].collect()
+    assert(sh.map(p => (p._1, p._2)).toSet == genuinePairs, s"got ${sh.toSeq}")
+    assert(sh.forall(_._3 == 0))
+
+    // jaccard inverted index: every clone token is shared by all 500
+    val jc = DedupOps.jaccardPairs(corpus, "doc_id", "text",
+      threshold = 0.0, maxTokenDocFreq = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(jc.map(p => (p._1, p._2)).toSet == genuinePairs, s"got ${jc.toSeq}")
+    assert(jc.forall(_._3 == 1.0))
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, distinct far") {
     val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
       .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
