@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional arg: comma-separated query names for targeted timing runs;
+    // the driver invokes with no args and times the full suite
+    val wanted = SparkEntry.queries.filter { case (name, _) =>
+      args.isEmpty || args(0).split(",").contains(name)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +28,7 @@ object Bench {
     // paid before timing starts
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      wanted.foreach { case (_, fn) =>
         try fn(spark, warmDir).count()
         catch { case _: Throwable => () }
       }
@@ -39,14 +44,17 @@ object Bench {
     // (observed: the same unchanged query timing 1.1s and 16s minutes
     // apart), and the min is the standard way to report the achievable
     // time of a deterministic computation under external noise
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drop the previous query's residue (checkpoint RDDs, broadcast
       // blocks held only by dead references) BEFORE timing, so query N
       // doesn't pay query N-1's GC bill
       System.gc()
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          // stderr, not stdout: the driver parses stdout as one JSON line
+          case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false
+        }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       // a throwing query must not masquerade as a fast success: report it

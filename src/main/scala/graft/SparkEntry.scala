@@ -166,6 +166,25 @@ object SparkEntry {
         .select(col("query_string"), col("node"),
           col("final_distance").cast(IntegerType).as("final_distance"))
     },
+    "pt_bucketed_roundtrip" -> { (s, dir) =>
+      // the BUILDINDEX analog that KEEPS its organization (ecl:612-613):
+      // persist the trie as a catalog table bucketed on parent_id, read
+      // it back, query through it. Unlike pt_index_roundtrip (plain
+      // parquet - partitioning lost on read), the bucketing metadata
+      // survives, so join-mode frontier joins read the buckets directly;
+      // the no-trie-side-shuffle plan property is pinned by
+      // PrefixTreeSpec. Oracle = same brute force as pt_index_roundtrip:
+      // the table round-trip must be lossless.
+      val dict = PrefixTree.create(docWords(s, dir), "word", prefixLen = 2)
+      PrefixTree.writeIndexedTable(dict, "graft_pt_bucketed", buckets = 8)
+      val back = PrefixTree.readTable(s, "graft_pt_bucketed")
+      val q = tbl(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("query_string"))
+        .distinct()
+      Query.queryBatch(q, "query_string", back, maxDist = 1)
+        .select(col("query_string"), col("node"),
+          col("final_distance").cast(IntegerType).as("final_distance"))
+    },
     "pt_incremental" -> { (s, dir) =>
       // incremental maintenance: build the trie on half the corpus,
       // merge the other half (rebuild input = vocabulary-sized weighted
@@ -632,6 +651,14 @@ object SparkEntry {
         |CROSS JOIN customer d
         |WHERE levenshtein(q.query_string, d.c_name) <= 2""".stripMargin,
     "pt_index_roundtrip" ->
+      """WITH dict AS (SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |              FROM documents),
+        |     q AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS query_string FROM part)
+        |SELECT q.query_string, dict.word AS node,
+        |       CAST(levenshtein(q.query_string, dict.word) AS INT) AS final_distance
+        |FROM q CROSS JOIN dict
+        |WHERE dict.word <> '' AND levenshtein(q.query_string, dict.word) <= 1""".stripMargin,
+    "pt_bucketed_roundtrip" ->
       """WITH dict AS (SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
         |              FROM documents),
         |     q AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS query_string FROM part)

@@ -148,13 +148,25 @@ object PrefixTree {
     * read; this keeps it - the difference is one trie-sized exchange
     * per query on a 100 TB trie.
     */
-  def writeIndexedTable(trie: Dataset[PTNode], table: String, buckets: Int = 32): Unit =
+  def writeIndexedTable(trie: Dataset[PTNode], table: String, buckets: Int = 32): Unit = {
+    val spark = trie.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a previous session's managed-table directory can outlive the
+    // in-memory catalog entry that knew about it (the warehouse dir is
+    // durable, the default catalog is not); CTAS refuses a non-empty
+    // location, so clear the orphan explicitly
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
     trie.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, "parent_id")
       .sortBy("parent_id")
       .saveAsTable(table) // managed table in the session warehouse
+  }
 
   def readTable(spark: SparkSession, table: String): Dataset[PTNode] = {
     import spark.implicits._

@@ -182,7 +182,10 @@ object Query {
     frontier.join(
       t,
       frontier("node_id") === t("parent_id") &&
-        element_at(frontier("state"), -1) <= lit(maxDist) &&
+        // null state = a settled (done) row riding the phase-1 chain via
+        // its sentinel key; genuine frontier rows always carry state
+        (frontier("state").isNull ||
+          element_at(frontier("state"), -1) <= lit(maxDist)) &&
         length(frontier("query_string")) <= t("_max") + lit(maxDist) &&
         length(frontier("query_string")) >= t("_min") - lit(maxDist),
       "inner"
@@ -220,14 +223,63 @@ object Query {
     // Trie side: pre-partition ONCE by parent_id and cache - every loop
     // iteration reuses the same exchange instead of re-shuffling 100 TB of
     // trie. Only the (shrinking) frontier moves per iteration.
+    // 64 SENTINEL rows (negative ids, parent_id = id) are appended for the
+    // phase-1 chain: rows that have already produced their result keep
+    // flowing through subsequent joins by matching a sentinel (spread over
+    // 64 keys by query hash so the done-stream is not one hot partition).
+    // The sentinels' window bounds are maximal and they are not words, so
+    // they can never affect a genuine traversal row.
+    val dbgT = sys.env.contains("GRAFT_DEBUG_TIMING")
+    var dbg0 = System.nanoTime()
+    def dbg(tag: String): Unit = if (dbgT) {
+      System.err.println(f"[queryJoin] $tag: ${(System.nanoTime() - dbg0) / 1e6}%.0f ms")
+      dbg0 = System.nanoTime()
+    }
     val parts = spark.sessionState.conf.numShufflePartitions
-    val t = trie.toDF().repartition(parts, $"parent_id")
+    val sentinels = spark.range(1, 65).select(
+      (-$"id").as("id"), (-$"id").as("parent_id"),
+      lit(1 << 29).as("_max"), lit(0).as("_min"),
+      lit(false).as("is_word"), lit(0).as("compute_node"),
+      lit("").as("node"), lit(0L).as("n_occurrences"))
+    // SIZE the trie cache's partition count by bytes, not by the session
+    // shuffle-partition default: every chain level (and loop iteration)
+    // runs one join task per cached trie partition, so a megabyte-scale
+    // dictionary trie sliced into 32 partitions pays ~32x the task-
+    // scheduling it needs, while a TB-scale trie gets as many partitions
+    // as the session allows. 32 MB per partition keeps a partition's
+    // build side comfortably in a task's memory.
+    val ownCache = trie.storageLevel == StorageLevel.NONE
+    val tIn = if (ownCache) trie.persist(StorageLevel.MEMORY_AND_DISK) else trie
+    // one pass over the input trie collects sizing AND height together:
+    // bytes drive the partition count and the physical join strategy,
+    // the height bounds the unrolled chain
+    val sz = tIn.toDF().agg(
+      count(lit(1)),
+      coalesce(sum(length($"node")), lit(0L)),
+      max(when($"is_word", length($"node"))),
+      min(when(!$"is_word" && $"parent_id" === 0L, length($"node")))).head()
+    val trieBytes = sz.getLong(0) * 48L + 2L * sz.getLong(1)
+    val partsT = math.max(1L, math.min(parts.toLong, trieBytes / (32L * 1024 * 1024) + 1)).toInt
+    val maxWord = if (sz.isNullAt(2)) 0 else sz.getInt(2)
+    val minTop = if (sz.isNullAt(3)) math.max(maxWord, 1) else sz.getInt(3)
+    val hChain = math.min(1 + math.max(0, maxWord - minTop) + 1, 24)
+    // physical strategy for the chain levels: a trie that fits a task's
+    // memory comfortably joins as a BROADCAST hash join - all hChain
+    // levels then fuse into ONE shuffle-free codegen'd stage at the full
+    // parallelism of the query set, and ReuseExchange ships the (single)
+    // broadcast once. Bigger tries use the partitioned join, where only
+    // the frontier shuffles per level. Same algebra either way - this is
+    // strategy selection, exactly what Catalyst does for any other join.
+    val useBcast = trieBytes <= 64L * 1024 * 1024
+    dbg(s"trie sizing (partsT=$partsT, bcast=$useBcast, h=$hChain)")
+    val t = tIn.toDF().unionByName(sentinels).repartition(partsT, $"parent_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize the cache BEFORE the first join plans against it: an
-    // unexecuted AQE cache plan reports UnknownPartitioning, and the
-    // first iteration would then defensively re-shuffle the whole trie
-    // (PrefixTreeSpec's per-iteration plan test pins this down)
-    t.count()
+    // materialize the cache BEFORE the first partitioned join plans
+    // against it: an unexecuted AQE cache plan reports UnknownPartitioning
+    // and the first level would defensively re-shuffle the whole trie
+    // (PrefixTreeSpec pins this down). The broadcast path doesn't consult
+    // partitioning, so there the chain's own job populates the cache.
+    if (!useBcast) { t.count(); dbg("cache materialize") }
 
     val frontier0 = queries
       .select(column(col).cast(StringType).as("query_string"))
@@ -237,15 +289,96 @@ object Query {
         concat(sequence(lit(0), length($"query_string")), array(lit(0)))
       )
       .withColumn("depth", lit(0))
-    var frontier =
-      (if (withPath) frontier0.withColumn("path", lit("")) else frontier0)
-        .localCheckpoint()
 
-    // each iteration's emissions are checkpointed once and unioned at the
-    // end - re-checkpointing a growing union would rematerialize all
-    // prior results every iteration (O(depth^2))
-    var emitted: List[DataFrame] = Nil
+    // ------------------------------------------------------------------
+    // Phase 1 - UNROLLED CHAIN: the trie's height is knowable upfront
+    // (first edge >= minTopEdge chars, every deeper edge >= 1 char, plus
+    // the end-cap level), so instead of a driver loop of
+    // materialize-count-join round trips, unroll `hChain` levels into ONE
+    // lazy LINEAR plan and let Spark run the whole traversal as a single
+    // job: no per-level localCheckpoint serialization, no per-level
+    // control job, one Catalyst/AQE pass, stages pipelined back to back.
+    // Rows that reach their result are NOT split into a separate branch
+    // (a second reference of the level plan would double the logical tree
+    // per level - exponential planning): they flip to done=true, retarget
+    // their join key to a sentinel trie row, and ride the remaining
+    // levels as inert fan-out-1 rows. Extra shuffle volume is
+    // |result| x residual-depth narrow rows - the price of one job.
+    // hChain is capped: a pathologically deep trie (document-length
+    // strings) falls through to the phase-2 loop, which handles
+    // arbitrary depth with bounded lineage.
+    val nullStr = lit(null).cast(StringType)
+    var cur = frontier0
+      .withColumn("done", lit(false))
+      .withColumn("r_node", nullStr)
+      .withColumn("r_dist", lit(null).cast(IntegerType))
+      .withColumn("r_occ", lit(null).cast(LongType))
+    if (withPath) cur = cur.withColumn("path", lit(""))
+    // broadcast-mode chain: the whole traversal is one pipelined stage,
+    // so parallelism is fixed by the INPUT partitioning - spread the
+    // query set over every core upfront (file layout often delivers a
+    // single split)
+    if (useBcast) cur = cur.repartition(spark.sparkContext.defaultParallelism)
+
+    val frontierCols = Seq($"query_string", $"node_id", $"state", $"depth") ++
+      (if (withPath) Seq($"path") else Nil)
+
+    for (_ <- 1 to hChain) {
+      // fresh expression IDs for the trie side each level: `cur` already
+      // contains the previous level's trie attributes, and re-joining the
+      // SAME cached Dataset would be an ambiguous self-join. Aliasing is
+      // a no-op projection; alias-aware output partitioning still lets
+      // the join reuse the cached parent_id exchange.
+      val tl = t.select(t.columns.map(n => t(n).as(n)): _*)
+      // done rows pass the join via their sentinel key: a null state
+      // takes frontierJoin's null-state escape, and the sentinel's
+      // maximal length window is always satisfied.
+      val settled = $"done" || $"is_word"
+      cur = frontierJoin(cur, if (useBcast) broadcast(tl) else tl, maxDist)
+        .select((Seq(
+          $"query_string",
+          when(settled, -(pmod(xxhash64($"query_string"), lit(64L)) + lit(1L)))
+            .otherwise(tl("id")).as("node_id"),
+          // settled rows drop their state entirely (frontierJoin's prune
+          // has a null-state escape): the done-stream rides the remaining
+          // levels as narrow rows
+          when(settled, lit(null).cast(ArrayType(IntegerType)))
+            .otherwise(extend($"query_string", $"node", $"state", $"depth")).as("state"),
+          when(settled, $"depth")
+            .otherwise($"depth" + length($"node")).cast(IntegerType).as("depth"),
+          settled.as("done"),
+          when($"done", $"r_node").otherwise(when($"is_word", $"node")).as("r_node"),
+          when($"done", $"r_dist")
+            .otherwise(when($"is_word", element_at($"state", length($"query_string") + 1)))
+            .cast(IntegerType).as("r_dist"),
+          when($"done", $"r_occ").otherwise(when($"is_word", $"n_occurrences")).as("r_occ")
+        ) ++ (if (withPath)
+          Seq(when(settled, $"path").otherwise(concat($"path", $"node")).as("path"))
+        else Nil)): _*)
+        .filter(
+          ($"done" && $"r_dist" <= lit(maxDist)) ||
+            (!$"done" && element_at($"state", -1) <= lit(maxDist)))
+    }
+
+    // ONE materialization + ONE control job for the whole chain
+    dbg("chain plan built")
+    val chain = cur.localCheckpoint()
+    dbg("chain executed")
+    // the chain's job has populated t's cache; the input-side cache (ours
+    // only if the caller hadn't persisted) is no longer needed
+    if (ownCache) tIn.unpersist()
+    val emitCols0 = Seq(
+      $"query_string", $"r_node".as("node"), $"r_dist".as("final_distance"),
+      $"r_occ".as("n_occurrences")
+    ) ++ (if (withPath) Seq($"path") else Nil)
+    var emitted: List[DataFrame] = List(chain.filter($"done").select(emitCols0: _*))
+    var frontier = chain.filter(!$"done").select(frontierCols: _*)
     var nFrontier = frontier.count()
+    dbg(s"leftover control (n=$nFrontier)")
+
+    // ------------------------------------------------------------------
+    // Phase 2 - FALLBACK LOOP for tries deeper than the unroll cap
+    // (normally nFrontier == 0 here and this is skipped entirely)
     try {
     while (nFrontier > 0) {
       // ONE join execution + ONE materialization per iteration: project
@@ -299,18 +432,9 @@ object Query {
     // finally (not success-path only): an exception mid-loop must not
     // leak the cached trie partitioning
     } finally t.unpersist()
-    if (emitted.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("query_string", StringType),
-          StructField("node", StringType),
-          StructField("final_distance", IntegerType),
-          StructField("n_occurrences", LongType)
-        ) ++ (if (withPath) Seq(StructField("path", StringType)) else Nil))
-      )
-    else
-      emitted.reduce(_ union _)
-        .withColumn("final_distance", $"final_distance".cast(IntegerType))
+    // emitted is never empty: the chain contributes its (possibly empty)
+    // done-slice with the full output schema
+    emitted.reduce(_ union _)
+      .withColumn("final_distance", $"final_distance".cast(IntegerType))
   }
 }
