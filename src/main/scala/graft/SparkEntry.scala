@@ -617,6 +617,82 @@ object SparkEntry {
           round(sqrt(sum(col("k"))), 6).as("sqrt_k"),
           concat_ws(",", sort_array(collect_set(col("event_type")))).as("types")
         )
+    },
+    "q13_outer" -> { (s, dir) =>
+      // outer-join aggregation (TPC-H Q13 shape): order-count histogram
+      // over ALL customers, zero-order customers included - the rows an
+      // inner join silently drops. Shuffled hash/SMJ on o_custkey; the
+      // second aggregate is tiny (distinct counts, not customers)
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    "q14_pivot" -> { (s, dir) =>
+      // pivot (long -> wide): quantity totals per linestatus with one
+      // column per return flag. Explicit pivot values keep it one pass
+      // (no values-discovery job) - at 100 TB the discovery scan is the
+      // cost that matters, and training-mix matrices always have a known
+      // small category set
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType))
+        .select(col("l_linestatus"),
+          col("A").as("qty_a"), col("N").as("qty_n"), col("R").as("qty_r"))
+    },
+    "q15_sql_api" -> { (s, dir) =>
+      // the end-user SQL surface: graft's native codegen expressions
+      // registered into the session FunctionRegistry and invoked from SQL
+      // text (same route as spark.sql.extensions=graft.functions
+      // .GraftExtensions on a real cluster). Pairwise cosine over a
+      // deterministic 1-in-5 slice - a bounded pairs demo, not the scale
+      // path (that's ann_lsh / ann_ivf)
+      graft.functions.GraftFunctions.register(s)
+      tbl(s, dir, "embeddings")
+        .filter(col("vec_id") % 5 === 0)
+        .createOrReplaceTempView("emb_sql")
+      s.sql("""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(vec_dot(a.embedding, b.embedding) /
+                     (vec_norm(a.embedding) * vec_norm(b.embedding)), 6) AS cos
+        FROM emb_sql a JOIN emb_sql b ON a.vec_id < b.vec_id""")
+    },
+    "docs_partitioned" -> { (s, dir) =>
+      // corpus-at-rest lifecycle: write documents hive-partitioned by
+      // language, read back with a partition filter, aggregate. The
+      // en/de filter prunes to 2 of the lang directories at file-listing
+      // time (PartitionFilters, pinned by SinksSpec) - at 100 TB this is
+      // the difference between scanning 2 languages and scanning all of
+      // them. Oracle checks the roundtrip loses nothing.
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_docs_part_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Sinks.writePartitioned(
+        tbl(s, dir, "documents"), path, Seq("lang"))
+      graft.sources.Sinks.readPartitioned(s, path)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    },
+    "q16_full_outer" -> { (s, dir) =>
+      // full outer join: reconcile a customer dimension slice against
+      // per-customer order rollups - rows exist on either side alone
+      // (even-key customers without orders; odd-key order groups with no
+      // dimension row). Equi-key, so a shuffled join, never BNL
+      val cu = tbl(s, dir, "customer")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"))
+      val co = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      cu.join(co, cu("c_custkey") === co("o_custkey"), "full_outer")
+        .select(
+          coalesce(cu("c_custkey"), co("o_custkey")).as("custkey"),
+          when(cu("c_custkey").isNotNull, lit(1)).otherwise(lit(0)).as("in_customer"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
     }
   )
 
@@ -1262,6 +1338,39 @@ object SparkEntry {
         |                 ELSE 64 + (('0x' || substr(md5(text), 9, 8))::BIGINT % 1080) END AS INT) AS height,
         |       CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' ELSE 'raw' END AS format,
         |       CAST(16 AS INT) AS n_features
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "docs_partitioned" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents
+        |WHERE lang IN ('en', 'de')
+        |GROUP BY lang, source""".stripMargin,
+    "q13_outer" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |      FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        |      GROUP BY c.c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+    "q14_pivot" ->
+      """SELECT l_linestatus,
+        |       CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+        |       CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem
+        |GROUP BY l_linestatus""".stripMargin,
+    "q15_sql_api" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0""".stripMargin,
+    "q16_full_outer" ->
+      """SELECT coalesce(cu.c_custkey, co.o_custkey) AS custkey,
+        |       CASE WHEN cu.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS in_customer,
+        |       coalesce(co.n_orders, 0) AS n_orders
+        |FROM (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0) cu
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+        |                 FROM orders GROUP BY o_custkey) co
+        |ON cu.c_custkey = co.o_custkey""".stripMargin
   )
 }

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Partitioned-parquet sink/source pair: the lifecycle a 100-TB corpus
+  * actually lives by - data at rest laid out hive-style on a
+  * low-cardinality column (language, source, date) so every downstream
+  * query that filters on it reads only the matching directories
+  * (partition pruning happens at file listing, before any I/O).
+  *
+  * The reference's only persistence is OUTPUT + BUILDINDEX on the trie
+  * (/root/reference/PrefixTree.ecl:611-613, covered by
+  * PrefixTree.writeIndexed / writeIndexedTable); this module is the
+  * corpus-side counterpart for the extension operators.
+  */
+object Sinks {
+
+  /** Write `df` as parquet partitioned by `partCols`.
+    *
+    * The repartition on the partition columns is the part that matters at
+    * scale: without it every one of N tasks writes a file into every one
+    * of V partition directories (N x V small files - the classic
+    * partitioned-write explosion); with it each partition value is
+    * written by exactly one task (V files). For a skewed value whose rows
+    * exceed one task's comfortable output, `maxRecordsPerFile` rolls the
+    * file without changing the task layout.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L
+  ): Unit =
+    df.repartition(partCols.map(col): _*)
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCols: _*)
+      .parquet(path)
+
+  /** Read a partitioned layout back. Filters on the partition columns
+    * prune directories at planning time (PartitionFilters in the scan,
+    * pinned by SinksSpec); filters on data columns still push down to
+    * parquet row-group stats as usual.
+    */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.toString + "/data"
+  }
+
+  private val docs = Seq(
+    (1L, "alpha", "en", 10L), (2L, "beta", "en", 20L),
+    (3L, "gamma", "de", 30L), (4L, "delta", "de", 40L),
+    (5L, "epsil", "fr", 50L), (6L, "zeta", "ja", 60L)
+  ).toDF("doc_id", "text", "lang", "n_chars")
+
+  test("writePartitioned/readPartitioned roundtrip is lossless") {
+    val path = tmp("sinks_rt")
+    Sinks.writePartitioned(docs, path, Seq("lang"))
+    val back = Sinks.readPartitioned(spark, path)
+    assert(back.count() == 6)
+    // schema survives modulo column order (partition cols move last)
+    assert(back.columns.toSet == docs.columns.toSet)
+    val got = back.select("doc_id", "text", "lang", "n_chars")
+      .as[(Long, String, String, Long)].collect().toSet
+    val want = docs.as[(Long, String, String, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("partition filter prunes directories at planning time") {
+    val path = tmp("sinks_prune")
+    Sinks.writePartitioned(docs, path, Seq("lang"))
+    val q = Sinks.readPartitioned(spark, path).filter($"lang" === "en")
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty, "expected a FileSourceScanExec")
+    // the lang predicate must land in partitionFilters (pruned at file
+    // listing), not dataFilters (evaluated after reading)
+    assert(scan.head.partitionFilters.nonEmpty,
+      s"lang filter not recognized as a partition filter: ${scan.head}")
+    // and the pruned scan must read only the one matching directory
+    assert(scan.head.relation.location.inputFiles.length >= 3,
+      "layout should have one dir per lang")
+    val readFiles = scan.head.selectedPartitions.totalNumberOfFiles
+    val allFiles = scan.head.relation.location.inputFiles.length
+    assert(readFiles < allFiles,
+      s"pruning read $readFiles of $allFiles files - nothing pruned")
+    assert(q.count() == 2)
+  }
+
+  test("one file per partition value (no small-files explosion)") {
+    val path = tmp("sinks_files")
+    // 4-partition input df x 4 lang values would naively write up to 16
+    // files; the repartition inside writePartitioned caps it at one per value
+    Sinks.writePartitioned(docs.repartition(4), path, Seq("lang"))
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+      .toMap
+    assert(files.keySet == Set("lang=en", "lang=de", "lang=fr", "lang=ja"))
+    assert(files.values.forall(_ == 1), s"expected 1 file per lang dir, got $files")
+  }
+}
