@@ -552,6 +552,18 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"), col("format"),
           size(col("features")).as("n_features"))
     },
+    "media_resize" -> { (s, dir) =>
+      // decode -> fit-in-box resize planning (256x256, aspect preserved,
+      // no upscale). Dimension math is exact IEEE double arithmetic on
+      // the md5 pseudo-dims, so the oracle replays decode AND resize.
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").withColumn("payload", encode(col("text"), "utf-8")),
+        "doc_id", "payload", "image")
+      MultimodalOps.resizeMeta(
+          MultimodalOps.decodeAndFeaturize(media), targetW = 256, targetH = 256)
+        .select(col("media_id"), col("width"), col("height"),
+          col("out_w"), col("out_h"), col("scale"))
+    },
     "media_chunks" -> { (s, dir) =>
       // frame-sampling plumbing: every 2nd 64-byte chunk; output is
       // chunk METADATA (id, index, byte count) so the whole explode/
@@ -676,6 +688,44 @@ object SparkEntry {
         .filter(col("lang").isin("en", "de"))
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    },
+    "q17_approx" -> { (s, dir) =>
+      // approximate distinct (HLL++ sketch) beside the exact count, with
+      // the sketch's accuracy claim made oracle-checkable: within_bound
+      // asserts the rsd=2% sketch landed within 10% of exact (5 sigma -
+      // and the sketch is a deterministic function of the data, so this
+      // is a stable fact of the dataset, not a flaky assertion). At
+      // 100 TB the sketch is the only affordable distinct count: fixed
+      // ~kb of state per group, no distinct-key shuffle.
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_nd"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_nd"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("approx_nd") - col("exact_nd")).cast(DoubleType) /
+            col("exact_nd") <= 0.1).as("within_bound"))
+    },
+    "events_json_roundtrip" -> { (s, dir) =>
+      // schema-on-read source surface: events out as JSON lines, back in
+      // through an EXPLICIT schema (schema inference is a full extra
+      // scan - never at 100 TB), then aggregate. Timestamps travel as
+      // formatted strings so the roundtrip is engine- and tz-neutral.
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_events_json_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts_s STRING")
+        .json(path)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ts_s")).as("first_ts"),
+          max(col("ts_s")).as("last_ts"))
     },
     "q16_full_outer" -> { (s, dir) =>
       // full outer join: reconcile a customer dimension slice against
@@ -1339,6 +1389,27 @@ object SparkEntry {
         |       CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' ELSE 'raw' END AS format,
         |       CAST(16 AS INT) AS n_features
         |FROM documents""".stripMargin,
+    "media_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+        |                   ELSE 64 + (('0x' || substr(md5(text), 1, 8))::BIGINT % 1920) END AS INT) AS width,
+        |         CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+        |                   ELSE 64 + (('0x' || substr(md5(text), 9, 8))::BIGINT % 1080) END AS INT) AS height
+        |  FROM documents
+        |), scaled AS (
+        |  SELECT media_id, width, height,
+        |         width > 0 AND height > 0 AS valid,
+        |         CASE WHEN width > 0 AND height > 0
+        |              THEN least(256 / width::DOUBLE, 256 / height::DOUBLE, 1.0)
+        |              ELSE 1.0 END AS s
+        |  FROM dims
+        |)
+        |SELECT media_id, width, height,
+        |       CAST(CASE WHEN valid THEN greatest(1, floor(width * s)) ELSE 0 END AS INT) AS out_w,
+        |       CAST(CASE WHEN valid THEN greatest(1, floor(height * s)) ELSE 0 END AS INT) AS out_h,
+        |       round(s, 6) AS scale
+        |FROM scaled""".stripMargin,
     "docs_partitioned" ->
       """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
         |FROM documents
@@ -1364,6 +1435,18 @@ object SparkEntry {
         |              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0""".stripMargin,
+    "q17_approx" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_nd,
+        |       TRUE AS within_bound
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
+    "events_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       min(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS first_ts,
+        |       max(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS last_ts
+        |FROM events
+        |GROUP BY event_type""".stripMargin,
     "q16_full_outer" ->
       """SELECT coalesce(cu.c_custkey, co.o_custkey) AS custkey,
         |       CASE WHEN cu.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS in_customer,

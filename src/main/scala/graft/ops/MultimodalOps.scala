@@ -118,6 +118,33 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Resize planning: fit each image into a `targetW` x `targetH` box
+    * preserving aspect ratio, never upscaling. The dimension math is the
+    * real, tested part (it is what a preprocessing pipeline audits and
+    * what downstream batch shapes depend on); the pixel resample itself
+    * is the stubbed codec call and would run inside the same
+    * mapPartitions batch as [[decodeAndFeaturize]]'s decoder.
+    *
+    * All arithmetic is double multiply + floor + greatest - identical
+    * IEEE operations in any engine, so the oracle replays it exactly.
+    * Degenerate 0x0 (empty payload) rows pass through as 0x0 with
+    * scale 1.0 rather than dividing by zero.
+    */
+  def resizeMeta(decoded: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val w = F.col("width").cast(DoubleType)
+    val h = F.col("height").cast(DoubleType)
+    val s = least(lit(targetW) / w, lit(targetH) / h, lit(1.0))
+    val valid = F.col("width") > 0 && F.col("height") > 0
+    decoded
+      .withColumn("scale", round(when(valid, s).otherwise(lit(1.0)), 6))
+      .withColumn("out_w",
+        when(valid, greatest(lit(1), floor(w * s).cast(IntegerType)))
+          .otherwise(lit(0)))
+      .withColumn("out_h",
+        when(valid, greatest(lit(1), floor(h * s).cast(IntegerType)))
+          .otherwise(lit(0)))
+  }
+
   /** Deterministic frame sampling plumbing for video-like payloads: emit
     * every `stride`-th chunk of `chunkBytes` as its own row (stands in
     * for keyframe extraction; the chunking/explode shape is the real

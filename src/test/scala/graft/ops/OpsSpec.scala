@@ -506,4 +506,26 @@ class OpsSpec extends SparkSpec {
         r.getAs[Array[Byte]]("chunk").length)).toSet
     assert(tail == Set((3L, 0, 3), (3L, 2, 3), (3L, 4, 1)))
   }
+
+  test("multimodal: resizeMeta fits the box, never upscales, passes 0x0 through") {
+    val decoded = Seq(
+      (1L, 1024, 768),  // downscale, width-bound: 256/1024 = 0.25
+      (2L, 100, 400),   // downscale, height-bound: 256/400 = 0.64
+      (3L, 200, 100),   // fits already: scale 1.0, dims unchanged
+      (4L, 0, 0),       // empty payload: 0x0 passes through
+      (5L, 512, 512)    // exact-fit scale 0.5
+    ).toDF("media_id", "width", "height")
+    val out = MultimodalOps.resizeMeta(decoded, 256, 256)
+      .select("media_id", "out_w", "out_h", "scale")
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((256, 192, 0.25)))
+    assert(out(2L) == ((64, 256, 0.64)))
+    assert(out(3L) == ((200, 100, 1.0)))
+    assert(out(4L) == ((0, 0, 1.0)))
+    assert(out(5L) == ((256, 256, 0.5)))
+    // aspect ratio preserved within integer truncation; never exceeds box
+    val all = MultimodalOps.resizeMeta(decoded.filter($"width" > 0), 256, 256)
+      .select("out_w", "out_h").as[(Int, Int)].collect()
+    assert(all.forall { case (w, h) => w <= 256 && h <= 256 && w >= 1 && h >= 1 })
+  }
 }
