@@ -532,6 +532,20 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.redactPii(col("text")).as("redacted"))
     },
+    "text_contamination" -> { (s, dir) =>
+      // decontamination pass: which training docs leak >= 10% of a test
+      // doc's 4-gram shingles (self-pairs excluded - the corpus doubles
+      // as its own test slice here)
+      val docs = tbl(s, dir, "documents")
+      TextOps.contamination(
+          docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          shingleLen = 4, maxShingleDocFreq = skewCap)
+        .filter(col("train_id") =!= col("test_id") && col("test_frac") >= 0.1)
+    },
+    "text_repetition" -> { (s, dir) =>
+      TextOps.repetitionScore(tbl(s, dir, "documents"), "doc_id", "text", n = 3)
+    },
     "text_ngrams" -> { (s, dir) =>
       // corpus-wide top-20 word bigrams by document frequency
       tbl(s, dir, "documents")
@@ -1435,6 +1449,47 @@ object SparkEntry {
         |              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0""".stripMargin,
+    "text_contamination" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id AS id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                                   t -> t <> '') AS tk FROM documents
+        |), sh AS (
+        |  SELECT id, unnest(list_distinct([array_to_string(tk[i:i+3], ' ')
+        |                                   FOR i IN generate_series(1, greatest(len(tk)-3, 1))])) AS sh
+        |  FROM tk
+        |), hot AS (
+        |  SELECT sh FROM sh GROUP BY sh HAVING count(*) > $skewCap
+        |), tr AS (
+        |  SELECT id AS train_id, sh FROM sh WHERE sh NOT IN (SELECT sh FROM hot)
+        |), te AS (
+        |  SELECT id AS test_id, sh FROM sh
+        |  WHERE id % 10 = 0 AND sh NOT IN (SELECT sh FROM hot)
+        |), sizes AS (
+        |  SELECT test_id, count(*) AS n_test_sh FROM te GROUP BY test_id
+        |), ov AS (
+        |  SELECT train_id, test_id, count(*) AS n_overlap
+        |  FROM tr JOIN te USING (sh) GROUP BY train_id, test_id
+        |)
+        |SELECT train_id, test_id, n_overlap,
+        |       round(n_overlap::DOUBLE / n_test_sh, 6) AS test_frac
+        |FROM ov JOIN sizes USING (test_id)
+        |WHERE train_id <> test_id
+        |  AND round(n_overlap::DOUBLE / n_test_sh, 6) >= 0.1""".stripMargin,
+    "text_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                                   t -> t <> '') AS tk FROM documents
+        |), g AS (
+        |  SELECT id, unnest([array_to_string(tk[i:i+2], ' ')
+        |                     FOR i IN generate_series(1, greatest(len(tk)-2, 1))]) AS s
+        |  FROM tk
+        |), cnt AS (
+        |  SELECT id, s, count(*) AS c FROM g GROUP BY id, s
+        |)
+        |SELECT id AS doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |       max(c) AS max_rep,
+        |       round(max(c)::DOUBLE / sum(c), 6) AS rep_ratio
+        |FROM cnt GROUP BY id""".stripMargin,
     "q17_approx" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_nd,
         |       TRUE AS within_bound

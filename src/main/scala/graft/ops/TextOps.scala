@@ -182,4 +182,104 @@ object TextOps {
     when(text.isNotNull,
       conv(substring(md5(concat_ws(" ", DedupOps.tokens(text))), 1, 15), 16, 10)
         .cast(LongType))
+
+  /** Test-set decontamination: n-gram overlap between candidate training
+    * documents and a held-out evaluation set - the hygiene pass every
+    * pre-training pipeline runs so benchmark answers don't leak into the
+    * training mix.
+    *
+    * Shape: inverted-index equi-join on distinct word shingles (never a
+    * text cross join). The doc-frequency cap drops shingles hot across
+    * the TRAINING corpus (boilerplate - near-zero signal, quadratic
+    * join cost) from both sides, so overlap stays exact within the
+    * shared filtered universe; with real decontamination shingle
+    * lengths (n >= 8) hot shingles are rare and the cap is a pure skew
+    * guard. Output: one row per (train, test) pair sharing >= 1
+    * surviving shingle, with the overlap count and the fraction of the
+    * test doc's shingles found in the training doc.
+    */
+  def contamination(
+      train: DataFrame,
+      trainId: String,
+      trainText: String,
+      test: DataFrame,
+      testId: String,
+      testText: String,
+      shingleLen: Int = 5,
+      maxShingleDocFreq: Long = Long.MaxValue
+  ): DataFrame = {
+    val tr0 = OpsUtil.spread(train).select(
+      F.col(trainId).as("train_id"),
+      explode(DedupOps.shingleStrings(F.col(trainText), shingleLen)).as("sh"))
+    val te0 = OpsUtil.spread(test).select(
+      F.col(testId).as("test_id"),
+      explode(DedupOps.shingleStrings(F.col(testText), shingleLen)).as("sh"))
+    val (tr, te) =
+      if (maxShingleDocFreq == Long.MaxValue) (tr0, te0)
+      else {
+        // train shingles feed two consumers (hot count + join);
+        // materialize once, like DedupOps.jaccardPairs' token table
+        val trc = tr0.localCheckpoint()
+        val hot = trc.groupBy("sh").count()
+          .filter(F.col("count") > maxShingleDocFreq).select("sh")
+        (trc.join(broadcast(hot), Seq("sh"), "left_anti"),
+          te0.join(broadcast(hot), Seq("sh"), "left_anti"))
+      }
+    // test-side sizes over the SAME filtered shingle universe, so
+    // test_frac is exact within it (never a systematic underestimate)
+    val sizes = te.groupBy("test_id").agg(count(lit(1)).as("n_test_sh"))
+    tr.join(te, "sh")
+      .groupBy(F.col("train_id"), F.col("test_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(sizes, "test_id")
+      .select(F.col("train_id"), F.col("test_id"), F.col("n_overlap"),
+        round(F.col("n_overlap").cast(DoubleType) / F.col("n_test_sh"), 6)
+          .as("test_frac"))
+  }
+
+  /** Repetition / boilerplate score per document: the highest
+    * occurrence count of any word `n`-gram, as a fraction of the
+    * document's n-gram count. Near 1.0 = the document is one phrase
+    * repeated (spam, scraped boilerplate, degenerate generations) -
+    * a standard pre-training quality filter.
+    *
+    * Computed entirely per-row (tokenize -> n-grams -> sort -> one
+    * fold over the sorted array counting the longest equal run): a
+    * per-document statistic should cost ZERO shuffles, not a
+    * corpus-sized groupBy on (doc, ngram). Documents shorter than `n`
+    * words count their whole token list as one n-gram (ratio 1.0),
+    * matching [[DedupOps.shingleStrings]] truncation semantics.
+    */
+  def repetitionScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3
+  ): DataFrame = {
+    val toks = DedupOps.tokens(F.col(textCol))
+    // ALL n-grams, duplicates kept (shingleStrings dedups - here the
+    // duplicates ARE the signal); empty docs yield one "" n-gram
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    df.withColumn("_sorted", sort_array(grams))
+      .withColumn("_best", expr(
+        """aggregate(
+          |  _sorted,
+          |  struct(cast('' as string) as prev, cast(0 as bigint) as run,
+          |         cast(0 as bigint) as best),
+          |  (acc, x) -> struct(
+          |    x as prev,
+          |    CASE WHEN x = acc.prev THEN acc.run + 1
+          |         ELSE cast(1 as bigint) END as run,
+          |    greatest(acc.best,
+          |      CASE WHEN x = acc.prev THEN acc.run + 1
+          |           ELSE cast(1 as bigint) END) as best),
+          |  acc -> acc.best)""".stripMargin))
+      .select(F.col(idCol),
+        size(F.col("_sorted")).cast(LongType).as("n_grams"),
+        F.col("_best").as("max_rep"),
+        round(F.col("_best").cast(DoubleType) / size(F.col("_sorted")), 6)
+          .as("rep_ratio"))
+  }
 }

@@ -507,6 +507,46 @@ class OpsSpec extends SparkSpec {
     assert(tail == Set((3L, 0, 3), (3L, 2, 3), (3L, 4, 1)))
   }
 
+  test("contamination: overlap counts, test_frac, hot-shingle cap") {
+    val train = Seq(
+      (1L, "the exam answer is forty two exactly"),
+      (2L, "completely unrelated content about weather patterns"),
+      (3L, "the exam answer is forty two exactly copied verbatim")
+    ).toDF("id", "text")
+    val test = Seq(
+      (100L, "the exam answer is forty two"), // 2-shingle overlap w/ 1 and 3
+      (101L, "nothing shared here at all")
+    ).toDF("id", "text")
+    val got = TextOps.contamination(train, "id", "text", test, "id", "text",
+        shingleLen = 5)
+      .select("train_id", "test_id", "n_overlap", "test_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // test 100 has 2 distinct 5-shingles; both appear in docs 1 and 3
+    assert(got == Set((1L, 100L, 2L, 1.0), (3L, 100L, 2L, 1.0)))
+    // cap = 1: shingles present in >1 training doc are dropped from both
+    // sides; doc 100's surviving universe is empty -> no pairs at all
+    val capped = TextOps.contamination(train, "id", "text", test, "id", "text",
+        shingleLen = 5, maxShingleDocFreq = 1)
+      .collect()
+    assert(capped.isEmpty)
+  }
+
+  test("repetitionScore: max-run counting, short docs, empty docs") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),        // 3 grams, all identical
+      (2L, "one two three four five"),         // 3 grams, all distinct
+      (3L, "ab"),                              // shorter than n: 1 gram, ratio 1
+      (4L, "")                                 // empty: 1 "" gram, ratio 1
+    ).toDF("id", "text")
+    val got = TextOps.repetitionScore(docs, "id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((3L, 1L, 0.333333)))
+    assert(got(3L) == ((1L, 1L, 1.0)))
+    assert(got(4L) == ((1L, 1L, 1.0)))
+  }
+
   test("multimodal: resizeMeta fits the box, never upscales, passes 0x0 through") {
     val decoded = Seq(
       (1L, 1024, 768),  // downscale, width-bound: 256/1024 = 0.25
