@@ -703,6 +703,38 @@ object SparkEntry {
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     },
+    "q18_correlated" -> { (s, dir) =>
+      // correlated scalar subquery through SQL text (TPC-H Q17 shape):
+      // lineitems below 20% of their part's average quantity. Catalyst
+      // decorrelates this into an aggregate + equi-join - no per-row
+      // subquery execution survives into the physical plan.
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_sql")
+      s.sql("""
+        SELECT l1.l_partkey, count(*) AS n_small,
+               CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+        FROM lineitem_sql l1
+        WHERE l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                               FROM lineitem_sql l2
+                               WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY l1.l_partkey""")
+    },
+    "q19_running" -> { (s, dir) =>
+      // aggregate window frames (q5_window covers ranking): per-customer
+      // running order count and revenue in orderdate order - one
+      // partitioned sort, frames evaluated in a single pass
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "orders")
+        .withColumn("running_orders", count(lit(1)).over(w))
+        .withColumn("running_revenue",
+          round(sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType), 2))
+        .filter(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("running_orders"), col("running_revenue"))
+    },
     "q17_approx" -> { (s, dir) =>
       // approximate distinct (HLL++ sketch) beside the exact count, with
       // the sketch's accuracy claim made oracle-checkable: within_bound
@@ -1490,6 +1522,23 @@ object SparkEntry {
         |       max(c) AS max_rep,
         |       round(max(c)::DOUBLE / sum(c), 6) AS rep_ratio
         |FROM cnt GROUP BY id""".stripMargin,
+    "q18_correlated" ->
+      """SELECT l1.l_partkey, count(*) AS n_small,
+        |       CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+        |FROM lineitem l1
+        |WHERE l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                       FROM lineitem l2
+        |                       WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l1.l_partkey""".stripMargin,
+    "q19_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       count(*) OVER w AS running_orders,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS running_revenue
+        |FROM orders
+        |WHERE o_custkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "q17_approx" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_nd,
         |       TRUE AS within_bound
