@@ -217,7 +217,11 @@ object ExprKernels {
 
   /** Banded Levenshtein DP step for the join-mode trie traversal:
     * state = DP row ++ [rowMin]; returns the state after consuming
-    * `edge`. See graft.ptree.Kernels.extendRow.
+    * `edge`. See graft.ptree.Kernels.extendRow. An EMPTY state array
+    * initializes the DP row to 0..n (the reference's first-call
+    * semantics, /root/reference/PrefixTree.ecl:343-347) - the engine's
+    * own traversal always seeds the row explicitly, but the function is
+    * SQL-registered and a bare first call must not crash.
     */
   def levExtend(
       query: UTF8String,
@@ -227,7 +231,11 @@ object ExprKernels {
       maxDist: Int
   ): ArrayData = {
     val st = state.toIntArray()
-    val row = java.util.Arrays.copyOf(st, st.length - 1)
+    val row =
+      if (st.length == 0) {
+        val q = query.toString
+        Array.tabulate(q.codePointCount(0, q.length) + 1)(identity)
+      } else java.util.Arrays.copyOf(st, st.length - 1)
     val (nr, mn) = graft.ptree.Kernels.extendRow(query.toString, edge.toString, row, depth, maxDist)
     val out = java.util.Arrays.copyOf(nr, nr.length + 1)
     out(nr.length) = mn

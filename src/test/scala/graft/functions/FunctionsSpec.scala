@@ -49,6 +49,36 @@ class FunctionsSpec extends SparkSpec {
     assert(r(0)._2 == DedupOps.simhashKernel("the quick brown fox jumps over the lazy dog"))
   }
 
+  test("SQL registration: literal-argument builders (shingles, rh_bucket, pt_lev_extend, sig_agree)") {
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("fdocs2")
+    // shingles(text, nLiteral) + sig_agree over two signatures
+    val r = spark.sql(
+      """SELECT id, size(shingles(text, 3)) AS nsh,
+        |       sig_agree(minhash_sig(text), minhash_sig(text)) AS self_agree
+        |FROM fdocs2 WHERE id = 1""".stripMargin)
+      .as[(Long, Int, Double)].collect()
+    assert(r.head._2 == DedupOps.shingleArray(
+      "the quick brown fox jumps over the lazy dog", 3).length)
+    assert(r.head._3 == 1.0)
+    // rh_bucket(vec, dim, bits, seed) with literal config args
+    val b = spark.sql(
+      "SELECT rh_bucket(array(CAST(0.5 AS DOUBLE), CAST(-1.5 AS DOUBLE)), 2, 4, 7) AS b")
+      .as[Long].head()
+    assert(b >= 0L && b < 16L)
+    // pt_lev_extend(query, edge, state, depth, maxDistLiteral): empty
+    // state + exact-match edge ends with final distance 0
+    val st = spark.sql(
+      """SELECT pt_lev_extend('dog', 'dog', array(), 0, 2) AS st""")
+      .as[Seq[Int]].head()
+    assert(st(st.length - 2) == 0, s"exact match should have distance 0: $st")
+    // non-literal n must be rejected, not silently misregistered
+    val err = intercept[Exception] {
+      spark.sql("SELECT shingles(text, id) FROM fdocs2").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("shingles"))
+  }
+
   test("GraftExtensions injects the functions into a registry") {
     // apply the extension to an isolated registry (a second in-JVM
     // SparkContext would be needed to test via builder.withExtensions;
