@@ -674,18 +674,20 @@ object SparkEntry {
       // the end-user SQL surface: graft's native codegen expressions
       // registered into the session FunctionRegistry and invoked from SQL
       // text (same route as spark.sql.extensions=graft.functions
-      // .GraftExtensions on a real cluster). Pairwise cosine over a
-      // deterministic 1-in-5 slice - a bounded pairs demo, not the scale
-      // path (that's ann_lsh / ann_ivf)
+      // .GraftExtensions on a real cluster). Shape: a FIXED 20-vector
+      // query set against the corpus - one broadcast + one linear scan,
+      // the plan that survives a 100x corpus (the a.id < b.id all-pairs
+      // formulation would not)
       graft.functions.GraftFunctions.register(s)
-      tbl(s, dir, "embeddings")
-        .filter(col("vec_id") % 5 === 0)
-        .createOrReplaceTempView("emb_sql")
+      tbl(s, dir, "embeddings").createOrReplaceTempView("emb_sql")
       s.sql("""
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        SELECT /*+ BROADCAST(a) */
+               a.vec_id AS id_a, b.vec_id AS id_b,
                round(vec_dot(a.embedding, b.embedding) /
                      (vec_norm(a.embedding) * vec_norm(b.embedding)), 6) AS cos
-        FROM emb_sql a JOIN emb_sql b ON a.vec_id < b.vec_id""")
+        FROM (SELECT * FROM emb_sql WHERE vec_id < 20) a
+        JOIN emb_sql b ON a.vec_id < b.vec_id
+        WHERE vec_dot(a.embedding, b.embedding) > 0""")
     },
     "docs_partitioned" -> { (s, dir) =>
       // corpus-at-rest lifecycle: write documents hive-partitioned by
@@ -1479,8 +1481,9 @@ object SparkEntry {
         |       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0""".stripMargin,
+        |FROM (SELECT * FROM embeddings WHERE vec_id < 20) a
+        |JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0""".stripMargin,
     "text_contamination" ->
       s"""WITH tk AS (
         |  SELECT doc_id AS id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
