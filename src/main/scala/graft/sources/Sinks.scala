@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 /** Partitioned-parquet sink/source pair: the lifecycle a 100-TB corpus
   * actually lives by - data at rest laid out hive-style on a
@@ -22,22 +22,35 @@ object Sinks {
     * scale: without it every one of N tasks writes a file into every one
     * of V partition directories (N x V small files - the classic
     * partitioned-write explosion); with it each partition value is
-    * written by exactly one task (V files). For a skewed value whose rows
-    * exceed one task's comfortable output, `maxRecordsPerFile` rolls the
-    * file without changing the task layout.
+    * written by exactly `filesPerValue` tasks.
+    *
+    * `filesPerValue` is the skew control: at 1, one task absorbs ALL
+    * rows of a value - fine for balanced values, a single-task
+    * bottleneck when one language/source dominates the corpus. Raising
+    * it adds a deterministic salt (hash of the full row - never rand(),
+    * whose per-retry reshuffling can lose/duplicate rows on partial
+    * stage retries) so a hot value fans out over that many tasks/files.
+    * `maxRecordsPerFile` additionally rolls oversized files within a
+    * task without changing the layout.
     */
   def writePartitioned(
       df: DataFrame,
       path: String,
       partCols: Seq[String],
+      filesPerValue: Int = 1,
       maxRecordsPerFile: Long = 5000000L
-  ): Unit =
-    df.repartition(partCols.map(col): _*)
+  ): Unit = {
+    val keys =
+      if (filesPerValue <= 1) partCols.map(col)
+      else partCols.map(col) :+
+        pmod(hash(df.columns.map(col): _*), lit(filesPerValue))
+    df.repartition(keys: _*)
       .write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partCols: _*)
       .parquet(path)
+  }
 
   /** Read a partitioned layout back. Filters on the partition columns
     * prune directories at planning time (PartitionFilters in the scan,

@@ -66,4 +66,39 @@ class SinksSpec extends SparkSpec {
     assert(files.keySet == Set("lang=en", "lang=de", "lang=fr", "lang=ja"))
     assert(files.values.forall(_ == 1), s"expected 1 file per lang dir, got $files")
   }
+
+  test("filesPerValue salt fans a hot partition value over several files, losslessly") {
+    val path = tmp("sinks_salt")
+    // one hot lang (100 of 103 rows): with filesPerValue=4 the hot value
+    // spreads over up to 4 tasks/files instead of one
+    val hot = (1L to 100L).map(i => (i, s"text_$i", "en", i))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .union(Seq((101L, "a", "de", 1L), (102L, "b", "fr", 2L),
+        (103L, "c", "ja", 3L)).toDF("doc_id", "text", "lang", "n_chars"))
+    // (lang, salt) pairs hash into shuffle partitions - with the test
+    // default of 4 partitions the 4 salt values often collide into one;
+    // production shuffle-partition counts make collisions negligible
+    val enFiles = withConf("spark.sql.shuffle.partitions" -> "64",
+        // AQE coalescing merges these tiny test partitions back into one
+        // task; at production partition sizes it would not collapse a
+        // hot value's salted splits
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      Sinks.writePartitioned(hot, path, Seq("lang"), filesPerValue = 4)
+      new java.io.File(path + "/lang=en").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    }
+    assert(enFiles > 1 && enFiles <= 4, s"expected 2-4 files for hot value, got $enFiles")
+    val back = Sinks.readPartitioned(spark, path)
+    assert(back.count() == 103)
+    assert(back.filter($"lang" === "en").count() == 100)
+    // deterministic salt: a rewrite produces the same file layout
+    val path2 = tmp("sinks_salt2")
+    val enFiles2 = withConf("spark.sql.shuffle.partitions" -> "64",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      Sinks.writePartitioned(hot, path2, Seq("lang"), filesPerValue = 4)
+      new java.io.File(path2 + "/lang=en").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    }
+    assert(enFiles2 == enFiles)
+  }
 }
