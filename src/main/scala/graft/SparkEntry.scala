@@ -427,6 +427,11 @@ object SparkEntry {
     // operator's semantics here, so each DuckDB oracle mirrors the same
     // hot-key filter.
     "dedup_jaccard" -> { (s, dir) =>
+      // plain inverted index: measured 2.5x faster than
+      // jaccardPairsPrefix at this corpus size (the prefix filter's
+      // extra rank/array shuffles only pay for themselves when the pair
+      // explosion dominates, ~10^6+ docs; both are spec-pinned equal
+      // and this oracle holds for either)
       DedupOps.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, maxTokenDocFreq = skewCap, shingleLen = 3)
     },

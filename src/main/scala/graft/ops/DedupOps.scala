@@ -196,6 +196,73 @@ object DedupOps {
       .select(F.col("id_a"), F.col("id_b"), round(F.col("jaccard"), 6).as("jaccard"))
   }
 
+  /** [[jaccardPairs]] with prefix filtering (SSJoin/PPJoin-style): the
+    * lossless candidate pruning for exact set-similarity joins at scale.
+    *
+    * Instead of indexing EVERY shingle of every document, each document
+    * indexes only its prefix - the `|d| - ceil(t*|d|) + 1` rarest
+    * shingles under one global (doc-frequency asc, shingle asc) order.
+    * Theorem (Chaudhuri/Bayardo prefix filter): two sets with Jaccard
+    * >= t must share at least one prefix element, so joining prefixes
+    * finds every qualifying pair; candidates are then verified with an
+    * exact intersection over the full (array-packed) shingle sets.
+    * Rarest-first ordering makes surviving prefix keys as selective as
+    * possible.
+    *
+    * Identical output to [[jaccardPairs]] (spec-pinned, and the
+    * dedup_jaccard DuckDB oracle holds for either implementation). The
+    * trade: two extra vocabulary/document-sized shuffles (frequency
+    * rank + per-doc arrays) buy a candidate join on ~(1-t) of the token
+    * stream with no post-prefix pair explosion - at corpus scale the
+    * pair explosion is the cost that matters; below ~10^6 documents the
+    * plain inverted index's fewer stages usually win.
+    */
+  def jaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxTokenDocFreq: Long = Long.MaxValue,
+      shingleLen: Int = 1
+  ): DataFrame = {
+    val toks0 = OpsUtil.spread(df)
+      .select(F.col(idCol).as("id"), explode(shingleStrings(F.col(textCol), shingleLen)).as("sh"))
+    // feeds doc-frequency AND the per-doc arrays: materialize once
+    val toks = toks0.localCheckpoint()
+    val filtered =
+      if (maxTokenDocFreq == Long.MaxValue) toks
+      else {
+        val hot = toks.groupBy("sh").count().filter(F.col("count") > maxTokenDocFreq).select("sh")
+        toks.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    // one global total order, rarest first; ties broken by the shingle
+    // itself so the order is deterministic
+    val freq = filtered.groupBy("sh").agg(count(lit(1)).as("df_sh"))
+    val arrs = filtered.join(freq, "sh")
+      .select(F.col("id"), struct(F.col("df_sh"), F.col("sh")).as("k"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(F.col("k"))).as("ks"))
+      .select(F.col("id"),
+        transform(F.col("ks"), k => k.getField("sh")).as("shs"),
+        size(F.col("ks")).as("sz"))
+      .localCheckpoint() // feeds prefix index + both verify joins
+    val prefLen = (F.col("sz") - ceil(F.col("sz") * lit(threshold)).cast(IntegerType) + 1)
+    val pref = arrs.select(F.col("id"), explode(slice(F.col("shs"), lit(1), prefLen)).as("sh"))
+    val cand = pref.as("a")
+      .join(pref.as("b").hint("shuffle_hash"),
+        F.col("a.sh") === F.col("b.sh") && F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(arrs.select(F.col("id").as("id_a"), F.col("shs").as("sa"), F.col("sz").as("sz_a")), "id_a")
+      .join(arrs.select(F.col("id").as("id_b"), F.col("shs").as("sb"), F.col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(F.col("sa"), F.col("sb"))))
+      .withColumn("jaccard", F.col("inter").cast(DoubleType) /
+        (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+      .filter(F.col("jaccard") >= threshold)
+      .select(F.col("id_a"), F.col("id_b"), round(F.col("jaccard"), 6).as("jaccard"))
+  }
+
   // ---------------------------------------------------------------------
   // MinHash + LSH (the scale path for near-dup detection)
   // ---------------------------------------------------------------------

@@ -225,6 +225,35 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("jaccardPairsPrefix == jaccardPairs (lossless prefix filter), incl. caps") {
+    // fixture corpus at several thresholds
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val naive = DedupOps.jaccardPairs(docs, "doc_id", "text", t, shingleLen = 3)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = DedupOps.jaccardPairsPrefix(docs, "doc_id", "text", t, shingleLen = 3)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == naive, s"threshold $t: prefix filter changed the answer")
+    }
+    // random word-soup corpus (seeded): many accidental partial overlaps
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("red", "blue", "green", "ox", "fox", "hen", "sun",
+      "moon", "星", "tree", "rock", "fish", "bird")
+    val randomDocs = (1L to 60L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val naive = DedupOps.jaccardPairs(randomDocs, "doc_id", "text", 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = DedupOps.jaccardPairsPrefix(randomDocs, "doc_id", "text", 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pref == naive, "random corpus: prefix filter changed the answer")
+    // and with the hot-shingle cap active (cap applied before ranking)
+    val naiveCap = DedupOps.jaccardPairs(randomDocs, "doc_id", "text", 0.6,
+      maxTokenDocFreq = 10).as[(Long, Long, Double)].collect().toSet
+    val prefCap = DedupOps.jaccardPairsPrefix(randomDocs, "doc_id", "text", 0.6,
+      maxTokenDocFreq = 10).as[(Long, Long, Double)].collect().toSet
+    assert(prefCap == naiveCap, "capped: prefix filter changed the answer")
+  }
+
   test("minhash LSH candidates recover the true near-dup pairs here") {
     val exact = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.7, shingleLen = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
