@@ -742,6 +742,30 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"),
           col("running_orders"), col("running_revenue"))
     },
+    "q20_cube" -> { (s, dir) =>
+      // CUBE: all 2^k grouping combinations in one pass (q7_rollup
+      // covers the hierarchical subset). grouping_id disambiguates
+      // subtotal rows from genuine NULL groups, as in q7.
+      tbl(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast(IntegerType).as("gid"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("gid"), col("sum_qty"), col("n_rows"))
+    },
+    "q21_setops_all" -> { (s, dir) =>
+      // multiset set ops (setops_nations covers the DISTINCT variants):
+      // INTERSECT ALL / EXCEPT ALL keep multiplicity - the semantics a
+      // dedup ledger needs ("how many copies remain on each side")
+      val c = tbl(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = tbl(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersectAll(sup).withColumn("op", lit("inter_all"))
+        .union(c.exceptAll(sup).withColumn("op", lit("except_all")))
+        .groupBy(col("nationkey"), col("op"))
+        .agg(count(lit(1)).as("n"))
+    },
     "q17_approx" -> { (s, dir) =>
       // approximate distinct (HLL++ sketch) beside the exact count, with
       // the sketch's accuracy claim made oracle-checkable: within_bound
@@ -1530,6 +1554,25 @@ object SparkEntry {
         |       max(c) AS max_rep,
         |       round(max(c)::DOUBLE / sum(c), 6) AS rep_ratio
         |FROM cnt GROUP BY id""".stripMargin,
+    "q20_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q21_setops_all" ->
+      """SELECT nationkey, op, count(*) AS n FROM (
+        |  SELECT nationkey, 'inter_all' AS op FROM (
+        |    SELECT c_nationkey AS nationkey FROM customer
+        |    INTERSECT ALL
+        |    SELECT s_nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT nationkey, 'except_all' AS op FROM (
+        |    SELECT c_nationkey AS nationkey FROM customer
+        |    EXCEPT ALL
+        |    SELECT s_nationkey FROM supplier)
+        |) GROUP BY nationkey, op""".stripMargin,
     "q18_correlated" ->
       """SELECT l1.l_partkey, count(*) AS n_small,
         |       CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
