@@ -53,6 +53,45 @@ class PlanFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    val dir = tmp("skew")
+    // 50k rows, ~90% on one key: the classic hot-key join skew that
+    // salting fixes statically and AQE fixes at runtime
+    (1L to 50000L).map(i => (i, if (i % 10 != 0) 0L else i % 97, s"pad_pad_pad_$i"))
+      .toDF("row_id", "key", "pad").write.parquet(s"$dir/fact")
+    (0L to 96L).map(i => (i, s"dim_$i")).toDF("key", "name")
+      .write.parquet(s"$dir/dim")
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // test-sized thresholds: flag a partition as skewed above ~64KB
+      // and split toward ~16KB targets (production defaults are 256MB/
+      // 64MB - the MECHANISM is what this pins)
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // force a shuffle join: broadcast would bypass the skew machinery
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"
+    ) {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+      // keep pad in the aggregate so column pruning can't shrink the
+      // skewed shuffle partition below the detection threshold
+      val q = fact.join(dim, "key").groupBy("name")
+        .agg(count(lit(1)).as("n"), max(length(col("pad"))).as("mx"))
+      val rows = q.collect() // AQE decides skew handling during execution
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(4000)}")
+      // correctness under the split: hot key 0 keeps all its rows
+      // (45000 with i%10!=0, plus the 51 multiples of both 10 and 97)
+      val n0 = rows.find(_.getString(0) == "dim_0").get.getLong(1)
+      assert(n0 == 45051L, s"hot-key row count wrong under skew split: $n0")
+    }
+  }
+
   test("dynamic partition pruning through a Sinks.writePartitioned layout") {
     val dir = tmp("dpp")
     val fact = (1L to 1000L).map(i => (i, s"lang_${i % 8}", i * 10))
