@@ -551,6 +551,12 @@ object SparkEntry {
     "text_repetition" -> { (s, dir) =>
       TextOps.repetitionScore(tbl(s, dir, "documents"), "doc_id", "text", n = 3)
     },
+    "text_heavyhitters" -> { (s, dir) =>
+      // exact top-20 tokens via the sketch-first two-phase pipeline
+      // (SpaceSaving UDAF candidates -> exact recount); the oracle is a
+      // plain exact top-20, which the two-phase result must EQUAL
+      TextOps.heavyHitterTokens(tbl(s, dir, "documents"), "text", k = 20)
+    },
     "text_ngrams" -> { (s, dir) =>
       // corpus-wide top-20 word bigrams by document frequency
       tbl(s, dir, "documents")
@@ -1513,6 +1519,13 @@ object SparkEntry {
         |FROM (SELECT * FROM embeddings WHERE vec_id < 20) a
         |JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0""".stripMargin,
+    "text_heavyhitters" ->
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                                t -> t <> '')) AS tok FROM documents)
+        |GROUP BY tok
+        |ORDER BY n DESC, tok ASC
+        |LIMIT 20""".stripMargin,
     "text_contamination" ->
       s"""WITH tk AS (
         |  SELECT doc_id AS id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),

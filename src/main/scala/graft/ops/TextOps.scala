@@ -237,6 +237,43 @@ object TextOps {
           .as("test_frac"))
   }
 
+  /** Exact corpus-wide top-`k` tokens by occurrence, found sketch-first:
+    *
+    *   phase 1: ONE pass builds a mergeable SpaceSaving summary
+    *     (graft.functions.HeavyHitterAgg) - bounded memory
+    *     (`capacity` entries per partial), no full-vocabulary shuffle.
+    *     Guarantee: every token with true count > N/capacity is in the
+    *     summary, so with capacity sized generously above the expected
+    *     top-k frequency floor the candidate set certifiably contains
+    *     the true top-k;
+    *   phase 2: exact recount of ONLY the candidates (broadcast
+    *     semi-join) -> the output is the exact deterministic top-k,
+    *     not an estimate (ties broken by token).
+    *
+    * At 100 TB this is the difference between shuffling a multi-billion
+    * -row (token, count) table and shuffling `capacity` rows: the full
+    * groupBy pays the vocabulary shuffle to rank everything; the sketch
+    * pays one scan plus a candidate-filtered recount.
+    */
+  def heavyHitterTokens(
+      df: DataFrame,
+      textCol: String,
+      k: Int,
+      capacity: Int = 8192
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = OpsUtil.spread(df)
+      .select(explode(DedupOps.tokens(F.col(textCol))).as("tok")).as[String]
+    val agg = new graft.functions.HeavyHitterAgg(capacity)
+    val candidates = toks.select(agg.toColumn).head()
+    toks.toDF("tok")
+      .join(broadcast(candidates.toDF("tok")), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(F.col("n").desc, F.col("tok").asc)
+      .limit(k)
+  }
+
   /** Repetition / boilerplate score per document: the highest
     * occurrence count of any word `n`-gram, as a fraction of the
     * document's n-gram count. Near 1.0 = the document is one phrase

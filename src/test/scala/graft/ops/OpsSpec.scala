@@ -536,6 +536,39 @@ class OpsSpec extends SparkSpec {
     assert(tail == Set((3L, 0, 3), (3L, 2, 3), (3L, 4, 1)))
   }
 
+  test("SpaceSaving: frequent-item guarantee and exact two-phase top-k under eviction") {
+    import graft.functions.SpaceSaving
+    // skewed stream: token t_i appears i times (i = 1..60), N = 1830
+    val rnd = new scala.util.Random(11)
+    val stream = rnd.shuffle(
+      (1 to 60).flatMap(i => Seq.fill(i)(f"t_$i%02d")).toVector)
+    // capacity 30 << 60 distinct: evictions happen; guarantee says every
+    // token with true count > N/cap = 61 survives in the summary
+    val ss = new SpaceSaving(30)
+    stream.foreach(ss.add(_))
+    val kept = ss.items.toSet
+    ((1 to 60).filter(_ > 1830 / 30 + 1)).foreach { i =>
+      assert(kept.contains(f"t_$i%02d"), s"guaranteed-frequent t_$i missing")
+    }
+    // mergeable: split stream in 4, merge partials - same guarantee
+    val parts = stream.grouped(500).map { chunk =>
+      val p = new SpaceSaving(30); chunk.foreach(p.add(_)); p
+    }.reduce(_ merge _)
+    ((1 to 60).filter(_ > 2 * (1830 / 30))).foreach { i =>
+      assert(parts.items.contains(f"t_$i%02d"), s"merged summary lost t_$i")
+    }
+    // end-to-end: two-phase result EQUALS the exact top-k, forced
+    // through eviction+merge paths by the small capacity
+    val docs = stream.grouped(61).zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val got = TextOps.heavyHitterTokens(docs, "text", k = 10, capacity = 30)
+      .as[(String, Long)].collect().toSeq
+    val want = (51 to 60).map(i => (f"t_$i%02d", i.toLong))
+      .sortBy { case (t, n) => (-n, t) }
+    assert(got == want, s"two-phase top-k diverged: $got vs $want")
+  }
+
   test("contamination: overlap counts, test_frac, hot-shingle cap") {
     val train = Seq(
       (1L, "the exam answer is forty two exactly"),
