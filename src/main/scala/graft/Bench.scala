@@ -11,7 +11,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional arg: comma-separated query names for targeted timing runs;
-    // the driver invokes with no args and times the full suite
+    // the driver invokes with no args and times the full suite. Unknown
+    // names are a hard error - a typo would otherwise bench zero queries
+    // and print a healthy-looking summary
+    if (args.nonEmpty) {
+      val unknown = args(0).split(",").filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.mkString(", ")} - " +
+          s"valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+    }
     val wanted = SparkEntry.queries.filter { case (name, _) =>
       args.isEmpty || args(0).split(",").contains(name)
     }

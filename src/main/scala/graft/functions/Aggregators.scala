@@ -6,16 +6,42 @@ import org.apache.spark.sql.expressions.Aggregator
 /** Mergeable SpaceSaving summary (Metwally et al.; merge rule per
   * Agarwal et al., "Mergeable Summaries"): tracks at most `capacity`
   * items with overestimated counts. Guarantee used downstream: any item
-  * whose TRUE count exceeds N/capacity (N = stream length) is present
-  * in the summary - so a generously-sized summary is a certified
-  * candidate superset for exact top-k, found in ONE pass with bounded
-  * memory instead of a full-vocabulary groupBy.
+  * whose TRUE count exceeds N/capacity (N = stream length, carried in
+  * `processed`) is present in the summary - so a generously-sized
+  * summary is a certified candidate superset for exact top-k, found in
+  * ONE pass with bounded memory instead of a full-vocabulary groupBy.
   */
 final class SpaceSaving(val capacity: Int) extends Serializable {
   val counts = new scala.collection.mutable.HashMap[String, Long]
   var processed: Long = 0L
+  private var everEvicted: Boolean = false
 
-  private def minCount: Long = if (counts.size < capacity) 0L else counts.values.min
+  // Eviction support: cached minimum count + the tokens that held it at
+  // the last scan (key-sorted for determinism). Between rescans the pool
+  // only loses members (an increment lifts a token above minVal; an
+  // eviction replaces it with count minVal + w > minVal - minVal never
+  // decreases and nothing new ever drops TO it), so popping the pool is
+  // exactly `minBy((count, token))` amortized O(1) instead of a full
+  // O(capacity) scan per eviction.
+  private var minVal: Long = 0L
+  private var minPool: List[String] = Nil
+
+  @annotation.tailrec
+  private def victim(): String = {
+    minPool match {
+      case h :: t =>
+        minPool = t
+        if (counts.get(h).contains(minVal)) h else victim()
+      case Nil =>
+        minVal = counts.values.min
+        minPool = counts.iterator.collect { case (k, c) if c == minVal => k }
+          .toList.sorted
+        victim()
+    }
+  }
+
+  private[functions] def minCount: Long =
+    if (counts.size < capacity) 0L else counts.values.min
 
   def add(x: String, w: Long = 1L): this.type = {
     processed += w
@@ -26,8 +52,9 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
         // evict a minimal item; the newcomer inherits its count (the
         // canonical overestimate that preserves the frequent-item
         // guarantee). Deterministic victim: smallest (count, token).
-        val (vk, vc) = counts.minBy { case (k, c) => (c, k) }
-        counts.remove(vk)
+        everEvicted = true
+        val vk = victim()
+        val vc = counts.remove(vk).get
         counts.update(x, vc + w)
     }
     this
@@ -51,25 +78,37 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
       if (est.size <= capacity) est
       else est.sortBy { case (k, c) => (-c, k) }.take(capacity)
     kept.foreach { case (k, c) => out.counts.update(k, c) }
+    out.everEvicted = everEvicted || o.everEvicted || est.size > capacity
     out
   }
 
   /** Candidate items, deterministically ordered. */
   def items: Seq[String] = counts.keys.toSeq.sorted
+
+  /** True iff no item was ever dropped on any path into this summary
+    * (no eviction in any partial, no trim in any merge) - the item set
+    * IS the full vocabulary, so a recount over it is trivially exact.
+    * NOT derivable from counts.size: a merged summary can be small yet
+    * lossy if an input evicted.
+    */
+  def lossless: Boolean = !everEvicted
 }
 
 /** Typed UDAF: one-pass SpaceSaving summary over a token stream.
   * Buffer rides the object-aggregation path (kryo buffer encoder ->
   * ObjectHashAggregate): partial summaries per partition, merged at the
-  * single reducer - never a full-vocabulary shuffle.
+  * single reducer - never a full-vocabulary shuffle. Output carries
+  * (candidates, streamLength, lossless) so callers can certify
+  * downstream exactness (see TextOps.heavyHitterTokens).
   */
 final class HeavyHitterAgg(capacity: Int)
-    extends Aggregator[String, SpaceSaving, Seq[String]] {
+    extends Aggregator[String, SpaceSaving, (Seq[String], Long, Boolean)] {
   override def zero: SpaceSaving = new SpaceSaving(capacity)
   override def reduce(b: SpaceSaving, a: String): SpaceSaving = b.add(a)
   override def merge(a: SpaceSaving, b: SpaceSaving): SpaceSaving = a.merge(b)
-  override def finish(r: SpaceSaving): Seq[String] = r.items
+  override def finish(r: SpaceSaving): (Seq[String], Long, Boolean) =
+    (r.items, r.processed, r.lossless)
   override def bufferEncoder: Encoder[SpaceSaving] = Encoders.kryo[SpaceSaving]
-  override def outputEncoder: Encoder[Seq[String]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  override def outputEncoder: Encoder[(Seq[String], Long, Boolean)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[String], Long, Boolean)]()
 }

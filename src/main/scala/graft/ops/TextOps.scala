@@ -266,12 +266,32 @@ object TextOps {
     val toks = OpsUtil.spread(df)
       .select(explode(DedupOps.tokens(F.col(textCol))).as("tok")).as[String]
     val agg = new graft.functions.HeavyHitterAgg(capacity)
-    val candidates = toks.select(agg.toColumn).head()
-    toks.toDF("tok")
+    val (candidates, total, lossless) = toks.select(agg.toColumn).head()
+    val top = toks.toDF("tok")
       .join(broadcast(candidates.toDF("tok")), Seq("tok"), "left_semi")
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .orderBy(F.col("n").desc, F.col("tok").asc)
       .limit(k)
+    // CERTIFY before claiming exactness. The sketch only guarantees that
+    // items with true count > total/capacity are candidates, so the
+    // recounted top-k is provably exact iff (a) nothing was ever evicted
+    // (candidates = full vocabulary), or (b) the k-th recounted count
+    // strictly beats total/capacity - then no non-candidate can reach
+    // the top k. On a distribution flat enough to fail both, fall back
+    // to the full-vocabulary groupBy: slower, never silently wrong.
+    if (lossless) top
+    else {
+      val rows = top.collect()
+      val certified = rows.length == k &&
+        rows.last.getAs[Long]("n") > total / capacity
+      if (certified)
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
+      else
+        toks.toDF("tok")
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(F.col("n").desc, F.col("tok").asc)
+          .limit(k)
+    }
   }
 
   /** Repetition / boilerplate score per document: the highest
@@ -295,11 +315,15 @@ object TextOps {
   ): DataFrame = {
     val toks = DedupOps.tokens(F.col(textCol))
     // ALL n-grams, duplicates kept (shingleStrings dedups - here the
-    // duplicates ARE the signal); empty docs yield one "" n-gram
+    // duplicates ARE the signal); empty docs yield one "" n-gram.
+    // NULL text is excluded (not scored as maximally-repetitive
+    // boilerplate): tokens(NULL) is NULL, size(NULL) = -1, and the
+    // sequence would otherwise degenerate to the empty-doc [""] shape
     val grams = transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    df.withColumn("_sorted", sort_array(grams))
+    df.filter(F.col(textCol).isNotNull)
+      .withColumn("_sorted", sort_array(grams))
       .withColumn("_best", expr(
         """aggregate(
           |  _sorted,

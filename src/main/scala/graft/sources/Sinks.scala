@@ -40,10 +40,20 @@ object Sinks {
       filesPerValue: Int = 1,
       maxRecordsPerFile: Long = 5000000L
   ): Unit = {
+    // salt only over hashable columns: hash() rejects MapType (and any
+    // type nesting one), and a metadata map column is a perfectly legal
+    // corpus shape - skip such columns rather than fail the write
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltCols = df.schema.fields
+      .filter(f => hashable(f.dataType)).map(f => col(f.name))
     val keys =
-      if (filesPerValue <= 1) partCols.map(col)
-      else partCols.map(col) :+
-        pmod(hash(df.columns.map(col): _*), lit(filesPerValue))
+      if (filesPerValue <= 1 || saltCols.isEmpty) partCols.map(col)
+      else partCols.map(col) :+ pmod(hash(saltCols: _*), lit(filesPerValue))
     df.repartition(keys: _*)
       .write
       .mode("overwrite")

@@ -107,6 +107,10 @@ object StreamOps {
             // watermark passed end+gap for the earliest open session(s):
             // emit everything that can no longer be extended
             val wm = state.getCurrentWatermarkMs()
+            // <= is safe AT the boundary: FMGWS drops input rows with
+            // ts <= watermark (empirically pinned by the boundary spec),
+            // so no event that could extend a session with e + gap == wm
+            // can ever be delivered - closing at equality loses nothing
             val (closed, open) = state.get.partition { case (_, e, _) => e + gapMs <= wm }
             if (open.isEmpty) state.remove()
             else {
@@ -136,6 +140,7 @@ object StreamOps {
               }
             }
             val wm = state.getCurrentWatermarkMs()
+            // same <= boundary reasoning as the timed-out branch
             val (closed, open) = sessions.partition { case (_, e, _) => e + gapMs <= wm }
             if (open.isEmpty) state.remove()
             else {
@@ -190,6 +195,13 @@ object StreamOps {
       numPartitions: Int = 0
   )(onUpdate: Dataset[graft.ptree.PTNode] => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     @volatile var state = initial.localCheckpoint()
+    // one-batch grace before freeing a superseded trie: unpersisting a
+    // localCheckpoint destroys the ONLY copy (lineage is truncated), so
+    // an eager unpersist would crash serving jobs still reading the trie
+    // handed out by the previous onUpdate. Deferring one batch bounds
+    // executor storage at <= 3 trie snapshots while giving readers a
+    // full batch interval to finish or re-resolve via onUpdate.
+    @volatile var graveyard: Option[Dataset[graft.ptree.PTNode]] = None
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -198,12 +210,9 @@ object StreamOps {
           state = graft.ptree.PrefixTree
             .merge(state, batch.toDF(), col, prefixLen, numPartitions)
             .localCheckpoint() // eager: materialized before prev is freed
-          // free the superseded trie's checkpoint blocks NOW instead of
-          // waiting on driver GC + ContextCleaner - over an unbounded
-          // stream the orphaned blocks would otherwise accumulate in
-          // executor storage until a full GC happens to run
-          unpersistCheckpoint(prev)
           onUpdate(state)
+          graveyard.foreach(unpersistCheckpoint)
+          graveyard = Some(prev)
         }
       }
       .start()

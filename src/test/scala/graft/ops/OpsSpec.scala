@@ -569,6 +569,18 @@ class OpsSpec extends SparkSpec {
     assert(got == want, s"two-phase top-k diverged: $got vs $want")
   }
 
+  test("heavyHitterTokens: uncertifiable flat distribution falls back to exact, never wrong") {
+    // 100 distinct singleton tokens, capacity 30: evictions happen and
+    // the k-th recounted count (1) cannot beat N/capacity (100/30 = 3),
+    // so the sketch result is NOT certifiable - the operator must take
+    // the exact-fallback path and still return the true top-k
+    val flat = (1 to 100).map(i => (i.toLong, f"u_$i%03d")).toDF("doc_id", "text")
+    val got = TextOps.heavyHitterTokens(flat, "text", k = 10, capacity = 30)
+      .as[(String, Long)].collect().toSeq
+    val want = (1 to 10).map(i => (f"u_$i%03d", 1L)) // all ties -> token asc
+    assert(got == want, s"fallback path wrong: $got")
+  }
+
   test("contamination: overlap counts, test_frac, hot-shingle cap") {
     val train = Seq(
       (1L, "the exam answer is forty two exactly"),
@@ -598,7 +610,8 @@ class OpsSpec extends SparkSpec {
       (1L, "spam spam spam spam spam"),        // 3 grams, all identical
       (2L, "one two three four five"),         // 3 grams, all distinct
       (3L, "ab"),                              // shorter than n: 1 gram, ratio 1
-      (4L, "")                                 // empty: 1 "" gram, ratio 1
+      (4L, ""),                                // empty: 1 "" gram, ratio 1
+      (5L, null.asInstanceOf[String])          // NULL text: excluded, not scored
     ).toDF("id", "text")
     val got = TextOps.repetitionScore(docs, "id", "text", n = 3)
       .as[(Long, Long, Long, Double)].collect()
@@ -607,6 +620,7 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == ((3L, 1L, 0.333333)))
     assert(got(3L) == ((1L, 1L, 1.0)))
     assert(got(4L) == ((1L, 1L, 1.0)))
+    assert(!got.contains(5L), "NULL text must not be scored as boilerplate")
   }
 
   test("multimodal: resizeMeta fits the box, never upscales, passes 0x0 through") {

@@ -101,4 +101,15 @@ class SinksSpec extends SparkSpec {
     }
     assert(enFiles2 == enFiles)
   }
+
+  test("filesPerValue salt tolerates unhashable (map) columns") {
+    val path = tmp("sinks_map")
+    // hash() rejects MapType - the salt must skip such columns, not fail
+    val withMap = docs.withColumn("props", map(lit("k"), $"text"))
+    Sinks.writePartitioned(withMap, path, Seq("lang"), filesPerValue = 4)
+    val back = Sinks.readPartitioned(spark, path)
+    assert(back.count() == 6)
+    assert(back.select(map_values($"props")(0)).as[String].collect().toSet ==
+      docs.select("text").as[String].collect().toSet)
+  }
 }

@@ -74,6 +74,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set((1L, ts(0).getTime, ts(20).getTime, 3L)), s"got $got")
   }
 
+  test("sessionizeStream: event AT the watermark is late (dropped), so <= close is safe") {
+    // Pins the boundary semantics the close condition relies on: FMGWS
+    // drops input rows with ts <= watermark (on-time means STRICTLY
+    // newer), so when wm reaches sessionEnd + gap no event that could
+    // still extend that session can ever be delivered - closing at
+    // equality (e + gap <= wm) is correct, not premature. If Spark ever
+    // changed the late-row filter to strict <, this test fails and the
+    // close condition must tighten to < in both branches.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sq = StreamOps
+      .sessionizeStream(mem.toDF().toDF("user_id", "ts"), gapMinutes = 30, lateness = "70 minutes")
+      .writeStream.format("memory").queryName("sessb").outputMode("append").start()
+    // batch 1: u1 at 10:00; filler u9 at 11:40 pins wm = 11:40 - 70m = 10:30
+    mem.addData((1L, ts(0)), (9L, Timestamp.valueOf("2024-01-01 11:40:00")))
+    sq.processAllAvailable()
+    // batch 2: u1 far island at 11:40 - u1's state re-evaluated with
+    // wm == 10:00 + gap: the 10:00 session closes at equality
+    mem.addData((1L, Timestamp.valueOf("2024-01-01 11:40:00")))
+    sq.processAllAvailable()
+    // batch 3: event exactly at the watermark (10:30) - LATE, dropped;
+    // it cannot resurrect the closed 10:00 session
+    mem.addData((1L, ts(30)))
+    sq.processAllAvailable()
+    // flush via far-future watermark
+    mem.addData((9L, Timestamp.valueOf("2024-01-02 10:00:00")))
+    sq.processAllAvailable()
+    mem.addData((9L, Timestamp.valueOf("2024-01-02 10:01:00")))
+    sq.processAllAvailable()
+    val got = spark.table("sessb").filter(col("user_id") === 1L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    sq.stop()
+    assert(got == Set(
+      (1L, ts(0).getTime, ts(0).getTime, 1L),
+      (1L, Timestamp.valueOf("2024-01-01 11:40:00").getTime,
+        Timestamp.valueOf("2024-01-01 11:40:00").getTime, 1L)
+    ), s"boundary semantics changed: $got")
+  }
+
   test("sessionizeStream: late event inside watermark bridges two open islands") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
