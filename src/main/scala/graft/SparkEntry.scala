@@ -510,6 +510,16 @@ object SparkEntry {
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nCentroids = 32, nProbe = 8, lloydIters = 0)
     },
+    "emb_project" -> { (s, dir) =>
+      // JL random projection 64 -> 8 dims; deterministic matrix, so the
+      // oracle replays the projection with the SAME interpolated
+      // constants (flattened to scalar columns - the driver compare
+      // sorts by column values, which arrays would break)
+      val proj = SimilarityOps.randomProject(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, outDim = 8)
+      proj.select(col("vec_id") +: (0 until 8).map(i =>
+        round(element_at(col("projected"), i + 1), 6).as(s"p$i")): _*)
+    },
     // ------------------------------------------------------------------
     // Text analysis
     // ------------------------------------------------------------------
@@ -1519,6 +1529,13 @@ object SparkEntry {
         |FROM (SELECT * FROM embeddings WHERE vec_id < 20) a
         |JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0""".stripMargin,
+    "emb_project" -> {
+      val ps = graft.functions.ExprKernels.planes(64, 8, 42L)
+      val cols = ps.zipWithIndex.map { case (row, i) =>
+        s"round(list_dot_product(embedding::DOUBLE[], [${row.mkString(",")}]::DOUBLE[]), 6) AS p$i"
+      }.mkString(",\n       ")
+      s"SELECT vec_id,\n       $cols\nFROM embeddings"
+    },
     "text_heavyhitters" ->
       """SELECT tok, count(*) AS n
         |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),

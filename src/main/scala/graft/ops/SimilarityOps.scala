@@ -33,6 +33,29 @@ object SimilarityOps {
 
   def norm(a: Column): Column = graft.functions.GraftFunctions.vec_norm(a)
 
+  /** Random-projection dimensionality reduction (Johnson-Lindenstrauss):
+    * project `vecCol` (length `dim`) onto `outDim` fixed Gaussian
+    * directions - the standard cheap preprocessing before storing or
+    * indexing high-dimensional embeddings. The matrix is a deterministic
+    * function of (dim, outDim, seed) (same generator as the LSH
+    * hyperplanes), so results are reproducible across runs AND engines:
+    * the correctness oracle replays the projection with interpolated
+    * constants. Per-row arithmetic only - zero shuffles, scan-speed.
+    */
+  def randomProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      outDim: Int,
+      seed: Long = 42L
+  ): DataFrame = {
+    val planes = graft.functions.ExprKernels.planes(dim, outDim, seed)
+    val v = F.col(vecCol).cast(ArrayType(DoubleType))
+    val comps = planes.toSeq.map(row => dot(v, typedLit(row.toSeq)))
+    df.select(F.col(idCol), array(comps: _*).as("projected"))
+  }
+
   /** Exact top-k nearest neighbours by cosine for each query vector.
     *
     * `queries` is expected to be small (it is broadcast); the corpus side

@@ -536,6 +536,26 @@ class OpsSpec extends SparkSpec {
     assert(tail == Set((3L, 0, 3), (3L, 2, 3), (3L, 4, 1)))
   }
 
+  test("randomProject: deterministic, linear, correct dimensions") {
+    val vecs = Seq(
+      (1L, Array.tabulate(64)(i => (i + 1).toFloat / 64)),
+      (2L, Array.tabulate(64)(i => 2 * (i + 1).toFloat / 64)), // = 2 * vec 1
+      (3L, Array.fill(64)(0f))
+    ).toDF("vec_id", "embedding")
+    val p = SimilarityOps.randomProject(vecs, "vec_id", "embedding", dim = 64, outDim = 8)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(p.values.forall(_.length == 8))
+    // zero vector projects to zero; projection is linear (2v -> 2*p(v))
+    assert(p(3L).forall(_ == 0.0))
+    p(1L).zip(p(2L)).foreach { case (a, b) =>
+      assert(math.abs(b - 2 * a) < 1e-9, s"linearity violated: $a vs $b")
+    }
+    // deterministic across invocations (matrix is a pure fn of the seed)
+    val again = SimilarityOps.randomProject(vecs, "vec_id", "embedding", 64, 8)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(again == p)
+  }
+
   test("SpaceSaving: frequent-item guarantee and exact two-phase top-k under eviction") {
     import graft.functions.SpaceSaving
     // skewed stream: token t_i appears i times (i = 1..60), N = 1830
