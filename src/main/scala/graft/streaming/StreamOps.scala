@@ -229,6 +229,50 @@ object StreamOps {
       case _ => ()
     }
 
+  /** Stream-stream interval join: pair each right-stream event with the
+    * left-stream events of the same key whose timestamp falls in
+    * [r.ts - windowMinutes, r.ts] - e.g. purchases joined to the clicks
+    * that preceded them. BOTH sides are unbounded streams (the
+    * stream-static pattern of [[streamFuzzyMatch]] cannot express this).
+    *
+    * State stays bounded because both sides carry a watermark AND the
+    * join condition bounds the event-time distance: Spark derives from
+    * them how long a buffered row can still find a partner and evicts
+    * it after (the required state-cleanup condition for stream-stream
+    * inner joins). Without the time bound the buffers would grow with
+    * the stream.
+    *
+    * Output columns: key, l_ts, r_ts, l_<valueCol>, r_<valueCol>.
+    */
+  def streamIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      windowMinutes: Int,
+      lateness: String
+  ): DataFrame = {
+    val l = left
+      .select(F.col(keyCol).cast(LongType).as("key"),
+        F.col(tsCol).cast(TimestampType).as("l_ts"),
+        F.col(valueCol).as(s"l_$valueCol"))
+      .withWatermark("l_ts", lateness)
+    val r = right
+      .select(F.col(keyCol).cast(LongType).as("r_key"),
+        F.col(tsCol).cast(TimestampType).as("r_ts"),
+        F.col(valueCol).as(s"r_$valueCol"))
+      .withWatermark("r_ts", lateness)
+    l.join(
+        r,
+        F.col("key") === F.col("r_key") &&
+          F.col("l_ts") <= F.col("r_ts") &&
+          F.col("l_ts") >= F.col("r_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+        "inner")
+      .select(F.col("key"), F.col("l_ts"), F.col("r_ts"),
+        F.col(s"l_$valueCol"), F.col(s"r_$valueCol"))
+  }
+
   /** Streaming fuzzy-match: a stream of query strings against a static
     * broadcast trie (stream-static pattern). `trieIndex` is the collected
     * children map from `graft.ptree.Query.childrenIndex`.

@@ -140,6 +140,47 @@ class StreamOpsSpec extends SparkSpec {
     ), s"got $got")
   }
 
+  test("streamIntervalJoin: stream-stream == batch join, incl. across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // clicks (left) joined to purchases (right) within 30 minutes before
+    val clicks = Seq(
+      (1L, ts(0), "c1"), (1L, ts(20), "c2"), (1L, ts(55), "c3"),
+      (2L, ts(5), "c4"))
+    val purchases = Seq(
+      (1L, ts(25), "p1"),  // pairs with c1 (25m before) and c2 (5m)
+      (1L, ts(56), "p2"),  // pairs with c3 only (c2 is 36m before)
+      (2L, ts(50), "p3"),  // nothing within 30m for key 2
+      (3L, ts(10), "p4"))  // no clicks at all
+    val memL = MemoryStream[(Long, Timestamp, String)]
+    val memR = MemoryStream[(Long, Timestamp, String)]
+    val sq = StreamOps.streamIntervalJoin(
+        memL.toDF().toDF("user_id", "ts", "v"),
+        memR.toDF().toDF("user_id", "ts", "v"),
+        "user_id", "ts", "v", windowMinutes = 30, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    // split both sides across micro-batches: buffered left rows must
+    // still pair with right rows arriving in a LATER batch
+    memL.addData(clicks.take(2): _*)
+    sq.processAllAvailable()
+    memR.addData(purchases.take(1): _*)
+    sq.processAllAvailable()
+    memL.addData(clicks.drop(2): _*)
+    memR.addData(purchases.drop(1): _*)
+    sq.processAllAvailable()
+    val got = spark.table("ssj").select("key", "l_v", "r_v")
+      .as[(Long, String, String)].collect().toSet
+    sq.stop()
+    assert(got == Set((1L, "c1", "p1"), (1L, "c2", "p1"), (1L, "c3", "p2")),
+      s"got $got")
+    // batch parity: the same join as a plain non-streaming DataFrame join
+    val bl = clicks.toDF("user_id", "ts", "v")
+    val br = purchases.toDF("user_id", "ts", "v")
+    val batch = StreamOps.streamIntervalJoin(
+        bl, br, "user_id", "ts", "v", windowMinutes = 30, lateness = "10 minutes")
+      .select("key", "l_v", "r_v").as[(Long, String, String)].collect().toSet
+    assert(batch == got, s"batch parity broken: $batch vs $got")
+  }
+
   test("streamingDedup: first occurrence survives, dupes within watermark dropped") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
