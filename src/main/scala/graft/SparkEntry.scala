@@ -629,6 +629,22 @@ object SparkEntry {
     "events_sessionize" -> { (s, dir) =>
       StreamOps.sessionize(events(s, dir), gapMinutes = 30)
     },
+    "events_interval_join" -> { (s, dir) =>
+      // batch half of StreamOps.streamIntervalJoin (watermarks are
+      // no-ops in batch): purchases paired with the same user's clicks
+      // in the preceding 30 minutes. StreamOpsSpec pins stream == batch
+      // on this exact operator; this oracle pins batch == DuckDB.
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("v"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("v"))
+      StreamOps.streamIntervalJoin(clicks, purch, "user_id", "ts", "v",
+          windowMinutes = 30, lateness = "10 minutes")
+        .select(col("key").as("user_id"),
+          col("l_v").as("click_id"), col("r_v").as("purchase_id"),
+          (unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("gap_ms"))
+    },
     "events_range" -> { (s, dir) =>
       // range join: assign every event to the session interval that
       // contains it (user-key equality + ts-in-[start,end]). Binned
@@ -1529,6 +1545,15 @@ object SparkEntry {
         |FROM (SELECT * FROM embeddings WHERE vec_id < 20) a
         |JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0""".stripMargin,
+    "events_interval_join" ->
+      """SELECT c.user_id,
+        |       c.event_id AS click_id, p.event_id AS purchase_id,
+        |       epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+        |ON c.user_id = p.user_id
+        |   AND c.ts <= p.ts
+        |   AND c.ts >= p.ts - INTERVAL 30 MINUTE""".stripMargin,
     "emb_project" -> {
       val ps = graft.functions.ExprKernels.planes(64, 8, 42L)
       val cols = ps.zipWithIndex.map { case (row, i) =>
