@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
 
 /** Graph operators over relational edge lists (the shape dedup pipelines
   * produce: near-dup PAIRS in, duplicate CLUSTERS out).
@@ -27,12 +28,27 @@ object GraphOps {
     * Output: one row per distinct vertex appearing in `edges`:
     * (id, cluster_id = min vertex id in its component).
     */
-  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      driverEdgeLimit: Long = 1L << 20
+  ): DataFrame = {
     // materialize the (possibly expensive) edge computation ONCE before
     // symmetrizing: union(sym, sym.swapped) would otherwise execute the
     // upstream pair-generation plan twice
     val sym = edges.select(F.col(srcCol).as("a"), F.col(dstCol).as("b"))
       .localCheckpoint()
+    // small-graph off-ramp (the CC counterpart of Query.queryBatch's
+    // broadcast mode): near-dup pair sets are usually tiny relative to
+    // the corpus, and min-label propagation costs ~3 jobs PER ROUND.
+    // Under the explicit size guard, a driver union-find gives the
+    // identical answer in one collect + one parallelize; above it (or
+    // for exotic id types) the distributed loop below is the scale path.
+    // The count is free: sym was just materialized by localCheckpoint.
+    val ord = orderingFor(sym.schema("a").dataType)
+    if (ord != null && sym.count() <= driverEdgeLimit)
+      return driverUnionFind(sym, ord)
     val und = sym.union(sym.select(F.col("b").as("a"), F.col("a").as("b")))
       .distinct()
       .localCheckpoint()
@@ -60,6 +76,49 @@ object GraphOps {
       labels = next.drop("changed")
     }
     labels.select(F.col("id"), F.col("label").as("cluster_id"))
+  }
+
+  /** Runtime ordering for the id column types the driver off-ramp
+    * handles; null = unsupported type, use the distributed path.
+    */
+  private def orderingFor(dt: DataType): Ordering[Any] = (dt match {
+    case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
+    case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+    case StringType => Ordering.String.on[Any](_.asInstanceOf[String])
+    case _ => null
+  })
+
+  /** Exact same contract as the distributed loop - one row per distinct
+    * vertex, cluster_id = min id of its component under the column
+    * type's ordering - via union-find with path compression, keeping
+    * the minimum element as each set's root.
+    */
+  private def driverUnionFind(sym: DataFrame, ord: Ordering[Any]): DataFrame = {
+    val spark = sym.sparkSession
+    val dt = sym.schema("a").dataType
+    val parent = new scala.collection.mutable.HashMap[Any, Any]
+    def find(x0: Any): Any = {
+      var x = x0
+      while (parent(x) != x) {
+        val g = parent(parent(x)) // halve the path while walking it
+        parent(x) = g
+        x = g
+      }
+      x
+    }
+    sym.collect().foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val rows = parent.keys.toSeq.map(id => Row(id, find(id)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("id", dt), StructField("cluster_id", dt))))
   }
 
   /** Connected components by alternating large-star / small-star rounds

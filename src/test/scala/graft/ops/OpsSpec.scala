@@ -187,16 +187,39 @@ class OpsSpec extends SparkSpec {
   test("connectedComponents: empty edge list yields empty result, no NPE") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(GraphOps.connectedComponents(empty, "id_a", "id_b").count() == 0)
+    assert(GraphOps.connectedComponents(empty, "id_a", "id_b", driverEdgeLimit = 0)
+      .count() == 0)
   }
 
   test("connectedComponents: min-label per component, chains collapse") {
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}; {7,8}
     val edges = Seq((2L, 1L), (2L, 3L), (9L, 3L), (5L, 6L), (8L, 7L))
       .toDF("id_a", "id_b")
-    val got = GraphOps.connectedComponents(edges, "id_a", "id_b")
+    // driverEdgeLimit = 0 forces the DISTRIBUTED propagation loop (the
+    // tiny fixture would otherwise take the union-find off-ramp)
+    val got = GraphOps.connectedComponents(edges, "id_a", "id_b", driverEdgeLimit = 0)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponents: driver union-find off-ramp == distributed loop") {
+    // random graph, both paths, exact equality (long AND string ids)
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .toDF("id_a", "id_b")
+    val dist = GraphOps.connectedComponents(edges, "id_a", "id_b", driverEdgeLimit = 0)
+      .as[(Long, Long)].collect().toSet
+    val drv = GraphOps.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(drv == dist, "union-find off-ramp diverged from propagation")
+    val sEdges = edges.select(concat(lit("v"), format_string("%03d", $"id_a")).as("id_a"),
+      concat(lit("v"), format_string("%03d", $"id_b")).as("id_b"))
+    val sDist = GraphOps.connectedComponents(sEdges, "id_a", "id_b", driverEdgeLimit = 0)
+      .as[(String, String)].collect().toSet
+    val sDrv = GraphOps.connectedComponents(sEdges, "id_a", "id_b")
+      .as[(String, String)].collect().toSet
+    assert(sDrv == sDist, "string-id off-ramp diverged")
   }
 
   test("fuzzyDedup clusters edit-distance neighbours via the trie") {
