@@ -624,6 +624,73 @@ class OpsSpec extends SparkSpec {
     assert(got == want, s"fallback path wrong: $got")
   }
 
+  test("contamination == in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def randDoc() = Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (round <- 1 to 3) {
+      val train = (1L to 40L).map(i => (i, randDoc()))
+      val test = (100L to 110L).map(i => (i, randDoc()))
+      val n = 1 + rnd.nextInt(3)
+      // independent reference: per-doc shingle SETS, set intersections
+      val trSh = train.map { case (id, t) => id -> DedupOps.shingleArray(t, n).toSet }
+      val teSh = test.map { case (id, t) => id -> DedupOps.shingleArray(t, n).toSet }
+      val want = (for {
+        (ti, ts) <- trSh; (ei, es) <- teSh
+        inter = (ts & es).size if inter > 0
+      } yield (ti, ei, inter.toLong,
+        BigDecimal(inter.toDouble / es.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      )).toSet
+      val got = TextOps.contamination(
+          train.toDF("id", "text"), "id", "text",
+          test.toDF("id", "text"), "id", "text", shingleLen = n)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == want, s"round $round (n=$n) diverged from reference")
+    }
+  }
+
+  test("repetitionScore == in-memory reference on random docs") {
+    val rnd = new scala.util.Random(37)
+    val vocab = Vector("x", "y", "z", "w")
+    val docs = (1L to 50L).map(i =>
+      (i, Seq.fill(rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val n = 2
+    val want = docs.map { case (id, t) =>
+      val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val grams =
+        if (toks.isEmpty) Seq("")
+        else (0 to math.max(toks.length - n, 0)).map(i =>
+          toks.slice(i, math.min(i + n, toks.length)).mkString(" "))
+      val mx = grams.groupBy(identity).values.map(_.size).max.toLong
+      (id, (grams.size.toLong, mx,
+        BigDecimal(mx.toDouble / grams.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = TextOps.repetitionScore(docs.toDF("id", "text"), "id", "text", n)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want)
+  }
+
+  test("heavyHitterTokens == exact top-k across capacities (certified and fallback)") {
+    val rnd = new scala.util.Random(41)
+    // Zipf-ish: token rank r appears ~ 200/r times, plus uniform tail
+    val stream = (1 to 40).flatMap(r => Seq.fill(200 / r)(f"z_$r%02d")) ++
+      (1 to 150).map(_ => f"u_${rnd.nextInt(400)}%03d")
+    val docs = rnd.shuffle(stream).grouped(23).zipWithIndex
+      .map { case (c, i) => (i.toLong, c.mkString(" ")) }.toSeq.toDF("id", "text")
+    val exact = docs.select(explode(DedupOps.tokens($"text")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok".asc).limit(12)
+      .as[(String, Long)].collect().toSeq
+    // capacities spanning: tiny (fallback), mid (certified w/ eviction),
+    // huge (lossless) - all must return the exact answer
+    for (cap <- Seq(8, 60, 10000)) {
+      val got = TextOps.heavyHitterTokens(docs, "text", k = 12, capacity = cap)
+        .as[(String, Long)].collect().toSeq
+      assert(got == exact, s"capacity $cap diverged: $got")
+    }
+  }
+
   test("contamination: overlap counts, test_frac, hot-shingle cap") {
     val train = Seq(
       (1L, "the exam answer is forty two exactly"),
