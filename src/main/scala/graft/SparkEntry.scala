@@ -561,6 +561,11 @@ object SparkEntry {
     "text_repetition" -> { (s, dir) =>
       TextOps.repetitionScore(tbl(s, dir, "documents"), "doc_id", "text", n = 3)
     },
+    "text_tfidf" -> { (s, dir) =>
+      // top-5 TF-IDF terms per document (smoothed idf); one
+      // vocabulary-sized df aggregate + per-doc arithmetic
+      TextOps.tfIdf(tbl(s, dir, "documents"), "doc_id", "text", termsPerDoc = 5)
+    },
     "text_heavyhitters" -> { (s, dir) =>
       // exact top-20 tokens via the sketch-first two-phase pipeline
       // (SpaceSaving UDAF candidates -> exact recount); the oracle is a
@@ -1561,6 +1566,29 @@ object SparkEntry {
       }.mkString(",\n       ")
       s"SELECT vec_id,\n       $cols\nFROM embeddings"
     },
+    "text_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                                          t -> t <> '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT id, term, count(*) AS tf FROM tk GROUP BY id, term
+        |), dfq AS (
+        |  SELECT term, count(*) AS df_t FROM tf GROUP BY term
+        |), nd AS (
+        |  SELECT count(*) AS n FROM documents WHERE text IS NOT NULL
+        |), sc AS (
+        |  SELECT id, term, tf, df_t,
+        |         tf * (ln((n + 1)::DOUBLE / (df_t + 1)) + 1.0) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+        |), rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+        |                               ORDER BY score DESC, term ASC) AS rank
+        |  FROM sc
+        |)
+        |SELECT id, term, tf, df_t, CAST(rank AS INT) AS rank,
+        |       round(score, 6) AS score
+        |FROM rk WHERE rank <= 5""".stripMargin,
     "text_heavyhitters" ->
       """SELECT tok, count(*) AS n
         |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -294,6 +294,42 @@ object TextOps {
     }
   }
 
+  /** TF-IDF top terms per document: term frequency within the doc times
+    * smoothed inverse document frequency `ln((N+1)/(df+1)) + 1` across
+    * the corpus, top `termsPerDoc` terms per doc by (score desc, term
+    * asc). The corpus-side statistic (df) is one vocabulary-sized
+    * aggregation, broadcast back; everything else is per-doc arithmetic.
+    *
+    * Cross-engine determinism note: tf, df and N are exact integers, and
+    * the oracle replays `ln` with the same double argument - IEEE
+    * division of exact integers is identical everywhere, and libm/JVM
+    * `log` agreement is pinned by the round(.,6) in the query (verified
+    * by hash-match at both test scale factors).
+    */
+  def tfIdf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      termsPerDoc: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.filter(F.col(textCol).isNotNull).count()
+    val terms = OpsUtil.spread(df)
+      .select(F.col(idCol).as("id"), explode(DedupOps.tokens(F.col(textCol))).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val w = Window.partitionBy("id")
+      .orderBy(F.col("score").desc, F.col("term").asc)
+    tf.join(docFreq, "term")
+      .withColumn("score",
+        F.col("tf") * (log((lit(nDocs) + 1.0) / (F.col("df_t") + 1.0)) + 1.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(F.col("rank") <= termsPerDoc)
+      .select(F.col("id"), F.col("term"), F.col("tf"),
+        F.col("df_t"), F.col("rank").cast(IntegerType).as("rank"),
+        round(F.col("score"), 6).as("score"))
+  }
+
   /** Repetition / boilerplate score per document: the highest
     * occurrence count of any word `n`-gram, as a fraction of the
     * document's n-gram count. Near 1.0 = the document is one phrase
