@@ -50,14 +50,17 @@ object Bench {
 
     // min of two timed runs per query: this machine carries ambient load
     // (observed: the same unchanged query timing 1.1s and 16s minutes
-    // apart), and the min is the standard way to report the achievable
-    // time of a deterministic computation under external noise
+    // apart, and whole runs inflating ~3x under host contention), and
+    // the min is the standard way to report the achievable time of a
+    // deterministic computation under external noise. When the two runs
+    // disagree by more than 1.5x - the signature of a contention spike,
+    // not of the query - one extra run buys a better minimum.
     val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drop the previous query's residue (checkpoint RDDs, broadcast
       // blocks held only by dead references) BEFORE timing, so query N
       // doesn't pay query N-1's GC bill
       System.gc()
-      val runs = (1 to 2).map { _ =>
+      def timed(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           // stderr, not stdout: the driver parses stdout as one JSON line
@@ -65,6 +68,9 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      var runs = (1 to 2).map(_ => timed())
+      if (runs.forall(_._2) && runs.map(_._1).max > 1.5 * runs.map(_._1).min)
+        runs = runs :+ timed()
       // a throwing query must not masquerade as a fast success: report it
       // as -1 and list it under "failed"
       val time = if (runs.forall(_._2)) runs.map(_._1).min else -1.0

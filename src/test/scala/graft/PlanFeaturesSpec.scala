@@ -92,6 +92,28 @@ class PlanFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("dedup candidate self-joins plan as equi-joins, never nested-loop products") {
+    import graft.ops.DedupOps
+    val docs = (1L to 200L).map(i =>
+      (i, s"token_${i % 7} token_${i % 11} token_${i % 13} shared body text"))
+      .toDF("doc_id", "text")
+    // every candidate generator must key its self-join (shingle / band /
+    // block) - a BroadcastNestedLoopJoin or CartesianProduct here is the
+    // all-pairs plan that cannot scale
+    val plans = Seq(
+      "jaccard" -> DedupOps.jaccardPairs(docs, "doc_id", "text", 0.5, shingleLen = 3),
+      "jaccard_prefix" -> DedupOps.jaccardPairsPrefix(docs, "doc_id", "text", 0.5, shingleLen = 3),
+      "minhash" -> DedupOps.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 16, bands = 4, shingleLen = 3, threshold = 0.5, maxBucketSize = 50),
+      "simhash" -> DedupOps.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, maxBlockSize = 50))
+    for ((name, df) <- plans) {
+      val p = df.queryExecution.executedPlan.toString.toLowerCase
+      assert(!p.contains("broadcastnestedloop") && !p.contains("cartesianproduct"),
+        s"$name self-join degenerated to a product:\n${p.take(2000)}")
+    }
+  }
+
   test("dynamic partition pruning through a Sinks.writePartitioned layout") {
     val dir = tmp("dpp")
     val fact = (1L to 1000L).map(i => (i, s"lang_${i % 8}", i * 10))
