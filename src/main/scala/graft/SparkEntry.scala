@@ -561,6 +561,21 @@ object SparkEntry {
     "text_repetition" -> { (s, dir) =>
       TextOps.repetitionScore(tbl(s, dir, "documents"), "doc_id", "text", n = 3)
     },
+    "text_jaro" -> { (s, dir) =>
+      // Jaro-Winkler fuzzy match (the non-Levenshtein half of the
+      // string-similarity family; native codegen expression). JW has no
+      // triangle-inequality pruning, so the scale shape is a BOUNDED
+      // broadcast query set against one linear corpus scan - like
+      // q15_sql_api, never an all-pairs product.
+      val cust = tbl(s, dir, "customer")
+      val q = cust.filter(col("c_custkey") % 35 === 0)
+        .select(expr("concat(substr(c_name, 1, length(c_name)-1), 'X')").as("q"))
+      broadcast(q).crossJoin(cust.select(col("c_name").as("cand")))
+        .withColumn("jw",
+          round(graft.functions.GraftFunctions.jaro_winkler(col("q"), col("cand")), 6))
+        .filter(col("jw") >= 0.97)
+        .select(col("q"), col("cand"), col("jw"))
+    },
     "text_tfidf" -> { (s, dir) =>
       // top-5 TF-IDF terms per document (smoothed idf); one
       // vocabulary-sized df aggregate + per-doc arithmetic
@@ -1566,6 +1581,13 @@ object SparkEntry {
       }.mkString(",\n       ")
       s"SELECT vec_id,\n       $cols\nFROM embeddings"
     },
+    "text_jaro" ->
+      """SELECT q, c_name AS cand,
+        |       round(jaro_winkler_similarity(q, c_name), 6) AS jw
+        |FROM (SELECT substr(c_name, 1, length(c_name)-1) || 'X' AS q
+        |      FROM customer WHERE c_custkey % 35 = 0)
+        |CROSS JOIN customer
+        |WHERE round(jaro_winkler_similarity(q, c_name), 6) >= 0.97""".stripMargin,
     "text_tfidf" ->
       """WITH tk AS (
         |  SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),

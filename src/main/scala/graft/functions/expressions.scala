@@ -215,6 +215,60 @@ object ExprKernels {
     bucket
   }
 
+  /** Jaro-Winkler similarity, matching DuckDB's `jaro_winkler_similarity`
+    * exactly (the correctness oracle): empty input or no matches -> 0;
+    * Winkler prefix boost (p = 0.1, prefix capped at 4) applied only
+    * when the Jaro score strictly exceeds 0.7; case-sensitive;
+    * char-level (the driver corpus is ASCII; supplementary-plane text
+    * would compare UTF-16 units).
+    */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double =
+    jaroWinklerImpl(a.toString, b.toString)
+
+  private[graft] def jaroWinklerImpl(s1: String, s2: String): Double = {
+    val len1 = s1.length
+    val len2 = s2.length
+    if (len1 == 0 || len2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val window = math.max(0, math.max(len1, len2) / 2 - 1)
+    val m1 = new Array[Boolean](len1)
+    val m2 = new Array[Boolean](len2)
+    var matches = 0
+    var i = 0
+    while (i < len1) {
+      val hi = math.min(len2 - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < len1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    val jaro = (m / len1 + m / len2 + (m - t / 2.0) / m) / 3.0
+    if (jaro > 0.7) {
+      val cap = math.min(4, math.min(len1, len2))
+      var l = 0
+      while (l < cap && s1.charAt(l) == s2.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+
   /** Banded Levenshtein DP step for the join-mode trie traversal:
     * state = DP row ++ [rowMin]; returns the state after consuming
     * `edge`. See graft.ptree.Kernels.extendRow. An EMPTY state array
@@ -415,6 +469,29 @@ case class RhBucket(child: Expression, dim: Int, bits: Int, seed: Long)
   override def prettyName: String = "rh_bucket"
 }
 
+/** `jaro_winkler(a, b)` - Jaro-Winkler similarity in [0, 1]; semantics
+  * identical to DuckDB's `jaro_winkler_similarity` (see
+  * ExprKernels.jaroWinkler). The complementary string-similarity family
+  * member to the trie's Levenshtein: no usable triangle-inequality
+  * pruning exists for it, so it runs as a scan-side scalar over
+  * blocked/bounded candidate pairs rather than an index traversal.
+  */
+case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType.isInstanceOf[StringType] && right.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two string arguments, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinkler =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaro_winkler"
+}
+
 /** `pt_lev_extend(query, edge, state, depth)` - banded incremental
   * Levenshtein DP over a trie edge (join-mode traversal step).
   */
@@ -470,6 +547,9 @@ object GraftFunctions {
   def sig_agree(a: Column, b: Column): Column =
     Bridge.column(SigAgree(Bridge.expression(a), Bridge.expression(b)))
 
+  def jaro_winkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
+
   def shingles(c: Column, n: Int): Column =
     Bridge.column(Shingles(Bridge.expression(c), n))
 
@@ -495,6 +575,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("sig_agree", es => SigAgree(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinkler(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("shingles", shinglesBuilder, "built-in")
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "built-in")
@@ -542,6 +623,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("sig_agree"),
       new ExpressionInfo(classOf[SigAgree].getName, "sig_agree"),
       (es: Seq[Expression]) => SigAgree(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))))
     e.injectFunction((
       FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "shingles"),

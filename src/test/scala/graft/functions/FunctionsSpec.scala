@@ -79,6 +79,36 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("shingles"))
   }
 
+  test("jaro_winkler matches DuckDB jaro_winkler_similarity semantics") {
+    import graft.functions.ExprKernels.jaroWinklerImpl
+    // expected values computed with DuckDB's jaro_winkler_similarity
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("abc", "abc", 1.0),
+      ("abc", "", 0.0),
+      ("", "", 0.0),
+      ("a", "b", 0.0),
+      ("CRATE", "TRACE", 0.7333333333333334),       // jaro > 0.7 but prefix 0
+      ("aaXXXXXX", "aaYYYYYY", 0.5),                // prefix 2 but jaro <= 0.7: NO boost
+      ("abcdefgh", "abcdzzzz", 0.6666666666666666), // prefix 4 but jaro <= 0.7: NO boost
+      ("abcdefxx", "abcdefyy", 0.9),                // prefix capped at 4
+      ("DwAyNE", "DuANE", 0.8400000000000001),      // case-sensitive
+      ("Customer#000000042", "Customer#0000000X2", 0.9777777777777777))
+    for ((a, b, want) <- cases)
+      assert(math.abs(jaroWinklerImpl(a, b) - want) < 1e-12, s"($a, $b)")
+    // expression path (eval + codegen through real execution) == kernel
+    val df = cases.toDF("a", "b", "want")
+    val got = df.select($"want",
+      GraftFunctions.jaro_winkler($"a", $"b").as("got")).as[(Double, Double)].collect()
+    got.foreach { case (want, g) => assert(math.abs(g - want) < 1e-12) }
+    // SQL registration
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA') AS j").as[Double].head()
+      == jaroWinklerImpl("MARTHA", "MARHTA"))
+  }
+
   test("GraftExtensions injects the functions into a registry") {
     // apply the extension to an isolated registry (a second in-JVM
     // SparkContext would be needed to test via builder.withExtensions;
