@@ -251,7 +251,8 @@ object StreamOps {
       tsCol: String,
       valueCol: String,
       windowMinutes: Int,
-      lateness: String
+      lateness: String,
+      joinType: String = "inner"
   ): DataFrame = {
     val l = left
       .select(F.col(keyCol).cast(LongType).as("key"),
@@ -263,12 +264,15 @@ object StreamOps {
         F.col(tsCol).cast(TimestampType).as("r_ts"),
         F.col(valueCol).as(s"r_$valueCol"))
       .withWatermark("r_ts", lateness)
+    // left_outer: an unmatched left row is emitted with NULL right
+    // columns only once the watermark proves no partner can still
+    // arrive - same eviction bound as the inner case
     l.join(
         r,
         F.col("key") === F.col("r_key") &&
           F.col("l_ts") <= F.col("r_ts") &&
           F.col("l_ts") >= F.col("r_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
-        "inner")
+        joinType)
       .select(F.col("key"), F.col("l_ts"), F.col("r_ts"),
         F.col(s"l_$valueCol"), F.col(s"r_$valueCol"))
   }

@@ -181,6 +181,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch == got, s"batch parity broken: $batch vs $got")
   }
 
+  test("streamIntervalJoin left_outer: unmatched rows emit with NULLs after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(Long, Timestamp, String)]
+    val memR = MemoryStream[(Long, Timestamp, String)]
+    val sq = StreamOps.streamIntervalJoin(
+        memL.toDF().toDF("user_id", "ts", "v"),
+        memR.toDF().toDF("user_id", "ts", "v"),
+        "user_id", "ts", "v", windowMinutes = 30, lateness = "10 minutes",
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssjo").outputMode("append").start()
+    // c1 finds a partner; c2's user never purchases
+    memL.addData((1L, ts(0), "c1"), (2L, ts(0), "c2"))
+    memR.addData((1L, ts(10), "p1"))
+    sq.processAllAvailable()
+    // advance the watermark far enough that c2 provably has no partner
+    memL.addData((9L, Timestamp.valueOf("2024-01-01 14:00:00"), "f"))
+    memR.addData((9L, Timestamp.valueOf("2024-01-01 14:00:00"), "f"))
+    sq.processAllAvailable()
+    memL.addData((9L, Timestamp.valueOf("2024-01-01 15:00:00"), "f"))
+    memR.addData((9L, Timestamp.valueOf("2024-01-01 15:00:00"), "f"))
+    sq.processAllAvailable()
+    val got = spark.table("ssjo").filter(col("key") <= 2L)
+      .select("key", "l_v", "r_v").as[(Long, String, Option[String])]
+      .collect().toSet
+    sq.stop()
+    assert(got == Set((1L, "c1", Some("p1")), (2L, "c2", None)),
+      s"left-outer null emission wrong: $got")
+  }
+
   test("streamingDedup: first occurrence survives, dupes within watermark dropped") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
