@@ -225,14 +225,30 @@ object ExprKernels {
   def jaroWinkler(a: UTF8String, b: UTF8String): Double =
     jaroWinklerImpl(a.toString, b.toString)
 
+  // per-thread scratch flags: the kernel runs millions of times per task
+  // in blocked-pair scans, and two fresh boolean arrays per call made
+  // allocation the dominant cost. Grown on demand, cleared per call.
+  private val jwScratch = new ThreadLocal[(Array[Boolean], Array[Boolean])] {
+    override def initialValue(): (Array[Boolean], Array[Boolean]) =
+      (new Array[Boolean](64), new Array[Boolean](64))
+  }
+
   private[graft] def jaroWinklerImpl(s1: String, s2: String): Double = {
     val len1 = s1.length
     val len2 = s2.length
     if (len1 == 0 || len2 == 0) return 0.0
     if (s1 == s2) return 1.0
     val window = math.max(0, math.max(len1, len2) / 2 - 1)
-    val m1 = new Array[Boolean](len1)
-    val m2 = new Array[Boolean](len2)
+    var scratch = jwScratch.get()
+    if (scratch._1.length < len1 || scratch._2.length < len2) {
+      scratch = (new Array[Boolean](math.max(len1, scratch._1.length * 2)),
+        new Array[Boolean](math.max(len2, scratch._2.length * 2)))
+      jwScratch.set(scratch)
+    }
+    val m1 = scratch._1
+    val m2 = scratch._2
+    java.util.Arrays.fill(m1, 0, len1, false)
+    java.util.Arrays.fill(m2, 0, len2, false)
     var matches = 0
     var i = 0
     while (i < len1) {
