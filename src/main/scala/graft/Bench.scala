@@ -68,12 +68,16 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      var runs = (1 to 2).map(_ => timed())
-      if (runs.forall(_._2) && runs.map(_._1).max > 1.5 * runs.map(_._1).min)
-        runs = runs :+ timed()
+      val base = (1 to 2).map(_ => timed())
+      // a failed noise probe must not mark a twice-successful query
+      // failed: only its (successful) timing is taken, never its status
+      val probe =
+        if (base.forall(_._2) && base.map(_._1).max > 1.5 * base.map(_._1).min)
+          Some(timed()).filter(_._2)
+        else None
       // a throwing query must not masquerade as a fast success: report it
       // as -1 and list it under "failed"
-      val time = if (runs.forall(_._2)) runs.map(_._1).min else -1.0
+      val time = if (base.forall(_._2)) (base ++ probe).map(_._1).min else -1.0
       name -> time
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

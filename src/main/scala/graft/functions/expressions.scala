@@ -216,14 +216,19 @@ object ExprKernels {
   }
 
   /** Jaro-Winkler similarity, matching DuckDB's `jaro_winkler_similarity`
-    * exactly (the correctness oracle): empty input or no matches -> 0;
-    * Winkler prefix boost (p = 0.1, prefix capped at 4) applied only
-    * when the Jaro score strictly exceeds 0.7; case-sensitive;
-    * char-level (the driver corpus is ASCII; supplementary-plane text
-    * would compare UTF-16 units).
+    * exactly (the correctness oracle): computed over UTF-8 BYTES (as
+    * DuckDB does - empirically pinned, including non-ASCII), mismatched
+    * match-position count FLOORED after halving, empty input or no
+    * matches -> 0, Winkler prefix boost (p = 0.1, prefix capped at 4
+    * bytes) applied only when the Jaro score strictly exceeds 0.7,
+    * case-sensitive.
     */
   def jaroWinkler(a: UTF8String, b: UTF8String): Double =
-    jaroWinklerImpl(a.toString, b.toString)
+    jwBytes(a.getBytes, b.getBytes)
+
+  private[graft] def jaroWinklerImpl(s1: String, s2: String): Double =
+    jwBytes(s1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   // per-thread scratch flags: the kernel runs millions of times per task
   // in blocked-pair scans, and two fresh boolean arrays per call made
@@ -233,11 +238,11 @@ object ExprKernels {
       (new Array[Boolean](64), new Array[Boolean](64))
   }
 
-  private[graft] def jaroWinklerImpl(s1: String, s2: String): Double = {
-    val len1 = s1.length
-    val len2 = s2.length
+  private def jwBytes(b1: Array[Byte], b2: Array[Byte]): Double = {
+    val len1 = b1.length
+    val len2 = b2.length
     if (len1 == 0 || len2 == 0) return 0.0
-    if (s1 == s2) return 1.0
+    if (java.util.Arrays.equals(b1, b2)) return 1.0
     val window = math.max(0, math.max(len1, len2) / 2 - 1)
     var scratch = jwScratch.get()
     if (scratch._1.length < len1 || scratch._2.length < len2) {
@@ -256,7 +261,7 @@ object ExprKernels {
       var j = math.max(0, i - window)
       var found = false
       while (j <= hi && !found) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && b1(i) == b2(j)) {
           m1(i) = true; m2(j) = true; matches += 1; found = true
         }
         j += 1
@@ -270,17 +275,20 @@ object ExprKernels {
     while (i < len1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (b1(i) != b2(k)) t += 1
         k += 1
       }
       i += 1
     }
     val m = matches.toDouble
-    val jaro = (m / len1 + m / len2 + (m - t / 2.0) / m) / 3.0
+    // t / 2 INTEGER division: DuckDB floors the halved transposition
+    // count (empirically pinned: an odd 3-cycle scores 0.9444, not the
+    // exact-halving 0.9167)
+    val jaro = (m / len1 + m / len2 + (m - t / 2) / m) / 3.0
     if (jaro > 0.7) {
       val cap = math.min(4, math.min(len1, len2))
       var l = 0
-      while (l < cap && s1.charAt(l) == s2.charAt(l)) l += 1
+      while (l < cap && b1(l) == b2(l)) l += 1
       jaro + l * 0.1 * (1.0 - jaro)
     } else jaro
   }

@@ -37,7 +37,12 @@ object GraphOps {
     // materialize the (possibly expensive) edge computation ONCE before
     // symmetrizing: union(sym, sym.swapped) would otherwise execute the
     // upstream pair-generation plan twice
+    // a NULL endpoint carries no connectivity (equi-joins never match
+    // null); dropping such edges up front gives both paths identical
+    // semantics instead of the distributed loop emitting a (null, null)
+    // label row and the union-find crashing on null ordering
     val sym = edges.select(F.col(srcCol).as("a"), F.col(dstCol).as("b"))
+      .filter(F.col("a").isNotNull && F.col("b").isNotNull)
       .localCheckpoint()
     // small-graph off-ramp (the CC counterpart of Query.queryBatch's
     // broadcast mode): near-dup pair sets are usually tiny relative to
@@ -46,7 +51,14 @@ object GraphOps {
     // identical answer in one collect + one parallelize; above it (or
     // for exotic id types) the distributed loop below is the scale path.
     // The count is free: sym was just materialized by localCheckpoint.
-    val ord = orderingFor(sym.schema("a").dataType)
+    // off-ramp only when both endpoint columns share one supported
+    // atomic type: mixed int/long columns rely on the distributed
+    // union's type widening, and the collected ordering must match
+    // Spark's own min semantics for the type
+    val ord =
+      if (sym.schema("a").dataType == sym.schema("b").dataType)
+        orderingFor(sym.schema("a").dataType)
+      else null
     if (ord != null && sym.count() <= driverEdgeLimit)
       return driverUnionFind(sym, ord)
     val und = sym.union(sym.select(F.col("b").as("a"), F.col("a").as("b")))
@@ -84,7 +96,25 @@ object GraphOps {
   private def orderingFor(dt: DataType): Ordering[Any] = (dt match {
     case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
     case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
-    case StringType => Ordering.String.on[Any](_.asInstanceOf[String])
+    case StringType =>
+      // Spark's min on StringType compares UTF8String BYTES (code-point
+      // order); Java String compareTo compares UTF-16 units, which
+      // disagrees above the BMP - compare UTF-8 bytes unsigned so the
+      // off-ramp picks the same cluster minima as the distributed path
+      new Ordering[Any] {
+        override def compare(x: Any, y: Any): Int = {
+          val a = x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val b = y.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = math.min(a.length, b.length)
+          var i = 0
+          while (i < n) {
+            val c = (a(i) & 0xff) - (b(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          a.length - b.length
+        }
+      }
     case _ => null
   })
 

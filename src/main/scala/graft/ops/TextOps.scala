@@ -313,7 +313,11 @@ object TextOps {
       termsPerDoc: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = df.filter(F.col(textCol).isNotNull).count()
+    // corpus size joins in as a broadcast one-row aggregate (exactly the
+    // oracle's CROSS JOIN nd): the whole operator stays ONE lazy plan -
+    // no eager count() action, no second scan of the input
+    val nDocs = df.filter(F.col(textCol).isNotNull)
+      .agg(count(lit(1)).as("n_docs"))
     val terms = OpsUtil.spread(df)
       .select(F.col(idCol).as("id"), explode(DedupOps.tokens(F.col(textCol))).as("term"))
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
@@ -321,8 +325,9 @@ object TextOps {
     val w = Window.partitionBy("id")
       .orderBy(F.col("score").desc, F.col("term").asc)
     tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        F.col("tf") * (log((lit(nDocs) + 1.0) / (F.col("df_t") + 1.0)) + 1.0))
+        F.col("tf") * (log((F.col("n_docs") + 1.0) / (F.col("df_t") + 1.0)) + 1.0))
       .withColumn("rank", row_number().over(w))
       .filter(F.col("rank") <= termsPerDoc)
       .select(F.col("id"), F.col("term"), F.col("tf"),

@@ -254,13 +254,16 @@ object StreamOps {
       lateness: String,
       joinType: String = "inner"
   ): DataFrame = {
+    // keys keep their native type (string session ids, long user ids,
+    // ...): a silent cast to long would throw under ANSI mode or
+    // null-out / collide keys without it
     val l = left
-      .select(F.col(keyCol).cast(LongType).as("key"),
+      .select(F.col(keyCol).as("key"),
         F.col(tsCol).cast(TimestampType).as("l_ts"),
         F.col(valueCol).as(s"l_$valueCol"))
       .withWatermark("l_ts", lateness)
     val r = right
-      .select(F.col(keyCol).cast(LongType).as("r_key"),
+      .select(F.col(keyCol).as("r_key"),
         F.col(tsCol).cast(TimestampType).as("r_ts"),
         F.col(valueCol).as(s"r_$valueCol"))
       .withWatermark("r_ts", lateness)

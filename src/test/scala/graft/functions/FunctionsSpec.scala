@@ -95,7 +95,11 @@ class FunctionsSpec extends SparkSpec {
       ("abcdefgh", "abcdzzzz", 0.6666666666666666), // prefix 4 but jaro <= 0.7: NO boost
       ("abcdefxx", "abcdefyy", 0.9),                // prefix capped at 4
       ("DwAyNE", "DuANE", 0.8400000000000001),      // case-sensitive
-      ("Customer#000000042", "Customer#0000000X2", 0.9777777777777777))
+      ("Customer#000000042", "Customer#0000000X2", 0.9777777777777777),
+      ("abcxxx", "bcaxxx", 0.9444444444444445),     // odd 3-cycle: floored t/2
+      ("abcdef", "bcadef", 0.9444444444444445),
+      ("héllo", "hello", 0.8400000000000001),  // UTF-8 BYTE level (é = 2 bytes)
+      ("ab", "ba", 0.0))                            // window 0: no matches
     for ((a, b, want) <- cases)
       assert(math.abs(jaroWinklerImpl(a, b) - want) < 1e-12, s"($a, $b)")
     // expression path (eval + codegen through real execution) == kernel
