@@ -70,22 +70,28 @@ object Bench {
       }
       val base = (1 to 2).map(_ => timed())
       // a failed noise probe must not mark a twice-successful query
-      // failed: only its (successful) timing is taken, never its status
+      // failed: only its (successful) timing is taken, never its status -
+      // but it must not vanish either, so the query lands in "flaky"
       val probe =
         if (base.forall(_._2) && base.map(_._1).max > 1.5 * base.map(_._1).min)
-          Some(timed()).filter(_._2)
+          Some(timed())
         else None
+      val flaky = probe.exists(!_._2)
+      if (flaky) System.err.println(s"[bench] $name: probe run failed after two successes")
       // a throwing query must not masquerade as a fast success: report it
       // as -1 and list it under "failed"
-      val time = if (base.forall(_._2)) (base ++ probe).map(_._1).min else -1.0
-      name -> time
+      val time =
+        if (base.forall(_._2)) (base ++ probe.filter(_._2)).map(_._1).min else -1.0
+      (name, time, flaky)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val flaky = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

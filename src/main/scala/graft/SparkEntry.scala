@@ -1540,7 +1540,7 @@ object SparkEntry {
         |       round(s, 6) AS scale
         |FROM scaled""".stripMargin,
     "docs_partitioned" ->
-      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |WHERE lang IN ('en', 'de')
         |GROUP BY lang, source""".stripMargin,
@@ -1648,6 +1648,7 @@ object SparkEntry {
       """WITH tk AS (
         |  SELECT doc_id AS id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |                                   t -> t <> '') AS tk FROM documents
+        |  WHERE text IS NOT NULL
         |), g AS (
         |  SELECT id, unnest([array_to_string(tk[i:i+2], ' ')
         |                     FOR i IN generate_series(1, greatest(len(tk)-2, 1))]) AS s

@@ -246,7 +246,10 @@ object DedupOps {
         transform(F.col("ks"), k => k.getField("sh")).as("shs"),
         size(F.col("ks")).as("sz"))
       .localCheckpoint() // feeds prefix index + both verify joins
-    val prefLen = (F.col("sz") - ceil(F.col("sz") * lit(threshold)).cast(IntegerType) + 1)
+    // ceil(sz*t - eps): the double product can round up past the exact
+    // rational (e.g. 0.8 > 4/5), which would shorten the prefix by one and
+    // drop a pair sitting exactly at the threshold
+    val prefLen = (F.col("sz") - ceil(F.col("sz") * lit(threshold) - lit(1e-9)).cast(IntegerType) + 1)
     val pref = arrs.select(F.col("id"), explode(slice(F.col("shs"), lit(1), prefLen)).as("sh"))
     val cand = pref.as("a")
       .join(pref.as("b").hint("shuffle_hash"),
