@@ -510,6 +510,24 @@ object SparkEntry {
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nCentroids = 32, nProbe = 8, lloydIters = 0)
     },
+    "ann_ivf_persisted" -> { (s, dir) =>
+      // the persisted index lifecycle (the trie writeIndexedTable analog
+      // for ANN): build once, write centroids + hive-partitioned lists,
+      // read back, query through the stored index. Same params and same
+      // oracle as ann_ivf - what's exercised is that persistence
+      // round-trips the index exactly (float vectors and the double
+      // norms both travel bit-exact through parquet) and that the query
+      // half runs without rebuild jobs (pinned by OpsSpec).
+      val emb = tbl(s, dir, "embeddings")
+      val built = SimilarityOps.ivfBuild(emb, "vec_id", "embedding",
+        nCentroids = 32, lloydIters = 0)
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_ivf_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      SimilarityOps.ivfWrite(built, path)
+      val back = SimilarityOps.ivfRead(s, path)
+      SimilarityOps.ivfQuery(back,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, nProbe = 8)
+    },
     "emb_project" -> { (s, dir) =>
       // JL random projection 64 -> 8 dims; deterministic matrix, so the
       // oracle replays the projection with the SAME interpolated
@@ -570,7 +588,12 @@ object SparkEntry {
       val cust = tbl(s, dir, "customer")
       val q = cust.filter(col("c_custkey") % 35 === 0)
         .select(expr("concat(substr(c_name, 1, length(c_name)-1), 'X')").as("q"))
+      // the length-band guard is LOSSLESS for jw >= 0.97 (derivation in
+      // TextOps.jwLengthBand, brute-force-pinned by FunctionsSpec): it
+      // prunes pairs on two byte lengths before the O(|a|*|b|) DP kernel
+      // runs, so the oracle and result set are unchanged
       broadcast(q).crossJoin(cust.select(col("c_name").as("cand")))
+        .filter(TextOps.jwLengthBand(col("q"), col("cand"), 0.97))
         .withColumn("jw",
           round(graft.functions.GraftFunctions.jaro_winkler(col("q"), col("cand")), 6))
         .filter(col("jw") >= 0.97)
@@ -586,6 +609,12 @@ object SparkEntry {
       // (SpaceSaving UDAF candidates -> exact recount); the oracle is a
       // plain exact top-20, which the two-phase result must EQUAL
       TextOps.heavyHitterTokens(tbl(s, dir, "documents"), "text", k = 20)
+    },
+    "text_chunks" -> { (s, dir) =>
+      // context-window packing: token-budgeted training chunks with
+      // overlap; per-row 1->N expansion, zero shuffles (scan speed)
+      TextOps.chunkDocuments(tbl(s, dir, "documents"), "doc_id", "text",
+        budget = 64, overlap = 16)
     },
     "text_ngrams" -> { (s, dir) =>
       // corpus-wide top-20 word bigrams by document frequency
@@ -874,6 +903,45 @@ object SparkEntry {
           coalesce(col("n_orders"), lit(0L)).as("n_orders"))
     }
   )
+
+  // shared by ann_ivf and ann_ivf_persisted: the persisted index must
+  // reproduce the in-memory pipeline bit-for-bit, so both replay the
+  // same coarse quantization + probing + exact re-ranking
+  private val ivfOracleSql: String =
+    """WITH cent AS ( -- seed centroids: first 32 vectors by id, L2-normalized
+      |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid,
+      |         [x / greatest(sqrt(list_dot_product(vv, vv)), 1e-12) FOR x IN vv] AS cv
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings ORDER BY vec_id LIMIT 32)
+      |), v AS (
+      |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), corpus_assign AS ( -- inverted list = argmax dot(v, centroid)
+      |  SELECT id, v, nrm, cid AS list_id FROM (
+      |    SELECT v.id, v.v, v.nrm, c.cid,
+      |           ROW_NUMBER() OVER (PARTITION BY v.id
+      |                              ORDER BY list_dot_product(v.v, c.cv) DESC, c.cid ASC) AS rn
+      |    FROM v CROSS JOIN cent c
+      |  ) WHERE rn = 1
+      |), query_probe AS ( -- each query probes its nProbe nearest lists
+      |  SELECT id, v, nrm, cid AS list_id FROM (
+      |    SELECT v.id, v.v, v.nrm, c.cid,
+      |           ROW_NUMBER() OVER (PARTITION BY v.id
+      |                              ORDER BY list_dot_product(v.v, c.cv) DESC, c.cid ASC) AS rn
+      |    FROM v CROSS JOIN cent c
+      |    WHERE v.id < 10
+      |  ) WHERE rn <= 8
+      |), scored AS (
+      |  SELECT q.id AS query_id, c.id AS neighbor_id,
+      |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+      |  FROM query_probe q JOIN corpus_assign c ON q.list_id = c.list_id AND q.id <> c.id
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS cosine_sim
+      |FROM ranked WHERE rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "pt_fuzzy_customer" ->
@@ -1468,41 +1536,26 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS cosine_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
-    "ann_ivf" ->
-      """WITH cent AS ( -- seed centroids: first 32 vectors by id, L2-normalized
-        |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid,
-        |         [x / greatest(sqrt(list_dot_product(vv, vv)), 1e-12) FOR x IN vv] AS cv
-        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings ORDER BY vec_id LIMIT 32)
-        |), v AS (
-        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
-        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        |  FROM embeddings
-        |), corpus_assign AS ( -- inverted list = argmax dot(v, centroid)
-        |  SELECT id, v, nrm, cid AS list_id FROM (
-        |    SELECT v.id, v.v, v.nrm, c.cid,
-        |           ROW_NUMBER() OVER (PARTITION BY v.id
-        |                              ORDER BY list_dot_product(v.v, c.cv) DESC, c.cid ASC) AS rn
-        |    FROM v CROSS JOIN cent c
-        |  ) WHERE rn = 1
-        |), query_probe AS ( -- each query probes its nProbe nearest lists
-        |  SELECT id, v, nrm, cid AS list_id FROM (
-        |    SELECT v.id, v.v, v.nrm, c.cid,
-        |           ROW_NUMBER() OVER (PARTITION BY v.id
-        |                              ORDER BY list_dot_product(v.v, c.cv) DESC, c.cid ASC) AS rn
-        |    FROM v CROSS JOIN cent c
-        |    WHERE v.id < 10
-        |  ) WHERE rn <= 8
-        |), scored AS (
-        |  SELECT q.id AS query_id, c.id AS neighbor_id,
-        |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
-        |  FROM query_probe q JOIN corpus_assign c ON q.list_id = c.list_id AND q.id <> c.id
-        |), ranked AS (
-        |  SELECT query_id, neighbor_id, sim,
-        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-        |  FROM scored
+    "ann_ivf" -> ivfOracleSql,
+    // identical replay: the persisted round-trip must be lossless
+    "ann_ivf_persisted" -> ivfOracleSql,
+    "text_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             t -> t <> '') AS tk
+        |  FROM documents
+        |), lens AS (
+        |  SELECT doc_id, tk, len(tk) AS n FROM tk WHERE len(tk) > 0
+        |), starts AS (
+        |  SELECT doc_id, tk, n,
+        |         unnest(generate_series(0, greatest(n - 17, 0), 48)) AS s
+        |  FROM lens
         |)
-        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS cosine_sim
-        |FROM ranked WHERE rank <= 5""".stripMargin,
+        |SELECT doc_id,
+        |       CAST(s // 48 AS INT) AS chunk_idx,
+        |       CAST(least(64, n - s) AS INT) AS n_tokens,
+        |       array_to_string(tk[s+1 : s+64], ' ') AS chunk
+        |FROM starts""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |       ('0x' || substr(md5(array_to_string(

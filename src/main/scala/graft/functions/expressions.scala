@@ -215,6 +215,58 @@ object ExprKernels {
     bucket
   }
 
+  /** Indices of the `n` centroids with the largest dot product against
+    * `v`, in descending-dot order; ties keep the lower centroid index -
+    * matching the stable `sortBy(-dot)` of the boxed-UDF formulation
+    * this replaces (the IVF coarse-quantization step,
+    * SimilarityOps.ivfTopK). Dots accumulate in double in element order
+    * over min(|v|, |centroid|) elements; a null element (possible only
+    * when the array type allows nulls) gives NULL.
+    */
+  def nearestLists(
+      v: ArrayData,
+      cents: Array[Array[Double]],
+      n: Int,
+      isFloat: Boolean,
+      checkNull: Boolean): ArrayData = {
+    val len = v.numElements()
+    if (checkNull) {
+      var i = 0
+      while (i < len) { if (v.isNullAt(i)) return null; i += 1 }
+    }
+    val nC = cents.length
+    val scores = new Array[Double](nC)
+    var ci = 0
+    while (ci < nC) {
+      val c = cents(ci)
+      val m = math.min(len, c.length)
+      var acc = 0.0
+      var i = 0
+      if (isFloat) while (i < m) { acc += v.getFloat(i).toDouble * c(i); i += 1 }
+      else while (i < m) { acc += v.getDouble(i) * c(i); i += 1 }
+      scores(ci) = acc
+      ci += 1
+    }
+    // selection instead of sort: k is tiny (nProbe), nC is small, and a
+    // repeated stable argmax reproduces the stable-sort tie order exactly
+    val out = new Array[Int](math.min(math.max(n, 0), nC))
+    val used = new Array[Boolean](nC)
+    var j = 0
+    while (j < out.length) {
+      var best = -1
+      var bestD = 0.0
+      var c2 = 0
+      while (c2 < nC) {
+        if (!used(c2) && (best < 0 || scores(c2) > bestD)) { best = c2; bestD = scores(c2) }
+        c2 += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Jaro-Winkler similarity, matching DuckDB's `jaro_winkler_similarity`
     * exactly (the correctness oracle): computed over UTF-8 BYTES (as
     * DuckDB does - empirically pinned, including non-ASCII), mismatched
@@ -493,6 +545,42 @@ case class RhBucket(child: Expression, dim: Int, bits: Int, seed: Long)
   override def prettyName: String = "rh_bucket"
 }
 
+/** `nearest_lists(vec)` - indices of the `n` nearest centroids by dot
+  * product, descending (the IVF coarse-quantization step). The centroid
+  * matrix is DATA-dependent (k-means output computed on the driver), so
+  * unlike RhBucket's derive-from-seed planes it travels inside the
+  * expression as a reference object: Spark broadcasts the task binary
+  * (plan + references) once per stage, which is the same shipping cost
+  * as the explicit `SparkContext.broadcast` of the UDF formulation this
+  * replaces - but the kernel is codegen'd and allocation-free.
+  */
+case class NearestLists(child: Expression, cents: Array[Array[Double]], n: Int)
+    extends UnaryExpression {
+  private def isFloat: Boolean = VecTypes.elemIsFloat(child.dataType).get
+  private def checkNull: Boolean = child.dataType.asInstanceOf[ArrayType].containsNull
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (VecTypes.elemIsFloat(child.dataType).isDefined)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.nearestLists(v.asInstanceOf[ArrayData], cents, n, isFloat, checkNull)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.addReferenceObj("cents", cents, "double[][]")
+      val tmp = ctx.freshName("nearest")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.ExprKernels.nearestLists($c, $m, $n, $isFloat, $checkNull);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): NearestLists = copy(child = c)
+  override def prettyName: String = "nearest_lists"
+}
+
 /** `jaro_winkler(a, b)` - Jaro-Winkler similarity in [0, 1]; semantics
   * identical to DuckDB's `jaro_winkler_similarity` (see
   * ExprKernels.jaroWinkler). The complementary string-similarity family
@@ -585,6 +673,11 @@ object GraftFunctions {
 
   def rh_bucket(v: Column, dim: Int, bits: Int, seed: Long): Column =
     Bridge.column(RhBucket(Bridge.expression(v), dim, bits, seed))
+
+  // no SQL registration: the centroid matrix is a driver-computed value,
+  // not a literal a SQL call site could spell
+  def nearest_lists(v: Column, cents: Array[Array[Double]], n: Int): Column =
+    Bridge.column(NearestLists(Bridge.expression(v), cents, n))
 
   def pt_lev_extend(q: Column, e: Column, s: Column, d: Column, maxDist: Int): Column =
     Bridge.column(PtLevExtend(

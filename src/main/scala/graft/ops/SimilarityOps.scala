@@ -164,30 +164,32 @@ object SimilarityOps {
       )
   }
 
-  /** IVF-style approximate top-k: partition the corpus into inverted
-    * lists by nearest centroid, probe only the `nProbe` lists nearest to
-    * each query. Centroids are seeded from a deterministic sample of
-    * corpus vectors and refined with `lloydIters` distributed k-means
-    * steps (assign -> per-dimension partial sums -> recenter; the sums
-    * shuffle (nCentroids x dim) rows, never vectors). The scale story vs
-    * LSH: list sizes adapt to the data distribution, and `nProbe` trades
-    * recall for candidate count at query time without rebuilding the
-    * index. (Distributed FP summation makes refined centroids
-    * deterministic only up to reduction order - irrelevant at the
-    * recall level this serves, same caveat as every distributed k-means.)
+  /** An IVF index: L2-normalized centroids (list id = array position)
+    * plus the corpus assigned to inverted lists
+    * (`neighbor_id, cv, cn, list_id`). Built once ([[ivfBuild]]),
+    * optionally persisted ([[ivfWrite]]/[[ivfRead]] - the trie's
+    * writeIndexedTable analog), queried many times ([[ivfQuery]])
+    * without relaunching seeding/Lloyd jobs.
     */
-  def ivfTopK(
+  case class IvfIndex(centroids: Array[Array[Double]], lists: DataFrame)
+
+  /** Build an IVF index: seed centroids from the first `nCentroids`
+    * vectors by id, refine with `lloydIters` distributed k-means steps
+    * (assign -> per-partition partial sums -> recenter; the sums shuffle
+    * (nCentroids x dim) doubles, never corpus vectors), then assign every
+    * corpus vector to its nearest centroid's inverted list. List sizes
+    * adapt to the data distribution - the scale story vs LSH buckets.
+    * (Distributed FP summation makes refined centroids deterministic
+    * only up to reduction order - irrelevant at the recall level this
+    * serves, same caveat as every distributed k-means.)
+    */
+  def ivfBuild(
       corpus: DataFrame,
       corpusId: String,
       corpusVec: String,
-      queries: DataFrame,
-      queryId: String,
-      queryVec: String,
-      k: Int,
       nCentroids: Int = 64,
-      nProbe: Int = 8,
       lloydIters: Int = 2
-  ): DataFrame = {
+  ): IvfIndex = {
     val spark = corpus.sparkSession
     // deterministic centroid seed: first nCentroids vectors by id
     var centroids: Array[(Int, Array[Double])] = corpus
@@ -262,27 +264,45 @@ object SimilarityOps {
       }
       vecs.unpersist(blocking = false)
     }
-    val bc = spark.sparkContext.broadcast(centroids)
-    def nearestLists(n: Int) = udf { vec: scala.collection.Seq[Float] =>
-      val cs = bc.value
-      val v = vec.map(_.toDouble).toArray
-      cs.map { case (cid, c) =>
-        var d = 0.0; var i = 0
-        while (i < v.length) { d += v(i) * c(i); i += 1 }
-        (cid, d)
-      }.sortBy(-_._2).take(n).map(_._1)
-    }
-    val cb = OpsUtil.spread(corpus).select(
+    // centroid assignment as a native codegen expression: the matrix
+    // rides in the expression's reference array (shipped once per stage
+    // with the task binary - same cost as the explicit broadcast of the
+    // boxed-UDF formulation this replaces, but codegen'd and
+    // allocation-free on the corpus-sized side). Index == cid by
+    // construction (seeding and Lloyd both preserve position).
+    val centMatrix = centroids.map(_._2)
+    val lists = OpsUtil.spread(corpus).select(
       F.col(corpusId).as("neighbor_id"),
       F.col(corpusVec).as("cv"),
       norm(F.col(corpusVec)).as("cn"),
-      element_at(nearestLists(1)(F.col(corpusVec)), 1).as("list_id"))
+      element_at(
+        graft.functions.GraftFunctions.nearest_lists(F.col(corpusVec), centMatrix, 1),
+        1).as("list_id"))
+    IvfIndex(centMatrix, lists)
+  }
+
+  /** Query an IVF index: probe the `nProbe` lists nearest to each query
+    * vector, exact cosine re-rank inside the probed lists. Pure plan
+    * construction - launches NO jobs itself (pinned by OpsSpec), so a
+    * built/read index amortizes over any number of query batches;
+    * `nProbe` trades recall for candidate count without rebuilding.
+    */
+  def ivfQuery(
+      index: IvfIndex,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nProbe: Int = 8
+  ): DataFrame = {
     val qb = broadcast(queries.select(
       F.col(queryId).as("query_id"),
       F.col(queryVec).as("qv"),
       norm(F.col(queryVec)).as("qn"),
-      explode(nearestLists(nProbe)(F.col(queryVec))).as("list_id")))
-    val scored = cb
+      explode(
+        graft.functions.GraftFunctions.nearest_lists(F.col(queryVec), index.centroids, nProbe)
+      ).as("list_id")))
+    val scored = index.lists
       .join(qb, Seq("list_id"))
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .withColumn("cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
@@ -299,6 +319,56 @@ object SimilarityOps {
         round(F.col("cosine_sim"), 6).as("cosine_sim")
       )
   }
+
+  /** Persist an IVF index: centroids as one small parquet
+    * (`cid, cv`), lists hive-partitioned on `list_id` via
+    * Sinks.writePartitioned - so a query batch probing `nProbe` of
+    * `nCentroids` lists prunes the rest at file listing, and a hot list
+    * (skewed cluster) fans out over `filesPerValue` files instead of one
+    * writer task absorbing it.
+    */
+  def ivfWrite(index: IvfIndex, path: String, filesPerValue: Int = 1): Unit = {
+    val spark = index.lists.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq
+      .toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    graft.sources.Sinks.writePartitioned(
+      index.lists, s"$path/lists", Seq("list_id"), filesPerValue)
+  }
+
+  /** Read a persisted IVF index back. The centroid matrix is k-sized
+    * (collected to the driver, as at build time); the lists stay a lazy
+    * partitioned scan, so [[ivfQuery]] on the result reads only probed
+    * list directories.
+    */
+  def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cid")
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
+    IvfIndex(cents, spark.read.parquet(s"$path/lists"))
+  }
+
+  /** One-shot IVF approximate top-k: build + query in one call (the
+    * persisted lifecycle is ivfBuild -> ivfWrite / ivfRead -> ivfQuery).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nCentroids: Int = 64,
+      nProbe: Int = 8,
+      lloydIters: Int = 2
+  ): DataFrame =
+    ivfQuery(
+      ivfBuild(corpus, corpusId, corpusVec, nCentroids, lloydIters),
+      queries, queryId, queryVec, k, nProbe)
 
   /** All pairs with cosine >= threshold, LSH-bucketed (embedding near-dup
     * dedup). Exact cosine verified on bucket-collision candidates only.

@@ -31,6 +31,76 @@ object TextOps {
   def tokenize(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(F.col(idCol), posexplode(DedupOps.tokens(F.col(textCol))).as(Seq("pos", "token")))
 
+  /** Sound (lossless) length-band prefilter for `jaro_winkler(a, b) >=
+    * threshold`: evaluates to true for EVERY pair that can reach the
+    * threshold, using only the two byte lengths - so it runs before the
+    * O(|a|*|b|) kernel and prunes the bulk of a candidate scan.
+    *
+    * Derivation (all lengths in UTF-8 bytes, matching the kernel's
+    * DuckDB-pinned byte semantics):
+    *   - the Winkler boost adds at most 0.4*(1-J) (prefix capped at 4,
+    *     p = 0.1), so JW >= t forces Jaro J >= (t - 0.4) / 0.6 (and when
+    *     no boost applies, J >= t, which is even stronger for t <= 1);
+    *   - J = (m/|a| + m/|b| + (m - floor(tau))/m) / 3 with matches
+    *     m <= min(|a|,|b|): the m/min and transposition terms are <= 1
+    *     and m/max <= min/max, so J <= (2 + min/max) / 3;
+    *   - combining: min/max >= 3*J - 2 >= 3*(t-0.4)/0.6 - 2 = 5t - 4.
+    * A 1e-6 slack absorbs the caller's round(jw, 6) >= t convention
+    * (round-to-6dp admits jw >= t - 5e-7). Vacuous (always true) for
+    * t <= 0.8, where 5t - 4 <= 0 bounds nothing.
+    */
+  def jwLengthBand(a: Column, b: Column, threshold: Double): Column = {
+    val ratio = 5.0 * (threshold - 1e-6) - 4.0
+    if (ratio <= 0) lit(true)
+    else {
+      val (la, lb) = (octet_length(a), octet_length(b))
+      least(la, lb).cast(DoubleType) >= lit(ratio) * greatest(la, lb)
+    }
+  }
+
+  /** Split documents into token-budgeted training chunks with overlap -
+    * the standard context-window packing stage of an LLM data pipeline.
+    *
+    * Chunk k starts at token offset k * (budget - overlap); every chunk
+    * carries up to `budget` tokens, consecutive chunks share exactly
+    * `overlap` tokens, and a tail start whose remaining tokens would be
+    * wholly contained in the previous chunk is NOT emitted (no chunk is
+    * a subset of another). Empty/NULL documents yield no chunks.
+    *
+    * Scale shape: pure per-row 1->N expansion (sequence + explode +
+    * slice, all codegen) - zero shuffles, runs at scan speed, and the
+    * output order/content is a deterministic function of the row, so the
+    * DuckDB oracle replays it exactly.
+    *
+    * Output: (idCol, chunk_idx, n_tokens, chunk).
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      overlap: Int
+  ): DataFrame = {
+    require(overlap >= 0 && budget > overlap,
+      s"need 0 <= overlap < budget, got budget=$budget overlap=$overlap")
+    val stride = budget - overlap
+    df.select(F.col(idCol), DedupOps.tokens(F.col(textCol)).as("tk"))
+      .withColumn("len", size(F.col("tk")))
+      .filter(F.col("len") > 0)
+      // starts: 0, stride, 2*stride, ... <= max(len - overlap - 1, 0):
+      // s = 0 always emits; s > 0 emits iff len - s > overlap (strictly
+      // new content vs the previous chunk)
+      .select(
+        F.col(idCol), F.col("tk"), F.col("len"),
+        explode(sequence(lit(0),
+          greatest(F.col("len") - lit(overlap + 1), lit(0)), lit(stride))).as("s"))
+      .select(
+        F.col(idCol),
+        (F.col("s") / stride).cast(IntegerType).as("chunk_idx"),
+        least(lit(budget), F.col("len") - F.col("s")).cast(IntegerType).as("n_tokens"),
+        array_join(slice(F.col("tk"), F.col("s") + 1, lit(budget)), " ").as("chunk"))
+  }
+
   /** Tiny stopword-based language ID over {en, es, de, fr, zh-pinyin-ish}:
     * picks the language with the most stopword hits; 'und' when nothing
     * matches. A real system plugs in fastText etc. via the same shape -

@@ -187,6 +187,64 @@ class FunctionsSpec extends SparkSpec {
     r.foreach { case (native, tree) => assert(native == tree) }
   }
 
+  test("jwLengthBand is lossless: no pair above threshold violates the byte-length band") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // the band claims: jw >= t  =>  min_bytes/max_bytes >= 5t - 4.
+    // Brute-force it with the real kernel over an adversarial corpus:
+    // shared long prefixes (max Winkler boost), repeated alphabets (max
+    // matches), non-ASCII (bytes != chars), and random strings.
+    val rnd = new scala.util.Random(5)
+    val pool = Seq("", "a", "ab", "abcd", "abcde", "abcdef", "abcdefgh",
+      "abcdefghij", "abcdefghijk", "abcdefghijklmno", "abcdefghijklmnop",
+      "Customer#000000042", "Customer#00000004", "Customer#0000000421",
+      "aaaaaaaaaa", "aaaaaaaaa", "ünïcødé", "ünïcødéx", "日本語テキスト", "日本語テキス") ++
+      (0 until 150).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(20)).mkString) ++
+      (0 until 50).map(_ => "prefix" + rnd.alphanumeric.take(rnd.nextInt(12)).mkString)
+    def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    for (t <- Seq(0.85, 0.9, 0.97); a <- pool; b <- pool) {
+      val jw = ExprKernels.jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
+      val (mn, mx) = (math.min(bytes(a), bytes(b)), math.max(bytes(a), bytes(b)))
+      val band = mx == 0 || mn.toDouble >= (5.0 * (t - 1e-6) - 4.0) * mx
+      // every pair the query keeps (round-to-6dp >= t) must pass the band
+      if (math.rint(jw * 1e6) / 1e6 >= t)
+        assert(band, s"band dropped a qualifying pair: '$a' vs '$b' jw=$jw t=$t")
+    }
+    // and the Column form agrees with the scalar derivation
+    val df = Seq(("abcdefghij", "abcdefghi"), ("abcdefghij", "abcde")).toDF("a", "b")
+    val got = df.select(graft.ops.TextOps.jwLengthBand($"a", $"b", 0.97)).as[Boolean].collect()
+    assert(got(0) && !got(1)) // 9/10 = 0.9 >= 0.85 passes; 5/10 fails
+  }
+
+  test("nearest_lists matches the stable sortBy(-dot) formulation, incl. ties") {
+    // 4 centroids; c0 and c2 are IDENTICAL so every vector ties them:
+    // the stable sort keeps the lower index first
+    val cents: Array[Array[Double]] = Array(
+      Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0), Array(-1.0, -1.0))
+    val vecs = Seq(
+      Tuple1(Array(2.0f, 0.5f)),
+      Tuple1(Array(0.0f, 3.0f)),
+      Tuple1(Array(-1.0f, -1.0f))
+    ).toDF("v")
+    val got = vecs.select(GraftFunctions.nearest_lists($"v", cents, 4)).as[Seq[Int]].collect()
+    def oracle(v: Array[Float]): Seq[Int] =
+      cents.toSeq.zipWithIndex.map { case (c, i) =>
+        (i, v.zip(c).map { case (x, y) => x.toDouble * y }.sum)
+      }.sortBy(-_._2).map(_._1)
+    assert(got(0) == oracle(Array(2.0f, 0.5f)))
+    assert(got(0).indexOf(0) < got(0).indexOf(2), "tie must keep lower centroid index")
+    assert(got(1) == oracle(Array(0.0f, 3.0f)))
+    assert(got(2) == oracle(Array(-1.0f, -1.0f)))
+    // n < nC truncates to the n best; n > nC caps at nC
+    assert(vecs.select(GraftFunctions.nearest_lists($"v", cents, 2))
+      .as[Seq[Int]].collect()(0) == oracle(Array(2.0f, 0.5f)).take(2))
+    assert(vecs.select(GraftFunctions.nearest_lists($"v", cents, 9))
+      .as[Seq[Int]].collect()(0).length == 4)
+    // null element -> NULL
+    val withNull = Seq(Tuple1(Seq[java.lang.Float](1.0f, null))).toDF("v")
+    assert(withNull.select(GraftFunctions.nearest_lists($"v", cents, 2))
+      .as[Option[Seq[Int]]].collect()(0).isEmpty)
+  }
+
   test("pt_lev_extend expression == pure kernel") {
     import graft.ptree.Kernels
     val df = Seq(("dogma", "drops", Seq(0, 1, 2, 3, 4, 5) :+ 0, 0)).toDF("q", "e", "st", "d")

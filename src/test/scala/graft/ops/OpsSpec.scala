@@ -477,6 +477,41 @@ class OpsSpec extends SparkSpec {
     assert(r(3L) == 1.0)
   }
 
+  test("chunkDocuments: coverage, exact overlap, no contained tails, empty docs") {
+    val words = (1 to 23).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, words), (2L, "one two"), (3L, ""), (4L, null.asInstanceOf[String]),
+      (5L, (1 to 8).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(df, "doc_id", "text", budget = 8, overlap = 3)
+      .as[(Long, Int, Int, String)].collect().sortBy(c => (c._1, c._2))
+    // empty / NULL docs yield nothing
+    assert(!out.exists(c => c._1 == 3L || c._1 == 4L))
+    // short doc: one whole chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "one two")))
+    // doc 5 has exactly budget tokens: one chunk, no redundant tail
+    assert(out.filter(_._1 == 5L).toSeq == Seq((5L, 0, 8, (1 to 8).map(i => s"v$i").mkString(" "))))
+    // doc 1: 23 tokens, stride 5 -> starts 0,5,10,15 (20 would leave
+    // only 3 <= overlap new-content tokens... 23-20=3 <= 3 -> skipped)
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    // every chunk except the tail carries exactly `budget` tokens; the
+    // declared n_tokens matches the actual token count
+    d1.foreach { case (_, idx, n, chunk) =>
+      assert(chunk.split(" ").length == n)
+      if (idx < 3) assert(n == 8) else assert(n == 23 - 15)
+    }
+    // consecutive chunks overlap in exactly `overlap` tokens
+    d1.sliding(2).foreach { case Array((_, _, _, a), (_, _, _, b)) =>
+      assert(a.split(" ").takeRight(3).sameElements(b.split(" ").take(3)))
+    }
+    // coverage: stitching chunks (drop the first `overlap` tokens of each
+    // non-first chunk) reconstructs the token stream exactly
+    val stitched = d1.flatMap { case (_, idx, _, chunk) =>
+      val tks = chunk.split(" ").toSeq
+      if (idx == 0) tks else tks.drop(3)
+    }
+    assert(stitched.mkString(" ") == (1 to 23).map(i => s"w$i").mkString(" "))
+  }
+
   test("brute-force cosine topK: exact neighbours, deterministic ties") {
     val vecs = Seq(
       (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)),
@@ -522,6 +557,62 @@ class OpsSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.7, s"recall $recall too low")
+  }
+
+  test("IVF persisted index: lossless round-trip, job-free query construction, skewed lists") {
+    // SKEWED fixture: 70% of vectors in one cluster (a hot inverted
+    // list), the rest spread over three - the shape where a naive
+    // write sends one list to one task/file
+    val rnd = new scala.util.Random(23)
+    def jitter(base: Array[Float]) = base.map(x => x + rnd.nextGaussian().toFloat * 0.05f)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 200)
+      .map(i => (i.toLong, jitter(centers(if (i % 10 < 7) 0 else i % 10 - 6))))
+      .toDF("id", "v")
+    val queries = vecs.filter($"id" < 8)
+    val idx = SimilarityOps.ivfBuild(vecs, "id", "v", nCentroids = 8, lloydIters = 2)
+    val direct = SimilarityOps.ivfQuery(idx, queries, "id", "v", k = 5, nProbe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    // filesPerValue > 1: the hot list fans out over several files
+    SimilarityOps.ivfWrite(idx, path, filesPerValue = 3)
+    val back = SimilarityOps.ivfRead(spark, path)
+    assert(back.centroids.length == idx.centroids.length)
+    assert(back.centroids.zip(idx.centroids).forall { case (a, b) => a.sameElements(b) },
+      "centroids must round-trip bit-exact")
+    // plan construction on the read index launches ZERO jobs (the old
+    // one-shot ivfTopK relaunched seeding+Lloyd on every call)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(500) // drain in-flight listener events from prior actions
+      jobs = 0
+      val persisted = SimilarityOps.ivfQuery(back, queries, "id", "v", k = 5, nProbe = 3)
+      Thread.sleep(500) // listener bus is async; give any stray job time to surface
+      assert(jobs == 0, s"ivfQuery construction must launch no jobs, saw $jobs")
+      // the queried results through the persisted index are identical
+      assert(persisted.collect().map(_.toString).sorted.toSeq == direct)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // recall through the persisted skewed index still tracks brute force
+    val brute = SimilarityOps.bruteTopK(vecs, "id", "v", queries, "id", "v", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityOps.ivfQuery(back, queries, "id", "v", k = 5, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((brute & ivf).size.toDouble / brute.size >= 0.7)
+    // the lists table round-trips losslessly: same per-list sizes (the
+    // filesPerValue fan-out mechanics themselves are pinned by SinksSpec)
+    val sizesBefore = idx.lists.groupBy("list_id").count()
+      .as[(Int, Long)].collect().toMap
+    val sizesAfter = back.lists.groupBy("list_id").count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizesAfter == sizesBefore)
+    assert(new java.io.File(s"$path/lists").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("list_id=")),
+      "lists must be hive-partitioned on list_id")
   }
 
   test("multimodal: PNG header decode + deterministic features + chunking") {
