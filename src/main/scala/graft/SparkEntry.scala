@@ -616,6 +616,14 @@ object SparkEntry {
       TextOps.chunkDocuments(tbl(s, dir, "documents"), "doc_id", "text",
         budget = 64, overlap = 16)
     },
+    "text_pack" -> { (s, dir) =>
+      // training-sequence assembly: greedy first-fit packing of docs
+      // into 256-token sequences inside id%8 groups (one shuffle; the
+      // sequential recurrence runs in the greedy_pack codegen kernel
+      // over per-group size lists; oracle replays it as a recursive CTE)
+      TextOps.packSequences(tbl(s, dir, "documents"), "doc_id", "text",
+        budget = 256, nGroups = 8)
+    },
     "text_ngrams" -> { (s, dir) =>
       // corpus-wide top-20 word bigrams by document frequency
       tbl(s, dir, "documents")
@@ -884,6 +892,28 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"),
           min(col("ts_s")).as("first_ts"),
           max(col("ts_s")).as("last_ts"))
+    },
+    "docs_orc_roundtrip" -> { (s, dir) =>
+      // second columnar interchange format (ORC: dictionary encoding +
+      // stripe stats, the same pruning story as parquet): write a
+      // projected corpus slice out, read back through an EXPLICIT
+      // schema with a pushed-down filter, aggregate. Oracle runs the
+      // same aggregate over the parquet ground truth - the format hop
+      // must be lossless.
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_docs_orc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").orc(path)
+      s.read
+        .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+        .orc(path)
+        .filter(col("lang") =!= "und")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
     },
     "q16_full_outer" -> { (s, dir) =>
       // full outer join: reconcile a customer dimension slice against
@@ -1539,6 +1569,29 @@ object SparkEntry {
     "ann_ivf" -> ivfOracleSql,
     // identical replay: the persisted round-trip must be lossless
     "ann_ivf_persisted" -> ivfOracleSql,
+    "text_pack" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id AS id,
+        |         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                         t -> t <> '')) AS n,
+        |         CAST(doc_id % 8 AS INT) AS grp
+        |  FROM documents
+        |  WHERE text IS NOT NULL
+        |), nz AS (
+        |  SELECT id, CAST(n AS INT) AS n, grp,
+        |         row_number() OVER (PARTITION BY grp ORDER BY id) AS rn
+        |  FROM t WHERE n > 0
+        |), pack AS ( -- greedy first-fit replay, one step per rank
+        |  SELECT grp, rn, id, n, 0 AS seq, n AS fill FROM nz WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.grp, i.rn, i.id, i.n,
+        |         CASE WHEN p.fill + i.n <= 256 THEN p.seq ELSE p.seq + 1 END,
+        |         CASE WHEN p.fill + i.n <= 256 THEN p.fill + i.n ELSE i.n END
+        |  FROM pack p JOIN nz i ON i.grp = p.grp AND i.rn = p.rn + 1
+        |)
+        |SELECT id AS doc_id, grp, seq, n AS n_tokens,
+        |       CAST(sum(n) OVER (PARTITION BY grp, seq) AS BIGINT) AS seq_total
+        |FROM pack""".stripMargin,
     "text_chunks" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -1754,6 +1807,13 @@ object SparkEntry {
         |       TRUE AS within_bound
         |FROM lineitem
         |GROUP BY l_returnflag""".stripMargin,
+    "docs_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents
+        |WHERE lang <> 'und'
+        |GROUP BY lang""".stripMargin,
     "events_json_roundtrip" ->
       """SELECT event_type, count(*) AS n_events,
         |       count(DISTINCT user_id) AS n_users,

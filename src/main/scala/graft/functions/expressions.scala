@@ -267,6 +267,31 @@ object ExprKernels {
     new GenericArrayData(out)
   }
 
+  /** Greedy first-fit sequence packing: assign each size (in order) to
+    * the current bin while the bin's fill stays <= `budget`; otherwise
+    * close it and start the next. Returns the bin index per element.
+    * An element larger than the budget occupies a bin alone (it can
+    * never share); bins are contiguous 0..max. Sequential by definition
+    * - which is exactly why it lives in a kernel over one group's array
+    * rather than a window function: prefix sums can't express the
+    * reset-on-overflow recurrence.
+    */
+  def greedyPack(sizes: ArrayData, budget: Int): ArrayData = {
+    val n = sizes.numElements()
+    val out = new Array[Int](n)
+    var bin = 0
+    var fill = 0
+    var i = 0
+    while (i < n) {
+      val s = sizes.getInt(i)
+      if (i > 0 && fill + s > budget) { bin += 1; fill = s }
+      else fill += s
+      out(i) = bin
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Jaro-Winkler similarity, matching DuckDB's `jaro_winkler_similarity`
     * exactly (the correctness oracle): computed over UTF-8 BYTES (as
     * DuckDB does - empirically pinned, including non-ASCII), mismatched
@@ -545,6 +570,26 @@ case class RhBucket(child: Expression, dim: Int, bits: Int, seed: Long)
   override def prettyName: String = "rh_bucket"
 }
 
+/** `greedy_pack(sizes)` - greedy first-fit bin index per element for a
+  * token-budgeted sequence-packing pass (see ExprKernels.greedyPack).
+  */
+case class GreedyPack(child: Expression, budget: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, false) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<int> without nulls, got $dt")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.greedyPack(v.asInstanceOf[ArrayData], budget)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.greedyPack($c, $budget)")
+  override protected def withNewChildInternal(c: Expression): GreedyPack = copy(child = c)
+  override def prettyName: String = "greedy_pack"
+}
+
 /** `nearest_lists(vec)` - indices of the `n` nearest centroids by dot
   * product, descending (the IVF coarse-quantization step). The centroid
   * matrix is DATA-dependent (k-means output computed on the driver), so
@@ -678,6 +723,9 @@ object GraftFunctions {
   // not a literal a SQL call site could spell
   def nearest_lists(v: Column, cents: Array[Array[Double]], n: Int): Column =
     Bridge.column(NearestLists(Bridge.expression(v), cents, n))
+
+  def greedy_pack(sizes: Column, budget: Int): Column =
+    Bridge.column(GreedyPack(Bridge.expression(sizes), budget))
 
   def pt_lev_extend(q: Column, e: Column, s: Column, d: Column, maxDist: Int): Column =
     Bridge.column(PtLevExtend(

@@ -58,6 +58,57 @@ object TextOps {
     }
   }
 
+  /** Pack documents into token-budgeted training sequences - the batch
+    * assembly stage that follows chunking in an LLM data pipeline:
+    * short documents are concatenated until the next would overflow
+    * `budget` tokens, which starts a new sequence (greedy first-fit, a
+    * codegen kernel - the reset-on-overflow recurrence is sequential,
+    * so prefix sums can't express it).
+    *
+    * Scale shape: packing runs independently inside `nGroups`
+    * deterministic groups (`id % nGroups` - engine-portable, never a
+    * hash only Spark can compute), in ascending id order within each
+    * group. ONE shuffle on the group key; each group's state is a
+    * (id, n_tokens) pair list - document SIZES, never text - so a group
+    * of 100k docs costs ~1.6 MB. Groups pack in parallel; sequences are
+    * keyed (grp, seq) so no coordination crosses groups. A document
+    * longer than the budget gets a sequence of its own (callers chunk
+    * first - [[chunkDocuments]] - when that matters).
+    *
+    * Empty and NULL documents are dropped (they carry no tokens).
+    * Output: (idCol, grp, seq, n_tokens, seq_total); (grp, seq) is the
+    * sequence key, seq_total its token fill.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      nGroups: Int = 64
+  ): DataFrame = {
+    require(budget > 0 && nGroups > 0, s"need budget > 0, nGroups > 0; got $budget, $nGroups")
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(F.col(idCol).as("id"), wordCount(F.col(textCol)).as("n"))
+      .filter(F.col("n").isNotNull && F.col("n") > 0)
+      .withColumn("grp", pmod(F.col("id"), lit(nGroups)).cast(IntegerType))
+    val packed = t.groupBy("grp")
+      // sort_array on struct(id, n) orders by id asc (first field wins)
+      .agg(sort_array(collect_list(struct(F.col("id"), F.col("n")))).as("items"))
+      .select(F.col("grp"), F.col("items"),
+        graft.functions.GraftFunctions.greedy_pack(
+          transform(F.col("items"), x => coalesce(x.getField("n"), lit(0))),
+          budget).as("bins"))
+    packed
+      .select(F.col("grp"), explode(arrays_zip(F.col("items"), F.col("bins"))).as("z"))
+      .select(
+        F.col("z.items.id").as(idCol),
+        F.col("grp"),
+        F.col("z.bins").as("seq"),
+        F.col("z.items.n").as("n_tokens"))
+      .withColumn("seq_total",
+        sum(F.col("n_tokens").cast(LongType)).over(Window.partitionBy("grp", "seq")))
+  }
+
   /** Split documents into token-budgeted training chunks with overlap -
     * the standard context-window packing stage of an LLM data pipeline.
     *

@@ -215,6 +215,46 @@ class FunctionsSpec extends SparkSpec {
     assert(got(0) && !got(1)) // 9/10 = 0.9 >= 0.85 passes; 5/10 fails
   }
 
+  test("greedy_pack: first-fit semantics, oversized items, empty input") {
+    val df = Seq(
+      Tuple1(Seq(100, 100, 100, 50, 200, 10)), // budget 250
+      Tuple1(Seq(300)),                        // single oversized item
+      Tuple1(Seq(300, 10, 300, 10)),           // oversized forces closes
+      Tuple1(Seq.empty[Int])
+    ).toDF("sizes")
+    val got = df.select(GraftFunctions.greedy_pack($"sizes", 250)).as[Seq[Int]].collect()
+    // 100+100 fits, +100 overflows -> new bin; 100+50 fits; 200 overflows; +10 fits
+    assert(got(0) == Seq(0, 0, 1, 1, 2, 2))
+    assert(got(1) == Seq(0)) // oversized item still gets a bin (alone)
+    assert(got(2) == Seq(0, 1, 2, 3)) // 300 alone; 10 after 300 overflows? 300+10 > 250 -> yes
+    assert(got(3) == Seq.empty)
+    // property: replay the fold - bins are contiguous, fills respect the
+    // budget except single-item bins, order is preserved
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 50) {
+      val sizes = Seq.fill(1 + rnd.nextInt(40))(1 + rnd.nextInt(120))
+      val budget = 100 + rnd.nextInt(150)
+      val bins = Seq(Tuple1(sizes)).toDF("s")
+        .select(GraftFunctions.greedy_pack($"s", budget)).as[Seq[Int]].collect()(0)
+      assert(bins.length == sizes.length)
+      // contiguous non-decreasing bin ids starting at 0, steps of <= 1
+      assert(bins.head == 0)
+      bins.sliding(2).foreach { case Seq(a, b) => assert(b == a || b == a + 1); case _ => }
+      // every bin respects the budget unless it holds a single item
+      sizes.zip(bins).groupBy(_._2).foreach { case (_, items) =>
+        if (items.length > 1) assert(items.map(_._1).sum <= budget)
+      }
+      // first-fit: an item NOT opening its bin must fit on top of the
+      // bin's previous fill; an item opening a bin must NOT have fit
+      var fill = 0
+      sizes.zip(bins).zipWithIndex.foreach { case ((s, b), i) =>
+        if (i == 0) fill = s
+        else if (b == bins(i - 1)) { assert(fill + s <= budget); fill += s }
+        else { assert(fill + s > budget); fill = s }
+      }
+    }
+  }
+
   test("nearest_lists matches the stable sortBy(-dot) formulation, incl. ties") {
     // 4 centroids; c0 and c2 are IDENTICAL so every vector ties them:
     // the stable sort keeps the lower index first

@@ -477,6 +477,35 @@ class OpsSpec extends SparkSpec {
     assert(r(3L) == 1.0)
   }
 
+  test("packSequences: budget respected, id order within groups, empty docs dropped") {
+    val docs = (1L to 40L).map(i => (i, (1 to (i % 7 + 1).toInt * 10).map(j => s"t$j").mkString(" "))) ++
+      Seq((41L, ""), (42L, null.asInstanceOf[String]))
+    val out = TextOps.packSequences(docs.toDF("doc_id", "text"), "doc_id", "text",
+      budget = 60, nGroups = 4)
+      .as[(Long, Int, Int, Int, Long)].collect()
+    // empty/NULL docs dropped
+    assert(!out.exists(r => r._1 == 41L || r._1 == 42L))
+    assert(out.map(_._1).toSet == (1L to 40L).toSet)
+    // group assignment is id % nGroups
+    out.foreach { case (id, grp, _, _, _) => assert(grp == (id % 4).toInt) }
+    // multi-doc sequences respect the budget; seq_total is the true fill
+    out.groupBy(r => (r._2, r._3)).foreach { case (_, members) =>
+      val total = members.map(_._4.toLong).sum
+      assert(members.forall(_._5 == total))
+      if (members.length > 1) assert(total <= 60)
+    }
+    // within a group, sequence ids are non-decreasing in doc id (greedy
+    // walks ids in order) and contiguous from 0
+    out.groupBy(_._2).foreach { case (_, members) =>
+      val seqsByDoc = members.sortBy(_._1).map(_._3)
+      seqsByDoc.sliding(2).foreach {
+        case Array(a, b) => assert(b == a || b == a + 1)
+        case _ =>
+      }
+      assert(seqsByDoc.head == 0)
+    }
+  }
+
   test("chunkDocuments: coverage, exact overlap, no contained tails, empty docs") {
     val words = (1 to 23).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, words), (2L, "one two"), (3L, ""), (4L, null.asInstanceOf[String]),
