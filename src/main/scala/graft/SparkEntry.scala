@@ -6,7 +6,7 @@ import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 
 import graft.ptree.{PrefixTree, Query}
-import graft.ops.{DedupOps, GraphOps, JoinOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, GraphOps, JoinOps, MultimodalOps, SimilarityOps, TextOps, TimeOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -588,12 +588,16 @@ object SparkEntry {
       val cust = tbl(s, dir, "customer")
       val q = cust.filter(col("c_custkey") % 35 === 0)
         .select(expr("concat(substr(c_name, 1, length(c_name)-1), 'X')").as("q"))
-      // the length-band guard is LOSSLESS for jw >= 0.97 (derivation in
-      // TextOps.jwLengthBand, brute-force-pinned by FunctionsSpec): it
-      // prunes pairs on two byte lengths before the O(|a|*|b|) DP kernel
-      // runs, so the oracle and result set are unchanged
+      // two LOSSLESS prefilters run before the O(|a|*|b|) DP kernel:
+      // the byte-length band (TextOps.jwLengthBand - prunes on lengths
+      // alone, the win on variable-length corpora) and the
+      // byte-histogram upper bound (jw_upper - prunes on content, the
+      // win here where every name is the same length). Both are
+      // spec-pinned sound, so the oracle and result set are unchanged;
+      // 0.97 - 1e-6 absorbs the round-to-6dp keep convention.
       broadcast(q).crossJoin(cust.select(col("c_name").as("cand")))
         .filter(TextOps.jwLengthBand(col("q"), col("cand"), 0.97))
+        .filter(graft.functions.GraftFunctions.jw_upper(col("q"), col("cand")) >= 0.97 - 1e-6)
         .withColumn("jw",
           round(graft.functions.GraftFunctions.jaro_winkler(col("q"), col("cand")), 6))
         .filter(col("jw") >= 0.97)
@@ -685,6 +689,16 @@ object SparkEntry {
     },
     "events_sessionize" -> { (s, dir) =>
       StreamOps.sessionize(events(s, dir), gapMinutes = 30)
+    },
+    "events_resample" -> { (s, dir) =>
+      // hourly downsample per user INCLUDING empty bins (gap fill): the
+      // bin spine comes from each user's own [first, last] span -
+      // key-count-sized, generated distributed (sequence + explode),
+      // joined back on the same (key, bin) shuffle key
+      TimeOps.resampleGapFill(events(s, dir), "user_id", "ts", "value",
+        binSeconds = 3600)
+        .withColumn("bin_start",
+          date_format(col("bin_start"), "yyyy-MM-dd HH:mm:ss"))
     },
     "events_interval_join" -> { (s, dir) =>
       // batch half of StreamOps.streamIntervalJoin (watermarks are
@@ -914,6 +928,32 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
           countDistinct(col("source")).as("n_sources"))
+    },
+    "q22_analytics" -> { (s, dir) =>
+      // navigation + distribution window functions (lag/lead/first_value
+      // /ntile) per customer - partitioned windows, so the sort shards
+      // by key and no global ordering exists anywhere in the plan
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .withColumn("first_price", first(col("o_totalprice")).over(w))
+        .withColumn("quartile", ntile(4).over(w).cast(IntegerType))
+    },
+    "q23_grouping_sets" -> { (s, dir) =>
+      // explicit GROUPING SETS (the general form behind rollup/cube):
+      // three chosen groupings in one pass, disambiguated by grouping id
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      """)
     },
     "q16_full_outer" -> { (s, dir) =>
       // full outer join: reconcile a customer dimension slice against
@@ -1412,6 +1452,23 @@ object SparkEntry {
         |       event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_resample" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_ms(ts) // 1000 // 3600 AS bin,
+        |         count(*) AS n_events,
+        |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, min(bin) AS lo, max(bin) AS hi FROM b GROUP BY 1
+        |), spine AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi)) AS bin FROM span
+        |)
+        |SELECT sp.user_id,
+        |       strftime(make_timestamp(sp.bin * 3600 * 1000000), '%Y-%m-%d %H:%M:%S') AS bin_start,
+        |       coalesce(b.n_events, 0) AS n_events,
+        |       coalesce(b.sum_value, 0.0) AS sum_value,
+        |       b.n_events IS NULL AS is_gap
+        |FROM spine sp LEFT JOIN b ON sp.user_id = b.user_id AND sp.bin = b.bin""".stripMargin,
     "events_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, epoch_ms(ts) AS ms,
@@ -1807,6 +1864,21 @@ object SparkEntry {
         |       TRUE AS within_bound
         |FROM lineitem
         |GROUP BY l_returnflag""".stripMargin,
+    "q22_analytics" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       lag(o_totalprice) OVER w AS prev_price,
+        |       lead(o_totalprice) OVER w AS next_price,
+        |       first_value(o_totalprice) OVER w AS first_price,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
+    "q23_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin,
     "docs_orc_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -370,6 +370,45 @@ object ExprKernels {
     } else jaro
   }
 
+  // per-thread byte histogram for jwUpper: zeroed after every call by
+  // re-walking the first string's bytes (touch-only reset, O(len) not
+  // O(256))
+  private val jwHist = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](256)
+  }
+
+  /** Cheap UPPER BOUND on [[jaroWinkler]] from byte content alone:
+    * Jaro matches are a matching between equal bytes, so m <= c where
+    * c = multiset-common byte count; with the m/min and transposition
+    * terms bounded by 1, jaro <= (c/|a| + c/|b| + 1)/3, and the Winkler
+    * boost (l <= 4, p = 0.1) lifts any jaro to at most
+    * 0.6*jaro + 0.4. Two histogram passes, no DP window - an order of
+    * magnitude cheaper than the kernel, so `jw_upper(a,b) >= t` prunes
+    * blocked scans before the O(|a|*|b|) kernel runs (lossless:
+    * jaroWinkler(a,b) <= jwUpper(a,b) always, spec-pinned).
+    */
+  def jwUpper(a: UTF8String, b: UTF8String): Double = {
+    val b1 = a.getBytes
+    val b2 = b.getBytes
+    val len1 = b1.length
+    val len2 = b2.length
+    if (len1 == 0 || len2 == 0) return 0.0
+    val h = jwHist.get()
+    var i = 0
+    while (i < len1) { h(b1(i) & 0xff) += 1; i += 1 }
+    var c = 0
+    i = 0
+    while (i < len2) {
+      val v = b2(i) & 0xff
+      if (h(v) > 0) { h(v) -= 1; c += 1 }
+      i += 1
+    }
+    i = 0
+    while (i < len1) { h(b1(i) & 0xff) = 0; i += 1 }
+    val jaroUb = (c.toDouble / len1 + c.toDouble / len2 + 1.0) / 3.0
+    0.6 * jaroUb + 0.4
+  }
+
   /** Banded Levenshtein DP step for the join-mode trie traversal:
     * state = DP row ++ [rowMin]; returns the state after consuming
     * `edge`. See graft.ptree.Kernels.extendRow. An EMPTY state array
@@ -649,6 +688,26 @@ case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpres
   override def prettyName: String = "jaro_winkler"
 }
 
+/** `jw_upper(a, b)` - cheap sound upper bound on `jaro_winkler(a, b)`
+  * (see ExprKernels.jwUpper); `jw_upper(a,b) >= t` is the content-based
+  * prefilter for JW-thresholded scans.
+  */
+case class JwUpper(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType.isInstanceOf[StringType] && right.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two string arguments, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.jwUpper(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.jwUpper($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JwUpper =
+    copy(left = l, right = r)
+  override def prettyName: String = "jw_upper"
+}
+
 /** `pt_lev_extend(query, edge, state, depth)` - banded incremental
   * Levenshtein DP over a trie edge (join-mode traversal step).
   */
@@ -706,6 +765,9 @@ object GraftFunctions {
 
   def jaro_winkler(a: Column, b: Column): Column =
     Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
+
+  def jw_upper(a: Column, b: Column): Column =
+    Bridge.column(JwUpper(Bridge.expression(a), Bridge.expression(b)))
 
   def shingles(c: Column, n: Int): Column =
     Bridge.column(Shingles(Bridge.expression(c), n))

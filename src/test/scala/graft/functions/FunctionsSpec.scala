@@ -215,6 +215,30 @@ class FunctionsSpec extends SparkSpec {
     assert(got(0) && !got(1)) // 9/10 = 0.9 >= 0.85 passes; 5/10 fails
   }
 
+  test("jw_upper dominates jaro_winkler on every pair (sound prefilter)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(29)
+    val pool = Seq("", "a", "Customer#000000042", "Customer#000000999",
+      "Customer#0000000X9", "aaaaaaaaaa", "ababababab", "bababababa",
+      "ünïcødé", "ünïcødéx", "日本語テキスト") ++
+      (0 until 200).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(24)).mkString) ++
+      (0 until 60).map(_ => "Customer#" + (100000000 + rnd.nextInt(900000000)))
+    for (a <- pool; b <- pool) {
+      val ua = UTF8String.fromString(a); val ub = UTF8String.fromString(b)
+      val jw = ExprKernels.jaroWinkler(ua, ub)
+      val up = ExprKernels.jwUpper(ua, ub)
+      assert(jw <= up + 1e-12, s"bound violated: '$a' vs '$b' jw=$jw upper=$up")
+    }
+    // identical strings: upper must not exclude them (jw = 1)
+    val same = UTF8String.fromString("Customer#000000042")
+    assert(ExprKernels.jwUpper(same, same) >= 1.0 - 1e-12)
+    // and the Column path agrees with the kernel
+    val df = Seq(("martha", "marhta")).toDF("a", "b")
+    val (e, k) = (df.select(GraftFunctions.jw_upper($"a", $"b")).as[Double].collect()(0),
+      ExprKernels.jwUpper(UTF8String.fromString("martha"), UTF8String.fromString("marhta")))
+    assert(e == k)
+  }
+
   test("greedy_pack: first-fit semantics, oversized items, empty input") {
     val df = Seq(
       Tuple1(Seq(100, 100, 100, 50, 200, 10)), // budget 250

@@ -477,6 +477,32 @@ class OpsSpec extends SparkSpec {
     assert(r(3L) == 1.0)
   }
 
+  test("resampleGapFill: contiguous spine per key, gaps zero-filled, exact sums") {
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(3600L * 1000 * 100 + min * 60000L)
+    // user 1: events in bins 100 and 102 (bin 101 is a gap);
+    // user 2: one event only (single-bin spine, no gaps)
+    val df = Seq(
+      (1L, ts(0), 1.5), (1L, ts(10), 2.25), (1L, ts(125), 4.0),
+      (2L, ts(30), 7.0)
+    ).toDF("user_id", "ts", "value")
+    val out = TimeOps.resampleGapFill(df, "user_id", "ts", "value", 3600)
+      .as[(Long, Timestamp, Long, Double, Boolean)].collect()
+      .sortBy(r => (r._1, r._2.getTime))
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.length == 3, "spine covers first..last bin inclusive")
+    assert(u1.map(_._3).toSeq == Seq(2L, 0L, 1L))
+    assert(u1.map(_._4).toSeq == Seq(3.75, 0.0, 4.0))
+    assert(u1.map(_._5).toSeq == Seq(false, true, false))
+    // bin starts are exactly one binSeconds apart
+    u1.map(_._2.getTime).sliding(2).foreach {
+      case Array(a, b) => assert(b - a == 3600000L)
+      case _ =>
+    }
+    assert(out.filter(_._1 == 2L).toSeq
+      .map(r => (r._3, r._4, r._5)) == Seq((1L, 7.0, false)))
+  }
+
   test("packSequences: budget respected, id order within groups, empty docs dropped") {
     val docs = (1L to 40L).map(i => (i, (1 to (i % 7 + 1).toInt * 10).map(j => s"t$j").mkString(" "))) ++
       Seq((41L, ""), (42L, null.asInstanceOf[String]))
