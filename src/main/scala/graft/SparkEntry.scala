@@ -620,6 +620,28 @@ object SparkEntry {
       TextOps.chunkDocuments(tbl(s, dir, "documents"), "doc_id", "text",
         budget = 64, overlap = 16)
     },
+    "docs_profile" -> { (s, dir) =>
+      // the before/after data-quality overview of a curation run: one
+      // melt pass, one aggregation, exact distincts
+      graft.ops.ProfileOps.profile(tbl(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+    },
+    "text_search" -> { (s, dir) =>
+      // grep-shaped substring search through the inverted trigram
+      // index: needles are 16-char prefixes of a deterministic doc
+      // sample; candidates come from K-rarest-gram posting
+      // intersection, verified exactly - the corpus is never scanned
+      // per needle. Oracle is the plain contains() cross join the index
+      // must reproduce verbatim.
+      val docs = tbl(s, dir, "documents")
+      val needles = docs.filter(col("doc_id") % 251 === 0)
+        .select(substring(lower(trim(col("text"))), 1, 16).as("needle"))
+        .filter(length(col("needle")) >= 3)
+      val index = graft.ops.SearchOps.trigramIndex(docs, "doc_id", "text")
+      graft.ops.SearchOps.substringSearch(docs, "doc_id", "text",
+        index, needles, "needle")
+        .select(col("needle"), col("id").as("doc_id"))
+    },
     "text_pack" -> { (s, dir) =>
       // training-sequence assembly: greedy first-fit packing of docs
       // into 256-token sequences inside id%8 groups (one shuffle; the
@@ -1626,6 +1648,29 @@ object SparkEntry {
     "ann_ivf" -> ivfOracleSql,
     // identical replay: the persisted round-trip must be lossless
     "ann_ivf_persisted" -> ivfOracleSql,
+    "docs_profile" ->
+      """WITH m AS (
+        |  SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS v FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+        |)
+        |SELECT col, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |       count(DISTINCT v) AS n_distinct,
+        |       min(v) AS min_v, max(v) AS max_v
+        |FROM m GROUP BY col""".stripMargin,
+    "text_search" ->
+      """WITH needles AS (
+        |  SELECT DISTINCT substr(lower(trim(text)), 1, 16) AS needle
+        |  FROM documents
+        |  WHERE doc_id % 251 = 0 AND length(substr(lower(trim(text)), 1, 16)) >= 3
+        |), docs AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT n.needle, d.doc_id
+        |FROM needles n JOIN docs d ON contains(d.t, n.needle)""".stripMargin,
     "text_pack" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id AS id,

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Substring search over a corpus, accelerated by an inverted
+  * character-trigram index - the grep-shaped workload (`text LIKE
+  * '%needle%'`) that a 100-TB corpus cannot answer with a full scan per
+  * query batch.
+  *
+  * Losslessness: a document containing `needle` contains every one of
+  * needle's character trigrams, so intersecting ANY subset of the
+  * needle's posting lists over-approximates the answer; an exact
+  * `contains` verify on the (small) candidate set removes the false
+  * positives. Using only the K RAREST trigrams of each needle keeps the
+  * joined posting lists short regardless of how common the needle's
+  * other grams are (the standard trigram-index trick - same shape as
+  * pg_trgm / code-search indexes).
+  */
+object SearchOps {
+
+  /** All distinct character trigrams of `c` (lowercased input expected
+    * from callers; empty/short strings yield an empty array).
+    */
+  private def trigrams(c: Column): Column =
+    // explicit length guard: sequence(1, 0) would generate DESCENDING
+    // [1, 0], not an empty range
+    when(length(c) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), length(c) - lit(2)),
+        i => c.substr(i, lit(3)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Build the inverted index: one (gram, id) posting per distinct
+    * trigram per document, over the LOWERCASED text (search is
+    * case-insensitive). One shuffle-free explode; persist with
+    * [[graft.sources.Sinks.writePartitioned]] or bucket on `gram` for
+    * repeated query batches at scale.
+    */
+  def trigramIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(F.col(textCol).isNotNull)
+      .select(F.col(idCol).as("id"), lower(F.col(textCol)).as("t"))
+      .select(F.col("id"), explode(trigrams(F.col("t"))).as("gram"))
+
+  /** Find every (needle, doc) pair where the document's text contains
+    * the needle (case-insensitive), through the trigram index.
+    *
+    *   - needles with >= 3 chars: K-rarest-gram posting intersection ->
+    *     exact verify on candidates (lossless; a needle holding a gram
+    *     absent from the index matches nothing, which the intersection
+    *     yields for free);
+    *   - shorter needles carry no trigram and fall back to a broadcast
+    *     verify against the corpus (the only honest option - and a
+    *     1-2 char substring matches nearly everything anyway).
+    *
+    * Scale shape: posting lists shuffle only for the needle's chosen
+    * grams (needle-batch-sized x K lists, each as short as the rarest
+    * gram allows), candidates group on (needle, id), and the verify
+    * join touches candidate docs only. The corpus is never scanned per
+    * needle.
+    *
+    * Output: (needle, id).
+    */
+  def substringSearch(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame, // (gram, id) as produced by trigramIndex
+      needles: DataFrame,
+      needleCol: String,
+      rarestK: Int = 4
+  ): DataFrame = {
+    require(rarestK > 0, s"rarestK must be positive, got $rarestK")
+    val docs = corpus.filter(F.col(textCol).isNotNull)
+      .select(F.col(idCol).as("id"), lower(F.col(textCol)).as("t"))
+    val nds = needles.select(lower(F.col(needleCol)).as("needle")).distinct()
+    val long = nds.filter(length(F.col("needle")) >= 3)
+    val ng = long.select(F.col("needle"),
+      explode(trigrams(F.col("needle"))).as("gram"))
+    // doc-frequency of exactly the grams the needle batch uses (the
+    // needle side is query-batch-sized - broadcast it, count postings)
+    val dfreq = index.join(broadcast(ng.select("gram").distinct()), Seq("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    // K rarest grams per needle, ties broken by the gram itself
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("needle").orderBy(F.col("gram_df").asc, F.col("gram").asc)
+    val chosen = ng.join(dfreq, Seq("gram")) // absent grams drop: no doc can match
+      .withColumn("rn", row_number().over(w))
+      .filter(F.col("rn") <= rarestK)
+    // a needle that LOST a gram to absence can never match: require the
+    // full trigram count to be present before intersecting
+    val gramCounts = ng.groupBy("needle").agg(count(lit(1)).as("n_grams"))
+    val kUsed = chosen.groupBy("needle").agg(count(lit(1)).as("k_used"))
+      .join(gramCounts, Seq("needle"))
+      .filter(F.col("k_used") === least(lit(rarestK.toLong), F.col("n_grams")))
+      .select("needle", "k_used")
+    val candidates = index
+      .join(chosen.select("needle", "gram").hint("shuffle_hash"), Seq("gram"))
+      .groupBy("needle", "id")
+      .agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(kUsed), Seq("needle"))
+      .filter(F.col("n_hit") === F.col("k_used"))
+      .select("needle", "id")
+    val verifiedLong = candidates
+      .join(docs, Seq("id"))
+      .filter(F.col("t").contains(F.col("needle")))
+      .select(F.col("needle"), F.col("id"))
+    val short = nds.filter(length(F.col("needle")).between(1, 2))
+    val verifiedShort = docs
+      .join(broadcast(short))
+      .filter(F.col("t").contains(F.col("needle")))
+      .select(F.col("needle"), F.col("id"))
+    verifiedLong.union(verifiedShort)
+  }
+}

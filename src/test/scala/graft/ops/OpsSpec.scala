@@ -477,6 +477,49 @@ class OpsSpec extends SparkSpec {
     assert(r(3L) == 1.0)
   }
 
+  test("profile: null/distinct/range per column in one pass") {
+    val df = Seq(
+      (1L, "alpha", null.asInstanceOf[String]),
+      (2L, "beta", "x"),
+      (3L, "alpha", "y"),
+      (4L, null.asInstanceOf[String], "y")
+    ).toDF("id", "a", "b")
+    val p = ProfileOps.profile(df, Seq("id", "a", "b"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p.keySet == Set("id", "a", "b"))
+    assert(p("id") == (("id", 4L, 0L, 4L, "1", "4")))
+    assert(p("a") == (("a", 4L, 1L, 2L, "alpha", "beta")))
+    assert(p("b") == (("b", 4L, 1L, 2L, "x", "y")))
+  }
+
+  test("substringSearch == brute-force contains, incl. short/absent/case needles") {
+    val docs = Seq(
+      (1L, "The Quick Brown Fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "quick quick quick repeated tokens here"),
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      (6L, "日本語のテキストと quick を混ぜる")
+    ).toDF("doc_id", "text")
+    val needles = Seq("quick", "QUICK b", "zzz-not-present", "ox", "q",
+      "日本語のテ", "五").toDF("n")
+    val idx = SearchOps.trigramIndex(docs, "doc_id", "text")
+    val got = SearchOps.substringSearch(docs, "doc_id", "text", idx, needles, "n")
+      .as[(String, Long)].collect().toSet
+    val brute = (for {
+      d <- docs.filter($"text".isNotNull).as[(Long, String)].collect()
+      n <- needles.as[String].collect().map(_.toLowerCase).distinct
+      if n.nonEmpty && d._2.toLowerCase.contains(n)
+    } yield (n, d._1)).toSet
+    assert(got == brute)
+    // sanity on the interesting cases: case-insensitive hit, short
+    // needle via fallback, absent trigram yields nothing
+    assert(got.contains(("quick b", 1L)))
+    assert(got.contains(("q", 2L)))
+    assert(!got.exists(_._1 == "zzz-not-present"))
+    assert(got.contains(("日本語のテ", 6L)))
+  }
+
   test("resampleGapFill: contiguous spine per key, gaps zero-filled, exact sums") {
     import java.sql.Timestamp
     def ts(min: Int) = new Timestamp(3600L * 1000 * 100 + min * 60000L)
