@@ -64,6 +64,17 @@ object SparkEntry {
     * reader rejects; read it as raw nanos and truncate to micros (the
     * same floor DuckDB's epoch_ms applies later).
     */
+  /** Process-unique scratch path for queries that exercise a write+read
+    * lifecycle: two harness JVMs (e.g. Verify and Bench) running the
+    * same query against the same SF dir must not race on one /tmp
+    * directory (an overwrite in one process would delete files the
+    * other's lazy scan is still reading).
+    */
+  private lazy val scratchTag: String = java.lang.ProcessHandle.current().pid().toString
+  private def scratchPath(prefix: String, dir: String): String =
+    System.getProperty("java.io.tmpdir") +
+      s"/graft_${prefix}_${scratchTag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tbl(s, dir, "events")
@@ -155,8 +166,7 @@ object SparkEntry {
       // Same query set and oracle as pt_fuzzy_words - what's exercised
       // here is that persistence+read-back preserves the trie exactly.
       val dict = PrefixTree.create(docWords(s, dir), "word", prefixLen = 2)
-      val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_pt_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = scratchPath("pt_index", dir)
       PrefixTree.writeIndexed(dict, path)
       val back = PrefixTree.read(s, path)
       val q = tbl(s, dir, "part")
@@ -521,8 +531,7 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val built = SimilarityOps.ivfBuild(emb, "vec_id", "embedding",
         nCentroids = 32, lloydIters = 0)
-      val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_ivf_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = scratchPath("ivf_index", dir)
       SimilarityOps.ivfWrite(built, path)
       val back = SimilarityOps.ivfRead(s, path)
       SimilarityOps.ivfQuery(back,
@@ -550,6 +559,14 @@ object SparkEntry {
         )
     },
     "text_quality" -> ((s, dir) => TextOps.qualitySignals(tbl(s, dir, "documents"), "doc_id", "text")),
+    "docs_weighted_sample" -> { (s, dir) =>
+      // quality-weighted subsample: P(keep) = min(1, 0.6 * quality) as
+      // a pure function of doc_id (md5-uniform) - composition of the
+      // quality scorer and the deterministic sampling family
+      val q = TextOps.qualitySignals(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      graft.ops.SampleOps.weightedSample(q, "doc_id", "quality_score", fraction = 0.6)
+    },
     "text_langid" -> { (s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
     },
@@ -637,7 +654,12 @@ object SparkEntry {
       val needles = docs.filter(col("doc_id") % 251 === 0)
         .select(substring(lower(trim(col("text"))), 1, 16).as("needle"))
         .filter(length(col("needle")) >= 3)
+      // the index feeds TWO consumers (gram doc-freq + the posting
+      // intersection): materialize it once instead of re-running the
+      // corpus-wide trigram explode per consumer - the in-memory stand-in
+      // for the persisted posting table a real deployment keeps
       val index = graft.ops.SearchOps.trigramIndex(docs, "doc_id", "text")
+        .localCheckpoint()
       graft.ops.SearchOps.substringSearch(docs, "doc_id", "text",
         index, needles, "needle")
         .select(col("needle"), col("id").as("doc_id"))
@@ -913,8 +935,7 @@ object SparkEntry {
       // through an EXPLICIT schema (schema inference is a full extra
       // scan - never at 100 TB), then aggregate. Timestamps travel as
       // formatted strings so the roundtrip is engine- and tz-neutral.
-      val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_events_json_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = scratchPath("events_json", dir)
       events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
@@ -936,8 +957,7 @@ object SparkEntry {
       // schema with a pushed-down filter, aggregate. Oracle runs the
       // same aggregate over the parquet ground truth - the format hop
       // must be lossless.
-      val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_docs_orc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = scratchPath("docs_orc", dir)
       tbl(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").orc(path)
@@ -995,6 +1015,18 @@ object SparkEntry {
           coalesce(col("n_orders"), lit(0L)).as("n_orders"))
     }
   )
+
+  // the DuckDB quality_score formula, shared verbatim by the
+  // text_quality and docs_weighted_sample oracles (expects CTE columns
+  // `text` and tokenized `tk`) so the two replays can never drift
+  private val qualityScoreSql: String =
+    """round(CASE WHEN len(tk) BETWEEN 20 AND 5000 THEN 0.25 ELSE 0 END
+      |    + CASE WHEN length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE / len(tk)
+      |                BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END
+      |    + CASE WHEN (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')))::DOUBLE
+      |                / greatest(length(text), 1) >= 0.8 THEN 0.25 ELSE 0 END
+      |    + CASE WHEN len(list_distinct(tk))::DOUBLE / greatest(len(tk), 1) >= 0.3
+      |           THEN 0.25 ELSE 0 END, 2)""".stripMargin
 
   // shared by ann_ivf and ann_ivf_persisted: the persisted index must
   // reproduce the in-memory pipeline bit-for-bit, so both replay the
@@ -1404,25 +1436,31 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_subwords
         |FROM documents""".stripMargin,
     "text_quality" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, text,
-        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
         |  FROM documents
         |)
         |SELECT doc_id,
         |       CAST(len(tk) AS INT) AS n_words,
-        |       round(length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE / len(tk), 4) AS mean_word_len,
+        |       round(length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE / len(tk), 4) AS mean_word_len,
         |       round((length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')))::DOUBLE
         |             / greatest(length(text), 1), 4) AS alpha_ratio,
         |       round(len(list_distinct(tk))::DOUBLE / greatest(len(tk), 1), 4) AS distinct_ratio,
-        |       round(CASE WHEN len(tk) BETWEEN 20 AND 5000 THEN 0.25 ELSE 0 END
-        |           + CASE WHEN length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE / len(tk)
-        |                       BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END
-        |           + CASE WHEN (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')))::DOUBLE
-        |                       / greatest(length(text), 1) >= 0.8 THEN 0.25 ELSE 0 END
-        |           + CASE WHEN len(list_distinct(tk))::DOUBLE / greatest(len(tk), 1) >= 0.3
-        |                  THEN 0.25 ELSE 0 END, 2) AS quality_score
+        |       $qualityScoreSql AS quality_score
         |FROM base""".stripMargin,
+    "docs_weighted_sample" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, $qualityScoreSql AS quality_score
+        |  FROM base
+        |)
+        |SELECT doc_id, quality_score FROM q
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      < least(1.0, quality_score * 0.6) * 4294967296.0""".stripMargin,
     "text_langid" ->
       """WITH t AS (
         |  SELECT doc_id,

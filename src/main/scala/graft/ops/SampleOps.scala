@@ -44,6 +44,32 @@ object SampleOps {
     else f"${math.min(math.round(fraction * 0x100000000L), 0xffffffffL)}%08x"
   }
 
+  /** Weighted deterministic sampling: each row is kept with probability
+    * min(1, fraction * weight) - the quality-weighted subsampling step
+    * of a curation pipeline (upweight high-quality documents, thin the
+    * low-quality tail) - while staying a pure function of the key:
+    * md5-uniform u(key) in [0, 2^32) is compared against the row's own
+    * scaled threshold. Reproducible across runs/engines/layouts exactly
+    * like [[deterministicSample]]; per-row arithmetic only, no shuffle.
+    * A NULL or negative weight keeps nothing (null predicate filters).
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      fraction: Double
+  ): DataFrame = {
+    require(fraction >= 0.0, s"fraction must be non-negative, got $fraction")
+    val u = conv(substring(md5(F.col(keyCol).cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType).cast(DoubleType)
+    // the null check is EXPLICIT because least() IGNORES nulls in both
+    // Spark and DuckDB: least(1.0, null) = 1.0 would silently keep
+    // every null-weight row at full probability instead of dropping it
+    df.filter(
+      F.col(weightCol).isNotNull &&
+        u < least(lit(1.0), F.col(weightCol) * fraction) * lit(4294967296.0))
+  }
+
   /** Per-stratum deterministic sampling: each stratum value gets its own
     * keep-fraction (e.g. downsample boilerplate-heavy sources hard,
     * keep rare ones whole); strata absent from `fractions` get

@@ -86,21 +86,26 @@ object SearchOps {
     // K rarest grams per needle, ties broken by the gram itself
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("needle").orderBy(F.col("gram_df").asc, F.col("gram").asc)
-    val chosen = ng.join(dfreq, Seq("gram")) // absent grams drop: no doc can match
+    val present = ng.join(dfreq, Seq("gram"))
+    // a needle with ANY absent gram can never match - drop it BEFORE
+    // the posting intersection (not after: a needle whose 4 rarest
+    // grams are all present but whose 14th gram is absent would
+    // otherwise run a full intersection for a provably empty result)
+    val gramCounts = ng.groupBy("needle").agg(count(lit(1)).as("n_grams"))
+    val eligible = present.groupBy("needle").agg(count(lit(1)).as("n_present"))
+      .join(gramCounts, Seq("needle"))
+      .filter(F.col("n_present") === F.col("n_grams"))
+      .select(F.col("needle"),
+        least(lit(rarestK.toLong), F.col("n_grams")).as("k_used"))
+    val chosen = present
+      .join(broadcast(eligible.select("needle")), Seq("needle"), "left_semi")
       .withColumn("rn", row_number().over(w))
       .filter(F.col("rn") <= rarestK)
-    // a needle that LOST a gram to absence can never match: require the
-    // full trigram count to be present before intersecting
-    val gramCounts = ng.groupBy("needle").agg(count(lit(1)).as("n_grams"))
-    val kUsed = chosen.groupBy("needle").agg(count(lit(1)).as("k_used"))
-      .join(gramCounts, Seq("needle"))
-      .filter(F.col("k_used") === least(lit(rarestK.toLong), F.col("n_grams")))
-      .select("needle", "k_used")
     val candidates = index
       .join(chosen.select("needle", "gram").hint("shuffle_hash"), Seq("gram"))
       .groupBy("needle", "id")
       .agg(count(lit(1)).as("n_hit"))
-      .join(broadcast(kUsed), Seq("needle"))
+      .join(broadcast(eligible), Seq("needle"))
       .filter(F.col("n_hit") === F.col("k_used"))
       .select("needle", "id")
     val verifiedLong = candidates

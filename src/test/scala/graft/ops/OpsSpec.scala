@@ -477,6 +477,33 @@ class OpsSpec extends SparkSpec {
     assert(r(3L) == 1.0)
   }
 
+  test("weightedSample: keep-rate tracks min(1, frac*w), deterministic, null/zero weights drop") {
+    val n = 4000
+    val df = (1L to n.toLong).map(i => (i, (i % 4) match {
+      case 0 => 0.0
+      case 1 => 0.5
+      case 2 => 1.0
+      case _ => 5.0 // saturates at P = 1
+    })).toDF("id", "w")
+    val kept = SampleOps.weightedSample(df, "id", "w", fraction = 0.4)
+      .as[(Long, Double)].collect()
+    val byW = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!byW.contains(0.0)) // zero weight keeps nothing
+    // expected keep-rates: 0.5 -> 0.2, 1.0 -> 0.4, 5.0 -> min(1, 2) = 1
+    assert(byW(5.0) == n / 4)
+    assert(math.abs(byW(0.5).toDouble / (n / 4) - 0.2) < 0.05)
+    assert(math.abs(byW(1.0).toDouble / (n / 4) - 0.4) < 0.05)
+    // deterministic: identical subset on rerun
+    val again = SampleOps.weightedSample(df, "id", "w", fraction = 0.4)
+      .as[(Long, Double)].collect()
+    assert(again.sortBy(_._1).sameElements(kept.sortBy(_._1)))
+    // null weight drops the row
+    val withNull = Seq((1L, null.asInstanceOf[java.lang.Double]), (2L, Double.box(9.0)))
+      .toDF("id", "w")
+    assert(SampleOps.weightedSample(withNull, "id", "w", 1.0)
+      .as[(Long, Double)].collect().map(_._1).toSeq == Seq(2L))
+  }
+
   test("profile: null/distinct/range per column in one pass") {
     val df = Seq(
       (1L, "alpha", null.asInstanceOf[String]),
