@@ -803,6 +803,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("sig_agree", es => SigAgree(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinkler(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("jw_upper", es => JwUpper(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("greedy_pack", {
+      case Seq(sizes, Literal(b: Int, IntegerType)) => GreedyPack(sizes, b)
+      case es => throw new IllegalArgumentException(
+        s"greedy_pack(sizes, budgetLiteral); got ${es.length} args")
+    }, "built-in")
     reg.createOrReplaceTempFunction("shingles", shinglesBuilder, "built-in")
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "built-in")
@@ -858,5 +864,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "shingles"),
       GraftFunctions.shinglesBuilder))
+    e.injectFunction((
+      FunctionIdentifier("jw_upper"),
+      new ExpressionInfo(classOf[JwUpper].getName, "jw_upper"),
+      (es: Seq[Expression]) => JwUpper(es(0), es(1))))
   }
 }

@@ -77,6 +77,13 @@ class FunctionsSpec extends SparkSpec {
       spark.sql("SELECT shingles(text, id) FROM fdocs2").collect()
     }
     assert(err.getMessage.toLowerCase.contains("shingles"))
+    // greedy_pack(sizes, budgetLiteral) + jw_upper from SQL text
+    assert(spark.sql("SELECT greedy_pack(array(3, 3, 3), 5) AS b")
+      .as[Seq[Int]].head() == Seq(0, 1, 2))
+    val up = spark.sql("SELECT jw_upper('martha', 'marhta') AS u").as[Double].head()
+    assert(up >= ExprKernels.jaroWinkler(
+      org.apache.spark.unsafe.types.UTF8String.fromString("martha"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("marhta")))
   }
 
   test("jaro_winkler matches DuckDB jaro_winkler_similarity semantics") {
