@@ -463,6 +463,15 @@ object SparkEntry {
       SimilarityOps.cosinePairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35, dim = 64, bits = 4)
     },
+    "dedup_semantic" -> { (s, dir) =>
+      // semantic (embedding-space) dedup end-to-end: LSH-bucketed exact
+      // cosine pairs -> connected components -> cluster labels. The
+      // composition a semantic-dedup pass actually runs; both stages'
+      // replays already exist and the oracle chains them.
+      val pairs = SimilarityOps.cosinePairs(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.35, dim = 64, bits = 4)
+      GraphOps.connectedComponents(pairs, "id_a", "id_b")
+    },
     "dedup_fuzzy" -> { (s, dir) =>
       // trie-accelerated fuzzy dedup: the reference's algorithm applied
       // to the training-data problem it was built for - vocabulary
@@ -642,6 +651,23 @@ object SparkEntry {
       // melt pass, one aggregation, exact distincts
       graft.ops.ProfileOps.profile(tbl(s, dir, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))
+    },
+    "docs_pipeline" -> { (s, dir) =>
+      // the END-TO-END curation pipeline, composed from the library's
+      // own operators: quality-score -> weighted subsample -> exact
+      // dedup (min-id survivor per distinct text) -> context-window
+      // chunking. Every stage is individually oracled; this query
+      // oracles the COMPOSITION (the DuckDB replay chains the same
+      // four stages), which is how a user actually runs the engine.
+      val docs = tbl(s, dir, "documents")
+      val q = TextOps.qualitySignals(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      val sampled = graft.ops.SampleOps
+        .weightedSample(q, "doc_id", "quality_score", fraction = 0.6)
+      val sampledDocs = docs.join(sampled.select("doc_id"), "doc_id")
+      val kept = DedupOps.exactDedup(sampledDocs, "doc_id", "text")
+      val keptDocs = docs.join(kept.select("doc_id"), "doc_id")
+      TextOps.chunkDocuments(keptDocs, "doc_id", "text", budget = 64, overlap = 16)
     },
     "text_search" -> { (s, dir) =>
       // grep-shaped substring search through the inverted trigram
@@ -1660,6 +1686,30 @@ object SparkEntry {
         |       round(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm), 6) AS cosine_sim
         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
         |WHERE list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) >= 0.35""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE v AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), bk AS ( -- sign-pattern bucket from the engine's own hyperplanes
+        |  SELECT id, SUM(CASE WHEN list_dot_product(v.v, p.pv) >= 0 THEN (2**p.pb)::BIGINT ELSE 0 END) AS bucket
+        |  FROM v CROSS JOIN ${planeValues(64, 4, 42L)}
+        |  GROUP BY id
+        |), b AS (
+        |  SELECT v.id, v.v, v.nrm, bk.bucket FROM v JOIN bk ON v.id = bk.id
+        |), edges AS (
+        |  SELECT a.id AS id_a, b2.id AS id_b
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+        |  WHERE list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) >= 0.35
+        |), und AS (
+        |  SELECT id_a AS a, id_b AS b FROM edges
+        |  UNION SELECT id_b, id_a FROM edges
+        |), reach AS (
+        |  SELECT a AS id, b AS peer FROM und
+        |  UNION
+        |  SELECT r.id, u.b AS peer FROM reach r JOIN und u ON r.peer = u.a
+        |)
+        |SELECT id, least(id, min(peer)) AS cluster_id FROM reach GROUP BY id""".stripMargin,
     "ann_lsh" ->
       s"""WITH v AS (
         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
@@ -1686,6 +1736,39 @@ object SparkEntry {
     "ann_ivf" -> ivfOracleSql,
     // identical replay: the persisted round-trip must be lossless
     "ann_ivf_persisted" -> ivfOracleSql,
+    "docs_pipeline" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, $qualityScoreSql AS quality_score
+        |  FROM base
+        |), sampled AS (
+        |  SELECT doc_id FROM q
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        < least(1.0, quality_score * 0.6) * 4294967296.0
+        |), kept AS (
+        |  SELECT min(d.doc_id) AS doc_id
+        |  FROM documents d JOIN sampled USING (doc_id)
+        |  GROUP BY d.text
+        |), kd AS (
+        |  SELECT d.doc_id,
+        |         list_filter(string_split_regex(lower(trim(d.text)), '\\s+'),
+        |                     t -> t <> '') AS tk
+        |  FROM documents d JOIN kept USING (doc_id)
+        |), lens AS (
+        |  SELECT doc_id, tk, len(tk) AS n FROM kd WHERE len(tk) > 0
+        |), starts AS (
+        |  SELECT doc_id, tk, n,
+        |         unnest(generate_series(0, greatest(n - 17, 0), 48)) AS s
+        |  FROM lens
+        |)
+        |SELECT doc_id,
+        |       CAST(s // 48 AS INT) AS chunk_idx,
+        |       CAST(least(64, n - s) AS INT) AS n_tokens,
+        |       array_to_string(tk[s+1 : s+64], ' ') AS chunk
+        |FROM starts""".stripMargin,
     "docs_profile" ->
       """WITH m AS (
         |  SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS v FROM documents
