@@ -698,6 +698,13 @@ object SparkEntry {
       TextOps.packSequences(tbl(s, dir, "documents"), "doc_id", "text",
         budget = 256, nGroups = 8)
     },
+    "text_pack_concat" -> { (s, dir) =>
+      // the packed sequences MATERIALIZED as model-input text (members'
+      // token streams concatenated in id order) - what actually feeds a
+      // trainer; text size per row is budget-bounded by construction
+      TextOps.packSequenceTexts(tbl(s, dir, "documents"), "doc_id", "text",
+        budget = 256, nGroups = 8)
+    },
     "text_ngrams" -> { (s, dir) =>
       // corpus-wide top-20 word bigrams by document frequency
       tbl(s, dir, "documents")
@@ -1815,6 +1822,31 @@ object SparkEntry {
         |SELECT id AS doc_id, grp, seq, n AS n_tokens,
         |       CAST(sum(n) OVER (PARTITION BY grp, seq) AS BIGINT) AS seq_total
         |FROM pack""".stripMargin,
+    "text_pack_concat" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id AS id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     t -> t <> '') AS tk,
+        |         CAST(doc_id % 8 AS INT) AS grp
+        |  FROM documents
+        |  WHERE text IS NOT NULL
+        |), nz AS (
+        |  SELECT id, tk, CAST(len(tk) AS INT) AS n, grp,
+        |         row_number() OVER (PARTITION BY grp ORDER BY id) AS rn
+        |  FROM t WHERE len(tk) > 0
+        |), pack AS ( -- same greedy first-fit replay as text_pack
+        |  SELECT grp, rn, id, n, 0 AS seq, n AS fill FROM nz WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.grp, i.rn, i.id, i.n,
+        |         CASE WHEN p.fill + i.n <= 256 THEN p.seq ELSE p.seq + 1 END,
+        |         CASE WHEN p.fill + i.n <= 256 THEN p.fill + i.n ELSE i.n END
+        |  FROM pack p JOIN nz i ON i.grp = p.grp AND i.rn = p.rn + 1
+        |)
+        |SELECT pk.grp, pk.seq, count(*) AS n_docs,
+        |       CAST(sum(pk.n) AS BIGINT) AS seq_total,
+        |       string_agg(array_to_string(nz.tk, ' '), ' ' ORDER BY pk.id) AS seq_text
+        |FROM pack pk JOIN nz ON nz.grp = pk.grp AND nz.id = pk.id
+        |GROUP BY pk.grp, pk.seq""".stripMargin,
     "text_chunks" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),

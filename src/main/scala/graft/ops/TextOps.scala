@@ -109,6 +109,38 @@ object TextOps {
         sum(F.col("n_tokens").cast(LongType)).over(Window.partitionBy("grp", "seq")))
   }
 
+  /** Materialize [[packSequences]] assignments as actual training
+    * text: one row per (grp, seq) with the members' normalized token
+    * streams concatenated in ascending id order. Output text is bounded
+    * by the pack budget (members total <= budget tokens unless a single
+    * oversized doc owns the sequence), so the collect_list per sequence
+    * is small by construction.
+    *
+    * Output: (grp, seq, n_docs, seq_total, seq_text).
+    */
+  def packSequenceTexts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      nGroups: Int = 64
+  ): DataFrame = {
+    val packed = packSequences(df, idCol, textCol, budget, nGroups)
+    val norm = df.select(F.col(idCol).as("pid"),
+      array_join(DedupOps.tokens(F.col(textCol)), " ").as("norm"))
+    packed.join(norm, packed(idCol) === F.col("pid"))
+      .groupBy("grp", "seq")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // identical for every member of the sequence by construction
+        max(F.col("seq_total")).as("seq_total"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(F.col(idCol), F.col("norm")))),
+            x => x.getField("norm")),
+          " ").as("seq_text"))
+  }
+
   /** Split documents into token-budgeted training chunks with overlap -
     * the standard context-window packing stage of an LLM data pipeline.
     *

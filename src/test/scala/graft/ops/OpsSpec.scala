@@ -602,6 +602,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("packSequenceTexts: seq_text token count equals seq_total, members in id order") {
+    val docs = (1L to 30L).map(i =>
+      (i, (1 to (i % 5 + 1).toInt * 8).map(j => s"d${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val texts = TextOps.packSequenceTexts(docs, "doc_id", "text", budget = 50, nGroups = 3)
+      .as[(Int, Int, Long, Long, String)].collect()
+    val membership = TextOps.packSequences(docs, "doc_id", "text", budget = 50, nGroups = 3)
+      .as[(Long, Int, Int, Int, Long)].collect()
+    // one text row per (grp, seq); counts agree with the membership view
+    val byKey = membership.groupBy(r => (r._2, r._3))
+    assert(texts.map(t => (t._1, t._2)).toSet == byKey.keySet)
+    texts.foreach { case (grp, seq, nDocs, seqTotal, seqText) =>
+      val members = byKey((grp, seq))
+      assert(nDocs == members.length)
+      assert(seqTotal == members.map(_._4.toLong).sum)
+      // the concatenated stream carries exactly seq_total tokens...
+      val toks = seqText.split(" ")
+      assert(toks.length.toLong == seqTotal)
+      // ...in ascending member id order (token prefix encodes the doc)
+      val order = toks.map(_.drop(1).takeWhile(_ != 'w').toLong)
+      assert(order.sameElements(order.sorted))
+      assert(order.distinct.sameElements(members.map(_._1).sorted))
+    }
+  }
+
   test("chunkDocuments: coverage, exact overlap, no contained tails, empty docs") {
     val words = (1 to 23).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, words), (2L, "one two"), (3L, ""), (4L, null.asInstanceOf[String]),
