@@ -1061,6 +1061,44 @@ object SparkEntry {
       |    + CASE WHEN len(list_distinct(tk))::DOUBLE / greatest(len(tk), 1) >= 0.3
       |           THEN 0.25 ELSE 0 END, 2)""".stripMargin
 
+  // the weighted-sample keep predicate (expects columns doc_id and
+  // quality_score in scope) - shared by docs_weighted_sample and the
+  // composed docs_pipeline so the replays can never drift
+  private def weightedKeepSql(fraction: Double): String =
+    s"""('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |        < least(1.0, quality_score * $fraction) * 4294967296.0""".stripMargin
+
+  // the chunkDocuments replay tail over a CTE `src`(doc_id, tk) -
+  // shared by text_chunks and the composed docs_pipeline. Emits the
+  // lens/starts CTE continuation plus the final SELECT.
+  private def chunkReplaySql(src: String, budget: Int, overlap: Int): String = {
+    val stride = budget - overlap
+    s"""lens AS (
+       |  SELECT doc_id, tk, len(tk) AS n FROM $src WHERE len(tk) > 0
+       |), starts AS (
+       |  SELECT doc_id, tk, n,
+       |         unnest(generate_series(0, greatest(n - ${overlap + 1}, 0), $stride)) AS s
+       |  FROM lens
+       |)
+       |SELECT doc_id,
+       |       CAST(s // $stride AS INT) AS chunk_idx,
+       |       CAST(least($budget, n - s) AS INT) AS n_tokens,
+       |       array_to_string(tk[s+1 : s+$budget], ' ') AS chunk
+       |FROM starts""".stripMargin
+  }
+
+  // the greedy first-fit pack CTE over `nz`(grp, rn, id, n, ...) -
+  // shared by text_pack and text_pack_concat
+  private def packReplaySql(budget: Int): String =
+    s"""pack AS ( -- greedy first-fit replay, one step per rank
+       |  SELECT grp, rn, id, n, 0 AS seq, n AS fill FROM nz WHERE rn = 1
+       |  UNION ALL
+       |  SELECT i.grp, i.rn, i.id, i.n,
+       |         CASE WHEN p.fill + i.n <= $budget THEN p.seq ELSE p.seq + 1 END,
+       |         CASE WHEN p.fill + i.n <= $budget THEN p.fill + i.n ELSE i.n END
+       |  FROM pack p JOIN nz i ON i.grp = p.grp AND i.rn = p.rn + 1
+       |)""".stripMargin
+
   // shared by ann_ivf and ann_ivf_persisted: the persisted index must
   // reproduce the in-memory pipeline bit-for-bit, so both replay the
   // same coarse quantization + probing + exact re-ranking
@@ -1492,8 +1530,7 @@ object SparkEntry {
         |  FROM base
         |)
         |SELECT doc_id, quality_score FROM q
-        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |      < least(1.0, quality_score * 0.6) * 4294967296.0""".stripMargin,
+        |WHERE ${weightedKeepSql(0.6)}""".stripMargin,
     "text_langid" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -1753,8 +1790,7 @@ object SparkEntry {
         |  FROM base
         |), sampled AS (
         |  SELECT doc_id FROM q
-        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |        < least(1.0, quality_score * 0.6) * 4294967296.0
+        |  WHERE ${weightedKeepSql(0.6)}
         |), kept AS (
         |  SELECT min(d.doc_id) AS doc_id
         |  FROM documents d JOIN sampled USING (doc_id)
@@ -1764,18 +1800,7 @@ object SparkEntry {
         |         list_filter(string_split_regex(lower(trim(d.text)), '\\s+'),
         |                     t -> t <> '') AS tk
         |  FROM documents d JOIN kept USING (doc_id)
-        |), lens AS (
-        |  SELECT doc_id, tk, len(tk) AS n FROM kd WHERE len(tk) > 0
-        |), starts AS (
-        |  SELECT doc_id, tk, n,
-        |         unnest(generate_series(0, greatest(n - 17, 0), 48)) AS s
-        |  FROM lens
-        |)
-        |SELECT doc_id,
-        |       CAST(s // 48 AS INT) AS chunk_idx,
-        |       CAST(least(64, n - s) AS INT) AS n_tokens,
-        |       array_to_string(tk[s+1 : s+64], ' ') AS chunk
-        |FROM starts""".stripMargin,
+        |), ${chunkReplaySql("kd", budget = 64, overlap = 16)}""".stripMargin,
     "docs_profile" ->
       """WITH m AS (
         |  SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS v FROM documents
@@ -1800,9 +1825,9 @@ object SparkEntry {
         |SELECT n.needle, d.doc_id
         |FROM needles n JOIN docs d ON contains(d.t, n.needle)""".stripMargin,
     "text_pack" ->
-      """WITH RECURSIVE t AS (
+      s"""WITH RECURSIVE t AS (
         |  SELECT doc_id AS id,
-        |         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
         |                         t -> t <> '')) AS n,
         |         CAST(doc_id % 8 AS INT) AS grp
         |  FROM documents
@@ -1811,21 +1836,14 @@ object SparkEntry {
         |  SELECT id, CAST(n AS INT) AS n, grp,
         |         row_number() OVER (PARTITION BY grp ORDER BY id) AS rn
         |  FROM t WHERE n > 0
-        |), pack AS ( -- greedy first-fit replay, one step per rank
-        |  SELECT grp, rn, id, n, 0 AS seq, n AS fill FROM nz WHERE rn = 1
-        |  UNION ALL
-        |  SELECT i.grp, i.rn, i.id, i.n,
-        |         CASE WHEN p.fill + i.n <= 256 THEN p.seq ELSE p.seq + 1 END,
-        |         CASE WHEN p.fill + i.n <= 256 THEN p.fill + i.n ELSE i.n END
-        |  FROM pack p JOIN nz i ON i.grp = p.grp AND i.rn = p.rn + 1
-        |)
+        |), ${packReplaySql(256)}
         |SELECT id AS doc_id, grp, seq, n AS n_tokens,
         |       CAST(sum(n) OVER (PARTITION BY grp, seq) AS BIGINT) AS seq_total
         |FROM pack""".stripMargin,
     "text_pack_concat" ->
-      """WITH RECURSIVE t AS (
+      s"""WITH RECURSIVE t AS (
         |  SELECT doc_id AS id,
-        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
         |                     t -> t <> '') AS tk,
         |         CAST(doc_id % 8 AS INT) AS grp
         |  FROM documents
@@ -1834,36 +1852,18 @@ object SparkEntry {
         |  SELECT id, tk, CAST(len(tk) AS INT) AS n, grp,
         |         row_number() OVER (PARTITION BY grp ORDER BY id) AS rn
         |  FROM t WHERE len(tk) > 0
-        |), pack AS ( -- same greedy first-fit replay as text_pack
-        |  SELECT grp, rn, id, n, 0 AS seq, n AS fill FROM nz WHERE rn = 1
-        |  UNION ALL
-        |  SELECT i.grp, i.rn, i.id, i.n,
-        |         CASE WHEN p.fill + i.n <= 256 THEN p.seq ELSE p.seq + 1 END,
-        |         CASE WHEN p.fill + i.n <= 256 THEN p.fill + i.n ELSE i.n END
-        |  FROM pack p JOIN nz i ON i.grp = p.grp AND i.rn = p.rn + 1
-        |)
+        |), ${packReplaySql(256)}
         |SELECT pk.grp, pk.seq, count(*) AS n_docs,
         |       CAST(sum(pk.n) AS BIGINT) AS seq_total,
         |       string_agg(array_to_string(nz.tk, ' '), ' ' ORDER BY pk.id) AS seq_text
         |FROM pack pk JOIN nz ON nz.grp = pk.grp AND nz.id = pk.id
         |GROUP BY pk.grp, pk.seq""".stripMargin,
     "text_chunks" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      s"""WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
         |                             t -> t <> '') AS tk
         |  FROM documents
-        |), lens AS (
-        |  SELECT doc_id, tk, len(tk) AS n FROM tk WHERE len(tk) > 0
-        |), starts AS (
-        |  SELECT doc_id, tk, n,
-        |         unnest(generate_series(0, greatest(n - 17, 0), 48)) AS s
-        |  FROM lens
-        |)
-        |SELECT doc_id,
-        |       CAST(s // 48 AS INT) AS chunk_idx,
-        |       CAST(least(64, n - s) AS INT) AS n_tokens,
-        |       array_to_string(tk[s+1 : s+64], ' ') AS chunk
-        |FROM starts""".stripMargin,
+        |), ${chunkReplaySql("tk", budget = 64, overlap = 16)}""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |       ('0x' || substr(md5(array_to_string(

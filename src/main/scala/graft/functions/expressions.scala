@@ -276,8 +276,12 @@ object ExprKernels {
     * rather than a window function: prefix sums can't express the
     * reset-on-overflow recurrence.
     */
-  def greedyPack(sizes: ArrayData, budget: Int): ArrayData = {
+  def greedyPack(sizes: ArrayData, budget: Int, checkNull: Boolean): ArrayData = {
     val n = sizes.numElements()
+    if (checkNull) {
+      var i = 0
+      while (i < n) { if (sizes.isNullAt(i)) return null; i += 1 }
+    }
     val out = new Array[Int](n)
     var bin = 0
     var fill = 0
@@ -613,18 +617,32 @@ case class RhBucket(child: Expression, dim: Int, bits: Int, seed: Long)
   * token-budgeted sequence-packing pass (see ExprKernels.greedyPack).
   */
 case class GreedyPack(child: Expression, budget: Int) extends UnaryExpression {
+  // accepts containsNull arrays (every parquet/JSON array column defaults
+  // to containsNull=true) - a null ELEMENT yields NULL at eval time
+  private def checkNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(IntegerType, false) =>
+      case ArrayType(IntegerType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<int> without nulls, got $dt")
+        s"$prettyName requires array<int>, got $dt")
     }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
-    ExprKernels.greedyPack(v.asInstanceOf[ArrayData], budget)
+    ExprKernels.greedyPack(v.asInstanceOf[ArrayData], budget, checkNull)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.greedyPack($c, $budget)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("packed")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.ExprKernels.greedyPack($c, $budget, $checkNull);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): GreedyPack = copy(child = c)
   override def prettyName: String = "greedy_pack"
 }
@@ -754,6 +772,15 @@ object GraftFunctions {
       s"shingles(text, nLiteral); got ${es.length} args")
   }
 
+  private[functions] val greedyPackBuilder: Seq[Expression] => Expression = {
+    case Seq(sizes, Literal(b: Int, IntegerType)) => GreedyPack(sizes, b)
+    // two args but a non-literal / non-int budget: say so, not "got 2 args"
+    case Seq(_, budget) => throw new IllegalArgumentException(
+      s"greedy_pack(sizes, budgetLiteral): budget must be an INT literal, got ${budget.sql}")
+    case es => throw new IllegalArgumentException(
+      s"greedy_pack(sizes, budgetLiteral); got ${es.length} args")
+  }
+
   def minhash_sig(c: Column, numHashes: Int = 64, shingleLen: Int = 3, seed: Int = 42): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), numHashes, shingleLen, seed))
 
@@ -804,11 +831,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("sig_agree", es => SigAgree(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinkler(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("jw_upper", es => JwUpper(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("greedy_pack", {
-      case Seq(sizes, Literal(b: Int, IntegerType)) => GreedyPack(sizes, b)
-      case es => throw new IllegalArgumentException(
-        s"greedy_pack(sizes, budgetLiteral); got ${es.length} args")
-    }, "built-in")
+    reg.createOrReplaceTempFunction("greedy_pack", greedyPackBuilder, "built-in")
     reg.createOrReplaceTempFunction("shingles", shinglesBuilder, "built-in")
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "built-in")
@@ -868,5 +891,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("jw_upper"),
       new ExpressionInfo(classOf[JwUpper].getName, "jw_upper"),
       (es: Seq[Expression]) => JwUpper(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("greedy_pack"),
+      new ExpressionInfo(classOf[GreedyPack].getName, "greedy_pack"),
+      GraftFunctions.greedyPackBuilder))
   }
 }

@@ -259,6 +259,14 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1) == Seq(0)) // oversized item still gets a bin (alone)
     assert(got(2) == Seq(0, 1, 2, 3)) // 300 alone; 10 after 300 overflows? 300+10 > 250 -> yes
     assert(got(3) == Seq.empty)
+    // containsNull array types (every parquet array column) are accepted;
+    // an actual null ELEMENT yields NULL
+    val nullable = Seq(Tuple1(Seq[Integer](100, 200)), Tuple1(Seq[Integer](100, null)))
+      .toDF("sizes")
+    val gotN = nullable.select(GraftFunctions.greedy_pack($"sizes", 250))
+      .as[Option[Seq[Int]]].collect()
+    assert(gotN(0).contains(Seq(0, 1)))
+    assert(gotN(1).isEmpty)
     // property: replay the fold - bins are contiguous, fills respect the
     // budget except single-item bins, order is preserved
     val rnd = new scala.util.Random(17)
