@@ -568,6 +568,15 @@ object SparkEntry {
         )
     },
     "text_quality" -> ((s, dir) => TextOps.qualitySignals(tbl(s, dir, "documents"), "doc_id", "text")),
+    "docs_token_budget" -> { (s, dir) =>
+      // mixture control: cap each language's EXPECTED character volume
+      // at 50k - one stratum-sized aggregate broadcast back onto a
+      // scan-speed keep filter (the corpus never shuffles)
+      graft.ops.SampleOps.tokenBudgetSample(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "lang", "n_chars", budgetPerStratum = 50000.0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
     "docs_weighted_sample" -> { (s, dir) =>
       // quality-weighted subsample: P(keep) = min(1, 0.6 * quality) as
       // a pure function of doc_id (md5-uniform) - composition of the
@@ -1520,6 +1529,15 @@ object SparkEntry {
         |       round(len(list_distinct(tk))::DOUBLE / greatest(len(tk), 1), 4) AS distinct_ratio,
         |       $qualityScoreSql AS quality_score
         |FROM base""".stripMargin,
+    "docs_token_budget" ->
+      """WITH st AS (
+        |  SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS stratum_volume
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN st USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      < least(1.0, 50000.0 / stratum_volume) * 4294967296.0""".stripMargin,
     "docs_weighted_sample" ->
       s"""WITH base AS (
         |  SELECT doc_id, text,

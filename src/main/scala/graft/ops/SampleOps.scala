@@ -70,6 +70,36 @@ object SampleOps {
         u < least(lit(1.0), F.col(weightCol) * fraction) * lit(4294967296.0))
   }
 
+  /** Token-budget (mixture-control) sampling: thin each stratum so its
+    * EXPECTED surviving volume is `budgetPerStratum` units of
+    * `volumeCol` (tokens, chars, bytes) - the knob a data-mixing pass
+    * turns to stop one dominant source/language from swamping the mix.
+    * Strata already under budget keep everything; an over-budget
+    * stratum keeps each row with probability budget/stratum_volume,
+    * decided by the same md5-uniform key function as the rest of the
+    * sampling family (reproducible across engines and layouts).
+    *
+    * Scale shape: one stratum-sized aggregate, broadcast back, then a
+    * scan-speed filter - the corpus never shuffles.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      volumeCol: String,
+      budgetPerStratum: Double
+  ): DataFrame = {
+    require(budgetPerStratum >= 0.0, s"budget must be non-negative, got $budgetPerStratum")
+    val totals = df.groupBy(F.col(strataCol))
+      .agg(sum(F.col(volumeCol)).cast(DoubleType).as("stratum_volume"))
+    val u = conv(substring(md5(F.col(keyCol).cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType).cast(DoubleType)
+    df.join(broadcast(totals), Seq(strataCol))
+      .filter(u < least(lit(1.0), lit(budgetPerStratum) / F.col("stratum_volume"))
+        * lit(4294967296.0))
+      .drop("stratum_volume")
+  }
+
   /** Per-stratum deterministic sampling: each stratum value gets its own
     * keep-fraction (e.g. downsample boilerplate-heavy sources hard,
     * keep rare ones whole); strata absent from `fractions` get

@@ -477,6 +477,26 @@ class OpsSpec extends SparkSpec {
     assert(r(3L) == 1.0)
   }
 
+  test("tokenBudgetSample: expected volume tracks the budget, under-budget strata intact") {
+    val n = 3000
+    // stratum 'big': ~n*100 = 300k volume, budget 30k -> keep ~10%;
+    // stratum 'small': ~20k volume, under budget -> keep ALL
+    val df = (1L to n.toLong).map(i =>
+      (i, if (i % 3 == 0) "small" else "big", if (i % 3 == 0) 20L else 150L))
+      .toDF("id", "src", "vol")
+    val kept = SampleOps.tokenBudgetSample(df, "id", "src", "vol", budgetPerStratum = 30000.0)
+      .as[(String, Long, Long)].collect() // join reorders: (src, id, vol)
+    val small = kept.filter(_._1 == "small")
+    assert(small.length == n / 3, "under-budget stratum must keep every row")
+    val bigVol = kept.filter(_._1 == "big").map(_._3).sum.toDouble
+    assert(bigVol > 30000 * 0.7 && bigVol < 30000 * 1.3,
+      s"surviving volume $bigVol should track the 30k budget")
+    // deterministic
+    val again = SampleOps.tokenBudgetSample(df, "id", "src", "vol", budgetPerStratum = 30000.0)
+      .as[(String, Long, Long)].collect()
+    assert(again.sortBy(_._2).sameElements(kept.sortBy(_._2)))
+  }
+
   test("weightedSample: keep-rate tracks min(1, frac*w), deterministic, null/zero weights drop") {
     val n = 4000
     val df = (1L to n.toLong).map(i => (i, (i % 4) match {
