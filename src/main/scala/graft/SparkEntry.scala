@@ -431,6 +431,13 @@ object SparkEntry {
     // Deduplication suite
     // ------------------------------------------------------------------
     "dedup_exact" -> ((s, dir) => DedupOps.exactDedup(tbl(s, dir, "documents"), "doc_id", "text")),
+    "dedup_spans" -> { (s, dir) =>
+      // substring-granular exact dedup: 40-char windows, stride 10;
+      // flags boilerplate/quote spans shared across documents that
+      // whole-document dedup can't see. One shuffle on window text.
+      DedupOps.duplicateSpans(tbl(s, dir, "documents"), "doc_id", "text",
+        window = 40, step = 10)
+    },
     // Skew caps are ON in every shipped sketch-dedup pipeline: one
     // degenerate stop-shingle/boilerplate bucket with B members is an
     // O(B^2) self-join key at corpus scale. The caps are part of the
@@ -1418,6 +1425,24 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    "dedup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL
+        |), w AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 39, 10)) AS p FROM d
+        |), win AS (
+        |  SELECT doc_id, substr(t, p, 40) AS win FROM w
+        |), freq AS (
+        |  SELECT win, count(DISTINCT doc_id) AS docs_with FROM win GROUP BY win
+        |)
+        |SELECT doc_id,
+        |       count(*) AS n_windows,
+        |       CAST(sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_windows,
+        |       round(CAST(sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS dup_ratio
+        |FROM win JOIN freq USING (win)
+        |GROUP BY doc_id""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE base AS (
         |  SELECT doc_id, text,

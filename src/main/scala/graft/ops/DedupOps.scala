@@ -453,4 +453,63 @@ object DedupOps {
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming").cast(IntegerType).as("hamming"))
   }
+
+  // ---------------------------------------------------------------------
+  // Exact substring-span dedup (window fingerprinting)
+  // ---------------------------------------------------------------------
+
+  /** Substring-level duplication profile: slide a `window`-char window
+    * with stride `step` over each document's lowercased text and mark
+    * every window whose exact text also occurs in at least one OTHER
+    * document - the substring-granular exact dedup that catches boiler-
+    * plate, quotes, and template blocks that whole-document dedup misses
+    * (the "deduplicating training data" span-removal setting, at window
+    * rather than suffix-array granularity).
+    *
+    * Output, one row per document with at least one full window:
+    * (doc_id, n_windows, n_dup_windows, dup_ratio) where a window
+    * instance counts as duplicated iff >= 2 DISTINCT documents contain
+    * its text (the instance's own document is always one of them, so
+    * the condition is exactly "someone else has this span too").
+    * Intra-document repetition is NOT flagged here - that is
+    * [[graft.ops.TextOps]]'s repetitionScore.
+    *
+    * Scale shape: the explode emits total_chars/step rows, the only
+    * shuffle groups them by window text (bounded at `window` bytes per
+    * key - no unbounded carry), and the verdict joins back on the same
+    * key. Stride trades recall for volume: step <= window/2 still
+    * covers every duplicated region of >= 1.5*window chars at some
+    * alignment. No all-pairs stage at any size.
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 40,
+      step: Int = 10
+  ): DataFrame = {
+    require(window >= 3, s"window must be >= 3 chars, got $window")
+    require(step >= 1, s"step must be >= 1, got $step")
+    val t = F.col("t")
+    // explicit guard: Spark's sequence(1, n) with n <= 0 generates a
+    // DESCENDING range, not an empty one
+    val positions = when(length(t) >= window,
+      sequence(lit(1), length(t) - lit(window) + lit(1), lit(step)))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    val wins = df.filter(F.col(textCol).isNotNull)
+      .select(F.col(idCol).as("id"), lower(F.col(textCol)).as("t"))
+      .select(F.col("id"), explode(positions).as("p"), F.col("t"))
+      .select(F.col("id"), F.col("t").substr(F.col("p"), lit(window)).as("win"))
+      .localCheckpoint() // feeds the doc-frequency aggregate AND the verdict join
+    val docFreq = wins.select(F.col("win"), F.col("id")).distinct()
+      .groupBy("win").agg(count(lit(1)).as("docs_with"))
+    wins.join(docFreq.hint("shuffle_hash"), Seq("win"))
+      .groupBy(F.col("id").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(F.col("docs_with") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(F.col("doc_id"), F.col("n_windows"), F.col("n_dup_windows"),
+        round(F.col("n_dup_windows").cast(DoubleType) / F.col("n_windows"), 6)
+          .as("dup_ratio"))
+  }
 }

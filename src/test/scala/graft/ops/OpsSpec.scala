@@ -477,6 +477,43 @@ class OpsSpec extends SparkSpec {
     assert(r(3L) == 1.0)
   }
 
+  test("duplicateSpans == in-memory reference; short/null docs absent; dup docs fully flagged") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog walked a different path"), // shared aligned prefix
+      (3L, "Completely unrelated writing about columnar execution engines here"),
+      (4L, "tiny"), // shorter than one window -> absent from output
+      (5L, null.asInstanceOf[String]),
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+    ).toDF("doc_id", "text")
+    val W = 20; val S = 5
+    val got = DedupOps.duplicateSpans(corpus, "doc_id", "text", window = W, step = S)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // reference: same windows, cross-doc frequency, per-doc counts
+    val texts = Map(1L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+      2L -> "the quick brown fox jumps over the lazy dog walked a different path",
+      3L -> "Completely unrelated writing about columnar execution engines here",
+      6L -> "the quick brown fox jumps over the lazy dog near the river bank today")
+      .view.mapValues(_.toLowerCase).toMap
+    def wins(t: String): Seq[String] =
+      (1 to (t.length - W + 1) by S).map(p => t.substring(p - 1, p - 1 + W))
+    val docsWith = texts.toSeq.flatMap { case (id, t) => wins(t).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val want = texts.toSeq.map { case (id, t) =>
+      val ws = wins(t)
+      val dup = ws.count(w => docsWith(w) >= 2)
+      (id, ws.size.toLong, dup.toLong,
+        BigDecimal(dup.toDouble / ws.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)).sameElements(want.map(r => (r._1, r._2, r._3))))
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g._4 - w._4) < 1e-9) }
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 == 1.0 && byId(6L)._4 == 1.0, "exact dups: every window shared")
+    assert(byId(3L)._3 == 0L, "unique doc: zero shared windows")
+    assert(byId(2L)._3 > 0L && byId(2L)._4 < 1.0, "partial overlap flags only the shared prefix")
+    assert(!byId.contains(4L) && !byId.contains(5L))
+  }
+
   test("tokenBudgetSample: expected volume tracks the budget, under-budget strata intact") {
     val n = 3000
     // stratum 'big': ~n*100 = 300k volume, budget 30k -> keep ~10%;
