@@ -584,6 +584,14 @@ object SparkEntry {
         "doc_id", "lang", "n_chars", budgetPerStratum = 50000.0)
         .select(col("doc_id"), col("lang"), col("n_chars"))
     },
+    "docs_split" -> { (s, dir) =>
+      // deterministic 80/10/10 train/val/test assignment: a pure
+      // function of doc_id (md5-bucketed), reproducible across
+      // engines/layouts/incremental loads; zero shuffles
+      graft.ops.SampleOps.assignSplits(tbl(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+    },
     "docs_weighted_sample" -> { (s, dir) =>
       // quality-weighted subsample: P(keep) = min(1, 0.6 * quality) as
       // a pure function of doc_id (md5-uniform) - composition of the
@@ -782,6 +790,31 @@ object SparkEntry {
     },
     "events_sessionize" -> { (s, dir) =>
       StreamOps.sessionize(events(s, dir), gapMinutes = 30)
+    },
+    "events_compact" -> { (s, dir) =>
+      // CDC keep-latest compaction of the per-user event changelog;
+      // 'error' plays the delete-marker role in this corpus: a user
+      // whose LAST event errored compacts to absent. One shuffle on
+      // the key + a window pass - the MERGE INTO compaction plan.
+      graft.ops.MergeOps.compactChangelog(events(s, dir),
+        Seq("user_id"), "ts", "event_id",
+        deleteMarker = col("event_type") === "error")
+        .select(col("user_id"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          col("value").as("last_value"))
+    },
+    "events_scd2" -> { (s, dir) =>
+      // SCD Type-2 snapshot of each user's purchase history: every
+      // purchase becomes a validity interval, the newest is open-ended
+      graft.ops.MergeOps.scd2(
+        events(s, dir).filter(col("event_type") === "purchase"),
+        Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("value"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
     },
     "events_resample" -> { (s, dir) =>
       // hourly downsample per user INCLUDING empty bins (gap fill): the
@@ -1563,6 +1596,14 @@ object SparkEntry {
         |FROM documents d JOIN st USING (lang)
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
         |      < least(1.0, 50000.0 / stratum_volume) * 4294967296.0""".stripMargin,
+    "docs_split" ->
+      s"""SELECT doc_id,
+        |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |                 < '${graft.ops.SampleOps.hexThreshold(0.8)}' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |                 < '${graft.ops.SampleOps.hexThreshold(0.8 + 0.1)}' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "docs_weighted_sample" ->
       s"""WITH base AS (
         |  SELECT doc_id, text,
@@ -1656,6 +1697,29 @@ object SparkEntry {
         |SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
         |       COUNT(*) AS n_events
         |FROM y GROUP BY user_id, sess""".stripMargin,
+    "events_compact" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, event_type, ts, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |       value AS last_value
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    "events_scd2" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, value, ts FROM events
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT user_id, event_id, value,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |                '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         AS is_current
+        |FROM p""".stripMargin,
     "events_range" ->
       """WITH x AS (
         |  SELECT user_id, epoch_ms(ts) AS ms,

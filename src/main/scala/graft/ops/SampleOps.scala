@@ -70,6 +70,42 @@ object SampleOps {
         u < least(lit(1.0), F.col(weightCol) * fraction) * lit(4294967296.0))
   }
 
+  /** Deterministic train/validation/test split assignment: the md5-
+    * uniform position of `keyCol` is bucketed by the cumulative split
+    * fractions, appending a `split` label column. A pure function of
+    * the key - the same document lands in the same split across runs,
+    * engines, cluster layouts, and incremental loads, and rows sharing
+    * a key travel together (split by entity, never by row, so near-
+    * identical copies of a document cannot straddle train/test through
+    * the splitter itself). Per-row arithmetic only; no shuffle.
+    *
+    * `splits` maps label -> fraction; fractions must sum to 1 (1e-9
+    * tolerance). The last split absorbs the rounding remainder.
+    */
+  def assignSplits(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)]
+  ): DataFrame = {
+    require(splits.nonEmpty, "assignSplits needs at least one split")
+    require(splits.forall(_._2 >= 0.0), s"fractions must be non-negative: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val prefix = substring(md5(F.col(keyCol).cast(StringType)), 1, 8)
+    // the LAST boundary is forced to exactly 1.0: the FP running sum can
+    // land a hair under 1.0, which would hexThreshold to "ffffffff" and
+    // leave prefix=="ffffffff" keys unlabeled instead of in the catch-all
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail.init :+ 1.0
+    // boundaries as hex-string thresholds (hexThreshold(1.0) = "g"
+    // sorts above every hex digit, so the last bucket is a catch-all)
+    val labeled = splits.zip(cum).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), c)) =>
+        val hit = prefix < lit(hexThreshold(c))
+        Some(acc.fold(when(hit, name))(_.when(hit, name)))
+    }.get
+    df.withColumn("split", labeled)
+  }
+
   /** Token-budget (mixture-control) sampling: thin each stratum so its
     * EXPECTED surviving volume is `budgetPerStratum` units of
     * `volumeCol` (tokens, chars, bytes) - the knob a data-mixing pass

@@ -477,6 +477,55 @@ class OpsSpec extends SparkSpec {
     assert(r(3L) == 1.0)
   }
 
+  test("compactChangelog: latest wins, ties broken, tombstone order decides presence") {
+    val log = Seq(
+      (1L, 10L, 1L, "upsert", "a"), // key 1: upsert then delete -> absent
+      (1L, 20L, 2L, "delete", "b"),
+      (2L, 10L, 3L, "delete", "c"), // key 2: delete then upsert -> present
+      (2L, 20L, 4L, "upsert", "d"),
+      (3L, 10L, 5L, "upsert", "e"), // key 3: co-timestamped, max seq wins
+      (3L, 10L, 6L, "upsert", "f")
+    ).toDF("k", "ts", "seq", "op", "payload")
+    val got = MergeOps.compactChangelog(log, Seq("k"), "ts", "seq",
+      deleteMarker = col("op") === "delete")
+      .select("k", "seq", "payload").as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((2L, 4L, "d"), (3L, 6L, "f")))
+    // without a delete marker: pure keep-latest, all keys survive
+    val all = MergeOps.compactChangelog(log, Seq("k"), "ts", "seq")
+      .select("k", "seq").as[(Long, Long)].collect().sortBy(_._1)
+    assert(all.toSeq == Seq((1L, 2L), (2L, 4L), (3L, 6L)))
+  }
+
+  test("scd2: contiguous intervals per key, single open-ended current row") {
+    val log = Seq(
+      (1L, 10L, 1L, "v1"), (1L, 20L, 2L, "v2"), (1L, 30L, 3L, "v3"),
+      (2L, 15L, 4L, "w1")
+    ).toDF("k", "ts", "seq", "v")
+    val got = MergeOps.scd2(log, Seq("k"), "ts", "seq")
+      .select("k", "seq", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 10L, Some(20L), false),
+      (1L, 2L, 20L, Some(30L), false),
+      (1L, 3L, 30L, None, true),
+      (2L, 4L, 15L, None, true)))
+  }
+
+  test("assignSplits: total coverage, deterministic, proportions track, FP-safe last bucket") {
+    val n = 20000
+    val df = (1L to n.toLong).toDF("id")
+    val s = SampleOps.assignSplits(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .as[(Long, String)].collect()
+    assert(s.length == n && s.forall(_._2 != null), "every row labeled")
+    val counts = s.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 0.8 * n) < 0.03 * n)
+    assert(math.abs(counts("val") - 0.1 * n) < 0.02 * n)
+    assert(math.abs(counts("test") - 0.1 * n) < 0.02 * n)
+    val again = SampleOps.assignSplits(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .as[(Long, String)].collect()
+    assert(again.sortBy(_._1).sameElements(s.sortBy(_._1)))
+  }
+
   test("duplicateSpans == in-memory reference; short/null docs absent; dup docs fully flagged") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
