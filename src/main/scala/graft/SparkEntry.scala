@@ -1053,6 +1053,32 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"),
           countDistinct(col("source")).as("n_sources"))
     },
+    "docs_csv_roundtrip" -> { (s, dir) =>
+      // row-format interchange (CSV, RFC-4180 quote-doubling config):
+      // write the corpus out WITH its free-text column, read back
+      // through an explicit schema, aggregate a content checksum. The
+      // oracle runs the same aggregate over the parquet ground truth -
+      // the format hop must preserve every byte of text (quoting
+      // hazards are stress-pinned in SinksSpec with synthetic
+      // newline/quote/comma/null documents).
+      val path = scratchPath("docs_csv", dir)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .write.mode("overwrite")
+        .option("header", "true").option("quote", "\"").option("escape", "\"")
+        .csv(path)
+      s.read
+        .schema("doc_id LONG, lang STRING, source STRING, text STRING")
+        .option("header", "true").option("quote", "\"").option("escape", "\"")
+        .option("multiLine", "true")
+        .csv(path)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_len"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType))
+            .as("text_checksum"))
+    },
     "q22_analytics" -> { (s, dir) =>
       // navigation + distribution window functions (lag/lead/first_value
       // /ntile) per customer - partitioned windows, so the sort shards
@@ -2190,6 +2216,13 @@ object SparkEntry {
         |       count(DISTINCT source) AS n_sources
         |FROM documents
         |WHERE lang <> 'und'
+        |GROUP BY lang""".stripMargin,
+    "docs_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(len(text)) AS BIGINT) AS sum_len,
+        |       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+        |         AS text_checksum
+        |FROM documents
         |GROUP BY lang""".stripMargin,
     "events_json_roundtrip" ->
       """SELECT event_type, count(*) AS n_events,

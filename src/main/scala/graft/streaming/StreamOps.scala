@@ -153,6 +153,54 @@ object StreamOps {
       .toDF("user_id", "session_start_ms", "session_end_ms", "n_events")
   }
 
+  /** Streaming CDC keep-latest compaction - the continuous form of
+    * [[graft.ops.MergeOps.compactChangelog]]: maintain, per key, the
+    * newest version seen so far (ordered by event time, ties broken by
+    * `seq` - the log sequence number) and re-emit a key's current
+    * winner whenever it changes (Update mode). Tombstones flow through
+    * with `del = true` so a downstream sink can delete the key; a later
+    * upsert resurrects it, exactly like the batch operator's
+    * delete-then-upsert semantics.
+    *
+    * Input contract (the generic changelog shape; pack wide payloads
+    * via to_json): key LONG, ts TIMESTAMP, seq LONG, del BOOLEAN,
+    * payload STRING. Output: (key, ts_ms, seq, del, payload), latest
+    * emission per key = the compacted table.
+    *
+    * State is one row per LIVE key - the compacted table itself, which
+    * is the product, not a leak; `NoTimeout` is deliberate (a key's
+    * latest version must outlive any watermark). At 100 TB the state
+    * store shards by key across executors like any streaming agg.
+    */
+  def compactStream(changelog: Dataset[org.apache.spark.sql.Row]): DataFrame = {
+    val spark = changelog.sparkSession
+    import spark.implicits._
+    changelog
+      .select(F.col("key").cast(LongType), F.col("ts").cast(TimestampType),
+        F.col("seq").cast(LongType), F.col("del").cast(BooleanType),
+        F.col("payload").cast(StringType))
+      .as[(Long, java.sql.Timestamp, Long, Boolean, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Boolean, String), Option[(Long, Long, Long, Boolean, String)]](
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Long, Boolean, String)]) =>
+          // newest (ts, seq) among this batch's rows and the stored state
+          val batchBest = rows.map(r => (r._2.getTime, r._3, r._4, r._5))
+            .maxBy(r => (r._1, r._2))
+          val winner = state.getOption match {
+            case Some(st) if st._1 > batchBest._1 ||
+              (st._1 == batchBest._1 && st._2 > batchBest._2) => st
+            case _ => batchBest
+          }
+          if (!state.getOption.contains(winner)) {
+            state.update(winner)
+            Some((key, winner._1, winner._2, winner._3, winner._4))
+          } else None // stale batch: winner unchanged, nothing to re-emit
+      }
+      .flatMap(_.iterator)
+      .toDF("key", "ts_ms", "seq", "del", "payload")
+  }
+
   /** Streaming exact dedup: drop rows whose normalized-text fingerprint
     * (graft.ops.TextOps.fingerprint) was already seen within the
     * watermark horizon. `dropDuplicatesWithinWatermark` expires

@@ -210,6 +210,44 @@ class StreamOpsSpec extends SparkSpec {
       s"left-outer null emission wrong: $got")
   }
 
+  test("compactStream: multi-batch keep-latest == batch compactChangelog, tombstones flow") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(
+      (1L, ts(0), 1L, false, "k1-v1"),
+      (2L, ts(1), 2L, false, "k2-v1"),
+      (3L, ts(2), 3L, false, "k3-v1"))
+    val b2 = Seq(
+      (1L, ts(10), 4L, false, "k1-v2"), // newer version
+      (2L, ts(11), 5L, true, ""), // tombstone
+      (3L, ts(1), 6L, false, "stale"), // OLDER than stored -> no re-emit
+      (4L, ts(12), 7L, false, "k4-v1"))
+    val b3 = Seq(
+      (2L, ts(20), 8L, false, "k2-v2"), // resurrect after delete
+      (1L, ts(10), 9L, false, "k1-v3")) // ts tie -> higher seq wins
+    val mem = MemoryStream[(Long, Timestamp, Long, Boolean, String)]
+    val sq = StreamOps
+      .compactStream(mem.toDF().toDF("key", "ts", "seq", "del", "payload"))
+      .writeStream.format("memory").queryName("cs").outputMode("update").start()
+    Seq(b1, b2, b3).foreach { b => mem.addData(b: _*); sq.processAllAvailable() }
+    sq.stop()
+    // the compacted table = latest emission per key, minus tombstoned keys
+    val emitted = spark.table("cs")
+      .as[(Long, Long, Long, Boolean, String)].collect()
+    val compacted = emitted.groupBy(_._1).view
+      .mapValues(_.maxBy(r => (r._2, r._3))).values
+      .filter(!_._4).map(r => (r._1, r._3, r._5)).toSet
+    // batch parity on the SAME changelog
+    val batch = (b1 ++ b2 ++ b3).toDF("key", "ts", "seq", "del", "payload")
+    val expected = graft.ops.MergeOps
+      .compactChangelog(batch, Seq("key"), "ts", "seq", deleteMarker = col("del"))
+      .select("key", "seq", "payload").as[(Long, Long, String)].collect().toSet
+    assert(compacted == expected, s"stream $compacted vs batch $expected")
+    assert(compacted == Set((1L, 9L, "k1-v3"), (2L, 8L, "k2-v2"),
+      (3L, 3L, "k3-v1"), (4L, 7L, "k4-v1")))
+    // the stale b2 update for key 3 must not have caused a re-emission
+    assert(emitted.count(_._1 == 3L) == 1, "stale version re-emitted")
+  }
+
   test("streamingDedup: first occurrence survives, dupes within watermark dropped") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
