@@ -1066,6 +1066,10 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
         .write.mode("overwrite")
         .option("header", "true").option("quote", "\"").option("escape", "\"")
+        // the CSV WRITER trims field edges by default - byte preservation
+        // requires turning that off explicitly
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
       s.read
         .schema("doc_id LONG, lang STRING, source STRING, text STRING")
@@ -1619,7 +1623,7 @@ object SparkEntry {
         |  FROM documents GROUP BY lang
         |)
         |SELECT d.doc_id, d.lang, d.n_chars
-        |FROM documents d JOIN st USING (lang)
+        |FROM documents d JOIN st ON d.lang IS NOT DISTINCT FROM st.lang
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
         |      < least(1.0, 50000.0 / stratum_volume) * 4294967296.0""".stripMargin,
     "docs_split" ->
@@ -2218,10 +2222,13 @@ object SparkEntry {
         |WHERE lang <> 'und'
         |GROUP BY lang""".stripMargin,
     "docs_csv_roundtrip" ->
+      // NULLIF: CSV cannot distinguish '' from NULL - the Spark side
+      // reads an empty field back as NULL and its sums skip it, so the
+      // ground-truth aggregate must skip empty strings the same way
       """SELECT lang, count(*) AS n_docs,
-        |       CAST(sum(len(text)) AS BIGINT) AS sum_len,
-        |       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
-        |         AS text_checksum
+        |       CAST(sum(len(NULLIF(text, ''))) AS BIGINT) AS sum_len,
+        |       CAST(sum(('0x' || substr(md5(NULLIF(text, '')), 1, 8))::BIGINT)
+        |            AS BIGINT) AS text_checksum
         |FROM documents
         |GROUP BY lang""".stripMargin,
     "events_json_roundtrip" ->

@@ -35,13 +35,18 @@ object MergeOps {
       deleteMarker: Column = null
   ): DataFrame = {
     require(keyCols.nonEmpty, "compactChangelog needs at least one key column")
+    require(!changelog.columns.contains("gr_rn"),
+      "input already has a gr_rn column; rename it before compacting")
     val w = Window.partitionBy(keyCols.map(F.col): _*)
       .orderBy(F.col(orderCol).desc, F.col(tieBreak).desc)
     val latest = changelog
       .withColumn("gr_rn", row_number().over(w))
       .filter(F.col("gr_rn") === 1)
       .drop("gr_rn")
-    if (deleteMarker == null) latest else latest.filter(!deleteMarker)
+    // coalesce: a NULL-evaluating marker (malformed op field) must mean
+    // "not a delete" - a bare !marker would be NULL and drop the key
+    if (deleteMarker == null) latest
+    else latest.filter(!coalesce(deleteMarker, lit(false)))
   }
 
   /** SCD Type-2 snapshot: each change row becomes a validity interval

@@ -8,6 +8,17 @@ import org.apache.spark.sql.types._
 /** Sampling operators for training-data pipelines. */
 object SampleOps {
 
+  /** First 8 hex chars of md5(key) - the engine-parity-critical hash
+    * prefix every sampler in this family compares against. ONE spelling
+    * so the Spark side and the DuckDB oracles can never desynchronize.
+    */
+  private def md5Prefix(keyCol: String): Column =
+    substring(md5(F.col(keyCol).cast(StringType)), 1, 8)
+
+  /** The same prefix as a uniform double in [0, 2^32). */
+  private def md5U(keyCol: String): Column =
+    conv(md5Prefix(keyCol), 16, 10).cast(LongType).cast(DoubleType)
+
   /** Deterministic ~`fraction` sample keyed on a column's md5: a row is
     * kept iff the first 8 hex chars of md5(key) fall below the
     * fraction's threshold.
@@ -30,8 +41,7 @@ object SampleOps {
       // 8-char md5 prefixes and keep ~6% instead of ~100%
       val raw = math.min(math.round(fraction * 0x100000000L), 0xffffffffL)
       val threshold = f"$raw%08x"
-      df.filter(
-        substring(md5(F.col(keyCol).cast(StringType)), 1, 8) < lit(threshold))
+      df.filter(md5Prefix(keyCol) < lit(threshold))
     }
   }
 
@@ -60,8 +70,7 @@ object SampleOps {
       fraction: Double
   ): DataFrame = {
     require(fraction >= 0.0, s"fraction must be non-negative, got $fraction")
-    val u = conv(substring(md5(F.col(keyCol).cast(StringType)), 1, 8), 16, 10)
-      .cast(LongType).cast(DoubleType)
+    val u = md5U(keyCol)
     // the null check is EXPLICIT because least() IGNORES nulls in both
     // Spark and DuckDB: least(1.0, null) = 1.0 would silently keep
     // every null-weight row at full probability instead of dropping it
@@ -91,11 +100,14 @@ object SampleOps {
     require(splits.forall(_._2 >= 0.0), s"fractions must be non-negative: $splits")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got ${splits.map(_._2).sum}")
-    val prefix = substring(md5(F.col(keyCol).cast(StringType)), 1, 8)
-    // the LAST boundary is forced to exactly 1.0: the FP running sum can
-    // land a hair under 1.0, which would hexThreshold to "ffffffff" and
-    // leave prefix=="ffffffff" keys unlabeled instead of in the catch-all
-    val cum = splits.scanLeft(0.0)(_ + _._2).tail.init :+ 1.0
+    val prefix = md5Prefix(keyCol)
+    // boundaries are clamped into [0,1] (the FP running sum can overshoot
+    // 1.0 a hair mid-sequence, which hexThreshold would reject) and the
+    // LAST one is forced to exactly 1.0: an FP sum a hair UNDER 1.0 would
+    // hexThreshold to "ffffffff" and leave prefix=="ffffffff" keys
+    // unlabeled instead of in the catch-all
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.min(c, 1.0)).init :+ 1.0
     // boundaries as hex-string thresholds (hexThreshold(1.0) = "g"
     // sorts above every hex digit, so the last bucket is a catch-all)
     val labeled = splits.zip(cum).foldLeft(Option.empty[Column]) {
@@ -126,14 +138,18 @@ object SampleOps {
       budgetPerStratum: Double
   ): DataFrame = {
     require(budgetPerStratum >= 0.0, s"budget must be non-negative, got $budgetPerStratum")
-    val totals = df.groupBy(F.col(strataCol))
+    require(!df.columns.contains("gr_stratum"),
+      "input already has a gr_stratum column; rename it before sampling")
+    val totals = df.groupBy(F.col(strataCol).as("gr_stratum"))
       .agg(sum(F.col(volumeCol)).cast(DoubleType).as("stratum_volume"))
-    val u = conv(substring(md5(F.col(keyCol).cast(StringType)), 1, 8), 16, 10)
-      .cast(LongType).cast(DoubleType)
-    df.join(broadcast(totals), Seq(strataCol))
+    val u = md5U(keyCol)
+    // null-SAFE join: a NULL stratum (e.g. undetected language) is a
+    // stratum like any other and gets the same budget - a plain equi-join
+    // would silently drop every NULL-stratum row from the sample
+    df.join(broadcast(totals), F.col(strataCol) <=> F.col("gr_stratum"))
       .filter(u < least(lit(1.0), lit(budgetPerStratum) / F.col("stratum_volume"))
         * lit(4294967296.0))
-      .drop("stratum_volume")
+      .drop("gr_stratum", "stratum_volume")
   }
 
   /** Per-stratum deterministic sampling: each stratum value gets its own
@@ -158,6 +174,6 @@ object SampleOps {
       lit(hexThreshold(defaultFraction))) { case ((value, fraction), elseCol) =>
       when(s === value, lit(hexThreshold(fraction))).otherwise(elseCol)
     }
-    df.filter(substring(md5(F.col(keyCol).cast(StringType)), 1, 8) < thr)
+    df.filter(md5Prefix(keyCol) < thr)
   }
 }

@@ -164,8 +164,10 @@ object StreamOps {
     *
     * Input contract (the generic changelog shape; pack wide payloads
     * via to_json): key LONG, ts TIMESTAMP, seq LONG, del BOOLEAN,
-    * payload STRING. Output: (key, ts_ms, seq, del, payload), latest
-    * emission per key = the compacted table.
+    * payload STRING. Output: (key, ts_us, seq, del, payload) with ts_us
+    * in epoch MICROseconds (TimestampType's full precision - ordering
+    * on truncated millis could pick a different winner than the batch
+    * operator); latest emission per key = the compacted table.
     *
     * State is one row per LIVE key - the compacted table itself, which
     * is the product, not a leak; `NoTimeout` is deliberate (a key's
@@ -176,16 +178,17 @@ object StreamOps {
     val spark = changelog.sparkSession
     import spark.implicits._
     changelog
-      .select(F.col("key").cast(LongType), F.col("ts").cast(TimestampType),
+      .select(F.col("key").cast(LongType),
+        unix_micros(F.col("ts").cast(TimestampType)).as("ts_us"),
         F.col("seq").cast(LongType), F.col("del").cast(BooleanType),
         F.col("payload").cast(StringType))
-      .as[(Long, java.sql.Timestamp, Long, Boolean, String)]
+      .as[(Long, Long, Long, Boolean, String)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Long, Boolean, String), Option[(Long, Long, Long, Boolean, String)]](
         GroupStateTimeout.NoTimeout()) {
         case (key, rows, state: GroupState[(Long, Long, Boolean, String)]) =>
           // newest (ts, seq) among this batch's rows and the stored state
-          val batchBest = rows.map(r => (r._2.getTime, r._3, r._4, r._5))
+          val batchBest = rows.map(r => (r._2, r._3, r._4, r._5))
             .maxBy(r => (r._1, r._2))
           val winner = state.getOption match {
             case Some(st) if st._1 > batchBest._1 ||
@@ -198,7 +201,7 @@ object StreamOps {
           } else None // stale batch: winner unchanged, nothing to re-emit
       }
       .flatMap(_.iterator)
-      .toDF("key", "ts_ms", "seq", "del", "payload")
+      .toDF("key", "ts_us", "seq", "del", "payload")
   }
 
   /** Streaming exact dedup: drop rows whose normalized-text fingerprint

@@ -484,16 +484,17 @@ class OpsSpec extends SparkSpec {
       (2L, 10L, 3L, "delete", "c"), // key 2: delete then upsert -> present
       (2L, 20L, 4L, "upsert", "d"),
       (3L, 10L, 5L, "upsert", "e"), // key 3: co-timestamped, max seq wins
-      (3L, 10L, 6L, "upsert", "f")
+      (3L, 10L, 6L, "upsert", "f"),
+      (4L, 10L, 7L, null, "g") // NULL op: NOT a tombstone - key survives
     ).toDF("k", "ts", "seq", "op", "payload")
     val got = MergeOps.compactChangelog(log, Seq("k"), "ts", "seq",
       deleteMarker = col("op") === "delete")
       .select("k", "seq", "payload").as[(Long, Long, String)].collect().sortBy(_._1)
-    assert(got.toSeq == Seq((2L, 4L, "d"), (3L, 6L, "f")))
+    assert(got.toSeq == Seq((2L, 4L, "d"), (3L, 6L, "f"), (4L, 7L, "g")))
     // without a delete marker: pure keep-latest, all keys survive
     val all = MergeOps.compactChangelog(log, Seq("k"), "ts", "seq")
       .select("k", "seq").as[(Long, Long)].collect().sortBy(_._1)
-    assert(all.toSeq == Seq((1L, 2L), (2L, 4L), (3L, 6L)))
+    assert(all.toSeq == Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 7L)))
   }
 
   test("scd2: contiguous intervals per key, single open-ended current row") {
@@ -571,16 +572,23 @@ class OpsSpec extends SparkSpec {
       (i, if (i % 3 == 0) "small" else "big", if (i % 3 == 0) 20L else 150L))
       .toDF("id", "src", "vol")
     val kept = SampleOps.tokenBudgetSample(df, "id", "src", "vol", budgetPerStratum = 30000.0)
-      .as[(String, Long, Long)].collect() // join reorders: (src, id, vol)
-    val small = kept.filter(_._1 == "small")
+      .as[(Long, String, Long)].collect()
+    val small = kept.filter(_._2 == "small")
     assert(small.length == n / 3, "under-budget stratum must keep every row")
-    val bigVol = kept.filter(_._1 == "big").map(_._3).sum.toDouble
+    val bigVol = kept.filter(_._2 == "big").map(_._3).sum.toDouble
     assert(bigVol > 30000 * 0.7 && bigVol < 30000 * 1.3,
       s"surviving volume $bigVol should track the 30k budget")
     // deterministic
     val again = SampleOps.tokenBudgetSample(df, "id", "src", "vol", budgetPerStratum = 30000.0)
-      .as[(String, Long, Long)].collect()
-    assert(again.sortBy(_._2).sameElements(kept.sortBy(_._2)))
+      .as[(Long, String, Long)].collect()
+    assert(again.sortBy(_._1).sameElements(kept.sortBy(_._1)))
+    // NULL stratum is a stratum like any other (null-safe join): small
+    // volume -> under budget -> every row kept, none silently dropped
+    val withNull = (1L to 100L).map(i => (i, if (i % 2 == 0) null else "big", 10L))
+      .toDF("id", "src", "vol")
+    val keptNull = SampleOps.tokenBudgetSample(withNull, "id", "src", "vol", 30000.0)
+      .as[(Long, Option[String], Long)].collect()
+    assert(keptNull.count(_._2.isEmpty) == 50, "NULL-stratum rows must survive")
   }
 
   test("weightedSample: keep-rate tracks min(1, frac*w), deterministic, null/zero weights drop") {

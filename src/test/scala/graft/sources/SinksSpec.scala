@@ -28,11 +28,16 @@ class SinksSpec extends SparkSpec {
       (5L, "quote-comma \",\" mix\n\"line\""),
       (6L, null.asInstanceOf[String]),
       (7L, "trailing backslash \\ and \\\" escaped-looking"),
-      (8L, "")
+      (8L, ""),
+      (9L, "  leading and trailing whitespace  "),
+      (10L, "\ttab edges\t"),
+      (11L, "\nnewline edges\n")
     ).toDF("id", "text")
     val path = tmp("csv_rt")
     nasty.write.mode("overwrite")
       .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
     val back = spark.read
       .schema("id LONG, text STRING")
@@ -45,7 +50,7 @@ class SinksSpec extends SparkSpec {
     // an empty field) - id 8 comes back null; everything else must be
     // byte-identical
     assert(back(8L).isEmpty)
-    ((1L to 7L)).foreach { id =>
+    ((1L to 7L) ++ (9L to 11L)).foreach { id =>
       assert(back(id) == want(id), s"id $id: ${back(id)} != ${want(id)}")
     }
   }

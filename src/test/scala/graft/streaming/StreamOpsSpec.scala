@@ -223,7 +223,12 @@ class StreamOpsSpec extends SparkSpec {
       (4L, ts(12), 7L, false, "k4-v1"))
     val b3 = Seq(
       (2L, ts(20), 8L, false, "k2-v2"), // resurrect after delete
-      (1L, ts(10), 9L, false, "k1-v3")) // ts tie -> higher seq wins
+      (1L, ts(10), 9L, false, "k1-v3"), // ts tie -> higher seq wins
+      // sub-millisecond precision: these two differ only at micros, and
+      // the NEWER-by-micros row has the LOWER seq - millis-truncated
+      // ordering would wrongly fall to the seq tiebreak and keep v2
+      (5L, Timestamp.valueOf("2024-01-01 10:30:00.000900"), 10L, false, "k5-v1"),
+      (5L, Timestamp.valueOf("2024-01-01 10:30:00.000100"), 11L, false, "k5-v2"))
     val mem = MemoryStream[(Long, Timestamp, Long, Boolean, String)]
     val sq = StreamOps
       .compactStream(mem.toDF().toDF("key", "ts", "seq", "del", "payload"))
@@ -243,7 +248,7 @@ class StreamOpsSpec extends SparkSpec {
       .select("key", "seq", "payload").as[(Long, Long, String)].collect().toSet
     assert(compacted == expected, s"stream $compacted vs batch $expected")
     assert(compacted == Set((1L, 9L, "k1-v3"), (2L, 8L, "k2-v2"),
-      (3L, 3L, "k3-v1"), (4L, 7L, "k4-v1")))
+      (3L, 3L, "k3-v1"), (4L, 7L, "k4-v1"), (5L, 10L, "k5-v1")))
     // the stale b2 update for key 3 must not have caused a re-emission
     assert(emitted.count(_._1 == 3L) == 1, "stale version re-emitted")
   }
