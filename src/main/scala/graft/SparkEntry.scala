@@ -791,6 +791,24 @@ object SparkEntry {
     "events_sessionize" -> { (s, dir) =>
       StreamOps.sessionize(events(s, dir), gapMinutes = 30)
     },
+    "events_outliers" -> { (s, dir) =>
+      // Tukey-fence outlier pass per event type: quartile fences from a
+      // group-sized aggregate broadcast onto a scan-speed comparison
+      graft.ops.ProfileOps.iqrOutliers(
+        events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", k = 1.5)
+        .filter(col("is_outlier"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("fence_lo"), 6).as("fence_lo"),
+          round(col("fence_hi"), 6).as("fence_hi"))
+    },
+    "events_binned" -> { (s, dir) =>
+      // per-type equi-width 10-bin histogram over the group's own range
+      // (explicit floor arithmetic - engine-portable bucket edges)
+      graft.ops.ProfileOps.equiWidthHistogram(
+        events(s, dir).select(col("event_type"), col("value")),
+        "event_type", "value", bins = 10)
+    },
     "events_compact" -> { (s, dir) =>
       // CDC keep-latest compaction of the per-user event changelog;
       // 'error' plays the delete-marker role in this corpus: a user
@@ -1727,6 +1745,35 @@ object SparkEntry {
         |SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
         |       COUNT(*) AS n_events
         |FROM y GROUP BY user_id, sess""".stripMargin,
+    "events_outliers" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.25) AS q1,
+        |         quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       round(q1 - (q3 - q1) * 1.5, 6) AS fence_lo,
+        |       round(q3 + (q3 - q1) * 1.5, 6) AS fence_hi
+        |FROM events e JOIN f USING (event_type)
+        |WHERE e.value < q1 - (q3 - q1) * 1.5
+        |   OR e.value > q3 + (q3 - q1) * 1.5""".stripMargin,
+    "events_binned" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |         CAST(min(value) AS DOUBLE) AS v_min,
+        |         CAST(max(value) AS DOUBLE) AS v_max
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type
+        |)
+        |SELECT e.event_type,
+        |       CAST(CASE WHEN v_max = v_min THEN 0
+        |            ELSE least(floor((CAST(value AS DOUBLE) - v_min)
+        |                             / ((v_max - v_min) / 10)), 9)
+        |            END AS INT) AS bin,
+        |       count(*) AS n
+        |FROM events e JOIN r USING (event_type)
+        |WHERE value IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "events_compact" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id, event_type, ts, value,

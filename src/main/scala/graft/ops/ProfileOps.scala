@@ -36,4 +36,78 @@ object ProfileOps {
       min(F.col("v")).as("min_v"),
       max(F.col("v")).as("max_v"))
   }
+
+  /** Tukey-fence outlier flagging: within each group, a row is an
+    * outlier iff its value falls outside [q1 - k*iqr, q3 + k*iqr]
+    * (exact interpolated quartiles) - the standard data-cleaning pass
+    * that drops sensor glitches / pathological documents before
+    * training statistics are computed. Returns the input rows with
+    * appended `fence_lo` / `fence_hi` / `is_outlier`.
+    *
+    * Scale shape: one group-sized quartile aggregate broadcast back
+    * onto a scan-speed comparison - the corpus itself never shuffles.
+    * (Exact percentiles hold the full value multiset per group during
+    * the aggregate; at extreme group sizes swap in approx_percentile -
+    * the fence logic is unchanged.)
+    */
+  def iqrOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Double = 1.5
+  ): DataFrame = {
+    require(k >= 0.0, s"fence multiplier must be non-negative, got $k")
+    require(!df.columns.contains("gr_group"),
+      "input already has a gr_group column; rename it before profiling")
+    val fences = df.groupBy(F.col(groupCol).as("gr_group"))
+      .agg(
+        expr(s"percentile($valueCol, 0.25)").as("q1"),
+        expr(s"percentile($valueCol, 0.75)").as("q3"))
+      .select(F.col("gr_group"),
+        (F.col("q1") - (F.col("q3") - F.col("q1")) * k).as("fence_lo"),
+        (F.col("q3") + (F.col("q3") - F.col("q1")) * k).as("fence_hi"))
+    df.join(broadcast(fences), F.col(groupCol) <=> F.col("gr_group"))
+      .withColumn("is_outlier",
+        F.col(valueCol) < F.col("fence_lo") || F.col(valueCol) > F.col("fence_hi"))
+      .drop("gr_group")
+  }
+
+  /** Per-group equi-width histogram: `bins` equal-width buckets spanning
+    * the group's own [min, max]; the max lands in the last bucket
+    * (half-open bins, closed at the top). Output: (group, bin, n) -
+    * empty bins are absent (join a spine if you need them as zeros;
+    * [[graft.ops.TimeOps.resampleGapFill]] shows the pattern).
+    *
+    * Same broadcast-aggregate shape as [[iqrOutliers]]: one group-sized
+    * min/max aggregate back onto the scan, then ONE shuffle on
+    * (group, bin) for the counts. The bin arithmetic is plain
+    * floor/divide so any engine reproduces the same buckets bit-for-bit
+    * (width_bucket's edge conventions differ across engines).
+    */
+  def equiWidthHistogram(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      bins: Int
+  ): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(!df.columns.contains("gr_group"),
+      "input already has a gr_group column; rename it before profiling")
+    val ranges = df.filter(F.col(valueCol).isNotNull)
+      .groupBy(F.col(groupCol).as("gr_group"))
+      .agg(min(F.col(valueCol)).cast(DoubleType).as("v_min"),
+        max(F.col(valueCol)).cast(DoubleType).as("v_max"))
+    df.filter(F.col(valueCol).isNotNull)
+      .join(broadcast(ranges), F.col(groupCol) <=> F.col("gr_group"))
+      .withColumn("bin",
+        // degenerate single-point group: everything in bin 0
+        when(F.col("v_max") === F.col("v_min"), lit(0))
+          .otherwise(least(
+            floor((F.col(valueCol).cast(DoubleType) - F.col("v_min")) /
+              ((F.col("v_max") - F.col("v_min")) / bins)),
+            lit(bins - 1).cast(LongType)))
+          .cast(IntegerType))
+      .groupBy(F.col(groupCol), F.col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

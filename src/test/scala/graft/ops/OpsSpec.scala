@@ -477,6 +477,35 @@ class OpsSpec extends SparkSpec {
     assert(r(3L) == 1.0)
   }
 
+  test("iqrOutliers: Tukey fences flag exactly the out-of-fence rows, per group") {
+    // group A: values 1..9 plus 100 -> q1=3.25, q3=7.75, iqr=4.5,
+    // fences [-3.5, 14.5] -> only 100 is out. group B: tight cluster,
+    // no outliers. NULL group: its own stratum (null-safe join).
+    val df = ((1 to 9).map(i => ("A", i.toDouble)) :+ ("A", 100.0)) ++
+      Seq(("B", 5.0), ("B", 6.0), ("B", 7.0), (null.asInstanceOf[String], 1.0))
+    val got = ProfileOps.iqrOutliers(df.toDF("g", "v"), "g", "v", 1.5)
+    val flagged = got.filter(col("is_outlier"))
+      .select("g", "v").as[(String, Double)].collect().toSet
+    assert(flagged == Set(("A", 100.0)))
+    assert(got.count() == 14, "every input row comes back, flagged or not")
+    val aFences = got.filter(col("g") === "A")
+      .select("fence_lo", "fence_hi").distinct().as[(Double, Double)].head()
+    assert(math.abs(aFences._1 - (-3.5)) < 1e-9 && math.abs(aFences._2 - 14.5) < 1e-9)
+  }
+
+  test("equiWidthHistogram: bucket edges, max in last bin, degenerate group, nulls dropped") {
+    val df = Seq(
+      ("A", Some(0.0)), ("A", Some(2.4)), ("A", Some(2.5)), ("A", Some(5.0)),
+      ("A", Some(9.9)), ("A", Some(10.0)),
+      ("B", Some(7.0)), ("B", Some(7.0)), // degenerate: min == max -> all bin 0
+      ("C", None: Option[Double])
+    ).toDF("g", "v")
+    val got = ProfileOps.equiWidthHistogram(df, "g", "v", bins = 4)
+      .as[(String, Int, Long)].collect().toSet
+    // A spans [0,10], width 2.5: 0->b0, 2.4->b0, 2.5->b1, 5.0->b2, 9.9->b3, 10.0(max)->b3
+    assert(got == Set(("A", 0, 2L), ("A", 1, 1L), ("A", 2, 1L), ("A", 3, 2L), ("B", 0, 2L)))
+  }
+
   test("compactChangelog: latest wins, ties broken, tombstone order decides presence") {
     val log = Seq(
       (1L, 10L, 1L, "upsert", "a"), // key 1: upsert then delete -> absent
