@@ -574,6 +574,20 @@ object SparkEntry {
           TextOps.subwordCount(col("text")).as("n_subwords")
         )
     },
+    "text_entropy" -> { (s, dir) =>
+      // character-level Shannon entropy (native codegen kernel): a
+      // scan-speed garbage/binary detector - fuses into the parquet scan
+      tbl(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(
+          col("doc_id"),
+          round(graft.functions.GraftFunctions.char_entropy(col("text")), 6).as("char_entropy"))
+    },
+    "text_kl" -> { (s, dir) =>
+      // unigram KL divergence of each doc against the corpus
+      // distribution - the "vocabulary typicality" outlier signal
+      TextOps.klDivergence(tbl(s, dir, "documents"), "doc_id", "text")
+    },
     "text_quality" -> ((s, dir) => TextOps.qualitySignals(tbl(s, dir, "documents"), "doc_id", "text")),
     "docs_token_budget" -> { (s, dir) =>
       // mixture control: cap each language's EXPECTED character volume
@@ -1127,6 +1141,19 @@ object SparkEntry {
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
       """)
     },
+    "q24_corr" -> { (s, dir) =>
+      // correlation / linear-regression aggregates per group: one
+      // map-side-combined pass (co-moment partials merge associatively,
+      // so this is a single shuffle of 5 doubles per group at any scale)
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"))
+    },
     "q16_full_outer" -> { (s, dir) =>
       // full outer join: reconcile a customer dimension slice against
       // per-customer order rollups - rows exist on either side alone
@@ -1621,6 +1648,32 @@ object SparkEntry {
         |       CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS INT) AS n_tokens,
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_subwords
         |FROM documents""".stripMargin,
+    "text_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |)
+        |SELECT doc_id, round(entropy(ch), 6) AS char_entropy
+        |FROM c GROUP BY doc_id""".stripMargin,
+    "text_kl" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                                    t -> t <> '')) AS token
+        |  FROM documents WHERE text IS NOT NULL
+        |), dc AS (
+        |  SELECT doc_id, token, count(*) AS c FROM tk GROUP BY 1, 2
+        |), dn AS (
+        |  SELECT doc_id, sum(c) AS n FROM dc GROUP BY 1
+        |), cc AS (
+        |  SELECT token, sum(c) AS cw FROM dc GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(cw) AS nw FROM cc
+        |)
+        |SELECT doc_id, CAST(max(n) AS INT) AS n_tokens,
+        |       round(CAST(sum(CAST(round((c / n) * ln((c / n) / (cw / nw)), 12)
+        |                          AS DECIMAL(32,12))) AS DOUBLE), 6) AS kl
+        |FROM dc JOIN dn USING (doc_id) JOIN cc USING (token) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
     "text_quality" ->
       s"""WITH base AS (
         |  SELECT doc_id, text,
@@ -2261,6 +2314,14 @@ object SparkEntry {
         |       count(*) AS n_rows
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin,
+    "q24_corr" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
     "docs_orc_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -106,6 +106,51 @@ object ExprKernels {
   def simhash(text: UTF8String): Long =
     graft.ops.DedupOps.simhashKernel(if (text == null) null else text.toString)
 
+  private val LN2 = math.log(2.0)
+
+  /** Shannon entropy (bits, log base 2) of the string's code-point
+    * distribution - the value DuckDB's `entropy()` aggregate yields over
+    * the string's characters, computed as H = log2(n) - (sum c*ln c)/n/ln 2
+    * so a single pass over a count map suffices. Empty string = 0 (one
+    * char has entropy 0 either way). Code points, not UTF-16 units: a
+    * surrogate pair counts as ONE symbol, matching any engine that
+    * iterates characters.
+    */
+  def charEntropy(text: UTF8String): Double = {
+    val str = text.toString
+    val len = str.length
+    if (len == 0) return 0.0
+    // ASCII fast path: the long tail of corpus text is one-byte chars;
+    // spill the rest to a map keyed by code point
+    val ascii = new Array[Int](128)
+    var rest: java.util.HashMap[Integer, Integer] = null
+    var i = 0
+    var n = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (rest == null) rest = new java.util.HashMap[Integer, Integer]()
+        val prev = rest.get(cp)
+        rest.put(cp, if (prev == null) 1 else prev + 1)
+      }
+      i += Character.charCount(cp)
+      n += 1
+    }
+    var acc = 0.0
+    var j = 0
+    while (j < 128) {
+      val c = ascii(j)
+      if (c > 1) acc += c * math.log(c.toDouble) // c == 1 contributes ln(1) = 0
+      j += 1
+    }
+    if (rest != null) {
+      val it = rest.values().iterator()
+      while (it.hasNext) { val c = it.next().toDouble; if (c > 1) acc += c * math.log(c) }
+    }
+    (math.log(n.toDouble) - acc / n) / LN2
+  }
+
   /** Fraction of agreeing positions between two equal-length signature
     * arrays - the MinHash Jaccard estimate. Null elements never agree;
     * a length mismatch compares only the common prefix against the
@@ -519,6 +564,27 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** `char_entropy(text)` - Shannon entropy in bits (log2) of the string's
+  * code-point distribution. A scan-speed garbage/binary detector:
+  * natural-language text sits in a narrow entropy band (~3.5-4.5 bits
+  * for English), while base64 blobs, minified code, and key-mash noise
+  * sit well above and single-char runs well below.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.charEntropy(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.charEntropy($c)")
+  override protected def withNewChildInternal(c: Expression): CharEntropy = copy(child = c)
+  override def prettyName: String = "char_entropy"
+}
+
 private[functions] object VecTypes {
   /** Some(true) = array<float>, Some(false) = array<double>, None = not a
     * numeric vector type this kernel accepts.
@@ -787,6 +853,9 @@ object GraftFunctions {
   def simhash64(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
 
+  def char_entropy(c: Column): Column =
+    Bridge.column(CharEntropy(Bridge.expression(c)))
+
   def sig_agree(a: Column, b: Column): Column =
     Bridge.column(SigAgree(Bridge.expression(a), Bridge.expression(b)))
 
@@ -828,6 +897,7 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("char_entropy", es => CharEntropy(es.head), "built-in")
     reg.createOrReplaceTempFunction("sig_agree", es => SigAgree(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinkler(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("jw_upper", es => JwUpper(es(0), es(1)), "built-in")
@@ -867,6 +937,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (es: Seq[Expression]) => CharEntropy(es.head)))
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

@@ -318,6 +318,49 @@ object TextOps {
           6).as("fluency"))
   }
 
+  /** Per-document KL divergence D(doc ‖ corpus) between the document's
+    * unigram token distribution and the whole corpus's - the standard
+    * "is this document's vocabulary typical" outlier signal for
+    * training-data curation (high KL = jargon, boilerplate, or
+    * wrong-language text; near 0 = corpus-typical). No smoothing is
+    * needed: the corpus distribution is built from these same documents,
+    * so q > 0 wherever p > 0.
+    *
+    * Scale shape mirrors [[bigramFluency]]: the corpus reduces ONCE to
+    * the compact (doc, token) count table (checkpointed - it feeds the
+    * doc totals, the corpus totals, and the final join without
+    * re-scanning the corpus); the corpus-frequency join happens at token
+    * granularity (AQE splits hot tokens) and the grand total arrives as
+    * a one-row broadcast. Per-token contributions are rounded to 12 dp
+    * and summed as DECIMAL so the per-doc sum is order-independent and
+    * replayable by any engine.
+    */
+  def klDivergence(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docCounts = tokenize(df.filter(F.col(textCol).isNotNull), idCol, textCol)
+      .groupBy(F.col(idCol), F.col("token"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val docTotals = docCounts.groupBy(F.col(idCol)).agg(sum("c").as("n"))
+    val corpusCounts = docCounts.groupBy("token").agg(sum("c").as("cw"))
+    val corpusTotal = corpusCounts.agg(sum("cw").as("nw"))
+    // p = c/n (doc), q = cw/nw (corpus); term = p * ln(p/q). The exact
+    // arithmetic shape (two divisions, a ratio, ln, multiply) is pinned:
+    // IEEE doubles make it bit-identical across engines.
+    docCounts
+      .join(docTotals, Seq(idCol))
+      .join(corpusCounts, Seq("token"))
+      .crossJoin(broadcast(corpusTotal))
+      .select(
+        F.col(idCol),
+        F.col("n"),
+        round((F.col("c") / F.col("n")) *
+          log((F.col("c") / F.col("n")) / (F.col("cw") / F.col("nw"))), 12).as("term"))
+      .groupBy(F.col(idCol))
+      .agg(
+        max(F.col("n")).cast(IntegerType).as("n_tokens"),
+        round(sum(F.col("term").cast(DecimalType(32, 12))).cast(DoubleType), 6).as("kl"))
+  }
+
   /** Order-sensitive 60-bit document fingerprint over normalized tokens -
     * cheap exact-dup key that ignores case/whitespace differences but not
     * word order. Tokens are space-joined and md5'd: the join is

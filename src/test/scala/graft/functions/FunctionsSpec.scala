@@ -24,6 +24,31 @@ class FunctionsSpec extends SparkSpec {
       assert(got(id) == DedupOps.simhashKernel(t), s"id=$id")
   }
 
+  test("char_entropy: hand-computed values, code-point counting, empty/uniform edge cases") {
+    // "aab": p = {2/3, 1/3} -> H = -(2/3 log2 2/3 + 1/3 log2 1/3) = 0.91829...
+    val h3 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) / math.log(2.0)
+    val rows = Seq(
+      (1L, "aab"), (2L, ""), (3L, "zzzz"), (4L, "abcd"),
+      // one astral code point (U+1F600) twice + 'x' twice: 2 symbols, H = 1
+      (5L, "😀x😀x"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = rows.select($"id", GraftFunctions.char_entropy($"text").as("h"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(math.abs(got(1L).get - h3) < 1e-12)
+    assert(got(2L).get == 0.0, "empty string")
+    assert(got(3L).get == 0.0, "single repeated char")
+    assert(got(4L).get == 2.0, "4 equally likely chars = 2 bits")
+    assert(got(5L).get == 1.0, "surrogate pair counts as ONE symbol")
+    assert(got(6L).isEmpty, "null in, null out")
+    // SQL registration path
+    GraftFunctions.register(spark)
+    rows.createOrReplaceTempView("ce_docs")
+    val viaSql = spark.sql("SELECT id, char_entropy(text) FROM ce_docs WHERE id = 4")
+      .as[(Long, Double)].head()
+    assert(viaSql == ((4L, 2.0)))
+  }
+
   test("minhash_sig: deterministic, identical for identical text, 64 longs") {
     val sigs = docs.select($"id", GraftFunctions.minhash_sig($"text")).as[(Long, Seq[Long])]
       .collect().toMap

@@ -477,6 +477,25 @@ class OpsSpec extends SparkSpec {
     assert(r(3L) == 1.0)
   }
 
+  test("klDivergence: hand-computed divergences; single-doc corpus scores exactly 0") {
+    // corpus counts: a:2, b:2, c:1 (N=5) -> q = {a:0.4, b:0.4, c:0.2}
+    val df = Seq((1L, "a a b"), (2L, "b c"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.klDivergence(df, "doc_id", "text")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L, 2L), "null-text doc excluded")
+    val kl1 = 2.0 / 3 * math.log((2.0 / 3) / 0.4) + 1.0 / 3 * math.log((1.0 / 3) / 0.4)
+    val kl2 = 0.5 * math.log(0.5 / 0.4) + 0.5 * math.log(0.5 / 0.2)
+    assert(got(1L)._1 == 3 && math.abs(got(1L)._2 - kl1) < 1e-6)
+    assert(got(2L)._1 == 2 && math.abs(got(2L)._2 - kl2) < 1e-6)
+    assert(got.values.forall(_._2 >= 0.0), "KL vs the pooled corpus is non-negative")
+    // a single doc IS the corpus distribution -> divergence exactly 0
+    val solo = TextOps.klDivergence(
+      Seq((9L, "x y x")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Int, Double)].head()
+    assert(solo == ((9L, 3, 0.0)))
+  }
+
   test("iqrOutliers: Tukey fences flag exactly the out-of-fence rows, per group") {
     // group A: values 1..9 plus 100 -> q1=3.25, q3=7.75, iqr=4.5,
     // fences [-3.5, 14.5] -> only 100 is out. group B: tight cluster,
