@@ -805,6 +805,37 @@ object SparkEntry {
     "events_sessionize" -> { (s, dir) =>
       StreamOps.sessionize(events(s, dir), gapMinutes = 30)
     },
+    "events_sliding" -> { (s, dir) =>
+      // sliding-window aggregation: 1h windows every 15min (each event
+      // lands in 4 windows - the overlap is the point: smooth rates)
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    },
+    "events_funnel" -> { (s, dir) =>
+      // ordered conversion funnel view -> click -> purchase (strictly
+      // increasing timestamps; chain stops at the first missing stage)
+      TimeOps.funnel(events(s, dir), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .select(
+          col("user_id"),
+          date_format(col("t_view"), "yyyy-MM-dd HH:mm:ss").as("t_view"),
+          date_format(col("t_click"), "yyyy-MM-dd HH:mm:ss").as("t_click"),
+          date_format(col("t_purchase"), "yyyy-MM-dd HH:mm:ss").as("t_purchase"))
+    },
+    "events_cohort" -> { (s, dir) =>
+      // retention cohorts: users bucketed by first-seen day, distinct
+      // active users per (cohort day, day offset)
+      TimeOps.cohortRetention(events(s, dir), "user_id", "ts")
+        .select(
+          date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+    },
     "events_outliers" -> { (s, dir) =>
       // Tukey-fence outlier pass per event type: quartile fences from a
       // group-sized aggregate broadcast onto a scan-speed comparison
@@ -1767,6 +1798,41 @@ object SparkEntry {
         |       event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sliding" ->
+      """WITH x AS (
+        |  SELECT event_type, value,
+        |         make_timestamp((epoch_us(ts) // 900000000 - k) * 900000000) AS ws
+        |  FROM events, unnest(generate_series(0, 3)) t(k)
+        |)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2""".stripMargin,
+    "events_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1
+        |)
+        |SELECT v.user_id,
+        |       strftime(v.tv, '%Y-%m-%d %H:%M:%S') AS t_view,
+        |       strftime(c.tc, '%Y-%m-%d %H:%M:%S') AS t_click,
+        |       strftime(p.tp, '%Y-%m-%d %H:%M:%S') AS t_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+    "events_cohort" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY 1
+        |)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |       CAST(date_diff('day', cohort_day, CAST(ts AS DATE)) AS INT) AS day_offset,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "events_resample" ->
       """WITH b AS (
         |  SELECT user_id, epoch_ms(ts) // 1000 // 3600 AS bin,

@@ -62,4 +62,66 @@ object TimeOps {
         coalesce(F.col("sum_value"), lit(0.0)).as("sum_value"),
         F.col("n_events").isNull.as("is_gap"))
   }
+
+  /** Ordered conversion funnel: for every entity that performed
+    * `stages(0)`, the earliest strictly-increasing chain of stage
+    * timestamps - t(i+1) is the first `stages(i+1)` event AFTER t(i),
+    * so an out-of-order occurrence (a click before the first view)
+    * never converts. Output: (entity, t_<stage0>, t_<stage1>, ...),
+    * later stages NULL where the chain stops. The product-analytics
+    * primitive behind every "view -> cart -> purchase" report.
+    *
+    * Scale shape: one filtered min-aggregate per stage, each an
+    * equi-shuffle on the entity key; the stage frames are entity-sized
+    * (<= one row per entity), so every join after the first is between
+    * already-reduced frames on the SAME key - Catalyst reuses the
+    * partitioning, and the raw corpus is scanned once per stage with
+    * the stage filter pushed to the scan. No windows over the full
+    * event stream, no per-entity event lists in memory.
+    */
+  def funnel(
+      df: DataFrame,
+      entityCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]
+  ): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct == stages, s"stages must be distinct, got $stages")
+    val first = df.filter(F.col(typeCol) === stages.head)
+      .groupBy(F.col(entityCol))
+      .agg(min(F.col(tsCol)).as(s"t_${stages.head}"))
+    stages.tail
+      .foldLeft((first, s"t_${stages.head}")) { case ((acc, prevT), stage) =>
+        val tCol = s"t_$stage"
+        val next = df.filter(F.col(typeCol) === stage)
+          .join(acc.select(F.col(entityCol), F.col(prevT)), Seq(entityCol))
+          .filter(F.col(tsCol) > F.col(prevT))
+          .groupBy(F.col(entityCol))
+          .agg(min(F.col(tsCol)).as(tCol))
+        (acc.join(next, Seq(entityCol), "left"), tCol)
+      }
+      ._1
+  }
+
+  /** Retention cohorts: entities grouped by first-seen day, with the
+    * count of distinct entities active at each day offset from their
+    * cohort day (offset 0 = the cohort day itself; every cohort has it).
+    *
+    * Scale shape: the first-seen frame is ONE aggregate on the entity
+    * key, and the enrichment join hits the event stream on that same
+    * key; the final (cohort_day, offset) aggregate is days x offsets -
+    * tiny at any corpus size. countDistinct shuffles (entity, day)
+    * pairs, already deduplicated map-side by the partial aggregate.
+    */
+  def cohortRetention(df: DataFrame, entityCol: String, tsCol: String): DataFrame = {
+    val firstSeen = df.groupBy(F.col(entityCol))
+      .agg(to_date(min(F.col(tsCol))).as("cohort_day"))
+    df.select(F.col(entityCol), to_date(F.col(tsCol)).as("active_day"))
+      .join(firstSeen, Seq(entityCol))
+      .groupBy(
+        F.col("cohort_day"),
+        datediff(F.col("active_day"), F.col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(F.col(entityCol)).as("n_users"))
+  }
 }

@@ -477,6 +477,41 @@ class OpsSpec extends SparkSpec {
     assert(r(3L) == 1.0)
   }
 
+  test("funnel: strict ordering, out-of-order events never convert, chain stops at gaps") {
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full chain
+      // click@5 precedes the first view -> doesn't count; purchase@12
+      // precedes the qualifying click@15 -> chain stops
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "purchase", 12L), (2L, "click", 15L),
+      (3L, "purchase", 1L), // no view at all -> not in the funnel
+      (4L, "view", 10L), (4L, "click", 10L) // tie is NOT strictly after
+    ).toDF("u", "et", "sec").withColumn("ts", timestamp_seconds(col("sec")))
+    val got = TimeOps.funnel(ev, "u", "et", "ts", Seq("view", "click", "purchase"))
+      .select(col("u"), unix_timestamp(col("t_view")), unix_timestamp(col("t_click")),
+        unix_timestamp(col("t_purchase")))
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L))
+    assert(got(1L) == ((Some(10L), Some(20L), Some(30L))))
+    assert(got(2L) == ((Some(10L), Some(15L), None)))
+    assert(got(4L) == ((Some(10L), None, None)))
+  }
+
+  test("cohortRetention: first-seen day buckets, per-offset distinct counts") {
+    val day = 86400L
+    val ev = Seq(
+      (1L, 0L), (1L, day + 5L),            // cohort d0, active offsets 0 and 1
+      (2L, 10L), (2L, 2 * day),            // cohort d0, active offsets 0 and 2
+      (3L, day), (3L, day + 100L)          // cohort d1, active offset 0 (twice -> one)
+    ).toDF("u", "sec").withColumn("ts", timestamp_seconds(col("sec")))
+    val got = TimeOps.cohortRetention(ev, "u", "ts")
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd"), col("day_offset"), col("n_users"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(
+      ("1970-01-01", 0, 2L), ("1970-01-01", 1, 1L), ("1970-01-01", 2, 1L),
+      ("1970-01-02", 0, 1L)))
+  }
+
   test("klDivergence: hand-computed divergences; single-doc corpus scores exactly 0") {
     // corpus counts: a:2, b:2, c:1 (N=5) -> q = {a:0.4, b:0.4, c:0.2}
     val df = Seq((1L, "a a b"), (2L, "b c"), (3L, null.asInstanceOf[String]))
