@@ -574,6 +574,22 @@ object SparkEntry {
           TextOps.subwordCount(col("text")).as("n_subwords")
         )
     },
+    "text_normalize" -> { (s, dir) =>
+      // canonicalization stage: NFC (codegen expr) -> lower -> collapse
+      // whitespace -> trim; the whole chain fuses into the parquet scan
+      tbl(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.normalize(col("text")).as("norm_text"))
+        .withColumn("norm_len", length(col("norm_text")))
+    },
+    "text_oov" -> { (s, dir) =>
+      // vocabulary coverage against the corpus's own top-16 token types
+      // (the synthetic corpus has ~31 types total, so a 16-type cut
+      // leaves real OOV mass; production V would be 10k-100k - the
+      // vocab stays broadcast-sized either way)
+      TextOps.vocabOov(tbl(s, dir, "documents"), "doc_id", "text", vocabSize = 16)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"), col("oov_rate"))
+    },
     "text_entropy" -> { (s, dir) =>
       // character-level Shannon entropy (native codegen kernel): a
       // scan-speed garbage/binary detector - fuses into the parquet scan
@@ -1201,6 +1217,20 @@ object SparkEntry {
           coalesce(cu("c_custkey"), co("o_custkey")).as("custkey"),
           when(cu("c_custkey").isNotNull, lit(1)).otherwise(lit(0)).as("in_customer"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    },
+    "graph_pagerank" -> { (s, dir) =>
+      // link-analysis corpus weighting: PageRank over the who-buys-from-
+      // whom graph (customer<->supplier edges from orders x lineitem,
+      // node ids disambiguated by parity). 10 integer-arithmetic rounds -
+      // bit-exact under any aggregation order (GraphOps.pageRank), which
+      // is what lets a second engine replay it to an exact hash
+      val ord = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      GraphOps.pageRank(edges, "src", "dst", iterations = 10)
+        .select(col("node").as("node_id"), col("rank_int"))
     }
   )
 
@@ -1679,6 +1709,28 @@ object SparkEntry {
         |       CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS INT) AS n_tokens,
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_subwords
         |FROM documents""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(lower(nfc_normalize(text)),
+        |                           '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm_text,
+        |       CAST(length(trim(regexp_replace(lower(nfc_normalize(text)),
+        |                                       '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS INT) AS norm_len
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    "text_oov" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                                    t -> t <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL
+        |), v AS (
+        |  SELECT tok FROM (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1)
+        |  ORDER BY cnt DESC, tok ASC LIMIT 16
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END)
+        |            AS BIGINT) AS n_oov,
+        |       round(CAST(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END)
+        |                  AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM tk GROUP BY doc_id""".stripMargin,
     "text_entropy" ->
       """WITH c AS (
         |  SELECT doc_id, unnest(string_split(text, '')) AS ch
@@ -2419,6 +2471,35 @@ object SparkEntry {
         |FROM (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0) cu
         |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
         |                 FROM orders GROUP BY o_custkey) co
-        |ON cu.c_custkey = co.o_custkey""".stripMargin
+        |ON cu.c_custkey = co.o_custkey""".stripMargin,
+    "graph_pagerank" -> pagerankOracleSql
   )
+
+  // full replay of GraphOps.pageRank's 10 integer-arithmetic rounds as
+  // 10 unrolled CTEs (DuckDB forbids aggregates in a recursive CTE's
+  // recursive term). `//` floors like Spark's `div` on the all-positive
+  // ranks; DuckDB's sum(BIGINT) widens to HUGEINT, so each round casts
+  // back to BIGINT to keep the typed hash aligned.
+  private def pagerankOracleSql: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |         CAST(150000000 + (85 * sum(p.r // d.deg)) // 100 AS BIGINT) AS r
+         |  FROM r${i - 1} p JOIN deg d USING (node) JOIN e ON e.src = p.node
+         |  GROUP BY 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+       |                  CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |), e AS (
+       |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+       |), deg AS (
+       |  SELECT src AS node, count(*) AS deg FROM e GROUP BY 1
+       |), r0 AS (
+       |  SELECT node, CAST(1000000000 AS BIGINT) AS r FROM deg
+       |), $rounds
+       |SELECT node AS node_id, r AS rank_int FROM r10""".stripMargin
+  }
 }

@@ -151,6 +151,18 @@ object ExprKernels {
     (math.log(n.toDouble) - acc / n) / LN2
   }
 
+  /** Unicode NFC normalization. Fast path: `isNormalized` is a
+    * no-allocation scan (quick-check property), and nearly all corpus
+    * text is already NFC - the input UTF8String is returned as-is and
+    * only denormalized rows pay the String round-trip.
+    */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val str = text.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Fraction of agreeing positions between two equal-length signature
     * arrays - the MinHash Jaccard estimate. Null elements never agree;
     * a length mismatch compares only the common prefix against the
@@ -585,6 +597,26 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
   override def prettyName: String = "char_entropy"
 }
 
+/** `nfc_normalize(text)` - Unicode NFC canonical composition, the one
+  * text-preprocessing primitive Spark has no builtin for (DuckDB:
+  * `nfc_normalize`; reference pipelines normalize before tokenizing so
+  * "é" composed and "e"+U+0301 decomposed dedup as the same word).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = child.dataType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.nfcNormalize(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+  override def prettyName: String = "nfc_normalize"
+}
+
 private[functions] object VecTypes {
   /** Some(true) = array<float>, Some(false) = array<double>, None = not a
     * numeric vector type this kernel accepts.
@@ -856,6 +888,9 @@ object GraftFunctions {
   def char_entropy(c: Column): Column =
     Bridge.column(CharEntropy(Bridge.expression(c)))
 
+  def nfc_normalize(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
+
   def sig_agree(a: Column, b: Column): Column =
     Bridge.column(SigAgree(Bridge.expression(a), Bridge.expression(b)))
 
@@ -898,6 +933,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("char_entropy", es => CharEntropy(es.head), "built-in")
+    reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("sig_agree", es => SigAgree(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinkler(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("jw_upper", es => JwUpper(es(0), es(1)), "built-in")
@@ -941,6 +977,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("char_entropy"),
       new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
       (es: Seq[Expression]) => CharEntropy(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

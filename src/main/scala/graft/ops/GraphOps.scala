@@ -151,6 +151,64 @@ object GraphOps {
       StructType(Seq(StructField("id", dt), StructField("cluster_id", dt))))
   }
 
+  /** PageRank over an undirected edge list in fixed-point INTEGER
+    * arithmetic - the corpus-weighting companion to
+    * [[connectedComponents]] (rank web-ish sources by link structure
+    * before sampling a training mixture). Each vertex starts with
+    * `unit` mass; one round sends `r div deg` along every edge and
+    * renews each vertex at `0.15*unit + 0.85*inflow`, all in integer
+    * (floor) division.
+    *
+    * Integer arithmetic is the determinism contract: long sums are
+    * associative, so the result is bit-identical regardless of
+    * partitioning or aggregation order - float PageRank would differ in
+    * the last ulp run-to-run and could never hash-match a second
+    * engine. Overflow bound: `85 * n_vertices * unit` must fit a long,
+    * so the default unit=1e9 is safe to ~1e8 vertices; shrink `unit`
+    * for larger graphs (precision loss is 1 part in `unit/deg`).
+    *
+    * Scale shape: per round, one node-sized equi-join (ranks x degrees),
+    * one edge-sized equi-join shuffling on `src`, one aggregation on
+    * `dst`; the edge list is symmetrized + deduplicated ONCE up front
+    * and `localCheckpoint` caps lineage per round, the same driver-loop
+    * discipline as the CC loops. Vertices touch no driver state.
+    *
+    * Output: one row per distinct vertex: (node, rank_int).
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 10,
+      unit: Long = 1000000000L
+  ): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(unit > 0, s"unit must be positive, got $unit")
+    val sym = edges.select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
+      .filter(F.col("src").isNotNull && F.col("dst").isNotNull)
+      .localCheckpoint()
+    val und = sym.union(sym.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    // symmetrized: every vertex appears as a src, so deg doubles as the
+    // vertex set and no vertex dangles (inflow is never empty)
+    val deg = und.groupBy(F.col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val restart = 15L * unit / 100L
+    var ranks = deg.select(F.col("node"), lit(unit).as("r"))
+    for (_ <- 0 until iterations) {
+      val contrib = ranks.join(deg, Seq("node"))
+        .select(F.col("node"), expr("r div deg").as("c"))
+      ranks = und.join(contrib, und("src") === contrib("node"))
+        .groupBy(und("dst").as("node"))
+        .agg(sum(F.col("c")).as("s"))
+        .select(F.col("node"), (lit(restart) + expr("(85 * s) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(F.col("node"), F.col("r").as("rank_int"))
+  }
+
   /** Connected components by alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) - the giant-component complement to

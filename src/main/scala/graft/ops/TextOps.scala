@@ -31,6 +31,54 @@ object TextOps {
   def tokenize(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(F.col(idCol), posexplode(DedupOps.tokens(F.col(textCol))).as(Seq("pos", "token")))
 
+  /** Canonical text normalization: Unicode NFC composition (native
+    * codegen expression - composed "é" and decomposed "e"+U+0301
+    * become one word), lowercase, whitespace runs collapsed to a single
+    * space, ends trimmed. The standard first stage of a curation
+    * pipeline: every downstream exact-dedup hash, shingle, and token
+    * depends on this canonicalization being deterministic.
+    *
+    * Pure column expression chain - fuses into the parquet scan
+    * (whole-stage codegen, no shuffle, no UDF).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      lower(graft.functions.GraftFunctions.nfc_normalize(text)),
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
+
+  /** Vocabulary coverage: per-document token and out-of-vocabulary
+    * counts against the corpus's own top-`vocabSize` token types
+    * (frequency desc, token asc on ties - fully deterministic). High
+    * OOV rate flags mis-tokenized, non-target-language, or garbage
+    * documents; the vocabulary itself is the input to subword-tokenizer
+    * training. Documents with no tokens (null/blank text) are absent
+    * from the output.
+    *
+    * Scale shape: token counting is one map-side-combined aggregate on
+    * the token type (type-table-sized, like the bigram LM); the top-V
+    * cut is a TakeOrdered of the type table, V rows; the vocabulary
+    * joins back BROADCAST, so the per-document pass is one scan plus
+    * one aggregate on the doc id - no corpus-sized shuffle beyond it.
+    *
+    * Output: (id, n_tokens, n_oov, oov_rate rounded to 6dp).
+    */
+  def vocabOov(df: DataFrame, idCol: String, textCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val toks = df.filter(F.col(textCol).isNotNull)
+      .select(F.col(idCol).as("id"), explode(DedupOps.tokens(F.col(textCol))).as("tok"))
+    val vocab = toks.groupBy(F.col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(F.col("cnt").desc, F.col("tok").asc)
+      .limit(vocabSize)
+      .select(F.col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(F.col("id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(F.col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(F.col("id"), F.col("n_tokens"), F.col("n_oov"),
+        round(F.col("n_oov").cast(DoubleType) / F.col("n_tokens"), 6).as("oov_rate"))
+  }
+
   /** Sound (lossless) length-band prefilter for `jaro_winkler(a, b) >=
     * threshold`: evaluates to true for EVERY pair that can reach the
     * threshold, using only the two byte lengths - so it runs before the

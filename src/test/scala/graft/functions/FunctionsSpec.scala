@@ -49,6 +49,31 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql == ((4L, 2.0)))
   }
 
+  test("nfc_normalize: composes decomposed sequences, idempotent, null-safe") {
+    val composed = "café"              // é as one code point
+    val decomposed = "café"           // e + COMBINING ACUTE ACCENT
+    val rows = Seq(
+      (1L, decomposed), (2L, composed), (3L, "plain ascii"),
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      // Hangul: conjoining jamo compose to a precomposed syllable
+      (6L, "가")
+    ).toDF("id", "text")
+    val got = rows.select($"id", GraftFunctions.nfc_normalize($"text").as("t"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).get == composed, "decomposed input composes")
+    assert(got(2L).get == composed, "already-NFC input unchanged (idempotent)")
+    assert(got(3L).get == "plain ascii")
+    assert(got(4L).get == "")
+    assert(got(5L).isEmpty, "null in, null out")
+    assert(got(6L).get == "가", "jamo sequence composes to syllable GA")
+    // SQL registration path
+    GraftFunctions.register(spark)
+    rows.createOrReplaceTempView("nfc_docs")
+    val viaSql = spark.sql("SELECT nfc_normalize(text) FROM nfc_docs WHERE id = 1")
+      .as[String].head()
+    assert(viaSql == composed)
+  }
+
   test("minhash_sig: deterministic, identical for identical text, 64 longs") {
     val sigs = docs.select($"id", GraftFunctions.minhash_sig($"text")).as[(Long, Seq[Long])]
       .collect().toMap

@@ -184,6 +184,66 @@ class OpsSpec extends SparkSpec {
     assert(rounds <= 12, s"rounds=$rounds - star contraction should need ~log2(64)=6, not ~63")
   }
 
+  test("normalize: NFC + lowercase + whitespace collapse + trim") {
+    val rows = Seq(
+      (1L, "  Hello\t\tWorld \n"),
+      (2L, "café TIME"), // decomposed e + U+0301 -> composed, lowered
+      (3L, "already clean"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = rows.select($"id", TextOps.normalize($"text").as("t"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).get == "hello world")
+    assert(got(2L).get == "café time")
+    assert(got(3L).get == "already clean")
+    assert(got(4L).isEmpty)
+  }
+
+  test("vocabOov: top-V vocabulary with deterministic ties, per-doc OOV counts") {
+    // counts: "a":3, "b":2, "c":2, "d":1 -> V=2 vocab = {a, b} (c ties b
+    // on count, loses on token order)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a d"),
+      (4L, null.asInstanceOf[String]), (5L, "   ")
+    ).toDF("doc_id", "text")
+    val got = TextOps.vocabOov(docs, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "null/blank docs absent")
+    assert(got(1L) == ((3L, 1L, 0.333333))) // c is OOV
+    assert(got(2L) == ((3L, 1L, 0.333333)))
+    assert(got(3L) == ((2L, 1L, 0.5))) // d is OOV
+  }
+
+  test("pageRank: hand-computed path graph, integer rounds are exact") {
+    // path 1-2-3, unit=100: deg = {1:1, 2:2, 3:1}, restart = 15
+    // round 1: c = {1:100, 2:50, 3:100}
+    //   r(1) = 15 + 85*50  div 100 = 57; r(2) = 15 + 85*200 div 100 = 185; r(3) = 57
+    // round 2: c = {1:57, 2:92, 3:57}
+    //   r(1) = 15 + 85*92  div 100 = 93; r(2) = 15 + 85*114 div 100 = 111; r(3) = 93
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = GraphOps.pageRank(edges, "a", "b", iterations = 2, unit = 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 93L, 2L -> 111L, 3L -> 93L))
+    // 0 iterations: every vertex sits at its initial unit mass
+    val init = GraphOps.pageRank(edges, "a", "b", iterations = 0, unit = 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(init == Map(1L -> 100L, 2L -> 100L, 3L -> 100L))
+  }
+
+  test("pageRank: null endpoints drop, duplicate/reversed edges collapse, center outranks leaves") {
+    val edges = Seq(
+      (Some(1L), Some(2L)), (Some(2L), Some(1L)), (Some(1L), Some(2L)), // one undirected edge
+      (Some(1L), Some(3L)), (Some(1L), Some(4L)),                       // star centered at 1
+      (None, Some(9L)), (Some(9L), None)                                // no connectivity
+    ).toDF("a", "b")
+    val got = GraphOps.pageRank(edges, "a", "b", iterations = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L)) // 9 never enters the graph
+    assert(got(2L) == got(3L) && got(3L) == got(4L)) // symmetric leaves tie exactly
+    assert(got(1L) > got(2L)) // hub collects 3 inflows per round
+  }
+
   test("connectedComponents: empty edge list yields empty result, no NPE") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(GraphOps.connectedComponents(empty, "id_a", "id_b").count() == 0)
