@@ -180,31 +180,55 @@ object GraphOps {
       srcCol: String,
       dstCol: String,
       iterations: Int = 10,
-      unit: Long = 1000000000L
+      unit: Long = 1000000000L,
+      broadcastNodeLimit: Long = 1L << 22
   ): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(unit > 0, s"unit must be positive, got $unit")
     val sym = edges.select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
       .filter(F.col("src").isNotNull && F.col("dst").isNotNull)
       .localCheckpoint()
-    val und = sym.union(sym.select(F.col("dst").as("src"), F.col("src").as("dst")))
+    // ONE edge shuffle total: hash on dst alone satisfies the distinct's
+    // (src, dst) clustering requirement (subset clustering), so the
+    // dedup runs in the repartition's partitions - and every later
+    // per-round aggregation on dst reuses this same partitioning
+    val edgesByDst = sym
+      .union(sym.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      .repartition(F.col("dst"))
       .distinct()
       .localCheckpoint()
     // symmetrized: every vertex appears as a src, so deg doubles as the
     // vertex set and no vertex dangles (inflow is never empty)
-    val deg = und.groupBy(F.col("src").as("node"))
+    val deg = edgesByDst.groupBy(F.col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint()
+    // rank state is NODE-sized - tiny next to the edge list. Under the
+    // size guard, broadcast the per-round contributions: each round is
+    // then a broadcast join plus an aggregation that REUSES the edge
+    // partitioning - zero per-round edge shuffles (vs 2 per round on the
+    // fallback path). Graphs whose node table itself is too big to
+    // broadcast take the shuffled path.
+    val smallRanks = deg.count() <= broadcastNodeLimit // free: deg materialized
     val restart = 15L * unit / 100L
     var ranks = deg.select(F.col("node"), lit(unit).as("r"))
-    for (_ <- 0 until iterations) {
+    for (i <- 0 until iterations) {
       val contrib = ranks.join(deg, Seq("node"))
-        .select(F.col("node"), expr("r div deg").as("c"))
-      ranks = und.join(contrib, und("src") === contrib("node"))
-        .groupBy(und("dst").as("node"))
+        .select(F.col("node").as("src"), expr("r div deg").as("c"))
+      val joined =
+        if (smallRanks) edgesByDst.join(broadcast(contrib), Seq("src"))
+        else edgesByDst.join(contrib, Seq("src"))
+      ranks = joined
+        .groupBy(F.col("dst").as("node"))
         .agg(sum(F.col("c")).as("s"))
         .select(F.col("node"), (lit(restart) + expr("(85 * s) div 100")).as("r"))
-        .localCheckpoint()
+      // fixed iteration count = no per-round convergence probe, so no
+      // per-round action either: materialize only every third round to
+      // cap plan depth (the edge table re-enters the plan each round;
+      // unbounded, analysis cost grows superlinearly). The rounds in
+      // between fuse into ONE query whose nested broadcast subtrees each
+      // execute once - measured faster than both per-round checkpoints
+      // and a fully fused 10-round plan.
+      if (i % 3 == 2 && i != iterations - 1) ranks = ranks.localCheckpoint()
     }
     ranks.select(F.col("node"), F.col("r").as("rank_int"))
   }
