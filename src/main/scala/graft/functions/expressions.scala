@@ -193,6 +193,30 @@ object ExprKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct character n-grams (code-point windows, first-occurrence
+    * order - the same contract as array_distinct over substring windows)
+    * as one codegen kernel call: the trigram-index build runs this over
+    * every corpus row, where the transform/sequence/array_distinct
+    * expression tree it replaces is interpreted per element and breaks
+    * whole-stage codegen.
+    */
+  def charGrams(text: UTF8String, n: Int): ArrayData = {
+    val str = text.toString
+    val cps = str.codePoints().toArray
+    if (cps.length < n) return new GenericArrayData(new Array[Any](0))
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= cps.length) {
+      seen.add(new String(cps, i, n))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Dot product of two numeric arrays, accumulated in double in element
     * order - matching the `aggregate(zip_with(...))` formulation it
     * replaces on ALL inputs (those higher-order functions are
@@ -559,6 +583,22 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "shingles"
 }
 
+/** `char_grams(text, n)` - distinct character n-grams as array<string>. */
+case class CharGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.charGrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.charGrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): CharGrams = copy(child = c)
+  override def prettyName: String = "char_grams"
+}
+
 /** `simhash64(text)` - 64-bit SimHash fingerprint. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
@@ -870,6 +910,12 @@ object GraftFunctions {
       s"shingles(text, nLiteral); got ${es.length} args")
   }
 
+  private[functions] val charGramsBuilder: Seq[Expression] => Expression = {
+    case Seq(c, Literal(n: Int, IntegerType)) => CharGrams(c, n)
+    case es => throw new IllegalArgumentException(
+      s"char_grams(text, nLiteral); got ${es.length} args")
+  }
+
   private[functions] val greedyPackBuilder: Seq[Expression] => Expression = {
     case Seq(sizes, Literal(b: Int, IntegerType)) => GreedyPack(sizes, b)
     // two args but a non-literal / non-int budget: say so, not "got 2 args"
@@ -902,6 +948,9 @@ object GraftFunctions {
 
   def shingles(c: Column, n: Int): Column =
     Bridge.column(Shingles(Bridge.expression(c), n))
+
+  def char_grams(c: Column, n: Int): Column =
+    Bridge.column(CharGrams(Bridge.expression(c), n))
 
   def vec_dot(a: Column, b: Column): Column =
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
@@ -939,6 +988,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("jw_upper", es => JwUpper(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("greedy_pack", greedyPackBuilder, "built-in")
     reg.createOrReplaceTempFunction("shingles", shinglesBuilder, "built-in")
+    reg.createOrReplaceTempFunction("char_grams", charGramsBuilder, "built-in")
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "built-in")
     reg.createOrReplaceTempFunction("rh_bucket", {
@@ -1001,6 +1051,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "shingles"),
       GraftFunctions.shinglesBuilder))
+    e.injectFunction((
+      FunctionIdentifier("char_grams"),
+      new ExpressionInfo(classOf[CharGrams].getName, "char_grams"),
+      GraftFunctions.charGramsBuilder))
     e.injectFunction((
       FunctionIdentifier("jw_upper"),
       new ExpressionInfo(classOf[JwUpper].getName, "jw_upper"),

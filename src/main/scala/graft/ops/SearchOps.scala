@@ -22,16 +22,13 @@ import org.apache.spark.sql.types._
 object SearchOps {
 
   /** All distinct character trigrams of `c` (lowercased input expected
-    * from callers; empty/short strings yield an empty array).
+    * from callers; empty/short strings yield an empty array). One
+    * codegen kernel call - the transform/sequence/array_distinct tree
+    * it replaces was interpreted per element, and this runs over every
+    * corpus row in the index build.
     */
   private def trigrams(c: Column): Column =
-    // explicit length guard: sequence(1, 0) would generate DESCENDING
-    // [1, 0], not an empty range
-    when(length(c) >= 3,
-      array_distinct(transform(
-        sequence(lit(1), length(c) - lit(2)),
-        i => c.substr(i, lit(3)))))
-      .otherwise(array().cast(ArrayType(StringType)))
+    graft.functions.GraftFunctions.char_grams(c, 3)
 
   /** Build the inverted index: one (gram, id) posting per distinct
     * trigram per document, over the LOWERCASED text (search is

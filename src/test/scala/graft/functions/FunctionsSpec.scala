@@ -74,6 +74,37 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql == composed)
   }
 
+  test("char_grams: distinct code-point windows in first-occurrence order") {
+    val rows = Seq(
+      (1L, "abcab"),   // windows: abc, bca, cab (all distinct)
+      (2L, "aaaa"),    // windows: aaa x2 -> one
+      (3L, "ab"),      // shorter than n -> empty
+      (4L, ""),
+      (5L, null.asInstanceOf[String]),
+      (6L, "😀x😀x😀") // astral pairs count as ONE code point each
+    ).toDF("id", "text")
+    val got = rows.select($"id", GraftFunctions.char_grams($"text", 3).as("g"))
+      .as[(Long, Option[Seq[String]])].collect().toMap
+    assert(got(1L).get == Seq("abc", "bca", "cab"))
+    assert(got(2L).get == Seq("aaa"))
+    assert(got(3L).get == Seq.empty)
+    assert(got(4L).get == Seq.empty)
+    assert(got(5L).isEmpty, "null in, null out")
+    assert(got(6L).get == Seq("😀x😀", "x😀x"), "5 code points -> 3 windows, 2 distinct")
+    // matches the expression tree it replaced, on a mixed fixture
+    val texts = Seq("hello world", "aa", "abcabcabc", "xyzxy").toDF("t")
+    // the guard mirrors the replaced production tree: sequence(1, 0)
+    // generates DESCENDING [1, 0], not an empty range
+    val viaTree = texts.select(
+      when(length($"t") >= 3,
+        array_distinct(transform(sequence(lit(1), length($"t") - lit(2)),
+          i => $"t".substr(i, lit(3)))))
+        .otherwise(array().cast("array<string>")).as("g")).as[Seq[String]].collect()
+    val viaKernel = texts.select(GraftFunctions.char_grams($"t", 3).as("g"))
+      .as[Seq[String]].collect()
+    assert(viaTree.toSeq == viaKernel.toSeq)
+  }
+
   test("minhash_sig: deterministic, identical for identical text, 64 longs") {
     val sigs = docs.select($"id", GraftFunctions.minhash_sig($"text")).as[(Long, Seq[Long])]
       .collect().toMap
