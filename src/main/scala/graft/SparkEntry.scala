@@ -852,6 +852,19 @@ object SparkEntry {
           date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
           col("day_offset"), col("n_users"))
     },
+    "stream_heavyhitters" -> { (s, dir) =>
+      // cross-batch sharded SpaceSaving (mapGroupsWithState) run on its
+      // batch path; capacity 64 >= any shard's vocabulary here, so the
+      // summaries are lossless and the oracle is plain exact counts
+      // with the same md5 shard assignment
+      val toks = TextOps.tokenize(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("token"))
+      StreamOps.streamingHeavyHitters(toks, "token", capacityPerShard = 64, nShards = 4)
+        .select(col("shard"), explode(col("entries")).as("e"),
+          col("shard_processed"), col("lossless"))
+        .select(col("shard"), col("e._1").as("token"), col("e._2").as("est"),
+          col("shard_processed"), col("lossless"))
+    },
     "events_outliers" -> { (s, dir) =>
       // Tukey-fence outlier pass per event type: quartile fences from a
       // group-sized aggregate broadcast onto a scan-speed comparison
@@ -2472,7 +2485,24 @@ object SparkEntry {
         |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
         |                 FROM orders GROUP BY o_custkey) co
         |ON cu.c_custkey = co.o_custkey""".stripMargin,
-    "graph_pagerank" -> pagerankOracleSql
+    "graph_pagerank" -> pagerankOracleSql,
+    "stream_heavyhitters" ->
+      // lossless capacity -> SpaceSaving estimates ARE exact counts;
+      // shard = md5-prefix of the token, replayed bit-identically
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                            t -> t <> '')) AS token
+        |  FROM documents WHERE text IS NOT NULL
+        |), cnt AS (
+        |  SELECT CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 4 AS INT) AS shard,
+        |         token, count(*) AS est
+        |  FROM tk GROUP BY 1, 2
+        |), sp AS (
+        |  SELECT shard, CAST(sum(est) AS BIGINT) AS shard_processed
+        |  FROM cnt GROUP BY 1
+        |)
+        |SELECT c.shard, c.token, c.est, s.shard_processed, TRUE AS lossless
+        |FROM cnt c JOIN sp s USING (shard)""".stripMargin
   )
 
   // full replay of GraphOps.pageRank's 10 integer-arithmetic rounds as

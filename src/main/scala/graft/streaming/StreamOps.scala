@@ -224,6 +224,72 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp") // working column - callers get their input schema back
 
+  /** Streaming heavy hitters: a cross-batch SpaceSaving summary per
+    * token-hash shard, maintained in `mapGroupsWithState`. Each
+    * micro-batch folds its tokens into the shard's summary and re-emits
+    * that shard's current entries (Update mode) - the always-fresh
+    * "trending tokens" view a curation pipeline watches during
+    * ingestion, with hard O(nShards * capacity) state regardless of
+    * vocabulary size or stream length.
+    *
+    * Sharding is by md5 prefix of the token - deterministic and
+    * engine-portable (the md5-keyed discipline of SampleOps), so a
+    * second engine can replay the batch-mode result exactly. Shards
+    * partition the token space: shard summaries never share tokens, so
+    * the global top-k is just the union of shard entries re-sorted
+    * ([[heavyHittersTopK]]), and per-shard SpaceSaving guarantees carry
+    * over globally - every token with true count > shard_processed /
+    * capacity is present, and every estimate is an overestimate.
+    *
+    * Runs unchanged on a batch Dataset (state starts empty, one
+    * "batch") - that is the oracle path.
+    *
+    * Output: (shard, entries array<(token, est)> sorted (-est, token),
+    * shard_processed, lossless).
+    */
+  def streamingHeavyHitters(
+      tokens: DataFrame,
+      tokenCol: String,
+      capacityPerShard: Int,
+      nShards: Int
+  ): DataFrame = {
+    require(capacityPerShard > 0 && nShards > 0,
+      s"need positive capacity/shards, got $capacityPerShard/$nShards")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    implicit val ssEnc: org.apache.spark.sql.Encoder[graft.functions.SpaceSaving] =
+      org.apache.spark.sql.Encoders.kryo[graft.functions.SpaceSaving]
+    tokens
+      .filter(F.col(tokenCol).isNotNull)
+      .select(
+        pmod(conv(substring(md5(F.col(tokenCol)), 1, 8), 16, 10).cast(LongType),
+          lit(nShards.toLong)).cast(IntegerType).as("shard"),
+        F.col(tokenCol).cast(StringType).as("token"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[graft.functions.SpaceSaving, (Int, Seq[(String, Long)], Long, Boolean)](
+        GroupStateTimeout.NoTimeout()) { case (shard, rows, state) =>
+        val ss = state.getOption
+          .getOrElse(new graft.functions.SpaceSaving(capacityPerShard))
+        rows.foreach(r => ss.add(r._2))
+        state.update(ss)
+        (shard,
+          ss.counts.toSeq.sortBy { case (t, c) => (-c, t) },
+          ss.processed, ss.lossless)
+      }
+      .toDF("shard", "entries", "shard_processed", "lossless")
+  }
+
+  /** Global top-k over [[streamingHeavyHitters]] summaries (shards are
+    * token-disjoint, so union + re-sort is exact w.r.t. the estimates).
+    */
+  def heavyHittersTopK(summaries: DataFrame, k: Int): DataFrame =
+    summaries
+      .select(F.col("shard"), explode(F.col("entries")).as("e"))
+      .select(F.col("e._1").as("token"), F.col("e._2").as("est"))
+      .orderBy(F.col("est").desc, F.col("token").asc)
+      .limit(k)
+
   /** Continuously maintain a prefix-tree index over a stream of strings
     * (`foreachBatch` + `graft.ptree.PrefixTree.merge`): each micro-batch
     * folds into the running trie via a VOCABULARY-sized rebuild - the

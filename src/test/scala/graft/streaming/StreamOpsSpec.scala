@@ -345,6 +345,73 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set("cat", "car", "cart"))
   }
 
+  test("streamingHeavyHitters: cross-batch state == batch run == exact counts when lossless") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq("a", "a", "b", "c", "a")
+    val batch2 = Seq("b", "b", "a", "d")
+    val all = batch1 ++ batch2
+
+    val mem = MemoryStream[String]
+    val sq = StreamOps
+      .streamingHeavyHitters(mem.toDF().toDF("token"), "token",
+        capacityPerShard = 16, nShards = 2)
+      .writeStream.format("memory").queryName("hh").outputMode("update").start()
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    // Update mode re-emits a shard's summary each batch it is touched
+    // in: the latest emission per shard - identified by the strictly
+    // growing shard_processed, not sink row order - is the current state
+    val streamed = spark.table("hh")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy($"shard_processed".desc)))
+      .filter($"rn" === 1).drop("rn")
+      .select($"shard", explode($"entries").as("e"), $"lossless")
+      .select($"e._1".as("token"), $"e._2".as("est"), $"lossless")
+      .as[(String, Long, Boolean)].collect()
+
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(streamed.map(_._1).sorted.toSeq == exact.keys.toSeq.sorted, "lossless: full vocab present")
+    streamed.foreach { case (tok, est, lossless) =>
+      assert(lossless, s"capacity 16 >= vocab: $tok must be lossless")
+      assert(est == exact(tok), s"lossless estimate is exact for $tok")
+    }
+
+    // identical result from one batch-mode run over the union
+    val viaBatch = StreamOps
+      .streamingHeavyHitters(all.toDF("token"), "token", 16, 2)
+      .select(explode($"entries").as("e"))
+      .select($"e._1".as("token"), $"e._2".as("est"))
+      .as[(String, Long)].collect().toSet
+    assert(viaBatch == streamed.map(t => (t._1, t._2)).toSet)
+
+    // and the top-k view is globally sorted across shards
+    val top2 = StreamOps.heavyHittersTopK(
+      StreamOps.streamingHeavyHitters(all.toDF("token"), "token", 16, 2), 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top2 == Seq(("a", 4L), ("b", 3L)))
+  }
+
+  test("streamingHeavyHitters: undersized capacity keeps the SpaceSaving guarantees") {
+    // skewed stream: one token dominates; capacity 2 per shard forces
+    // evictions, so estimates overestimate and the heavy token survives
+    val tokens = (Seq.fill(50)("hot") ++ Seq("x", "y", "z", "w", "v", "u")).toDF("token")
+    val got = StreamOps.streamingHeavyHitters(tokens, "token", capacityPerShard = 2, nShards = 1)
+      .select(explode($"entries").as("e"), $"shard_processed", $"lossless")
+      .select($"e._1".as("token"), $"e._2".as("est"), $"shard_processed", $"lossless")
+      .as[(String, Long, Long, Boolean)].collect()
+    val byTok = got.map(r => r._1 -> r._2).toMap
+    assert(got.head._3 == 56L, "processed counts the whole stream")
+    assert(!got.head._4, "evictions happened -> not lossless")
+    assert(got.length == 2, "state is capacity-bounded")
+    // any token with true count > processed/capacity = 28 must be present
+    assert(byTok.contains("hot"))
+    assert(byTok("hot") >= 50L, "estimates never undercount")
+  }
+
   test("streamFuzzyMatch: stream-static join against a broadcast trie") {
     implicit val sqlCtx = spark.sqlContext
     val trie = PrefixTree.create(Seq("dog", "drop", "cat").toDF("w"), "w", 2, 2)
