@@ -6,7 +6,7 @@ import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 
 import graft.ptree.{PrefixTree, Query}
-import graft.ops.{DedupOps, GraphOps, JoinOps, MultimodalOps, SimilarityOps, TextOps, TimeOps}
+import graft.ops.{DedupOps, GraphOps, JoinOps, MultimodalOps, SimilarityOps, SketchOps, TextOps, TimeOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -864,6 +864,55 @@ object SparkEntry {
           col("shard_processed"), col("lossless"))
         .select(col("shard"), col("e._1").as("token"), col("e._2").as("est"),
           col("shard_processed"), col("lossless"))
+    },
+    "stream_topk" -> { (s, dir) =>
+      // global exact top-25 from the union of the shard summaries
+      // (shards partition the token space, so re-sorting the union is
+      // exact; capacity 64 is lossless here - see stream_heavyhitters)
+      val toks = TextOps.tokenize(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("token"))
+      StreamOps.heavyHittersTopK(
+        StreamOps.streamingHeavyHitters(toks, "token", capacityPerShard = 64, nShards = 4),
+        k = 25)
+    },
+    "text_countmin" -> { (s, dir) =>
+      // Count-Min point estimates vs exact counts for the top-20 tokens;
+      // width 16 is deliberately undersized for the 31-token vocabulary
+      // so the collision/overestimate path is exercised (est >= exact,
+      // min-of-4-rows; mirrors the undersized-SpaceSaving spec)
+      val docs = tbl(s, dir, "documents")
+      val toks = TextOps.tokenize(docs, "doc_id", "text").select(col("token"))
+      val sketch = SketchOps.countMinSketch(toks, "token", depth = 4, width = 16)
+      val probes = TextOps.heavyHitterTokens(docs, "text", k = 20)
+        .select(col("tok"), col("n").as("n_exact"))
+      SketchOps.countMinEstimate(sketch, probes.select(col("tok")), "tok", depth = 4, width = 16)
+        .withColumnRenamed("item", "tok")
+        .join(probes, "tok")
+        .select(col("tok"), col("n_exact"), col("est").as("cms_est"))
+    },
+    "events_hll" -> { (s, dir) =>
+      // weekly active-user cardinalities per event type: the relational
+      // HLL register file (64 max-of-rho cells per group) beside the
+      // exact distinct - the full sketch pipeline is replayed by the
+      // oracle, integer-exact up to the final estimate arithmetic
+      val ev = events(s, dir)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .withColumn("wk", date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
+      val est = SketchOps.hllDistinct(ev, "user_id", Seq("event_type", "wk"))
+      val exact = ev.groupBy("event_type", "wk")
+        .agg(countDistinct("user_id").as("n_exact"))
+      est.join(exact, Seq("event_type", "wk"))
+    },
+    "graph_triangles" -> { (s, dir) =>
+      // cluster-density audit of the semantic similarity graph:
+      // triangle counts + local clustering coefficient per node over the
+      // mutual-5NN graph (degree <= 5 by construction, so the wedge
+      // join is O(k^2 * N); candidates swap to LSH/IVF at larger N)
+      val emb = tbl(s, dir, "embeddings")
+      val edges = SimilarityOps.mutualKnnEdges(emb, "vec_id", "embedding", k = 5)
+      GraphOps.triangleCounts(edges, "a", "b")
+        .select(col("node").as("node_id"), col("degree"),
+          col("n_triangles"), col("clustering"))
     },
     "events_outliers" -> { (s, dir) =>
       // Tukey-fence outlier pass per event type: quartile fences from a
@@ -2502,7 +2551,116 @@ object SparkEntry {
         |  FROM cnt GROUP BY 1
         |)
         |SELECT c.shard, c.token, c.est, s.shard_processed, TRUE AS lossless
-        |FROM cnt c JOIN sp s USING (shard)""".stripMargin
+        |FROM cnt c JOIN sp s USING (shard)""".stripMargin,
+    "stream_topk" ->
+      // lossless summaries + token-disjoint shards -> the global top-25
+      // is the plain exact top-25 (total order: est desc, token asc)
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                            t -> t <> '')) AS token
+        |  FROM documents WHERE text IS NOT NULL
+        |), cnt AS (SELECT token, count(*) AS est FROM tk GROUP BY 1)
+        |SELECT token, est FROM cnt ORDER BY est DESC, token ASC LIMIT 25""".stripMargin,
+    "text_countmin" ->
+      // full CMS replay: same per-row md5 bucket hash, same cell sums,
+      // same min-of-rows point query
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                            t -> t <> '')) AS token
+        |  FROM documents WHERE text IS NOT NULL
+        |), cnt AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+        |pos AS (
+        |  SELECT token, c, i,
+        |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || token), 1, 8))::BIGINT
+        |              % 16 AS INT) AS bucket
+        |  FROM cnt CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+        |), cell AS (SELECT i, bucket, sum(c) AS cc FROM pos GROUP BY 1, 2),
+        |top AS (SELECT token, c FROM cnt ORDER BY c DESC, token ASC LIMIT 20)
+        |SELECT t.token AS tok, t.c AS n_exact, CAST(min(cl.cc) AS BIGINT) AS cms_est
+        |FROM top t
+        |JOIN pos p USING (token)
+        |JOIN cell cl ON cl.i = p.i AND cl.bucket = p.bucket
+        |GROUP BY 1, 2""".stripMargin,
+    "events_hll" ->
+      // full HLL replay: 60-bit md5 hash, low-6-bit register, rho via
+      // bit_count((rest & -rest) - 1), integer harmonic sum 1 << (R-Mj),
+      // linear-counting branch with the SAME literals (2904.064, 160.0)
+      """WITH ev AS (
+        |  SELECT event_type, strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk, user_id
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |), h AS (
+        |  SELECT DISTINCT event_type, wk,
+        |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM ev
+        |), rr AS (
+        |  SELECT event_type, wk, h % 64 AS reg,
+        |         CASE WHEN h // 64 = 0 THEN 55
+        |              ELSE bit_count(((h // 64) & -(h // 64)) - 1) + 1 END AS rho
+        |  FROM h
+        |), mj AS (SELECT event_type, wk, reg, max(rho) AS mj FROM rr GROUP BY 1, 2, 3),
+        |regs AS (
+        |  SELECT e.event_type, e.wk, gs.j, coalesce(m.mj, 0) AS mj
+        |  FROM (SELECT DISTINCT event_type, wk FROM h) e
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) gs
+        |  LEFT JOIN mj m ON m.event_type = e.event_type AND m.wk = e.wk AND m.reg = gs.j
+        |), grp AS (
+        |  SELECT event_type, wk, CAST(max(mj) AS INT) AS r,
+        |         CAST(count(*) FILTER (mj = 0) AS BIGINT) AS v
+        |  FROM regs GROUP BY 1, 2
+        |), z AS (
+        |  SELECT rg.event_type, rg.wk,
+        |         CAST(sum(CAST(1 AS BIGINT) << (g.r - rg.mj)) AS BIGINT) AS zint
+        |  FROM regs rg JOIN grp g USING (event_type, wk) GROUP BY 1, 2
+        |), est AS (
+        |  SELECT g.event_type, g.wk, g.r, g.v, z.zint,
+        |         2904.064 * (2::DOUBLE ** g.r) / z.zint AS raw
+        |  FROM grp g JOIN z USING (event_type, wk)
+        |)
+        |SELECT e.event_type, e.wk, e.r, e.v, e.zint,
+        |       round(e.raw, 6) AS hll_raw,
+        |       round(CASE WHEN e.raw <= 160.0 AND e.v > 0
+        |                  THEN 64.0 * ln(64.0 / e.v) ELSE e.raw END, 6) AS hll_est,
+        |       x.n_exact
+        |FROM est e
+        |JOIN (SELECT event_type, wk, count(DISTINCT user_id) AS n_exact
+        |      FROM ev GROUP BY 1, 2) x USING (event_type, wk)""".stripMargin,
+    "graph_triangles" ->
+      // mutual-5NN edges replayed via the knn_cosine sim formula, then
+      // triangles by plain id-order joins (the engine's degree-ordered
+      // orientation finds the identical triangle set)
+      """WITH sims AS (
+        |  SELECT a.vec_id AS qa, b.vec_id AS qb,
+        |         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |), knn AS (
+        |  SELECT qa, qb FROM (
+        |    SELECT qa, qb, ROW_NUMBER() OVER (PARTITION BY qa ORDER BY sim DESC, qb ASC) AS rk
+        |    FROM sims) WHERE rk <= 5
+        |), e AS (
+        |  SELECT k1.qa AS a, k1.qb AS b
+        |  FROM knn k1 JOIN knn k2 ON k1.qa = k2.qb AND k1.qb = k2.qa
+        |  WHERE k1.qa < k1.qb
+        |), deg AS (
+        |  SELECT node, count(*) AS degree
+        |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        |), pern AS (
+        |  SELECT node, count(*) AS n_triangles
+        |  FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |        UNION ALL SELECT z FROM tri) GROUP BY 1
+        |)
+        |SELECT d.node AS node_id, d.degree,
+        |       coalesce(p.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+        |       CASE WHEN d.degree >= 2
+        |            THEN round(2.0::DOUBLE * coalesce(p.n_triangles, 0) /
+        |                       (d.degree * (d.degree - 1)), 6)
+        |            ELSE CAST(0.0 AS DOUBLE) END AS clustering
+        |FROM deg d LEFT JOIN pern p USING (node)""".stripMargin
   )
 
   // full replay of GraphOps.pageRank's 10 integer-arithmetic rounds as

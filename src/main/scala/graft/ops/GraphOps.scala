@@ -315,4 +315,68 @@ object GraphOps {
         coalesce(F.col("cluster_id"), F.col("id")).as("cluster_id"))
     (out, rounds)
   }
+
+  /** Per-node triangle participation and local clustering coefficient
+    * over an undirected edge list (self-loops and duplicate/reversed
+    * edges tolerated).
+    *
+    * Algorithm: the standard degree-ordered orientation. Each edge is
+    * directed from its lower-(degree, id) endpoint to the higher one, so
+    * every node's OUT-degree is bounded by ~sqrt(2|E|) regardless of how
+    * skewed the raw degree distribution is - the wedge join (out-edge x
+    * out-edge on a shared apex) therefore cannot explode on hub nodes,
+    * which is exactly what kills the naive id-ordered join on power-law
+    * graphs at scale. Each triangle is found exactly once, at its
+    * minimum-(degree, id) vertex, then credited to all three corners.
+    * Two equi-joins + two aggregations total; everything shuffles on
+    * node/pair keys - no cross products.
+    *
+    * Output: one row per node: (node, degree, n_triangles, clustering)
+    * where clustering = 2*t / (deg*(deg-1)) rounded to 6 dp (0.0 for
+    * degree < 2).
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .filter(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull &&
+        F.col(srcCol) =!= F.col(dstCol))
+      .select(least(F.col(srcCol), F.col(dstCol)).as("a"),
+        greatest(F.col(srcCol), F.col(dstCol)).as("b"))
+      .distinct()
+      .localCheckpoint() // reused 3x (degrees, wedges, closure probe)
+    val deg = e.select(explode(array(F.col("a"), F.col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // orient by (degree, id): lo -> hi
+    val withDeg = e
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "da"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("degree", "db"), "b")
+    val oriented = withDeg.select(
+      when(F.col("da") < F.col("db") ||
+        (F.col("da") === F.col("db") && F.col("a") < F.col("b")), F.col("a"))
+        .otherwise(F.col("b")).as("lo"),
+      when(F.col("da") < F.col("db") ||
+        (F.col("da") === F.col("db") && F.col("a") < F.col("b")), F.col("b"))
+        .otherwise(F.col("a")).as("hi"))
+    // wedges around each apex; (x, y) canonical so the closure probe is
+    // a single equi-join against the undirected edge set
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        F.col("e1.lo") === F.col("e2.lo") && F.col("e1.hi") < F.col("e2.hi"))
+      .select(F.col("e1.lo").as("apex"),
+        least(F.col("e1.hi"), F.col("e2.hi")).as("x"),
+        greatest(F.col("e1.hi"), F.col("e2.hi")).as("y"))
+    val triangles = wedges
+      .join(e, wedges("x") === e("a") && wedges("y") === e("b"))
+      .select(F.col("apex"), F.col("x"), F.col("y"))
+    val perNode = triangles
+      .select(explode(array(F.col("apex"), F.col("x"), F.col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg
+      .join(perNode, Seq("node"), "left")
+      .select(F.col("node"), F.col("degree"),
+        coalesce(F.col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(F.col("degree") >= 2,
+          round(lit(2.0) * coalesce(F.col("n_triangles"), lit(0L)) /
+            (F.col("degree") * (F.col("degree") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

@@ -396,4 +396,35 @@ object SimilarityOps {
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
         round(F.col("cosine_sim"), 6).as("cosine_sim"))
   }
+
+  /** Mutual-kNN graph over an embedding corpus: undirected edge (a, b)
+    * iff b is among a's exact top-k cosine neighbors AND vice versa -
+    * the standard sparse similarity graph for semantic clustering
+    * (each node's degree <= k by construction, so downstream graph
+    * algorithms - connected components, [[GraphOps.triangleCounts]] -
+    * run on O(k*N) edges, never O(N^2)).
+    *
+    * Candidates here are the exact brute-force kNN ([[bruteTopK]]
+    * corpus-vs-corpus); at larger N swap in [[lshTopK]] / [[ivfTopK]]
+    * candidates - the mutual filter and everything downstream is
+    * unchanged. The mutual filter is one self-join of the k*N kNN list
+    * on the reversed pair - narrow keys, no vectors move.
+    *
+    * Output: (a, b) with a < b, each undirected edge once.
+    */
+  def mutualKnnEdges(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val knn = bruteTopK(corpus, idCol, vecCol, corpus, idCol, vecCol, k)
+      .select(F.col("query_id").as("q"), F.col("neighbor_id").as("n"))
+      .localCheckpoint() // both sides of the mutual self-join
+    knn.as("f")
+      .join(knn.as("r"),
+        F.col("f.q") === F.col("r.n") && F.col("f.n") === F.col("r.q"))
+      .filter(F.col("f.q") < F.col("f.n"))
+      .select(F.col("f.q").as("a"), F.col("f.n").as("b"))
+  }
 }

@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Mergeable frequency / cardinality sketches expressed RELATIONALLY -
+  * as groupBy trees rather than opaque binary blobs. A Count-Min table
+  * or an HLL register file is just a (bounded) aggregate: Spark's
+  * map-side partial aggregation IS the sketch merge, so at 100 TB each
+  * executor folds its partitions locally and only d*w (CMS) or m (HLL)
+  * cells per group cross the wire - never raw values. Keeping the cells
+  * relational also makes them storable (parquet), incrementally
+  * mergeable across runs (union + re-aggregate), and replayable by a
+  * second engine for exact correctness oracles - the same discipline as
+  * the SpaceSaving summaries (graft.functions.SpaceSaving).
+  *
+  * All hashes route through md5 (deterministic, engine-portable), the
+  * repo-wide convention (SampleOps, DedupOps.minhashLshPairs).
+  */
+object SketchOps {
+
+  /** Bucket of `item` in CMS row `row` - first 8 md5 hex chars of
+    * "row:item" (32 bits, fits a Long exactly) mod `width`.
+    */
+  private def cmBucket(row: Column, item: Column, width: Int): Column =
+    pmod(
+      conv(substring(md5(concat_ws(":", row.cast(StringType), item)), 1, 8), 16, 10)
+        .cast(LongType),
+      lit(width.toLong)).cast(IntegerType)
+
+  /** Count-Min sketch of item frequencies: a `depth` x `width` counter
+    * table where cell (i, b) sums the occurrences of every item whose
+    * row-i hash lands in bucket b. One wide groupBy over the exploded
+    * (row, bucket) pairs - map-side combine reduces each partition to at
+    * most depth*width cells before the (single) shuffle, so the cost is
+    * independent of the number of distinct items: the whole point of a
+    * CMS over an exact count at corpus scale.
+    *
+    * Output: (row, bucket, c), at most depth*width rows.
+    */
+  def countMinSketch(
+      items: DataFrame,
+      itemCol: String,
+      depth: Int,
+      width: Int
+  ): DataFrame = {
+    require(depth > 0 && width > 0, s"need positive depth/width, got $depth/$width")
+    val rows = explode(array((0 until depth).map(lit): _*)).as("row")
+    items
+      .filter(F.col(itemCol).isNotNull)
+      .select(F.col(itemCol).cast(StringType).as("item"), rows)
+      .select(F.col("row"),
+        cmBucket(F.col("row"), F.col("item"), width).as("bucket"))
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("c"))
+  }
+
+
+  /** Point-query a Count-Min sketch: for each probe item, the estimate
+    * is the MIN over the `depth` cells its hashes select. Guarantees:
+    * est >= true count always (counters only ever overcount), and with
+    * width w the expected overcount is stream_length / w per row, so the
+    * min of `depth` independent rows is within eps = e/w of the truth
+    * with probability 1 - e^-depth. The sketch is tiny (<= depth*width
+    * rows) and is broadcast; probes stream - a probe-side scan never
+    * shuffles.
+    *
+    * Output: (item, est).
+    */
+  def countMinEstimate(
+      sketch: DataFrame,
+      probes: DataFrame,
+      itemCol: String,
+      depth: Int,
+      width: Int
+  ): DataFrame = {
+    val rows = explode(array((0 until depth).map(lit): _*)).as("row")
+    probes
+      .filter(F.col(itemCol).isNotNull)
+      .select(F.col(itemCol).cast(StringType).as("item"), rows)
+      .select(F.col("item"), F.col("row"),
+        cmBucket(F.col("row"), F.col("item"), width).as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy("item")
+      // an absent cell means nothing ever hashed there: that row's
+      // counter is 0, and min(0, ...) = 0 - the item was never seen
+      .agg(min(coalesce(F.col("c"), lit(0L))).as("est"))
+  }
+
+  /** Per-group distinct-count estimate via a relational HyperLogLog:
+    * `m` max-of-rho registers per group, Flajolet et al.'s raw
+    * estimator, and the standard linear-counting correction for the
+    * small range (E <= 2.5m with empty registers present).
+    *
+    * The 60-bit item hash (15 md5 hex chars - the widest slice that
+    * still fits a signed Long exactly) splits into register = low
+    * log2(m) bits and rho = trailing-zero count of the rest, plus one
+    * (an all-zero rest saturates at 55). Registers aggregate with MAX -
+    * commutative, idempotent, map-side combinable: each executor sends
+    * at most m cells per group regardless of row count, and register
+    * files from different runs union+MAX into one (sketch merge).
+    *
+    * Everything up to the estimate is integer-exact (Z's harmonic sum is
+    * computed as sum(1 << (R - M_j)), a 64-term integer sum, never a
+    * float accumulation), so a second engine replays the whole pipeline
+    * bit-identically; the final doubles are single mul/div/ln chains of
+    * identical operands.
+    *
+    * Output: one row per group: (groupCols..., r, v, zint, hll_raw,
+    * hll_est) where r = max rho, v = empty registers, zint the integer
+    * harmonic sum - the full register-file diagnostics, not just the
+    * estimate.
+    */
+  def hllDistinct(
+      df: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String],
+      m: Int = 64
+  ): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    require(groupCols.nonEmpty, "need at least one group column")
+    // alpha_m * m^2 for m = 64; the LITERAL 2904.064 (= 0.709 * 64^2) is
+    // spelled identically in the oracle SQL so both engines parse the
+    // same IEEE double rather than re-multiplying
+    require(m == 64, "estimator constant below is specialised to m = 64")
+    val alphaM2 = lit(2904.064)
+    val g = groupCols.map(F.col)
+    val h = conv(substring(md5(F.col(keyCol).cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType)
+    val rest = shiftright(h, 6) // h div m, 54 bits
+    val rho = when(rest === 0L, lit(55))
+      .otherwise(bit_count(rest.bitwiseAND(-rest) - 1) + 1)
+
+    val maxRho = df
+      .filter(F.col(keyCol).isNotNull && groupCols.map(F.col(_).isNotNull).reduce(_ && _))
+      .select(g :+ pmod(h, lit(m.toLong)).cast(IntegerType).as("reg") :+ rho.as("rho"): _*)
+      .groupBy(groupCols.map(F.col) :+ F.col("reg"): _*)
+      .agg(max("rho").as("mj"))
+
+    // densify: every group needs all m registers (absent = 0) for the
+    // harmonic sum; groups x m is group-count-sized, not data-sized
+    val allRegs = maxRho.select(g: _*).distinct()
+      .select(g :+ explode(sequence(lit(0), lit(m - 1))).as("reg"): _*)
+    val regs = allRegs
+      .join(maxRho, groupCols :+ "reg", "left")
+      .withColumn("mj", coalesce(F.col("mj"), lit(0)))
+
+    val grp = regs
+      .groupBy(g: _*)
+      .agg(max("mj").as("r"), sum(when(F.col("mj") === 0, 1L).otherwise(0L)).as("v"))
+    val zint = regs
+      .join(grp.select(g :+ F.col("r"): _*), groupCols)
+      .groupBy(g: _*)
+      .agg(sum(expr("shiftleft(cast(1 as bigint), r - mj)")).as("zint"))
+
+    val raw = alphaM2 * pow(lit(2.0), F.col("r")) / F.col("zint")
+    grp
+      .join(zint, groupCols)
+      .withColumn("hll_raw", raw)
+      .withColumn("hll_est",
+        when(F.col("hll_raw") <= lit(2.5 * m) && F.col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / F.col("v")))
+          .otherwise(F.col("hll_raw")))
+      .select(g ++ Seq(F.col("r"), F.col("v"), F.col("zint"),
+        round(F.col("hll_raw"), 6).as("hll_raw"),
+        round(F.col("hll_est"), 6).as("hll_est")): _*)
+  }
+}

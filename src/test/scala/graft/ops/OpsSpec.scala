@@ -1252,4 +1252,115 @@ class OpsSpec extends SparkSpec {
       .select("out_w", "out_h").as[(Int, Int)].collect()
     assert(all.forall { case (w, h) => w <= 256 && h <= 256 && w >= 1 && h >= 1 })
   }
+
+  test("countMin: est >= exact always, exact when width ample, 0 for unseen") {
+    val rnd = new scala.util.Random(11)
+    val stream = Seq.fill(2000)(s"tok${rnd.nextInt(40)}").toDF("item")
+    val exact = stream.as[String].collect().groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val probes = ((0 until 40).map(i => s"tok$i") ++ Seq("never_a", "never_b")).toDF("item")
+    // undersized: width 16 << 40 distinct -> collisions, but never undercount
+    val tight = SketchOps.countMinEstimate(
+      SketchOps.countMinSketch(stream, "item", depth = 4, width = 16),
+      probes, "item", depth = 4, width = 16)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) => assert(tight(k) >= n, s"CMS undercounted $k") }
+    assert(tight("never_a") >= 0 && tight("never_b") >= 0)
+    // ample: width 1024 >> 40 distinct -> whp no row collides everywhere;
+    // unseen items must estimate 0 unless all 4 rows collide (they don't here)
+    val ample = SketchOps.countMinEstimate(
+      SketchOps.countMinSketch(stream, "item", depth = 4, width = 1024),
+      probes, "item", depth = 4, width = 1024)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) => assert(ample(k) == n, s"ample CMS off for $k") }
+    assert(ample("never_a") == 0L && ample("never_b") == 0L)
+    // sketch size is bounded by depth*width, independent of stream length
+    assert(SketchOps.countMinSketch(stream, "item", 4, 16).count() <= 64)
+  }
+
+  test("hllDistinct: register file bounded, estimate within rough rel-error, linear counting small range") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 3000).map(i => ("big", s"user${rnd.nextInt(800)}")) ++
+      (1 to 50).map(i => ("small", s"u${i % 7}")) // 7 distinct -> linear counting
+    val df = rows.toDF("grp", "uid")
+    val out = SketchOps.hllDistinct(df, "uid", Seq("grp"))
+      .select($"grp", $"v", $"hll_est").as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val exactBig = rows.filter(_._1 == "big").map(_._2).distinct.size
+    // m=64 standard error ~ 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert(math.abs(out("big")._2 - exactBig) / exactBig.toDouble < 0.4,
+      s"HLL est ${out("big")._2} vs exact $exactBig")
+    // small group: many empty registers -> linear counting, which is
+    // near-exact at 7 distinct
+    assert(out("small")._1 > 0) // empty registers present
+    assert(math.abs(out("small")._2 - 7.0) < 2.0)
+    // union+re-aggregate mergeability: sketching df twice changes nothing
+    val doubled = SketchOps.hllDistinct(df.union(df), "uid", Seq("grp"))
+      .select($"grp", $"hll_est").as[(String, Double)].collect().toMap
+    assert(doubled("big") == out("big")._2 && doubled("small") == out("small")._2)
+  }
+
+  test("triangleCounts == in-memory brute force; tolerates dups/reversed/self-loops") {
+    // K4 on 1..4 plus a pendant 5, with noise: duplicates, both
+    // orientations, and a self-loop
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val noisy = k4 ++ k4.map(_.swap) ++ Seq((1L, 1L), (4L, 5L), (5L, 4L), (2L, 1L))
+    val out = GraphOps.triangleCounts(noisy.toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    (1L to 3L).foreach { n => assert(out(n) == ((3L, 3L, 1.0)), s"node $n: ${out(n)}") }
+    assert(out(4L) == ((4L, 3L, 0.5))) // 3 of C(4,2)=6 wedges closed
+    assert(out(5L) == ((1L, 0L, 0.0))) // degree-1 node: defined 0
+    // random graph vs brute force
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = und.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val expTri = adj.map { case (n, nb) =>
+      n -> nb.toSeq.combinations(2).count(p => adj(p(0)).contains(p(1)))
+    }
+    val got = GraphOps.triangleCounts(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long, Double)].collect()
+    got.foreach { case (n, deg, tri, clus) =>
+      assert(deg == adj(n).size, s"degree of $n")
+      assert(tri == expTri(n).toLong, s"triangles of $n")
+      val expC = if (deg < 2) 0.0
+        else BigDecimal(2.0 * expTri(n) / (deg * (deg - 1.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(clus == expC, s"clustering of $n")
+    }
+    assert(got.map(_._1).toSet == adj.keySet)
+  }
+
+  test("mutualKnnEdges: mutual-only, canonical a<b, degree <= k") {
+    // Line cluster: 10 points near origin (mutually close) + one distant
+    // outlier whose nearest are in the cluster, but it is in nobody's top-k
+    val vecs = (1L to 10L).map(i =>
+      (i, Array(1.0f, 0.001f * i, 0f))) :+ (99L, Array(0.0f, 0f, 1f))
+    val df = vecs.toDF("id", "vec")
+    val edges = SimilarityOps.mutualKnnEdges(df, "id", "vec", k = 3)
+      .as[(Long, Long)].collect()
+    assert(edges.forall { case (a, b) => a < b }, "canonical orientation")
+    assert(edges.distinct.length == edges.length, "each edge once")
+    val deg = edges.flatMap { case (a, b) => Seq(a, b) }.groupBy(identity).map(_._2.size)
+    assert(deg.forall(_ <= 3), "degree bounded by k")
+    // outlier 99: its top-3 are cluster points, but no cluster point
+    // reciprocates (they have 9 closer neighbours) -> isolated
+    assert(!edges.exists { case (a, b) => a == 99L || b == 99L })
+    // in-memory mutual-kNN reference over exact cosine
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val d = x.zip(y).map { case (a, b) => a.toDouble * b }.sum
+      d / (math.sqrt(x.map(v => v.toDouble * v).sum) * math.sqrt(y.map(v => v.toDouble * v).sum))
+    }
+    val topk = vecs.map { case (i, v) =>
+      i -> vecs.filter(_._1 != i)
+        .sortBy { case (j, w) => (-cos(v, w), j) }.take(3).map(_._1).toSet
+    }.toMap
+    val expected = (for {
+      (a, na) <- topk.toSeq; b <- na
+      if topk(b).contains(a) && a < b
+    } yield (a, b)).toSet
+    assert(edges.toSet == expected)
+  }
 }
