@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep "[success] Total time ..." off stdout: the bench driver parses the
+// last stdout line as the one-line JSON result, and sbt's trailer was
+// landing after it.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Pass the forked JVM's stdout/stderr through verbatim instead of
+// re-logging them with "[info] "/"[error] " prefixes: the driver parses
+// Bench's stdout as one bare JSON line, and the logger prefix was
+// breaking that parse (BENCH_r0*.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -93,5 +93,9 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
+    // a run with errored queries must not exit 0: any gate keyed on the
+    // exit code would otherwise pass a broken suite (the JSON line above
+    // is already printed, so the failure detail still reaches the driver)
+    if (results.exists(_._2 < 0)) sys.exit(1)
   }
 }

@@ -60,9 +60,12 @@ object SparkEntry {
     }.mkString("(VALUES ", ",", ") p(pb, pv)")
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos and truncate to micros (the
-    * same floor DuckDB's epoch_ms applies later).
+  /** events.ts has shipped in two layouts: parquet TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects - read as raw nanos via
+    * `nanosAsLong` and truncate to micros) and, in newer generations,
+    * plain TIMESTAMP(MICROS) that needs no shim. events() inspects the
+    * scanned dtype and only applies the div-1000 conversion when ts is
+    * an integral column, so both layouts load identically.
     */
   /** Process-unique scratch path for queries that exercise a write+read
     * lifecycle: two harness JVMs (e.g. Verify and Bench) running the
@@ -77,8 +80,17 @@ object SparkEntry {
 
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = tbl(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType | IntegerType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // tz-less parquet metadata scans as TIMESTAMP_NTZ; downstream ops
+        // (unix_millis etc.) need TIMESTAMP. Session tz is pinned UTC, so
+        // the wall-clock -> instant cast is exact and engine-portable.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Flagship: fuzzy-match perturbed customer names against a prefix tree
