@@ -575,6 +575,14 @@ object SparkEntry {
       proj.select(col("vec_id") +: (0 until 8).map(i =>
         round(element_at(col("projected"), i + 1), 6).as(s"p$i")): _*)
     },
+    "emb_quantize" -> { (s, dir) =>
+      // symmetric int8 quantization; codes flattened to one csv string
+      // (full element-level pinning without array columns, which the
+      // driver compare can't sort)
+      SimilarityOps.quantizeInt8(tbl(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale6"),
+          array_join(transform(col("q"), x => x.cast(StringType)), ",").as("q_codes"))
+    },
     // ------------------------------------------------------------------
     // Text analysis
     // ------------------------------------------------------------------
@@ -642,6 +650,21 @@ object SparkEntry {
         .select(col("doc_id"), col("quality_score"))
       graft.ops.SampleOps.weightedSample(q, "doc_id", "quality_score", fraction = 0.6)
     },
+    "docs_shuffle" -> { (s, dir) =>
+      // epoch-7 training-order permutation: md5-keyed global position,
+      // realized with range partition + per-partition offsets (never a
+      // single-partition row_number window)
+      graft.ops.ShardOps.epochShuffle(tbl(s, dir, "documents"), "doc_id", epoch = 7)
+        .select(col("doc_id"), col("position"))
+    },
+    "docs_shards" -> { (s, dir) =>
+      // size-balanced round-robin sharding: rank by n_chars desc, deal
+      // into 16 shards; output per-shard totals (the balance evidence)
+      graft.ops.ShardOps.balancedShards(
+          tbl(s, dir, "documents"), "n_chars", "doc_id", numShards = 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    },
     "text_langid" -> { (s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
     },
@@ -651,6 +674,15 @@ object SparkEntry {
     "text_fingerprint" -> { (s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    },
+    "text_winnow" -> { (s, dir) =>
+      // winnowing (MOSS) fingerprints: k=8 shingles, w=4 windows,
+      // min-hash-rightmost selection; per-doc summary pins the whole
+      // selected set (count + exact BIGINT sum + position extremes)
+      TextOps.winnowFingerprints(tbl(s, dir, "documents"), "doc_id", "text")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"), sum(col("fp")).as("fp_sum"),
+          min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
     },
     "text_redact" -> { (s, dir) =>
       // PII redaction at scan speed (regexp chain, codegen'd)
@@ -1873,6 +1905,21 @@ object SparkEntry {
         |)
         |SELECT doc_id, quality_score FROM q
         |WHERE ${weightedKeepSql(0.6)}""".stripMargin,
+    "docs_shuffle" ->
+      """SELECT doc_id,
+        |       row_number() OVER (
+        |         ORDER BY md5('epoch7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |         AS position
+        |FROM documents""".stripMargin,
+    "docs_shards" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS position
+        |  FROM documents
+        |)
+        |SELECT CAST(position % 16 AS INT) AS shard, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM r GROUP BY 1""".stripMargin,
     "text_langid" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -2299,6 +2346,30 @@ object SparkEntry {
         |          list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''),
         |          ' ')), 1, 15))::BIGINT AS fp
         |FROM documents""".stripMargin,
+    "text_winnow" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(text, i, 8) AS sh
+        |  FROM documents, unnest(generate_series(1, length(text) - 7)) t(i)
+        |  WHERE text IS NOT NULL AND length(text) >= 8
+        |), c AS (
+        |  SELECT doc_id, pos,
+        |         ('0x' || substr(md5(sh), 1, 8))::BIGINT * 2147483648
+        |           + (2147483647 - pos) AS c
+        |  FROM p
+        |), m AS (
+        |  SELECT doc_id, pos,
+        |         min(c) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cmin
+        |  FROM c
+        |), sel AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST(2147483647 - (cmin % 2147483648) AS INT) AS pos,
+        |         cmin // 2147483648 AS fp
+        |  FROM m WHERE pos >= 4
+        |)
+        |SELECT doc_id, count(*) AS n_fp, CAST(sum(fp) AS BIGINT) AS fp_sum,
+        |       min(pos) AS min_pos, max(pos) AS max_pos
+        |FROM sel GROUP BY 1""".stripMargin,
     "media_decode" ->
       """SELECT doc_id AS media_id,
         |       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
@@ -2371,6 +2442,19 @@ object SparkEntry {
       }.mkString(",\n       ")
       s"SELECT vec_id,\n       $cols\nFROM embeddings"
     },
+    "emb_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+        |           AS scale
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, round(scale, 6) AS scale6,
+        |       array_to_string(list_transform(v, x ->
+        |         CASE WHEN scale = 0 THEN 0
+        |              ELSE greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS INT)))
+        |         END), ',') AS q_codes
+        |FROM s""".stripMargin,
     "text_jaro" ->
       """SELECT q, c_name AS cand,
         |       round(jaro_winkler_similarity(q, c_name), 6) AS jw

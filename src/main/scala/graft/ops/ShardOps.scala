@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Corpus sharding for training pipelines: assign every document a
+  * GLOBAL position in a deterministic order, then derive training-order
+  * shuffles and size-balanced shard assignments from it.
+  *
+  * The core primitive is [[globalOrderIndex]]: a total order over the
+  * whole corpus realized WITHOUT a single-partition window (the
+  * `row_number() OVER (ORDER BY ...)` plan funnels 100 TB through one
+  * task). Instead: range-repartition on the sort key (Spark samples key
+  * quantiles, so partitions are balanced), sort within partitions, then
+  * a two-phase index - count rows per partition (a partition-count-sized
+  * driver array), prefix-sum the offsets, and add each partition's
+  * offset to its local index. Identical semantics to the window plan,
+  * but every stage is data-parallel.
+  */
+object ShardOps {
+
+  /** `df` plus a `position` column (0-based long): the row's rank in the
+    * total order defined by `sortExprs` (which must be a strict total
+    * order - include a unique tiebreaker column).
+    *
+    * Implementation is `RDD.zipWithIndex` over the range-partitioned,
+    * partition-sorted frame: the one genuinely per-partition-imperative
+    * step (local index + broadcast offset), exactly what zipWithIndex
+    * does in one extra count job. Rows keep their partition-local sort
+    * order, so position == global rank.
+    */
+  def globalOrderIndex(df: DataFrame, sortExprs: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sortExprs: _*).sortWithinPartitions(sortExprs: _*)
+    val schema = StructType(sorted.schema.fields :+ StructField("position", LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(indexed, schema)
+  }
+
+  /** Deterministic epoch shuffle: the training-order permutation for
+    * epoch `epoch`, as a pure function of (key, epoch) - md5 over the
+    * salted key, then [[globalOrderIndex]] over the hash. Reproducible
+    * across runs, cluster layouts, and engines (anything with md5
+    * derives the same order), and each epoch is an independent
+    * permutation - the property `df.orderBy(rand(seed))` does NOT give
+    * you (rand is partitioning-dependent).
+    *
+    * Output: input columns + `shuffle_key` (md5 hex) + `position`.
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: Int): DataFrame =
+    globalOrderIndex(
+      df.withColumn(
+        "shuffle_key",
+        md5(concat(lit(s"epoch$epoch:"), F.col(keyCol).cast(StringType)))),
+      // md5 collisions don't occur, but the order must be total by
+      // construction, not by assumption: tiebreak on the key itself
+      Seq(F.col("shuffle_key"), F.col(keyCol))
+    )
+
+  /** Size-balanced shard assignment: rank documents by `sizeCol`
+    * descending (tiebreak `idCol`) and deal them round-robin into
+    * `numShards` shards - the classic round-robin-by-size-rank heuristic
+    * that keeps every shard within one document of the same cardinality
+    * AND closely matched on total size (neighbors in the size order land
+    * in different shards). One global rank ([[globalOrderIndex]], no
+    * single-partition funnel) + a modulo; no shuffle beyond the range
+    * partition.
+    *
+    * Output: input columns + `position` + `shard` (0-based int).
+    */
+  def balancedShards(df: DataFrame, sizeCol: String, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    globalOrderIndex(df, Seq(F.col(sizeCol).desc, F.col(idCol)))
+      .withColumn("shard", (F.col("position") % numShards).cast(IntegerType))
+  }
+}

@@ -427,4 +427,27 @@ object SimilarityOps {
       .filter(F.col("f.q") < F.col("f.n"))
       .select(F.col("f.q").as("a"), F.col("f.n").as("b"))
   }
+
+  /** Symmetric int8 quantization of an embedding column - the standard
+    * 4x storage/bandwidth cut before indexing or serving a vector
+    * corpus. Per vector: scale = max|v| / 127, q_i = round-half-up of
+    * v_i/scale clamped to [-127, 127] (zero vector -> all-zero codes,
+    * scale 0).
+    *
+    * Per-row arithmetic only (transform/aggregate HOFs over the array) -
+    * zero shuffles, scan-speed, and a pure function of the input, so a
+    * second engine replays it exactly: rounding is spelled
+    * floor(x + 0.5) (identical in any IEEE engine, no
+    * HALF_UP-vs-HALF_EVEN ambiguity).
+    *
+    * Output: idCol, `scale` (double), `q` (array<int> codes).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(F.col(idCol), F.col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("scale", array_max(transform(F.col("v"), x => abs(x))) / lit(127.0))
+      .withColumn("q", transform(F.col("v"), x =>
+        when(F.col("scale") === 0.0, lit(0))
+          .otherwise(greatest(lit(-127),
+            least(lit(127), floor(x / F.col("scale") + lit(0.5)).cast(IntegerType))))))
+      .drop("v")
 }

@@ -628,4 +628,53 @@ object TextOps {
         round(F.col("_best").cast(DoubleType) / size(F.col("_sorted")), 6)
           .as("rep_ratio"))
   }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    * MOSS local fingerprinting algorithm): hash every k-char shingle,
+    * slide a w-hash window, and in each full window select the MINIMUM
+    * hash, rightmost occurrence on ties. The selection guarantee: any
+    * shared substring of length >= k + w - 1 between two documents
+    * yields at least one shared fingerprint, while only ~2/(w+1) of
+    * positions are kept - the robust sparse fingerprint set plagiarism /
+    * near-dup span detection indexes at corpus scale.
+    *
+    * The tie rule is packed into ONE bigint so selection is a plain
+    * numeric window-min (no argmin gymnastics, engine-portable):
+    * c = h * 2^31 + (2^31 - 1 - pos); min(c) is min hash with the
+    * LARGEST position among equal hashes. h is the first 8 md5 hex
+    * digits of the shingle (< 2^32), so c < 2^63.
+    *
+    * Scale shape: explode is per-document (positions <= doc length), the
+    * window is per-document ordered by position - one shuffle on doc id,
+    * bounded partitions. Output: (idCol, pos, fp) distinct selected
+    * fingerprints.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4
+  ): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val half = 1L << 31
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(F.col(idCol)).orderBy(F.col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    df.filter(F.col(textCol).isNotNull && length(F.col(textCol)) >= k)
+      .select(F.col(idCol),
+        explode(sequence(lit(1), length(F.col(textCol)) - (k - 1))).as("pos"),
+        F.col(textCol).as("_t"))
+      .withColumn("h",
+        conv(substring(md5(F.col("_t").substr(F.col("pos"), lit(k))), 1, 8), 16, 10)
+          .cast(LongType))
+      .withColumn("c", F.col("h") * half + (lit(half - 1) - F.col("pos")))
+      .withColumn("cmin", min(F.col("c")).over(win))
+      // full windows only: the window ending at pos spans pos-w+1..pos
+      .filter(F.col("pos") >= w)
+      .select(F.col(idCol),
+        (lit(half - 1) - F.col("cmin") % half).cast(IntegerType).as("pos"),
+        expr(s"cmin div ${half}L").as("fp"))
+      .distinct()
+  }
 }
