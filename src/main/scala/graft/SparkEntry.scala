@@ -1337,6 +1337,26 @@ object SparkEntry {
         .distinct()
       GraphOps.pageRank(edges, "src", "dst", iterations = 10)
         .select(col("node").as("node_id"), col("rank_int"))
+    },
+    "graph_labelprop" -> { (s, dir) =>
+      // community detection over the same customer<->supplier graph:
+      // 5 synchronous label-propagation rounds, most-frequent-neighbor
+      // label with min-label tie-break - deterministic integer
+      // arithmetic, so the oracle replays all rounds exactly
+      val ord = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      GraphOps.labelPropagation(edges, "src", "dst", rounds = 5)
+        .select(col("node").as("node_id"), col("lab").as("community"))
+    },
+    "events_ewma" -> { (s, dir) =>
+      // recency-weighted activity score: EWMA (alpha 0.3) over each
+      // user's 30 most recent event values - closed-form weights, one
+      // window rank + one decimal-exact aggregation
+      TimeOps.ewmaScore(events(s, dir), "user_id", "ts", "event_id", "value",
+        alpha = 0.3, maxHistory = 30)
     }
   )
 
@@ -2631,6 +2651,25 @@ object SparkEntry {
         |                 FROM orders GROUP BY o_custkey) co
         |ON cu.c_custkey = co.o_custkey""".stripMargin,
     "graph_pagerank" -> pagerankOracleSql,
+    "graph_labelprop" -> labelPropOracleSql,
+    "events_ewma" ->
+      s"""WITH w(rn, wa, wt) AS (VALUES ${ewmaValues(0.3, 30)}),
+        |r AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE value IS NOT NULL
+        |), t AS (
+        |  SELECT user_id, value, rn FROM r WHERE rn <= 30
+        |), m AS (
+        |  SELECT user_id, max(rn) AS m FROM t GROUP BY 1
+        |)
+        |SELECT t.user_id, count(*) AS n_used,
+        |       round(CAST(sum(CAST(t.value *
+        |         (CASE WHEN t.rn = m.m THEN w.wt ELSE w.wa END)::DOUBLE
+        |         AS DECIMAL(38,18))) AS DOUBLE), 6) AS ewma
+        |FROM t JOIN m USING (user_id) JOIN w ON w.rn = t.rn
+        |GROUP BY t.user_id""".stripMargin,
     "stream_heavyhitters" ->
       // lossless capacity -> SpaceSaving estimates ARE exact counts;
       // shard = md5-prefix of the token, replayed bit-identically
@@ -2764,6 +2803,45 @@ object SparkEntry {
   // recursive term). `//` floors like Spark's `div` on the all-positive
   // ranks; DuckDB's sum(BIGINT) widens to HUGEINT, so each round casts
   // back to BIGINT to keep the typed hash aligned.
+  /** DuckDB VALUES list (rn, interior weight, tail weight) of the EWMA
+    * decay weights - identical doubles to what [[TimeOps.ewmaScore]]
+    * applies (Double.toString round-trips; the replay multiplies the
+    * SAME binary values).
+    */
+  private def ewmaValues(alpha: Double, maxHistory: Int): String = {
+    val (wa, wt) = graft.ops.TimeOps.ewmaWeights(alpha, maxHistory)
+    (1 to maxHistory).map(j => s"($j,${wa(j - 1)},${wt(j - 1)})").mkString(",")
+  }
+
+  /** Full replay of GraphOps.labelPropagation's 5 synchronous rounds as
+    * unrolled CTEs: per round, each node adopts its neighbors' most
+    * frequent label, smallest label on ties (row_number over the
+    * grouped vote counts - integer-exact in any engine).
+    */
+  private def labelPropOracleSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""l$i AS (
+         |  SELECT node, lab FROM (
+         |    SELECT e.dst AS node, p.lab,
+         |           row_number() OVER (PARTITION BY e.dst
+         |                              ORDER BY count(*) DESC, p.lab) AS rk
+         |    FROM e JOIN l${i - 1} p ON e.src = p.node
+         |    GROUP BY e.dst, p.lab
+         |  ) WHERE rk = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+       |                  CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |), e AS (
+       |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+       |), l0 AS (
+       |  SELECT DISTINCT src AS node, src AS lab FROM e
+       |), $rounds
+       |SELECT node AS node_id, lab AS community FROM l5""".stripMargin
+  }
+
   private def pagerankOracleSql: String = {
     val rounds = (1 to 10).map { i =>
       s"""r$i AS (

@@ -379,4 +379,48 @@ object GraphOps {
             (F.col("degree") * (F.col("degree") - 1)), 6))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** Synchronous label propagation community detection, `rounds` fixed
+    * rounds: every node starts labeled with its own id; each round every
+    * node adopts the MOST FREQUENT label among its neighbors, ties
+    * broken by smallest label. Fixed round count + deterministic
+    * tie-break makes the result a pure integer-arithmetic function of
+    * the edge list - replayable to an exact hash by any engine (same
+    * discipline as [[pageRank]]), unlike the seeded/async variants.
+    *
+    * Scale shape: each round is one equi-join (edges x labels - labels
+    * is vertex-sized, broadcastable for most graphs) + one count
+    * aggregation + one per-node window pick; `localCheckpoint` per round
+    * truncates lineage. O(rounds) shuffles total, the textbook LPA cost.
+    *
+    * Output: (node, label) after `rounds` rounds; nodes are all
+    * endpoints of the symmetrized edge list.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int
+  ): DataFrame = {
+    require(rounds >= 0, s"rounds must be non-negative, got $rounds")
+    val e = edges.select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
+      .union(edges.select(F.col(dstCol).as("src"), F.col(srcCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = e.select(F.col("src").as("node")).distinct()
+      .withColumn("lab", F.col("node"))
+      .localCheckpoint()
+    val byVotes = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(F.col("votes").desc, F.col("lab"))
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").as("node"), F.col("lab"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rk", row_number().over(byVotes))
+        .filter(F.col("rk") === 1)
+        .select(F.col("node"), F.col("lab"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

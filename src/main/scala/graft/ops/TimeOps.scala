@@ -124,4 +124,63 @@ object TimeOps {
         datediff(F.col("active_day"), F.col("cohort_day")).as("day_offset"))
       .agg(countDistinct(F.col(entityCol)).as("n_users"))
   }
+
+  /** The decay weights [[ewmaScore]] applies at recency offset j
+    * (0 = most recent): `a * (1-a)^j` for interior terms, `(1-a)^j` for
+    * the oldest included term (the init value's full tail mass). Powers
+    * built by iterated multiplication so a replaying engine interpolates
+    * the EXACT same doubles (Double.toString round-trips).
+    */
+  private[graft] def ewmaWeights(alpha: Double, maxHistory: Int): (Array[Double], Array[Double]) = {
+    val pow = Array.iterate(1.0, maxHistory)(_ * (1.0 - alpha))
+    (pow.map(alpha * _), pow)
+  }
+
+  /** Time-decayed activity score per key: the exponentially weighted
+    * moving average of `valueCol` over the key's `maxHistory` most
+    * recent events - ewma = v_old for the oldest included event, then
+    * ewma = a*v + (1-a)*ewma walking toward the most recent. The
+    * standard recency-weighted engagement / freshness feature.
+    *
+    * The recurrence is unrolled into closed-form per-term weights
+    * ([[ewmaWeights]]), so the whole computation is: one per-key window
+    * rank (bounded to `maxHistory` rows per key), a weight lookup by
+    * offset, and ONE order-independent aggregation - each term's
+    * double product is computed identically everywhere, then summed
+    * through DECIMAL(38,18), so the result is exact under any
+    * aggregation order and replayable by any engine. No sequential
+    * per-key fold, no collect.
+    *
+    * Output: (keyCol, n_used, ewma rounded to 6dp). Null values are
+    * excluded before ranking.
+    */
+  def ewmaScore(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      alpha: Double = 0.3,
+      maxHistory: Int = 30
+  ): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(maxHistory >= 1, s"maxHistory must be positive, got $maxHistory")
+    val (wa, wt) = ewmaWeights(alpha, maxHistory)
+    import org.apache.spark.sql.expressions.Window
+    val recency = Window.partitionBy(F.col(keyCol))
+      .orderBy(F.col(tsCol).desc, F.col(tieCol).desc)
+    val perKey = Window.partitionBy(F.col(keyCol))
+    df.filter(F.col(valueCol).isNotNull)
+      .withColumn("_rn", row_number().over(recency))
+      .filter(F.col("_rn") <= maxHistory)
+      .withColumn("_m", count(lit(1)).over(perKey))
+      .withColumn("_w",
+        when(F.col("_rn") === F.col("_m"), element_at(typedlit(wt.toSeq), F.col("_rn")))
+          .otherwise(element_at(typedlit(wa.toSeq), F.col("_rn"))))
+      .groupBy(F.col(keyCol))
+      .agg(
+        count(lit(1)).as("n_used"),
+        round(sum((F.col(valueCol) * F.col("_w")).cast(DecimalType(38, 18)))
+          .cast(DoubleType), 6).as("ewma"))
+  }
 }

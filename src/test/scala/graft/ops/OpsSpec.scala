@@ -1363,4 +1363,65 @@ class OpsSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(edges.toSet == expected)
   }
+
+  test("labelPropagation == in-memory synchronous reference on a random graph") {
+    val rnd = new scala.util.Random(17)
+    val raw = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val got = GraphOps.labelPropagation(raw.toDF("src", "dst"), "src", "dst", rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    // in-memory replay of the same rule: most frequent neighbor label,
+    // smallest on ties, all nodes update simultaneously
+    val sym = (raw ++ raw.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 5) {
+      labels = adj.map { case (n, ns) =>
+        val votes = ns.groupBy(labels).map { case (l, xs) => (l, xs.size) }
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got === labels)
+  }
+
+  test("labelPropagation: a bridged pair of cliques splits into two communities") {
+    val clique = (off: Long) => for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b
+    } yield (a + off, b + off)
+    val edges = (clique(0L) ++ clique(10L) :+ (3L, 10L)).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, "src", "dst", rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    val left = (0L to 3L).map(got)
+    val right = (10L to 13L).map(got)
+    assert(left.distinct.size == 1 && right.distinct.size == 1)
+    assert(left.head != right.head)
+  }
+
+  test("ewmaScore == in-memory recurrence over the 30 most recent values") {
+    val rnd = new scala.util.Random(29)
+    val events = Seq.tabulate(400)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(300).toLong, i.toLong,
+        if (rnd.nextInt(10) == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(rnd.nextDouble() * 100)))
+    val df = events.toDF("user_id", "ts", "event_id", "value")
+    val got = TimeOps.ewmaScore(df, "user_id", "ts", "event_id", "value",
+        alpha = 0.3, maxHistory = 30)
+      .select($"user_id", $"n_used", $"ewma").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val expected = events.filter(_._4 != null).groupBy(_._1).map { case (u, es) =>
+      val recent = es.sortBy(e => (-e._2, -e._3)).take(30)
+      // fold oldest -> newest: init at the oldest, then a*v + (1-a)*acc
+      val ewma = recent.reverse.map(_._4.doubleValue()) match {
+        case oldest +: rest => rest.foldLeft(oldest)((acc, v) => 0.3 * v + 0.7 * acc)
+      }
+      u -> (recent.size.toLong, ewma)
+    }
+    assert(got.keySet === expected.keySet)
+    for ((u, (n, e)) <- expected) {
+      assert(got(u)._1 === n, s"user $u n_used")
+      // closed-form weights vs sequential fold associate differently;
+      // agreement is to floating-point noise, not bit-exact
+      assert(math.abs(got(u)._2 - e) <= 1e-6, s"user $u ewma ${got(u)._2} vs $e")
+    }
+  }
 }
