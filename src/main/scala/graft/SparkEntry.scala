@@ -1357,6 +1357,65 @@ object SparkEntry {
       // window rank + one decimal-exact aggregation
       TimeOps.ewmaScore(events(s, dir), "user_id", "ts", "event_id", "value",
         alpha = 0.3, maxHistory = 30)
+    },
+    "stream_ewma" -> { (s, dir) =>
+      // the STREAMING path of the same score: bounded recent-30 buffer
+      // in GroupState (batch execution = one micro-batch), fed through
+      // the identical decimal-exact aggregation - same oracle as
+      // events_ewma; StreamOpsSpec pins multi-batch == batch
+      val buf = StreamOps.ewmaBufferStream(events(s, dir),
+        "user_id", "ts", "event_id", "value", maxHistory = 30)
+      TimeOps.ewmaAggregate(buf, "user_id", "value", alpha = 0.3, maxHistory = 30)
+    },
+    "events_rolling" -> { (s, dir) =>
+      // per-event rolling features over the user's trailing 5 events:
+      // moving average (decimal-routed - window sums of doubles are
+      // association-order-dependent across engines), frame min/max,
+      // previous value. The standard lag/rolling feature block.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("n_win", count(col("value")).over(w))
+        .select(
+          col("event_id"), col("user_id"),
+          when(col("n_win") > 0,
+            round(sum(col("value").cast(DecimalType(38, 18))).over(w)
+              .cast(DoubleType) / col("n_win"), 6)).as("ma5"),
+          min(col("value")).over(w).as("v_min5"),
+          max(col("value")).over(w).as("v_max5"),
+          lag(col("value"), 1).over(byTs).as("prev_value"))
+    },
+    "events_zscore" -> { (s, dir) =>
+      // per-type standardization: mean/std from exact decimal moment
+      // sums (order-independent), z computed with the identical double
+      // formula the oracle spells - the feature-scaling pass
+      val ev = events(s, dir).filter(col("value").isNotNull)
+      val stats = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 12))).as("s1"),
+        sum((col("value") * col("value")).cast(DecimalType(38, 12))).as("s2"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("mean", col("s1").cast(DoubleType) / col("n"))
+        .withColumn("std",
+          sqrt(greatest(lit(0.0),
+            col("s2").cast(DoubleType) / col("n") - col("mean") * col("mean"))))
+        .select(col("event_id"), col("event_type"),
+          round(when(col("std") > 0, (col("value") - col("mean")) / col("std"))
+            .otherwise(lit(0.0)), 6).as("z"))
+    },
+    "docs_curriculum" -> { (s, dir) =>
+      // curriculum ordering: quality tier descending, deterministic
+      // md5 shuffle within tier - a pure composition of the quality
+      // scorer and the global-order primitive (no new operator)
+      val q = TextOps.qualitySignals(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+        .withColumn("shuffle_key",
+          md5(concat(lit("epoch1:"), col("doc_id").cast(StringType))))
+      graft.ops.ShardOps.globalOrderIndex(q,
+          Seq(col("quality_score").desc, col("shuffle_key"), col("doc_id")))
+        .select(col("doc_id"), col("quality_score"), col("position"))
     }
   )
 
@@ -2652,24 +2711,55 @@ object SparkEntry {
         |ON cu.c_custkey = co.o_custkey""".stripMargin,
     "graph_pagerank" -> pagerankOracleSql,
     "graph_labelprop" -> labelPropOracleSql,
-    "events_ewma" ->
-      s"""WITH w(rn, wa, wt) AS (VALUES ${ewmaValues(0.3, 30)}),
-        |r AS (
-        |  SELECT user_id, value,
-        |         row_number() OVER (PARTITION BY user_id
-        |                            ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events WHERE value IS NOT NULL
-        |), t AS (
-        |  SELECT user_id, value, rn FROM r WHERE rn <= 30
+    "events_ewma" -> ewmaOracleSql,
+    // the streaming buffer path reduces to the identical ranked frame
+    // in batch execution; one oracle covers both (parity across
+    // micro-batches is StreamOpsSpec's job)
+    "stream_ewma" -> ewmaOracleSql,
+    "events_rolling" ->
+      """SELECT event_id, user_id,
+        |       CASE WHEN count(value) OVER w > 0
+        |            THEN round(CAST(sum(CAST(value AS DECIMAL(38,18))) OVER w AS DOUBLE)
+        |                       / count(value) OVER w, 6)
+        |       END AS ma5,
+        |       min(value) OVER w AS v_min5,
+        |       max(value) OVER w AS v_max5,
+        |       lag(value) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) AS prev_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "events_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(38,12))) AS s1,
+        |         sum(CAST(value * value AS DECIMAL(38,12))) AS s2
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
         |), m AS (
-        |  SELECT user_id, max(rn) AS m FROM t GROUP BY 1
+        |  SELECT event_type, n,
+        |         CAST(s1 AS DOUBLE) / n AS mean,
+        |         sqrt(greatest(0.0, CAST(s2 AS DOUBLE) / n
+        |              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) AS std
+        |  FROM s
         |)
-        |SELECT t.user_id, count(*) AS n_used,
-        |       round(CAST(sum(CAST(t.value *
-        |         (CASE WHEN t.rn = m.m THEN w.wt ELSE w.wa END)::DOUBLE
-        |         AS DECIMAL(38,18))) AS DOUBLE), 6) AS ewma
-        |FROM t JOIN m USING (user_id) JOIN w ON w.rn = t.rn
-        |GROUP BY t.user_id""".stripMargin,
+        |SELECT e.event_id, e.event_type,
+        |       round(CASE WHEN m.std > 0 THEN (e.value - m.mean) / m.std
+        |             ELSE 0.0 END, 6) AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE e.value IS NOT NULL""".stripMargin,
+    "docs_curriculum" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, $qualityScoreSql AS quality_score FROM base
+        |)
+        |SELECT doc_id, quality_score,
+        |       row_number() OVER (ORDER BY quality_score DESC,
+        |                          md5('epoch1:' || CAST(doc_id AS VARCHAR)),
+        |                          doc_id) - 1 AS position
+        |FROM q""".stripMargin,
     "stream_heavyhitters" ->
       // lossless capacity -> SpaceSaving estimates ARE exact counts;
       // shard = md5-prefix of the token, replayed bit-identically
@@ -2812,6 +2902,29 @@ object SparkEntry {
     val (wa, wt) = graft.ops.TimeOps.ewmaWeights(alpha, maxHistory)
     (1 to maxHistory).map(j => s"($j,${wa(j - 1)},${wt(j - 1)})").mkString(",")
   }
+
+  /** EWMA replay shared by the batch (events_ewma) and streaming-buffer
+    * (stream_ewma) queries - both reduce to the same ranked recent-30
+    * frame and the same decimal-exact weighted sum.
+    */
+  private def ewmaOracleSql: String =
+    s"""WITH w(rn, wa, wt) AS (VALUES ${ewmaValues(0.3, 30)}),
+      |r AS (
+      |  SELECT user_id, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE value IS NOT NULL
+      |), t AS (
+      |  SELECT user_id, value, rn FROM r WHERE rn <= 30
+      |), m AS (
+      |  SELECT user_id, max(rn) AS m FROM t GROUP BY 1
+      |)
+      |SELECT t.user_id, count(*) AS n_used,
+      |       round(CAST(sum(CAST(t.value *
+      |         (CASE WHEN t.rn = m.m THEN w.wt ELSE w.wa END)::DOUBLE
+      |         AS DECIMAL(38,18))) AS DOUBLE), 6) AS ewma
+      |FROM t JOIN m USING (user_id) JOIN w ON w.rn = t.rn
+      |GROUP BY t.user_id""".stripMargin
 
   /** Full replay of GraphOps.labelPropagation's 5 synchronous rounds as
     * unrolled CTEs: per round, each node adopts its neighbors' most

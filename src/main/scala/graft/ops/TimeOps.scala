@@ -165,14 +165,33 @@ object TimeOps {
   ): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
     require(maxHistory >= 1, s"maxHistory must be positive, got $maxHistory")
-    val (wa, wt) = ewmaWeights(alpha, maxHistory)
     import org.apache.spark.sql.expressions.Window
     val recency = Window.partitionBy(F.col(keyCol))
       .orderBy(F.col(tsCol).desc, F.col(tieCol).desc)
-    val perKey = Window.partitionBy(F.col(keyCol))
-    df.filter(F.col(valueCol).isNotNull)
+    val ranked = df.filter(F.col(valueCol).isNotNull)
       .withColumn("_rn", row_number().over(recency))
       .filter(F.col("_rn") <= maxHistory)
+    ewmaAggregate(ranked, keyCol, valueCol, alpha, maxHistory)
+  }
+
+  /** The aggregation tail of [[ewmaScore]], shared with the streaming
+    * buffer variant (graft.streaming.StreamOps.ewmaBufferStream): input
+    * is the already-ranked recent history - (keyCol, valueCol, `_rn`
+    * 1 = most recent, <= maxHistory rows per key) - so batch and
+    * streaming paths run the IDENTICAL weight lookup and decimal-exact
+    * sum, and one oracle covers both.
+    */
+  private[graft] def ewmaAggregate(
+      ranked: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      alpha: Double,
+      maxHistory: Int
+  ): DataFrame = {
+    val (wa, wt) = ewmaWeights(alpha, maxHistory)
+    import org.apache.spark.sql.expressions.Window
+    val perKey = Window.partitionBy(F.col(keyCol))
+    ranked
       .withColumn("_m", count(lit(1)).over(perKey))
       .withColumn("_w",
         when(F.col("_rn") === F.col("_m"), element_at(typedlit(wt.toSeq), F.col("_rn")))

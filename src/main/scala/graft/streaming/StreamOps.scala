@@ -422,4 +422,53 @@ object StreamOps {
       }
       .toDF("query_string", "node", "final_distance")
   }
+
+  /** Streaming recent-history buffer for EWMA scoring: per key, hold the
+    * `maxHistory` most recent (ts, tie, value) rows in `GroupState` and
+    * re-emit the key's current ranked buffer every micro-batch (Update
+    * mode) - hard O(keys * maxHistory) state at any stream length. The
+    * score itself is NOT computed here: callers feed the emitted buffer
+    * through TimeOps.ewmaAggregate, so batch and streaming run the
+    * IDENTICAL decimal-exact weighted sum (and the batch oracle covers
+    * both paths).
+    *
+    * Runs unchanged on a batch Dataset (state starts empty, one batch),
+    * where the emitted buffer is exactly ewmaScore's ranked frame.
+    *
+    * Output: (key, ts_us, tie, value, _rn 1 = most recent, ver) - `ver`
+    * counts the key's state updates; a multi-batch consumer keeps each
+    * key's max-ver emission (the latest snapshot).
+    */
+  def ewmaBufferStream(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      maxHistory: Int
+  ): DataFrame = {
+    require(maxHistory >= 1, s"maxHistory must be positive, got $maxHistory")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(F.col(keyCol).cast(LongType),
+        unix_micros(F.col(tsCol).cast(TimestampType)).as("ts_us"),
+        F.col(tieCol).cast(LongType), F.col(valueCol).cast(DoubleType))
+      .filter(F.col(valueCol).isNotNull)
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, List[(Long, Long, Double)]), (Long, Long, Long, Double, Int, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, List[(Long, Long, Double)])]) =>
+          val (ver, buf) = state.getOption.getOrElse((0L, Nil))
+          val merged = (buf ++ rows.map(r => (r._2, r._3, r._4)))
+            .sortBy { case (ts, tie, _) => (-ts, -tie) }
+            .take(maxHistory)
+          state.update((ver + 1, merged))
+          merged.zipWithIndex.iterator.map { case ((ts, tie, v), j) =>
+            (key, ts, tie, v, j + 1, ver + 1)
+          }
+      }
+      .toDF(keyCol, "ts_us", tieCol, valueCol, "_rn", "ver")
+  }
 }

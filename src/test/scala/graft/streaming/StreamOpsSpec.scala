@@ -426,4 +426,37 @@ class StreamOpsSpec extends SparkSpec {
     sq.stop()
     assert(got == Set(("dog", "dog", 0), ("cap", "cat", 1)))
   }
+
+  test("ewmaBufferStream: multi-batch latest snapshot == batch ewmaScore") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    val all = Seq.tabulate(240)(i =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(50), rnd.nextInt(60)), i.toLong,
+        rnd.nextDouble() * 100))
+    val batches = all.grouped(80).toSeq
+    val mem = MemoryStream[(Long, Timestamp, Long, Double)]
+    val sq = StreamOps
+      .ewmaBufferStream(mem.toDF().toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value", maxHistory = 30)
+      .writeStream.format("memory").queryName("ewb").outputMode("update").start()
+    batches.foreach { b => mem.addData(b: _*); sq.processAllAvailable() }
+    sq.stop()
+    // latest snapshot per user = rows carrying the user's max ver
+    val emitted = spark.table("ewb")
+      .as[(Long, Long, Long, Double, Int, Long)].collect()
+    val latest = emitted.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val v = rs.map(_._6).max; rs.filter(_._6 == v).toSeq
+    }
+    val gotScores = graft.ops.TimeOps.ewmaAggregate(
+        latest.toDF("user_id", "ts_us", "event_id", "value", "_rn", "ver"),
+        "user_id", "value", alpha = 0.3, maxHistory = 30)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = graft.ops.TimeOps.ewmaScore(
+        all.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value", alpha = 0.3, maxHistory = 30)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotScores == expected)
+    // bounded state: no snapshot ever exceeds maxHistory rows
+    assert(emitted.groupBy(r => (r._1, r._6)).values.forall(_.size <= 30))
+  }
 }
