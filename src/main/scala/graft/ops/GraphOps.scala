@@ -389,9 +389,12 @@ object GraphOps {
     * discipline as [[pageRank]]), unlike the seeded/async variants.
     *
     * Scale shape: each round is one equi-join (edges x labels - labels
-    * is vertex-sized, broadcastable for most graphs) + one count
-    * aggregation + one per-node window pick; `localCheckpoint` per round
-    * truncates lineage. O(rounds) shuffles total, the textbook LPA cost.
+    * is vertex-sized; AQE broadcasts it when it fits) + one (node, lab)
+    * count aggregation + one per-node min-struct pick (plain
+    * aggregations, no window sort). The whole fixed-round chain stays
+    * ONE lazy plan - rounds are a linear pipeline, each label frame
+    * consumed exactly once, so per-round materialization would only add
+    * barriers. O(rounds) shuffles total, the textbook LPA cost.
     *
     * Output: (node, label) after `rounds` rounds; nodes are all
     * endpoints of the symmetrized edge list.
@@ -406,20 +409,18 @@ object GraphOps {
     val e = edges.select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
       .union(edges.select(F.col(dstCol).as("src"), F.col(srcCol).as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint() // joined every round: materialize ONCE
     var labels = e.select(F.col("src").as("node")).distinct()
       .withColumn("lab", F.col("node"))
-      .localCheckpoint()
-    val byVotes = org.apache.spark.sql.expressions.Window
-      .partitionBy("node").orderBy(F.col("votes").desc, F.col("lab"))
     for (_ <- 1 to rounds) {
+      // most votes first, smallest label on ties == lexicographic min
+      // of (-votes, lab)
       labels = e.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(F.col("dst").as("node"), F.col("lab"))
         .agg(count(lit(1)).as("votes"))
-        .withColumn("rk", row_number().over(byVotes))
-        .filter(F.col("rk") === 1)
-        .select(F.col("node"), F.col("lab"))
-        .localCheckpoint()
+        .groupBy(F.col("node"))
+        .agg(min(struct((-F.col("votes")).as("nv"), F.col("lab").as("lab"))).as("best"))
+        .select(F.col("node"), F.col("best.lab").as("lab"))
     }
     labels
   }
