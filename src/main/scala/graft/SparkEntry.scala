@@ -1416,6 +1416,56 @@ object SparkEntry {
       graft.ops.ShardOps.globalOrderIndex(q,
           Seq(col("quality_score").desc, col("shuffle_key"), col("doc_id")))
         .select(col("doc_id"), col("quality_score"), col("position"))
+    },
+    "q25_salted_join" -> { (s, dir) =>
+      // the manual skew off-ramp: orders scattered over 8 salts,
+      // customer replicated per salt - result EXACTLY the plain join
+      // (which is what the oracle runs); OpsSpec pins the equality
+      // and the salt fan-out
+      val o = tbl(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      JoinOps.saltedJoin(o, c, "o_custkey", "c_custkey", salts = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("revenue"))
+    },
+    "events_transitions" -> { (s, dir) =>
+      // behavioral sequence mining: first-order Markov transition
+      // counts over each user's event stream (lag window + count -
+      // one shuffle on user, one tiny aggregate)
+      import org.apache.spark.sql.expressions.Window
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byTs))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+    },
+    "events_dedup_burst" -> { (s, dir) =>
+      // telemetry debounce: drop an event arriving within 5s of the
+      // PREVIOUS raw event of the same (user, type) - an inter-arrival
+      // filter (lag-based, self-join-free), the standard
+      // duplicate-burst cleanup before sessionization
+      import org.apache.spark.sql.expressions.Window
+      val byKey = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byKey))
+        .filter(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > 5000)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+    },
+    "text_bm25" -> { (s, dir) =>
+      // BM25 ranked retrieval: queries are the first-5-token prefixes
+      // of a deterministic doc sample; term-at-a-time over the tf
+      // table, decimal-exact scores so the RANKING replays exactly
+      val docs = tbl(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(concat_ws(" ", slice(DedupOps.tokens(col("text")), 1, 5)).as("query"))
+        .filter(col("query") =!= "").distinct()
+      graft.ops.SearchOps.bm25Search(docs, "doc_id", "text", queries, "query", k = 10)
     }
   )
 
@@ -2760,6 +2810,30 @@ object SparkEntry {
         |                          md5('epoch1:' || CAST(doc_id AS VARCHAR)),
         |                          doc_id) - 1 AS position
         |FROM q""".stripMargin,
+    "q25_salted_join" ->
+      """SELECT c.c_nationkey, count(*) AS n_orders,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
+    "events_transitions" ->
+      """WITH x AS (
+        |  SELECT event_type AS next_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |)
+        |SELECT prev_type, next_type, count(*) AS n
+        |FROM x WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "events_dedup_burst" ->
+      """WITH x AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts, event_id) AS prev_ms
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, event_type, ms
+        |FROM x WHERE prev_ms IS NULL OR ms - prev_ms > 5000""".stripMargin,
+    "text_bm25" -> bm25OracleSql(k1 = 1.2, b = 0.75, k = 10),
     "stream_heavyhitters" ->
       // lossless capacity -> SpaceSaving estimates ARE exact counts;
       // shard = md5-prefix of the token, replayed bit-identically
@@ -2925,6 +2999,53 @@ object SparkEntry {
       |         AS DECIMAL(38,18))) AS DOUBLE), 6) AS ewma
       |FROM t JOIN m USING (user_id) JOIN w ON w.rn = t.rn
       |GROUP BY t.user_id""".stripMargin
+
+  /** Full BM25 replay: tf/dl/df/N/avgdl from the same tokenizer, the
+    * same double term formula (constants interpolated from the SAME
+    * Scala doubles the Spark side uses), decimal-exact score sums, and
+    * the same (score desc, doc) ranking.
+    */
+  private def bm25OracleSql(k1: Double, b: Double, k: Int): String =
+    s"""WITH tk AS (
+      |  SELECT doc_id AS did,
+      |         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                            t -> t <> '')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT did, term, count(*) AS tf FROM tk GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT did, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+      |), st AS (
+      |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS totdl FROM dl
+      |), dfq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), qs AS (
+      |  SELECT DISTINCT array_to_string(
+      |           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                       t -> t <> '')[1:5], ' ') AS query
+      |  FROM documents WHERE doc_id % 97 = 0
+      |), qt AS (
+      |  SELECT DISTINCT query, unnest(string_split_regex(query, ' ')) AS term
+      |  FROM qs WHERE query <> ''
+      |), agg AS (
+      |  SELECT qt.query, tf.did,
+      |         sum(CAST(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+      |             * tf.tf * ${k1 + 1}
+      |             / (tf.tf + $k1 * (${1 - b} + $b * dl.dl
+      |                               / (CAST(st.totdl AS DOUBLE) / st.n)))
+      |             AS DECIMAL(38,18))) AS s
+      |  FROM qt JOIN tf USING (term) JOIN dl USING (did)
+      |       JOIN dfq USING (term) CROSS JOIN st
+      |  GROUP BY 1, 2
+      |), rk AS (
+      |  SELECT query, did, s,
+      |         row_number() OVER (PARTITION BY query
+      |                            ORDER BY s DESC, did) AS rank
+      |  FROM agg
+      |)
+      |SELECT query, CAST(rank AS INT) AS rank, did AS doc_id,
+      |       round(CAST(s AS DOUBLE), 6) AS score
+      |FROM rk WHERE rank <= $k""".stripMargin
 
   /** Full replay of GraphOps.labelPropagation's 5 synchronous rounds as
     * unrolled CTEs: per round, each node adopts its neighbors' most

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.IntegerType
 
 /** Join operators beyond Spark's built-ins. */
 object JoinOps {
@@ -148,5 +149,47 @@ object JoinOps {
         lCols.map(c => F.col("__l").getField(c).as(c)) ++
           rCols.map(c => F.col("__match").getField(c).as(rightPrefix + c)): _*
       )
+  }
+
+  /** Skew-safe inner equi-join: scatter the (large, possibly skewed)
+    * left side across `salts` sub-keys and replicate every right row
+    * once per salt, then join on (key, salt) - a hot join key's rows
+    * now land in `salts` different shuffle partitions instead of one.
+    * Result is EXACTLY the plain inner join (each left row meets the
+    * full right group at its salt; duplicates on either side produce
+    * the same all-pairs output).
+    *
+    * The salt is a deterministic hash of the whole left row, not
+    * rand(): re-runs and retried tasks place every row identically, so
+    * the join is reproducible and exactly-once-safe under speculative
+    * execution.
+    *
+    * This is the MANUAL fallback for engines/paths where AQE skew-join
+    * splitting can't see the skew (e.g. a skewed key feeding a
+    * downstream aggregation in the same stage); with AQE on, prefer
+    * letting the optimizer split first. Cost: right side is written
+    * `salts` times into the shuffle - size `salts` to the skew factor,
+    * not higher.
+    *
+    * Output: left columns then right columns (right join key dropped -
+    * it equals the left key on every row).
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      salts: Int
+  ): DataFrame = {
+    require(salts >= 1, s"salts must be positive, got $salts")
+    require(leftKey != rightKey,
+      "leftKey and rightKey must be distinct column names (rename one side)")
+    val l = left.withColumn("__lsalt",
+      pmod(xxhash64(left.columns.map(F.col): _*), lit(salts)).cast(IntegerType))
+    val r = right.withColumn("__rsalt",
+      explode(array((0 until salts).map(lit): _*)))
+    l.join(r,
+        l(leftKey) === r(rightKey) && F.col("__lsalt") === F.col("__rsalt"))
+      .drop("__lsalt", "__rsalt", rightKey)
   }
 }

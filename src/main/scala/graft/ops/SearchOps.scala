@@ -116,4 +116,66 @@ object SearchOps {
       .select(F.col("needle"), F.col("id"))
     verifiedLong.union(verifiedShort)
   }
+
+  /** BM25 ranked keyword retrieval (Robertson/Sparck Jones Okapi
+    * weighting): score(q, d) = sum over query terms of
+    * idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    * idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1) - the Lucene-shape
+    * non-negative variant.
+    *
+    * Retrieval is term-at-a-time over the term-frequency table (an
+    * inverted-index equi-join on term - the corpus is never scanned per
+    * query), per-term contributions are computed in double but SUMMED
+    * through DECIMAL(38,18), so the score - and therefore the RANKING -
+    * is exact under any aggregation order and replayable by any engine
+    * with ln. Ties broken by doc id.
+    *
+    * Scale shape: tf/df/dl are vocabulary- and corpus-proportional
+    * aggregates built once (a deployment persists them, same lifecycle
+    * as the trigram posting table); the per-query work is proportional
+    * to the posting lists of its terms. Corpus-level constants (N,
+    * avgdl) ride a one-row broadcast, never a collect.
+    *
+    * Output: (queryCol, rank 1..k, doc_id, score rounded 6dp).
+    */
+  def bm25Search(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(F.col(idCol).as("did"), explode(DedupOps.tokens(F.col(textCol))).as("term"))
+      .groupBy("did", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds dl, df_t AND the retrieval join: build once
+    val dl = tf.groupBy("did").agg(sum(F.col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(F.col("dl")).as("totdl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qTerms = queries
+      .select(F.col(queryCol).as("query"), explode(DedupOps.tokens(F.col(queryCol))).as("term"))
+      .distinct()
+    val avgdl = F.col("totdl").cast(DoubleType) / F.col("n")
+    val idf = F.log((F.col("n") - F.col("df") + lit(0.5)) / (F.col("df") + lit(0.5)) + lit(1.0))
+    val termScore = idf * F.col("tf") * lit(k1 + 1) /
+      (F.col("tf") + lit(k1) * (lit(1 - b) + lit(b) * F.col("dl") / avgdl))
+    val byScore = Window.partitionBy("query")
+      .orderBy(F.col("s").desc, F.col("did"))
+    qTerms
+      .join(tf, "term")
+      .join(dl, "did")
+      .join(dfT, "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(F.col("query"), F.col("did"))
+      .agg(sum(termScore.cast(DecimalType(38, 18))).as("s"))
+      .withColumn("rank", row_number().over(byScore))
+      .filter(F.col("rank") <= k)
+      .select(F.col("query"), F.col("rank"),
+        F.col("did").as("doc_id"),
+        round(F.col("s").cast(DoubleType), 6).as("score"))
+  }
 }

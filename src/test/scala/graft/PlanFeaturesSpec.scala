@@ -176,4 +176,26 @@ class PlanFeaturesSpec extends SparkSpec {
       assert(q.count() > 0)
     }
   }
+
+  test("globalOrderIndex plans range partitioning, never a single-partition funnel") {
+    import graft.ops.ShardOps
+    val df = (1L to 10000L).toDF("id")
+      .withColumn("k", md5($"id".cast("string")))
+    val indexed = ShardOps.globalOrderIndex(df, Seq($"k", $"id"))
+    // the naive row_number() OVER (ORDER BY ...) plan funnels the whole
+    // corpus through ONE task; the primitive must instead range-partition
+    // the sort key (data-parallel total order)
+    val sortedPlan = df.repartitionByRange($"k", $"id")
+      .sortWithinPartitions($"k", $"id")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(sortedPlan.contains("rangepartitioning"),
+      s"no range partitioning in the ordering stage:\n$sortedPlan")
+    assert(!sortedPlan.contains("singlepartition"),
+      s"single-partition exchange in the ordering stage:\n$sortedPlan")
+    // and the result is still the exact global rank
+    val head = indexed.orderBy($"position").select($"k").as[String].head()
+    val expectedHead = df.orderBy($"k", $"id").select($"k").as[String].head()
+    assert(head == expectedHead)
+    assert(indexed.agg(countDistinct($"position")).as[Long].head() == 10000L)
+  }
 }

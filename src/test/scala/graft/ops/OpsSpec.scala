@@ -1364,6 +1364,66 @@ class OpsSpec extends SparkSpec {
     assert(edges.toSet == expected)
   }
 
+  test("saltedJoin == plain inner join, incl. duplicate and hot keys") {
+    val rnd = new scala.util.Random(43)
+    // one pathologically hot key (70% of left rows) + duplicates on BOTH
+    // sides, so the all-pairs semantics is exercised
+    val left = Seq.tabulate(400)(i =>
+      (if (rnd.nextInt(10) < 7) 1L else rnd.nextInt(20).toLong, i.toLong))
+      .toDF("lk", "lv")
+    val right = Seq.tabulate(60)(i => (rnd.nextInt(20).toLong, i.toLong))
+      .toDF("rk", "rv")
+    val salted = JoinOps.saltedJoin(left, right, "lk", "rk", salts = 4)
+      .select($"lk", $"lv", $"rv").as[(Long, Long, Long)].collect().sorted.toSeq
+    val plain = left.join(right, $"lk" === $"rk")
+      .select($"lk", $"lv", $"rv").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(salted === plain)
+    // the hot key's left rows really scatter across salts (the point)
+    val saltOf = (row: (Long, Long)) => {
+      val df = Seq(row).toDF("lk", "lv")
+      df.select(pmod(xxhash64(df.columns.map(col): _*), lit(4)).cast("int"))
+        .as[Int].head()
+    }
+    val hotSalts = Seq((1L, 3L), (1L, 17L), (1L, 23L), (1L, 101L), (1L, 202L))
+      .map(saltOf).distinct
+    assert(hotSalts.size > 1, s"hot-key rows all landed on one salt: $hotSalts")
+  }
+
+  test("bm25Search == in-memory reference ranking") {
+    val queries = Seq("the quick brown", "query engines").toDF("q")
+    val got = SearchOps.bm25Search(docs, "doc_id", "text", queries, "q", k = 3)
+      .as[(String, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    // in-memory BM25 with the same tokenizer and constants
+    val corpus = docs.as[(Long, String)].collect().toSeq
+    val tf = corpus.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val n = corpus.size
+    val avgdl = tf.values.map(_.values.sum).sum.toDouble / n
+    val dfT = tf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size).toMap
+    def score(qs: String, id: Long): Double = {
+      val terms = qs.split(" ").distinct
+      terms.flatMap { t =>
+        tf(id).get(t).map { f =>
+          val idf = math.log((n - dfT(t) + 0.5) / (dfT(t) + 0.5) + 1.0)
+          val dl = tf(id).values.sum.toDouble
+          idf * f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        }
+      }.sum
+    }
+    for ((q, expected) <- Seq("the quick brown", "query engines").map(qs =>
+        qs -> corpus.map(_._1).map(id => (id, score(qs, id))).filter(_._2 > 0)
+          .sortBy { case (id, sc) => (-sc, id) }.take(3))) {
+      val g = got(q)
+      assert(g.map(_._1) === expected.map(_._1), s"ranking for '$q'")
+      g.zip(expected).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-6, s"score for '$q': $gs vs $es")
+      }
+    }
+  }
+
   test("labelPropagation == in-memory synchronous reference on a random graph") {
     val rnd = new scala.util.Random(17)
     val raw = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
