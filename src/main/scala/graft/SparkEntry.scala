@@ -1466,6 +1466,29 @@ object SparkEntry {
         .select(concat_ws(" ", slice(DedupOps.tokens(col("text")), 1, 5)).as("query"))
         .filter(col("query") =!= "").distinct()
       graft.ops.SearchOps.bm25Search(docs, "doc_id", "text", queries, "query", k = 10)
+    },
+    "text_bm25_persisted" -> { (s, dir) =>
+      // the index lifecycle: build -> write -> read -> query; the query
+      // half touches only the persisted tables, never the corpus
+      // (OpsSpec pins zero jobs at plan construction)
+      val docs = tbl(s, dir, "documents")
+      val idx = graft.ops.SearchOps.bm25Build(docs, "doc_id", "text")
+      val path = scratchPath("bm25_index", dir)
+      graft.ops.SearchOps.bm25Write(idx, path)
+      val back = graft.ops.SearchOps.bm25Read(s, path)
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(concat_ws(" ", slice(DedupOps.tokens(col("text")), 1, 5)).as("query"))
+        .filter(col("query") =!= "").distinct()
+      graft.ops.SearchOps.bm25Query(back, queries, "query", k = 10)
+    },
+    "dedup_winnow" -> { (s, dir) =>
+      // winnowing-based near-dup pairs: docs sharing >= 8 selected
+      // fingerprints - the MOSS pairing step. The synthetic corpus is
+      // template-heavy, so the hot-fp cap is tighter than skewCap and
+      // the evidence threshold higher: 38 true near-dup pairs at
+      // sf0.01, not a 88k-pair boilerplate hairball
+      DedupOps.winnowPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 8, w = 4, minShared = 8, maxFpDocFreq = 20)
     }
   )
 
@@ -2476,21 +2499,7 @@ object SparkEntry {
         |          ' ')), 1, 15))::BIGINT AS fp
         |FROM documents""".stripMargin,
     "text_winnow" ->
-      """WITH p AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(text, i, 8) AS sh
-        |  FROM documents, unnest(generate_series(1, length(text) - 7)) t(i)
-        |  WHERE text IS NOT NULL AND length(text) >= 8
-        |), c AS (
-        |  SELECT doc_id, pos,
-        |         ('0x' || substr(md5(sh), 1, 8))::BIGINT * 2147483648
-        |           + (2147483647 - pos) AS c
-        |  FROM p
-        |), m AS (
-        |  SELECT doc_id, pos,
-        |         min(c) OVER (PARTITION BY doc_id ORDER BY pos
-        |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cmin
-        |  FROM c
-        |), sel AS (
+      s"""WITH $winnowWindowSql, sel AS (
         |  SELECT DISTINCT doc_id,
         |         CAST(2147483647 - (cmin % 2147483648) AS INT) AS pos,
         |         cmin // 2147483648 AS fp
@@ -2499,6 +2508,19 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_fp, CAST(sum(fp) AS BIGINT) AS fp_sum,
         |       min(pos) AS min_pos, max(pos) AS max_pos
         |FROM sel GROUP BY 1""".stripMargin,
+    "dedup_winnow" ->
+      s"""WITH $winnowWindowSql, sel AS (
+        |  SELECT DISTINCT doc_id, cmin // 2147483648 AS fp
+        |  FROM m WHERE pos >= 4
+        |), hot AS (
+        |  SELECT fp FROM (SELECT fp, count(*) AS c FROM sel GROUP BY 1)
+        |  WHERE c > 20
+        |), kept AS (
+        |  SELECT s.doc_id, s.fp FROM sel s ANTI JOIN hot USING (fp)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 8""".stripMargin,
     "media_decode" ->
       """SELECT doc_id AS media_id,
         |       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
@@ -2834,6 +2856,9 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type, ms
         |FROM x WHERE prev_ms IS NULL OR ms - prev_ms > 5000""".stripMargin,
     "text_bm25" -> bm25OracleSql(k1 = 1.2, b = 0.75, k = 10),
+    // the persisted-index path scores with the identical statistics the
+    // write/read round-trip preserves losslessly - one replay for both
+    "text_bm25_persisted" -> bm25OracleSql(k1 = 1.2, b = 0.75, k = 10),
     "stream_heavyhitters" ->
       // lossless capacity -> SpaceSaving estimates ARE exact counts;
       // shard = md5-prefix of the token, replayed bit-identically
@@ -2999,6 +3024,27 @@ object SparkEntry {
       |         AS DECIMAL(38,18))) AS DOUBLE), 6) AS ewma
       |FROM t JOIN m USING (user_id) JOIN w ON w.rn = t.rn
       |GROUP BY t.user_id""".stripMargin
+
+  /** The winnowing window-min CTE chain (k=8 shingles, w=4 windows,
+    * packed tie-break) - shared by the text_winnow and dedup_winnow
+    * replays so the two can never drift.
+    */
+  private def winnowWindowSql: String =
+    """p AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(text, i, 8) AS sh
+      |  FROM documents, unnest(generate_series(1, length(text) - 7)) t(i)
+      |  WHERE text IS NOT NULL AND length(text) >= 8
+      |), c AS (
+      |  SELECT doc_id, pos,
+      |         ('0x' || substr(md5(sh), 1, 8))::BIGINT * 2147483648
+      |           + (2147483647 - pos) AS c
+      |  FROM p
+      |), m AS (
+      |  SELECT doc_id, pos,
+      |         min(c) OVER (PARTITION BY doc_id ORDER BY pos
+      |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cmin
+      |  FROM c
+      |)""".stripMargin
 
   /** Full BM25 replay: tf/dl/df/N/avgdl from the same tokenizer, the
     * same double term formula (constants interpolated from the SAME

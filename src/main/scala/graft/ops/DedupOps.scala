@@ -512,4 +512,46 @@ object DedupOps {
         round(F.col("n_dup_windows").cast(DoubleType) / F.col("n_windows"), 6)
           .as("dup_ratio"))
   }
+
+  /** Near-dup candidate pairs from winnowing fingerprints
+    * ([[TextOps.winnowFingerprints]]): docs sharing >= `minShared`
+    * selected fingerprints. Winnowing's guarantee makes this the
+    * principled sparse candidate generator for SHARED-SPAN near-dups:
+    * any pair sharing a substring of length >= k + w - 1 shares a
+    * fingerprint, while only ~2/(w+1) of positions are indexed - the
+    * MOSS pairing step at corpus scale.
+    *
+    * Same skew discipline as every candidate generator here: a
+    * fingerprint appearing in more than `maxFpDocFreq` docs is
+    * boilerplate (headers, templates) with O(B^2) pair cost and
+    * near-zero precision - dropped, and the oracle mirrors the cap.
+    * The join is key-equality on fingerprints - never all-pairs.
+    *
+    * Output: (id_a, id_b, n_shared) with id_a < id_b.
+    */
+  def winnowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxFpDocFreq: Long = 50L
+  ): DataFrame = {
+    // doc-level fingerprint SET (a fingerprint selected at several
+    // positions of one doc counts once toward sharing)
+    val fps = TextOps.winnowFingerprints(OpsUtil.spread(df), idCol, textCol, k, w)
+      .select(F.col(idCol).as("id"), F.col("fp"))
+      .distinct()
+      .localCheckpoint() // feeds the hot-fp count and both join sides
+    val hot = fps.groupBy("fp").count()
+      .filter(F.col("count") > maxFpDocFreq).select("fp")
+    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b").hint("shuffle_hash"),
+        F.col("a.fp") === F.col("b.fp") && F.col("a.id") < F.col("b.id"))
+      .groupBy(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(F.col("n_shared") >= minShared)
+  }
 }

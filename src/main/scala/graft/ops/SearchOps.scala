@@ -148,14 +148,73 @@ object SearchOps {
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tf = docs
+    val tf = termFrequencies(docs, idCol, textCol)
+      .localCheckpoint() // feeds dl, df_t AND the retrieval join: build once
+    bm25Query(Bm25Index(tf, docLengths(tf), docFreqs(tf), corpusStats(tf)),
+      queries, queryCol, k, k1, b)
+  }
+
+  /** The persisted form of the BM25 statistics: the term-frequency
+    * table plus its three derived aggregates, written once per corpus
+    * version (same lifecycle as the trie's `writeIndexedTable` and the
+    * IVF `ivfWrite`) so query batches pay ZERO corpus scans.
+    */
+  final case class Bm25Index(tf: DataFrame, dl: DataFrame, dfT: DataFrame, stats: DataFrame)
+
+  private def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(F.col(idCol).as("did"), explode(DedupOps.tokens(F.col(textCol))).as("term"))
       .groupBy("did", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds dl, df_t AND the retrieval join: build once
-    val dl = tf.groupBy("did").agg(sum(F.col("tf")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(F.col("dl")).as("totdl"))
-    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+  private def docLengths(tf: DataFrame): DataFrame =
+    tf.groupBy("did").agg(sum(F.col("tf")).as("dl"))
+
+  private def docFreqs(tf: DataFrame): DataFrame =
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+  private def corpusStats(tf: DataFrame): DataFrame =
+    docLengths(tf).agg(count(lit(1)).as("n"), sum(F.col("dl")).as("totdl"))
+
+  /** Build the BM25 index frames from a corpus (no writes, no jobs -
+    * pure plan construction; pair with [[bm25Write]]). */
+  def bm25Build(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    Bm25Index(tf, docLengths(tf), docFreqs(tf), corpusStats(tf))
+  }
+
+  def bm25Write(idx: Bm25Index, path: String): Unit = {
+    // write tf FIRST, then derive the three aggregates from the written
+    // parquet: the corpus tokenize+count runs once, and dl/df/stats
+    // re-aggregate a compact columnar table instead of re-running the
+    // full build plan per output
+    idx.tf.write.mode("overwrite").parquet(s"$path/tf")
+    val tf = idx.tf.sparkSession.read.parquet(s"$path/tf")
+    docLengths(tf).write.mode("overwrite").parquet(s"$path/dl")
+    docFreqs(tf).write.mode("overwrite").parquet(s"$path/df")
+    corpusStats(tf).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def bm25Read(spark: org.apache.spark.sql.SparkSession, path: String): Bm25Index =
+    Bm25Index(
+      spark.read.parquet(s"$path/tf"),
+      spark.read.parquet(s"$path/dl"),
+      spark.read.parquet(s"$path/df"),
+      spark.read.parquet(s"$path/stats"))
+
+  /** Score a query batch against a built/read [[Bm25Index]] - the
+    * retrieval half of [[bm25Search]]; pure plan construction (zero
+    * jobs until an action), touching only the index tables, never the
+    * corpus.
+    */
+  def bm25Query(
+      idx: Bm25Index,
+      queries: DataFrame,
+      queryCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qTerms = queries
       .select(F.col(queryCol).as("query"), explode(DedupOps.tokens(F.col(queryCol))).as("term"))
       .distinct()
@@ -166,10 +225,10 @@ object SearchOps {
     val byScore = Window.partitionBy("query")
       .orderBy(F.col("s").desc, F.col("did"))
     qTerms
-      .join(tf, "term")
-      .join(dl, "did")
-      .join(dfT, "term")
-      .crossJoin(broadcast(stats))
+      .join(idx.tf, "term")
+      .join(idx.dl, "did")
+      .join(idx.dfT, "term")
+      .crossJoin(broadcast(idx.stats))
       .groupBy(F.col("query"), F.col("did"))
       .agg(sum(termScore.cast(DecimalType(38, 18))).as("s"))
       .withColumn("rank", row_number().over(byScore))

@@ -1424,6 +1424,51 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("winnowPairs: dup/near-dup pairs found, unrelated docs absent, cap + threshold honored") {
+    val got = DedupOps.winnowPairs(docs, "doc_id", "text",
+        k = 8, w = 4, minShared = 2, maxFpDocFreq = 10)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // exact dup (1,5) and near-dup (1,2)/(2,5) share spans >= k+w-1
+    assert(got.contains((1L, 5L)) && got.contains((1L, 2L)) && got.contains((2L, 5L)))
+    // the Spanish and the unrelated doc pair with nothing
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L || a == 4L || b == 4L })
+    // pairing replays from the operator's own fingerprint sets (join /
+    // cap / threshold logic; the fingerprints themselves are
+    // reference-checked in ShardOpsSpec)
+    val fps = TextOps.winnowFingerprints(docs, "doc_id", "text")
+      .select($"doc_id", $"fp").distinct().as[(Long, Long)].collect()
+    val byFp = fps.groupBy(_._2).view.mapValues(_.toSeq).toMap.filter(_._2.length <= 10)
+    val expected = byFp.values.toSeq
+      .flatMap(ds => for (a <- ds; b <- ds if a._1 < b._1) yield (a._1, b._1))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2).toMap
+    assert(got === expected)
+  }
+
+  test("BM25 persisted index: lossless round-trip, job-free query construction") {
+    val queries = Seq("the quick brown", "query engines").toDF("q")
+    val direct = SearchOps.bm25Search(docs, "doc_id", "text", queries, "q", k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val idx = SearchOps.bm25Build(docs, "doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25_spec").toString
+    SearchOps.bm25Write(idx, path)
+    val back = SearchOps.bm25Read(spark, path)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(500) // drain in-flight listener events from prior actions
+      jobs = 0
+      val q = SearchOps.bm25Query(back, queries, "q", k = 3)
+      Thread.sleep(500)
+      assert(jobs == 0, s"bm25Query construction must launch no jobs, saw $jobs")
+      assert(q.collect().map(_.toString).sorted.toSeq == direct)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("labelPropagation == in-memory synchronous reference on a random graph") {
     val rnd = new scala.util.Random(17)
     val raw = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
