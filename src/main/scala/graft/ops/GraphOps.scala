@@ -388,13 +388,17 @@ object GraphOps {
     * the edge list - replayable to an exact hash by any engine (same
     * discipline as [[pageRank]]), unlike the seeded/async variants.
     *
-    * Scale shape: each round is one equi-join (edges x labels - labels
-    * is vertex-sized; AQE broadcasts it when it fits) + one (node, lab)
-    * count aggregation + one per-node min-struct pick (plain
-    * aggregations, no window sort). The whole fixed-round chain stays
-    * ONE lazy plan - rounds are a linear pipeline, each label frame
-    * consumed exactly once, so per-round materialization would only add
-    * barriers. O(rounds) shuffles total, the textbook LPA cost.
+    * Scale shape (the [[pageRank]] discipline): the symmetrized edge
+    * list is hash-partitioned on dst ONCE - both per-round aggregations
+    * cluster on dst (subset clustering), so they reuse that layout -
+    * and under the node-count guard the vertex-sized label frame is
+    * broadcast into each round's join: ZERO per-round edge shuffles,
+    * only the vote/pick aggregations run, in place. Graphs whose label
+    * table is too big to broadcast take the shuffled-join path (still
+    * O(rounds) narrow shuffles of (node, lab) pairs, never the edges).
+    * The whole fixed-round chain stays ONE lazy plan - each label frame
+    * is consumed exactly once, so per-round materialization would only
+    * add barriers.
     *
     * Output: (node, label) after `rounds` rounds; nodes are all
     * endpoints of the symmetrized edge list.
@@ -403,19 +407,27 @@ object GraphOps {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      rounds: Int
+      rounds: Int,
+      broadcastNodeLimit: Long = 1L << 22
   ): DataFrame = {
     require(rounds >= 0, s"rounds must be non-negative, got $rounds")
-    val e = edges.select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
-      .union(edges.select(F.col(dstCol).as("src"), F.col(srcCol).as("dst")))
+    val sym = edges.select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
+    val e = sym
+      .union(sym.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      .repartition(F.col("dst"))
       .distinct()
       .localCheckpoint() // joined every round: materialize ONCE
-    var labels = e.select(F.col("src").as("node")).distinct()
-      .withColumn("lab", F.col("node"))
+    val nodes = e.select(F.col("src").as("node")).distinct().localCheckpoint()
+    val smallLabels = nodes.count() <= broadcastNodeLimit // free: just materialized
+    var labels = nodes.withColumn("lab", F.col("node"))
     for (_ <- 1 to rounds) {
+      val prev = labels.withColumnRenamed("node", "src")
+      val joined =
+        if (smallLabels) e.join(broadcast(prev), "src")
+        else e.join(prev, "src")
       // most votes first, smallest label on ties == lexicographic min
       // of (-votes, lab)
-      labels = e.join(labels.withColumnRenamed("node", "src"), "src")
+      labels = joined
         .groupBy(F.col("dst").as("node"), F.col("lab"))
         .agg(count(lit(1)).as("votes"))
         .groupBy(F.col("node"))
