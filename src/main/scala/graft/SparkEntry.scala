@@ -1489,7 +1489,21 @@ object SparkEntry {
       // sf0.01, not a 88k-pair boilerplate hairball
       DedupOps.winnowPairs(tbl(s, dir, "documents"), "doc_id", "text",
         k = 8, w = 4, minShared = 8, maxFpDocFreq = 20)
-    }
+    },
+    "docs_eval_sample" -> { (s, dir) =>
+      // exactly min(40, |stratum|) docs per language, deterministically
+      // (md5-ranked within stratum) - the eval-set construction
+      // fraction-based sampling can only approximate
+      graft.ops.SampleOps.exactKPerStratum(
+          tbl(s, dir, "documents"), "doc_id", "lang", k = 40)
+        .select(col("doc_id"), col("lang"))
+    },
+    "emb_covariance" -> ((s, dir) =>
+      // exact Gram + covariance of the embedding corpus in ONE
+      // treeAggregate pass (corpus never shuffles); decimal-fixed
+      // accumulation is order-independent, so the oracle re-sums the
+      // identical decimals
+      SimilarityOps.covarianceUpper(tbl(s, dir, "embeddings"), "embedding", dim = 64))
   )
 
   // the DuckDB quality_score formula, shared verbatim by the
@@ -2859,6 +2873,35 @@ object SparkEntry {
     // the persisted-index path scores with the identical statistics the
     // write/read round-trip preserves losslessly - one replay for both
     "text_bm25_persisted" -> bm25OracleSql(k1 = 1.2, b = 0.75, k = 10),
+    "docs_eval_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+        |                                     doc_id) AS rk
+        |  FROM documents
+        |) WHERE rk <= 40""".stripMargin,
+    "emb_covariance" ->
+      """WITH v AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |st AS (SELECT count(*) AS n FROM v),
+        |p AS (SELECT s.i, t.j
+        |      FROM generate_series(1, 64) s(i), generate_series(1, 64) t(j)
+        |      WHERE t.j >= s.i),
+        |s2 AS (
+        |  SELECT p.i, p.j, sum(CAST(v.v[p.i] * v.v[p.j] AS DECIMAL(38,18))) AS s
+        |  FROM v, p GROUP BY 1, 2
+        |), s1 AS (
+        |  SELECT g.i, sum(CAST(v.v[g.i] AS DECIMAL(38,18))) AS s
+        |  FROM v, generate_series(1, 64) g(i) GROUP BY 1
+        |)
+        |SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+        |       round(CAST(s2.s AS DOUBLE) / st.n, 6) + 0.0 AS gram,
+        |       round(CAST(s2.s AS DOUBLE) / st.n
+        |             - (CAST(a.s AS DOUBLE) / st.n) * (CAST(b.s AS DOUBLE) / st.n), 6)
+        |         + 0.0 AS cov
+        |FROM p JOIN s2 ON s2.i = p.i AND s2.j = p.j
+        |JOIN s1 a ON a.i = p.i JOIN s1 b ON b.i = p.j
+        |CROSS JOIN st""".stripMargin,
     "stream_heavyhitters" ->
       // lossless capacity -> SpaceSaving estimates ARE exact counts;
       // shard = md5-prefix of the token, replayed bit-identically

@@ -176,4 +176,27 @@ object SampleOps {
     }
     df.filter(md5Prefix(keyCol) < thr)
   }
+
+  /** EXACTLY min(k, |stratum|) rows per stratum, deterministically: rank
+    * within each stratum by the md5 of the key (tiebreak the key) and
+    * keep the top k - the "exactly 1000 docs per language" eval-set
+    * construction that fraction-based sampling can only approximate.
+    * Like every sampler in this family the selection is a pure function
+    * of (key, stratum): reproducible across runs, engines, layouts, and
+    * incremental loads (a new row displaces the previous rank-k row,
+    * never reshuffles the rest).
+    *
+    * Scale shape: one shuffle clustered on the stratum, per-stratum
+    * window rank - parallel across strata; a single giant stratum is
+    * bounded by its own size, same as any per-group top-k.
+    */
+  def exactKPerStratum(df: DataFrame, keyCol: String, strataCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(F.col(strataCol))
+      .orderBy(md5Prefix(keyCol), F.col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(F.col("__rk") <= k)
+      .drop("__rk")
+  }
 }

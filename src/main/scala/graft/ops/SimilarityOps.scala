@@ -442,6 +442,72 @@ object SimilarityOps {
     *
     * Output: idCol, `scale` (double), `q` (array<int> codes).
     */
+  /** Exact second-moment (Gram) and covariance matrix of an embedding
+    * column - the input PCA / whitening / linear-probe pipelines need
+    * from a vector corpus.
+    *
+    * One `treeAggregate` pass (the Lloyd-kernel discipline: partial
+    * sums merge up a tree, the corpus never shuffles; the d*(d+3)/2+1
+    * accumulator is driver-sized). Accumulation is EXACT: each
+    * elementwise product of two floats is exact in double (24-bit
+    * mantissas), each term is fixed to 18 decimal places the way the
+    * SQL DECIMAL cast does it, and decimal addition is associative - so
+    * the result is bit-identical under any partitioning/merge order and
+    * replayable by a second engine (the oracle re-sums the same
+    * decimals). The final divisions/rounding run as DataFrame
+    * expressions over the driver-built sums so both engines spell the
+    * identical double formula.
+    *
+    * Output: (i, j, gram = S2_ij/n, cov = gram - mean_i * mean_j) for
+    * 1 <= i <= j <= dim, both rounded to 6dp.
+    */
+  def covarianceUpper(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val spark = df.sparkSession
+    val nPairs = dim * (dim + 1) / 2
+    def fix(d: Double): JBD = new JBD(d).setScale(18, RoundingMode.HALF_UP)
+    // acc = [count, s1(dim), s2(nPairs)] - count rides along as a BigDecimal
+    def zero() = Array.fill(1 + dim + nPairs)(JBD.ZERO)
+    val sums = df.select(F.col(vecCol).cast(ArrayType(DoubleType))).rdd
+      .treeAggregate(zero())(
+        (acc, row) => {
+          val v = row.getSeq[Double](0)
+          if (v != null && v.length >= dim) {
+            acc(0) = acc(0).add(JBD.ONE)
+            var i = 0
+            var idx = 1 + dim
+            while (i < dim) {
+              acc(1 + i) = acc(1 + i).add(fix(v(i)))
+              var j = i
+              while (j < dim) {
+                acc(idx) = acc(idx).add(fix(v(i) * v(j)))
+                idx += 1; j += 1
+              }
+              i += 1
+            }
+          }
+          acc
+        },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) = a(i).add(b(i)); i += 1 }; a })
+    val n = sums(0).longValueExact()
+    var idx = 1 + dim
+    val rows = for (i <- 0 until dim; j <- i until dim) yield {
+      val r = (i + 1, j + 1, BigDecimal(sums(idx)), BigDecimal(sums(1 + i)), BigDecimal(sums(1 + j)))
+      idx += 1
+      r
+    }
+    import spark.implicits._
+    // + 0.0 folds IEEE negative zero to +0.0 (round() can yield -0.0,
+    // whose text form would differ between engines)
+    rows.toDF("i", "j", "s2", "s1i", "s1j")
+      .select(F.col("i"), F.col("j"),
+        (round(F.col("s2").cast(DoubleType) / n, 6) + lit(0.0)).as("gram"),
+        (round(F.col("s2").cast(DoubleType) / n -
+          (F.col("s1i").cast(DoubleType) / n) * (F.col("s1j").cast(DoubleType) / n), 6)
+          + lit(0.0)).as("cov"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(F.col(idCol), F.col(vecCol).cast(ArrayType(DoubleType)).as("v"))
       .withColumn("scale", array_max(transform(F.col("v"), x => abs(x))) / lit(127.0))

@@ -1469,6 +1469,51 @@ class OpsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("exactKPerStratum: exact per-stratum counts, deterministic, layout-independent") {
+    val rnd = new scala.util.Random(47)
+    val rows = Seq.tabulate(300)(i => (i.toLong, Seq("en", "de", "fr")(rnd.nextInt(3))))
+    val df = rows.toDF("id", "lang")
+    val got = SampleOps.exactKPerStratum(df, "id", "lang", k = 30)
+      .as[(Long, String)].collect().toSet
+    // exactly min(k, |stratum|) per stratum
+    val perStratum = got.groupBy(_._2).view.mapValues(_.size).toMap
+    val full = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    for ((lang, n) <- full) assert(perStratum(lang) == math.min(30, n), lang)
+    // same subset under a different physical layout
+    val again = SampleOps.exactKPerStratum(df.repartition(7), "id", "lang", k = 30)
+      .as[(Long, String)].collect().toSet
+    assert(again == got)
+    // a new row only displaces the boundary element of ITS stratum
+    val grown = SampleOps.exactKPerStratum(
+        (rows :+ (999L, "en")).toDF("id", "lang"), "id", "lang", k = 30)
+      .as[(Long, String)].collect().toSet
+    assert((got -- grown).forall(_._2 == "en") && (grown -- got).size <= 1)
+  }
+
+  test("covarianceUpper == in-memory exact moments, partitioning-independent") {
+    val rnd = new scala.util.Random(53)
+    val vecs = Seq.tabulate(120)(i => (i.toLong, Array.fill(6)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.covarianceUpper(d, "v", dim = 6)
+        .as[(Int, Int, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val got = run(df)
+    // bit-identical under a different partitioning (the decimal-exact
+    // accumulation claim)
+    assert(run(df.repartition(11)) === got)
+    val n = vecs.size
+    for (i <- 0 until 6; j <- i until 6) {
+      val s2 = vecs.map(v => v._2(i).toDouble * v._2(j).toDouble).sum
+      val mi = vecs.map(_._2(i).toDouble).sum / n
+      val mj = vecs.map(_._2(j).toDouble).sum / n
+      val (gram, cov) = got((i + 1, j + 1))
+      // output is rounded to 6dp: agreement is to the rounding grain
+      assert(math.abs(gram - s2 / n) <= 5.1e-7, s"gram($i,$j)")
+      assert(math.abs(cov - (s2 / n - mi * mj)) <= 5.1e-7, s"cov($i,$j)")
+    }
+  }
+
   test("labelPropagation == in-memory synchronous reference on a random graph") {
     val rnd = new scala.util.Random(17)
     val raw = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
