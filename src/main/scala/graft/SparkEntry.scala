@@ -1503,7 +1503,16 @@ object SparkEntry {
       // treeAggregate pass (corpus never shuffles); decimal-fixed
       // accumulation is order-independent, so the oracle re-sums the
       // identical decimals
-      SimilarityOps.covarianceUpper(tbl(s, dir, "embeddings"), "embedding", dim = 64))
+      SimilarityOps.covarianceUpper(tbl(s, dir, "embeddings"), "embedding", dim = 64)),
+    "docs_interleave" -> { (s, dir) =>
+      // stride-scheduled mixture: a 50/30/20 three-source training
+      // stream whose every prefix tracks the weights (spec pins the
+      // prefix-proportion bound); deterministic and layout-independent
+      graft.ops.SampleOps.interleaveBySources(
+          tbl(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select(col("doc_id"), col("source"), col("position"))
+    }
   )
 
   // the DuckDB quality_score formula, shared verbatim by the
@@ -2873,6 +2882,23 @@ object SparkEntry {
     // the persisted-index path scores with the identical statistics the
     // write/read round-trip preserves losslessly - one replay for both
     "text_bm25_persisted" -> bm25OracleSql(k1 = 1.2, b = 0.75, k = 10),
+    "docs_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+        |                                     doc_id) AS rk
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        |), t AS (
+        |  SELECT doc_id, source,
+        |         (rk - 0.5) / (CASE source WHEN 'src0' THEN 0.5
+        |                                   WHEN 'src1' THEN 0.3
+        |                                   ELSE 0.2 END) AS target
+        |  FROM r
+        |)
+        |SELECT doc_id, source,
+        |       row_number() OVER (ORDER BY target, source, doc_id) - 1 AS position
+        |FROM t""".stripMargin,
     "docs_eval_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

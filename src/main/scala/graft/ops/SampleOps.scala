@@ -199,4 +199,46 @@ object SampleOps {
       .filter(F.col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Deterministic mixture interleaving: one global training-stream
+    * order whose every prefix tracks the requested source proportions.
+    * Each stratum's rows are md5-ranked (an epoch shuffle within the
+    * stratum), then row rk of a stratum with weight w is scheduled at
+    * target time (rk - 0.5) / w - the classic stride-scheduling rule:
+    * a weight-0.5 source fires every 2 ticks, a weight-0.1 source
+    * every 10 - and the final position is the global rank of that
+    * target ([[graft.ops.ShardOps.globalOrderIndex]]: range partition,
+    * no single-partition funnel). Strata absent from `weights` are
+    * dropped.
+    *
+    * This is what "shuffle then hope" cannot give you: a 60/25/15
+    * mixture holds at every checkpoint boundary, not just in
+    * expectation over the whole epoch, and re-runs reproduce the exact
+    * order on any cluster layout.
+    *
+    * Output: input columns + `position` (0-based global order).
+    */
+  def interleaveBySources(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      weights: Map[String, Double]
+  ): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    import org.apache.spark.sql.expressions.Window
+    val s = F.col(strataCol).cast(StringType)
+    val inMix = weights.keys.toSeq.sorted
+    val wCol = inMix.foldRight(lit(Double.NaN)) { case (value, elseCol) =>
+      when(s === value, lit(weights(value))).otherwise(elseCol)
+    }
+    val rkWin = Window.partitionBy(F.col(strataCol))
+      .orderBy(md5Prefix(keyCol), F.col(keyCol))
+    val targeted = df.filter(s.isin(inMix: _*))
+      .withColumn("__rk", row_number().over(rkWin))
+      .withColumn("__target", (F.col("__rk") - lit(0.5)) / wCol)
+    graft.ops.ShardOps.globalOrderIndex(targeted,
+        Seq(F.col("__target"), F.col(strataCol), F.col(keyCol)))
+      .drop("__rk", "__target")
+  }
 }

@@ -1490,6 +1490,39 @@ class OpsSpec extends SparkSpec {
     assert((got -- grown).forall(_._2 == "en") && (grown -- got).size <= 1)
   }
 
+  test("interleaveBySources: every prefix tracks the mixture, layout-independent") {
+    val rnd = new scala.util.Random(59)
+    val rows = Seq.tabulate(600)(i =>
+      (i.toLong, Seq("a", "a", "a", "b", "b", "c")(rnd.nextInt(6))))
+    val weights = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    val df = rows.toDF("id", "src")
+    val got = SampleOps.interleaveBySources(df, "id", "src", weights)
+      .select($"id", $"src", $"position").as[(Long, String, Long)]
+      .collect().sortBy(_._3)
+    // positions are 0..n-1
+    assert(got.map(_._3).toSeq == (0L until got.length.toLong))
+    // stride scheduling: in every prefix BEFORE any source exhausts,
+    // each source's count stays within 1 of its proportional share
+    // (after a source runs dry the others legitimately fill its slots)
+    val totals = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val seen = scala.collection.mutable.Map("a" -> 0, "b" -> 0, "c" -> 0)
+    var exhausted = false
+    got.zipWithIndex.foreach { case ((_, src, _), idx) =>
+      seen(src) += 1
+      exhausted ||= weights.keys.exists(s => seen(s) >= totals(s))
+      val n = idx + 1
+      if (!exhausted)
+        for ((s, w) <- weights)
+          assert(math.abs(seen(s) - n * w) <= 1.0 + 1e-9,
+            s"prefix $n: source $s at ${seen(s)} vs share ${n * w}")
+    }
+    assert(got.length > 100) // the bound was actually exercised
+    // reproducible under a different layout
+    val again = SampleOps.interleaveBySources(df.repartition(13), "id", "src", weights)
+      .select($"id", $"position").as[(Long, Long)].collect().toMap
+    assert(again === got.map(r => r._1 -> r._3).toMap)
+  }
+
   test("covarianceUpper == in-memory exact moments, partitioning-independent") {
     val rnd = new scala.util.Random(53)
     val vecs = Seq.tabulate(120)(i => (i.toLong, Array.fill(6)(rnd.nextGaussian().toFloat)))
