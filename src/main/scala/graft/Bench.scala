@@ -91,7 +91,22 @@ object Bench {
     val flaky = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
+    // headline fields go LAST on the line: the driver's capture keeps the
+    // tail of long output, and a 121-query map once pushed "total" off the
+    // front of the stored artifact (JSON itself is order-independent, so
+    // any parser reads both layouts identically)
+    val json = s"""{"queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir","unit":"sec","metric":"total","value":$total}"""
+    println(json)
+    // belt and braces: the artifact also lands in-repo, self-contained,
+    // so round grading never depends on how much stdout survived capture
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] bench_last.json write failed: $e")
+    }
     spark.stop()
     // a run with errored queries must not exit 0: any gate keyed on the
     // exit code would otherwise pass a broken suite (the JSON line above

@@ -788,6 +788,25 @@ object SparkEntry {
         index, needles, "needle")
         .select(col("needle"), col("id").as("doc_id"))
     },
+    "text_search_persisted" -> { (s, dir) =>
+      // the trigram-index lifecycle: build -> write (bucket-partitioned
+      // postings) -> read -> query. Same needles and same result set as
+      // text_search, but the query half probes only the bucket
+      // directories the needle grams hash into (DPP pinned in
+      // PlanFeaturesSpec) instead of paying the corpus-wide index
+      // rebuild per batch.
+      val docs = tbl(s, dir, "documents")
+      val needles = docs.filter(col("doc_id") % 251 === 0)
+        .select(substring(lower(trim(col("text"))), 1, 16).as("needle"))
+        .filter(length(col("needle")) >= 3)
+      val path = scratchPath("trigram_index", dir)
+      graft.ops.SearchOps.trigramWrite(
+        graft.ops.SearchOps.trigramIndex(docs, "doc_id", "text"), path)
+      val back = graft.ops.SearchOps.trigramRead(s, path)
+      graft.ops.SearchOps.trigramQuery(docs, "doc_id", "text",
+        back, needles, "needle")
+        .select(col("needle"), col("id").as("doc_id"))
+    },
     "text_pack" -> { (s, dir) =>
       // training-sequence assembly: greedy first-fit packing of docs
       // into 256-token sequences inside id%8 groups (one shuffle; the
@@ -795,6 +814,16 @@ object SparkEntry {
       // over per-group size lists; oracle replays it as a recursive CTE)
       TextOps.packSequences(tbl(s, dir, "documents"), "doc_id", "text",
         budget = 256, nGroups = 8)
+    },
+    "text_bpe_tokens" -> { (s, dir) =>
+      // merge-table BPE token counting (the real-tokenizer upgrade of
+      // subword counting): per doc, the number of BPE tokens under the
+      // checked-in public-format merge table - one codegen kernel call
+      // fused into the scan; the oracle replays the merge loop as a
+      // recursive CTE over the same interpolated ranks
+      tbl(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))
     },
     "text_pack_concat" -> { (s, dir) =>
       // the packed sequences MATERIALIZED as model-input text (members'
@@ -815,9 +844,19 @@ object SparkEntry {
     // Multimodal plumbing (decode stubbed; schema/batching real)
     // ------------------------------------------------------------------
     "media_decode" -> { (s, dir) =>
-      // stub decode is md5-derived, so the oracle replays the pseudo-dims
+      // both decode paths under oracle: every 5th doc carries a REAL
+      // PNG header (signature + IHDR, dims from doc_id arithmetic -
+      // synthPngHeader emits spec-compliant bytes) hitting the true
+      // IHDR parse; the rest carry raw text payloads hitting the
+      // md5-derived stand-in. The oracle replays the PNG dims from the
+      // same doc_id arithmetic and the raw dims from its own md5.
       val media = MultimodalOps.asMedia(
-        tbl(s, dir, "documents").withColumn("payload", encode(col("text"), "utf-8")),
+        tbl(s, dir, "documents").withColumn("payload",
+          when(col("doc_id") % 5 === 0,
+            MultimodalOps.synthPngHeader(
+              lit(1) + col("doc_id") % 1024,
+              lit(1) + (col("doc_id") * 7) % 1024))
+            .otherwise(encode(col("text"), "utf-8"))),
         "doc_id", "payload", "image")
       MultimodalOps.decodeAndFeaturize(media)
         .select(col("media_id"), col("width"), col("height"), col("format"),
@@ -2475,6 +2514,19 @@ object SparkEntry {
         |)
         |SELECT n.needle, d.doc_id
         |FROM needles n JOIN docs d ON contains(d.t, n.needle)""".stripMargin,
+    // the persisted index must return EXACTLY what the per-batch index
+    // returns: same oracle as text_search (pruning keeps whole buckets,
+    // so it is lossless by construction)
+    "text_search_persisted" ->
+      """WITH needles AS (
+        |  SELECT DISTINCT substr(lower(trim(text)), 1, 16) AS needle
+        |  FROM documents
+        |  WHERE doc_id % 251 = 0 AND length(substr(lower(trim(text)), 1, 16)) >= 3
+        |), docs AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT n.needle, d.doc_id
+        |FROM needles n JOIN docs d ON contains(d.t, n.needle)""".stripMargin,
     "text_pack" ->
       s"""WITH RECURSIVE t AS (
         |  SELECT doc_id AS id,
@@ -2546,11 +2598,14 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING count(*) >= 8""".stripMargin,
     "media_decode" ->
       """SELECT doc_id AS media_id,
-        |       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+        |       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 1024
+        |                 WHEN octet_length(encode(text)) = 0 THEN 0
         |                 ELSE 64 + (('0x' || substr(md5(text), 1, 8))::BIGINT % 1920) END AS INT) AS width,
-        |       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+        |       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + (doc_id * 7) % 1024
+        |                 WHEN octet_length(encode(text)) = 0 THEN 0
         |                 ELSE 64 + (('0x' || substr(md5(text), 9, 8))::BIGINT % 1080) END AS INT) AS height,
-        |       CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' ELSE 'raw' END AS format,
+        |       CASE WHEN doc_id % 5 = 0 THEN 'png'
+        |            WHEN octet_length(encode(text)) = 0 THEN 'empty' ELSE 'raw' END AS format,
         |       CAST(16 AS INT) AS n_features
         |FROM documents""".stripMargin,
     "media_resize" ->
@@ -2878,6 +2933,7 @@ object SparkEntry {
         |)
         |SELECT event_id, user_id, event_type, ms
         |FROM x WHERE prev_ms IS NULL OR ms - prev_ms > 5000""".stripMargin,
+    "text_bpe_tokens" -> bpeOracleSql,
     "text_bm25" -> bm25OracleSql(k1 = 1.2, b = 0.75, k = 10),
     // the persisted-index path scores with the identical statistics the
     // write/read round-trip preserves losslessly - one replay for both
@@ -3120,6 +3176,65 @@ object SparkEntry {
     * Scala doubles the Spark side uses), decimal-exact score sums, and
     * the same (score desc, doc) ranking.
     */
+  /** The checked-in BPE merge table, read from the SAME classpath
+    * resource the codegen kernel loads (ExprKernels.bpeRanks) and
+    * interpolated into the oracle - the two engines can never hold
+    * different tables.
+    */
+  private lazy val bpeMerges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "graft/bpe_merges.txt missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val Array(a, b) = l.split(" ", 2); (a, b) }
+      .toList
+    finally src.close()
+  }
+
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Merge-table BPE token-count replay: the kernel's exact single-step
+    * rule (lowest-rank adjacent pair, leftmost occurrence, one merge
+    * per step) as a DuckDB recursive CTE over the interpolated ranks.
+    * The rank lookup is one CASE over the concatenated pair; the
+    * leftmost-min position falls out of list_indexof(list_min) (ranks
+    * are unique; both are NULL exactly when no pair is mergeable, which
+    * is the termination predicate).
+    */
+  private lazy val bpeOracleSql: String = {
+    val rankCase = "CASE toks[i] || ' ' || toks[i+1] " +
+      bpeMerges.zipWithIndex
+        .map { case ((a, b), r) => s"WHEN ${sq(a + " " + b)} THEN $r" }
+        .mkString(" ") + " END"
+    val bestPos = s"list_indexof(list_transform(range(1, len(toks)), i -> $rankCase), " +
+      s"list_min(list_transform(range(1, len(toks)), i -> $rankCase)))"
+    s"""WITH RECURSIVE units AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS u
+      |  FROM documents WHERE text IS NOT NULL
+      |), du AS (
+      |  SELECT DISTINCT u FROM units
+      |), bpe(u, toks) AS (
+      |  SELECT u, regexp_extract_all(u, '.') FROM du
+      |  UNION ALL
+      |  SELECT u, toks[1:p-1] || [toks[p] || toks[p+1]] || toks[p+2:len(toks)]
+      |  FROM (SELECT u, toks, $bestPos AS p FROM bpe)
+      |  WHERE p IS NOT NULL
+      |), term AS (
+      |  SELECT u, len(toks) AS n
+      |  FROM (SELECT u, toks, $bestPos AS p FROM bpe)
+      |  WHERE p IS NULL
+      |), perdoc AS (
+      |  SELECT uu.doc_id, sum(t.n) AS n
+      |  FROM units uu JOIN term t USING (u)
+      |  GROUP BY 1
+      |)
+      |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS INT) AS n_bpe_tokens
+      |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+      |LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+  }
+
   private def bm25OracleSql(k1: Double, b: Double, k: Int): String =
     s"""WITH tk AS (
       |  SELECT doc_id AS did,

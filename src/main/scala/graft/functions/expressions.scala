@@ -520,6 +520,93 @@ object ExprKernels {
     out(nr.length) = mn
     new GenericArrayData(out)
   }
+
+  // ---- merge-table BPE token counting -------------------------------
+
+  /** The checked-in merge table (public GPT-2 merges.txt format: one
+    * "left right" pair per line in learned order, '#' comments skipped),
+    * loaded once per JVM from the classpath - it ships inside the
+    * library jar, so every executor reads the same table with no side
+    * channel. Rank map key is "left right" (tokens never contain
+    * spaces: the pre-tokenizer splits on whitespace).
+    */
+  private[graft] lazy val bpeRanks: java.util.HashMap[String, Integer] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "graft/bpe_merges.txt missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val m = new java.util.HashMap[String, Integer]()
+      var rank = 0
+      for (line <- src.getLines(); t = line.trim
+           if t.nonEmpty && !t.startsWith("#")) {
+        require(t.count(_ == ' ') == 1, s"malformed merges line: '$t'")
+        m.put(t, rank)
+        rank += 1
+      }
+      m
+    } finally src.close()
+  }
+
+  // pre-tokenizer over ALREADY-LOWERCASED text: letter runs, digit runs,
+  // single punctuation marks - the same three disjoint classes as
+  // TextOps.subwordPattern, RE2-safe so the DuckDB oracle extracts the
+  // identical unit stream
+  private val bpeUnitPattern = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+
+  // distinct-unit memo: the corpus vocabulary is tiny next to the corpus
+  // (word frequencies are Zipfian), so per-row work collapses to a hash
+  // lookup; capped so an adversarial corpus of unique tokens cannot
+  // grow the map unboundedly
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val BpeMemoCap = 1 << 20
+
+  /** Number of BPE tokens `unit` splits into under the merge table.
+    * Exactly one merge per iteration: find the lowest-rank adjacent
+    * pair (ranks are unique, so no tie exists) and fuse its LEFTMOST
+    * occurrence - the same single-step rule the DuckDB oracle replays
+    * as a recursive CTE, so counts are bit-identical by construction.
+    */
+  private def bpeUnitLen(unit: String): Int = {
+    val cached = bpeMemo.get(unit)
+    if (cached != null) return cached.intValue()
+    var toks = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < unit.length) {
+      val cp = unit.codePointAt(i)
+      toks.add(unit.substring(i, i + Character.charCount(cp)))
+      i += Character.charCount(cp)
+    }
+    var done = false
+    while (!done && toks.size() > 1) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var j = 0
+      while (j < toks.size() - 1) {
+        val r = bpeRanks.get(toks.get(j) + " " + toks.get(j + 1))
+        if (r != null && r.intValue() < bestRank) { bestRank = r.intValue(); bestPos = j }
+        j += 1
+      }
+      if (bestPos < 0) done = true
+      else {
+        toks.set(bestPos, toks.get(bestPos) + toks.get(bestPos + 1))
+        toks.remove(bestPos + 1)
+      }
+    }
+    val n = toks.size()
+    if (bpeMemo.size() < BpeMemoCap) bpeMemo.put(unit, Integer.valueOf(n))
+    n
+  }
+
+  /** Total BPE token count of `text` (callers pass LOWERCASED text so
+    * Spark's `lower` and the oracle engine's `lower` stay the parity
+    * pair; the kernel itself never case-folds).
+    */
+  def bpeCount(text: UTF8String): Int = {
+    val m = bpeUnitPattern.matcher(text.toString)
+    var total = 0
+    while (m.find()) total += bpeUnitLen(m.group())
+    total
+  }
 }
 
 /** `minhash_sig(text)` - array<bigint> MinHash signature. */
@@ -899,6 +986,25 @@ case class PtLevExtend(
   override def prettyName: String = "pt_lev_extend"
 }
 
+/** `bpe_count(loweredText)` - total merge-table BPE token count (int).
+  * The merge table is the checked-in public-format merges file (see
+  * ExprKernels.bpeRanks); the count a training pipeline budgets by.
+  */
+case class BpeCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.bpeCount(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.bpeCount($c)")
+  override protected def withNewChildInternal(c: Expression): BpeCount = copy(child = c)
+  override def prettyName: String = "bpe_count"
+}
+
 /** Column-API and SQL-registration surface for the native expressions. */
 object GraftFunctions {
 
@@ -969,6 +1075,9 @@ object GraftFunctions {
   def greedy_pack(sizes: Column, budget: Int): Column =
     Bridge.column(GreedyPack(Bridge.expression(sizes), budget))
 
+  def bpe_count(loweredText: Column): Column =
+    Bridge.column(BpeCount(Bridge.expression(loweredText)))
+
   def pt_lev_extend(q: Column, e: Column, s: Column, d: Column, maxDist: Int): Column =
     Bridge.column(PtLevExtend(
       Bridge.expression(q), Bridge.expression(e),
@@ -987,6 +1096,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinkler(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("jw_upper", es => JwUpper(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("greedy_pack", greedyPackBuilder, "built-in")
+    reg.createOrReplaceTempFunction("bpe_count", es => BpeCount(es.head), "built-in")
     reg.createOrReplaceTempFunction("shingles", shinglesBuilder, "built-in")
     reg.createOrReplaceTempFunction("char_grams", charGramsBuilder, "built-in")
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
@@ -1063,5 +1173,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("greedy_pack"),
       new ExpressionInfo(classOf[GreedyPack].getName, "greedy_pack"),
       GraftFunctions.greedyPackBuilder))
+    e.injectFunction((
+      FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),
+      (es: Seq[Expression]) => BpeCount(es.head)))
   }
 }

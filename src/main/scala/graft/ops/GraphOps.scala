@@ -182,7 +182,38 @@ object GraphOps {
       iterations: Int = 10,
       unit: Long = 1000000000L,
       broadcastNodeLimit: Long = 1L << 22
-  ): DataFrame = {
+  ): DataFrame =
+    pageRankCounted(edges, srcCol, dstCol, iterations, unit, broadcastNodeLimit)._1
+
+  /** [[pageRank]] plus the number of rounds actually executed, with an
+    * optional convergence stop: `tol >= 0` probes every third round and
+    * stops once the max per-node change across TWO rounds is <= tol
+    * (no probes, and no extra actions, on the default `tol = -1` path).
+    *
+    * Why a two-round delta: the integer map does not generally reach a
+    * one-round fixed point - on a hub-shaped graph the floor divisions
+    * are amplified by the hub degree into a persistent exact period-2
+    * cycle (measured on a 30-leaf star: the center rank alternates
+    * between two values ~0.8 unit apart forever). Comparing S(i+1) to
+    * S(i-1) treats that alternating mode as converged, which is the
+    * honest notion of "done" for this arithmetic.
+    *
+    * At `tol = 0` the stop is LOSSLESS: S(i+1) == S(i-1) makes the
+    * orbit exactly 2-periodic from round i-1 by determinism, so the
+    * fixed-round result is either the current state or one more round
+    * away - the stop runs that one parity-correcting round when
+    * `iterations` demands it, and returns bit-identical ranks to the
+    * fixed-round path.
+    */
+  def pageRankCounted(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 10,
+      unit: Long = 1000000000L,
+      broadcastNodeLimit: Long = 1L << 22,
+      tol: Long = -1L
+  ): (DataFrame, Int) = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(unit > 0, s"unit must be positive, got $unit")
     val sym = edges.select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
@@ -203,35 +234,85 @@ object GraphOps {
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     // rank state is NODE-sized - tiny next to the edge list. Under the
-    // size guard, broadcast the per-round contributions: each round is
+    // size guards, broadcast the per-round contributions: each round is
     // then a broadcast join plus an aggregation that REUSES the edge
     // partitioning - zero per-round edge shuffles (vs 2 per round on the
-    // fallback path). Graphs whose node table itself is too big to
-    // broadcast take the shuffled path.
-    val smallRanks = deg.count() <= broadcastNodeLimit // free: deg materialized
+    // fallback path). Graphs whose node table is too big to broadcast -
+    // by row count OR by estimated bytes (wide string ids blow past any
+    // row-count guard long before 4M rows) - take the shuffled path.
+    val nodeCount = deg.count() // free: deg materialized
+    val smallRanks = nodeCount <= broadcastNodeLimit &&
+      estBroadcastBytes(deg, "node", nodeCount) <= BroadcastByteLimit
     val restart = 15L * unit / 100L
-    var ranks = deg.select(F.col("node"), lit(unit).as("r"))
-    for (i <- 0 until iterations) {
-      val contrib = ranks.join(deg, Seq("node"))
+    def round(state: DataFrame): DataFrame = {
+      val contrib = state.join(deg, Seq("node"))
         .select(F.col("node").as("src"), expr("r div deg").as("c"))
       val joined =
         if (smallRanks) edgesByDst.join(broadcast(contrib), Seq("src"))
         else edgesByDst.join(contrib, Seq("src"))
-      ranks = joined
+      joined
         .groupBy(F.col("dst").as("node"))
         .agg(sum(F.col("c")).as("s"))
         .select(F.col("node"), (lit(restart) + expr("(85 * s) div 100")).as("r"))
-      // fixed iteration count = no per-round convergence probe, so no
-      // per-round action either: materialize only every third round to
-      // cap plan depth (the edge table re-enters the plan each round;
-      // unbounded, analysis cost grows superlinearly). The rounds in
-      // between fuse into ONE query whose nested broadcast subtrees each
-      // execute once - measured faster than both per-round checkpoints
-      // and a fully fused 10-round plan.
-      if (i % 3 == 2 && i != iterations - 1) ranks = ranks.localCheckpoint()
     }
-    ranks.select(F.col("node"), F.col("r").as("rank_int"))
+    var ranks = deg.select(F.col("node"), lit(unit).as("r"))
+    var prev: DataFrame = null // S(i-1) at the top of iteration i
+    var i = 0
+    var converged = false
+    while (i < iterations && !converged) {
+      val before = ranks // S(i)
+      ranks = round(ranks) // S(i+1)
+      if (tol >= 0L) {
+        // the probe path materializes every round (states feed the
+        // two-round compare) - the cost of convergence detection,
+        // accepted only on this opt-in path
+        ranks = ranks.localCheckpoint()
+        if (i % 3 == 2 && i != iterations - 1 && prev != null) {
+          val delta = ranks
+            .join(prev.select(F.col("node"), F.col("r").as("pr")), Seq("node"))
+            .agg(coalesce(max(F.abs(F.col("r") - F.col("pr"))), lit(0L)))
+            .head().getLong(0)
+          if (delta <= tol) {
+            // 2-periodic from S(i-1): land on the fixed-round parity so
+            // tol=0 returns exactly the fixed-round result
+            if ((iterations - (i + 1)) % 2 == 1) { ranks = round(ranks); i += 1 }
+            converged = true
+          }
+        }
+        prev = before
+      } else {
+        // fixed iteration count = no per-round convergence probe, so no
+        // per-round action either: materialize only every third round to
+        // cap plan depth (the edge table re-enters the plan each round;
+        // unbounded, analysis cost grows superlinearly). The rounds in
+        // between fuse into ONE query whose nested broadcast subtrees
+        // each execute once - measured faster than both per-round
+        // checkpoints and a fully fused 10-round plan.
+        if (i % 3 == 2 && i != iterations - 1) ranks = ranks.localCheckpoint()
+      }
+      i += 1
+    }
+    (ranks.select(F.col("node"), F.col("r").as("rank_int")), i)
   }
+
+  /** Conservative byte estimate of a per-round broadcast of `rows`
+    * (id, value) pairs keyed by `idCol` of `nodeSized` (which callers
+    * have already materialized - this one node-sized agg reads the
+    * checkpoint, never recomputes). String-rendered width upper-bounds
+    * every id type; +8 for the carried long, +16 per-row overhead.
+    */
+  private def estBroadcastBytes(nodeSized: DataFrame, idCol: String, rows: Long): Long = {
+    val idW = nodeSized
+      .agg(coalesce(F.avg(F.length(F.col(idCol).cast("string"))), lit(8.0)))
+      .head().getDouble(0)
+    (rows * (idW + 8 + 16)).toLong
+  }
+
+  /** Per-round node-table broadcasts stop above this many estimated
+    * bytes regardless of row count (driver + every executor holds the
+    * whole table per round).
+    */
+  private val BroadcastByteLimit: Long = 128L << 20
 
   /** Connected components by alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -418,7 +499,12 @@ object GraphOps {
       .distinct()
       .localCheckpoint() // joined every round: materialize ONCE
     val nodes = e.select(F.col("src").as("node")).distinct().localCheckpoint()
-    val smallLabels = nodes.count() <= broadcastNodeLimit // free: just materialized
+    val nodeCount = nodes.count() // free: just materialized
+    // row count AND estimated bytes: broadcasting a multi-million-row
+    // WIDE label frame every round pressures driver/executor memory
+    // long before the row-count guard trips (same guard as pageRank)
+    val smallLabels = nodeCount <= broadcastNodeLimit &&
+      estBroadcastBytes(nodes, "node", nodeCount) <= BroadcastByteLimit
     var labels = nodes.withColumn("lab", F.col("node"))
     for (_ <- 1 to rounds) {
       val prev = labels.withColumnRenamed("node", "src")

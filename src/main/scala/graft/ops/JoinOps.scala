@@ -159,10 +159,15 @@ object JoinOps {
     * full right group at its salt; duplicates on either side produce
     * the same all-pairs output).
     *
-    * The salt is a deterministic hash of the whole left row, not
-    * rand(): re-runs and retried tasks place every row identically, so
-    * the join is reproducible and exactly-once-safe under speculative
-    * execution.
+    * The salt is a deterministic hash of the left row's HASHABLE
+    * columns, not rand(): re-runs and retried tasks place every row
+    * identically, so the join is reproducible and exactly-once-safe
+    * under speculative execution. (Map-typed columns are skipped -
+    * xxhash64 rejects them - so a frame whose only non-key columns are
+    * maps salts on the key alone.) Caveat: rows that are fully
+    * IDENTICAL on the hashable columns share a salt, so a hot key
+    * consisting of duplicated rows is not spread; carry any unique id
+    * column through the join to restore the spread.
     *
     * This is the MANUAL fallback for engines/paths where AQE skew-join
     * splitting can't see the skew (e.g. a skewed key feeding a
@@ -184,8 +189,22 @@ object JoinOps {
     require(salts >= 1, s"salts must be positive, got $salts")
     require(leftKey != rightKey,
       "leftKey and rightKey must be distinct column names (rename one side)")
+    // the scratch columns are dropped from the OUTPUT but would silently
+    // shadow same-named input columns through the join condition
+    require(!(left.columns ++ right.columns).exists(c => c == "__lsalt" || c == "__rsalt"),
+      "__lsalt/__rsalt are reserved column names in saltedJoin")
+    // salt over the hashable columns only: xxhash64 fails analysis on
+    // MapType, and a metadata map is a legal frame shape
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltSrc = left.schema.fields.filter(f => hashable(f.dataType)).map(f => F.col(f.name))
     val l = left.withColumn("__lsalt",
-      pmod(xxhash64(left.columns.map(F.col): _*), lit(salts)).cast(IntegerType))
+      if (saltSrc.isEmpty) lit(0)
+      else pmod(xxhash64(saltSrc.toSeq: _*), lit(salts)).cast(IntegerType))
     val r = right.withColumn("__rsalt",
       explode(array((0 until salts).map(lit): _*)))
     l.join(r,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
@@ -10,13 +10,16 @@ import org.apache.spark.sql.types._
   * per-partition passes.
   *
   * The Spark-side mechanics here - schema, partition sizing, batch
-  * iteration, metadata propagation - are real and tested. The actual
-  * codec calls are STUBBED (this environment has no image/audio
-  * libraries): `decodeImageMeta` parses just enough of real PNG/JPEG
-  * headers to be deterministic, and `extractFeatures` computes a
-  * deterministic byte-histogram "feature vector" standing in for a model
-  * embedding. Swapping in a real decoder changes only the function body,
-  * not the pipeline.
+  * iteration, metadata propagation - are real and tested, and so is the
+  * PNG METADATA decode: [[decodeImageMeta]] parses the spec-defined
+  * IHDR header of any real PNG (verified in OpsSpec against bytes
+  * produced by javax.imageio's actual encoder, and exercised by the
+  * `media_decode` query on [[synthPngHeader]] fixtures). What remains
+  * stand-in is pixel-level work (this environment has no image/audio
+  * libraries): non-PNG payloads get deterministic md5-derived
+  * pseudo-dims, and `extractFeatures` computes a byte-histogram
+  * "feature vector" in place of a model embedding. Swapping in a full
+  * decoder changes only those function bodies, not the pipeline.
   *
   * Scale notes: payload columns dominate row size, so operators
   * repartition by byte budget, never row count ([[repartitionForPayload]]),
@@ -90,6 +93,24 @@ object MultimodalOps {
     }
     hist
   }
+
+  /** A minimal REAL PNG header - the 8-byte signature plus the IHDR
+    * chunk (length, type, width, height, bit depth 8, color type 6,
+    * default compression/filter/interlace) - as a binary column built
+    * from plain codegen'd string/hex functions: `lpad(hex(x), 8, '0')`
+    * IS the big-endian 4-byte encoding once unhexed, so no UDF is
+    * needed and any engine with md5-grade built-ins can replay the
+    * bytes. Any spec-compliant PNG reader accepts this prefix as the
+    * start of a valid file, which makes it the fixture generator for
+    * the real-decode path ([[decodeImageMeta]]'s IHDR branch) in an
+    * environment without image assets.
+    */
+  def synthPngHeader(width: Column, height: Column): Column =
+    unhex(concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      lpad(F.hex(width.cast(LongType)), 8, "0"),
+      lpad(F.hex(height.cast(LongType)), 8, "0"),
+      lit("0806000000" + "00000000")))
 
   /** Batched decode pass: mapPartitions so per-partition setup (a real
     * decoder context) happens once per task, not once per row. Output:

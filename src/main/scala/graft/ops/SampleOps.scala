@@ -209,7 +209,8 @@ object SampleOps {
     * every 10 - and the final position is the global rank of that
     * target ([[graft.ops.ShardOps.globalOrderIndex]]: range partition,
     * no single-partition funnel). Strata absent from `weights` are
-    * dropped.
+    * dropped; a weights KEY matching no stratum raises at first action
+    * (keys compare against the column's string rendering).
     *
     * This is what "shuffle then hope" cannot give you: a 60/25/15
     * mixture holds at every checkpoint boundary, not just in
@@ -237,8 +238,28 @@ object SampleOps {
     val targeted = df.filter(s.isin(inMix: _*))
       .withColumn("__rk", row_number().over(rkWin))
       .withColumn("__target", (F.col("__rk") - lit(0.5)) / wCol)
-    graft.ops.ShardOps.globalOrderIndex(targeted,
+    val ordered = graft.ops.ShardOps.globalOrderIndex(targeted,
         Seq(F.col("__target"), F.col(strataCol), F.col(keyCol)))
       .drop("__rk", "__target")
+    // a weights key that matches NO stratum (typo, or a numeric column
+    // rendering "1" where the caller wrote "1.0") must be an ERROR, not
+    // a silently thinner - or empty - mixture. The check rides the plan
+    // as a one-row broadcast guard (assert_true over an anti-join of
+    // the keys against the distinct strata renderings), so construction
+    // stays job-free and the error surfaces on first action.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val missing = inMix.toDF("__k")
+      .join(df.select(s.as("__k")).distinct(), Seq("__k"), "left_anti")
+    val guard = broadcast(missing.agg(
+      assert_true(count(lit(1)) === 0,
+        concat(lit("interleaveBySources: weights key(s) matching no stratum: "),
+          concat_ws(",", sort_array(collect_list(F.col("__k")))),
+          lit(" - keys must equal the column's STRING rendering"))).as("__guard")))
+    // the assert must flow through a FILTER, not a dropped projection:
+    // column pruning would elide an unused assert_true column, silently
+    // disarming the check (assert_true yields null when it passes, so
+    // the isNull predicate keeps every row)
+    ordered.crossJoin(guard).filter(F.col("__guard").isNull).drop("__guard")
   }
 }

@@ -117,6 +117,99 @@ object SearchOps {
     verifiedLong.union(verifiedShort)
   }
 
+  /** The persisted trigram index: posting lists hive-partitioned on a
+    * hash bucket of the gram, so a query batch prunes unprobed buckets
+    * at file listing (same lifecycle as the IVF lists and the BM25
+    * statistics tables; the reference's own INDEX/BUILDINDEX shape,
+    * /root/reference/PrefixTree.ecl:611-613, applied to the posting
+    * table).
+    *
+    * Bucketing by pmod(xxhash64(gram), nBuckets) rather than by the raw
+    * gram keeps the directory count bounded (a corpus holds ~10^4-10^5
+    * distinct trigrams, and gram bytes can be path-illegal) while
+    * preserving the pruning property: every posting of a given gram
+    * lives in exactly one bucket directory.
+    */
+  final case class TrigramIndexed(postings: DataFrame, nBuckets: Int)
+
+  private val BucketCol = "gbucket"
+
+  private def bucketOf(gram: Column, nBuckets: Int): Column =
+    F.pmod(F.xxhash64(gram), lit(nBuckets.toLong))
+
+  /** Write a [[trigramIndex]] posting table partitioned on the gram
+    * bucket. Within each bucket the writer sorts by gram, so parquet
+    * row-group min/max stats additionally prune within a bucket file.
+    * `filesPerValue` fans a hot bucket over several writer tasks (same
+    * skew control as Sinks.writePartitioned, which this mirrors - the
+    * write is inlined here to add the within-file gram sort).
+    */
+  def trigramWrite(
+      index: DataFrame,
+      path: String,
+      nBuckets: Int = 64,
+      filesPerValue: Int = 1
+  ): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val bucketed = index.withColumn(BucketCol, bucketOf(F.col("gram"), nBuckets))
+    val keys =
+      if (filesPerValue <= 1) Seq(F.col(BucketCol))
+      else Seq(F.col(BucketCol),
+        F.pmod(F.xxhash64(F.col("gram"), F.col("id")), lit(filesPerValue.toLong)))
+    bucketed
+      .repartition(keys: _*)
+      .sortWithinPartitions("gram", "id")
+      .write.mode("overwrite")
+      .partitionBy(BucketCol)
+      .parquet(s"$path/postings")
+    val spark = index.sparkSession
+    import spark.implicits._
+    // nBuckets must travel with the layout: a reader probing with a
+    // different modulus would prune to the WRONG buckets (silently empty
+    // results) - one-row meta parquet, same shape as the BM25 stats table
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read a persisted trigram index back. The postings stay a lazy
+    * partitioned scan; only the one-row meta table is collected (the
+    * same driver-side cost as ivfRead's k centroids).
+    */
+  def trigramRead(spark: org.apache.spark.sql.SparkSession, path: String): TrigramIndexed =
+    TrigramIndexed(
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/meta").head().getInt(0))
+
+  /** [[substringSearch]] through a persisted index: restrict the posting
+    * scan to the bucket directories the needle batch's grams hash into
+    * (an inner join on the PARTITION column against the distinct probed
+    * buckets - dynamic partition pruning drops the rest at file listing,
+    * the ivfQuery list_id shape), then run the standard K-rarest-gram
+    * intersection. Lossless: pruning keeps whole buckets, so every
+    * posting - and the exact doc-frequency - of every probed gram
+    * survives.
+    */
+  def trigramQuery(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      idx: TrigramIndexed,
+      needles: DataFrame,
+      needleCol: String,
+      rarestK: Int = 4
+  ): DataFrame = {
+    val wantedBuckets = needles
+      .select(lower(F.col(needleCol)).as("needle"))
+      .filter(length(F.col("needle")) >= 3)
+      .select(explode(trigrams(F.col("needle"))).as("gram"))
+      .select(bucketOf(F.col("gram"), idx.nBuckets).as(BucketCol))
+      .distinct()
+    val pruned = idx.postings
+      .join(broadcast(wantedBuckets), Seq(BucketCol))
+      .select("gram", "id")
+    substringSearch(corpus, idCol, textCol, pruned, needles, needleCol, rarestK)
+  }
+
   /** BM25 ranked keyword retrieval (Robertson/Sparck Jones Okapi
     * weighting): score(q, d) = sum over query terms of
     * idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
@@ -224,7 +317,11 @@ object SearchOps {
       (F.col("tf") + lit(k1) * (lit(1 - b) + lit(b) * F.col("dl") / avgdl))
     val byScore = Window.partitionBy("query")
       .orderBy(F.col("s").desc, F.col("did"))
-    qTerms
+    // the probe side is query-batch-sized; the tf table is
+    // corpus-sized. Freshly-read parquet carries no stats, so without
+    // the hint Catalyst can plan this as a full-tf shuffle join - pin
+    // the index-probe shape (broadcast the batch, stream the postings)
+    broadcast(qTerms)
       .join(idx.tf, "term")
       .join(idx.dl, "did")
       .join(idx.dfT, "term")

@@ -27,6 +27,22 @@ object TextOps {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit(subwordPattern), lit(0))).cast(IntegerType)
 
+  /** Merge-table BPE token count - the real-tokenizer upgrade of
+    * [[subwordCount]] for budgeting by what a model actually consumes:
+    * the same three pre-token classes (letter runs / digit runs /
+    * single punctuation, lowercased), each unit then split by the
+    * checked-in public-GPT-2-format merge table
+    * (src/main/resources/graft/bpe_merges.txt, loaded once per JVM -
+    * see ExprKernels.bpeRanks). One codegen kernel call per row, memoized
+    * per distinct unit, so the scan stays whole-stage-codegen'd; counts
+    * replay engine-independently (the DuckDB oracle re-runs the merge
+    * loop as a recursive CTE over the same interpolated ranks). Drop-in
+    * `counter` for [[packSequences]] and the volume column for
+    * [[graft.ops.SampleOps.tokenBudgetSample]].
+    */
+  def bpeTokenCount(text: Column): Column =
+    graft.functions.GraftFunctions.bpe_count(lower(text))
+
   /** Tokenize to one row per (id, pos, token). */
   def tokenize(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(F.col(idCol), posexplode(DedupOps.tokens(F.col(textCol))).as(Seq("pos", "token")))
@@ -132,11 +148,12 @@ object TextOps {
       idCol: String,
       textCol: String,
       budget: Int,
-      nGroups: Int = 64
+      nGroups: Int = 64,
+      counter: Column => Column = wordCount
   ): DataFrame = {
     require(budget > 0 && nGroups > 0, s"need budget > 0, nGroups > 0; got $budget, $nGroups")
     import org.apache.spark.sql.expressions.Window
-    val t = df.select(F.col(idCol).as("id"), wordCount(F.col(textCol)).as("n"))
+    val t = df.select(F.col(idCol).as("id"), counter(F.col(textCol)).as("n"))
       .filter(F.col("n").isNotNull && F.col("n") > 0)
       .withColumn("grp", pmod(F.col("id"), lit(nGroups)).cast(IntegerType))
     val packed = t.groupBy("grp")

@@ -177,6 +177,36 @@ class PlanFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("persisted trigram index: bucket probe prunes posting partitions dynamically") {
+    import graft.ops.SearchOps
+    val docs = (1L to 200L)
+      .map(i => (i, s"document number $i with payload token_${i % 17} text"))
+      .toDF("doc_id", "text")
+    val dir = tmp("tridpp")
+    SearchOps.trigramWrite(
+      SearchOps.trigramIndex(docs, "doc_id", "text"), s"$dir/idx", nBuckets = 32)
+    val back = SearchOps.trigramRead(spark, s"$dir/idx")
+    // needles through parquet: DPP keys off a selective predicate over a
+    // file source (a LocalRelation folds the filter away)
+    Seq("token_3", "token_5").toDF("n").write.parquet(s"$dir/needles")
+    val needles = spark.read.parquet(s"$dir/needles").filter(length($"n") > 2)
+    withConf(
+      // test-sized data: the byte-estimate heuristic refuses on
+      // kilobytes; at corpus scale it fires with stock configs
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "1000"
+    ) {
+      val q = SearchOps.trigramQuery(docs, "doc_id", "text", back, needles, "n")
+      // the postings scan must carry a dynamic pruning expression on
+      // gbucket: a needle batch touching a handful of grams reads only
+      // their bucket directories, never the whole posting table
+      val plan = q.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("dynamicpruning"),
+        s"no dynamic partition pruning on the trigram postings scan:\n$plan")
+      assert(q.count() > 0)
+    }
+  }
+
   test("globalOrderIndex plans range partitioning, never a single-partition funnel") {
     import graft.ops.ShardOps
     val df = (1L to 10000L).toDF("id")

@@ -414,4 +414,60 @@ class FunctionsSpec extends SparkSpec {
     val (row, mn) = Kernels.extendRow("dogma", "drops", Array(0, 1, 2, 3, 4, 5), 0, 3)
     assert(out == (row.toSeq :+ mn))
   }
+
+  test("bpe_count == independent merge-loop reference on every corpus unit") {
+    // independent reference: same contract (lowest-rank pair, leftmost
+    // occurrence, one merge per step) written against the parsed table,
+    // sharing no code with the kernel
+    val ranks: Map[(String, String), Int] = {
+      val src = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/graft/bpe_merges.txt"), "UTF-8")
+      try src.getLines().map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .zipWithIndex
+        .map { case (l, r) => val Array(a, b) = l.split(" ", 2); (a, b) -> r }
+        .toMap
+      finally src.close()
+    }
+    assert(ranks.nonEmpty)
+    // well-formedness: every merge's constituents are single chars or
+    // products of EARLIER merges (the property that makes one-at-a-time
+    // and all-at-once merging converge identically)
+    val ordered = ranks.toSeq.sortBy(_._2)
+    val products = ordered.map { case ((a, b), _) => a + b }
+    ordered.zipWithIndex.foreach { case (((a, b), _), i) =>
+      for (t <- Seq(a, b) if t.length > 1)
+        assert(products.take(i).contains(t), s"merge $i: '$t' unformed")
+    }
+    def refCount(unit: String): Int = {
+      var toks = unit.map(_.toString).toVector
+      var cont = true
+      while (cont && toks.size > 1) {
+        val cands = toks.sliding(2).zipWithIndex.collect {
+          case (Seq(a, b), i) if ranks.contains((a, b)) => (ranks((a, b)), i)
+        }.toSeq
+        if (cands.isEmpty) cont = false
+        else {
+          val (_, i) = cands.min
+          toks = (toks.take(i) :+ (toks(i) + toks(i + 1))) ++ toks.drop(i + 2)
+        }
+      }
+      toks.size
+    }
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]".r
+    def refText(text: String): Int =
+      pat.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).map(refCount).sum
+    val samples = Seq(
+      "the quick spark window joins a stream",
+      "big DATA tables: merge, filter & sort 42 columns!",
+      "", "x", "zzzqqq unseen-units 9081726354",
+      "spark spark spark customer customer")
+    val got = samples.toDF("t")
+      .select(GraftFunctions.bpe_count(lower($"t")))
+      .as[Int].collect().toSeq
+    assert(got == samples.map(refText), s"got $got")
+    // and a fused multi-token sanity: 'spark' is s|par|k under the table
+    assert(Seq("spark").toDF("t")
+      .select(GraftFunctions.bpe_count(lower($"t"))).as[Int].head() == 3)
+  }
 }

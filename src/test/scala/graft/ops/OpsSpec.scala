@@ -244,6 +244,63 @@ class OpsSpec extends SparkSpec {
     assert(got(1L) > got(2L)) // hub collects 3 inflows per round
   }
 
+  test("pageRankCounted: tol=0 stops early on a fixed point, ranks identical to fixed-round") {
+    // star: center 0, 30 leaves - converges to an exact integer fixed
+    // point well inside 60 rounds at unit=100
+    val edges = (1L to 30L).map(l => (0L, l)).toDF("a", "b")
+    val (ranksDf, rounds) = GraphOps.pageRankCounted(
+      edges, "a", "b", iterations = 60, unit = 100L, tol = 0L)
+    assert(rounds < 60, s"expected early stop, ran all $rounds rounds")
+    val early = ranksDf.as[(Long, Long)].collect().toMap
+    val fixed = GraphOps.pageRank(edges, "a", "b", iterations = 60, unit = 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(early == fixed, "tol=0 stop must be lossless (exact fixed point)")
+    // default tol=-1: no probe, all rounds run, same result as pageRank
+    val (df2, r2) = GraphOps.pageRankCounted(edges, "a", "b", iterations = 7, unit = 100L)
+    assert(r2 == 7)
+    assert(df2.as[(Long, Long)].collect().toMap ==
+      GraphOps.pageRank(edges, "a", "b", iterations = 7, unit = 100L)
+        .as[(Long, Long)].collect().toMap)
+  }
+
+  test("saltedJoin: map-typed columns salt safely, reserved scratch names rejected") {
+    // a MapType column would fail xxhash64 analysis if salted over -
+    // the salt must skip it and the join still return exact results
+    val left = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("lk", "lv")
+      .withColumn("m", map(lit("meta"), $"lv".cast("string")))
+    val right = Seq((1L, 99L), (1L, 98L)).toDF("rk", "rv")
+    val got = JoinOps.saltedJoin(left, right, "lk", "rk", salts = 3)
+      .select($"lv", $"rv").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((10L, 98L), (10L, 99L), (11L, 98L), (11L, 99L)))
+    // an input already holding a scratch-named column must be rejected,
+    // not silently shadowed through the join condition
+    intercept[IllegalArgumentException] {
+      JoinOps.saltedJoin(left.withColumn("__lsalt", lit(1)), right, "lk", "rk", 2)
+    }
+    intercept[IllegalArgumentException] {
+      JoinOps.saltedJoin(left, right.withColumn("__rsalt", lit(1)), "lk", "rk", 2)
+    }
+  }
+
+  test("interleaveBySources: a weights key matching no stratum raises, never an empty frame") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "src")
+    val e = intercept[Exception] {
+      SampleOps.interleaveBySources(df, "id", "src",
+        Map("a" -> 0.5, "zz" -> 0.5)).collect()
+    }
+    assert(e.getMessage.contains("zz") ||
+      Option(e.getCause).exists(_.getMessage.contains("zz")))
+    // numeric strata render as Spark strings: "1.0" does not match an
+    // IntegerType column rendering "1" - error, not silence
+    val num = Seq((1L, 1), (2L, 2)).toDF("id", "src")
+    intercept[Exception] {
+      SampleOps.interleaveBySources(num, "id", "src", Map("1.0" -> 1.0)).collect()
+    }
+    // the matching rendering works and keeps only that stratum
+    assert(SampleOps.interleaveBySources(num, "id", "src", Map("1" -> 1.0))
+      .select($"id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("connectedComponents: empty edge list yields empty result, no NPE") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(GraphOps.connectedComponents(empty, "id_a", "id_b").count() == 0)
@@ -804,6 +861,34 @@ class OpsSpec extends SparkSpec {
     assert(got.contains(("日本語のテ", 6L)))
   }
 
+  test("persisted trigram index: lossless round-trip vs per-batch index") {
+    val docs = Seq(
+      (1L, "The Quick Brown Fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "quick quick quick repeated tokens here"),
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      (6L, "日本語のテキストと quick を混ぜる")
+    ).toDF("doc_id", "text")
+    val needles = Seq("quick", "QUICK b", "zzz-not-present", "ox", "q",
+      "日本語のテ", "五").toDF("n")
+    val idx = SearchOps.trigramIndex(docs, "doc_id", "text")
+    val direct = SearchOps.substringSearch(docs, "doc_id", "text", idx, needles, "n")
+      .as[(String, Long)].collect().toSet
+    // few buckets so several grams COLLIDE into one bucket, and more
+    // buckets than probed grams so some directories really are pruned -
+    // both layouts must replay the per-batch result exactly
+    for (nBuckets <- Seq(4, 64)) {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_trigram_spec_$nBuckets").toString
+      SearchOps.trigramWrite(idx, path, nBuckets = nBuckets, filesPerValue = 2)
+      val back = SearchOps.trigramRead(spark, path)
+      assert(back.nBuckets == nBuckets)
+      val got = SearchOps.trigramQuery(docs, "doc_id", "text", back, needles, "n")
+        .as[(String, Long)].collect().toSet
+      assert(got == direct, s"nBuckets=$nBuckets")
+    }
+  }
+
   test("resampleGapFill: contiguous spine per key, gaps zero-filled, exact sums") {
     import java.sql.Timestamp
     def ts(min: Int) = new Timestamp(3600L * 1000 * 100 + min * 60000L)
@@ -1028,6 +1113,23 @@ class OpsSpec extends SparkSpec {
       0, 0, 0, 13, 'I', 'H', 'D', 'R',
       0, 0, 1, 0x40, 0, 0, 0, 0xc8.toByte, 8, 2, 0, 0, 0)
     assert(MultimodalOps.decodeImageMeta(png) == ((320, 200, "png")))
+    // the decode must be REAL, not fixture-shaped: bytes from an actual
+    // PNG encoder (javax.imageio, on every JVM) parse to their true dims
+    val img = new java.awt.image.BufferedImage(37, 21,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(MultimodalOps.decodeImageMeta(bos.toByteArray) == ((37, 21, "png")))
+    // and the synthPngHeader fixture generator emits bytes the same
+    // parser reads back verbatim (the media_decode query's PNG path)
+    val synth = Seq((320, 200), (1, 1), (1024, 7))
+      .toDF("w", "h")
+      .select($"w", $"h",
+        MultimodalOps.synthPngHeader($"w", $"h").as("p"))
+      .collect()
+      .map(r => (r.getAs[Int]("w"), r.getAs[Int]("h"),
+        MultimodalOps.decodeImageMeta(r.getAs[Array[Byte]]("p"))))
+    synth.foreach { case (w, h, got) => assert(got == ((w, h, "png")), s"${w}x$h") }
     val media = MultimodalOps.asMedia(
       Seq((1L, png), (2L, "not a png".getBytes)).toDF("id", "payload"), "id", "payload", "image")
     val out = MultimodalOps.decodeAndFeaturize(media)
@@ -1460,13 +1562,34 @@ class OpsSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      Thread.sleep(500) // drain in-flight listener events from prior actions
+      // deterministic drain of the async listener bus (a fixed sleep
+      // flakes on a loaded host: job-start events from EARLIER actions
+      // can arrive after the zeroing); waitUntilEmpty is package-private,
+      // hence the reflective call
+      def drainBus(): Unit = {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethods.find(_.getName == "listenerBus").get.invoke(sc)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1).get
+          .invoke(bus, java.lang.Long.valueOf(30000L))
+      }
+      drainBus()
       jobs = 0
       val q = SearchOps.bm25Query(back, queries, "q", k = 3)
-      Thread.sleep(500)
+      drainBus()
       assert(jobs == 0, s"bm25Query construction must launch no jobs, saw $jobs")
       assert(q.collect().map(_.toString).sorted.toSeq == direct)
     } finally spark.sparkContext.removeSparkListener(listener)
+    // the tf probe must keep the index-probe shape (query batch
+    // broadcast against the corpus-sized postings) even when the
+    // freshly-read parquet carries no stats: threshold -1 turns off
+    // size-based broadcasts, so only the explicit hint can produce one
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = SearchOps.bm25Query(back, queries, "q", k = 3)
+        .queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("broadcasthashjoin"),
+        s"tf probe lost its broadcast shape:\n${plan.take(2000)}")
+    }
   }
 
   test("exactKPerStratum: exact per-stratum counts, deterministic, layout-independent") {
