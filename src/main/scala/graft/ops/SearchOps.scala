@@ -275,6 +275,15 @@ object SearchOps {
     Bm25Index(tf, docLengths(tf), docFreqs(tf), corpusStats(tf))
   }
 
+  /** Re-derive the three aggregate tables from a (did, term, tf) table -
+    * the incremental-maintenance entry point
+    * ([[graft.streaming.StreamOps.bm25Maintenance]] folds each batch
+    * into tf and re-derives; tf is the ground truth the other three are
+    * pure functions of).
+    */
+  def statsFromTf(tf: DataFrame): Bm25Index =
+    Bm25Index(tf, docLengths(tf), docFreqs(tf), corpusStats(tf))
+
   def bm25Write(idx: Bm25Index, path: String): Unit = {
     // write tf FIRST, then derive the three aggregates from the written
     // parquet: the corpus tokenize+count runs once, and dl/df/stats

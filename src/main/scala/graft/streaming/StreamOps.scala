@@ -335,6 +335,65 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming BM25 index maintenance: fold a stream of documents into
+    * a served [[graft.ops.SearchOps.Bm25Index]], the retrieval-side
+    * parallel of [[trieMaintenance]]. Per non-empty batch, the batch's
+    * term frequencies merge ADDITIVELY into all four statistics tables
+    * (tf on (did, term); dl on did; df on term; the one-row stats) - so
+    * a re-appearing doc id behaves exactly as if its text had been
+    * concatenated onto the original document, and appends are plain
+    * disjoint unions. `onUpdate` hands out the new index; serve it with
+    * [[graft.ops.SearchOps.bm25Query]] (plan-construction only - the
+    * corpus is never rescanned).
+    *
+    * Scale shape: per batch, ONE batch-sized tokenize + aggregation,
+    * then state-sized merge aggregations - the same order as the
+    * localCheckpoint that rematerializes the state anyway. Superseded
+    * checkpoints free under the one-batch grace of [[trieMaintenance]]
+    * (readers of the previously-served index get a full batch interval
+    * to drain before its blocks drop).
+    */
+  def bm25Maintenance(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      initial: graft.ops.SearchOps.Bm25Index
+  )(onUpdate: graft.ops.SearchOps.Bm25Index => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.SearchOps.Bm25Index
+    import org.apache.spark.sql.functions._
+    def pin(i: Bm25Index): Bm25Index =
+      Bm25Index(i.tf.localCheckpoint(), i.dl.localCheckpoint(),
+        i.dfT.localCheckpoint(), i.stats.localCheckpoint())
+    @volatile var state = pin(initial)
+    @volatile var graveyard: Option[Bm25Index] = None
+    def free(i: Bm25Index): Unit =
+      Seq(i.tf, i.dl, i.dfT, i.stats).foreach(unpersistCheckpoint)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.ops.SearchOps.bm25Build(batch.toDF(), idCol, textCol)
+          val prev = state
+          // tf is the ground truth; dl/df/stats derive from the MERGED
+          // tf (an additive df merge would count a re-appearing doc
+          // twice for terms it already contained). The merged tf is
+          // checkpointed first so the three derived aggregates read the
+          // materialized table, not the merge plan, and bm25Build over
+          // the union-of-all-batches corpus is reproduced exactly.
+          val mergedTf = prev.tf.union(delta.tf)
+            .groupBy("did", "term").agg(sum("tf").as("tf"))
+            .localCheckpoint()
+          val derived = graft.ops.SearchOps.statsFromTf(mergedTf)
+          state = Bm25Index(mergedTf, derived.dl.localCheckpoint(),
+            derived.dfT.localCheckpoint(), derived.stats.localCheckpoint())
+          onUpdate(state)
+          graveyard.foreach(free)
+          graveyard = Some(prev)
+        }
+      }
+      .start()
+  }
+
   /** Drop the storage blocks behind a `localCheckpoint`ed Dataset.
     * `Dataset.unpersist` only consults the cache manager, which knows
     * nothing about checkpoint RDDs - the blocks live on the RDD inside

@@ -345,6 +345,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set("cat", "car", "cart"))
   }
 
+  test("bm25Maintenance: streamed micro-batches == full-corpus build, incl. re-appearing doc") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq((1L, "the quick brown fox"), (2L, "pack my box"))
+    val batch2 = Seq((3L, "quick quick silver"), (1L, "jumps the fence")) // doc 1 appended
+    @volatile var latest: graft.ops.SearchOps.Bm25Index = null
+    val mem = MemoryStream[(Long, String)]
+    val initial = graft.ops.SearchOps.bm25Build(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    val sq = StreamOps.bm25Maintenance(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", initial)(latest = _)
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    // the maintained statistics equal ONE build over the merged corpus
+    // (doc 1's two appearances concatenate)
+    val full = graft.ops.SearchOps.bm25Build(
+      Seq((1L, "the quick brown fox jumps the fence"),
+        (2L, "pack my box"), (3L, "quick quick silver")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(latest.tf) == rows(full.tf))
+    assert(rows(latest.dl) == rows(full.dl))
+    assert(rows(latest.dfT) == rows(full.dfT))
+    assert(rows(latest.stats) == rows(full.stats))
+    // and the maintained index serves identical rankings
+    val queries = Seq("quick fox", "box").toDF("q")
+    assert(rows(graft.ops.SearchOps.bm25Query(latest, queries, "q", k = 3)) ==
+      rows(graft.ops.SearchOps.bm25Query(full, queries, "q", k = 3)))
+  }
+
   test("streamingHeavyHitters: cross-batch state == batch run == exact counts when lossless") {
     implicit val sqlCtx = spark.sqlContext
     val batch1 = Seq("a", "a", "b", "c", "a")
