@@ -859,18 +859,24 @@ object SparkEntry {
     // Multimodal plumbing (decode stubbed; schema/batching real)
     // ------------------------------------------------------------------
     "media_decode" -> { (s, dir) =>
-      // both decode paths under oracle: every 5th doc carries a REAL
-      // PNG header (signature + IHDR, dims from doc_id arithmetic -
-      // synthPngHeader emits spec-compliant bytes) hitting the true
-      // IHDR parse; the rest carry raw text payloads hitting the
-      // md5-derived stand-in. The oracle replays the PNG dims from the
-      // same doc_id arithmetic and the raw dims from its own md5.
+      // all three decode paths under oracle: every 5th doc carries a
+      // REAL PNG header (signature + IHDR) hitting the true IHDR parse,
+      // every 5th-plus-one a REAL JPEG prefix (SOI + APP0 + SOF0)
+      // hitting the true marker walk - both with dims from doc_id
+      // arithmetic, emitted spec-compliant by synthPng/JpegHeader; the
+      // rest carry raw text payloads hitting the md5-derived stand-in.
+      // The oracle replays the real-format dims from the same doc_id
+      // arithmetic and the raw dims from its own md5.
       val media = MultimodalOps.asMedia(
         tbl(s, dir, "documents").withColumn("payload",
           when(col("doc_id") % 5 === 0,
             MultimodalOps.synthPngHeader(
               lit(1) + col("doc_id") % 1024,
               lit(1) + (col("doc_id") * 7) % 1024))
+            .when(col("doc_id") % 5 === 1,
+              MultimodalOps.synthJpegHeader(
+                lit(1) + (col("doc_id") * 3) % 2048,
+                lit(1) + (col("doc_id") * 11) % 2048))
             .otherwise(encode(col("text"), "utf-8"))),
         "doc_id", "payload", "image")
       MultimodalOps.decodeAndFeaturize(media)
@@ -2631,12 +2637,15 @@ object SparkEntry {
     "media_decode" ->
       """SELECT doc_id AS media_id,
         |       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 1024
+        |                 WHEN doc_id % 5 = 1 THEN 1 + (doc_id * 3) % 2048
         |                 WHEN octet_length(encode(text)) = 0 THEN 0
         |                 ELSE 64 + (('0x' || substr(md5(text), 1, 8))::BIGINT % 1920) END AS INT) AS width,
         |       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + (doc_id * 7) % 1024
+        |                 WHEN doc_id % 5 = 1 THEN 1 + (doc_id * 11) % 2048
         |                 WHEN octet_length(encode(text)) = 0 THEN 0
         |                 ELSE 64 + (('0x' || substr(md5(text), 9, 8))::BIGINT % 1080) END AS INT) AS height,
         |       CASE WHEN doc_id % 5 = 0 THEN 'png'
+        |            WHEN doc_id % 5 = 1 THEN 'jpeg'
         |            WHEN octet_length(encode(text)) = 0 THEN 'empty' ELSE 'raw' END AS format,
         |       CAST(16 AS INT) AS n_features
         |FROM documents""".stripMargin,

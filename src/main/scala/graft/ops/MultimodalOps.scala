@@ -54,13 +54,25 @@ object MultimodalOps {
     df.repartition(parts)
   }
 
-  /** STUB decode: width/height/format from the PNG IHDR header when
-    * present; any other payload gets a deterministic pseudo-size derived
-    * from the payload's md5 (hex chars 1-8 / 9-16 as unsigned ints), so
-    * the pipeline behaves identically with fake payloads in tests AND
-    * the DuckDB correctness oracle can replay the pseudo-dims from its
-    * own md5. (A real decoder - including JPEG SOF0 parsing - slots into
-    * this function body without touching the plan.)
+  /** Image metadata decode. REAL for the two main formats - the parse
+    * any spec-compliant file satisfies, verified against javax.imageio
+    * encoder output in OpsSpec:
+    *
+    *   - PNG: width/height from the IHDR header (fixed offsets 16/20
+    *     after the 8-byte signature + chunk length/type);
+    *   - JPEG: marker walk from SOI to the first SOFn frame header
+    *     (C0-CF except DHT C4 / JPG C8 / DAC CC), honoring fill bytes,
+    *     standalone markers, and segment lengths; height then width are
+    *     the big-endian 16-bit fields after the precision byte. A JPEG
+    *     stream with no frame header before SOS/EOF decodes as
+    *     (0, 0, "jpeg") - deterministic, never a guess.
+    *
+    * Any OTHER payload gets a deterministic pseudo-size derived from its
+    * md5 (hex chars 1-8 / 9-16 as unsigned ints), so the pipeline
+    * behaves identically with fake payloads in tests AND the DuckDB
+    * oracle can replay the pseudo-dims from its own md5. (Pixel-level
+    * decoding - the part that needs an image library - slots in beside
+    * this without touching the plan.)
     */
   def decodeImageMeta(payload: Array[Byte]): (Int, Int, String) = {
     if (payload == null || payload.length == 0) (0, 0, "empty")
@@ -69,6 +81,32 @@ object MultimodalOps {
       def be32(o: Int) = ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
         ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
       (be32(16), be32(20), "png")
+    } else if (payload.length > 3 &&
+      payload(0) == 0xff.toByte && payload(1) == 0xd8.toByte && payload(2) == 0xff.toByte) {
+      def be16(o: Int) = ((payload(o) & 0xff) << 8) | (payload(o + 1) & 0xff)
+      def isSof(m: Int) = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+      var i = 2
+      var out = (0, 0, "jpeg")
+      var walking = true
+      while (walking && i + 1 < payload.length) {
+        if (payload(i) != 0xff.toByte) walking = false // corrupt stream
+        else {
+          var j = i + 1
+          while (j < payload.length && payload(j) == 0xff.toByte) j += 1 // fill bytes
+          if (j >= payload.length) walking = false
+          else {
+            val marker = payload(j) & 0xff
+            if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i = j + 1 // standalone
+            else if (j + 2 >= payload.length) walking = false
+            else if (isSof(marker)) {
+              if (j + 7 < payload.length) out = (be16(j + 6), be16(j + 4), "jpeg")
+              walking = false
+            } else if (marker == 0xda) walking = false // SOS: frame header must precede
+            else i = j + 1 + be16(j + 1) // skip segment (length includes itself)
+          }
+        }
+      }
+      out
     } else {
       val d = graft.functions.ExprKernels.md5OfBytes(payload)
       def be32u(o: Int): Long = ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
@@ -111,6 +149,20 @@ object MultimodalOps {
       lpad(F.hex(width.cast(LongType)), 8, "0"),
       lpad(F.hex(height.cast(LongType)), 8, "0"),
       lit("0806000000" + "00000000")))
+
+  /** A minimal REAL JPEG prefix - SOI, a JFIF APP0 segment, and a
+    * baseline SOF0 frame header (8-bit precision, one component)
+    * carrying the big-endian height then width - the byte sequence any
+    * spec-compliant JPEG parser reads the dimensions from. Same
+    * hex/lpad/unhex construction (and purpose) as [[synthPngHeader]].
+    */
+  def synthJpegHeader(width: Column, height: Column): Column =
+    unhex(concat(
+      lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "0001" + "0001" + "0000"),
+      lit("FFC0" + "000B" + "08"),
+      lpad(F.hex(height.cast(LongType)), 4, "0"),
+      lpad(F.hex(width.cast(LongType)), 4, "0"),
+      lit("01" + "011100")))
 
   /** Batched decode pass: mapPartitions so per-partition setup (a real
     * decoder context) happens once per task, not once per row. Output:

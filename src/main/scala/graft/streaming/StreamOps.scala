@@ -394,6 +394,42 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming trigram-index maintenance: fold a stream of documents
+    * into the inverted posting table served to
+    * [[graft.ops.SearchOps.substringSearch]] - the third index
+    * lifecycle beside [[trieMaintenance]] and [[bm25Maintenance]].
+    * Postings are DISTINCT (gram, id) pairs, so the merge is a
+    * union + distinct: appends add their postings, and a re-appearing
+    * doc id contributes the UNION of its texts' gram sets (not the
+    * grams spanning a concatenation boundary - posting tables are
+    * sets over fragments, and the distinct also protects
+    * substringSearch's hit-count intersection, which requires one
+    * posting per (gram, id)). Same checkpoint/graveyard discipline as
+    * the other two index lifecycles.
+    */
+  def trigramMaintenance(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      initial: DataFrame // (gram, id) as produced by SearchOps.trigramIndex
+  )(onUpdate: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    @volatile var state = initial.localCheckpoint()
+    @volatile var graveyard: Option[DataFrame] = None
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.ops.SearchOps.trigramIndex(batch.toDF(), idCol, textCol)
+          val prev = state
+          state = prev.union(delta).distinct().localCheckpoint()
+          onUpdate(state)
+          graveyard.foreach(unpersistCheckpoint)
+          graveyard = Some(prev)
+        }
+      }
+      .start()
+  }
+
   /** Drop the storage blocks behind a `localCheckpoint`ed Dataset.
     * `Dataset.unpersist` only consults the cache manager, which knows
     * nothing about checkpoint RDDs - the blocks live on the RDD inside

@@ -1130,6 +1130,24 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getAs[Int]("w"), r.getAs[Int]("h"),
         MultimodalOps.decodeImageMeta(r.getAs[Array[Byte]]("p"))))
     synth.foreach { case (w, h, got) => assert(got == ((w, h, "png")), s"${w}x$h") }
+    // JPEG: the marker walk reads real encoder output (ImageIO writes
+    // APP0 + DQT/DHT segments before the SOF frame header - the walk
+    // must skip them all), and the synth fixture round-trips
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(53, 29,
+      java.awt.image.BufferedImage.TYPE_INT_RGB), "jpg", jbos)
+    assert(MultimodalOps.decodeImageMeta(jbos.toByteArray) == ((53, 29, "jpeg")))
+    val jsynth = Seq((640, 480), (1, 1), (2048, 3))
+      .toDF("w", "h")
+      .select($"w", $"h", MultimodalOps.synthJpegHeader($"w", $"h").as("p"))
+      .collect()
+      .map(r => (r.getAs[Int]("w"), r.getAs[Int]("h"),
+        MultimodalOps.decodeImageMeta(r.getAs[Array[Byte]]("p"))))
+    jsynth.foreach { case (w, h, got) => assert(got == ((w, h, "jpeg")), s"${w}x$h") }
+    // a JPEG stream with no frame header (SOI + APP0 only, then EOF)
+    // decodes as 0x0 jpeg - deterministic, never a fallthrough to md5
+    val headless = jbos.toByteArray.take(20)
+    assert(MultimodalOps.decodeImageMeta(headless)._3 == "jpeg")
     val media = MultimodalOps.asMedia(
       Seq((1L, png), (2L, "not a png".getBytes)).toDF("id", "payload"), "id", "payload", "image")
     val out = MultimodalOps.decodeAndFeaturize(media)

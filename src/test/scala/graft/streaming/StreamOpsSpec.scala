@@ -378,6 +378,40 @@ class StreamOpsSpec extends SparkSpec {
       rows(graft.ops.SearchOps.bm25Query(full, queries, "q", k = 3)))
   }
 
+  test("trigramMaintenance: streamed postings == full build, serves exact substring search") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq((1L, "the quick brown fox"), (2L, "pack my box"))
+    val batch2 = Seq((3L, "quick silver"), (1L, " JUMPED high")) // doc 1 appended
+    @volatile var latest: org.apache.spark.sql.DataFrame = null
+    val mem = MemoryStream[(Long, String)]
+    val initial = graft.ops.SearchOps.trigramIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    val sq = StreamOps.trigramMaintenance(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", initial)(latest = _)
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    // postings equal one build over all fragment rows, deduplicated:
+    // a re-appearing id unions its gram sets (no boundary grams across
+    // fragments - the documented set semantics)
+    val fragments = (batch1 ++ batch2).toDF("doc_id", "text")
+    val full = graft.ops.SearchOps.trigramIndex(fragments, "doc_id", "text")
+      .distinct().as[(Long, String)].collect().toSet
+    assert(latest.as[(Long, String)].collect().toSet == full)
+    // serving corpus: the same fragment semantics, doc 1's texts joined
+    // with a separator so no phantom boundary substring exists
+    val docs = Seq((1L, "the quick brown fox  JUMPED high"),
+      (2L, "pack my box"), (3L, "quick silver")).toDF("doc_id", "text")
+    // and the maintained index answers substring search exactly
+    val needles = Seq("quick", "jumped h", "zzz").toDF("n")
+    val got = graft.ops.SearchOps
+      .substringSearch(docs, "doc_id", "text", latest, needles, "n")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("quick", 1L), ("quick", 3L), ("jumped h", 1L)))
+  }
+
   test("streamingHeavyHitters: cross-batch state == batch run == exact counts when lossless") {
     implicit val sqlCtx = spark.sqlContext
     val batch1 = Seq("a", "a", "b", "c", "a")
