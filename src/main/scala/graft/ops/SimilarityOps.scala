@@ -271,15 +271,28 @@ object SimilarityOps {
     // allocation-free on the corpus-sized side). Index == cid by
     // construction (seeding and Lloyd both preserve position).
     val centMatrix = centroids.map(_._2)
-    val lists = OpsUtil.spread(corpus).select(
-      F.col(corpusId).as("neighbor_id"),
-      F.col(corpusVec).as("cv"),
-      norm(F.col(corpusVec)).as("cn"),
-      element_at(
-        graft.functions.GraftFunctions.nearest_lists(F.col(corpusVec), centMatrix, 1),
-        1).as("list_id"))
-    IvfIndex(centMatrix, lists)
+    IvfIndex(centMatrix, ivfAssign(OpsUtil.spread(corpus), corpusId, corpusVec, centMatrix))
   }
+
+  /** The inverted-lists table shape: each vector assigned to its
+    * nearest centroid (codegen expression, matrix in the reference
+    * array). Shared by [[ivfBuild]] and the streaming maintenance path
+    * ([[graft.streaming.StreamOps.ivfMaintenance]]) so both produce
+    * bit-identical assignments for a given centroid matrix.
+    */
+  def ivfAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]
+  ): DataFrame =
+    df.select(
+      F.col(idCol).as("neighbor_id"),
+      F.col(vecCol).as("cv"),
+      norm(F.col(vecCol)).as("cn"),
+      element_at(
+        graft.functions.GraftFunctions.nearest_lists(F.col(vecCol), centroids, 1),
+        1).as("list_id"))
 
   /** Query an IVF index: probe the `nProbe` lists nearest to each query
     * vector, exact cosine re-rank inside the probed lists. Pure plan

@@ -430,6 +430,47 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming IVF maintenance: fold a stream of (id, vector) rows into
+    * the served inverted-lists table - continuous embedding ingestion,
+    * the fourth index lifecycle beside trie / BM25 / trigram. The
+    * centroid matrix is FROZEN at the initial index (the persisted-IVF
+    * contract: centroids define an index version; re-clustering is a
+    * rebuild, not maintenance), so each batch's assignment is the same
+    * pure per-row expression the batch build uses and the maintained
+    * lists are bit-identical to assigning the merged corpus once.
+    * Re-appearing ids are UPSERTS: the new vector replaces the old
+    * (anti-join on the batch's ids, then append - a vector is one
+    * entity's current embedding, not an accumulating count).
+    */
+  def ivfMaintenance(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      initial: graft.ops.SimilarityOps.IvfIndex
+  )(onUpdate: graft.ops.SimilarityOps.IvfIndex => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.SimilarityOps.IvfIndex
+    @volatile var state = IvfIndex(initial.centroids, initial.lists.localCheckpoint())
+    @volatile var graveyard: Option[DataFrame] = None
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.ops.SimilarityOps
+            .ivfAssign(batch.toDF(), idCol, vecCol, state.centroids)
+          val prev = state
+          val merged = prev.lists
+            .join(delta.select("neighbor_id"), Seq("neighbor_id"), "left_anti")
+            .union(delta)
+            .localCheckpoint()
+          state = IvfIndex(prev.centroids, merged)
+          onUpdate(state)
+          graveyard.foreach(unpersistCheckpoint)
+          graveyard = Some(prev.lists)
+        }
+      }
+      .start()
+  }
+
   /** Drop the storage blocks behind a `localCheckpoint`ed Dataset.
     * `Dataset.unpersist` only consults the cache manager, which knows
     * nothing about checkpoint RDDs - the blocks live on the RDD inside

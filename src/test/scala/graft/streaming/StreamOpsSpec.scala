@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import graft.ops.SimilarityOps
 import graft.ptree.{PrefixTree, Query}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -410,6 +411,43 @@ class StreamOpsSpec extends SparkSpec {
       .substringSearch(docs, "doc_id", "text", latest, needles, "n")
       .as[(String, Long)].collect().toSet
     assert(got == Set(("quick", 1L), ("quick", 3L), ("jumped h", 1L)))
+  }
+
+  test("ivfMaintenance: streamed assignment == one-shot assign, upserts replace, queries exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(71)
+    def vec() = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val seed = (0 until 40).map(i => (i.toLong, vec()))
+    val batch1 = (40 until 60).map(i => (i.toLong, vec()))
+    val v50b = vec()
+    val batch2 = (60 until 70).map(i => (i.toLong, vec())) :+ (50L, v50b) // 50 upserted
+    val initial = SimilarityOps.ivfBuild(seed.toDF("id", "v"), "id", "v",
+      nCentroids = 8, lloydIters = 1)
+    @volatile var latest: graft.ops.SimilarityOps.IvfIndex = null
+    val mem = MemoryStream[(Long, Array[Float])]
+    val sq = StreamOps.ivfMaintenance(
+      mem.toDF().toDF("id", "v"), "id", "v", initial)(latest = _)
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    // merged corpus under FROZEN centroids: doc 50 carries its new vector
+    val merged = (seed.filterNot(_._1 == 50L) ++ batch1.filterNot(_._1 == 50L)
+      ++ batch2).toDF("id", "v")
+    val direct = SimilarityOps.ivfAssign(merged, "id", "v", initial.centroids)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"neighbor_id", $"list_id", $"cv")
+      .as[(Long, Int, Seq[Float])].collect().toSet
+    assert(latest.centroids.toSeq.map(_.toSeq) == initial.centroids.toSeq.map(_.toSeq))
+    assert(key(latest.lists) == key(direct))
+    // and queries through the maintained index match the one-shot index
+    val queries = merged.filter($"id" < 5)
+    def topk(idx: graft.ops.SimilarityOps.IvfIndex) = SimilarityOps
+      .ivfQuery(idx, queries, "id", "v", k = 3, nProbe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(topk(latest) == topk(graft.ops.SimilarityOps.IvfIndex(initial.centroids,
+      SimilarityOps.ivfAssign(merged, "id", "v", initial.centroids))))
   }
 
   test("streamingHeavyHitters: cross-batch state == batch run == exact counts when lossless") {
