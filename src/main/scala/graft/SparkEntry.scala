@@ -3265,7 +3265,8 @@ object SparkEntry {
       s"list_min(list_transform(range(1, len(toks)), i -> $rankCase)))"
     s"""units AS (
       |  SELECT doc_id,
-      |         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS u
+      |         unnest(regexp_extract_all(lower(text),
+      |                '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]')) AS u
       |  FROM documents WHERE text IS NOT NULL
       |), du AS (
       |  SELECT DISTINCT u FROM units

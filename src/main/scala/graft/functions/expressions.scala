@@ -549,9 +549,12 @@ object ExprKernels {
 
   // pre-tokenizer over ALREADY-LOWERCASED text: letter runs, digit runs,
   // single punctuation marks - the same three disjoint classes as
-  // TextOps.subwordPattern, RE2-safe so the DuckDB oracle extracts the
-  // identical unit stream
-  private val bpeUnitPattern = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+  // TextOps.subwordPattern. The whitespace class is spelled OUT rather
+  // than \s: Java's \s is [ \t\n\x0B\f\r] but RE2's (the oracle
+  // engine's) omits \x0B, so a vertical tab would tokenize differently
+  // across engines under \s. One explicit spelling, zero drift.
+  private[graft] val bpeUnitRegex = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"
+  private val bpeUnitPattern = java.util.regex.Pattern.compile(bpeUnitRegex)
 
   // distinct-unit memo: the corpus vocabulary is tiny next to the corpus
   // (word frequencies are Zipfian), so per-row work collapses to a hash

@@ -298,14 +298,24 @@ object GraphOps {
   /** Conservative byte estimate of a per-round broadcast of `rows`
     * (id, value) pairs keyed by `idCol` of `nodeSized` (which callers
     * have already materialized - this one node-sized agg reads the
-    * checkpoint, never recomputes). String-rendered width upper-bounds
-    * every id type; +8 for the carried long, +16 per-row overhead.
+    * checkpoint, never recomputes). The measured id width is doubled
+    * (length() counts characters; non-ASCII ids occupy more UTF-8
+    * bytes, and UnsafeRow pads) before adding the carried value's
+    * width and 16B per-row overhead. `carriedW < 0` means "the carried
+    * value is another id" (labelPropagation's label column is
+    * node-typed) and charges the id width again.
     */
-  private def estBroadcastBytes(nodeSized: DataFrame, idCol: String, rows: Long): Long = {
-    val idW = nodeSized
+  private def estBroadcastBytes(
+      nodeSized: DataFrame,
+      idCol: String,
+      rows: Long,
+      carriedW: Double = 8.0
+  ): Long = {
+    val idW = 2.0 * nodeSized
       .agg(coalesce(F.avg(F.length(F.col(idCol).cast("string"))), lit(8.0)))
       .head().getDouble(0)
-    (rows * (idW + 8 + 16)).toLong
+    val cw = if (carriedW < 0) idW else carriedW
+    (rows * (idW + cw + 16)).toLong
   }
 
   /** Per-round node-table broadcasts stop above this many estimated
@@ -504,7 +514,7 @@ object GraphOps {
     // WIDE label frame every round pressures driver/executor memory
     // long before the row-count guard trips (same guard as pageRank)
     val smallLabels = nodeCount <= broadcastNodeLimit &&
-      estBroadcastBytes(nodes, "node", nodeCount) <= BroadcastByteLimit
+      estBroadcastBytes(nodes, "node", nodeCount, carriedW = -1) <= BroadcastByteLimit
     var labels = nodes.withColumn("lab", F.col("node"))
     for (_ <- 1 to rounds) {
       val prev = labels.withColumnRenamed("node", "src")

@@ -143,12 +143,20 @@ object MultimodalOps {
     * the real-decode path ([[decodeImageMeta]]'s IHDR branch) in an
     * environment without image assets.
     */
-  def synthPngHeader(width: Column, height: Column): Column =
-    unhex(concat(
+  def synthPngHeader(width: Column, height: Column): Column = {
+    // out-of-range dims must FAIL, not truncate: lpad keeps the FIRST
+    // chars of an overlong hex string, which would silently encode
+    // wrong dimensions into a structurally valid header
+    val ok = width.between(1, Int.MaxValue) && height.between(1, Int.MaxValue)
+    when(ok, unhex(concat(
       lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
       lpad(F.hex(width.cast(LongType)), 8, "0"),
       lpad(F.hex(height.cast(LongType)), 8, "0"),
-      lit("0806000000" + "00000000")))
+      lit("0806000000" + "00000000"))))
+      .otherwise(raise_error(concat(
+        lit("synthPngHeader: dims out of [1, 2^31-1]: "),
+        width.cast(StringType), lit("x"), height.cast(StringType))))
+  }
 
   /** A minimal REAL JPEG prefix - SOI, a JFIF APP0 segment, and a
     * baseline SOF0 frame header (8-bit precision, one component)
@@ -156,13 +164,19 @@ object MultimodalOps {
     * spec-compliant JPEG parser reads the dimensions from. Same
     * hex/lpad/unhex construction (and purpose) as [[synthPngHeader]].
     */
-  def synthJpegHeader(width: Column, height: Column): Column =
-    unhex(concat(
+  def synthJpegHeader(width: Column, height: Column): Column = {
+    // JPEG dims are 16-bit; same fail-loudly rule as synthPngHeader
+    val ok = width.between(1, 65535) && height.between(1, 65535)
+    when(ok, unhex(concat(
       lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "0001" + "0001" + "0000"),
       lit("FFC0" + "000B" + "08"),
       lpad(F.hex(height.cast(LongType)), 4, "0"),
       lpad(F.hex(width.cast(LongType)), 4, "0"),
-      lit("01" + "011100")))
+      lit("01" + "011100"))))
+      .otherwise(raise_error(concat(
+        lit("synthJpegHeader: dims out of [1, 65535]: "),
+        width.cast(StringType), lit("x"), height.cast(StringType))))
+  }
 
   /** Batched decode pass: mapPartitions so per-partition setup (a real
     * decoder context) happens once per task, not once per row. Output:

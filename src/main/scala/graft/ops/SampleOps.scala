@@ -246,7 +246,10 @@ object SampleOps {
     // a silently thinner - or empty - mixture. The check rides the plan
     // as a one-row broadcast guard (assert_true over an anti-join of
     // the keys against the distinct strata renderings), so construction
-    // stays job-free and the error surfaces on first action.
+    // stays job-free and the error surfaces on first action. Cost: one
+    // extra single-column scan (map-side combined to the stratum set)
+    // per action of the result - accepted; the alternative, an eager
+    // validation job here, would break lazy plan construction.
     val spark = df.sparkSession
     import spark.implicits._
     val missing = inMix.toDF("__k")

@@ -329,7 +329,13 @@ object SearchOps {
     // the probe side is query-batch-sized; the tf table is
     // corpus-sized. Freshly-read parquet carries no stats, so without
     // the hint Catalyst can plan this as a full-tf shuffle join - pin
-    // the index-probe shape (broadcast the batch, stream the postings)
+    // the index-probe shape (broadcast the batch, stream the postings).
+    // CONTRACT: `queries` is a query batch, small by definition; the
+    // hint is unconditional because sizing it would need a job at plan
+    // construction (this function is pinned job-free). A caller scoring
+    // a corpus-sized "query" frame should drop to a shuffle join by
+    // passing batches - the broadcast limit will fail loudly, not
+    // silently degrade.
     broadcast(qTerms)
       .join(idx.tf, "term")
       .join(idx.dl, "did")

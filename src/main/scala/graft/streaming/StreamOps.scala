@@ -346,9 +346,12 @@ object StreamOps {
     * [[graft.ops.SearchOps.bm25Query]] (plan-construction only - the
     * corpus is never rescanned).
     *
-    * Scale shape: per batch, ONE batch-sized tokenize + aggregation,
-    * then state-sized merge aggregations - the same order as the
-    * localCheckpoint that rematerializes the state anyway. Superseded
+    * Scale shape: per batch, ONE batch-sized tokenize + aggregation;
+    * the tf merge splits on the delta's keys (broadcast anti/semi
+    * joins), so only touched rows re-aggregate and the accumulated
+    * state never re-shuffles - its per-batch cost is the sequential
+    * localCheckpoint rewrite plus map-side scans for the three derived
+    * aggregates (vocabulary-/doc-sized outputs). Superseded
     * checkpoints free under the one-batch grace of [[trieMaintenance]]
     * (readers of the previously-served index get a full batch interval
     * to drain before its blocks drop).
@@ -376,16 +379,28 @@ object StreamOps {
           val prev = state
           // tf is the ground truth; dl/df/stats derive from the MERGED
           // tf (an additive df merge would count a re-appearing doc
-          // twice for terms it already contained). The merged tf is
-          // checkpointed first so the three derived aggregates read the
-          // materialized table, not the merge plan, and bm25Build over
-          // the union-of-all-batches corpus is reproduced exactly.
-          val mergedTf = prev.tf.union(delta.tf)
-            .groupBy("did", "term").agg(sum("tf").as("tf"))
+          // twice for terms it already contained). The merge splits on
+          // the delta's keys so only TOUCHED rows re-aggregate: the
+          // untouched bulk of the state streams through a map-side
+          // broadcast anti join, never a state-wide shuffle. Checkpoint
+          // before deriving so the three aggregates read the
+          // materialized table; the result equals bm25Build over the
+          // union-of-all-batches corpus exactly.
+          val dtf = delta.tf.localCheckpoint() // batch-sized; read 3x below
+          val dKeys = dtf.select("did", "term")
+          val mergedTf = prev.tf
+            .join(broadcast(dKeys), Seq("did", "term"), "left_anti")
+            .select("did", "term", "tf")
+            .union(
+              prev.tf.join(broadcast(dKeys), Seq("did", "term"), "left_semi")
+                .select("did", "term", "tf")
+                .union(dtf.select("did", "term", "tf"))
+                .groupBy("did", "term").agg(sum("tf").as("tf")))
             .localCheckpoint()
           val derived = graft.ops.SearchOps.statsFromTf(mergedTf)
           state = Bm25Index(mergedTf, derived.dl.localCheckpoint(),
             derived.dfT.localCheckpoint(), derived.stats.localCheckpoint())
+          unpersistCheckpoint(dtf) // scratch: fully folded into mergedTf
           onUpdate(state)
           graveyard.foreach(free)
           graveyard = Some(prev)
@@ -419,9 +434,18 @@ object StreamOps {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
-          val delta = graft.ops.SearchOps.trigramIndex(batch.toDF(), idCol, textCol)
+          // delta dedup is batch-sized; the state-vs-delta dedup is a
+          // broadcast anti join on the posting pair, so the accumulated
+          // state STREAMS map-side every batch instead of re-shuffling
+          // for a batch-sized delta (result is exactly prev UNION delta)
+          val delta = graft.ops.SearchOps
+            .trigramIndex(batch.toDF(), idCol, textCol).distinct()
           val prev = state
-          state = prev.union(delta).distinct().localCheckpoint()
+          state = prev
+            .join(broadcast(delta), Seq("gram", "id"), "left_anti")
+            .select("id", "gram") // pin position-based union alignment
+            .union(delta.select("id", "gram"))
+            .localCheckpoint()
           onUpdate(state)
           graveyard.foreach(unpersistCheckpoint)
           graveyard = Some(prev)
@@ -440,7 +464,12 @@ object StreamOps {
     * lists are bit-identical to assigning the merged corpus once.
     * Re-appearing ids are UPSERTS: the new vector replaces the old
     * (anti-join on the batch's ids, then append - a vector is one
-    * entity's current embedding, not an accumulating count).
+    * entity's current embedding, not an accumulating count). Duplicate
+    * ids WITHIN one batch resolve deterministically to the greatest
+    * vector in array order before assignment - micro-batches carry no
+    * row order, so "latest in batch" does not exist; callers that need
+    * true latest-wins order their stream upstream (e.g.
+    * dropDuplicatesWithinWatermark on a version column).
     */
   def ivfMaintenance(
       stream: DataFrame,
@@ -455,11 +484,15 @@ object StreamOps {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
+          val one = batch.toDF()
+            .groupBy(idCol).agg(max(F.col(vecCol)).as(vecCol))
           val delta = graft.ops.SimilarityOps
-            .ivfAssign(batch.toDF(), idCol, vecCol, state.centroids)
+            .ivfAssign(one, idCol, vecCol, state.centroids)
           val prev = state
+          // batch-sized build side broadcast: the state never shuffles,
+          // it streams through a map-side anti join per batch
           val merged = prev.lists
-            .join(delta.select("neighbor_id"), Seq("neighbor_id"), "left_anti")
+            .join(broadcast(delta.select("neighbor_id")), Seq("neighbor_id"), "left_anti")
             .union(delta)
             .localCheckpoint()
           state = IvfIndex(prev.centroids, merged)

@@ -454,7 +454,9 @@ class FunctionsSpec extends SparkSpec {
       }
       toks.size
     }
-    val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]".r
+    // explicit whitespace class, matching the documented contract (\s
+    // differs between Java and RE2 on \x0B, so the kernel avoids it)
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]".r
     def refText(text: String): Int =
       pat.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).map(refCount).sum
     val samples = Seq(
@@ -469,5 +471,27 @@ class FunctionsSpec extends SparkSpec {
     // and a fused multi-token sanity: 'spark' is s|par|k under the table
     assert(Seq("spark").toDF("t")
       .select(GraftFunctions.bpe_count(lower($"t"))).as[Int].head() == 3)
+    // property check: 300 random texts over the learned alphabet plus
+    // punctuation/digits/whitespace - kernel == reference on all of them
+    // (driver-side kernel call: the expression's nullSafeEval IS the
+    // kernel, and the Spark path is already pinned above)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaLowerChar, 2 -> Gen.numChar, 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('.', ',', '!', '-'), 1 -> Gen.alphaUpperChar,
+      1 -> Gen.oneOf('\t', '\n', '\u000B', '\f', '\r')) // incl. the Java-vs-RE2 \s edge
+    val textGen = Gen.listOf(charGen).map(_.mkString)
+    val prop = Prop.forAll(textGen) { t =>
+      graft.functions.ExprKernels.bpeCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          t.toLowerCase(java.util.Locale.ROOT))) == refText(t)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(300)
+        .withInitialSeed(Seed(7L)),
+      prop)
+    assert(res.passed, res.status.toString)
   }
 }

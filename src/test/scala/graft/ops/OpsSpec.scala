@@ -1148,6 +1148,16 @@ class OpsSpec extends SparkSpec {
     // decodes as 0x0 jpeg - deterministic, never a fallthrough to md5
     val headless = jbos.toByteArray.take(20)
     assert(MultimodalOps.decodeImageMeta(headless)._3 == "jpeg")
+    // out-of-range dims raise instead of lpad-truncating into a valid
+    // header carrying silently wrong dimensions
+    intercept[Exception] {
+      Seq((70000, 10)).toDF("w", "h")
+        .select(MultimodalOps.synthJpegHeader($"w", $"h")).collect()
+    }
+    intercept[Exception] {
+      Seq((0, 10)).toDF("w", "h")
+        .select(MultimodalOps.synthPngHeader($"w", $"h")).collect()
+    }
     val media = MultimodalOps.asMedia(
       Seq((1L, png), (2L, "not a png".getBytes)).toDF("id", "payload"), "id", "payload", "image")
     val out = MultimodalOps.decodeAndFeaturize(media)

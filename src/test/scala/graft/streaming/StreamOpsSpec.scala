@@ -420,7 +420,10 @@ class StreamOpsSpec extends SparkSpec {
     val seed = (0 until 40).map(i => (i.toLong, vec()))
     val batch1 = (40 until 60).map(i => (i.toLong, vec()))
     val v50b = vec()
-    val batch2 = (60 until 70).map(i => (i.toLong, vec())) :+ (50L, v50b) // 50 upserted
+    val v65x = vec()
+    // 50 upserted across batches; 65 duplicated WITHIN batch2 (resolves
+    // to the array-order max, the documented deterministic rule)
+    val batch2 = (60 until 70).map(i => (i.toLong, vec())) ++ Seq((50L, v50b), (65L, v65x))
     val initial = SimilarityOps.ivfBuild(seed.toDF("id", "v"), "id", "v",
       nCentroids = 8, lloydIters = 1)
     @volatile var latest: graft.ops.SimilarityOps.IvfIndex = null
@@ -432,9 +435,18 @@ class StreamOpsSpec extends SparkSpec {
     mem.addData(batch2: _*)
     sq.processAllAvailable()
     sq.stop()
-    // merged corpus under FROZEN centroids: doc 50 carries its new vector
+    // merged corpus under FROZEN centroids: doc 50 carries its new
+    // vector; doc 65's intra-batch duplicates resolve to the
+    // lexicographic (array-order) max, mirroring the operator's rule
+    def arrMax(a: Array[Float], b: Array[Float]): Array[Float] = {
+      val c = a.zip(b).collectFirst { case (x, y) if x != y => x > y }
+      if (c.getOrElse(a.length >= b.length)) a else b
+    }
+    val b2resolved = batch2.groupBy(_._1).map { case (id, vs) =>
+      (id, vs.map(_._2).reduce(arrMax))
+    }.toSeq
     val merged = (seed.filterNot(_._1 == 50L) ++ batch1.filterNot(_._1 == 50L)
-      ++ batch2).toDF("id", "v")
+      ++ b2resolved).toDF("id", "v")
     val direct = SimilarityOps.ivfAssign(merged, "id", "v", initial.centroids)
     def key(df: org.apache.spark.sql.DataFrame) = df
       .select($"neighbor_id", $"list_id", $"cv")
