@@ -6,7 +6,7 @@ import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 
 import graft.ptree.{PrefixTree, Query}
-import graft.ops.{DedupOps, GraphOps, JoinOps, MultimodalOps, SimilarityOps, SketchOps, TextOps, TimeOps}
+import graft.ops.{DedupOps, GraphOps, JoinOps, MultimodalOps, ShardOps, SimilarityOps, SketchOps, TextOps, TimeOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -642,6 +642,20 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
     },
+    "docs_leakage_split" -> { (s, dir) =>
+      // leakage-safe 80/10/10: split keyed by the near-dup CLUSTER
+      // representative, so near-identical docs can never straddle
+      // train/test (per-id splitting separates them ~28% of the time).
+      // Composition: jaccard pairs -> connected components -> md5 split
+      // on the representative.
+      val docs = tbl(s, dir, "documents")
+      val clusters = GraphOps.connectedComponents(
+        DedupOps.jaccardPairs(docs, "doc_id", "text",
+          threshold = 0.5, maxTokenDocFreq = skewCap, shingleLen = 3),
+        "id_a", "id_b")
+      graft.ops.SampleOps.leakageSafeSplit(docs, "doc_id", clusters,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    },
     "docs_weighted_sample" -> { (s, dir) =>
       // quality-weighted subsample: P(keep) = min(1, 0.6 * quality) as
       // a pure function of doc_id (md5-uniform) - composition of the
@@ -699,6 +713,18 @@ object SparkEntry {
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
           shingleLen = 4, maxShingleDocFreq = skewCap)
         .filter(col("train_id") =!= col("test_id") && col("test_frac") >= 0.1)
+    },
+    "text_bloom_decontam" -> { (s, dir) =>
+      // broadcast-Bloom decontamination: the eval slice's shingles build
+      // a 32 KB bitset; the corpus probes it map-side in ONE scan with
+      // zero corpus shuffle (vs text_contamination's shingle join).
+      // Bloom overcounts (hash collisions) are deterministic in the md5
+      // hash family, so the oracle replays them bit-for-bit.
+      val docs = tbl(s, dir, "documents")
+      TextOps.bloomDecontam(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text",
+        shingleLen = 4, mBits = 1 << 18, kHashes = 3)
     },
     "text_repetition" -> { (s, dir) =>
       TextOps.repetitionScore(tbl(s, dir, "documents"), "doc_id", "text", n = 3)
@@ -1183,6 +1209,43 @@ object SparkEntry {
         .filter(col("lang").isin("en", "de"))
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    },
+    "docs_zorder" -> { (s, dir) =>
+      // Z-order layout pass (the lakehouse OPTIMIZE ZORDER BY): lineitem
+      // rewritten Morton-clustered on (l_partkey, l_suppkey), then a
+      // rectangle predicate on BOTH dims over the clustered copy. The
+      // aggregate carries recomputed z-values, so the oracle replays the
+      // bit-interleave arithmetic exactly; SinksSpec pins the layout
+      // property (per-file min/max narrow in both dims -> files prune).
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_docs_zorder_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Sinks.zOrderWrite(
+        tbl(s, dir, "lineitem"), path, "l_partkey", "l_suppkey", nFiles = 8)
+      val z = ShardOps.zValue(col("l_partkey"), col("l_suppkey"))
+      s.read.parquet(path)
+        .filter(col("l_partkey") <= 200 && col("l_suppkey") <= 40)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          min(z).as("z_min"), max(z).as("z_max"), sum(z).as("z_sum"))
+    },
+    "docs_compact_roundtrip" -> { (s, dir) =>
+      // small-file compaction lifecycle: a 50-file layout (every
+      // streaming sink and partitioned write drifts toward this) is
+      // rewritten to byte-targeted files in a NEW directory; the oracle
+      // checks the rewrite loses nothing. At 100 TB file COUNT, not
+      // byte count, is what kills listing/planning - this is the
+      // maintenance pass that keeps it bounded.
+      val base = System.getProperty("java.io.tmpdir") +
+        s"/graft_compact_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      tbl(s, dir, "documents").repartition(50)
+        .write.mode("overwrite").parquet(base + "_in")
+      graft.sources.Sinks.compact(s, base + "_in", base + "_out",
+        targetFileBytes = 64L * 1024 * 1024)
+      s.read.parquet(base + "_out")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("id_sum"))
     },
     "q18_correlated" -> { (s, dir) =>
       // correlated scalar subquery through SQL text (TPC-H Q17 shape):
@@ -2146,6 +2209,44 @@ object SparkEntry {
         |                 < '${graft.ops.SampleOps.hexThreshold(0.8 + 0.1)}' THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "docs_leakage_split" ->
+      s"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id,
+        |         unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                               FOR i IN generate_series(1, greatest(len(tk)-2, 1))])) AS tok
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                                   t -> t <> '') AS tk FROM documents)
+        |), flt AS (
+        |  SELECT id, tok FROM sh
+        |  WHERE tok NOT IN (SELECT tok FROM sh GROUP BY tok HAVING COUNT(*) > $skewCap)
+        |), sizes AS (SELECT id, COUNT(*) AS sz FROM flt GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+        |  FROM flt a JOIN flt b ON a.tok = b.tok AND a.id < b.id
+        |  GROUP BY a.id, b.id
+        |), edges AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON id_a = sa.id
+        |  JOIN sizes sb ON id_b = sb.id
+        |  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        |), und AS (
+        |  SELECT id_a AS a, id_b AS b FROM edges
+        |  UNION SELECT id_b, id_a FROM edges
+        |), reach AS (
+        |  SELECT a AS id, b AS peer FROM und
+        |  UNION
+        |  SELECT r.id, u.b AS peer FROM reach r JOIN und u ON r.peer = u.a
+        |), clus AS (
+        |  SELECT id, least(id, min(peer)) AS cluster_id FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(c.cluster_id, d.doc_id) AS rep,
+        |       CASE WHEN substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)
+        |                 < '${graft.ops.SampleOps.hexThreshold(0.8)}' THEN 'train'
+        |            WHEN substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)
+        |                 < '${graft.ops.SampleOps.hexThreshold(0.8 + 0.1)}' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN clus c ON d.doc_id = c.id""".stripMargin,
     "docs_weighted_sample" ->
       s"""WITH base AS (
         |  SELECT doc_id, text,
@@ -2675,6 +2776,23 @@ object SparkEntry {
         |FROM documents
         |WHERE lang IN ('en', 'de')
         |GROUP BY lang, source""".stripMargin,
+    "docs_zorder" ->
+      """WITH base AS (
+        |  SELECT l_returnflag, l_quantity, l_partkey % 65536 AS a, l_suppkey % 65536 AS b
+        |  FROM lineitem WHERE l_partkey <= 200 AND l_suppkey <= 40
+        |), s1 AS (SELECT *, (a | (a<<8)) & 16711935 AS a1, (b | (b<<8)) & 16711935 AS b1 FROM base),
+        |s2 AS (SELECT *, (a1 | (a1<<4)) & 252645135 AS a2, (b1 | (b1<<4)) & 252645135 AS b2 FROM s1),
+        |s3 AS (SELECT *, (a2 | (a2<<2)) & 858993459 AS a3, (b2 | (b2<<2)) & 858993459 AS b3 FROM s2),
+        |s4 AS (SELECT *, ((a3 | (a3<<1)) & 1431655765) | (((b3 | (b3<<1)) & 1431655765) << 1) AS z FROM s3)
+        |SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       min(z) AS z_min, max(z) AS z_max, CAST(sum(z) AS BIGINT) AS z_sum
+        |FROM s4 GROUP BY l_returnflag""".stripMargin,
+    "docs_compact_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |GROUP BY lang""".stripMargin,
     "q13_outer" ->
       """SELECT c_count, count(*) AS custdist
         |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
@@ -2788,6 +2906,29 @@ object SparkEntry {
         |FROM ov JOIN sizes USING (test_id)
         |WHERE train_id <> test_id
         |  AND round(n_overlap::DOUBLE / n_test_sh, 6) >= 0.1""".stripMargin,
+    "text_bloom_decontam" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                                   t -> t <> '') AS tk FROM documents
+        |), sh AS (
+        |  SELECT id, unnest(list_distinct([array_to_string(tk[i:i+3], ' ')
+        |                                   FOR i IN generate_series(1, greatest(len(tk)-3, 1))])) AS sh
+        |  FROM tk
+        |), pos AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(s.sh || '#' || g.i), 1, 15))::BIGINT % 262144 AS p
+        |  FROM (SELECT DISTINCT sh FROM sh WHERE id % 10 = 0) s
+        |  CROSS JOIN generate_series(0, 2) AS g(i)
+        |), probe AS (
+        |  SELECT id, sh,
+        |         min(CASE WHEN (('0x' || substr(md5(sh || '#' || g.i), 1, 15))::BIGINT % 262144)
+        |                       IN (SELECT p FROM pos) THEN 1 ELSE 0 END) AS hit
+        |  FROM sh CROSS JOIN generate_series(0, 2) AS g(i)
+        |  GROUP BY id, sh
+        |)
+        |SELECT id AS doc_id, CAST(count(*) AS INT) AS n_sh,
+        |       CAST(sum(hit) AS INT) AS n_flag,
+        |       round(sum(hit)::DOUBLE / count(*), 6) AS hit_frac
+        |FROM probe GROUP BY id HAVING sum(hit) > 0""".stripMargin,
     "text_repetition" ->
       """WITH tk AS (
         |  SELECT doc_id AS id, list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -112,3 +112,30 @@ final class HeavyHitterAgg(capacity: Int)
   override def outputEncoder: Encoder[(Seq[String], Long, Boolean)] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[String], Long, Boolean)]()
 }
+
+/** Mergeable byte-packed bitset over long positions in `[0, mBits)`:
+  * the build half of the broadcast Bloom filter (probe half:
+  * graft.functions.BitsetContains). Partials OR together, so the build
+  * is one pass with `mBits / 8`-byte bounded state per partial - never
+  * a position shuffle. Out-of-range positions throw: the filter's
+  * soundness (every inserted item probes true) depends on build and
+  * probe agreeing on the modulus.
+  */
+final class BitsetAgg(mBits: Int)
+    extends Aggregator[Long, Array[Byte], Array[Byte]] {
+  require(mBits > 0 && mBits % 8 == 0, s"mBits must be a positive multiple of 8, got $mBits")
+  override def zero: Array[Byte] = new Array[Byte](mBits / 8)
+  override def reduce(b: Array[Byte], pos: Long): Array[Byte] = {
+    require(pos >= 0 && pos < mBits, s"position $pos outside [0, $mBits)")
+    b((pos >>> 3).toInt) = (b((pos >>> 3).toInt) | (1 << (pos & 7).toInt)).toByte
+    b
+  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+    a
+  }
+  override def finish(r: Array[Byte]): Array[Byte] = r
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}

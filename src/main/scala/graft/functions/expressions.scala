@@ -610,6 +610,15 @@ object ExprKernels {
     while (m.find()) total += bpeUnitLen(m.group())
     total
   }
+
+  /** Bit test against a byte-packed bitset (bit `p` lives at
+    * `bytes(p >> 3)`, mask `1 << (p & 7)`). Out-of-range positions are
+    * absent, not an error - a Bloom probe with a stale/smaller filter
+    * degrades to "not contained" instead of crashing the scan.
+    */
+  def bitsetContains(bits: Array[Byte], pos: Long): Boolean =
+    pos >= 0 && pos < bits.length.toLong * 8 &&
+      (bits((pos >>> 3).toInt) & (1 << (pos & 7).toInt)) != 0
 }
 
 /** `minhash_sig(text)` - array<bigint> MinHash signature. */
@@ -1008,6 +1017,33 @@ case class BpeCount(child: Expression) extends UnaryExpression {
   override def prettyName: String = "bpe_count"
 }
 
+/** `bitset_contains(pos)` - membership test of a long position against a
+  * driver-computed byte-packed bitset (the probe half of the broadcast
+  * Bloom filter in TextOps.bloomDecontam). The bitset rides the plan as
+  * a reference object - one array per executor, O(1) per test, fully
+  * codegen'd - so a 100-TB corpus scan probes map-side with ZERO
+  * shuffle of corpus data.
+  */
+case class BitsetContains(child: Expression, bits: Array[Byte])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint position, got ${child.dataType}")
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.bitsetContains(bits, v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.addReferenceObj("bits", bits, "byte[]")
+      s"${ev.value} = graft.functions.ExprKernels.bitsetContains($b, $c);"
+    })
+  override protected def withNewChildInternal(c: Expression): BitsetContains =
+    copy(child = c)
+  override def prettyName: String = "bitset_contains"
+}
+
 /** Column-API and SQL-registration surface for the native expressions. */
 object GraftFunctions {
 
@@ -1080,6 +1116,11 @@ object GraftFunctions {
 
   def bpe_count(loweredText: Column): Column =
     Bridge.column(BpeCount(Bridge.expression(loweredText)))
+
+  // no SQL registration: the bitset is a driver-computed value, not a
+  // literal a SQL call site could spell (same stance as nearest_lists)
+  def bitset_contains(pos: Column, bits: Array[Byte]): Column =
+    Bridge.column(BitsetContains(Bridge.expression(pos), bits))
 
   def pt_lev_extend(q: Column, e: Column, s: Column, d: Column, maxDist: Int): Column =
     Bridge.column(PtLevExtend(

@@ -75,4 +75,31 @@ object ShardOps {
     globalOrderIndex(df, Seq(F.col(sizeCol).desc, F.col(idCol)))
       .withColumn("shard", (F.col("position") % numShards).cast(IntegerType))
   }
+
+  /** Spread the low 16 bits of `x` onto the even bit positions of a
+    * 32-bit value (the classic magic-mask interleave ladder) - pure
+    * built-in bitwise ops, so it codegens inside the scan stage and
+    * replays in any engine with `& | <<`.
+    */
+  private def spread16(x: Column): Column = {
+    val a = x.bitwiseAND(lit(0xFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val c = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = c.bitwiseOR(shiftleft(c, 2)).bitwiseAND(lit(0x33333333L))
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton (Z-order) value of two dimension columns: bit-interleaves
+    * the low 16 bits of each (callers bucket wider domains first - see
+    * [[graft.sources.Sinks.zOrderWrite]], which range-buckets via
+    * min/max stats). Sorting/partitioning by `z_value` clusters rows so
+    * that every run of the file is narrow in BOTH dimensions at once -
+    * the property that makes parquet min/max pruning effective for
+    * rectangle predicates on either or both columns, where a plain sort
+    * clusters only its leading column. Inputs are masked to 16 bits
+    * (`x & 0xFFFF`), so callers own the reduction to that domain.
+    */
+  def zValue(a: Column, b: Column): Column =
+    spread16(a.cast(LongType))
+      .bitwiseOR(shiftleft(spread16(b.cast(LongType)), 1))
 }

@@ -498,6 +498,80 @@ object TextOps {
           .as("test_frac"))
   }
 
+  /** Deterministic md5-family hash `i` of a shingle, reduced mod `mBits`
+    * - replayable in any engine with md5 (15 hex chars = 60 bits, so the
+    * BIGINT is always positive and `%` == pmod).
+    */
+  private def bloomPos(sh: Column, i: Int, mBits: Int): Column =
+    conv(substring(md5(concat(sh, lit("#" + i))), 1, 15), 16, 10)
+      .cast(LongType) % mBits
+
+  /** Bloom-filter decontamination: the broadcast-sketch alternative to
+    * [[contamination]]'s inverted-index join, for the asymmetric case
+    * every pre-training pipeline actually has - a SMALL held-out eval
+    * set vs a HUGE training corpus.
+    *
+    * Build: the eval set's distinct `shingleLen`-gram shingles each set
+    * `kHashes` md5-derived bits in an `mBits`-wide bitset (one mergeable
+    * [[graft.functions.BitsetAgg]] pass - partials OR, never a position
+    * shuffle). The finished bitset (`mBits / 8` bytes - KBs to low MBs)
+    * rides the probe plan as a codegen reference object.
+    *
+    * Probe: ONE map-side scan of the corpus - per doc, count shingles
+    * whose `kHashes` positions are all set
+    * ([[graft.functions.BitsetContains]], O(1) per test). ZERO shuffle
+    * of corpus data at any width; `contamination` by contrast shuffles
+    * every train shingle. The price is Bloom semantics: flagged counts
+    * can OVERCOUNT via hash collisions (false positives - rate
+    * `(1 - e^(-k*n/m))^k`, deterministic given the hash family, so an
+    * oracle replays them exactly), but never undercount: every true
+    * overlap is flagged. Use it as the cheap first pass; send survivors
+    * to [[contamination]] for exact overlap counts.
+    *
+    * Output: one row per train doc with at least one flagged shingle:
+    * `(doc_id, n_sh, n_flag, hit_frac)`.
+    */
+  def bloomDecontam(
+      train: DataFrame,
+      trainId: String,
+      trainText: String,
+      eval: DataFrame,
+      evalText: String,
+      shingleLen: Int = 4,
+      mBits: Int = 1 << 18,
+      kHashes: Int = 3
+  ): DataFrame = {
+    require(kHashes >= 1, s"kHashes must be >= 1, got $kHashes")
+    val spark = train.sparkSession
+    import spark.implicits._
+    // build: distinct eval shingles -> kHashes positions each -> OR'd
+    // bitset. The .head() is bounded by construction: mBits/8 bytes of
+    // state regardless of eval-set size (same stance as the broadcast
+    // trie and the IVF centroid collect).
+    val positions = eval
+      .select(explode(DedupOps.shingleStrings(F.col(evalText), shingleLen)).as("sh"))
+      .distinct()
+      .select(explode(array((0 until kHashes).map(i => bloomPos(F.col("sh"), i, mBits)): _*)).as("p"))
+      .as[Long]
+    val bits = positions.select(new graft.functions.BitsetAgg(mBits).toColumn).head()
+    // probe: per-shingle flag = AND over the k probes; per-doc counts
+    // fold over the shingle array in the same projection - the corpus
+    // row never leaves its input partition
+    def flagged(sh: Column): Column =
+      (0 until kHashes)
+        .map(i => graft.functions.GraftFunctions.bitset_contains(bloomPos(sh, i, mBits), bits))
+        .reduce(_ && _)
+    train
+      .select(F.col(trainId).as("doc_id"),
+        DedupOps.shingleStrings(F.col(trainText), shingleLen).as("__shs"))
+      .select(F.col("doc_id"),
+        size(F.col("__shs")).as("n_sh"),
+        size(filter(F.col("__shs"), flagged _)).as("n_flag"))
+      .filter(F.col("n_flag") > 0)
+      .withColumn("hit_frac",
+        round(F.col("n_flag").cast(DoubleType) / F.col("n_sh"), 6))
+  }
+
   /** Exact corpus-wide top-`k` tokens by occurrence, found sketch-first:
     *
     *   phase 1: ONE pass builds a mergeable SpaceSaving summary

@@ -69,4 +69,83 @@ object Sinks {
     */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Z-order-clustered parquet write (the lakehouse `OPTIMIZE ZORDER BY`
+    * layout pass): range-bucket two dimension columns into 16-bit
+    * domains via their min/max (ONE cheap stats job), interleave the
+    * buckets into a Morton value ([[graft.ops.ShardOps.zValue]]),
+    * range-repartition + sort on it, write.
+    *
+    * Why at 100 TB: a linear sort clusters only its leading column - a
+    * rectangle predicate selective in the SECOND column still reads
+    * every file. The Morton order keeps every file narrow in BOTH
+    * dimensions, so parquet min/max row-group/file pruning fires for
+    * predicates on either column (SinksSpec pins the file-stats
+    * narrowing). `nFiles` sizes the output explicitly - the write is a
+    * layout pass, so file count is part of its contract.
+    */
+  def zOrderWrite(
+      df: DataFrame,
+      path: String,
+      dimA: String,
+      dimB: String,
+      nFiles: Int
+  ): Unit = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    import org.apache.spark.sql.functions.{max, min, floor, least}
+    val Array(loA, hiA, loB, hiB) = df
+      .agg(min(col(dimA)).cast("double"), max(col(dimA)).cast("double"),
+        min(col(dimB)).cast("double"), max(col(dimB)).cast("double"))
+      .head().toSeq.map(v => Option(v).fold(0.0)(_.asInstanceOf[Double])).toArray
+    // bucket = floor((x - lo) / span * 65536), clamped to 65535 so the
+    // max value lands in the top bucket instead of wrapping
+    def bucket(c: org.apache.spark.sql.Column, lo: Double, hi: Double) = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
+      least(floor((c.cast("double") - lit(lo)) / lit(span) * lit(65536.0)), lit(65535.0))
+        .cast("long")
+    }
+    val z = graft.ops.ShardOps.zValue(
+      bucket(col(dimA), loA, hiA), bucket(col(dimB), loB, hiB))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * `ceil(totalBytes / targetFileBytes)` files. The small-file problem
+    * is THE operational failure mode of long-lived 100-TB tables
+    * (every streaming micro-batch and partitioned write adds files;
+    * listing, footer reads, and task scheduling all scale with file
+    * count, not byte count). Returns the output file count.
+    *
+    * Uses on-disk compressed bytes for sizing (what the next reader
+    * pays), and writes to a NEW directory - compaction must never
+    * destroy its input on partial failure; callers swap directories
+    * after success.
+    */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024
+  ): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    require(new org.apache.hadoop.fs.Path(outPath) != new org.apache.hadoop.fs.Path(inPath),
+      "compact writes to a new directory; it never rewrites its input in place")
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hPath, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
 }

@@ -494,4 +494,35 @@ class FunctionsSpec extends SparkSpec {
       prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("bitset_contains + BitsetAgg: build/probe round-trip, bounds, codegen path") {
+    // build a bitset from a known position set via the mergeable UDAF
+    val m = 1 << 10 // 1024 bits = 128 bytes
+    val posSet = Seq(0L, 1L, 7L, 8L, 63L, 64L, 511L, 1023L)
+    val bits = posSet.toDF("p").repartition(4).as[Long]
+      .select(new BitsetAgg(m).toColumn).head()
+    assert(bits.length == m / 8)
+    // probe through real query execution (codegen path), every position
+    val probe = (0L until m.toLong).toDF("p")
+      .select($"p", GraftFunctions.bitset_contains($"p", bits).as("hit"))
+      .as[(Long, Boolean)].collect().toMap
+    for (p <- 0L until m.toLong)
+      assert(probe(p) == posSet.contains(p), s"pos=$p")
+    // out-of-range and negative positions are absent, never an error
+    val oob = Seq(-1L, m.toLong, m.toLong + 5, Long.MaxValue, Long.MinValue).toDF("p")
+      .select(GraftFunctions.bitset_contains($"p", bits)).as[Boolean].collect()
+    assert(oob.forall(_ == false))
+    // null position -> null result
+    val nl = Seq(Some(3L), None).toDF("p")
+      .select(GraftFunctions.bitset_contains($"p", bits)).as[Option[Boolean]].collect()
+    assert(nl.toSet == Set(Some(false), None))
+    // interpreted eval == codegen'd query result
+    for (p <- Seq(0L, 5L, 63L, 1023L))
+      assert(ExprKernels.bitsetContains(bits, p) == posSet.contains(p))
+    // UDAF rejects out-of-range builds (soundness depends on the modulus)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Seq(m.toLong).toDF("p").as[Long].select(new BitsetAgg(m).toColumn).head()
+    }
+    assert(ex.getMessage != null)
+  }
 }

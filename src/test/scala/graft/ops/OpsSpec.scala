@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 class OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Deterministic drain of the async SparkListener bus (a fixed sleep
+    * flakes on a loaded host: job-start events from EARLIER actions can
+    * arrive after a counter is zeroed); waitUntilEmpty is
+    * package-private, hence the reflective call.
+    */
+  private def drainListenerBus(): Unit = {
+    val sc = spark.sparkContext
+    val bus = sc.getClass.getMethods.find(_.getName == "listenerBus").get.invoke(sc)
+    bus.getClass.getMethods
+      .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1).get
+      .invoke(bus, java.lang.Long.valueOf(30000L))
+  }
+
   private lazy val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
     (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
@@ -727,6 +740,32 @@ class OpsSpec extends SparkSpec {
     assert(again.sortBy(_._1).sameElements(s.sortBy(_._1)))
   }
 
+  test("leakageSafeSplit: cluster members co-assigned, singletons keyed by own id, md5 reference") {
+    // clusters: {1,2,5} (rep 1), {3,7} (rep 3); 4 and 6 are singletons
+    val docsDf = (1L to 7L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (5L, 1L), (3L, 3L), (7L, 3L))
+      .toDF("id", "cluster_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = SampleOps.leakageSafeSplit(docsDf, "doc_id", clusters, splits)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 7, "every doc labeled exactly once")
+    // the leakage invariant: every cluster member shares rep AND split
+    assert(Set(got(1L), got(2L), got(5L)).size == 1, "cluster {1,2,5} must co-assign")
+    assert(Set(got(3L), got(7L)).size == 1, "cluster {3,7} must co-assign")
+    assert(got(4L)._1 == 4L && got(6L)._1 == 6L, "singletons keyed by their own id")
+    // split matches an independent md5 reference on the representative
+    def refSplit(rep: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val p = md.digest(rep.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      if (p < f"${math.round(0.8 * 0x100000000L)}%08x") "train"
+      else if (p < f"${math.round(0.9 * 0x100000000L)}%08x") "val"
+      else "test"
+    }
+    for ((id, (rep, split)) <- got)
+      assert(split == refSplit(rep), s"doc $id: rep $rep")
+  }
+
   test("duplicateSpans == in-memory reference; short/null docs absent; dup docs fully flagged") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
@@ -1081,10 +1120,10 @@ class OpsSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      Thread.sleep(500) // drain in-flight listener events from prior actions
+      drainListenerBus() // in-flight job-start events from prior actions
       jobs = 0
       val persisted = SimilarityOps.ivfQuery(back, queries, "id", "v", k = 5, nProbe = 3)
-      Thread.sleep(500) // listener bus is async; give any stray job time to surface
+      drainListenerBus() // listener bus is async; surface any stray job
       assert(jobs == 0, s"ivfQuery construction must launch no jobs, saw $jobs")
       // the queried results through the persisted index are identical
       assert(persisted.collect().map(_.toString).sorted.toSeq == direct)
@@ -1274,6 +1313,48 @@ class OpsSpec extends SparkSpec {
           test.toDF("id", "text"), "id", "text", shingleLen = n)
         .as[(Long, Long, Long, Double)].collect().toSet
       assert(got == want, s"round $round (n=$n) diverged from reference")
+    }
+  }
+
+  test("bloomDecontam == in-memory Bloom reference; no false negatives vs exact overlap") {
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def randDoc() = Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val (m, k, n) = (1 << 12, 3, 2)
+    def pos(sh: String, i: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((sh + "#" + i).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % m
+    }
+    val train = (1L to 50L).map(i => (i, randDoc()))
+    val eval = (100L to 105L).map(i => (i, randDoc()))
+    // independent reference: build the position set, probe each train doc
+    val evalPos = (for {
+      (_, t) <- eval; sh <- DedupOps.shingleArray(t, n); i <- 0 until k
+    } yield pos(sh, i)).toSet
+    val evalSh = eval.flatMap { case (_, t) => DedupOps.shingleArray(t, n) }.toSet
+    val want = train.flatMap { case (id, t) =>
+      val shs = DedupOps.shingleArray(t, n)
+      val nf = shs.count(sh => (0 until k).forall(i => evalPos(pos(sh, i))))
+      if (nf == 0) None
+      else Some((id, shs.length, nf,
+        BigDecimal(nf.toDouble / shs.length).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toSet
+    val got = TextOps.bloomDecontam(
+        train.toDF("id", "text"), "id", "text",
+        eval.toDF("id", "text"), "text",
+        shingleLen = n, mBits = m, kHashes = k)
+      .as[(Long, Int, Int, Double)].collect().toSet
+    assert(got == want, "diverged from in-memory Bloom reference")
+    // soundness: every doc truly sharing a shingle with the eval set is
+    // flagged with n_flag >= its exact overlap (Bloom never undercounts)
+    val flaggedCount = got.map(r => r._1 -> r._3).toMap
+    for ((id, t) <- train) {
+      val exact = DedupOps.shingleArray(t, n).count(evalSh)
+      if (exact > 0)
+        assert(flaggedCount.getOrElse(id, 0) >= exact,
+          s"doc $id: exact overlap $exact but flagged ${flaggedCount.getOrElse(id, 0)}")
     }
   }
 
@@ -1590,21 +1671,10 @@ class OpsSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      // deterministic drain of the async listener bus (a fixed sleep
-      // flakes on a loaded host: job-start events from EARLIER actions
-      // can arrive after the zeroing); waitUntilEmpty is package-private,
-      // hence the reflective call
-      def drainBus(): Unit = {
-        val sc = spark.sparkContext
-        val bus = sc.getClass.getMethods.find(_.getName == "listenerBus").get.invoke(sc)
-        bus.getClass.getMethods
-          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1).get
-          .invoke(bus, java.lang.Long.valueOf(30000L))
-      }
-      drainBus()
+      drainListenerBus()
       jobs = 0
       val q = SearchOps.bm25Query(back, queries, "q", k = 3)
-      drainBus()
+      drainListenerBus()
       assert(jobs == 0, s"bm25Query construction must launch no jobs, saw $jobs")
       assert(q.collect().map(_.toString).sorted.toSeq == direct)
     } finally spark.sparkContext.removeSparkListener(listener)

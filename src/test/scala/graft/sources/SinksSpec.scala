@@ -148,4 +148,90 @@ class SinksSpec extends SparkSpec {
     assert(back.select(map_values($"props")(0)).as[String].collect().toSet ==
       docs.select("text").as[String].collect().toSet)
   }
+
+  test("zValue == reference Morton interleave; order groups both dims") {
+    // independent reference interleave
+    def spread(x0: Long): Long = {
+      var x = x0 & 0xFFFFL
+      x = (x | x << 8) & 0x00FF00FFL
+      x = (x | x << 4) & 0x0F0F0F0FL
+      x = (x | x << 2) & 0x33333333L
+      (x | x << 1) & 0x55555555L
+    }
+    def zRef(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+    val pairs = for (a <- Seq(0L, 1L, 45L, 123L, 65535L, 65536L, 70000L);
+                     b <- Seq(0L, 2L, 45L, 9999L, 65535L)) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select($"a", $"b", graft.ops.ShardOps.zValue($"a", $"b").as("z"))
+      .as[(Long, Long, Long)].collect()
+    for ((a, b, z) <- got)
+      assert(z == zRef(a, b), s"z($a,$b)")
+    // sorting by z bounds BOTH dims within any contiguous run: check the
+    // defining prefix property z < 4^k => both dims < 2^k
+    for ((a, b, z) <- got; k <- Seq(4, 8, 12); if z < (1L << (2 * k)))
+      assert((a & 0xFFFF) < (1L << k) && (b & 0xFFFF) < (1L << k))
+  }
+
+  test("zOrderWrite: every output file is narrow in BOTH dims; rectangle prunes files") {
+    val rnd = new scala.util.Random(11)
+    val n = 20000
+    val grid = (1 to n).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .toDF("a", "b")
+    val zPath = tmp("zorder")
+    Sinks.zOrderWrite(grid, zPath, "a", "b", nFiles = 16)
+    val back = spark.read.parquet(zPath)
+    assert(back.count() == n, "roundtrip loses nothing")
+    // per-file spans: a 16-file Morton layout of a 1000x1000 uniform grid
+    // keeps every file's bounding box FAR below the full domain area;
+    // a linear sort on `a` alone leaves the b-span at full width
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    val spans = back
+      .groupBy(input_file_name().as("f"))
+      .agg(fmin($"a").as("a0"), fmax($"a").as("a1"),
+        fmin($"b").as("b0"), fmax($"b").as("b1"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(spans.length >= 8, s"expected a multi-file layout, got ${spans.length}")
+    // a z-range straddling a major quadrant boundary can span up to half
+    // the domain (Morton jumps at quadrant transitions), so the per-file
+    // bound is 1/2; the MEAN box area must stay far below that
+    val areas = spans.map { case (_, a0, a1, b0, b1) =>
+      (a1 - a0 + 1).toDouble * (b1 - b0 + 1).toDouble
+    }
+    assert(areas.forall(_ <= 1000.0 * 1000.0 / 2),
+      s"some file's bounding box covers more than half the domain: ${areas.max}")
+    assert(areas.sum / areas.length <= 1000.0 * 1000.0 / 6,
+      s"mean bounding-box area too wide: ${areas.sum / areas.length}")
+    // file pruning for a rectangle selective in the SECOND dim: most
+    // files' [b0, b1] must miss b <= 60 (in an a-sorted layout every
+    // file would overlap it)
+    val overlapping = spans.count { case (_, _, _, b0, _) => b0 <= 60 }
+    assert(overlapping <= spans.length / 2,
+      s"only a minority of files may overlap b <= 60, got $overlapping/${spans.length}")
+  }
+
+  test("compact: byte-targeted file count, lossless, never touches its input") {
+    val rows = (1L to 5000L).map(i => (i, s"text payload number $i")).toDF("id", "t")
+    val inPath = tmp("compact_in")
+    rows.repartition(64).write.parquet(inPath)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    val before = parquetFiles(inPath).map(f => f.getName -> f.length).toMap
+    assert(before.size == 64, "fixture should start fragmented")
+    val outPath = tmp("compact_out")
+    val n = Sinks.compact(spark, inPath, outPath, targetFileBytes = 256L * 1024)
+    // sizing contract: ceil(totalBytes / target), and the directory agrees
+    val expected = math.max(1L,
+      (before.values.sum + 256L * 1024 - 1) / (256L * 1024)).toInt
+    assert(n == expected, s"returned $n, expected $expected")
+    assert(parquetFiles(outPath).length == n)
+    // lossless rewrite, input untouched
+    val back = spark.read.parquet(outPath).as[(Long, String)].collect().toSet
+    assert(back == rows.as[(Long, String)].collect().toSet)
+    assert(parquetFiles(inPath).map(f => f.getName -> f.length).toMap == before,
+      "compaction must never rewrite its input in place")
+    // in-place rewrite is refused outright
+    intercept[IllegalArgumentException] {
+      Sinks.compact(spark, inPath, inPath, targetFileBytes = 256L * 1024)
+    }
+  }
 }
