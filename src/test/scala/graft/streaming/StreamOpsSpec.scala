@@ -576,4 +576,41 @@ class StreamOpsSpec extends SparkSpec {
     // bounded state: no snapshot ever exceeds maxHistory rows
     assert(emitted.groupBy(r => (r._1, r._6)).values.forall(_.size <= 30))
   }
+
+  test("bloomMaintenance: streamed batches == one-shot build (mergeable sketch, bit-exact)") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq((100L, "the exam answer is forty two"), (101L, "capital of france"))
+    val batch2 = Seq((102L, "the exam answer is forty two exactly"), (103L, "unrelated eval row"))
+    @volatile var latest: graft.ops.TextOps.BloomFilter = null
+    val mem = MemoryStream[(Long, String)]
+    val initial = graft.ops.TextOps.bloomBuild(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text",
+      shingleLen = 3, mBits = 1 << 14, kHashes = 3)
+    val sq = StreamOps.bloomMaintenance(
+      mem.toDF().toDF("doc_id", "text"), "text", initial)(latest = _)
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    // byte-identical to ONE build over the union of the batches
+    val full = graft.ops.TextOps.bloomBuild(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "text",
+      shingleLen = 3, mBits = 1 << 14, kHashes = 3)
+    assert(latest.bits.sameElements(full.bits), "maintained bits must equal one-shot build")
+    assert((latest.mBits, latest.kHashes, latest.shingleLen) ==
+      ((full.mBits, full.kHashes, full.shingleLen)))
+    // and the maintained filter serves the same probe results
+    val corpus = Seq(
+      (1L, "the exam answer is forty two copied"), (2L, "nothing shared at all here")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(rows(graft.ops.TextOps.bloomProbe(latest, corpus, "doc_id", "text")) ==
+      rows(graft.ops.TextOps.bloomProbe(full, corpus, "doc_id", "text")))
+    // family mismatch is refused, never silently unsound
+    intercept[IllegalArgumentException] {
+      latest.merge(graft.ops.TextOps.bloomBuild(
+        batch1.toDF("doc_id", "text"), "text", shingleLen = 3, mBits = 1 << 10, kHashes = 3))
+    }
+  }
 }
