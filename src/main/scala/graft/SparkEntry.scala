@@ -464,6 +464,14 @@ object SparkEntry {
       DedupOps.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, maxTokenDocFreq = skewCap, shingleLen = 3)
     },
+    "dedup_containment" -> { (s, dir) =>
+      // overlap-coefficient pairs: the containment detector Jaccard
+      // structurally misses (a short doc fully quoted inside a long one
+      // has overlap 1.0 but Jaccard ~ |short|/|long|) - the pass that
+      // catches subset/quotation/boilerplate-wrapper documents
+      DedupOps.containmentPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8, maxTokenDocFreq = skewCap, shingleLen = 2)
+    },
     "dedup_minhash" -> { (s, dir) =>
       // md5-based signatures + slice band keys: the oracle replays the
       // ENTIRE sketch pipeline (signatures, banding, skew cap, estimate)
@@ -2151,6 +2159,28 @@ object SparkEntry {
         |JOIN sizes sa ON id_a = sa.id
         |JOIN sizes sb ON id_b = sb.id
         |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id AS id,
+        |         unnest(list_distinct([array_to_string(tk[i:i+1], ' ')
+        |                               FOR i IN generate_series(1, greatest(len(tk)-1, 1))])) AS tok
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                                   t -> t <> '') AS tk FROM documents)
+        |), flt AS (
+        |  SELECT id, tok FROM sh
+        |  WHERE tok NOT IN (SELECT tok FROM sh GROUP BY tok HAVING COUNT(*) > $skewCap)
+        |), sizes AS (SELECT id, COUNT(*) AS sz FROM flt GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+        |  FROM flt a JOIN flt b ON a.tok = b.tok AND a.id < b.id
+        |  GROUP BY a.id, b.id
+        |)
+        |SELECT id_a, id_b,
+        |       round(i::DOUBLE / least(sa.sz, sb.sz), 6) AS overlap
+        |FROM inter
+        |JOIN sizes sa ON id_a = sa.id
+        |JOIN sizes sb ON id_b = sb.id
+        |WHERE i::DOUBLE / least(sa.sz, sb.sz) >= 0.8""".stripMargin,
     "knn_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
         |scored AS (

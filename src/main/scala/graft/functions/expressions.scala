@@ -619,6 +619,62 @@ object ExprKernels {
   def bitsetContains(bits: Array[Byte], pos: Long): Boolean =
     pos >= 0 && pos < bits.length.toLong * 8 &&
       (bits((pos >>> 3).toInt) & (1 << (pos & 7).toInt)) != 0
+
+  /** Position `i` of shingle `sh` in an `mBits`-wide Bloom filter: the
+    * first 15 hex chars (60 bits, always positive) of
+    * `md5(sh || "#" || i)` mod `mBits` - EXACTLY Spark's
+    * `conv(substring(md5(concat(sh, '#i')), 1, 15), 16, 10) % m` and
+    * DuckDB's `('0x' || substr(md5(sh || '#' || i), 1, 15))::BIGINT % m`,
+    * computed without building the hex string: the first 15 hex chars
+    * are bytes 0..6 plus the high nibble of byte 7.
+    */
+  def bloomPos(shBytes: Array[Byte], suffix: Array[Byte], mBits: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(shBytes)
+    md.update(suffix)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v = (v << 4) | ((d(7) & 0xF0L) >>> 4)
+    v % mBits
+  }
+
+  /** Count of shingles whose `kHashes` Bloom positions are ALL set -
+    * the per-document probe loop of TextOps.bloomProbe fused into one
+    * kernel call (the equivalent `size(filter(shs, forall(...)))`
+    * expression tree evaluates ~|shs| x k interpreted md5/conv column
+    * trees per row and breaks whole-stage codegen).
+    */
+  def bloomFlagCount(shs: ArrayData, bits: Array[Byte], mBits: Int, kHashes: Int): Int = {
+    val suffixes = new Array[Array[Byte]](kHashes)
+    var i = 0
+    while (i < kHashes) {
+      suffixes(i) = ("#" + i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val n = shs.numElements()
+    var flagged = 0
+    var j = 0
+    while (j < n) {
+      val sh = shs.getUTF8String(j)
+      // a null element cannot be flagged (matches the HOF formulation,
+      // where null positions make the AND null, filtered out)
+      if (sh != null) {
+        val shBytes = sh.getBytes
+        var all = true
+        var h = 0
+        while (all && h < kHashes) {
+          all = bitsetContains(bits, bloomPos(shBytes, suffixes(h), mBits))
+          h += 1
+        }
+        if (all) flagged += 1
+      }
+      j += 1
+    }
+    flagged
+  }
 }
 
 /** `minhash_sig(text)` - array<bigint> MinHash signature. */
@@ -1044,6 +1100,36 @@ case class BitsetContains(child: Expression, bits: Array[Byte])
   override def prettyName: String = "bitset_contains"
 }
 
+/** `bloom_flag_count(shingles)` - per-row count of shingles whose
+  * `kHashes` md5 Bloom positions are all set in the carried bitset: the
+  * whole inner probe loop of TextOps.bloomProbe as ONE codegen kernel
+  * call (the equivalent size/filter/forall HOF tree interpreted
+  * |shingles| x k md5 column trees per row).
+  */
+case class BloomFlagCount(child: Expression, bits: Array[Byte], mBits: Int, kHashes: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.bloomFlagCount(v.asInstanceOf[ArrayData], bits, mBits, kHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.addReferenceObj("bits", bits, "byte[]")
+      s"${ev.value} = graft.functions.ExprKernels.bloomFlagCount($c, $b, $mBits, $kHashes);"
+    })
+  override protected def withNewChildInternal(c: Expression): BloomFlagCount =
+    copy(child = c)
+  override def prettyName: String = "bloom_flag_count"
+}
+
 /** Column-API and SQL-registration surface for the native expressions. */
 object GraftFunctions {
 
@@ -1121,6 +1207,9 @@ object GraftFunctions {
   // literal a SQL call site could spell (same stance as nearest_lists)
   def bitset_contains(pos: Column, bits: Array[Byte]): Column =
     Bridge.column(BitsetContains(Bridge.expression(pos), bits))
+
+  def bloom_flag_count(shingles: Column, bits: Array[Byte], mBits: Int, kHashes: Int): Column =
+    Bridge.column(BloomFlagCount(Bridge.expression(shingles), bits, mBits, kHashes))
 
   def pt_lev_extend(q: Column, e: Column, s: Column, d: Column, maxDist: Int): Column =
     Bridge.column(PtLevExtend(

@@ -163,6 +163,47 @@ object DedupOps {
       threshold: Double,
       maxTokenDocFreq: Long = Long.MaxValue,
       shingleLen: Int = 1
+  ): DataFrame =
+    tokenIntersections(df, idCol, textCol, maxTokenDocFreq, shingleLen)
+      .withColumn("jaccard", F.col("inter").cast(DoubleType) /
+        (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+      .filter(F.col("jaccard") >= threshold)
+      .select(F.col("id_a"), F.col("id_b"), round(F.col("jaccard"), 6).as("jaccard"))
+
+  /** All document pairs with overlap coefficient
+    * `inter / min(|A|, |B|) >= threshold` - the containment detector
+    * Jaccard structurally misses: a short document fully quoted inside
+    * a long one has overlap 1.0 but Jaccard ~ |short|/|long|, far below
+    * any near-dup threshold. This is the dedup pass that catches
+    * subset/quotation/boilerplate-wrapper documents. Same inverted-index
+    * candidate generation (and skew cap) as [[jaccardPairs]]; output
+    * `(id_a, id_b, overlap)`.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxTokenDocFreq: Long = Long.MaxValue,
+      shingleLen: Int = 1
+  ): DataFrame =
+    tokenIntersections(df, idCol, textCol, maxTokenDocFreq, shingleLen)
+      .withColumn("overlap", F.col("inter").cast(DoubleType) /
+        least(F.col("sz_a"), F.col("sz_b")))
+      .filter(F.col("overlap") >= threshold)
+      .select(F.col("id_a"), F.col("id_b"), round(F.col("overlap"), 6).as("overlap"))
+
+  /** Shared candidate generation for the exact set-similarity pairs:
+    * inverted-index equi-join on distinct shingles + per-pair
+    * intersection counts + per-doc sizes over the SAME (hot-filtered)
+    * token universe. Returns `(id_a, id_b, inter, sz_a, sz_b)`.
+    */
+  private def tokenIntersections(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokenDocFreq: Long,
+      shingleLen: Int
   ): DataFrame = {
     val toks0 = OpsUtil.spread(df)
       .select(F.col(idCol).as("id"), explode(shingleStrings(F.col(textCol), shingleLen)).as("tok"))
@@ -178,9 +219,9 @@ object DedupOps {
         toks.join(broadcast(hot), Seq("tok"), "left_anti")
       }
     // sizes over the SAME token universe as the intersection: with a
-    // hot-token filter active, Jaccard is then exact within the filtered
-    // universe instead of a systematic underestimate (numerator filtered,
-    // denominator not)
+    // hot-token filter active, similarity is then exact within the
+    // filtered universe instead of a systematic underestimate
+    // (numerator filtered, denominator not)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = filtered.as("a")
       .join(filtered.as("b").hint("shuffle_hash"),
@@ -190,10 +231,6 @@ object DedupOps {
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard", F.col("inter").cast(DoubleType) /
-        (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-      .filter(F.col("jaccard") >= threshold)
-      .select(F.col("id_a"), F.col("id_b"), round(F.col("jaccard"), 6).as("jaccard"))
   }
 
   /** [[jaccardPairs]] with prefix filtering (SSJoin/PPJoin-style): the

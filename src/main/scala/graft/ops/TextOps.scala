@@ -602,24 +602,20 @@ object TextOps {
       train: DataFrame,
       trainId: String,
       trainText: String
-  ): DataFrame = {
-    def flagged(sh: Column): Column =
-      (0 until filter.kHashes)
-        .map(i => graft.functions.GraftFunctions.bitset_contains(
-          bloomPos(sh, i, filter.mBits), filter.bits))
-        .reduce(_ && _)
+  ): DataFrame =
     train
       .select(F.col(trainId).as("doc_id"),
         DedupOps.shingleStrings(F.col(trainText), filter.shingleLen).as("__shs"))
       .select(F.col("doc_id"),
         size(F.col("__shs")).as("n_sh"),
-        // F-qualified: the `filter` HOF would otherwise be shadowed by
-        // the BloomFilter parameter of the same name
-        size(F.filter(F.col("__shs"), flagged _)).as("n_flag"))
+        // the whole inner loop (|shs| x k md5 position probes) as ONE
+        // codegen kernel call; FunctionsSpec pins it against the
+        // equivalent md5/conv column-expression formulation
+        graft.functions.GraftFunctions.bloom_flag_count(
+          F.col("__shs"), filter.bits, filter.mBits, filter.kHashes).as("n_flag"))
       .filter(F.col("n_flag") > 0)
       .withColumn("hit_frac",
         round(F.col("n_flag").cast(DoubleType) / F.col("n_sh"), 6))
-  }
 
   /** Persist a Bloom filter: one-row parquet carrying the bits AND the
     * hash-family parameters (a probe against a filter built with

@@ -245,7 +245,7 @@ class PlanFeaturesSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"bloom probe must not shuffle corpus data:\n${plan.take(2000)}")
-    assert(plan.contains("bitset_contains"), "probe must go through the codegen expression")
+    assert(plan.contains("bloom_flag_count"), "probe must go through the codegen kernel")
     // and it returns the same rows as running it end to end
     assert(out.count() > 0)
   }

@@ -525,4 +525,43 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("bloom_flag_count kernel == md5/conv column-expression formulation") {
+    val (m, k) = (1 << 12, 3)
+    // filter built from the shingles of a couple of docs
+    val evalShingles = Seq("the exam answer", "answer is forty", "is forty two", "lone")
+    val positions = evalShingles.toDF("sh")
+      .select(explode(array((0 until k).map(i =>
+        conv(substring(md5(concat($"sh", lit("#" + i))), 1, 15), 16, 10)
+          .cast("long") % m): _*)).as("p"))
+      .as[Long]
+    val bits = positions.select(new BitsetAgg(m).toColumn).head()
+    // probe docs: full members, partial overlaps, empties, null elements
+    val probes = Seq(
+      (1L, Seq("the exam answer", "is forty two")),       // 2 true members
+      (2L, Seq("nothing here", "also absent")),           // likely 0 (collisions would match the reference anyway)
+      (3L, Seq("lone")),                                  // 1 member
+      (4L, Seq.empty[String])
+    ).toDF("id", "shs")
+    val kernel = probes.select($"id",
+      GraftFunctions.bloom_flag_count($"shs", bits, m, k).as("n"))
+      .as[(Long, Int)].collect().toMap
+    // reference: count via the pure column formulation over exploded rows
+    val ref = probes.select($"id", explode($"shs").as("sh"))
+      .select($"id", (0 until k).map(i =>
+        GraftFunctions.bitset_contains(
+          conv(substring(md5(concat($"sh", lit("#" + i))), 1, 15), 16, 10)
+            .cast("long") % m, bits)).reduce(_ && _).as("hit"))
+      .groupBy($"id").agg(sum(when($"hit", 1).otherwise(0)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    for ((id, n) <- ref) assert(kernel(id) == n.toInt, s"id=$id")
+    assert(kernel(1L) == 2 && kernel(3L) == 1 && kernel(4L) == 0)
+    // null array in, null out; null ELEMENTS never count
+    val withNulls = Seq((5L, null.asInstanceOf[Seq[String]])).toDF("id", "shs")
+      .union(Seq(6L).toDF("id").select($"id", array(lit(null.asInstanceOf[String]), lit("lone")).as("shs")))
+    val got = withNulls.select($"id", GraftFunctions.bloom_flag_count($"shs", bits, m, k).as("n"))
+      .as[(Long, Option[Int])].collect().toMap
+    assert(got(5L).isEmpty, "null array -> null")
+    assert(got(6L).contains(1), "null element skipped, real member counted")
+  }
 }

@@ -378,6 +378,44 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containmentPairs catches a quoted subset that Jaccard misses; reference equality") {
+    val corpus = Seq(
+      (1L, "the exam answer is forty two"), // short doc...
+      (2L, "preface text first then the exam answer is forty two and a very long trailing " +
+        "discussion of unrelated matters continuing for many more words here"), // ...quoted inside
+      (3L, "entirely different content about columnar engines"),
+      (4L, "the exam answer is forty two") // exact dup of 1
+    ).toDF("doc_id", "text")
+    val contain = DedupOps.containmentPairs(corpus, "doc_id", "text", 0.8, shingleLen = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val jacc = DedupOps.jaccardPairs(corpus, "doc_id", "text", 0.8, shingleLen = 2)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(contain.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+      "short doc quoted verbatim must have overlap 1.0")
+    assert(!jacc.contains((1L, 2L)),
+      "fixture must be a case Jaccard misses (else it proves nothing)")
+    assert(contain.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0), "exact dup")
+    assert(!contain.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc untouched")
+    // reference equality on a random corpus (overlap = inter / min size
+    // over distinct 2-shingle sets)
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val randomDocs = (1L to 40L).map { i =>
+      (i, Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val sets = randomDocs.map { case (id, t) => id -> DedupOps.shingleArray(t, 2).toSet }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size if inter > 0
+      ov = inter.toDouble / math.min(sa.size, sb.size) if ov >= 0.8
+    } yield (ia, ib,
+      BigDecimal(ov).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val got = DedupOps.containmentPairs(randomDocs.toDF("doc_id", "text"),
+        "doc_id", "text", 0.8, shingleLen = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want, "diverged from in-memory overlap-coefficient reference")
+  }
+
   test("jaccardPairsPrefix == jaccardPairs (lossless prefix filter), incl. caps") {
     // fixture corpus at several thresholds
     for (t <- Seq(0.3, 0.5, 0.8)) {
