@@ -263,10 +263,12 @@ object GraphOps {
       val before = ranks // S(i)
       ranks = round(ranks) // S(i+1)
       if (tol >= 0L) {
-        // the probe path materializes every round (states feed the
-        // two-round compare) - the cost of convergence detection,
-        // accepted only on this opt-in path
-        ranks = ranks.localCheckpoint()
+        // the probe at round i (i % 3 == 2) compares S(i+1) against
+        // S(i-1) - states produced at iterations ≡ 2 and ≡ 0 (mod 3).
+        // States produced at iterations ≡ 1 feed NO compare, so skip
+        // their materialization: same probe cadence, one third fewer
+        // per-round jobs, plan depth still bounded at two rounds
+        if (i % 3 != 1 || i == iterations - 1) ranks = ranks.localCheckpoint()
         if (i % 3 == 2 && i != iterations - 1 && prev != null) {
           val delta = ranks
             .join(prev.select(F.col("node"), F.col("r").as("pr")), Seq("node"))
