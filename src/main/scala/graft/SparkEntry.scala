@@ -748,6 +748,12 @@ object SparkEntry {
           shingleLen = 4, mBits = 1 << 18, kHashes = 3), path)
       TextOps.bloomProbe(TextOps.bloomRead(s, path), docs, "doc_id", "text")
     },
+    "text_gopher" -> { (s, dir) =>
+      // the published Gopher rule battery (Rae et al. 2021): integer
+      // cross-multiplied verdicts over exact counts - scan-fused,
+      // engine-replayable bit-for-bit
+      TextOps.gopherFilters(tbl(s, dir, "documents"), "doc_id", "text")
+    },
     "text_repetition" -> { (s, dir) =>
       TextOps.repetitionScore(tbl(s, dir, "documents"), "doc_id", "text", n = 3)
     },
@@ -2982,6 +2988,38 @@ object SparkEntry {
     // identical replay: the persisted filter carries the SAME bits and
     // hash family, so probe results are bit-identical by construction
     "text_bloom_persisted" -> bloomDecontamSql,
+    "text_gopher" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk,
+        |         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ln
+        |  FROM documents WHERE text IS NOT NULL
+        |), feat AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS INT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS INT) AS n_alpha,
+        |    CAST(len(list_intersect(list_distinct(tk),
+        |         ['the','and','of','to','a','in','is','that','for','it'])) AS INT) AS n_stop,
+        |    CAST(len(ln) AS INT) AS n_lines,
+        |    CAST(len(list_filter(ln, l -> substr(trim(l), 1, 1) IN ('-','*','•'))) AS INT) AS n_bullet,
+        |    CAST(len(list_filter(ln, l -> ends_with(trim(l), '...'))) AS INT) AS n_ellipsis,
+        |    CAST(length(text) - length(translate(text, '#…', '')) AS INT) AS n_symbols
+        |  FROM base
+        |)
+        |SELECT *,
+        |  n_words BETWEEN 50 AND 100000 AS words_ok,
+        |  word_chars >= n_words * 3 AND word_chars <= n_words * 10 AS mean_len_ok,
+        |  n_words > 0 AND n_alpha * 5 >= n_words * 4 AS alpha_ok,
+        |  n_stop >= 2 AS stop_ok,
+        |  n_bullet * 10 <= n_lines * 9 AS bullet_ok,
+        |  n_ellipsis * 10 <= n_lines * 3 AS ellipsis_ok,
+        |  n_symbols * 10 <= n_words AS symbol_ok,
+        |  (n_words BETWEEN 50 AND 100000) AND (word_chars >= n_words*3 AND word_chars <= n_words*10)
+        |    AND (n_words > 0 AND n_alpha*5 >= n_words*4) AND n_stop >= 2
+        |    AND n_bullet*10 <= n_lines*9 AND n_ellipsis*10 <= n_lines*3
+        |    AND n_symbols*10 <= n_words AS keep
+        |FROM feat""".stripMargin,
     "text_repetition" ->
       """WITH tk AS (
         |  SELECT doc_id AS id, list_filter(string_split_regex(lower(trim(text)), '\s+'),

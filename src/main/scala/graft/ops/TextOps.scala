@@ -298,6 +298,53 @@ object TextOps {
     )
   }
 
+  /** The Gopher document-quality rule set (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Table A1 subset) - the published
+    * filter battery most pre-training pipelines start from: word-count
+    * band, mean-word-length band, alpha-word ratio, stopword presence,
+    * bullet-line and ellipsis-line ratios, symbol-to-word ratio.
+    *
+    * Every rule is decided by INTEGER cross-multiplication over exact
+    * counts (never a float ratio compare), so the verdicts replay
+    * bit-for-bit in any engine; the counts ship alongside the booleans
+    * so a pipeline can re-threshold without re-scanning. Pure per-row
+    * column arithmetic - scan-fused, zero shuffles.
+    */
+  def gopherFilters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = F.col(textCol)
+    val toks = DedupOps.tokens(t)
+    val lines = F.filter(split(t, "\n"), l => trim(l) =!= "")
+    val stopwords = Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it")
+    val nWords = size(toks).as("n_words")
+    // total word chars via HOF fold (exact integer; regexp-free)
+    val wordChars = coalesce(
+      aggregate(toks, lit(0L), (acc, tok) => acc + length(tok)), lit(0L)).as("word_chars")
+    val nAlpha = size(F.filter(toks, tok => tok.rlike("[a-z]"))).as("n_alpha")
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(stopwords.map(lit(_)): _*))).as("n_stop")
+    val nLines = size(lines).as("n_lines")
+    val nBullet = size(F.filter(lines,
+      l => substring(trim(l), 1, 1).isin("-", "*", "•"))).as("n_bullet")
+    val nEllipsis = size(F.filter(lines, l => endswith(trim(l), lit("...")))).as("n_ellipsis")
+    val nSymbols = (length(t) - length(translate(t, "#…", ""))).as("n_symbols")
+    df.filter(t.isNotNull)
+      .select(F.col(idCol).as("doc_id"),
+        nWords, wordChars, nAlpha, nStop, nLines, nBullet, nEllipsis, nSymbols)
+      .select(F.col("*"),
+        F.col("n_words").between(50, 100000).as("words_ok"),
+        (F.col("word_chars") >= F.col("n_words") * 3 &&
+          F.col("word_chars") <= F.col("n_words") * 10).as("mean_len_ok"),
+        (F.col("n_words") > 0 && F.col("n_alpha") * 5 >= F.col("n_words") * 4).as("alpha_ok"),
+        (F.col("n_stop") >= 2).as("stop_ok"),
+        (F.col("n_bullet") * 10 <= F.col("n_lines") * 9).as("bullet_ok"),
+        (F.col("n_ellipsis") * 10 <= F.col("n_lines") * 3).as("ellipsis_ok"),
+        (F.col("n_symbols") * 10 <= F.col("n_words")).as("symbol_ok"))
+      .withColumn("keep",
+        F.col("words_ok") && F.col("mean_len_ok") && F.col("alpha_ok") &&
+          F.col("stop_ok") && F.col("bullet_ok") && F.col("ellipsis_ok") &&
+          F.col("symbol_ok"))
+  }
+
   /** Redact common PII shapes - emails, phone numbers, IPv4 addresses -
     * with typed placeholders. A pure regexp_replace chain: codegen'd,
     * streams at scan speed, RE2-safe patterns (no lookaround), applied

@@ -1396,6 +1396,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("gopherFilters: every rule trips on its own fixture; clean doc passes all") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val clean = s"the quick brown fox and a dog of it is that for $fifty"
+    val rows = Seq(
+      (1L, clean),                                          // passes everything
+      (2L, "too short the and"),                            // words_ok fails (stop_ok passes)
+      (3L, ("a b c " * 20) + "the and"),                    // mean_len_ok fails (mean < 3)
+      (4L, (1 to 60).map(_ => "123").mkString(" ") + " the and"), // alpha_ok fails
+      (5L, (1 to 60).map(i => s"w$i").mkString(" ")),       // stop_ok fails (no 2 stopwords)
+      (6L, "- bullet one\n- bullet two\n- bullet three\nthe and " + fifty), // bullet counts
+      (7L, "trailing...\nalso trailing...\nplain\nthe and " + fifty),       // ellipsis counts
+      (8L, "# lots # of # symbols # here # the and"),       // symbol ratio high
+      (9L, null.asInstanceOf[String])                       // dropped
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherFilters(rows, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!got.contains(9L), "null text dropped")
+    assert(got(1L).getAs[Boolean]("keep"), "clean doc must pass the whole battery")
+    assert(!got(2L).getAs[Boolean]("words_ok") && got(2L).getAs[Boolean]("stop_ok"))
+    assert(!got(3L).getAs[Boolean]("mean_len_ok"), "1-char words fail the mean-length band")
+    assert(!got(4L).getAs[Boolean]("alpha_ok"), "digit words fail the alpha ratio")
+    assert(!got(5L).getAs[Boolean]("stop_ok"), "no stopwords -> stop rule fails")
+    assert(got(6L).getAs[Int]("n_lines") == 4 && got(6L).getAs[Int]("n_bullet") == 3)
+    assert(got(6L).getAs[Boolean]("bullet_ok"), "3/4 bullet lines still <= 90%")
+    assert(got(7L).getAs[Int]("n_ellipsis") == 2 && !got(7L).getAs[Boolean]("ellipsis_ok"),
+      "2/4 ellipsis lines exceed the 30% bound")
+    assert(got(8L).getAs[Int]("n_symbols") == 5 && !got(8L).getAs[Boolean]("symbol_ok"))
+    // integer-exact boundary: exactly 50 words passes, 49 fails
+    val b = TextOps.gopherFilters(
+      Seq((1L, (1 to 50).map(_ => "the").mkString(" ")),
+        (2L, (1 to 49).map(_ => "the").mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("words_ok")).toMap
+    assert(b(1L) && !b(2L))
+  }
+
   test("bloom write/read roundtrip: bits + hash family persist together, probe parity") {
     val eval = Seq((1L, "the exam answer is forty two"), (2L, "capital of france paris"))
       .toDF("doc_id", "text")
