@@ -543,6 +543,17 @@ object SparkEntry {
       SimilarityOps.lshTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64, bits = 6)
     },
+    "ann_pq" -> { (s, dir) =>
+      // product quantization with ADC + exact re-rank: the
+      // memory-compression ANN path (numSub BYTES per vector instead of
+      // dim floats). Deterministic seed codebooks (first numCodes
+      // normalized vectors' slices) keep the whole pipeline
+      // oracle-replayable, like ann_ivf's lloydIters = 0 contract.
+      val emb = tbl(s, dir, "embeddings")
+      SimilarityOps.pqTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, numSub = 8, numCodes = 16, rerank = 50)
+    },
     "ann_ivf" -> { (s, dir) =>
       // lloydIters = 0 makes the whole pipeline a deterministic function
       // of the data (seed centroids = first nCentroids vectors by id,
@@ -2681,6 +2692,59 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, sim,
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
         |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS cosine_sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "ann_pq" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT id, v, nrm, [x / greatest(nrm, 1e-12) FOR x IN v] AS vn FROM v
+        |), seeds AS (
+        |  SELECT (ROW_NUMBER() OVER (ORDER BY id)) - 1 AS c, vn
+        |  FROM (SELECT id, vn FROM n ORDER BY id LIMIT 16)
+        |), cb AS (
+        |  SELECT g.m, s.c, s.vn[g.m*8+1 : g.m*8+8] AS cw,
+        |         list_dot_product(s.vn[g.m*8+1 : g.m*8+8], s.vn[g.m*8+1 : g.m*8+8]) / 2 AS half
+        |  FROM seeds s CROSS JOIN generate_series(0, 7) g(m)
+        |), codes AS ( -- PQ encode: argmax (dot - half), ties to smaller code
+        |  SELECT id, list(code ORDER BY m) AS codes FROM (
+        |    SELECT n.id, cb.m, cb.c AS code,
+        |           ROW_NUMBER() OVER (PARTITION BY n.id, cb.m
+        |             ORDER BY list_dot_product(n.vn[cb.m*8+1 : cb.m*8+8], cb.cw) - cb.half DESC,
+        |                      cb.c ASC) AS rn
+        |    FROM n CROSS JOIN cb) WHERE rn = 1
+        |  GROUP BY id
+        |), lut AS ( -- per-query ADC table, m-major
+        |  SELECT id AS query_id, list(d ORDER BY m, c) AS lutarr FROM (
+        |    SELECT nq.id, cb.m, cb.c,
+        |           list_dot_product(nq.vn[cb.m*8+1 : cb.m*8+8], cb.cw) AS d
+        |    FROM n nq CROSS JOIN cb WHERE nq.id < 10)
+        |  GROUP BY id
+        |), adc AS ( -- fixed-order fold: list_sum over ascending m
+        |  SELECT l.query_id, c.id AS neighbor_id,
+        |         list_sum([l.lutarr[m*16 + c.codes[m+1] + 1] FOR m IN generate_series(0, 7)]) AS adc
+        |  FROM codes c CROSS JOIN lut l
+        |  WHERE l.query_id <> c.id
+        |), cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY adc DESC, neighbor_id ASC) AS rn
+        |    FROM adc) WHERE rn <= 50
+        |), exact AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |         list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS sim
+        |  FROM cand
+        |  JOIN v q ON q.id = cand.query_id
+        |  JOIN v x ON x.id = cand.neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM exact
         |)
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS cosine_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,

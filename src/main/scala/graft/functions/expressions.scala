@@ -641,6 +641,45 @@ object ExprKernels {
     v % mBits
   }
 
+  /** Product-quantization encode: for each of the `M = codebooks.length`
+    * subspaces, the code of the codeword maximizing
+    * `dot(x_m, cw) - halfNormSq(cw)` (== argmin squared L2, but spelled
+    * as a dot so the DuckDB oracle replays the EXACT same arithmetic -
+    * `list_dot_product` and this loop both accumulate in element order).
+    * Ties break to the smaller code. `x` must be the NORMALIZED vector
+    * in double; subspace `m` covers elements `[m*sub, (m+1)*sub)`.
+    */
+  def pqEncode(
+      x: ArrayData,
+      codebooks: Array[Array[Array[Double]]],
+      halfs: Array[Array[Double]]
+  ): ArrayData = {
+    val m = codebooks.length
+    val out = new Array[Any](m)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val cws = codebooks(s)
+      val sub = cws(0).length
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < cws.length) {
+        val cw = cws(c)
+        var d = 0.0
+        var i = 0
+        while (i < sub) { d += x.getDouble(off + i) * cw(i); i += 1 }
+        val score = d - halfs(s)(c)
+        if (score > bestScore) { bestScore = score; best = c }
+        c += 1
+      }
+      out(s) = best
+      off += sub
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of shingles whose `kHashes` Bloom positions are ALL set -
     * the per-document probe loop of TextOps.bloomProbe fused into one
     * kernel call (the equivalent `size(filter(shs, forall(...)))`
@@ -1100,6 +1139,39 @@ case class BitsetContains(child: Expression, bits: Array[Byte])
   override def prettyName: String = "bitset_contains"
 }
 
+/** `pq_encode(vn)` - product-quantization codes (array<int>, one per
+  * subspace) of a normalized double vector against driver-computed
+  * codebooks. Argmax of `dot - halfNormSq` per subspace, ties to the
+  * smaller code - the dot-spelled argmin-L2 that replays in any engine
+  * with an element-order dot product.
+  */
+case class PqEncode(
+    child: Expression,
+    codebooks: Array[Array[Array[Double]]],
+    halfs: Array[Array[Double]]
+) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double> (normalize first), got $other")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.pqEncode(v.asInstanceOf[ArrayData], codebooks, halfs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cb = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      val hf = ctx.addReferenceObj("halfs", halfs, "double[][]")
+      s"${ev.value} = graft.functions.ExprKernels.pqEncode($c, $cb, $hf);"
+    })
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
 /** `bloom_flag_count(shingles)` - per-row count of shingles whose
   * `kHashes` md5 Bloom positions are all set in the carried bitset: the
   * whole inner probe loop of TextOps.bloomProbe as ONE codegen kernel
@@ -1210,6 +1282,10 @@ object GraftFunctions {
 
   def bloom_flag_count(shingles: Column, bits: Array[Byte], mBits: Int, kHashes: Int): Column =
     Bridge.column(BloomFlagCount(Bridge.expression(shingles), bits, mBits, kHashes))
+
+  def pq_encode(vn: Column, codebooks: Array[Array[Array[Double]]],
+      halfs: Array[Array[Double]]): Column =
+    Bridge.column(PqEncode(Bridge.expression(vn), codebooks, halfs))
 
   def pt_lev_extend(q: Column, e: Column, s: Column, d: Column, maxDist: Int): Column =
     Bridge.column(PtLevExtend(

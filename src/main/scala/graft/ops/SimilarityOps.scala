@@ -383,6 +383,98 @@ object SimilarityOps {
       ivfBuild(corpus, corpusId, corpusVec, nCentroids, lloydIters),
       queries, queryId, queryVec, k, nProbe)
 
+  /** Product-quantization approximate top-k (ADC with exact re-rank) -
+    * the memory-compression scale path of the ANN family: at 100 TB the
+    * corpus's float vectors (dim x 4 bytes) don't fit hot storage, but
+    * the PQ codes (`numSub` BYTES per vector - 8 bytes vs 256 here) do.
+    *
+    * Codebooks are deterministic (the reason this is oracle-replayable,
+    * same stance as [[ivfTopK]]'s lloydIters = 0 contract): codeword c
+    * of subspace m is the m-th slice of the c-th L2-NORMALIZED corpus
+    * vector by id order. Encoding picks, per subspace, the codeword
+    * maximizing `dot(x_m, cw) - ||cw||^2/2` (argmin squared L2 spelled
+    * as an element-order dot, so any engine with a sequential dot
+    * product replays it bit-for-bit; ties to the smaller code) - one
+    * `pq_encode` codegen kernel call per row, ONE corpus pass.
+    *
+    * Query time: each query precomputes its `numSub x numCodes` ADC
+    * lookup table (broadcast with the query batch); per corpus row the
+    * approximate score is a FIXED-ORDER fold of `numSub` table lookups
+    * - deterministic double summation, never an aggregation-order
+    * dependent SUM. Top `rerank` candidates per query by (adc desc, id)
+    * are re-ranked by exact cosine, so the output is exact similarity
+    * over an approximate candidate set - recall is spec-measured vs
+    * brute force.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      numSub: Int = 8,
+      numCodes: Int = 16,
+      rerank: Int = 50
+  ): DataFrame = {
+    require(numSub >= 1 && numCodes >= 1 && rerank >= k,
+      s"need numSub/numCodes >= 1 and rerank ($rerank) >= k ($k)")
+    // deterministic codebook seed: first numCodes vectors by id,
+    // normalized in the driver with the same element-order arithmetic
+    // the oracle's list_dot_product replays
+    val seeds: Array[Array[Double]] = corpus
+      .select(F.col(corpusId).cast("long").as("id"), F.col(corpusVec).as("v"))
+      .orderBy("id").limit(numCodes).collect()
+      .map { r =>
+        val v = r.getAs[scala.collection.Seq[Number]]("v").map(_.doubleValue()).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / math.max(n, 1e-12))
+      }
+    val dim = seeds.headOption.map(_.length).getOrElse(0)
+    require(dim > 0 && dim % numSub == 0, s"dim $dim must be a positive multiple of numSub $numSub")
+    val sub = dim / numSub
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(numSub)(m => seeds.map(_.slice(m * sub, (m + 1) * sub)))
+    val halfs: Array[Array[Double]] = codebooks.map(_.map { cw =>
+      var d = 0.0
+      var i = 0
+      while (i < cw.length) { d += cw(i) * cw(i); i += 1 }
+      d / 2
+    })
+    def withNorm(df: DataFrame, id: String, vec: String, idAs: String): DataFrame =
+      df.select(F.col(id).as(idAs), F.col(vec).as("v"), norm(F.col(vec)).as("nrm"))
+        .withColumn("vn", transform(F.col("v"), x => x / greatest(F.col("nrm"), lit(1e-12))))
+    val encoded = withNorm(OpsUtil.spread(corpus), corpusId, corpusVec, "neighbor_id")
+      .withColumn("codes", graft.functions.GraftFunctions.pq_encode(F.col("vn"), codebooks, halfs))
+      .select(F.col("neighbor_id"), F.col("v").as("cv"), F.col("nrm").as("cn"), F.col("codes"))
+    // per-query ADC lookup table, m-major (index m*numCodes + c)
+    val lutEntries: Seq[Column] = for {
+      m <- 0 until numSub
+      c <- 0 until numCodes
+    } yield dot(slice(F.col("vn"), m * sub + 1, sub), array(codebooks(m)(c).map(lit(_)): _*))
+    val q = broadcast(withNorm(queries, queryId, queryVec, "query_id")
+      .select(F.col("query_id"), F.col("v").as("qv"), F.col("nrm").as("qn"),
+        array(lutEntries: _*).as("lutarr")))
+    // FIXED-ORDER fold over subspaces: deterministic double summation
+    val adcCol = aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0),
+      (acc, m) => acc + element_at(F.col("lutarr"),
+        (m * numCodes + element_at(F.col("codes"), m + 1) + 1).cast(IntegerType)))
+    val wAdc = Window.partitionBy("query_id").orderBy(F.col("adc").desc, F.col("neighbor_id").asc)
+    val wExact = Window.partitionBy("query_id").orderBy(F.col("sim").desc, F.col("neighbor_id").asc)
+    encoded
+      .join(q, F.col("query_id") =!= F.col("neighbor_id"))
+      .withColumn("adc", adcCol)
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(F.col("rn") <= rerank)
+      .withColumn("sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(F.col("rank") <= k)
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        F.col("rank").cast(IntegerType).as("rank"),
+        round(F.col("sim"), 6).as("cosine_sim"))
+  }
+
   /** All pairs with cosine >= threshold, LSH-bucketed (embedding near-dup
     * dedup). Exact cosine verified on bucket-collision candidates only.
     */

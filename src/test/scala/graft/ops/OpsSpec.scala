@@ -1128,6 +1128,57 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall too low")
   }
 
+  test("pqTopK: recall vs brute force; encode matches in-memory reference; exact re-rank sims") {
+    val rnd = new scala.util.Random(29)
+    def jitter(base: Array[Float]) = base.map(x => x + rnd.nextGaussian().toFloat * 0.05f)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 200).map(i => (i.toLong, jitter(centers(i % 4)))).toDF("id", "v")
+    val queries = vecs.filter($"id" < 8)
+    val brute = SimilarityOps.bruteTopK(vecs, "id", "v", queries, "id", "v", 5)
+      .as[(Long, Long, Int, Double)].collect()
+    val pq = SimilarityOps.pqTopK(vecs, "id", "v", queries, "id", "v", 5,
+      numSub = 4, numCodes = 8, rerank = 40)
+      .as[(Long, Long, Int, Double)].collect()
+    val recall = (brute.map(r => (r._1, r._2)).toSet & pq.map(r => (r._1, r._2)).toSet).size
+      .toDouble / brute.length
+    assert(recall >= 0.7, s"recall $recall too low")
+    // the re-rank is EXACT: any (query, neighbor) the two paths share
+    // carries the identical cosine
+    val bruteSim = brute.map(r => (r._1, r._2) -> r._4).toMap
+    for ((q, n, _, sim) <- pq; bs <- bruteSim.get((q, n)))
+      assert(sim == bs, s"($q,$n): pq sim $sim != brute sim $bs")
+    // encode parity: kernel codes == in-memory reference (same seed
+    // codebooks, same dot-minus-half argmax, ties to smaller code)
+    val rows = vecs.orderBy("id").as[(Long, Seq[Float])].collect()
+    val seeds = rows.take(8).map { case (_, v) =>
+      val d = v.map(_.toDouble).toArray
+      val n = math.sqrt(d.map(x => x * x).sum)
+      d.map(_ / math.max(n, 1e-12))
+    }
+    val sub = 16 / 4
+    val cbs = Array.tabulate(4)(m => seeds.map(_.slice(m * sub, (m + 1) * sub)))
+    val halfs = cbs.map(_.map(cw => cw.map(x => x * x).sum / 2))
+    def refEncode(v: Seq[Float]): Seq[Int] = {
+      val d = v.map(_.toDouble).toArray
+      val n = math.sqrt(d.map(x => x * x).sum)
+      val vn = d.map(_ / math.max(n, 1e-12))
+      (0 until 4).map { m =>
+        val scores = cbs(m).zipWithIndex.map { case (cw, c) =>
+          (vn.slice(m * sub, (m + 1) * sub).zip(cw).map { case (a, b) => a * b }.sum
+            - halfs(m)(c), c)
+        }
+        scores.maxBy { case (s, c) => (s, -c) }._2
+      }
+    }
+    val kernelCodes = vecs
+      .withColumn("nrm", SimilarityOps.norm($"v"))
+      .withColumn("vn", transform($"v", x => x / greatest($"nrm", lit(1e-12))))
+      .select($"id", graft.functions.GraftFunctions.pq_encode($"vn", cbs, halfs).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    for ((id, v) <- rows)
+      assert(kernelCodes(id) == refEncode(v), s"id=$id codes diverge")
+  }
+
   test("IVF persisted index: lossless round-trip, job-free query construction, skewed lists") {
     // SKEWED fixture: 70% of vectors in one cluster (a hot inverted
     // list), the rest spread over three - the shape where a naive
