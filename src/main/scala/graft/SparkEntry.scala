@@ -567,6 +567,21 @@ object SparkEntry {
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nCentroids = 32, nProbe = 8, lloydIters = 0)
     },
+    "ann_pq_persisted" -> { (s, dir) =>
+      // PQ lifecycle: build -> write (codebooks + codes) -> read ->
+      // query. Same params and oracle as ann_pq: what's exercised is
+      // that codebooks/halfs/codes round-trip bit-exact through parquet
+      // and the query half is pure plan construction (OpsSpec pins
+      // zero jobs). Write-once-per-corpus-version discipline like the
+      // other persisted indexes.
+      val emb = tbl(s, dir, "embeddings")
+      val path = scratchPath("pq_index", dir)
+      if (!new java.io.File(s"$path/codes/_SUCCESS").exists())
+        SimilarityOps.pqWrite(SimilarityOps.pqBuild(emb, "vec_id", "embedding",
+          numSub = 8, numCodes = 16), path)
+      SimilarityOps.pqQuery(SimilarityOps.pqRead(s, path),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, rerank = 50)
+    },
     "ann_ivf_persisted" -> { (s, dir) =>
       // the persisted index lifecycle (the trie writeIndexedTable analog
       // for ANN): build once, write centroids + hive-partitioned lists,
@@ -1775,6 +1790,60 @@ object SparkEntry {
   // shared by ann_ivf and ann_ivf_persisted: the persisted index must
   // reproduce the in-memory pipeline bit-for-bit, so both replay the
   // same coarse quantization + probing + exact re-ranking
+  private val pqOracleSql: String =
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT id, v, nrm, [x / greatest(nrm, 1e-12) FOR x IN v] AS vn FROM v
+        |), seeds AS (
+        |  SELECT (ROW_NUMBER() OVER (ORDER BY id)) - 1 AS c, vn
+        |  FROM (SELECT id, vn FROM n ORDER BY id LIMIT 16)
+        |), cb AS (
+        |  SELECT g.m, s.c, s.vn[g.m*8+1 : g.m*8+8] AS cw,
+        |         list_dot_product(s.vn[g.m*8+1 : g.m*8+8], s.vn[g.m*8+1 : g.m*8+8]) / 2 AS half
+        |  FROM seeds s CROSS JOIN generate_series(0, 7) g(m)
+        |), codes AS ( -- PQ encode: argmax (dot - half), ties to smaller code
+        |  SELECT id, list(code ORDER BY m) AS codes FROM (
+        |    SELECT n.id, cb.m, cb.c AS code,
+        |           ROW_NUMBER() OVER (PARTITION BY n.id, cb.m
+        |             ORDER BY list_dot_product(n.vn[cb.m*8+1 : cb.m*8+8], cb.cw) - cb.half DESC,
+        |                      cb.c ASC) AS rn
+        |    FROM n CROSS JOIN cb) WHERE rn = 1
+        |  GROUP BY id
+        |), lut AS ( -- per-query ADC table, m-major
+        |  SELECT id AS query_id, list(d ORDER BY m, c) AS lutarr FROM (
+        |    SELECT nq.id, cb.m, cb.c,
+        |           list_dot_product(nq.vn[cb.m*8+1 : cb.m*8+8], cb.cw) AS d
+        |    FROM n nq CROSS JOIN cb WHERE nq.id < 10)
+        |  GROUP BY id
+        |), adc AS ( -- fixed-order fold: list_sum over ascending m
+        |  SELECT l.query_id, c.id AS neighbor_id,
+        |         list_sum([l.lutarr[m*16 + c.codes[m+1] + 1] FOR m IN generate_series(0, 7)]) AS adc
+        |  FROM codes c CROSS JOIN lut l
+        |  WHERE l.query_id <> c.id
+        |), cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY adc DESC, neighbor_id ASC) AS rn
+        |    FROM adc) WHERE rn <= 50
+        |), exact AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |         list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS sim
+        |  FROM cand
+        |  JOIN v q ON q.id = cand.query_id
+        |  JOIN v x ON x.id = cand.neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM exact
+        |)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS cosine_sim
+        |FROM ranked WHERE rank <= 5""".stripMargin
+
   private val ivfOracleSql: String =
     """WITH cent AS ( -- seed centroids: first 32 vectors by id, L2-normalized
       |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid,
@@ -2695,59 +2764,9 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS cosine_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
-    "ann_pq" ->
-      """WITH v AS (
-        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
-        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        |  FROM embeddings
-        |), n AS (
-        |  SELECT id, v, nrm, [x / greatest(nrm, 1e-12) FOR x IN v] AS vn FROM v
-        |), seeds AS (
-        |  SELECT (ROW_NUMBER() OVER (ORDER BY id)) - 1 AS c, vn
-        |  FROM (SELECT id, vn FROM n ORDER BY id LIMIT 16)
-        |), cb AS (
-        |  SELECT g.m, s.c, s.vn[g.m*8+1 : g.m*8+8] AS cw,
-        |         list_dot_product(s.vn[g.m*8+1 : g.m*8+8], s.vn[g.m*8+1 : g.m*8+8]) / 2 AS half
-        |  FROM seeds s CROSS JOIN generate_series(0, 7) g(m)
-        |), codes AS ( -- PQ encode: argmax (dot - half), ties to smaller code
-        |  SELECT id, list(code ORDER BY m) AS codes FROM (
-        |    SELECT n.id, cb.m, cb.c AS code,
-        |           ROW_NUMBER() OVER (PARTITION BY n.id, cb.m
-        |             ORDER BY list_dot_product(n.vn[cb.m*8+1 : cb.m*8+8], cb.cw) - cb.half DESC,
-        |                      cb.c ASC) AS rn
-        |    FROM n CROSS JOIN cb) WHERE rn = 1
-        |  GROUP BY id
-        |), lut AS ( -- per-query ADC table, m-major
-        |  SELECT id AS query_id, list(d ORDER BY m, c) AS lutarr FROM (
-        |    SELECT nq.id, cb.m, cb.c,
-        |           list_dot_product(nq.vn[cb.m*8+1 : cb.m*8+8], cb.cw) AS d
-        |    FROM n nq CROSS JOIN cb WHERE nq.id < 10)
-        |  GROUP BY id
-        |), adc AS ( -- fixed-order fold: list_sum over ascending m
-        |  SELECT l.query_id, c.id AS neighbor_id,
-        |         list_sum([l.lutarr[m*16 + c.codes[m+1] + 1] FOR m IN generate_series(0, 7)]) AS adc
-        |  FROM codes c CROSS JOIN lut l
-        |  WHERE l.query_id <> c.id
-        |), cand AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, neighbor_id,
-        |           ROW_NUMBER() OVER (PARTITION BY query_id
-        |                              ORDER BY adc DESC, neighbor_id ASC) AS rn
-        |    FROM adc) WHERE rn <= 50
-        |), exact AS (
-        |  SELECT cand.query_id, cand.neighbor_id,
-        |         list_dot_product(q.v, x.v) / (q.nrm * x.nrm) AS sim
-        |  FROM cand
-        |  JOIN v q ON q.id = cand.query_id
-        |  JOIN v x ON x.id = cand.neighbor_id
-        |), ranked AS (
-        |  SELECT query_id, neighbor_id, sim,
-        |         ROW_NUMBER() OVER (PARTITION BY query_id
-        |                            ORDER BY sim DESC, neighbor_id ASC) AS rank
-        |  FROM exact
-        |)
-        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS cosine_sim
-        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "ann_pq" -> pqOracleSql,
+    // identical replay: the persisted round-trip must be lossless
+    "ann_pq_persisted" -> pqOracleSql,
     "ann_ivf" -> ivfOracleSql,
     // identical replay: the persisted round-trip must be lossless
     "ann_ivf_persisted" -> ivfOracleSql,

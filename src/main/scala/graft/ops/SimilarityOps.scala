@@ -405,21 +405,33 @@ object SimilarityOps {
     * are re-ranked by exact cosine, so the output is exact similarity
     * over an approximate candidate set - recall is spec-measured vs
     * brute force.
+    *
+    * Lifecycle: [[pqBuild]] -> [[pqWrite]] / [[pqRead]] -> [[pqQuery]];
+    * [[pqTopK]] is the one-shot build+query composition.
+    *
+    * A built PQ index: codebooks + their half-squared-norms (driver
+    * arrays, numSub x numCodes x sub doubles) and the encoded corpus -
+    * `(neighbor_id, cv, cn, codes)`. The codes column (numSub ints;
+    * numSub BYTES in a real code store) is the hot part; cv/cn ride
+    * along for the exact re-rank.
     */
-  def pqTopK(
+  case class PqIndex(
+      codebooks: Array[Array[Array[Double]]],
+      halfs: Array[Array[Double]],
+      codes: DataFrame)
+
+  /** Build a PQ index with deterministic seed codebooks (see [[pqTopK]]
+    * for the full contract). ONE corpus pass: normalize, `pq_encode`
+    * kernel, done - no iteration, no shuffle.
+    */
+  def pqBuild(
       corpus: DataFrame,
       corpusId: String,
       corpusVec: String,
-      queries: DataFrame,
-      queryId: String,
-      queryVec: String,
-      k: Int,
       numSub: Int = 8,
-      numCodes: Int = 16,
-      rerank: Int = 50
-  ): DataFrame = {
-    require(numSub >= 1 && numCodes >= 1 && rerank >= k,
-      s"need numSub/numCodes >= 1 and rerank ($rerank) >= k ($k)")
+      numCodes: Int = 16
+  ): PqIndex = {
+    require(numSub >= 1 && numCodes >= 1, "need numSub/numCodes >= 1")
     // deterministic codebook seed: first numCodes vectors by id,
     // normalized in the driver with the same element-order arithmetic
     // the oracle's list_dot_product replays
@@ -442,18 +454,41 @@ object SimilarityOps {
       while (i < cw.length) { d += cw(i) * cw(i); i += 1 }
       d / 2
     })
-    def withNorm(df: DataFrame, id: String, vec: String, idAs: String): DataFrame =
-      df.select(F.col(id).as(idAs), F.col(vec).as("v"), norm(F.col(vec)).as("nrm"))
-        .withColumn("vn", transform(F.col("v"), x => x / greatest(F.col("nrm"), lit(1e-12))))
-    val encoded = withNorm(OpsUtil.spread(corpus), corpusId, corpusVec, "neighbor_id")
+    val encoded = pqWithNorm(OpsUtil.spread(corpus), corpusId, corpusVec, "neighbor_id")
       .withColumn("codes", graft.functions.GraftFunctions.pq_encode(F.col("vn"), codebooks, halfs))
       .select(F.col("neighbor_id"), F.col("v").as("cv"), F.col("nrm").as("cn"), F.col("codes"))
+    PqIndex(codebooks, halfs, encoded)
+  }
+
+  private def pqWithNorm(df: DataFrame, id: String, vec: String, idAs: String): DataFrame =
+    df.select(F.col(id).as(idAs), F.col(vec).as("v"), norm(F.col(vec)).as("nrm"))
+      .withColumn("vn", transform(F.col("v"), x => x / greatest(F.col("nrm"), lit(1e-12))))
+
+  /** Query a built/persisted PQ index: per-query ADC lookup tables
+    * (broadcast with the query batch), FIXED-order fold over subspaces,
+    * exact-cosine re-rank of the top `rerank` candidates. Pure plan
+    * construction - zero jobs until an action (spec-pinned), so a read
+    * index serves query batches with no corpus re-encode.
+    */
+  def pqQuery(
+      index: PqIndex,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      rerank: Int = 50
+  ): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val numSub = index.codebooks.length
+    val numCodes = index.codebooks(0).length
+    val sub = index.codebooks(0)(0).length
     // per-query ADC lookup table, m-major (index m*numCodes + c)
     val lutEntries: Seq[Column] = for {
       m <- 0 until numSub
       c <- 0 until numCodes
-    } yield dot(slice(F.col("vn"), m * sub + 1, sub), array(codebooks(m)(c).map(lit(_)): _*))
-    val q = broadcast(withNorm(queries, queryId, queryVec, "query_id")
+    } yield dot(slice(F.col("vn"), m * sub + 1, sub),
+      array(index.codebooks(m)(c).map(lit(_)): _*))
+    val q = broadcast(pqWithNorm(queries, queryId, queryVec, "query_id")
       .select(F.col("query_id"), F.col("v").as("qv"), F.col("nrm").as("qn"),
         array(lutEntries: _*).as("lutarr")))
     // FIXED-ORDER fold over subspaces: deterministic double summation
@@ -462,7 +497,7 @@ object SimilarityOps {
         (m * numCodes + element_at(F.col("codes"), m + 1) + 1).cast(IntegerType)))
     val wAdc = Window.partitionBy("query_id").orderBy(F.col("adc").desc, F.col("neighbor_id").asc)
     val wExact = Window.partitionBy("query_id").orderBy(F.col("sim").desc, F.col("neighbor_id").asc)
-    encoded
+    index.codes
       .join(q, F.col("query_id") =!= F.col("neighbor_id"))
       .withColumn("adc", adcCol)
       .withColumn("rn", row_number().over(wAdc))
@@ -474,6 +509,54 @@ object SimilarityOps {
         F.col("rank").cast(IntegerType).as("rank"),
         round(F.col("sim"), 6).as("cosine_sim"))
   }
+
+  /** Persist a PQ index: codebooks (with halfs) as one small parquet,
+    * the encoded corpus as another. The codebooks define the index
+    * version - re-seeding is a rebuild, not maintenance.
+    */
+  def pqWrite(index: PqIndex, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val flat = for {
+      m <- index.codebooks.indices
+      c <- index.codebooks(m).indices
+    } yield (m, c, index.codebooks(m)(c).toSeq, index.halfs(m)(c))
+    flat.toDF("m", "c", "cw", "half")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Read a persisted PQ index back: codebooks collected to the driver
+    * (numSub x numCodes x sub doubles - KBs), codes stay a lazy scan.
+    */
+  def pqRead(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val flat = spark.read.parquet(s"$path/codebooks")
+      .orderBy("m", "c")
+      .collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Int]("c"),
+        r.getAs[scala.collection.Seq[Double]]("cw").toArray, r.getAs[Double]("half")))
+    val numSub = flat.map(_._1).max + 1
+    val codebooks = Array.tabulate(numSub)(m =>
+      flat.filter(_._1 == m).sortBy(_._2).map(_._3))
+    val halfs = Array.tabulate(numSub)(m =>
+      flat.filter(_._1 == m).sortBy(_._2).map(_._4))
+    PqIndex(codebooks, halfs, spark.read.parquet(s"$path/codes"))
+  }
+
+  def pqTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      numSub: Int = 8,
+      numCodes: Int = 16,
+      rerank: Int = 50
+  ): DataFrame =
+    pqQuery(pqBuild(corpus, corpusId, corpusVec, numSub, numCodes),
+      queries, queryId, queryVec, k, rerank)
 
   /** All pairs with cosine >= threshold, LSH-bucketed (embedding near-dup
     * dedup). Exact cosine verified on bucket-collision candidates only.

@@ -1179,6 +1179,42 @@ class OpsSpec extends SparkSpec {
       assert(kernelCodes(id) == refEncode(v), s"id=$id codes diverge")
   }
 
+  test("PQ persisted index: bit-exact round-trip, job-free query construction, query parity") {
+    val rnd = new scala.util.Random(31)
+    def jitter(base: Array[Float]) = base.map(x => x + rnd.nextGaussian().toFloat * 0.05f)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 150).map(i => (i.toLong, jitter(centers(i % 4)))).toDF("id", "v")
+    val queries = vecs.filter($"id" < 6)
+    val idx = SimilarityOps.pqBuild(vecs, "id", "v", numSub = 4, numCodes = 8)
+    val direct = SimilarityOps.pqQuery(idx, queries, "id", "v", k = 5, rerank = 30)
+      .collect().map(_.toString).sorted.toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_spec").toString
+    SimilarityOps.pqWrite(idx, path)
+    val back = SimilarityOps.pqRead(spark, path)
+    // codebooks and halfs round-trip bit-exact
+    assert(back.codebooks.length == idx.codebooks.length)
+    for (m <- idx.codebooks.indices; c <- idx.codebooks(m).indices) {
+      assert(back.codebooks(m)(c).sameElements(idx.codebooks(m)(c)), s"cw($m)($c)")
+      assert(back.halfs(m)(c) == idx.halfs(m)(c), s"half($m)($c)")
+    }
+    // query construction on the read index launches ZERO jobs
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      drainListenerBus()
+      jobs = 0
+      val q = SimilarityOps.pqQuery(back, queries, "id", "v", k = 5, rerank = 30)
+      drainListenerBus()
+      assert(jobs == 0, s"pqQuery construction must launch no jobs, saw $jobs")
+      assert(q.collect().map(_.toString).sorted.toSeq == direct,
+        "persisted index must serve identical results")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("IVF persisted index: lossless round-trip, job-free query construction, skewed lists") {
     // SKEWED fixture: 70% of vectors in one cluster (a hot inverted
     // list), the rest spread over three - the shape where a naive
