@@ -454,11 +454,26 @@ object SimilarityOps {
       while (i < cw.length) { d += cw(i) * cw(i); i += 1 }
       d / 2
     })
-    val encoded = pqWithNorm(OpsUtil.spread(corpus), corpusId, corpusVec, "neighbor_id")
+    PqIndex(codebooks, halfs,
+      pqEncodeRows(OpsUtil.spread(corpus), corpusId, corpusVec, codebooks, halfs))
+  }
+
+  /** Encode rows against FROZEN codebooks into the codes-table schema
+    * `(neighbor_id, cv, cn, codes)` - the per-row pure function shared
+    * by [[pqBuild]] and the streaming maintenance path
+    * (StreamOps.pqMaintenance), so maintained codes are bit-identical
+    * to encoding the merged corpus once.
+    */
+  private[graft] def pqEncodeRows(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      halfs: Array[Array[Double]]
+  ): DataFrame =
+    pqWithNorm(df, idCol, vecCol, "neighbor_id")
       .withColumn("codes", graft.functions.GraftFunctions.pq_encode(F.col("vn"), codebooks, halfs))
       .select(F.col("neighbor_id"), F.col("v").as("cv"), F.col("nrm").as("cn"), F.col("codes"))
-    PqIndex(codebooks, halfs, encoded)
-  }
 
   private def pqWithNorm(df: DataFrame, id: String, vec: String, idAs: String): DataFrame =
     df.select(F.col(id).as(idAs), F.col(vec).as("v"), norm(F.col(vec)).as("nrm"))

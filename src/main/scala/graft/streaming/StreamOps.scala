@@ -504,6 +504,50 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming PQ maintenance: fold a stream of (id, vector) rows into
+    * the served codes table. Codebooks are FROZEN at the initial index
+    * (the persisted-PQ contract: codebooks define an index version;
+    * re-seeding is a rebuild, not maintenance), so each batch's
+    * encoding is the same per-row pure function the batch build uses
+    * (SimilarityOps.pqEncodeRows) and the maintained codes are
+    * bit-identical to encoding the merged corpus once. Re-appearing
+    * ids are upserts; duplicate ids WITHIN a batch resolve
+    * deterministically to the array-order max (same stance as
+    * [[ivfMaintenance]]). Batch-sized broadcast anti join: the
+    * accumulated codes table streams map-side per batch.
+    */
+  def pqMaintenance(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      initial: graft.ops.SimilarityOps.PqIndex
+  )(onUpdate: graft.ops.SimilarityOps.PqIndex => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.SimilarityOps.PqIndex
+    @volatile var state =
+      PqIndex(initial.codebooks, initial.halfs, initial.codes.localCheckpoint())
+    @volatile var graveyard: Option[DataFrame] = None
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val one = batch.toDF()
+            .groupBy(idCol).agg(max(F.col(vecCol)).as(vecCol))
+          val delta = graft.ops.SimilarityOps
+            .pqEncodeRows(one, idCol, vecCol, state.codebooks, state.halfs)
+          val prev = state
+          val merged = prev.codes
+            .join(broadcast(delta.select("neighbor_id")), Seq("neighbor_id"), "left_anti")
+            .union(delta)
+            .localCheckpoint()
+          state = PqIndex(prev.codebooks, prev.halfs, merged)
+          onUpdate(state)
+          graveyard.foreach(unpersistCheckpoint)
+          graveyard = Some(prev.codes)
+        }
+      }
+      .start()
+  }
+
   /** Streaming Bloom-filter maintenance: fold a stream of eval-set
     * documents into the served decontamination filter - the fifth index
     * lifecycle beside trie / BM25 / trigram / IVF, and the simplest:

@@ -613,4 +613,53 @@ class StreamOpsSpec extends SparkSpec {
         batch1.toDF("doc_id", "text"), "text", shingleLen = 3, mBits = 1 << 10, kHashes = 3))
     }
   }
+
+  test("pqMaintenance: streamed codes == one-shot encode, upserts replace, queries exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(73)
+    def vec() = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val seed = (0 until 40).map(i => (i.toLong, vec()))
+    val batch1 = (40 until 60).map(i => (i.toLong, vec()))
+    val v50b = vec()
+    val v65x = vec()
+    // 50 upserted across batches; 65 duplicated WITHIN batch2
+    val batch2 = (60 until 70).map(i => (i.toLong, vec())) ++ Seq((50L, v50b), (65L, v65x))
+    val initial = SimilarityOps.pqBuild(seed.toDF("id", "v"), "id", "v",
+      numSub = 4, numCodes = 8)
+    @volatile var latest: graft.ops.SimilarityOps.PqIndex = null
+    val mem = MemoryStream[(Long, Array[Float])]
+    val sq = StreamOps.pqMaintenance(
+      mem.toDF().toDF("id", "v"), "id", "v", initial)(latest = _)
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    def arrMax(a: Array[Float], b: Array[Float]): Array[Float] = {
+      val c = a.zip(b).collectFirst { case (x, y) if x != y => x > y }
+      if (c.getOrElse(a.length >= b.length)) a else b
+    }
+    val b2resolved = batch2.groupBy(_._1).map { case (id, vs) =>
+      (id, vs.map(_._2).reduce(arrMax))
+    }.toSeq
+    val merged = (seed.filterNot(_._1 == 50L) ++ batch1.filterNot(_._1 == 50L)
+      ++ b2resolved).toDF("id", "v")
+    // frozen codebooks: maintained codes == one-shot encode of the
+    // merged corpus with the SAME codebooks
+    val direct = SimilarityOps.pqEncodeRows(merged, "id", "v",
+      initial.codebooks, initial.halfs)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"neighbor_id", $"codes", $"cv")
+      .as[(Long, Seq[Int], Seq[Float])].collect().toSet
+    for (m <- initial.codebooks.indices; c <- initial.codebooks(m).indices)
+      assert(latest.codebooks(m)(c).sameElements(initial.codebooks(m)(c)))
+    assert(key(latest.codes) == key(direct))
+    // queries through the maintained index match the one-shot index
+    val queries = merged.filter($"id" < 5)
+    def topk(idx: graft.ops.SimilarityOps.PqIndex) = SimilarityOps
+      .pqQuery(idx, queries, "id", "v", k = 3, rerank = 20)
+      .collect().map(_.toString).sorted.toSeq
+    assert(topk(latest) ==
+      topk(graft.ops.SimilarityOps.PqIndex(initial.codebooks, initial.halfs, direct)))
+  }
 }
