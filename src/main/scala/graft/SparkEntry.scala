@@ -676,6 +676,20 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
     },
+    "docs_snapshot_diff" -> { (s, dir) =>
+      // release audit: classify every doc across two corpus versions
+      // (v2 derived deterministically: %7 removed, %11 edited, %13
+      // re-added under offset ids). Hash-compare full outer join - at
+      // 100 TB the join moves two md5 columns, never two corpora.
+      val v1 = tbl(s, dir, "documents")
+      val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      graft.ops.MergeOps.snapshotDiff(v1, v2, "doc_id", "text")
+    },
     "docs_leakage_split" -> { (s, dir) =>
       // leakage-safe 80/10/10: split keyed by the near-dup CLUSTER
       // representative, so near-identical docs can never straddle
@@ -2367,6 +2381,24 @@ object SparkEntry {
         |                 < '${graft.ops.SampleOps.hexThreshold(0.8 + 0.1)}' THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "docs_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0
+        |), j AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS id,
+        |         a.doc_id IS NOT NULL AS op, b.doc_id IS NOT NULL AS np,
+        |         md5(a.text) AS oh, md5(b.text) AS nh
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+        |)
+        |SELECT id, CASE WHEN NOT op THEN 'added'
+        |                WHEN NOT np THEN 'removed'
+        |                WHEN oh IS NOT DISTINCT FROM nh THEN 'unchanged'
+        |                ELSE 'changed' END AS status
+        |FROM j""".stripMargin,
     "docs_leakage_split" ->
       s"""WITH RECURSIVE sh AS (
         |  SELECT doc_id AS id,

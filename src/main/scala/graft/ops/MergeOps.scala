@@ -69,4 +69,39 @@ object MergeOps {
       .withColumn("valid_to", lead(F.col(orderCol), 1).over(w))
       .withColumn("is_current", F.col("valid_to").isNull)
   }
+
+  /** Corpus snapshot diff: classify every key across two corpus
+    * versions as `added` / `removed` / `changed` / `unchanged` - the
+    * audit every dataset release runs before shipping ("what moved
+    * since v1?"), and the input to incremental index maintenance
+    * (changed + added keys are exactly the delta the StreamOps
+    * maintenance ops would fold in).
+    *
+    * Change detection compares md5 of `contentCol` (never the raw
+    * content - at 100 TB the full outer join then moves two hash
+    * columns, not two corpora). ONE shuffle per side on the key;
+    * NULL content hashes to NULL and compares equal only to NULL
+    * (null-safe equality), so a NULL-text doc is `unchanged` against a
+    * NULL-text doc and `changed` against any real text.
+    *
+    * Output: `(id, status)` for every key in either version.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      contentCol: String
+  ): DataFrame = {
+    // presence flags are separate from the hash: a present row with
+    // NULL content hashes to NULL, which must NOT read as "absent"
+    def hashed(df: DataFrame, h: String, p: String) =
+      df.select(F.col(idCol).as("id"), md5(F.col(contentCol)).as(h),
+        lit(true).as(p))
+    hashed(oldDf, "oh", "op").join(hashed(newDf, "nh", "np"), Seq("id"), "full_outer")
+      .select(F.col("id"),
+        when(F.col("op").isNull, "added")
+          .when(F.col("np").isNull, "removed")
+          .when(F.col("oh") <=> F.col("nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

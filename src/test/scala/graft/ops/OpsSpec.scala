@@ -1483,6 +1483,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff: all four statuses; NULL content is presence, not absence") {
+    val v1 = Seq(
+      (1L, "same text"), (2L, "will change"), (3L, "will be removed"),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]),
+      (6L, "becomes null")
+    ).toDF("id", "t")
+    val v2 = Seq(
+      (1L, "same text"), (2L, "changed text"),
+      (4L, null.asInstanceOf[String]), (5L, "was null"),
+      (6L, null.asInstanceOf[String]), (7L, "brand new")
+    ).toDF("id", "t")
+    val got = MergeOps.snapshotDiff(v1, v2, "id", "t")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", // NULL -> NULL: present both sides, equal under null-safe compare
+      5L -> "changed",   // NULL -> text
+      6L -> "changed",   // text -> NULL
+      7L -> "added"))
+  }
+
   test("gopherFilters: every rule trips on its own fixture; clean doc passes all") {
     val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
     val clean = s"the quick brown fox and a dog of it is that for $fifty"
