@@ -686,13 +686,23 @@ object ExprKernels {
     * expression tree evaluates ~|shs| x k interpreted md5/conv column
     * trees per row and breaks whole-stage codegen).
     */
-  def bloomFlagCount(shs: ArrayData, bits: Array[Byte], mBits: Int, kHashes: Int): Int = {
+  /** `"#i"` suffix bytes for hash indexes 0..k-1 (hoisted out of the
+    * per-row probe loop - see BloomFlagCount, which caches one array
+    * per expression instance instead of allocating per row).
+    */
+  def bloomSuffixes(kHashes: Int): Array[Array[Byte]] = {
     val suffixes = new Array[Array[Byte]](kHashes)
     var i = 0
     while (i < kHashes) {
       suffixes(i) = ("#" + i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
       i += 1
     }
+    suffixes
+  }
+
+  def bloomFlagCount(shs: ArrayData, bits: Array[Byte], mBits: Int,
+      suffixes: Array[Array[Byte]]): Int = {
+    val kHashes = suffixes.length
     val n = shs.numElements()
     var flagged = 0
     var j = 0
@@ -1180,6 +1190,10 @@ case class PqEncode(
   */
 case class BloomFlagCount(child: Expression, bits: Array[Byte], mBits: Int, kHashes: Int)
     extends UnaryExpression {
+  // suffix bytes hoisted out of the per-row loop: one allocation per
+  // expression instance, shipped to executors as a reference object
+  @transient private lazy val suffixes: Array[Array[Byte]] =
+    ExprKernels.bloomSuffixes(kHashes)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(_: StringType, _) =>
@@ -1191,11 +1205,12 @@ case class BloomFlagCount(child: Expression, bits: Array[Byte], mBits: Int, kHas
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = child.nullable
   override def nullSafeEval(v: Any): Any =
-    ExprKernels.bloomFlagCount(v.asInstanceOf[ArrayData], bits, mBits, kHashes)
+    ExprKernels.bloomFlagCount(v.asInstanceOf[ArrayData], bits, mBits, suffixes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val b = ctx.addReferenceObj("bits", bits, "byte[]")
-      s"${ev.value} = graft.functions.ExprKernels.bloomFlagCount($c, $b, $mBits, $kHashes);"
+      val sf = ctx.addReferenceObj("suffixes", suffixes, "byte[][]")
+      s"${ev.value} = graft.functions.ExprKernels.bloomFlagCount($c, $b, $mBits, $sf);"
     })
   override protected def withNewChildInternal(c: Expression): BloomFlagCount =
     copy(child = c)

@@ -141,8 +141,15 @@ object SampleOps {
       clusters: DataFrame,
       splits: Seq[(String, Double)]
   ): DataFrame = {
+    // one row per id BY CONSTRUCTION (deterministic min): a duplicate id
+    // in a hand-built clusters frame would otherwise fan the join out
+    // and silently DUPLICATE documents in the split assignment. For
+    // connectedComponents output (already unique per id) the aggregate
+    // is an identity over a vertex-sized frame.
+    val oneRep = clusters.groupBy(F.col("id"))
+      .agg(F.min(F.col("cluster_id")).as("cluster_id"))
     val withRep = df
-      .join(clusters, df(idCol) === clusters("id"), "left")
+      .join(oneRep, df(idCol) === oneRep("id"), "left")
       .select(df(idCol).as("doc_id"),
         coalesce(F.col("cluster_id"), df(idCol)).as("rep"))
     assignSplits(withRep, "rep", splits)

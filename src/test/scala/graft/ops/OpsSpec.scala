@@ -802,6 +802,13 @@ class OpsSpec extends SparkSpec {
     }
     for ((id, (rep, split)) <- got)
       assert(split == refSplit(rep), s"doc $id: rep $rep")
+    // a hand-built clusters frame with a DUPLICATE id must not fan the
+    // join out (no doc appears twice); the deterministic min rep wins
+    val dupClusters = clusters.unionByName(Seq((2L, 99L)).toDF("id", "cluster_id"))
+    val got2 = SampleOps.leakageSafeSplit(docsDf, "doc_id", dupClusters, splits)
+      .as[(Long, Long, String)].collect()
+    assert(got2.length == 7, s"duplicate cluster id duplicated docs: ${got2.length}")
+    assert(got2.find(_._1 == 2L).get._2 == 1L, "min cluster_id must win for the duplicated id")
   }
 
   test("duplicateSpans == in-memory reference; short/null docs absent; dup docs fully flagged") {
