@@ -788,6 +788,12 @@ object SparkEntry {
           shingleLen = 4, mBits = 1 << 18, kHashes = 3), path)
       TextOps.bloomProbe(TextOps.bloomRead(s, path), docs, "doc_id", "text")
     },
+    "text_vocab_encode" -> { (s, dir) =>
+      // tokenize-to-ids: deterministic top-20 vocabulary (count desc,
+      // token asc), OOV -> 0, encoding as a per-row broadcast-map
+      // lookup - the corpus never shuffles
+      TextOps.vocabEncode(tbl(s, dir, "documents"), "doc_id", "text", vocabSize = 20)
+    },
     "text_gopher" -> { (s, dir) =>
       // the published Gopher rule battery (Rae et al. 2021): integer
       // cross-multiplied verdicts over exact counts - scan-fused,
@@ -3103,6 +3109,22 @@ object SparkEntry {
     // identical replay: the persisted filter carries the SAME bits and
     // hash family, so probe results are bit-identical by construction
     "text_bloom_persisted" -> bloomDecontamSql,
+    "text_vocab_encode" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), cnt AS (
+        |  SELECT tok, count(*) AS n FROM (SELECT unnest(tk) AS tok FROM tk) GROUP BY tok
+        |), vocab AS (
+        |  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS INT) AS vid
+        |  FROM (SELECT tok, n FROM cnt ORDER BY n DESC, tok ASC LIMIT 20)
+        |), vocabmap AS (
+        |  SELECT map(list(tok ORDER BY vid), list(vid ORDER BY vid)) AS m FROM vocab
+        |)
+        |SELECT t.doc_id, CAST(len(t.tk) AS INT) AS n_tokens,
+        |       array_to_string([CAST(coalesce(list_extract(map_extract(vm.m, x), 1), 0) AS VARCHAR)
+        |                        FOR x IN t.tk], ',') AS ids_csv
+        |FROM tk t CROSS JOIN vocabmap vm""".stripMargin,
     "text_gopher" ->
       """WITH base AS (
         |  SELECT doc_id, text,

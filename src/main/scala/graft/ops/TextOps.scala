@@ -298,6 +298,52 @@ object TextOps {
     )
   }
 
+  /** Vocabulary build + integer encoding: rank the corpus's tokens by
+    * (count desc, token asc) - deterministic, engine-replayable - keep
+    * the top `vocabSize` as ids 1..V, and encode every document's token
+    * sequence to ids (out-of-vocabulary -> 0). The tokenize-to-ids step
+    * between curation and packing: downstream consumers (packing,
+    * shuffling, sharding) operate on the id arrays.
+    *
+    * Scale shape: ONE token count (the same aggregation `text_oov`
+    * runs), a bounded top-V collect (the vocabulary IS broadcast-sized
+    * by definition - that's what makes it a vocabulary), then encoding
+    * is a per-row map lookup over a broadcast literal map - the corpus
+    * never shuffles. Output: `(doc_id, n_tokens, ids_csv)` - ids as a
+    * comma-joined string so the array survives any engine's
+    * row-hashing convention (the emb_quantize stance).
+    */
+  def vocabEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int
+  ): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val base = df.filter(F.col(textCol).isNotNull)
+    // deterministic vocabulary: top-V by (n desc, tok asc), ids 1..V
+    val vocab: Array[(String, Int)] = base
+      .select(explode(DedupOps.tokens(F.col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(F.col("n").desc, F.col("tok").asc)
+      .limit(vocabSize)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (r.getAs[String]("tok"), i + 1) }
+    val vocabMap = map_from_arrays(
+      array(vocab.map(v => lit(v._1)): _*),
+      array(vocab.map(v => lit(v._2)): _*))
+    base.select(
+      F.col(idCol).as("doc_id"),
+      DedupOps.tokens(F.col(textCol)).as("__tk"))
+      .select(F.col("doc_id"),
+        size(F.col("__tk")).as("n_tokens"),
+        concat_ws(",",
+          transform(F.col("__tk"),
+            t => coalesce(element_at(vocabMap, t), lit(0)).cast(StringType)))
+          .as("ids_csv"))
+  }
+
   /** The Gopher document-quality rule set (Rae et al. 2021, "Scaling
     * Language Models: ... Gopher", Table A1 subset) - the published
     * filter battery most pre-training pipelines start from: word-count

@@ -1511,6 +1511,27 @@ class OpsSpec extends SparkSpec {
       7L -> "added"))
   }
 
+  test("vocabEncode: deterministic top-V ids, OOV -> 0, order preserved, empty/null docs") {
+    val rows = Seq(
+      (1L, "aa bb aa cc aa bb"), // aa x3, bb x2, cc x1
+      (2L, "bb dd cc"),          // dd is rank-4 (count 1, after cc alphabetically? no - dd > cc)
+      (3L, ""),                  // empty -> n_tokens 0, ids ""
+      (4L, null.asInstanceOf[String]) // dropped
+    ).toDF("doc_id", "text")
+    // counts: aa=3, bb=3? no: aa x3, bb x3 (2+1)... recount: doc1 has bb x2, doc2 bb x1 -> bb=3
+    // aa=3, bb=3, cc=2, dd=1; rank by (n desc, tok asc): aa=1, bb=2, cc=3, dd=4
+    val got = TextOps.vocabEncode(rows, "doc_id", "text", vocabSize = 3)
+      .as[(Long, Int, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!got.contains(4L), "null text dropped")
+    assert(got(1L) == ((6, "1,2,1,3,1,2")), s"got ${got(1L)}")
+    assert(got(2L) == ((3, "2,0,3")), "dd is OOV at V=3")
+    assert(got(3L) == ((0, "")), "empty doc encodes to empty csv")
+    // determinism across runs
+    val again = TextOps.vocabEncode(rows, "doc_id", "text", vocabSize = 3)
+      .as[(Long, Int, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == got)
+  }
+
   test("gopherFilters: every rule trips on its own fixture; clean doc passes all") {
     val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
     val clean = s"the quick brown fox and a dog of it is that for $fifty"
