@@ -330,17 +330,20 @@ object TextOps {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (r.getAs[String]("tok"), i + 1) }
-    val vocabMap = map_from_arrays(
-      array(vocab.map(v => lit(v._1)): _*),
-      array(vocab.map(v => lit(v._2)): _*))
+    // empty corpus -> empty vocab: every token is OOV (a zero-arg
+    // array() is untyped and would fail map_from_arrays analysis)
+    def idOf(t: Column): Column =
+      if (vocab.isEmpty) lit(0)
+      else coalesce(element_at(map_from_arrays(
+        array(vocab.map(v => lit(v._1)): _*),
+        array(vocab.map(v => lit(v._2)): _*)), t), lit(0))
     base.select(
       F.col(idCol).as("doc_id"),
       DedupOps.tokens(F.col(textCol)).as("__tk"))
       .select(F.col("doc_id"),
         size(F.col("__tk")).as("n_tokens"),
         concat_ws(",",
-          transform(F.col("__tk"),
-            t => coalesce(element_at(vocabMap, t), lit(0)).cast(StringType)))
+          transform(F.col("__tk"), t => idOf(t).cast(StringType)))
           .as("ids_csv"))
   }
 

@@ -1530,6 +1530,11 @@ class OpsSpec extends SparkSpec {
     val again = TextOps.vocabEncode(rows, "doc_id", "text", vocabSize = 3)
       .as[(Long, Int, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(again == got)
+    // empty corpus -> empty vocab: every doc still encodes (all OOV)
+    val empty = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val gotEmpty = TextOps.vocabEncode(empty, "doc_id", "text", vocabSize = 3)
+      .as[(Long, Int, String)].collect().toSeq
+    assert(gotEmpty == Seq((1L, 0, "")), "empty vocab must not fail analysis")
   }
 
   test("gopherFilters: every rule trips on its own fixture; clean doc passes all") {
