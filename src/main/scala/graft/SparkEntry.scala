@@ -6,7 +6,7 @@ import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 
 import graft.ptree.{PrefixTree, Query}
-import graft.ops.{DedupOps, GraphOps, JoinOps, MultimodalOps, ShardOps, SimilarityOps, SketchOps, TextOps, TimeOps}
+import graft.ops.{DedupOps, GraphOps, JoinOps, MultimodalOps, ShardOps, SimilarityOps, SketchOps, StatOps, TextOps, TimeOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1106,6 +1106,38 @@ object SparkEntry {
       val exact = ev.groupBy("event_type", "wk")
         .agg(countDistinct("user_id").as("n_exact"))
       est.join(exact, Seq("event_type", "wk"))
+    },
+    "events_quantiles" -> { (s, dir) =>
+      // latency-style percentiles per event type from the mergeable
+      // fixed-range histogram (the quantile sketch beside CMS/HLL/
+      // SpaceSaving): 200 cells per group summarize any row count, and
+      // the full bin -> cumulative -> interpolation pipeline is
+      // replayed by the oracle
+      val ev = events(s, dir)
+      val hist = SketchOps.fixedHistogram(ev, "value", Seq("event_type"),
+        lo = 0.0, hi = 1000.0, bins = 200)
+      SketchOps.histogramQuantiles(hist, Seq("event_type"),
+        Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 1000.0, bins = 200)
+    },
+    "docs_ks_drift" -> { (s, dir) =>
+      // source admission audit: exact two-sample KS distance between
+      // each source's document-length distribution and the rest of the
+      // corpus - integer-argmax CDF divergence, one counts shuffle
+      StatOps.ksDriftByStratum(tbl(s, dir, "documents"), "n_chars", "source")
+    },
+    "docs_psi_snapshots" -> { (s, dir) =>
+      // population-stability score between two corpus snapshots
+      // (simulated here as the even/odd doc_id halves) compared via
+      // their fixedHistogram sketch cells - neither side is re-scanned
+      // by the comparison itself
+      val docs = tbl(s, dir, "documents")
+        .filter(col("n_chars").isNotNull)
+        .withColumn("g", lit(1))
+      val hA = SketchOps.fixedHistogram(docs.filter(col("doc_id") % 2 === 0),
+        "n_chars", Seq("g"), lo = 0.0, hi = 1000.0, bins = 50)
+      val hB = SketchOps.fixedHistogram(docs.filter(col("doc_id") % 2 === 1),
+        "n_chars", Seq("g"), lo = 0.0, hi = 1000.0, bins = 50)
+      StatOps.psiFromHistograms(hA, hB, bins = 50)
     },
     "graph_triangles" -> { (s, dir) =>
       // cluster-density audit of the semantic similarity graph:
@@ -3496,6 +3528,97 @@ object SparkEntry {
         |FROM est e
         |JOIN (SELECT event_type, wk, count(DISTINCT user_id) AS n_exact
         |      FROM ev GROUP BY 1, 2) x USING (event_type, wk)""".stripMargin,
+    "events_quantiles" ->
+      // full fixed-histogram quantile replay: same bin arithmetic
+      // (binWidth 5.0 interpolated once), same cumulative-count bin
+      // pick, same interpolation double chain
+      """WITH h AS (
+        |  SELECT event_type,
+        |         CASE WHEN value < 0.0 THEN -1
+        |              WHEN value >= 1000.0 THEN 200
+        |              ELSE least(CAST(floor((value - 0.0) / 5.0) AS INT), 199) END AS bin,
+        |         count(*) AS c
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), ir AS (SELECT * FROM h WHERE bin >= 0 AND bin < 200),
+        |cum AS (
+        |  SELECT event_type, bin, c,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        |  FROM ir
+        |), tot AS (SELECT event_type, sum(c) AS n FROM ir GROUP BY 1),
+        |tq AS (
+        |  SELECT event_type, n, q, q * n AS t
+        |  FROM tot CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q)
+        |)
+        |SELECT tq.event_type, tq.q,
+        |       round(0.0 + (cum.bin + (tq.t - (cum.cum - cum.c)) / cum.c) * 5.0, 6) AS est
+        |FROM tq JOIN cum ON cum.event_type = tq.event_type
+        |WHERE (cum.cum - cum.c) < tq.t AND tq.t <= cum.cum""".stripMargin,
+    "docs_ks_drift" ->
+      // exact KS replay: per-(stratum, value) counts densified over the
+      // global jump points, integer cross-multiplied CDF gap carried in
+      // HUGEINT (the engine uses DECIMAL(38,0) - both exact), smallest
+      // value wins ties, one double division at the end
+      """WITH rws AS (
+        |  SELECT source AS stratum, n_chars AS v FROM documents
+        |  WHERE n_chars IS NOT NULL AND source IS NOT NULL
+        |), sv AS (SELECT stratum, v, count(*) AS cs FROM rws GROUP BY 1, 2),
+        |gv AS (SELECT v, count(*) AS cg FROM rws GROUP BY 1),
+        |dense AS (
+        |  SELECT st.stratum, gv.v, gv.cg, coalesce(sv.cs, 0) AS cs
+        |  FROM (SELECT DISTINCT stratum FROM sv) st
+        |  CROSS JOIN gv
+        |  LEFT JOIN sv ON sv.stratum = st.stratum AND sv.v = gv.v
+        |), cums AS (
+        |  SELECT stratum, v, cs, cg,
+        |         sum(cs) OVER (PARTITION BY stratum ORDER BY v) AS cum_s,
+        |         sum(cg) OVER (PARTITION BY stratum ORDER BY v) AS cum_g
+        |  FROM dense
+        |), tot AS (SELECT stratum, sum(cs) AS n_s FROM sv GROUP BY 1),
+        |grand AS (SELECT sum(cg) AS n_g FROM gv),
+        |diffs AS (
+        |  SELECT c.stratum, c.v, t.n_s, g.n_g - t.n_s AS n_rest,
+        |         abs(c.cum_s::HUGEINT * (g.n_g - t.n_s)::HUGEINT
+        |           - (c.cum_g - c.cum_s)::HUGEINT * t.n_s::HUGEINT) AS diff
+        |  FROM cums c JOIN tot t USING (stratum) CROSS JOIN grand g
+        |  WHERE g.n_g > t.n_s
+        |), best AS (
+        |  SELECT stratum, n_s, n_rest, diff, v,
+        |         row_number() OVER (PARTITION BY stratum
+        |                            ORDER BY diff DESC, v ASC) AS rk
+        |  FROM diffs
+        |)
+        |SELECT stratum, n_s AS n_stratum, n_rest, v AS ks_at,
+        |       round(CAST(diff AS DOUBLE)
+        |             / (CAST(n_s AS DOUBLE) * CAST(n_rest AS DOUBLE)), 6) AS ks
+        |FROM best WHERE rk = 1""".stripMargin,
+    "docs_psi_snapshots" ->
+      // PSI replay: same bin arithmetic (binWidth 20.0), epsilon floor
+      // spelled identically, termwise doubles summed through decimal
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN n_chars < 0.0 THEN -1
+        |              WHEN n_chars >= 1000.0 THEN 50
+        |              ELSE least(CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 20.0) AS INT), 49) END AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), ha AS (SELECT bin, count(*) AS ca FROM d WHERE doc_id % 2 = 0 GROUP BY 1),
+        |hb AS (SELECT bin, count(*) AS cb FROM d WHERE doc_id % 2 = 1 GROUP BY 1),
+        |cells AS (
+        |  SELECT coalesce(ha.bin, hb.bin) AS bin,
+        |         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin
+        |), tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM cells),
+        |terms AS (
+        |  SELECT t.n_a, t.n_b,
+        |         CAST((greatest(CAST(ca AS DOUBLE) / CAST(t.n_a AS DOUBLE), 1.0E-6)
+        |               - greatest(CAST(cb AS DOUBLE) / CAST(t.n_b AS DOUBLE), 1.0E-6))
+        |              * ln(greatest(CAST(ca AS DOUBLE) / CAST(t.n_a AS DOUBLE), 1.0E-6)
+        |                   / greatest(CAST(cb AS DOUBLE) / CAST(t.n_b AS DOUBLE), 1.0E-6))
+        |              AS DECIMAL(38,18)) AS term
+        |  FROM cells CROSS JOIN tot t
+        |)
+        |SELECT n_a, n_b, round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY 1, 2""".stripMargin,
     "graph_triangles" ->
       // mutual-5NN edges replayed via the knn_cosine sim formula, then
       // triangles by plain id-order joins (the engine's degree-ordered

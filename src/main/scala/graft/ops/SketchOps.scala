@@ -113,6 +113,105 @@ object SketchOps {
     * harmonic sum - the full register-file diagnostics, not just the
     * estimate.
     */
+  /** Fixed-range equi-width histogram: the mergeable QUANTILE summary
+    * beside the frequency (CMS), cardinality (HLL), and top-k
+    * (SpaceSaving) sketches. The bin edges are fixed by the caller
+    * BEFORE counting - that is what makes the counts a sketch: cells
+    * from different partitions, runs, or micro-batches merge by plain
+    * addition (union + re-aggregate), unlike any equi-DEPTH summary
+    * whose boundaries depend on the data it saw. Spark's map-side
+    * partial aggregation IS the merge: each executor sends at most
+    * groups x (bins + 2) cells across the wire regardless of row count.
+    *
+    * Bin arithmetic is floor((v - lo) / binWidth) with binWidth
+    * computed ONCE driver-side and interpolated into both engines, so
+    * the IEEE operation chain is identical everywhere; values below lo
+    * land in bin -1, values >= hi in bin `bins` (the two unbounded
+    * sentinel cells), and the float-edge case v just under hi flooring
+    * onto `bins` is clamped to bins - 1 on both sides.
+    *
+    * Output: (groupCols..., bin, c), at most groups x (bins + 2) rows
+    * (empty cells are absent - re-densify when rendering).
+    */
+  def fixedHistogram(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      bins: Int
+  ): DataFrame = {
+    require(bins > 0, s"need positive bins, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val w = (hi - lo) / bins
+    val v = F.col(valueCol).cast(DoubleType)
+    val raw = floor((v - lit(lo)) / lit(w)).cast(IntegerType)
+    val bin = when(v < lit(lo), lit(-1))
+      .when(v >= lit(hi), lit(bins))
+      .otherwise(least(raw, lit(bins - 1)))
+    df.filter(v.isNotNull && groupCols.map(F.col(_).isNotNull).reduce(_ && _))
+      .select(groupCols.map(F.col) :+ bin.as("bin"): _*)
+      .groupBy(groupCols.map(F.col) :+ F.col("bin"): _*)
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Interpolated quantile estimates from a [[fixedHistogram]] counter
+    * table. For each requested q in (0, 1]: target rank t = q * N over
+    * the IN-RANGE count N (the unbounded sentinel bins carry no
+    * position information - they are reported by the caller as
+    * diagnostics, not interpolated), the containing bin is the first
+    * with cumulative count >= t (unique, because only non-empty bins
+    * exist and the cumulative sum is strictly increasing), and the
+    * estimate places t linearly within that bin:
+    *
+    *   est = lo + (bin + (t - cumBefore) / c_bin) * binWidth
+    *
+    * Everything left of the final division is integer-exact
+    * (cumulative counts), and the double chain is spelled identically
+    * in the DuckDB oracle, so estimates replay bit-for-bit. Groups
+    * with zero in-range rows produce no output rows.
+    *
+    * The error bound is the classic histogram guarantee: the estimate
+    * is within one binWidth of a true q-quantile - the caller trades
+    * resolution for a summary whose size is independent of N.
+    *
+    * Output: (groupCols..., q, est), one row per group x quantile.
+    */
+  def histogramQuantiles(
+      hist: DataFrame,
+      groupCols: Seq[String],
+      qs: Seq[Double],
+      lo: Double,
+      hi: Double,
+      bins: Int
+  ): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1], got $qs")
+    require(bins > 0 && hi > lo, s"bad histogram shape [$lo, $hi) / $bins")
+    val w = (hi - lo) / bins
+    val g = groupCols.map(F.col)
+    import org.apache.spark.sql.expressions.Window
+    val inRange = hist.filter(F.col("bin") >= 0 && F.col("bin") < bins)
+    val cum = inRange
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy(g: _*).orderBy("bin")))
+      .withColumn("cum_before", F.col("cum") - F.col("c"))
+    val totals = inRange.groupBy(g: _*).agg(sum("c").as("n"))
+    val targets = totals
+      .select(g :+ F.col("n") :+ explode(array(qs.map(lit): _*)).as("q"): _*)
+      .withColumn("t", F.col("q") * F.col("n"))
+    targets
+      .join(cum, groupCols)
+      // first bin whose cumulative reaches t: cum_before < t <= cum.
+      // q > 0 makes t > 0, so the interpolation fraction is in (0, 1]
+      .filter(F.col("cum_before") < F.col("t") && F.col("t") <= F.col("cum"))
+      .select(g ++ Seq(
+        F.col("q"),
+        round(lit(lo) + (F.col("bin") +
+          (F.col("t") - F.col("cum_before")) / F.col("c")) * lit(w), 6).as("est")): _*)
+  }
+
   def hllDistinct(
       df: DataFrame,
       keyCol: String,

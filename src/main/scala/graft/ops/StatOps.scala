@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Distribution-drift diagnostics for corpus curation: did a source,
+  * a filter pass, or a new crawl SHIFT the data distribution? The
+  * operators here are exact (integer / decimal arithmetic end-to-end,
+  * deterministic under any partitioning) and reduce to
+  * value-distinct-sized frames immediately - the corpus crosses the
+  * wire once as per-value counts, never as rows, so a 100-TB input
+  * costs one map-side-combined aggregation regardless of skew.
+  */
+object StatOps {
+
+  /** Per-stratum two-sample Kolmogorov-Smirnov drift audit: for every
+    * stratum (source, shard, date...), the exact KS distance between
+    * that stratum's distribution of `valueCol` and the distribution of
+    * the REST of the corpus - the "is this source weird" screen run
+    * before a new source is admitted to a training mix.
+    *
+    * D = max over values v of |F_s(v) - F_rest(v)| is computed as an
+    * INTEGER argmax: maximize |cumS(v) * nRest - cumRest(v) * nS| over
+    * the distinct values, with the products carried in DECIMAL(38,0)
+    * so corpus-scale counts (1e12 x 1e12) cannot overflow and the
+    * winning value is chosen by exact comparison, never a float one.
+    * Ties on the maximum report the smallest value (deterministic).
+    * The final D is the one double division, performed identically by
+    * the replaying engine.
+    *
+    * Shape: one groupBy to per-(stratum, value) counts, a dense
+    * strata x distinct-values completion (both frames are
+    * statistics-sized, not corpus-sized), one cumulative window per
+    * stratum, one argmax aggregate. Strata with an empty complement
+    * (the stratum IS the corpus) are dropped - D would be undefined.
+    *
+    * Scale contract: the value column must be DISCRETE and bounded
+    * (lengths, scores on a grid, bucketed timestamps) - the dense
+    * frame is strata x distinct values. For a continuous column,
+    * quantize through [[SketchOps.fixedHistogram]] bins first; the KS
+    * distance on the binned values bounds the true D within one bin of
+    * CDF mass, the same resolution trade the quantile sketch makes.
+    *
+    * Output: (stratum, n_stratum, n_rest, ks_at, ks) - the distance,
+    * and the value at which the two CDFs diverge most (where to LOOK
+    * when the audit fires).
+    */
+  def ksDriftByStratum(
+      df: DataFrame,
+      valueCol: String,
+      strataCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = F.col(valueCol)
+    val rows = df
+      .filter(v.isNotNull && F.col(strataCol).isNotNull)
+      .select(F.col(strataCol).as("stratum"), v.as("v"))
+    // per-(stratum, value) and per-value counts: everything downstream
+    // is sized by strata x distinct values
+    val sv = rows.groupBy("stratum", "v").agg(count(lit(1)).as("cs"))
+    val gv = rows.groupBy("v").agg(count(lit(1)).as("cg"))
+    // densify: every stratum needs a cumulative reading at EVERY global
+    // value point (the sup over the union of jump points), absent = 0
+    val dense = sv.select("stratum").distinct()
+      .crossJoin(gv)
+      .join(sv, Seq("stratum", "v"), "left")
+      .withColumn("cs", coalesce(F.col("cs"), lit(0L)))
+    val win = Window.partitionBy("stratum").orderBy("v")
+    val cums = dense
+      .withColumn("cum_s", sum("cs").over(win))
+      .withColumn("cum_g", sum("cg").over(win))
+    val totals = sv.groupBy("stratum").agg(sum("cs").as("n_s"))
+    val grand = gv.agg(sum("cg").as("n_g"))
+    val dec = DecimalType(38, 0)
+    val joined = cums
+      .join(broadcast(totals), "stratum")
+      .crossJoin(broadcast(grand))
+      .filter(F.col("n_g") > F.col("n_s")) // rest must be non-empty
+      .withColumn("cum_rest", F.col("cum_g") - F.col("cum_s"))
+      .withColumn("n_rest", F.col("n_g") - F.col("n_s"))
+      .withColumn("diff",
+        abs(F.col("cum_s").cast(dec) * F.col("n_rest").cast(dec)
+          - F.col("cum_rest").cast(dec) * F.col("n_s").cast(dec)))
+    joined
+      .groupBy("stratum")
+      .agg(
+        min("n_s").as("n_stratum"),
+        min("n_rest").as("n_rest"),
+        max("diff").as("d_num"),
+        min_by(F.col("v"), struct(negate(F.col("diff")), F.col("v"))).as("ks_at"))
+      .select(
+        F.col("stratum"),
+        F.col("n_stratum"),
+        F.col("n_rest"),
+        F.col("ks_at"),
+        round(F.col("d_num").cast(DoubleType)
+          / (F.col("n_stratum").cast(DoubleType) * F.col("n_rest").cast(DoubleType)),
+          6).as("ks"))
+  }
+
+  /** Population stability index between per-stratum histograms built by
+    * [[SketchOps.fixedHistogram]] - the standard "did the distribution
+    * move between snapshot A and snapshot B" score over PRE-AGGREGATED
+    * sketch cells, so two 100-TB corpus versions are compared without
+    * either being re-scanned here.
+    *
+    *   PSI = sum over bins (pa - pb) * ln(pa / pb)
+    *
+    * Empty cells take the standard epsilon floor (interpolated into
+    * both engines) so the logarithm is always defined; the per-bin
+    * proportions divide exact integer counts, and the termwise doubles
+    * sum through DECIMAL(38,18), making the score independent of
+    * aggregation order - the same discipline as the BM25 scorer.
+    *
+    * Output: one row: (n_a, n_b, psi).
+    */
+  def psiFromHistograms(
+      histA: DataFrame,
+      histB: DataFrame,
+      bins: Int,
+      eps: Double = 1e-6
+  ): DataFrame = {
+    require(bins > 0, s"need positive bins, got $bins")
+    val a = histA.groupBy("bin").agg(sum("c").as("ca"))
+    val b = histB.groupBy("bin").agg(sum("c").as("cb"))
+    val cells = a.join(b, Seq("bin"), "full")
+      .select(F.col("bin"),
+        coalesce(F.col("ca"), lit(0L)).as("ca"),
+        coalesce(F.col("cb"), lit(0L)).as("cb"))
+    // totals ride the plan as a one-row broadcast (construction stays
+    // job-free, the whole score is one lazy plan)
+    val totals = cells.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    val pa = greatest(F.col("ca").cast(DoubleType) / F.col("n_a").cast(DoubleType), lit(eps))
+    val pb = greatest(F.col("cb").cast(DoubleType) / F.col("n_b").cast(DoubleType), lit(eps))
+    cells
+      .crossJoin(broadcast(totals))
+      .select(F.col("n_a"), F.col("n_b"),
+        ((pa - pb) * log(pa / pb)).cast(DecimalType(38, 18)).as("term"))
+      .groupBy("n_a", "n_b")
+      .agg(round(sum("term").cast(DoubleType), 6).as("psi"))
+  }
+}

@@ -579,6 +579,53 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming maintenance of a [[graft.ops.SketchOps.fixedHistogram]]
+    * quantile sketch: fold a value stream into the served counter table
+    * - the seventh maintained index/sketch lifecycle. The cells merge
+    * by PLAIN ADDITION (the bin edges were fixed before any counting),
+    * so the maintained table equals one `fixedHistogram` over the
+    * union of all batches exactly, and
+    * [[graft.ops.SketchOps.histogramQuantiles]] serves percentiles off
+    * the latest snapshot with no corpus access at all.
+    *
+    * Scale shape: per batch, one batch-sized aggregation to delta
+    * cells; the merge re-aggregates state + delta, which is bounded by
+    * groups x (bins + 2) CELLS - sketch-sized, not corpus-sized - so
+    * unlike the tf/posting merges there is nothing to anti-join-split:
+    * the whole state is smaller than one shuffle block. Superseded
+    * checkpoints free under the one-batch grace of [[trieMaintenance]].
+    */
+  def histogramMaintenance(
+      stream: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      initial: DataFrame
+  )(onUpdate: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    @volatile var state = initial.localCheckpoint()
+    @volatile var graveyard: Option[DataFrame] = None
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.ops.SketchOps.fixedHistogram(
+            batch.toDF(), valueCol, groupCols, lo, hi, bins)
+          val prev = state
+          state = prev.union(delta)
+            .groupBy(groupCols.map(col) :+ col("bin"): _*)
+            .agg(sum("c").as("c"))
+            .localCheckpoint()
+          onUpdate(state)
+          graveyard.foreach(unpersistCheckpoint)
+          graveyard = Some(prev)
+        }
+      }
+      .start()
+  }
+
   /** Drop the storage blocks behind a `localCheckpoint`ed Dataset.
     * `Dataset.unpersist` only consults the cache manager, which knows
     * nothing about checkpoint RDDs - the blocks live on the RDD inside

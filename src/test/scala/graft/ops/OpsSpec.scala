@@ -2061,4 +2061,112 @@ class OpsSpec extends SparkSpec {
       assert(math.abs(got(u)._2 - e) <= 1e-6, s"user $u ewma ${got(u)._2} vs $e")
     }
   }
+
+  test("fixedHistogram: bin edges, sentinel cells, and additive merge") {
+    val rows = Seq(
+      ("a", -0.5), // underflow -> -1
+      ("a", 0.0), ("a", 4.999), // both bin 0 ([0, 5))
+      ("a", 5.0), // bin 1 (left-closed edges)
+      ("a", 9.999999999999998), // just under hi -> clamped into last bin
+      ("a", 10.0), ("a", 25.0), // overflow sentinel = bins
+      ("b", 7.5)
+    ).toDF("g", "v")
+    val h = SketchOps.fixedHistogram(rows, "v", Seq("g"), lo = 0.0, hi = 10.0, bins = 2)
+      .as[(String, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(h === Map(
+      ("a", -1) -> 1L, ("a", 0) -> 2L, ("a", 1) -> 2L, ("a", 2) -> 2L,
+      ("b", 1) -> 1L))
+    // mergeability: cells of two disjoint halves sum to the whole's cells
+    val whole = Seq.tabulate(200)(i => ("g", i * 0.37)).toDF("g", "v")
+    val (h1, h2) = (
+      SketchOps.fixedHistogram(whole.filter($"v" < 30.0), "v", Seq("g"), 0.0, 60.0, 12),
+      SketchOps.fixedHistogram(whole.filter($"v" >= 30.0), "v", Seq("g"), 0.0, 60.0, 12))
+    val merged = h1.union(h2).groupBy("g", "bin").agg(sum("c").as("c"))
+      .as[(String, Int, Long)].collect().toSet
+    val direct = SketchOps.fixedHistogram(whole, "v", Seq("g"), 0.0, 60.0, 12)
+      .as[(String, Int, Long)].collect().toSet
+    assert(merged === direct)
+  }
+
+  test("histogramQuantiles: within one binWidth of the exact quantile; q=1 hits the top") {
+    val vals = (1 to 1000).map(_.toDouble)
+    val rnd = new scala.util.Random(11)
+    val df = rnd.shuffle(vals).map(("g", _)).toDF("g", "v")
+    val bins = 100
+    val (lo, hi) = (0.0, 1000.0)
+    val w = (hi - lo) / bins
+    val hist = SketchOps.fixedHistogram(df, "v", Seq("g"), lo, hi, bins)
+    val qs = Seq(0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = SketchOps.histogramQuantiles(hist, Seq("g"), qs, lo, hi, bins)
+      .as[(String, Double, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(got.keySet === qs.toSet)
+    for (q <- qs) {
+      val exact = vals((q * vals.size).ceil.toInt - 1) // exact order statistic
+      assert(math.abs(got(q) - exact) <= w + 1e-9,
+        s"q=$q est=${got(q)} exact=$exact not within one bin width $w")
+    }
+    assert(got(1.0) <= hi + 1e-9)
+    // a group with only out-of-range values produces no quantile rows
+    val oor = Seq(("z", -5.0), ("z", 1e9)).toDF("g", "v")
+    val hOor = SketchOps.fixedHistogram(oor, "v", Seq("g"), lo, hi, bins)
+    assert(SketchOps.histogramQuantiles(hOor, Seq("g"), Seq(0.5), lo, hi, bins).isEmpty)
+  }
+
+  test("ksDriftByStratum: zero for an identically-distributed stratum, exact D on a hand case") {
+    // stratum A's values match the pooled rest exactly -> D = 0
+    val same = Seq("A", "B", "C").flatMap(s => Seq(1L, 2L, 3L, 4L).map((s, _)))
+      .toDF("src", "v")
+    val ks0 = StatOps.ksDriftByStratum(same, "v", "src")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(ks0.length === 3 && ks0.forall(_._5 === 0.0))
+    // hand case: A = {1, 2}, rest = {3, 4}; sup gap is 1.0 at v = 2
+    val split = (Seq(("A", 1L), ("A", 2L)) ++ Seq(("B", 3L), ("B", 4L)))
+      .toDF("src", "v")
+    val row = StatOps.ksDriftByStratum(split, "v", "src")
+      .filter($"stratum" === "A")
+      .as[(String, Long, Long, Long, Double)].collect().head
+    assert(row === (("A", 2L, 2L, 2L, 1.0)))
+  }
+
+  test("ksDriftByStratum == brute-force two-sample KS on random data") {
+    val rnd = new scala.util.Random(23)
+    // stratum C is shifted on purpose; A/B share a distribution
+    val rows = Seq.tabulate(600) { i =>
+      val s = Seq("A", "B", "C")(i % 3)
+      val v = if (s == "C") rnd.nextInt(40) + 20L else rnd.nextInt(40).toLong
+      (s, v)
+    }
+    val got = StatOps.ksDriftByStratum(rows.toDF("src", "v"), "v", "src")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    def cdfGap(a: Seq[Long], b: Seq[Long]): Double = {
+      val points = (a ++ b).distinct.sorted
+      points.map { p =>
+        math.abs(a.count(_ <= p).toDouble / a.size - b.count(_ <= p).toDouble / b.size)
+      }.max
+    }
+    for (s <- Seq("A", "B", "C")) {
+      val mine = rows.filter(_._1 == s).map(_._2)
+      val rest = rows.filter(_._1 != s).map(_._2)
+      assert(math.abs(got(s) - cdfGap(mine, rest)) <= 1e-6, s"stratum $s")
+    }
+    assert(got("C") > got("A") && got("C") > got("B"), "shifted stratum must stand out")
+  }
+
+  test("psiFromHistograms: zero on identical cells, positive on a shift, order-symmetric magnitude") {
+    val a = Seq.tabulate(300)(i => ("g", (i % 50).toDouble)).toDF("g", "v")
+    val shifted = Seq.tabulate(300)(i => ("g", (i % 50) + 20.0)).toDF("g", "v")
+    def h(df: org.apache.spark.sql.DataFrame) =
+      SketchOps.fixedHistogram(df, "v", Seq("g"), 0.0, 100.0, 20)
+    val zero = StatOps.psiFromHistograms(h(a), h(a), bins = 20)
+      .as[(Long, Long, Double)].collect().head
+    assert(zero === ((300L, 300L, 0.0)))
+    val drift = StatOps.psiFromHistograms(h(a), h(shifted), bins = 20)
+      .as[(Long, Long, Double)].collect().head
+    assert(drift._3 > 0.1, s"shift must register, got ${drift._3}")
+    // PSI is symmetric in (a, b) by construction of the formula
+    val rev = StatOps.psiFromHistograms(h(shifted), h(a), bins = 20)
+      .as[(Long, Long, Double)].collect().head
+    assert(math.abs(drift._3 - rev._3) <= 1e-9)
+  }
 }

@@ -662,4 +662,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(topk(latest) ==
       topk(graft.ops.SimilarityOps.PqIndex(initial.codebooks, initial.halfs, direct)))
   }
+
+  test("histogramMaintenance: streamed cells == one-shot fixedHistogram, quantiles served") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(("a", 1.0), ("a", 7.5), ("b", 3.0), ("a", -2.0)) // one underflow
+    val batch2 = Seq(("a", 7.9), ("b", 55.0), ("a", 9.99)) // one overflow
+    @volatile var latest: org.apache.spark.sql.DataFrame = null
+    val mem = MemoryStream[(String, Double)]
+    val initial = graft.ops.SketchOps.fixedHistogram(
+      Seq.empty[(String, Double)].toDF("g", "v"), "v", Seq("g"), 0.0, 10.0, 5)
+    val sq = StreamOps.histogramMaintenance(
+      mem.toDF().toDF("g", "v"), "v", Seq("g"), 0.0, 10.0, 5, initial)(latest = _)
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Int, Long)].collect().toSet
+    val direct = graft.ops.SketchOps.fixedHistogram(
+      (batch1 ++ batch2).toDF("g", "v"), "v", Seq("g"), 0.0, 10.0, 5)
+    assert(cells(latest) === cells(direct),
+      "maintained cells must equal one-shot build over all batches")
+    // the served quantiles come off the snapshot alone (no corpus)
+    def qs(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.SketchOps.histogramQuantiles(df, Seq("g"), Seq(0.5, 1.0), 0.0, 10.0, 5)
+        .collect().map(_.toString).sorted.toSeq
+    assert(qs(latest) === qs(direct))
+  }
 }
