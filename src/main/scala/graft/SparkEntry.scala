@@ -931,6 +931,15 @@ object SparkEntry {
         .filter(col("text").isNotNull)
         .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))
     },
+    "text_bpe_train" -> { (s, dir) =>
+      // the LEARNING half of the tokenizer lifecycle: train 8 BPE
+      // merges from the corpus itself (count adjacent symbol pairs on
+      // the unit-frequency table, merge the argmax everywhere, repeat).
+      // The oracle replays all 8 rounds - pair counts, deterministic
+      // argmax, and the greedy merge application as one recursive CTE
+      // per round
+      TextOps.bpeTrain(tbl(s, dir, "documents"), "text", numMerges = 8)
+    },
     "text_bpe_pack" -> { (s, dir) =>
       // the pluggable-counter composition: greedy sequence packing
       // budgeted by MERGE-TABLE BPE tokens instead of word counts -
@@ -3379,6 +3388,7 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type, ms
         |FROM x WHERE prev_ms IS NULL OR ms - prev_ms > 5000""".stripMargin,
     "text_bpe_tokens" -> bpeOracleFinalSql,
+    "text_bpe_train" -> bpeTrainOracleSql,
     "text_bpe_pack" ->
       s"""WITH RECURSIVE $bpeOracleCtes, nz AS (
         |  SELECT doc_id AS id, CAST(n AS INT) AS n,
@@ -3784,6 +3794,61 @@ object SparkEntry {
       |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS INT) AS n_bpe_tokens
       |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
       |LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+
+  /** BPE TRAINING replay: 8 unrolled rounds, each one pair-count CTE
+    * (weighted by unit frequency, every adjacent position counted), a
+    * deterministic-argmax CTE (count desc, pair asc), and a recursive
+    * single-step-merge CTE whose terminal rows are the next round's
+    * state. Single-step leftmost merging is equivalent to the engine's
+    * greedy left-to-right fold: the merged symbol left||right can
+    * equal neither `left` nor `right` (both non-empty), so applying
+    * one merge never creates a fresh occurrence of the same pair.
+    */
+  private lazy val bpeTrainOracleSql: String = {
+    val rounds = 8
+    // leftmost 1-indexed position of the cross-joined (l, r) pair in
+    // toks, NULL when the unit no longer contains it (the terminal
+    // predicate, same idiom as the application replay above)
+    val posExpr =
+      "list_min(list_filter(list_transform(range(1, len(toks)), " +
+        "i -> CASE WHEN toks[i] = l AND toks[i+1] = r THEN i END), x -> x IS NOT NULL))"
+    // every non-recursive CTE is MATERIALIZED: inlining would
+    // re-expand each round's predecessors inside the next round
+    // (st_{r-1} appears twice per round, b_r once per recursive
+    // iteration), turning 8 rounds into an exponentially-duplicated
+    // expression tree
+    val head =
+      """uf AS MATERIALIZED (
+        |  SELECT u, count(*) AS f FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text),
+        |                  '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]')) AS u
+        |    FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY 1
+        |), st0 AS MATERIALIZED (SELECT u, f, regexp_extract_all(u, '.') AS toks FROM uf)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"st${r - 1}"
+      s"""p$r AS MATERIALIZED (
+        |  SELECT toks[i] AS l, toks[i+1] AS r, sum(f) AS c
+        |  FROM $prev, unnest(range(1, len(toks))) t(i)
+        |  GROUP BY 1, 2
+        |), b$r AS MATERIALIZED (SELECT l, r FROM p$r ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+        |m$r(u, f, toks) AS (
+        |  SELECT u, f, toks FROM $prev
+        |  UNION ALL
+        |  SELECT u, f, toks[1:p-1] || [toks[p] || toks[p+1]] || toks[p+2:len(toks)]
+        |  FROM (SELECT u, f, toks, $posExpr AS p FROM m$r CROSS JOIN b$r)
+        |  WHERE p IS NOT NULL
+        |), st$r AS MATERIALIZED (
+        |  SELECT u, f, toks
+        |  FROM (SELECT u, f, toks, $posExpr AS p FROM m$r CROSS JOIN b$r)
+        |  WHERE p IS NULL
+        |)""".stripMargin
+    }
+    val finals = (1 to rounds)
+      .map(r => s"SELECT ${r - 1} AS merge_rank, l AS lhs, r AS rhs FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH RECURSIVE $head,\n${roundCtes.mkString(",\n")}\n$finals"
+  }
 
   private def bm25OracleSql(k1: Double, b: Double, k: Int): String =
     s"""WITH tk AS (

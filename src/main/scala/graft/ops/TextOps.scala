@@ -43,6 +43,96 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     graft.functions.GraftFunctions.bpe_count(lower(text))
 
+  /** The pre-token unit classes shared by [[bpeTokenCount]] (the
+    * kernel lowercases first, so the classes are spelled lowercase):
+    * letter runs, digit runs, single non-space punctuation.
+    */
+  val bpeUnitPattern = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"
+
+  /** TRAIN a BPE merge table from the corpus itself (Sennrich et al.
+    * 2016) - the learning half of the tokenizer lifecycle whose
+    * applying half is [[bpeTokenCount]]: `numMerges` rounds of "count
+    * adjacent symbol pairs, merge the most frequent everywhere".
+    *
+    * Scale shape - the reason this trains on 100 TB: the corpus is
+    * scanned ONCE, reducing map-side to the distinct pre-token units
+    * and their frequencies (vocabulary-sized, the same reduction every
+    * production BPE trainer makes). All `numMerges` rounds then run on
+    * that unit table: one pair-count aggregation (pair-vocabulary-
+    * sized), ONE collected row (the argmax pair - ties break on
+    * count desc, pair lexicographic asc, so the learned table is
+    * deterministic), and one per-row fold applying the merge. State is
+    * localCheckpoint-ed per round - the collect forces each round
+    * anyway, so lineage never stacks.
+    *
+    * The merge application is a single `aggregate` fold per unit:
+    * greedy left-to-right, non-overlapping (after merging, the new
+    * symbol is left||right, which can never equal `left` - right is
+    * non-empty - so a just-merged symbol cannot chain into another
+    * merge in the same pass; "aaa" under (a,a) becomes [aa, a]).
+    * Pair counting counts every adjacent position ("aaa" counts (a,a)
+    * twice), matching the reference algorithm.
+    *
+    * Stops early if the corpus runs out of mergeable pairs. Output:
+    * (rank, lhs, rhs) - rank 0 is the first (most frequent) merge; the
+    * table is exactly the GPT-2-format artifact [[bpeTokenCount]]
+    * consumes.
+    */
+  def bpeTrain(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int
+  ): DataFrame = {
+    require(numMerges > 0, s"need positive numMerges, got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var state = df
+      .filter(F.col(textCol).isNotNull)
+      .select(explode(
+        regexp_extract_all(lower(F.col(textCol)), lit(bpeUnitPattern), lit(0))).as("u"))
+      .groupBy("u")
+      .agg(count(lit(1)).as("f"))
+      .withColumn("toks", F.expr("filter(split(u, ''), x -> x <> '')"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var exhausted = false
+    for (rank <- 0 until numMerges if !exhausted) {
+      val top = state
+        .filter(size(F.col("toks")) >= 2)
+        .select(F.col("f"), explode(F.transform(
+          sequence(lit(0), size(F.col("toks")) - 2),
+          i => struct(
+            element_at(F.col("toks"), i + 1).as("lhs"),
+            element_at(F.col("toks"), i + 2).as("rhs")))).as("p"))
+        .groupBy(F.col("p.lhs").as("lhs"), F.col("p.rhs").as("rhs"))
+        .agg(sum("f").as("c"))
+        .orderBy(F.col("c").desc, F.col("lhs").asc, F.col("rhs").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += ((rank, l, r))
+        val prev = state
+        state = state
+          .withColumn("toks", F.aggregate(
+            F.col("toks"),
+            F.array().cast(ArrayType(StringType)),
+            (acc, x) =>
+              when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+        prev.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+          case _ => ()
+        }
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs")
+  }
+
   /** Tokenize to one row per (id, pos, token). */
   def tokenize(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(F.col(idCol), posexplode(DedupOps.tokens(F.col(textCol))).as(Seq("pos", "token")))

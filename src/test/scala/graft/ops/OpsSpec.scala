@@ -2062,6 +2062,65 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain: greedy non-overlap on 'aaa', early stop when pairs run out") {
+    val out = TextOps.bpeTrain(Seq((1L, "aaa")).toDF("id", "text"), "text", numMerges = 5)
+      .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
+    // round 0: (a,a) counted at both adjacent positions, applied
+    // greedily left-to-right -> [aa, a]; round 1 merges (aa, a); then
+    // the corpus is one symbol and training stops early
+    assert(out === Seq((0, "a", "a"), (1, "aa", "a")))
+  }
+
+  test("bpeTrain == independent in-memory trainer on a mixed corpus") {
+    val texts = Seq(
+      "the cat sat on the mat",
+      "the rat ate the cheese!",
+      "low lower lowest new newer newest",
+      "na na na banana, bandana 42 42")
+    // reference trainer sharing no code with the operator: unit
+    // frequencies, pair counts per adjacent position, argmax on
+    // (count desc, pair asc), greedy left-to-right merge
+    val unitRe = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]".r
+    val units = texts.flatMap(t => unitRe.findAllIn(t.toLowerCase))
+      .groupBy(identity).map { case (u, us) => u -> us.size.toLong }
+    def refTrain(n: Int): Seq[(Int, String, String)] = {
+      var state = units.toSeq.map { case (u, f) => (u.map(_.toString).toVector, f) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+      var stop = false
+      while (out.size < n && !stop) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((toks, f) <- state; i <- 0 until toks.size - 1) {
+          val p = (toks(i), toks(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+        if (counts.isEmpty) stop = true
+        else {
+          val (l, r) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          out += ((out.size, l, r))
+          state = state.map { case (toks, f) =>
+            val nt = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < toks.size) {
+              if (i + 1 < toks.size && toks(i) == l && toks(i + 1) == r) {
+                nt += l + r; i += 2
+              } else { nt += toks(i); i += 1 }
+            }
+            (nt.toVector, f)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = TextOps.bpeTrain(df, "text", numMerges = 10)
+      .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
+    assert(got === refTrain(10))
+    // determinism: a second run learns the identical table
+    val again = TextOps.bpeTrain(df, "text", numMerges = 10)
+      .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
+    assert(again === got)
+  }
+
   test("fixedHistogram: bin edges, sentinel cells, and additive merge") {
     val rows = Seq(
       ("a", -0.5), // underflow -> -1
