@@ -940,6 +940,18 @@ object SparkEntry {
       // per round
       TextOps.bpeTrain(tbl(s, dir, "documents"), "text", numMerges = 8)
     },
+    "text_bpe_apply" -> { (s, dir) =>
+      // train-then-apply: the 8 merges learned by text_bpe_train,
+      // applied back to the corpus as per-doc token counts under the
+      // LEARNED tokenizer (the fold chain runs once per distinct unit,
+      // not per occurrence). Oracle reuses the training CTE chain and
+      // reads counts off its terminal state
+      val docs = tbl(s, dir, "documents")
+      val merges = TextOps.bpeTrain(docs, "text", numMerges = 8)
+        .orderBy(col("merge_rank"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeApplyCount(docs, "doc_id", "text", merges)
+    },
     "text_bpe_pack" -> { (s, dir) =>
       // the pluggable-counter composition: greedy sequence packing
       // budgeted by MERGE-TABLE BPE tokens instead of word counts -
@@ -3389,6 +3401,7 @@ object SparkEntry {
         |FROM x WHERE prev_ms IS NULL OR ms - prev_ms > 5000""".stripMargin,
     "text_bpe_tokens" -> bpeOracleFinalSql,
     "text_bpe_train" -> bpeTrainOracleSql,
+    "text_bpe_apply" -> bpeApplyOracleSql,
     "text_bpe_pack" ->
       s"""WITH RECURSIVE $bpeOracleCtes, nz AS (
         |  SELECT doc_id AS id, CAST(n AS INT) AS n,
@@ -3848,6 +3861,30 @@ object SparkEntry {
       .map(r => s"SELECT ${r - 1} AS merge_rank, l AS lhs, r AS rhs FROM b$r")
       .mkString("\nUNION ALL\n")
     s"WITH RECURSIVE $head,\n${roundCtes.mkString(",\n")}\n$finals"
+  }
+
+  /** Train-then-apply replay: the SAME 8-round training chain (the
+    * CTE text is sliced off [[bpeTrainOracleSql]] ahead of its final
+    * select, so the two replays can never drift), then per-doc token
+    * counts read straight off st8 - the trainer's terminal unit
+    * segmentation IS the applied tokenizer.
+    */
+  private lazy val bpeApplyOracleSql: String = {
+    val ctes = bpeTrainOracleSql.substring(0,
+      bpeTrainOracleSql.lastIndexOf("SELECT 0 AS merge_rank")).trim
+    // raw string: the s-interpolator would reject the \x escape
+    val unitPat = """[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]"""
+    s"""$ctes,
+      |du AS MATERIALIZED (
+      |  SELECT doc_id, u, count(*) AS n_units
+      |  FROM (SELECT doc_id,
+      |               unnest(regexp_extract_all(lower(text), '$unitPat')) AS u
+      |        FROM documents WHERE text IS NOT NULL)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT du.doc_id, CAST(sum(du.n_units * len(s.toks)) AS INT) AS n_learned_tokens
+      |FROM du JOIN st8 s USING (u)
+      |GROUP BY 1""".stripMargin
   }
 
   private def bm25OracleSql(k1: Double, b: Double, k: Int): String =

@@ -133,6 +133,56 @@ object TextOps {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs")
   }
 
+  /** Apply a LEARNED merge table (e.g. [[bpeTrain]]'s collected output
+    * - a driver-side list, rank-ordered) and count the resulting
+    * tokens per document: the composition that closes the tokenizer
+    * lifecycle, train -> apply -> budget, with the corpus's own table
+    * instead of the checked-in one [[bpeTokenCount]] reads.
+    *
+    * Shape: the corpus reduces to per-(doc, unit) multiplicities and
+    * the DISTINCT unit vocabulary; the merge chain - one greedy
+    * left-to-right `aggregate` fold per rank, exactly the fold
+    * [[bpeTrain]] applies during training, chained in rank order -
+    * runs once per distinct unit, not once per occurrence, and the
+    * per-doc count is one join + sum over vocabulary-sized frames.
+    * Order matters and is honored: merges apply strictly in rank
+    * order, so the segmentation equals the trainer's final state.
+    *
+    * Output: (idCol, n_learned_tokens), documents with null text
+    * absent.
+    */
+  def bpeApplyCount(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    val docUnits = df
+      .filter(F.col(textCol).isNotNull)
+      .select(F.col(idCol), explode(
+        regexp_extract_all(lower(F.col(textCol)), lit(bpeUnitPattern), lit(0))).as("u"))
+      .groupBy(F.col(idCol), F.col("u"))
+      .agg(count(lit(1)).as("n_units"))
+    val folded = merges.foldLeft(
+      F.expr("filter(split(u, ''), x -> x <> '')")) { case (toksCol, (l, r)) =>
+      F.aggregate(
+        toksCol,
+        F.array().cast(ArrayType(StringType)),
+        (acc, x) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+    }
+    val unitTokens = docUnits.select("u").distinct()
+      .withColumn("n_toks", size(folded))
+    docUnits
+      .join(unitTokens, "u")
+      .groupBy(F.col(idCol))
+      .agg(sum(F.col("n_units") * F.col("n_toks")).cast(IntegerType)
+        .as("n_learned_tokens"))
+  }
+
   /** Tokenize to one row per (id, pos, token). */
   def tokenize(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(F.col(idCol), posexplode(DedupOps.tokens(F.col(textCol))).as(Seq("pos", "token")))

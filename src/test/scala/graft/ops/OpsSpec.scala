@@ -2119,6 +2119,33 @@ class OpsSpec extends SparkSpec {
     val again = TextOps.bpeTrain(df, "text", numMerges = 10)
       .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
     assert(again === got)
+
+    // apply: learned merges folded back over the corpus must reproduce
+    // an independent in-memory segmentation's per-doc token counts
+    val merges = got.map { case (_, l, r) => (l, r) }
+    def refApply(text: String): Int =
+      unitRe.findAllIn(text.toLowerCase).map { u =>
+        var toks = u.map(_.toString).toVector
+        for ((l, r) <- merges) {
+          val nt = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < toks.size) {
+            if (i + 1 < toks.size && toks(i) == l && toks(i + 1) == r) {
+              nt += l + r; i += 2
+            } else { nt += toks(i); i += 1 }
+          }
+          toks = nt.toVector
+        }
+        toks.size
+      }.sum
+    val applied = TextOps.bpeApplyCount(df, "id", "text", merges)
+      .as[(Long, Int)].collect().toMap
+    val expected = texts.zipWithIndex.map { case (t, i) => i.toLong -> refApply(t) }.toMap
+    assert(applied === expected)
+    // zero merges = raw character-unit count; merging only shrinks
+    val raw = TextOps.bpeApplyCount(df, "id", "text", Seq.empty)
+      .as[(Long, Int)].collect().toMap
+    for ((id, n) <- applied) assert(n <= raw(id), s"doc $id grew under merges")
   }
 
   test("fixedHistogram: bin edges, sentinel cells, and additive merge") {
