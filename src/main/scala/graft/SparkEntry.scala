@@ -536,6 +536,22 @@ object SparkEntry {
       SimilarityOps.bruteTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     },
+    "emb_hard_negatives" -> { (s, dir) =>
+      // contrastive-training negative mining: per anchor, the top-5
+      // most-similar DIFFERENT-label vectors (maximally confusing
+      // non-matches); label inequality rides the broadcast join, so
+      // the corpus pass stays shuffle-free
+      val emb = tbl(s, dir, "embeddings")
+      SimilarityOps.hardNegatives(emb, "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") < 10), k = 5)
+    },
+    "docs_length_batches" -> { (s, dir) =>
+      // padding-efficiency batching: 32 length-sorted docs per batch;
+      // the per-batch summary exposes the padded-token waste a trainer
+      // would burn (max_len x n - sum_len)
+      ShardOps.lengthBucketedBatches(tbl(s, dir, "documents"),
+        "doc_id", "n_chars", batchSize = 32)
+    },
     "ann_lsh" -> { (s, dir) =>
       // deterministic in (seed, dim, bits): the oracle replays the
       // hyperplane signs with the SAME interpolated plane constants
@@ -2356,6 +2372,43 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS cosine_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "emb_hard_negatives" ->
+      // knn replay with the label-inequality predicate in place of the
+      // self-exclusion (different label implies a different vector, so
+      // no separate self-filter is needed)
+      """WITH q AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+        |                  embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.anchor_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+        |         list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+        |           (sqrt(list_dot_product(q.qv, q.qv)) *
+        |            sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
+        |  FROM q CROSS JOIN embeddings e WHERE e.label <> q.anchor_label
+        |), ranked AS (
+        |  SELECT anchor_id, neighbor_id, neighbor_label,
+        |         ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+        |         sim
+        |  FROM scored
+        |)
+        |SELECT anchor_id, neighbor_id, neighbor_label,
+        |       CAST(rank AS INT) AS rank, round(sim, 6) AS cosine_sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "docs_length_batches" ->
+      // same (length, id) total order, same floor-div batch cut, same
+      // integer waste arithmetic
+      """WITH o AS (
+        |  SELECT n_chars,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS pos
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |)
+        |SELECT pos // 32 AS batch_id,
+        |       count(*) AS n_docs,
+        |       min(n_chars) AS min_len,
+        |       max(n_chars) AS max_len,
+        |       sum(n_chars) AS sum_len,
+        |       max(n_chars) * count(*) - sum(n_chars) AS padding_waste
+        |FROM o GROUP BY 1""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS INT) AS n_tokens,

@@ -76,6 +76,39 @@ object ShardOps {
       .withColumn("shard", (F.col("position") % numShards).cast(IntegerType))
   }
 
+  /** Length-bucketed batching: consecutive runs of `batchSize`
+    * length-sorted documents form one batch, so every batch holds
+    * near-equal-length sequences and the padded-token waste
+    * (batch_max x batch_size - sum of lengths, the tokens a trainer
+    * pads and throws away) collapses versus random batching. The sort
+    * is [[globalOrderIndex]] - range partition + per-partition
+    * offsets, never a single-partition window - and the output is the
+    * batch-level summary (batch count = N / batchSize rows, not
+    * corpus-sized).
+    *
+    * Output: (batch_id, n_docs, min_len, max_len, sum_len,
+    * padding_waste), fully deterministic ((length, id) total order).
+    */
+  def lengthBucketedBatches(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      batchSize: Int
+  ): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be positive, got $batchSize")
+    globalOrderIndex(df.filter(F.col(lenCol).isNotNull),
+        Seq(F.col(lenCol), F.col(idCol)))
+      .withColumn("batch_id", F.expr(s"position DIV $batchSize"))
+      .groupBy("batch_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(F.col(lenCol)).as("min_len"),
+        max(F.col(lenCol)).as("max_len"),
+        sum(F.col(lenCol)).as("sum_len"))
+      .withColumn("padding_waste",
+        F.col("max_len") * F.col("n_docs") - F.col("sum_len"))
+  }
+
   /** Spread the low 16 bits of `x` onto the even bit positions of a
     * 32-bit value (the classic magic-mask interleave ladder) - pure
     * built-in bitwise ops, so it codegens inside the scan stage and

@@ -96,6 +96,55 @@ object SimilarityOps {
       )
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: per
+    * anchor, the top-k most-similar corpus vectors carrying a
+    * DIFFERENT label - maximally confusing non-matches, the negatives
+    * that actually move a bi-encoder (random negatives are too easy;
+    * same-label neighbors are positives, not negatives).
+    *
+    * Same scale shape as [[bruteTopK]]: anchors broadcast with
+    * pre-attached norms, the corpus streams through one scored pass
+    * (label inequality rides the broadcast join condition - the
+    * corpus-side scan stays shuffle-free), per-anchor top-k by window.
+    * At corpus scale, swap the candidate pass for [[lshTopK]] /
+    * [[ivfTopK]] buckets and keep the label filter - mining is
+    * recall-tolerant by definition (a missed hard negative is just a
+    * slightly easier one).
+    *
+    * Output: (anchor_id, neighbor_id, neighbor_label, rank,
+    * cosine_sim), deterministic ties (sim desc, neighbor asc).
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      anchors: DataFrame,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val q = broadcast(
+      anchors.select(F.col(idCol).as("anchor_id"), F.col(vecCol).as("qv"),
+        F.col(labelCol).as("anchor_label"), norm(F.col(vecCol)).as("qn")))
+    val scored = OpsUtil.spread(corpus)
+      .select(F.col(idCol).as("neighbor_id"), F.col(labelCol).as("neighbor_label"),
+        F.col(vecCol).as("cv"), norm(F.col(vecCol)).as("cn"))
+      .join(q, F.col("anchor_label") =!= F.col("neighbor_label"))
+      .withColumn("cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    val w = Window
+      .partitionBy("anchor_id")
+      .orderBy(F.col("cosine_sim").desc, F.col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select(
+        F.col("anchor_id"),
+        F.col("neighbor_id"),
+        F.col("neighbor_label"),
+        F.col("rank").cast(IntegerType).as("rank"),
+        round(F.col("cosine_sim"), 6).as("cosine_sim"))
+  }
+
   /** Sign-pattern bucket id from `bits` fixed random hyperplanes
     * (deterministic in `seed` and the vector dimension `dim`). Native
     * codegen expression; plane matrix generated once per JVM, in the

@@ -2062,6 +2062,54 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: different label always, == brute reference, deterministic ties") {
+    val rnd = new scala.util.Random(31)
+    val vecs = Seq.tabulate(60)(i =>
+      (i.toLong, Array.fill(6)(rnd.nextGaussian().toFloat), i % 3))
+    val df = vecs.toDF("id", "v", "lab")
+    val got = SimilarityOps.hardNegatives(df, "id", "v", "lab",
+        df.filter($"id" < 4), k = 3)
+      .as[(Long, Long, Int, Int, Double)].collect()
+    val labels = vecs.map(v => v._1 -> v._3).toMap
+    assert(got.nonEmpty && got.forall { case (a, n, nl, _, _) =>
+      labels(a) != nl && labels(n) == nl })
+    // brute reference: cosine over doubles, top-3 among other-label
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    for (a <- 0L until 4L) {
+      val av = vecs(a.toInt)._2
+      val exp = vecs.filter(_._3 != labels(a))
+        .map(v => (v._1, cos(av, v._2)))
+        .sortBy { case (id, s) => (-s, id) }
+        .take(3).map(_._1)
+      val mine = got.filter(_._1 == a).sortBy(_._4).map(_._2).toSeq
+      assert(mine === exp, s"anchor $a")
+    }
+  }
+
+  test("lengthBucketedBatches: contiguous length runs, exact sizes, waste below a shuffled cut") {
+    val rnd = new scala.util.Random(41)
+    val docs = Seq.tabulate(100)(i => (i.toLong, 10L + rnd.nextInt(500))).toDF("id", "len")
+    val got = ShardOps.lengthBucketedBatches(docs, "id", "len", batchSize = 8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // every batch full except possibly the last; doc count preserved
+    assert(got.map(_._2).sum === 100L)
+    assert(got.dropRight(1).forall(_._2 == 8L) && got.last._2 <= 8L)
+    // batches are contiguous length ranges: batch i's max <= batch i+1's min
+    for (Array(a, b) <- got.sliding(2).map(_.toArray))
+      assert(a._4 <= b._3, s"batch ${a._1} max ${a._4} > batch ${b._1} min ${b._3}")
+    // waste arithmetic holds per batch
+    for ((_, n, _, mx, sm, waste) <- got) assert(waste === mx * n - sm)
+    // and the whole point: length-sorted batching wastes less than an
+    // arbitrary (id-ordered) batching of the same corpus
+    val lens = docs.as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    val idOrderWaste = lens.grouped(8).map(g => g.max * g.size - g.sum).sum
+    assert(got.map(_._6).sum < idOrderWaste)
+  }
+
   test("bpeTrain: greedy non-overlap on 'aaa', early stop when pairs run out") {
     val out = TextOps.bpeTrain(Seq((1L, "aaa")).toDF("id", "text"), "text", numMerges = 5)
       .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
