@@ -1156,6 +1156,28 @@ object SparkEntry {
       SketchOps.histogramQuantiles(hist, Seq("event_type"),
         Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 1000.0, bins = 200)
     },
+    "events_robust_scale" -> { (s, dir) =>
+      // robust standardization (median/IQR instead of mean/std - the
+      // outlier-immune scaler): per-type quartiles come from the
+      // mergeable histogram sketch, broadcast back onto the scan; the
+      // corpus is read once for cells and once for the transform, with
+      // no corpus-sized shuffle anywhere. Types whose IQR collapses to
+      // zero (one hot bin) scale to NULL rather than dividing by zero
+      val ev = events(s, dir).filter(col("value").isNotNull)
+      val hist = SketchOps.fixedHistogram(ev, "value", Seq("event_type"),
+        lo = 0.0, hi = 1000.0, bins = 200)
+      val qs = SketchOps.histogramQuantiles(hist, Seq("event_type"),
+        Seq(0.25, 0.5, 0.75), lo = 0.0, hi = 1000.0, bins = 200)
+      val stats = qs.groupBy("event_type").agg(
+        min(when(col("q") === 0.25, col("est"))).as("q1"),
+        min(when(col("q") === 0.5, col("est"))).as("med"),
+        min(when(col("q") === 0.75, col("est"))).as("q3"))
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(col("q3") > col("q1"),
+            round((col("value") - col("med")) / (col("q3") - col("q1")), 6))
+            .as("robust_z"))
+    },
     "docs_ks_drift" -> { (s, dir) =>
       // source admission audit: exact two-sample KS distance between
       // each source's document-length distribution and the rest of the
@@ -3604,32 +3626,24 @@ object SparkEntry {
         |FROM est e
         |JOIN (SELECT event_type, wk, count(DISTINCT user_id) AS n_exact
         |      FROM ev GROUP BY 1, 2) x USING (event_type, wk)""".stripMargin,
-    "events_quantiles" ->
-      // full fixed-histogram quantile replay: same bin arithmetic
-      // (binWidth 5.0 interpolated once), same cumulative-count bin
-      // pick, same interpolation double chain
-      """WITH h AS (
+    "events_quantiles" -> histQuantileOracleSql("[0.5, 0.9, 0.99]"),
+    "events_robust_scale" ->
+      // same quantile CTE chain (shared builder - the two replays
+      // cannot drift), pivoted to per-type quartiles, broadcast-shaped
+      // join back onto the rows, identical double chain for the score
+      s"""WITH ${histQuantileCtes("[0.25, 0.5, 0.75]")},
+        |stats AS (
         |  SELECT event_type,
-        |         CASE WHEN value < 0.0 THEN -1
-        |              WHEN value >= 1000.0 THEN 200
-        |              ELSE least(CAST(floor((value - 0.0) / 5.0) AS INT), 199) END AS bin,
-        |         count(*) AS c
-        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
-        |  GROUP BY 1, 2
-        |), ir AS (SELECT * FROM h WHERE bin >= 0 AND bin < 200),
-        |cum AS (
-        |  SELECT event_type, bin, c,
-        |         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
-        |  FROM ir
-        |), tot AS (SELECT event_type, sum(c) AS n FROM ir GROUP BY 1),
-        |tq AS (
-        |  SELECT event_type, n, q, q * n AS t
-        |  FROM tot CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q)
+        |         min(CASE WHEN q = 0.25 THEN est END) AS q1,
+        |         min(CASE WHEN q = 0.5  THEN est END) AS med,
+        |         min(CASE WHEN q = 0.75 THEN est END) AS q3
+        |  FROM qq GROUP BY 1
         |)
-        |SELECT tq.event_type, tq.q,
-        |       round(0.0 + (cum.bin + (tq.t - (cum.cum - cum.c)) / cum.c) * 5.0, 6) AS est
-        |FROM tq JOIN cum ON cum.event_type = tq.event_type
-        |WHERE (cum.cum - cum.c) < tq.t AND tq.t <= cum.cum""".stripMargin,
+        |SELECT e.event_id, e.event_type, e.value,
+        |       CASE WHEN s.q3 > s.q1
+        |            THEN round((e.value - s.med) / (s.q3 - s.q1), 6) END AS robust_z
+        |FROM events e JOIN stats s USING (event_type)
+        |WHERE e.value IS NOT NULL""".stripMargin,
     "docs_ks_drift" ->
       // exact KS replay: per-(stratum, value) counts densified over the
       // global jump points, integer cross-multiplied CDF gap carried in
@@ -3860,6 +3874,41 @@ object SparkEntry {
       |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS INT) AS n_bpe_tokens
       |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
       |LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+
+  /** Fixed-histogram quantile replay over events.value ([0, 1000) /
+    * 200 bins, binWidth 5.0 interpolated once): same bin arithmetic,
+    * same cumulative-count bin pick, same interpolation double chain.
+    * Shared by the events_quantiles and events_robust_scale oracles so
+    * the two replays cannot drift; ends in a `qq` CTE of
+    * (event_type, q, est).
+    */
+  private def histQuantileCtes(qArray: String): String =
+    s"""h AS (
+      |  SELECT event_type,
+      |         CASE WHEN value < 0.0 THEN -1
+      |              WHEN value >= 1000.0 THEN 200
+      |              ELSE least(CAST(floor((value - 0.0) / 5.0) AS INT), 199) END AS bin,
+      |         count(*) AS c
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |), ir AS (SELECT * FROM h WHERE bin >= 0 AND bin < 200),
+      |cum AS (
+      |  SELECT event_type, bin, c,
+      |         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      |  FROM ir
+      |), tot AS (SELECT event_type, sum(c) AS n FROM ir GROUP BY 1),
+      |tq AS (
+      |  SELECT event_type, n, q, q * n AS t
+      |  FROM tot CROSS JOIN (SELECT unnest($qArray::DOUBLE[]) AS q)
+      |), qq AS (
+      |  SELECT tq.event_type, tq.q,
+      |         round(0.0 + (cum.bin + (tq.t - (cum.cum - cum.c)) / cum.c) * 5.0, 6) AS est
+      |  FROM tq JOIN cum ON cum.event_type = tq.event_type
+      |  WHERE (cum.cum - cum.c) < tq.t AND tq.t <= cum.cum
+      |)""".stripMargin
+
+  private def histQuantileOracleSql(qArray: String): String =
+    s"WITH ${histQuantileCtes(qArray)}\nSELECT event_type, q, est FROM qq"
 
   /** BPE TRAINING replay: 8 unrolled rounds, each one pair-count CTE
     * (weighted by unit frequency, every adjacent position counted), a
