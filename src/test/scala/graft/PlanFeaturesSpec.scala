@@ -229,6 +229,52 @@ class PlanFeaturesSpec extends SparkSpec {
     assert(indexed.agg(countDistinct($"position")).as[Long].head() == 10000L)
   }
 
+  test("fixedHistogram plans ONE exchange with map-side partial aggregation") {
+    val df = (1L to 5000L).map(i => ("g" + (i % 3), (i % 97).toDouble)).toDF("g", "v")
+    val plan = graft.ops.SketchOps.fixedHistogram(df, "v", Seq("g"), 0.0, 100.0, 20)
+      .queryExecution.executedPlan.toString
+    // the whole point of fixed bin edges: each partition folds to at
+    // most groups x (bins + 2) cells BEFORE the one shuffle
+    assert(plan.contains("partial_count") || plan.toLowerCase.contains("partial"),
+      s"no map-side partial aggregation in the cell build:\n${plan.take(2000)}")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"histogram cell build must shuffle exactly once:\n${plan.take(2000)}")
+  }
+
+  test("hardNegatives corpus pass rides a broadcast join, never a sort-merge shuffle") {
+    val rnd = new scala.util.Random(5)
+    val df = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(4)(rnd.nextGaussian().toFloat), i % 2)).toDF("id", "v", "lab")
+    val plan = graft.ops.SimilarityOps.hardNegatives(df, "id", "v", "lab",
+        df.filter($"id" < 3), k = 2)
+      .queryExecution.executedPlan.toString
+    // anchors broadcast; the label-inequality condition makes it a
+    // nested-loop against the broadcast side - the corpus itself must
+    // not shuffle for scoring (only ranked candidates move, to the
+    // per-anchor top-k window)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"anchor side must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not sort-merge-shuffle for scoring:\n${plan.take(2000)}")
+  }
+
+  test("robust-scale stats join back onto the scan is a broadcast hash join") {
+    val df = (1L to 5000L).map(i => ("t" + (i % 3), (i % 211).toDouble, i)).toDF("g", "v", "id")
+    val hist = graft.ops.SketchOps.fixedHistogram(df, "v", Seq("g"), 0.0, 250.0, 25)
+    val qs = graft.ops.SketchOps.histogramQuantiles(hist, Seq("g"),
+      Seq(0.25, 0.5, 0.75), 0.0, 250.0, 25)
+    val stats = qs.groupBy("g").agg(
+      min(when($"q" === 0.25, $"est")).as("q1"),
+      min(when($"q" === 0.5, $"est")).as("med"),
+      min(when($"q" === 0.75, $"est")).as("q3"))
+    val out = df.join(broadcast(stats), "g")
+      .select($"id", when($"q3" > $"q1", ($"v" - $"med") / ($"q3" - $"q1")).as("z"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sketch-derived stats must broadcast onto the scan:\n${plan.take(2000)}")
+    assert(out.count() == 5000L)
+  }
+
   test("bloomDecontam probe plans with ZERO shuffle exchanges (pure map-side scan)") {
     val dir = tmp("bloomprobe")
     (1L to 500L).map(i => (i, s"token$i repeated words token${i % 7} end"))
