@@ -1184,6 +1184,19 @@ object SparkEntry {
       // corpus - integer-argmax CDF divergence, one counts shuffle
       StatOps.ksDriftByStratum(tbl(s, dir, "documents"), "n_chars", "source")
     },
+    "events_ks_binned" -> { (s, dir) =>
+      // continuous-column drift: KS distance between the error events'
+      // value distribution and everything else, both quantized through
+      // the SAME fixed histogram - the comparison runs on sketch cells,
+      // never corpus rows
+      val ev = events(s, dir).filter(col("value").isNotNull)
+        .withColumn("g", lit(1))
+      def h(side: DataFrame) = SketchOps.fixedHistogram(side, "value", Seq("g"),
+        lo = 0.0, hi = 1000.0, bins = 200)
+      StatOps.ksFromHistograms(
+        h(ev.filter(col("event_type") === "error")),
+        h(ev.filter(col("event_type") =!= "error")))
+    },
     "docs_psi_snapshots" -> { (s, dir) =>
       // population-stability score between two corpus snapshots
       // (simulated here as the even/odd doc_id halves) compared via
@@ -3644,6 +3657,41 @@ object SparkEntry {
         |            THEN round((e.value - s.med) / (s.q3 - s.q1), 6) END AS robust_z
         |FROM events e JOIN stats s USING (event_type)
         |WHERE e.value IS NOT NULL""".stripMargin,
+    "events_ks_binned" ->
+      // binned-KS replay: same bin arithmetic as the quantile chain,
+      // same integer cross-multiplied CDF gap (HUGEINT vs the engine's
+      // DECIMAL(38,0) - both exact), ties to the smallest bin
+      """WITH e AS (
+        |  SELECT CASE WHEN event_type = 'error' THEN 'a' ELSE 'b' END AS side,
+        |         CASE WHEN value < 0.0 THEN -1
+        |              WHEN value >= 1000.0 THEN 200
+        |              ELSE least(CAST(floor((value - 0.0) / 5.0) AS INT), 199) END AS bin
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |), cells AS (
+        |  SELECT bin,
+        |         count(*) FILTER (side = 'a') AS ca,
+        |         count(*) FILTER (side = 'b') AS cb
+        |  FROM e GROUP BY 1
+        |), cum AS (
+        |  SELECT bin,
+        |         sum(ca) OVER (ORDER BY bin) AS cum_a,
+        |         sum(cb) OVER (ORDER BY bin) AS cum_b
+        |  FROM cells
+        |), tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM cells),
+        |diffs AS (
+        |  SELECT c.bin, t.n_a, t.n_b,
+        |         abs(c.cum_a::HUGEINT * t.n_b::HUGEINT
+        |           - c.cum_b::HUGEINT * t.n_a::HUGEINT) AS diff
+        |  FROM cum c CROSS JOIN tot t
+        |), best AS (
+        |  SELECT n_a, n_b, bin, diff,
+        |         row_number() OVER (ORDER BY diff DESC, bin ASC) AS rk
+        |  FROM diffs
+        |)
+        |SELECT n_a, n_b, bin AS ks_at_bin,
+        |       round(CAST(diff AS DOUBLE)
+        |             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks
+        |FROM best WHERE rk = 1""".stripMargin,
     "docs_ks_drift" ->
       // exact KS replay: per-(stratum, value) counts densified over the
       // global jump points, integer cross-multiplied CDF gap carried in

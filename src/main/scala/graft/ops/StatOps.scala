@@ -100,6 +100,57 @@ object StatOps {
           6).as("ks"))
   }
 
+  /** Two-sample KS distance between two [[SketchOps.fixedHistogram]]
+    * counter tables - the continuous-column companion to
+    * [[ksDriftByStratum]] (whose dense frame needs a DISCRETE value
+    * column): quantize both sides through the same fixed bin edges
+    * first, then take the exact sup-gap of the binned CDFs here.
+    * Coarsening can only shrink a sup over fewer evaluation points, so
+    * the binned distance is a LOWER bound on the true D, within one
+    * bin of CDF mass - a drift alarm on the binned value fires a
+    * fortiori on the true distributions.
+    *
+    * Sentinel cells participate: the underflow bin (-1) is the CDF's
+    * first step and the overflow bin its last (where both CDFs reach 1
+    * and the gap is 0 by construction). The argmax is integer
+    * cross-multiplied in DECIMAL(38,0) with ties to the smallest bin,
+    * the same discipline as [[ksDriftByStratum]]; inputs are sketch
+    * cells, so two 100-TB corpus versions compare without a re-scan.
+    *
+    * Output: one row: (n_a, n_b, ks_at_bin, ks).
+    */
+  def ksFromHistograms(histA: DataFrame, histB: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = histA.groupBy("bin").agg(sum("c").as("ca"))
+    val b = histB.groupBy("bin").agg(sum("c").as("cb"))
+    val cells = a.join(b, Seq("bin"), "full")
+      .select(F.col("bin"),
+        coalesce(F.col("ca"), lit(0L)).as("ca"),
+        coalesce(F.col("cb"), lit(0L)).as("cb"))
+    val totals = cells.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    // a global-order window is the banned single-partition funnel for
+    // corpus data - but `cells` is bounded at bins + 2 SKETCH rows, so
+    // the funnel holds a few hundred rows regardless of corpus size
+    val win = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = DecimalType(38, 0)
+    cells
+      .withColumn("cum_a", sum("ca").over(win))
+      .withColumn("cum_b", sum("cb").over(win))
+      .crossJoin(broadcast(totals))
+      .withColumn("diff",
+        abs(F.col("cum_a").cast(dec) * F.col("n_b").cast(dec)
+          - F.col("cum_b").cast(dec) * F.col("n_a").cast(dec)))
+      .groupBy("n_a", "n_b")
+      .agg(
+        min_by(F.col("bin"), struct(negate(F.col("diff")), F.col("bin"))).as("ks_at_bin"),
+        max("diff").as("d_num"))
+      .select(
+        F.col("n_a"), F.col("n_b"), F.col("ks_at_bin"),
+        round(F.col("d_num").cast(DoubleType)
+          / (F.col("n_a").cast(DoubleType) * F.col("n_b").cast(DoubleType)), 6).as("ks"))
+  }
+
   /** Population stability index between per-stratum histograms built by
     * [[SketchOps.fixedHistogram]] - the standard "did the distribution
     * move between snapshot A and snapshot B" score over PRE-AGGREGATED

@@ -2287,6 +2287,36 @@ class OpsSpec extends SparkSpec {
     assert(got("C") > got("A") && got("C") > got("B"), "shifted stratum must stand out")
   }
 
+  test("ksFromHistograms: zero on identical cells, lower-bounds exact KS, exact on-grid") {
+    val rnd = new scala.util.Random(53)
+    val va = Seq.fill(400)(rnd.nextDouble() * 80)
+    val vb = Seq.fill(300)(rnd.nextDouble() * 80 + 15) // shifted
+    def h(vs: Seq[Double]) = SketchOps.fixedHistogram(
+      vs.map(("g", _)).toDF("g", "v"), "v", Seq("g"), 0.0, 100.0, 25)
+    val same = StatOps.ksFromHistograms(h(va), h(va))
+      .as[(Long, Long, Int, Double)].collect().head
+    assert(same === ((400L, 400L, -1, 0.0)) || same._4 === 0.0)
+    val binned = StatOps.ksFromHistograms(h(va), h(vb))
+      .as[(Long, Long, Int, Double)].collect().head
+    // exact two-sample KS on the raw values
+    val points = (va ++ vb).distinct.sorted
+    val exact = points.map(p =>
+      math.abs(va.count(_ <= p).toDouble / va.size - vb.count(_ <= p).toDouble / vb.size)).max
+    assert(binned._4 > 0.1, "shift must register")
+    assert(binned._4 <= exact + 1e-9, s"binned ${binned._4} must lower-bound exact $exact")
+    // when every value sits on a bin edge grid, coarsening loses nothing
+    val ga = Seq(0.0, 4.0, 4.0, 8.0).map(_ + 0.5)
+    val gb = Seq(8.0, 12.0, 12.0, 16.0).map(_ + 0.5)
+    def hg(vs: Seq[Double]) = SketchOps.fixedHistogram(
+      vs.map(("g", _)).toDF("g", "v"), "v", Seq("g"), 0.0, 20.0, 5)
+    val onGrid = StatOps.ksFromHistograms(hg(ga), hg(gb))
+      .as[(Long, Long, Int, Double)].collect().head
+    val gp = (ga ++ gb).distinct.sorted
+    val gExact = gp.map(p =>
+      math.abs(ga.count(_ <= p).toDouble / ga.size - gb.count(_ <= p).toDouble / gb.size)).max
+    assert(math.abs(onGrid._4 - gExact) <= 1e-9)
+  }
+
   test("psiFromHistograms: zero on identical cells, positive on a shift, order-symmetric magnitude") {
     val a = Seq.tabulate(300)(i => ("g", (i % 50).toDouble)).toDF("g", "v")
     val shifted = Seq.tabulate(300)(i => ("g", (i % 50) + 20.0)).toDF("g", "v")

@@ -690,4 +690,47 @@ class StreamOpsSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq
     assert(qs(latest) === qs(direct))
   }
+
+  test("drift monitor composition: maintained histogram vs frozen reference, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference snapshot: the distribution the pipeline was tuned on
+    val refVals = Seq.tabulate(200)(i => ("g", (i % 40).toDouble))
+    val ref = graft.ops.SketchOps.fixedHistogram(
+      refVals.toDF("g", "v"), "v", Seq("g"), 0.0, 100.0, 20).localCheckpoint()
+    // stream: first batch matches the reference exactly (120 = 3 x 40,
+    // so per-value proportions equal the reference's uniform 1/40),
+    // second batch drifts
+    val calm = Seq.tabulate(120)(i => ("g", (i % 40).toDouble))
+    val drifted = Seq.tabulate(100)(i => ("g", (i % 40) + 50.0))
+    @volatile var scores = List.empty[(Double, Double)] // (psi, ks)
+    val mem = MemoryStream[(String, Double)]
+    val initial = graft.ops.SketchOps.fixedHistogram(
+      Seq.empty[(String, Double)].toDF("g", "v"), "v", Seq("g"), 0.0, 100.0, 20)
+    val sq = StreamOps.histogramMaintenance(
+      mem.toDF().toDF("g", "v"), "v", Seq("g"), 0.0, 100.0, 20, initial) { snap =>
+      val psi = graft.ops.StatOps.psiFromHistograms(snap, ref, bins = 20)
+        .select("psi").as[Double].head()
+      val ks = graft.ops.StatOps.ksFromHistograms(snap, ref)
+        .select("ks").as[Double].head()
+      scores = scores :+ (psi, ks)
+    }
+    mem.addData(calm: _*)
+    sq.processAllAvailable()
+    mem.addData(drifted: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    assert(scores.size === 2)
+    // calm batch: same shape as the reference -> both scores ~0
+    assert(scores(0)._1 === 0.0 && scores(0)._2 === 0.0)
+    // drifted batch folds in -> both alarms move off zero
+    assert(scores(1)._1 > 0.1 && scores(1)._2 > 0.1)
+    // and the monitored scores equal a one-shot batch comparison
+    val all = graft.ops.SketchOps.fixedHistogram(
+      (calm ++ drifted).toDF("g", "v"), "v", Seq("g"), 0.0, 100.0, 20)
+    val psiBatch = graft.ops.StatOps.psiFromHistograms(all, ref, bins = 20)
+      .select("psi").as[Double].head()
+    val ksBatch = graft.ops.StatOps.ksFromHistograms(all, ref)
+      .select("ks").as[Double].head()
+    assert(scores(1) === ((psiBatch, ksBatch)))
+  }
 }
