@@ -904,6 +904,25 @@ object SparkEntry {
         index, needles, "needle")
         .select(col("needle"), col("id").as("doc_id"))
     },
+    "dedup_incremental" -> { (s, dir) =>
+      // the incremental-dedup lifecycle: sign + band the corpus once
+      // into a persisted LSH index, then dedup a NEW crawl batch
+      // against it - corpus text never re-scanned. The batch here is
+      // near-dup copies of every 7th corpus doc (suffixed text, offset
+      // ids), so hits exist at every SF; the oracle replays signatures
+      // for both sides and the band-bucket probe
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = corpus.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zz end")).as("text"))
+      val path = scratchPath("lsh_index", dir)
+      if (!new java.io.File(s"$path/meta/_SUCCESS").exists())
+        DedupOps.lshWrite(DedupOps.lshBuild(corpus, "doc_id", "text"), path)
+      val (idx, nb) = DedupOps.lshRead(s, path)
+      DedupOps.lshProbe(idx, batch, "doc_id", "text",
+        threshold = 0.5, nBuckets = Some(nb))
+    },
     "text_search_persisted" -> { (s, dir) =>
       // the trigram-index lifecycle: build -> write (bucket-partitioned
       // postings) -> read -> query. Same needles and same result set as
@@ -2843,6 +2862,59 @@ object SparkEntry {
         |  FROM pairs JOIN sig sa ON id_a = sa.id JOIN sig sb ON id_b = sb.id
         |)
         |SELECT id_a, id_b, round(e, 6) AS est_jaccard FROM est WHERE e >= 0.5""".stripMargin,
+    "dedup_incremental" ->
+      // full lifecycle replay: both sides' signatures from the same
+      // md5 + affine-coefficient chain, 16 bands of 4 (the build's
+      // banding), bucket equi-join, agreement verify, best-match pick
+      s"""WITH coef(h, a, b) AS (VALUES ${coefValues(64, 42)}),
+        |corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 10 <> 0
+        |), newb AS (
+        |  SELECT id + 1000000 AS id, text || ' zz end' AS text
+        |  FROM corpus WHERE id % 7 = 0
+        |), allr AS (
+        |  SELECT id, text, 'c' AS side FROM corpus
+        |  UNION ALL SELECT id, text, 'n' FROM newb
+        |), tk AS (
+        |  SELECT id, side, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                               t -> t <> '') AS tk FROM allr
+        |), sh AS (
+        |  SELECT id, side, unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                                         FOR i IN generate_series(1, greatest(len(tk)-2, 1))])) AS sh
+        |  FROM tk
+        |), hv AS (
+        |  SELECT id, side, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647 AS s FROM sh
+        |), sigv AS (
+        |  SELECT id, side, h, min((a * s + b) % 2147483647) AS v
+        |  FROM hv CROSS JOIN coef GROUP BY 1, 2, 3
+        |), sig AS (
+        |  SELECT id, side, list(v ORDER BY h) AS sig FROM sigv GROUP BY 1, 2
+        |), bandc AS (
+        |  SELECT id, band, sig[band*4+1 : band*4+4] AS bucket
+        |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band)
+        |  WHERE side = 'c'
+        |), bandn AS (
+        |  SELECT id, band, sig[band*4+1 : band*4+4] AS bucket
+        |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band)
+        |  WHERE side = 'n'
+        |), cand AS (
+        |  SELECT DISTINCT c.id AS corpus_id, n.id AS new_id
+        |  FROM bandc c JOIN bandn n ON c.band = n.band AND c.bucket = n.bucket
+        |), est AS (
+        |  SELECT cand.new_id, cand.corpus_id,
+        |         len([i FOR i IN generate_series(1, 64) IF sc.sig[i] = sn.sig[i]]) / 64.0 AS e
+        |  FROM cand
+        |  JOIN sig sc ON cand.corpus_id = sc.id AND sc.side = 'c'
+        |  JOIN sig sn ON cand.new_id = sn.id AND sn.side = 'n'
+        |), best AS (
+        |  SELECT new_id, corpus_id, e,
+        |         row_number() OVER (PARTITION BY new_id
+        |                            ORDER BY e DESC, corpus_id ASC) AS rk
+        |  FROM est WHERE e >= 0.5
+        |)
+        |SELECT new_id, corpus_id AS dup_of, round(e, 6) AS est_jaccard
+        |FROM best WHERE rk = 1""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tk AS (
         |  SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),

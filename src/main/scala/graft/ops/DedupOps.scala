@@ -591,4 +591,170 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(F.col("n_shared") >= minShared)
   }
+
+  /** A persisted MinHash-LSH dedup index: the compact per-doc
+    * signatures plus the exploded (id, band, bucket) membership table.
+    * The lifecycle ([[lshBuild]] / [[lshWrite]] / [[lshRead]] /
+    * [[lshProbe]]) is the INCREMENTAL dedup shape production pipelines
+    * actually run: the existing corpus is signed once, and every new
+    * crawl batch probes the persisted bands - the old corpus text is
+    * never re-scanned, re-shingled, or re-hashed. Parameters travel
+    * with the tables ([[lshWrite]]'s meta row): probing with a
+    * mismatched hash family would be silently unsound, the Bloom
+    * lesson applied here.
+    */
+  case class LshIndex(
+      sigs: DataFrame,
+      banded: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      shingleLen: Int,
+      seed: Int)
+
+  /** Sign and band a corpus into an [[LshIndex]]. The banded table
+    * carries only (id, band, bucket) - the signature is NOT duplicated
+    * per band; pair verification joins the compact signature table on
+    * the (few) candidate ids instead.
+    */
+  def lshBuild(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleLen: Int = 3,
+      seed: Int = 42,
+      maxBucketSize: Long = Long.MaxValue
+  ): LshIndex = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleLen, seed)
+    val bandedAll = bandSignatures(sigs, numHashes, bands)
+    // same degenerate-bucket guard as minhashLshPairs, applied at BUILD
+    // time: a boilerplate bucket with B members costs every future probe
+    // O(B) candidates for near-zero precision; dropping it once bounds
+    // all probes. Off by default so small-corpus results are exhaustive.
+    val banded =
+      if (maxBucketSize == Long.MaxValue) bandedAll
+      else {
+        val hot = bandedAll.groupBy("band", "bucket").count()
+          .filter(F.col("count") > maxBucketSize).select("band", "bucket")
+        bandedAll.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      }
+    LshIndex(sigs, banded, numHashes, bands, shingleLen, seed)
+  }
+
+  /** Explode a compact signature table (id, signature) into band
+    * membership rows (id, band, bucket): bucket = the signature SLICE
+    * for that band, the [[minhashLshPairs]] keying kept engine-
+    * replayable. Shared by [[lshBuild]], [[lshProbe]], and the
+    * streaming maintenance (which bands already-checkpointed
+    * signatures rather than re-running the kernel).
+    */
+  def bandSignatures(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"), slice(F.col("signature"), b * r + 1, r).as("bucket"))
+    }
+    sigs
+      .select(F.col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(F.col("id"), F.col("bk.band").as("band"), F.col("bk.bucket").as("bucket"))
+  }
+
+  /** Directory-partition key of a band bucket: hash the whole (band,
+    * bucket) key into one of `nBuckets` partition values, the trigram
+    * index's layout trick - a probe joins on this PARTITION column, so
+    * dynamic partition pruning drops unprobed directories at file
+    * listing. Layout-only: results never depend on it.
+    */
+  private def lshPartition(nBuckets: Int): Column =
+    F.pmod(F.xxhash64(F.col("band"), F.col("bucket")), lit(nBuckets.toLong))
+
+  /** Persist an [[LshIndex]]: banded membership hive-partitioned on the
+    * bucket-hash key (bounded directory count), compact signatures
+    * sorted by id (row-group min/max pruning for candidate lookups),
+    * and the hash-family parameters as a one-row meta table.
+    */
+  def lshWrite(index: LshIndex, path: String, nBuckets: Int = 32): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    index.banded
+      .withColumn("pb", lshPartition(nBuckets))
+      .repartition(F.col("pb"))
+      .sortWithinPartitions("band", "id")
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$path/banded")
+    index.sigs
+      .repartitionByRange(F.col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    val spark = index.sigs.sparkSession
+    import spark.implicits._
+    Seq((index.numHashes, index.bands, index.shingleLen, index.seed, nBuckets))
+      .toDF("num_hashes", "bands", "shingle_len", "seed", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read a persisted [[LshIndex]] back: tables stay lazy scans; only
+    * the one-row meta collects.
+    */
+  def lshRead(spark: org.apache.spark.sql.SparkSession, path: String): (LshIndex, Int) = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    (LshIndex(
+      spark.read.parquet(s"$path/sigs"),
+      spark.read.parquet(s"$path/banded"),
+      m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3)), m.getInt(4))
+  }
+
+  /** Probe a new batch against a persisted corpus index: sign the
+    * BATCH only, equi-join its band buckets against the persisted
+    * membership (on the partition column too, when the index was read
+    * from [[lshWrite]]'s layout, so pruning fires at file listing),
+    * verify candidates by signature agreement, and report each new
+    * doc's best corpus match over `threshold` (est desc, corpus id asc
+    * - deterministic). The corpus cost is the pruned membership scan
+    * plus a candidate-sized signature lookup; corpus TEXT is never
+    * touched.
+    *
+    * Output: (new_id, dup_of, est_jaccard) - one row per new doc that
+    * has a near-dup in the corpus.
+    */
+  def lshProbe(
+      index: LshIndex,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      nBuckets: Option[Int] = None
+  ): DataFrame = {
+    val r = index.numHashes / index.bands
+    val nsigs = minhashSignatures(newDf, idCol, textCol,
+      index.numHashes, index.shingleLen, index.seed)
+    val bandStructs = (0 until index.bands).map { b =>
+      struct(lit(b).as("band"), slice(F.col("signature"), b * r + 1, r).as("bucket"))
+    }
+    val probeBase = nsigs
+      .select(F.col("id").as("new_id"), F.col("signature").as("new_sig"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(F.col("new_id"), F.col("new_sig"),
+        F.col("bk.band").as("band"), F.col("bk.bucket").as("bucket"))
+    val probe = nBuckets match {
+      case Some(n) => probeBase.withColumn("pb", lshPartition(n))
+      case None => probeBase
+    }
+    val joinKeys = Seq("band", "bucket") ++ (if (nBuckets.isDefined) Seq("pb") else Nil)
+    val cands = index.banded
+      .join(probe, joinKeys)
+      .select(F.col("id").as("corpus_id"), F.col("new_id"), F.col("new_sig"))
+      .distinct()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("new_id")
+      .orderBy(F.col("est_jaccard").desc, F.col("corpus_id").asc)
+    cands
+      .join(index.sigs.hint("shuffle_hash"), F.col("corpus_id") === F.col("id"))
+      .withColumn("est_jaccard",
+        graft.functions.GraftFunctions.sig_agree(F.col("new_sig"), F.col("signature")))
+      .filter(F.col("est_jaccard") >= threshold)
+      .withColumn("rk", row_number().over(w))
+      .filter(F.col("rk") === 1)
+      .select(F.col("new_id"), F.col("corpus_id").as("dup_of"),
+        round(F.col("est_jaccard"), 6).as("est_jaccard"))
+  }
 }

@@ -579,6 +579,59 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming maintenance of a persisted MinHash-LSH dedup index
+    * ([[graft.ops.DedupOps.LshIndex]]) - the eighth maintained
+    * lifecycle: fold a document stream into the signature and band
+    * tables served to [[graft.ops.DedupOps.lshProbe]], so every new
+    * crawl batch can be deduped against everything that ever streamed
+    * in. Re-appearing ids UPSERT (their signature and all band
+    * memberships are replaced) - the maintained index equals a
+    * one-shot [[graft.ops.DedupOps.lshBuild]] over the
+    * last-write-wins union of all batches (StreamOpsSpec parity).
+    *
+    * Scale shape: per batch, one batch-sized signature pass; both
+    * merges split on the (broadcast) batch ids, so the untouched bulk
+    * of the state streams through map-side anti joins.
+    */
+  def lshMaintenance(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      initial: graft.ops.DedupOps.LshIndex
+  )(onUpdate: graft.ops.DedupOps.LshIndex => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.DedupOps.LshIndex
+    import org.apache.spark.sql.functions._
+    def pin(i: LshIndex): LshIndex =
+      i.copy(sigs = i.sigs.localCheckpoint(), banded = i.banded.localCheckpoint())
+    @volatile var state = pin(initial)
+    @volatile var graveyard: Option[LshIndex] = None
+    def free(i: LshIndex): Unit =
+      Seq(i.sigs, i.banded).foreach(unpersistCheckpoint)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val prev = state
+          // sign the batch ONCE (checkpoint), then band the checkpointed
+          // signatures - the kernel never runs twice per batch
+          val dSigs = graft.ops.DedupOps.minhashSignatures(batch.toDF(), idCol, textCol,
+            prev.numHashes, prev.shingleLen, prev.seed).localCheckpoint()
+          val dBanded = graft.ops.DedupOps.bandSignatures(dSigs, prev.numHashes, prev.bands)
+          val dIds = dSigs.select("id")
+          state = prev.copy(
+            sigs = prev.sigs.join(broadcast(dIds), Seq("id"), "left_anti")
+              .union(dSigs).localCheckpoint(),
+            banded = prev.banded.join(broadcast(dIds), Seq("id"), "left_anti")
+              .union(dBanded).localCheckpoint())
+          unpersistCheckpoint(dSigs)
+          onUpdate(state)
+          graveyard.foreach(free)
+          graveyard = Some(prev)
+        }
+      }
+      .start()
+  }
+
   /** Streaming maintenance of a [[graft.ops.SketchOps.fixedHistogram]]
     * quantile sketch: fold a value stream into the served counter table
     * - the seventh maintained index/sketch lifecycle. The cells merge

@@ -2062,6 +2062,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("lsh index lifecycle: write/read roundtrip, probe finds planted dups, threshold holds") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely unrelated text about catalyst plans and shuffle exchanges"),
+      (3L, "another disjoint document mentioning histograms sketches and quantiles")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    DedupOps.lshWrite(DedupOps.lshBuild(corpus, "doc_id", "text"), dir)
+    val (idx, nb) = DedupOps.lshRead(spark, dir)
+    assert((idx.numHashes, idx.bands, idx.shingleLen, idx.seed) === ((64, 16, 3, 42)))
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank now"), // ~1
+      (11L, "zero overlap with any corpus document whatsoever in this sentence")
+    ).toDF("doc_id", "text")
+    val hits = DedupOps.lshProbe(idx, batch, "doc_id", "text", nBuckets = Some(nb))
+      .as[(Long, Long, Double)].collect()
+    assert(hits.length === 1 && hits.head._1 === 10L && hits.head._2 === 1L)
+    assert(hits.head._3 >= 0.5)
+    // threshold raise drops the borderline pair
+    assert(DedupOps.lshProbe(idx, batch, "doc_id", "text",
+      threshold = 0.999, nBuckets = Some(nb)).isEmpty)
+    // probe against the in-memory (unwritten) index agrees
+    val mem = DedupOps.lshBuild(corpus, "doc_id", "text")
+    assert(DedupOps.lshProbe(mem, batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq === hits.toSeq)
+  }
+
   test("hardNegatives: different label always, == brute reference, deterministic ties") {
     val rnd = new scala.util.Random(31)
     val vecs = Seq.tabulate(60)(i =>

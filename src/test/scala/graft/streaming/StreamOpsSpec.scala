@@ -691,6 +691,48 @@ class StreamOpsSpec extends SparkSpec {
     assert(qs(latest) === qs(direct))
   }
 
+  test("lshMaintenance: streamed index == one-shot build, upserts replace, probe parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val mk = (id: Long, t: String) => (id, t)
+    val batch1 = Seq(
+      mk(1, "alpha beta gamma delta epsilon zeta eta theta"),
+      mk(2, "one two three four five six seven eight nine"))
+    // 1 re-appears with NEW text: the maintained index must hold only
+    // the new signature (upsert, not append)
+    val batch2 = Seq(
+      mk(1, "totally different words now appear in this document text"),
+      mk(3, "alpha beta gamma delta epsilon zeta eta iota"))
+    @volatile var latest: graft.ops.DedupOps.LshIndex = null
+    val mem = MemoryStream[(Long, String)]
+    val initial = graft.ops.DedupOps.lshBuild(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    val sq = StreamOps.lshMaintenance(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", initial)(latest = _)
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    // last-write-wins union of the batches
+    val finalDocs = Seq(batch1(1), batch2(0), batch2(1))
+    val direct = graft.ops.DedupOps.lshBuild(
+      finalDocs.toDF("doc_id", "text"), "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(latest.sigs) === rows(direct.sigs))
+    assert(rows(latest.banded) === rows(direct.banded))
+    // and the maintained index serves the same probe verdicts
+    val probeBatch = Seq(
+      mk(100, "alpha beta gamma delta epsilon zeta eta theta"), // near-dups 3
+      mk(101, "nothing in common with anything indexed here at all"))
+      .toDF("doc_id", "text")
+    assert(rows(graft.ops.DedupOps.lshProbe(latest, probeBatch, "doc_id", "text")) ===
+      rows(graft.ops.DedupOps.lshProbe(direct, probeBatch, "doc_id", "text")))
+    val hits = graft.ops.DedupOps.lshProbe(latest, probeBatch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(hits.map(_._1).toSet === Set(100L), s"only the near-dup probes, got ${hits.toSeq}")
+  }
+
   test("drift monitor composition: maintained histogram vs frozen reference, batch parity") {
     implicit val sqlCtx = spark.sqlContext
     // reference snapshot: the distribution the pipeline was tuned on
