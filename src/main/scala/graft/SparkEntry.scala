@@ -6,7 +6,7 @@ import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 
 import graft.ptree.{PrefixTree, Query}
-import graft.ops.{DedupOps, GraphOps, JoinOps, MultimodalOps, ShardOps, SimilarityOps, SketchOps, StatOps, TextOps, TimeOps}
+import graft.ops.{DedupOps, GraphOps, JoinOps, MultimodalOps, SampleOps, ShardOps, SimilarityOps, SketchOps, StatOps, TextOps, TimeOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1827,6 +1827,21 @@ object SparkEntry {
       DedupOps.winnowPairs(tbl(s, dir, "documents"), "doc_id", "text",
         k = 8, w = 4, minShared = 8, maxFpDocFreq = 20)
     },
+    "docs_dsir_select" -> { (s, dir) =>
+      // DSIR data selection (Xie et al. 2023): rank the raw pool by
+      // hashed-n-gram importance ratios against the src0 "target
+      // domain" sample, take the 100 most target-like docs. Ranking
+      // compares the exact decimal sums; the rounded double is
+      // display-only
+      val docs = tbl(s, dir, "documents")
+      SampleOps.dsirScores(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text")
+        .orderBy(col("score_exact").desc, col("doc_id").asc)
+        .limit(100)
+        .select(col("doc_id"), col("n_features"),
+          round(col("score_exact").cast(DoubleType), 6).as("dsir_score"))
+    },
     "docs_eval_sample" -> { (s, dir) =>
       // exactly min(40, |stratum|) docs per language, deterministically
       // (md5-ranked within stratum) - the eval-set construction
@@ -3593,6 +3608,46 @@ object SparkEntry {
         |SELECT doc_id, source,
         |       row_number() OVER (ORDER BY target, source, doc_id) - 1 AS position
         |FROM t""".stripMargin,
+    "docs_dsir_select" ->
+      // full DSIR replay: same distinct unigram+bigram presence
+      // features (the shingle kernel's short-doc rule mirrored via
+      // greatest()), same md5 bucket hash, same add-one-smoothed
+      // ln-ratio double chain, exact decimal ranking before the cut
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), ft AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_concat(
+        |           list_distinct([array_to_string(tk[i:i], ' ')
+        |                          FOR i IN generate_series(1, greatest(len(tk), 1))]),
+        |           list_distinct([array_to_string(tk[i:i+1], ' ')
+        |                          FOR i IN generate_series(1, greatest(len(tk)-1, 1))]))) AS f
+        |  FROM tk
+        |), fb AS (
+        |  SELECT doc_id, source, ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS bucket
+        |  FROM ft
+        |), tc AS (SELECT bucket, count(*) AS ca FROM fb WHERE source = 'src0' GROUP BY 1),
+        |rc AS (SELECT bucket, count(*) AS cb FROM fb WHERE source <> 'src0' GROUP BY 1),
+        |tt AS (SELECT coalesce(sum(ca), 0) AS ta FROM tc),
+        |rt AS (SELECT coalesce(sum(cb), 0) AS tb FROM rc),
+        |w AS (
+        |  SELECT rc.bucket,
+        |         ln((CAST(coalesce(tc.ca, 0) AS DOUBLE) + 1.0)
+        |            / (CAST(tt.ta AS DOUBLE) + 1024.0))
+        |       - ln((CAST(rc.cb AS DOUBLE) + 1.0)
+        |            / (CAST(rt.tb AS DOUBLE) + 1024.0)) AS w
+        |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tt CROSS JOIN rt
+        |), sc AS (
+        |  SELECT fb.doc_id, count(*) AS n_features,
+        |         sum(CAST(w.w AS DECIMAL(38,18))) AS s
+        |  FROM fb JOIN w USING (bucket) WHERE fb.source <> 'src0'
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, n_features, round(CAST(s AS DOUBLE), 6) AS dsir_score
+        |FROM sc ORDER BY s DESC, doc_id ASC LIMIT 100""".stripMargin,
     "docs_eval_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

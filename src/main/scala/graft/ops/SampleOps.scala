@@ -19,6 +19,77 @@ object SampleOps {
   private def md5U(keyCol: String): Column =
     conv(md5Prefix(keyCol), 16, 10).cast(LongType).cast(DoubleType)
 
+  /** Importance scoring for data selection a la DSIR (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * public): score every raw-pool document by how target-like its
+    * hashed n-gram feature distribution is,
+    *
+    *   score(doc) = sum over features f of
+    *     ln p_target(bucket(f)) - ln p_raw(bucket(f))
+    *
+    * with unigram+bigram presence features hashed into `buckets` md5
+    * buckets and add-one smoothing on both category distributions.
+    * Selecting the top-N by score is the deterministic counterpart of
+    * the paper's importance resampling - the same ranking signal
+    * without the Gumbel noise, so the selection replays bit-for-bit
+    * (ordering compares the EXACT decimal sums, never rounded floats).
+    *
+    * Scale shape: the target (small by definition - it is the curated
+    * domain sample) and the raw pool each reduce in ONE
+    * explode+aggregate to a `buckets`-sized count table; the
+    * per-bucket weight table broadcasts onto the raw pool's feature
+    * scan, and each doc collapses to one decimal-exact sum. No
+    * corpus-sized shuffle beyond the per-doc aggregation, no LM
+    * training, no UDFs.
+    *
+    * Output: (idCol, n_features, score_exact) - score_exact is the
+    * EXACT decimal sum so callers rank on it before rounding for
+    * display.
+    */
+  def dsirScores(
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      buckets: Int = 1024
+  ): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def feats(c: Column): Column =
+      concat(graft.ops.DedupOps.shingleStrings(c, 1),
+        graft.ops.DedupOps.shingleStrings(c, 2))
+    def bucketOf(f: Column): Column =
+      pmod(conv(substring(md5(f), 1, 8), 16, 10).cast(LongType), lit(buckets.toLong))
+    def bucketCounts(df: DataFrame, tc: String): DataFrame = df
+      .filter(F.col(tc).isNotNull)
+      .select(explode(feats(F.col(tc))).as("f"))
+      .select(bucketOf(F.col("f")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val tC = bucketCounts(target, targetTextCol).withColumnRenamed("c", "ca")
+    val rC = bucketCounts(raw, textCol).withColumnRenamed("c", "cb")
+    val tTot = tC.agg(coalesce(sum("ca"), lit(0L)).as("ta"))
+    val rTot = rC.agg(coalesce(sum("cb"), lit(0L)).as("tb"))
+    // every bucket a raw doc can hit appears in rC (same corpus), so a
+    // left join from rC covers the whole probe domain; absent target
+    // cells smooth to ca = 0
+    val weights = rC.join(tC, Seq("bucket"), "left")
+      .select(F.col("bucket"), coalesce(F.col("ca"), lit(0L)).as("ca"), F.col("cb"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(F.col("bucket"),
+        (log((F.col("ca") + lit(1.0)) / (F.col("ta") + lit(buckets.toDouble)))
+          - log((F.col("cb") + lit(1.0)) / (F.col("tb") + lit(buckets.toDouble))))
+          .as("w"))
+    raw
+      .filter(F.col(textCol).isNotNull)
+      .select(F.col(idCol), explode(feats(F.col(textCol))).as("f"))
+      .select(F.col(idCol), bucketOf(F.col("f")).as("bucket"))
+      .join(broadcast(weights), "bucket")
+      .groupBy(F.col(idCol))
+      .agg(
+        count(lit(1)).as("n_features"),
+        sum(F.col("w").cast(DecimalType(38, 18))).as("score_exact"))
+  }
+
   /** Deterministic ~`fraction` sample keyed on a column's md5: a row is
     * kept iff the first 8 hex chars of md5(key) fall below the
     * fraction's threshold.

@@ -2062,6 +2062,56 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dsirScores == in-memory reference; target-like docs outrank unrelated ones") {
+    val target = Seq(
+      (100L, "gradient descent optimizer learning rate schedule warmup decay"),
+      (101L, "transformer attention heads layer norm residual stream"))
+      .toDF("doc_id", "text")
+    val rawRows = Seq(
+      (1L, "gradient descent learning rate and attention heads discussion"), // target-like
+      (2L, "optimizer schedule warmup decay residual stream analysis"), // target-like
+      (3L, "recipe for sourdough bread with rye flour and honey"),
+      (4L, "weather patterns in coastal regions during autumn storms"))
+    val raw = rawRows.toDF("doc_id", "text")
+    val got = SampleOps.dsirScores(raw, "doc_id", "text", target, "text")
+      .select($"doc_id", $"n_features", $"score_exact".cast("double"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // in-memory reference sharing no code: same features, same md5
+    // bucket, same smoothing
+    def toks(t: String) = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    def feats(t: String): Seq[String] = {
+      val tk = toks(t)
+      val uni = if (tk.isEmpty) Seq("") else tk.distinct
+      val bi = if (tk.size < 2) Seq(tk.mkString(" "))
+        else tk.sliding(2).map(_.mkString(" ")).toSeq.distinct
+      uni ++ bi
+    }
+    def bucket(f: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 8), 16) % 1024
+    }
+    val tCnt = Seq(
+      "gradient descent optimizer learning rate schedule warmup decay",
+      "transformer attention heads layer norm residual stream")
+      .flatMap(feats).map(bucket).groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val rCnt = rawRows.map(_._2).flatMap(feats).map(bucket)
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val (ta, tb) = (tCnt.values.sum, rCnt.values.sum)
+    for ((id, text) <- rawRows) {
+      val fs = feats(text)
+      val exp = fs.map { f =>
+        val b = bucket(f)
+        math.log((tCnt.getOrElse(b, 0L) + 1.0) / (ta + 1024.0)) -
+          math.log((rCnt(b) + 1.0) / (tb + 1024.0))
+      }.sum
+      assert(got(id)._1 === fs.size.toLong, s"doc $id n_features")
+      assert(math.abs(got(id)._2 - exp) <= 1e-9, s"doc $id score ${got(id)._2} vs $exp")
+    }
+    // the selection signal: both target-like docs beat both unrelated docs
+    assert(Seq(1L, 2L).map(got(_)._2).min > Seq(3L, 4L).map(got(_)._2).max)
+  }
+
   test("lsh index lifecycle: write/read roundtrip, probe finds planted dups, threshold holds") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
