@@ -743,6 +743,14 @@ object SparkEntry {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
     },
+    "docs_manifest" -> { (s, dir) =>
+      // the release step: per-shard integrity manifest over the
+      // balanced sharding - counts, volume, id range, and an
+      // order-independent XOR content fingerprint any engine replays
+      val sharded = graft.ops.ShardOps.balancedShards(
+        tbl(s, dir, "documents"), "n_chars", "doc_id", numShards = 16)
+      graft.ops.ShardOps.shardManifest(sharded, "doc_id", "text", "shard")
+    },
     "text_langid" -> { (s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
     },
@@ -2644,6 +2652,23 @@ object SparkEntry {
         |SELECT CAST(position % 16 AS INT) AS shard, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM r GROUP BY 1""".stripMargin,
+    "docs_manifest" ->
+      // same round-robin assignment as docs_shards, then the manifest
+      // aggregates incl. the XOR of per-doc md5-derived hashes (order-
+      // independent on both engines by XOR's commutativity)
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS position
+        |  FROM documents
+        |)
+        |SELECT CAST(position % 16 AS INT) AS shard,
+        |       count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS min_id,
+        |       max(doc_id) AS max_id,
+        |       bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT) AS content_hash
+        |FROM r WHERE text IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "text_langid" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -3793,7 +3818,8 @@ object SparkEntry {
         |         CASE WHEN value < 0.0 THEN -1
         |              WHEN value >= 1000.0 THEN 200
         |              ELSE least(CAST(floor((value - 0.0) / 5.0) AS INT), 199) END AS bin
-        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL
         |), cells AS (
         |  SELECT bin,
         |         count(*) FILTER (side = 'a') AS ca,
@@ -4064,7 +4090,8 @@ object SparkEntry {
       |              WHEN value >= 1000.0 THEN 200
       |              ELSE least(CAST(floor((value - 0.0) / 5.0) AS INT), 199) END AS bin,
       |         count(*) AS c
-      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |  FROM events
+      |  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL
       |  GROUP BY 1, 2
       |), ir AS (SELECT * FROM h WHERE bin >= 0 AND bin < 200),
       |cum AS (

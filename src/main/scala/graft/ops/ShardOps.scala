@@ -76,6 +76,41 @@ object ShardOps {
       .withColumn("shard", (F.col("position") % numShards).cast(IntegerType))
   }
 
+  /** Per-shard release manifest - the dataset-card / integrity step of
+    * publishing a corpus version: for each shard, the document count,
+    * byte volume, id range, and an ORDER-INDEPENDENT 64-bit content
+    * hash (XOR of per-document md5-derived hashes over id AND text, so
+    * any engine, any partitioning, and any row order produce the same
+    * fingerprint; changing, adding, or dropping a single document
+    * flips it). Two corpus versions diff by comparing manifest rows -
+    * shards-count rows, not corpora.
+    *
+    * One map-side-combined aggregation; XOR is commutative/associative
+    * so partial aggregation applies like any sum.
+    *
+    * Output: (shardCol, n_docs, total_chars, min_id, max_id,
+    * content_hash).
+    */
+  def shardManifest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shardCol: String
+  ): DataFrame = {
+    val docHash = F.conv(substring(
+        md5(concat_ws(":", F.col(idCol).cast(StringType), F.col(textCol))), 1, 15),
+      16, 10).cast(LongType)
+    df.filter(F.col(textCol).isNotNull)
+      .select(F.col(shardCol), F.col(idCol), F.col(textCol), docHash.as("h"))
+      .groupBy(F.col(shardCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(F.col(textCol))).as("total_chars"),
+        min(F.col(idCol)).as("min_id"),
+        max(F.col(idCol)).as("max_id"),
+        F.expr("bit_xor(h)").as("content_hash"))
+  }
+
   /** Length-bucketed batching: consecutive runs of `batchSize`
     * length-sorted documents form one batch, so every batch holds
     * near-equal-length sequences and the padded-token waste

@@ -150,7 +150,11 @@ object SketchOps {
     val bin = when(v < lit(lo), lit(-1))
       .when(v >= lit(hi), lit(bins))
       .otherwise(least(raw, lit(bins - 1)))
-    df.filter(v.isNotNull && groupCols.map(F.col(_).isNotNull).reduce(_ && _))
+    // NaN is dropped EXPLICITLY: Spark's comparisons send NaN to a null
+    // bin while other engines sort NaN above +inf into the overflow
+    // cell - silently divergent sketches. No bin is the honest answer.
+    df.filter(v.isNotNull && !isnan(v) &&
+        groupCols.map(F.col(_).isNotNull).reduce(_ && _))
       .select(groupCols.map(F.col) :+ bin.as("bin"): _*)
       .groupBy(groupCols.map(F.col) :+ F.col("bin"): _*)
       .agg(count(lit(1)).as("c"))

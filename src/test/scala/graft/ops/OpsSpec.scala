@@ -2062,6 +2062,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("shardManifest: partitioning-invariant fingerprint, single-doc change detection") {
+    val docs = Seq.tabulate(40)(i => (i.toLong, s"document body number $i with words", i % 4))
+      .toDF("id", "text", "shard")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      ShardOps.shardManifest(df, "id", "text", "shard")
+        .collect().map(_.toString).sorted.toSeq
+    val base = rows(docs)
+    // content hash is a pure function of the SET of documents: any
+    // repartitioning/row order produces the identical manifest
+    assert(rows(docs.repartition(7)) === base)
+    assert(rows(docs.orderBy($"text")) === base)
+    // one edited doc flips exactly its shard's fingerprint
+    val edited = docs.withColumn("text",
+      when($"id" === 5, lit("tampered content")).otherwise($"text"))
+    val diff = rows(edited).toSet.diff(base.toSet)
+    assert(diff.size === 1 && diff.head.startsWith("[1,"), s"expected shard 1 to flip: $diff")
+    // dropping a doc changes its shard's count AND hash
+    val dropped = rows(docs.filter($"id" =!= 6)).toSet.diff(base.toSet)
+    assert(dropped.size === 1 && dropped.head.startsWith("[2,"))
+  }
+
   test("dsirScores == in-memory reference; target-like docs outrank unrelated ones") {
     val target = Seq(
       (100L, "gradient descent optimizer learning rate schedule warmup decay"),
@@ -2280,6 +2301,7 @@ class OpsSpec extends SparkSpec {
       ("a", 5.0), // bin 1 (left-closed edges)
       ("a", 9.999999999999998), // just under hi -> clamped into last bin
       ("a", 10.0), ("a", 25.0), // overflow sentinel = bins
+      ("a", Double.NaN), // dropped: no bin is the honest answer
       ("b", 7.5)
     ).toDF("g", "v")
     val h = SketchOps.fixedHistogram(rows, "v", Seq("g"), lo = 0.0, hi = 10.0, bins = 2)
