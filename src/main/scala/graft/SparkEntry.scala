@@ -1835,6 +1835,14 @@ object SparkEntry {
       DedupOps.winnowPairs(tbl(s, dir, "documents"), "doc_id", "text",
         k = 8, w = 4, minShared = 8, maxFpDocFreq = 20)
     },
+    "docs_repeat_mix" -> { (s, dir) =>
+      // data-recipe repeat factors: src0 upweighted 2.5x, src1
+      // downsampled to 0.5x, everything else 1.0x - the realized copy
+      // set is a pure function of (doc_id, copy), zero shuffles
+      SampleOps.repeatMix(tbl(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.5))
+        .select(col("doc_id"), col("source"), col("copy"))
+    },
     "docs_dsir_select" -> { (s, dir) =>
       // DSIR data selection (Xie et al. 2023): rank the raw pool by
       // hashed-n-gram importance ratios against the src0 "target
@@ -3633,6 +3641,27 @@ object SparkEntry {
         |SELECT doc_id, source,
         |       row_number() OVER (ORDER BY target, source, doc_id) - 1 AS position
         |FROM t""".stripMargin,
+    "docs_repeat_mix" ->
+      // same floor-copies + md5-thresholded fractional tail; the two
+      // 0.5 thresholds interpolate from the SAME hexThreshold rule
+      s"""WITH f AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0
+        |              ELSE 1 END AS whole,
+        |         CASE WHEN source = 'src0' THEN '${SampleOps.hexThreshold(0.5)}'
+        |              WHEN source = 'src1' THEN '${SampleOps.hexThreshold(0.5)}'
+        |              ELSE '${SampleOps.hexThreshold(0.0)}' END AS thr
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, whole, thr,
+        |         unnest(generate_series(0, whole)) AS copy
+        |  FROM f
+        |)
+        |SELECT doc_id, source, CAST(copy AS INT) AS copy
+        |FROM c
+        |WHERE copy < whole
+        |   OR (copy = whole AND
+        |       substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)), 1, 8) < thr)""".stripMargin,
     "docs_dsir_select" ->
       // full DSIR replay: same distinct unigram+bigram presence
       // features (the shingle kernel's short-doc rule mirrored via

@@ -19,6 +19,50 @@ object SampleOps {
   private def md5U(keyCol: String): Column =
     conv(md5Prefix(keyCol), 16, 10).cast(LongType).cast(DoubleType)
 
+  /** Repeat-factor mixture materialization - the "books x2.5, web x1"
+    * step of an LLM data recipe: every document of stratum s appears
+    * floor(repeats(s)) times for sure, plus one md5-sampled extra copy
+    * with probability frac(repeats(s)) - so each stratum's expected
+    * volume multiplier is EXACTLY its configured factor, and the
+    * realized copy set is a pure function of (key, copy index):
+    * reproducible across runs, engines, and partitionings, and
+    * downstream `epochShuffle` on (key, copy) spreads the copies
+    * through the stream. Strata absent from the map keep factor 1.0;
+    * factors below 1 subsample (0 full copies, one md5-thresholded).
+    *
+    * Pure per-row expansion - no shuffle at all; the explode fans each
+    * row to at most ceil(factor) copies.
+    *
+    * Output: input columns + `copy` (0-based copy index).
+    */
+  def repeatMix(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      repeats: Map[String, Double]
+  ): DataFrame = {
+    require(repeats.values.forall(f => f >= 0.0 && f < 1000),
+      s"repeat factors must be in [0, 1000), got $repeats")
+    val s = F.col(strataCol).cast(StringType)
+    val inKeys = repeats.keys.toSeq.sorted
+    def chain(value: String => Column, dflt: Column): Column =
+      inKeys.foldRight(dflt) { case (k, e) => when(s === k, value(k)).otherwise(e) }
+    val whole = chain(k => lit(math.floor(repeats(k)).toInt), lit(1))
+    // per-stratum fractional-tail threshold, precomputed driver-side
+    // with the family-wide hexThreshold rule
+    val thr = chain(k => lit(hexThreshold(repeats(k) - math.floor(repeats(k)))),
+      lit(hexThreshold(0.0)))
+    df
+      .withColumn("__whole", whole)
+      .withColumn("__thr", thr)
+      .withColumn("copy", explode(sequence(lit(0), F.col("__whole"))))
+      .filter(F.col("copy") < F.col("__whole") ||
+        substring(md5(concat_ws(":",
+          F.col(keyCol).cast(StringType), F.col("copy").cast(StringType))), 1, 8)
+          < F.col("__thr"))
+      .drop("__whole", "__thr")
+  }
+
   /** Importance scoring for data selection a la DSIR (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling",
     * public): score every raw-pool document by how target-like its

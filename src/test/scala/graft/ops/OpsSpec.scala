@@ -2062,6 +2062,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("repeatMix: exact floor copies, thresholded tail, omitted strata keep 1.0") {
+    val docs = (1L to 400L).map(i => (i, Seq("a", "b", "c", "d")((i % 4).toInt)))
+      .toDF("id", "src")
+    val out = SampleOps.repeatMix(docs, "id", "src",
+        Map("a" -> 3.0, "b" -> 1.5, "c" -> 0.25, "d" -> 0.0))
+      .as[(Long, String, Int)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(bySrc("a") === 300L) // exactly 3 copies each of 100 docs
+    assert(bySrc.getOrElse("d", 0L) === 0L) // factor 0 drops the stratum
+    // fractional tails are approximately binomial around the factor
+    assert(bySrc("b") > 115 && bySrc("b") < 185, s"b=${bySrc("b")} for 1.5x of 100")
+    assert(bySrc("c") > 10 && bySrc("c") < 45, s"c=${bySrc("c")} for 0.25x of 100")
+    // copy indices within a doc are distinct and 0-based
+    val aCopies = out.filter(r => r._2 == "a" && r._1 == 4L).map(_._3).sorted.toSeq
+    assert(aCopies === Seq(0, 1, 2))
+    // pure function of (key, copy): identical on re-run and re-partition
+    val again = SampleOps.repeatMix(docs.repartition(13), "id", "src",
+        Map("a" -> 3.0, "b" -> 1.5, "c" -> 0.25, "d" -> 0.0))
+      .as[(Long, String, Int)].collect()
+    assert(again.sorted.toSeq === out.sorted.toSeq)
+    // a stratum missing from the map keeps exactly one copy
+    val dflt = SampleOps.repeatMix(docs, "id", "src", Map("a" -> 2.0))
+      .as[(Long, String, Int)].collect().groupBy(_._2).view.mapValues(_.length).toMap
+    assert(dflt("b") === 100 && dflt("c") === 100 && dflt("d") === 100 && dflt("a") === 200)
+  }
+
   test("shardManifest: partitioning-invariant fingerprint, single-doc change detection") {
     val docs = Seq.tabulate(40)(i => (i.toLong, s"document body number $i with words", i % 4))
       .toDF("id", "text", "shard")
