@@ -912,6 +912,14 @@ object SparkEntry {
         index, needles, "needle")
         .select(col("needle"), col("id").as("doc_id"))
     },
+    "dedup_lsh_audit" -> { (s, dir) =>
+      // measure-don't-guess: recall/precision of the banded MinHash
+      // pipeline vs exact Jaccard at the same threshold, on a
+      // deterministic half-corpus sample - how bands/numHashes get
+      // tuned before a corpus-wide run
+      DedupOps.lshAudit(tbl(s, dir, "documents"), "doc_id", "text",
+        sampleFraction = 0.5, threshold = 0.5)
+    },
     "dedup_incremental" -> { (s, dir) =>
       // the incremental-dedup lifecycle: sign + band the corpus once
       // into a persisted LSH index, then dedup a NEW crawl batch
@@ -2910,6 +2918,69 @@ object SparkEntry {
         |  FROM pairs JOIN sig sa ON id_a = sa.id JOIN sig sb ON id_b = sb.id
         |)
         |SELECT id_a, id_b, round(e, 6) AS est_jaccard FROM est WHERE e >= 0.5""".stripMargin,
+    "dedup_lsh_audit" ->
+      // composed replay: the md5 half-sample, the exact shingle
+      // Jaccard join, the full minhash/banding pipeline (16 bands of
+      // 4, no cap), and the audit arithmetic
+      s"""WITH coef(h, a, b) AS (VALUES ${coefValues(64, 42)}),
+        |samp AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  WHERE text IS NOT NULL
+        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${SampleOps.hexThreshold(0.5)}'
+        |), tk AS (
+        |  SELECT id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                         t -> t <> '') AS tk FROM samp
+        |), sh AS (
+        |  SELECT id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                                   FOR i IN generate_series(1, greatest(len(tk)-2, 1))])) AS sh
+        |  FROM tk
+        |), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        |  GROUP BY 1, 2
+        |), exact AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        |  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        |), hv AS (
+        |  SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647 AS s FROM sh
+        |), sigv AS (
+        |  SELECT id, h, min((a * s + b) % 2147483647) AS v
+        |  FROM hv CROSS JOIN coef GROUP BY 1, 2
+        |), sig AS (SELECT id, list(v ORDER BY h) AS sig FROM sigv GROUP BY 1),
+        |banded AS (
+        |  SELECT id, sig, band, sig[band*4+1 : band*4+4] AS bucket
+        |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band)
+        |), cand AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+        |), lsh AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT cand.id_a, cand.id_b,
+        |           len([i FOR i IN generate_series(1, 64) IF sa.sig[i] = sb.sig[i]]) / 64.0 AS e
+        |    FROM cand JOIN sig sa ON cand.id_a = sa.id JOIN sig sb ON cand.id_b = sb.id)
+        |  WHERE e >= 0.5
+        |), joined AS (
+        |  SELECT coalesce(e.id_a, l.id_a) AS id_a,
+        |         CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+        |         CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_lsh
+        |  FROM exact e FULL OUTER JOIN lsh l
+        |    ON e.id_a = l.id_a AND e.id_b = l.id_b
+        |), agg AS (
+        |  SELECT (SELECT count(*) FROM samp) AS n_docs,
+        |         CAST(sum(in_exact) AS BIGINT) AS n_exact,
+        |         CAST(sum(in_lsh) AS BIGINT) AS n_lsh,
+        |         CAST(sum(in_exact * in_lsh) AS BIGINT) AS n_both
+        |  FROM joined
+        |)
+        |SELECT n_docs, n_exact, n_lsh, n_both,
+        |       CASE WHEN n_exact > 0
+        |            THEN round(CAST(n_both AS DOUBLE) / n_exact, 6) END AS recall,
+        |       CASE WHEN n_lsh > 0
+        |            THEN round(CAST(n_both AS DOUBLE) / n_lsh, 6) END AS precision
+        |FROM agg""".stripMargin,
     "dedup_incremental" ->
       // full lifecycle replay: both sides' signatures from the same
       // md5 + affine-coefficient chain, 16 bands of 4 (the build's

@@ -592,6 +592,57 @@ object DedupOps {
       .filter(F.col("n_shared") >= minShared)
   }
 
+  /** LSH tuning audit - measure, don't guess: on a DETERMINISTIC
+    * md5-keyed sample of the corpus, run both the exact shingle
+    * Jaccard join and the banded MinHash pipeline at the same
+    * threshold and report recall (exact pairs the sketch found) and
+    * precision (sketch pairs that are exactly over threshold). This is
+    * how numHashes/bands/threshold get chosen for a 100-TB run: audit
+    * on the sample (quadratic cost bounded by the sample size), then
+    * apply the tuned parameters corpus-wide. The sample is a pure
+    * function of the id, so the audit is reproducible anywhere.
+    *
+    * Both sides read the same word-shingle definition, so the
+    * comparison is apples-to-apples; no skew cap is applied inside the
+    * audit (the sample is small by construction).
+    *
+    * Output: one row: (n_docs, n_exact, n_lsh, n_both, recall,
+    * precision) - recall/precision NULL when the denominator is 0.
+    */
+  def lshAudit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sampleFraction: Double,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleLen: Int = 3
+  ): DataFrame = {
+    val sample = SampleOps.deterministicSample(
+      df.filter(F.col(textCol).isNotNull), idCol, sampleFraction)
+      .localCheckpoint() // feeds both pipelines; keep them on ONE snapshot
+    val exact = jaccardPairs(sample, idCol, textCol, threshold,
+        shingleLen = shingleLen)
+      .select(F.col("id_a"), F.col("id_b"), lit(1).as("in_exact"))
+    val lsh = minhashLshPairs(sample, idCol, textCol, numHashes, bands,
+        shingleLen, threshold)
+      .select(F.col("id_a"), F.col("id_b"), lit(1).as("in_lsh"))
+    val n = sample.select(F.col(idCol)).distinct().count()
+    exact.join(lsh, Seq("id_a", "id_b"), "full")
+      .agg(
+        lit(n).as("n_docs"),
+        sum(coalesce(F.col("in_exact"), lit(0))).as("n_exact"),
+        sum(coalesce(F.col("in_lsh"), lit(0))).as("n_lsh"),
+        sum(when(F.col("in_exact").isNotNull && F.col("in_lsh").isNotNull, 1)
+          .otherwise(0)).as("n_both"))
+      .select(F.col("n_docs"), F.col("n_exact"), F.col("n_lsh"), F.col("n_both"),
+        when(F.col("n_exact") > 0,
+          round(F.col("n_both").cast(DoubleType) / F.col("n_exact"), 6)).as("recall"),
+        when(F.col("n_lsh") > 0,
+          round(F.col("n_both").cast(DoubleType) / F.col("n_lsh"), 6)).as("precision"))
+  }
+
   /** A persisted MinHash-LSH dedup index: the compact per-doc
     * signatures plus the exploded (id, band, bucket) membership table.
     * The lifecycle ([[lshBuild]] / [[lshWrite]] / [[lshRead]] /

@@ -110,7 +110,16 @@ object SampleOps {
       .select(bucketOf(F.col("f")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))
     val tC = bucketCounts(target, targetTextCol).withColumnRenamed("c", "ca")
-    val rC = bucketCounts(raw, textCol).withColumnRenamed("c", "cb")
+    // one definition feeds both the category counts and the scoring
+    // join. Each consumer recomputes the lazy explode (two feature
+    // passes total) - deliberately: materializing token-volume
+    // (id, bucket) rows to save a re-scan would cost more than the
+    // scan it saves, the bigramFluency trade
+    val docBuckets = raw
+      .filter(F.col(textCol).isNotNull)
+      .select(F.col(idCol), explode(feats(F.col(textCol))).as("f"))
+      .select(F.col(idCol), bucketOf(F.col("f")).as("bucket"))
+    val rC = docBuckets.groupBy("bucket").agg(count(lit(1)).as("cb"))
     val tTot = tC.agg(coalesce(sum("ca"), lit(0L)).as("ta"))
     val rTot = rC.agg(coalesce(sum("cb"), lit(0L)).as("tb"))
     // every bucket a raw doc can hit appears in rC (same corpus), so a
@@ -123,10 +132,7 @@ object SampleOps {
         (log((F.col("ca") + lit(1.0)) / (F.col("ta") + lit(buckets.toDouble)))
           - log((F.col("cb") + lit(1.0)) / (F.col("tb") + lit(buckets.toDouble))))
           .as("w"))
-    raw
-      .filter(F.col(textCol).isNotNull)
-      .select(F.col(idCol), explode(feats(F.col(textCol))).as("f"))
-      .select(F.col(idCol), bucketOf(F.col("f")).as("bucket"))
+    docBuckets
       .join(broadcast(weights), "bucket")
       .groupBy(F.col(idCol))
       .agg(

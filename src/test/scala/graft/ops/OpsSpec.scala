@@ -2159,6 +2159,34 @@ class OpsSpec extends SparkSpec {
     assert(Seq(1L, 2L).map(got(_)._2).min > Seq(3L, 4L).map(got(_)._2).max)
   }
 
+  test("lshAudit: perfect config scores 1.0, starved config shows recall < 1") {
+    // 30 near-dup pairs (~0.73 jaccard: 16 shared + 3 unique each) -
+    // comfortably above the 0.4 threshold for a healthy S-curve, still
+    // missable by a starved one - plus disjoint filler
+    val rnd = new scala.util.Random(67)
+    def words(n: Int, tag: String) = Seq.tabulate(n)(i => s"$tag${rnd.nextInt(500)}w$i")
+    val docs = (0 until 30).flatMap { p =>
+      val shared = words(16, s"s$p")
+      val a = (shared ++ words(3, s"a$p")).mkString(" ")
+      val b = (shared ++ words(3, s"b$p")).mkString(" ")
+      Seq((p * 2L, a), (p * 2L + 1, b))
+    } ++ (1000L until 1040L).map(i => (i, words(15, s"f$i").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    def audit(hashes: Int, bands: Int) =
+      DedupOps.lshAudit(df, "doc_id", "text", sampleFraction = 1.0,
+          threshold = 0.4, numHashes = hashes, bands = bands, shingleLen = 1)
+        .as[(Long, Long, Long, Long, Option[Double], Option[Double])].collect().head
+    val strong = audit(64, 16) // r=4: collision prob at j=0.4 per band ~2.5%, 16 bands
+    assert(strong._2 > 10, s"fixture must produce exact pairs, got ${strong._2}")
+    assert(strong._5.exists(_ >= 0.9), s"strong config recall ${strong._5}")
+    // starved: 16 hashes in 2 bands of 8 -> borderline pairs mostly missed
+    val weak = audit(16, 2)
+    assert(weak._5.exists(_ < strong._5.get),
+      s"starved recall ${weak._5} must drop below strong ${strong._5}")
+    // the audit never reports sketch pairs the exact join disowns as "both"
+    assert(weak._4 <= weak._2 && weak._4 <= weak._3)
+  }
+
   test("lsh index lifecycle: write/read roundtrip, probe finds planted dups, threshold holds") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
