@@ -183,6 +183,52 @@ object TextOps {
         .as("n_learned_tokens"))
   }
 
+  /** Lexical-diversity report per stratum (source, language, shard...):
+    * type-token ratio and distinct-bigram ratio - the standard cheap
+    * screens for template-generated or highly repetitive sources (a
+    * source whose TTR collapses against its peers is boilerplate or
+    * spam long before a human reads it), and the corpus-level
+    * complement of the per-document repetition score.
+    *
+    * Two explode+aggregate passes (tokens, bigrams WITH multiplicity -
+    * diversity is about repeated use, so no distinct-ing before the
+    * count); outputs are strata-sized.
+    *
+    * Output: (stratum, n_docs, n_tokens, n_types, ttr, n_bigrams,
+    * distinct_bigram_ratio) - ratios NULL for empty denominators.
+    */
+  def diversityByStratum(
+      df: DataFrame,
+      textCol: String,
+      strataCol: String
+  ): DataFrame = {
+    val base = df
+      .filter(F.col(textCol).isNotNull && F.col(strataCol).isNotNull)
+      .select(F.col(strataCol).as("stratum"),
+        graft.ops.DedupOps.tokens(F.col(textCol)).as("tks"))
+    val uni = base
+      .select(F.col("stratum"), explode(F.col("tks")).as("tok"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(F.col("tok")).as("n_types"))
+    val bi = base
+      .select(F.col("stratum"), explode(F.expr(
+        "CASE WHEN size(tks) >= 2 THEN transform(sequence(1, size(tks) - 1), " +
+          "i -> concat(tks[i-1], ' ', tks[i])) ELSE array() END")).as("bg"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_bigrams"), countDistinct(F.col("bg")).as("n_dbigrams"))
+    val nd = base.groupBy("stratum").agg(count(lit(1)).as("n_docs"))
+    nd.join(uni, Seq("stratum"), "left").join(bi, Seq("stratum"), "left")
+      .select(F.col("stratum"), F.col("n_docs"),
+        coalesce(F.col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(F.col("n_types"), lit(0L)).as("n_types"),
+        when(F.col("n_tokens") > 0,
+          round(F.col("n_types").cast(DoubleType) / F.col("n_tokens"), 6)).as("ttr"),
+        coalesce(F.col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(F.col("n_bigrams") > 0,
+          round(F.col("n_dbigrams").cast(DoubleType) / F.col("n_bigrams"), 6))
+          .as("distinct_bigram_ratio"))
+  }
+
   /** Tokenize to one row per (id, pos, token). */
   def tokenize(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(F.col(idCol), posexplode(DedupOps.tokens(F.col(textCol))).as(Seq("pos", "token")))

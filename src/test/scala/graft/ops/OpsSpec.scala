@@ -2159,6 +2159,26 @@ class OpsSpec extends SparkSpec {
     assert(Seq(1L, 2L).map(got(_)._2).min > Seq(3L, 4L).map(got(_)._2).max)
   }
 
+  test("diversityByStratum: hand-computed ratios, repetitive source collapses") {
+    val docs = Seq(
+      (1L, "spam spam spam spam", "tpl"), // 4 tokens 1 type; 3 bigrams 1 distinct
+      (2L, "spam spam", "tpl"), // 2 tokens; 1 bigram
+      (3L, "alpha beta gamma delta", "rich"), // all distinct
+      (4L, "epsilon zeta", "rich"),
+      (5L, "solo", "tiny"), // 1 token, no bigrams
+      (6L, null, "nulltext")
+    ).toDF("id", "text", "src")
+    val got = TextOps.diversityByStratum(docs, "text", "src")
+      .as[(String, Long, Long, Long, Option[Double], Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("tpl") === (("tpl", 2L, 6L, 1L, Some(0.166667), 4L, Some(0.25))))
+    assert(got("rich") === (("rich", 2L, 6L, 6L, Some(1.0), 4L, Some(1.0))))
+    assert(got("tiny") === (("tiny", 1L, 1L, 1L, Some(1.0), 0L, None)))
+    assert(!got.contains("nulltext")) // null text drops the row entirely
+    // the screen: template source's TTR collapses against the rich one
+    assert(got("tpl")._5.get < got("rich")._5.get)
+  }
+
   test("lshAudit: perfect config scores 1.0, starved config shows recall < 1") {
     // 30 near-dup pairs (~0.73 jaccard: 16 shared + 3 unique each) -
     // comfortably above the 0.4 threshold for a healthy S-curve, still
