@@ -2159,6 +2159,83 @@ class OpsSpec extends SparkSpec {
     assert(Seq(1L, 2L).map(got(_)._2).min > Seq(3L, 4L).map(got(_)._2).max)
   }
 
+  test("property: histogramQuantiles within one binWidth of the exact order statistic") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val (lo, hi, bins) = (0.0, 100.0, 16)
+    val w = (hi - lo) / bins
+    val dataGen = Gen.chooseNum(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10.0, 110.0))) // incl. out-of-range tails
+    val qGen = Gen.chooseNum(0.05, 1.0)
+    val prop = Prop.forAll(dataGen, qGen) { (vs: List[Double], q: Double) =>
+      val inRange = vs.filter(v => v >= lo && v < hi).sorted
+      inRange.isEmpty || {
+        val hist = SketchOps.fixedHistogram(
+          vs.map(("g", _)).toDF("g", "v"), "v", Seq("g"), lo, hi, bins)
+        val est = SketchOps.histogramQuantiles(hist, Seq("g"), Seq(q), lo, hi, bins)
+          .select("est").as[Double].head()
+        // exact rank-t order statistic bracket: the estimate must land
+        // within one bin of SOME value at the target rank
+        val t = q * inRange.size
+        val exact = inRange(math.max(0, math.ceil(t).toInt - 1))
+        math.abs(est - exact) <= w + 1e-9
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(40).withInitialSeed(Seed(7L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: bpeTrain == in-memory trainer on random small corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val wordGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpusGen = Gen.chooseNum(2, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 5).flatMap(m =>
+        Gen.listOfN(m, wordGen).map(_.mkString(" ")))))
+    def refTrain(texts: Seq[String], n: Int): Seq[(Int, String, String)] = {
+      val unitRe = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]".r
+      var state = texts.flatMap(t => unitRe.findAllIn(t.toLowerCase))
+        .groupBy(identity).toSeq
+        .map { case (u, us) => (u.map(_.toString).toVector, us.size.toLong) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+      var stop = false
+      while (out.size < n && !stop) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((toks, f) <- state; i <- 0 until toks.size - 1) {
+          val p = (toks(i), toks(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+        if (counts.isEmpty) stop = true
+        else {
+          val (l, r) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          out += ((out.size, l, r))
+          state = state.map { case (toks, f) =>
+            val nt = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < toks.size) {
+              if (i + 1 < toks.size && toks(i) == l && toks(i + 1) == r) {
+                nt += l + r; i += 2
+              } else { nt += toks(i); i += 1 }
+            }
+            (nt.toVector, f)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val prop = Prop.forAll(corpusGen) { (texts: List[String]) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = TextOps.bpeTrain(df, "text", numMerges = 3)
+        .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
+      got == refTrain(texts, 3)
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20).withInitialSeed(Seed(13L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("diversityByStratum: hand-computed ratios, repetitive source collapses") {
     val docs = Seq(
       (1L, "spam spam spam spam", "tpl"), // 4 tokens 1 type; 3 bigrams 1 distinct
