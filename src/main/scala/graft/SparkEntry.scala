@@ -1237,6 +1237,14 @@ object SparkEntry {
       // corpus - integer-argmax CDF divergence, one counts shuffle
       StatOps.ksDriftByStratum(tbl(s, dir, "documents"), "n_chars", "source")
     },
+    "events_mix_drift" -> { (s, dir) =>
+      // week-over-week traffic-mix monitor: PSI between consecutive
+      // weeks' event-type distributions; runs on the dense
+      // weeks x types frame, never corpus rows
+      val ev = events(s, dir)
+        .withColumn("wk", date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
+      StatOps.mixDriftByPeriod(ev, "wk", "event_type")
+    },
     "events_ks_binned" -> { (s, dir) =>
       // continuous-column drift: KS distance between the error events'
       // value distribution and everything else, both quantized through
@@ -3955,6 +3963,37 @@ object SparkEntry {
         |            THEN round((e.value - s.med) / (s.q3 - s.q1), 6) END AS robust_z
         |FROM events e JOIN stats s USING (event_type)
         |WHERE e.value IS NOT NULL""".stripMargin,
+    "events_mix_drift" ->
+      // dense weeks x types completion, epsilon-floored proportions,
+      // identical double chain, decimal-exact termwise sum
+      """WITH base AS (
+        |  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS period, event_type AS cat
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |), pc AS (SELECT period, cat, count(*) AS c FROM base GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT p.period, k.cat, coalesce(pc.c, 0) AS c
+        |  FROM (SELECT DISTINCT period FROM pc) p
+        |  CROSS JOIN (SELECT DISTINCT cat FROM pc) k
+        |  LEFT JOIN pc ON pc.period = p.period AND pc.cat = k.cat
+        |), tot AS (SELECT period, sum(c) AS n FROM pc GROUP BY 1),
+        |withn AS (
+        |  SELECT d.period, d.cat,
+        |         greatest(CAST(d.c AS DOUBLE) / CAST(t.n AS DOUBLE), 1.0E-6) AS p,
+        |         t.n
+        |  FROM dense d JOIN tot t USING (period)
+        |), ord AS (
+        |  SELECT period, lag(period) OVER (ORDER BY period) AS prev_period FROM tot
+        |), terms AS (
+        |  SELECT o.period, o.prev_period, c.n AS n_curr, pr.n AS n_prev,
+        |         CAST((c.p - pr.p) * ln(c.p / pr.p) AS DECIMAL(38,18)) AS term
+        |  FROM ord o
+        |  JOIN withn c ON c.period = o.period
+        |  JOIN withn pr ON pr.period = o.prev_period AND pr.cat = c.cat
+        |  WHERE o.prev_period IS NOT NULL
+        |)
+        |SELECT period, prev_period, n_curr, n_prev,
+        |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY 1, 2, 3, 4""".stripMargin,
     "events_ks_binned" ->
       // binned-KS replay: same bin arithmetic as the quantile chain,
       // same integer cross-multiplied CDF gap (HUGEINT vs the engine's

@@ -151,6 +151,60 @@ object StatOps {
           / (F.col("n_a").cast(DoubleType) * F.col("n_b").cast(DoubleType)), 6).as("ks"))
   }
 
+  /** Categorical mix drift between CONSECUTIVE periods: for every
+    * period after the first, the PSI between its category distribution
+    * (event types, sources, languages...) and the previous period's -
+    * the "did this week's traffic mix shift" monitor, the categorical
+    * companion to [[psiFromHistograms]]' numeric snapshots.
+    *
+    * The corpus reduces map-side to (period, category) counts;
+    * everything after runs on the dense periods x categories frame
+    * (absent cells epsilon-floor like the histogram PSI, so a category
+    * appearing or vanishing registers as drift instead of dividing by
+    * zero). The period ordering window runs over the PERIODS frame -
+    * bounded by the number of periods, never the corpus.
+    *
+    * Output: (period, prev_period, n_curr, n_prev, psi), one row per
+    * period with a predecessor.
+    */
+  def mixDriftByPeriod(
+      df: DataFrame,
+      periodCol: String,
+      catCol: String,
+      eps: Double = 1e-6
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(F.col(periodCol).isNotNull && F.col(catCol).isNotNull)
+      .select(F.col(periodCol).as("period"), F.col(catCol).as("cat"))
+    val pc = base.groupBy("period", "cat").agg(count(lit(1)).as("c"))
+    val dense = pc.select("period").distinct()
+      .crossJoin(pc.select("cat").distinct())
+      .join(pc, Seq("period", "cat"), "left")
+      .withColumn("c", coalesce(F.col("c"), lit(0L)))
+    val totals = pc.groupBy("period").agg(sum("c").as("n"))
+    // predecessor per period: a lag over the period list (period-count
+    // rows - the single partition is bounded and deliberate)
+    val order = totals.select(F.col("period"),
+      lag("period", 1).over(Window.orderBy("period")).as("prev_period"))
+      .filter(F.col("prev_period").isNotNull)
+    val withN = dense.join(broadcast(totals), "period")
+      .select(F.col("period"), F.col("cat"),
+        greatest(F.col("c").cast(DoubleType) / F.col("n").cast(DoubleType), lit(eps))
+          .as("p"),
+        F.col("n"))
+    order
+      .join(withN.select(F.col("period"), F.col("cat"),
+        F.col("p").as("p_curr"), F.col("n").as("n_curr")), "period")
+      .join(withN.select(F.col("period").as("prev_period"), F.col("cat"),
+        F.col("p").as("p_prev"), F.col("n").as("n_prev")), Seq("prev_period", "cat"))
+      .select(F.col("period"), F.col("prev_period"), F.col("n_curr"), F.col("n_prev"),
+        ((F.col("p_curr") - F.col("p_prev")) * log(F.col("p_curr") / F.col("p_prev")))
+          .cast(DecimalType(38, 18)).as("term"))
+      .groupBy("period", "prev_period", "n_curr", "n_prev")
+      .agg(round(sum("term").cast(DoubleType), 6).as("psi"))
+  }
+
   /** Population stability index between per-stratum histograms built by
     * [[SketchOps.fixedHistogram]] - the standard "did the distribution
     * move between snapshot A and snapshot B" score over PRE-AGGREGATED

@@ -2159,6 +2159,25 @@ class OpsSpec extends SparkSpec {
     assert(Seq(1L, 2L).map(got(_)._2).min > Seq(3L, 4L).map(got(_)._2).max)
   }
 
+  test("mixDriftByPeriod: stable mix ~0, shifted mix registers, vanished category floors") {
+    val rows =
+      Seq.fill(50)(("w1", "click")) ++ Seq.fill(50)(("w1", "view")) ++
+      Seq.fill(60)(("w2", "click")) ++ Seq.fill(60)(("w2", "view")) ++ // same 50/50 mix
+      Seq.fill(99)(("w3", "click")) ++ Seq.fill(1)(("w3", "view")) // collapsed mix
+    val got = StatOps.mixDriftByPeriod(rows.toDF("wk", "et"), "wk", "et")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("w2", "w3"))
+    assert(got("w2") === (("w2", "w1", 120L, 100L, 0.0))) // identical proportions
+    assert(got("w3")._5 > 1.0, s"mix collapse must register, got ${got('w'+"3")._5}")
+    // a category present before but absent now floors to eps, not a crash
+    val vanish = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(20)(("b", "x"))).toDF("wk", "et")
+    val v = StatOps.mixDriftByPeriod(vanish, "wk", "et")
+      .as[(String, String, Long, Long, Double)].collect().head
+    assert(v._1 === "b" && v._5 > 1.0)
+  }
+
   test("property: histogramQuantiles within one binWidth of the exact order statistic") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.rng.Seed
