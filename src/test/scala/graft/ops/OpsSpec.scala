@@ -2109,6 +2109,21 @@ class OpsSpec extends SparkSpec {
     assert(dropped.size === 1 && dropped.head.startsWith("[2,"))
   }
 
+  test("degenerate inputs: empty LSH index probes empty; empty DSIR target stays defined") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val idx = DedupOps.lshBuild(empty, "doc_id", "text")
+    val batch = Seq((1L, "anything at all here")).toDF("doc_id", "text")
+    assert(DedupOps.lshProbe(idx, batch, "doc_id", "text").isEmpty)
+    // an empty target corpus: every bucket smooths to ca = 0, scores are
+    // finite and uniform-ish (pure -ln p_raw shape), never NULL/NaN
+    val raw = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val scores = SampleOps.dsirScores(raw, "doc_id", "text", empty, "text")
+      .select($"doc_id", $"score_exact".cast("double"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores.keySet === Set(1L, 2L))
+    assert(scores.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("dsirScores == in-memory reference; target-like docs outrank unrelated ones") {
     val target = Seq(
       (100L, "gradient descent optimizer learning rate schedule warmup decay"),
