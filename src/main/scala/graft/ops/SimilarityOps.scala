@@ -145,6 +145,67 @@ object SimilarityOps {
         round(F.col("cosine_sim"), 6).as("cosine_sim"))
   }
 
+  /** The corpus-scale path of [[hardNegatives]]: candidates come from
+    * the anchor's LSH bucket(s) instead of the full corpus - the
+    * label-inequality filter and deterministic top-k re-rank are
+    * identical, only the candidate pass changes (hash-bucket equi-join,
+    * no broadcast nested loop over everything). Mining is
+    * recall-tolerant by definition - a missed hard negative is a
+    * slightly easier one - so the LSH recall/bits trade (multi-probe
+    * recovers across-one-hyperplane misses) applies unchanged;
+    * OpsSpec pins recall against the exact miner.
+    *
+    * Output schema matches [[hardNegatives]].
+    */
+  def hardNegativesApprox(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      anchors: DataFrame,
+      k: Int,
+      dim: Int,
+      bits: Int = 8,
+      seed: Long = 42L,
+      multiProbe: Boolean = true
+  ): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val cb = OpsUtil.spread(corpus).select(
+      F.col(idCol).as("neighbor_id"),
+      F.col(labelCol).as("neighbor_label"),
+      F.col(vecCol).as("cv"),
+      norm(F.col(vecCol)).as("cn"),
+      lshBucket(F.col(vecCol), dim, bits, seed).as("bucket"))
+    val exact = lshBucket(F.col(vecCol), dim, bits, seed)
+    val probeBuckets =
+      if (!multiProbe) array(exact)
+      else array(exact +: (0 until bits).map(i => exact.bitwiseXOR(lit(1L << i))): _*)
+    val qb = broadcast(anchors.select(
+      F.col(idCol).as("anchor_id"),
+      F.col(labelCol).as("anchor_label"),
+      F.col(vecCol).as("qv"),
+      norm(F.col(vecCol)).as("qn"),
+      explode(probeBuckets).as("bucket")))
+    val joined = cb
+      .join(qb, Seq("bucket"))
+      .filter(F.col("anchor_label") =!= F.col("neighbor_label"))
+    val cand =
+      if (multiProbe) joined.dropDuplicates("anchor_id", "neighbor_id") else joined
+    val w = Window
+      .partitionBy("anchor_id")
+      .orderBy(F.col("cosine_sim").desc, F.col("neighbor_id").asc)
+    cand
+      .withColumn("cosine_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select(
+        F.col("anchor_id"),
+        F.col("neighbor_id"),
+        F.col("neighbor_label"),
+        F.col("rank").cast(IntegerType).as("rank"),
+        round(F.col("cosine_sim"), 6).as("cosine_sim"))
+  }
+
   /** Sign-pattern bucket id from `bits` fixed random hyperplanes
     * (deterministic in `seed` and the vector dimension `dim`). Native
     * codegen expression; plane matrix generated once per JVM, in the

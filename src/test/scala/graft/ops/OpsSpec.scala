@@ -2373,6 +2373,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hardNegativesApprox: LSH candidates keep recall vs the exact miner, labels hold") {
+    val rnd = new scala.util.Random(91)
+    // clustered vectors so buckets carry real structure
+    val centers = Array.fill(6)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = Seq.tabulate(300) { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat), i % 3)
+    }
+    val df = vecs.toDF("id", "v", "lab")
+    val anchors = df.filter($"id" < 12)
+    val exact = SimilarityOps.hardNegatives(df, "id", "v", "lab", anchors, k = 5)
+      .as[(Long, Long, Int, Int, Double)].collect()
+    val approx = SimilarityOps.hardNegativesApprox(df, "id", "v", "lab", anchors,
+        k = 5, dim = 16, bits = 4)
+      .as[(Long, Long, Int, Int, Double)].collect()
+    val labels = vecs.map(v => v._1 -> v._3).toMap
+    assert(approx.nonEmpty && approx.forall { case (a, n, nl, _, _) =>
+      labels(a) != nl && labels(n) == nl })
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val approxSet = approx.map(r => (r._1, r._2)).toSet
+    val recall = (exactSet & approxSet).size.toDouble / exactSet.size
+    assert(recall >= 0.6, s"approx recall $recall vs exact miner")
+  }
+
   test("lengthBucketedBatches: contiguous length runs, exact sizes, waste below a shuffled cut") {
     val rnd = new scala.util.Random(41)
     val docs = Seq.tabulate(100)(i => (i.toLong, 10L + rnd.nextInt(500))).toDF("id", "len")
