@@ -765,7 +765,10 @@ object DedupOps {
     * touched.
     *
     * Output: (new_id, dup_of, est_jaccard) - one row per new doc that
-    * has a near-dup in the corpus.
+    * has a near-dup in the corpus. Scope is batch-vs-CORPUS by
+    * design; duplicates WITHIN the new batch are found by running
+    * [[minhashLshPairs]] on the (small) batch itself before or after
+    * the probe - the two compose, they don't overlap.
     */
   def lshProbe(
       index: LshIndex,
