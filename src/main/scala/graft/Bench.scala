@@ -53,8 +53,11 @@ object Bench {
     // apart, and whole runs inflating ~3x under host contention), and
     // the min is the standard way to report the achievable time of a
     // deterministic computation under external noise. When the two runs
-    // disagree by more than 1.5x - the signature of a contention spike,
-    // not of the query - one extra run buys a better minimum.
+    // disagree by more than 1.25x - the signature of a contention
+    // spike, not of the query - one extra run buys a better minimum
+    // (threshold tuned down from 1.5x: round-7 cross-round diffs showed
+    // spurious 30-60% "regressions" whose re-runs landed between the
+    // two readings, i.e. pairs that disagreed 1.3-1.5x and got no probe).
     val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drop the previous query's residue (checkpoint RDDs, broadcast
       // blocks held only by dead references) BEFORE timing, so query N
@@ -73,7 +76,7 @@ object Bench {
       // failed: only its (successful) timing is taken, never its status -
       // but it must not vanish either, so the query lands in "flaky"
       val probe =
-        if (base.forall(_._2) && base.map(_._1).max > 1.5 * base.map(_._1).min)
+        if (base.forall(_._2) && base.map(_._1).max > 1.25 * base.map(_._1).min)
           Some(timed())
         else None
       val flaky = probe.exists(!_._2)

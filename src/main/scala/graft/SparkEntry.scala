@@ -1209,6 +1209,17 @@ object SparkEntry {
       SketchOps.histogramQuantiles(hist, Seq("event_type"),
         Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 1000.0, bins = 200)
     },
+    "events_quantiles_auto" -> { (s, dir) =>
+      // first-contact percentiles on a column whose range nobody
+      // pre-knows: each event type's bin edges derive from its OWN
+      // [min, max] (one extra map-side min/max pass, broadcast back),
+      // then the same cumulative -> interpolation chain as
+      // events_quantiles - the unknown-range gap in the drift suite
+      val ev = events(s, dir)
+      val hist = SketchOps.fixedHistogramAuto(ev, "value", Seq("event_type"), bins = 20)
+      SketchOps.histogramQuantilesAuto(hist, Seq("event_type"),
+        Seq(0.25, 0.5, 0.9, 0.99), bins = 20)
+    },
     "events_robust_scale" -> { (s, dir) =>
       // robust standardization (median/IQR instead of mean/std - the
       // outlier-immune scaler): per-type quartiles come from the
@@ -1949,13 +1960,13 @@ object SparkEntry {
   // text_quality and docs_weighted_sample oracles (expects CTE columns
   // `text` and tokenized `tk`) so the two replays can never drift
   private val qualityScoreSql: String =
-    """round(CASE WHEN len(tk) BETWEEN 20 AND 5000 THEN 0.25 ELSE 0 END
+    """CAST(round(CASE WHEN len(tk) BETWEEN 20 AND 5000 THEN 0.25 ELSE 0 END
       |    + CASE WHEN length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE / len(tk)
       |                BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END
       |    + CASE WHEN (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')))::DOUBLE
       |                / greatest(length(text), 1) >= 0.8 THEN 0.25 ELSE 0 END
       |    + CASE WHEN len(list_distinct(tk))::DOUBLE / greatest(len(tk), 1) >= 0.3
-      |           THEN 0.25 ELSE 0 END, 2)""".stripMargin
+      |           THEN 0.25 ELSE 0 END, 2) AS DOUBLE)""".stripMargin
 
   // the weighted-sample keep predicate (expects columns doc_id and
   // quality_score in scope) - shared by docs_weighted_sample and the
@@ -2525,8 +2536,8 @@ object SparkEntry {
         |       count(*) AS n_docs,
         |       min(n_chars) AS min_len,
         |       max(n_chars) AS max_len,
-        |       sum(n_chars) AS sum_len,
-        |       max(n_chars) * count(*) - sum(n_chars) AS padding_waste
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_len,
+        |       CAST(max(n_chars) * count(*) - sum(n_chars) AS BIGINT) AS padding_waste
         |FROM o GROUP BY 1""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
@@ -3946,6 +3957,39 @@ object SparkEntry {
         |JOIN (SELECT event_type, wk, count(DISTINCT user_id) AS n_exact
         |      FROM ev GROUP BY 1, 2) x USING (event_type, wk)""".stripMargin,
     "events_quantiles" -> histQuantileOracleSql("[0.5, 0.9, 0.99]"),
+    "events_quantiles_auto" ->
+      // unknown-range replay: per-type [min, max] edges derived in
+      // SQL, the same sub/sub/div/div/floor bin chain, the same
+      // cumulative -> interpolation arithmetic; constant groups
+      // (hi = lo) pin every estimate at lo exactly
+      """WITH clean AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL
+        |), ed AS (
+        |  SELECT event_type, min(v) AS lo, max(v) AS hi FROM clean GROUP BY 1
+        |), h AS (
+        |  SELECT c.event_type,
+        |         CASE WHEN ed.hi = ed.lo THEN 0
+        |              ELSE least(CAST(floor((c.v - ed.lo)
+        |                                    / ((ed.hi - ed.lo) / 20.0)) AS INT), 19) END AS bin,
+        |         ed.lo, ed.hi, count(*) AS c
+        |  FROM clean c JOIN ed USING (event_type)
+        |  GROUP BY 1, 2, 3, 4
+        |), cum AS (
+        |  SELECT event_type, bin, lo, hi, c,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        |  FROM h
+        |), tot AS (SELECT event_type, sum(c) AS n FROM h GROUP BY 1),
+        |tq AS (
+        |  SELECT event_type, n, q, q * n AS t
+        |  FROM tot CROSS JOIN (SELECT unnest([0.25, 0.5, 0.9, 0.99]::DOUBLE[]) AS q)
+        |)
+        |SELECT tq.event_type, tq.q,
+        |       round(cum.lo + (cum.bin + (tq.t - (cum.cum - cum.c)) / cum.c)
+        |             * ((cum.hi - cum.lo) / 20.0), 6) AS est
+        |FROM tq JOIN cum USING (event_type)
+        |WHERE (cum.cum - cum.c) < tq.t AND tq.t <= cum.cum""".stripMargin,
     "events_robust_scale" ->
       // same quantile CTE chain (shared builder - the two replays
       // cannot drift), pivoted to per-type quartiles, broadcast-shaped
@@ -3984,7 +4028,8 @@ object SparkEntry {
         |), ord AS (
         |  SELECT period, lag(period) OVER (ORDER BY period) AS prev_period FROM tot
         |), terms AS (
-        |  SELECT o.period, o.prev_period, c.n AS n_curr, pr.n AS n_prev,
+        |  SELECT o.period, o.prev_period,
+        |         CAST(c.n AS BIGINT) AS n_curr, CAST(pr.n AS BIGINT) AS n_prev,
         |         CAST((c.p - pr.p) * ln(c.p / pr.p) AS DECIMAL(38,18)) AS term
         |  FROM ord o
         |  JOIN withn c ON c.period = o.period
@@ -4015,7 +4060,8 @@ object SparkEntry {
         |         sum(ca) OVER (ORDER BY bin) AS cum_a,
         |         sum(cb) OVER (ORDER BY bin) AS cum_b
         |  FROM cells
-        |), tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM cells),
+        |), tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |                  CAST(sum(cb) AS BIGINT) AS n_b FROM cells),
         |diffs AS (
         |  SELECT c.bin, t.n_a, t.n_b,
         |         abs(c.cum_a::HUGEINT * t.n_b::HUGEINT
@@ -4026,7 +4072,7 @@ object SparkEntry {
         |         row_number() OVER (ORDER BY diff DESC, bin ASC) AS rk
         |  FROM diffs
         |)
-        |SELECT n_a, n_b, bin AS ks_at_bin,
+        |SELECT n_a, n_b, CAST(bin AS INT) AS ks_at_bin,
         |       round(CAST(diff AS DOUBLE)
         |             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks
         |FROM best WHERE rk = 1""".stripMargin,
@@ -4050,8 +4096,8 @@ object SparkEntry {
         |         sum(cs) OVER (PARTITION BY stratum ORDER BY v) AS cum_s,
         |         sum(cg) OVER (PARTITION BY stratum ORDER BY v) AS cum_g
         |  FROM dense
-        |), tot AS (SELECT stratum, sum(cs) AS n_s FROM sv GROUP BY 1),
-        |grand AS (SELECT sum(cg) AS n_g FROM gv),
+        |), tot AS (SELECT stratum, CAST(sum(cs) AS BIGINT) AS n_s FROM sv GROUP BY 1),
+        |grand AS (SELECT CAST(sum(cg) AS BIGINT) AS n_g FROM gv),
         |diffs AS (
         |  SELECT c.stratum, c.v, t.n_s, g.n_g - t.n_s AS n_rest,
         |         abs(c.cum_s::HUGEINT * (g.n_g - t.n_s)::HUGEINT
@@ -4083,7 +4129,8 @@ object SparkEntry {
         |  SELECT coalesce(ha.bin, hb.bin) AS bin,
         |         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
         |  FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin
-        |), tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM cells),
+        |), tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |                  CAST(sum(cb) AS BIGINT) AS n_b FROM cells),
         |terms AS (
         |  SELECT t.n_a, t.n_b,
         |         CAST((greatest(CAST(ca AS DOUBLE) / CAST(t.n_a AS DOUBLE), 1.0E-6)
@@ -4229,26 +4276,35 @@ object SparkEntry {
       bpeMerges.zipWithIndex
         .map { case ((a, b), r) => s"WHEN ${sq(a + " " + b)} THEN $r" }
         .mkString(" ") + " END"
-    val bestPos = s"list_indexof(list_transform(range(1, len(toks)), i -> $rankCase), " +
-      s"list_min(list_transform(range(1, len(toks)), i -> $rankCase)))"
-    s"""units AS (
+    // the rank list is projected ONCE per row (subquery), then min and
+    // leftmost-index read off it - with a REALISTIC table (thousands of
+    // ranks) the interpolated CASE is the dominant cost and must not be
+    // expanded twice per position; MATERIALIZED on every non-recursive
+    // CTE keeps a downstream consumer (the packing replay) from
+    // re-inlining the whole merge recursion per reference
+    val bestPos = "list_indexof(rks, list_min(rks))"
+    // plain concatenation, NOT String.format: a '%' character can
+    // legitimately appear as a single-punctuation merge operand
+    def withRks(src: String) = s"SELECT u, toks, $bestPos AS p FROM (" +
+      s"SELECT u, toks, list_transform(range(1, len(toks)), i -> $rankCase) AS rks FROM $src)"
+    s"""units AS MATERIALIZED (
       |  SELECT doc_id,
       |         unnest(regexp_extract_all(lower(text),
       |                '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]')) AS u
       |  FROM documents WHERE text IS NOT NULL
-      |), du AS (
+      |), du AS MATERIALIZED (
       |  SELECT DISTINCT u FROM units
       |), bpe(u, toks) AS (
       |  SELECT u, regexp_extract_all(u, '.') FROM du
       |  UNION ALL
       |  SELECT u, toks[1:p-1] || [toks[p] || toks[p+1]] || toks[p+2:len(toks)]
-      |  FROM (SELECT u, toks, $bestPos AS p FROM bpe)
+      |  FROM (${withRks("bpe")})
       |  WHERE p IS NOT NULL
-      |), term AS (
+      |), term AS MATERIALIZED (
       |  SELECT u, len(toks) AS n
-      |  FROM (SELECT u, toks, $bestPos AS p FROM bpe)
+      |  FROM (${withRks("bpe")})
       |  WHERE p IS NULL
-      |), perdoc AS (
+      |), perdoc AS MATERIALIZED (
       |  SELECT uu.doc_id, sum(t.n) AS n
       |  FROM units uu JOIN term t USING (u)
       |  GROUP BY 1
@@ -4341,8 +4397,14 @@ object SparkEntry {
         |  FROM (SELECT u, f, toks, $posExpr AS p FROM m$r CROSS JOIN b$r)
         |  WHERE p IS NOT NULL
         |), st$r AS MATERIALIZED (
+        |  -- LEFT JOIN, not CROSS JOIN: when the corpus exhausts
+        |  -- mergeable pairs before round $r, b$r is empty and a cross
+        |  -- join would collapse every later state (and the apply
+        |  -- replay's st8 join) to zero rows; with the left join the
+        |  -- pair columns are NULL, p is NULL, and the state passes
+        |  -- through unchanged - matching the engine's early stop
         |  SELECT u, f, toks
-        |  FROM (SELECT u, f, toks, $posExpr AS p FROM m$r CROSS JOIN b$r)
+        |  FROM (SELECT u, f, toks, $posExpr AS p FROM m$r LEFT JOIN b$r ON true)
         |  WHERE p IS NULL
         |)""".stripMargin
     }

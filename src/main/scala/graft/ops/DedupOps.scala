@@ -629,7 +629,7 @@ object DedupOps {
         shingleLen, threshold)
       .select(F.col("id_a"), F.col("id_b"), lit(1).as("in_lsh"))
     val n = sample.select(F.col(idCol)).distinct().count()
-    exact.join(lsh, Seq("id_a", "id_b"), "full")
+    val audit = exact.join(lsh, Seq("id_a", "id_b"), "full")
       .agg(
         lit(n).as("n_docs"),
         sum(coalesce(F.col("in_exact"), lit(0))).as("n_exact"),
@@ -641,6 +641,13 @@ object DedupOps {
           round(F.col("n_both").cast(DoubleType) / F.col("n_exact"), 6)).as("recall"),
         when(F.col("n_lsh") > 0,
           round(F.col("n_both").cast(DoubleType) / F.col("n_lsh"), 6)).as("precision"))
+    // the score is ONE row: materialize it now so the checkpointed
+    // sample's storage blocks can be released immediately, instead of
+    // leaking for the process lifetime on every audit call
+    val result = audit.collect().toSeq
+    OpsUtil.unpersistCheckpoint(sample)
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(result, 1), audit.schema)
   }
 
   /** A persisted MinHash-LSH dedup index: the compact per-doc

@@ -117,8 +117,9 @@ object MultimodalOps {
 
   /** STUB feature extraction: 16-bin byte histogram normalized to [0,1] -
     * the deterministic stand-in for an embedding model. Real models slot
-    * in here (ONNX/JNI call per batch); the batching shape is what
-    * matters: one model session per PARTITION, amortized over rows.
+    * in through [[FeatureModel]] (ONNX/JNI call per batch); the batching
+    * shape is what matters: one model session per PARTITION, amortized
+    * over rows.
     */
   def extractFeatures(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
@@ -130,6 +131,45 @@ object MultimodalOps {
       while (b < 16) { hist(b) /= n; b += 1 }
     }
     hist
+  }
+
+  /** The embedding-model contract for [[decodeAndFeaturize]]: a factory
+    * (serialized to executors) that opens ONE [[FeatureSession]] per
+    * partition. This is the seam a real encoder plugs into with zero
+    * plan changes - the Spark side (schema, mapPartitions batching,
+    * session lifecycle) is identical whether the session wraps the
+    * byte-histogram stand-in or an ONNX runtime holding GPU buffers.
+    */
+  trait FeatureModel extends Serializable {
+    /** Open a session. Called once per partition, on the executor;
+      * expensive setup (model load, device context) belongs here.
+      */
+    def openSession(): FeatureSession
+  }
+
+  /** One partition's model session: embeds payload BATCHES (bounded by
+    * [[decodeAndFeaturize]]'s `batchSize`), so a real runtime amortizes
+    * per-invocation overhead across `batchSize` rows and controls its
+    * peak device memory. Must return exactly one vector per payload,
+    * in order. Closed when the partition's rows are exhausted AND on
+    * task completion (belt-and-braces - a downstream `limit` can stop
+    * consuming mid-partition).
+    */
+  trait FeatureSession extends AutoCloseable {
+    def embedBatch(payloads: Array[Array[Byte]]): Array[Array[Float]]
+  }
+
+  /** Default model: the deterministic byte-histogram stand-in, wrapped
+    * in the same session lifecycle a real encoder uses - so swapping in
+    * a real model changes feature VALUES only, never the plan or the
+    * output schema.
+    */
+  object ByteHistogramModel extends FeatureModel {
+    def openSession(): FeatureSession = new FeatureSession {
+      def embedBatch(payloads: Array[Array[Byte]]): Array[Array[Float]] =
+        payloads.map(extractFeatures)
+      def close(): Unit = ()
+    }
   }
 
   /** A minimal REAL PNG header - the 8-byte signature plus the IHDR
@@ -178,11 +218,22 @@ object MultimodalOps {
         width.cast(StringType), lit("x"), height.cast(StringType))))
   }
 
-  /** Batched decode pass: mapPartitions so per-partition setup (a real
-    * decoder context) happens once per task, not once per row. Output:
-    * media frame columns + (width, height, format, features).
+  /** Batched decode + embed pass: mapPartitions opens ONE
+    * [[FeatureModel]] session per partition (a real decoder/model
+    * context loads once per task, not once per row), then feeds the
+    * partition's payloads through it in `batchSize`-bounded batches -
+    * the invocation shape a real inference runtime needs for
+    * amortization and device-memory control. Header decode
+    * ([[decodeImageMeta]]) stays per-row (it is a cheap pure function);
+    * the model session owns only the feature half. Output: media frame
+    * columns + (width, height, format, features).
     */
-  def decodeAndFeaturize(media: DataFrame): DataFrame = {
+  def decodeAndFeaturize(
+      media: DataFrame,
+      model: FeatureModel = ByteHistogramModel,
+      batchSize: Int = 64
+  ): DataFrame = {
+    require(batchSize > 0, s"need positive batchSize, got $batchSize")
     val spark = media.sparkSession
     val outSchema = StructType(media.schema.fields.filterNot(_.name == "payload") ++ Seq(
       StructField("width", IntegerType),
@@ -192,15 +243,23 @@ object MultimodalOps {
     ))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.mapPartitions { rows =>
-      // real impl: open decoder/model session here, once per partition
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val (w, h, fmt) = decodeImageMeta(payload)
-        val feats = extractFeatures(payload)
-        Row.fromSeq(
-          r.toSeq.zip(r.schema.fieldNames).collect { case (v, n) if n != "payload" => v } ++
-            Seq(w, h, fmt, feats.toSeq)
-        )
+      val session = model.openSession()
+      // a downstream limit can abandon the iterator mid-partition, so
+      // closing on exhaustion alone would leak the session
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => session.close())
+      rows.grouped(batchSize).flatMap { chunk =>
+        val feats = session.embedBatch(chunk.map(_.getAs[Array[Byte]]("payload")).toArray)
+        require(feats.length == chunk.size,
+          s"FeatureSession returned ${feats.length} vectors for ${chunk.size} payloads")
+        chunk.lazyZip(feats).map { (r, f) =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (w, h, fmt) = decodeImageMeta(payload)
+          Row.fromSeq(
+            r.toSeq.zip(r.schema.fieldNames).collect { case (v, n) if n != "payload" => v } ++
+              Seq(w, h, fmt, f.toSeq)
+          )
+        }
       }
     }(enc)
   }

@@ -36,4 +36,15 @@ private[graft] object OpsUtil {
     } else if (bytes < BigInt(target.toLong) * 32L * 1024 * 1024) df.repartition(target)
     else df
   }
+
+  /** Drop the storage blocks behind a `localCheckpoint`ed Dataset.
+    * `Dataset.unpersist` only consults the cache manager, which knows
+    * nothing about checkpoint RDDs - the blocks live on the RDD inside
+    * the plan's `LogicalRDD` leaf, so unpersist that directly.
+    */
+  def unpersistCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

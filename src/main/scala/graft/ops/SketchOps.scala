@@ -216,6 +216,93 @@ object SketchOps {
           (F.col("t") - F.col("cum_before")) / F.col("c")) * lit(w), 6).as("est")): _*)
   }
 
+  /** Unknown-range companion to [[fixedHistogram]]: derive each
+    * group's bin edges from its own [min, max] - the first-contact
+    * profile of a column nobody can pre-know the range of. The edge
+    * derivation is ONE extra map-side-combined min/max aggregate
+    * (groups-sized result, broadcast back onto the scan), so the
+    * corpus crosses the wire as cells exactly like the fixed-range
+    * path; the whole thing stays one lazy plan - no driver pass, no
+    * collect.
+    *
+    * Contract differences from [[fixedHistogram]], both deliberate:
+    * - No sentinel cells: [lo, hi] covers every value by construction,
+    *   v == hi clamps into the last bin, so bin ids are [0, bins-1]
+    *   (0 for every row of a constant group - binWidth 0 is legal).
+    * - The derived (lo, hi) travel as OUTPUT COLUMNS, because
+    *   downstream interpolation must use the same edges; and because
+    *   edges are data-derived, cells from DIFFERENT runs/batches merge
+    *   by addition ONLY within the same derived-edge family - for a
+    *   stream-maintained sketch fix the range up front
+    *   ([[fixedHistogram]] + histogramMaintenance).
+    *
+    * Output: (groupCols..., bin, lo, hi, c).
+    */
+  def fixedHistogramAuto(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      bins: Int
+  ): DataFrame = {
+    require(bins > 0, s"need positive bins, got $bins")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val v = F.col(valueCol).cast(DoubleType)
+    val g = groupCols.map(F.col)
+    val clean = df.filter(v.isNotNull && !isnan(v) &&
+      groupCols.map(F.col(_).isNotNull).reduce(_ && _))
+    val edges = clean.groupBy(g: _*)
+      .agg(min(v).as("lo"), max(v).as("hi"))
+    // identical IEEE chain to the oracle: sub, sub, div, div, floor
+    val w = (F.col("hi") - F.col("lo")) / lit(bins.toDouble)
+    val raw = floor((v - F.col("lo")) / w).cast(IntegerType)
+    val bin = when(F.col("hi") === F.col("lo"), lit(0))
+      .otherwise(least(raw, lit(bins - 1)))
+    clean.join(broadcast(edges), groupCols)
+      .select(g ++ Seq(bin.as("bin"), F.col("lo"), F.col("hi")): _*)
+      .groupBy(g ++ Seq(F.col("bin"), F.col("lo"), F.col("hi")): _*)
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Quantile interpolation off a [[fixedHistogramAuto]] table: the
+    * same rank arithmetic as [[histogramQuantiles]], with the bin
+    * edges read from the sketch's own (lo, hi) columns instead of
+    * caller parameters, and no sentinel exclusion (auto mode has no
+    * sentinels - every cell is in range, so N is the full group
+    * count). A constant group (lo == hi) estimates every quantile at
+    * lo, which is exact. Same one-binWidth error bound, same
+    * bit-replayable double chain.
+    *
+    * Output: (groupCols..., q, est).
+    */
+  def histogramQuantilesAuto(
+      hist: DataFrame,
+      groupCols: Seq[String],
+      qs: Seq[Double],
+      bins: Int
+  ): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1], got $qs")
+    require(bins > 0, s"need positive bins, got $bins")
+    val g = groupCols.map(F.col)
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy(g: _*).orderBy("bin")))
+      .withColumn("cum_before", F.col("cum") - F.col("c"))
+    val totals = hist.groupBy(g: _*).agg(sum("c").as("n"))
+    val targets = totals
+      .select(g :+ F.col("n") :+ explode(array(qs.map(lit): _*)).as("q"): _*)
+      .withColumn("t", F.col("q") * F.col("n"))
+    val w = (F.col("hi") - F.col("lo")) / lit(bins.toDouble)
+    targets
+      .join(cum, groupCols)
+      .filter(F.col("cum_before") < F.col("t") && F.col("t") <= F.col("cum"))
+      .select(g ++ Seq(
+        F.col("q"),
+        round(F.col("lo") + (F.col("bin") +
+          (F.col("t") - F.col("cum_before")) / F.col("c")) * w, 6).as("est")): _*)
+  }
+
   def hllDistinct(
       df: DataFrame,
       keyCol: String,

@@ -230,8 +230,19 @@ object StatOps {
     require(bins > 0, s"need positive bins, got $bins")
     val a = histA.groupBy("bin").agg(sum("c").as("ca"))
     val b = histB.groupBy("bin").agg(sum("c").as("cb"))
+    // `bins` declares the hash family the two sketches must share:
+    // fixedHistogram(bins = B) emits bin ids in [-1, B] (-1 = below-lo
+    // overflow cell, B = above-hi). A sketch built with a different bin
+    // count would silently misalign the cells, so out-of-range ids
+    // fail the plan instead of skewing the score - the check runs on
+    // sketch CELLS (<= bins + 2 rows per side), not corpus rows.
     val cells = a.join(b, Seq("bin"), "full")
-      .select(F.col("bin"),
+      .select(
+        when(F.col("bin").between(-1, bins), F.col("bin"))
+          .otherwise(raise_error(concat(
+            lit(s"psiFromHistograms: bin id outside [-1, $bins] - " +
+              "histogram was built with a different bin count: "),
+            F.col("bin").cast("string")))).as("bin"),
         coalesce(F.col("ca"), lit(0L)).as("ca"),
         coalesce(F.col("cb"), lit(0L)).as("cb"))
     // totals ride the plan as a one-row broadcast (construction stays

@@ -133,6 +133,124 @@ object TextOps {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs")
   }
 
+  /** Driver-side BPE training off the collected unit vocabulary - the
+    * companion off-ramp to [[bpeTrain]] for learning LARGE merge
+    * tables (thousands of ranks). The corpus is still scanned exactly
+    * once, distributively, reducing map-side to the distinct
+    * (unit, frequency) vocabulary - Zipf makes that vocabulary-sized,
+    * not corpus-sized, so collecting it is bounded the same way the
+    * union-find off-ramp in [[graft.ops.GraphOps]] is (`maxVocab`
+    * guard, clear error pointing at the distributed path). Training
+    * then iterates in driver memory, where `numMerges` rounds cost
+    * seconds instead of 2 x numMerges Spark jobs.
+    *
+    * Bit-parity with [[bpeTrain]] by construction (TextOpsSpec): same
+    * unit regex, same code-point initial split, same every-adjacent-
+    * position weighted pair count, same greedy left-to-right merge
+    * fold, and the same tie-break - count desc, then pair ascending in
+    * UNSIGNED UTF-8 byte order, which is exactly the order Spark's
+    * UTF8String sort gives the distributed trainer.
+    *
+    * Output: rank-ordered (rank, lhs, rhs) - the GPT-2-format artifact
+    * [[bpeTokenCount]]'s checked-in table is generated from
+    * (graft.tools.BpeMergesTool).
+    */
+  def bpeTrainLocal(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxVocab: Int = 1 << 20
+  ): Seq[(Int, String, String)] = {
+    require(numMerges > 0, s"need positive numMerges, got $numMerges")
+    val vocab = df
+      .filter(F.col(textCol).isNotNull)
+      .select(explode(
+        regexp_extract_all(lower(F.col(textCol)), lit(bpeUnitPattern), lit(0))).as("u"))
+      .groupBy("u")
+      .agg(count(lit(1)).as("f"))
+      .limit(maxVocab + 1)
+      .collect()
+    require(vocab.length <= maxVocab,
+      s"unit vocabulary exceeds maxVocab=$maxVocab; raise the cap or use " +
+        "the distributed trainer bpeTrain")
+    // unsigned UTF-8 byte order == Spark's UTF8String binary sort order
+    // (a plain String compare is UTF-16 code-unit order and disagrees
+    // on supplementary characters)
+    def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    def pairLess(a: (String, String), b: (String, String)): Boolean =
+      if (a._1 != b._1) utf8Less(a._1, b._1) else utf8Less(a._2, b._2)
+    // state: per distinct unit, its current symbol list + frequency
+    val toks = vocab.map { r =>
+      val u = r.getString(0)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < u.length) {
+        val cp = u.codePointAt(i)
+        buf += u.substring(i, i + Character.charCount(cp))
+        i += Character.charCount(cp)
+      }
+      buf
+    }
+    val freq = vocab.map(_.getLong(1))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var exhausted = false
+    var rank = 0
+    while (rank < numMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        var j = 0
+        while (j < t.length - 1) {
+          counts.merge((t(j), t(j + 1)), freq(i), _ + _)
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: (String, String) = null
+        var bestC = -1L
+        counts.forEach { (p, c) =>
+          if (c > bestC || (c == bestC && pairLess(p, best))) { best = p; bestC = c }
+        }
+        val (l, r) = best
+        merges += ((rank, l, r))
+        // the same greedy left-to-right non-overlapping fold bpeTrain
+        // applies as a Spark `aggregate` expression
+        i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          if (t.length >= 2) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < t.length) {
+              if (out.nonEmpty && out.last == l && t(j) == r)
+                out(out.length - 1) = l + r
+              else out += t(j)
+              j += 1
+            }
+            if (out.length != t.length) { t.clear(); t ++= out }
+          }
+          i += 1
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Apply a LEARNED merge table (e.g. [[bpeTrain]]'s collected output
     * - a driver-side list, rank-ordered) and count the resulting
     * tokens per document: the composition that closes the tokenizer

@@ -177,6 +177,11 @@ object Query {
     * `private[ptree]` so the plan spec can assert the 100 TB property
     * directly: with the trie pre-partitioned on parent_id, this join
     * must shuffle ONLY the frontier side.
+    *
+    * The frontier must carry `qlen` = length(query_string), computed
+    * ONCE at frontier construction: the window prune evaluates per
+    * candidate pair per level, and re-deriving the length there would
+    * re-walk the query string hChain x fan-out times per row.
     */
   private[ptree] def frontierJoin(frontier: DataFrame, t: DataFrame, maxDist: Int): DataFrame =
     frontier.join(
@@ -186,8 +191,8 @@ object Query {
         // its sentinel key; genuine frontier rows always carry state
         (frontier("state").isNull ||
           element_at(frontier("state"), -1) <= lit(maxDist)) &&
-        length(frontier("query_string")) <= t("_max") + lit(maxDist) &&
-        length(frontier("query_string")) >= t("_min") - lit(maxDist),
+        frontier("qlen") <= t("_max") + lit(maxDist) &&
+        frontier("qlen") >= t("_min") - lit(maxDist),
       "inner"
     )
 
@@ -283,6 +288,9 @@ object Query {
 
     val frontier0 = queries
       .select(column(col).cast(StringType).as("query_string"))
+      // computed ONCE here; frontierJoin's length-window prune reads it
+      // per candidate pair per level (see frontierJoin's contract)
+      .withColumn("qlen", length($"query_string"))
       .withColumn("node_id", lit(0L))
       .withColumn(
         "state",
@@ -320,7 +328,7 @@ object Query {
     // single split)
     if (useBcast) cur = cur.repartition(spark.sparkContext.defaultParallelism)
 
-    val frontierCols = Seq($"query_string", $"node_id", $"state", $"depth") ++
+    val frontierCols = Seq($"query_string", $"qlen", $"node_id", $"state", $"depth") ++
       (if (withPath) Seq($"path") else Nil)
 
     for (_ <- 1 to hChain) {
@@ -337,6 +345,7 @@ object Query {
       cur = frontierJoin(cur, if (useBcast) broadcast(tl) else tl, maxDist)
         .select((Seq(
           $"query_string",
+          $"qlen",
           when(settled, -(pmod(xxhash64($"query_string"), lit(64L)) + lit(1L)))
             .otherwise(tl("id")).as("node_id"),
           // settled rows drop their state entirely (frontierJoin's prune
@@ -390,6 +399,7 @@ object Query {
       // narrower than either.)
       val surviveCols = Seq(
         $"query_string",
+        $"qlen",
         $"is_word",
         $"node",
         $"n_occurrences",
@@ -423,6 +433,7 @@ object Query {
 
       val stepCols = Seq(
         $"query_string",
+        $"qlen",
         $"next_id".as("node_id"),
         $"state2".as("state"),
         ($"depth" + length($"node")).cast(IntegerType).as("depth")

@@ -612,9 +612,16 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val prev = state
+          // one row per id WITHIN the batch too (an id repeated in a
+          // single micro-batch would otherwise survive twice, breaking
+          // the one-signature-per-id invariant); max(text) is the
+          // deterministic pick - micro-batch rows carry no order
+          val deduped = batch.toDF()
+            .groupBy(col(idCol))
+            .agg(max(col(textCol)).as(textCol))
           // sign the batch ONCE (checkpoint), then band the checkpointed
           // signatures - the kernel never runs twice per batch
-          val dSigs = graft.ops.DedupOps.minhashSignatures(batch.toDF(), idCol, textCol,
+          val dSigs = graft.ops.DedupOps.minhashSignatures(deduped, idCol, textCol,
             prev.numHashes, prev.shingleLen, prev.seed).localCheckpoint()
           val dBanded = graft.ops.DedupOps.bandSignatures(dSigs, prev.numHashes, prev.bands)
           val dIds = dSigs.select("id")
@@ -679,16 +686,11 @@ object StreamOps {
       .start()
   }
 
-  /** Drop the storage blocks behind a `localCheckpoint`ed Dataset.
-    * `Dataset.unpersist` only consults the cache manager, which knows
-    * nothing about checkpoint RDDs - the blocks live on the RDD inside
-    * the plan's `LogicalRDD` leaf, so unpersist that directly.
+  /** See [[graft.ops.OpsUtil.unpersistCheckpoint]] - shared with the
+    * batch-side audits that also pin localCheckpoint snapshots.
     */
   private def unpersistCheckpoint(ds: Dataset[_]): Unit =
-    ds.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
+    graft.ops.OpsUtil.unpersistCheckpoint(ds)
 
   /** Stream-stream interval join: pair each right-stream event with the
     * left-stream events of the same key whose timestamp falls in

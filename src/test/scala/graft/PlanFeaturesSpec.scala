@@ -241,6 +241,21 @@ class PlanFeaturesSpec extends SparkSpec {
       s"histogram cell build must shuffle exactly once:\n${plan.take(2000)}")
   }
 
+  test("fixedHistogramAuto: derived edges broadcast back onto the scan, partial agg kept") {
+    val df = (1L to 5000L).map(i => ("g" + (i % 3), (i % 97).toDouble)).toDF("g", "v")
+    val plan = graft.ops.SketchOps.fixedHistogramAuto(df, "v", Seq("g"), 20)
+      .queryExecution.executedPlan.toString
+    // the [min,max] edge table is groups-sized: it must come back as a
+    // broadcast hash join (a sort-merge would shuffle the corpus TWICE),
+    // and the cell build must still fold map-side before its one shuffle
+    assert(plan.contains("BroadcastHashJoin"),
+      s"edges must broadcast onto the scan:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the edges join:\n${plan.take(2000)}")
+    assert(plan.toLowerCase.contains("partial"),
+      s"no map-side partial aggregation in the cell build:\n${plan.take(2000)}")
+  }
+
   test("hardNegatives corpus pass rides a broadcast join, never a sort-merge shuffle") {
     val rnd = new scala.util.Random(5)
     val df = Seq.tabulate(200)(i =>

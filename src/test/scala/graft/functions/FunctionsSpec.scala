@@ -468,9 +468,13 @@ class FunctionsSpec extends SparkSpec {
       .select(GraftFunctions.bpe_count(lower($"t")))
       .as[Int].collect().toSeq
     assert(got == samples.map(refText), s"got $got")
-    // and a fused multi-token sanity: 'spark' is s|par|k under the table
+    // fused-token sanity under the trained table: a high-frequency
+    // corpus word merges all the way to ONE token, an out-of-corpus
+    // word with a learned prefix splits at the morpheme ('un|seen')
     assert(Seq("spark").toDF("t")
-      .select(GraftFunctions.bpe_count(lower($"t"))).as[Int].head() == 3)
+      .select(GraftFunctions.bpe_count(lower($"t"))).as[Int].head() == 1)
+    assert(Seq("unseen").toDF("t")
+      .select(GraftFunctions.bpe_count(lower($"t"))).as[Int].head() == 2)
     // property check: 300 random texts over the learned alphabet plus
     // punctuation/digits/whitespace - kernel == reference on all of them
     // (driver-side kernel call: the expression's nullSafeEval IS the

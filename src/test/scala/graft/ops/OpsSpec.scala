@@ -1358,6 +1358,33 @@ class OpsSpec extends SparkSpec {
     assert(tail == Set((3L, 0, 3), (3L, 2, 3), (3L, 4, 1)))
   }
 
+  test("decodeAndFeaturize model hook: one session per partition, bounded batches, closed") {
+    import graft.ops.FakeModelProbe
+    FakeModelProbe.reset()
+    val n = 25
+    val media = MultimodalOps.asMedia(
+      (1 to n).map(i => (i.toLong, s"payload-$i".getBytes)).toDF("id", "payload"),
+      "id", "payload", "image").repartition(3)
+    val out = MultimodalOps.decodeAndFeaturize(
+      media, model = new FakeModelProbe.Model, batchSize = 4).collect()
+    assert(out.length == n)
+    // the fake embeds payload length into the vector: real values flowed
+    // through the session, in order, one vector per row
+    val lens = out.map(r => r.getAs[Long]("media_id") ->
+      r.getAs[scala.collection.Seq[Float]]("features").head.toInt).toMap
+    assert((1 to n).forall(i => lens(i.toLong) == s"payload-$i".getBytes.length))
+    // one session per non-empty partition, each closed exactly once
+    assert(FakeModelProbe.opened.get() > 0 && FakeModelProbe.opened.get() <= 3)
+    assert(FakeModelProbe.closed.get() == FakeModelProbe.opened.get())
+    // every model invocation bounded by batchSize (amortization shape)
+    assert(FakeModelProbe.maxBatch.get() <= 4 && FakeModelProbe.batches.get() >= n / 4)
+    // the default model is the byte-histogram stand-in: swapping models
+    // changes feature VALUES only - schema and plan shape identical
+    val dflt = MultimodalOps.decodeAndFeaturize(media)
+    assert(dflt.schema == MultimodalOps.decodeAndFeaturize(
+      media, model = new FakeModelProbe.Model).schema)
+  }
+
   test("randomProject: deterministic, linear, correct dimensions") {
     val vecs = Seq(
       (1L, Array.tabulate(64)(i => (i + 1).toFloat / 64)),
@@ -2220,6 +2247,48 @@ class OpsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: fixedHistogramAuto quantiles within one derived binWidth") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val bins = 8
+    val dataGen = Gen.chooseNum(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-500.0, 500.0))) // range unknown a priori
+    val qGen = Gen.chooseNum(0.05, 1.0)
+    val prop = Prop.forAll(dataGen, qGen) { (vs: List[Double], q: Double) =>
+      val sorted = vs.sorted
+      val hist = SketchOps.fixedHistogramAuto(
+        vs.map(("g", _)).toDF("g", "v"), "v", Seq("g"), bins)
+      val est = SketchOps.histogramQuantilesAuto(hist, Seq("g"), Seq(q), bins)
+        .select("est").as[Double].head()
+      // auto mode has NO out-of-range tail: every value is in [lo, hi],
+      // so the bound holds against the full sample's order statistic,
+      // with the binWidth derived from the sample's own span
+      val w = (sorted.last - sorted.head) / bins
+      val t = q * sorted.size
+      val exact = sorted(math.max(0, math.ceil(t).toInt - 1))
+      math.abs(est - exact) <= w + 1e-9
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(40).withInitialSeed(Seed(11L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("fixedHistogramAuto: constant group bins to 0 and estimates exactly lo") {
+    val df = Seq(("a", 7.5), ("a", 7.5), ("a", 7.5), ("b", 1.0), ("b", 3.0))
+      .toDF("g", "v")
+    val hist = SketchOps.fixedHistogramAuto(df, "v", Seq("g"), bins = 4)
+    val aCells = hist.filter($"g" === "a")
+      .select("bin", "lo", "hi", "c").as[(Int, Double, Double, Long)].collect()
+    assert(aCells.toSeq == Seq((0, 7.5, 7.5, 3L)))
+    // hi == lo: every quantile is the constant itself, no div-by-zero
+    val q = SketchOps.histogramQuantilesAuto(hist, Seq("g"), Seq(0.5, 1.0), bins = 4)
+      .filter($"g" === "a").select("est").as[Double].collect()
+    assert(q.toSeq == Seq(7.5, 7.5))
+    // max of a non-constant group clamps INTO the last bin (no sentinel)
+    val bBins = hist.filter($"g" === "b").select("bin").as[Int].collect().sorted
+    assert(bBins.toSeq == Seq(0, 3))
+  }
+
   test("property: bpeTrain == in-memory trainer on random small corpora") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.rng.Seed
@@ -2268,6 +2337,40 @@ class OpsSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(20).withInitialSeed(Seed(13L)), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("property: bpeTrainLocal == bpeTrain (the driver-side off-ramp is bit-equal)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    // wider alphabet than the bpeTrain property above: digits and
+    // punctuation exercise all three unit classes, and repeated words
+    // exercise the frequency weighting
+    val wordGen = Gen.oneOf(
+      Gen.chooseNum(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)),
+      Gen.oneOf("42", "7", ",", "!", "ab.cd"))
+    val corpusGen = Gen.chooseNum(2, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 6).flatMap(m =>
+        Gen.listOfN(m, wordGen).map(_.mkString(" ")))))
+    val prop = Prop.forAll(corpusGen) { (texts: List[String]) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val dist = TextOps.bpeTrain(df, "text", numMerges = 4)
+        .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
+      val local = TextOps.bpeTrainLocal(df, "text", numMerges = 4)
+      dist == local
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20).withInitialSeed(Seed(29L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("bpeTrainLocal: maxVocab guard fails fast with a clear message") {
+    val df = Seq((1L, "one two three four five six")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeTrainLocal(df, "text", numMerges = 2, maxVocab = 3)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+    assert(e.getMessage.contains("bpeTrain"))
   }
 
   test("diversityByStratum: hand-computed ratios, repetitive source collapses") {

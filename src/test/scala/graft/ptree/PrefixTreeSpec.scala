@@ -180,6 +180,7 @@ class PrefixTreeSpec extends SparkSpec {
         t.count() // materialize: an unexecuted AQE cache plan reports
         // UnknownPartitioning and would force a defensive re-shuffle
         val frontier = Seq(("dog", 0L)).toDF("query_string", "node_id")
+          .withColumn("qlen", length($"query_string"))
           .withColumn("state",
             concat(sequence(lit(0), length($"query_string")), array(lit(0))))
           .withColumn("depth", lit(0))
