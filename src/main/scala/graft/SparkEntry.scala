@@ -1220,6 +1220,16 @@ object SparkEntry {
       SketchOps.histogramQuantilesAuto(hist, Seq("event_type"),
         Seq(0.25, 0.5, 0.9, 0.99), bins = 20)
     },
+    "events_sample_quantiles" -> { (s, dir) =>
+      // the ONE-PASS unknown-range profile: a deterministic md5
+      // bottom-k uniform sample per type (k-bounded partials, merges
+      // by union + re-trim - rows never shuffle), quantiles read as
+      // sample order statistics; complements events_quantiles_auto's
+      // two-scan exact-edges path
+      val ev = events(s, dir)
+      val sk = SketchOps.sampleSketch(ev, "event_id", "value", Seq("event_type"), k = 512)
+      SketchOps.sampleQuantiles(sk, Seq("event_type"), Seq(0.25, 0.5, 0.9, 0.99))
+    },
     "events_robust_scale" -> { (s, dir) =>
       // robust standardization (median/IQR instead of mean/std - the
       // outlier-immune scaler): per-type quartiles come from the
@@ -3990,6 +4000,35 @@ object SparkEntry {
         |             * ((cum.hi - cum.lo) / 20.0), 6) AS est
         |FROM tq JOIN cum USING (event_type)
         |WHERE (cum.cum - cum.c) < tq.t AND tq.t <= cum.cum""".stripMargin,
+    "events_sample_quantiles" ->
+      // full sample replay: the kept rows are exactly the k smallest
+      // md5(id) per type (a pure function of the id set - ORDER BY
+      // md5 LIMIT k), the estimate the ceil(q*m)-th smallest sample
+      // value; the min-per-id fold mirrors the engine's duplicate-id
+      // degradation (ids are unique here, so it is a no-op)
+      """WITH clean AS (
+        |  SELECT event_type, event_id, CAST(value AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL
+        |), dd AS (
+        |  SELECT event_type, event_id, min(v) AS v FROM clean GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT event_type, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+        |  FROM dd
+        |), samp AS (SELECT event_type, v FROM rk WHERE rn <= 512),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m FROM samp GROUP BY 1),
+        |srt AS (
+        |  SELECT event_type, v,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rv
+        |  FROM samp
+        |), tq AS (
+        |  SELECT event_type, m, q, greatest(CAST(ceil(q * m) AS INT), 1) AS r
+        |  FROM m CROSS JOIN (SELECT unnest([0.25, 0.5, 0.9, 0.99]::DOUBLE[]) AS q)
+        |)
+        |SELECT tq.event_type, tq.q, srt.v AS est
+        |FROM tq JOIN srt ON srt.event_type = tq.event_type AND srt.rv = tq.r""".stripMargin,
     "events_robust_scale" ->
       // same quantile CTE chain (shared builder - the two replays
       // cannot drift), pivoted to per-type quartiles, broadcast-shaped

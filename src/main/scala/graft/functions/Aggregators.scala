@@ -113,6 +113,71 @@ final class HeavyHitterAgg(capacity: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[String], Long, Boolean)]()
 }
 
+/** Bounded min-k-by-hash state: the k (hash, value) pairs with the
+  * smallest hashes seen so far, one entry per distinct hash. With the
+  * hash an md5 of a unique row id, the kept values are a UNIFORM
+  * k-sample of the rows - deterministic (a pure function of the id
+  * set, independent of partitioning or arrival order) and mergeable
+  * (union + re-trim = the sketch of the union), which is what makes it
+  * a one-pass rank sketch: sample quantiles estimate true quantiles
+  * within the standard DKW O(1/sqrt(k)) rank error.
+  *
+  * A re-seen hash keeps the SMALLEST value, so even a caller that
+  * violates id uniqueness gets a deterministic result (one entry per
+  * id, min value) instead of a partitioning-dependent one.
+  */
+final class MinKByHash(val k: Int) extends Serializable {
+  val entries = new java.util.TreeMap[String, Double]()
+
+  def add(hash: String, v: Double): this.type = {
+    if (entries.containsKey(hash)) {
+      if (v < entries.get(hash)) entries.put(hash, v)
+    } else if (entries.size < k) entries.put(hash, v)
+    else if (hash < entries.lastKey) {
+      entries.put(hash, v)
+      entries.remove(entries.lastKey)
+    }
+    this
+  }
+
+  def merge(o: MinKByHash): MinKByHash = {
+    o.entries.forEach((h, v) => add(h, v))
+    this
+  }
+
+  /** The sample values, sorted ascending - the canonical order the
+    * quantile reader and the oracle both use.
+    */
+  def values: Seq[Double] = {
+    val out = new Array[Double](entries.size)
+    var i = 0
+    val it = entries.values.iterator
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(out)
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+}
+
+/** Typed UDAF over (md5-hex-hash, value) pairs: one-pass bounded
+  * uniform sampling per group. Each partial carries at most k entries,
+  * merges are union + re-trim - the map-side-combinable shape that
+  * keeps a 100-TB scan from ever shuffling rows for a quantile
+  * profile (contrast: any windowed row_number sample shuffles the
+  * corpus).
+  */
+final class MinKAgg(k: Int)
+    extends Aggregator[(String, Double), MinKByHash, Seq[Double]] {
+  require(k > 0, s"need positive k, got $k")
+  override def zero: MinKByHash = new MinKByHash(k)
+  override def reduce(b: MinKByHash, a: (String, Double)): MinKByHash =
+    b.add(a._1, a._2)
+  override def merge(a: MinKByHash, b: MinKByHash): MinKByHash = a.merge(b)
+  override def finish(r: MinKByHash): Seq[Double] = r.values
+  override def bufferEncoder: Encoder[MinKByHash] = Encoders.kryo[MinKByHash]
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
 /** Mergeable byte-packed bitset over long positions in `[0, mBits)`:
   * the build half of the broadcast Bloom filter (probe half:
   * graft.functions.BitsetContains). Partials OR together, so the build

@@ -303,6 +303,122 @@ object SketchOps {
           (F.col("t") - F.col("cum_before")) / F.col("c")) * w, 6).as("est")): _*)
   }
 
+  /** ONE-PASS mergeable rank sketch: a deterministic uniform k-sample
+    * per group, kept as the k rows whose `md5(id)` hashes are smallest
+    * ([[graft.functions.MinKAgg]]). This closes the gap neither
+    * histogram covers alone: [[fixedHistogram]] needs the range up
+    * front, [[fixedHistogramAuto]] scans twice (edges, then cells) -
+    * the sample sketch profiles an unknown-range, unbounded-domain
+    * column in a SINGLE scan with k-bounded state per partial, and two
+    * sketches from different runs/batches merge exactly (union +
+    * re-trim is the sketch of the union - min-k of hashes is
+    * associative).
+    *
+    * Determinism is the md5 discipline used everywhere else: the kept
+    * sample is a pure function of the (group, id) set - independent of
+    * partitioning, arrival order, AND of the values themselves (the
+    * hash reads only the id), so it replays engine-independently
+    * (`ORDER BY md5(id) LIMIT k` per group in any SQL engine).
+    * Requires `idCol` unique per row; a duplicated id degrades
+    * deterministically to one entry carrying its minimum value.
+    *
+    * Estimate quality: classic sampling bound (DKW) - sample quantiles
+    * are within O(1/sqrt(k)) RANK error of the true quantiles with
+    * high probability; k = 4096 gives ~2% rank error, independent of
+    * row count.
+    *
+    * Output: (groupCols..., n, sample) - n the true group row count,
+    * sample the value-sorted array (size min(k, n)).
+    */
+  def sampleSketch(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      groupCols: Seq[String],
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"need positive k, got $k")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val v = F.col(valueCol).cast(DoubleType)
+    val g = groupCols.map(F.col)
+    val minK = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MinKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(String, Double)]())
+    df.filter(v.isNotNull && !isnan(v) &&
+        groupCols.map(F.col(_).isNotNull).reduce(_ && _))
+      .select(g :+ md5(F.col(idCol).cast(StringType)).as("h") :+ v.as("v"): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"), minK(F.col("h"), F.col("v")).as("sample"))
+  }
+
+  /** The EXPLODED form of [[sampleSketch]]'s state - (groupCols..., h,
+    * v), at most k rows per group, h the md5(id) hex - for callers that
+    * need to keep MERGING after the pass: the streaming maintenance
+    * lifecycle ([[graft.streaming.StreamOps.sampleMaintenance]]) folds
+    * each micro-batch into this frame (min-v per hash, then re-trim to
+    * the k smallest hashes), and because min-k-by-hash is associative
+    * the maintained state equals one [[sampleState]] over the union of
+    * everything that ever streamed in. [[sampleStateToSketch]] converts
+    * to the (sample array) form [[sampleQuantiles]] reads.
+    */
+  def sampleState(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      groupCols: Seq[String],
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"need positive k, got $k")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val v = F.col(valueCol).cast(DoubleType)
+    val g = groupCols.map(F.col)
+    import org.apache.spark.sql.expressions.Window
+    df.filter(v.isNotNull && !isnan(v) &&
+        groupCols.map(F.col(_).isNotNull).reduce(_ && _))
+      .select(g :+ md5(F.col(idCol).cast(StringType)).as("h") :+ v.as("v"): _*)
+      .groupBy(g :+ F.col("h"): _*)
+      .agg(min("v").as("v"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(g: _*).orderBy("h")))
+      .filter(F.col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** Collapse a [[sampleState]] frame to the (groupCols..., sample)
+    * shape [[sampleQuantiles]] serves from. Groups x k rows in, groups
+    * rows out - sketch-sized both sides.
+    */
+  def sampleStateToSketch(state: DataFrame, groupCols: Seq[String]): DataFrame =
+    state.groupBy(groupCols.map(F.col): _*)
+      .agg(sort_array(collect_list("v")).as("sample"))
+
+  /** Quantile order statistics off a [[sampleSketch]]: est for q is the
+    * ceil(q * m)-th smallest sample value (m = sample size) - the
+    * classic empirical quantile, exact ON THE SAMPLE, so the only
+    * error is sampling error (the DKW bound above). Pure array reads
+    * on a groups-sized frame; the corpus is long gone.
+    *
+    * Output: (groupCols..., q, est).
+    */
+  def sampleQuantiles(
+      sketch: DataFrame,
+      groupCols: Seq[String],
+      qs: Seq[Double]
+  ): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1], got $qs")
+    val g = groupCols.map(F.col)
+    sketch
+      .select(g :+ F.col("sample") :+
+        explode(array(qs.map(lit): _*)).as("q"): _*)
+      .filter(size(F.col("sample")) > 0)
+      .select(g ++ Seq(
+        F.col("q"),
+        element_at(F.col("sample"),
+          greatest(ceil(F.col("q") * size(F.col("sample"))).cast(IntegerType), lit(1)))
+          .as("est")): _*)
+  }
+
   def hllDistinct(
       df: DataFrame,
       keyCol: String,

@@ -686,6 +686,60 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming maintenance of a [[graft.ops.SketchOps.sampleState]]
+    * rank sketch - the ninth maintained lifecycle: fold a row stream
+    * into the per-group md5 bottom-k sample served to
+    * [[graft.ops.SketchOps.sampleQuantiles]] (via `sampleStateToSketch`),
+    * so an unknown-range, unbounded-domain column has live quantiles
+    * with NO range fixed up front (the histogram lifecycle's one
+    * requirement) and NO corpus retention.
+    *
+    * Min-k-by-hash is associative, so the maintained state equals one
+    * `sampleState` over the union of all batches exactly
+    * (StreamOpsSpec parity) - including re-seen ids, which fold to
+    * their minimum value on both paths.
+    *
+    * Scale shape: per batch, one batch-sized aggregation to delta
+    * entries; the merge re-ranks state + delta, bounded by
+    * groups x k + batch rows - sketch-sized. Superseded checkpoints
+    * free under the one-batch grace of [[trieMaintenance]].
+    */
+  def sampleMaintenance(
+      stream: DataFrame,
+      idCol: String,
+      valueCol: String,
+      groupCols: Seq[String],
+      k: Int,
+      initial: DataFrame
+  )(onUpdate: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    @volatile var state = initial.localCheckpoint()
+    @volatile var graveyard: Option[DataFrame] = None
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.ops.SketchOps.sampleState(
+            batch.toDF(), idCol, valueCol, groupCols, k)
+          val prev = state
+          val g = groupCols.map(col)
+          state = prev.unionByName(delta)
+            .groupBy(g :+ col("h"): _*)
+            .agg(min("v").as("v"))
+            .withColumn("rk",
+              row_number().over(Window.partitionBy(g: _*).orderBy("h")))
+            .filter(col("rk") <= k)
+            .drop("rk")
+            .localCheckpoint()
+          onUpdate(state)
+          graveyard.foreach(unpersistCheckpoint)
+          graveyard = Some(prev)
+        }
+      }
+      .start()
+  }
+
   /** See [[graft.ops.OpsUtil.unpersistCheckpoint]] - shared with the
     * batch-side audits that also pin localCheckpoint snapshots.
     */

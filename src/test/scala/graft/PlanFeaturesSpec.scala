@@ -256,6 +256,20 @@ class PlanFeaturesSpec extends SparkSpec {
       s"no map-side partial aggregation in the cell build:\n${plan.take(2000)}")
   }
 
+  test("sampleSketch: one exchange, partial object aggregation before it") {
+    val df = (1L to 5000L).map(i => ("g" + (i % 3), i, (i % 97).toDouble))
+      .toDF("g", "id", "v")
+    val plan = graft.ops.SketchOps.sampleSketch(df, "id", "v", Seq("g"), 64)
+      .queryExecution.executedPlan.toString
+    // the whole point of the mergeable min-k state: each partition folds
+    // to at most k entries per group BEFORE the one shuffle - rows never
+    // cross the wire for a quantile profile
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"sample sketch must shuffle exactly once:\n${plan.take(2000)}")
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial"),
+      s"no map-side partial aggregation:\n${plan.take(2000)}")
+  }
+
   test("hardNegatives corpus pass rides a broadcast join, never a sort-merge shuffle") {
     val rnd = new scala.util.Random(5)
     val df = Seq.tabulate(200)(i =>

@@ -2289,6 +2289,79 @@ class OpsSpec extends SparkSpec {
     assert(bBins.toSeq == Seq(0, 3))
   }
 
+  test("sampleSketch: sample == md5-bottom-k reference, partition-invariant, dup-id min fold") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val rnd = new scala.util.Random(17)
+    val rows = (1L to 400L).map(i => ("g" + (i % 2), i, rnd.nextDouble() * 100))
+    val df = rows.toDF("g", "id", "v")
+    val k = 24
+    val got = SketchOps.sampleSketch(df, "id", "v", Seq("g"), k)
+      .select("g", "n", "sample").as[(String, Long, Seq[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // independent reference: per group, the k rows with smallest md5(id)
+    val ref = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.sortBy(r => md5hex(r._2.toString)).take(k).map(_._3).sorted.toSeq
+    }
+    assert(got.keySet == ref.keySet)
+    ref.foreach { case (g, s) =>
+      assert(got(g)._1 == rows.count(_._1 == g))
+      assert(got(g)._2 == s, s"group $g sample mismatch")
+    }
+    // a pure function of the id set: any partitioning yields the SAME rows
+    val re = SketchOps.sampleSketch(df.repartition(13), "id", "v", Seq("g"), k)
+      .select("g", "sample").as[(String, Seq[Double])].collect().toMap
+    ref.foreach { case (g, s) => assert(re(g) == s) }
+    // duplicate id degrades deterministically to one entry with min value
+    val dup = Seq(("a", 1L, 9.0), ("a", 1L, 2.0), ("a", 2L, 5.0))
+      .toDF("g", "id", "v")
+    val ds = SketchOps.sampleSketch(dup, "id", "v", Seq("g"), 10)
+      .select("sample").as[Seq[Double]].head()
+    assert(ds == Seq(2.0, 5.0))
+  }
+
+  test("sampleQuantiles: DKW-grade rank accuracy at k=512, exact when k >= n") {
+    val rnd = new scala.util.Random(23)
+    val n = 5000
+    val vals = Array.fill(n)(rnd.nextGaussian() * 10 + 50)
+    val df = vals.toSeq.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("g", "id", "v")
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val est = SketchOps.sampleQuantiles(
+      SketchOps.sampleSketch(df, "id", "v", Seq("g"), k = 512), Seq("g"), qs)
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      // rank error: the estimate's empirical CDF position vs q, bounded
+      // by the DKW sampling deviation (eps ~ 0.072 at k=512, 99% conf;
+      // 0.1 leaves slack for the fixed seed)
+      val rankOfEst = sorted.count(_ <= est(q)).toDouble / n
+      assert(math.abs(rankOfEst - q) < 0.1, s"q=$q est=${est(q)} rank=$rankOfEst")
+    }
+    // k >= n: the sample IS the data, quantiles are exact order statistics
+    val exact = SketchOps.sampleQuantiles(
+      SketchOps.sampleSketch(df, "id", "v", Seq("g"), k = n), Seq("g"), qs)
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    qs.foreach { q =>
+      assert(exact(q) == sorted(math.max(1, math.ceil(q * n).toInt) - 1))
+    }
+  }
+
+  test("MinKByHash: merge associativity equals single-pass build") {
+    val items = (1 to 100).map(i => (f"h$i%03d-${i * 7 % 13}", i.toDouble))
+    val shuffled = new scala.util.Random(3).shuffle(items)
+    val one = new graft.functions.MinKByHash(10)
+    shuffled.foreach { case (h, v) => one.add(h, v) }
+    val (l, r) = shuffled.splitAt(37)
+    val a = new graft.functions.MinKByHash(10)
+    l.foreach { case (h, v) => a.add(h, v) }
+    val b = new graft.functions.MinKByHash(10)
+    r.foreach { case (h, v) => b.add(h, v) }
+    assert(a.merge(b).values == one.values)
+    assert(one.values == items.sortBy(_._1).take(10).map(_._2).sorted)
+  }
+
   test("property: bpeTrain == in-memory trainer on random small corpora") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.rng.Seed

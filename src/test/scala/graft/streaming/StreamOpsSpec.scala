@@ -691,6 +691,44 @@ class StreamOpsSpec extends SparkSpec {
     assert(qs(latest) === qs(direct))
   }
 
+  test("sampleMaintenance: streamed state == one-shot sampleState, quantiles served") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = (1L to 30L).map(i => ("a", i, i.toDouble)) ++
+      (1L to 9L).map(i => ("b", 100 + i, i * 10.0))
+    // id 5 re-appears with a SMALLER value: both paths must fold to min
+    val batch2 = (31L to 60L).map(i => ("a", i, i.toDouble)) :+ ("a", 5L, 0.5)
+    @volatile var latest: org.apache.spark.sql.DataFrame = null
+    val mem = MemoryStream[(String, Long, Double)]
+    val initial = graft.ops.SketchOps.sampleState(
+      Seq.empty[(String, Long, Double)].toDF("g", "id", "v"), "id", "v", Seq("g"), 16)
+    val sq = StreamOps.sampleMaintenance(
+      mem.toDF().toDF("g", "id", "v"), "id", "v", Seq("g"), 16, initial)(latest = _)
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    val direct = graft.ops.SketchOps.sampleState(
+      (batch1 ++ batch2).toDF("g", "id", "v"), "id", "v", Seq("g"), 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(latest) === rows(direct),
+      "maintained sample must equal one-shot build over all batches")
+    // bounded state: never more than k rows per group
+    assert(latest.groupBy("g").count().as[(String, Long)].collect()
+      .forall(_._2 <= 16))
+    // the served quantiles come off the snapshot alone (no corpus), and
+    // agree with the one-pass batch sketch over the same union
+    def qs(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.SketchOps.sampleQuantiles(
+        graft.ops.SketchOps.sampleStateToSketch(df, Seq("g")), Seq("g"), Seq(0.5, 1.0))
+        .collect().map(_.toString).sorted.toSeq
+    val batchSketch = graft.ops.SketchOps.sampleSketch(
+      (batch1 ++ batch2).toDF("g", "id", "v"), "id", "v", Seq("g"), 16)
+    assert(qs(latest) === graft.ops.SketchOps.sampleQuantiles(
+      batchSketch, Seq("g"), Seq(0.5, 1.0)).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("lshMaintenance: streamed index == one-shot build, upserts replace, probe parity") {
     implicit val sqlCtx = spark.sqlContext
     val mk = (id: Long, t: String) => (id, t)
