@@ -424,26 +424,54 @@ object SketchOps {
       keyCol: String,
       groupCols: Seq[String],
       m: Int = 64
+  ): DataFrame =
+    hllEstimate(hllRegisters(df, keyCol, groupCols, m), groupCols, m)
+
+  /** The sparse HyperLogLog register file - (groupCols..., reg, mj),
+    * max-of-rho per register, absent = 0: the MERGEABLE half of
+    * [[hllDistinct]], split out so register files from different runs
+    * or micro-batches union + MAX into one
+    * ([[graft.streaming.StreamOps.hllMaintenance]]) - max is
+    * associative/idempotent, so the maintained file equals one build
+    * over everything ever seen, and [[hllEstimate]] serves the count
+    * off the file alone.
+    */
+  def hllRegisters(
+      df: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String],
+      m: Int = 64
   ): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
     require(groupCols.nonEmpty, "need at least one group column")
-    // alpha_m * m^2 for m = 64; the LITERAL 2904.064 (= 0.709 * 64^2) is
-    // spelled identically in the oracle SQL so both engines parse the
-    // same IEEE double rather than re-multiplying
-    require(m == 64, "estimator constant below is specialised to m = 64")
-    val alphaM2 = lit(2904.064)
     val g = groupCols.map(F.col)
     val h = conv(substring(md5(F.col(keyCol).cast(StringType)), 1, 15), 16, 10)
       .cast(LongType)
     val rest = shiftright(h, 6) // h div m, 54 bits
     val rho = when(rest === 0L, lit(55))
       .otherwise(bit_count(rest.bitwiseAND(-rest) - 1) + 1)
-
-    val maxRho = df
+    df
       .filter(F.col(keyCol).isNotNull && groupCols.map(F.col(_).isNotNull).reduce(_ && _))
       .select(g :+ pmod(h, lit(m.toLong)).cast(IntegerType).as("reg") :+ rho.as("rho"): _*)
       .groupBy(groupCols.map(F.col) :+ F.col("reg"): _*)
       .agg(max("rho").as("mj"))
+  }
+
+  /** Flajolet estimator + linear-counting correction over a
+    * [[hllRegisters]] file. Groups x m arithmetic only - the stream or
+    * corpus the file summarizes is long gone.
+    */
+  def hllEstimate(
+      maxRho: DataFrame,
+      groupCols: Seq[String],
+      m: Int = 64
+  ): DataFrame = {
+    // alpha_m * m^2 for m = 64; the LITERAL 2904.064 (= 0.709 * 64^2) is
+    // spelled identically in the oracle SQL so both engines parse the
+    // same IEEE double rather than re-multiplying
+    require(m == 64, "estimator constant below is specialised to m = 64")
+    val alphaM2 = lit(2904.064)
+    val g = groupCols.map(F.col)
 
     // densify: every group needs all m registers (absent = 0) for the
     // harmonic sum; groups x m is group-count-sized, not data-sized

@@ -740,6 +740,80 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming maintenance of a [[graft.ops.SketchOps.countMinSketch]]
+    * frequency table - the tenth maintained lifecycle: CMS cells merge
+    * by plain addition (fixed hash rows/buckets, like the histogram's
+    * fixed edges), so the maintained table equals one sketch over the
+    * union of all batches exactly and
+    * [[graft.ops.SketchOps.countMinEstimate]] serves point queries off
+    * the latest snapshot. State bounded by depth x width cells.
+    */
+  def cmsMaintenance(
+      stream: DataFrame,
+      itemCol: String,
+      depth: Int,
+      width: Int,
+      initial: DataFrame
+  )(onUpdate: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    @volatile var state = initial.localCheckpoint()
+    @volatile var graveyard: Option[DataFrame] = None
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.ops.SketchOps.countMinSketch(
+            batch.toDF(), itemCol, depth, width)
+          val prev = state
+          state = prev.union(delta)
+            .groupBy("row", "bucket")
+            .agg(sum("c").as("c"))
+            .localCheckpoint()
+          onUpdate(state)
+          graveyard.foreach(unpersistCheckpoint)
+          graveyard = Some(prev)
+        }
+      }
+      .start()
+  }
+
+  /** Streaming maintenance of a [[graft.ops.SketchOps.hllRegisters]]
+    * file - the eleventh maintained lifecycle: registers merge by MAX
+    * (associative AND idempotent, so re-delivered rows cannot inflate
+    * the count - the property that makes HLL the distinct-counter for
+    * at-least-once streams), and
+    * [[graft.ops.SketchOps.hllEstimate]] serves the estimate off the
+    * latest file. State bounded by groups x m registers.
+    */
+  def hllMaintenance(
+      stream: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String],
+      m: Int,
+      initial: DataFrame
+  )(onUpdate: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    @volatile var state = initial.localCheckpoint()
+    @volatile var graveyard: Option[DataFrame] = None
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.ops.SketchOps.hllRegisters(
+            batch.toDF(), keyCol, groupCols, m)
+          val prev = state
+          state = prev.union(delta)
+            .groupBy(groupCols.map(col) :+ col("reg"): _*)
+            .agg(max("mj").as("mj"))
+            .localCheckpoint()
+          onUpdate(state)
+          graveyard.foreach(unpersistCheckpoint)
+          graveyard = Some(prev)
+        }
+      }
+      .start()
+  }
+
   /** See [[graft.ops.OpsUtil.unpersistCheckpoint]] - shared with the
     * batch-side audits that also pin localCheckpoint snapshots.
     */

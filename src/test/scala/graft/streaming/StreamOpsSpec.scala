@@ -691,6 +691,66 @@ class StreamOpsSpec extends SparkSpec {
     assert(qs(latest) === qs(direct))
   }
 
+  test("cmsMaintenance: streamed cells == one-shot sketch, point estimates served") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq("a", "b", "a", "c", "a")
+    val batch2 = Seq("b", "a", "d", "d")
+    @volatile var latest: org.apache.spark.sql.DataFrame = null
+    val mem = MemoryStream[String]
+    val initial = graft.ops.SketchOps.countMinSketch(
+      Seq.empty[String].toDF("item"), "item", depth = 3, width = 16)
+    val sq = StreamOps.cmsMaintenance(
+      mem.toDF().toDF("item"), "item", 3, 16, initial)(latest = _)
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    val direct = graft.ops.SketchOps.countMinSketch(
+      (batch1 ++ batch2).toDF("item"), "item", 3, 16)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Int, Long)].collect().toSet
+    assert(cells(latest) === cells(direct))
+    val probes = Seq("a", "d", "never").toDF("item")
+    val est = graft.ops.SketchOps.countMinEstimate(latest, probes, "item", 3, 16)
+      .as[(String, Long)].collect().toMap
+    assert(est("a") >= 4 && est("d") >= 2 && est("never") >= 0)
+    assert(est === graft.ops.SketchOps.countMinEstimate(direct, probes, "item", 3, 16)
+      .as[(String, Long)].collect().toMap)
+  }
+
+  test("hllMaintenance: streamed registers == one-shot build, idempotent under redelivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = (1L to 40L).map(i => ("a", "k" + i)) ++ (1L to 5L).map(i => ("b", "k" + i))
+    // batch2 REDELIVERS part of batch1 (at-least-once) plus new keys:
+    // max-merge must not inflate the count
+    val batch2 = (30L to 70L).map(i => ("a", "k" + i))
+    @volatile var latest: org.apache.spark.sql.DataFrame = null
+    val mem = MemoryStream[(String, String)]
+    val initial = graft.ops.SketchOps.hllRegisters(
+      Seq.empty[(String, String)].toDF("g", "k"), "k", Seq("g"))
+    val sq = StreamOps.hllMaintenance(
+      mem.toDF().toDF("g", "k"), "k", Seq("g"), 64, initial)(latest = _)
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    val direct = graft.ops.SketchOps.hllRegisters(
+      (batch1 ++ batch2).toDF("g", "k"), "k", Seq("g"))
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Int, Int)].collect().toSet
+    assert(regs(latest) === regs(direct))
+    // the estimate serves off the register file alone and matches the
+    // one-shot hllDistinct over the union
+    def ests(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.SketchOps.hllEstimate(df, Seq("g"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(ests(latest) === graft.ops.SketchOps.hllDistinct(
+      (batch1 ++ batch2).toDF("g", "k"), "k", Seq("g"))
+      .collect().map(_.toString).sorted.toSeq)
+  }
+
   test("sampleMaintenance: streamed state == one-shot sampleState, quantiles served") {
     implicit val sqlCtx = spark.sqlContext
     val batch1 = (1L to 30L).map(i => ("a", i, i.toDouble)) ++
