@@ -1651,6 +1651,28 @@ object SparkEntry {
           sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType))
             .as("text_checksum"))
     },
+    "docs_text_roundtrip" -> { (s, dir) =>
+      // raw text-lines interchange (one document per line - the
+      // standard pretraining-corpus dump format): the line <-> document
+      // bijection needs an escape discipline, because a document may
+      // contain newlines. Backslash first, then newline/CR, decoded in
+      // the reverse order on read - the classic reversible line coding,
+      // stress-pinned in SinksSpec with synthetic newline/backslash
+      // docs. The oracle aggregates the parquet ground truth: the text
+      // hop must preserve every byte through encode -> lines -> decode.
+      val path = scratchPath("docs_text", dir)
+      tbl(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(graft.sources.Sinks.encodeTextLine(col("text")).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(graft.sources.Sinks.decodeTextLine(col("value")).as("text"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_len"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType))
+            .as("text_checksum"))
+    },
     "q22_analytics" -> { (s, dir) =>
       // navigation + distribution window functions (lag/lead/first_value
       // /ntile) per customer - partitioned windows, so the sort shards
@@ -3661,6 +3683,15 @@ object SparkEntry {
         |            AS BIGINT) AS text_checksum
         |FROM documents
         |GROUP BY lang""".stripMargin,
+    "docs_text_roundtrip" ->
+      // ground truth straight off parquet: the encode -> text lines ->
+      // decode hop must be byte-lossless, so the read-back aggregate
+      // equals this one exactly
+      """SELECT count(*) AS n_docs,
+        |       CAST(sum(len(text)) AS BIGINT) AS sum_len,
+        |       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT)
+        |            AS BIGINT) AS text_checksum
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "events_json_roundtrip" ->
       """SELECT event_type, count(*) AS n_events,
         |       count(DISTINCT user_id) AS n_users,

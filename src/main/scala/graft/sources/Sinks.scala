@@ -16,6 +16,33 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod}
   */
 object Sinks {
 
+  /** Reversible line coding for raw text-lines corpora (one document
+    * per line, the standard pretraining dump): double every backslash,
+    * then newline -> \n and CR -> \r. [[decodeTextLine]] inverts it
+    * exactly for ANY input string (SinksSpec bijection stress), so a
+    * multi-line document survives the line format byte-for-byte.
+    */
+  def encodeTextLine(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.regexp_replace
+    regexp_replace(regexp_replace(regexp_replace(
+      c, "\\\\", "\\\\\\\\"), "\n", "\\\\n"), "\r", "\\\\r")
+  }
+
+  /** Inverse of [[encodeTextLine]]. Decode splits on the
+    * doubled-backslash pairs FIRST - inside the resulting segments
+    * every remaining backslash unambiguously starts an \n or \r
+    * escape - then rejoins with single backslashes. (A sequential
+    * un-replace would mis-decode a literal backslash followed by 'n'
+    * as a newline.)
+    */
+  def decodeTextLine(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array_join, regexp_replace, split, transform}
+    array_join(
+      transform(split(c, "\\\\\\\\", -1),
+        s => regexp_replace(regexp_replace(s, "\\\\n", "\n"), "\\\\r", "\r")),
+      "\\")
+  }
+
   /** Write `df` as parquet partitioned by `partCols`.
     *
     * The repartition on the partition columns is the part that matters at

@@ -55,6 +55,33 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("text-lines roundtrip: encode/decode bijection incl. backslash-n ambiguity") {
+    val nasty = Seq(
+      (1L, "plain text"),
+      (2L, "embedded\nnewline and\r\ncrlf"),
+      (3L, "literal backslash-n \\n is NOT a newline"),
+      (4L, "trailing backslash \\"),
+      (5L, "\\\\ doubled \\\\\\ tripled backslashes"),
+      (6L, "backslash before newline \\\nfor real"),
+      (7L, ""),
+      (8L, "\n\n\n"),
+      (9L, "\\r\\n lookalikes vs real \r\n")
+    ).toDF("id", "text")
+    // pure-expression bijection first: decode(encode(x)) == x row by row
+    val rt = nasty.select($"id",
+      Sinks.decodeTextLine(Sinks.encodeTextLine($"text")).as("rt"), $"text")
+      .as[(Long, String, String)].collect()
+    rt.foreach { case (id, got, want) => assert(got == want, s"id $id") }
+    // and through the actual file format: every encoded doc is ONE line
+    val path = tmp("text_rt")
+    nasty.select(Sinks.encodeTextLine($"text").as("value"))
+      .write.mode("overwrite").text(path)
+    val back = spark.read.text(path)
+      .select(Sinks.decodeTextLine($"value").as("text"))
+      .as[String].collect().sorted.toSeq
+    assert(back == nasty.as[(Long, String)].collect().map(_._2).sorted.toSeq)
+  }
+
   test("writePartitioned/readPartitioned roundtrip is lossless") {
     val path = tmp("sinks_rt")
     Sinks.writePartitioned(docs, path, Seq("lang"))
