@@ -584,12 +584,21 @@ object DedupOps {
     val hot = fps.groupBy("fp").count()
       .filter(F.col("count") > maxFpDocFreq).select("fp")
     val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
-    kept.as("a")
+    val pairs = kept.as("a")
       .join(kept.as("b").hint("shuffle_hash"),
         F.col("a.fp") === F.col("b.fp") && F.col("a.id") < F.col("b.id"))
       .groupBy(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(F.col("n_shared") >= minShared)
+      // materialize the (bounded: capped-bucket pairs over threshold)
+      // result now so the fingerprint checkpoint - corpus-sized - can be
+      // released immediately instead of leaking for the process lifetime.
+      // The RETURNED frame is itself checkpoint-backed: callers that run
+      // winnowPairs repeatedly release it after consumption with
+      // OpsUtil.unpersistCheckpoint (same contract as lshRead snapshots).
+      .localCheckpoint()
+    OpsUtil.unpersistCheckpoint(fps)
+    pairs
   }
 
   /** LSH tuning audit - measure, don't guess: on a DETERMINISTIC

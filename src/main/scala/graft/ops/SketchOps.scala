@@ -285,7 +285,18 @@ object SketchOps {
     require(bins > 0, s"need positive bins, got $bins")
     val g = groupCols.map(F.col)
     import org.apache.spark.sql.expressions.Window
-    val cum = hist
+    // the caller's `bins` scales binWidth below, so a sketch built with a
+    // DIFFERENT bin count would silently mis-scale every estimate - the
+    // same silent-misalignment class psiFromHistograms guards against.
+    // Fail loudly instead: auto mode has no sentinels, so legal ids are
+    // exactly [0, bins-1].
+    val checked = hist.withColumn("bin",
+      when(F.col("bin").between(0, bins - 1), F.col("bin"))
+        .otherwise(raise_error(concat(
+          lit(s"histogramQuantilesAuto: bin id outside [0, ${bins - 1}] - " +
+            "sketch was built with a different bin count: "),
+          F.col("bin").cast("string")))))
+    val cum = checked
       .withColumn("cum",
         sum("c").over(Window.partitionBy(g: _*).orderBy("bin")))
       .withColumn("cum_before", F.col("cum") - F.col("c"))
@@ -344,7 +355,9 @@ object SketchOps {
     val minK = org.apache.spark.sql.functions.udaf(
       new graft.functions.MinKAgg(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(String, Double)]())
-    df.filter(v.isNotNull && !isnan(v) &&
+    // null ids are DROPPED (md5(NULL) is NULL - it can neither hash nor
+    // rank deterministically), exactly as null values and null groups are
+    df.filter(F.col(idCol).isNotNull && v.isNotNull && !isnan(v) &&
         groupCols.map(F.col(_).isNotNull).reduce(_ && _))
       .select(g :+ md5(F.col(idCol).cast(StringType)).as("h") :+ v.as("v"): _*)
       .groupBy(g: _*)
@@ -373,7 +386,8 @@ object SketchOps {
     val v = F.col(valueCol).cast(DoubleType)
     val g = groupCols.map(F.col)
     import org.apache.spark.sql.expressions.Window
-    df.filter(v.isNotNull && !isnan(v) &&
+    // same null-id rule as sampleSketch: dropped, not ranked-first
+    df.filter(F.col(idCol).isNotNull && v.isNotNull && !isnan(v) &&
         groupCols.map(F.col(_).isNotNull).reduce(_ && _))
       .select(g :+ md5(F.col(idCol).cast(StringType)).as("h") :+ v.as("v"): _*)
       .groupBy(g :+ F.col("h"): _*)

@@ -765,7 +765,11 @@ object StreamOps {
           val delta = graft.ops.SketchOps.countMinSketch(
             batch.toDF(), itemCol, depth, width)
           val prev = state
-          state = prev.union(delta)
+          // unionByName, not positional union: a caller-supplied initial
+          // frame with the right columns in a different order must merge
+          // by name, not silently corrupt the maintained cells (same
+          // rule as sampleMaintenance)
+          state = prev.unionByName(delta)
             .groupBy("row", "bucket")
             .agg(sum("c").as("c"))
             .localCheckpoint()
@@ -802,7 +806,9 @@ object StreamOps {
           val delta = graft.ops.SketchOps.hllRegisters(
             batch.toDF(), keyCol, groupCols, m)
           val prev = state
-          state = prev.union(delta)
+          // unionByName for the same column-order-robustness reason as
+          // cmsMaintenance/sampleMaintenance
+          state = prev.unionByName(delta)
             .groupBy(groupCols.map(col) :+ col("reg"): _*)
             .agg(max("mj").as("mj"))
             .localCheckpoint()

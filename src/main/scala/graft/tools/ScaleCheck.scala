@@ -25,8 +25,13 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     val ev1 = spark.read.parquet(s"$sfDir/events.parquet").localCheckpoint()
     val n1 = ev1.count()
+    // offset stride derived from the DATA, not a magic 1e8: ids >= the
+    // constant would make the copies collide and quietly deflate the 10x
+    // workload for the id-keyed sketches
+    val idStride = ev1.agg(coalesce(max(col("event_id")), lit(0L)))
+      .head().getLong(0) + 1L
     val ev10 = (0 until 10).map { c =>
-      ev1.withColumn("event_id", col("event_id") + lit(c.toLong * 100000000L))
+      ev1.withColumn("event_id", col("event_id") + lit(c.toLong * idStride))
         .withColumn("event_type", concat(col("event_type"), lit(s"_$c")))
     }.reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
     val n10 = ev10.count()

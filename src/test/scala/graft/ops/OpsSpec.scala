@@ -1916,6 +1916,22 @@ class OpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("winnowPairs: checkpoint lifecycle - no leaked RDD blocks after consumption") {
+    // the corpus-sized fingerprint checkpoint must be released inside the
+    // call; the returned (bounded) frame is the ONE checkpoint left, and
+    // unpersistCheckpoint releases it - repeated audits must not leak
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = DedupOps.winnowPairs(docs, "doc_id", "text",
+      k = 8, w = 4, minShared = 2, maxFpDocFreq = 10)
+    pairs.count() // consume
+    val mid = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(mid.size <= 1,
+      s"winnowPairs may pin only its own result checkpoint, found ${mid.size}")
+    OpsUtil.unpersistCheckpoint(pairs)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"leaked persistent RDDs after release: $after")
+  }
+
   test("BM25 persisted index: lossless round-trip, job-free query construction") {
     val queries = Seq("the quick brown", "query engines").toDF("q")
     val direct = SearchOps.bm25Search(docs, "doc_id", "text", queries, "q", k = 3)
