@@ -58,6 +58,17 @@ object Bench {
     // (threshold tuned down from 1.5x: round-7 cross-round diffs showed
     // spurious 30-60% "regressions" whose re-runs landed between the
     // two readings, i.e. pairs that disagreed 1.3-1.5x and got no probe).
+    // paired A/B mode (SPARK_GRAFT_BENCH_AB=1): per query, FOUR timed
+    // runs interleaved as A1 B1 A2 B2 - two independent passes through
+    // identical code. |min(A) - min(B)| / min is the process's own
+    // noise floor for that query, measured under the same ambient load
+    // as the timings themselves. Cross-round artifact diffs have
+    // repeatedly flagged 1.3-1.9x "regressions" that re-runs land
+    // between (host jitter); gating a flag on delta > spread (see
+    // graft.tools.BenchDiff) de-noises that adjudication. The default
+    // mode also emits a spread (max/min - 1 of its runs) so every
+    // bench_last.json carries a per-query noise estimate.
+    val abMode = sys.env.get("SPARK_GRAFT_BENCH_AB").exists(_.nonEmpty)
     val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drop the previous query's residue (checkpoint RDDs, broadcast
       // blocks held only by dead references) BEFORE timing, so query N
@@ -71,34 +82,54 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val base = (1 to 2).map(_ => timed())
-      // a failed noise probe must not mark a twice-successful query
-      // failed: only its (successful) timing is taken, never its status -
-      // but it must not vanish either, so the query lands in "flaky"
-      val probe =
-        if (base.forall(_._2) && base.map(_._1).max > 1.25 * base.map(_._1).min)
-          Some(timed())
-        else None
-      val flaky = probe.exists(!_._2)
-      if (flaky) System.err.println(s"[bench] $name: probe run failed after two successes")
-      // a throwing query must not masquerade as a fast success: report it
-      // as -1 and list it under "failed"
-      val time =
-        if (base.forall(_._2)) (base ++ probe.filter(_._2)).map(_._1).min else -1.0
-      (name, time, flaky)
+      if (abMode) {
+        val runs = (1 to 4).map(_ => timed()) // A1 B1 A2 B2
+        if (runs.forall(_._2)) {
+          val a = math.min(runs(0)._1, runs(2)._1)
+          val b = math.min(runs(1)._1, runs(3)._1)
+          (name, math.min(a, b), false, math.abs(a - b) / math.min(a, b))
+        } else (name, -1.0, false, 0.0)
+      } else {
+        // adaptive sampling: keep timing until the best two readings
+        // agree within 15% - the min is then REPRODUCED, not a lucky
+        // draw - or 4 runs are spent. On this host ambient load inflates
+        // single readings 1.2-4x routinely (median best-two spread of a
+        // fixed suite measured at ~65% under contention), so a min
+        // confirmed by a second close reading is the only defensible
+        // per-query time. Persisted spread = best-two disagreement, the
+        // noise floor BenchDiff gates regression flags on.
+        val runs = scala.collection.mutable.ArrayBuffer[(Double, Boolean)]()
+        runs += timed(); runs += timed()
+        def best2 = runs.filter(_._2).map(_._1).sorted.take(2).toSeq
+        while (runs.size < 4 && runs.forall(_._2) && best2(1) > 1.15 * best2(0))
+          runs += timed()
+        // a throwing query must not masquerade as a fast success: report
+        // it as -1 and list it under "failed". A probe failure AFTER two
+        // successes must not vanish either - the query lands in "flaky"
+        val firstTwoOk = runs.take(2).forall(_._2)
+        val flaky = firstTwoOk && runs.exists(!_._2)
+        if (flaky) System.err.println(s"[bench] $name: probe run failed after two successes")
+        val good = runs.filter(_._2).map(_._1)
+        val time = if (firstTwoOk) good.min else -1.0
+        val spread =
+          if (time > 0 && good.size >= 2) best2(1) / best2(0) - 1.0 else 0.0
+        (name, time, flaky, spread)
+      }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val spreads = results.map { case (k, _, _, sp) =>
+      s"\"" + k + "\":" + f"$sp%.4f" }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val flaky = results.collect { case (k, _, true) => "\"" + k + "\"" }
+    val flaky = results.collect { case (k, _, true, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // headline fields go LAST on the line: the driver's capture keeps the
     // tail of long output, and a 121-query map once pushed "total" off the
     // front of the stored artifact (JSON itself is order-independent, so
     // any parser reads both layouts identically)
-    val json = s"""{"queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir","unit":"sec","metric":"total","value":$total}"""
+    val json = s"""{"queries":$qs,"spread":$spreads,"failed":$failed,"flaky":$flaky,"ab":$abMode,"sf":"$sfDir","unit":"sec","metric":"total","value":$total}"""
     println(json)
     // belt and braces: the artifact also lands in-repo, self-contained,
     // so round grading never depends on how much stdout survived capture

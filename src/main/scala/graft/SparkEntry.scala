@@ -1085,6 +1085,81 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"),
           col("out_w"), col("out_h"), col("scale"))
     },
+    "media_features" -> { (s, dir) =>
+      // the REAL encoder (PatchProjectionModel): fixed-weight byte conv
+      // + mod-residual nonlinearity + dense ReLU head, all integer so
+      // the Float outputs are exact and the oracle replays the entire
+      // forward pass from hex(payload) byte extraction in SQL
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").withColumn("payload", encode(col("text"), "utf-8")),
+        "doc_id", "payload", "image")
+      val feats = MultimodalOps.decodeAndFeaturize(
+        media, MultimodalOps.PatchProjectionModel)
+      feats.select(col("media_id") +:
+        (0 until 8).map(j => element_at(col("features"), j + 1).as(s"f$j")): _*)
+    },
+    "media_av_decode" -> { (s, dir) =>
+      // audio/video metadata decode, all four paths under oracle: every
+      // 3rd doc a REAL 44-byte WAV header (RIFF + PCM fmt + data size)
+      // hitting the true chunk walk, every 3rd-plus-one a REAL 232-byte
+      // MP4 (ftyp + moov(mvhd, trak(tkhd))) hitting the true box walk -
+      // both with fields from doc_id arithmetic, emitted spec-compliant
+      // by synthWav/Mp4Header; the rest raw text ('unknown'/'empty').
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").withColumn("payload",
+          when(col("doc_id") % 3 === 0,
+            MultimodalOps.synthWavHeader(
+              lit(8000) * (lit(1) + col("doc_id") % 6),
+              lit(1) + col("doc_id") % 2,
+              lit(1000) + (col("doc_id") * 13) % 100000))
+            .when(col("doc_id") % 3 === 1,
+              MultimodalOps.synthMp4Header(
+                lit(16) + col("doc_id") % 640,
+                lit(16) + (col("doc_id") * 3) % 480,
+                lit(600) * (lit(1) + col("doc_id") % 5),
+                (col("doc_id") * 7) % 1000000))
+            .otherwise(encode(col("text"), "utf-8"))),
+        "doc_id", "payload", "av")
+      MultimodalOps.decodeAv(media)
+        .select(col("media_id"), col("format"), col("sample_rate"),
+          col("channels"), col("duration_ms"), col("width"), col("height"))
+    },
+    "media_pipeline" -> { (s, dir) =>
+      // the END-TO-END multimodal pipeline, mirroring docs_pipeline:
+      // synthesize mixed payloads (real PNG headers + raw bytes) ->
+      // decode -> featurize through the REAL encoder -> near-dup bucket
+      // on the quantized embedding -> keep-best (min id) per bucket.
+      // Every stage is individually oracled; this query oracles the
+      // COMPOSITION - the DuckDB replay chains header construction,
+      // byte-level forward pass, quantization, and survivor selection.
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").withColumn("payload",
+          when(col("doc_id") % 5 === 0,
+            MultimodalOps.synthPngHeader(
+              lit(1) + col("doc_id") % 1024,
+              lit(1) + (col("doc_id") * 7) % 1024))
+            .otherwise(encode(col("text"), "utf-8"))),
+        "doc_id", "payload", "image")
+      val feats = MultimodalOps.decodeAndFeaturize(
+        media, MultimodalOps.PatchProjectionModel)
+      // embedding quantization: features are exact integers, so >> 6 is
+      // a deterministic 64-wide bucket - ANN-style near-dup at coarse
+      // resolution, replayable bit-for-bit
+      val bucketed = feats.select(Seq(col("media_id"), col("width"),
+        col("height"), col("format")) ++
+        (0 until 8).map(j =>
+          shiftright(element_at(col("features"), j + 1).cast(LongType), 6)
+            .as(s"b$j")): _*)
+      bucketed
+        .groupBy(col("format") +: (0 until 8).map(j => col(s"b$j")): _*)
+        .agg(
+          min(col("media_id")).as("media_id"),
+          count(lit(1)).as("n_members"),
+          min_by(col("width"), col("media_id")).as("width"),
+          min_by(col("height"), col("media_id")).as("height"))
+        .select(col("media_id"), col("n_members"), col("width"),
+          col("height"), col("format"))
+    },
     "media_chunks" -> { (s, dir) =>
       // frame-sampling plumbing: every 2nd 64-byte chunk; output is
       // chunk METADATA (id, index, byte count) so the whole explode/
@@ -1229,6 +1304,17 @@ object SparkEntry {
       val ev = events(s, dir)
       val sk = SketchOps.sampleSketch(ev, "event_id", "value", Seq("event_type"), k = 512)
       SketchOps.sampleQuantiles(sk, Seq("event_type"), Seq(0.25, 0.5, 0.9, 0.99))
+    },
+    "events_quantiles_tail" -> { (s, dir) =>
+      // the TAIL-accurate path: HDR-style log-bucketed sketch (integer
+      // binning, addition-mergeable cells) serving q999 within a
+      // relative-value bound the bottom-k sample path cannot give -
+      // completes the quantile triptych (exact-edges two-scan, uniform
+      // sample one-scan, log-bucket tail)
+      val ev = events(s, dir)
+      SketchOps.hdrQuantiles(
+        SketchOps.hdrSketch(ev, "value", Seq("event_type")),
+        Seq("event_type"), Seq(0.5, 0.9, 0.99, 0.999))
     },
     "events_robust_scale" -> { (s, dir) =>
       // robust standardization (median/IQR instead of mean/std - the
@@ -3399,6 +3485,119 @@ object SparkEntry {
         |       CAST(CASE WHEN valid THEN greatest(1, floor(height * s)) ELSE 0 END AS INT) AS out_h,
         |       round(s, 6) AS scale
         |FROM scaled""".stripMargin,
+    "media_features" -> {
+      // full replay of PatchProjectionModel's forward pass: bytes from
+      // hex(payload) pairs, conv = SUM(byte * W1[i%8][k]), residual
+      // nonlinearity mod 9973, dense ReLU head - all integer, so REAL
+      // outputs match the JVM floats bit-for-bit
+      val f = (0 until 8).map(j =>
+        s"CAST(greatest(coalesce(MAX(CASE WHEN j = $j THEN o END), 0), 0) AS REAL) AS f$j")
+        .mkString(",\n         ")
+      val outer = (0 until 8).map(j =>
+        s"coalesce(f$j, CAST(0 AS REAL)) AS f$j").mkString(", ")
+      s"""WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         least(octet_length(encode(text)), 256) AS n
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, hx, unnest(generate_series(0, CAST(n AS INT) - 1)) AS i FROM b
+        |), bv AS (
+        |  SELECT doc_id, i % 8 AS u,
+        |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT AS byte
+        |  FROM idx
+        |), acc AS (
+        |  SELECT doc_id, k, SUM(byte * (((u * 31 + k * 17 + 7) % 13) - 6)) AS a
+        |  FROM bv CROSS JOIN generate_series(0, 7) ks(k)
+        |  GROUP BY doc_id, k
+        |), outj AS (
+        |  SELECT doc_id, j,
+        |         SUM((((a % 9973) + 9973) % 9973) * (((k * 7 + j * 5 + 1) % 11) - 5)) AS o
+        |  FROM acc CROSS JOIN generate_series(0, 7) js(j)
+        |  GROUP BY doc_id, j
+        |), piv AS (
+        |  SELECT doc_id,
+        |         $f
+        |  FROM outj GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS media_id, $outer
+        |FROM documents d LEFT JOIN piv USING (doc_id)""".stripMargin
+    },
+    "media_av_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'wav'
+        |       WHEN doc_id % 3 = 1 THEN 'mp4'
+        |       WHEN octet_length(encode(text)) = 0 THEN 'empty'
+        |       ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8000 * (1 + doc_id % 6) ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 2 ELSE 0 END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN
+        |         ((1000 + (doc_id * 13) % 100000) * 1000)
+        |           // (8000 * (1 + doc_id % 6) * (1 + doc_id % 2) * 2)
+        |       WHEN doc_id % 3 = 1 THEN
+        |         (((doc_id * 7) % 1000000) * 1000) // (600 * (1 + doc_id % 5))
+        |       ELSE 0 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16 + doc_id % 640 ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16 + (doc_id * 3) % 480 ELSE 0 END AS INT) AS height
+        |FROM documents""".stripMargin,
+    "media_pipeline" -> {
+      // chained replay: PNG-header hex construction (same lpad(hex())
+      // encoding synthPngHeader uses) -> the PatchProjectionModel
+      // forward pass from hex pairs -> decode dims -> quantized-bucket
+      // keep-best
+      val f = (0 until 8).map(j =>
+        s"CAST(greatest(coalesce(MAX(CASE WHEN j = $j THEN o END), 0), 0) AS REAL) AS f$j")
+        .mkString(",\n         ")
+      val qb = (0 until 8).map(j =>
+        s"CAST(coalesce(f$j, CAST(0 AS REAL)) AS BIGINT) >> 6 AS b$j").mkString(", ")
+      val bs = (0 until 8).map(j => s"b$j").mkString(", ")
+      s"""WITH pay AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN
+        |           '89504E470D0A1A0A0000000D49484452' ||
+        |           lpad(hex(1 + doc_id % 1024), 8, '0') ||
+        |           lpad(hex(1 + (doc_id * 7) % 1024), 8, '0') ||
+        |           '080600000000000000'
+        |         ELSE hex(encode(text)) END AS hx,
+        |         CASE WHEN doc_id % 5 = 0 THEN 'png'
+        |              WHEN octet_length(encode(text)) = 0 THEN 'empty'
+        |              ELSE 'raw' END AS format,
+        |         CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 1024
+        |                   WHEN octet_length(encode(text)) = 0 THEN 0
+        |                   ELSE 64 + (('0x' || substr(md5(text), 1, 8))::BIGINT % 1920) END AS INT) AS width,
+        |         CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + (doc_id * 7) % 1024
+        |                   WHEN octet_length(encode(text)) = 0 THEN 0
+        |                   ELSE 64 + (('0x' || substr(md5(text), 9, 8))::BIGINT % 1080) END AS INT) AS height
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, hx,
+        |         unnest(generate_series(0, CAST(least(length(hx) // 2, 256) AS INT) - 1)) AS i
+        |  FROM pay
+        |), bv AS (
+        |  SELECT doc_id, i % 8 AS u,
+        |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT AS byte
+        |  FROM idx
+        |), acc AS (
+        |  SELECT doc_id, k, SUM(byte * (((u * 31 + k * 17 + 7) % 13) - 6)) AS a
+        |  FROM bv CROSS JOIN generate_series(0, 7) ks(k)
+        |  GROUP BY doc_id, k
+        |), outj AS (
+        |  SELECT doc_id, j,
+        |         SUM((((a % 9973) + 9973) % 9973) * (((k * 7 + j * 5 + 1) % 11) - 5)) AS o
+        |  FROM acc CROSS JOIN generate_series(0, 7) js(j)
+        |  GROUP BY doc_id, j
+        |), piv AS (
+        |  SELECT doc_id,
+        |         $f
+        |  FROM outj GROUP BY doc_id
+        |), buck AS (
+        |  SELECT p.doc_id, p.format, p.width, p.height, $qb
+        |  FROM pay p LEFT JOIN piv USING (doc_id)
+        |)
+        |SELECT min(doc_id) AS media_id, count(*) AS n_members,
+        |       min_by(width, doc_id) AS width, min_by(height, doc_id) AS height,
+        |       format
+        |FROM buck GROUP BY format, $bs""".stripMargin
+    },
     "docs_partitioned" ->
       """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
@@ -4060,6 +4259,47 @@ object SparkEntry {
         |)
         |SELECT tq.event_type, tq.q, srt.v AS est
         |FROM tq JOIN srt ON srt.event_type = tq.event_type AND srt.rv = tq.r""".stripMargin,
+    "events_quantiles_tail" ->
+      // full HDR-bucket replay: power-of-two scale (exact IEEE), sign
+      // split, bitlen via length(bin()) - no float log2 - top-5-bit
+      // sub-buckets, cumulative rank in sgn*code order, integer-shift
+      // decode to the bucket midpoint (a dyadic rational: est is exact)
+      """WITH clean AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL
+        |), scaled AS (
+        |  SELECT event_type, CAST(floor(v * 1048576.0) AS BIGINT) AS vi FROM clean
+        |), coded AS (
+        |  SELECT event_type,
+        |         CASE WHEN vi < 0 THEN -1 WHEN vi > 0 THEN 1 ELSE 0 END AS sgn,
+        |         CASE WHEN abs(vi) < 32 THEN abs(vi)
+        |              ELSE (length(bin(abs(vi))) - 6) * 32
+        |                   + (abs(vi) >> (length(bin(abs(vi))) - 6)) END AS code
+        |  FROM scaled
+        |), sk AS (
+        |  SELECT event_type, sgn, code, count(*) AS c FROM coded GROUP BY 1, 2, 3
+        |), cum AS (
+        |  SELECT event_type, sgn, code, c,
+        |         SUM(c) OVER (PARTITION BY event_type ORDER BY sgn * code) AS cum
+        |  FROM sk
+        |), tot AS (SELECT event_type, SUM(c) AS n FROM sk GROUP BY 1),
+        |tgt AS (
+        |  SELECT event_type, n, unnest([0.5, 0.9, 0.99, 0.999]::DOUBLE[]) AS q FROM tot
+        |), hit AS (
+        |  SELECT t.event_type, t.q, u.sgn, u.code
+        |  FROM tgt t JOIN cum u USING (event_type)
+        |  WHERE u.cum - u.c < t.q * t.n AND t.q * t.n <= u.cum
+        |), dec AS (
+        |  SELECT event_type, q, sgn,
+        |         CASE WHEN code < 32 THEN code
+        |              ELSE (code - 32 * ((code >> 5) - 1)) << ((code >> 5) - 1) END AS lo,
+        |         CASE WHEN code < 32 THEN CAST(0 AS BIGINT)
+        |              ELSE (CAST(1 AS BIGINT) << ((code >> 5) - 1)) - 1 END AS wm1
+        |  FROM hit
+        |)
+        |SELECT event_type, q, sgn * (lo + lo + wm1) / 2.0 / 1048576.0 AS est
+        |FROM dec""".stripMargin,
     "events_robust_scale" ->
       // same quantile CTE chain (shared builder - the two replays
       // cannot drift), pivoted to per-type quartiles, broadcast-shaped

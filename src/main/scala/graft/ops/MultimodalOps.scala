@@ -172,6 +172,167 @@ object MultimodalOps {
     }
   }
 
+  /** Audio/video metadata decode - the [[decodeImageMeta]] pattern for
+    * the other two modalities. REAL for the two container formats any
+    * spec-compliant file starts with:
+    *
+    *   - WAV (RIFF): validates `RIFF....WAVE`, then walks the chunk
+    *     list (id + LE u32 size, odd sizes padded per spec). The
+    *     `fmt ` chunk yields channels / sample rate / byte rate; the
+    *     `data` chunk's DECLARED size yields duration:
+    *     `data_bytes * 1000 / byte_rate` ms (truncating integer
+    *     division). A truncated stream (header-only fixture, or a
+    *     chunk size past EOF) decodes from whatever chunks are
+    *     complete - deterministic, never a guess.
+    *   - MP4 (ISO BMFF): validates an `ftyp` box at the top, then
+    *     walks sibling boxes (BE u32 size + fourcc) to `moov`, inside
+    *     it to `mvhd` (version 0: timescale at payload offset 12,
+    *     duration at 16 -> duration_ms = dur * 1000 / timescale) and
+    *     into the first `trak`'s `tkhd` (version 0: 16.16 fixed-point
+    *     width/height at payload offsets 76/80). Version-1 (64-bit)
+    *     headers and `size == 1` largesize boxes are skipped rather
+    *     than misparsed - their fields stay 0.
+    *
+    * Anything else: ("empty", 0...) for null/empty payloads,
+    * ("unknown", 0...) otherwise. Output tuple:
+    * (format, sample_rate, channels, duration_ms, width, height).
+    */
+  def decodeAvMeta(payload: Array[Byte]): (String, Int, Int, Long, Int, Int) = {
+    val len = if (payload == null) 0 else payload.length
+    def ascii(o: Int, n: Int): String =
+      if (o + n <= len) new String(payload, o, n, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long = (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+      ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def be32(o: Int): Long = ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+      ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    if (len == 0) ("empty", 0, 0, 0L, 0, 0)
+    else if (len >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
+      var i = 12
+      var sr = 0; var ch = 0; var byteRate = 0L; var dataSize = -1L
+      while (i + 8 <= len) {
+        val id = ascii(i, 4)
+        val sz = le32(i + 4)
+        if (id == "fmt " && sz >= 16 && i + 24 <= len) {
+          ch = le16(i + 10); sr = le32(i + 12).toInt; byteRate = le32(i + 16)
+        } else if (id == "data") dataSize = sz
+        i += 8 + sz.toInt + (sz & 1L).toInt // RIFF pads odd chunks
+        if (sz < 0 || sz > Int.MaxValue) i = len // corrupt size: stop
+      }
+      val dur = if (byteRate > 0 && dataSize >= 0) dataSize * 1000L / byteRate else 0L
+      ("wav", sr, ch, dur, 0, 0)
+    } else if (len >= 12 && ascii(4, 4) == "ftyp") {
+      // find the box `target` among siblings in [start, end); -1 if absent
+      def findBox(start: Int, end: Int, target: String): Int = {
+        var i = start
+        while (i + 8 <= end) {
+          val sz = be32(i)
+          if (ascii(i + 4, 4) == target) return i
+          if (sz < 8) return -1 // largesize (1) or corrupt: stop, don't misparse
+          i += sz.toInt
+        }
+        -1
+      }
+      var ts = 0L; var dur = 0L; var w = 0; var h = 0
+      val moov = findBox(0, len, "moov")
+      if (moov >= 0) {
+        val moovEnd = math.min(len.toLong, moov + be32(moov)).toInt
+        val mvhd = findBox(moov + 8, moovEnd, "mvhd")
+        if (mvhd >= 0 && mvhd + 28 <= len && payload(mvhd + 8) == 0) {
+          ts = be32(mvhd + 20); dur = be32(mvhd + 24)
+        }
+        val trak = findBox(moov + 8, moovEnd, "trak")
+        if (trak >= 0) {
+          val trakEnd = math.min(moovEnd.toLong, trak + be32(trak)).toInt
+          val tkhd = findBox(trak + 8, trakEnd, "tkhd")
+          if (tkhd >= 0 && tkhd + 92 <= len && payload(tkhd + 8) == 0) {
+            w = (be32(tkhd + 84) >> 16).toInt // 16.16 fixed point
+            h = (be32(tkhd + 88) >> 16).toInt
+          }
+        }
+      }
+      ("mp4", 0, 0, if (ts > 0) dur * 1000L / ts else 0L, w, h)
+    } else ("unknown", 0, 0, 0L, 0, 0)
+  }
+
+  /** A REAL (if tiny) fixed-weight encoder - the non-stand-in
+    * [[FeatureModel]]: a 1-D byte convolution, a bounded residual
+    * nonlinearity, and a dense ReLU head, computed with genuine tensor
+    * arithmetic (weight matrices materialized at session open, inner
+    * loops accumulating byte x weight products) rather than a byte
+    * histogram. Architecture:
+    *
+    *   - receptive field: the first [[receptiveField]] payload bytes
+    *     (a fixed context window, like an image center-crop - bytes
+    *     past it do not influence the embedding);
+    *   - conv layer: [[patch]]-periodic kernel `W1[u][k]` over byte
+    *     positions (position i uses row i mod patch), sum-pooled over
+    *     the window into [[channels]] accumulators;
+    *   - nonlinearity: the mod-[[modulus]] residual, mapped to
+    *     [0, modulus) - bounded like a squashing activation but EXACT
+    *     in integer arithmetic;
+    *   - head: dense `W2[k][j]` projection to [[dims]] outputs with a
+    *     ReLU.
+    *
+    * Every step is integer; outputs are bounded by
+    * (modulus-1) x 5 x channels = 398,880 < 2^24, so the Float
+    * vector is EXACT - no rounding anywhere - which is what lets the
+    * DuckDB oracle (`media_features`) replay the whole forward pass
+    * from `hex(payload)` byte extraction and integer sums, engine
+    * independently. Weights are a fixed pseudo-random integer lattice
+    * (small co-prime multipliers mod small primes, centered), the
+    * moral equivalent of a fixed-seed init. A production ONNX/JNI
+    * encoder replaces [[openSession]] only; [[decodeAndFeaturize]]'s
+    * plan, schema, and batching are already exactly what it needs.
+    */
+  object PatchProjectionModel extends FeatureModel {
+    val receptiveField = 256
+    val patch = 8
+    val channels = 8
+    val dims = 8
+    val modulus = 9973L
+    /** conv kernel, patch x channels, values in [-6, 6] */
+    def w1(u: Int, k: Int): Long = ((u * 31 + k * 17 + 7) % 13) - 6L
+    /** dense head, channels x dims, values in [-5, 5] */
+    def w2(k: Int, j: Int): Long = ((k * 7 + j * 5 + 1) % 11) - 5L
+
+    def openSession(): FeatureSession = new FeatureSession {
+      // "model load": materialize the weight tensors once per session
+      private val k1 = Array.tabulate(patch, channels)(w1)
+      private val k2 = Array.tabulate(channels, dims)(w2)
+      def embedBatch(payloads: Array[Array[Byte]]): Array[Array[Float]] =
+        payloads.map { p =>
+          val acc = new Array[Long](channels)
+          if (p != null) {
+            val n = math.min(p.length, receptiveField)
+            var i = 0
+            while (i < n) {
+              val b = (p(i) & 0xff).toLong
+              val row = k1(i % patch)
+              var k = 0
+              while (k < channels) { acc(k) += b * row(k); k += 1 }
+              i += 1
+            }
+          }
+          val out = new Array[Float](dims)
+          var j = 0
+          while (j < dims) {
+            var o = 0L
+            var k = 0
+            while (k < channels) {
+              o += (((acc(k) % modulus) + modulus) % modulus) * k2(k)(j)
+              k += 1
+            }
+            out(j) = math.max(o, 0L).toFloat // ReLU; < 2^24, Float-exact
+            j += 1
+          }
+          out
+        }
+      def close(): Unit = ()
+    }
+  }
+
   /** A minimal REAL PNG header - the 8-byte signature plus the IHDR
     * chunk (length, type, width, height, bit depth 8, color type 6,
     * default compression/filter/interlace) - as a binary column built
@@ -216,6 +377,107 @@ object MultimodalOps {
       .otherwise(raise_error(concat(
         lit("synthJpegHeader: dims out of [1, 65535]: "),
         width.cast(StringType), lit("x"), height.cast(StringType))))
+  }
+
+  /** Little-endian byte encoding of a nonnegative integer column as
+    * `nBytes` hex pairs - the RIFF/WAV counterpart of the big-endian
+    * `lpad(hex(x), 8, '0')` trick: byte b is `(v >> 8b) & 255`, so the
+    * concatenation IS the LE byte sequence once unhexed. Codegen'd
+    * built-ins only, replayable by any engine with hex/shift functions.
+    */
+  private def leHex(v: Column, nBytes: Int): Column =
+    concat((0 until nBytes).map(b =>
+      lpad(F.hex(shiftright(v.cast(LongType), 8 * b).bitwiseAND(lit(255L))), 2, "0")): _*)
+
+  /** A minimal REAL WAV file header - `RIFF` size `WAVE`, a complete
+    * 16-byte PCM `fmt ` chunk, and a `data` chunk header DECLARING
+    * `dataBytes` of samples (header-only: the samples themselves are
+    * not materialized, and [[decodeAvMeta]] reads only the declared
+    * size - exactly how duration is computed from a real file's
+    * header). Same hex/lpad/unhex construction and fail-loudly range
+    * rule as [[synthPngHeader]]; all multi-byte fields little-endian
+    * per RIFF. Any spec-compliant WAV parser reads sample rate,
+    * channels, and data size from these 44 bytes.
+    */
+  def synthWavHeader(sampleRate: Column, channels: Column, dataBytes: Column): Column = {
+    val sr = sampleRate.cast(LongType)
+    val ch = channels.cast(LongType)
+    val db = dataBytes.cast(LongType)
+    val byteRate = sr * ch * lit(2L) // 16-bit PCM
+    val ok = sampleRate.between(1, 1000000) && channels.between(1, 8) &&
+      dataBytes.between(0, Int.MaxValue)
+    when(ok, unhex(concat(
+      lit("52494646"), leHex(lit(36L) + db, 4), lit("57415645"), // RIFF <size> WAVE
+      lit("666D7420"), leHex(lit(16L), 4), // 'fmt ' 16
+      leHex(lit(1L), 2), leHex(ch, 2), leHex(sr, 4), leHex(byteRate, 4), // PCM
+      leHex(ch * 2, 2), leHex(lit(16L), 2), // block align, bits/sample
+      lit("64617461"), leHex(db, 4)))) // 'data' <size>
+      .otherwise(raise_error(concat(
+        lit("synthWavHeader: out of range (sr [1,1e6], ch [1,8], bytes [0,2^31-1]): "),
+        sampleRate.cast(StringType), lit("/"), channels.cast(StringType),
+        lit("/"), dataBytes.cast(StringType))))
+  }
+
+  /** A minimal REAL MP4 (ISO BMFF) file - `ftyp` + `moov(mvhd, trak(
+    * tkhd))`, 232 spec-compliant bytes: version-0 `mvhd` carrying
+    * timescale/duration, version-0 `tkhd` carrying 16.16 fixed-point
+    * track width/height, unity matrices, box sizes exact. Big-endian
+    * `lpad(hex(x), 8, '0')` construction throughout; fail-loudly range
+    * rule as the other synth fixtures. Any spec-compliant BMFF parser
+    * walks these boxes to the same four fields [[decodeAvMeta]] reads.
+    */
+  def synthMp4Header(width: Column, height: Column,
+      timescale: Column, duration: Column): Column = {
+    def be32(v: Column) = lpad(F.hex(v.cast(LongType)), 8, "0")
+    def be16(v: Column) = lpad(F.hex(v.cast(LongType)), 4, "0")
+    val matrix = "00010000" + "00000000" + "00000000" +
+      "00000000" + "00010000" + "00000000" +
+      "00000000" + "00000000" + "40000000"
+    val ok = width.between(1, 65535) && height.between(1, 65535) &&
+      timescale.between(1, Int.MaxValue) && duration.between(0, Int.MaxValue)
+    when(ok, unhex(concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000200"), // ftyp isom
+      lit("000000D8" + "6D6F6F76"), // moov, size 216
+      lit("0000006C" + "6D766864" + "00000000" + // mvhd, size 108, v0
+        "00000000" + "00000000"), // creation, modification
+      be32(timescale), be32(duration),
+      lit("00010000" + "0100" + "0000" + "0000000000000000" + // rate, volume, reserved
+        matrix + "0" * 48 + "00000002"), // predefined, next track id
+      lit("00000064" + "7472616B"), // trak, size 100
+      lit("0000005C" + "746B6864" + "00000007" + // tkhd, size 92, v0, flags
+        "00000000" + "00000000" + "00000001" + "00000000"), // creation, mod, track, reserved
+      be32(duration),
+      lit("0000000000000000" + "0000" + "0000" + "0000" + "0000" + matrix),
+      be16(width), lit("0000"), be16(height), lit("0000")))) // 16.16 fixed
+      .otherwise(raise_error(concat(
+        lit("synthMp4Header: out of range (dims [1,65535], ts [1,2^31-1], dur [0,2^31-1]): "),
+        width.cast(StringType), lit("x"), height.cast(StringType))))
+  }
+
+  /** Frame-level [[decodeAvMeta]]: the audio/video counterpart of
+    * [[decodeAndFeaturize]]'s header-decode half. Per-row pure parse in
+    * one mapPartitions pass (no model session - metadata only), payload
+    * pruned from the output. Output: media frame columns + (format,
+    * sample_rate, channels, duration_ms, width, height).
+    */
+  def decodeAv(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields.filterNot(_.name == "payload") ++ Seq(
+      StructField("format", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (fmt, sr, ch, dur, w, h) = decodeAvMeta(r.getAs[Array[Byte]]("payload"))
+        Row.fromSeq(
+          r.toSeq.zip(r.schema.fieldNames).collect { case (v, n) if n != "payload" => v } ++
+            Seq(fmt, sr, ch, dur, w, h))
+      }
+    }(enc)
   }
 
   /** Batched decode + embed pass: mapPartitions opens ONE

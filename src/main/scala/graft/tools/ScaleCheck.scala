@@ -3,12 +3,18 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Ad-hoc weak-scaling probe for sketch operators: build 10 disjoint
-  * copies of the sf events table (ids offset, event types suffixed per
-  * copy, so the 10x run is 10 independent instances of the same
-  * problem) and time each operator at 1x vs 10x with min-of-2 - the
-  * same discipline as the README's measured scale curve for the
-  * dedup/curation pipelines.
+/** Ad-hoc weak-scaling probe: build 10 disjoint copies of an sf table
+  * and time each operator at 1x vs 10x with min-of-2 - the same
+  * discipline as the README's measured scale curve for the
+  * dedup/curation pipelines. Two fixtures:
+  *
+  *   - events: ids offset by a data-derived stride, event types
+  *     suffixed per copy - 10 independent instances for the sketch
+  *     operators;
+  *   - customer names (the trie flagship): each copy prefixed with a
+  *     6-char tag of pairwise edit distance 6 > 2*maxDist+1, so no
+  *     query can cross copies and the 10x run is 10 independent
+  *     fuzzy-match problems - the weak-scaling definition.
   *
   * Usage: runMain graft.tools.ScaleCheck <sfDir>
   */
@@ -23,6 +29,17 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def timed(tag: String, d1: DataFrame, d10: DataFrame)(f: DataFrame => DataFrame): Unit = {
+      def once(df: DataFrame): Double = {
+        val t0 = System.nanoTime(); f(df).count(); (System.nanoTime() - t0) / 1e9
+      }
+      once(d1); once(d10) // warm codegen
+      val a = math.min(once(d1), once(d1))
+      val b = math.min(once(d10), once(d10))
+      println(f"$tag%-28s 1x=$a%6.2fs 10x=$b%6.2fs ratio=${b / a}%4.1fx")
+    }
+
     val ev1 = spark.read.parquet(s"$sfDir/events.parquet").localCheckpoint()
     val n1 = ev1.count()
     // offset stride derived from the DATA, not a magic 1e8: ids >= the
@@ -35,31 +52,51 @@ object ScaleCheck {
         .withColumn("event_type", concat(col("event_type"), lit(s"_$c")))
     }.reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
     val n10 = ev10.count()
-    println(s"rows: 1x=$n1 10x=$n10")
+    println(s"events rows: 1x=$n1 10x=$n10")
 
-    def timed(tag: String)(f: DataFrame => DataFrame): Unit = {
-      def once(df: DataFrame): Double = {
-        val t0 = System.nanoTime(); f(df).count(); (System.nanoTime() - t0) / 1e9
-      }
-      once(ev1); once(ev10) // warm codegen
-      val a = math.min(once(ev1), once(ev1))
-      val b = math.min(once(ev10), once(ev10))
-      println(f"$tag%-28s 1x=$a%6.2fs 10x=$b%6.2fs ratio=${b / a}%4.1fx")
-    }
-    timed("events_sample_quantiles") { df =>
+    timed("events_sample_quantiles", ev1, ev10) { df =>
       graft.ops.SketchOps.sampleQuantiles(
         graft.ops.SketchOps.sampleSketch(df, "event_id", "value", Seq("event_type"), 512),
         Seq("event_type"), Seq(0.25, 0.5, 0.9, 0.99))
     }
-    timed("events_quantiles_auto") { df =>
+    timed("events_quantiles_auto", ev1, ev10) { df =>
       graft.ops.SketchOps.histogramQuantilesAuto(
         graft.ops.SketchOps.fixedHistogramAuto(df, "value", Seq("event_type"), 20),
         Seq("event_type"), Seq(0.25, 0.5, 0.9, 0.99), 20)
     }
-    timed("events_hll_registers") { df =>
+    timed("events_quantiles_tail", ev1, ev10) { df =>
+      graft.ops.SketchOps.hdrQuantiles(
+        graft.ops.SketchOps.hdrSketch(df, "value", Seq("event_type")),
+        Seq("event_type"), Seq(0.5, 0.9, 0.99, 0.999))
+    }
+    timed("events_hll_registers", ev1, ev10) { df =>
       graft.ops.SketchOps.hllEstimate(
         graft.ops.SketchOps.hllRegisters(df, "user_id", Seq("event_type")),
         Seq("event_type"))
+    }
+
+    // the trie flagship: 10 tag-disjoint dictionary copies; the query
+    // set grows 10x with the dictionary (weak scaling on both sides)
+    val cust1 = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_name")).localCheckpoint()
+    val cust10 = (0 until 10).map { c =>
+      cust1.select(col("c_custkey"),
+        concat(lit(s"z$c" * 3), col("c_name")).as("c_name"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
+    println(s"dict rows: 1x=${cust1.count()} 10x=${cust10.count()}")
+
+    def trieQueries(df: DataFrame): DataFrame = df
+      .filter(col("c_custkey") % 35 === 0)
+      .select(expr("concat(substr(c_name, 1, length(c_name)-1), 'X')").as("query_string"))
+    timed("pt_fuzzy_joinmode", cust1, cust10) { df =>
+      // forced LOOP path (the 100-TB shape: trie too large to broadcast)
+      val trie = graft.ptree.PrefixTree.create(df, "c_name", prefixLen = 12)
+      graft.ptree.Query.queryJoin(trieQueries(df), "query_string", trie, maxDist = 2)
+    }
+    timed("pt_querybatch_auto", cust1, cust10) { df =>
+      // mode-choosing entry (measures whatever the sizing policy picks)
+      val trie = graft.ptree.PrefixTree.create(df, "c_name", prefixLen = 12)
+      graft.ptree.Query.queryBatch(trieQueries(df), "query_string", trie, maxDist = 2)
     }
     spark.stop()
   }

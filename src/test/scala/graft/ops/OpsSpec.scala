@@ -1358,6 +1358,91 @@ class OpsSpec extends SparkSpec {
     assert(tail == Set((3L, 0, 3), (3L, 2, 3), (3L, 4, 1)))
   }
 
+  test("decodeAvMeta: real WAV chunk walk + MP4 box walk, fixtures round-trip") {
+    import MultimodalOps.decodeAvMeta
+    // WAV: parse REAL encoder output - javax.sound writes an actual
+    // RIFF/WAVE stream (PCM 16-bit, 8kHz, mono, 1000 frames), the same
+    // independent-writer validation ImageIO gives the PNG/JPEG parse
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val frames = 1000
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](frames * 2)), fmt, frames)
+    val wbos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wbos)
+    // 2000 data bytes / 16000 bytes-per-sec = 125 ms
+    assert(decodeAvMeta(wbos.toByteArray) == (("wav", 8000, 1, 125L, 0, 0)))
+    // synth fixture round-trips through the same parse
+    val wsynth = Seq((44100L, 2L, 441000L), (8000L, 1L, 0L), (192000L, 8L, 7L))
+      .toDF("sr", "ch", "db")
+      .select($"sr", $"ch", $"db",
+        MultimodalOps.synthWavHeader($"sr", $"ch", $"db").as("p")).collect()
+    wsynth.foreach { r =>
+      val (sr, ch, db) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val got = decodeAvMeta(r.getAs[Array[Byte]]("p"))
+      val dur = db * 1000L / (sr * ch * 2)
+      assert(got == (("wav", sr.toInt, ch.toInt, dur, 0, 0)), s"$sr/$ch/$db")
+      assert(r.getAs[Array[Byte]]("p").length == 44)
+    }
+    // MP4: fixture round-trip, PLUS an independently-built box tree
+    // (ByteBuffer, different construction path than the hex concat)
+    val msynth = Seq((640L, 480L, 600L, 360000L), (1L, 1L, 1L, 0L), (1920L, 1080L, 90000L, 123457L))
+      .toDF("w", "h", "ts", "dur")
+      .select($"w", $"h", $"ts", $"dur",
+        MultimodalOps.synthMp4Header($"w", $"h", $"ts", $"dur").as("p")).collect()
+    msynth.foreach { r =>
+      val (w, h, ts, dur) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val got = decodeAvMeta(r.getAs[Array[Byte]]("p"))
+      assert(got == (("mp4", 0, 0, dur * 1000L / ts, w.toInt, h.toInt)), s"${w}x$h")
+      assert(r.getAs[Array[Byte]]("p").length == 232)
+    }
+    val bb = java.nio.ByteBuffer.allocate(232) // BE by default
+    bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0x200)
+    bb.putInt(216).put("moov".getBytes)
+    bb.putInt(108).put("mvhd".getBytes).putInt(0).putInt(0).putInt(0)
+      .putInt(48000).putInt(96000).putInt(0x00010000).putShort(0x0100.toShort)
+      .put(new Array[Byte](10)).putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0).putInt(0).putInt(0).putInt(0x40000000)
+      .put(new Array[Byte](24)).putInt(2)
+    bb.putInt(100).put("trak".getBytes)
+    bb.putInt(92).put("tkhd".getBytes).putInt(7).putInt(0).putInt(0).putInt(1)
+      .putInt(0).putInt(96000).put(new Array[Byte](8))
+      .putShort(0).putShort(0).putShort(0).putShort(0)
+      .putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0).putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(320 << 16).putInt(240 << 16)
+    assert(decodeAvMeta(bb.array()) == (("mp4", 0, 0, 2000L, 320, 240)))
+    // degenerate inputs decode deterministically, never a guess
+    assert(decodeAvMeta(Array.empty[Byte]) == (("empty", 0, 0, 0L, 0, 0)))
+    assert(decodeAvMeta(null) == (("empty", 0, 0, 0L, 0, 0)))
+    assert(decodeAvMeta("plain text".getBytes) == (("unknown", 0, 0, 0L, 0, 0)))
+    // truncated WAV (RIFF+WAVE only, no chunks) and headerless MP4
+    // (ftyp only): fields stay 0, format still recognized
+    assert(decodeAvMeta(wbos.toByteArray.take(12)) == (("wav", 0, 0, 0L, 0, 0)))
+    assert(decodeAvMeta(bb.array().take(16)) == (("mp4", 0, 0, 0L, 0, 0)))
+    // out-of-range fixture dims raise instead of encoding wrong fields
+    intercept[Exception] {
+      Seq((0L, 1L, 1L)).toDF("sr", "ch", "db")
+        .select(MultimodalOps.synthWavHeader($"sr", $"ch", $"db")).collect()
+    }
+    intercept[Exception] {
+      Seq((70000L, 10L)).toDF("w", "h")
+        .select(MultimodalOps.synthMp4Header($"w", $"h", lit(600), lit(0))).collect()
+    }
+    // through the frame-level operator: schema + values, payload pruned
+    val media = MultimodalOps.asMedia(
+      Seq((1L, wbos.toByteArray), (2L, bb.array()), (3L, "x".getBytes))
+        .toDF("id", "payload"), "id", "payload", "av")
+    val out = MultimodalOps.decodeAv(media)
+    assert(out.schema.fieldNames.toSet == Set("media_id", "kind", "meta",
+      "format", "sample_rate", "channels", "duration_ms", "width", "height"))
+    val byId = out.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(byId(1L).getAs[String]("format") == "wav" &&
+      byId(1L).getAs[Long]("duration_ms") == 125L)
+    assert(byId(2L).getAs[Int]("width") == 320 && byId(2L).getAs[Int]("height") == 240)
+    assert(byId(3L).getAs[String]("format") == "unknown")
+  }
+
   test("decodeAndFeaturize model hook: one session per partition, bounded batches, closed") {
     import graft.ops.FakeModelProbe
     FakeModelProbe.reset()
@@ -1383,6 +1468,61 @@ class OpsSpec extends SparkSpec {
     val dflt = MultimodalOps.decodeAndFeaturize(media)
     assert(dflt.schema == MultimodalOps.decodeAndFeaturize(
       media, model = new FakeModelProbe.Model).schema)
+  }
+
+  test("PatchProjectionModel: real forward pass - reference replay, window, exactness") {
+    import MultimodalOps.PatchProjectionModel
+    // independent scalar reference: recompute the forward pass directly
+    // from the formula (no matrices, no loops-over-channels structure)
+    def ref(p: Array[Byte]): Array[Float] = {
+      val n = math.min(if (p == null) 0 else p.length, 256)
+      (0 until 8).map { j =>
+        val o = (0 until 8).map { k =>
+          val a = (0 until n).map(i =>
+            (p(i) & 0xff).toLong * (((i % 8) * 31 + k * 17 + 7) % 13 - 6)).sum
+          (((a % 9973) + 9973) % 9973) * ((k * 7 + j * 5 + 1) % 11 - 5)
+        }.sum
+        math.max(o, 0L).toFloat
+      }.toArray
+    }
+    val session = PatchProjectionModel.openSession()
+    val payloads: Array[Array[Byte]] = Array(
+      "hello world".getBytes("UTF-8"),
+      Array.tabulate(300)(i => (i * 37 % 256).toByte), // crosses the window
+      Array.tabulate(256)(_.toByte),
+      Array(0x80.toByte, 0xff.toByte), // high bytes: unsigned read
+      Array.empty[Byte],
+      null)
+    val got = session.embedBatch(payloads)
+    payloads.zip(got).foreach { case (p, g) =>
+      assert(g.toSeq == ref(p).toSeq, s"payload ${Option(p).map(_.length)}")
+    }
+    // not the histogram stand-in: a byte permutation that preserves the
+    // histogram changes the embedding (position-sensitive arithmetic)
+    val fwd = "abcdefgh12345678".getBytes("UTF-8")
+    assert(session.embedBatch(Array(fwd.reverse)).head.toSeq
+      != session.embedBatch(Array(fwd)).head.toSeq)
+    // fixed receptive field: byte 257+ cannot influence the embedding
+    val base = Array.tabulate(256)(i => (i % 251).toByte)
+    assert(session.embedBatch(Array(base ++ Array(99.toByte))).head.toSeq
+      == session.embedBatch(Array(base)).head.toSeq)
+    // empty and null embed to exact zeros
+    assert(got(4).forall(_ == 0f) && got(5).forall(_ == 0f))
+    // every output is a nonneg integer < 2^24: the Float is EXACT, which
+    // is the property the byte-exact DuckDB oracle depends on
+    got.flatten.foreach { f =>
+      assert(f >= 0f && f == math.rint(f).toFloat && f < (1 << 24).toFloat)
+    }
+    session.close()
+    // through the full decodeAndFeaturize plan: same values, 8 dims
+    val media = MultimodalOps.asMedia(
+      Seq((1L, payloads(0)), (2L, payloads(1))).toDF("id", "payload"),
+      "id", "payload", "image")
+    val out = MultimodalOps.decodeAndFeaturize(media, PatchProjectionModel)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        r.getAs[scala.collection.Seq[Float]]("features")).toMap
+    assert(out(1L).toSeq == ref(payloads(0)).toSeq && out(1L).length == 8)
+    assert(out(2L).toSeq == ref(payloads(1)).toSeq)
   }
 
   test("randomProject: deterministic, linear, correct dimensions") {
@@ -1914,6 +2054,60 @@ class OpsSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.size.toLong)
       .filter(_._2 >= 2).toMap
     assert(got === expected)
+  }
+
+  test("hdrSketch: tail rank-error bound holds where equal-state bottom-k fails") {
+    // heavy tail: value = 2^(40 * (i/n)^8) - near q999 the value doubles
+    // every ~60 ranks, so a uniform-rank-error sample sketch misses by
+    // whole octaves while the log-bucket bound (half a 1/32 bucket,
+    // ~1.6% relative) is distribution-independent
+    val n = 20000
+    val data = (0 until n).map(i =>
+      (i.toLong, "g", math.pow(2.0, 40.0 * math.pow(i.toDouble / n, 8))))
+    val df = data.toDF("id", "grp", "value")
+    val sk = SketchOps.hdrSketch(df, "value", Seq("grp"))
+    val cells = sk.collect()
+    val state = cells.length
+    assert(state <= 41 * 32 + 32 && state < n / 10, s"state $state not sketch-sized")
+    val qs = Seq(0.5, 0.9, 0.99, 0.999)
+    val est = SketchOps.hdrQuantiles(sk, Seq("grp"), qs).collect()
+      .map(r => r.getAs[Double]("q") -> r.getAs[Double]("est")).toMap
+    val sorted = data.map(_._3).sorted
+    def exact(q: Double) = sorted(math.max(math.ceil(q * n).toInt, 1) - 1)
+    qs.foreach { q =>
+      val rel = math.abs(est(q) - exact(q)) / exact(q)
+      assert(rel <= 0.02, s"hdr q$q rel err $rel")
+    }
+    // the SAME state budget spent on a bottom-k sample: rank error is
+    // uniform in rank, which on this tail is octaves of value error
+    val samp = SketchOps.sampleQuantiles(
+      SketchOps.sampleSketch(df, "id", "value", Seq("grp"), k = state),
+      Seq("grp"), Seq(0.999)).collect().head.getAs[Double]("est")
+    val sampRel = math.abs(samp - exact(0.999)) / exact(0.999)
+    assert(sampRel > 0.05,
+      s"bottom-k at equal state $state should miss q999, rel err $sampRel")
+    // merge law: union of half-corpus sketches re-summed == the sketch
+    // of the whole corpus, cell for cell (no compaction randomness)
+    val h1 = SketchOps.hdrSketch(df.filter($"id" % 2 === 0), "value", Seq("grp"))
+    val h2 = SketchOps.hdrSketch(df.filter($"id" % 2 === 1), "value", Seq("grp"))
+    val merged = h1.unionByName(h2).groupBy("grp", "sgn", "code").agg(sum("c").as("c"))
+    assert(merged.collect().map(_.toString).sorted.toSeq
+      == cells.map(_.toString).sorted.toSeq)
+    // sign split + exact small-value buckets (code < 32 is the identity)
+    val neg = Seq((1L, "g", -5.0), (2L, "g", -1000.0), (3L, "g", 0.0), (4L, "g", 2.5e-5))
+      .toDF("id", "grp", "value")
+    val nq = SketchOps.hdrQuantiles(
+      SketchOps.hdrSketch(neg, "value", Seq("grp")),
+      Seq("grp"), Seq(0.25, 0.5, 1.0)).collect()
+      .map(r => r.getAs[Double]("q") -> r.getAs[Double]("est")).toMap
+    assert(math.abs(nq(0.25) - (-1000.0)) / 1000.0 <= 0.016)
+    assert(math.abs(nq(0.5) - (-5.0)) / 5.0 <= 0.016)
+    assert(nq(1.0) == 26.0 / 1048576.0) // floor(2.5e-5 * 2^20) = 26, exact
+    // out-of-range magnitude raises instead of silently overflowing
+    intercept[Exception] {
+      SketchOps.hdrSketch(Seq((1L, "g", 9.0e12)).toDF("id", "grp", "value"),
+        "value", Seq("grp")).collect()
+    }
   }
 
   test("winnowPairs: checkpoint lifecycle - no leaked RDD blocks after consumption") {
