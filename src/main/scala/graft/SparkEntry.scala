@@ -1098,6 +1098,25 @@ object SparkEntry {
       feats.select(col("media_id") +:
         (0 until 8).map(j => element_at(col("features"), j + 1).as(s"f$j")): _*)
     },
+    "media_pixels" -> { (s, dir) =>
+      // PIXEL-level path: real PNGs (deflate-compressed scanlines, CRC'd
+      // chunks, written by the library's own minimal encoder) -> real
+      // inflate + defilter decode -> nearest-neighbor 8x8 resample ->
+      // integer pixel stats. The oracle replays the stats from the
+      // per-pixel formula, never touching the compressed representation.
+      import s.implicits._
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = 8 + (id % 24).toInt
+            val h = 8 + ((id * 3) % 24).toInt
+            (id, MultimodalOps.synthPngImageBytes(id, w, h))
+          }).toDF("doc_id", "payload"),
+        "doc_id", "payload", "image")
+      MultimodalOps.decodeResizePixels(media, outW = 8, outH = 8)
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          col("px_sum"), col("px_tl"), col("px_tr"), col("px_bl"), col("px_br"))
+    },
     "media_av_decode" -> { (s, dir) =>
       // audio/video metadata decode, all four paths under oracle: every
       // 3rd doc a REAL 44-byte WAV header (RIFF + PCM fmt + data size)
@@ -3522,6 +3541,32 @@ object SparkEntry {
         |SELECT d.doc_id AS media_id, $outer
         |FROM documents d LEFT JOIN piv USING (doc_id)""".stripMargin
     },
+    "media_pixels" ->
+      // pixel-formula replay: resampled pixel (i,j) reads source pixel
+      // (sy, sx) = ((i*h)//8, (j*w)//8) whose value is
+      // (sx*7 + sy*13 + doc_id) % 256 - all integer
+      """WITH d AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 24 AS INT) AS w,
+        |         CAST(8 + (doc_id * 3) % 24 AS INT) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, i, j,
+        |         ((((j * w) // 8) * 7 + ((i * h) // 8) * 13 + doc_id) % 256) AS p
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 7) ii(i)
+        |  CROSS JOIN generate_series(0, 7) jj(j)
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(p) AS BIGINT) AS px_sum,
+        |         CAST(MAX(CASE WHEN i = 0 AND j = 0 THEN p END) AS INT) AS px_tl,
+        |         CAST(MAX(CASE WHEN i = 0 AND j = 7 THEN p END) AS INT) AS px_tr,
+        |         CAST(MAX(CASE WHEN i = 7 AND j = 0 THEN p END) AS INT) AS px_bl,
+        |         CAST(MAX(CASE WHEN i = 7 AND j = 7 THEN p END) AS INT) AS px_br
+        |  FROM px GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS media_id, d.w AS width, d.h AS height,
+        |       CAST(1 AS INT) AS channels,
+        |       a.px_sum, a.px_tl, a.px_tr, a.px_bl, a.px_br
+        |FROM d JOIN agg a USING (doc_id)""".stripMargin,
     "media_av_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'wav'

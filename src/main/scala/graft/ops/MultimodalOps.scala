@@ -480,6 +480,214 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** REAL PNG pixel decode - pure JVM, no image library: chunk walk to
+    * the IHDR (8-bit depth; color types 0 gray / 2 RGB / 6 RGBA; no
+    * interlace), concatenation of every IDAT chunk, `java.util.zip
+    * .Inflater` for the zlib stream, then the spec's per-scanline
+    * filter reconstruction (None/Sub/Up/Average/Paeth, PNG spec
+    * section 9) with the correct bytes-per-pixel lookback. Verified in
+    * OpsSpec pixel-for-pixel against `javax.imageio`'s own decoder on
+    * images ImageIO encoded (real compressed streams, encoder-chosen
+    * filters) - this is the part of the pipeline that previously
+    * stopped at header metadata.
+    *
+    * Returns (width, height, channels, pixels row-major interleaved),
+    * or None for anything that is not a supported PNG (callers fall
+    * back to metadata-only handling; never a guess).
+    */
+  def decodePngPixels(payload: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length < 45 ||
+      !(payload(0) == 0x89.toByte && payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'))
+      return None
+    def be32(o: Int): Int = ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
+      ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
+    def fourcc(o: Int): String =
+      new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val w = be32(16); val h = be32(20)
+    val bitDepth = payload(24) & 0xff; val colorType = payload(25) & 0xff
+    val interlace = payload(28) & 0xff
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None
+    }
+    if (bitDepth != 8 || interlace != 0 || w <= 0 || h <= 0) return None
+    // gather the zlib stream across all IDAT chunks (the spec allows
+    // the stream to be split arbitrarily)
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var ok = true
+    while (ok && i + 8 <= payload.length) {
+      val len = be32(i); val typ = fourcc(i + 4)
+      if (len < 0 || i + 8 + len > payload.length) ok = typ != "IDAT" // truncated
+      else {
+        if (typ == "IDAT") idat.write(payload, i + 8, len)
+        if (typ == "IEND") ok = false
+      }
+      i += 12 + math.max(len, 0) // len + type + crc
+    }
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val bpp = channels // 8-bit depth: bytes per pixel == channels
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h) // +1 filter byte per line
+    try {
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    // filter reconstruction, PNG spec 9.2: a = left, b = up, c = up-left
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val filter = raw(y * (stride + 1)) & 0xff
+      val src = y * (stride + 1) + 1
+      val dst = y * stride
+      var x = 0
+      while (x < stride) {
+        val rx = raw(src + x) & 0xff
+        val a = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
+        val b = if (y > 0) out(dst - stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) out(dst - stride + x - bpp) & 0xff else 0
+        val rec = filter match {
+          case 0 => rx
+          case 1 => rx + a
+          case 2 => rx + b
+          case 3 => rx + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            rx + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        out(dst + x) = (rec & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, channels, out))
+  }
+
+  /** REAL nearest-neighbor pixel resample - the resample
+    * [[resizeMeta]] only PLANNED: output pixel (i, j) reads source
+    * pixel (i*h/outH, j*w/outW) (integer division - the standard
+    * nearest mapping, and pure integer arithmetic any engine
+    * replays). Channels are preserved.
+    */
+  def resizePixels(pixels: Array[Byte], w: Int, h: Int, channels: Int,
+      outW: Int, outH: Int): Array[Byte] = {
+    require(outW > 0 && outH > 0, s"need positive output dims, got ${outW}x$outH")
+    val out = new Array[Byte](outW * outH * channels)
+    var i = 0
+    while (i < outH) {
+      val sy = i * h / outH
+      var j = 0
+      while (j < outW) {
+        val sx = j * w / outW
+        var ch = 0
+        while (ch < channels) {
+          out((i * outW + j) * channels + ch) = pixels((sy * w + sx) * channels + ch)
+          ch += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** A REAL (if small) PNG ENCODER - the fixture generator for the
+    * pixel path: signature, IHDR, one IDAT holding the actual
+    * deflate-compressed filter-0 scanlines (`java.util.zip.Deflater`),
+    * IEND, with correct CRC32s and zlib adler - a spec-compliant file
+    * any PNG reader decodes (OpsSpec round-trips it through
+    * `javax.imageio`). Grayscale 8-bit; pixel (x, y) carries
+    * `(x*7 + y*13 + seed) % 256`, a formula a SQL oracle replays
+    * per-pixel without touching the compressed representation.
+    */
+  def synthPngImageBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"need positive dims, got ${w}x$h")
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    def chunk(typ: String, body: Array[Byte]): Unit = {
+      out.writeInt(body.length)
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      out.write(tb); out.write(body); out.writeInt(crc.getValue.toInt)
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte) // depth 8, gray
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+    chunk("IHDR", ihdr.array())
+    val raw = new Array[Byte]((w + 1) * h)
+    var y = 0
+    while (y < h) {
+      raw(y * (w + 1)) = 0 // filter: None
+      var x = 0
+      while (x < w) {
+        raw(y * (w + 1) + 1 + x) = ((x * 7 + y * 13 + seed) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.empty)
+    bos.toByteArray
+  }
+
+  /** Frame-level pixel pipeline: decode ([[decodePngPixels]]) ->
+    * nearest-neighbor resample ([[resizePixels]]) in one mapPartitions
+    * pass, emitting resampled-pixel STATISTICS (integer sum + the four
+    * corners) beside the dims - the oracle-checkable shape (a binary
+    * pixel column can't hash-compare engine-independently, integer
+    * stats of a formula-defined image can). Non-PNG / unsupported
+    * payloads emit NULL stats with (0, 0) dims - deterministic
+    * fallback, mirroring the metadata decoders.
+    */
+  def decodeResizePixels(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val outSchema = StructType(media.schema.fields.filterNot(_.name == "payload") ++ Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("px_sum", LongType),
+      StructField("px_tl", IntegerType),
+      StructField("px_tr", IntegerType),
+      StructField("px_bl", IntegerType),
+      StructField("px_br", IntegerType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val keep = r.toSeq.zip(r.schema.fieldNames)
+          .collect { case (v, n) if n != "payload" => v }
+        val stats = decodePngPixels(r.getAs[Array[Byte]]("payload")).map {
+          case (w, h, ch, px) =>
+            val rp = resizePixels(px, w, h, ch, outW, outH)
+            var s = 0L; var k = 0
+            while (k < rp.length) { s += rp(k) & 0xff; k += 1 }
+            def p(i: Int, j: Int) = rp((i * outW + j) * ch) & 0xff
+            // Seq[Any]: a plain Seq would numerically widen the Int dims
+            // to Long beside the Long sum and break the row encoder
+            Seq[Any](w, h, ch, s, p(0, 0), p(0, outW - 1), p(outH - 1, 0),
+              p(outH - 1, outW - 1))
+        }.getOrElse(Seq[Any](0, 0, 0, null, null, null, null, null))
+        Row.fromSeq(keep ++ stats)
+      }
+    }(enc)
+  }
+
   /** Batched decode + embed pass: mapPartitions opens ONE
     * [[FeatureModel]] session per partition (a real decoder/model
     * context loads once per task, not once per row), then feeds the

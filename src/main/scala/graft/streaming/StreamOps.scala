@@ -820,6 +820,44 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming maintenance of a [[graft.ops.SketchOps.hdrSketch]]
+    * quantile table - the twelfth maintained lifecycle: log-bucket
+    * cells merge by plain ADDITION (like the CMS counters - fixed
+    * bucket identity, no compaction randomness), so the maintained
+    * table equals one sketch over the union of all batches exactly and
+    * [[graft.ops.SketchOps.hdrQuantiles]] serves tail quantiles off the
+    * latest snapshot. State bounded by groups x (octaves x 32) cells.
+    */
+  def hdrMaintenance(
+      stream: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      initial: DataFrame
+  )(onUpdate: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    @volatile var state = initial.localCheckpoint()
+    @volatile var graveyard: Option[DataFrame] = None
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.ops.SketchOps.hdrSketch(
+            batch.toDF(), valueCol, groupCols)
+          val prev = state
+          // unionByName for the same column-order-robustness reason as
+          // the other maintenance lifecycles
+          state = prev.unionByName(delta)
+            .groupBy(groupCols.map(col) ++ Seq(col("sgn"), col("code")): _*)
+            .agg(sum("c").as("c"))
+            .localCheckpoint()
+          onUpdate(state)
+          graveyard.foreach(unpersistCheckpoint)
+          graveyard = Some(prev)
+        }
+      }
+      .start()
+  }
+
   /** See [[graft.ops.OpsUtil.unpersistCheckpoint]] - shared with the
     * batch-side audits that also pin localCheckpoint snapshots.
     */

@@ -270,6 +270,32 @@ class PlanFeaturesSpec extends SparkSpec {
       s"no map-side partial aggregation:\n${plan.take(2000)}")
   }
 
+  test("hdrSketch: one exchange, partial hash aggregation, codegen binning") {
+    // through parquet, not a LocalTableScan: a local relation constant-
+    // folds the binning away and hides the scan-stage shape being pinned
+    val path = java.nio.file.Files.createTempDirectory("graft_hdr_plan").toString
+    (1L to 5000L).map(i => ("g" + (i % 3), (i % 97) * 1.5))
+      .toDF("g", "v").write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    val sk = graft.ops.SketchOps.hdrSketch(df, "v", Seq("g"))
+    sk.collect() // materialize so AQE finalizes and codegen stages appear
+    val plan = sk.queryExecution.executedPlan.toString
+    // addition-mergeable cells: each partition folds to at most
+    // octaves x 32 cells per group BEFORE the one shuffle - the tail
+    // profile moves sketch cells, never rows
+    // count EXECUTED shuffle stages (the finalized AQE plan echoes its
+    // initial plan below the real one, so raw "Exchange" double-counts)
+    assert("ShuffleQueryStage".r.findAllIn(plan).size == 1,
+      s"hdr sketch must shuffle exactly once:\n${plan.take(2000)}")
+    assert(plan.contains("HashAggregate") && plan.contains("partial"),
+      s"no map-side partial aggregation:\n${plan.take(2000)}")
+    // the integer binning (bin/shiftright/abs chain) stays inside
+    // whole-stage codegen (the `*(n)` stage markers) - no UDF, no
+    // interpreter fallback
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+      s"binning must be codegen'd:\n${plan.take(2000)}")
+  }
+
   test("hardNegatives corpus pass rides a broadcast join, never a sort-merge shuffle") {
     val rnd = new scala.util.Random(5)
     val df = Seq.tabulate(200)(i =>

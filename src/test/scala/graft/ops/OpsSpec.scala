@@ -1443,6 +1443,119 @@ class OpsSpec extends SparkSpec {
     assert(byId(3L).getAs[String]("format") == "unknown")
   }
 
+  test("decodePngPixels: real inflate+defilter decode - ImageIO parity, all 5 filters") {
+    import MultimodalOps.{decodePngPixels, resizePixels, synthPngImageBytes}
+    // 1) pixel-for-pixel parity with javax.imageio's DECODER on streams
+    // javax.imageio's ENCODER wrote (real deflate, encoder-chosen
+    // filters) - gray and RGB
+    def imageioPng(w: Int, h: Int, rgb: Boolean): (Array[Byte], java.awt.image.BufferedImage) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        if (rgb) java.awt.image.BufferedImage.TYPE_INT_RGB
+        else java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 31 + y * 57 + x * y) % 256
+        img.setRGB(x, y, if (rgb) ((x * 5 % 256) << 16) | ((y * 11 % 256) << 8) | v
+        else (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (bos.toByteArray, img)
+    }
+    for (rgb <- Seq(false, true); (w, h) <- Seq((17, 9), (1, 1), (32, 32))) {
+      val (bytes, img) = imageioPng(w, h, rgb)
+      val Some((gw, gh, ch, px)) = decodePngPixels(bytes)
+      assert((gw, gh, ch) == ((w, h, if (rgb) 3 else 1)), s"dims rgb=$rgb ${w}x$h")
+      for (y <- 0 until h; x <- 0 until w) {
+        if (rgb) {
+          val argb = img.getRGB(x, y)
+          assert((px((y * w + x) * 3) & 0xff) == ((argb >> 16) & 0xff), s"R($x,$y)")
+          assert((px((y * w + x) * 3 + 1) & 0xff) == ((argb >> 8) & 0xff), s"G($x,$y)")
+          assert((px((y * w + x) * 3 + 2) & 0xff) == (argb & 0xff), s"B($x,$y)")
+        } else
+          // raster sample, not getRGB: TYPE_BYTE_GRAY's getRGB runs a
+          // colorspace (gamma) conversion; the PNG carries the raster
+          assert((px(y * w + x) & 0xff) == img.getRaster.getSample(x, y, 0),
+            s"gray($x,$y)")
+      }
+    }
+    // 2) every filter type (None/Sub/Up/Average/Paeth) via a handcrafted
+    // stream: filter row y with type y%5 per the spec's forward
+    // transform, deflate, chunk with real CRCs - decode must invert it
+    val (w, h) = (11, 10)
+    val ref = Array.tabulate(h, w)((y, x) => (x * x + 3 * y + (x * y) % 7) % 256)
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val f = y % 5
+      raw.write(f)
+      for (x <- 0 until w) {
+        val cur = ref(y)(x)
+        val a = if (x > 0) ref(y)(x - 1) else 0
+        val b = if (y > 0) ref(y - 1)(x) else 0
+        val c = if (x > 0 && y > 0) ref(y - 1)(x - 1) else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw.write(filtered & 0xff)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, body: Array[Byte]): Unit = {
+      dos.writeInt(body.length)
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(body)
+      dos.write(tb); dos.write(body); dos.writeInt(crc.getValue.toInt)
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array())
+    val defl = new java.util.zip.Deflater(); defl.setInput(raw.toByteArray); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    chunk("IDAT", comp.toByteArray); chunk("IEND", Array.empty)
+    val Some((dw, dh, dch, dpx)) = decodePngPixels(bos.toByteArray)
+    assert((dw, dh, dch) == ((w, h, 1)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((dpx(y * w + x) & 0xff) == ref(y)(x), s"filter ${y % 5} at ($x,$y)")
+    // 3) the library's own encoder emits files OTHER decoders accept:
+    // ImageIO reads synthPngImageBytes and sees the formula pixels
+    val sp = synthPngImageBytes(seed = 42L, w = 13, h = 7)
+    val rimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(sp))
+    assert(rimg.getWidth == 13 && rimg.getHeight == 7)
+    for (y <- 0 until 7; x <- 0 until 13)
+      assert(rimg.getRaster.getSample(x, y, 0) == (x * 7 + y * 13 + 42) % 256, s"($x,$y)")
+    // and our decoder agrees with itself on it
+    val Some((_, _, _, spx)) = decodePngPixels(sp)
+    for (y <- 0 until 7; x <- 0 until 13)
+      assert((spx(y * 13 + x) & 0xff) == (x * 7 + y * 13 + 42) % 256)
+    // 4) nearest-neighbor resample: identity at same dims; known mapping
+    assert(resizePixels(spx, 13, 7, 1, 13, 7).toSeq == spx.toSeq)
+    val small = resizePixels(spx, 13, 7, 1, 4, 2)
+    for (i <- 0 until 2; j <- 0 until 4)
+      assert((small(i * 4 + j) & 0xff) ==
+        (spx((i * 7 / 2) * 13 + (j * 13 / 4)) & 0xff), s"resample ($i,$j)")
+    // 5) frame-level operator: stats + deterministic non-PNG fallback
+    val media = MultimodalOps.asMedia(
+      Seq((1L, sp), (2L, "not a png".getBytes)).toDF("id", "payload"),
+      "id", "payload", "image")
+    val out = MultimodalOps.decodeResizePixels(media, 8, 8).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[Int]("width") == 13 && out(1L).getAs[Int]("channels") == 1)
+    val expSum = (for (i <- 0 until 8; j <- 0 until 8)
+      yield ((j * 13 / 8) * 7 + (i * 7 / 8) * 13 + 42) % 256).sum.toLong
+    assert(out(1L).getAs[Long]("px_sum") == expSum)
+    assert(out(2L).getAs[Int]("width") == 0 && out(2L).isNullAt(
+      out(2L).fieldIndex("px_sum")))
+  }
+
   test("decodeAndFeaturize model hook: one session per partition, bounded batches, closed") {
     import graft.ops.FakeModelProbe
     FakeModelProbe.reset()

@@ -751,6 +751,35 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq)
   }
 
+  test("hdrMaintenance: streamed cells == one-shot sketch, tail quantiles served") {
+    implicit val sqlCtx = spark.sqlContext
+    // heavy-tailed values across two batches, two groups
+    val batch1 = (1 to 60).map(i => ("a", math.pow(2.0, i / 4.0))) ++
+      (1 to 10).map(i => ("b", -i * 3.5))
+    val batch2 = (1 to 40).map(i => ("a", math.pow(2.0, i / 3.0))) :+ ("b", 0.0)
+    @volatile var latest: org.apache.spark.sql.DataFrame = null
+    val mem = MemoryStream[(String, Double)]
+    val initial = graft.ops.SketchOps.hdrSketch(
+      Seq.empty[(String, Double)].toDF("g", "value"), "value", Seq("g"))
+    val sq = StreamOps.hdrMaintenance(
+      mem.toDF().toDF("g", "value"), "value", Seq("g"), initial)(latest = _)
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    val direct = graft.ops.SketchOps.hdrSketch(
+      (batch1 ++ batch2).toDF("g", "value"), "value", Seq("g"))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Long)].collect().toSet
+    assert(cells(latest) === cells(direct))
+    // tail quantiles serve off the maintained snapshot identically
+    def qs(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.SketchOps.hdrQuantiles(df, Seq("g"), Seq(0.5, 0.99))
+        .collect().map(_.toString).sorted.toSeq
+    assert(qs(latest) === qs(direct))
+  }
+
   test("sampleMaintenance: streamed state == one-shot sampleState, quantiles served") {
     implicit val sqlCtx = spark.sqlContext
     val batch1 = (1L to 30L).map(i => ("a", i, i.toDouble)) ++
