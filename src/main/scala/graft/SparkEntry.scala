@@ -1117,6 +1117,26 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"), col("channels"),
           col("px_sum"), col("px_tl"), col("px_tr"), col("px_bl"), col("px_br"))
     },
+    "media_pixel_features" -> { (s, dir) =>
+      // the full inference shape: real PNG encode -> pixel decode ->
+      // resample to the encoder's 16x16 (= 256-byte receptive field) ->
+      // PatchProjection forward pass OVER PIXELS. The oracle replays
+      // pixels from the formula and the forward pass from the weights -
+      // compressed bytes never enter the feature math.
+      import s.implicits._
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = 8 + (id % 24).toInt
+            val h = 8 + ((id * 3) % 24).toInt
+            (id, MultimodalOps.synthPngImageBytes(id, w, h))
+          }).toDF("doc_id", "payload"),
+        "doc_id", "payload", "image")
+      MultimodalOps.decodeResizeFeaturize(media, outW = 16, outH = 16,
+          model = MultimodalOps.PatchProjectionModel)
+        .select(Seq(col("media_id"), col("width"), col("height")) ++
+          (0 until 8).map(j => element_at(col("features"), j + 1).as(s"f$j")): _*)
+    },
     "media_av_decode" -> { (s, dir) =>
       // audio/video metadata decode, all four paths under oracle: every
       // 3rd doc a REAL 44-byte WAV header (RIFF + PCM fmt + data size)
@@ -3540,6 +3560,40 @@ object SparkEntry {
         |)
         |SELECT d.doc_id AS media_id, $outer
         |FROM documents d LEFT JOIN piv USING (doc_id)""".stripMargin
+    },
+    "media_pixel_features" -> {
+      // chained replay: pixel formula -> 16x16 nearest resample ->
+      // PatchProjection integer forward pass (u = byte index mod 8)
+      val f = (0 until 8).map(j =>
+        s"CAST(greatest(coalesce(MAX(CASE WHEN j = $j THEN o END), 0), 0) AS REAL) AS f$j")
+        .mkString(",\n         ")
+      s"""WITH d AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 24 AS INT) AS w,
+        |         CAST(8 + (doc_id * 3) % 24 AS INT) AS h
+        |  FROM documents
+        |), bv AS (
+        |  SELECT doc_id, (i * 16 + j) % 8 AS u,
+        |         ((((j * w) // 16) * 7 + ((i * h) // 16) * 13 + doc_id) % 256) AS byte
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 15) ii(i)
+        |  CROSS JOIN generate_series(0, 15) jj(j)
+        |), acc AS (
+        |  SELECT doc_id, k, SUM(byte * (((u * 31 + k * 17 + 7) % 13) - 6)) AS a
+        |  FROM bv CROSS JOIN generate_series(0, 7) ks(k)
+        |  GROUP BY doc_id, k
+        |), outj AS (
+        |  SELECT doc_id, j,
+        |         SUM((((a % 9973) + 9973) % 9973) * (((k * 7 + j * 5 + 1) % 11) - 5)) AS o
+        |  FROM acc CROSS JOIN generate_series(0, 7) js(j)
+        |  GROUP BY doc_id, j
+        |), piv AS (
+        |  SELECT doc_id,
+        |         $f
+        |  FROM outj GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS media_id, d.w AS width, d.h AS height,
+        |       p.f0, p.f1, p.f2, p.f3, p.f4, p.f5, p.f6, p.f7
+        |FROM d JOIN piv p USING (doc_id)""".stripMargin
     },
     "media_pixels" ->
       // pixel-formula replay: resampled pixel (i,j) reads source pixel

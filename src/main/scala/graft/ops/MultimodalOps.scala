@@ -688,6 +688,56 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** The full real inference shape: pixel decode
+    * ([[decodePngPixels]]) -> nearest-neighbor resample to the model's
+    * input size ([[resizePixels]]) -> batched embed through a
+    * [[FeatureModel]] session - i.e. the model sees DECODED PIXELS,
+    * not the compressed container bytes ([[decodeAndFeaturize]]'s
+    * payload-featurize is the container-level variant). Same session
+    * lifecycle: one per partition, `batchSize`-bounded batches,
+    * closed on exhaustion AND task completion. Undecodable payloads
+    * embed a null buffer (the model's zero vector) with (0, 0) dims -
+    * deterministic fallback. Output: media frame columns +
+    * (width, height, channels, features).
+    */
+  def decodeResizeFeaturize(
+      media: DataFrame,
+      outW: Int,
+      outH: Int,
+      model: FeatureModel = ByteHistogramModel,
+      batchSize: Int = 64
+  ): DataFrame = {
+    require(batchSize > 0, s"need positive batchSize, got $batchSize")
+    val outSchema = StructType(media.schema.fields.filterNot(_.name == "payload") ++ Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("features", ArrayType(FloatType))
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      val session = model.openSession()
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => session.close())
+      rows.grouped(batchSize).flatMap { chunk =>
+        val decoded = chunk.map(r => decodePngPixels(r.getAs[Array[Byte]]("payload")))
+        val buffers = decoded.map {
+          case Some((w, h, ch, px)) => resizePixels(px, w, h, ch, outW, outH)
+          case None => null
+        }.toArray
+        val feats = session.embedBatch(buffers)
+        require(feats.length == chunk.size,
+          s"FeatureSession returned ${feats.length} vectors for ${chunk.size} payloads")
+        chunk.lazyZip(decoded).lazyZip(feats).map { (r, dec, f) =>
+          val (w, h, ch) = dec.map(d => (d._1, d._2, d._3)).getOrElse((0, 0, 0))
+          Row.fromSeq(
+            r.toSeq.zip(r.schema.fieldNames).collect { case (v, n) if n != "payload" => v } ++
+              Seq(w, h, ch, f.toSeq))
+        }
+      }
+    }(enc)
+  }
+
   /** Batched decode + embed pass: mapPartitions opens ONE
     * [[FeatureModel]] session per partition (a real decoder/model
     * context loads once per task, not once per row), then feeds the

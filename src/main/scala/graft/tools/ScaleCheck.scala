@@ -93,6 +93,24 @@ object ScaleCheck {
       val trie = graft.ptree.PrefixTree.create(df, "c_name", prefixLen = 12)
       graft.ptree.Query.queryJoin(trieQueries(df), "query_string", trie, maxDist = 2)
     }
+    // pixel pipeline: encode + decode + resample + featurize is pure
+    // per-row compute - the scan-shaped floor, no shuffle at all
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).localCheckpoint()
+    val docs10 = (0 until 10).map { c =>
+      docs1.select((col("doc_id") + lit(c.toLong * 100000000L)).as("doc_id"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
+    timed("media_pixel_features", docs1, docs10) { df =>
+      import spark.implicits._
+      val media = graft.ops.MultimodalOps.asMedia(
+        df.as[Long].mapPartitions(_.map { id =>
+          (id, graft.ops.MultimodalOps.synthPngImageBytes(
+            id, 8 + (id % 24).toInt, 8 + ((id * 3) % 24).toInt))
+        }).toDF("doc_id", "payload"),
+        "doc_id", "payload", "image")
+      graft.ops.MultimodalOps.decodeResizeFeaturize(media, 16, 16,
+        graft.ops.MultimodalOps.PatchProjectionModel)
+    }
     timed("pt_querybatch_auto", cust1, cust10) { df =>
       // mode-choosing entry (measures whatever the sizing policy picks)
       val trie = graft.ptree.PrefixTree.create(df, "c_name", prefixLen = 12)

@@ -1556,6 +1556,31 @@ class OpsSpec extends SparkSpec {
       out(2L).fieldIndex("px_sum")))
   }
 
+  test("decodeResizeFeaturize: model sees decoded pixels, undecodable embeds zeros") {
+    import MultimodalOps._
+    val png = synthPngImageBytes(seed = 9L, w = 10, h = 6)
+    val media = asMedia(
+      Seq((1L, png), (2L, "not a png".getBytes)).toDF("id", "payload"),
+      "id", "payload", "image")
+    val out = decodeResizeFeaturize(media, outW = 16, outH = 16,
+      model = PatchProjectionModel).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    // expected: the formula pixels resampled to 16x16 (built here
+    // straight from the formula, NOT through the decoder), then the
+    // model forward pass - proves the model input is the pixel buffer
+    val buf = Array.tabulate(16 * 16) { idx =>
+      val (i, j) = (idx / 16, idx % 16)
+      (((j * 10 / 16) * 7 + (i * 6 / 16) * 13 + 9) % 256).toByte
+    }
+    val exp = PatchProjectionModel.openSession().embedBatch(Array(buf)).head
+    assert(out(1L).getAs[scala.collection.Seq[Float]]("features").toSeq == exp.toSeq)
+    assert(out(1L).getAs[Int]("width") == 10 && out(1L).getAs[Int]("height") == 6 &&
+      out(1L).getAs[Int]("channels") == 1)
+    // undecodable: zero vector, (0, 0, 0) dims - deterministic fallback
+    assert(out(2L).getAs[scala.collection.Seq[Float]]("features").forall(_ == 0f))
+    assert(out(2L).getAs[Int]("width") == 0 && out(2L).getAs[Int]("channels") == 0)
+  }
+
   test("decodeAndFeaturize model hook: one session per partition, bounded batches, closed") {
     import graft.ops.FakeModelProbe
     FakeModelProbe.reset()
