@@ -1307,6 +1307,7 @@ object GraftFunctions {
       Bridge.expression(q), Bridge.expression(e),
       Bridge.expression(s), Bridge.expression(d), maxDist))
 
+
   /** Runtime registration: makes the functions callable from SQL text in
     * an existing session (`SELECT simhash64(text) FROM docs`).
     */

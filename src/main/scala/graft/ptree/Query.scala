@@ -291,7 +291,16 @@ object Query {
       // computed ONCE here; frontierJoin's length-window prune reads it
       // per candidate pair per level (see frontierJoin's contract)
       .withColumn("qlen", length($"query_string"))
-      .withColumn("node_id", lit(0L))
+      // root key 0 as a NON-FOLDABLE expression, deliberately: a literal
+      // node_id would be constant-propagated into the level-1 join
+      // condition, erasing the equi-key and planning the first level as
+      // a BroadcastNestedLoopJoin - every query row then evaluates the
+      // window predicates against EVERY root edge (queries x roots pairs
+      // at 10x dictionary scale), where the hash join probes one bucket.
+      // pmod(qlen, 1) is always 0 but data-dependent, so the equi-key
+      // survives and level 1 plans as the same hash join as every other
+      // level (plan-pinned in PrefixTreeSpec).
+      .withColumn("node_id", pmod($"qlen", lit(1)).cast(LongType))
       .withColumn(
         "state",
         concat(sequence(lit(0), length($"query_string")), array(lit(0)))
@@ -369,9 +378,34 @@ object Query {
             (!$"done" && element_at($"state", -1) <= lit(maxDist)))
     }
 
-    // ONE materialization + ONE control job for the whole chain
+    // ONE materialization + ONE control job for the whole chain.
+    //
+    // Whole-stage codegen policy: in broadcast mode all hChain levels
+    // fuse into ONE generated doConsume chain, which crosses the JVM's
+    // 64 KB method limit somewhere past ~8 levels - Janino then refuses
+    // (three wasted compile attempts of a 10k-line class) and Spark
+    // falls back to per-operator execution anyway. For deep chains,
+    // skip the doomed fusion UP FRONT: per-operator execution still
+    // runs every projection/join through small per-expression codegen
+    // (each level's UnsafeProjection compiles on its own), and was
+    // measured 2.6x FASTER than fencing the chain into compilable
+    // whole-stage blocks with CodegenFallback barriers (the barrier
+    // Project drops the whole row through an interpreted row-writer -
+    // fused local variables are exactly what made the chain fast).
+    // Shallow chains keep full fusion. The deep-trie spec pins this
+    // with spark.sql.codegen.fallback=false: a regression back to the
+    // 64 KB overflow throws there instead of silently degrading.
+    val safeUnroll = 8
     dbg("chain plan built")
-    val chain = cur.localCheckpoint()
+    val wsKey = "spark.sql.codegen.wholeStage"
+    val wsPrev = spark.conf.getOption(wsKey)
+    if (hChain > safeUnroll) spark.conf.set(wsKey, "false")
+    val chain =
+      try cur.localCheckpoint()
+      finally if (hChain > safeUnroll) wsPrev match {
+        case Some(v) => spark.conf.set(wsKey, v)
+        case None => spark.conf.unset(wsKey)
+      }
     dbg("chain executed")
     // the chain's job has populated t's cache; the input-side cache (ours
     // only if the caller hadn't persisted) is no longer needed

@@ -128,6 +128,55 @@ class PrefixTreeSpec extends SparkSpec {
       s"trie ${cellsAcc.value} cells vs brute $bruteCells - pruned DP should cut work substantially")
   }
 
+  test("level-1 frontier join keeps its equi-key: hash join, never nested-loop") {
+    // a foldable root node_id would be constant-propagated out of the
+    // join condition, downgrading level 1 to a BroadcastNestedLoopJoin
+    // that evaluates the window predicates against EVERY root edge -
+    // build the init frontier the way queryJoin does and pin the plan
+    val frontier0 = Seq("dog", "doors").toDF("q")
+      .select($"q".cast("string").as("query_string"))
+      .withColumn("qlen", length($"query_string"))
+      .withColumn("node_id", pmod($"qlen", lit(1)).cast("long"))
+      .withColumn("state", concat(sequence(lit(0), length($"query_string")), array(lit(0))))
+      .withColumn("depth", lit(0))
+    val joined = Query.frontierJoin(frontier0, broadcast(trie.toDF()), maxDist = 1)
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"level-1 must plan as a hash join:\n${plan.take(1500)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"level-1 must not fall back to a nested loop:\n${plan.take(1500)}")
+  }
+
+  test("deep-trie chain compiles: no 64KB codegen overflow (fallback disabled)") {
+    // long words with an early branch force the maximum unrolled chain;
+    // with spark.sql.codegen.fallback=false a Janino "code grows beyond
+    // 64 KB" failure THROWS instead of silently running the whole
+    // traversal interpreted - which is exactly what an unfenced chain
+    // did at ~8 fused levels
+    // a branch at EVERY depth defeats path compression, so each level
+    // is its own 1-char edge and the chain unrolls to the 24-level cap
+    val words = (2 to 28).flatMap(l => Seq("x" * l, "x" * (l - 1) + "y")).distinct
+    val deep = PrefixTree.create(words.toDF("w"), "w", prefixLen = 1, numPartitions = 2)
+    val queries = Seq("x" * 24 + "Z", "x" * 9 + "yy").toDF("q")
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // queryJoin directly: queryBatch would route this tiny trie to the
+      // collected-DFS broadcast path, which has no codegen chain at all
+      val got = rows3(Query.queryJoin(queries, "q", deep, 2))
+      val expect = queries
+        .crossJoin(words.toDF("word"))
+        .withColumn("d", levenshtein($"q", $"word"))
+        .filter($"d" <= 2)
+        .as[(String, String, Int)].collect().toSet
+      assert(got == expect)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("writeIndexed/read roundtrip: indexed trie answers identically") {
     val dir = java.nio.file.Files.createTempDirectory("pt_index").toString
     PrefixTree.writeIndexed(trie, dir, buckets = 4)
