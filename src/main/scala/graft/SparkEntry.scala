@@ -1137,6 +1137,22 @@ object SparkEntry {
         .select(Seq(col("media_id"), col("width"), col("height")) ++
           (0 until 8).map(j => element_at(col("features"), j + 1).as(s"f$j")): _*)
     },
+    "media_audio_features" -> { (s, dir) =>
+      // sample-level audio path: real PCM WAV encode -> real 16-bit LE
+      // sample decode -> integer signal features (energy, zero
+      // crossings, peak). The oracle replays the sample formula and the
+      // window arithmetic; compressed/container bytes never enter it.
+      import s.implicits._
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, MultimodalOps.synthWavPcmBytes(id, 8000, (500 + id % 1000).toInt))
+          }).toDF("doc_id", "payload"),
+        "doc_id", "payload", "audio")
+      MultimodalOps.decodeAudioFeatures(media)
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("energy"), col("zero_crossings"), col("peak"))
+    },
     "media_av_decode" -> { (s, dir) =>
       // audio/video metadata decode, all four paths under oracle: every
       // 3rd doc a REAL 44-byte WAV header (RIFF + PCM fmt + data size)
@@ -3621,6 +3637,29 @@ object SparkEntry {
         |       CAST(1 AS INT) AS channels,
         |       a.px_sum, a.px_tl, a.px_tr, a.px_bl, a.px_br
         |FROM d JOIN agg a USING (doc_id)""".stripMargin,
+    "media_audio_features" ->
+      // per-sample replay: v_i = ((i*37 + doc_id*11) % 4096) - 2048,
+      // energy/zero-crossing/peak via the same integer window arithmetic
+      """WITH d AS (
+        |  SELECT doc_id, CAST(500 + doc_id % 1000 AS INT) AS n FROM documents
+        |), s AS (
+        |  SELECT doc_id, unnest(generate_series(0, n - 1)) AS i, n FROM d
+        |), sv AS (
+        |  SELECT doc_id, i, ((i * 37 + doc_id * 11) % 4096) - 2048 AS v FROM s
+        |), sl AS (
+        |  SELECT doc_id, v,
+        |         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM sv
+        |), feat AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(v * v) AS BIGINT) AS energy,
+        |         CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
+        |         CAST(MAX(abs(v)) AS INT) AS peak
+        |  FROM sl GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+        |       d.n AS n_samples, f.energy, f.zero_crossings, f.peak
+        |FROM d JOIN feat f USING (doc_id)""".stripMargin,
     "media_av_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'wav'

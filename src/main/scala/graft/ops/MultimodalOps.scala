@@ -688,6 +688,110 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** REAL WAV sample decode - the audio counterpart of
+    * [[decodePngPixels]]: the same RIFF chunk walk as [[decodeAvMeta]],
+    * but reading the `data` chunk's actual 16-bit little-endian PCM
+    * samples (mono or interleaved multichannel; the declared chunk size
+    * clamped to the bytes present, so a truncated stream decodes its
+    * complete prefix). Verified in OpsSpec against `javax.sound`'s own
+    * decoder on streams `javax.sound` encoded. Returns
+    * (sample_rate, channels, samples) or None for non-WAV / non-PCM-16
+    * payloads.
+    */
+  def decodeWavSamples(payload: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    val len = if (payload == null) 0 else payload.length
+    def ascii(o: Int): String =
+      new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long = (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+      ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    if (len < 12 || ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
+    var i = 12
+    var sr = 0; var ch = 0; var bits = 0; var fmt = 0
+    var out: Array[Short] = null
+    while (i + 8 <= len) {
+      val id = ascii(i); val sz = le32(i + 4)
+      if (id == "fmt " && sz >= 16 && i + 24 <= len) {
+        fmt = le16(i + 8); ch = le16(i + 10); sr = le32(i + 12).toInt; bits = le16(i + 22)
+      } else if (id == "data" && out == null) {
+        if (fmt != 1 || bits != 16 || ch <= 0) return None // PCM-16 only
+        val avail = math.min(sz, (len - i - 8).toLong).toInt
+        val n = avail / 2
+        out = new Array[Short](n)
+        var k = 0
+        while (k < n) { out(k) = le16(i + 8 + 2 * k).toShort; k += 1 }
+      }
+      i += 8 + sz.toInt + (sz & 1L).toInt
+      if (sz < 0 || sz > Int.MaxValue) i = len
+    }
+    if (out == null) None else Some((sr, ch, out))
+  }
+
+  /** A REAL (if small) WAV ENCODER with actual PCM payload - the audio
+    * fixture generator: [[synthWavHeader]]'s 44 header bytes followed by
+    * `nSamples` mono 16-bit samples carrying
+    * `((i * 37 + seed * 11) % 4096) - 2048` - a formula a SQL oracle
+    * replays per-sample. `javax.sound` reads the file back sample for
+    * sample (OpsSpec).
+    */
+  def synthWavPcmBytes(seed: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
+    require(sampleRate > 0 && nSamples >= 0, s"bad args $sampleRate/$nSamples")
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 2 * nSamples).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1) // PCM, mono
+    bb.putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(2 * nSamples)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((((i * 37L + seed * 11L) % 4096L) - 2048L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Frame-level audio feature extraction: decode
+    * ([[decodeWavSamples]]) -> integer signal statistics in one
+    * mapPartitions pass - energy (sum of squared samples), zero
+    * crossings (strict sign flips, `s[i-1] * s[i] < 0`), and peak
+    * (max |sample|) - the classic cheap audio-quality/VAD signals, all
+    * integer so the oracle replays them exactly. Non-WAV payloads emit
+    * NULL stats with 0 rates - the deterministic fallback every decoder
+    * here uses. Output: media frame columns + (sample_rate, channels,
+    * n_samples, energy, zero_crossings, peak).
+    */
+  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields.filterNot(_.name == "payload") ++ Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("energy", LongType),
+      StructField("zero_crossings", IntegerType),
+      StructField("peak", IntegerType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val keep = r.toSeq.zip(r.schema.fieldNames)
+          .collect { case (v, n) if n != "payload" => v }
+        val stats = decodeWavSamples(r.getAs[Array[Byte]]("payload")).map {
+          case (sr, ch, s) =>
+            var energy = 0L; var zc = 0; var peak = 0
+            var i = 0
+            while (i < s.length) {
+              val v = s(i).toInt
+              energy += v.toLong * v
+              if (i > 0 && s(i - 1) * v < 0) zc += 1
+              if (math.abs(v) > peak) peak = math.abs(v)
+              i += 1
+            }
+            Seq[Any](sr, ch, s.length, energy, zc, peak)
+        }.getOrElse(Seq[Any](0, 0, 0, null, null, null))
+        Row.fromSeq(keep ++ stats)
+      }
+    }(enc)
+  }
+
   /** The full real inference shape: pixel decode
     * ([[decodePngPixels]]) -> nearest-neighbor resample to the model's
     * input size ([[resizePixels]]) -> batched embed through a

@@ -1556,6 +1556,54 @@ class OpsSpec extends SparkSpec {
       out(2L).fieldIndex("px_sum")))
   }
 
+  test("decodeWavSamples: real PCM parse - javax.sound parity both directions") {
+    import MultimodalOps.{decodeWavSamples, synthWavPcmBytes, decodeAudioFeatures}
+    // 1) decode javax.sound's OWN encoder output sample-for-sample
+    val ref = Array.tabulate(777)(i => ((i * 93 + 17) % 3000 - 1500).toShort)
+    val pcm = java.nio.ByteBuffer.allocate(ref.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ref.foreach(pcm.putShort)
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, ref.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((sr, ch, got)) = decodeWavSamples(bos.toByteArray)
+    assert(sr == 16000 && ch == 1 && got.toSeq == ref.toSeq)
+    // 2) javax.sound reads OUR encoder's file back sample-for-sample
+    val ours = synthWavPcmBytes(seed = 5L, sampleRate = 8000, nSamples = 123)
+    val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(ours))
+    assert(back.getFormat.getSampleRate == 8000f && back.getFormat.getChannels == 1)
+    val raw = back.readAllBytes()
+    assert(raw.length == 246)
+    val rb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until 123)
+      assert(rb.getShort(2 * i) == ((i * 37 + 55) % 4096 - 2048).toShort, s"sample $i")
+    // and our decoder agrees with itself on it
+    val Some((_, _, own)) = decodeWavSamples(ours)
+    assert(own.toSeq == (0 until 123).map(i => ((i * 37 + 55) % 4096 - 2048).toShort))
+    // 3) truncated stream decodes its complete prefix, never a guess
+    val Some((_, _, half)) = decodeWavSamples(ours.take(44 + 40))
+    assert(half.toSeq == own.take(20).toSeq)
+    // 4) non-WAV and header-only inputs
+    assert(decodeWavSamples("plain".getBytes).isEmpty)
+    // 5) frame-level features: exact integer replay
+    val media = MultimodalOps.asMedia(
+      Seq((1L, ours), (2L, "junk".getBytes)).toDF("id", "payload"),
+      "id", "payload", "audio")
+    val out = decodeAudioFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val vs = (0 until 123).map(i => (i * 37 + 55) % 4096 - 2048)
+    assert(out(1L).getAs[Long]("energy") == vs.map(v => v.toLong * v).sum)
+    assert(out(1L).getAs[Int]("zero_crossings") ==
+      vs.sliding(2).count(p => p(0) * p(1) < 0))
+    assert(out(1L).getAs[Int]("peak") == vs.map(math.abs).max)
+    assert(out(2L).getAs[Int]("sample_rate") == 0 &&
+      out(2L).isNullAt(out(2L).fieldIndex("energy")))
+  }
+
   test("decodeResizeFeaturize: model sees decoded pixels, undecodable embeds zeros") {
     import MultimodalOps._
     val png = synthPngImageBytes(seed = 9L, w = 10, h = 6)
