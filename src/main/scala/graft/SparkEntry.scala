@@ -789,6 +789,22 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.redactPii(col("text")).as("redacted"))
     },
+    "text_strip_html" -> { (s, dir) =>
+      // HTML -> text extraction, the web-crawl pipeline's first stage:
+      // each doc wrapped in a deterministic HTML shell (script/style
+      // blocks with angle brackets and entities inside, comments,
+      // nested tags), then stripped at scan speed. The oracle replays
+      // shell construction AND the whole strip chain - the patterns
+      // deliberately live in the Java-regex/RE2 common subset.
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast(StringType),
+        lit("</title><script type=\"text/javascript\">\nif (x < 3) { emit(\"&amp;\"); }\n</script><style media=\"all\">\np { color: red; }\n</style></head><body><h1>D"),
+        col("doc_id").cast(StringType),
+        lit("</h1><p>"), col("text"),
+        lit(" &amp; <b>more</b> &lt;tag&gt; it&#39;s &quot;q&quot;&nbsp;end</p><!-- tail\ncomment --></body></html>"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.stripHtml(html).as("clean"))
+    },
     "text_contamination" -> { (s, dir) =>
       // decontamination pass: which training docs leak >= 10% of a test
       // doc's 4-gram shingles (self-pairs excluded - the corpus doubles
@@ -2470,6 +2486,31 @@ object SparkEntry {
         |           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
         |         '\+[0-9][0-9()\- ]{5,16}[0-9]|\(?[0-9]{3}\)?[\- ][0-9]{3}[\- ][0-9]{4}', '[PHONE]', 'g') AS redacted
         |FROM documents""".stripMargin,
+    "text_strip_html" ->
+      """WITH shell AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><script type="text/javascript">' || chr(10) ||
+        |    'if (x < 3) { emit("&amp;"); }' || chr(10) ||
+        |    '</script><style media="all">' || chr(10) ||
+        |    'p { color: red; }' || chr(10) ||
+        |    '</style></head><body><h1>D' || CAST(doc_id AS VARCHAR) ||
+        |    '</h1><p>' || text ||
+        |    ' &amp; <b>more</b> &lt;tag&gt; it&#39;s &quot;q&quot;&nbsp;end</p><!-- tail' ||
+        |    chr(10) || 'comment --></body></html>' AS html
+        |  FROM documents
+        |)
+        |SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |  '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
+        |FROM shell""".stripMargin,
     "media_chunks" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents

@@ -889,11 +889,11 @@ object MultimodalOps {
   }
 
   /** Resize planning: fit each image into a `targetW` x `targetH` box
-    * preserving aspect ratio, never upscaling. The dimension math is the
-    * real, tested part (it is what a preprocessing pipeline audits and
-    * what downstream batch shapes depend on); the pixel resample itself
-    * is the stubbed codec call and would run inside the same
-    * mapPartitions batch as [[decodeAndFeaturize]]'s decoder.
+    * preserving aspect ratio, never upscaling - the metadata-only audit
+    * pass (what a preprocessing pipeline budgets batch shapes from,
+    * without touching pixels). The pixel-level resample itself is REAL
+    * too: [[resizePixels]], run inside [[decodeResizePixels]] /
+    * [[decodeResizeFeaturize]]'s mapPartitions batches.
     *
     * All arithmetic is double multiply + floor + greatest - identical
     * IEEE operations in any engine, so the oracle replays it exactly.

@@ -366,6 +366,33 @@ object TextOps {
       lower(graft.functions.GraftFunctions.nfc_normalize(text)),
       "[ \\t\\n\\x0B\\f\\r]+", " "))
 
+  /** HTML -> text extraction - the standard FIRST step of a web-crawl
+    * curation pipeline (before any dedup/quality/tokenize stage sees
+    * the document): drop `<script>`/`<style>` subtrees wholesale (their
+    * content is code, not prose), drop comments, strip remaining tags
+    * to spaces, unescape the six ubiquitous entities, collapse
+    * whitespace. Deliberately regex-subset-portable: every pattern
+    * avoids backreferences and uses only `(?is)` flags + lazy
+    * quantifiers, the common ground of Java regex (Spark) and RE2
+    * (DuckDB) - which is what lets the oracle replay the chain
+    * byte-for-byte. A full DOM parse adds boilerplate-block scoring
+    * (main-content extraction) but runs per-row in the same scan; this
+    * chain is the codegen'd, shuffle-free 95% case.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&" // amp LAST: &amp;lt; is literal "&lt;"
+    ).foldLeft(noTags) { case (c, (from, to)) =>
+      F.replace(c, lit(from), lit(to)) // literal replace: no regex dialect in play
+    }
+    trim(regexp_replace(unescaped, "[ \\t\\n\\x0B\\f\\r]+", " "))
+  }
+
   /** Vocabulary coverage: per-document token and out-of-vocabulary
     * counts against the corpus's own top-`vocabSize` token types
     * (frequency desc, token asc on ties - fully deterministic). High

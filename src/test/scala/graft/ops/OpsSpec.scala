@@ -601,6 +601,26 @@ class OpsSpec extends SparkSpec {
     assert(whole.count() == 3000)
   }
 
+  test("stripHtml: script/style/comment removal, entity unescape, plain text unchanged") {
+    val got = Seq(
+      // script/style subtrees vanish wholesale, incl. attrs + newlines +
+      // angle brackets inside code
+      "<script type=\"a\">\nif (x < 3) { y(\"<b>\"); }\n</script>keep",
+      "<STYLE media=\"x\">\np < q { }\n</STYLE>keep",
+      // comments (multi-line), then tags to spaces
+      "a<!-- c\nd -->b <p class=\"z\">c</p>",
+      // entity unescape, &amp; last so &amp;lt; stays literal
+      "x &lt;tag&gt; &quot;q&quot; it&#39;s A&nbsp;B &amp; C &amp;lt;",
+      // whitespace collapse + trim; plain text untouched
+      "  plain   text\n\tstays  ",
+      "no html at all"
+    ).toDF("t").select(TextOps.stripHtml($"t")).as[String].collect().toSeq
+    assert(got == Seq(
+      "keep", "keep", "a b c",
+      "x <tag> \"q\" it's A B & C &lt;",
+      "plain text stays", "no html at all"))
+  }
+
   test("redactPii replaces emails, phones, IPs; leaves clean text alone") {
     val got = Seq(
       "contact bob.smith+x@example.co.uk today",
