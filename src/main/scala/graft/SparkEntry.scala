@@ -789,6 +789,12 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.redactPii(col("text")).as("redacted"))
     },
+    "docs_surprisal" -> { (s, dir) =>
+      // perplexity-style quality scoring from the corpus's own bigram
+      // LM, integer-exact via the hdrSketch log-code family - the
+      // CCNet/KenLM filter cut, engine-replayable
+      TextOps.bigramSurprisal(tbl(s, dir, "documents"), "doc_id", "text")
+    },
     "text_strip_html" -> { (s, dir) =>
       // HTML -> text extraction, the web-crawl pipeline's first stage:
       // each doc wrapped in a deterministic HTML shell (script/style
@@ -2486,6 +2492,37 @@ object SparkEntry {
         |           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
         |         '\+[0-9][0-9()\- ]{5,16}[0-9]|\(?[0-9]{3}\)?[\- ][0-9]{3}[\- ][0-9]{4}', '[PHONE]', 'g') AS redacted
         |FROM documents""".stripMargin,
+    "docs_surprisal" ->
+      // full integer replay: same tokenization as the other text
+      // oracles, history/bigram counts, the 32-per-octave log code on
+      // x1 = c1+4096 and x2 = c2+1, one exact double division at the end
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), f AS (SELECT doc_id, tk FROM base WHERE len(tk) >= 2),
+        |bg AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i + 1] AS b
+        |  FROM f, LATERAL unnest(generate_series(1, len(tk) - 1)) AS g(i)
+        |), c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |c2 AS (SELECT w1, b, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |xx AS (
+        |  SELECT c2.b, (c1.c1 + 4096) * 256 AS x1, (c2.c2 + 1) * 256 AS x2
+        |  FROM c2 JOIN c1 USING (w1)
+        |), tt AS (
+        |  SELECT b,
+        |    (CASE WHEN x1 < 32 THEN x1
+        |          ELSE (length(bin(x1)) - 6) * 32 + (x1 >> (length(bin(x1)) - 6)) END)
+        |    - (CASE WHEN x2 < 32 THEN x2
+        |            ELSE (length(bin(x2)) - 6) * 32 + (x2 >> (length(bin(x2)) - 6)) END) AS s
+        |  FROM xx
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(s) AS BIGINT) AS surprisal,
+        |       CAST(SUM(s) AS DOUBLE) / (CAST(count(*) AS BIGINT) * 32) AS avg_bits
+        |FROM bg JOIN tt ON bg.b = tt.b
+        |GROUP BY doc_id""".stripMargin,
     "text_strip_html" ->
       """WITH shell AS (
         |  SELECT doc_id,

@@ -301,6 +301,68 @@ object TextOps {
         .as("n_learned_tokens"))
   }
 
+  /** Perplexity-style quality score from the corpus's OWN bigram
+    * statistics - the CCNet/KenLM curation step re-expressed with
+    * integer-exact arithmetic: per-document mean bigram surprisal,
+    * where -log2 P(w2|w1) under add-V smoothing
+    * (`log2(c(w1)+V) - log2(c(w1 w2)+1)`) is computed with the same
+    * monotone integer log-code family as [[SketchOps.hdrSketch]]
+    * (`ilog32(x) = 32*(e-5) + (x >> (e-5))`, `e = bitlen-1` via
+    * `length(bin(x))` - a piecewise-linear 32*log2 within ~3%). Counts
+    * are pre-scaled by 2^8 before coding so every value lands in the
+    * LOG region of the code: the sub-32 linear region would flatten
+    * rare-bigram surprisal (the common case in the tail) and invert
+    * rankings; the scaling's +8-octave offset cancels exactly in the
+    * difference. All integer until the final division, so the score
+    * replays engine-exactly - a float-log variant cannot (ln
+    * boundaries diverge in the last ulp).
+    *
+    * Low mean surprisal = the corpus predicts the document's bigrams
+    * well = template/boilerplate/repetitive text; high = rare
+    * constructions or garbage. Both tails are the standard filter cuts.
+    *
+    * Scale shape: two type-table-sized aggregates (map-side combined),
+    * one type-level join to form per-bigram surprisal, then ONE
+    * shuffle join of the exploded corpus bigrams against that
+    * bigram-type table and a per-doc sum. Documents with fewer than 2
+    * tokens are absent (no bigram evidence), like
+    * [[diversityByStratum]]'s empty strata.
+    *
+    * Output: (idCol, n_bigrams, surprisal, avg_bits).
+    */
+  def bigramSurprisal(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      smoothV: Long = 4096L
+  ): DataFrame = {
+    require(smoothV >= 1, s"need smoothing >= 1, got $smoothV")
+    def ilog32(name: String): String =
+      s"CASE WHEN $name < 32 THEN $name ELSE " +
+        s"(length(bin($name)) - 6) * 32 + shiftright($name, length(bin($name)) - 6) END"
+    val bgs = df
+      .filter(F.col(textCol).isNotNull)
+      .select(F.col(idCol), graft.ops.DedupOps.tokens(F.col(textCol)).as("tks"))
+      .filter(size(F.col("tks")) >= 2)
+      .select(F.col(idCol), explode(F.expr(
+        "transform(sequence(1, size(tks) - 1), " +
+          "i -> struct(tks[i-1] AS w1, concat(tks[i-1], ' ', tks[i]) AS bg))")).as("p"))
+      .select(F.col(idCol), F.col("p.w1").as("w1"), F.col("p.bg").as("bg"))
+    val c1 = bgs.groupBy("w1").agg(count(lit(1)).as("c1")) // history counts
+    val c2 = bgs.groupBy("w1", "bg").agg(count(lit(1)).as("c2"))
+    val typeSurprisal = c2.join(c1, "w1")
+      .withColumn("x1", (F.col("c1") + lit(smoothV)) * lit(256L))
+      .withColumn("x2", (F.col("c2") + lit(1L)) * lit(256L))
+      .select(F.col("bg"),
+        (expr(ilog32("x1")) - expr(ilog32("x2"))).as("s"))
+    bgs.join(typeSurprisal, "bg")
+      .groupBy(F.col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("s").as("surprisal"))
+      .withColumn("avg_bits",
+        F.col("surprisal").cast(DoubleType) /
+          (F.col("n_bigrams") * 32).cast(DoubleType))
+  }
+
   /** Lexical-diversity report per stratum (source, language, shard...):
     * type-token ratio and distinct-bigram ratio - the standard cheap
     * screens for template-generated or highly repetitive sources (a

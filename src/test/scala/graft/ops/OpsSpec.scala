@@ -601,6 +601,50 @@ class OpsSpec extends SparkSpec {
     assert(whole.count() == 3000)
   }
 
+  test("bigramSurprisal: integer log-code replay, boilerplate scores below novel text") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"), // exact dup: same bigrams, higher counts
+      (3L, "the cat sat on the mat"),
+      (4L, "quantized surprisal ranks exotic constructions higher"),
+      (5L, "the the the the the the the the"), // degenerate repetition
+      (6L, "one"), // < 2 tokens: absent
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.bigramSurprisal(docs, "doc_id", "text", smoothV = 16L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("surprisal"),
+          r.getAs[Double]("avg_bits"))).toMap
+    assert(!got.contains(6L) && !got.contains(7L))
+    // independent scalar reference: recompute counts + ilog32 directly
+    def ilog(x: Long): Long =
+      if (x < 32) x
+      else {
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+        (e - 5) * 32 + (x >> (e - 5))
+      }
+    val toks = Map(
+      1L -> "the cat sat on the mat", 2L -> "the cat sat on the mat",
+      3L -> "the cat sat on the mat",
+      4L -> "quantized surprisal ranks exotic constructions higher",
+      5L -> "the the the the the the the the"
+    ).view.mapValues(_.split("\\s+").toSeq).toMap
+    val allBgs = toks.values.flatMap(t => t.sliding(2).map(p => (p(0), p.mkString(" ")))).toSeq
+    val c1 = allBgs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val c2 = allBgs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    toks.foreach { case (id, t) =>
+      val ss = t.sliding(2).map { p =>
+        ilog((c1(p(0)) + 16L) * 256L) - ilog((c2(p.mkString(" ")) + 1L) * 256L)
+      }.toSeq
+      assert(got(id)._1 == ss.size && got(id)._2 == ss.sum, s"doc $id")
+      assert(got(id)._3 == ss.sum.toDouble / (ss.size * 32).toDouble, s"doc $id avg")
+    }
+    // the quality-filter story: triplicated boilerplate predicts itself
+    // (low bits), the one-off sentence is surprising (high bits), and
+    // pure repetition is the most predictable of all
+    assert(got(5L)._3 < got(1L)._3 && got(1L)._3 < got(4L)._3)
+  }
+
   test("stripHtml: script/style/comment removal, entity unescape, plain text unchanged") {
     val got = Seq(
       // script/style subtrees vanish wholesale, incl. attrs + newlines +
