@@ -111,6 +111,17 @@ object ScaleCheck {
       graft.ops.MultimodalOps.decodeResizeFeaturize(media, 16, 16,
         graft.ops.MultimodalOps.PatchProjectionModel)
     }
+    // bigram-LM scoring: per-copy token suffixes keep the 10x bigram
+    // vocabulary genuinely 10x (type tables grow with the data)
+    val docsT1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val docsT10 = (0 until 10).map { c =>
+      docsT1.select((col("doc_id") + lit(c.toLong * 100000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", "$1" + s"zz$c").as("text"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
+    timed("docs_surprisal", docsT1, docsT10) { df =>
+      graft.ops.TextOps.bigramSurprisal(df, "doc_id", "text")
+    }
     timed("pt_querybatch_auto", cust1, cust10) { df =>
       // mode-choosing entry (measures whatever the sizing policy picks)
       val trie = graft.ptree.PrefixTree.create(df, "c_name", prefixLen = 12)
