@@ -48,16 +48,13 @@ object Bench {
       System.gc()
     }
 
-    // min of two timed runs per query: this machine carries ambient load
-    // (observed: the same unchanged query timing 1.1s and 16s minutes
-    // apart, and whole runs inflating ~3x under host contention), and
-    // the min is the standard way to report the achievable time of a
-    // deterministic computation under external noise. When the two runs
-    // disagree by more than 1.25x - the signature of a contention
-    // spike, not of the query - one extra run buys a better minimum
-    // (threshold tuned down from 1.5x: round-7 cross-round diffs showed
-    // spurious 30-60% "regressions" whose re-runs landed between the
-    // two readings, i.e. pairs that disagreed 1.3-1.5x and got no probe).
+    // This machine carries ambient load (observed: the same unchanged
+    // query timing 1.1s and 16s minutes apart, and whole runs inflating
+    // ~3x under host contention), so the reported time per query is a
+    // REPRODUCED minimum: adaptive sampling below keeps timing until the
+    // best two readings agree within 15% (or 4 runs are spent), and the
+    // best-two disagreement is persisted as the per-query "spread" -
+    // the noise floor BenchDiff gates cross-run regression flags on.
     // paired A/B mode (SPARK_GRAFT_BENCH_AB=1): per query, FOUR timed
     // runs interleaved as A1 B1 A2 B2 - two independent passes through
     // identical code. |min(A) - min(B)| / min is the process's own
@@ -118,8 +115,12 @@ object Bench {
     }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // locale-independent number rendering (Double.toString), NOT the
+    // f-interpolator: a comma-decimal default locale would corrupt the
+    // JSON artifact
     val spreads = results.map { case (k, _, _, sp) =>
-      s"\"" + k + "\":" + f"$sp%.4f" }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + (math.rint(sp * 10000) / 10000).toString
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val flaky = results.collect { case (k, _, true, _) => "\"" + k + "\"" }

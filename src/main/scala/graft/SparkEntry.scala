@@ -37,6 +37,34 @@ object SparkEntry {
     */
   private val skewCap = 50L
 
+  /** acc/outj/piv CTE tail of the PatchProjectionModel forward-pass
+    * replay (conv sum, mod-9973 residual, dense ReLU head pivoted to
+    * f0..f7 REAL columns). Expects a preceding CTE `bv(doc_id, u, byte)`
+    * - byte values with their position-mod-8 kernel row. ONE builder
+    * shared by the three media oracles (features / pixel_features /
+    * pipeline) so the replays cannot drift from each other when the
+    * model changes - same rule as the quantile CTE builder.
+    */
+  private val ppForwardCtes: String = {
+    val f = (0 until 8).map(j =>
+      s"CAST(greatest(coalesce(MAX(CASE WHEN j = $j THEN o END), 0), 0) AS REAL) AS f$j")
+      .mkString(",\n         ")
+    s"""acc AS (
+      |  SELECT doc_id, k, SUM(byte * (((u * 31 + k * 17 + 7) % 13) - 6)) AS a
+      |  FROM bv CROSS JOIN generate_series(0, 7) ks(k)
+      |  GROUP BY doc_id, k
+      |), outj AS (
+      |  SELECT doc_id, j,
+      |         SUM((((a % 9973) + 9973) % 9973) * (((k * 7 + j * 5 + 1) % 11) - 5)) AS o
+      |  FROM acc CROSS JOIN generate_series(0, 7) js(j)
+      |  GROUP BY doc_id, j
+      |), piv AS (
+      |  SELECT doc_id,
+      |         $f
+      |  FROM outj GROUP BY doc_id
+      |)""".stripMargin
+  }
+
   /** DuckDB VALUES list of the universal-hash coefficients used by
     * `minhash_sig` - the oracle replays the signature pipeline with
     * IDENTICAL constants (they are deterministic in (numHashes, seed),
@@ -3586,23 +3614,23 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 1024
         |                 WHEN doc_id % 5 = 1 THEN 1 + (doc_id * 3) % 2048
-        |                 WHEN octet_length(encode(text)) = 0 THEN 0
+        |                 WHEN coalesce(octet_length(encode(text)), 0) = 0 THEN 0
         |                 ELSE 64 + (('0x' || substr(md5(text), 1, 8))::BIGINT % 1920) END AS INT) AS width,
         |       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + (doc_id * 7) % 1024
         |                 WHEN doc_id % 5 = 1 THEN 1 + (doc_id * 11) % 2048
-        |                 WHEN octet_length(encode(text)) = 0 THEN 0
+        |                 WHEN coalesce(octet_length(encode(text)), 0) = 0 THEN 0
         |                 ELSE 64 + (('0x' || substr(md5(text), 9, 8))::BIGINT % 1080) END AS INT) AS height,
         |       CASE WHEN doc_id % 5 = 0 THEN 'png'
         |            WHEN doc_id % 5 = 1 THEN 'jpeg'
-        |            WHEN octet_length(encode(text)) = 0 THEN 'empty' ELSE 'raw' END AS format,
+        |            WHEN coalesce(octet_length(encode(text)), 0) = 0 THEN 'empty' ELSE 'raw' END AS format,
         |       CAST(16 AS INT) AS n_features
         |FROM documents""".stripMargin,
     "media_resize" ->
       """WITH dims AS (
         |  SELECT doc_id AS media_id,
-        |         CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+        |         CAST(CASE WHEN coalesce(octet_length(encode(text)), 0) = 0 THEN 0
         |                   ELSE 64 + (('0x' || substr(md5(text), 1, 8))::BIGINT % 1920) END AS INT) AS width,
-        |         CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+        |         CAST(CASE WHEN coalesce(octet_length(encode(text)), 0) = 0 THEN 0
         |                   ELSE 64 + (('0x' || substr(md5(text), 9, 8))::BIGINT % 1080) END AS INT) AS height
         |  FROM documents
         |), scaled AS (
@@ -3620,12 +3648,8 @@ object SparkEntry {
         |FROM scaled""".stripMargin,
     "media_features" -> {
       // full replay of PatchProjectionModel's forward pass: bytes from
-      // hex(payload) pairs, conv = SUM(byte * W1[i%8][k]), residual
-      // nonlinearity mod 9973, dense ReLU head - all integer, so REAL
-      // outputs match the JVM floats bit-for-bit
-      val f = (0 until 8).map(j =>
-        s"CAST(greatest(coalesce(MAX(CASE WHEN j = $j THEN o END), 0), 0) AS REAL) AS f$j")
-        .mkString(",\n         ")
+      // hex(payload) pairs, then the shared ppForwardCtes tail - all
+      // integer, so REAL outputs match the JVM floats bit-for-bit
       val outer = (0 until 8).map(j =>
         s"coalesce(f$j, CAST(0 AS REAL)) AS f$j").mkString(", ")
       s"""WITH b AS (
@@ -3638,29 +3662,13 @@ object SparkEntry {
         |  SELECT doc_id, i % 8 AS u,
         |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT AS byte
         |  FROM idx
-        |), acc AS (
-        |  SELECT doc_id, k, SUM(byte * (((u * 31 + k * 17 + 7) % 13) - 6)) AS a
-        |  FROM bv CROSS JOIN generate_series(0, 7) ks(k)
-        |  GROUP BY doc_id, k
-        |), outj AS (
-        |  SELECT doc_id, j,
-        |         SUM((((a % 9973) + 9973) % 9973) * (((k * 7 + j * 5 + 1) % 11) - 5)) AS o
-        |  FROM acc CROSS JOIN generate_series(0, 7) js(j)
-        |  GROUP BY doc_id, j
-        |), piv AS (
-        |  SELECT doc_id,
-        |         $f
-        |  FROM outj GROUP BY doc_id
-        |)
+        |), $ppForwardCtes
         |SELECT d.doc_id AS media_id, $outer
         |FROM documents d LEFT JOIN piv USING (doc_id)""".stripMargin
     },
     "media_pixel_features" -> {
       // chained replay: pixel formula -> 16x16 nearest resample ->
-      // PatchProjection integer forward pass (u = byte index mod 8)
-      val f = (0 until 8).map(j =>
-        s"CAST(greatest(coalesce(MAX(CASE WHEN j = $j THEN o END), 0), 0) AS REAL) AS f$j")
-        .mkString(",\n         ")
+      // the shared ppForwardCtes tail (u = byte index mod 8)
       s"""WITH d AS (
         |  SELECT doc_id, CAST(8 + doc_id % 24 AS INT) AS w,
         |         CAST(8 + (doc_id * 3) % 24 AS INT) AS h
@@ -3671,20 +3679,7 @@ object SparkEntry {
         |  FROM d
         |  CROSS JOIN generate_series(0, 15) ii(i)
         |  CROSS JOIN generate_series(0, 15) jj(j)
-        |), acc AS (
-        |  SELECT doc_id, k, SUM(byte * (((u * 31 + k * 17 + 7) % 13) - 6)) AS a
-        |  FROM bv CROSS JOIN generate_series(0, 7) ks(k)
-        |  GROUP BY doc_id, k
-        |), outj AS (
-        |  SELECT doc_id, j,
-        |         SUM((((a % 9973) + 9973) % 9973) * (((k * 7 + j * 5 + 1) % 11) - 5)) AS o
-        |  FROM acc CROSS JOIN generate_series(0, 7) js(j)
-        |  GROUP BY doc_id, j
-        |), piv AS (
-        |  SELECT doc_id,
-        |         $f
-        |  FROM outj GROUP BY doc_id
-        |)
+        |), $ppForwardCtes
         |SELECT d.doc_id AS media_id, d.w AS width, d.h AS height,
         |       p.f0, p.f1, p.f2, p.f3, p.f4, p.f5, p.f6, p.f7
         |FROM d JOIN piv p USING (doc_id)""".stripMargin
@@ -3742,7 +3737,7 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'wav'
         |       WHEN doc_id % 3 = 1 THEN 'mp4'
-        |       WHEN octet_length(encode(text)) = 0 THEN 'empty'
+        |       WHEN coalesce(octet_length(encode(text)), 0) = 0 THEN 'empty'
         |       ELSE 'unknown' END AS format,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8000 * (1 + doc_id % 6) ELSE 0 END AS INT) AS sample_rate,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 2 ELSE 0 END AS INT) AS channels,
@@ -3760,9 +3755,6 @@ object SparkEntry {
       // encoding synthPngHeader uses) -> the PatchProjectionModel
       // forward pass from hex pairs -> decode dims -> quantized-bucket
       // keep-best
-      val f = (0 until 8).map(j =>
-        s"CAST(greatest(coalesce(MAX(CASE WHEN j = $j THEN o END), 0), 0) AS REAL) AS f$j")
-        .mkString(",\n         ")
       val qb = (0 until 8).map(j =>
         s"CAST(coalesce(f$j, CAST(0 AS REAL)) AS BIGINT) >> 6 AS b$j").mkString(", ")
       val bs = (0 until 8).map(j => s"b$j").mkString(", ")
@@ -3775,13 +3767,13 @@ object SparkEntry {
         |           '080600000000000000'
         |         ELSE hex(encode(text)) END AS hx,
         |         CASE WHEN doc_id % 5 = 0 THEN 'png'
-        |              WHEN octet_length(encode(text)) = 0 THEN 'empty'
+        |              WHEN coalesce(octet_length(encode(text)), 0) = 0 THEN 'empty'
         |              ELSE 'raw' END AS format,
         |         CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 1024
-        |                   WHEN octet_length(encode(text)) = 0 THEN 0
+        |                   WHEN coalesce(octet_length(encode(text)), 0) = 0 THEN 0
         |                   ELSE 64 + (('0x' || substr(md5(text), 1, 8))::BIGINT % 1920) END AS INT) AS width,
         |         CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + (doc_id * 7) % 1024
-        |                   WHEN octet_length(encode(text)) = 0 THEN 0
+        |                   WHEN coalesce(octet_length(encode(text)), 0) = 0 THEN 0
         |                   ELSE 64 + (('0x' || substr(md5(text), 9, 8))::BIGINT % 1080) END AS INT) AS height
         |  FROM documents
         |), idx AS (
@@ -3792,20 +3784,7 @@ object SparkEntry {
         |  SELECT doc_id, i % 8 AS u,
         |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT AS byte
         |  FROM idx
-        |), acc AS (
-        |  SELECT doc_id, k, SUM(byte * (((u * 31 + k * 17 + 7) % 13) - 6)) AS a
-        |  FROM bv CROSS JOIN generate_series(0, 7) ks(k)
-        |  GROUP BY doc_id, k
-        |), outj AS (
-        |  SELECT doc_id, j,
-        |         SUM((((a % 9973) + 9973) % 9973) * (((k * 7 + j * 5 + 1) % 11) - 5)) AS o
-        |  FROM acc CROSS JOIN generate_series(0, 7) js(j)
-        |  GROUP BY doc_id, j
-        |), piv AS (
-        |  SELECT doc_id,
-        |         $f
-        |  FROM outj GROUP BY doc_id
-        |), buck AS (
+        |), $ppForwardCtes, buck AS (
         |  SELECT p.doc_id, p.format, p.width, p.height, $qb
         |  FROM pay p LEFT JOIN piv USING (doc_id)
         |)

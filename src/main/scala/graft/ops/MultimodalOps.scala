@@ -9,17 +9,20 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns beside typed metadata, processed in batched
   * per-partition passes.
   *
-  * The Spark-side mechanics here - schema, partition sizing, batch
-  * iteration, metadata propagation - are real and tested, and so is the
-  * PNG METADATA decode: [[decodeImageMeta]] parses the spec-defined
-  * IHDR header of any real PNG (verified in OpsSpec against bytes
-  * produced by javax.imageio's actual encoder, and exercised by the
-  * `media_decode` query on [[synthPngHeader]] fixtures). What remains
-  * stand-in is pixel-level work (this environment has no image/audio
-  * libraries): non-PNG payloads get deterministic md5-derived
-  * pseudo-dims, and `extractFeatures` computes a byte-histogram
-  * "feature vector" in place of a model embedding. Swapping in a full
-  * decoder changes only those function bodies, not the pipeline.
+  * The decode surface is REAL end to end, pure JVM: PNG/JPEG metadata
+  * ([[decodeImageMeta]]), WAV/MP4 container metadata ([[decodeAvMeta]]),
+  * PNG PIXELS ([[decodePngPixels]]: Inflater + the spec's 5-filter
+  * reconstruction) with nearest-neighbor resampling ([[resizePixels]]),
+  * and PCM SAMPLES ([[decodeWavSamples]]) with integer audio features -
+  * each verified against the JDK's own independent codecs
+  * (javax.imageio / javax.sound) in OpsSpec, each with a spec-compliant
+  * encoder ([[synthPngImageBytes]], [[synthWavPcmBytes]], the synth*
+  * header fixtures) whose output any reader accepts. The embedding side
+  * has a REAL fixed-weight model ([[PatchProjectionModel]]) behind the
+  * [[FeatureModel]] session interface an ONNX/JNI encoder plugs into;
+  * [[ByteHistogramModel]] remains only as the cheap default. The one
+  * remaining deterministic stand-in: unrecognized payload formats get
+  * md5-derived pseudo-dims from [[decodeImageMeta]] (documented there).
   *
   * Scale notes: payload columns dominate row size, so operators
   * repartition by byte budget, never row count ([[repartitionForPayload]]),
@@ -53,6 +56,14 @@ object MultimodalOps {
     val parts = math.max(1, math.min(100000, (total / math.max(1, targetBytes)).toInt))
     df.repartition(parts)
   }
+
+  /** Non-payload columns of a media-frame row, in schema order - the
+    * projection every decode operator emits beside its own columns
+    * (their output schemas are built with the matching
+    * `filterNot(_.name == "payload")`; keep the two in one place).
+    */
+  private def nonPayload(r: Row): Seq[Any] =
+    r.toSeq.zip(r.schema.fieldNames).collect { case (v, n) if n != "payload" => v }
 
   /** Image metadata decode. REAL for the two main formats - the parse
     * any spec-compliant file satisfies, verified against javax.imageio
@@ -217,8 +228,12 @@ object MultimodalOps {
         if (id == "fmt " && sz >= 16 && i + 24 <= len) {
           ch = le16(i + 10); sr = le32(i + 12).toInt; byteRate = le32(i + 16)
         } else if (id == "data") dataSize = sz
-        i += 8 + sz.toInt + (sz & 1L).toInt // RIFF pads odd chunks
-        if (sz < 0 || sz > Int.MaxValue) i = len // corrupt size: stop
+        // declared size past EOF (header-only fixture, truncated stream,
+        // or a crafted huge size): the fields above are already captured,
+        // and the walk must STOP - advancing by sz.toInt would wrap the
+        // Int index negative for sizes near 2^31 and crash the task
+        if (sz > len - i - 8) i = len
+        else i += 8 + sz.toInt + (sz & 1L).toInt // RIFF pads odd chunks
       }
       val dur = if (byteRate > 0 && dataSize >= 0) dataSize * 1000L / byteRate else 0L
       ("wav", sr, ch, dur, 0, 0)
@@ -229,7 +244,10 @@ object MultimodalOps {
         while (i + 8 <= end) {
           val sz = be32(i)
           if (ascii(i + 4, 4) == target) return i
-          if (sz < 8) return -1 // largesize (1) or corrupt: stop, don't misparse
+          // largesize (1), corrupt, or size past this container's end:
+          // stop, don't misparse (sz.toInt of a >= 2^31 size would wrap
+          // the index negative)
+          if (sz < 8 || sz > end - i) return -1
           i += sz.toInt
         }
         -1
@@ -474,7 +492,7 @@ object MultimodalOps {
       rows.map { r =>
         val (fmt, sr, ch, dur, w, h) = decodeAvMeta(r.getAs[Array[Byte]]("payload"))
         Row.fromSeq(
-          r.toSeq.zip(r.schema.fieldNames).collect { case (v, n) if n != "payload" => v } ++
+          nonPayload(r) ++
             Seq(fmt, sr, ch, dur, w, h))
       }
     }(enc)
@@ -510,6 +528,12 @@ object MultimodalOps {
       case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None
     }
     if (bitDepth != 8 || interlace != 0 || w <= 0 || h <= 0) return None
+    // bound the raw-pixel allocation in LONG arithmetic before any Int
+    // sizing: crafted/huge IHDR dims would otherwise overflow
+    // (stride+1)*h into a negative array size (or a multi-GB allocation)
+    // before a single data byte is validated. 256 MB decoded is far past
+    // any payload this pipeline carries - refuse, don't crash.
+    if ((w.toLong * channels + 1L) * h.toLong > 256L * 1024 * 1024) return None
     // gather the zlib stream across all IDAT chunks (the spec allows
     // the stream to be split arbitrarily)
     val idat = new java.io.ByteArrayOutputStream()
@@ -517,12 +541,15 @@ object MultimodalOps {
     var ok = true
     while (ok && i + 8 <= payload.length) {
       val len = be32(i); val typ = fourcc(i + 4)
-      if (len < 0 || i + 8 + len > payload.length) ok = typ != "IDAT" // truncated
+      // negative (>= 2^31) or past-EOF declared length: the stream is
+      // truncated or crafted - stop the walk (advancing by it would wrap
+      // the index); whatever IDAT bytes were complete still inflate below
+      if (len < 0 || len > payload.length - i - 8) ok = false
       else {
         if (typ == "IDAT") idat.write(payload, i + 8, len)
         if (typ == "IEND") ok = false
+        i += 12 + len // len + type + crc
       }
-      i += 12 + math.max(len, 0) // len + type + crc
     }
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
@@ -670,8 +697,7 @@ object MultimodalOps {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.mapPartitions { rows =>
       rows.map { r =>
-        val keep = r.toSeq.zip(r.schema.fieldNames)
-          .collect { case (v, n) if n != "payload" => v }
+        val keep = nonPayload(r)
         val stats = decodePngPixels(r.getAs[Array[Byte]]("payload")).map {
           case (w, h, ch, px) =>
             val rp = resizePixels(px, w, h, ch, outW, outH)
@@ -701,7 +727,9 @@ object MultimodalOps {
   def decodeWavSamples(payload: Array[Byte]): Option[(Int, Int, Array[Short])] = {
     val len = if (payload == null) 0 else payload.length
     def ascii(o: Int): String =
-      new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (o >= 0 && o + 4 <= len)
+        new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
     def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
     def le32(o: Int): Long = (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
       ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
@@ -721,8 +749,11 @@ object MultimodalOps {
         var k = 0
         while (k < n) { out(k) = le16(i + 8 + 2 * k).toShort; k += 1 }
       }
-      i += 8 + sz.toInt + (sz & 1L).toInt
-      if (sz < 0 || sz > Int.MaxValue) i = len
+      // same truncation stop as decodeAvMeta: a declared size past EOF
+      // ends the walk (the complete prefix is already decoded); never
+      // advance by a wrapped Int
+      if (sz > len - i - 8) i = len
+      else i += 8 + sz.toInt + (sz & 1L).toInt
     }
     if (out == null) None else Some((sr, ch, out))
   }
@@ -772,8 +803,7 @@ object MultimodalOps {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.mapPartitions { rows =>
       rows.map { r =>
-        val keep = r.toSeq.zip(r.schema.fieldNames)
-          .collect { case (v, n) if n != "payload" => v }
+        val keep = nonPayload(r)
         val stats = decodeWavSamples(r.getAs[Array[Byte]]("payload")).map {
           case (sr, ch, s) =>
             var energy = 0L; var zc = 0; var peak = 0
@@ -835,7 +865,7 @@ object MultimodalOps {
         chunk.lazyZip(decoded).lazyZip(feats).map { (r, dec, f) =>
           val (w, h, ch) = dec.map(d => (d._1, d._2, d._3)).getOrElse((0, 0, 0))
           Row.fromSeq(
-            r.toSeq.zip(r.schema.fieldNames).collect { case (v, n) if n != "payload" => v } ++
+            nonPayload(r) ++
               Seq(w, h, ch, f.toSeq))
         }
       }
@@ -880,7 +910,7 @@ object MultimodalOps {
           val payload = r.getAs[Array[Byte]]("payload")
           val (w, h, fmt) = decodeImageMeta(payload)
           Row.fromSeq(
-            r.toSeq.zip(r.schema.fieldNames).collect { case (v, n) if n != "payload" => v } ++
+            nonPayload(r) ++
               Seq(w, h, fmt, f.toSeq)
           )
         }

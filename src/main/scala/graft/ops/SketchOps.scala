@@ -328,8 +328,10 @@ object SketchOps {
     *
     *   - scale: `vi = floor(value * 2^20)` - a power-of-two multiply is
     *     exact IEEE (exponent shift), floor is exact, so both engines
-    *     compute the same BIGINT; |value| >= 2^43 raises rather than
-    *     silently overflowing the scaled long;
+    *     compute the same BIGINT; |value| >= 2e12 raises rather than
+    *     silently overflowing (the bound protects the SERVING side too:
+    *     [[hdrQuantiles]]' midpoint decode adds lo + hi, which needs the
+    *     scaled magnitude under 2^61);
     *   - sign split: `sgn` in {-1, 0, 1}, `a = abs(vi)`;
     *   - bucket: `a < 32 -> code = a` (exact small values); else with
     *     `e = bitlen(a) - 1` (via `length(bin(a))`, pure string-of-bits
@@ -356,9 +358,10 @@ object SketchOps {
     require(groupCols.nonEmpty, "need at least one group column")
     val v = F.col(valueCol).cast(DoubleType)
     val g = groupCols.map(F.col)
-    val guarded = when(abs(v) < lit(8.0e12), v)
+    val guarded = when(abs(v) < lit(2.0e12), v)
       .otherwise(raise_error(concat(
-        lit(s"hdrSketch: |$valueCol| >= 8e12 would overflow the 2^20-scaled long: "),
+        lit(s"hdrSketch: |$valueCol| >= 2e12 would overflow the scaled-long " +
+          "arithmetic (2^20 scale here, lo+hi midpoint decode in hdrQuantiles): "),
         v.cast(StringType))))
     df.filter(v.isNotNull && !isnan(v) &&
         groupCols.map(F.col(_).isNotNull).reduce(_ && _))

@@ -94,11 +94,15 @@ object ScaleCheck {
       graft.ptree.Query.queryJoin(trieQueries(df), "query_string", trie, maxDist = 2)
     }
     // pixel pipeline: encode + decode + resample + featurize is pure
-    // per-row compute - the scan-shaped floor, no shuffle at all
+    // per-row compute - the scan-shaped floor, no shuffle at all.
+    // Same data-derived id stride rule as the events fixture: a magic
+    // constant would silently collide copies on a large corpus
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id")).localCheckpoint()
+    val docStride = docs1.agg(coalesce(max(col("doc_id")), lit(0L)))
+      .head().getLong(0) + 1L
     val docs10 = (0 until 10).map { c =>
-      docs1.select((col("doc_id") + lit(c.toLong * 100000000L)).as("doc_id"))
+      docs1.select((col("doc_id") + lit(c.toLong * docStride)).as("doc_id"))
     }.reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
     timed("media_pixel_features", docs1, docs10) { df =>
       import spark.implicits._
@@ -116,7 +120,7 @@ object ScaleCheck {
     val docsT1 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text")).localCheckpoint()
     val docsT10 = (0 until 10).map { c =>
-      docsT1.select((col("doc_id") + lit(c.toLong * 100000000L)).as("doc_id"),
+      docsT1.select((col("doc_id") + lit(c.toLong * docStride)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", "$1" + s"zz$c").as("text"))
     }.reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
     timed("docs_surprisal", docsT1, docsT10) { df =>

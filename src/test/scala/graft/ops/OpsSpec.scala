@@ -2353,11 +2353,19 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(nq(0.25) - (-1000.0)) / 1000.0 <= 0.016)
     assert(math.abs(nq(0.5) - (-5.0)) / 5.0 <= 0.016)
     assert(nq(1.0) == 26.0 / 1048576.0) // floor(2.5e-5 * 2^20) = 26, exact
-    // out-of-range magnitude raises instead of silently overflowing
+    // out-of-range magnitude raises instead of silently overflowing -
+    // the bound covers the SERVING side too (lo + hi in the midpoint
+    // decode overflows a long from scaled magnitude 2^61, i.e. ~4.4e12)
     intercept[Exception] {
-      SketchOps.hdrSketch(Seq((1L, "g", 9.0e12)).toDF("id", "grp", "value"),
+      SketchOps.hdrSketch(Seq((1L, "g", 3.0e12)).toDF("id", "grp", "value"),
         "value", Seq("grp")).collect()
     }
+    // and the largest admitted magnitude serves without overflow
+    val big = SketchOps.hdrQuantiles(
+      SketchOps.hdrSketch(Seq((1L, "g", 1.9e12), (2L, "g", -1.9e12))
+        .toDF("id", "grp", "value"), "value", Seq("grp")),
+      Seq("grp"), Seq(1.0)).collect().head.getAs[Double]("est")
+    assert(math.abs(big - 1.9e12) / 1.9e12 <= 0.016)
   }
 
   test("winnowPairs: checkpoint lifecycle - no leaked RDD blocks after consumption") {
