@@ -6,7 +6,7 @@ import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 
 import graft.ptree.{PrefixTree, Query}
-import graft.ops.{DedupOps, GraphOps, JoinOps, MultimodalOps, SampleOps, ShardOps, SimilarityOps, SketchOps, StatOps, TextOps, TimeOps}
+import graft.ops.{DedupOps, GraphOps, JoinOps, MultimodalOps, SampleOps, ShardOps, SimilarityOps, SketchOps, StatOps, TextOps, TimeOps, WebOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -36,6 +36,85 @@ object SparkEntry {
     * filter by interpolation.
     */
   private val skewCap = 50L
+
+  /** Deterministic URL shell for the three `web_*` queries: every doc
+    * gets a synthetic crawl URL exercising the whole parse surface
+    * (schemes, userinfo, subdomains incl. an md5-varied one, multi-label
+    * public suffixes, explicit ports, empty paths, query strings,
+    * fragments). ONE builder + ONE oracle CTE ([[urlShellCte]]) shared
+    * by all three so the replays cannot drift - same rule as
+    * [[ppForwardCtes]].
+    */
+  private def synthUrlCol: org.apache.spark.sql.Column = concat(
+    when(col("doc_id") % 4 === 0, lit("https"))
+      .when(col("doc_id") % 4 === 1, lit("http"))
+      .when(col("doc_id") % 4 === 2, lit("https")).otherwise(lit("ftp")),
+    lit("://"),
+    when(col("doc_id") % 13 === 0, lit("user@")).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, lit("www."))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("m"), substring(md5(col("text")), 1, 2), lit(".")))
+      .otherwise(lit("")),
+    col("source"),
+    when(col("doc_id") % 3 === 0, lit(".com"))
+      .when(col("doc_id") % 3 === 1, lit(".co.uk")).otherwise(lit(".org")),
+    when(col("doc_id") % 11 === 0, lit(":8080")).otherwise(lit("")),
+    when(col("doc_id") % 9 === 0, lit(""))
+      .otherwise(concat(lit("/p/"), (col("doc_id") % 7).cast(StringType))),
+    when(col("doc_id") % 7 === 0,
+      concat(lit("?q="), substring(md5(col("text")), 7, 4))).otherwise(lit("")),
+    when(col("doc_id") % 17 === 0, lit("#sec")).otherwise(lit("")))
+
+  /** `u(doc_id, source, n_chars, url)` + `p(..., scheme, host, port,
+    * path, qstr)` + `d(..., domain)` CTE chain: the [[synthUrlCol]]
+    * shell replayed with `||` (null-propagating, like Spark `concat`)
+    * and the [[WebOps]] parse chain replayed with the SAME regexes -
+    * all in the Java-regex/RE2 common subset - plus the eTLD+1 label
+    * fold over the interpolated [[WebOps.multiSuffixes]] list.
+    */
+  private val urlShellCte: String = {
+    val suffixes = WebOps.multiSuffixes.map("'" + _ + "'").mkString(", ")
+    s"""u AS (
+      |  SELECT doc_id, source, n_chars,
+      |    (CASE doc_id % 4 WHEN 0 THEN 'https' WHEN 1 THEN 'http'
+      |          WHEN 2 THEN 'https' ELSE 'ftp' END)
+      |    || '://'
+      |    || (CASE WHEN doc_id % 13 = 0 THEN 'user@' ELSE '' END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN 'www.'
+      |             WHEN doc_id % 5 = 1 THEN 'm' || substr(md5(text), 1, 2) || '.'
+      |             ELSE '' END)
+      |    || source
+      |    || (CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' ELSE '.org' END)
+      |    || (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+      |    || (CASE WHEN doc_id % 9 = 0 THEN '' ELSE '/p/' || CAST(doc_id % 7 AS VARCHAR) END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN '?q=' || substr(md5(text), 7, 4) ELSE '' END)
+      |    || (CASE WHEN doc_id % 17 = 0 THEN '#sec' ELSE '' END) AS url
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id, source, n_chars, url,
+      |    regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+      |    regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+      |                   '^(?:[^@]*@)?([^:]*)', 1) AS host,
+      |    CASE WHEN regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+      |                             ':([0-9]+)$$', 1) = '' THEN 0
+      |         ELSE CAST(regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+      |                                  ':([0-9]+)$$', 1) AS INT) END AS port,
+      |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+      |    regexp_extract(url, '\\?([^#]*)', 1) AS qstr
+      |  FROM u
+      |), d AS (
+      |  SELECT p.*,
+      |    CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+      |         WHEN array_to_string(string_split(host, '.')[-2:], '.')
+      |              IN ($suffixes)
+      |           THEN array_to_string(string_split(host, '.')[-3:], '.')
+      |         ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
+      |  FROM p
+      |)"""
+    // NOT .stripMargin: this fragment interpolates into oracle templates
+    // that strip margins themselves, and stripping here first would let
+    // the OUTER pass eat the first '|' of every '||' concat operator
+  }
 
   /** acc/outj/piv CTE tail of the PatchProjectionModel forward-pass
     * replay (conv sum, mod-9973 residual, dense ReLU head pivoted to
@@ -838,6 +917,71 @@ object SparkEntry {
         lit(" &amp; <b>more</b> &lt;tag&gt; it&#39;s &quot;q&quot;&nbsp;end</p><!-- tail\ncomment --></body></html>"))
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.stripHtml(html).as("clean"))
+    },
+    "web_urls" -> { (s, dir) =>
+      // URL parse - the crawl-curation stage after stripHtml: every doc
+      // gets a deterministic URL shell (schemes, userinfo, md5-varied
+      // subdomains, co.uk-style suffixes, ports, query strings,
+      // fragments), parsed at scan speed by the codegen'd
+      // regexp_extract chain. The oracle replays shell AND parse.
+      WebOps.parseUrls(
+          tbl(s, dir, "documents").withColumn("url", synthUrlCol), "url")
+        .select(col("doc_id"), col("url"), col("scheme"), col("host"),
+          col("port"), col("path"), col("query").as("qstr"), col("domain"))
+    },
+    "web_domains" -> { (s, dir) =>
+      // per-registrable-domain crawl profile: the frame domain-level
+      // curation decisions (caps, blocklists) are made from; ONE
+      // shuffle on the eTLD+1 key
+      WebOps.domainStats(
+        tbl(s, dir, "documents").withColumn("url", synthUrlCol),
+        "url", "n_chars")
+    },
+    "web_blocklist" -> { (s, dir) =>
+      // domain blocklist cut: rows filtered in place by a literal
+      // IN-set over the registrable domain - corpus never shuffles to
+      // be filtered; survivors profiled per source
+      WebOps.blockDomains(
+          tbl(s, dir, "documents").withColumn("url", synthUrlCol),
+          "url", Seq("src2.com", "src5.co.uk", "src8.org", "www.src3.com"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    },
+    "docs_dup_fraction" -> { (s, dir) =>
+      // per-document duplication fraction (share of its distinct
+      // 3-shingles seen in ANY other doc) - the corpus duplication
+      // profile that sizes a dedup pass, computed without generating
+      // document pairs
+      DedupOps.dupFraction(tbl(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3)
+    },
+    "text_pii_audit" -> { (s, dir) =>
+      // PII incidence + redaction-residual audit per source: texts get
+      // deterministic email/IP/phone injections, the audit counts them
+      // and proves the redact chain removes all of them (n_residual=0)
+      val d = tbl(s, dir, "documents")
+      val pii = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" contact u"), col("doc_id").cast(StringType),
+            lit("@mail"), (col("doc_id") % 7).cast(StringType),
+            lit(".com now"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" ip 10."), (col("doc_id") % 256).cast(StringType),
+            lit(".0."), ((col("doc_id") * 3) % 256).cast(StringType),
+            lit(" end"))).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          concat(lit(" call (555) 010-"),
+            lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+            lit(" x"))).otherwise(lit("")))
+      TextOps.piiAudit(d.withColumn("ptext", pii), "source", "ptext")
+    },
+    "docs_nb_quality" -> { (s, dir) =>
+      // seed-trained NB log-odds quality classifier (CCNet/FineWeb
+      // pattern: trusted slice = src0/src1/src2), integer log-code
+      // weights so the score replays engine-exactly
+      val d = tbl(s, dir, "documents")
+        .withColumn("seed", col("source").isin("src0", "src1", "src2"))
+      TextOps.nbQualityFilter(d, "doc_id", "text", "seed")
     },
     "text_contamination" -> { (s, dir) =>
       // decontamination pass: which training docs leak >= 10% of a test
@@ -2576,6 +2720,109 @@ object SparkEntry {
         |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
         |  '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
         |FROM shell""".stripMargin,
+    "web_urls" ->
+      s"""WITH $urlShellCte
+        |SELECT doc_id, url, scheme, host, port, path, qstr, domain
+        |FROM d""".stripMargin,
+    "web_domains" ->
+      s"""WITH $urlShellCte
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY domain""".stripMargin,
+    "web_blocklist" ->
+      s"""WITH $urlShellCte
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM d
+        |WHERE domain NOT IN ('src2.com', 'src5.co.uk', 'src8.org', 'www.src3.com')
+        |GROUP BY source""".stripMargin,
+    "docs_dup_fraction" ->
+      """WITH sgl AS (
+        |  SELECT doc_id AS id,
+        |         unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                               FOR i IN generate_series(1, greatest(len(tk)-2, 1))])) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                                   t -> t <> '') AS tk FROM documents)
+        |), dfreq AS (SELECT sh, count(*) AS docfreq FROM sgl GROUP BY sh)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(SUM(CASE WHEN docfreq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       round(CAST(SUM(CASE WHEN docfreq > 1 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+        |             / CAST(count(*) AS BIGINT), 6) AS dup_frac
+        |FROM sgl JOIN dfreq USING (sh)
+        |GROUP BY id""".stripMargin,
+    "text_pii_audit" ->
+      """WITH p AS (
+        |  SELECT source, text
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+        |             || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com now' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |             || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR) || ' end' ELSE '' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN ' call (555) 010-'
+        |             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' x' ELSE '' END) AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), red AS (
+        |  SELECT source, t,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+        |      '\+[0-9][0-9()\- ]{5,16}[0-9]|\(?[0-9]{3}\)?[\- ][0-9]{3}[\- ][0-9]{4}', '[PHONE]', 'g') AS rt
+        |  FROM p
+        |), c AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+        |    len(regexp_extract_all(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS i,
+        |    len(regexp_extract_all(t, '\+[0-9][0-9()\- ]{5,16}[0-9]|\(?[0-9]{3}\)?[\- ][0-9]{3}[\- ][0-9]{4}')) AS ph,
+        |    len(regexp_extract_all(rt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      + len(regexp_extract_all(rt, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+        |      + len(regexp_extract_all(rt, '\+[0-9][0-9()\- ]{5,16}[0-9]|\(?[0-9]{3}\)?[\- ][0-9]{3}[\- ][0-9]{4}')) AS r
+        |  FROM red
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(e) AS BIGINT) AS n_email,
+        |       CAST(SUM(i) AS BIGINT) AS n_ip,
+        |       CAST(SUM(ph) AS BIGINT) AS n_phone,
+        |       CAST(SUM(CASE WHEN e + i + ph > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+        |       CAST(SUM(r) AS BIGINT) AS n_residual
+        |FROM c GROUP BY source""".stripMargin,
+    "docs_nb_quality" ->
+      // full integer replay of the NB log-odds weights: per-token class
+      // counts, single-row totals, the 32-per-octave log code on the
+      // 2^8-pre-scaled smoothed counts, one exact double division
+      """WITH base AS (
+        |  SELECT doc_id, source IN ('src0', 'src1', 'src2') AS lbl,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), tok AS (
+        |  SELECT doc_id, lbl, unnest(tk) AS t FROM base
+        |), types AS (
+        |  SELECT t, CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |         CAST(SUM(CASE WHEN lbl THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        |  FROM tok GROUP BY t
+        |), tot AS (
+        |  SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cn) AS BIGINT) AS nn,
+        |         count(*) AS v
+        |  FROM types
+        |), xx AS (
+        |  SELECT t, (cp + 1) * 256 AS xp, (cn + 1) * 256 AS xn,
+        |         (np + v) * 256 AS tp, (nn + v) * 256 AS tn
+        |  FROM types CROSS JOIN tot
+        |), wt AS (
+        |  SELECT t,
+        |    (CASE WHEN xp < 32 THEN xp ELSE (length(bin(xp)) - 6) * 32 + (xp >> (length(bin(xp)) - 6)) END)
+        |    - (CASE WHEN tp < 32 THEN tp ELSE (length(bin(tp)) - 6) * 32 + (tp >> (length(bin(tp)) - 6)) END)
+        |    - (CASE WHEN xn < 32 THEN xn ELSE (length(bin(xn)) - 6) * 32 + (xn >> (length(bin(xn)) - 6)) END)
+        |    + (CASE WHEN tn < 32 THEN tn ELSE (length(bin(tn)) - 6) * 32 + (tn >> (length(bin(tn)) - 6)) END) AS w
+        |  FROM xx
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(w) AS BIGINT) AS score,
+        |       CAST(SUM(w) AS DOUBLE) / (CAST(count(*) AS BIGINT) * 32) AS avg_bits,
+        |       CAST(SUM(w) AS BIGINT) >= 0 AS predicted
+        |FROM tok JOIN wt USING (t)
+        |GROUP BY doc_id""".stripMargin,
     "media_chunks" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents

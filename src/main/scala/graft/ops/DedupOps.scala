@@ -233,6 +233,46 @@ object DedupOps {
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
   }
 
+  /** Per-document duplication fraction: what share of a document's
+    * distinct word `shingleLen`-shingles also occur in at least one
+    * OTHER document. The corpus-level curation metric (the Dolma /
+    * RedPajama-style "duplication profile") that decides how aggressive
+    * a dedup pass needs to be - computed WITHOUT generating a single
+    * document pair, which is what makes it affordable where the
+    * pairwise operators above need banding/capping.
+    *
+    * Scale shape: explode distinct shingles (codegen kernel, 1->N),
+    * ONE shuffle on the shingle to count document frequency (partial
+    * count map-side; no cap needed - a hot shingle is just a large
+    * count, never a pair explosion), one equi-join of the per-doc
+    * shingle list back to that type table (same key, AQE-coalesced),
+    * one per-doc aggregate. The shingle frame feeds both sides, so it
+    * is materialized once, like [[tokenIntersections]]'s index.
+    *
+    * Output: (id, n_shingles, n_dup, dup_frac), one row per document
+    * with at least one shingle.
+    */
+  def dupFraction(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3
+  ): DataFrame = {
+    val sh = OpsUtil.spread(df)
+      .select(F.col(idCol).as("id"), explode(shingleStrings(F.col(textCol), shingleLen)).as("sh"))
+      .localCheckpoint()
+    // shingles are DISTINCT within a document (shingleStrings contract),
+    // so count(*) per shingle IS its document frequency
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("docfreq"))
+    sh.join(dfreq, "sh")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(F.col("docfreq") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(F.col("n_dup").cast(DoubleType) / F.col("n_shingles").cast(DoubleType), 6))
+  }
+
   /** [[jaccardPairs]] with prefix filtering (SSJoin/PPJoin-style): the
     * lossless candidate pruning for exact set-similarity joins at scale.
     *

@@ -363,6 +363,73 @@ object TextOps {
           (F.col("n_bigrams") * 32).cast(DoubleType))
   }
 
+  /** Seed-trained token-level quality classifier - the
+    * CCNet/FineWeb-style "train a linear model on a trusted seed slice,
+    * score everything" curation stage, as a multinomial Naive Bayes
+    * log-odds scorer with the SAME integer log-code family as
+    * [[bigramSurprisal]] (so it replays engine-exactly; a float-log
+    * NB cannot). `labelCol` marks the seed: true = trusted/positive
+    * slice, false = background. Per token type with add-one smoothing,
+    *
+    *   w(t) = [log2(cPos(t)+1) - log2(NPos+V)]
+    *        - [log2(cNeg(t)+1) - log2(NNeg+V)]
+    *
+    * each log2 taken as the 32-per-octave integer code on the
+    * 2^8-pre-scaled count (offsets cancel in the difference, same
+    * argument as [[bigramSurprisal]]); a document's score is the sum
+    * of w over its token occurrences, `predicted = score >= 0`. The
+    * class prior is deliberately absorbed into the caller's threshold
+    * (the standard practice - curation picks the cut on the score
+    * distribution, not at NB's 0).
+    *
+    * Scale shape: token explode -> ONE type-level aggregate (map-side
+    * combined; the type table is vocabulary-sized, not corpus-sized)
+    * -> a single-row totals frame broadcast-cross-joined onto the type
+    * table (one row, never a shuffle) -> one equi-join of corpus
+    * tokens against the weight table + per-doc sum. Exactly
+    * [[bigramSurprisal]]'s plan with a vocabulary in place of a bigram
+    * table. Requires both label values to be present for the weights
+    * to mean anything (an all-one-class corpus degenerates to
+    * smoothing-only weights; it still executes).
+    *
+    * Output: (idCol, n_tokens, score, avg_bits, predicted) - one row
+    * per labeled document with >= 1 token.
+    */
+  def nbQualityFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String
+  ): DataFrame = {
+    def ilog32(name: String): String =
+      s"CASE WHEN $name < 32 THEN $name ELSE " +
+        s"(length(bin($name)) - 6) * 32 + shiftright($name, length(bin($name)) - 6) END"
+    val tok = df
+      .filter(F.col(textCol).isNotNull && F.col(labelCol).isNotNull)
+      .select(F.col(idCol), F.col(labelCol).as("lbl"),
+        explode(graft.ops.DedupOps.tokens(F.col(textCol))).as("t"))
+    val types = tok.groupBy("t").agg(
+      sum(when(F.col("lbl"), 1L).otherwise(0L)).as("cp"),
+      sum(when(F.col("lbl"), 0L).otherwise(1L)).as("cn"))
+    val totals = types.agg(
+      sum("cp").as("np"), sum("cn").as("nn"), count(lit(1)).as("v"))
+    val weights = types.crossJoin(broadcast(totals))
+      .withColumn("xp", (F.col("cp") + lit(1L)) * lit(256L))
+      .withColumn("xn", (F.col("cn") + lit(1L)) * lit(256L))
+      .withColumn("tp", (F.col("np") + F.col("v")) * lit(256L))
+      .withColumn("tn", (F.col("nn") + F.col("v")) * lit(256L))
+      .select(F.col("t"),
+        (expr(ilog32("xp")) - expr(ilog32("tp"))
+          - expr(ilog32("xn")) + expr(ilog32("tn"))).as("w"))
+    tok.join(weights, "t")
+      .groupBy(F.col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("score"))
+      .withColumn("avg_bits",
+        F.col("score").cast(DoubleType) /
+          (F.col("n_tokens") * 32).cast(DoubleType))
+      .withColumn("predicted", F.col("score") >= 0L)
+  }
+
   /** Lexical-diversity report per stratum (source, language, shard...):
     * type-token ratio and distinct-bigram ratio - the standard cheap
     * screens for template-generated or highly repetitive sources (a
@@ -808,6 +875,45 @@ object TextOps {
         regexp_replace(text, email, "[EMAIL]"),
         ipv4, "[IP]"),
       phone, "[PHONE]")
+  }
+
+  /** PII incidence audit - the measurement half of the redaction story
+    * (a pipeline that redacts without counting can't report what it
+    * removed, and can't prove it removed everything): per-group match
+    * counts for the same three [[redactPii]] pattern classes, how many
+    * documents carried any PII, and the RESIDUAL match count after
+    * redaction - the release-gate invariant (residual must be 0, and
+    * is, because redaction and audit share one pattern set; a drifted
+    * pattern shows up here as a nonzero residual, loudly).
+    *
+    * Pure codegen scan (regexp counts fused into the projection) + ONE
+    * shuffle on the group key with map-side partial sums - the same
+    * plan at any corpus size. Null texts are excluded (no evidence,
+    * not zero-PII evidence).
+    *
+    * Output: (groupCol, n_docs, n_email, n_ip, n_phone,
+    * n_docs_with_pii, n_residual).
+    */
+  def piiAudit(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phone = "\\+[0-9][0-9()\\- ]{5,16}[0-9]|\\(?[0-9]{3}\\)?[\\- ][0-9]{3}[\\- ][0-9]{4}"
+    val t = F.col(textCol)
+    def hits(c: Column, pat: String): Column =
+      size(F.regexp_extract_all(c, lit(pat), lit(0))).cast(LongType)
+    val red = redactPii(t)
+    df.filter(t.isNotNull)
+      .select(
+        F.col(groupCol),
+        hits(t, email).as("e"), hits(t, ipv4).as("i"), hits(t, phone).as("p"),
+        (hits(red, email) + hits(red, ipv4) + hits(red, phone)).as("r"))
+      .groupBy(F.col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("e").as("n_email"), sum("i").as("n_ip"), sum("p").as("n_phone"),
+        sum(when(F.col("e") + F.col("i") + F.col("p") > 0, 1L).otherwise(0L))
+          .as("n_docs_with_pii"),
+        sum("r").as("n_residual"))
   }
 
   /** Bigram language-model fluency score: train add-one-smoothed bigram

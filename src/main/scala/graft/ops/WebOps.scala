@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** URL analytics for web-crawl curation - the pipeline stage between
+  * [[TextOps.stripHtml]] (raw page -> text) and the per-domain curation
+  * decisions every large crawl corpus needs (C4/RefinedWeb/FineWeb all
+  * filter and report BY REGISTRABLE DOMAIN, not by page): parse the
+  * source URL into components, collapse hosts to their eTLD+1, and
+  * aggregate or block on that key.
+  *
+  * Design rules (100 TB mindset):
+  *   - parsing is a pure `regexp_extract`/array-function column chain -
+  *     codegen'd, shuffle-free, fuses into whatever scan produced the
+  *     URL column; no UDF, no driver state;
+  *   - every pattern lives in the Java-regex/RE2 common subset (no
+  *     backreferences, no lookaround) so the DuckDB oracle replays the
+  *     parse byte-for-byte;
+  *   - [[domainStats]] is ONE shuffle on the registrable domain (partial
+  *     aggregation map-side); [[blockDomains]] broadcasts the blocklist
+  *     as a literal IN-set - corpus rows never shuffle to be filtered.
+  *
+  * The eTLD+1 fold uses a deliberately small multi-label-suffix table
+  * ([[multiSuffixes]]): the full Public Suffix List is ~9k rules and
+  * would ship as a broadcast lookup joined on the last-two-label key -
+  * same plan shape, bigger dictionary. The structural part (parse,
+  * fold, aggregate) is what matters here.
+  */
+object WebOps {
+
+  /** Multi-label public suffixes recognized by the eTLD+1 fold. A host
+    * whose last two labels match folds to its last THREE labels
+    * (`a.b.co.uk` -> `b.co.uk`); anything else folds to the last two.
+    */
+  val multiSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "co.kr", "co.in", "com.br", "com.mx", "com.cn")
+
+  private def rx(c: Column, pattern: String): Column =
+    regexp_extract(c, pattern, 1)
+
+  /** Scheme of `url` ("" when the URL has no `scheme://` prefix). */
+  def urlScheme(url: Column): Column = rx(url, "^([a-z][a-z0-9+.-]*)://")
+
+  /** Authority (userinfo@host:port) of `url`. */
+  private def authority(url: Column): Column =
+    rx(url, "^[a-z][a-z0-9+.-]*://([^/?#]*)")
+
+  /** Host of `url`: authority minus userinfo and port. */
+  def urlHost(url: Column): Column =
+    rx(authority(url), "^(?:[^@]*@)?([^:]*)")
+
+  /** Explicit port of `url`, 0 when absent (the scheme default). */
+  def urlPort(url: Column): Column = {
+    val p = rx(authority(url), ":([0-9]+)$")
+    when(p === "", lit(0)).otherwise(p.cast(IntegerType))
+  }
+
+  /** Path component of `url` ("" for scheme://host with no slash). */
+  def urlPath(url: Column): Column =
+    rx(url, "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)")
+
+  /** Query string of `url` (without the '?'), "" when absent. */
+  def urlQuery(url: Column): Column = rx(url, "\\?([^#]*)")
+
+  /** Registrable domain (eTLD+1) of a host: last two labels, or last
+    * three when the last two are a recognized multi-label public suffix
+    * ([[multiSuffixes]]). Hosts with <= 2 labels (bare domains,
+    * `localhost`, "") pass through unchanged. Pure array arithmetic -
+    * both engines slice the label list identically.
+    */
+  def registrableDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val last2 = array_join(slice(parts, -2, 2), ".")
+    val last3 = array_join(slice(parts, -3, 3), ".")
+    when(size(parts) <= 2, host)
+      .when(last2.isin(multiSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** Parse `urlCol` into components beside the original row: scheme,
+    * host, port (0 = default), path, query, and the registrable domain.
+    * One codegen'd projection - no shuffle, no UDF; fuses into the scan.
+    */
+  def parseUrls(df: DataFrame, urlCol: String): DataFrame = {
+    val u = F.col(urlCol)
+    df.withColumn("scheme", urlScheme(u))
+      .withColumn("host", urlHost(u))
+      .withColumn("port", urlPort(u))
+      .withColumn("path", urlPath(u))
+      .withColumn("query", urlQuery(u))
+      .withColumn("domain", registrableDomain(urlHost(u)))
+  }
+
+  /** Per-registrable-domain crawl profile: page count, distinct-host
+    * count, and total text size - the frame a crawl's domain-level
+    * curation (caps, blocklists, quality cuts) is decided from. ONE
+    * shuffle keyed on the domain; `n_hosts` is exact distinct (the
+    * domain's host fan-out is bounded by the crawl frontier, not the
+    * corpus - an approx_count_distinct swap is a one-line change if a
+    * crawl ever breaks that).
+    */
+  def domainStats(df: DataFrame, urlCol: String, sizeCol: String): DataFrame =
+    parseUrls(df, urlCol)
+      .groupBy(F.col("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(F.col("host")).as("n_hosts"),
+        sum(F.col(sizeCol)).as("sum_chars"))
+
+  /** Drop rows whose registrable domain is on `blocked` - the crawl
+    * blocklist cut. The blocklist rides into the plan as a literal
+    * IN-set (a broadcast-join degenerates to this for any list that
+    * fits a driver string set); corpus rows are filtered in place,
+    * never shuffled.
+    */
+  def blockDomains(df: DataFrame, urlCol: String, blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist: nothing to block")
+    df.filter(!registrableDomain(urlHost(F.col(urlCol))).isin(blocked: _*))
+  }
+}

@@ -674,7 +674,11 @@ object StreamOps {
           val delta = graft.ops.SketchOps.fixedHistogram(
             batch.toDF(), valueCol, groupCols, lo, hi, bins)
           val prev = state
-          state = prev.union(delta)
+          // unionByName for the same column-order-robustness reason as
+          // the cms/hll/sample lifecycles: `initial` is caller-supplied,
+          // and a positional union would silently misalign a frame with
+          // the right columns in a different order
+          state = prev.unionByName(delta)
             .groupBy(groupCols.map(col) :+ col("bin"): _*)
             .agg(sum("c").as("c"))
             .localCheckpoint()

@@ -126,6 +126,12 @@ object ScaleCheck {
     timed("docs_surprisal", docsT1, docsT10) { df =>
       graft.ops.TextOps.bigramSurprisal(df, "doc_id", "text")
     }
+    // duplication profile: the per-copy token suffixes make shingles
+    // copy-disjoint, so 10x is 10 independent duplication problems and
+    // the shingle-keyed shuffle grows linearly with the corpus
+    timed("docs_dup_fraction", docsT1, docsT10) { df =>
+      graft.ops.DedupOps.dupFraction(df, "doc_id", "text", shingleLen = 3)
+    }
     timed("pt_querybatch_auto", cust1, cust10) { df =>
       // mode-choosing entry (measures whatever the sizing policy picks)
       val trie = graft.ptree.PrefixTree.create(df, "c_name", prefixLen = 12)

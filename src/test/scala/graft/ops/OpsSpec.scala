@@ -3285,4 +3285,126 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().head
     assert(math.abs(drift._3 - rev._3) <= 1e-9)
   }
+
+  test("parseUrls: components and eTLD+1 fold across the URL surface") {
+    val urls = Seq(
+      (1L, "https://user@www.shop.co.uk:8080/a/b?q=1#frag"),
+      (2L, "http://api.example.com/x"),
+      (3L, "ftp://example.org"),
+      (4L, "https://localhost:9000/p"),
+      (5L, "not a url at all")
+    ).toDF("id", "url")
+    val got = WebOps.parseUrls(urls, "url")
+      .select("id", "scheme", "host", "port", "path", "query", "domain")
+      .as[(Long, String, String, Int, String, String, String)]
+      .collect().sortBy(_._1)
+    assert(got(0) === ((1L, "https", "www.shop.co.uk", 8080, "/a/b", "q=1", "shop.co.uk")))
+    assert(got(1) === ((2L, "http", "api.example.com", 0, "/x", "", "example.com")))
+    assert(got(2) === ((3L, "ftp", "example.org", 0, "", "", "example.org")))
+    assert(got(3) === ((4L, "https", "localhost", 9000, "/p", "", "localhost")))
+    // a non-URL parses to all-empty components, never throws
+    assert(got(4) === ((5L, "", "", 0, "", "", "")))
+  }
+
+  test("parseUrls/blockDomains plan shuffle-free codegen scans; domainStats never a product") {
+    // spark.range, not a local Seq: a LocalRelation constant-folds the
+    // whole projection into a LocalTableScan and there is no plan left
+    // to assert on
+    val urls = spark.range(100).select(col("id"),
+      concat(lit("https://h"), col("id") % 7, lit(".example.com/x")).as("url"),
+      (col("id") % 13).as("n"))
+    val parsePlan = WebOps.parseUrls(urls, "url").queryExecution.executedPlan.toString
+    assert(!parsePlan.contains("Exchange"), s"parse must not shuffle, plan:\n$parsePlan")
+    // executedPlan.toString renders whole-stage codegen stages as "*(n)"
+    assert(parsePlan.contains("*(1)"), s"parse must codegen, plan:\n$parsePlan")
+    val blockPlan = WebOps.blockDomains(urls, "url", Seq("bad.com"))
+      .queryExecution.executedPlan.toString
+    assert(!blockPlan.contains("Exchange"), s"blocklist filter must not shuffle, plan:\n$blockPlan")
+    val statsPlan = WebOps.domainStats(urls, "url", "n")
+      .queryExecution.executedPlan.toString
+    assert(!statsPlan.contains("CartesianProduct") && !statsPlan.contains("BroadcastNestedLoop"),
+      s"domain profile must stay key-partitioned aggregation, plan:\n$statsPlan")
+  }
+
+  test("blockDomains: drops exactly the rows whose registrable domain is listed") {
+    val urls = Seq(
+      (1L, "https://a.bad.com/x"), // bad.com -> blocked
+      (2L, "https://bad.com/y"), // bare registrable form -> blocked
+      (3L, "https://bad.com.evil.net/z"), // evil.net, NOT bad.com
+      (4L, "https://good.org/w")
+    ).toDF("id", "url")
+    val kept = WebOps.blockDomains(urls, "url", Seq("bad.com"))
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(3L, 4L))
+  }
+
+  test("dupFraction: exact dups score 1.0, near-dups the shared-shingle share, unique docs 0.0") {
+    val got = DedupOps.dupFraction(docs, "doc_id", "text", shingleLen = 3)
+      .select("id", "n_shingles", "n_dup", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // docs 1 and 5 are identical: every shingle shared
+    assert(got(1L)._4 === 1.0 && got(5L)._4 === 1.0)
+    // doc 2 differs from doc 1 only in the last token: 11 distinct
+    // 3-shingles, the final one ("the river bend") unique
+    assert(got(2L) === ((2L, 11L, 10L, math.rint(10.0 / 11.0 * 1e6) / 1e6)))
+    // disjoint docs share nothing
+    assert(got(3L)._4 === 0.0 && got(4L)._4 === 0.0)
+  }
+
+  test("piiAudit: counts each PII class, flags carrying docs, zero residual after redaction") {
+    val df = Seq(
+      ("a", "mail me at bob@corp.example.com or sue@x.io today"),
+      ("a", "server 10.0.0.1 and 192.168.1.255 rebooted"),
+      ("b", "call (555) 123-4567 or +44 20 7946 0958 now"),
+      ("b", "no sensitive content here at all")
+    ).toDF("src", "text")
+    val got = TextOps.piiAudit(df, "src", "text")
+      .select("src", "n_docs", "n_email", "n_ip", "n_phone", "n_docs_with_pii", "n_residual")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 2L, 2L, 2L, 0L, 2L, 0L)))
+    assert(got("b") === (("b", 2L, 0L, 0L, 2L, 1L, 0L)))
+  }
+
+  test("nbQualityFilter: seed-class tokens separate, weights replay the integer log code") {
+    val df = Seq(
+      (1L, "good fine good solid", true),
+      (2L, "fine good solid fine", true),
+      (3L, "awful bad junk bad", false),
+      (4L, "bad junk awful junk", false),
+      (5L, "good fine solid good", false), // positive-looking text outside the seed
+      (6L, "bad awful junk bad", true) // negative-looking text inside the seed
+    ).toDF("doc_id", "text", "seed")
+    val got = TextOps.nbQualityFilter(df, "doc_id", "text", "seed")
+      .select("doc_id", "n_tokens", "score", "predicted")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // the CLASSIFIER is about token evidence, not the label: docs made of
+    // seed-class tokens score positive wherever they sit
+    assert(got(1L)._4 && got(2L)._4 && got(5L)._4)
+    assert(!got(3L)._4 && !got(4L)._4 && !got(6L)._4)
+    // independent scalar replay: recompute doc 1's full score from the
+    // corpus's per-class token counts with the same integer log code
+    def ilog(x: Long): Long = {
+      if (x < 32) x
+      else {
+        val e = java.lang.Long.toBinaryString(x).length - 1
+        (e - 5).toLong * 32 + (x >> (e - 5))
+      }
+    }
+    val tokens = Seq(
+      (true, "good fine good solid"), (true, "fine good solid fine"),
+      (false, "awful bad junk bad"), (false, "bad junk awful junk"),
+      (false, "good fine solid good"), (true, "bad awful junk bad"))
+      .flatMap { case (l, t) => t.split(" ").map(tok => (l, tok)) }
+    def cpOf(t: String) = tokens.count(p => p._1 && p._2 == t).toLong
+    def cnOf(t: String) = tokens.count(p => !p._1 && p._2 == t).toLong
+    val np = tokens.count(_._1).toLong
+    val nn = tokens.count(!_._1).toLong
+    val v = tokens.map(_._2).distinct.size.toLong
+    def wOf(t: String): Long =
+      ilog((cpOf(t) + 1) * 256) - ilog((np + v) * 256) -
+        (ilog((cnOf(t) + 1) * 256) - ilog((nn + v) * 256))
+    val doc1Score = "good fine good solid".split(" ").map(wOf).sum
+    assert(got(1L)._3 === doc1Score)
+    assert(got(1L)._2 === 4L)
+  }
 }
