@@ -113,6 +113,33 @@ object WebOps {
         countDistinct(F.col("host")).as("n_hosts"),
         sum(F.col(sizeCol)).as("sum_chars"))
 
+  /** Host-level partial profile - the MERGEABLE factorization of
+    * [[domainStats]]: per (domain, host), page count and text volume.
+    * Both measures merge by plain addition, so profiles of corpus
+    * slices (or stream micro-batches - see
+    * `StreamOps.domainMaintenance`) union+re-aggregate into exactly
+    * the profile of the union; the distinct-host count, which is NOT
+    * mergeable from per-slice distinct counts, is recovered at serve
+    * time by [[domainStatsFromProfile]] counting host rows. State is
+    * bounded by the crawl frontier (distinct (domain, host) pairs),
+    * not the corpus.
+    */
+  def hostProfile(df: DataFrame, urlCol: String, sizeCol: String): DataFrame =
+    parseUrls(df, urlCol)
+      .groupBy(F.col("domain"), F.col("host"))
+      .agg(count(lit(1)).as("n_docs"), sum(F.col(sizeCol)).as("sum_chars"))
+
+  /** Serve [[domainStats]]' frame off a [[hostProfile]] table: fold the
+    * host partials to the registrable domain, recovering the exact
+    * distinct-host fan-out as a row count.
+    */
+  def domainStatsFromProfile(profile: DataFrame): DataFrame =
+    profile.groupBy(F.col("domain"))
+      .agg(
+        sum(F.col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_hosts"),
+        sum(F.col("sum_chars")).as("sum_chars"))
+
   /** Drop rows whose registrable domain is on `blocked` - the crawl
     * blocklist cut. The blocklist rides into the plan as a literal
     * IN-set (a broadcast-join degenerates to this for any list that

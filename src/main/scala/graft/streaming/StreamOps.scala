@@ -862,6 +862,47 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming maintenance of a [[graft.ops.WebOps.hostProfile]] crawl
+    * profile - the thirteenth maintained lifecycle, and the one a live
+    * crawler actually needs (domain caps and blocklists are enforced
+    * WHILE pages arrive, not after): host-level partials (page count,
+    * text volume per (domain, host)) merge by plain addition, so the
+    * maintained table equals the one-shot profile of the union of all
+    * batches exactly; the distinct-host fan-out - NOT mergeable as
+    * per-batch distinct counts - is recovered at serve time by
+    * [[graft.ops.WebOps.domainStatsFromProfile]] counting host rows.
+    * State bounded by the crawl frontier (distinct (domain, host)
+    * pairs), never the page count.
+    */
+  def domainMaintenance(
+      stream: DataFrame,
+      urlCol: String,
+      sizeCol: String,
+      initial: DataFrame
+  )(onUpdate: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    @volatile var state = initial.localCheckpoint()
+    @volatile var graveyard: Option[DataFrame] = None
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = graft.ops.WebOps.hostProfile(batch.toDF(), urlCol, sizeCol)
+          val prev = state
+          // unionByName for the same column-order-robustness reason as
+          // cmsMaintenance/sampleMaintenance
+          state = prev.unionByName(delta)
+            .groupBy(col("domain"), col("host"))
+            .agg(sum("n_docs").as("n_docs"), sum("sum_chars").as("sum_chars"))
+            .localCheckpoint()
+          onUpdate(state)
+          graveyard.foreach(unpersistCheckpoint)
+          graveyard = Some(prev)
+        }
+      }
+      .start()
+  }
+
   /** See [[graft.ops.OpsUtil.unpersistCheckpoint]] - shared with the
     * batch-side audits that also pin localCheckpoint snapshots.
     */

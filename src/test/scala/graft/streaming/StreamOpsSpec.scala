@@ -780,6 +780,44 @@ class StreamOpsSpec extends SparkSpec {
     assert(qs(latest) === qs(direct))
   }
 
+  test("domainMaintenance: streamed host partials == one-shot profile, domain stats served") {
+    implicit val sqlCtx = spark.sqlContext
+    // two batches; the same host recurs across batches (partials must
+    // ADD), and a domain gains a NEW host in batch 2 (served n_hosts
+    // must see it)
+    val batch1 = Seq(
+      ("https://www.shop.co.uk/a", 10L), ("https://www.shop.co.uk/b", 20L),
+      ("https://api.example.com/x", 5L))
+    val batch2 = Seq(
+      ("https://www.shop.co.uk/c", 7L), ("https://cdn.shop.co.uk/img", 3L),
+      ("https://api.example.com/y", 11L))
+    @volatile var latest: org.apache.spark.sql.DataFrame = null
+    val mem = MemoryStream[(String, Long)]
+    val initial = graft.ops.WebOps.hostProfile(
+      Seq.empty[(String, Long)].toDF("url", "n_chars"), "url", "n_chars")
+    val sq = StreamOps.domainMaintenance(
+      mem.toDF().toDF("url", "n_chars"), "url", "n_chars", initial)(latest = _)
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    val direct = graft.ops.WebOps.hostProfile(
+      (batch1 ++ batch2).toDF("url", "n_chars"), "url", "n_chars")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Long, Long)].collect().toSet
+    assert(rows(latest) === rows(direct))
+    // domain stats serve off the maintained profile == the direct batch op
+    val served = graft.ops.WebOps.domainStatsFromProfile(latest)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val batchStats = graft.ops.WebOps.domainStats(
+      (batch1 ++ batch2).toDF("url", "n_chars"), "url", "n_chars")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(served === batchStats)
+    assert(served.exists { case (d, nd, nh, sc) =>
+      d == "shop.co.uk" && nd == 4L && nh == 2L && sc == 40L })
+  }
+
   test("sampleMaintenance: streamed state == one-shot sampleState, quantiles served") {
     implicit val sqlCtx = spark.sqlContext
     val batch1 = (1L to 30L).map(i => ("a", i, i.toDouble)) ++
