@@ -116,6 +116,52 @@ object SparkEntry {
     // the OUTER pass eat the first '|' of every '||' concat operator
   }
 
+  /** 26-letter transliteration alphabets for the `text_scripts` shell -
+    * ONE definition used by the Spark query and (interpolated) by the
+    * oracle, so the two cannot drift. Targets chosen inside the exact
+    * [[TextOps.scriptClasses]] ranges.
+    */
+  private val scriptLatinAbc = "abcdefghijklmnopqrstuvwxyz"
+  private val scriptCyrAbc = "абвгдежзийклмнопрстуфхцчшщ"
+  private val scriptGreekAbc = "αβγδεζηθικλμνξοπρστυφχψωϊϋ"
+
+  /** base/tok/types/tot/xx/wt CTE chain of the NB log-odds weight
+    * replay (tokenize + label on the src0-src2 seed, per-class token
+    * counts, single-row totals, 32-per-octave integer log code on the
+    * 2^8-pre-scaled smoothed counts). Shared by `docs_nb_quality` and
+    * `docs_quality_budget` so the two replays cannot drift - same rule
+    * as [[ppForwardCtes]]/[[urlShellCte]]. Like [[urlShellCte]],
+    * deliberately NOT pre-stripMargin'd (the outer templates strip).
+    */
+  private val nbWeightCtes: String =
+    s"""base AS (
+      |  SELECT doc_id, source IN ('src0', 'src1', 'src2') AS lbl,
+      |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                     t -> t <> '') AS tk
+      |  FROM documents WHERE text IS NOT NULL
+      |), tok AS (
+      |  SELECT doc_id, lbl, unnest(tk) AS t FROM base
+      |), types AS (
+      |  SELECT t, CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+      |         CAST(SUM(CASE WHEN lbl THEN 0 ELSE 1 END) AS BIGINT) AS cn
+      |  FROM tok GROUP BY t
+      |), tot AS (
+      |  SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cn) AS BIGINT) AS nn,
+      |         count(*) AS v
+      |  FROM types
+      |), xx AS (
+      |  SELECT t, (cp + 1) * 256 AS xp, (cn + 1) * 256 AS xn,
+      |         (np + v) * 256 AS tp, (nn + v) * 256 AS tn
+      |  FROM types CROSS JOIN tot
+      |), wt AS (
+      |  SELECT t,
+      |    (CASE WHEN xp < 32 THEN xp ELSE (length(bin(xp)) - 6) * 32 + (xp >> (length(bin(xp)) - 6)) END)
+      |    - (CASE WHEN tp < 32 THEN tp ELSE (length(bin(tp)) - 6) * 32 + (tp >> (length(bin(tp)) - 6)) END)
+      |    - (CASE WHEN xn < 32 THEN xn ELSE (length(bin(xn)) - 6) * 32 + (xn >> (length(bin(xn)) - 6)) END)
+      |    + (CASE WHEN tn < 32 THEN tn ELSE (length(bin(tn)) - 6) * 32 + (tn >> (length(bin(tn)) - 6)) END) AS w
+      |  FROM xx
+      |)"""
+
   /** acc/outj/piv CTE tail of the PatchProjectionModel forward-pass
     * replay (conv sum, mod-9973 residual, dense ReLU head pivoted to
     * f0..f7 REAL columns). Expects a preceding CTE `bv(doc_id, u, byte)`
@@ -982,6 +1028,40 @@ object SparkEntry {
       val d = tbl(s, dir, "documents")
         .withColumn("seed", col("source").isin("src0", "src1", "src2"))
       TextOps.nbQualityFilter(d, "doc_id", "text", "seed")
+    },
+    "docs_quality_budget" -> { (s, dir) =>
+      // the FineWeb-Edu recipe end-to-end: NB-score everything, rank by
+      // score, keep the best docs until the token budget is spent -
+      // cumulated by the distributed prefix sum (range partition +
+      // per-partition windows + broadcast offsets, no global funnel)
+      val d = tbl(s, dir, "documents")
+        .withColumn("seed", col("source").isin("src0", "src1", "src2"))
+      TextOps.qualityBudget(d, "doc_id", "text", "seed", budgetTokens = 12000L)
+    },
+    "docs_source_overlap" -> { (s, dir) =>
+      // provenance-overlap matrix: which sources are near-copies of
+      // each other (shared 3-shingle vocabulary per source pair) -
+      // decided on a vocabulary-sized frame, never document pairs
+      DedupOps.sourceOverlap(tbl(s, dir, "documents"), "source", "text",
+        shingleLen = 3)
+    },
+    "text_scripts" -> { (s, dir) =>
+      // Unicode-script profile: a deterministic slice of docs is
+      // transliterated to Cyrillic / Greek / digit-heavy text, then
+      // per-script char counts + dominant class at scan speed. The
+      // oracle replays transliteration AND the range-count chain (the
+      // class table is interpolated from ONE definition).
+      val mapped =
+        when(col("doc_id") % 5 === 1,
+          translate(col("text"), scriptLatinAbc, scriptCyrAbc))
+          .when(col("doc_id") % 5 === 2,
+            translate(col("text"), scriptLatinAbc, scriptGreekAbc))
+          .when(col("doc_id") % 5 === 3,
+            translate(col("text"), "aeiou", "01234"))
+          .otherwise(col("text"))
+      TextOps.scriptProfile(
+        tbl(s, dir, "documents").withColumn("stext", mapped),
+        "doc_id", "stext")
     },
     "text_contamination" -> { (s, dir) =>
       // decontamination pass: which training docs leak >= 10% of a test
@@ -2787,42 +2867,86 @@ object SparkEntry {
         |       CAST(SUM(r) AS BIGINT) AS n_residual
         |FROM c GROUP BY source""".stripMargin,
     "docs_nb_quality" ->
-      // full integer replay of the NB log-odds weights: per-token class
-      // counts, single-row totals, the 32-per-octave log code on the
-      // 2^8-pre-scaled smoothed counts, one exact double division
-      """WITH base AS (
-        |  SELECT doc_id, source IN ('src0', 'src1', 'src2') AS lbl,
-        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |                     t -> t <> '') AS tk
-        |  FROM documents WHERE text IS NOT NULL
-        |), tok AS (
-        |  SELECT doc_id, lbl, unnest(tk) AS t FROM base
-        |), types AS (
-        |  SELECT t, CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-        |         CAST(SUM(CASE WHEN lbl THEN 0 ELSE 1 END) AS BIGINT) AS cn
-        |  FROM tok GROUP BY t
-        |), tot AS (
-        |  SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cn) AS BIGINT) AS nn,
-        |         count(*) AS v
-        |  FROM types
-        |), xx AS (
-        |  SELECT t, (cp + 1) * 256 AS xp, (cn + 1) * 256 AS xn,
-        |         (np + v) * 256 AS tp, (nn + v) * 256 AS tn
-        |  FROM types CROSS JOIN tot
-        |), wt AS (
-        |  SELECT t,
-        |    (CASE WHEN xp < 32 THEN xp ELSE (length(bin(xp)) - 6) * 32 + (xp >> (length(bin(xp)) - 6)) END)
-        |    - (CASE WHEN tp < 32 THEN tp ELSE (length(bin(tp)) - 6) * 32 + (tp >> (length(bin(tp)) - 6)) END)
-        |    - (CASE WHEN xn < 32 THEN xn ELSE (length(bin(xn)) - 6) * 32 + (xn >> (length(bin(xn)) - 6)) END)
-        |    + (CASE WHEN tn < 32 THEN tn ELSE (length(bin(tn)) - 6) * 32 + (tn >> (length(bin(tn)) - 6)) END) AS w
-        |  FROM xx
-        |)
+      // full integer replay of the NB log-odds weights (shared
+      // nbWeightCtes): the 32-per-octave log code on the 2^8-pre-scaled
+      // smoothed counts, one exact double division
+      s"""WITH $nbWeightCtes
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |       CAST(SUM(w) AS BIGINT) AS score,
         |       CAST(SUM(w) AS DOUBLE) / (CAST(count(*) AS BIGINT) * 32) AS avg_bits,
         |       CAST(SUM(w) AS BIGINT) >= 0 AS predicted
         |FROM tok JOIN wt USING (t)
         |GROUP BY doc_id""".stripMargin,
+    "docs_quality_budget" ->
+      // the same weight replay, then the greedy budget cut: rank by
+      // (score DESC, doc_id), window-cumulate token counts, keep the
+      // prefix within budget
+      s"""WITH $nbWeightCtes, scored AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(w) AS BIGINT) AS score
+        |  FROM tok JOIN wt USING (t)
+        |  GROUP BY doc_id
+        |), cum AS (
+        |  SELECT doc_id, n_tokens, score,
+        |         CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |           AS cum_tokens
+        |  FROM scored
+        |)
+        |SELECT doc_id, n_tokens, score, cum_tokens
+        |FROM cum WHERE cum_tokens <= 12000""".stripMargin,
+    "docs_source_overlap" ->
+      """WITH sgl AS (
+        |  SELECT DISTINCT source AS src, sh
+        |  FROM (
+        |    SELECT source,
+        |           unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                                 FOR i IN generate_series(1, greatest(len(tk)-2, 1))])) AS sh
+        |    FROM (SELECT source, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                                     t -> t <> '') AS tk FROM documents)
+        |  )
+        |), sizes AS (SELECT src, count(*) AS sz FROM sgl GROUP BY src),
+        |inter AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS i
+        |  FROM sgl a JOIN sgl b ON a.sh = b.sh AND a.src < b.src
+        |  GROUP BY 1, 2
+        |)
+        |SELECT src_a, src_b, CAST(i AS BIGINT) AS inter,
+        |       CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+        |       round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON src_a = sa.src
+        |JOIN sizes sb ON src_b = sb.src""".stripMargin,
+    "text_scripts" -> {
+      // transliteration shell + the range-count chain, both
+      // interpolated from the same definitions the Spark side uses
+      // (scriptClasses, scriptLatinAbc/CyrAbc/GreekAbc)
+      val classes = TextOps.scriptClasses
+      val counts = classes.map { case (n, pat) =>
+        s"CAST(length(t) - length(regexp_replace(t, '$pat', '', 'g')) AS BIGINT) AS n_$n"
+      }.mkString(",\n       ")
+      val names = classes.map(_._1)
+      val whens = names.zipWithIndex.map { case (n, i) =>
+        val conds = (s"n_$n > 0" +: names.drop(i + 1).map(o => s"n_$n >= n_$o"))
+          .mkString(" AND ")
+        s"WHEN $conds THEN '$n'"
+      }.mkString("\n         ")
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN translate(text, '$scriptLatinAbc', '$scriptCyrAbc')
+        |         WHEN doc_id % 5 = 2 THEN translate(text, '$scriptLatinAbc', '$scriptGreekAbc')
+        |         WHEN doc_id % 5 = 3 THEN translate(text, 'aeiou', '01234')
+        |         ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+        |       $counts
+        |  FROM m
+        |)
+        |SELECT doc_id, n_chars, ${names.map(n => s"n_$n").mkString(", ")},
+        |       CASE $whens
+        |         ELSE 'other' END AS dominant
+        |FROM c""".stripMargin
+    },
     "media_chunks" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents

@@ -273,6 +273,48 @@ object DedupOps {
         round(F.col("n_dup").cast(DoubleType) / F.col("n_shingles").cast(DoubleType), 6))
   }
 
+  /** Cross-source overlap matrix: for every pair of sources, how much
+    * of their distinct shingle vocabulary is shared (count + Jaccard) -
+    * the provenance-overlap report that tells a curation pass which
+    * sources are near-copies of each other (mirrored crawls, vendored
+    * dumps, re-exports) BEFORE any document-level dedup runs.
+    *
+    * Scale shape: per-doc distinct shingles fold to DISTINCT
+    * (source, shingle) rows - a vocabulary-sized frame, not a
+    * corpus-sized one - then one shingle-keyed equi-self-join. A
+    * shingle shared by S sources contributes O(S^2) pairs, bounded by
+    * the SOURCE count (structurally small: tens to hundreds), never by
+    * corpus size - which is why this needs no hot-key cap where the
+    * document-pair joins above do.
+    *
+    * Output: (src_a, src_b, inter, sz_a, sz_b, jaccard), one row per
+    * unordered source pair with at least one shared shingle.
+    */
+  def sourceOverlap(
+      df: DataFrame,
+      strataCol: String,
+      textCol: String,
+      shingleLen: Int = 3
+  ): DataFrame = {
+    val sh = OpsUtil.spread(df)
+      .select(F.col(strataCol).as("src"),
+        explode(shingleStrings(F.col(textCol), shingleLen)).as("sh"))
+      .distinct()
+      .localCheckpoint() // feeds sizes + both join sides
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b").hint("shuffle_hash"),
+        F.col("a.sh") === F.col("b.sh") && F.col("a.src") < F.col("b.src"))
+      .groupBy(F.col("a.src").as("src_a"), F.col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("src", "src_a").withColumnRenamed("sz", "sz_a"), "src_a")
+      .join(sizes.withColumnRenamed("src", "src_b").withColumnRenamed("sz", "sz_b"), "src_b")
+      .withColumn("jaccard",
+        round(F.col("inter").cast(DoubleType) /
+          (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast(DoubleType), 6))
+  }
+
   /** [[jaccardPairs]] with prefix filtering (SSJoin/PPJoin-style): the
     * lossless candidate pruning for exact set-similarity joins at scale.
     *

@@ -39,6 +39,63 @@ object ShardOps {
     spark.createDataFrame(indexed, schema)
   }
 
+  /** Global running total of `valueCol` under the total order
+    * `sortExprs` - WITHOUT the single-partition window funnel: the
+    * classic distributed prefix sum. Range-partition on the sort key,
+    * cumulative-sum WITHIN each partition in parallel, then add each
+    * partition's offset (the sum of all earlier partitions' totals,
+    * computed on a #partitions-row frame and broadcast back).
+    *
+    * `sortExprs` MUST define a TOTAL order (include a unique tiebreak
+    * column): with ties, range partitioning may split a peer group
+    * across partitions and the per-partition window would disagree
+    * with a global one (SQL window SUM includes all peers of the
+    * current row). Under a total order, ROWS and RANGE frames
+    * coincide and any boundary placement gives the same result.
+    *
+    * Output: input columns + `running_total` (inclusive of the current
+    * row).
+    */
+  def runningTotal(
+      df: DataFrame,
+      sortExprs: Seq[Column],
+      valueCol: String,
+      checkpoint: Boolean = true
+  ): DataFrame = {
+    require(sortExprs.nonEmpty, "need at least one sort expression")
+    require(!df.columns.exists(Set("gr_pid", "gr_local", "gr_tot", "gr_off")),
+      "input already has a gr_pid/gr_local/gr_tot/gr_off column; rename it first")
+    import org.apache.spark.sql.expressions.Window
+    val parted = df.repartitionByRange(sortExprs: _*)
+      .withColumn("gr_pid", F.spark_partition_id())
+    val local0 = parted.withColumn("gr_local",
+      sum(F.col(valueCol)).over(
+        Window.partitionBy(F.col("gr_pid")).orderBy(sortExprs: _*)))
+    // checkpoint=false keeps the whole plan lazy - for PLAN INSPECTION
+    // only. The default materializes once because the offsets aggregate
+    // and the final join must observe the SAME range boundaries and
+    // partition ids: two independent evaluations of a repartitionByRange
+    // may sample different boundaries (the sampler seeds off the RDD
+    // id), and only exchange reuse - an optimization, not a contract -
+    // would keep the lazy branches consistent.
+    val local = if (checkpoint) local0.localCheckpoint() else local0
+    // offsets: #partitions rows - the one place a single-partition
+    // window is CORRECT (the frame is partition-count-sized, not
+    // corpus-sized)
+    val offsets = local.groupBy(F.col("gr_pid"))
+      .agg(sum(F.col(valueCol)).as("gr_tot"))
+      .withColumn("gr_off",
+        coalesce(
+          sum(F.col("gr_tot")).over(
+            Window.orderBy(F.col("gr_pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(F.col("gr_pid"), F.col("gr_off"))
+    local.join(broadcast(offsets), "gr_pid")
+      .withColumn("running_total", F.col("gr_local") + F.col("gr_off"))
+      .drop("gr_pid", "gr_local")
+  }
+
   /** Deterministic epoch shuffle: the training-order permutation for
     * epoch `epoch`, as a pure function of (key, epoch) - md5 over the
     * salted key, then [[globalOrderIndex]] over the hash. Reproducible

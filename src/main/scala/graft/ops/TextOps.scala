@@ -430,6 +430,37 @@ object TextOps {
       .withColumn("predicted", F.col("score") >= 0L)
   }
 
+  /** Quality-ranked token-budget selection - the FineWeb-Edu-style
+    * "take the best-scoring documents until the budget is spent"
+    * recipe, composing [[nbQualityFilter]] with a distributed prefix
+    * sum: rank every labeled document by its NB score (descending,
+    * doc-id tiebreak - a total order), accumulate token counts along
+    * that order with [[graft.ops.ShardOps.runningTotal]] (range
+    * partition + per-partition windows + broadcast offsets - never a
+    * single-partition funnel), and keep the prefix whose cumulative
+    * token count stays within `budgetTokens`. Deterministic: the kept
+    * set is a pure function of (corpus, labels, budget).
+    *
+    * Output: (idCol, n_tokens, score, cum_tokens), the selected
+    * documents.
+    */
+  def qualityBudget(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      budgetTokens: Long
+  ): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be non-negative, got $budgetTokens")
+    val scored = nbQualityFilter(df, idCol, textCol, labelCol)
+      .select(F.col(idCol), F.col("n_tokens"), F.col("score"))
+    graft.ops.ShardOps
+      .runningTotal(scored, Seq(F.col("score").desc, F.col(idCol)), "n_tokens")
+      .filter(F.col("running_total") <= budgetTokens)
+      .select(F.col(idCol), F.col("n_tokens"), F.col("score"),
+        F.col("running_total").as("cum_tokens"))
+  }
+
   /** Lexical-diversity report per stratum (source, language, shard...):
     * type-token ratio and distinct-bigram ratio - the standard cheap
     * screens for template-generated or highly repetitive sources (a
@@ -728,6 +759,57 @@ object TextOps {
     }
     val best = array_max(array(scores: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Unicode-script classes counted by [[scriptProfile]], in DOMINANCE
+    * order (the tie-break: earlier wins on equal counts). Explicit
+    * code-point RANGES, not `\p{Script}` properties: the property
+    * NAMES differ between Java regex (`IsCyrillic`) and RE2
+    * (`Cyrillic`), while `\x{...}` ranges are spelled - and match -
+    * identically in both engines, which is what lets the oracle replay
+    * the counts byte-for-byte. BMP-only ranges, so UTF-16 `length`
+    * (Spark) and code-point `length` (DuckDB) agree.
+    */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "digit" -> "[0-9]")
+
+  /** Per-document Unicode-script profile - the script-level complement
+    * of [[langId]] a multilingual curation pass cuts on first (a
+    * "lang=en" doc that is 40% CJK is mislabeled or spam; a corpus
+    * slice suddenly trending Cyrillic is a drift signal): per script
+    * class, the character count (`n_<class>`), total characters, and
+    * the dominant class (most characters; [[scriptClasses]] order
+    * breaks ties; "other" when no class matches anything).
+    *
+    * Counts are `length(t) - length(regexp_replace(t, class, ''))` -
+    * a pure codegen regexp chain, shuffle-free, scan-fused; see
+    * [[scriptClasses]] for why ranges, not script properties.
+    *
+    * Output: (idCol, n_chars, n_latin, n_cyrillic, n_greek, n_cjk,
+    * n_arabic, n_digit, dominant).
+    */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = F.col(textCol)
+    def cnt(pat: String): Column =
+      (length(t) - length(regexp_replace(t, pat, ""))).cast(LongType)
+    val counted = df.filter(t.isNotNull).select(
+      F.col(idCol) +: length(t).cast(LongType).as("n_chars") +:
+        scriptClasses.map { case (name, pat) => cnt(pat).as(s"n_$name") }: _*)
+    val names = scriptClasses.map(_._1)
+    val dominant = names.zipWithIndex.foldRight(lit("other")) {
+      case ((name, i), elseCol) =>
+        val mine = F.col(s"n_$name")
+        val notBeatenByLater = names.drop(i + 1)
+          .map(o => mine >= F.col(s"n_$o"))
+          .foldLeft(lit(true))(_ && _)
+        when(mine > 0 && notBeatenByLater, lit(name)).otherwise(elseCol)
+    }
+    counted.withColumn("dominant", dominant)
   }
 
   /** Heuristic quality score in [0,1] plus its component signals:

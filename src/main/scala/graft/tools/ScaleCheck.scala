@@ -132,6 +132,12 @@ object ScaleCheck {
     timed("docs_dup_fraction", docsT1, docsT10) { df =>
       graft.ops.DedupOps.dupFraction(df, "doc_id", "text", shingleLen = 3)
     }
+    // NB classifier: the token-type weight table grows 10x with the
+    // suffixed vocabularies, like the surprisal bigram table
+    timed("docs_nb_quality", docsT1, docsT10) { df =>
+      graft.ops.TextOps.nbQualityFilter(
+        df.withColumn("seed", col("doc_id") % 5 < 2), "doc_id", "text", "seed")
+    }
     timed("pt_querybatch_auto", cust1, cust10) { df =>
       // mode-choosing entry (measures whatever the sizing policy picks)
       val trie = graft.ptree.PrefixTree.create(df, "c_name", prefixLen = 12)

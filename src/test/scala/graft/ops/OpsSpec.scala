@@ -3351,6 +3351,83 @@ class OpsSpec extends SparkSpec {
     assert(got(3L)._4 === 0.0 && got(4L)._4 === 0.0)
   }
 
+  test("sourceOverlap: pairwise shared-shingle counts and Jaccard over source vocabularies") {
+    val df = Seq(
+      ("A", 1L, "w1 w2 w3 w4"), // A shingles: {w1 w2 w3, w2 w3 w4}
+      ("A", 2L, "w1 w2 w3"), // dup shingle within A: distinct-folded
+      ("B", 3L, "w1 w2 w3 x1"), // shares "w1 w2 w3" with A
+      ("C", 4L, "y1 y2 y3") // disjoint
+    ).toDF("src", "doc_id", "text")
+    val got = DedupOps.sourceOverlap(df, "src", "text", shingleLen = 3)
+      .select("src_a", "src_b", "inter", "sz_a", "sz_b", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    // only (A, B) overlaps: A = {w1w2w3, w2w3w4}, B = {w1w2w3, w2w3x1}
+    assert(got.toSeq === Seq(("A", "B", 1L, 2L, 2L, math.rint(1.0 / 3.0 * 1e6) / 1e6)))
+  }
+
+  test("runningTotal: distributed prefix sum == driver cumsum under a total order") {
+    val rows = (1L to 97L).map(i => (i, (i * 37) % 101, i % 7 + 1))
+    val df = rows.toDF("id", "key", "v").repartition(8)
+    // checkpoint=false exposes the full lazy plan (inspection only):
+    // the corpus path must be RANGE-partitioned parallel windows, never
+    // one global single-partition window (the offsets frame's tiny
+    // single-partition window is the deliberate exception)
+    val plan = ShardOps.runningTotal(df, Seq(col("key").desc, col("id")), "v",
+      checkpoint = false).queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"plan:\n$plan")
+    // values from the production (materialize-once) path
+    val got = ShardOps.runningTotal(df, Seq(col("key").desc, col("id")), "v")
+      .select("id", "running_total").as[(Long, Long)].collect().toMap
+    // driver replay of the same (key desc, id) order
+    var cum = 0L
+    val expect = rows.sortBy { case (id, key, _) => (-key, id) }.map { case (id, _, v) =>
+      cum += v; id -> cum
+    }.toMap
+    assert(got === expect)
+  }
+
+  test("qualityBudget: keeps exactly the best-score prefix within the token budget") {
+    val df = Seq(
+      (1L, "good fine good solid", true),
+      (2L, "fine good solid fine good fine", true),
+      (3L, "awful bad junk bad", false),
+      (4L, "bad junk awful junk bad junk", false),
+      (5L, "good fine solid good", false)
+    ).toDF("doc_id", "text", "seed")
+    val scored = TextOps.nbQualityFilter(df, "doc_id", "text", "seed")
+      .select("doc_id", "n_tokens", "score").as[(Long, Long, Long)].collect()
+    // driver replay of the greedy cut at budget 12
+    var cum = 0L
+    val expect = scored.sortBy { case (id, _, s) => (-s, id) }.flatMap { case (id, n, _) =>
+      cum += n; if (cum <= 12L) Some(id) else None
+    }.toSet
+    val got = TextOps.qualityBudget(df, "doc_id", "text", "seed", budgetTokens = 12L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect()
+    assert(got.map(_._1).toSet === expect)
+    assert(got.map(_._2).max <= 12L)
+    assert(expect.nonEmpty && expect.size < 5, "budget must cut mid-corpus for the test to bite")
+  }
+
+  test("scriptProfile: per-script char counts, first-wins dominant, other on no evidence") {
+    val df = Seq(
+      (1L, "hello world"), // latin
+      (2L, "привет мир hi"), // cyrillic 9 > latin 2
+      (3L, "αβ αβ"), // greek
+      (4L, "12345 678"), // digit
+      (5L, "!!! ..."), // nothing matches -> other
+      (6L, "ab аб") // tie latin 2 == cyrillic 2 -> latin (class order)
+    ).toDF("id", "text")
+    val got = TextOps.scriptProfile(df, "id", "text")
+      .select("id", "n_chars", "n_latin", "n_cyrillic", "n_greek", "n_digit", "dominant")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 11L, 10L, 0L, 0L, 0L, "latin")))
+    assert(got(2L) === ((2L, 13L, 2L, 9L, 0L, 0L, "cyrillic")))
+    assert(got(3L) === ((3L, 5L, 0L, 0L, 4L, 0L, "greek")))
+    assert(got(4L) === ((4L, 9L, 0L, 0L, 0L, 8L, "digit")))
+    assert(got(5L)._7 === "other")
+    assert(got(6L) === ((6L, 5L, 2L, 2L, 0L, 0L, "latin")))
+  }
+
   test("piiAudit: counts each PII class, flags carrying docs, zero residual after redaction") {
     val df = Seq(
       ("a", "mail me at bob@corp.example.com or sue@x.io today"),
