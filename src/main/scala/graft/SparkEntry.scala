@@ -48,7 +48,7 @@ object SparkEntry {
   private def synthUrlCol: org.apache.spark.sql.Column = concat(
     when(col("doc_id") % 4 === 0, lit("https"))
       .when(col("doc_id") % 4 === 1, lit("http"))
-      .when(col("doc_id") % 4 === 2, lit("https")).otherwise(lit("ftp")),
+      .when(col("doc_id") % 4 === 2, lit("HTTPS")).otherwise(lit("ftp")),
     lit("://"),
     when(col("doc_id") % 13 === 0, lit("user@")).otherwise(lit("")),
     when(col("doc_id") % 5 === 0, lit("www."))
@@ -77,7 +77,7 @@ object SparkEntry {
     s"""u AS (
       |  SELECT doc_id, source, n_chars,
       |    (CASE doc_id % 4 WHEN 0 THEN 'https' WHEN 1 THEN 'http'
-      |          WHEN 2 THEN 'https' ELSE 'ftp' END)
+      |          WHEN 2 THEN 'HTTPS' ELSE 'ftp' END)
       |    || '://'
       |    || (CASE WHEN doc_id % 13 = 0 THEN 'user@' ELSE '' END)
       |    || (CASE WHEN doc_id % 5 = 0 THEN 'www.'
@@ -92,14 +92,14 @@ object SparkEntry {
       |  FROM documents
       |), p AS (
       |  SELECT doc_id, source, n_chars, url,
-      |    regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
-      |    regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
-      |                   '^(?:[^@]*@)?([^:]*)', 1) AS host,
-      |    CASE WHEN regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+      |                         '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+      |    CASE WHEN regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
       |                             ':([0-9]+)$$', 1) = '' THEN 0
-      |         ELSE CAST(regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+      |         ELSE CAST(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
       |                                  ':([0-9]+)$$', 1) AS INT) END AS port,
-      |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
       |    regexp_extract(url, '\\?([^#]*)', 1) AS qstr
       |  FROM u
       |), d AS (
@@ -1044,6 +1044,27 @@ object SparkEntry {
       // decided on a vocabulary-sized frame, never document pairs
       DedupOps.sourceOverlap(tbl(s, dir, "documents"), "source", "text",
         shingleLen = 3)
+    },
+    "web_domain_quality" -> { (s, dir) =>
+      // the domain-level quality cut (FineWeb-style): NB-score every
+      // page, fold token-weighted scores to the registrable domain -
+      // the table a crawl's per-domain keep/drop decisions read.
+      // Composes the two shared replays (url shell + NB weights).
+      val d = tbl(s, dir, "documents")
+        .withColumn("url", synthUrlCol)
+        .withColumn("seed", col("source").isin("src0", "src1", "src2"))
+      val scored = TextOps.nbQualityFilter(d, "doc_id", "text", "seed")
+        .select(col("doc_id"), col("n_tokens"), col("score"))
+      WebOps.parseUrls(d.select(col("doc_id"), col("url")), "url")
+        .select(col("doc_id"), col("domain"))
+        .join(scored, "doc_id")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          sum("score").as("sum_score"))
+        .withColumn("avg_bits",
+          col("sum_score").cast(DoubleType) /
+            (col("sum_tokens") * 32).cast(DoubleType))
     },
     "text_scripts" -> { (s, dir) =>
       // Unicode-script profile: a deterministic slice of docs is
@@ -2916,6 +2937,22 @@ object SparkEntry {
         |FROM inter
         |JOIN sizes sa ON src_a = sa.src
         |JOIN sizes sb ON src_b = sb.src""".stripMargin,
+    "web_domain_quality" ->
+      // composes the two shared CTE fragments: url shell/parse (u,p,d)
+      // + NB weights (base..wt); token-weighted mean bits per domain
+      s"""WITH $urlShellCte, $nbWeightCtes, scored AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(w) AS BIGINT) AS score
+        |  FROM tok JOIN wt USING (t)
+        |  GROUP BY doc_id
+        |)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |       CAST(SUM(score) AS BIGINT) AS sum_score,
+        |       CAST(SUM(score) AS DOUBLE) / (CAST(SUM(n_tokens) AS BIGINT) * 32)
+        |         AS avg_bits
+        |FROM d JOIN scored USING (doc_id)
+        |GROUP BY domain""".stripMargin,
     "text_scripts" -> {
       // transliteration shell + the range-count chain, both
       // interpolated from the same definitions the Spark side uses

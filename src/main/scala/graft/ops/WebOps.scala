@@ -44,16 +44,23 @@ object WebOps {
   private def rx(c: Column, pattern: String): Column =
     regexp_extract(c, pattern, 1)
 
-  /** Scheme of `url` ("" when the URL has no `scheme://` prefix). */
-  def urlScheme(url: Column): Column = rx(url, "^([a-z][a-z0-9+.-]*)://")
+  /** Scheme of `url`, lowercased ("" when the URL has no `scheme://`
+    * prefix). Schemes are case-insensitive (RFC 3986 §3.1): `HTTPS://`
+    * parses and folds to `https`.
+    */
+  def urlScheme(url: Column): Column =
+    lower(rx(url, "^([A-Za-z][A-Za-z0-9+.-]*)://"))
 
   /** Authority (userinfo@host:port) of `url`. */
   private def authority(url: Column): Column =
-    rx(url, "^[a-z][a-z0-9+.-]*://([^/?#]*)")
+    rx(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)")
 
-  /** Host of `url`: authority minus userinfo and port. */
+  /** Host of `url`, lowercased (hosts are case-insensitive, RFC 3986
+    * §3.2.2 - and the eTLD+1 fold must see one canonical form):
+    * authority minus userinfo and port.
+    */
   def urlHost(url: Column): Column =
-    rx(authority(url), "^(?:[^@]*@)?([^:]*)")
+    lower(rx(authority(url), "^(?:[^@]*@)?([^:]*)"))
 
   /** Explicit port of `url`, 0 when absent (the scheme default). */
   def urlPort(url: Column): Column = {
@@ -61,9 +68,12 @@ object WebOps {
     when(p === "", lit(0)).otherwise(p.cast(IntegerType))
   }
 
-  /** Path component of `url` ("" for scheme://host with no slash). */
+  /** Path component of `url` ("" for scheme://host with no slash).
+    * Case is PRESERVED: unlike scheme and host, paths are
+    * case-sensitive.
+    */
   def urlPath(url: Column): Column =
-    rx(url, "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)")
+    rx(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)")
 
   /** Query string of `url` (without the '?'), "" when absent. */
   def urlQuery(url: Column): Column = rx(url, "\\?([^#]*)")

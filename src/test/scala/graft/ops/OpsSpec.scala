@@ -3292,7 +3292,8 @@ class OpsSpec extends SparkSpec {
       (2L, "http://api.example.com/x"),
       (3L, "ftp://example.org"),
       (4L, "https://localhost:9000/p"),
-      (5L, "not a url at all")
+      (5L, "not a url at all"),
+      (6L, "HTTPS://WWW.Shop.CO.UK/CaseKept")
     ).toDF("id", "url")
     val got = WebOps.parseUrls(urls, "url")
       .select("id", "scheme", "host", "port", "path", "query", "domain")
@@ -3304,6 +3305,8 @@ class OpsSpec extends SparkSpec {
     assert(got(3) === ((4L, "https", "localhost", 9000, "/p", "", "localhost")))
     // a non-URL parses to all-empty components, never throws
     assert(got(4) === ((5L, "", "", 0, "", "", "")))
+    // scheme and host fold to lowercase (RFC 3986); path case preserved
+    assert(got(5) === ((6L, "https", "www.shop.co.uk", 0, "/CaseKept", "", "shop.co.uk")))
   }
 
   test("parseUrls/blockDomains plan shuffle-free codegen scans; domainStats never a product") {
