@@ -65,7 +65,10 @@ object Bench {
     // graft.tools.BenchDiff) de-noises that adjudication. The default
     // mode also emits a spread (max/min - 1 of its runs) so every
     // bench_last.json carries a per-query noise estimate.
-    val abMode = sys.env.get("SPARK_GRAFT_BENCH_AB").exists(_.nonEmpty)
+    // explicit opt-in only: "=0"/"=false" must select the default mode
+    // (a wrapper exporting AB=0 expects adaptive sampling, not 4 passes)
+    val abMode = sys.env.get("SPARK_GRAFT_BENCH_AB")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drop the previous query's residue (checkpoint RDDs, broadcast
       // blocks held only by dead references) BEFORE timing, so query N
@@ -81,10 +84,17 @@ object Bench {
       }
       if (abMode) {
         val runs = (1 to 4).map(_ => timed()) // A1 B1 A2 B2
+        val good = runs.filter(_._2).map(_._1).sorted
         if (runs.forall(_._2)) {
           val a = math.min(runs(0)._1, runs(2)._1)
           val b = math.min(runs(1)._1, runs(3)._1)
           (name, math.min(a, b), false, math.abs(a - b) / math.min(a, b))
+        } else if (good.size >= 2) {
+          // same contract as the default mode below: a transient failure
+          // alongside two+ successes is "flaky", not "failed" - the
+          // timing comes from the good runs, spread from their best two
+          System.err.println(s"[bench] $name: A/B run failed; ${good.size} good runs kept")
+          (name, good.head, true, good(1) / good.head - 1.0)
         } else (name, -1.0, false, 0.0)
       } else {
         // adaptive sampling: keep timing until the best two readings

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 
 import graft.ptree.{PrefixTree, Query}
-import graft.ops.{DedupOps, GraphOps, JoinOps, MultimodalOps, SampleOps, ShardOps, SimilarityOps, SketchOps, StatOps, TextOps, TimeOps, WebOps}
+import graft.ops.{DedupOps, GraphOps, JoinOps, MultimodalOps, SampleOps, SearchOps, ShardOps, SimilarityOps, SketchOps, StatOps, TextOps, TimeOps, WebOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -705,6 +705,25 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       SimilarityOps.hardNegatives(emb, "vec_id", "embedding", "label",
         emb.filter(col("vec_id") < 10), k = 5)
+    },
+    "search_eval" -> { (s, dir) =>
+      // retrieval-quality scoring: run the brute-force top-5 and grade
+      // it against label-match qrels (same-label vectors are the
+      // relevant set) - recall@5 / precision@5 / reciprocal rank per
+      // query, integers + per-query divisions only (cross-query float
+      // averages are summation-order traps; callers fold the integers)
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val retrieved = SimilarityOps.bruteTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+      val qrels = queries
+        .select(col("vec_id").as("query_id"), col("label").as("gr_qlabel"))
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+          col("gr_qlabel") === col("label"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+      SearchOps.retrievalEval(
+        retrieved, "query_id", "neighbor_id", "rank", qrels, k = 5)
     },
     "docs_length_batches" -> { (s, dir) =>
       // padding-efficiency batching: 32 length-sorted docs per batch;
@@ -1740,6 +1759,46 @@ object SparkEntry {
         .select(col("node").as("node_id"), col("degree"),
           col("n_triangles"), col("clustering"))
     },
+    "graph_kcore" -> { (s, dir) =>
+      // density filter on the same mutual-5NN similarity graph: peel to
+      // the 3-core (every surviving vector keeps >= 3 mutual neighbors
+      // in the core) - the cohesive-cluster extraction that runs BEFORE
+      // anything quadratic; measured peel depth 8-12 rounds on this
+      // fixture, each round degree-agg + two key-equality anti-joins
+      val emb = tbl(s, dir, "embeddings")
+      val edges = SimilarityOps.mutualKnnEdges(emb, "vec_id", "embedding", k = 5)
+      GraphOps.kCore(edges, "a", "b", k = 3)
+    },
+    "er_resolve" -> { (s, dir) =>
+      // entity resolution over a deliberately dirtied catalog: every
+      // third part re-enters with a typo'd name and an offset id; the
+      // resolver must cluster originals with their typo'd copies (and
+      // identical-name listings) via block + JW + connected components.
+      // Block = brand + first word + 2-char noun prefix: all stable
+      // under the last-char typo, so every true pair shares a block
+      val p = tbl(s, dir, "part")
+      val base = p.select(col("p_partkey").as("ent_id"),
+        col("p_name").as("name"), col("p_brand").as("brand"))
+      val dirty = p.filter(col("p_partkey") % 3 === 0)
+        .select((col("p_partkey") + lit(10000000L)).as("ent_id"),
+          concat(expr("substr(p_name, 1, length(p_name)-1)"), lit("x")).as("name"),
+          col("p_brand").as("brand"))
+      val ents = base.unionByName(dirty)
+      val bk = concat(col("brand"), lit("|"),
+        element_at(split(col("name"), " "), 1), lit("|"),
+        substring(element_at(split(col("name"), " "), 2), 1, 2))
+      DedupOps.resolveEntities(ents, "ent_id", "name", bk, threshold = 0.94)
+    },
+    "events_key_skew" -> { (s, dir) =>
+      // pre-shuffle key diagnosis: the (event_type, user_id % 50) join
+      // key's frequency profile - rank, share, cumulative share, skew
+      // factor - the report that picks plain-shuffle vs salt vs
+      // broadcast before the expensive job runs
+      graft.ops.ProfileOps.keySkew(
+        events(s, dir).withColumn("key",
+          concat(col("event_type"), lit("#"), col("user_id") % 50)),
+        "key")
+    },
     "events_outliers" -> { (s, dir) =>
       // Tukey-fence outlier pass per event type: quartile fences from a
       // group-sized aggregate broadcast onto a scan-speed comparison
@@ -1870,6 +1929,22 @@ object SparkEntry {
         .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType))
         .select(col("l_linestatus"),
           col("A").as("qty_a"), col("N").as("qty_n"), col("R").as("qty_r"))
+    },
+    "q26_unpivot" -> { (s, dir) =>
+      // unpivot (wide -> long): the inverse reshape of q14_pivot -
+      // measure matrix rows melt into (group, measure, value) triples.
+      // Pure projection-side 1->N (Expand node): no shuffle beyond the
+      // feeding aggregate, no values-discovery job
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"),
+          sum(col("l_discount").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_disc"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "value")
     },
     "q15_sql_api" -> { (s, dir) =>
       // the end-user SQL surface: graft's native codegen expressions
@@ -2837,6 +2912,7 @@ object SparkEntry {
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM d
         |WHERE domain NOT IN ('src2.com', 'src5.co.uk', 'src8.org', 'www.src3.com')
+        |  AND host   NOT IN ('src2.com', 'src5.co.uk', 'src8.org', 'www.src3.com')
         |GROUP BY source""".stripMargin,
     "docs_dup_fraction" ->
       """WITH sgl AS (
@@ -3211,6 +3287,101 @@ object SparkEntry {
         |SELECT anchor_id, neighbor_id, neighbor_label,
         |       CAST(rank AS INT) AS rank, round(sim, 6) AS cosine_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "search_eval" ->
+      // knn_cosine's top-5 replay graded against label-match qrels; the
+      // divisions are spelled in CAST(... AS DOUBLE) so neither engine
+      // routes them through DECIMAL
+      """WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+        |                  embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+        |           (sqrt(list_dot_product(q.qv, q.qv)) *
+        |            sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+        |), ret AS (
+        |  SELECT query_id, neighbor_id, rk FROM (
+        |    SELECT query_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+        |    FROM scored) WHERE rk <= 5
+        |), qr AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id
+        |  FROM q JOIN embeddings e ON e.label = q.q_label AND e.vec_id <> q.query_id
+        |), nrel AS (SELECT query_id, count(*) AS n_rel FROM qr GROUP BY query_id),
+        |h AS (
+        |  SELECT r.query_id, r.rk,
+        |         CASE WHEN qr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM ret r LEFT JOIN qr
+        |    ON r.query_id = qr.query_id AND r.neighbor_id = qr.neighbor_id
+        |), agg AS (
+        |  SELECT query_id, count(*) AS n_ret, sum(hit) AS n_hit,
+        |         min(CASE WHEN hit = 1 THEN rk END) AS fr
+        |  FROM h GROUP BY query_id
+        |)
+        |SELECT a.query_id,
+        |       CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel,
+        |       CAST(a.n_ret AS BIGINT) AS n_ret,
+        |       CAST(a.n_hit AS BIGINT) AS n_hit,
+        |       CAST(coalesce(a.fr, 0) AS INT) AS first_rank,
+        |       round(CASE WHEN a.fr IS NOT NULL
+        |                  THEN CAST(1 AS DOUBLE) / a.fr
+        |                  ELSE CAST(0 AS DOUBLE) END, 6) AS rr,
+        |       round(CASE WHEN coalesce(n.n_rel, 0) > 0
+        |                  THEN CAST(a.n_hit AS DOUBLE) / CAST(n.n_rel AS DOUBLE)
+        |                  ELSE CAST(0 AS DOUBLE) END, 6) AS recall_k,
+        |       round(CAST(a.n_hit AS DOUBLE) / 5, 6) AS precision_k
+        |FROM agg a LEFT JOIN nrel n ON a.query_id = n.query_id""".stripMargin,
+    "er_resolve" ->
+      // full replay: dirtied catalog, block key, capped blocks, 6dp-
+      // rounded JW threshold edges, then min-id components via the
+      // recursive-reach recipe (dedup_clusters); singletons fall back
+      // to their own id through the LEFT JOIN
+      """WITH RECURSIVE ents AS (
+        |  SELECT p_partkey AS ent_id, p_name AS name, p_brand AS brand FROM part
+        |  UNION ALL
+        |  SELECT p_partkey + 10000000, substr(p_name, 1, length(p_name)-1) || 'x', p_brand
+        |  FROM part WHERE p_partkey % 3 = 0
+        |), blk AS (
+        |  SELECT ent_id, name,
+        |         brand || '|' || string_split(name, ' ')[1] || '|' ||
+        |         substr(string_split(name, ' ')[2], 1, 2) AS bk
+        |  FROM ents
+        |), big AS (SELECT bk FROM blk GROUP BY bk HAVING count(*) > 10000),
+        |kept AS (SELECT * FROM blk WHERE bk NOT IN (SELECT bk FROM big)),
+        |edges AS (
+        |  SELECT a.ent_id AS ia, b.ent_id AS ib
+        |  FROM kept a JOIN kept b ON a.bk = b.bk AND a.ent_id < b.ent_id
+        |  WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.94
+        |), und AS (SELECT ia AS a, ib AS b FROM edges UNION SELECT ib, ia FROM edges),
+        |reach AS (
+        |  SELECT a AS id, b AS peer FROM und
+        |  UNION
+        |  SELECT r.id, u.b AS peer FROM reach r JOIN und u ON r.peer = u.a
+        |)
+        |SELECT e.ent_id, coalesce(c.cluster_id, e.ent_id) AS cluster_id
+        |FROM ents e
+        |LEFT JOIN (SELECT id, least(id, min(peer)) AS cluster_id
+        |           FROM reach GROUP BY id) c
+        |  ON e.ent_id = c.id""".stripMargin,
+    "events_key_skew" ->
+      """WITH c AS (
+        |  SELECT event_type || '#' || CAST(user_id % 50 AS VARCHAR) AS key,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT key, n,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS INT) AS rank,
+        |         SUM(n) OVER () AS tot,
+        |         COUNT(*) OVER () AS nkeys,
+        |         SUM(n) OVER (ORDER BY n DESC, key ASC ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c
+        |)
+        |SELECT key, CAST(n AS BIGINT) AS n, rank,
+        |       round(CAST(n AS DOUBLE) / tot, 6) AS share,
+        |       round(CAST(cum AS DOUBLE) / tot, 6) AS cum_share,
+        |       round(CAST(n AS DOUBLE) * nkeys / tot, 6) AS skew
+        |FROM r""".stripMargin,
     "docs_length_batches" ->
       // same (length, id) total order, same floor-div batch cut, same
       // integer waste arithmetic
@@ -4236,6 +4407,21 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
         |FROM lineitem
         |GROUP BY l_linestatus""".stripMargin,
+    "q26_unpivot" ->
+      // wide->long melt replay: one UNION ALL branch per measure column
+      // (dialect-portable; no UNPIVOT keyword dependence)
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM m
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM m
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM m""".stripMargin,
     "q15_sql_api" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -4514,6 +4700,7 @@ object SparkEntry {
     // contract - it must reproduce the SAME unrolled-CTE replay
     "graph_pagerank_tol" -> pagerankOracleSql,
     "graph_labelprop" -> labelPropOracleSql,
+    "graph_kcore" -> kcoreOracleSql,
     "events_ewma" -> ewmaOracleSql,
     // the streaming buffer path reduces to the identical ranked frame
     // in batch execution; one oracle covers both (parity across
@@ -5443,5 +5630,47 @@ object SparkEntry {
        |  SELECT node, CAST(1000000000 AS BIGINT) AS r FROM deg
        |), $rounds
        |SELECT node AS node_id, r AS rank_int FROM r10""".stripMargin
+  }
+
+  /** Replay of GraphOps.kCore(k=3) over the mutual-5NN graph: the
+    * mutual-kNN edge CTEs (identical to graph_triangles' replay) plus
+    * 20 unrolled peel rounds - measured fixpoint is 8-12 rounds on this
+    * fixture across sf0.001-0.1, and peeling is stable after the
+    * fixpoint, so s20 IS the 3-core. Every round-table is MATERIALIZED:
+    * each is referenced three times (degree scan + both NOT IN probes)
+    * and plain CTE inlining would expand the 20-round chain
+    * exponentially.
+    */
+  private def kcoreOracleSql: String = {
+    val k = 3
+    val rounds = (0 until 20).map { r =>
+      s""", bad$r AS MATERIALIZED (
+         |  SELECT src FROM (SELECT src, count(*) AS deg FROM s$r GROUP BY src)
+         |  WHERE deg < $k
+         |), s${r + 1} AS MATERIALIZED (
+         |  SELECT src, dst FROM s$r
+         |  WHERE src NOT IN (SELECT src FROM bad$r)
+         |    AND dst NOT IN (SELECT src FROM bad$r)
+         |)""".stripMargin
+    }.mkString
+    s"""WITH sims AS (
+       |  SELECT a.vec_id AS qa, b.vec_id AS qb,
+       |         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+       |           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       |            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |), knn AS (
+       |  SELECT qa, qb FROM (
+       |    SELECT qa, qb, ROW_NUMBER() OVER (PARTITION BY qa ORDER BY sim DESC, qb ASC) AS rk
+       |    FROM sims) WHERE rk <= 5
+       |), me AS (
+       |  SELECT k1.qa AS a, k1.qb AS b
+       |  FROM knn k1 JOIN knn k2 ON k1.qa = k2.qb AND k1.qb = k2.qa
+       |  WHERE k1.qa < k1.qb
+       |), s0 AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM me UNION ALL SELECT b, a FROM me
+       |)$rounds
+       |SELECT src AS node_id, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM s20 GROUP BY src""".stripMargin
   }
 }

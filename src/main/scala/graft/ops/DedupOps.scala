@@ -264,13 +264,21 @@ object DedupOps {
     // shingles are DISTINCT within a document (shingleStrings contract),
     // so count(*) per shingle IS its document frequency
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("docfreq"))
-    sh.join(dfreq, "sh")
+    val out = sh.join(dfreq, "sh")
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_shingles"),
         sum(when(F.col("docfreq") > 1, 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_frac",
         round(F.col("n_dup").cast(DoubleType) / F.col("n_shingles").cast(DoubleType), 6))
+      // materialize the per-doc profile (4 narrow columns) so the
+      // shingle-exploded checkpoint - far larger than the corpus - is
+      // released now, not when the returned frame is GC'd (same
+      // lifecycle as winnowPairs; release the result with
+      // OpsUtil.unpersistCheckpoint after consumption)
+      .localCheckpoint()
+    OpsUtil.unpersistCheckpoint(sh)
+    out
   }
 
   /** Cross-source overlap matrix: for every pair of sources, how much
@@ -307,12 +315,19 @@ object DedupOps {
         F.col("a.sh") === F.col("b.sh") && F.col("a.src") < F.col("b.src"))
       .groupBy(F.col("a.src").as("src_a"), F.col("b.src").as("src_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("src", "src_a").withColumnRenamed("sz", "sz_a"), "src_a")
       .join(sizes.withColumnRenamed("src", "src_b").withColumnRenamed("sz", "sz_b"), "src_b")
       .withColumn("jaccard",
         round(F.col("inter").cast(DoubleType) /
           (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast(DoubleType), 6))
+      // the matrix is source-pair-sized (tiny): materialize it and
+      // release the vocabulary-sized shingle checkpoint immediately
+      // (winnowPairs lifecycle; OpsUtil.unpersistCheckpoint releases
+      // the returned frame if a caller loops this)
+      .localCheckpoint()
+    OpsUtil.unpersistCheckpoint(sh)
+    out
   }
 
   /** [[jaccardPairs]] with prefix filtering (SSJoin/PPJoin-style): the
@@ -908,5 +923,65 @@ object DedupOps {
       .filter(F.col("rk") === 1)
       .select(F.col("new_id"), F.col("corpus_id").as("dup_of"),
         round(F.col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** Entity resolution (record linkage): blocking -> in-block pairwise
+    * Jaro-Winkler scoring -> threshold edges -> connected components ->
+    * canonical cluster id per input row. The classic two-phase shape:
+    * `blockKey` is the cheap deterministic key that bounds the
+    * candidate space (sort-key prefix, normalized field, phonetic
+    * code); the JW score is the expensive fuzzy verdict that only ever
+    * runs INSIDE a block.
+    *
+    * Scale shape: one block-keyed shuffle-hash self-join (both sides
+    * corpus-sized - the DedupOps candidate-join discipline), never
+    * all-pairs; blocks larger than `maxBlockSize` are dropped loudly
+    * in the profile sense (a block that big means the key is not a
+    * blocking key - header/template values; same cap semantics as the
+    * hot-shingle/LSH-bucket caps, and an oracle mirrors it). The JW
+    * comparison rounds to 6dp BEFORE thresholding so a replaying
+    * engine lands on the identical edge set. Cluster formation is
+    * [[GraphOps.connectedComponents]] (min-id labels, driver off-ramp
+    * under its own edge-count guard).
+    *
+    * Output: one row per input row: (idCol, cluster_id) - singletons
+    * keep their own id as cluster id.
+    */
+  def resolveEntities(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockKey: Column,
+      threshold: Double,
+      maxBlockSize: Long = 10000L
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val all = OpsUtil.spread(df)
+      .select(F.col(idCol).as("gr_eid"), F.col(nameCol).as("gr_nm"), blockKey.as("gr_bk"))
+      .localCheckpoint() // feeds block counts, both join sides, and the final join-back
+    // a null name or block key cannot be compared - such rows skip
+    // candidate generation but SURVIVE as singleton clusters below
+    // (every input row appears in the output exactly once)
+    val ents = all.filter(
+      F.col("gr_eid").isNotNull && F.col("gr_nm").isNotNull && F.col("gr_bk").isNotNull)
+    val hot = ents.groupBy(F.col("gr_bk")).agg(count(lit(1)).as("gr_n"))
+      .filter(F.col("gr_n") > maxBlockSize).select(F.col("gr_bk"))
+    val kept = ents.join(broadcast(hot), Seq("gr_bk"), "left_anti")
+    val edges = kept.as("a")
+      .join(kept.as("b").hint("shuffle_hash"),
+        F.col("a.gr_bk") === F.col("b.gr_bk") && F.col("a.gr_eid") < F.col("b.gr_eid"))
+      .filter(round(graft.functions.GraftFunctions
+        .jaro_winkler(F.col("a.gr_nm"), F.col("b.gr_nm")), 6) >= threshold)
+      .select(F.col("a.gr_eid").as("id_a"), F.col("b.gr_eid").as("id_b"))
+    val cc = GraphOps.connectedComponents(edges, "id_a", "id_b")
+    val out = all
+      .join(cc, all("gr_eid") === cc("id"), "left")
+      .select(F.col("gr_eid").as(idCol),
+        coalesce(F.col("cluster_id"), F.col("gr_eid")).as("cluster_id"))
+      // cluster map is (id, cluster)-narrow: materialize it and release
+      // the entity checkpoint now (winnowPairs lifecycle)
+      .localCheckpoint()
+    OpsUtil.unpersistCheckpoint(all)
+    out
   }
 }

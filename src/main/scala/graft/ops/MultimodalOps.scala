@@ -560,7 +560,12 @@ object MultimodalOps {
       var off = 0
       while (off < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, off, raw.length - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // all input was handed over up front, so a zero-byte step that
+        // isn't the end of stream means the inflater is stalled: either
+        // truncated input (needsInput) or an FDICT preset-dictionary
+        // stream (needsDictionary) this decoder doesn't supply. Refuse -
+        // looping again would spin forever on the dictionary case.
+        if (n == 0 && !inflater.finished()) return None
         off += n
       }
       if (off < raw.length) return None

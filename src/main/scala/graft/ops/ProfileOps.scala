@@ -110,4 +110,43 @@ object ProfileOps {
       .groupBy(F.col(groupCol), F.col("bin"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Key-skew profile: the pre-shuffle diagnosis report for a join/agg
+    * key - per key value, its row count, frequency rank, corpus share,
+    * cumulative share down the rank order, and skew factor (count over
+    * the mean count). This is how a 100-TB job decides between a plain
+    * shuffle, a broadcast, salting, or AQE skew handling BEFORE paying
+    * for the wrong plan: a top key with share 0.3 and skew 40x says
+    * "salt or isolate this key", a flat profile says "plain shuffle is
+    * fine".
+    *
+    * Scale shape: ONE key-aggregate shuffle folds the corpus to a
+    * key-cardinality frame; the rank/cumulative windows then run over
+    * that group-sized frame (the one place a single-partition window is
+    * correct - same discipline as StatOps' grand-total frames). High-
+    * cardinality keys: cap the profile with a downstream limit on rank;
+    * the aggregate itself is the full histogram either way.
+    *
+    * Output: one row per distinct key (nulls profiled as a key):
+    * (keyCol, n, rank, share, cum_share, skew), divisions rounded 6dp.
+    */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(F.col(keyCol)).agg(count(lit(1)).as("n"))
+    val byFreq = Window.orderBy(F.col("n").desc, F.col(keyCol).asc_nulls_last)
+    counts
+      .withColumn("rank", row_number().over(byFreq).cast(IntegerType))
+      .withColumn("gr_tot", sum(F.col("n")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("gr_keys", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("gr_cum", sum(F.col("n")).over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(
+        F.col(keyCol), F.col("n"), F.col("rank"),
+        round(F.col("n").cast(DoubleType) / F.col("gr_tot").cast(DoubleType), 6).as("share"),
+        round(F.col("gr_cum").cast(DoubleType) / F.col("gr_tot").cast(DoubleType), 6).as("cum_share"),
+        round(F.col("n").cast(DoubleType) * F.col("gr_keys").cast(DoubleType) /
+          F.col("gr_tot").cast(DoubleType), 6).as("skew"))
+  }
 }

@@ -349,4 +349,69 @@ object SearchOps {
         F.col("did").as("doc_id"),
         round(F.col("s").cast(DoubleType), 6).as("score"))
   }
+
+  /** IR evaluation of a retrieval run against a relevance-judgment set
+    * (qrels): per query, recall@k / precision@k / reciprocal rank -
+    * how a retrieval stack (BM25, ANN, trigram, rerankers) is actually
+    * tuned: run candidates at scale, score them against labeled
+    * judgments, compare variants on the metric table.
+    *
+    * Inputs: `retrieved` rows (qid, doc, rank) with rank 1-based and
+    * dense per query (a [[bm25Query]] / `SimilarityOps.bruteTopK`-shaped
+    * frame); `qrels` rows (qid, doc) under the SAME column names -
+    * binary relevance, duplicates tolerated (deduped internally).
+    *
+    * Metric pitfall (why the integer fields are in the output): cross-
+    * query AVERAGES of float metrics depend on summation order, which a
+    * distributed engine does not fix - so this emits per-query rows
+    * with the integer numerators/denominators (n_rel, n_hit,
+    * first_rank) plus the three per-query divisions (deterministic
+    * IEEE ops); a caller aggregates to MRR/mean-recall at whatever
+    * grouping it needs, ideally from the integers.
+    *
+    * Scale shape: one equi-join of the (top-k-bounded) run against the
+    * deduped qrels on (qid, doc), one qid aggregate, one join against
+    * the qrel-count frame (query-count-sized; AQE broadcasts it). The
+    * corpus itself never appears - only run and judgment rows move.
+    *
+    * Output: one row per qid present in `retrieved`:
+    * (qid, n_rel, n_ret, n_hit, first_rank [0 = no hit], rr, recall_k,
+    * precision_k), divisions rounded to 6dp.
+    */
+  def retrievalEval(
+      retrieved: DataFrame,
+      qidCol: String,
+      docCol: String,
+      rankCol: String,
+      qrels: DataFrame,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val reserved = Set("gr_rel_hit", "n_rel", "n_ret", "n_hit", "first_rank")
+    require(!retrieved.columns.exists(reserved),
+      s"retrieved must not already carry ${reserved.mkString("/")}; rename first")
+    val rel = qrels.select(F.col(qidCol), F.col(docCol)).distinct()
+    val nRel = rel.groupBy(F.col(qidCol)).agg(count(lit(1)).as("n_rel"))
+    retrieved
+      .filter(F.col(rankCol) <= k)
+      .join(rel.withColumn("gr_rel_hit", lit(1)), Seq(qidCol, docCol), "left")
+      .groupBy(F.col(qidCol))
+      .agg(
+        count(lit(1)).as("n_ret"),
+        sum(coalesce(F.col("gr_rel_hit"), lit(0))).as("n_hit"),
+        min(when(F.col("gr_rel_hit") === 1, F.col(rankCol))).as("gr_fr"))
+      .join(nRel, Seq(qidCol), "left")
+      .select(
+        F.col(qidCol),
+        coalesce(F.col("n_rel"), lit(0L)).as("n_rel"),
+        F.col("n_ret"),
+        F.col("n_hit"),
+        coalesce(F.col("gr_fr"), lit(0)).cast(IntegerType).as("first_rank"),
+        round(when(F.col("gr_fr").isNotNull,
+          lit(1.0) / F.col("gr_fr").cast(DoubleType)).otherwise(0.0), 6).as("rr"),
+        round(when(coalesce(F.col("n_rel"), lit(0L)) > 0,
+          F.col("n_hit").cast(DoubleType) / F.col("n_rel").cast(DoubleType))
+          .otherwise(0.0), 6).as("recall_k"),
+        round(F.col("n_hit").cast(DoubleType) / lit(k.toDouble), 6).as("precision_k"))
+  }
 }

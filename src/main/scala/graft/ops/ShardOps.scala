@@ -65,6 +65,11 @@ object ShardOps {
     require(sortExprs.nonEmpty, "need at least one sort expression")
     require(!df.columns.exists(Set("gr_pid", "gr_local", "gr_tot", "gr_off")),
       "input already has a gr_pid/gr_local/gr_tot/gr_off column; rename it first")
+    // the OUTPUT name gets the same guard: silently replacing an existing
+    // running_total (e.g. re-cumulating after a filter) is exactly the
+    // misalignment class the gr_* check exists to prevent
+    require(!df.columns.contains("running_total"),
+      "input already has a running_total column; rename or drop it first")
     import org.apache.spark.sql.expressions.Window
     val parted = df.repartitionByRange(sortExprs: _*)
       .withColumn("gr_pid", F.spark_partition_id())

@@ -150,14 +150,21 @@ object WebOps {
         count(lit(1)).as("n_hosts"),
         sum(F.col("sum_chars")).as("sum_chars"))
 
-  /** Drop rows whose registrable domain is on `blocked` - the crawl
-    * blocklist cut. The blocklist rides into the plan as a literal
-    * IN-set (a broadcast-join degenerates to this for any list that
-    * fits a driver string set); corpus rows are filtered in place,
-    * never shuffled.
+  /** Drop rows whose registrable domain OR exact host is on `blocked` -
+    * the crawl blocklist cut. Domain-shaped entries ("src2.com") block
+    * the whole eTLD+1; host-shaped entries ("www.src3.com") block that
+    * host only. Matching both forms keeps a host-shaped entry from
+    * being a silent no-op (the eTLD+1 fold alone would never equal it).
+    * Entries are lowercased to the same canonical form [[urlHost]]
+    * emits. The blocklist rides into the plan as a literal IN-set (a
+    * broadcast-join degenerates to this for any list that fits a driver
+    * string set); corpus rows are filtered in place, never shuffled.
     */
   def blockDomains(df: DataFrame, urlCol: String, blocked: Seq[String]): DataFrame = {
     require(blocked.nonEmpty, "empty blocklist: nothing to block")
-    df.filter(!registrableDomain(urlHost(F.col(urlCol))).isin(blocked: _*))
+    val entries = blocked.map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+    require(entries.nonEmpty, "blocklist had only blank entries")
+    val host = urlHost(F.col(urlCol))
+    df.filter(!(registrableDomain(host).isin(entries: _*) || host.isin(entries: _*)))
   }
 }

@@ -397,15 +397,21 @@ object Query {
     // 64 KB overflow throws there instead of silently degrading.
     val safeUnroll = 8
     dbg("chain plan built")
-    val wsKey = "spark.sql.codegen.wholeStage"
-    val wsPrev = spark.conf.getOption(wsKey)
-    if (hChain > safeUnroll) spark.conf.set(wsKey, "false")
-    val chain =
-      try cur.localCheckpoint()
-      finally if (hChain > safeUnroll) wsPrev match {
-        case Some(v) => spark.conf.set(wsKey, v)
-        case None => spark.conf.unset(wsKey)
-      }
+    // The skip must be scoped to THIS plan, not the session: flipping
+    // spark.conf would (a) de-codegen any unrelated query planning
+    // concurrently on the same session and (b) race two deep queryJoins'
+    // save/restore into leaving the flag permanently false. A THREAD-
+    // LOCAL conf clone (SQLConf.withExistingConf) scopes the override to
+    // this planning call: Catalyst's preparation rules read SQLConf.get,
+    // which consults the thread-local before the session conf. The
+    // deep-trie spec pins the effect (codegen.fallback=false would throw
+    // on a 64 KB overflow if the override ever stopped taking).
+    val chain = if (hChain > safeUnroll) {
+      import org.apache.spark.sql.internal.SQLConf
+      val scoped = SQLConf.get.clone()
+      scoped.setConfString("spark.sql.codegen.wholeStage", "false")
+      SQLConf.withExistingConf(scoped) { cur.localCheckpoint() }
+    } else cur.localCheckpoint()
     dbg("chain executed")
     // the chain's job has populated t's cache; the input-side cache (ours
     // only if the caller hadn't persisted) is no longer needed

@@ -1034,4 +1034,62 @@ object StreamOps {
       }
       .toDF(keyCol, "ts_us", tieCol, valueCol, "_rn", "ver")
   }
+
+  /** Streaming maintenance of an IVF ANN index's posting lists - the
+    * fourteenth maintained lifecycle. The centroid quantizer is FROZEN
+    * (trained offline by [[graft.ops.SimilarityOps.ivfBuild]]; retraining
+    * is a rebuild, not maintenance - the standard IVF serving contract),
+    * and each micro-batch of vectors is assigned to its nearest list and
+    * upserted: prior rows for re-seen ids are anti-joined out first, and
+    * the batch itself is deduped per id, so redelivery and in-batch
+    * duplicates cannot double-insert. The maintained frame therefore
+    * equals [[graft.ops.SimilarityOps.ivfAssign]] over the latest
+    * version of every id exactly, and
+    * [[graft.ops.SimilarityOps.ivfQuery]] serves top-k off the snapshot
+    * (`IvfIndex(centroids, snapshot)`) with no corpus access.
+    *
+    * Scale shape: per batch, one scan-speed nearest-centroid projection
+    * (codegen kernel) over batch rows only; the upsert moves batch-id
+    * keys via a BROADCAST anti-join against the (corpus-sized but
+    * narrow) posting frame - the corpus is never re-assigned, never
+    * shuffled. Superseded checkpoints free under the one-batch grace of
+    * `trieMaintenance`.
+    */
+  def ivfMaintenance(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      initial: DataFrame
+  )(onUpdate: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    @volatile var state = initial.localCheckpoint()
+    @volatile var graveyard: Option[DataFrame] = None
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val prev = state
+          // one row per id within the batch (the lshMaintenance
+          // invariant): max() is the deterministic pick over the
+          // array's lexicographic ordering - batch rows carry no order
+          val deduped = batch.toDF()
+            .groupBy(col(idCol))
+            .agg(max(col(vecCol)).as(vecCol))
+          val delta = graft.ops.SimilarityOps
+            .ivfAssign(deduped, idCol, vecCol, centroids)
+            .localCheckpoint()
+          val dIds = delta.select("neighbor_id")
+          state = prev
+            .join(broadcast(dIds), Seq("neighbor_id"), "left_anti")
+            .unionByName(delta)
+            .localCheckpoint()
+          unpersistCheckpoint(delta)
+          onUpdate(state)
+          graveyard.foreach(unpersistCheckpoint)
+          graveyard = Some(prev)
+        }
+      }
+      .start()
+  }
 }

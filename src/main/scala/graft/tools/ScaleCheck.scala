@@ -80,8 +80,12 @@ object ScaleCheck {
     val cust1 = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_name")).localCheckpoint()
     val cust10 = (0 until 10).map { c =>
+      // tag = the copy digit repeated 6x: every position differs between
+      // copies, so pairwise Levenshtein distance is truly 6 ("z0z0z0"-
+      // style tags only differ in 3 positions - distance 3, a margin of
+      // 1 over maxDist=2, not the 2*maxDist+1 the fixture claims)
       cust1.select(col("c_custkey"),
-        concat(lit(s"z$c" * 3), col("c_name")).as("c_name"))
+        concat(lit(c.toString * 6), col("c_name")).as("c_name"))
     }.reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
     println(s"dict rows: 1x=${cust1.count()} 10x=${cust10.count()}")
 

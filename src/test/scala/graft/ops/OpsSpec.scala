@@ -314,6 +314,93 @@ class OpsSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("kCore: matches an in-memory peel; min core degree >= k; idempotent; empty-safe") {
+    // deterministic pseudo-random graph: 40 nodes, edge (i, j) iff
+    // (i*7 + j*13) % 17 < 3 for i < j - dense enough for a non-trivial
+    // 3-core, sparse enough that peeling removes several waves
+    val raw = for {
+      i <- 0L until 40L; j <- (i + 1) until 40L
+      if (i * 7 + j * 13) % 17 < 3
+    } yield (i, j)
+    // duplicates and a self-loop must not distort degrees
+    val edges = (raw ++ raw.take(5) ++ Seq((3L, 3L))).toDF("a", "b")
+    val k = 3
+    // reference: in-memory peel over adjacency SETS (dedup + no self)
+    var adj = raw.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val bad = adj.collect { case (n, ns) if ns.size < k => n }.toSet
+      changed = bad.nonEmpty
+      adj = adj.collect {
+        case (n, ns) if !bad(n) => n -> (ns -- bad)
+      }
+    }
+    val expect = adj.map { case (n, ns) => (n, ns.size.toLong) }.toSet
+    val got = GraphOps.kCore(edges, "a", "b", k)
+      .as[(Long, Long)].collect().toSet
+    assert(got == expect, s"kCore mismatch:\n got=$got\n exp=$expect")
+    assert(got.nonEmpty && got.forall(_._2 >= k))
+    // idempotence: the k-core of the core's edge set is the core itself
+    val coreNodes = got.map(_._1)
+    val coreEdges = raw.filter { case (a, b) => coreNodes(a) && coreNodes(b) }
+      .toDF("a", "b")
+    val again = GraphOps.kCore(coreEdges, "a", "b", k).as[(Long, Long)].collect().toSet
+    assert(again == got)
+    assert(GraphOps.kCore(Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", 2).count() == 0)
+  }
+
+  test("retrievalEval: hand-checked metrics; no-hit and missing-qrel queries score zero") {
+    // q1: rel = {10, 11, 12}; retrieved hits 11 at rank 2 and 12 at rank 5
+    // q2: rel = {20}; retrieved never hits -> rr/recall/precision 0, first_rank 0
+    // q3: no qrels at all -> n_rel 0, recall 0 by convention
+    val retrieved = Seq(
+      (1L, 99L, 1), (1L, 11L, 2), (1L, 98L, 3), (1L, 97L, 4), (1L, 12L, 5),
+      (2L, 30L, 1), (2L, 31L, 2),
+      (3L, 40L, 1),
+      (1L, 11L, 6) // beyond k: must be ignored even though relevant
+    ).toDF("qid", "doc", "rank")
+    val qrels = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 11L), (2L, 20L))
+      .toDF("qid", "doc") // duplicate qrel row must not double-count
+    val got = SearchOps.retrievalEval(retrieved, "qid", "doc", "rank", qrels, k = 5)
+      .as[(Long, Long, Long, Long, Int, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 5L, 2L, 2, 0.5, 0.666667, 0.4)))
+    assert(got(2L) == ((2L, 1L, 2L, 0L, 0, 0.0, 0.0, 0.0)))
+    assert(got(3L) == ((3L, 0L, 1L, 0L, 0, 0.0, 0.0, 0.0)))
+  }
+
+  test("resolveEntities: typo pairs merge, dissimilar stay, nulls survive, hot blocks capped") {
+    val ents = Seq(
+      (1L, "alpha widget", "b1"), (2L, "alpha widgex", "b1"), // JW ~0.97 -> merged
+      (3L, "alpha qqqqq", "b1"), // same block, JW ~0.81 -> alone
+      (4L, "beta cog", "b2"), (5L, "beta cog", "b2"), // identical -> merged
+      (6L, null.asInstanceOf[String], "b3"), // null name -> singleton, still output
+      (10L, "hot a", "hb"), (11L, "hot a", "hb"),
+      (12L, "hot a", "hb"), (13L, "hot a", "hb") // block of 4 > cap -> no pairs
+    ).toDF("id", "name", "blk")
+    val got = DedupOps.resolveEntities(ents, "id", "name",
+        concat(col("blk"), lit("|"), element_at(split(col("name"), " "), 1)),
+        threshold = 0.9, maxBlockSize = 3)
+      .as[(Long, Long)].collect()
+    assert(got.length == 10) // every input row, exactly once
+    val m = got.toMap
+    assert(m(1L) == 1L && m(2L) == 1L)
+    assert(m(3L) == 3L)
+    assert(m(4L) == 4L && m(5L) == 4L)
+    assert(m(6L) == 6L)
+    assert(Seq(10L, 11L, 12L, 13L).forall(i => m(i) == i))
+  }
+
+  test("keySkew: rank, share, cumulative share, and skew factor match hand arithmetic") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val got = ProfileOps.keySkew(df, "k")
+      .as[(String, Long, Int, Double, Double, Double)].collect().sortBy(_._3)
+    assert(got(0) == (("a", 6L, 1, 0.6, 0.6, 1.8)))
+    assert(got(1) == (("b", 3L, 2, 0.3, 0.9, 0.9)))
+    assert(got(2) == (("c", 1L, 3, 0.1, 1.0, 0.3)))
+  }
+
   test("connectedComponents: empty edge list yields empty result, no NPE") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(GraphOps.connectedComponents(empty, "id_a", "id_b").count() == 0)
@@ -3339,6 +3426,18 @@ class OpsSpec extends SparkSpec {
     val kept = WebOps.blockDomains(urls, "url", Seq("bad.com"))
       .select("id").as[Long].collect().sorted
     assert(kept.toSeq === Seq(3L, 4L))
+  }
+
+  test("blockDomains: host-shaped entries block that exact host, not the whole domain") {
+    val urls = Seq(
+      (1L, "https://www.site.com/a"), // host-listed -> blocked
+      (2L, "https://cdn.site.com/b"), // same eTLD+1, other host -> kept
+      (3L, "https://WWW.SITE.com/c"), // hosts fold case before matching
+      (4L, "https://site.com/d") // bare registrable host, unlisted -> kept
+    ).toDF("id", "url")
+    val kept = WebOps.blockDomains(urls, "url", Seq("www.site.com"))
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L, 4L))
   }
 
   test("dupFraction: exact dups score 1.0, near-dups the shared-shingle share, unique docs 0.0") {

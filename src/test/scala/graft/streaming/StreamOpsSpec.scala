@@ -940,4 +940,45 @@ class StreamOpsSpec extends SparkSpec {
       .select("ks").as[Double].head()
     assert(scores(1) === ((psiBatch, ksBatch)))
   }
+
+  test("ivfMaintenance: maintained lists == ivfAssign over latest-per-id; dup/redelivery safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val b1 = Seq(
+      (1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.8f)), (3L, Array(0.7f, 0.2f)))
+    // batch 2: id 3 REDELIVERED with a new vector (must move lists, not
+    // duplicate), id 7 twice within one batch, one genuinely new id
+    val b2 = Seq(
+      (3L, Array(0.1f, 0.9f)), (7L, Array(0.6f, 0.6f)), (7L, Array(0.2f, 0.9f)),
+      (8L, Array(0.8f, 0.3f)))
+    @volatile var latest: org.apache.spark.sql.DataFrame = null
+    val mem = MemoryStream[(Long, Array[Float])]
+    val initial = graft.ops.SimilarityOps.ivfAssign(
+      Seq.empty[(Long, Array[Float])].toDF("id", "vec"), "id", "vec", cents)
+    val sq = StreamOps.ivfMaintenance(
+      mem.toDF().toDF("id", "vec"), "id", "vec", cents, initial)(latest = _)
+    mem.addData(b1: _*); sq.processAllAvailable()
+    mem.addData(b2: _*); sq.processAllAvailable()
+    sq.stop()
+    // ground truth: the latest version of every id; the in-batch dup
+    // resolves to the lexicographically larger vector (the op's
+    // deterministic max pick)
+    val direct = graft.ops.SimilarityOps.ivfAssign(
+      Seq(
+        (1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.8f)), (3L, Array(0.1f, 0.9f)),
+        (7L, Array(0.6f, 0.6f)), (8L, Array(0.8f, 0.3f))
+      ).toDF("id", "vec"), "id", "vec", cents)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("list_id").cast("long"), col("neighbor_id").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    assert(latest.count() == 5)
+    assert(rows(latest) === rows(direct))
+    // served top-k off the maintained snapshot == off the batch-built one
+    val qs = Seq((100L, Array(1.0f, 0.05f))).toDF("qid", "qv")
+    def top(lists: org.apache.spark.sql.DataFrame) =
+      graft.ops.SimilarityOps.ivfQuery(
+        graft.ops.SimilarityOps.IvfIndex(cents, lists), qs, "qid", "qv", k = 3, nProbe = 2)
+        .as[(Long, Long, Int, Double)].collect().toSet
+    assert(top(latest) === top(direct))
+  }
 }
