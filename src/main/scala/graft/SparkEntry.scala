@@ -1103,6 +1103,64 @@ object SparkEntry {
         tbl(s, dir, "documents").withColumn("stext", mapped),
         "doc_id", "stext")
     },
+    "docs_c4_filter" -> { (s, dir) =>
+      // C4-style line-level cleaning: each doc gets a deterministic
+      // multi-line shell (good lines, a javascript notice, a too-short
+      // line, a no-punctuation line, and page-level poison - code
+      // braces / lorem ipsum / policy boilerplate - on id-mod slices),
+      // then the T5-recipe filter runs at scan speed. The oracle
+      // replays shell AND filter with list lambdas.
+      val id = col("doc_id")
+      val lined = concat(
+        when(id % 7 === 0, concat(lit("Doc "), id.cast(StringType)))
+          .otherwise(concat(lit("Doc "), id.cast(StringType),
+            lit(" begins here."))),
+        lit("\n"), substring(col("text"), 1, 60), lit("."),
+        when(id % 3 === 0,
+          lit("\nPlease enable JavaScript to continue viewing."))
+          .otherwise(lit("")),
+        when(id % 4 === 0, lit("\nok.")).otherwise(lit("")),
+        when(id % 5 === 0, lit("\nclick here to subscribe now"))
+          .otherwise(lit("")),
+        lit("\n"), substring(col("text"), 61, 40),
+        when(id % 7 === 0, lit("\nand then it just stops"))
+          .otherwise(lit("\nThe final line ends properly!")),
+        when(id % 11 === 0, lit("\nif (x) { return; }")).otherwise(lit("")),
+        when(id % 13 === 0, lit("\nfiller lorem ipsum dolor sit amet."))
+          .otherwise(lit("")),
+        when(id % 17 === 0, lit("\nSee our privacy policy for details."))
+          .otherwise(lit("")))
+      TextOps.c4LineFilter(
+        tbl(s, dir, "documents").withColumn("ltext", lined),
+        "doc_id", "ltext", minWords = 3, minLines = 2)
+    },
+    "text_pmi" -> { (s, dir) =>
+      // collocation mining: integer log-code PMI over adjacent token
+      // pairs - three vocabulary-sized aggregates, document pairs never
+      // form, corpus never shuffles past the counts
+      TextOps.pmiCollocations(tbl(s, dir, "documents"), "text", minCount = 5L)
+    },
+    "web_link_graph" -> { (s, dir) =>
+      // registrable-domain link graph: each page's HTML shell carries
+      // two deterministic absolute hrefs (plus a relative and a mailto
+      // link that must NOT survive), the page's own domain comes from
+      // the shared URL shell, and the only shuffle is the final count
+      // on the (src, dst) domain pair
+      val id = col("doc_id")
+      val linkHtml = concat(
+        lit("<html><body><p>"), col("text"), lit("</p><a href=\"http://src"),
+        ((id * 7 + 1) % 10).cast(StringType), lit(".com/p/"),
+        (id % 5).cast(StringType), lit("\">x</a>"),
+        when(id % 2 === 0, concat(lit("<a class='r' href='https://www.src"),
+          ((id * 3 + 2) % 10).cast(StringType), lit(".org/q'>y</a>")))
+          .otherwise(lit("")),
+        lit("<a href=\"/rel/p\">rel</a><a href=\"mailto:a@b.c\">m</a>" +
+          "</body></html>"))
+      WebOps.linkGraph(
+        tbl(s, dir, "documents")
+          .withColumn("url", synthUrlCol).withColumn("html", linkHtml),
+        "url", "html")
+    },
     "text_contamination" -> { (s, dir) =>
       // decontamination pass: which training docs leak >= 10% of a test
       // doc's 4-gram shingles (self-pairs excluded - the corpus doubles
@@ -3059,6 +3117,132 @@ object SparkEntry {
         |       CASE $whens
         |         ELSE 'other' END AS dominant
         |FROM c""".stripMargin
+    },
+    "docs_c4_filter" ->
+      // the line shell replayed with || + chr(10), the filter with list
+      // lambdas; every predicate in the Java-regex/RE2 common subset
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+        |          ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || ' begins here.' END)
+        |    || chr(10) || substr(text, 1, 60) || '.'
+        |    || (CASE WHEN doc_id % 3 = 0
+        |             THEN chr(10) || 'Please enable JavaScript to continue viewing.'
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'ok.' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0
+        |             THEN chr(10) || 'click here to subscribe now' ELSE '' END)
+        |    || chr(10) || substr(text, 61, 40)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'and then it just stops'
+        |             ELSE chr(10) || 'The final line ends properly!' END)
+        |    || (CASE WHEN doc_id % 11 = 0
+        |             THEN chr(10) || 'if (x) { return; }' ELSE '' END)
+        |    || (CASE WHEN doc_id % 13 = 0
+        |             THEN chr(10) || 'filler lorem ipsum dolor sit amet.' ELSE '' END)
+        |    || (CASE WHEN doc_id % 17 = 0
+        |             THEN chr(10) || 'See our privacy policy for details.' ELSE '' END)
+        |    AS ltext
+        |  FROM documents WHERE text IS NOT NULL
+        |), f AS (
+        |  SELECT doc_id,
+        |    string_split(ltext, chr(10)) AS ls,
+        |    list_filter(string_split(ltext, chr(10)), l ->
+        |      trim(l) <> ''
+        |      AND NOT contains(lower(l), 'javascript')
+        |      AND regexp_matches(trim(l), '[.!?"]$')
+        |      AND len(list_filter(string_split_regex(trim(l), '\s+'),
+        |                          w -> w <> '')) >= 3) AS kept
+        |  FROM lined
+        |  WHERE NOT contains(lower(ltext), 'lorem ipsum')
+        |    AND NOT contains(ltext, '{')
+        |    AND NOT contains(lower(ltext), 'terms of use')
+        |    AND NOT contains(lower(ltext), 'privacy policy')
+        |    AND NOT contains(lower(ltext), 'cookie policy')
+        |)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       array_to_string(kept, chr(10)) AS clean
+        |FROM f WHERE len(kept) >= 2""".stripMargin,
+    "text_pmi" -> {
+      // bigram PMI replay: adjacency via a 1-indexed range transform,
+      // the same 32-per-octave log code on 2^8-pre-scaled counts as
+      // the nb/surprisal oracles
+      def ilog(x: String): String =
+        s"(CASE WHEN $x < 32 THEN $x ELSE (length(bin($x)) - 6) * 32 " +
+          s"+ ($x >> (length(bin($x)) - 6)) END)"
+      s"""WITH base AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                     t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), b AS (
+        |  SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+        |    SELECT unnest(list_transform(range(2, len(tk) + 1),
+        |                  i -> struct_pack(w1 := tk[i-1], w2 := tk[i]))) AS p
+        |    FROM base WHERE len(tk) >= 2)
+        |), cab AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM b GROUP BY 1, 2
+        |), m1 AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY 1
+        |), m2 AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM cab
+        |), x AS (
+        |  SELECT w1, w2, c_ab, c1, c2, c_ab * 256 AS xab, n * 256 AS xn,
+        |         c1 * 256 AS x1, c2 * 256 AS x2
+        |  FROM cab JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+        |  WHERE c_ab >= 5
+        |), coded AS (
+        |  SELECT w1, w2, c_ab, c1, c2,
+        |         CAST(${ilog("xab")} + ${ilog("xn")}
+        |              - ${ilog("x1")} - ${ilog("x2")} AS BIGINT) AS pmi_code
+        |  FROM x
+        |)
+        |SELECT w1, w2, c_ab, c1, c2, pmi_code,
+        |       CAST(pmi_code AS DOUBLE) / 32.0 AS pmi_bits
+        |FROM coded""".stripMargin
+    },
+    "web_link_graph" -> {
+      // page domain from the shared url-shell CTE; the href shell, the
+      // extraction regex, the http(s) cut, and the link-host eTLD+1
+      // fold all replayed inline
+      val suffixes = WebOps.multiSuffixes.map("'" + _ + "'").mkString(", ")
+      s"""WITH $urlShellCte, h AS (
+        |  SELECT doc_id,
+        |    '<html><body><p>' || text || '</p><a href="http://src' ||
+        |    CAST((doc_id * 7 + 1) % 10 AS VARCHAR) || '.com/p/' ||
+        |    CAST(doc_id % 5 AS VARCHAR) || '">x</a>' ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |          THEN '<a class=''r'' href=''https://www.src' ||
+        |               CAST((doc_id * 3 + 2) % 10 AS VARCHAR) || '.org/q''>y</a>'
+        |          ELSE '' END) ||
+        |    '<a href="/rel/p">rel</a><a href="mailto:a@b.c">m</a></body></html>'
+        |    AS html
+        |  FROM documents
+        |), l AS (
+        |  SELECT d.domain AS src_domain,
+        |         unnest(regexp_extract_all(h.html,
+        |                'href\\s*=\\s*["'']([^"'']+)["'']', 1)) AS link
+        |  FROM d JOIN h USING (doc_id)
+        |), lk AS (
+        |  SELECT src_domain,
+        |    lower(regexp_extract(
+        |      regexp_extract(link, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      '^(?:[^@]*@)?([^:]*)', 1)) AS lh
+        |  FROM l
+        |  WHERE lower(regexp_extract(link, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |        IN ('http', 'https')
+        |), dd AS (
+        |  SELECT src_domain,
+        |    CASE WHEN len(string_split(lh, '.')) <= 2 THEN lh
+        |         WHEN array_to_string(string_split(lh, '.')[-2:], '.')
+        |              IN ($suffixes)
+        |           THEN array_to_string(string_split(lh, '.')[-3:], '.')
+        |         ELSE array_to_string(string_split(lh, '.')[-2:], '.') END AS dst_domain
+        |  FROM lk
+        |)
+        |SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links
+        |FROM dd GROUP BY 1, 2""".stripMargin
     },
     "media_chunks" ->
       """WITH b AS (

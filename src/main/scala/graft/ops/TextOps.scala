@@ -936,6 +936,123 @@ object TextOps {
           F.col("symbol_ok"))
   }
 
+  /** C4-style line-level cleaning (the T5 corpus recipe): the standard
+    * first-pass heuristic filter every web-scale text pipeline runs
+    * between HTML extraction ([[stripHtml]]) and model-based scoring
+    * ([[nbQualityFilter]]).
+    *
+    * Page-level drops (the whole document goes): text containing
+    * "lorem ipsum" (template placeholder), a '{' (source code), or a
+    * policy boilerplate phrase ("terms of use" / "privacy policy" /
+    * "cookie policy") - all case-insensitive.
+    *
+    * Line-level keeps (applied to each '\n'-separated line): non-blank,
+    * ends in a terminal punctuation mark (. ! ? ") after trimming, has
+    * at least `minWords` whitespace-separated words, and does not
+    * mention "javascript" (case-insensitive). A document survives only
+    * if at least `minLines` lines survive.
+    *
+    * Scale shape: one codegen'd projection + filter - split / lambda
+    * filter / array_join are all expression-level, so the operator
+    * fuses into the scan; NO shuffle, NO UDF, no driver state. The
+    * predicates live in the Java-regex/RE2 common subset so the DuckDB
+    * oracle replays them byte-for-byte.
+    *
+    * Output: (idCol, n_lines, n_kept, clean) for surviving documents -
+    * clean is the kept lines re-joined with '\n' in original order.
+    */
+  def c4LineFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 3,
+      minLines: Int = 2
+  ): DataFrame = {
+    require(minWords >= 1, s"need minWords >= 1, got $minWords")
+    require(minLines >= 1, s"need minLines >= 1, got $minLines")
+    val t = F.col(textCol)
+    val pageOk =
+      Seq("lorem ipsum", "terms of use", "privacy policy", "cookie policy")
+        .map(p => instr(lower(t), p) === 0).reduce(_ && _) &&
+        instr(t, "{") === 0
+    val lines = split(t, "\n")
+    val kept = F.filter(lines, l => {
+      val lt = trim(l)
+      lt =!= "" &&
+        instr(lower(l), "javascript") === 0 &&
+        lt.rlike("[.!?\"]$") &&
+        size(F.filter(split(lt, "\\s+"), w => w =!= "")) >= minWords
+    })
+    df.filter(t.isNotNull && pageOk)
+      .select(F.col(idCol),
+        size(lines).cast(LongType).as("n_lines"),
+        size(kept).cast(LongType).as("n_kept"),
+        array_join(kept, "\n").as("clean"))
+      .filter(F.col("n_kept") >= minLines)
+  }
+
+  /** Pointwise mutual information over adjacent token pairs - the
+    * classic collocation extractor (Church & Hanks 1990), the signal
+    * tokenizer-merge audits and stopword/phrase mining read at corpus
+    * scale. PMI(a,b) = log2(P(ab) / (P(a)P(b))) with positional
+    * marginals (a counted as bigram-left, b as bigram-right), taken in
+    * the SAME 32-per-octave integer log-code family as
+    * [[bigramSurprisal]]/[[nbQualityFilter]] on 2^8-pre-scaled counts,
+    * so the score is an exact integer both engines reproduce:
+    *
+    *   pmi_code = code(c_ab*256) + code(N*256)
+    *            - code(c1*256)   - code(c2*256)
+    *
+    * (N = total bigram occurrences; pmi_bits = pmi_code/32 is the
+    * log2 estimate, exact in binary since the divisor is a power of
+    * two).
+    *
+    * Scale shape: token explode -> bigram transform (projection-side
+    * 1->N, no shuffle) -> THREE map-side-combined aggregates onto
+    * vocabulary-sized frames (pair counts, left counts, right counts)
+    * -> a single-row total broadcast-cross-joined -> two equi-joins of
+    * the minCount-filtered pair table against the marginal tables.
+    * Document pairs are never formed; nothing corpus-sized shuffles
+    * after the count aggregates.
+    *
+    * Output: (w1, w2, c_ab, c1, c2, pmi_code, pmi_bits) for pairs with
+    * c_ab >= minCount.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 5L
+  ): DataFrame = {
+    require(minCount >= 1, s"need minCount >= 1, got $minCount")
+    def ilog32(name: String): String =
+      s"CASE WHEN $name < 32 THEN $name ELSE " +
+        s"(length(bin($name)) - 6) * 32 + shiftright($name, length(bin($name)) - 6) END"
+    val bgs = df
+      .filter(F.col(textCol).isNotNull)
+      .select(graft.ops.DedupOps.tokens(F.col(textCol)).as("tks"))
+      .filter(size(F.col("tks")) >= 2)
+      .select(explode(F.expr(
+        "transform(sequence(1, size(tks) - 1), " +
+          "i -> struct(tks[i-1] AS w1, tks[i] AS w2))")).as("p"))
+      .select(F.col("p.w1").as("w1"), F.col("p.w2").as("w2"))
+    val cab = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val c1 = bgs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c2 = bgs.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val tot = cab.agg(sum("c_ab").as("n"))
+    cab.filter(F.col("c_ab") >= minCount)
+      .join(c1, "w1")
+      .join(c2, "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("xab", F.col("c_ab") * lit(256L))
+      .withColumn("xn", F.col("n") * lit(256L))
+      .withColumn("x1", F.col("c1") * lit(256L))
+      .withColumn("x2", F.col("c2") * lit(256L))
+      .select(F.col("w1"), F.col("w2"), F.col("c_ab"), F.col("c1"), F.col("c2"),
+        (expr(ilog32("xab")) + expr(ilog32("xn"))
+          - expr(ilog32("x1")) - expr(ilog32("x2"))).as("pmi_code"))
+      .withColumn("pmi_bits", F.col("pmi_code").cast(DoubleType) / lit(32.0))
+  }
+
   /** Redact common PII shapes - emails, phone numbers, IPv4 addresses -
     * with typed placeholders. A pure regexp_replace chain: codegen'd,
     * streams at scan speed, RE2-safe patterns (no lookaround), applied

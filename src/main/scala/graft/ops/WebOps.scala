@@ -167,4 +167,46 @@ object WebOps {
     val host = urlHost(F.col(urlCol))
     df.filter(!(registrableDomain(host).isin(entries: _*) || host.isin(entries: _*)))
   }
+
+  /** href attribute values in `htmlCol`, one output row per link (the
+    * input row is duplicated beside each). Extraction is a single
+    * codegen'd `regexp_extract_all` + explode (projection-side 1->N, no
+    * shuffle): href = "..." or href = '...', whitespace-tolerant around
+    * the '=', in the Java-regex/RE2 common subset. Only absolute
+    * http/https links survive - relative paths, mailto:, javascript:
+    * and fragment links are dropped (a crawl frontier wants resolvable
+    * fetch targets; base-URL resolution of relative links is a
+    * different, stateful stage).
+    */
+  def extractLinks(df: DataFrame, htmlCol: String): DataFrame =
+    df.withColumn("link", explode(regexp_extract_all(
+        F.col(htmlCol),
+        lit("href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1))))
+      .filter(urlScheme(F.col("link")).isin("http", "https"))
+
+  /** Registrable-domain link graph of a crawled page set - the
+    * host-graph every link-based curation signal (domain authority,
+    * spam-farm detection, crawl-frontier prioritization) is computed
+    * from. Each page contributes (its own eTLD+1) -> (eTLD+1 of every
+    * absolute http(s) href in its HTML) edges; parallel links collapse
+    * into a weight.
+    *
+    * Scale shape: link extraction and BOTH domain folds are codegen'd
+    * projections fused into the scan; the only shuffle is the final
+    * count keyed on the (src, dst) domain pair - an edge-list-sized
+    * frame (bounded by the crawl's inter-domain link structure, far
+    * smaller than the corpus). Pages never pair with pages; self-links
+    * (within-domain navigation) are kept - callers that want the
+    * cross-domain graph filter `src_domain <> dst_domain`, one
+    * predicate on the already-tiny edge frame.
+    *
+    * Output: (src_domain, dst_domain, n_links).
+    */
+  def linkGraph(df: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    extractLinks(df, htmlCol)
+      .select(
+        registrableDomain(urlHost(F.col(urlCol))).as("src_domain"),
+        registrableDomain(urlHost(F.col("link"))).as("dst_domain"))
+      .groupBy(F.col("src_domain"), F.col("dst_domain"))
+      .agg(count(lit(1)).as("n_links"))
 }

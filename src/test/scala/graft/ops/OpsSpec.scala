@@ -3586,4 +3586,57 @@ class OpsSpec extends SparkSpec {
     assert(got(1L)._3 === doc1Score)
     assert(got(1L)._2 === 4L)
   }
+
+  test("c4LineFilter: line predicates, page-level drops, and the minLines cut") {
+    val rows = Seq(
+      // kept: line 1 (terminal punct, 4 words) and line 5; lines 2-4
+      // fail word-count / punctuation / javascript respectively
+      (1L, "Good first line here.\nshort.\nno terminal punct line\n" +
+        "mentions javascript today.\nAnother good line stays!"),
+      (2L, "Good first line here.\ncode snippet { x }"), // page drop: brace
+      (3L, "Good first line here.\nsome lorem ipsum filler.\nfine line stays here."),
+      (4L, "Read our privacy policy today.\nAnother good line stays!"),
+      (5L, "Only one good line survives here.\nnope\nstill nope"), // n_kept 1 < 2
+      (6L, null.asInstanceOf[String]),
+      (7L, "He said \"stop\" and left.\nShe answered \"fine\"") // quote terminal
+    ).toDF("doc_id", "text")
+    val got = TextOps.c4LineFilter(rows, "doc_id", "text", minWords = 3, minLines = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 7L))
+    assert(got(1L) == ((1L, 5L, 2L,
+      "Good first line here.\nAnother good line stays!")))
+    assert(got(7L) == ((7L, 2L, 2L,
+      "He said \"stop\" and left.\nShe answered \"fine\"")))
+  }
+
+  test("pmiCollocations: counts and the integer log-PMI code match hand arithmetic") {
+    // bigrams: (a,b) x3, (b,a) x1, (b,c) x1, (b,x) x1 -> N = 6
+    // PMI(a,b) = log2(3 * 6 / (3 * 3)) = 1 bit -> code 32
+    val df = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(df, "text", minCount = 2L)
+      .as[(String, String, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    assert(got(0) == (("a", "b", 3L, 3L, 3L, 32L, 1.0)))
+    assert(TextOps.pmiCollocations(df, "text", minCount = 1L).count() == 4)
+  }
+
+  test("linkGraph: href extraction, absolute-http(s) cut, eTLD+1 fold on both ends") {
+    val pages = Seq(
+      (1L, "http://a.x.com/p",
+        "<a href=\"http://b.com/1\">l</a><a href='https://www.c.co.uk/2'>m</a>" +
+          "<a href=\"/rel\">r</a><a href=\"mailto:u@d.com\">e</a>"),
+      (2L, "https://a.com/q",
+        "text <a href = \"http://b.com/3\">z</a> <a href=\"ftp://f.org/4\">f</a>"),
+      (3L, "https://nolinks.org", "no anchors at all")
+    ).toDF("doc_id", "url", "html")
+    val links = WebOps.extractLinks(pages, "html")
+      .select("doc_id", "link").as[(Long, String)].collect().toSet
+    assert(links == Set(
+      (1L, "http://b.com/1"), (1L, "https://www.c.co.uk/2"),
+      (2L, "http://b.com/3"))) // relative, mailto:, ftp all cut
+    val got = WebOps.linkGraph(pages, "url", "html")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("x.com", "b.com", 1L), ("x.com", "c.co.uk", 1L), ("a.com", "b.com", 1L)))
+  }
 }
