@@ -65,6 +65,93 @@ object SparkEntry {
       concat(lit("?q="), substring(md5(col("text")), 7, 4))).otherwise(lit("")),
     when(col("doc_id") % 17 === 0, lit("#sec")).otherwise(lit("")))
 
+  /** Deterministic HTML shell with anchor elements for the link-graph
+    * queries (`web_link_graph` / `web_domain_rank` / `web_anchor_text`):
+    * two absolute hrefs with worded anchor texts (double- AND
+    * single-quoted attribute forms, one behind extra attributes), plus
+    * a relative and a mailto link that extraction must cut. ONE builder
+    * + ONE oracle CTE ([[linkShellCte]]) shared by all three - same
+    * no-drift rule as [[synthUrlCol]]/[[urlShellCte]].
+    */
+  private def synthLinkHtmlCol: org.apache.spark.sql.Column = concat(
+    lit("<html><body><p>"), col("text"), lit("</p><a href=\"http://src"),
+    ((col("doc_id") * 7 + 1) % 10).cast(StringType), lit(".com/p/"),
+    (col("doc_id") % 5).cast(StringType), lit("\">read doc "),
+    (col("doc_id") % 3).cast(StringType), lit(" now</a>"),
+    when(col("doc_id") % 2 === 0,
+      concat(lit("<a class='r' href='https://www.src"),
+        ((col("doc_id") * 3 + 2) % 10).cast(StringType),
+        lit(".org/q'>more about topic "),
+        (col("doc_id") % 4).cast(StringType), lit("</a>")))
+      .otherwise(lit("")),
+    lit("<a href=\"/rel/p\">rel</a><a href=\"mailto:a@b.c\">write us</a>" +
+      "</body></html>"))
+
+  /** The eTLD+1 fold of [[graft.ops.WebOps.registrableDomain]] as a SQL
+    * CASE over a host expression - ONE builder for every oracle that
+    * folds a host (the url-shell `d` CTE, the link-target fold, the
+    * anchor-target fold), so the folds cannot drift.
+    */
+  private def domainFoldSql(host: String): String = {
+    val suffixes = graft.ops.WebOps.multiSuffixes.map("'" + _ + "'").mkString(", ")
+    s"""CASE WHEN len(string_split($host, '.')) <= 2 THEN $host
+      |         WHEN array_to_string(string_split($host, '.')[-2:], '.')
+      |              IN ($suffixes)
+      |           THEN array_to_string(string_split($host, '.')[-3:], '.')
+      |         ELSE array_to_string(string_split($host, '.')[-2:], '.') END"""
+  }
+
+  /** Host-of-URL extraction as a SQL expression (scheme://[user@]host
+    * [:port] authority walk) - shared by the link/anchor oracle folds.
+    */
+  private def hostOfSql(url: String): String =
+    s"lower(regexp_extract(regexp_extract($url, " +
+      s"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^(?:[^@]*@)?([^:]*)', 1))"
+
+  /** `h(doc_id, html)` - the [[synthLinkHtmlCol]] shell replayed with
+    * `||`. Like [[urlShellCte]], deliberately NOT pre-stripMargin'd.
+    */
+  private val linkShellCte: String =
+    """h AS (
+      |  SELECT doc_id,
+      |    '<html><body><p>' || text || '</p><a href="http://src' ||
+      |    CAST((doc_id * 7 + 1) % 10 AS VARCHAR) || '.com/p/' ||
+      |    CAST(doc_id % 5 AS VARCHAR) || '">read doc ' ||
+      |    CAST(doc_id % 3 AS VARCHAR) || ' now</a>' ||
+      |    (CASE WHEN doc_id % 2 = 0
+      |          THEN '<a class=''r'' href=''https://www.src' ||
+      |               CAST((doc_id * 3 + 2) % 10 AS VARCHAR) ||
+      |               '.org/q''>more about topic ' ||
+      |               CAST(doc_id % 4 AS VARCHAR) || '</a>'
+      |          ELSE '' END) ||
+      |    '<a href="/rel/p">rel</a><a href="mailto:a@b.c">write us</a></body></html>'
+      |    AS html
+      |  FROM documents
+      |)"""
+
+  /** `l(src_domain, link)` + `dd(src_domain, dst_domain)` - the
+    * [[graft.ops.WebOps.extractLinks]] replay (href regex, absolute
+    * http(s) cut) joined to the url-shell page domain, with the
+    * link-host fold. Expects [[urlShellCte]]'s `d` and
+    * [[linkShellCte]]'s `h` upstream; NOT pre-stripMargin'd.
+    */
+  private val linkFoldCtes: String =
+    s"""l AS (
+      |  SELECT d.domain AS src_domain,
+      |         unnest(regexp_extract_all(h.html,
+      |                'href\\s*=\\s*["'']([^"'']+)["'']', 1)) AS link
+      |  FROM d JOIN h USING (doc_id)
+      |), lk AS (
+      |  SELECT src_domain, ${hostOfSql("link")} AS lh
+      |  FROM l
+      |  WHERE lower(regexp_extract(link, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |        IN ('http', 'https')
+      |), dd AS (
+      |  SELECT src_domain,
+      |    ${domainFoldSql("lh")} AS dst_domain
+      |  FROM lk
+      |)"""
+
   /** `u(doc_id, source, n_chars, url)` + `p(..., scheme, host, port,
     * path, qstr)` + `d(..., domain)` CTE chain: the [[synthUrlCol]]
     * shell replayed with `||` (null-propagating, like Spark `concat`)
@@ -73,7 +160,6 @@ object SparkEntry {
     * fold over the interpolated [[WebOps.multiSuffixes]] list.
     */
   private val urlShellCte: String = {
-    val suffixes = WebOps.multiSuffixes.map("'" + _ + "'").mkString(", ")
     s"""u AS (
       |  SELECT doc_id, source, n_chars,
       |    (CASE doc_id % 4 WHEN 0 THEN 'https' WHEN 1 THEN 'http'
@@ -104,11 +190,7 @@ object SparkEntry {
       |  FROM u
       |), d AS (
       |  SELECT p.*,
-      |    CASE WHEN len(string_split(host, '.')) <= 2 THEN host
-      |         WHEN array_to_string(string_split(host, '.')[-2:], '.')
-      |              IN ($suffixes)
-      |           THEN array_to_string(string_split(host, '.')[-3:], '.')
-      |         ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
+      |    ${domainFoldSql("host")} AS domain
       |  FROM p
       |)"""
     // NOT .stripMargin: this fragment interpolates into oracle templates
@@ -1146,20 +1228,34 @@ object SparkEntry {
       // link that must NOT survive), the page's own domain comes from
       // the shared URL shell, and the only shuffle is the final count
       // on the (src, dst) domain pair
-      val id = col("doc_id")
-      val linkHtml = concat(
-        lit("<html><body><p>"), col("text"), lit("</p><a href=\"http://src"),
-        ((id * 7 + 1) % 10).cast(StringType), lit(".com/p/"),
-        (id % 5).cast(StringType), lit("\">x</a>"),
-        when(id % 2 === 0, concat(lit("<a class='r' href='https://www.src"),
-          ((id * 3 + 2) % 10).cast(StringType), lit(".org/q'>y</a>")))
-          .otherwise(lit("")),
-        lit("<a href=\"/rel/p\">rel</a><a href=\"mailto:a@b.c\">m</a>" +
-          "</body></html>"))
       WebOps.linkGraph(
         tbl(s, dir, "documents")
-          .withColumn("url", synthUrlCol).withColumn("html", linkHtml),
+          .withColumn("url", synthUrlCol).withColumn("html", synthLinkHtmlCol),
         "url", "html")
+    },
+    "web_domain_rank" -> { (s, dir) =>
+      // domain authority: the same integer PageRank as graph_pagerank
+      // (string node ids - the engine is key-type-agnostic) over the
+      // symmetrized cross-domain link graph. The corpus is scanned
+      // once into a domain-pair-sized edge frame; every PageRank round
+      // then works on frames bounded by the domain count.
+      val pages = tbl(s, dir, "documents")
+        .withColumn("url", synthUrlCol).withColumn("html", synthLinkHtmlCol)
+      val edges = WebOps.linkGraph(pages, "url", "html")
+        .filter(col("src_domain") =!= col("dst_domain"))
+        .select(col("src_domain").as("sd"), col("dst_domain").as("dd"))
+      val sym = edges.union(edges.select(col("dd").as("sd"), col("sd").as("dd")))
+      GraphOps.pageRank(sym, "sd", "dd", iterations = 10)
+        .select(col("node").as("domain"), col("rank_int"))
+    },
+    "web_anchor_text" -> { (s, dir) =>
+      // anchor-text profile: how the crawl DESCRIBES each target
+      // domain (the classic off-page relevance signal) - anchor
+      // element extraction, http(s) cut, eTLD+1 fold, token explode;
+      // ONE shuffle on the (domain, token) pair
+      WebOps.anchorProfile(
+        tbl(s, dir, "documents").withColumn("html", synthLinkHtmlCol),
+        "html")
     },
     "text_contamination" -> { (s, dir) =>
       // decontamination pass: which training docs leak >= 10% of a test
@@ -3202,47 +3298,64 @@ object SparkEntry {
         |       CAST(pmi_code AS DOUBLE) / 32.0 AS pmi_bits
         |FROM coded""".stripMargin
     },
-    "web_link_graph" -> {
-      // page domain from the shared url-shell CTE; the href shell, the
-      // extraction regex, the http(s) cut, and the link-host eTLD+1
-      // fold all replayed inline
-      val suffixes = WebOps.multiSuffixes.map("'" + _ + "'").mkString(", ")
-      s"""WITH $urlShellCte, h AS (
-        |  SELECT doc_id,
-        |    '<html><body><p>' || text || '</p><a href="http://src' ||
-        |    CAST((doc_id * 7 + 1) % 10 AS VARCHAR) || '.com/p/' ||
-        |    CAST(doc_id % 5 AS VARCHAR) || '">x</a>' ||
-        |    (CASE WHEN doc_id % 2 = 0
-        |          THEN '<a class=''r'' href=''https://www.src' ||
-        |               CAST((doc_id * 3 + 2) % 10 AS VARCHAR) || '.org/q''>y</a>'
-        |          ELSE '' END) ||
-        |    '<a href="/rel/p">rel</a><a href="mailto:a@b.c">m</a></body></html>'
-        |    AS html
-        |  FROM documents
-        |), l AS (
-        |  SELECT d.domain AS src_domain,
-        |         unnest(regexp_extract_all(h.html,
-        |                'href\\s*=\\s*["'']([^"'']+)["'']', 1)) AS link
-        |  FROM d JOIN h USING (doc_id)
-        |), lk AS (
-        |  SELECT src_domain,
-        |    lower(regexp_extract(
-        |      regexp_extract(link, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
-        |      '^(?:[^@]*@)?([^:]*)', 1)) AS lh
-        |  FROM l
+    "web_link_graph" ->
+      // page domain from the shared url-shell CTE; href shell,
+      // extraction regex, http(s) cut and link-host fold from the
+      // shared link CTEs
+      s"""WITH $urlShellCte, $linkShellCte, $linkFoldCtes
+        |SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links
+        |FROM dd GROUP BY 1, 2""".stripMargin,
+    "web_domain_rank" -> {
+      // the graph_pagerank integer replay (same unit, restart, and
+      // floor divisions) over the symmetrized cross-domain edges of
+      // the shared link CTEs
+      val rounds = (1 to 10).map { i =>
+        s"""r$i AS (
+           |  SELECT e.dst AS node,
+           |         CAST(150000000 + (85 * sum(p.r // d2.deg)) // 100 AS BIGINT) AS r
+           |  FROM r${i - 1} p JOIN deg d2 USING (node) JOIN e ON e.src = p.node
+           |  GROUP BY 1
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $urlShellCte, $linkShellCte, $linkFoldCtes, e0 AS (
+        |  SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM dd
+        |  WHERE src_domain <> dst_domain
+        |), e AS (
+        |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+        |), deg AS (
+        |  SELECT src AS node, count(*) AS deg FROM e GROUP BY 1
+        |), r0 AS (
+        |  SELECT node, CAST(1000000000 AS BIGINT) AS r FROM deg
+        |), $rounds
+        |SELECT node AS domain, r AS rank_int FROM r10""".stripMargin
+    },
+    "web_anchor_text" -> {
+      // anchor elements re-extracted whole, then split into (link,
+      // anchor); the same http(s) cut and host fold as the link CTEs,
+      // then the shared tokenizer over the anchor text
+      // s-interp so the \\s collapses to \s in the SQL literal (plain
+      // triple-quoted would ship a literal backslash-s, which RE2
+      // treats as an escaped backslash, not whitespace)
+      val pat = s"""<a[^>]*href\\s*=\\s*["'']([^"'']+)["''][^>]*>([^<]*)</a>"""
+      s"""WITH $linkShellCte, ae AS (
+        |  SELECT unnest(regexp_extract_all(html, '$pat', 0)) AS a_elem FROM h
+        |), ax AS (
+        |  SELECT regexp_extract(a_elem, '$pat', 1) AS link,
+        |         regexp_extract(a_elem, '$pat', 2) AS anchor
+        |  FROM ae
+        |), af AS (
+        |  SELECT ${hostOfSql("link")} AS lh, anchor
+        |  FROM ax
         |  WHERE lower(regexp_extract(link, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
         |        IN ('http', 'https')
-        |), dd AS (
-        |  SELECT src_domain,
-        |    CASE WHEN len(string_split(lh, '.')) <= 2 THEN lh
-        |         WHEN array_to_string(string_split(lh, '.')[-2:], '.')
-        |              IN ($suffixes)
-        |           THEN array_to_string(string_split(lh, '.')[-3:], '.')
-        |         ELSE array_to_string(string_split(lh, '.')[-2:], '.') END AS dst_domain
-        |  FROM lk
+        |), tk AS (
+        |  SELECT ${domainFoldSql("lh")} AS dst_domain,
+        |    unnest(list_filter(string_split_regex(lower(trim(anchor)), '\\s+'),
+        |                       t -> t <> '')) AS token
+        |  FROM af
         |)
-        |SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links
-        |FROM dd GROUP BY 1, 2""".stripMargin
+        |SELECT dst_domain, token, CAST(count(*) AS BIGINT) AS n_mentions
+        |FROM tk GROUP BY 1, 2""".stripMargin
     },
     "media_chunks" ->
       """WITH b AS (

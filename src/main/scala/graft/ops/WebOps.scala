@@ -209,4 +209,40 @@ object WebOps {
         registrableDomain(urlHost(F.col("link"))).as("dst_domain"))
       .groupBy(F.col("src_domain"), F.col("dst_domain"))
       .agg(count(lit(1)).as("n_links"))
+
+  /** Anchor elements of `htmlCol` as (link, anchor) rows beside the
+    * input row - the classic IR relevance signal: how OTHER pages
+    * describe a target. One `regexp_extract_all` over whole `<a
+    * href=...>text</a>` elements + explode, then the two groups
+    * re-extracted from the (short) element string; same absolute
+    * http(s) cut as [[extractLinks]]. All codegen'd projections, no
+    * shuffle.
+    */
+  def anchorTexts(df: DataFrame, htmlCol: String): DataFrame = {
+    val pat = "<a[^>]*href\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>([^<]*)</a>"
+    df.withColumn("a_elem", explode(regexp_extract_all(
+        F.col(htmlCol), lit(pat), lit(0))))
+      .withColumn("link", regexp_extract(F.col("a_elem"), pat, 1))
+      .withColumn("anchor", regexp_extract(F.col("a_elem"), pat, 2))
+      .filter(urlScheme(F.col("link")).isin("http", "https"))
+      .drop("a_elem")
+  }
+
+  /** Per-target-domain anchor-text vocabulary: for every registrable
+    * domain, the tokens other pages link to it WITH, and how often -
+    * the aggregated form search/curation ranks on (a domain described
+    * as "spam casino bonus" by its in-links reads very differently
+    * from its self-description). Extraction and the domain fold fuse
+    * into the scan; the single shuffle is the final count keyed on the
+    * (domain, token) pair - an anchor-vocabulary-sized frame.
+    *
+    * Output: (dst_domain, token, n_mentions).
+    */
+  def anchorProfile(df: DataFrame, htmlCol: String): DataFrame =
+    anchorTexts(df, htmlCol)
+      .select(
+        registrableDomain(urlHost(F.col("link"))).as("dst_domain"),
+        explode(graft.ops.DedupOps.tokens(F.col("anchor"))).as("token"))
+      .groupBy(F.col("dst_domain"), F.col("token"))
+      .agg(count(lit(1)).as("n_mentions"))
 }

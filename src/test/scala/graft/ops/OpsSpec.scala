@@ -3639,4 +3639,18 @@ class OpsSpec extends SparkSpec {
     assert(got == Set(
       ("x.com", "b.com", 1L), ("x.com", "c.co.uk", 1L), ("a.com", "b.com", 1L)))
   }
+
+  test("anchorProfile: anchor tokens fold to the target domain; non-http anchors cut") {
+    val pages = Seq(
+      (1L, "<a href=\"http://b.com/1\">Great Site here</a>" +
+        "<a href='https://www.c.co.uk/2'>useful site</a>"),
+      (2L, "<a class='x' href=\"http://b.com/3\" rel=\"nofollow\">great site</a>" +
+        "<a href=\"mailto:u@d.com\">write us</a>")
+    ).toDF("doc_id", "html")
+    val got = WebOps.anchorProfile(pages, "html")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("b.com", "great", 2L), ("b.com", "site", 2L), ("b.com", "here", 1L),
+      ("c.co.uk", "useful", 1L), ("c.co.uk", "site", 1L)))
+  }
 }
