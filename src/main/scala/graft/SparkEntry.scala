@@ -87,6 +87,82 @@ object SparkEntry {
     lit("<a href=\"/rel/p\">rel</a><a href=\"mailto:a@b.c\">write us</a>" +
       "</body></html>"))
 
+  /** Deterministic multi-line text shell for the C4-filter queries
+    * (`docs_c4_filter`, `web_pipeline`): good lines, a javascript
+    * notice, a too-short line, a no-punctuation line, and page-level
+    * poison (code braces / lorem ipsum / policy boilerplate) on id-mod
+    * slices. ONE builder + ONE oracle CTE ([[c4LinedCte]]) shared by
+    * both - same no-drift rule as [[synthUrlCol]]/[[urlShellCte]].
+    */
+  private def synthLinedCol: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      when(id % 7 === 0, concat(lit("Doc "), id.cast(StringType)))
+        .otherwise(concat(lit("Doc "), id.cast(StringType),
+          lit(" begins here."))),
+      lit("\n"), substring(col("text"), 1, 60), lit("."),
+      when(id % 3 === 0,
+        lit("\nPlease enable JavaScript to continue viewing."))
+        .otherwise(lit("")),
+      when(id % 4 === 0, lit("\nok.")).otherwise(lit("")),
+      when(id % 5 === 0, lit("\nclick here to subscribe now"))
+        .otherwise(lit("")),
+      lit("\n"), substring(col("text"), 61, 40),
+      when(id % 7 === 0, lit("\nand then it just stops"))
+        .otherwise(lit("\nThe final line ends properly!")),
+      when(id % 11 === 0, lit("\nif (x) { return; }")).otherwise(lit("")),
+      when(id % 13 === 0, lit("\nfiller lorem ipsum dolor sit amet."))
+        .otherwise(lit("")),
+      when(id % 17 === 0, lit("\nSee our privacy policy for details."))
+        .otherwise(lit("")))
+  }
+
+  /** `lined(doc_id, source, ltext)` - the [[synthLinedCol]] shell
+    * replayed with `||` + chr(10) over relation `rel`, plus
+    * `f(doc_id, source, ls, kept)` - the [[graft.ops.TextOps
+    * .c4LineFilter]] replay (minWords = 3; page-level cuts in the
+    * WHERE, line predicates in the list lambda). NOT pre-stripMargin'd.
+    */
+  private def c4LinedCtes(rel: String): String =
+    s"""lined AS (
+      |  SELECT doc_id, source,
+      |    (CASE WHEN doc_id % 7 = 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+      |          ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || ' begins here.' END)
+      |    || chr(10) || substr(text, 1, 60) || '.'
+      |    || (CASE WHEN doc_id % 3 = 0
+      |             THEN chr(10) || 'Please enable JavaScript to continue viewing.'
+      |             ELSE '' END)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'ok.' ELSE '' END)
+      |    || (CASE WHEN doc_id % 5 = 0
+      |             THEN chr(10) || 'click here to subscribe now' ELSE '' END)
+      |    || chr(10) || substr(text, 61, 40)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'and then it just stops'
+      |             ELSE chr(10) || 'The final line ends properly!' END)
+      |    || (CASE WHEN doc_id % 11 = 0
+      |             THEN chr(10) || 'if (x) { return; }' ELSE '' END)
+      |    || (CASE WHEN doc_id % 13 = 0
+      |             THEN chr(10) || 'filler lorem ipsum dolor sit amet.' ELSE '' END)
+      |    || (CASE WHEN doc_id % 17 = 0
+      |             THEN chr(10) || 'See our privacy policy for details.' ELSE '' END)
+      |    AS ltext
+      |  FROM $rel WHERE text IS NOT NULL
+      |), f AS (
+      |  SELECT doc_id, source,
+      |    string_split(ltext, chr(10)) AS ls,
+      |    list_filter(string_split(ltext, chr(10)), l ->
+      |      trim(l) <> ''
+      |      AND NOT contains(lower(l), 'javascript')
+      |      AND regexp_matches(trim(l), '[.!?"]${"$"}')
+      |      AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+      |                          w -> w <> '')) >= 3) AS kept
+      |  FROM lined
+      |  WHERE NOT contains(lower(ltext), 'lorem ipsum')
+      |    AND NOT contains(ltext, '{')
+      |    AND NOT contains(lower(ltext), 'terms of use')
+      |    AND NOT contains(lower(ltext), 'privacy policy')
+      |    AND NOT contains(lower(ltext), 'cookie policy')
+      |)"""
+
   /** The eTLD+1 fold of [[graft.ops.WebOps.registrableDomain]] as a SQL
     * CASE over a host expression - ONE builder for every oracle that
     * folds a host (the url-shell `d` CTE, the link-target fold, the
@@ -215,12 +291,13 @@ object SparkEntry {
     * as [[ppForwardCtes]]/[[urlShellCte]]. Like [[urlShellCte]],
     * deliberately NOT pre-stripMargin'd (the outer templates strip).
     */
-  private val nbWeightCtes: String =
+  private def nbWeightCtes(
+      rel: String = "documents", textCol: String = "text"): String =
     s"""base AS (
       |  SELECT doc_id, source IN ('src0', 'src1', 'src2') AS lbl,
-      |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |         list_filter(string_split_regex(lower(trim($textCol)), '\\s+'),
       |                     t -> t <> '') AS tk
-      |  FROM documents WHERE text IS NOT NULL
+      |  FROM $rel WHERE $textCol IS NOT NULL
       |), tok AS (
       |  SELECT doc_id, lbl, unnest(tk) AS t FROM base
       |), types AS (
@@ -1186,35 +1263,33 @@ object SparkEntry {
         "doc_id", "stext")
     },
     "docs_c4_filter" -> { (s, dir) =>
-      // C4-style line-level cleaning: each doc gets a deterministic
-      // multi-line shell (good lines, a javascript notice, a too-short
-      // line, a no-punctuation line, and page-level poison - code
-      // braces / lorem ipsum / policy boilerplate - on id-mod slices),
-      // then the T5-recipe filter runs at scan speed. The oracle
-      // replays shell AND filter with list lambdas.
-      val id = col("doc_id")
-      val lined = concat(
-        when(id % 7 === 0, concat(lit("Doc "), id.cast(StringType)))
-          .otherwise(concat(lit("Doc "), id.cast(StringType),
-            lit(" begins here."))),
-        lit("\n"), substring(col("text"), 1, 60), lit("."),
-        when(id % 3 === 0,
-          lit("\nPlease enable JavaScript to continue viewing."))
-          .otherwise(lit("")),
-        when(id % 4 === 0, lit("\nok.")).otherwise(lit("")),
-        when(id % 5 === 0, lit("\nclick here to subscribe now"))
-          .otherwise(lit("")),
-        lit("\n"), substring(col("text"), 61, 40),
-        when(id % 7 === 0, lit("\nand then it just stops"))
-          .otherwise(lit("\nThe final line ends properly!")),
-        when(id % 11 === 0, lit("\nif (x) { return; }")).otherwise(lit("")),
-        when(id % 13 === 0, lit("\nfiller lorem ipsum dolor sit amet."))
-          .otherwise(lit("")),
-        when(id % 17 === 0, lit("\nSee our privacy policy for details."))
-          .otherwise(lit("")))
+      // C4-style line-level cleaning over the shared multi-line shell
+      // (synthLinedCol - good lines, a javascript notice, a too-short
+      // line, a no-punctuation line, and page-level poison on id-mod
+      // slices), run at scan speed. The oracle replays shell AND
+      // filter with list lambdas from the shared c4LinedCtes.
       TextOps.c4LineFilter(
-        tbl(s, dir, "documents").withColumn("ltext", lined),
+        tbl(s, dir, "documents").withColumn("ltext", synthLinedCol),
         "doc_id", "ltext", minWords = 3, minLines = 2)
+    },
+    "web_pipeline" -> { (s, dir) =>
+      // the FineWeb-shaped curation pipeline END-TO-END in one plan:
+      // domain blocklist cut (in-place filter, no shuffle) -> C4 line
+      // cleaning (codegen, fuses into the scan) -> seed-trained NB
+      // quality scoring over the CLEANED text -> greedy token-budget
+      // selection via the distributed prefix sum. Every stage's replay
+      // fragment is shared with its standalone query, so the composed
+      // oracle cannot drift from the pieces.
+      val pages = tbl(s, dir, "documents").withColumn("url", synthUrlCol)
+      val survivors = WebOps.blockDomains(pages, "url",
+        Seq("src2.com", "src5.co.uk", "src8.org", "www.src3.com"))
+      val cleaned = TextOps.c4LineFilter(
+          survivors.withColumn("ltext", synthLinedCol),
+          "doc_id", "ltext", minWords = 3, minLines = 2)
+        .join(survivors.select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("seed", col("source").isin("src0", "src1", "src2"))
+      TextOps.qualityBudget(cleaned, "doc_id", "clean", "seed",
+        budgetTokens = 2500L)
     },
     "text_pmi" -> { (s, dir) =>
       // collocation mining: integer log-code PMI over adjacent token
@@ -3121,7 +3196,7 @@ object SparkEntry {
       // full integer replay of the NB log-odds weights (shared
       // nbWeightCtes): the 32-per-octave log code on the 2^8-pre-scaled
       // smoothed counts, one exact double division
-      s"""WITH $nbWeightCtes
+      s"""WITH ${nbWeightCtes()}
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |       CAST(SUM(w) AS BIGINT) AS score,
         |       CAST(SUM(w) AS DOUBLE) / (CAST(count(*) AS BIGINT) * 32) AS avg_bits,
@@ -3132,7 +3207,7 @@ object SparkEntry {
       // the same weight replay, then the greedy budget cut: rank by
       // (score DESC, doc_id), window-cumulate token counts, keep the
       // prefix within budget
-      s"""WITH $nbWeightCtes, scored AS (
+      s"""WITH ${nbWeightCtes()}, scored AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |         CAST(SUM(w) AS BIGINT) AS score
         |  FROM tok JOIN wt USING (t)
@@ -3170,7 +3245,7 @@ object SparkEntry {
     "web_domain_quality" ->
       // composes the two shared CTE fragments: url shell/parse (u,p,d)
       // + NB weights (base..wt); token-weighted mean bits per domain
-      s"""WITH $urlShellCte, $nbWeightCtes, scored AS (
+      s"""WITH $urlShellCte, ${nbWeightCtes()}, scored AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |         CAST(SUM(w) AS BIGINT) AS score
         |  FROM tok JOIN wt USING (t)
@@ -3215,50 +3290,40 @@ object SparkEntry {
         |FROM c""".stripMargin
     },
     "docs_c4_filter" ->
-      // the line shell replayed with || + chr(10), the filter with list
-      // lambdas; every predicate in the Java-regex/RE2 common subset
-      """WITH lined AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 7 = 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
-        |          ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || ' begins here.' END)
-        |    || chr(10) || substr(text, 1, 60) || '.'
-        |    || (CASE WHEN doc_id % 3 = 0
-        |             THEN chr(10) || 'Please enable JavaScript to continue viewing.'
-        |             ELSE '' END)
-        |    || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'ok.' ELSE '' END)
-        |    || (CASE WHEN doc_id % 5 = 0
-        |             THEN chr(10) || 'click here to subscribe now' ELSE '' END)
-        |    || chr(10) || substr(text, 61, 40)
-        |    || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'and then it just stops'
-        |             ELSE chr(10) || 'The final line ends properly!' END)
-        |    || (CASE WHEN doc_id % 11 = 0
-        |             THEN chr(10) || 'if (x) { return; }' ELSE '' END)
-        |    || (CASE WHEN doc_id % 13 = 0
-        |             THEN chr(10) || 'filler lorem ipsum dolor sit amet.' ELSE '' END)
-        |    || (CASE WHEN doc_id % 17 = 0
-        |             THEN chr(10) || 'See our privacy policy for details.' ELSE '' END)
-        |    AS ltext
-        |  FROM documents WHERE text IS NOT NULL
-        |), f AS (
-        |  SELECT doc_id,
-        |    string_split(ltext, chr(10)) AS ls,
-        |    list_filter(string_split(ltext, chr(10)), l ->
-        |      trim(l) <> ''
-        |      AND NOT contains(lower(l), 'javascript')
-        |      AND regexp_matches(trim(l), '[.!?"]$')
-        |      AND len(list_filter(string_split_regex(trim(l), '\s+'),
-        |                          w -> w <> '')) >= 3) AS kept
-        |  FROM lined
-        |  WHERE NOT contains(lower(ltext), 'lorem ipsum')
-        |    AND NOT contains(ltext, '{')
-        |    AND NOT contains(lower(ltext), 'terms of use')
-        |    AND NOT contains(lower(ltext), 'privacy policy')
-        |    AND NOT contains(lower(ltext), 'cookie policy')
-        |)
+      // the shared line shell + filter CTEs (c4LinedCtes), then the
+      // survival cut
+      s"""WITH ${c4LinedCtes("documents")}
         |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
         |       CAST(len(kept) AS BIGINT) AS n_kept,
         |       array_to_string(kept, chr(10)) AS clean
         |FROM f WHERE len(kept) >= 2""".stripMargin,
+    "web_pipeline" -> {
+      // the end-to-end composition: url-shell blocklist cut -> shared
+      // C4 CTEs -> NB weight CTEs over the CLEANED text -> the same
+      // greedy budget tail as docs_quality_budget (budget 2500)
+      val bl = Seq("src2.com", "src5.co.uk", "src8.org", "www.src3.com")
+        .map("'" + _ + "'").mkString(", ")
+      s"""WITH $urlShellCte, blocked AS (
+        |  SELECT d.doc_id, d.source, x.text
+        |  FROM d JOIN documents x USING (doc_id)
+        |  WHERE NOT (domain IN ($bl) OR host IN ($bl))
+        |), ${c4LinedCtes("blocked")}, cleaned AS (
+        |  SELECT doc_id, source, array_to_string(kept, chr(10)) AS clean
+        |  FROM f WHERE len(kept) >= 2
+        |), ${nbWeightCtes("cleaned", "clean")}, scored AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(w) AS BIGINT) AS score
+        |  FROM tok JOIN wt USING (t)
+        |  GROUP BY doc_id
+        |), cum AS (
+        |  SELECT doc_id, n_tokens, score,
+        |         CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |           AS cum_tokens
+        |  FROM scored
+        |)
+        |SELECT doc_id, n_tokens, score, cum_tokens
+        |FROM cum WHERE cum_tokens <= 2500""".stripMargin
+    },
     "text_pmi" -> {
       // bigram PMI replay: adjacency via a 1-indexed range transform,
       // the same 32-per-octave log code on 2^8-pre-scaled counts as
