@@ -258,9 +258,9 @@ object SparkEntry {
       |    lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
       |                         '^(?:[^@]*@)?([^:]*)', 1)) AS host,
       |    CASE WHEN regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
-      |                             ':([0-9]+)$$', 1) = '' THEN 0
+      |                             ':([0-9]{1,5})$$', 1) = '' THEN 0
       |         ELSE CAST(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
-      |                                  ':([0-9]+)$$', 1) AS INT) END AS port,
+      |                                  ':([0-9]{1,5})$$', 1) AS INT) END AS port,
       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
       |    regexp_extract(url, '\\?([^#]*)', 1) AS qstr
       |  FROM u
@@ -5998,7 +5998,11 @@ object SparkEntry {
     * mutual-kNN edge CTEs (identical to graph_triangles' replay) plus
     * 20 unrolled peel rounds - measured fixpoint is 8-12 rounds on this
     * fixture across sf0.001-0.1, and peeling is stable after the
-    * fixpoint, so s20 IS the 3-core. Every round-table is MATERIALIZED:
+    * fixpoint, so s20 IS the 3-core - and the trailing UNION ALL
+    * asserts it (count(s19) = count(s20), which for a monotone peel is
+    * set equality), emitting a poison (-1,-1) row on violation so a
+    * too-shallow unroll fails the compare loudly rather than passing
+    * on a half-peeled graph. Every round-table is MATERIALIZED:
     * each is referenced three times (degree scan + both NOT IN probes)
     * and plain CTE inlining would expand the 20-round chain
     * exponentially.
@@ -6033,6 +6037,15 @@ object SparkEntry {
        |  SELECT a AS src, b AS dst FROM me UNION ALL SELECT b, a FROM me
        |)$rounds
        |SELECT src AS node_id, CAST(count(*) AS BIGINT) AS core_degree
-       |FROM s20 GROUP BY src""".stripMargin
+       |FROM s20 GROUP BY src
+       |UNION ALL
+       |-- convergence assertion: peeling only ever removes rows
+       |-- (s(r+1) is a subset of s(r)), so equal counts <=> equal sets.
+       |-- If 20 unrolled rounds were ever too shallow for a fixture,
+       |-- this emits a poison row no Spark run can produce and the
+       |-- driver compare fails LOUDLY instead of silently blessing a
+       |-- half-peeled graph.
+       |SELECT CAST(-1 AS BIGINT) AS node_id, CAST(-1 AS BIGINT) AS core_degree
+       |WHERE (SELECT count(*) FROM s19) <> (SELECT count(*) FROM s20)""".stripMargin
   }
 }

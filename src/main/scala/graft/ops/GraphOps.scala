@@ -599,6 +599,15 @@ object GraphOps {
       OpsUtil.unpersistCheckpoint(bad) // next is materialized; bad is consumed
       it += 1
     }
-    cur.groupBy(F.col("src").as("node_id")).agg(count(lit(1)).as("core_degree"))
+    // Release contract (same as the other iterative ops here): the
+    // returned frame must not pin the loop's checkpoint blocks for the
+    // process lifetime. The aggregate is node-sized, so materialize IT
+    // and drop the final edge checkpoint - a looping caller holds one
+    // small self-contained frame, not the whole peeled edge set.
+    val out = cur
+      .groupBy(F.col("src").as("node_id")).agg(count(lit(1)).as("core_degree"))
+      .localCheckpoint()
+    OpsUtil.unpersistCheckpoint(cur)
+    out
   }
 }

@@ -170,6 +170,31 @@ object MultimodalOps {
     def embedBatch(payloads: Array[Array[Byte]]): Array[Array[Float]]
   }
 
+  /** Wrap a session-backed partition iterator with the FULL close
+    * contract the [[FeatureSession]] docs promise: close when the
+    * iterator is exhausted (covers driver-local iteration, e.g.
+    * `toLocalIterator`, where there is NO TaskContext and a listener
+    * alone would leak a real JNI session) AND on task completion
+    * (covers a downstream `limit` abandoning the iterator
+    * mid-partition). Close is idempotent - both paths may fire.
+    */
+  private def sessionScoped[A](
+      session: FeatureSession, out: Iterator[A]): Iterator[A] = {
+    val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def closeOnce(): Unit =
+      if (closed.compareAndSet(false, true)) session.close()
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeOnce())
+    new Iterator[A] {
+      def hasNext: Boolean = {
+        val h = out.hasNext
+        if (!h) closeOnce()
+        h
+      }
+      def next(): A = out.next()
+    }
+  }
+
   /** Default model: the deterministic byte-histogram stand-in, wrapped
     * in the same session lifecycle a real encoder uses - so swapping in
     * a real model changes feature VALUES only, never the plan or the
@@ -856,9 +881,7 @@ object MultimodalOps {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.mapPartitions { rows =>
       val session = model.openSession()
-      val tc = org.apache.spark.TaskContext.get()
-      if (tc != null) tc.addTaskCompletionListener[Unit](_ => session.close())
-      rows.grouped(batchSize).flatMap { chunk =>
+      sessionScoped(session, rows.grouped(batchSize).flatMap { chunk =>
         val decoded = chunk.map(r => decodePngPixels(r.getAs[Array[Byte]]("payload")))
         val buffers = decoded.map {
           case Some((w, h, ch, px)) => resizePixels(px, w, h, ch, outW, outH)
@@ -873,7 +896,7 @@ object MultimodalOps {
             nonPayload(r) ++
               Seq(w, h, ch, f.toSeq))
         }
-      }
+      })
     }(enc)
   }
 
@@ -903,11 +926,7 @@ object MultimodalOps {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.mapPartitions { rows =>
       val session = model.openSession()
-      // a downstream limit can abandon the iterator mid-partition, so
-      // closing on exhaustion alone would leak the session
-      val tc = org.apache.spark.TaskContext.get()
-      if (tc != null) tc.addTaskCompletionListener[Unit](_ => session.close())
-      rows.grouped(batchSize).flatMap { chunk =>
+      sessionScoped(session, rows.grouped(batchSize).flatMap { chunk =>
         val feats = session.embedBatch(chunk.map(_.getAs[Array[Byte]]("payload")).toArray)
         require(feats.length == chunk.size,
           s"FeatureSession returned ${feats.length} vectors for ${chunk.size} payloads")
@@ -919,7 +938,7 @@ object MultimodalOps {
               Seq(w, h, fmt, f.toSeq)
           )
         }
-      }
+      })
     }(enc)
   }
 

@@ -359,7 +359,11 @@ object SearchOps {
     * Inputs: `retrieved` rows (qid, doc, rank) with rank 1-based and
     * dense per query (a [[bm25Query]] / `SimilarityOps.bruteTopK`-shaped
     * frame); `qrels` rows (qid, doc) under the SAME column names -
-    * binary relevance, duplicates tolerated (deduped internally).
+    * binary relevance. Duplicates are tolerated on BOTH sides and
+    * deduped internally: qrels on (qid, doc); the run on (qid, doc)
+    * keeping the earliest rank, so a document listed twice inside
+    * top-k (rerank unions, multi-index merges) counts once in
+    * n_ret/n_hit and scores rr from its best position.
     *
     * Metric pitfall (why the integer fields are in the output): cross-
     * query AVERAGES of float metrics depend on summation order, which a
@@ -387,19 +391,26 @@ object SearchOps {
       k: Int
   ): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    val reserved = Set("gr_rel_hit", "n_rel", "n_ret", "n_hit", "first_rank")
+    val reserved = Set("gr_rel_hit", "gr_rank", "n_rel", "n_ret", "n_hit", "first_rank")
     require(!retrieved.columns.exists(reserved),
       s"retrieved must not already carry ${reserved.mkString("/")}; rename first")
     val rel = qrels.select(F.col(qidCol), F.col(docCol)).distinct()
     val nRel = rel.groupBy(F.col(qidCol)).agg(count(lit(1)).as("n_rel"))
+    // Dedup the run on (qid, doc) keeping the best rank: a run that
+    // lists the same document twice inside top-k (rerank unions,
+    // multi-index merges) must not double-count the hit - n_ret/n_hit
+    // count DISTINCT retrieved documents, rr uses the earliest rank.
+    // Duplicate-free runs are unchanged (one row per group already).
     retrieved
       .filter(F.col(rankCol) <= k)
+      .groupBy(F.col(qidCol), F.col(docCol))
+      .agg(min(F.col(rankCol)).as("gr_rank"))
       .join(rel.withColumn("gr_rel_hit", lit(1)), Seq(qidCol, docCol), "left")
       .groupBy(F.col(qidCol))
       .agg(
         count(lit(1)).as("n_ret"),
         sum(coalesce(F.col("gr_rel_hit"), lit(0))).as("n_hit"),
-        min(when(F.col("gr_rel_hit") === 1, F.col(rankCol))).as("gr_fr"))
+        min(when(F.col("gr_rel_hit") === 1, F.col("gr_rank"))).as("gr_fr"))
       .join(nRel, Seq(qidCol), "left")
       .select(
         F.col(qidCol),

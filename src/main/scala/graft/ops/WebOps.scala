@@ -62,9 +62,16 @@ object WebOps {
   def urlHost(url: Column): Column =
     lower(rx(authority(url), "^(?:[^@]*@)?([^:]*)"))
 
-  /** Explicit port of `url`, 0 when absent (the scheme default). */
+  /** Explicit port of `url`, 0 when absent (the scheme default). The
+    * digit run is bounded to 5 (no real port exceeds 65535's width):
+    * an unbounded `[0-9]+` on garbage like `host:99999999999` would
+    * overflow the INT cast - NULL in Spark, a raise in DuckDB's CAST -
+    * an engine-parity break. Bounded + end-anchored, an over-long run
+    * simply fails to match (the char before the last 5 digits is a
+    * digit, not ':') and the port reads as absent: both engines agree.
+    */
   def urlPort(url: Column): Column = {
-    val p = rx(authority(url), ":([0-9]+)$")
+    val p = rx(authority(url), ":([0-9]{1,5})$")
     when(p === "", lit(0)).otherwise(p.cast(IntegerType))
   }
 

@@ -348,6 +348,16 @@ class OpsSpec extends SparkSpec {
     val again = GraphOps.kCore(coreEdges, "a", "b", k).as[(Long, Long)].collect().toSet
     assert(again == got)
     assert(GraphOps.kCore(Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", 2).count() == 0)
+    // release contract: the returned frame is a SELF-CONTAINED
+    // node-sized checkpoint (a LogicalRDD leaf with its blocks live),
+    // not a plan over the loop's edge checkpoints - so the loop's big
+    // intermediate blocks were released, yet the result still collects
+    val res = GraphOps.kCore(edges, "a", "b", k)
+    val leaves = res.queryExecution.analyzed.collectLeaves()
+    assert(leaves.size == 1 &&
+      leaves.head.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      s"kCore result must be a materialized checkpoint leaf, got: $leaves")
+    assert(res.as[(Long, Long)].collect().toSet == expect)
   }
 
   test("retrievalEval: hand-checked metrics; no-hit and missing-qrel queries score zero") {
@@ -368,6 +378,22 @@ class OpsSpec extends SparkSpec {
     assert(got(1L) == ((1L, 3L, 5L, 2L, 2, 0.5, 0.666667, 0.4)))
     assert(got(2L) == ((2L, 1L, 2L, 0L, 0, 0.0, 0.0, 0.0)))
     assert(got(3L) == ((3L, 0L, 1L, 0L, 0, 0.0, 0.0, 0.0)))
+  }
+
+  test("retrievalEval: duplicate (qid, doc) rows inside top-k count once, at their best rank") {
+    // a rerank-union run lists doc 11 at ranks 4 AND 2: one distinct
+    // retrieved doc, one hit, rr from the earlier rank
+    val retrieved = Seq(
+      (1L, 99L, 1), (1L, 11L, 2), (1L, 98L, 3), (1L, 11L, 4)
+    ).toDF("qid", "doc", "rank")
+    val qrels = Seq((1L, 11L)).toDF("qid", "doc")
+    val got = SearchOps.retrievalEval(retrieved, "qid", "doc", "rank", qrels, k = 5)
+      .as[(Long, Long, Long, Long, Int, Double, Double, Double)]
+      .collect()
+    assert(got.length == 1)
+    // (qid, n_rel, n_ret=3 DISTINCT docs, n_hit=1 not 2, first_rank=2,
+    //  rr=1/2, recall=1/1, precision=1/5)
+    assert(got.head == ((1L, 1L, 3L, 1L, 2, 0.5, 1.0, 0.2)))
   }
 
   test("resolveEntities: typo pairs merge, dissimilar stay, nulls survive, hot blocks capped") {
@@ -1805,6 +1831,32 @@ class OpsSpec extends SparkSpec {
     val dflt = MultimodalOps.decodeAndFeaturize(media)
     assert(dflt.schema == MultimodalOps.decodeAndFeaturize(
       media, model = new FakeModelProbe.Model).schema)
+  }
+
+  test("featurize session lifecycle: exhaustion + task completion both fire, close is once") {
+    import graft.ops.FakeModelProbe
+    // decodeResizeFeaturize now shares the sessionScoped contract: the
+    // session closes at iterator exhaustion (the no-TaskContext /
+    // driver-local path a bare listener would leak) AND on task
+    // completion - the idempotence guard means closed == opened exactly,
+    // never double-close, even with both paths firing in local mode
+    FakeModelProbe.reset()
+    val media = MultimodalOps.asMedia(
+      (1 to 20).map(i => (i.toLong, s"p-$i".getBytes)).toDF("id", "payload"),
+      "id", "payload", "image").repartition(3)
+    MultimodalOps.decodeResizeFeaturize(
+      media, outW = 4, outH = 4, model = new FakeModelProbe.Model, batchSize = 8).collect()
+    assert(FakeModelProbe.opened.get() > 0)
+    assert(FakeModelProbe.closed.get() == FakeModelProbe.opened.get(),
+      s"close must fire exactly once per session: opened=${FakeModelProbe.opened.get()} " +
+        s"closed=${FakeModelProbe.closed.get()}")
+    // a limit abandoning iterators mid-partition still closes every
+    // opened session (the task-completion half of the contract)
+    FakeModelProbe.reset()
+    MultimodalOps.decodeResizeFeaturize(
+      media, outW = 4, outH = 4, model = new FakeModelProbe.Model, batchSize = 8)
+      .limit(2).collect()
+    assert(FakeModelProbe.closed.get() == FakeModelProbe.opened.get())
   }
 
   test("PatchProjectionModel: real forward pass - reference replay, window, exactness") {
@@ -3394,6 +3446,20 @@ class OpsSpec extends SparkSpec {
     assert(got(4) === ((5L, "", "", 0, "", "", "")))
     // scheme and host fold to lowercase (RFC 3986); path case preserved
     assert(got(5) === ((6L, "https", "www.shop.co.uk", 0, "/CaseKept", "", "shop.co.uk")))
+  }
+
+  test("urlPort: 5-digit bound - an over-long digit run reads as no port, never a cast overflow") {
+    val urls = Seq(
+      (1L, "https://h.example.com:8080/x"),
+      (2L, "https://h.example.com:65535/x"),
+      (3L, "https://h.example.com:99999999999/x"), // overflows INT unbounded
+      (4L, "https://h.example.com:123456/x") // 6 digits: not a port
+    ).toDF("id", "url")
+    val got = WebOps.parseUrls(urls, "url")
+      .select("id", "port").as[(Long, Int)].collect().toMap
+    assert(got(1L) == 8080 && got(2L) == 65535)
+    // both engines agree on 0 (absent) instead of Spark NULL vs DuckDB raise
+    assert(got(3L) == 0 && got(4L) == 0)
   }
 
   test("parseUrls/blockDomains plan shuffle-free codegen scans; domainStats never a product") {
