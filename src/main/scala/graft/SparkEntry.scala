@@ -169,12 +169,32 @@ object SparkEntry {
     * anchor-target fold), so the folds cannot drift.
     */
   private def domainFoldSql(host: String): String = {
-    val suffixes = graft.ops.WebOps.multiSuffixes.map("'" + _ + "'").mkString(", ")
-    s"""CASE WHEN len(string_split($host, '.')) <= 2 THEN $host
-      |         WHEN array_to_string(string_split($host, '.')[-2:], '.')
-      |              IN ($suffixes)
-      |           THEN array_to_string(string_split($host, '.')[-3:], '.')
-      |         ELSE array_to_string(string_split($host, '.')[-2:], '.') END"""
+    val (exact, wild, exc) = graft.ops.WebOps.pslRules
+    def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString(", ")
+    val parts = s"string_split($host, '.')"
+    // last k labels; DuckDB's [-k:] clamps short lists to the whole
+    // list, mirroring the Spark side's clamped slice
+    def lastK(k: Int) = s"array_to_string($parts[-$k:], '.')"
+    // exception rules override everything, longest first
+    val excB = exc.toSeq.sortBy(-_._1).map { case (k, ds) =>
+      s"WHEN len($parts) >= $k AND ${lastK(k)} IN (${inList(ds)}) THEN ${lastK(k)}"
+    }
+    // longest-match cascade: a public suffix of s labels matches via an
+    // exact rule of s labels or a wildcard base of s-1 labels; first
+    // (longest) match wins; a host that IS the suffix passes through
+    val sLens = (exact.keySet ++ wild.keySet.map(_ + 1)).toSeq.sorted.reverse
+    val sufB = sLens.map { s =>
+      val tests = exact.get(s).map(r => s"${lastK(s)} IN (${inList(r)})").toSeq ++
+        wild.get(s - 1).map(b => s"${lastK(s - 1)} IN (${inList(b)})")
+      s"WHEN len($parts) >= $s AND (${tests.mkString(" OR ")}) THEN " +
+        s"(CASE WHEN len($parts) > $s THEN ${lastK(s + 1)} ELSE $host END)"
+    }
+    // no '|' characters and single-line branches: this fragment embeds
+    // in templates that stripMargin AFTER interpolation
+    s"CASE WHEN regexp_matches($host, '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$$') " +
+      s"OR $host LIKE '%:%' OR $host LIKE '[%' THEN $host " +
+      excB.mkString(" ") + " " + sufB.mkString(" ") +
+      s" WHEN len($parts) > 1 THEN ${lastK(2)} ELSE $host END"
   }
 
   /** Host-of-URL extraction as a SQL expression (scheme://[user@]host
@@ -233,7 +253,7 @@ object SparkEntry {
     * shell replayed with `||` (null-propagating, like Spark `concat`)
     * and the [[WebOps]] parse chain replayed with the SAME regexes -
     * all in the Java-regex/RE2 common subset - plus the eTLD+1 label
-    * fold over the interpolated [[WebOps.multiSuffixes]] list.
+    * fold replaying the PSL longest-match algorithm over the interpolated [[WebOps.pslRules]] sets.
     */
   private val urlShellCte: String = {
     s"""u AS (

@@ -24,22 +24,47 @@ import org.apache.spark.sql.types._
   *     aggregation map-side); [[blockDomains]] broadcasts the blocklist
   *     as a literal IN-set - corpus rows never shuffle to be filtered.
   *
-  * The eTLD+1 fold uses a deliberately small multi-label-suffix table
-  * ([[multiSuffixes]]): the full Public Suffix List is ~9k rules and
-  * would ship as a broadcast lookup joined on the last-two-label key -
-  * same plan shape, bigger dictionary. The structural part (parse,
-  * fold, aggregate) is what matters here.
+  * The eTLD+1 fold implements the full Public Suffix List ALGORITHM
+  * (publicsuffix.org/list: longest-rule-wins, `*.` wildcard labels,
+  * `!` exception rules, implicit `*` default) over a checked-in PSL
+  * snapshot resource (graft/public_suffix_list.txt - a curated subset;
+  * swap in the full ~9k-rule published file and nothing else changes).
+  * The rule sets compile into LITERAL hash-set membership tests
+  * (Catalyst InSet) grouped by rule label count, so the fold stays a
+  * pure codegen column - no join, no broadcast, no shuffle - and the
+  * DuckDB oracle replays it from the same interpolated sets. IPv4 and
+  * IPv6 literal hosts pass through unchanged (an IP has no registrable
+  * domain; label-slicing `192.168.0.1` to `0.1` would poison every
+  * per-domain aggregate downstream).
   */
 object WebOps {
 
-  /** Multi-label public suffixes recognized by the eTLD+1 fold. A host
-    * whose last two labels match folds to its last THREE labels
-    * (`a.b.co.uk` -> `b.co.uk`); anything else folds to the last two.
+  /** The PSL snapshot, parsed into the three rule families the fold
+    * needs, each grouped by label count: exact rules (`co.uk` -> under
+    * key 2), wildcard rule BASES (`*.ck` -> "ck" under key 1; the
+    * matched suffix spans base+1 labels), and exception domains
+    * (`!www.ck` -> "www.ck" under key 2; the exception IS the
+    * registrable domain). Single-label exact rules are dropped at load:
+    * the algorithm's implicit default rule `*` already gives every
+    * unknown TLD a 1-label public suffix, so they change nothing.
     */
-  val multiSuffixes: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk",
-    "com.au", "net.au", "org.au",
-    "co.jp", "co.kr", "co.in", "com.br", "com.mx", "com.cn")
+  private[graft] lazy val pslRules: (Map[Int, Seq[String]], Map[Int, Seq[String]], Map[Int, Seq[String]]) = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.txt")
+    require(in != null, "graft/public_suffix_list.txt missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val lines =
+      try src.getLines().map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("//")).toList
+      finally src.close()
+    def labels(s: String): Int = s.count(_ == '.') + 1
+    def grouped(xs: List[String]): Map[Int, Seq[String]] =
+      xs.distinct.groupBy(labels).view.mapValues(_.toSeq.sorted).toMap
+    val (exc, rest) = lines.partition(_.startsWith("!"))
+    val (wild, exact) = rest.partition(_.startsWith("*."))
+    (grouped(exact.filter(_.contains("."))),
+      grouped(wild.map(_.stripPrefix("*."))),
+      grouped(exc.map(_.stripPrefix("!"))))
+  }
 
   private def rx(c: Column, pattern: String): Column =
     regexp_extract(c, pattern, 1)
@@ -85,19 +110,60 @@ object WebOps {
   /** Query string of `url` (without the '?'), "" when absent. */
   def urlQuery(url: Column): Column = rx(url, "\\?([^#]*)")
 
-  /** Registrable domain (eTLD+1) of a host: last two labels, or last
-    * three when the last two are a recognized multi-label public suffix
-    * ([[multiSuffixes]]). Hosts with <= 2 labels (bare domains,
-    * `localhost`, "") pass through unchanged. Pure array arithmetic -
-    * both engines slice the label list identically.
+  /** Registrable domain (eTLD+1) of a host, by the Public Suffix List
+    * algorithm over the checked-in snapshot ([[pslRules]]):
+    *
+    *   1. IPv4 literals (`1.2.3.4`) and IPv6-shaped hosts (any `:` or
+    *      a `[` bracket) pass through unchanged - an IP address has no
+    *      registrable domain to fold to.
+    *   2. If an exception rule matches (host ends with the exception's
+    *      labels), the exception domain itself is the registrable
+    *      domain (`sub.www.ck` -> `www.ck` despite `*.ck`).
+    *   3. Otherwise the public suffix is the LONGEST match among exact
+    *      rules (suffix = the rule) and wildcard rules (suffix = base
+    *      + one label), defaulting to the last single label (the
+    *      implicit `*` rule); the registrable domain is the suffix
+    *      plus one preceding label.
+    *   4. A host that IS a public suffix (or has no extra label -
+    *      `localhost`, "") passes through unchanged.
+    *
+    * Pure codegen column: label-list slicing + literal InSet
+    * membership per rule-length, no join/shuffle - and byte-replayable
+    * in the oracle from the same interpolated rule sets.
     */
   def registrableDomain(host: Column): Column = {
+    val (exact, wild, exc) = pslRules
     val parts = split(host, "\\.")
-    val last2 = array_join(slice(parts, -2, 2), ".")
-    val last3 = array_join(slice(parts, -3, 3), ".")
-    when(size(parts) <= 2, host)
-      .when(last2.isin(multiSuffixes: _*), last3)
-      .otherwise(last2)
+    val n = size(parts)
+    // last k labels, gracefully whole-host when n < k (slice start is
+    // clamped to 1, mirroring DuckDB's list[-k:] short-list behavior);
+    // membership tests still guard on n >= k
+    def lastK(k: Int): Column =
+      array_join(slice(parts, greatest(n - lit(k - 1), lit(1)), lit(k)), ".")
+    val psCandidates =
+      exact.toSeq.sortBy(_._1).map { case (k, rules) =>
+        when(n >= k && lastK(k).isin(rules: _*), lit(k)).otherwise(lit(1))
+      } ++
+        wild.toSeq.sortBy(_._1).map { case (b, bases) =>
+          when(n >= b + 1 && lastK(b).isin(bases: _*), lit(b + 1)).otherwise(lit(1))
+        }
+    val psLen = psCandidates match {
+      case Seq(one) => one
+      case cs => greatest(cs: _*)
+    }
+    // registrable = last (psLen + 1) labels; 1-based start = n - psLen
+    val folded = when(n > psLen,
+      array_join(slice(parts, n - psLen, psLen + lit(1)), "."))
+      .otherwise(host)
+    // exceptions override everything (longest exception first)
+    val withExceptions = exc.toSeq.sortBy(-_._1).foldRight(folded) {
+      case ((k, domains), els) =>
+        when(n >= k && lastK(k).isin(domains: _*), lastK(k)).otherwise(els)
+    }
+    val isIpLiteral =
+      host.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$") ||
+        host.contains(":") || host.startsWith("[")
+    when(isIpLiteral, host).otherwise(withExceptions)
   }
 
   /** Parse `urlCol` into components beside the original row: scheme,

@@ -3448,6 +3448,75 @@ class OpsSpec extends SparkSpec {
     assert(got(5) === ((6L, "https", "www.shop.co.uk", 0, "/CaseKept", "", "shop.co.uk")))
   }
 
+  test("registrableDomain: PSL longest-match, wildcards, exceptions, IP passthrough") {
+    val hosts = Seq(
+      // private-section suffix: each user site is its own registrable domain
+      "user.github.io", "deep.sub.user.github.io", "github.io",
+      // ccTLD second-level (the round-10 co.nz complaint)
+      "shop.co.nz", "a.b.shop.co.nz", "blog.blogspot.co.uk",
+      // wildcard *.kobe.jp with the !city.kobe.jp exception
+      "foo.kobe.jp", "a.foo.kobe.jp", "city.kobe.jp", "x.city.kobe.jp",
+      // wildcard *.ck with the !www.ck exception
+      "www.ck", "sub.www.ck", "other.ck", "a.other.ck",
+      // deep exact (3/4-label) rules
+      "myapp.s3.amazonaws.com", "school.k12.ca.us",
+      // wildcard with a 3-label base
+      "vm.compute.amazonaws.com", "x.vm.compute.amazonaws.com",
+      // IP literals: label-slicing these would poison domain aggregates
+      "192.168.0.1", "10.0.0.255", "[2001:db8::1]", "2001:db8::1",
+      // default rule (unknown TLD = 1-label suffix) + degenerate hosts
+      "sub.example.com", "example.com", "plain.example", "localhost", ""
+    ).toDF("host")
+    val got = hosts
+      .select(col("host"), WebOps.registrableDomain(col("host")).as("d"))
+      .as[(String, String)].collect().toMap
+    assert(got("user.github.io") == "user.github.io")
+    assert(got("deep.sub.user.github.io") == "user.github.io")
+    assert(got("github.io") == "github.io") // a public suffix passes through
+    assert(got("shop.co.nz") == "shop.co.nz")
+    assert(got("a.b.shop.co.nz") == "shop.co.nz")
+    assert(got("blog.blogspot.co.uk") == "blog.blogspot.co.uk") // 3-label private suffix
+    assert(got("foo.kobe.jp") == "foo.kobe.jp") // *.kobe.jp: foo.kobe.jp IS a suffix
+    assert(got("a.foo.kobe.jp") == "a.foo.kobe.jp")
+    assert(got("city.kobe.jp") == "city.kobe.jp") // exception rule
+    assert(got("x.city.kobe.jp") == "city.kobe.jp")
+    assert(got("www.ck") == "www.ck")
+    assert(got("sub.www.ck") == "www.ck")
+    assert(got("other.ck") == "other.ck")
+    assert(got("a.other.ck") == "a.other.ck")
+    assert(got("myapp.s3.amazonaws.com") == "myapp.s3.amazonaws.com")
+    assert(got("school.k12.ca.us") == "school.k12.ca.us")
+    assert(got("vm.compute.amazonaws.com") == "vm.compute.amazonaws.com")
+    assert(got("x.vm.compute.amazonaws.com") == "x.vm.compute.amazonaws.com")
+    assert(got("192.168.0.1") == "192.168.0.1") // NOT "0.1"
+    assert(got("10.0.0.255") == "10.0.0.255")
+    assert(got("[2001:db8::1]") == "[2001:db8::1]")
+    assert(got("2001:db8::1") == "2001:db8::1")
+    assert(got("sub.example.com") == "example.com")
+    assert(got("example.com") == "example.com")
+    assert(got("plain.example") == "plain.example")
+    assert(got("localhost") == "localhost")
+    assert(got("") == "")
+  }
+
+  test("registrableDomain: Spark fold and the interpolated DuckDB oracle fold share rule sets") {
+    // the oracle's SQL CASE is generated from the same pslRules the
+    // Spark column compiles from - pin the parse so the resource and
+    // both folds cannot silently drift apart
+    val (exact, wild, exc) = WebOps.pslRules
+    assert(exact(2).contains("co.uk") && exact(2).contains("github.io") &&
+      exact(2).contains("co.nz"))
+    assert(exact(3).contains("k12.ca.us") && exact(3).contains("blogspot.co.uk") &&
+      exact(3).contains("s3.amazonaws.com"))
+    assert(wild(1).contains("ck") && wild(2).contains("kobe.jp") &&
+      wild(3).contains("compute.amazonaws.com"))
+    assert(exc(2).contains("www.ck") && exc(3).contains("city.kobe.jp"))
+    // no rule family leaks a '*' or '!' marker into a set
+    (exact.values ++ wild.values ++ exc.values).flatten.foreach { r =>
+      assert(!r.contains("*") && !r.contains("!"), s"unstripped rule marker: $r")
+    }
+  }
+
   test("urlPort: 5-digit bound - an over-long digit run reads as no port, never a cast overflow") {
     val urls = Seq(
       (1L, "https://h.example.com:8080/x"),
