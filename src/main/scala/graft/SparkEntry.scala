@@ -84,6 +84,17 @@ object SparkEntry {
         lit(".org/q'>more about topic "),
         (col("doc_id") % 4).cast(StringType), lit("</a>")))
       .otherwise(lit("")),
+    // nested-markup anchor (bold child + embedded newline): exercises
+    // the lazy dot-all body + inner-tag strip of WebOps.anchorTexts
+    lit("<a href=\"https://b"), (col("doc_id") % 10).cast(StringType),
+    lit(".net/z\"><b>bold deal</b>\nnumber "),
+    (col("doc_id") % 2).cast(StringType), lit("</a>"),
+    // relative / dotted / protocol-relative / query-only / fragment
+    // links: invisible to extractLinks (absolute-http cut) and to the
+    // anchor profile, but the whole point of web_links_resolved
+    lit("<a href=\"../up/one\">up</a><a href=\"./here?x=1\">dot</a>"),
+    lit("<a href=\"//cdn.src"), (col("doc_id") % 10).cast(StringType),
+    lit(".net/lib\">cdn</a><a href=\"?page=2\">next</a><a href=\"#frag\">top</a>"),
     lit("<a href=\"/rel/p\">rel</a><a href=\"mailto:a@b.c\">write us</a>" +
       "</body></html>"))
 
@@ -197,6 +208,111 @@ object SparkEntry {
       s" WHEN len($parts) > 1 THEN ${lastK(2)} ELSE $host END"
   }
 
+  /** RFC 3986 §5.2.4 remove_dot_segments over a SQL path expression -
+    * the SAME five rewrite patterns as [[graft.ops.WebOps.dotPass]],
+    * applied the same 8 times, so the resolution replay agrees with
+    * the Spark column at ANY nesting depth by construction.
+    */
+  private def dotSegmentsSql(expr0: String): String =
+    (1 to 8).foldLeft(expr0) { (e, _) =>
+      val a = s"regexp_replace($e, '/\\./', '/', 'g')"
+      val b = s"regexp_replace($a, '/\\.$$', '/', 'g')"
+      val c = s"regexp_replace($b, '^/\\.\\.(/|$$)', '/', 'g')"
+      val d = s"regexp_replace($c, '/[^/]+/\\.\\./', '/', 'g')"
+      s"regexp_replace($d, '/[^/]+/\\.\\.$$', '/', 'g')"
+    }
+
+  /** Replay of [[graft.ops.WebOps.resolveLinks]] over the url + link
+    * shells: href extraction (ALL hrefs), the RFC 3986 §5 resolution
+    * CASE, and the absolute-http(s) frontier cut.
+    */
+  private def linksResolvedOracleSql: String =
+    s"""WITH $urlShellCte, $linkShellCte, lr AS MATERIALIZED (
+      |  -- MATERIALIZED: inlining an unnest CTE under the SELECT-*
+      |  -- resolution chain trips a DuckDB internal binder error
+      |  SELECT u.doc_id, u.url,
+      |         unnest(regexp_extract_all(h.html,
+      |                'href\\s*=\\s*["'']([^"'']+)["'']', 1)) AS link
+      |  FROM u JOIN h USING (doc_id)
+      |), p1 AS (
+      |  SELECT doc_id, url, link,
+      |    regexp_replace(link, '#.*', '', 'g') AS r,
+      |    regexp_replace(url, '#.*', '', 'g') AS bnf,
+      |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS bscheme,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS bauth,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS bpath
+      |  FROM lr
+      |), p2 AS (
+      |  SELECT *,
+      |    CASE WHEN bpath = '' THEN '/'
+      |         ELSE regexp_replace(bpath, '[^/]*$$', '', 'g') END AS basedir,
+      |    regexp_extract(r, '^([^?]*)', 1) AS rpath,
+      |    regexp_extract(r, '(\\?.*)$$', 1) AS rquery
+      |  FROM p1
+      |), p3 AS (
+      |  SELECT doc_id, link, CASE
+      |    WHEN r = '' THEN bnf
+      |    WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN r
+      |    WHEN bscheme = '' THEN NULL
+      |    WHEN r LIKE '//%' THEN bscheme || ':' || r
+      |    WHEN r LIKE '?%' THEN bscheme || '://' || bauth || bpath || r
+      |    WHEN r LIKE '/%' THEN bscheme || '://' || bauth ||
+      |         ${dotSegmentsSql("rpath")} || rquery
+      |    ELSE bscheme || '://' || bauth ||
+      |         ${dotSegmentsSql("(basedir || rpath)")} || rquery
+      |  END AS resolved
+      |  FROM p2
+      |)
+      |SELECT doc_id, link, resolved FROM p3
+      |WHERE lower(regexp_extract(resolved, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |      IN ('http', 'https')""".stripMargin
+
+  /** Replay of [[graft.ops.TextOps.langId]]: the trained 26-language
+    * trigram-NB scorer, with the checked-in weight table interpolated
+    * as a VALUES relation - generated from the SAME loaded profile the
+    * Spark literal map compiles from, so scorer and oracle cannot
+    * drift. Same normalization regexes (Java/RE2 common subset), same
+    * 256-char cap, same integer weight sums, same alphabetical
+    * first-wins argmax, same 'und' on zero vocabulary hits.
+    */
+  private def langIdOracleSql: String = {
+    val (langs, prof) = graft.ops.TextOps.langProfiles
+    val rows = prof.toSeq.sortBy(_._1).map { case (g, ws) =>
+      s"('${g.replace("'", "''")}', [${ws.mkString(",")}])"
+    }.mkString(", ")
+    val sumCols = langs.indices
+      .map(i => s"CAST(sum(ws[${i + 1}]) AS BIGINT) AS s$i").mkString(", ")
+    val pick = langs.zipWithIndex
+      .map { case (l, i) => s"WHEN s$i = best THEN '$l'" }.mkString(" ")
+    val gramCtes = Seq(1, 2, 3).map { n =>
+      s"""SELECT doc_id, substr(norm, CAST(i AS INT), $n) AS gram
+         |  FROM (SELECT doc_id, norm,
+         |               unnest(generate_series(1, length(norm) - ${n - 1})) AS i
+         |        FROM t WHERE length(norm) >= $n)""".stripMargin.replace("\n", " ")
+    }.mkString(" UNION ALL ")
+    s"""WITH prof(gram, ws) AS (VALUES $rows),
+       |t AS (
+       |  SELECT doc_id,
+       |    substr(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+       |      '[^\\p{L}\\p{M}]', ' ', 'g'), ' +', ' ', 'g')), 1, 256) AS norm
+       |  FROM documents
+       |), g AS (
+       |  $gramCtes
+       |), m AS (
+       |  SELECT g.doc_id, p.ws FROM g JOIN prof p USING (gram)
+       |), s AS (
+       |  SELECT t.doc_id, count(m.ws) AS hits, $sumCols
+       |  FROM t LEFT JOIN m USING (doc_id)
+       |  GROUP BY t.doc_id
+       |), b AS (
+       |  SELECT *, greatest(${langs.indices.map(i => s"s$i").mkString(", ")}) AS best
+       |  FROM s
+       |)
+       |SELECT doc_id,
+       |       CASE WHEN hits = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred
+       |FROM b""".stripMargin
+  }
+
   /** Host-of-URL extraction as a SQL expression (scheme://[user@]host
     * [:port] authority walk) - shared by the link/anchor oracle folds.
     */
@@ -220,6 +336,12 @@ object SparkEntry {
       |               '.org/q''>more about topic ' ||
       |               CAST(doc_id % 4 AS VARCHAR) || '</a>'
       |          ELSE '' END) ||
+      |    '<a href="https://b' || CAST(doc_id % 10 AS VARCHAR) ||
+      |    '.net/z"><b>bold deal</b>' || chr(10) || 'number ' ||
+      |    CAST(doc_id % 2 AS VARCHAR) || '</a>' ||
+      |    '<a href="../up/one">up</a><a href="./here?x=1">dot</a>' ||
+      |    '<a href="//cdn.src' || CAST(doc_id % 10 AS VARCHAR) ||
+      |    '.net/lib">cdn</a><a href="?page=2">next</a><a href="#frag">top</a>' ||
       |    '<a href="/rel/p">rel</a><a href="mailto:a@b.c">write us</a></body></html>'
       |    AS html
       |  FROM documents
@@ -790,6 +912,13 @@ object SparkEntry {
       DedupOps.duplicateSpans(tbl(s, dir, "documents"), "doc_id", "text",
         window = 40, step = 10)
     },
+    "dedup_span_removal" -> { (s, dir) =>
+      // the cleaning step dedup_spans only profiles: excise every
+      // 40-char window shared by >= 2 documents, stitch survivors,
+      // emit the cleaned text. Same one-shuffle window frequency.
+      DedupOps.removeDuplicateSpans(tbl(s, dir, "documents"), "doc_id", "text",
+        window = 40, step = 10)
+    },
     // Skew caps are ON in every shipped sketch-dedup pipeline: one
     // degenerate stop-shingle/boilerplate bucket with B members is an
     // O(B^2) self-join key at corpus scale. The caps are part of the
@@ -1158,7 +1287,9 @@ object SparkEntry {
         lit("</title><script type=\"text/javascript\">\nif (x < 3) { emit(\"&amp;\"); }\n</script><style media=\"all\">\np { color: red; }\n</style></head><body><h1>D"),
         col("doc_id").cast(StringType),
         lit("</h1><p>"), col("text"),
-        lit(" &amp; <b>more</b> &lt;tag&gt; it&#39;s &quot;q&quot;&nbsp;end</p><!-- tail\ncomment --></body></html>"))
+        lit(" &amp; <b>more</b> &lt;tag&gt; it&#39;s &quot;q&quot;&nbsp;end" +
+          " caf&#233; r&#xE9;sum&#xe9; grin&#128512; bad&#xD800;x &#1114112; &amp;#39;" +
+          "</p><!-- tail\ncomment --></body></html>"))
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.stripHtml(html).as("clean"))
     },
@@ -1351,6 +1482,17 @@ object SparkEntry {
       WebOps.anchorProfile(
         tbl(s, dir, "documents").withColumn("html", synthLinkHtmlCol),
         "html")
+    },
+    "web_links_resolved" -> { (s, dir) =>
+      // crawl-frontier builder: EVERY href (relative, dotted,
+      // protocol-relative, query-only, fragment) resolved against the
+      // page URL per RFC 3986 section 5, then the absolute-http(s)
+      // cut - all codegen projections fused into the scan
+      WebOps.resolveLinks(
+        tbl(s, dir, "documents")
+          .withColumn("url", synthUrlCol).withColumn("html", synthLinkHtmlCol),
+        "url", "html")
+        .select(col("doc_id"), col("link"), col("resolved"))
     },
     "text_contamination" -> { (s, dir) =>
       // decontamination pass: which training docs leak >= 10% of a test
@@ -1674,6 +1816,26 @@ object SparkEntry {
             val w = 8 + (id % 24).toInt
             val h = 8 + ((id * 3) % 24).toInt
             (id, MultimodalOps.synthPngImageBytes(id, w, h))
+          }).toDF("doc_id", "payload"),
+        "doc_id", "payload", "image")
+      MultimodalOps.decodeResizePixels(media, outW = 8, outH = 8)
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          col("px_sum"), col("px_tl"), col("px_tr"), col("px_bl"), col("px_br"))
+    },
+    "media_jpeg_pixels" -> { (s, dir) =>
+      // JPEG pixel path: real baseline JPEGs (canonical Huffman entropy
+      // coding, DC prediction, byte stuffing, written by the library's
+      // own encoder with block-constant content + unit quant tables, so
+      // the lossy format round-trips EXACTLY) -> real Huffman+IDCT
+      // decode -> the same resample + integer stats as media_pixels.
+      // The oracle replays the stats from the per-BLOCK formula.
+      import s.implicits._
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = 8 + (id % 24).toInt
+            val h = 8 + ((id * 3) % 24).toInt
+            (id, MultimodalOps.synthJpegImageBytes(id, w, h))
           }).toDF("doc_id", "payload"),
         "doc_id", "payload", "image")
       MultimodalOps.decodeResizePixels(media, outW = 8, outH = 8)
@@ -3120,6 +3282,11 @@ object SparkEntry {
         |       CAST(SUM(s) AS DOUBLE) / (CAST(count(*) AS BIGINT) * 32) AS avg_bits
         |FROM bg JOIN tt ON bg.b = tt.b
         |GROUP BY doc_id""".stripMargin,
+    // strip chain + the GENERAL numeric-ref decode: split on the ref
+    // pattern, decode each ref through its code point (hex prefix cast
+    // / decimal cast -> chr; out-of-range and surrogate refs stay
+    // literal), stitch parts back with an ordered string_agg - the
+    // row-expansion replay of TextOps.decodeNumericRefs' HOF fold
     "text_strip_html" ->
       """WITH shell AS (
         |  SELECT doc_id,
@@ -3130,21 +3297,55 @@ object SparkEntry {
         |    'p { color: red; }' || chr(10) ||
         |    '</style></head><body><h1>D' || CAST(doc_id AS VARCHAR) ||
         |    '</h1><p>' || text ||
-        |    ' &amp; <b>more</b> &lt;tag&gt; it&#39;s &quot;q&quot;&nbsp;end</p><!-- tail' ||
+        |    ' &amp; <b>more</b> &lt;tag&gt; it&#39;s &quot;q&quot;&nbsp;end' ||
+        |    ' caf&#233; r&#xE9;sum&#xe9; grin&#128512; bad&#xD800;x &#1114112; &amp;#39;' ||
+        |    '</p><!-- tail' ||
         |    chr(10) || 'comment --></body></html>' AS html
         |  FROM documents
-        |)
-        |SELECT doc_id, trim(regexp_replace(
-        |  replace(replace(replace(replace(replace(replace(
+        |), s1 AS (
+        |  SELECT doc_id,
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
         |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
         |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |      '(?s)<!--.*?-->', ' ', 'g'),
-        |      '<[^>]+>', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g') AS t
+        |  FROM shell
+        |), r AS (
+        |  SELECT doc_id, t,
+        |    string_split_regex(t, '&#[0-9]{1,7};|&#[xX][0-9A-Fa-f]{1,6};') AS parts,
+        |    regexp_extract_all(t, '&#[0-9]{1,7};|&#[xX][0-9A-Fa-f]{1,6};', 0) AS refs
+        |  FROM s1
+        |), e AS (
+        |  SELECT doc_id, parts, refs,
+        |         CAST(unnest(generate_series(1, len(refs))) AS INT) AS i
+        |  FROM r WHERE len(refs) > 0
+        |), dec AS (
+        |  SELECT doc_id, i,
+        |    (CASE WHEN cp BETWEEN 1 AND 1114111
+        |               AND NOT (cp BETWEEN 55296 AND 57343)
+        |          THEN chr(CAST(cp AS INT)) ELSE ref END) || parts[i + 1] AS piece
+        |  FROM (SELECT doc_id, i, parts, refs[i] AS ref,
+        |          CASE WHEN lower(substr(refs[i], 3, 1)) = 'x'
+        |               THEN CAST(('0x' || substr(refs[i], 4, length(refs[i]) - 4)) AS BIGINT)
+        |               ELSE CAST(substr(refs[i], 3, length(refs[i]) - 3) AS BIGINT)
+        |          END AS cp
+        |        FROM e)
+        |), asm AS (
+        |  SELECT doc_id, string_agg(piece, '' ORDER BY i) AS tail
+        |  FROM dec GROUP BY doc_id
+        |), s2 AS (
+        |  SELECT r.doc_id,
+        |         CASE WHEN a.tail IS NULL THEN r.t
+        |              ELSE r.parts[1] || a.tail END AS t
+        |  FROM r LEFT JOIN asm a USING (doc_id)
+        |)
+        |SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(
+        |    t,
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '&nbsp;', ' '), '&amp;', '&'),
         |  '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
-        |FROM shell""".stripMargin,
+        |FROM s2""".stripMargin,
     "web_urls" ->
       s"""WITH $urlShellCte
         |SELECT doc_id, url, scheme, host, port, path, qstr, domain
@@ -3421,12 +3622,14 @@ object SparkEntry {
       // s-interp so the \\s collapses to \s in the SQL literal (plain
       // triple-quoted would ship a literal backslash-s, which RE2
       // treats as an escaped backslash, not whitespace)
-      val pat = s"""<a[^>]*href\\s*=\\s*["'']([^"'']+)["''][^>]*>([^<]*)</a>"""
+      val pat = s"""(?is)<a[^>]*href\\s*=\\s*["'']([^"'']+)["''][^>]*>(.*?)</a>"""
       s"""WITH $linkShellCte, ae AS (
         |  SELECT unnest(regexp_extract_all(html, '$pat', 0)) AS a_elem FROM h
         |), ax AS (
         |  SELECT regexp_extract(a_elem, '$pat', 1) AS link,
-        |         regexp_extract(a_elem, '$pat', 2) AS anchor
+        |         trim(regexp_replace(regexp_replace(
+        |           regexp_extract(a_elem, '$pat', 2),
+        |           '<[^>]+>', ' ', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS anchor
         |  FROM ae
         |), af AS (
         |  SELECT ${hostOfSql("link")} AS lh, anchor
@@ -3533,6 +3736,48 @@ object SparkEntry {
         |             / count(*), 6) AS dup_ratio
         |FROM win JOIN freq USING (win)
         |GROUP BY doc_id""".stripMargin,
+    // per-character replay of the gap-stitch: a char survives iff no
+    // duplicated window covers it - slow-but-simple is fine for the
+    // oracle; the Spark side stitches gaps with one HOF fold instead
+    "dedup_span_removal" ->
+      """WITH d AS (
+        |  SELECT doc_id, text AS t FROM documents WHERE text IS NOT NULL
+        |), w0 AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, length(t) - 39, 10)) AS p
+        |  FROM d WHERE length(t) >= 40
+        |), w AS (
+        |  SELECT doc_id, CAST(p AS INT) AS p,
+        |         lower(substr(t, CAST(p AS INT), 40)) AS win
+        |  FROM w0
+        |), f AS (
+        |  SELECT win, count(DISTINCT doc_id) AS docs_with FROM w GROUP BY win
+        |), dup AS (
+        |  SELECT w.doc_id, w.p FROM w JOIN f USING (win) WHERE f.docs_with >= 2
+        |), nd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM dup GROUP BY doc_id
+        |), ch0 AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, length(t))) AS i
+        |  FROM d WHERE length(t) >= 1
+        |), ch AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i, substr(t, CAST(i AS INT), 1) AS c
+        |  FROM ch0
+        |), cov AS (
+        |  SELECT DISTINCT c.doc_id, c.i
+        |  FROM ch c JOIN dup u ON c.doc_id = u.doc_id
+        |                      AND c.i >= u.p AND c.i < u.p + 40
+        |), kept AS (
+        |  SELECT c.doc_id,
+        |         coalesce(string_agg(CASE WHEN v.i IS NULL THEN c.c END,
+        |                             '' ORDER BY c.i), '') AS clean
+        |  FROM ch c LEFT JOIN cov v ON c.doc_id = v.doc_id AND c.i = v.i
+        |  GROUP BY c.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(nd.n_dup, 0) AS n_dup_windows,
+        |       coalesce(k.clean, d.t) AS clean_text
+        |FROM d
+        |LEFT JOIN kept k USING (doc_id)
+        |LEFT JOIN nd USING (doc_id)""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE base AS (
         |  SELECT doc_id, text,
@@ -3990,27 +4235,8 @@ object SparkEntry {
         |       bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT) AS content_hash
         |FROM r WHERE text IS NOT NULL
         |GROUP BY 1""".stripMargin,
-    "text_langid" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |                                   x -> x <> '')) AS tk
-        |  FROM documents
-        |), s AS (
-        |  SELECT doc_id,
-        |         len(list_intersect(tk, ['der','die','und','das','ist','nicht','ein','zu'])) AS s_de,
-        |         len(list_intersect(tk, ['the','and','of','to','a','in','is','it'])) AS s_en,
-        |         len(list_intersect(tk, ['el','la','de','que','y','los','en','un'])) AS s_es,
-        |         len(list_intersect(tk, ['le','la','les','et','des','un','une','est'])) AS s_fr
-        |  FROM t
-        |)
-        |SELECT doc_id,
-        |       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-        |            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
-        |            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-        |            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-        |            ELSE 'de' END AS lang_pred
-        |FROM s""".stripMargin,
+    "text_langid" -> langIdOracleSql,
+    "web_links_resolved" -> linksResolvedOracleSql,
     "text_bigram_lm" ->
       """WITH base AS (
         |  SELECT doc_id,
@@ -4656,6 +4882,33 @@ object SparkEntry {
         |), px AS (
         |  SELECT doc_id, w, h, i, j,
         |         ((((j * w) // 8) * 7 + ((i * h) // 8) * 13 + doc_id) % 256) AS p
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 7) ii(i)
+        |  CROSS JOIN generate_series(0, 7) jj(j)
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(p) AS BIGINT) AS px_sum,
+        |         CAST(MAX(CASE WHEN i = 0 AND j = 0 THEN p END) AS INT) AS px_tl,
+        |         CAST(MAX(CASE WHEN i = 0 AND j = 7 THEN p END) AS INT) AS px_tr,
+        |         CAST(MAX(CASE WHEN i = 7 AND j = 0 THEN p END) AS INT) AS px_bl,
+        |         CAST(MAX(CASE WHEN i = 7 AND j = 7 THEN p END) AS INT) AS px_br
+        |  FROM px GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS media_id, d.w AS width, d.h AS height,
+        |       CAST(1 AS INT) AS channels,
+        |       a.px_sum, a.px_tl, a.px_tr, a.px_bl, a.px_br
+        |FROM d JOIN agg a USING (doc_id)""".stripMargin,
+    "media_jpeg_pixels" ->
+      // block-formula replay: resampled pixel (i,j) reads source pixel
+      // (sy, sx) = ((i*h)//8, (j*w)//8), whose 8x8 BLOCK carries the
+      // constant ((sx//8)*7 + (sy//8)*13 + doc_id) % 256 - the DC-only
+      // + unit-quant construction makes the lossy codec exact
+      """WITH d AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 24 AS INT) AS w,
+        |         CAST(8 + (doc_id * 3) % 24 AS INT) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, i, j,
+        |         (((((j * w) // 8) // 8) * 7 + (((i * h) // 8) // 8) * 13 + doc_id) % 256) AS p
         |  FROM d
         |  CROSS JOIN generate_series(0, 7) ii(i)
         |  CROSS JOIN generate_series(0, 7) jj(j)

@@ -647,6 +647,84 @@ object DedupOps {
           .as("dup_ratio"))
   }
 
+  /** Cross-document duplicate-span REMOVAL - the actual Lee et al.
+    * "deduplicating training data" cleaning step [[duplicateSpans]]
+    * only profiles: excise every window whose (lowercased) text occurs
+    * in >= 2 distinct documents, stitch the surviving characters back
+    * together in order, and emit the cleaned text. Window granularity
+    * (not suffix-array): a character is removed iff SOME duplicated
+    * window covers it, so overlapping dup windows merge into one
+    * excised span.
+    *
+    * Semantics pinned for the oracle:
+    *   - windows start at 1, 1+step, ... while a FULL `window` fits;
+    *     docs shorter than `window` carry no windows and pass through
+    *     unchanged;
+    *   - matching is on lowercased window text, excision on the
+    *     ORIGINAL text (positions are original-text positions);
+    *   - a duplicated window is an instance whose text >= 2 DISTINCT
+    *     documents contain - the instance's own document counts, so
+    *     the condition is exactly "someone else has this span";
+    *   - two byte-identical documents whose length is a covered
+    *     multiple collapse to empty strings; stride tails (the last
+    *     < window+step-1 chars no window starts over) survive.
+    *
+    * Scale shape: the SAME one-shuffle window frequency as
+    * [[duplicateSpans]] (explode -> group by window text, bounded at
+    * `window` bytes per key), then the duplicated positions fold back
+    * per document and a higher-order `aggregate` stitches the gaps -
+    * per-row work, no per-character explode, no second corpus shuffle
+    * beyond the doc-id fold.
+    *
+    * Output, one row per non-null-text document:
+    * (idCol, n_dup_windows, clean_text).
+    */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 40,
+      step: Int = 10
+  ): DataFrame = {
+    require(window >= 3, s"window must be >= 3 chars, got $window")
+    require(step >= 1, s"step must be >= 1, got $step")
+    val base = df.filter(F.col(textCol).isNotNull)
+      .select(F.col(idCol).as("id"), F.col(textCol).as("t"))
+    val t = F.col("t")
+    val positions = when(length(t) >= window,
+      sequence(lit(1), length(t) - lit(window) + lit(1), lit(step)))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    val wins = base
+      .select(F.col("id"), explode(positions).as("p"), t)
+      .select(F.col("id"), F.col("p"),
+        lower(t.substr(F.col("p"), lit(window))).as("win"))
+      .localCheckpoint() // feeds the doc-frequency aggregate AND the verdict join
+    val docFreq = wins.select(F.col("win"), F.col("id")).distinct()
+      .groupBy("win").agg(count(lit(1)).as("docs_with"))
+    val dupPos = wins.join(docFreq.hint("shuffle_hash"), Seq("win"))
+      .filter(F.col("docs_with") >= 2)
+      .groupBy(F.col("id"))
+      .agg(sort_array(collect_list(F.col("p"))).as("ps"))
+    // gap-stitch fold: cursor starts at 1; each dup window [p, p+window)
+    // appends the uncovered gap before it and advances the cursor past
+    // its end (overlaps collapse via the greatest)
+    val init = struct(lit(1).as("cur"), lit("").as("kept"))
+    val folded = aggregate(F.col("ps"), init, (acc, p) => {
+      val cur = acc.getField("cur")
+      struct(
+        greatest(cur, p + lit(window)).as("cur"),
+        concat(acc.getField("kept"),
+          t.substr(cur, greatest(p - cur, lit(0)))).as("kept"))
+    })
+    val stitched = concat(folded.getField("kept"),
+      t.substr(folded.getField("cur"), length(t)))
+    base.join(dupPos, Seq("id"), "left")
+      .select(
+        F.col("id").as(idCol),
+        coalesce(size(F.col("ps")), lit(0)).cast(LongType).as("n_dup_windows"),
+        when(F.col("ps").isNull, t).otherwise(stitched).as("clean_text"))
+  }
+
   /** Near-dup candidate pairs from winnowing fingerprints
     * ([[TextOps.winnowFingerprints]]): docs sharing >= `minShared`
     * selected fingerprints. Winnowing's guarantee makes this the

@@ -629,6 +629,423 @@ object MultimodalOps {
     Some((w, h, channels, out))
   }
 
+  /** Zig-zag index -> natural (row-major) index, JPEG spec figure
+    * A.6 - the order DQT tables and entropy-coded coefficients arrive
+    * in.
+    */
+  private val jpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Canonical JPEG Huffman table (spec C.2): per-length counts ->
+    * (minCode, maxCode, valPtr) decode arrays. maxCode = -1 marks an
+    * empty length.
+    */
+  private final class JpegHuff(bits: Array[Int], val vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l) > 0) {
+          valPtr(l) = k; minCode(l) = code
+          maxCode(l) = code + bits(l) - 1
+          code += bits(l); k += bits(l)
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** Entropy-segment bit reader: MSB-first, 0xFF00 byte unstuffing; a
+    * real marker (RSTn, EOI) ends the current run - [[decodeJpegPixels]]
+    * consumes restart markers between intervals itself.
+    */
+  private final class JpegBits(data: Array[Byte], var pos: Int) {
+    private var buf = 0
+    private var cnt = 0
+    var broken = false
+    def nextBit(): Int = {
+      if (cnt == 0) {
+        if (pos >= data.length) { broken = true; return 0 }
+        var b = data(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          val m = if (pos < data.length) data(pos) & 0xff else -1
+          if (m == 0x00) pos += 1 // stuffed literal FF
+          else { broken = true; pos -= 1; return 0 } // a marker: stop
+        }
+        buf = b; cnt = 8
+      }
+      cnt -= 1
+      (buf >> cnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume an expected RSTn marker; false if absent. */
+    def restart(): Boolean = {
+      cnt = 0
+      if (pos + 1 < data.length && (data(pos) & 0xff) == 0xff &&
+        ((data(pos + 1) & 0xff) & 0xf8) == 0xd0) { pos += 2; true }
+      else false
+    }
+    def decodeSym(h: JpegHuff): Int = {
+      var code = nextBit(); var l = 1
+      while (l <= 16 && (h.maxCode(l) < 0 || code > h.maxCode(l))) {
+        code = (code << 1) | nextBit(); l += 1
+      }
+      if (l > 16 || broken) -1
+      else h.vals(h.valPtr(l) + (code - h.minCode(l))) & 0xff
+    }
+  }
+
+  /** Spec F.2.2.1 EXTEND: magnitude bits -> signed coefficient. */
+  private def jpegExtend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** REAL baseline JPEG pixel decode - pure JVM, no image library:
+    * marker walk (DQT/DHT/SOF0/DRI/SOS), canonical Huffman entropy
+    * decode with byte unstuffing and restart intervals, dequantize,
+    * reference double-precision IDCT per 8x8 block, nearest-neighbor
+    * chroma upsample, JFIF YCbCr->RGB for 3-component frames. Supported
+    * surface: baseline sequential (SOF0), 8-bit, 1 or 3 components,
+    * any sampling factors up to 2x2 - progressive (SOF2), arithmetic
+    * coding, 12-bit and CMYK return None (callers fall back to
+    * metadata-only handling; never a guess).
+    *
+    * Exactness: a DC-only block (constant 8x8 region, unit quant
+    * table - exactly what [[synthJpegImageBytes]] emits) decodes
+    * EXACTLY in any conformant decoder, so the fixture family
+    * round-trips bit-equal through BOTH this decoder and
+    * `javax.imageio` (OpsSpec pins it). On general AC-bearing images
+    * decoders legitimately differ by ~1/255 per pixel (IDCT rounding
+    * freedom, spec annex A); the ImageIO parity spec bounds that
+    * drift.
+    *
+    * Returns (width, height, channels, pixels row-major interleaved),
+    * or None for anything outside the supported surface.
+    */
+  def decodeJpegPixels(payload: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length < 4 ||
+      (payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8) return None
+    def u16(o: Int): Int = ((payload(o) & 0xff) << 8) | (payload(o + 1) & 0xff)
+    val qt = Array.ofDim[Int](4, 64) // natural order
+    val dcTabs = new Array[JpegHuff](4)
+    val acTabs = new Array[JpegHuff](4)
+    var restartInterval = 0
+    var w = 0; var h = 0; var nComp = 0
+    // per component: id, hSamp, vSamp, quant id, dc table, ac table
+    val compH = new Array[Int](3); val compV = new Array[Int](3)
+    val compQ = new Array[Int](3)
+    val compDc = new Array[Int](3); val compAc = new Array[Int](3)
+    val compId = new Array[Int](3)
+    var sosAt = -1
+    var i = 2
+    while (sosAt < 0 && i + 4 <= payload.length) {
+      if ((payload(i) & 0xff) != 0xff) return None
+      val marker = payload(i + 1) & 0xff
+      if (marker == 0xd9) return None // EOI before any scan: no pixels
+      else if (marker == 0xff) i += 1 // fill byte before a marker
+      else if (marker == 0xd8 || marker == 0x01 ||
+        (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone: no length
+      else {
+        val len = u16(i + 2)
+        if (len < 2 || i + 2 + len > payload.length) return None
+        val seg = i + 4
+        marker match {
+          case 0xdb => // DQT: one or more tables
+            var p = seg
+            while (p < i + 2 + len) {
+              val pq = (payload(p) & 0xff) >> 4
+              val tq = payload(p) & 0x0f
+              if (pq != 0 || tq > 3) return None // 8-bit tables only
+              var k = 0
+              while (k < 64) {
+                qt(tq)(jpegZigzag(k)) = payload(p + 1 + k) & 0xff
+                k += 1
+              }
+              p += 65
+            }
+          case 0xc4 => // DHT: one or more tables
+            var p = seg
+            while (p < i + 2 + len) {
+              val tc = (payload(p) & 0xff) >> 4
+              val th = payload(p) & 0x0f
+              if (tc > 1 || th > 3) return None
+              val bits = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) { bits(l) = payload(p + l) & 0xff; total += bits(l); l += 1 }
+              if (total > 256 || p + 17 + total > i + 2 + len) return None
+              val vals = java.util.Arrays.copyOfRange(payload, p + 17, p + 17 + total)
+              val tab = new JpegHuff(bits, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              p += 17 + total
+            }
+          case 0xc0 => // SOF0 baseline
+            if ((payload(seg) & 0xff) != 8) return None
+            h = u16(seg + 1); w = u16(seg + 3)
+            nComp = payload(seg + 5) & 0xff
+            if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+            if (w.toLong * h.toLong * nComp > 256L * 1024 * 1024) return None
+            var c = 0
+            while (c < nComp) {
+              val o = seg + 6 + c * 3
+              compId(c) = payload(o) & 0xff
+              compH(c) = (payload(o + 1) & 0xff) >> 4
+              compV(c) = payload(o + 1) & 0x0f
+              compQ(c) = payload(o + 2) & 0xff
+              if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2 ||
+                compQ(c) > 3) return None
+              c += 1
+            }
+          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // non-baseline frame types
+          case 0xdd => restartInterval = u16(seg)
+          case 0xda => // SOS
+            val ns = payload(seg) & 0xff
+            if (ns != nComp) return None
+            var c = 0
+            while (c < ns) {
+              val id = payload(seg + 1 + c * 2) & 0xff
+              val tt = payload(seg + 2 + c * 2) & 0xff
+              val ci = compId.indexOf(id)
+              if (ci < 0) return None
+              compDc(ci) = tt >> 4; compAc(ci) = tt & 0x0f
+              c += 1
+            }
+            sosAt = i + 2 + len
+          case _ => () // APPn / COM / others: skip
+        }
+        if (sosAt < 0) i += 2 + len
+      }
+    }
+    if (sosAt < 0 || nComp == 0) return None
+    val hMax = (0 until nComp).map(compH).max
+    val vMax = (0 until nComp).map(compV).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    // per-component padded planes
+    val planeW = (0 until nComp).map(c => mcusX * compH(c) * 8).toArray
+    val planeH = (0 until nComp).map(c => mcusY * compV(c) * 8).toArray
+    val planes = (0 until nComp).map(c => new Array[Byte](planeW(c) * planeH(c))).toArray
+    val br = new JpegBits(payload, sosAt)
+    val pred = new Array[Int](3)
+    val coef = new Array[Int](64)
+    val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+    val scale = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!br.restart()) return None
+        br.broken = false
+        java.util.Arrays.fill(pred, 0)
+      }
+      val my = mcu / mcusX; val mx = mcu % mcusX
+      var c = 0
+      while (c < nComp) {
+        val dcT = dcTabs(compDc(c)); val acT = acTabs(compAc(c))
+        val q = qt(compQ(c))
+        if (dcT == null || acT == null) return None
+        var by = 0
+        while (by < compV(c)) {
+          var bx = 0
+          while (bx < compH(c)) {
+            // --- entropy-decode one block (spec F.2.2) ---
+            java.util.Arrays.fill(coef, 0)
+            val s0 = br.decodeSym(dcT)
+            if (s0 < 0 || s0 > 11) return None
+            pred(c) += jpegExtend(br.receive(s0), s0)
+            coef(0) = pred(c) * q(0)
+            var k = 1
+            var eob = false
+            while (!eob && k < 64) {
+              val rs = br.decodeSym(acT)
+              if (rs < 0) return None
+              val r = rs >> 4; val s = rs & 0x0f
+              if (s == 0) {
+                if (r == 15) k += 16 else eob = true
+              } else {
+                k += r
+                if (k > 63) return None
+                coef(jpegZigzag(k)) = jpegExtend(br.receive(s), s) * q(jpegZigzag(k))
+                k += 1
+              }
+            }
+            if (br.broken) return None
+            // --- reference IDCT + level shift ---
+            val base = planes(c)
+            val pw = planeW(c)
+            val ox = (mx * compH(c) + bx) * 8
+            val oy = (my * compV(c) + by) * 8
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var sum = 0.0
+                var v = 0
+                while (v < 8) {
+                  var u = 0
+                  while (u < 8) {
+                    val f = coef(v * 8 + u)
+                    if (f != 0) sum += scale(u) * scale(v) * f * cosT(x)(u) * cosT(y)(v)
+                    u += 1
+                  }
+                  v += 1
+                }
+                val px = math.round(sum / 4.0 + 128.0).toInt
+                base((oy + y) * pw + ox + x) =
+                  (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+                x += 1
+              }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    // assemble: clip to (w, h), nearest-neighbor upsample, color convert
+    val out = new Array[Byte](w * h * nComp)
+    if (nComp == 1) {
+      var y = 0
+      while (y < h) {
+        System.arraycopy(planes(0), y * planeW(0), out, y * w, w)
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          def samp(c: Int): Int = {
+            val sy = y * compV(c) / vMax; val sx = x * compH(c) / hMax
+            planes(c)(sy * planeW(c) + sx) & 0xff
+          }
+          val yy = samp(0); val cb = samp(1) - 128; val cr = samp(2) - 128
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          val o = (y * w + x) * 3
+          out(o) = clamp(yy + 1.402 * cr)
+          out(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = clamp(yy + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Some((w, h, nComp, out))
+  }
+
+  /** Format-dispatching pixel decode: PNG signature ->
+    * [[decodePngPixels]], JPEG SOI -> [[decodeJpegPixels]], anything
+    * else None. The pixel pipeline stages ([[decodeResizePixels]],
+    * [[decodeResizeFeaturize]]) route through this, so a mixed-format
+    * crawl column decodes without the caller caring which container
+    * each row is.
+    */
+  def decodeImagePixels(payload: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    if (payload == null || payload.length < 4) None
+    else if (payload(0) == 0x89.toByte && payload(1) == 'P') decodePngPixels(payload)
+    else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+      decodeJpegPixels(payload)
+    else None
+
+  /** A REAL (if small) baseline JPEG ENCODER - the fixture generator
+    * for the JPEG pixel path, [[synthPngImageBytes]]'s lossy-format
+    * sibling built so the loss is ZERO: grayscale, unit quantization
+    * table, and every 8x8 block CONSTANT at
+    * `((bx*7 + by*13 + seed) % 256)` (bx, by = block coords). A
+    * constant block has one nonzero DCT coefficient (the DC), unit
+    * quantization keeps it exact, and ANY conformant IDCT reproduces
+    * a constant block exactly - so the pixels are a pure integer
+    * formula a SQL oracle replays per-pixel, while the byte stream
+    * still exercises real marker structure, real canonical Huffman
+    * coding (spec Annex K DC table + a minimal 1-code AC table), DC
+    * prediction, byte stuffing, and EOB coding. OpsSpec round-trips
+    * it through `javax.imageio` bit-equal.
+    */
+  def synthJpegImageBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+      s"need dims in [1, 65535], got ${w}x$h")
+    val bos = new java.io.ByteArrayOutputStream()
+    def marker(m: Int, body: Array[Byte]): Unit = {
+      bos.write(0xff); bos.write(m)
+      bos.write((body.length + 2) >> 8); bos.write((body.length + 2) & 0xff)
+      bos.write(body, 0, body.length)
+    }
+    bos.write(0xff); bos.write(0xd8) // SOI
+    marker(0xdb, Array[Byte](0x00) ++ Array.fill[Byte](64)(1)) // DQT: unit table
+    marker(0xc0, Array[Byte](8, // SOF0: 8-bit
+      (h >> 8).toByte, (h & 0xff).toByte, (w >> 8).toByte, (w & 0xff).toByte,
+      1, 1, 0x11, 0)) // 1 component, id 1, 1x1 sampling, qtable 0
+    // DC table: spec Annex K luminance (12 categories); AC table: one
+    // 1-bit code for EOB - the only AC symbol a DC-only stream emits
+    val dcBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    marker(0xc4, Array[Byte](0x00) ++ dcBits.drop(1).map(_.toByte) ++
+      (0 to 11).map(_.toByte))
+    marker(0xc4, Array[Byte](0x10) ++
+      (Array(1) ++ Array.fill(15)(0)).map(_.toByte) ++ Array[Byte](0x00))
+    marker(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
+    // canonical encode codes for the DC table
+    val dcCodes = new Array[(Int, Int)](12) // symbol -> (code, len)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        var c = 0
+        while (c < dcBits(l)) { dcCodes(k) = (code, l); code += 1; k += 1; c += 1 }
+        code <<= 1
+        l += 1
+      }
+    }
+    var acc = 0L; var accBits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      acc = (acc << n) | (v & ((1L << n) - 1)); accBits += n
+      while (accBits >= 8) {
+        val b = ((acc >> (accBits - 8)) & 0xff).toInt
+        bos.write(b); if (b == 0xff) bos.write(0x00)
+        accBits -= 8
+      }
+    }
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    var pred = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val v = (((bx * 7 + by * 13) + seed) % 256).toInt
+        val dc = 8 * (v - 128)
+        val diff = dc - pred
+        pred = dc
+        val cat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        val (code, len) = dcCodes(cat)
+        putBits(code, len)
+        if (cat > 0) putBits(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+        putBits(0, 1) // AC: EOB (the 1-bit code)
+        bx += 1
+      }
+      by += 1
+    }
+    if (accBits > 0) putBits(0xff, 8 - accBits) // pad with 1s
+    bos.write(0xff); bos.write(0xd9) // EOI
+    bos.toByteArray
+  }
+
   /** REAL nearest-neighbor pixel resample - the resample
     * [[resizeMeta]] only PLANNED: output pixel (i, j) reads source
     * pixel (i*h/outH, j*w/outW) (integer division - the standard
@@ -704,14 +1121,15 @@ object MultimodalOps {
     bos.toByteArray
   }
 
-  /** Frame-level pixel pipeline: decode ([[decodePngPixels]]) ->
-    * nearest-neighbor resample ([[resizePixels]]) in one mapPartitions
-    * pass, emitting resampled-pixel STATISTICS (integer sum + the four
-    * corners) beside the dims - the oracle-checkable shape (a binary
-    * pixel column can't hash-compare engine-independently, integer
-    * stats of a formula-defined image can). Non-PNG / unsupported
-    * payloads emit NULL stats with (0, 0) dims - deterministic
-    * fallback, mirroring the metadata decoders.
+  /** Frame-level pixel pipeline: decode ([[decodeImagePixels]] - PNG
+    * or baseline JPEG, dispatched on signature) -> nearest-neighbor
+    * resample ([[resizePixels]]) in one mapPartitions pass, emitting
+    * resampled-pixel STATISTICS (integer sum + the four corners)
+    * beside the dims - the oracle-checkable shape (a binary pixel
+    * column can't hash-compare engine-independently, integer stats of
+    * a formula-defined image can). Unsupported payloads emit NULL
+    * stats with (0, 0) dims - deterministic fallback, mirroring the
+    * metadata decoders.
     */
   def decodeResizePixels(media: DataFrame, outW: Int, outH: Int): DataFrame = {
     val outSchema = StructType(media.schema.fields.filterNot(_.name == "payload") ++ Seq(
@@ -728,7 +1146,7 @@ object MultimodalOps {
     media.mapPartitions { rows =>
       rows.map { r =>
         val keep = nonPayload(r)
-        val stats = decodePngPixels(r.getAs[Array[Byte]]("payload")).map {
+        val stats = decodeImagePixels(r.getAs[Array[Byte]]("payload")).map {
           case (w, h, ch, px) =>
             val rp = resizePixels(px, w, h, ch, outW, outH)
             var s = 0L; var k = 0
@@ -853,7 +1271,8 @@ object MultimodalOps {
   }
 
   /** The full real inference shape: pixel decode
-    * ([[decodePngPixels]]) -> nearest-neighbor resample to the model's
+    * ([[decodeImagePixels]] - PNG or baseline JPEG, dispatched on the
+    * signature) -> nearest-neighbor resample to the model's
     * input size ([[resizePixels]]) -> batched embed through a
     * [[FeatureModel]] session - i.e. the model sees DECODED PIXELS,
     * not the compressed container bytes ([[decodeAndFeaturize]]'s
@@ -882,7 +1301,7 @@ object MultimodalOps {
     media.mapPartitions { rows =>
       val session = model.openSession()
       sessionScoped(session, rows.grouped(batchSize).flatMap { chunk =>
-        val decoded = chunk.map(r => decodePngPixels(r.getAs[Array[Byte]]("payload")))
+        val decoded = chunk.map(r => decodeImagePixels(r.getAs[Array[Byte]]("payload")))
         val buffers = decoded.map {
           case Some((w, h, ch, px)) => resizePixels(px, w, h, ch, outW, outH)
           case None => null

@@ -530,7 +530,9 @@ object TextOps {
     * curation pipeline (before any dedup/quality/tokenize stage sees
     * the document): drop `<script>`/`<style>` subtrees wholesale (their
     * content is code, not prose), drop comments, strip remaining tags
-    * to spaces, unescape the six ubiquitous entities, collapse
+    * to spaces, decode numeric character references generally
+    * ([[decodeNumericRefs]] - any Unicode scalar, decimal or hex),
+    * unescape the five ubiquitous named entities, collapse
     * whitespace. Deliberately regex-subset-portable: every pattern
     * avoids backreferences and uses only `(?is)` flags + lazy
     * quantifiers, the common ground of Java regex (Spark) and RE2
@@ -539,15 +541,69 @@ object TextOps {
     * (main-content extraction) but runs per-row in the same scan; this
     * chain is the codegen'd, shuffle-free 95% case.
     */
+  /** The numeric-character-reference pattern [[decodeNumericRefs]]
+    * splits and extracts on - decimal (`&#233;`, 1-7 digits) and hex
+    * (`&#xE9;`, 1-6 digits) forms, Java-regex/RE2 common subset.
+    */
+  val numRefPattern = "&#[0-9]{1,7};|&#[xX][0-9A-Fa-f]{1,6};"
+
+  /** Decode HTML numeric character references (`&#233;` -> e-acute,
+    * `&#x1F600;` -> the emoji) - the GENERAL decoder, any Unicode
+    * scalar value, not an entity lookup table. Expression-level and
+    * oracle-replayable:
+    *
+    *   - split the string on [[numRefPattern]] (n+1 literal parts) and
+    *     extract the n refs, then refold parts and decoded refs with
+    *     one higher-order `aggregate` - per-row work, no explode;
+    *   - a ref decodes through its code point: hex/decimal digits ->
+    *     int, then UTF-16 code units rendered as hex bytes and decoded
+    *     with the UTF-16BE charset (Spark has no code-point-to-string
+    *     function; `chr` is mod-256) - supplementary-plane refs take
+    *     the surrogate-pair arithmetic branch;
+    *   - out-of-range (0, > U+10FFFF) and surrogate-range references
+    *     are left as literal text, mirroring a lenient browser.
+    *
+    * Double-escaped input (`&amp;#39;`) stays literal: the pattern
+    * needs `&#` adjacency, which `&amp;#...` does not contain - run
+    * this BEFORE the named-entity replaces (the [[stripHtml]] order).
+    */
+  def decodeNumericRefs(c: Column): Column = {
+    val parts = split(c, numRefPattern, -1)
+    val refs = regexp_extract_all(c, lit(numRefPattern), lit(0))
+    val n = size(refs)
+    def decodeRef(r: Column): Column = {
+      val isHex = lower(r.substr(lit(3), lit(1))) === "x"
+      val cp = when(isHex,
+        conv(r.substr(lit(4), length(r) - 4), 16, 10).cast(LongType))
+        .otherwise(r.substr(lit(3), length(r) - 3).cast(LongType))
+      val valid = cp.between(1L, 0x10FFFFL) && !cp.between(0xD800L, 0xDFFFL)
+      val rem = cp - lit(0x10000L)
+      val hi = shiftright(rem, 10) + lit(0xD800L)
+      val lo = rem.bitwiseAND(lit(0x3FFL)) + lit(0xDC00L)
+      val hexStr = when(cp <= 0xFFFFL, lpad(hex(cp), 4, "0"))
+        .otherwise(concat(lpad(hex(hi), 4, "0"), lpad(hex(lo), 4, "0")))
+      when(valid, decode(unhex(hexStr), "UTF-16BE")).otherwise(r)
+    }
+    val refolded = aggregate(
+      sequence(lit(1), greatest(n, lit(1))), element_at(parts, 1),
+      (acc, i) => concat(acc, decodeRef(element_at(refs, i)),
+        element_at(parts, i + 1)))
+    when(n === 0, c).otherwise(refolded)
+  }
+
   def stripHtml(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    // numeric refs decode BEFORE the named replaces so &amp;#39; stays
+    // literal "&#39;" (the pattern needs &# adjacency); the named fold
+    // keeps &amp; LAST for the same single-decode discipline
+    val noNumRefs = decodeNumericRefs(noTags)
     val unescaped = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&" // amp LAST: &amp;lt; is literal "&lt;"
-    ).foldLeft(noTags) { case (c, (from, to)) =>
+      "&nbsp;" -> " ", "&amp;" -> "&" // amp LAST: &amp;lt; is literal "&lt;"
+    ).foldLeft(noNumRefs) { case (c, (from, to)) =>
       F.replace(c, lit(from), lit(to)) // literal replace: no regex dialect in play
     }
     trim(regexp_replace(unescaped, "[ \\t\\n\\x0B\\f\\r]+", " "))
@@ -740,25 +796,87 @@ object TextOps {
         array_join(slice(F.col("tk"), F.col("s") + 1, lit(budget)), " ").as("chunk"))
   }
 
-  /** Tiny stopword-based language ID over {en, es, de, fr, zh-pinyin-ish}:
-    * picks the language with the most stopword hits; 'und' when nothing
-    * matches. A real system plugs in fastText etc. via the same shape -
-    * one column in, one label out.
+  /** The trained language-ID profile: (language codes in alphabetical
+    * order - also the deterministic argmax tie-break order - and the
+    * trigram -> per-language integer weight vectors), loaded from the
+    * checked-in table graft/lang_profiles.tsv generated by
+    * [[graft.tools.LangProfilesTool]] (26-language character-trigram
+    * multinomial Naive Bayes over embedded seed prose, weights as
+    * 32-per-octave integer log codes - the repo's standard
+    * engine-exact log family).
+    */
+  lazy val langProfiles: (Seq[String], Map[String, Seq[Long]]) = {
+    val in = getClass.getResourceAsStream("/graft/lang_profiles.tsv")
+    require(in != null, "graft/lang_profiles.tsv missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val lines = src.getLines().toList
+      require(lines.nonEmpty && lines.head.startsWith("#langs\t"),
+        "lang_profiles.tsv must start with a #langs header")
+      val langs = lines.head.stripPrefix("#langs\t").split(",").toSeq
+      val rows = lines.tail.filter(_.nonEmpty).map { l =>
+        val cut = l.indexOf('\t')
+        val ws = l.substring(cut + 1).split(",").toSeq.map(_.toLong)
+        require(ws.size == langs.size, s"profile row arity ${ws.size} != ${langs.size}")
+        l.substring(0, cut) -> ws
+      }.toMap
+      (langs, rows)
+    } finally src.close()
+  }
+
+  /** The language-ID normalization, column-side: lowercase, every
+    * character that is not a letter or combining mark to a space,
+    * collapse runs, trim. `\p{L}`/`\p{M}` spell and match identically
+    * in Java regex and RE2, so the DuckDB oracle replays it
+    * byte-exactly; [[graft.tools.LangProfilesTool.normalize]] is the
+    * same function host-side (training and scoring MUST agree).
+    */
+  def langNormalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{M}]", " "), " +", " "))
+
+  /** Language identification over 26 languages (ar cs da de el en es
+    * fi fr hi hu id it ja ko nl no pl pt ro ru sv tr uk vi zh):
+    * mixed character 1/2/3-gram multinomial Naive Bayes with the
+    * TRAINED integer weight table ([[langProfiles]]) - the langid.py
+    * feature recipe: unigrams carry script and letter-frequency
+    * evidence (what separates CJK text a short profile cannot cover
+    * with exact trigrams), bigrams/trigrams the orthography (what
+    * separates da/no or es/pt). Scoring: normalize
+    * ([[langNormalize]]), cap at 256 chars (language evidence
+    * saturates long before that; the cap bounds per-row cost at scan
+    * speed), slide 1/2/3-char windows, sum each matched gram's
+    * per-language weight vector, and take the argmax (alphabetical
+    * first-wins tie-break). 'und' when the text is NULL or no gram
+    * hits the vocabulary (no evidence).
+    *
+    * Scale shape: a pure per-row column - the weight table rides as
+    * ONE map literal inside the expression (task-binary broadcast,
+    * never a join), the window sum is a higher-order-function fold, no
+    * shuffle, fuses into the scan. Integer weights end-to-end, so the
+    * DuckDB oracle replays the exact scores from the same interpolated
+    * table.
     */
   def langId(text: Column): Column = {
-    val stop: Map[String, Seq[String]] = Map(
-      "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
-      "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
-      "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
-      "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est")
-    )
-    val toks = DedupOps.tokens(text)
-    val scores = stop.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val cnt = size(array_intersect(array_distinct(toks), array(words.map(lit(_)): _*)))
-      struct(cnt.as("score"), lit(lang).as("lang"))
+    val (langs, prof) = langProfiles
+    val mapCol = typedLit(prof)
+    val norm = substring(langNormalize(text), 1, 256)
+    val len = length(norm)
+    val emptyVecs = array().cast(ArrayType(ArrayType(LongType)))
+    def gramsOf(n: Int): Column = when(len >= n,
+      transform(sequence(lit(1), len - (n - 1)),
+        i => element_at(mapCol, norm.substr(i, lit(n)))))
+      .otherwise(emptyVecs)
+    val matched = concat(gramsOf(1), gramsOf(2), gramsOf(3))
+    val hits = size(filter(matched, v => v.isNotNull))
+    val zeros = typedLit(Seq.fill(langs.size)(0L))
+    val sums = aggregate(matched, zeros,
+      (acc, v) => when(v.isNull, acc).otherwise(zip_with(acc, v, _ + _)))
+    val best = array_max(sums)
+    val pick = langs.zipWithIndex.foldRight(lit("und")) { case ((l, i), els) =>
+      when(element_at(sums, i + 1) === best, lit(l)).otherwise(els)
     }
-    val best = array_max(array(scores: _*))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    when(text.isNull || hits === 0, lit("und")).otherwise(pick)
   }
 
   /** Unicode-script classes counted by [[scriptProfile]], in DOMINANCE

@@ -248,14 +248,97 @@ object WebOps {
     * the '=', in the Java-regex/RE2 common subset. Only absolute
     * http/https links survive - relative paths, mailto:, javascript:
     * and fragment links are dropped (a crawl frontier wants resolvable
-    * fetch targets; base-URL resolution of relative links is a
-    * different, stateful stage).
+    * fetch targets; [[resolveLinks]] is the stage that first RESOLVES
+    * relative hrefs against the page URL and then applies the same
+    * cut - on real pages most links are relative, so a frontier built
+    * from extractLinks alone loses them).
     */
   def extractLinks(df: DataFrame, htmlCol: String): DataFrame =
     df.withColumn("link", explode(regexp_extract_all(
         F.col(htmlCol),
         lit("href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1))))
       .filter(urlScheme(F.col("link")).isin("http", "https"))
+
+  /** One dot-segment rewrite pass of [[removeDotSegments]]: inner
+    * `/./`, trailing `/.`, leading `/../`, one inner `seg/../` pop,
+    * trailing `seg/..` pop (pops keep the slash, matching RFC 3986
+    * §5.2.4's trailing-slash outputs). The SAME five patterns run in
+    * the DuckDB oracle, so parity holds by construction at any depth.
+    */
+  private def dotPass(p: Column): Column = {
+    val a = regexp_replace(p, "/\\./", "/")
+    val b = regexp_replace(a, "/\\.$", "/")
+    val c = regexp_replace(b, "^/\\.\\.(/|$)", "/")
+    val d = regexp_replace(c, "/[^/]+/\\.\\./", "/")
+    regexp_replace(d, "/[^/]+/\\.\\.$", "/")
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments as a bounded rewrite chain:
+    * [[dotPass]] applied 8 times (each pass resolves at least one
+    * nesting level; 8 covers any path a real page links - deeper
+    * pathological chains leave residue IDENTICALLY in both engines,
+    * never divergence). Purely codegen'd regexp work, no UDF.
+    */
+  def removeDotSegments(p: Column): Column =
+    (1 to 8).foldLeft(p)((c, _) => dotPass(c))
+
+  /** Resolve a (possibly relative) href against its page URL - RFC
+    * 3986 §5 reference resolution, expression-level, with
+    * crawl-frontier semantics: fragments never survive (a `#...`
+    * suffix is cut from the reference; a fragment-only reference
+    * resolves to the base sans fragment).
+    *
+    *   - absolute references (`scheme:...`) pass through;
+    *   - protocol-relative `//host/p` takes the base's scheme;
+    *   - root-relative `/p` takes scheme://authority, path normalized;
+    *   - query-only `?q` replaces the base's query;
+    *   - path-relative `p`, `./p`, `../p` merge onto the base path's
+    *     directory ([[removeDotSegments]] then normalizes `.`/`..`);
+    *   - a base with no `scheme://` cannot anchor a relative
+    *     reference: absolute refs still pass through, everything else
+    *     resolves to NULL.
+    */
+  def resolveUrl(base: Column, ref: Column): Column = {
+    val r = regexp_replace(ref, "#.*", "")
+    val bNoFrag = regexp_replace(base, "#.*", "")
+    val bScheme = rx(base, "^([A-Za-z][A-Za-z0-9+.-]*)://")
+    val bAuth = rx(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)")
+    val bPath = urlPath(base)
+    val baseOk = bScheme =!= ""
+    // base-path directory: everything up to and including the last '/'
+    val baseDir = when(bPath === "", lit("/"))
+      .otherwise(regexp_replace(bPath, "[^/]*$", ""))
+    val rPath = regexp_extract(r, "^([^?]*)", 1)
+    val rQuery = regexp_extract(r, "(\\?.*)$", 1) // "?..." or ""
+    val prefix = concat(bScheme, lit("://"), bAuth)
+    when(r === "", bNoFrag)
+      .when(r.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), r)
+      .when(!baseOk, lit(null).cast(StringType))
+      .when(r.startsWith("//"), concat(bScheme, lit(":"), r))
+      .when(r.startsWith("?"), concat(prefix, bPath, r))
+      .when(r.startsWith("/"),
+        concat(prefix, removeDotSegments(rPath), rQuery))
+      .otherwise(
+        concat(prefix, removeDotSegments(concat(baseDir, rPath)), rQuery))
+  }
+
+  /** EVERY href of `htmlCol` - relative ones included - resolved
+    * against the page's own URL, then the frontier cut: one row per
+    * href that resolves to an absolute http(s) target. This is the
+    * crawl-frontier builder [[extractLinks]]'s docstring promises:
+    * `extractLinks` keeps only already-absolute links; on real pages
+    * the majority are relative and THIS stage recovers them. Same
+    * plan shape - extraction, resolution and the scheme cut are all
+    * codegen'd projections fused into the scan, no shuffle.
+    *
+    * Output: input row + (link = raw href, resolved = absolute URL).
+    */
+  def resolveLinks(df: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    df.withColumn("link", explode(regexp_extract_all(
+        F.col(htmlCol),
+        lit("href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1))))
+      .withColumn("resolved", resolveUrl(F.col(urlCol), F.col("link")))
+      .filter(urlScheme(F.col("resolved")).isin("http", "https"))
 
   /** Registrable-domain link graph of a crawled page set - the
     * host-graph every link-based curation signal (domain authority,
@@ -286,17 +369,24 @@ object WebOps {
   /** Anchor elements of `htmlCol` as (link, anchor) rows beside the
     * input row - the classic IR relevance signal: how OTHER pages
     * describe a target. One `regexp_extract_all` over whole `<a
-    * href=...>text</a>` elements + explode, then the two groups
+    * href=...>...</a>` elements + explode, then the two groups
     * re-extracted from the (short) element string; same absolute
-    * http(s) cut as [[extractLinks]]. All codegen'd projections, no
-    * shuffle.
+    * http(s) cut as [[extractLinks]]. The body is matched LAZILY
+    * across nested markup (`(?is)(.*?)</a>` - real anchors routinely
+    * wrap `<b>`/`<span>`/`<img>`; the old `[^<]*` body silently
+    * dropped them), then inner tags strip to spaces and whitespace
+    * collapses, so `<a href=u><b>bold deal</b> now</a>` yields
+    * "bold deal now". All codegen'd projections, no shuffle; patterns
+    * stay in the Java-regex/RE2 common subset for the oracle replay.
     */
   def anchorTexts(df: DataFrame, htmlCol: String): DataFrame = {
-    val pat = "<a[^>]*href\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>([^<]*)</a>"
+    val pat = "(?is)<a[^>]*href\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>(.*?)</a>"
     df.withColumn("a_elem", explode(regexp_extract_all(
         F.col(htmlCol), lit(pat), lit(0))))
       .withColumn("link", regexp_extract(F.col("a_elem"), pat, 1))
-      .withColumn("anchor", regexp_extract(F.col("a_elem"), pat, 2))
+      .withColumn("anchor", trim(regexp_replace(
+        regexp_replace(regexp_extract(F.col("a_elem"), pat, 2), "<[^>]+>", " "),
+        "[ \\t\\n\\x0B\\f\\r]+", " ")))
       .filter(urlScheme(F.col("link")).isin("http", "https"))
       .drop("a_elem")
   }

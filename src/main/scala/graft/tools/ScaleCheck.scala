@@ -142,6 +142,50 @@ object ScaleCheck {
       graft.ops.TextOps.nbQualityFilter(
         df.withColumn("seed", col("doc_id") % 5 < 2), "doc_id", "text", "seed")
     }
+    // web curation tier: copy-suffixed SOURCES make the 10x corpus carry
+    // 10x distinct registrable domains, so the domain-keyed aggregates,
+    // the link graph, and every PageRank round grow with the data (weak
+    // scaling) while the per-page parse/filter stages stay scan-shaped
+    val webBase = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
+    val web10 = (0 until 10).map { c =>
+      webBase.select((col("doc_id") + lit(c.toLong * docStride)).as("doc_id"),
+        concat(col("source"), lit(s"_c$c")).as("source"), col("text"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
+    def webify(df: DataFrame): DataFrame = df
+      .withColumn("url", concat(
+        lit("https://"),
+        when(col("doc_id") % 5 === 0, lit("www.")).otherwise(lit("")),
+        col("source"),
+        when(col("doc_id") % 3 === 0, lit(".com"))
+          .when(col("doc_id") % 3 === 1, lit(".co.uk")).otherwise(lit(".org")),
+        lit("/p/"), (col("doc_id") % 7).cast("string")))
+      .withColumn("html", concat(
+        lit("<p>"), col("text"),
+        // link targets rotate per page WITHIN the copy's own domain
+        // space (the copy suffix rides in `source`), so a 10x corpus
+        // has a 10x-node cross-domain graph, never copy collisions
+        lit("</p><a href=\"https://l"), (col("doc_id") * 7 + 1) % 10,
+        lit("."), col("source"), lit("x"), (col("doc_id") * 3 + 2) % 10,
+        lit(".net/q\">read this</a><a href=\"/rel\">rel</a>")))
+      .withColumn("ltext", concat(col("text"),
+        lit("\nthis second line carries enough words to pass the c4 cut today.\nshort")))
+    timed("web_domain_rank", webify(webBase), webify(web10)) { df =>
+      val edges = graft.ops.WebOps.linkGraph(df, "url", "html")
+        .filter(col("src_domain") =!= col("dst_domain"))
+        .select(col("src_domain").as("sd"), col("dst_domain").as("dd"))
+      val sym = edges.union(edges.select(col("dd").as("sd"), col("sd").as("dd")))
+      graft.ops.GraphOps.pageRank(sym, "sd", "dd", iterations = 10)
+    }
+    timed("web_pipeline", webify(webBase), webify(web10)) { df =>
+      val survivors = graft.ops.WebOps.blockDomains(df, "url", Seq("blocked.example"))
+      val cleaned = graft.ops.TextOps.c4LineFilter(
+          survivors, "doc_id", "ltext", minWords = 3, minLines = 1)
+        .join(survivors.select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("seed", col("doc_id") % 5 < 2)
+      graft.ops.TextOps.qualityBudget(cleaned, "doc_id", "clean", "seed",
+        budgetTokens = 10000000L)
+    }
     timed("pt_querybatch_auto", cust1, cust10) { df =>
       // mode-choosing entry (measures whatever the sizing policy picks)
       val trie = graft.ptree.PrefixTree.create(df, "c_name", prefixLen = 12)

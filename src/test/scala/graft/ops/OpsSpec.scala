@@ -778,6 +778,25 @@ class OpsSpec extends SparkSpec {
       "plain text stays", "no html at all"))
   }
 
+  test("stripHtml numeric refs: general decode, hex/decimal, astral, invalid left literal") {
+    val got = Seq(
+      // decimal + hex (either case) decode through the code point
+      "caf&#233; r&#xE9;sum&#xe9; it&#39;s",
+      // astral plane: surrogate-pair arithmetic branch
+      "grin &#128512; and hex &#x1F600;",
+      // out-of-range and surrogate refs stay literal; double-escaped
+      // &amp;#39; decodes the amp only (single-decode discipline)
+      "bad &#1114112; worse &#xD800; keep &amp;#39;",
+      // refs at string edges and back-to-back
+      "&#65;&#66;mid&#67;"
+    ).toDF("t").select(TextOps.stripHtml($"t")).as[String].collect().toSeq
+    assert(got == Seq(
+      "café résumé it's",
+      "grin 😀 and hex 😀",
+      "bad &#1114112; worse &#xD800; keep &#39;",
+      "ABmidC"))
+  }
+
   test("redactPii replaces emails, phones, IPs; leaves clean text alone") {
     val got = Seq(
       "contact bob.smith+x@example.co.uk today",
@@ -795,16 +814,66 @@ class OpsSpec extends SparkSpec {
     assert(got(5) == "released 2024-01-01 14:30 and 1999 2000 2001")
   }
 
-  test("langId picks dominant stopword language; und when none") {
-    val r = Seq(
-      (1L, "the cat and the dog sat in a field of flowers it is nice"),
-      (2L, "el perro y los gatos en un parque de la ciudad que brilla"),
-      (3L, "xyzzy plugh foobar")
-    ).toDF("id", "t").select($"id", TextOps.langId($"t").as("lang"))
+  test("langId: all 26 languages separate on their own seed prose") {
+    // self-consistency of the trained table: every training paragraph
+    // must classify as its own language (if this breaks, the resource
+    // and the tool have drifted apart)
+    val seeds = graft.tools.LangProfilesTool.seeds.toSeq
+    val r = seeds.map { case (l, s) => (l, s) }.toDF("lang", "t")
+      .select($"lang", TextOps.langId($"t").as("pred"))
+      .as[(String, String)].collect()
+    val wrong = r.filter { case (l, p) => l != p }
+    assert(wrong.isEmpty, s"seed misclassified: ${wrong.mkString(", ")}")
+    assert(r.length == 26)
+  }
+
+  test("langId: novel sentences classify; digits/unknown/null/empty are und") {
+    val fixtures = Seq(
+      "en" -> "she opened the window and looked at the quiet street below",
+      "es" -> "los estudiantes escriben cartas largas durante las vacaciones de verano",
+      "de" -> "die kinder möchten am wochenende mit ihren freunden schwimmen gehen",
+      "fr" -> "nous avons mangé du pain avec du fromage près de la rivière",
+      "it" -> "questa sera andiamo al cinema con i nostri amici più cari",
+      "pt" -> "as crianças não estão brincando no jardim porque está chovendo muito hoje",
+      "nl" -> "vandaag gaan wij met de fiets naar de markt in de stad",
+      "sv" -> "han dricker kaffe varje morgon innan han går till kontoret",
+      "da" -> "hun købte nogle æbler og lidt brød til frokosten i dag",
+      "no" -> "om morgenen tar barna toget til skolen og leser bøker på veien",
+      "fi" -> "me menemme huomenna kirjastoon lukemaan uusia kirjoja yhdessä",
+      "pl" -> "wczoraj wieczorem czytaliśmy ciekawą książkę o dalekich podróżach",
+      "cs" -> "dnes večer půjdeme s přáteli do divadla na novou hru",
+      "ro" -> "copiii merg la școală dimineața și învață lucruri interesante",
+      "hu" -> "holnap reggel elmegyünk a piacra friss gyümölcsöt vásárolni",
+      "tr" -> "yarın sabah erkenden kalkıp deniz kenarında yürüyüş yapacağız",
+      "ru" -> "вчера вечером мы долго гуляли по старому городу и разговаривали",
+      "uk" -> "сьогодні вранці діти пішли до школи разом зі своїми друзями",
+      "el" -> "αύριο το πρωί θα πάμε στη θάλασσα με τα παιδιά μας",
+      "ar" -> "ذهبنا إلى السوق في الصباح واشترينا خبزا وفواكه طازجة",
+      "hi" -> "कल शाम हम सब मिलकर बाजार गए और ताजे फल खरीदे",
+      "zh" -> "明天早上我们一起去图书馆看书然后到公园散步",
+      "ja" -> "昨日の夜は友達と一緒においしい料理を食べました",
+      "ko" -> "오늘 아침에 친구와 함께 도서관에서 책을 읽었습니다",
+      "vi" -> "sáng nay chúng tôi cùng nhau đi chợ mua rau và trái cây tươi",
+      "id" -> "besok pagi kami akan pergi ke pasar untuk membeli buah segar"
+    )
+    val r = fixtures.toDF("lang", "t")
+      .select($"lang", TextOps.langId($"t").as("pred"))
+      .as[(String, String)].collect()
+    val wrong = r.filter { case (l, p) => l != p }
+    assert(wrong.isEmpty, s"fixture misclassified: ${wrong.mkString(", ")}")
+    // no evidence -> und: digits/punct only, empty, NULL, out-of-vocab noise
+    val und = Seq((1L, "12345 67890 ### !!!"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "t").select($"id", TextOps.langId($"t").as("pred"))
       .as[(Long, String)].collect().toMap
-    assert(r(1L) == "en")
-    assert(r(2L) == "es")
-    assert(r(3L) == "und")
+    assert(und(1L) == "und" && und(2L) == "und" && und(3L) == "und")
+  }
+
+  test("langId plan: shuffle-free scan-fused projection (the weight table is a literal)") {
+    val df = spark.range(50).select(col("id"),
+      concat(lit("the quick brown fox number "), col("id")).as("t"))
+    val plan = df.select(TextOps.langId(col("t"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"langId must not shuffle:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"langId must not join:\n${plan.take(2000)}")
   }
 
   test("qualitySignals: each band moves the score; good text scores 1.0") {
@@ -1023,6 +1092,52 @@ class OpsSpec extends SparkSpec {
     assert(byId(3L)._3 == 0L, "unique doc: zero shared windows")
     assert(byId(2L)._3 > 0L && byId(2L)._4 < 1.0, "partial overlap flags only the shared prefix")
     assert(!byId.contains(4L) && !byId.contains(5L))
+  }
+
+  test("removeDuplicateSpans: reference excision; unique docs no-op; exact dups collapse") {
+    val W = 20; val S = 5
+    // exactly 40 chars = 2*W, so the stride-5 windows tile it FULLY
+    // (positions 1..21 cover chars 1..40) and exact dups collapse to ""
+    val shared = "the quick brown fox jumps over the lazy."
+    assert(shared.length == 2 * 20)
+    val corpus = Seq(
+      (1L, shared + " dog near the river bank today"),
+      (2L, shared + " cat under an old oak tree now"),
+      (3L, "completely unrelated writing about columnar engines"),
+      (4L, "tiny"), // shorter than one window -> unchanged, 0 dups
+      (5L, null.asInstanceOf[String]), // dropped (no text to clean)
+      (6L, shared), // exact dup of the shared span, len = 2W
+      (7L, shared) // covered fully -> collapses to ""
+    ).toDF("doc_id", "text")
+    val got = DedupOps.removeDuplicateSpans(corpus, "doc_id", "text", W, S)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // in-memory reference: per-char coverage by cross-doc dup windows
+    val texts = Map(
+      1L -> (shared + " dog near the river bank today"),
+      2L -> (shared + " cat under an old oak tree now"),
+      3L -> "completely unrelated writing about columnar engines",
+      6L -> shared, 7L -> shared)
+    def positions(t: String): Seq[Int] =
+      if (t.length < W) Seq.empty else 1 to (t.length - W + 1) by S
+    val docsWith = texts.toSeq
+      .flatMap { case (id, t) =>
+        positions(t).map(p => t.substring(p - 1, p - 1 + W).toLowerCase -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    texts.foreach { case (id, t) =>
+      val dups = positions(t).filter(p =>
+        docsWith(t.substring(p - 1, p - 1 + W).toLowerCase) >= 2)
+      val covered = dups.flatMap(p => p until p + W).toSet
+      val want = t.zipWithIndex.collect {
+        case (c, i) if !covered(i + 1) => c }.mkString
+      assert(got(id)._3 == want, s"doc $id: got '${got(id)._3}' want '$want'")
+      assert(got(id)._2 == dups.size.toLong)
+    }
+    assert(got(3L)._3 == texts(3L) && got(3L)._2 == 0L, "unique doc is a no-op")
+    assert(got(4L)._3 == "tiny" && got(4L)._2 == 0L, "sub-window doc passes through")
+    assert(!got.contains(5L))
+    assert(got(6L)._3 == "" && got(7L)._3 == "", "exact dups collapse to empty")
+    assert(got(1L)._3.nonEmpty && !got(1L)._3.contains("quick brown"),
+      "shared prefix excised, unique tail survives")
   }
 
   test("tokenBudgetSample: expected volume tracks the budget, under-budget strata intact") {
@@ -1618,6 +1733,81 @@ class OpsSpec extends SparkSpec {
       byId(1L).getAs[Long]("duration_ms") == 125L)
     assert(byId(2L).getAs[Int]("width") == 320 && byId(2L).getAs[Int]("height") == 240)
     assert(byId(3L).getAs[String]("format") == "unknown")
+  }
+
+  test("decodeJpegPixels: exact on the DC-only fixture family, both decoders agree") {
+    import MultimodalOps.{decodeJpegPixels, synthJpegImageBytes}
+    // the block-constant + unit-quant construction makes the lossy
+    // codec exact: my decoder AND ImageIO must BOTH reproduce the
+    // block formula bit-equal (non-multiple-of-8 dims exercise edge
+    // MCU clipping)
+    for ((seed, w, h) <- Seq((0L, 8, 8), (7L, 24, 16), (13L, 17, 9), (255L, 31, 30))) {
+      val bytes = synthJpegImageBytes(seed, w, h)
+      val Some((gw, gh, ch, px)) = decodeJpegPixels(bytes)
+      assert((gw, gh, ch) == ((w, h, 1)), s"dims ${w}x$h")
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = (((x / 8) * 7 + (y / 8) * 13 + seed) % 256).toInt
+        assert((px(y * w + x) & 0xff) == want,
+          s"seed=$seed ${w}x$h pixel ($x,$y): got ${px(y * w + x) & 0xff} want $want")
+      }
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        "ImageIO must accept the synthetic stream")
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = (((x / 8) * 7 + (y / 8) * 13 + seed) % 256).toInt
+        // raster sample, not getRGB: TYPE_BYTE_GRAY's getRGB runs a
+        // colorspace (gamma) conversion on the decoded samples
+        assert(img.getRaster.getSample(x, y, 0) == want,
+          s"ImageIO seed=$seed pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("decodeJpegPixels: ImageIO-ENCODED grayscale decodes within IDCT rounding tolerance") {
+    import MultimodalOps.decodeJpegPixels
+    // general AC-bearing JPEG: conformant decoders may differ by ~1
+    // per pixel (IDCT rounding freedom, spec annex A) - parity is
+    // bounded drift, exactness is the DC-only test above
+    for ((w, h) <- Seq((16, 16), (29, 13))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, (40 + x * 6 + y * 4) % 256) // smooth gradient
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val bytes = bos.toByteArray
+      val Some((gw, gh, ch, px)) = decodeJpegPixels(bytes)
+      assert((gw, gh, ch) == ((w, h, 1)))
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = math.abs((px(y * w + x) & 0xff) - ref.getRaster.getSample(x, y, 0))
+        if (d > maxDiff) maxDiff = d
+      }
+      assert(maxDiff <= 2, s"${w}x$h: max per-pixel drift $maxDiff > 2")
+    }
+    // unsupported/garbage payloads refuse cleanly
+    assert(decodeJpegPixels("not a jpeg".getBytes) == None)
+    assert(decodeJpegPixels(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x01)) == None)
+  }
+
+  test("decodeImagePixels dispatch: PNG and JPEG payloads flow through one pixel pipeline") {
+    import MultimodalOps._
+    val media = asMedia(Seq(
+      (1L, synthPngImageBytes(5L, 16, 8)),
+      (2L, synthJpegImageBytes(5L, 16, 8)),
+      (3L, "neither".getBytes)
+    ).toDF("id", "payload"), "id", "payload", "image")
+    val out = decodeResizePixels(media, 8, 8).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[Int]("width") == 16 && out(1L).getAs[Long]("px_sum") > 0)
+    assert(out(2L).getAs[Int]("width") == 16 && out(2L).getAs[Int]("channels") == 1)
+    // JPEG resampled corners replay the block formula
+    def blockVal(x: Int, y: Int) = (((x / 8) * 7 + (y / 8) * 13 + 5L) % 256).toInt
+    assert(out(2L).getAs[Int]("px_tl") == blockVal(0, 0))
+    assert(out(2L).getAs[Int]("px_br") == blockVal(7 * 16 / 8, 7 * 8 / 8))
+    assert(out(3L).getAs[Int]("width") == 0 &&
+      out(3L).isNullAt(out(3L).fieldIndex("px_sum")))
   }
 
   test("decodePngPixels: real inflate+defilter decode - ImageIO parity, all 5 filters") {
@@ -3448,6 +3638,49 @@ class OpsSpec extends SparkSpec {
     assert(got(5) === ((6L, "https", "www.shop.co.uk", 0, "/CaseKept", "", "shop.co.uk")))
   }
 
+  test("resolveUrl/resolveLinks: RFC 3986 resolution with a frontier cut") {
+    val cases = Seq(
+      ("https://a.com/dir/page?q=1", "other.html", "https://a.com/dir/other.html"),
+      ("https://a.com/dir/page", "./x/y", "https://a.com/dir/x/y"),
+      ("https://a.com/dir/sub/page", "../up", "https://a.com/dir/up"),
+      ("https://a.com/dir/sub/page", "../../up?k=v", "https://a.com/up?k=v"),
+      ("https://a.com/a/b/c", "../../../../z", "https://a.com/z"), // over-pop clamps at root
+      ("https://a.com/dir/page", "/abs/path?k=v", "https://a.com/abs/path?k=v"),
+      ("https://a.com/dir/page?q=1", "?q=2", "https://a.com/dir/page?q=2"),
+      ("https://a.com/dir/page?q=1#top", "#sec", "https://a.com/dir/page?q=1"), // fragments never survive
+      ("https://a.com/dir/page", "//cdn.b.net/lib.js", "https://cdn.b.net/lib.js"),
+      ("http://a.com/p", "//cdn.b.net/x", "http://cdn.b.net/x"), // proto-relative takes base scheme
+      ("https://a.com/p", "https://b.org/q", "https://b.org/q"), // absolute passes through
+      ("https://a.com/p", "mailto:x@y.z", "mailto:x@y.z"),
+      ("https://a.com", "x", "https://a.com/x"), // empty base path -> root dir
+      ("https://a.com:8080/d/p", "u", "https://a.com:8080/d/u"), // port preserved
+      ("https://a.com/d/", "u", "https://a.com/d/u"),
+      ("https://a.com/a/b/", "..", "https://a.com/a/"), // trailing .. keeps the slash (RFC 5.2.4)
+      ("https://a.com/a/x", "", "https://a.com/a/x"), // empty ref = base sans fragment
+      ("not a url", "rel/x", "NULL"), // schemeless base cannot anchor a relative ref
+      ("not a url", "https://ok.org/x", "https://ok.org/x")
+    )
+    val got = cases.toDF("base", "ref", "want")
+      .select($"base", $"ref", $"want",
+        coalesce(WebOps.resolveUrl($"base", $"ref"), lit("NULL")).as("got"))
+      .as[(String, String, String, String)].collect()
+    val wrong = got.filter(r => r._3 != r._4)
+    assert(wrong.isEmpty, wrong.map(r =>
+      s"resolve(${r._1}, ${r._2}) = ${r._4}, want ${r._3}").mkString("\n"))
+    // resolveLinks: every href resolved, then only absolute http(s) kept
+    val pages = Seq((1L, "https://s.org/d/p",
+      "<a href=\"a\">1</a><a href=\"../b\">2</a><a href=\"//c.net/x\">3</a>" +
+        "<a href=\"mailto:u@v.w\">4</a><a href=\"#f\">5</a>"))
+      .toDF("id", "url", "html")
+    val links = WebOps.resolveLinks(pages, "url", "html")
+      .select($"link", $"resolved").as[(String, String)].collect().toSet
+    assert(links == Set(
+      ("a", "https://s.org/d/a"),
+      ("../b", "https://s.org/b"),
+      ("//c.net/x", "https://c.net/x"),
+      ("#f", "https://s.org/d/p")))
+  }
+
   test("registrableDomain: PSL longest-match, wildcards, exceptions, IP passthrough") {
     val hosts = Seq(
       // private-section suffix: each user site is its own registrable domain
@@ -3780,12 +4013,18 @@ class OpsSpec extends SparkSpec {
       (1L, "<a href=\"http://b.com/1\">Great Site here</a>" +
         "<a href='https://www.c.co.uk/2'>useful site</a>"),
       (2L, "<a class='x' href=\"http://b.com/3\" rel=\"nofollow\">great site</a>" +
-        "<a href=\"mailto:u@d.com\">write us</a>")
+        "<a href=\"mailto:u@d.com\">write us</a>"),
+      // nested markup + newline in the body: the old [^<]* body regex
+      // silently DROPPED these anchors; now inner tags strip to spaces
+      (3L, "<a href=\"https://n.org/x\"><b>Bold deal</b>\n<span>today</span></a>" +
+        "<A HREF=\"https://n.org/y\">CASE anchor</A>")
     ).toDF("doc_id", "html")
     val got = WebOps.anchorProfile(pages, "html")
       .as[(String, String, Long)].collect().toSet
     assert(got == Set(
       ("b.com", "great", 2L), ("b.com", "site", 2L), ("b.com", "here", 1L),
-      ("c.co.uk", "useful", 1L), ("c.co.uk", "site", 1L)))
+      ("c.co.uk", "useful", 1L), ("c.co.uk", "site", 1L),
+      ("n.org", "bold", 1L), ("n.org", "deal", 1L), ("n.org", "today", 1L),
+      ("n.org", "case", 1L), ("n.org", "anchor", 1L)))
   }
 }
