@@ -267,6 +267,172 @@ object SparkEntry {
       |WHERE lower(regexp_extract(resolved, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
       |      IN ('http', 'https')""".stripMargin
 
+  /** Replay of [[graft.ops.WebOps.robotsRules]] +
+    * [[graft.ops.WebOps.robotsAllowed]] over the url shell: robots
+    * shell per distinct domain, line split with zipped-unnest
+    * ordinality, directive parse, the lag+running-sum group
+    * assignment, agent-specificity group choice, the SAME
+    * literal-replace regex build, and the longest-match verdict
+    * (rule length desc, allow beats disallow on ties; unmatched and
+    * robots-less domains allowed).
+    */
+  private def robotsOracleSql: String = {
+    val escBody = Seq("\\", ".", "^", "$", "+", "?", "(", ")", "[", "]", "{", "}", "|")
+      .foldLeft("body") { (e, ch) =>
+        val rep = "\\" + ch
+        s"replace($e, '$ch', '$rep')"
+      }
+    s"""WITH $urlShellCte, doms AS (
+      |  SELECT DISTINCT domain FROM d
+      |), rb AS (
+      |  SELECT domain,
+      |    '# crawl policy' || chr(10) || 'User-agent: badbot' || chr(10) ||
+      |    'Disallow: /' || chr(10) || chr(10) ||
+      |    'User-agent: *' || chr(10) ||
+      |    'Disallow: /p/' || regexp_extract(domain, 'src([0-9])', 1) || chr(10) ||
+      |    'Allow: /p/' || regexp_extract(domain, 'src([0-9])', 1) || '0' || chr(10) ||
+      |    'Disallow: /q*z$$' || chr(10) AS txt
+      |  FROM doms
+      |), l0 AS (
+      |  SELECT domain,
+      |    unnest(string_split_regex(txt, '\\r?\\n')) AS raw,
+      |    CAST(unnest(generate_series(1, len(string_split_regex(txt, '\\r?\\n')))) AS INT) AS line_no
+      |  FROM rb
+      |), l2 AS (
+      |  SELECT domain, line_no,
+      |    lower(regexp_extract(ln, '^([A-Za-z-]+)\\s*:', 1)) AS directive,
+      |    trim(regexp_extract(ln, '^[A-Za-z-]+\\s*:\\s*(.*)$$', 1)) AS value
+      |  FROM (SELECT domain, line_no,
+      |          trim(regexp_replace(raw, '#.*', '', 'g')) AS ln FROM l0)
+      |  WHERE ln <> ''
+      |), l3 AS (
+      |  SELECT * FROM l2 WHERE directive IN ('user-agent', 'allow', 'disallow')
+      |), g0 AS (
+      |  -- two stages: a lag nested inside the running SUM's argument
+      |  -- is an illegal nested window call (mirrors the Spark side's
+      |  -- two withColumn projections)
+      |  SELECT *, directive = 'user-agent' AS is_ua,
+      |    coalesce(lag(directive = 'user-agent')
+      |      OVER (PARTITION BY domain ORDER BY line_no), false) AS prev_ua
+      |  FROM l3
+      |), g AS (
+      |  SELECT *, SUM(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY domain ORDER BY line_no) AS grp
+      |  FROM g0
+      |), spec AS (
+      |  SELECT domain, grp,
+      |    max(CASE WHEN lower(value) = 'graftbot' THEN 2
+      |             WHEN value = '*' THEN 1 ELSE 0 END) AS sp
+      |  FROM g WHERE is_ua GROUP BY domain, grp
+      |  HAVING max(CASE WHEN lower(value) = 'graftbot' THEN 2
+      |                  WHEN value = '*' THEN 1 ELSE 0 END) > 0
+      |), best AS (
+      |  SELECT domain, max(sp) AS bst FROM spec GROUP BY domain
+      |), chosen AS (
+      |  SELECT s.domain, s.grp FROM spec s
+      |  JOIN best b ON s.domain = b.domain AND s.sp = b.bst
+      |), rules AS (
+      |  SELECT g.domain, g.directive = 'allow' AS is_allow, g.value AS rule
+      |  FROM g JOIN chosen USING (domain, grp)
+      |  WHERE NOT g.is_ua AND g.value <> ''
+      |), rx AS (
+      |  SELECT domain, is_allow, CAST(length(rule) AS INT) AS rlen,
+      |    '^' || replace($escBody, '*', '.*') ||
+      |    (CASE WHEN rule LIKE '%$$' THEN '$$' ELSE '' END) AS pat
+      |  FROM (SELECT *, CASE WHEN rule LIKE '%$$'
+      |                       THEN substr(rule, 1, length(rule) - 1)
+      |                       ELSE rule END AS body
+      |        FROM rules)
+      |), pg AS (
+      |  SELECT doc_id, url, domain,
+      |         CASE WHEN path = '' THEN '/' ELSE path END AS p
+      |  FROM d
+      |), mv AS (
+      |  SELECT pg.doc_id, r.is_allow, r.rlen
+      |  FROM pg JOIN rx r ON pg.domain = r.domain AND regexp_matches(pg.p, r.pat)
+      |), v AS (
+      |  SELECT doc_id, is_allow FROM (
+      |    SELECT doc_id, is_allow,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                              ORDER BY rlen DESC, is_allow DESC) AS rk
+      |    FROM mv) WHERE rk = 1
+      |)
+      |SELECT pg.doc_id, pg.url, coalesce(v.is_allow, true) AS allowed
+      |FROM pg LEFT JOIN v USING (doc_id)""".stripMargin
+  }
+
+  /** Replay of [[graft.ops.WebOps.canonicalizeUrl]] over the messy URL
+    * shell: fragment cut, the generic percent-escape normalization
+    * (unreserved decode / reserved hex uppercase, via the same
+    * unnest + ordered string_agg stitch as the numeric-ref replay),
+    * component re-parse, default-port strip, [[dotSegmentsSql]] path
+    * normalization, and the sorted-query reassembly.
+    */
+  private def urlCanonOracleSql: String =
+    s"""WITH m AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+      |    (CASE WHEN doc_id % 13 = 0 THEN 'User@' ELSE '' END) ||
+      |    'WWW.Src' || CAST(doc_id % 10 AS VARCHAR) ||
+      |    (CASE doc_id % 3 WHEN 0 THEN '.COM' WHEN 1 THEN '.co.UK' ELSE '.org' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ||
+      |    '/a/./b' || CAST(doc_id % 5 AS VARCHAR) || '/../c%7Ex%3f' ||
+      |    '?b=' || CAST(doc_id % 7 AS VARCHAR) || '&a=1#frag' AS url
+      |  FROM documents
+      |), nf AS (
+      |  SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u0 FROM m
+      |), pe AS (
+      |  SELECT doc_id, u0,
+      |    string_split_regex(u0, '%[0-9A-Fa-f]{2}') AS parts,
+      |    regexp_extract_all(u0, '%[0-9A-Fa-f]{2}', 0) AS refs
+      |  FROM nf
+      |), e AS (
+      |  SELECT doc_id, parts, refs,
+      |         CAST(unnest(generate_series(1, len(refs))) AS INT) AS i
+      |  FROM pe WHERE len(refs) > 0
+      |), dec AS (
+      |  SELECT doc_id, i,
+      |    (CASE WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)
+      |               OR (cp BETWEEN 48 AND 57) OR cp IN (45, 46, 95, 126)
+      |          THEN chr(cp) ELSE '%' || hx END) || parts[i + 1] AS piece
+      |  FROM (SELECT doc_id, i, parts, upper(substr(refs[i], 2, 2)) AS hx,
+      |          CAST(('0x' || substr(refs[i], 2, 2)) AS INT) AS cp
+      |        FROM e)
+      |), asm AS (
+      |  SELECT doc_id, string_agg(piece, '' ORDER BY i) AS tail
+      |  FROM dec GROUP BY doc_id
+      |), pn AS (
+      |  SELECT pe.doc_id,
+      |         CASE WHEN a.tail IS NULL THEN pe.u0
+      |              ELSE pe.parts[1] || a.tail END AS u
+      |  FROM pe LEFT JOIN asm a USING (doc_id)
+      |), px AS (
+      |  SELECT doc_id, u,
+      |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+      |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+      |    regexp_extract(u, '\\?([^#]*)', 1) AS q
+      |  FROM pn
+      |), pz AS (
+      |  SELECT *,
+      |    regexp_extract(auth, '^([^@]*@)', 1) AS userinfo,
+      |    lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+      |    CASE WHEN regexp_extract(auth, ':([0-9]{1,5})$$', 1) = '' THEN 0
+      |         ELSE CAST(regexp_extract(auth, ':([0-9]{1,5})$$', 1) AS INT) END AS port
+      |  FROM px
+      |)
+      |SELECT z.doc_id, m.url,
+      |  CASE WHEN scheme IN ('http', 'https') THEN
+      |    scheme || '://' || userinfo || host ||
+      |    (CASE WHEN port <> 0 AND NOT (scheme = 'http' AND port = 80)
+      |               AND NOT (scheme = 'https' AND port = 443)
+      |          THEN ':' || CAST(port AS VARCHAR) ELSE '' END) ||
+      |    ${dotSegmentsSql("(CASE WHEN rawpath = '' THEN '/' ELSE rawpath END)")} ||
+      |    (CASE WHEN q = '' THEN ''
+      |          ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&') END)
+      |  ELSE NULL END AS canonical
+      |FROM pz z JOIN m USING (doc_id)""".stripMargin
+
   /** Replay of [[graft.ops.TextOps.langId]]: the trained 26-language
     * trigram-NB scorer, with the checked-in weight table interpolated
     * as a VALUES relation - generated from the SAME loaded profile the
@@ -1482,6 +1648,50 @@ object SparkEntry {
       WebOps.anchorProfile(
         tbl(s, dir, "documents").withColumn("html", synthLinkHtmlCol),
         "html")
+    },
+    "web_robots" -> { (s, dir) =>
+      // crawl-politeness gate: per-domain robots.txt (deterministic
+      // shell - a badbot group our agent must skip, a * group with a
+      // digit-derived Disallow, a longer Allow, a wildcard+anchor
+      // rule), parsed to the governing rule set, then the RFC 9309
+      // longest-match verdict per page URL. Rules broadcast; the
+      // corpus never shuffles to be judged.
+      val pages = tbl(s, dir, "documents").withColumn("url", synthUrlCol)
+      val domains = pages
+        .select(WebOps.registrableDomain(WebOps.urlHost(col("url"))).as("domain"))
+        .distinct()
+      val n = regexp_extract(col("domain"), "src([0-9])", 1)
+      val robots = domains.withColumn("txt", concat(
+        lit("# crawl policy\nUser-agent: badbot\nDisallow: /\n\n"),
+        lit("User-agent: *\nDisallow: /p/"), n,
+        lit("\nAllow: /p/"), n, lit("0\nDisallow: /q*z$\n")))
+      val rules = WebOps.robotsRules(robots, "domain", "txt", "graftbot")
+      WebOps.robotsAllowed(
+          pages.select(col("doc_id"), col("url")), "doc_id", "url", rules)
+        .select(col("doc_id"), col("url"), col("allowed"))
+    },
+    "web_url_canon" -> { (s, dir) =>
+      // URL canonicalization: the cheapest dedup in the pipeline (one
+      // fetch key for every case/port/dot/escape/param-order variant).
+      // The messy shell stacks every normalization at once: mixed-case
+      // scheme+host, a default port, ./ and ../ segments, a %7E that
+      // must decode and a %3f that must uppercase, unsorted query
+      // params, and a fragment.
+      val messy = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://"),
+        when(col("doc_id") % 13 === 0, lit("User@")).otherwise(lit("")),
+        lit("WWW.Src"), (col("doc_id") % 10).cast(StringType),
+        when(col("doc_id") % 3 === 0, lit(".COM"))
+          .when(col("doc_id") % 3 === 1, lit(".co.UK")).otherwise(lit(".org")),
+        when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
+        lit("/a/./b"), (col("doc_id") % 5).cast(StringType),
+        lit("/../c%7Ex%3f"),
+        lit("?b="), (col("doc_id") % 7).cast(StringType), lit("&a=1#frag"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), messy.as("url"))
+        .select(col("doc_id"), col("url"),
+          WebOps.canonicalizeUrl(col("url")).as("canonical"))
     },
     "web_links_resolved" -> { (s, dir) =>
       // crawl-frontier builder: EVERY href (relative, dotted,
@@ -4237,6 +4447,8 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "text_langid" -> langIdOracleSql,
     "web_links_resolved" -> linksResolvedOracleSql,
+    "web_url_canon" -> urlCanonOracleSql,
+    "web_robots" -> robotsOracleSql,
     "text_bigram_lm" ->
       """WITH base AS (
         |  SELECT doc_id,

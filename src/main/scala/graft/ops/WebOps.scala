@@ -322,6 +322,79 @@ object WebOps {
         concat(prefix, removeDotSegments(concat(baseDir, rPath)), rQuery))
   }
 
+  /** Percent-encoding normalization, RFC 3986 §6.2.2: decode escapes
+    * of UNRESERVED characters (ALPHA / DIGIT / `-._~` - encoding them
+    * never changes meaning, so `%7Euser` == `~user`) and uppercase the
+    * hex of every escape that must stay (`%3f` -> `%3F`). Same
+    * split/extract/HOF-refold shape as `TextOps.decodeNumericRefs`;
+    * the decoded byte range is ASCII, so a 2-digit unhex + UTF-8
+    * decode is exact in both engines.
+    */
+  def normalizePercentEncoding(s: Column): Column = {
+    val pat = "%[0-9A-Fa-f]{2}"
+    val parts = split(s, pat, -1)
+    val refs = regexp_extract_all(s, lit(pat), lit(0))
+    val n = size(refs)
+    def norm(r: Column): Column = {
+      val hexUp = upper(r.substr(lit(2), lit(2)))
+      val cp = conv(hexUp, 16, 10).cast(IntegerType)
+      val unreserved =
+        cp.between(0x41, 0x5A) || cp.between(0x61, 0x7A) ||
+          cp.between(0x30, 0x39) ||
+          cp.isin(0x2D, 0x2E, 0x5F, 0x7E) // - . _ ~
+      when(unreserved, decode(unhex(hexUp), "UTF-8"))
+        .otherwise(concat(lit("%"), hexUp))
+    }
+    val refolded = aggregate(
+      sequence(lit(1), greatest(n, lit(1))), element_at(parts, 1),
+      (acc, i) => concat(acc, norm(element_at(refs, i)),
+        element_at(parts, i + 1)))
+    when(n === 0, s).otherwise(refolded)
+  }
+
+  /** Canonical form of an absolute http(s) URL - the URL-level dedup
+    * key a crawl frontier batches on BEFORE fetching (the cheapest
+    * dedup in the whole pipeline: `HTTP://Host:80/a/../b?b=2&a=1` and
+    * `http://host/b?a=1&b=2` are one fetch, not two):
+    *
+    *   - scheme and host lowercase (RFC 3986 §6.2.2.1); userinfo kept
+    *     as written (it is case-sensitive);
+    *   - fragment dropped;
+    *   - default port stripped (`:80` for http, `:443` for https);
+    *   - path dot-segments removed ([[removeDotSegments]]); an empty
+    *     path with an authority becomes `/` (§6.2.3);
+    *   - percent-escapes normalized ([[normalizePercentEncoding]]);
+    *   - query parameters SORTED (string sort on `&`-split params -
+    *     beyond-RFC but standard crawl practice: parameter order is
+    *     almost never semantic, and unsorted order defeats the dedup);
+    *     an empty query drops its `?`.
+    *
+    * Non-http(s) or unparseable inputs return NULL (callers keep the
+    * raw URL for those rows). Pure codegen column - no shuffle.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = normalizePercentEncoding(regexp_replace(url, "#.*", ""))
+    val scheme = urlScheme(u)
+    val auth = rx(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)")
+    val userinfo = rx(auth, "^([^@]*@)")
+    val host = lower(rx(auth, "^(?:[^@]*@)?([^:]*)"))
+    val port = urlPort(u)
+    val keepPort = port =!= 0 &&
+      !(scheme === "http" && port === 80) &&
+      !(scheme === "https" && port === 443)
+    val rawPath = urlPath(u)
+    val path = removeDotSegments(when(rawPath === "", lit("/")).otherwise(rawPath))
+    val q = urlQuery(u)
+    val sortedQ = array_join(sort_array(split(q, "&")), "&")
+    concat(
+      when(scheme.isin("http", "https"), scheme)
+        .otherwise(lit(null).cast(StringType)),
+      lit("://"), userinfo, host,
+      when(keepPort, concat(lit(":"), port.cast(StringType))).otherwise(lit("")),
+      path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
+
   /** EVERY href of `htmlCol` - relative ones included - resolved
     * against the page's own URL, then the frontier cut: one row per
     * href that resolves to an absolute http(s) target. This is the
@@ -365,6 +438,120 @@ object WebOps {
         registrableDomain(urlHost(F.col("link"))).as("dst_domain"))
       .groupBy(F.col("src_domain"), F.col("dst_domain"))
       .agg(count(lit(1)).as("n_links"))
+
+  /** Parse robots.txt bodies into the allow/disallow rule set that
+    * governs `agent` - the crawl-politeness half a frontier builder
+    * needs beside [[resolveLinks]]/[[canonicalizeUrl]]. RFC 9309
+    * semantics:
+    *
+    *   - lines split on `\r?\n`, `#` comments stripped, directives
+    *     case-insensitive; only user-agent/allow/disallow matter;
+    *   - consecutive `User-agent` lines head ONE group; a group's
+    *     rules run until the next group starts;
+    *   - the group(s) naming `agent` exactly (case-insensitive) win
+    *     over `*` groups; same-specificity groups merge;
+    *   - empty rule values carry no restriction and are dropped
+    *     (`Disallow:` = allow everything).
+    *
+    * Scale shape: robots tables are domain-sized, not corpus-sized -
+    * one posexplode over the text, one window per domain for group
+    * assignment, two group-level aggregates. Output: (domainCol,
+    * is_allow, rule).
+    */
+  def robotsRules(
+      robots: DataFrame,
+      domainCol: String,
+      txtCol: String,
+      agent: String
+  ): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val lines = robots
+      .select(F.col(domainCol).as("domain"),
+        posexplode(split(F.col(txtCol), "\r?\n")).as(Seq("line_no", "raw")))
+      .select(F.col("domain"), F.col("line_no"),
+        trim(regexp_replace(F.col("raw"), "#.*", "")).as("ln"))
+      .filter(F.col("ln") =!= "")
+      .withColumn("directive",
+        lower(regexp_extract(F.col("ln"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("value",
+        trim(regexp_extract(F.col("ln"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1)))
+      .filter(F.col("directive").isin("user-agent", "allow", "disallow"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy("line_no")
+    val grouped = lines
+      .withColumn("is_ua", F.col("directive") === "user-agent")
+      .withColumn("prev_ua",
+        coalesce(lag(F.col("is_ua"), 1).over(w), lit(false)))
+      .withColumn("grp",
+        sum(when(F.col("is_ua") && !F.col("prev_ua"), 1).otherwise(0)).over(w))
+    val groupSpec = grouped.filter(F.col("is_ua"))
+      .groupBy(F.col("domain"), F.col("grp"))
+      .agg(max(when(lower(F.col("value")) === a, 2)
+        .when(F.col("value") === "*", 1).otherwise(0)).as("spec"))
+      .filter(F.col("spec") > 0)
+    val bestSpec = groupSpec.groupBy(F.col("domain")).agg(max("spec").as("best"))
+    val chosen = groupSpec.join(bestSpec, "domain")
+      .filter(F.col("spec") === F.col("best"))
+      .select(F.col("domain"), F.col("grp"))
+    grouped.filter(!F.col("is_ua") && F.col("value") =!= "")
+      .join(chosen, Seq("domain", "grp"))
+      .select(F.col("domain"), (F.col("directive") === "allow").as("is_allow"),
+        F.col("value").as("rule"))
+  }
+
+  /** The path-pattern regex of a robots rule: `*` matches any run,
+    * a TRAILING `$` anchors the end, everything else is literal
+    * (regex specials escaped with plain literal replaces - backslash
+    * FIRST), prefix-anchored with `^`. Built identically in the
+    * DuckDB oracle, so matching replays byte-for-byte.
+    */
+  def robotsRuleRegex(rule: Column): Column = {
+    val anchored = rule.endsWith("$")
+    val body = when(anchored, rule.substr(lit(1), length(rule) - 1))
+      .otherwise(rule)
+    val escaped = Seq("\\", ".", "^", "$", "+", "?", "(", ")", "[", "]", "{", "}", "|")
+      .foldLeft(body)((c, ch) => F.replace(c, lit(ch), lit("\\" + ch)))
+    concat(lit("^"), F.replace(escaped, lit("*"), lit(".*")),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Longest-match robots verdict per URL (RFC 9309 §2.2.2): every
+    * governing rule whose pattern matches the URL path competes; the
+    * rule with the LONGEST raw text wins, allow beating disallow on
+    * ties; no match (or no robots entry for the domain) = allowed.
+    * An empty path evaluates as `/`.
+    *
+    * Scale shape: the rule table (from [[robotsRules]]) is
+    * domain-sized and BROADCASTS; matching is an rlike against the
+    * per-rule pattern inside the broadcast join, and the verdict is
+    * ONE aggregate keyed on `idCol`. The corpus never shuffles to be
+    * judged. Output: df's rows + (allowed boolean).
+    */
+  def robotsAllowed(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      rules: DataFrame
+  ): DataFrame = {
+    val rx = rules.select(F.col("domain").as("gr_rdom"), F.col("is_allow"),
+      robotsRuleRegex(F.col("rule")).as("gr_rx"),
+      length(F.col("rule")).as("gr_rlen"))
+    val paths = df.select(F.col(idCol).as("gr_id"),
+      registrableDomain(urlHost(F.col(urlCol))).as("gr_dom"),
+      when(urlPath(F.col(urlCol)) === "", lit("/"))
+        .otherwise(urlPath(F.col(urlCol))).as("gr_path"))
+    val verdict = paths
+      .join(broadcast(rx), F.col("gr_dom") === F.col("gr_rdom") &&
+        F.expr("gr_path rlike gr_rx")) // rlike with a COLUMN pattern
+      .groupBy(F.col("gr_id"))
+      .agg(max(struct(F.col("gr_rlen"),
+        F.col("is_allow").cast(IntegerType).as("a"))).as("best"))
+      .select(F.col("gr_id").as(idCol + "_v"),
+        (F.col("best.a") === 1).as("allowed"))
+    df.join(verdict, F.col(idCol) === F.col(idCol + "_v"), "left")
+      .drop(idCol + "_v")
+      .withColumn("allowed", coalesce(F.col("allowed"), lit(true)))
+  }
 
   /** Anchor elements of `htmlCol` as (link, anchor) rows beside the
     * input row - the classic IR relevance signal: how OTHER pages

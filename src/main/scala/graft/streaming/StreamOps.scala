@@ -903,6 +903,58 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming crawl-frontier maintenance - the fifteenth maintained
+    * lifecycle, closing the web tier's loop: each micro-batch of
+    * DISCOVERED pages has its hrefs resolved against the page URL
+    * ([[graft.ops.WebOps.resolveLinks]] - relative links included),
+    * canonicalized to fetch keys
+    * ([[graft.ops.WebOps.canonicalizeUrl]]), and anti-joined against
+    * the maintained SEEN set; only never-seen canonical keys surface
+    * as the batch's frontier, and the seen set advances by exactly
+    * those keys - so every fetch key is emitted ONCE across the whole
+    * stream, no matter how many pages link it or how differently they
+    * spell it.
+    *
+    * State is the canonical-URL vocabulary (one string column), never
+    * page text; the per-batch work is the resolve/canonicalize
+    * projection (scan-shaped) plus one key-equality anti-join against
+    * the state. Same checkpoint-graveyard release discipline as
+    * [[domainMaintenance]].
+    *
+    * `onBatch(fresh, seen)` gets the batch's new frontier and the
+    * advanced seen set; both are self-contained checkpoints, released
+    * on the NEXT batch (a callback may hand them to an async fetcher).
+    */
+  def frontierMaintenance(
+      stream: DataFrame,
+      urlCol: String,
+      htmlCol: String,
+      initialSeen: DataFrame
+  )(onBatch: (DataFrame, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    @volatile var seen = initialSeen.select(F.col("canonical")).localCheckpoint()
+    @volatile var graveyard: Seq[DataFrame] = Nil
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val cand = graft.ops.WebOps
+            .resolveLinks(batch.toDF(), urlCol, htmlCol)
+            .select(graft.ops.WebOps.canonicalizeUrl(col("resolved")).as("canonical"))
+            .filter(col("canonical").isNotNull)
+            .distinct()
+          val prev = seen
+          val fresh = cand.join(prev, Seq("canonical"), "left_anti")
+            .localCheckpoint()
+          seen = prev.unionByName(fresh).localCheckpoint()
+          onBatch(fresh, seen)
+          graveyard.foreach(unpersistCheckpoint)
+          graveyard = Seq(prev, fresh)
+        }
+      }
+      .start()
+  }
+
   /** See [[graft.ops.OpsUtil.unpersistCheckpoint]] - shared with the
     * batch-side audits that also pin localCheckpoint snapshots.
     */

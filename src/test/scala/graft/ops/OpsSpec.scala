@@ -3681,6 +3681,85 @@ class OpsSpec extends SparkSpec {
       ("#f", "https://s.org/d/p")))
   }
 
+  test("robotsRules/robotsAllowed: RFC 9309 group choice and longest-match verdicts") {
+    val robotsTxt =
+      """# policy
+        |User-agent: badbot
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |User-Agent: otherbot
+        |Disallow: /private
+        |Allow: /private/ok
+        |disallow: /tmp*
+        |Disallow: /exact$
+        |Disallow:
+        |
+        |User-agent: *
+        |Disallow: /everything
+        |""".stripMargin
+    val robots = Seq(
+      ("site.com", robotsTxt),
+      ("open.org", "User-agent: *\nAllow: /")
+    ).toDF("domain", "txt")
+    val rules = WebOps.robotsRules(robots, "domain", "txt", "GraftBot")
+    // exact-agent group beats '*' (badbot and * groups ignored for
+    // site.com); consecutive UA lines head one group; directives are
+    // case-insensitive; the empty Disallow carries no rule
+    assert(rules.as[(String, Boolean, String)].collect().toSet == Set(
+      ("site.com", false, "/private"),
+      ("site.com", true, "/private/ok"),
+      ("site.com", false, "/tmp*"),
+      ("site.com", false, "/exact$"),
+      ("open.org", true, "/"))) // no graftbot group -> the * group governs
+    val urls = Seq(
+      (1L, "https://www.site.com/private/file"), // /private denies (host folds)
+      (2L, "https://site.com/private/ok/x"), // longer Allow beats shorter Disallow
+      (3L, "https://site.com/tmpanything/deep"), // * wildcard
+      (4L, "https://site.com/exact"), // $-anchored match
+      (5L, "https://site.com/exactly"), // NOT matched by /exact$
+      (6L, "https://site.com/other"), // no matching rule -> allowed
+      (7L, "https://unknown.net/x"), // no robots entry -> allowed
+      (8L, "https://open.org/anything") // Allow /
+    ).toDF("id", "url")
+    val got = WebOps.robotsAllowed(urls, "id", "url", rules)
+      .select($"id", $"allowed").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> false,
+      5L -> true, 6L -> true, 7L -> true, 8L -> true), got.toString)
+  }
+
+  test("canonicalizeUrl: case/port/dots/escapes/query-order collapse to one fetch key") {
+    val cases = Seq(
+      // scheme+host case fold, default port strip, fragment drop
+      ("HTTP://WWW.Example.COM:80/a#frag", "http://www.example.com/a"),
+      ("https://h.org:443/x", "https://h.org/x"),
+      ("https://h.org:8443/x", "https://h.org:8443/x"), // non-default kept
+      // dot segments removed; empty path -> '/'
+      ("http://h.com/a/./b/../c", "http://h.com/a/c"),
+      ("http://h.com", "http://h.com/"),
+      // unreserved escapes decode, reserved escapes uppercase
+      ("http://h.com/%7Euser/f%3fq", "http://h.com/~user/f%3Fq"),
+      // query params sort; empty query drops '?'
+      ("http://h.com/p?b=2&a=1", "http://h.com/p?a=1&b=2"),
+      ("http://h.com/p?", "http://h.com/p"),
+      // userinfo kept verbatim (case-sensitive)
+      ("http://User@h.com/p", "http://User@h.com/p"),
+      // the dedup payoff: maximally-messy == already-canonical
+      ("HTTP://H.com:80/a/../b%7E?z=1&a=2#f", "http://h.com/b~?a=2&z=1"),
+      ("http://h.com/b~?a=2&z=1", "http://h.com/b~?a=2&z=1"),
+      // non-http(s) and unparseable -> NULL
+      ("ftp://h.com/x", "NULL"),
+      ("not a url", "NULL")
+    )
+    val got = cases.toDF("url", "want")
+      .select($"url", $"want",
+        coalesce(WebOps.canonicalizeUrl($"url"), lit("NULL")).as("got"))
+      .as[(String, String, String)].collect()
+    val wrong = got.filter(r => r._2 != r._3)
+    assert(wrong.isEmpty, wrong.map(r =>
+      s"canon(${r._1}) = ${r._3}, want ${r._2}").mkString("\n"))
+  }
+
   test("registrableDomain: PSL longest-match, wildcards, exceptions, IP passthrough") {
     val hosts = Seq(
       // private-section suffix: each user site is its own registrable domain

@@ -818,6 +818,41 @@ class StreamOpsSpec extends SparkSpec {
       d == "shop.co.uk" && nd == 4L && nh == 2L && sc == 40L })
   }
 
+  test("frontierMaintenance: each canonical fetch key surfaces exactly once across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1 discovers three links (one relative, one root-relative,
+    // one messy absolute); batch 2 re-links two of them - one spelled
+    // DIFFERENTLY (default port + fragment vs empty query) - plus one
+    // genuinely new dotted-relative link
+    val batch1 = Seq(("https://a.com/dir/page",
+      "<a href=\"x\">1</a><a href=\"/top\">2</a>" +
+        "<a href=\"HTTP://B.com:80/z#f\">3</a>"))
+    val batch2 = Seq(("https://a.com/dir/other",
+      "<a href=\"x\">same</a><a href=\"../up\">new</a>" +
+        "<a href=\"http://b.com/z?\">dup-canon</a>"))
+    val freshes = scala.collection.mutable.ArrayBuffer[Set[String]]()
+    @volatile var seenFinal: org.apache.spark.sql.DataFrame = null
+    val mem = MemoryStream[(String, String)]
+    val initial = Seq.empty[String].toDF("canonical")
+    val sq = StreamOps.frontierMaintenance(
+      mem.toDF().toDF("url", "html"), "url", "html", initial) { (fresh, seen) =>
+      freshes += fresh.as[String].collect().toSet
+      seenFinal = seen
+    }
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    assert(freshes(0) == Set(
+      "https://a.com/dir/x", "https://a.com/top", "http://b.com/z"))
+    // the re-linked keys are SEEN (however differently spelled); only
+    // the dotted-relative link is new
+    assert(freshes(1) == Set("https://a.com/up"))
+    assert(seenFinal.as[String].collect().toSet ==
+      freshes(0) ++ freshes(1))
+  }
+
   test("sampleMaintenance: streamed state == one-shot sampleState, quantiles served") {
     implicit val sqlCtx = spark.sqlContext
     val batch1 = (1L to 30L).map(i => ("a", i, i.toDouble)) ++
