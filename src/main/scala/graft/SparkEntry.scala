@@ -2032,6 +2032,39 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"), col("channels"),
           col("px_sum"), col("px_tl"), col("px_tr"), col("px_bl"), col("px_br"))
     },
+    "media_dhash" -> { (s, dir) =>
+      // perceptual image fingerprint: real PNG decode -> 9x8 luma grid
+      // -> 64-bit difference hash, all integer; the oracle replays the
+      // hash from the pixel formula (bit 63 via the min-BIGINT literal)
+      import s.implicits._
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = 8 + (id % 24).toInt
+            val h = 8 + ((id * 3) % 24).toInt
+            (id, MultimodalOps.synthPngImageBytes(id, w, h))
+          }).toDF("doc_id", "payload"),
+        "doc_id", "payload", "image")
+      MultimodalOps.imageDHash(media).select(col("media_id"), col("dhash"))
+    },
+    "media_dup_pairs" -> { (s, dir) =>
+      // image near-dup pairs: payload seeds collide mod 37, so ~1/37 of
+      // the corpus shares each image byte-for-byte; the pigeonhole
+      // Hamming join finds every pair within radius 2 LOSSLESSLY, which
+      // is exactly what the oracle's O(n^2) replay computes
+      import s.implicits._
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val seed = id % 37
+            val w = 8 + (seed % 24).toInt
+            val h = 8 + ((seed * 3) % 24).toInt
+            (id, MultimodalOps.synthPngImageBytes(seed, w, h))
+          }).toDF("doc_id", "payload"),
+        "doc_id", "payload", "image")
+      MultimodalOps.imageDupPairs(media, maxHamming = 2)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    },
     "media_jpeg_pixels" -> { (s, dir) =>
       // JPEG pixel path: real baseline JPEGs (canonical Huffman entropy
       // coding, DC prediction, byte stuffing, written by the library's
@@ -5109,6 +5142,53 @@ object SparkEntry {
         |       CAST(1 AS INT) AS channels,
         |       a.px_sum, a.px_tl, a.px_tr, a.px_bl, a.px_br
         |FROM d JOIN agg a USING (doc_id)""".stripMargin,
+    // dHash bit x of row y is set iff the 9x8 luma grid's pixel (x+1)
+    // beats pixel x; grid pixel (y, xx) reads source ((y*h)//8, (xx*w)//9)
+    // whose gray value is the synth formula. Bit 63 cannot be built as
+    // 1<<63 in DuckDB (signed overflow raise) - the min-BIGINT literal
+    // IS that bit pattern.
+    "media_dhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 24 AS INT) AS w,
+        |         CAST(8 + (doc_id * 3) % 24 AS INT) AS h
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((((x + 1) * w) // 9) * 7 + ((y * h) // 8) * 13 + doc_id) % 256 >
+        |              (((x * w) // 9) * 7 + ((y * h) // 8) * 13 + doc_id) % 256
+        |         THEN (CASE WHEN y * 8 + x = 63 THEN (-9223372036854775807 - 1)
+        |                    ELSE (1::BIGINT << CAST(y * 8 + x AS INT)) END)
+        |         ELSE 0::BIGINT END AS bit
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 7) yy(y)
+        |  CROSS JOIN generate_series(0, 7) xx(x)
+        |)
+        |SELECT doc_id AS media_id, bit_or(bit) AS dhash
+        |FROM b GROUP BY doc_id""".stripMargin,
+    "media_dup_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 37 AS seed,
+        |         CAST(8 + (doc_id % 37) % 24 AS INT) AS w,
+        |         CAST(8 + ((doc_id % 37) * 3) % 24 AS INT) AS h
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((((x + 1) * w) // 9) * 7 + ((y * h) // 8) * 13 + seed) % 256 >
+        |              (((x * w) // 9) * 7 + ((y * h) // 8) * 13 + seed) % 256
+        |         THEN (CASE WHEN y * 8 + x = 63 THEN (-9223372036854775807 - 1)
+        |                    ELSE (1::BIGINT << CAST(y * 8 + x AS INT)) END)
+        |         ELSE 0::BIGINT END AS bit
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 7) yy(y)
+        |  CROSS JOIN generate_series(0, 7) xx(x)
+        |), hsh AS (
+        |  SELECT doc_id, bit_or(bit) AS dhash FROM b GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS id_a, e.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.dhash, e.dhash)) AS INT) AS hamming
+        |FROM hsh a JOIN hsh e
+        |  ON a.doc_id < e.doc_id
+        | AND bit_count(xor(a.dhash, e.dhash)) <= 2""".stripMargin,
     "media_jpeg_pixels" ->
       // block-formula replay: resampled pixel (i,j) reads source pixel
       // (sy, sx) = ((i*h)//8, (j*w)//8), whose 8x8 BLOCK carries the

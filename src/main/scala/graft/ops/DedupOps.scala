@@ -545,23 +545,47 @@ object DedupOps {
       textCol: String,
       maxHamming: Int = 3,
       maxBlockSize: Long = Long.MaxValue
+  ): DataFrame =
+    hammingPairs(simhashFingerprints(df, idCol, textCol),
+      "id", "simhash", maxHamming, maxBlockSize)
+
+  /** Near-dup pairs over ANY 64-bit fingerprint column by the
+    * pigeonhole block join (the [[simhashPairs]] engine, factored so
+    * image dHashes and other sketches reuse it): split the hash into
+    * maxHamming+1 disjoint blocks - two hashes within maxHamming MUST
+    * agree on at least one whole block - join per (block index, block
+    * value), verify with codegen xor+bit_count, dedupe survivors.
+    * LOSSLESS for the given radius unless `maxBlockSize` caps a
+    * degenerate block (the standard skew guard; a block shared by B
+    * hashes is an O(B^2) join key).
+    *
+    * Output: (id_a, id_b, hamming) with id_a < id_b.
+    */
+  def hammingPairs(
+      fps0: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBlockSize: Long = Long.MaxValue
   ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"need 0 <= maxHamming <= 63 (blocks must be >= 1 bit wide), got $maxHamming")
     val blocks = maxHamming + 1
     val width = 64 / blocks
-    val fps0 = simhashFingerprints(df, idCol, textCol)
+    val base = fps0.select(F.col(idCol).as("id"), F.col(hashCol).as("hsh"))
     // same shape as minhashLshPairs: checkpoint the compact per-doc
     // fingerprints (8 bytes/doc) once when the cap adds a third consumer
-    val fps = if (maxBlockSize == Long.MaxValue) fps0 else fps0.localCheckpoint()
+    val fps = if (maxBlockSize == Long.MaxValue) base else base.localCheckpoint()
     val blockStructs = (0 until blocks).map { bIdx =>
       struct(
         lit(bIdx).as("blk"),
-        shiftrightunsigned(col("simhash"), bIdx * width)
+        shiftrightunsigned(col("hsh"), bIdx * width)
           .bitwiseAND(lit((1L << width) - 1)).as("key")
       )
     }
     val keyedAll = fps.select(
       col("id"),
-      col("simhash"),
+      col("hsh"),
       explode(array(blockStructs: _*)).as("bk")
     )
     // same skew guard as minhashLshPairs: bound the quadratic worst key
@@ -582,7 +606,7 @@ object DedupOps {
       // filter on hamming FIRST (codegen'd xor+bit_count on values already
       // in the join row), then dedupe the narrow survivors
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.hsh").bitwiseXOR(col("b.hsh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming").cast(IntegerType).as("hamming"))

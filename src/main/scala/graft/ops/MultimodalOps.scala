@@ -1046,6 +1046,73 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** 64-bit difference hash (dHash) of a decoded pixel buffer - the
+    * standard perceptual fingerprint for IMAGE near-dup detection:
+    * nearest-resample to a 9x8 luma grid (integer luma
+    * (299r+587g+114b)/1000 for color; channel 0 for gray), one bit per
+    * horizontally adjacent pair (set iff right > left), packed at bit
+    * y*8+x. Pure integer arithmetic end to end, so a SQL oracle
+    * replays the hash of a formula-defined image exactly.
+    */
+  def dhash64(px: Array[Byte], w: Int, h: Int, channels: Int): Long = {
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var prev = 0
+      var x = 0
+      while (x < 9) {
+        val sx = x * w / 9
+        val o = (sy * w + sx) * channels
+        val v =
+          if (channels >= 3)
+            ((px(o) & 0xff) * 299 + (px(o + 1) & 0xff) * 587 +
+              (px(o + 2) & 0xff) * 114) / 1000
+          else px(o) & 0xff
+        if (x > 0 && v > prev) hash |= 1L << (y * 8 + (x - 1))
+        prev = v
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Per-frame perceptual fingerprint: decode ([[decodeImagePixels]] -
+    * PNG or baseline JPEG) -> [[dhash64]], one mapPartitions pass.
+    * Undecodable payloads carry a NULL dhash (and never pair).
+    * Output: media frame columns + (dhash).
+    */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(
+      media.schema.fields.filterNot(_.name == "payload") :+
+        StructField("dhash", LongType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val d = decodeImagePixels(r.getAs[Array[Byte]]("payload"))
+          .map { case (w, h, ch, px) => dhash64(px, w, h, ch) }
+        Row.fromSeq(nonPayload(r) :+ d.orNull)
+      }
+    }(enc)
+  }
+
+  /** Image near-dup pairs: [[imageDHash]] fingerprints through the
+    * shared pigeonhole Hamming join
+    * ([[graft.ops.DedupOps.hammingPairs]]) - lossless for the radius,
+    * never all-pairs, same skew cap as every candidate generator.
+    * Output: (id_a, id_b, hamming) over `media_id`.
+    */
+  def imageDupPairs(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      maxBlockSize: Long = Long.MaxValue
+  ): DataFrame =
+    graft.ops.DedupOps.hammingPairs(
+      imageDHash(media).select(F.col("media_id"), F.col("dhash"))
+        .filter(F.col("dhash").isNotNull),
+      "media_id", "dhash", maxHamming, maxBlockSize)
+
   /** REAL nearest-neighbor pixel resample - the resample
     * [[resizeMeta]] only PLANNED: output pixel (i, j) reads source
     * pixel (i*h/outH, j*w/outW) (integer division - the standard

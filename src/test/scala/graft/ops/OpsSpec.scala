@@ -1735,6 +1735,50 @@ class OpsSpec extends SparkSpec {
     assert(byId(3L).getAs[String]("format") == "unknown")
   }
 
+  test("dhash64/imageDHash/imageDupPairs: perceptual fingerprint and lossless pairing") {
+    import MultimodalOps._
+    // independent scalar reference on the synthetic formula image
+    def refHash(seed: Long, w: Int, h: Int): Long = {
+      def p(y: Int, xx: Int): Int =
+        (((xx * w / 9) * 7 + (y * h / 8) * 13 + seed) % 256).toInt
+      var hash = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (p(y, x + 1) > p(y, x)) hash |= 1L << (y * 8 + x)
+      hash
+    }
+    for ((seed, w, h) <- Seq((0L, 9, 8), (5L, 16, 8), (13L, 31, 17))) {
+      val Some((gw, gh, ch, px)) = decodePngPixels(synthPngImageBytes(seed, w, h))
+      assert(dhash64(px, gw, gh, ch) == refHash(seed, w, h), s"seed=$seed ${w}x$h")
+    }
+    // sensitivity: flipping ONE luma-grid comparison flips ~1 bit
+    val base = Array.tabulate(9 * 8)(i => ((i * 31) % 251).toByte)
+    val tweaked = base.clone()
+    tweaked(3) = (base(2) & 0xff).toByte // make cell 3 equal cell 2: bit 2 may flip
+    val d = java.lang.Long.bitCount(dhash64(base, 9, 8, 1) ^ dhash64(tweaked, 9, 8, 1))
+    assert(d <= 2, s"single-cell tweak flipped $d bits")
+    // frame op: identical payloads hash identically; garbage -> NULL
+    val media = asMedia(Seq(
+      (1L, synthPngImageBytes(7L, 16, 12)),
+      (2L, synthPngImageBytes(7L, 16, 12)), // byte-identical to 1
+      (3L, synthPngImageBytes(8L, 16, 12)), // different image
+      (4L, "not an image".getBytes)
+    ).toDF("id", "payload"), "id", "payload", "image")
+    val hs = imageDHash(media).select($"media_id", $"dhash")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hs(1L).isDefined && hs(1L) == hs(2L))
+    assert(hs(4L).isEmpty)
+    // pairs: lossless vs brute force at the radius (pigeonhole guarantee)
+    val got = imageDupPairs(media, maxHamming = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val defined = hs.collect { case (id, Some(v)) => id -> v }.toSeq
+    val brute = (for {
+      (a, ha) <- defined; (b, hb) <- defined if a < b
+      hd = java.lang.Long.bitCount(ha ^ hb) if hd <= 2
+    } yield (a, b, hd)).toSet
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(got.contains((1L, 2L, 0)))
+  }
+
   test("decodeJpegPixels: exact on the DC-only fixture family, both decoders agree") {
     import MultimodalOps.{decodeJpegPixels, synthJpegImageBytes}
     // the block-constant + unit-quant construction makes the lossy
