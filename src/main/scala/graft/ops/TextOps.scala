@@ -862,21 +862,38 @@ object TextOps {
     val mapCol = typedLit(prof)
     val norm = substring(langNormalize(text), 1, 256)
     val len = length(norm)
-    val emptyVecs = array().cast(ArrayType(ArrayType(LongType)))
+    val emptyGrams = array().cast(ArrayType(StringType))
     def gramsOf(n: Int): Column = when(len >= n,
-      transform(sequence(lit(1), len - (n - 1)),
-        i => element_at(mapCol, norm.substr(i, lit(n)))))
-      .otherwise(emptyVecs)
-    val matched = concat(gramsOf(1), gramsOf(2), gramsOf(3))
-    val hits = size(filter(matched, v => v.isNotNull))
-    val zeros = typedLit(Seq.fill(langs.size)(0L))
-    val sums = aggregate(matched, zeros,
-      (acc, v) => when(v.isNull, acc).otherwise(zip_with(acc, v, _ + _)))
-    val best = array_max(sums)
-    val pick = langs.zipWithIndex.foldRight(lit("und")) { case ((l, i), els) =>
-      when(element_at(sums, i + 1) === best, lit(l)).otherwise(els)
-    }
-    when(text.isNull || hits === 0, lit("und")).otherwise(pick)
+      transform(sequence(lit(1), len - (n - 1)), i => norm.substr(i, lit(n))))
+      .otherwise(emptyGrams)
+    // Expression-tree discipline (the 100-TB detail): the weight-table
+    // literal and the fold must each appear ONCE. Gram strings are
+    // built first (no lookups), ONE transform does the map lookups
+    // (one copy of the table literal in the plan/task binary - a
+    // 26-branch argmax CASE over the fold would embed the fold, and
+    // the table inside it, dozens of times: measured 155 MB task
+    // binaries), and hits/sums/argmax all live inside one aggregate()
+    // whose finish lambda references the accumulator as a lambda
+    // VARIABLE, not a re-expanded subtree.
+    val matched = transform(
+      concat(gramsOf(1), gramsOf(2), gramsOf(3)),
+      g => element_at(mapCol, g))
+    val init = struct(
+      lit(0L).as("hits"),
+      typedLit(Seq.fill(langs.size)(0L)).as("sums"))
+    val folded = aggregate(matched, init,
+      (acc, v) => when(v.isNull, acc).otherwise(struct(
+        (acc.getField("hits") + 1L).as("hits"),
+        zip_with(acc.getField("sums"), v, _ + _).as("sums"))),
+      acc => {
+        val sums = acc.getField("sums")
+        // array_position = FIRST index of the max: ties break to the
+        // earliest (alphabetical) language, same rule as the oracle
+        val idx = array_position(sums, array_max(sums))
+        when(acc.getField("hits") === 0L, lit("und"))
+          .otherwise(element_at(typedLit(langs), idx.cast(IntegerType)))
+      })
+    when(text.isNull, lit("und")).otherwise(folded)
   }
 
   /** Unicode-script classes counted by [[scriptProfile]], in DOMINANCE

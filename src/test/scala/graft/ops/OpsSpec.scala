@@ -871,9 +871,19 @@ class OpsSpec extends SparkSpec {
   test("langId plan: shuffle-free scan-fused projection (the weight table is a literal)") {
     val df = spark.range(50).select(col("id"),
       concat(lit("the quick brown fox number "), col("id")).as("t"))
-    val plan = df.select(TextOps.langId(col("t"))).queryExecution.executedPlan.toString
+    val scored = df.select(TextOps.langId(col("t")))
+    val plan = scored.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"langId must not shuffle:\n${plan.take(2000)}")
     assert(!plan.contains("Join"), s"langId must not join:\n${plan.take(2000)}")
+    // the weight-table literal must appear EXACTLY ONCE in the plan: a
+    // careless argmax CASE re-expands the scoring fold per language and
+    // was measured shipping 155 MB task binaries (dozens of copies of
+    // the table) - pin the single-copy discipline
+    val mapLiterals = scored.queryExecution.analyzed.expressions.map(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+        if l.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => l
+    }.size).sum
+    assert(mapLiterals == 1, s"weight-table literal embedded $mapLiterals times, want 1")
   }
 
   test("qualitySignals: each band moves the score; good text scores 1.0") {
