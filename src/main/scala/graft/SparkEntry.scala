@@ -2032,6 +2032,36 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"), col("channels"),
           col("px_sum"), col("px_tl"), col("px_tr"), col("px_bl"), col("px_br"))
     },
+    "media_audio_fp" -> { (s, dir) =>
+      // audio fingerprint: real WAV decode -> 65 window energies ->
+      // 64-bit difference hash; the oracle replays the hash from the
+      // integer sample formula
+      import s.implicits._
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val seed = id % 29
+            val n = 325 + (seed % 7).toInt * 50
+            (id, MultimodalOps.synthWavPcmBytes(seed, 8000, n))
+          }).toDF("doc_id", "payload"),
+        "doc_id", "payload", "audio")
+      MultimodalOps.audioDHash(media).select(col("media_id"), col("afp"))
+    },
+    "media_audio_dup" -> { (s, dir) =>
+      // audio near-dup pairs: seeds collide mod 29, the pigeonhole
+      // Hamming join finds every pair within radius 2 losslessly
+      import s.implicits._
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val seed = id % 29
+            val n = 325 + (seed % 7).toInt * 50
+            (id, MultimodalOps.synthWavPcmBytes(seed, 8000, n))
+          }).toDF("doc_id", "payload"),
+        "doc_id", "payload", "audio")
+      MultimodalOps.audioDupPairs(media, maxHamming = 2)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    },
     "media_dhash" -> { (s, dir) =>
       // perceptual image fingerprint: real PNG decode -> 9x8 luma grid
       // -> 64-bit difference hash, all integer; the oracle replays the
@@ -5142,6 +5172,61 @@ object SparkEntry {
         |       CAST(1 AS INT) AS channels,
         |       a.px_sum, a.px_tl, a.px_tr, a.px_bl, a.px_br
         |FROM d JOIN agg a USING (doc_id)""".stripMargin,
+    // audio fingerprint replay: sample i of seed s is
+    // ((i*37 + s*11) % 4096) - 2048 (synthWavPcmBytes); window of
+    // sample i is (i*65)//n; bit k set iff window k+1 is louder than
+    // window k. Same min-BIGINT literal rule for bit 63.
+    "media_audio_fp" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 29 AS seed,
+        |         CAST(325 + (doc_id % 29 % 7) * 50 AS INT) AS n
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, CAST((i * 65) // n AS INT) AS w,
+        |         abs(((i * 37 + seed * 11) % 4096) - 2048) AS a
+        |  FROM (SELECT doc_id, seed, n,
+        |          unnest(generate_series(0, n - 1)) AS i FROM d)
+        |), e AS (
+        |  SELECT doc_id, w, CAST(SUM(a) AS BIGINT) AS nrg
+        |  FROM s GROUP BY doc_id, w
+        |), b AS (
+        |  SELECT lo.doc_id,
+        |    CASE WHEN hi.nrg > lo.nrg
+        |         THEN (CASE WHEN lo.w = 63 THEN (-9223372036854775807 - 1)
+        |                    ELSE (1::BIGINT << lo.w) END)
+        |         ELSE 0::BIGINT END AS bit
+        |  FROM e lo JOIN e hi ON lo.doc_id = hi.doc_id AND hi.w = lo.w + 1
+        |)
+        |SELECT doc_id AS media_id, bit_or(bit) AS afp
+        |FROM b GROUP BY doc_id""".stripMargin,
+    "media_audio_dup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 29 AS seed,
+        |         CAST(325 + (doc_id % 29 % 7) * 50 AS INT) AS n
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, CAST((i * 65) // n AS INT) AS w,
+        |         abs(((i * 37 + seed * 11) % 4096) - 2048) AS a
+        |  FROM (SELECT doc_id, seed, n,
+        |          unnest(generate_series(0, n - 1)) AS i FROM d)
+        |), e AS (
+        |  SELECT doc_id, w, CAST(SUM(a) AS BIGINT) AS nrg
+        |  FROM s GROUP BY doc_id, w
+        |), b AS (
+        |  SELECT lo.doc_id,
+        |    CASE WHEN hi.nrg > lo.nrg
+        |         THEN (CASE WHEN lo.w = 63 THEN (-9223372036854775807 - 1)
+        |                    ELSE (1::BIGINT << lo.w) END)
+        |         ELSE 0::BIGINT END AS bit
+        |  FROM e lo JOIN e hi ON lo.doc_id = hi.doc_id AND hi.w = lo.w + 1
+        |), hsh AS (
+        |  SELECT doc_id, bit_or(bit) AS afp FROM b GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS id_a, z.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.afp, z.afp)) AS INT) AS hamming
+        |FROM hsh a JOIN hsh z
+        |  ON a.doc_id < z.doc_id
+        | AND bit_count(xor(a.afp, z.afp)) <= 2""".stripMargin,
     // dHash bit x of row y is set iff the 9x8 luma grid's pixel (x+1)
     // beats pixel x; grid pixel (y, xx) reads source ((y*h)//8, (xx*w)//9)
     // whose gray value is the synth formula. Bit 63 cannot be built as

@@ -1113,6 +1113,73 @@ object MultimodalOps {
         .filter(F.col("dhash").isNotNull),
       "media_id", "dhash", maxHamming, maxBlockSize)
 
+  /** 64-bit audio difference fingerprint - [[dhash64]]'s 1-D sibling
+    * for AUDIO near-dup detection (the chromaprint idea at its
+    * integer-exact core): split the sample stream into 65 equal
+    * windows - sample i belongs to window floor(i*65/n), the
+    * PER-SAMPLE assignment both engines compute identically (window
+    * START boundaries floor(k*n/65) are NOT the same partition under
+    * integer floors; that off-by-one was caught by the oracle) -
+    * sum |amplitude| per window, one bit per adjacent window pair
+    * (set iff the later window is louder). Every window is non-empty
+    * once n >= 65 (w advances by at most 1 per sample and reaches
+    * 64). Pure integer arithmetic, so a SQL oracle replays the hash
+    * of a formula-defined signal exactly. None for streams too short
+    * to carry 65 windows.
+    */
+  def audioFingerprint64(samples: Array[Short]): Option[Long] = {
+    val n = samples.length
+    if (n < 65) return None
+    val e = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      e((i.toLong * 65 / n).toInt) += math.abs(samples(i).toInt)
+      i += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (e(k + 1) > e(k)) hash |= 1L << k
+      k += 1
+    }
+    Some(hash)
+  }
+
+  /** Per-frame audio fingerprint: WAV decode ([[decodeWavSamples]])
+    * -> [[audioFingerprint64]] in one mapPartitions pass; non-WAV or
+    * too-short payloads carry NULL (and never pair). Output: media
+    * frame columns + (afp).
+    */
+  def audioDHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(
+      media.schema.fields.filterNot(_.name == "payload") :+
+        StructField("afp", LongType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val fp = decodeWavSamples(r.getAs[Array[Byte]]("payload"))
+          .flatMap { case (_, _, samples) => audioFingerprint64(samples) }
+        Row.fromSeq(nonPayload(r) :+ fp.orNull)
+      }
+    }(enc)
+  }
+
+  /** Audio near-dup pairs: [[audioDHash]] fingerprints through the
+    * shared pigeonhole Hamming join
+    * ([[graft.ops.DedupOps.hammingPairs]]) - the same lossless,
+    * never-all-pairs engine as text SimHash and image dHash.
+    * Output: (id_a, id_b, hamming) over `media_id`.
+    */
+  def audioDupPairs(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      maxBlockSize: Long = Long.MaxValue
+  ): DataFrame =
+    graft.ops.DedupOps.hammingPairs(
+      audioDHash(media).select(F.col("media_id"), F.col("afp"))
+        .filter(F.col("afp").isNotNull),
+      "media_id", "afp", maxHamming, maxBlockSize)
+
   /** REAL nearest-neighbor pixel resample - the resample
     * [[resizeMeta]] only PLANNED: output pixel (i, j) reads source
     * pixel (i*h/outH, j*w/outW) (integer division - the standard

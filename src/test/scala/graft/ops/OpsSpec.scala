@@ -1789,6 +1789,46 @@ class OpsSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 0)))
   }
 
+  test("audioFingerprint64/audioDHash/audioDupPairs: window-energy hash and lossless pairing") {
+    import MultimodalOps._
+    // independent scalar reference over the synth PCM formula
+    def refFp(seed: Long, n: Int): Long = {
+      def samp(i: Int): Int = (((i * 37L + seed * 11L) % 4096L) - 2048L).toInt
+      // per-sample window assignment floor(i*65/n) - the same rule the
+      // SQL oracle computes (window-start boundaries are NOT equivalent
+      // under integer floors)
+      val e = new Array[Long](65)
+      for (i <- 0 until n) e(i * 65 / n) += math.abs(samp(i)).toLong
+      (0 until 64).foldLeft(0L)((h, k) => if (e(k + 1) > e(k)) h | (1L << k) else h)
+    }
+    for ((seed, n) <- Seq((0L, 65), (3L, 400), (11L, 1000))) {
+      val Some((_, _, samples)) = decodeWavSamples(synthWavPcmBytes(seed, 8000, n))
+      assert(audioFingerprint64(samples) == Some(refFp(seed, n)), s"seed=$seed n=$n")
+    }
+    // too short for 65 windows -> None
+    assert(audioFingerprint64(Array.fill[Short](64)(5)) == None)
+    // frame op: identical payloads hash identically; non-WAV -> NULL
+    val media = asMedia(Seq(
+      (1L, synthWavPcmBytes(4L, 8000, 500)),
+      (2L, synthWavPcmBytes(4L, 8000, 500)), // byte-identical to 1
+      (3L, synthWavPcmBytes(5L, 8000, 500)), // different signal
+      (4L, "not audio".getBytes)
+    ).toDF("id", "payload"), "id", "payload", "audio")
+    val hs = audioDHash(media).select($"media_id", $"afp").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hs(1L).isDefined && hs(1L) == hs(2L))
+    assert(hs(4L).isEmpty)
+    // pairs: lossless vs brute force at the radius
+    val got = audioDupPairs(media, maxHamming = 2).as[(Long, Long, Int)].collect().toSet
+    val defined = hs.collect { case (id, Some(v)) => id -> v }.toSeq
+    val brute = (for {
+      (a, ha) <- defined; (b, hb) <- defined if a < b
+      hd = java.lang.Long.bitCount(ha ^ hb) if hd <= 2
+    } yield (a, b, hd)).toSet
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(got.contains((1L, 2L, 0)))
+  }
+
   test("decodeJpegPixels: exact on the DC-only fixture family, both decoders agree") {
     import MultimodalOps.{decodeJpegPixels, synthJpegImageBytes}
     // the block-constant + unit-quant construction makes the lossy
