@@ -441,7 +441,17 @@ object SparkEntry {
     * 256-char cap, same integer weight sums, same alphabetical
     * first-wins argmax, same 'und' on zero vocabulary hits.
     */
-  private def langIdOracleSql: String = {
+  private def langIdOracleSql: String =
+    s"""WITH ${langIdCtes("documents", "text")}
+       |SELECT doc_id, lang_pred FROM lpred""".stripMargin
+
+  /** The reusable CTE chain of the langId replay, ending in
+    * `lpred(doc_id, lang_pred)` - internals prefixed `l` so the chain
+    * composes with other fragments (the consistency pipeline feeds it
+    * the transliteration shell). `rel` must carry doc_id + the text
+    * expression.
+    */
+  private def langIdCtes(rel: String, textExpr: String): String = {
     val (langs, prof) = graft.ops.TextOps.langProfiles
     val rows = prof.toSeq.sortBy(_._1).map { case (g, ws) =>
       s"('${g.replace("'", "''")}', [${ws.mkString(",")}])"
@@ -454,29 +464,30 @@ object SparkEntry {
       s"""SELECT doc_id, substr(norm, CAST(i AS INT), $n) AS gram
          |  FROM (SELECT doc_id, norm,
          |               unnest(generate_series(1, length(norm) - ${n - 1})) AS i
-         |        FROM t WHERE length(norm) >= $n)""".stripMargin.replace("\n", " ")
+         |        FROM lt WHERE length(norm) >= $n)""".stripMargin.replace("\n", " ")
     }.mkString(" UNION ALL ")
-    s"""WITH prof(gram, ws) AS (VALUES $rows),
-       |t AS (
+    s"""prof(gram, ws) AS (VALUES $rows),
+       |lt AS (
        |  SELECT doc_id,
-       |    substr(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+       |    substr(trim(regexp_replace(regexp_replace(lower(coalesce($textExpr, '')),
        |      '[^\\p{L}\\p{M}]', ' ', 'g'), ' +', ' ', 'g')), 1, 256) AS norm
-       |  FROM documents
-       |), g AS (
+       |  FROM $rel
+       |), lg AS (
        |  $gramCtes
-       |), m AS (
-       |  SELECT g.doc_id, p.ws FROM g JOIN prof p USING (gram)
-       |), s AS (
-       |  SELECT t.doc_id, count(m.ws) AS hits, $sumCols
-       |  FROM t LEFT JOIN m USING (doc_id)
-       |  GROUP BY t.doc_id
-       |), b AS (
+       |), lm AS (
+       |  SELECT lg.doc_id, p.ws FROM lg JOIN prof p USING (gram)
+       |), ls AS (
+       |  SELECT lt.doc_id, count(lm.ws) AS hits, $sumCols
+       |  FROM lt LEFT JOIN lm USING (doc_id)
+       |  GROUP BY lt.doc_id
+       |), lb AS (
        |  SELECT *, greatest(${langs.indices.map(i => s"s$i").mkString(", ")}) AS best
-       |  FROM s
-       |)
-       |SELECT doc_id,
-       |       CASE WHEN hits = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred
-       |FROM b""".stripMargin
+       |  FROM ls
+       |), lpred AS (
+       |  SELECT doc_id,
+       |         CASE WHEN hits = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred
+       |  FROM lb
+       |)""".stripMargin
   }
 
   /** Host-of-URL extraction as a SQL expression (scheme://[user@]host
@@ -1578,6 +1589,40 @@ object SparkEntry {
       TextOps.scriptProfile(
         tbl(s, dir, "documents").withColumn("stext", mapped),
         "doc_id", "stext")
+    },
+    "text_lang_consistency" -> { (s, dir) =>
+      // the first multilingual-curation cut: language prediction and
+      // script profile must AGREE ("lang=ru but latin-dominant" is a
+      // mislabel or spam). Reuses the text_scripts transliteration
+      // shell so Cyrillic/Greek/digit slices actually exercise the
+      // cross-checks; both signals are per-row scans, the only shuffle
+      // is the doc-keyed join of the two frames.
+      val mapped =
+        when(col("doc_id") % 5 === 1,
+          translate(col("text"), scriptLatinAbc, scriptCyrAbc))
+          .when(col("doc_id") % 5 === 2,
+            translate(col("text"), scriptLatinAbc, scriptGreekAbc))
+          .when(col("doc_id") % 5 === 3,
+            translate(col("text"), "aeiou", "01234"))
+          // mixed-script slice (vowels+t to Cyrillic): the spam shape
+          // this screen exists for - per-doc script dominance flips
+          // while the language evidence stays mixed, producing REAL
+          // inconsistent rows the oracle must reproduce
+          .when(col("doc_id") % 5 === 4,
+            translate(col("text"), "aeiout", "аеиоут"))
+          .otherwise(col("text"))
+      val base = tbl(s, dir, "documents").withColumn("stext", mapped)
+      val langs = base.select(col("doc_id"),
+        TextOps.langId(col("stext")).as("lang_pred"))
+      val scripts = TextOps.scriptProfile(base, "doc_id", "stext")
+        .select(col("doc_id"), col("dominant"))
+      val expected = TextOps.langExpectedScript.toSeq.sortBy(_._1)
+        .foldRight(lit("other")) { case ((l, sc), els) =>
+          when(col("lang_pred") === l, lit(sc)).otherwise(els) }
+      langs.join(scripts, "doc_id")
+        .select(col("doc_id"), col("lang_pred"), col("dominant"),
+          (col("lang_pred") === "und" || expected === col("dominant"))
+            .as("consistent"))
     },
     "docs_c4_filter" -> { (s, dir) =>
       // C4-style line-level cleaning over the shared multi-line shell
@@ -4509,6 +4554,40 @@ object SparkEntry {
         |FROM r WHERE text IS NOT NULL
         |GROUP BY 1""".stripMargin,
     "text_langid" -> langIdOracleSql,
+    "text_lang_consistency" -> {
+      // transliteration shell -> the shared langId CTE chain + the
+      // shared script-count chain -> the expected-script map
+      // (interpolated from TextOps.langExpectedScript, ONE definition)
+      val classes = TextOps.scriptClasses
+      val counts = classes.map { case (n, pat) =>
+        s"CAST(length(t) - length(regexp_replace(t, '$pat', '', 'g')) AS BIGINT) AS n_$n"
+      }.mkString(",\n       ")
+      val names = classes.map(_._1)
+      val whens = names.zipWithIndex.map { case (n, i) =>
+        val conds = (s"n_$n > 0" +: names.drop(i + 1).map(o => s"n_$n >= n_$o"))
+          .mkString(" AND ")
+        s"WHEN $conds THEN '$n'"
+      }.mkString(" ")
+      val expWhens = TextOps.langExpectedScript.toSeq.sortBy(_._1)
+        .map { case (l, sc) => s"WHEN p.lang_pred = '$l' THEN '$sc'" }.mkString(" ")
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN translate(text, '$scriptLatinAbc', '$scriptCyrAbc')
+        |         WHEN doc_id % 5 = 2 THEN translate(text, '$scriptLatinAbc', '$scriptGreekAbc')
+        |         WHEN doc_id % 5 = 3 THEN translate(text, 'aeiou', '01234')
+        |         WHEN doc_id % 5 = 4 THEN translate(text, 'aeiout', 'аеиоут')
+        |         ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), ${langIdCtes("m", "t")}, sc0 AS (
+        |  SELECT doc_id, $counts FROM m
+        |), scd AS (
+        |  SELECT doc_id, CASE $whens ELSE 'other' END AS dominant FROM sc0
+        |)
+        |SELECT p.doc_id, p.lang_pred, d.dominant,
+        |       (p.lang_pred = 'und' OR
+        |        (CASE $expWhens ELSE 'other' END) = d.dominant) AS consistent
+        |FROM lpred p JOIN scd d USING (doc_id)""".stripMargin
+    },
     "web_links_resolved" -> linksResolvedOracleSql,
     "web_url_canon" -> urlCanonOracleSql,
     "web_robots" -> robotsOracleSql,

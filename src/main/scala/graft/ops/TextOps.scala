@@ -824,6 +824,23 @@ object TextOps {
     } finally src.close()
   }
 
+  /** Expected dominant [[scriptClasses]] class per [[langId]] language
+    * - the consistency contract between the two signals ("lang=ru but
+    * 40% latin" is a mislabel or spam). Languages whose script the
+    * class table does not range (Hangul ko, Devanagari hi) map to
+    * "other", which is exactly what [[scriptProfile]] emits for them.
+    * ONE definition, used by the Spark column and (interpolated) by
+    * the oracle.
+    */
+  val langExpectedScript: Map[String, String] = Map(
+    "ar" -> "arabic", "cs" -> "latin", "da" -> "latin", "de" -> "latin",
+    "el" -> "greek", "en" -> "latin", "es" -> "latin", "fi" -> "latin",
+    "fr" -> "latin", "hi" -> "other", "hu" -> "latin", "id" -> "latin",
+    "it" -> "latin", "ja" -> "cjk", "ko" -> "other", "nl" -> "latin",
+    "no" -> "latin", "pl" -> "latin", "pt" -> "latin", "ro" -> "latin",
+    "ru" -> "cyrillic", "sv" -> "latin", "tr" -> "latin",
+    "uk" -> "cyrillic", "vi" -> "latin", "zh" -> "cjk")
+
   /** The language-ID normalization, column-side: lowercase, every
     * character that is not a letter or combining mark to a space,
     * collapse runs, trim. `\p{L}`/`\p{M}` spell and match identically

@@ -868,6 +868,26 @@ class OpsSpec extends SparkSpec {
     assert(und(1L) == "und" && und(2L) == "und" && und(3L) == "und")
   }
 
+  test("langExpectedScript: covers every trained language; agreement holds on clean text") {
+    // the consistency map must stay total over the trained language set
+    assert(TextOps.langProfiles._1.toSet == TextOps.langExpectedScript.keySet)
+    // clean single-language text: predicted language's expected script
+    // == the dominant script (the composed pipeline's agreement case)
+    val rows = Seq(
+      (1L, "вчера вечером мы долго гуляли по старому городу и разговаривали"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river"),
+      (3L, "η γρήγορη καφέ αλεπού πηδά πάνω από τον τεμπέλη σκύλο"),
+      (4L, "ذهبنا إلى السوق في الصباح واشترينا خبزا وفواكه طازجة")
+    ).toDF("id", "t")
+    val got = rows.select($"id", TextOps.langId($"t").as("lang"))
+      .join(TextOps.scriptProfile(rows, "id", "t").select($"id", $"dominant"), "id")
+      .as[(Long, String, String)].collect()
+    got.foreach { case (id, lang, dom) =>
+      assert(TextOps.langExpectedScript(lang) == dom,
+        s"row $id: lang=$lang expects ${TextOps.langExpectedScript(lang)}, dominant=$dom")
+    }
+  }
+
   test("langId plan: shuffle-free scan-fused projection (the weight table is a literal)") {
     val df = spark.range(50).select(col("id"),
       concat(lit("the quick brown fox number "), col("id")).as("t"))
