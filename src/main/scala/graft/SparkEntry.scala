@@ -1096,6 +1096,15 @@ object SparkEntry {
       DedupOps.removeDuplicateSpans(tbl(s, dir, "documents"), "doc_id", "text",
         window = 40, step = 10)
     },
+    "dedup_spans_exact" -> { (s, dir) =>
+      // EXACT-alignment span dedup (the Lee-et-al setting at character
+      // granularity): step=1 windows, dup verdict per window, maximal
+      // run merge - recovers every cross-doc duplicated region of
+      // >= 40 chars exactly, at any alignment, where stride-10 windows
+      // can miss short or badly-aligned regions
+      DedupOps.exactDuplicateSpans(tbl(s, dir, "documents"), "doc_id", "text",
+        minLen = 40)
+    },
     // Skew caps are ON in every shipped sketch-dedup pipeline: one
     // degenerate stop-shingle/boilerplate bucket with B members is an
     // O(B^2) self-join key at corpus scale. The caps are part of the
@@ -1715,6 +1724,32 @@ object SparkEntry {
           pages.select(col("doc_id"), col("url")), "doc_id", "url", rules)
         .select(col("doc_id"), col("url"), col("allowed"))
     },
+    "web_warc_ingest" -> { (s, dir) =>
+      // raw crawl ingestion, the web tier's first hop: each document
+      // serializes into a spec-compliant WARC/1.1 blob (warcinfo +
+      // request + response records, CRLF framing, byte-exact
+      // Content-Length) by the library's own writer, and the reader
+      // frames the records back, surfacing ONLY the response pages
+      // with their HTTP status/mime parsed off the payload. The
+      // oracle replays the page fields from the same doc_id formulas -
+      // container bytes never enter the compare.
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val url = s"https://w${id % 7}.example${id % 3}.org/p/$id"
+          val date = f"2024-01-${1 + id % 28}%02dT${id % 24}%02d:00:00Z"
+          val mime = if (id % 4 == 0) "text/plain" else "text/html"
+          val html =
+            s"<html><head><title>doc $id</title></head><body>$text</body></html>"
+          (id, graft.sources.Warc.writeWarcBytes(Seq(
+            graft.sources.Warc.WarcPage(url, date, 200, mime, html))))
+        }).toDF("doc_id", "blob")
+      graft.sources.Warc.ingest(blobs, "doc_id", "blob")
+        .select(col("doc_id"), col("url"), col("fetch_time"), col("status"),
+          col("mime"), col("html"))
+    },
     "web_url_canon" -> { (s, dir) =>
       // URL canonicalization: the cheapest dedup in the pipeline (one
       // fetch key for every case/port/dot/escape/param-order variant).
@@ -2159,6 +2194,54 @@ object SparkEntry {
       MultimodalOps.decodeResizePixels(media, outW = 8, outH = 8)
         .select(col("media_id"), col("width"), col("height"), col("channels"),
           col("px_sum"), col("px_tl"), col("px_tr"), col("px_bl"), col("px_br"))
+    },
+    "media_video_frames" -> { (s, dir) =>
+      // the video frame path: real MJPEG-in-MP4 containers (full ISO
+      // BMFF box tree by the library's own writer), the sample-table
+      // walk (stsd/stsz/stsc/stco) pulls each frame's JPEG bytes, the
+      // baseline decoder yields pixels, and the same 8x8 resample
+      // stats as media_jpeg_pixels come out PER FRAME. The oracle
+      // replays the per-frame block formula - container and codec
+      // bytes never enter the compare.
+      import s.implicits._
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = 8 + (id % 24).toInt
+            val h = 8 + ((id * 3) % 24).toInt
+            val n = 2 + (id % 3).toInt
+            (id, MultimodalOps.synthMjpegVideoBytes(
+              (0 until n).map(f => id * 4 + f), w, h))
+          }).toDF("doc_id", "payload"),
+        "doc_id", "payload", "video")
+      MultimodalOps.decodeResizePixels(MultimodalOps.videoFrames(media),
+          outW = 8, outH = 8)
+        .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+          col("px_sum"), col("px_tl"), col("px_br"))
+    },
+    "media_video_dup" -> { (s, dir) =>
+      // video near-dup: frame seeds collide mod 97 (frame f of any two
+      // same-class videos is byte-identical), frame dHashes pair
+      // through the shared pigeonhole Hamming engine, matches fold to
+      // the video pair with the frame-match count - near-dup closure
+      // across all four modalities (text, image, audio, video). Seeds
+      // sit in the wrap-heavy 160..255 band: DC-only block-constant
+      // frames carry coarse gradients, and only the mod-256 wrap makes
+      // dHash seed-sensitive; radius 0 keeps the (still deliberately
+      // broad) collision families deterministic on both engines.
+      import s.implicits._
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val vs = id % 97
+            val w = 16 + (vs % 7).toInt * 8
+            val h = 16 + ((vs * 3) % 5).toInt * 8
+            val n = 2 + (id % 3).toInt
+            (id, MultimodalOps.synthMjpegVideoBytes(
+              (0 until n).map(f => 160 + (vs * 4 + f) * 31 % 96), w, h))
+          }).toDF("doc_id", "payload"),
+        "doc_id", "payload", "video")
+      MultimodalOps.videoDupPairs(media, maxHamming = 0)
     },
     "media_pixel_features" -> { (s, dir) =>
       // the full inference shape: real PNG encode -> pixel decode ->
@@ -4096,6 +4179,37 @@ object SparkEntry {
         |FROM d
         |LEFT JOIN kept k USING (doc_id)
         |LEFT JOIN nd USING (doc_id)""".stripMargin,
+    // gaps-and-islands replay of the run merge: same-length windows
+    // sorted by start merge iff the gap to the previous start is <= 40
+    "dedup_spans_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL
+        |), w0 AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, length(t) - 39, 1)) AS p
+        |  FROM d WHERE length(t) >= 40
+        |), w AS (
+        |  SELECT doc_id, CAST(p AS INT) AS p,
+        |         substr(t, CAST(p AS INT), 40) AS win
+        |  FROM w0
+        |), f AS (
+        |  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+        |), dup AS (
+        |  SELECT w.doc_id, w.p FROM w JOIN f USING (win)
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 40
+        |              THEN 0 ELSE 1 END AS brk
+        |  FROM dup
+        |), grp AS (
+        |  SELECT doc_id, p,
+        |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |                        ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM isl
+        |)
+        |SELECT doc_id,
+        |       CAST(min(p) AS INT) AS span_start,
+        |       CAST(max(p) + 40 - min(p) AS INT) AS span_len
+        |FROM grp GROUP BY doc_id, g""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE base AS (
         |  SELECT doc_id, text,
@@ -4589,6 +4703,22 @@ object SparkEntry {
         |FROM lpred p JOIN scd d USING (doc_id)""".stripMargin
     },
     "web_links_resolved" -> linksResolvedOracleSql,
+    "web_warc_ingest" ->
+      // the WARC writer/reader pair is byte-exact framing around these
+      // formula fields; the oracle replays the fields directly
+      """SELECT doc_id,
+        |  'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example' ||
+        |    CAST(doc_id % 3 AS VARCHAR) || '.org/p/' ||
+        |    CAST(doc_id AS VARCHAR) AS url,
+        |  '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+        |    'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') ||
+        |    ':00:00Z' AS fetch_time,
+        |  200 AS status,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'text/plain'
+        |       ELSE 'text/html' END AS mime,
+        |  '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title></head><body>' || text || '</body></html>' AS html
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "web_url_canon" -> urlCanonOracleSql,
     "web_robots" -> robotsOracleSql,
     "text_bigram_lm" ->
@@ -5353,6 +5483,68 @@ object SparkEntry {
         |FROM hsh a JOIN hsh e
         |  ON a.doc_id < e.doc_id
         | AND bit_count(xor(a.dhash, e.dhash)) <= 2""".stripMargin,
+    // per-frame block-formula replay: frame f of doc's video carries
+    // seed doc_id*4+f; the 8x8 resample reads source ((i*h)//8,(j*w)//8)
+    // whose block value is ((sx//8)*7 + (sy//8)*13 + seed) % 256
+    "media_video_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 24 AS INT) AS w,
+        |         CAST(8 + (doc_id * 3) % 24 AS INT) AS h,
+        |         CAST(2 + doc_id % 3 AS INT) AS n
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, w, h, CAST(f AS INT) AS f, doc_id * 4 + f AS seed
+        |  FROM d CROSS JOIN generate_series(0, 3) ff(f)
+        |  WHERE f < n
+        |), px AS (
+        |  SELECT doc_id, f, w, h, i, j,
+        |         (((((j * w) // 8) // 8) * 7 +
+        |           (((i * h) // 8) // 8) * 13 + seed) % 256) AS p
+        |  FROM fr
+        |  CROSS JOIN generate_series(0, 7) ii(i)
+        |  CROSS JOIN generate_series(0, 7) jj(j)
+        |)
+        |SELECT doc_id AS media_id, f AS frame_idx, w AS width, h AS height,
+        |       CAST(SUM(p) AS BIGINT) AS px_sum,
+        |       CAST(MAX(CASE WHEN i = 0 AND j = 0 THEN p END) AS INT) AS px_tl,
+        |       CAST(MAX(CASE WHEN i = 7 AND j = 7 THEN p END) AS INT) AS px_br
+        |FROM px GROUP BY doc_id, f, w, h""".stripMargin,
+    // frame dHash replay + O(n^2) frame-pair join folded to video
+    // pairs - the composite-key order (doc*65536+f) with doc_a <>
+    // doc_b reduces to doc_a < doc_b
+    "media_video_dup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 97 AS vs,
+        |         CAST(16 + ((doc_id % 97) % 7) * 8 AS INT) AS w,
+        |         CAST(16 + (((doc_id % 97) * 3) % 5) * 8 AS INT) AS h,
+        |         CAST(2 + doc_id % 3 AS INT) AS n
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, CAST(f AS INT) AS f, w, h,
+        |         160 + (vs * 4 + f) * 31 % 96 AS seed
+        |  FROM d CROSS JOIN generate_series(0, 3) ff(f)
+        |  WHERE f < n
+        |), b AS (
+        |  SELECT doc_id, f,
+        |    CASE WHEN (((((x + 1) * w) // 9) // 8) * 7 +
+        |               (((y * h) // 8) // 8) * 13 + seed) % 256 >
+        |              ((((x * w) // 9) // 8) * 7 +
+        |               (((y * h) // 8) // 8) * 13 + seed) % 256
+        |         THEN (CASE WHEN y * 8 + x = 63 THEN (-9223372036854775807 - 1)
+        |                    ELSE (1::BIGINT << CAST(y * 8 + x AS INT)) END)
+        |         ELSE 0::BIGINT END AS bit
+        |  FROM fr
+        |  CROSS JOIN generate_series(0, 7) yy(y)
+        |  CROSS JOIN generate_series(0, 7) xx(x)
+        |), hsh AS (
+        |  SELECT doc_id, f, bit_or(bit) AS dh FROM b GROUP BY doc_id, f
+        |)
+        |SELECT a.doc_id AS id_a, z.doc_id AS id_b,
+        |       CAST(count(*) AS BIGINT) AS n_frame_matches
+        |FROM hsh a JOIN hsh z
+        |  ON a.doc_id < z.doc_id
+        | AND bit_count(xor(a.dh, z.dh)) <= 0
+        |GROUP BY a.doc_id, z.doc_id""".stripMargin,
     "media_jpeg_pixels" ->
       // block-formula replay: resampled pixel (i,j) reads source pixel
       // (sy, sx) = ((i*h)//8, (j*w)//8), whose 8x8 BLOCK carries the

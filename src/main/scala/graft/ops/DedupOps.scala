@@ -671,6 +671,81 @@ object DedupOps {
           .as("dup_ratio"))
   }
 
+  /** EXACT-alignment duplicate spans - the Lee et al. setting at full
+    * character granularity, closing [[duplicateSpans]]' stride gap:
+    * step=1 windows of `minLen` chars, dup verdict per window (>= 2
+    * distinct documents contain the lowercased text), then
+    * overlapping/adjacent duplicated windows merge into MAXIMAL spans.
+    * The guarantee strided windows can't give: a cross-document
+    * duplicated region of length >= minLen is recovered EXACTLY - its
+    * every in-region window is duplicated at step 1, so the merged
+    * span is the region itself, at any alignment.
+    *
+    * Scale shape: the explode emits one row PER CHARACTER carrying a
+    * `minLen`-byte key - a minLen-times shuffle amplification over the
+    * corpus; this is the honest price of exactness (the suffix-array
+    * equivalent pays the same constant in its sort). At 100 TB, swap
+    * the window-text key for a 128-bit fingerprint (md5 of the window)
+    * to shuffle 16 bytes/char instead - kept as raw text here so the
+    * oracle replays byte-exactly without hashing semantics in the
+    * compare. Run merging is a per-document HOF fold over the sorted
+    * window starts (one doc-keyed shuffle, no per-character second
+    * explode).
+    *
+    * Output: one row per maximal duplicated span,
+    * (idCol, span_start, span_len), 1-based original-text positions;
+    * documents with no duplicated span emit nothing.
+    */
+  def exactDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 40
+  ): DataFrame = {
+    require(minLen >= 3, s"minLen must be >= 3 chars, got $minLen")
+    val t = F.col("t")
+    val positions = when(length(t) >= minLen,
+      sequence(lit(1), length(t) - lit(minLen) + lit(1), lit(1)))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    val wins = df.filter(F.col(textCol).isNotNull)
+      .select(F.col(idCol).as("id"), lower(F.col(textCol)).as("t"))
+      .select(F.col("id"), explode(positions).as("p"), t)
+      .select(F.col("id"), F.col("p"), t.substr(F.col("p"), lit(minLen)).as("win"))
+    val docFreq = wins.select(F.col("win"), F.col("id")).distinct()
+      .groupBy("win").agg(count(lit(1)).as("docs_with"))
+    val dupPos = wins.join(docFreq.hint("shuffle_hash"), Seq("win"))
+      .filter(F.col("docs_with") >= 2)
+      .groupBy(F.col("id"))
+      .agg(sort_array(collect_list(F.col("p"))).as("ps"))
+    // fold sorted starts into maximal runs: window [p, p+minLen) merges
+    // into the open span iff it starts at or before the span's end
+    val L = lit(minLen)
+    val spanType = "array<struct<s:int,e:int>>"
+    val init = struct(
+      array().cast(spanType).as("spans"),
+      lit(-1).as("cs"), lit(-1).as("ce"))
+    val folded = aggregate(F.col("ps"), init,
+      (acc, p) => {
+        val spans = acc.getField("spans")
+        val cs = acc.getField("cs"); val ce = acc.getField("ce")
+        when(cs === -1,
+          struct(spans.as("spans"), p.as("cs"), (p + L).as("ce")))
+          .when(p <= ce,
+            struct(spans.as("spans"), cs.as("cs"), (p + L).as("ce")))
+          .otherwise(struct(
+            concat(spans, array(struct(cs.as("s"), ce.as("e")))).as("spans"),
+            p.as("cs"), (p + L).as("ce")))
+      },
+      acc => when(acc.getField("cs") === -1, acc.getField("spans"))
+        .otherwise(concat(acc.getField("spans"),
+          array(struct(acc.getField("cs").as("s"), acc.getField("ce").as("e"))))))
+    dupPos
+      .select(F.col("id"), explode(folded).as("span"))
+      .select(F.col("id").as(idCol),
+        F.col("span.s").as("span_start"),
+        (F.col("span.e") - F.col("span.s")).as("span_len"))
+  }
+
   /** Cross-document duplicate-span REMOVAL - the actual Lee et al.
     * "deduplicating training data" cleaning step [[duplicateSpans]]
     * only profiles: excise every window whose (lowercased) text occurs
@@ -718,11 +793,16 @@ object DedupOps {
     val positions = when(length(t) >= window,
       sequence(lit(1), length(t) - lit(window) + lit(1), lit(step)))
       .otherwise(array().cast(ArrayType(IntegerType)))
+    // feeds the doc-frequency aggregate AND the verdict join; it is a
+    // deterministic scan-shaped projection, so the second consumer
+    // RECOMPUTES it rather than pinning ~window/step times the corpus
+    // text in executor storage for the lifetime of the result (a
+    // localCheckpoint here measured ~4x the corpus at the defaults,
+    // held until the returned frame is released)
     val wins = base
       .select(F.col("id"), explode(positions).as("p"), t)
       .select(F.col("id"), F.col("p"),
         lower(t.substr(F.col("p"), lit(window))).as("win"))
-      .localCheckpoint() // feeds the doc-frequency aggregate AND the verdict join
     val docFreq = wins.select(F.col("win"), F.col("id")).distinct()
       .groupBy("win").agg(count(lit(1)).as("docs_with"))
     val dupPos = wins.join(docFreq.hint("shuffle_hash"), Seq("win"))

@@ -763,6 +763,10 @@ object MultimodalOps {
           case 0xdb => // DQT: one or more tables
             var p = seg
             while (p < i + 2 + len) {
+              // every table is 65 bytes; an undersized declared length
+              // must refuse, not read past the segment (and, when the
+              // segment abuts payload end, past the buffer)
+              if (p + 65 > i + 2 + len) return None
               val pq = (payload(p) & 0xff) >> 4
               val tq = payload(p) & 0x0f
               if (pq != 0 || tq > 3) return None // 8-bit tables only
@@ -776,6 +780,7 @@ object MultimodalOps {
           case 0xc4 => // DHT: one or more tables
             var p = seg
             while (p < i + 2 + len) {
+              if (p + 17 > i + 2 + len) return None // id byte + 16 counts
               val tc = (payload(p) & 0xff) >> 4
               val th = payload(p) & 0x0f
               if (tc > 1 || th > 3) return None
@@ -790,10 +795,12 @@ object MultimodalOps {
               p += 17 + total
             }
           case 0xc0 => // SOF0 baseline
+            if (len < 8) return None // precision + dims + nComp
             if ((payload(seg) & 0xff) != 8) return None
             h = u16(seg + 1); w = u16(seg + 3)
             nComp = payload(seg + 5) & 0xff
             if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+            if (len < 8 + 3 * nComp) return None // 3 bytes per component
             if (w.toLong * h.toLong * nComp > 256L * 1024 * 1024) return None
             var c = 0
             while (c < nComp) {
@@ -809,10 +816,14 @@ object MultimodalOps {
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             return None // non-baseline frame types
-          case 0xdd => restartInterval = u16(seg)
+          case 0xdd =>
+            if (len < 4) return None
+            restartInterval = u16(seg)
           case 0xda => // SOS
+            if (len < 3) return None
             val ns = payload(seg) & 0xff
             if (ns != nComp) return None
+            if (len < 3 + 2 * ns) return None // 2 bytes per component
             var c = 0
             while (c < ns) {
               val id = payload(seg + 1 + c * 2) & 0xff
@@ -1028,7 +1039,10 @@ object MultimodalOps {
     while (by < bh) {
       var bx = 0
       while (bx < bw) {
-        val v = (((bx * 7 + by * 13) + seed) % 256).toInt
+        // floorMod: a negative seed must still land in [0, 255] - the
+        // sign-keeping % would make |diff| exceed 2047 and index past
+        // the 12-entry DC code table
+        val v = Math.floorMod(bx * 7 + by * 13 + seed, 256L).toInt
         val dc = 8 * (v - 128)
         val diff = dc - pred
         pred = dc
@@ -1179,6 +1193,235 @@ object MultimodalOps {
       audioDHash(media).select(F.col("media_id"), F.col("afp"))
         .filter(F.col("afp").isNotNull),
       "media_id", "afp", maxHamming, maxBlockSize)
+
+  // ---------------------------------------------------------------------
+  // Video frames: ISO BMFF sample-table walk -> per-frame JPEG decode
+  // ---------------------------------------------------------------------
+
+  /** Pull the video track's SAMPLES (frames) out of an ISO BMFF (MP4)
+    * container - the sample-table walk [[decodeAvMeta]]'s metadata
+    * box-walk stopped short of: moov -> trak -> mdia -> minf -> stbl,
+    * then stsd (codec fourcc), stsz (per-sample byte sizes), stsc
+    * (samples-per-chunk runs), stco (chunk offsets) resolve every
+    * sample to its byte range in the file, exactly as the spec's
+    * chunk-offset algorithm prescribes. Returns (codec, frames) or
+    * None; refuse-don't-crash on any malformed box, truncated table,
+    * or out-of-file sample range (corrupt crawl media must never kill
+    * the task). 32-bit `stco` only (co64 archives refuse cleanly);
+    * frame count capped at 65536 per file.
+    */
+  def decodeVideoSamples(payload: Array[Byte]): Option[(String, Seq[Array[Byte]])] = {
+    val len = if (payload == null) 0 else payload.length
+    if (len < 16) return None
+    def ascii(o: Int, n: Int): String =
+      if (o >= 0 && o + n <= len)
+        new String(payload, o, n, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    def be32(o: Int): Long =
+      if (o < 0 || o + 4 > len) -1L
+      else ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    if (ascii(4, 4) != "ftyp") return None
+    def findBox(start: Int, end: Int, target: String): Int = {
+      var i = start
+      while (i + 8 <= end) {
+        val sz = be32(i)
+        if (ascii(i + 4, 4) == target) return i
+        if (sz < 8 || sz > end - i) return -1
+        i += sz.toInt
+      }
+      -1
+    }
+    def child(at: Int, end: Int, target: String): (Int, Int) =
+      if (at < 0) (-1, -1)
+      else {
+        val c = findBox(at + 8, end, target)
+        if (c < 0) (-1, -1)
+        else (c, math.min(end.toLong, c + be32(c)).toInt)
+      }
+    val moov = findBox(0, len, "moov")
+    if (moov < 0) return None
+    val moovEnd = math.min(len.toLong, moov + be32(moov)).toInt
+    val (trak, trakEnd) = child(moov, moovEnd, "trak")
+    val (mdia, mdiaEnd) = child(trak, trakEnd, "mdia")
+    val (minf, minfEnd) = child(mdia, mdiaEnd, "minf")
+    val (stbl, stblEnd) = child(minf, minfEnd, "stbl")
+    if (stbl < 0) return None
+    val (stsd, _) = child(stbl, stblEnd, "stsd")
+    if (stsd < 0 || be32(stsd + 12) < 1) return None
+    val codec = ascii(stsd + 20, 4)
+    if (codec.isEmpty) return None
+    val (stsz, stszEnd) = child(stbl, stblEnd, "stsz")
+    val (stsc, stscEnd) = child(stbl, stblEnd, "stsc")
+    val (stco, stcoEnd) = child(stbl, stblEnd, "stco")
+    if (stsz < 0 || stsc < 0 || stco < 0) return None
+    val uniform = be32(stsz + 12)
+    val nSamples = be32(stsz + 16)
+    if (nSamples < 0 || nSamples > 65536) return None
+    val n = nSamples.toInt
+    if (uniform == 0 && stsz + 20 + 4L * n > stszEnd) return None
+    def sampleSize(s: Int): Long =
+      if (uniform != 0) uniform else be32(stsz + 20 + 4 * s)
+    val nScEntries = be32(stsc + 12)
+    if (nScEntries < 1 || stsc + 16 + 12L * nScEntries > stscEnd) return None
+    val nChunks = be32(stco + 12)
+    if (nChunks < 1 || stco + 16 + 4L * nChunks > stcoEnd) return None
+    // the spec's chunk walk: chunk c uses the samples-per-chunk of the
+    // LAST stsc entry whose first_chunk <= c; samples lay out back to
+    // back from the chunk's stco offset
+    val frames = Seq.newBuilder[Array[Byte]]
+    var s = 0
+    var c = 1
+    var e = 0
+    while (s < n && c <= nChunks.toInt) {
+      while (e + 1 < nScEntries.toInt &&
+        be32(stsc + 16 + 12 * (e + 1)) <= c) e += 1
+      val spc = be32(stsc + 16 + 12 * e + 4)
+      if (spc < 1) return None
+      var off = be32(stco + 16 + 4 * (c - 1))
+      var k = 0L
+      while (s < n && k < spc) {
+        val sz = sampleSize(s)
+        if (sz < 1 || off < 0 || off + sz > len) return None
+        frames += java.util.Arrays.copyOfRange(payload, off.toInt, (off + sz).toInt)
+        off += sz
+        s += 1; k += 1
+      }
+      c += 1
+    }
+    if (s < n) return None // sample table promises more than the chunks hold
+    Some((codec, frames.result()))
+  }
+
+  /** Explode a video media frame into per-FRAME media rows: one output
+    * row per sample of the MP4's video track, `payload` replaced by
+    * the frame's bytes and `frame_idx` (0-based) appended beside the
+    * carried columns. Non-MP4 / malformed payloads emit nothing
+    * (refuse-don't-crash). The result is itself a media frame - JPEG
+    * tracks pipe straight into [[decodeResizePixels]] /
+    * [[imageDHash]] / [[decodeResizeFeaturize]], which all preserve
+    * the extra column.
+    */
+  def videoFrames(media: DataFrame): DataFrame = {
+    val keep = media.schema.fields.filterNot(_.name == "payload")
+    val outSchema = StructType(keep ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val base = nonPayload(r)
+        decodeVideoSamples(r.getAs[Array[Byte]]("payload")).toSeq.flatMap {
+          case (_, frames) =>
+            frames.iterator.zipWithIndex.map { case (f, i) =>
+              // schema-carrying rows: a downstream mapPartitions (the
+              // per-frame decoders) may receive these rows OBJECT-pipelined
+              // (no serialization boundary) and look fields up by name
+              new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+                (base ++ Seq(i, f)).toArray, outSchema): Row
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** Video near-dup pairs across the corpus: every frame gets the
+    * image dHash, frame pairs within `maxHamming` surface through the
+    * shared pigeonhole engine ([[graft.ops.DedupOps.hammingPairs]] -
+    * the same lossless, never-all-pairs join as text SimHash, image
+    * dHash, and audio fingerprints), and matches fold to the video
+    * pair with the shared-frame count. Frame identity rides a
+    * composite key `media_id * 65536 + frame_idx` (frame_idx is
+    * already capped at 65536 by [[decodeVideoSamples]]); intra-video
+    * matches are dropped - self-similar videos are repetition, not
+    * duplication. Any frame may match any frame of the other video
+    * (trimmed/shifted copies still pair), so the count is over frame
+    * PAIRS within the radius.
+    *
+    * Output: (id_a, id_b, n_frame_matches) with id_a < id_b.
+    */
+  def videoDupPairs(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      maxBlockSize: Long = Long.MaxValue
+  ): DataFrame = {
+    val hashed = imageDHash(videoFrames(media))
+      .filter(F.col("dhash").isNotNull)
+      .select((F.col("media_id") * 65536L + F.col("frame_idx")).as("fid"),
+        F.col("dhash"))
+    graft.ops.DedupOps.hammingPairs(hashed, "fid", "dhash", maxHamming, maxBlockSize)
+      .select(shiftright(F.col("id_a").cast(LongType), 16).as("vid_a"),
+        shiftright(F.col("id_b").cast(LongType), 16).as("vid_b"))
+      .filter(F.col("vid_a") =!= F.col("vid_b"))
+      .groupBy(F.col("vid_a").as("id_a"), F.col("vid_b").as("id_b"))
+      .agg(count(lit(1)).as("n_frame_matches"))
+  }
+
+  /** A REAL (if minimal) MJPEG-in-MP4 WRITER - the fixture generator
+    * for the video frame path, [[synthJpegImageBytes]]' container
+    * sibling: a spec-compliant ISO BMFF file (ftyp + mdat + moov with
+    * the full mvhd/tkhd/mdhd/hdlr/vmhd/dinf/stbl box tree) whose video
+    * track is `jpeg`-coded with one baseline JPEG per frame, all
+    * frames in ONE chunk (stsc 1->n), per-sample sizes in stsz, the
+    * chunk offset in stco. Frame f's pixels follow
+    * [[synthJpegImageBytes]]' exact block formula with
+    * `frameSeeds(f)`, so a SQL oracle replays every frame's pixels -
+    * and any conformant MP4 demuxer finds the same frame bytes.
+    */
+  def synthMjpegVideoBytes(frameSeeds: Seq[Long], w: Int, h: Int): Array[Byte] = {
+    require(frameSeeds.nonEmpty && frameSeeds.length <= 65536,
+      s"need 1..65536 frames, got ${frameSeeds.length}")
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+      s"need dims in [1, 65535], got ${w}x$h")
+    val frames = frameSeeds.map(synthJpegImageBytes(_, w, h))
+    val n = frames.length
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def fourcc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def box(typ: String, body: Array[Byte]*): Array[Byte] = {
+      val size = 8L + body.map(_.length.toLong).sum
+      be32(size) ++ fourcc(typ) ++ body.flatten
+    }
+    val v0 = Array[Byte](0, 0, 0, 0) // version + flags
+    val matrix = be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000L)
+    val dur = 40L * n // 25 fps at timescale 1000
+    val ftyp = box("ftyp", fourcc("isom"), be32(0x200), fourcc("isom"))
+    val mdat = box("mdat", frames.flatten.toArray)
+    val chunkOffset = ftyp.length + 8L // mdat payload starts after its header
+    val mvhd = box("mvhd", v0, be32(0), be32(0), be32(1000), be32(dur),
+      be32(0x00010000L), be16(0x0100), new Array[Byte](10), matrix,
+      new Array[Byte](24), be32(2))
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7), be32(0), be32(0), be32(1),
+      be32(0), be32(dur), new Array[Byte](8), be16(0), be16(0), be16(0), be16(0),
+      matrix, be32(w.toLong << 16), be32(h.toLong << 16))
+    val mdhd = box("mdhd", v0, be32(0), be32(0), be32(1000), be32(dur),
+      be16(0x55c4), be16(0))
+    val hdlr = box("hdlr", v0, be32(0), fourcc("vide"), new Array[Byte](12),
+      fourcc("VideoHandler") ++ Array[Byte](0))
+    val vmhd = box("vmhd", Array[Byte](0, 0, 0, 1), be16(0), be16(0), be16(0), be16(0))
+    val dinf = box("dinf", box("dref", v0, be32(1),
+      box("url ", Array[Byte](0, 0, 0, 1))))
+    val entry = be32(86) ++ fourcc("jpeg") ++ new Array[Byte](6) ++ be16(1) ++
+      be16(0) ++ be16(0) ++ new Array[Byte](12) ++ be16(w) ++ be16(h) ++
+      be32(0x00480000L) ++ be32(0x00480000L) ++ be32(0) ++ be16(1) ++
+      new Array[Byte](32) ++ be16(24) ++ be16(0xffff)
+    val stsd = box("stsd", v0, be32(1), entry)
+    val stts = box("stts", v0, be32(1), be32(n), be32(40))
+    val stsc = box("stsc", v0, be32(1), be32(1), be32(n), be32(1))
+    val stsz = box("stsz", v0, be32(0), be32(n),
+      frames.toArray.flatMap(f => be32(f.length)))
+    val stco = box("stco", v0, be32(1), be32(chunkOffset))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
 
   /** REAL nearest-neighbor pixel resample - the resample
     * [[resizeMeta]] only PLANNED: output pixel (i, j) reads source

@@ -121,32 +121,71 @@ object ProfileOps {
     * fine".
     *
     * Scale shape: ONE key-aggregate shuffle folds the corpus to a
-    * key-cardinality frame; the rank/cumulative windows then run over
-    * that group-sized frame (the one place a single-partition window is
-    * correct - same discipline as StatOps' grand-total frames). High-
-    * cardinality keys: cap the profile with a downstream limit on rank;
-    * the aggregate itself is the full histogram either way.
+    * key-cardinality frame, then ONE range shuffle realizes the
+    * frequency order data-parallel. Rank and cumulative share are NOT
+    * computed with an unpartitioned window (key cardinality is
+    * unbounded - profiling `user_id` on a 100-TB corpus would funnel
+    * ~1e9 rows through one task): like [[ShardOps.globalOrderIndex]],
+    * a per-partition scan emits local (rank, cum-n) and a
+    * partition-count-sized driver array of offsets lifts them to
+    * global - the same count-job-plus-map-job shape as
+    * `RDD.zipWithIndex`, with the grand totals falling out of the same
+    * offsets array for free. Every stage is data-parallel.
     *
     * Output: one row per distinct key (nulls profiled as a key):
     * (keyCol, n, rank, share, cum_share, skew), divisions rounded 6dp.
     */
   def keySkew(df: DataFrame, keyCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    val spark = df.sparkSession
     val counts = df.groupBy(F.col(keyCol)).agg(count(lit(1)).as("n"))
-    val byFreq = Window.orderBy(F.col("n").desc, F.col(keyCol).asc_nulls_last)
-    counts
-      .withColumn("rank", row_number().over(byFreq).cast(IntegerType))
-      .withColumn("gr_tot", sum(F.col("n")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("gr_keys", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("gr_cum", sum(F.col("n")).over(
-        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // frequency order, realized by range partitioning (balanced via
+    // quantile sampling), never by a single-partition sort
+    val sorted = counts
+      .repartitionByRange(F.col("n").desc, F.col(keyCol).asc_nulls_last)
+      .sortWithinPartitions(F.col("n").desc, F.col(keyCol).asc_nulls_last)
+    val nIdx = sorted.schema.fieldIndex("n")
+    // capture ONE RDD so both jobs (offset count + indexed map) see the
+    // same sampled range boundaries - the zipWithIndex discipline
+    val rdd = sorted.rdd
+    // per-partition (rows, sum n): a #partitions-sized driver array
+    val partStats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rows = 0L; var s = 0L
+      it.foreach { r => rows += 1L; s += r.getLong(nIdx) }
+      Iterator((pid, rows, s))
+    }.collect().sortBy(_._1)
+    val nParts = partStats.length
+    val rankOff = new Array[Long](nParts)
+    val cumOff = new Array[Long](nParts)
+    locally {
+      var r = 0L; var c = 0L; var i = 0
+      while (i < nParts) {
+        rankOff(i) = r; cumOff(i) = c
+        r += partStats(i)._2; c += partStats(i)._3
+        i += 1
+      }
+    }
+    val grTot = partStats.map(_._3).sum
+    val grKeys = partStats.map(_._2).sum
+    val outSchema = StructType(sorted.schema.fields ++ Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("gr_cum", LongType, nullable = false)))
+    val indexed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rank = if (pid < nParts) rankOff(pid) else 0L
+      var cum = if (pid < nParts) cumOff(pid) else 0L
+      it.map { r =>
+        rank += 1L; cum += r.getLong(nIdx)
+        // NB: :+ appends (not ++ Seq(a, b)) - Seq(int, long) would
+        // numerically WIDEN the rank to Long and break the row encoder
+        Row.fromSeq(r.toSeq :+ rank.toInt :+ cum)
+      }
+    }
+    spark.createDataFrame(indexed, outSchema)
       .select(
         F.col(keyCol), F.col("n"), F.col("rank"),
-        round(F.col("n").cast(DoubleType) / F.col("gr_tot").cast(DoubleType), 6).as("share"),
-        round(F.col("gr_cum").cast(DoubleType) / F.col("gr_tot").cast(DoubleType), 6).as("cum_share"),
-        round(F.col("n").cast(DoubleType) * F.col("gr_keys").cast(DoubleType) /
-          F.col("gr_tot").cast(DoubleType), 6).as("skew"))
+        round(F.col("n").cast(DoubleType) / lit(grTot).cast(DoubleType), 6).as("share"),
+        round(F.col("gr_cum").cast(DoubleType) / lit(grTot).cast(DoubleType), 6).as("cum_share"),
+        round(F.col("n").cast(DoubleType) * lit(grKeys).cast(DoubleType) /
+          lit(grTot).cast(DoubleType), 6).as("skew"))
   }
 }

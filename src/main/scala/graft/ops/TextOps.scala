@@ -833,13 +833,17 @@ object TextOps {
     * the oracle.
     */
   val langExpectedScript: Map[String, String] = Map(
-    "ar" -> "arabic", "cs" -> "latin", "da" -> "latin", "de" -> "latin",
-    "el" -> "greek", "en" -> "latin", "es" -> "latin", "fi" -> "latin",
-    "fr" -> "latin", "hi" -> "other", "hu" -> "latin", "id" -> "latin",
-    "it" -> "latin", "ja" -> "cjk", "ko" -> "other", "nl" -> "latin",
-    "no" -> "latin", "pl" -> "latin", "pt" -> "latin", "ro" -> "latin",
-    "ru" -> "cyrillic", "sv" -> "latin", "tr" -> "latin",
-    "uk" -> "cyrillic", "vi" -> "latin", "zh" -> "cjk")
+    "ar" -> "arabic", "bg" -> "cyrillic", "bn" -> "other", "ca" -> "latin",
+    "cs" -> "latin", "da" -> "latin", "de" -> "latin", "el" -> "greek",
+    "en" -> "latin", "es" -> "latin", "et" -> "latin", "eu" -> "latin",
+    "fa" -> "arabic", "fi" -> "latin", "fr" -> "latin", "he" -> "other",
+    "hi" -> "other", "hr" -> "latin", "hu" -> "latin", "id" -> "latin",
+    "it" -> "latin", "ja" -> "cjk", "ko" -> "other", "lt" -> "latin",
+    "lv" -> "latin", "nl" -> "latin", "no" -> "latin", "pl" -> "latin",
+    "pt" -> "latin", "ro" -> "latin", "ru" -> "cyrillic", "sk" -> "latin",
+    "sl" -> "latin", "sr" -> "cyrillic", "sv" -> "latin", "sw" -> "latin",
+    "ta" -> "other", "th" -> "other", "tr" -> "latin", "uk" -> "cyrillic",
+    "vi" -> "latin", "zh" -> "cjk")
 
   /** The language-ID normalization, column-side: lowercase, every
     * character that is not a letter or combining mark to a space,
@@ -852,8 +856,9 @@ object TextOps {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^\\p{L}\\p{M}]", " "), " +", " "))
 
-  /** Language identification over 26 languages (ar cs da de el en es
-    * fi fr hi hu id it ja ko nl no pl pt ro ru sv tr uk vi zh):
+  /** Language identification over 42 languages (ar bg bn ca cs da de
+    * el en es et eu fa fi fr he hi hr hu id it ja ko lt lv nl no pl
+    * pt ro ru sk sl sr sv sw ta th tr uk vi zh):
     * mixed character 1/2/3-gram multinomial Naive Bayes with the
     * TRAINED integer weight table ([[langProfiles]]) - the langid.py
     * feature recipe: unigrams carry script and letter-frequency

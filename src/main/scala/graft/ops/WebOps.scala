@@ -166,35 +166,67 @@ object WebOps {
     when(isIpLiteral, host).otherwise(withExceptions)
   }
 
+  /** The eTLD+1 fold applied ONCE PER DISTINCT HOST, broadcast back
+    * onto the corpus - the vocabulary-frame discipline for any
+    * expensive pure function of a low-cardinality column. The PSL fold
+    * is a greatest-of-InSet CASE chain over label slices; evaluated
+    * per row it dominated the web tier's wall time, while the host
+    * vocabulary of a crawl is bounded by the frontier (millions), not
+    * the corpus (billions). ONE partial-agg distinct over the
+    * projected host column + ONE broadcast hash join; the corpus
+    * itself never shuffles. Appends `outCol` = registrableDomain of
+    * `hostExpr` (null host folds to null, same as the inline fold).
+    */
+  def foldDomainByHost(df: DataFrame, hostExpr: Column, outCol: String): DataFrame = {
+    require(!df.columns.exists(Set("gr_fh", "gr_frd")),
+      "input already has a gr_fh/gr_frd column; rename it first")
+    val hosts = df.select(hostExpr.as("gr_fh")).distinct()
+      .select(F.col("gr_fh"), registrableDomain(F.col("gr_fh")).as("gr_frd"))
+    df.join(broadcast(hosts), hostExpr <=> F.col("gr_fh"), "left")
+      .withColumn(outCol, F.col("gr_frd"))
+      .drop("gr_fh", "gr_frd")
+  }
+
   /** Parse `urlCol` into components beside the original row: scheme,
     * host, port (0 = default), path, query, and the registrable domain.
-    * One codegen'd projection - no shuffle, no UDF; fuses into the scan.
+    * The five component extracts are codegen'd projections fused into
+    * the scan; the eTLD+1 fold runs once per distinct host and comes
+    * back as a broadcast join ([[foldDomainByHost]]) - no corpus
+    * shuffle either way.
     */
   def parseUrls(df: DataFrame, urlCol: String): DataFrame = {
     val u = F.col(urlCol)
-    df.withColumn("scheme", urlScheme(u))
+    val parsed = df.withColumn("scheme", urlScheme(u))
       .withColumn("host", urlHost(u))
       .withColumn("port", urlPort(u))
       .withColumn("path", urlPath(u))
       .withColumn("query", urlQuery(u))
-      .withColumn("domain", registrableDomain(urlHost(u)))
+    foldDomainByHost(parsed, F.col("host"), "domain")
   }
 
   /** Per-registrable-domain crawl profile: page count, distinct-host
     * count, and total text size - the frame a crawl's domain-level
-    * curation (caps, blocklists, quality cuts) is decided from. ONE
-    * shuffle keyed on the domain; `n_hosts` is exact distinct (the
-    * domain's host fan-out is bounded by the crawl frontier, not the
-    * corpus - an approx_count_distinct swap is a one-line change if a
-    * crawl ever breaks that).
+    * curation (caps, blocklists, quality cuts) is decided from.
+    *
+    * Scale shape: the corpus folds to a HOST-keyed partial first (one
+    * partial-agg shuffle of (host, count, size) triples), the eTLD+1
+    * fold then runs once per distinct host on that vocabulary-sized
+    * frame, and the domain re-aggregate is a second tiny shuffle.
+    * `n_hosts` falls out as a row count (the host partial is already
+    * distinct per host), so the exact distinct never re-shuffles the
+    * corpus.
     */
   def domainStats(df: DataFrame, urlCol: String, sizeCol: String): DataFrame =
-    parseUrls(df, urlCol)
+    df.select(urlHost(F.col(urlCol)).as("gr_host"), F.col(sizeCol))
+      .groupBy(F.col("gr_host"))
+      .agg(count(lit(1)).as("gr_n"), sum(F.col(sizeCol)).as("gr_sz"))
+      .select(registrableDomain(F.col("gr_host")).as("domain"),
+        F.col("gr_host"), F.col("gr_n"), F.col("gr_sz"))
       .groupBy(F.col("domain"))
       .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(F.col("host")).as("n_hosts"),
-        sum(F.col(sizeCol)).as("sum_chars"))
+        sum(F.col("gr_n")).as("n_docs"),
+        count(F.col("gr_host")).as("n_hosts"),
+        sum(F.col("gr_sz")).as("sum_chars"))
 
   /** Host-level partial profile - the MERGEABLE factorization of
     * [[domainStats]]: per (domain, host), page count and text volume.
@@ -205,12 +237,15 @@ object WebOps {
     * mergeable from per-slice distinct counts, is recovered at serve
     * time by [[domainStatsFromProfile]] counting host rows. State is
     * bounded by the crawl frontier (distinct (domain, host) pairs),
-    * not the corpus.
+    * not the corpus. The eTLD+1 fold runs once per distinct host, on
+    * the already-host-keyed aggregate - no join needed at all.
     */
   def hostProfile(df: DataFrame, urlCol: String, sizeCol: String): DataFrame =
-    parseUrls(df, urlCol)
-      .groupBy(F.col("domain"), F.col("host"))
+    df.select(urlHost(F.col(urlCol)).as("host"), F.col(sizeCol))
+      .groupBy(F.col("host"))
       .agg(count(lit(1)).as("n_docs"), sum(F.col(sizeCol)).as("sum_chars"))
+      .select(registrableDomain(F.col("host")).as("domain"),
+        F.col("host"), F.col("n_docs"), F.col("sum_chars"))
 
   /** Serve [[domainStats]]' frame off a [[hostProfile]] table: fold the
     * host partials to the registrable domain, recovering the exact
@@ -238,7 +273,15 @@ object WebOps {
     val entries = blocked.map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
     require(entries.nonEmpty, "blocklist had only blank entries")
     val host = urlHost(F.col(urlCol))
-    df.filter(!(registrableDomain(host).isin(entries: _*) || host.isin(entries: _*)))
+    // the eTLD+1 fold runs once per DISTINCT host: the blocked-host
+    // vocabulary (a tiny frame) broadcasts back as an anti-join - the
+    // corpus is still filtered in place, never shuffled. Null-url rows
+    // drop, matching the inline fold's null-predicate semantics.
+    val blockedHosts = df.select(host.as("gr_bh")).distinct()
+      .filter(registrableDomain(F.col("gr_bh")).isin(entries: _*) ||
+        F.col("gr_bh").isin(entries: _*))
+    df.filter(host.isNotNull)
+      .join(broadcast(blockedHosts), host === F.col("gr_bh"), "left_anti")
   }
 
   /** href attribute values in `htmlCol`, one output row per link (the
@@ -420,11 +463,13 @@ object WebOps {
     * absolute http(s) href in its HTML) edges; parallel links collapse
     * into a weight.
     *
-    * Scale shape: link extraction and BOTH domain folds are codegen'd
-    * projections fused into the scan; the only shuffle is the final
-    * count keyed on the (src, dst) domain pair - an edge-list-sized
-    * frame (bounded by the crawl's inter-domain link structure, far
-    * smaller than the corpus). Pages never pair with pages; self-links
+    * Scale shape: link extraction and both host extracts are codegen'd
+    * projections fused into the scan; the corpus shuffles ONCE, keyed
+    * on the (src_host, dst_host) pair with map-side partial counts.
+    * The PSL fold then runs on that edge-structure-sized frame (twice
+    * per distinct host pair, not twice per link occurrence - the fold
+    * is the expensive expression), and the domain re-aggregate is a
+    * second, tiny shuffle. Pages never pair with pages; self-links
     * (within-domain navigation) are kept - callers that want the
     * cross-domain graph filter `src_domain <> dst_domain`, one
     * predicate on the already-tiny edge frame.
@@ -434,10 +479,20 @@ object WebOps {
   def linkGraph(df: DataFrame, urlCol: String, htmlCol: String): DataFrame =
     extractLinks(df, htmlCol)
       .select(
-        registrableDomain(urlHost(F.col(urlCol))).as("src_domain"),
-        registrableDomain(urlHost(F.col("link"))).as("dst_domain"))
+        urlHost(F.col(urlCol)).as("gr_sh"),
+        urlHost(F.col("link")).as("gr_dh"))
+      .groupBy(F.col("gr_sh"), F.col("gr_dh"))
+      .agg(count(lit(1)).as("gr_n"))
+      // the host-pair frame is edge-structure-sized: the PSL fold now
+      // runs twice per distinct host PAIR, not twice per link
+      // occurrence, and the domain re-aggregate shuffles a frame no
+      // bigger than the one the old plan shuffled
+      .select(
+        registrableDomain(F.col("gr_sh")).as("src_domain"),
+        registrableDomain(F.col("gr_dh")).as("dst_domain"),
+        F.col("gr_n"))
       .groupBy(F.col("src_domain"), F.col("dst_domain"))
-      .agg(count(lit(1)).as("n_links"))
+      .agg(sum(F.col("gr_n")).as("n_links"))
 
   /** Parse robots.txt bodies into the allow/disallow rule set that
     * governs `agent` - the crawl-politeness half a frontier builder
@@ -536,10 +591,13 @@ object WebOps {
     val rx = rules.select(F.col("domain").as("gr_rdom"), F.col("is_allow"),
       robotsRuleRegex(F.col("rule")).as("gr_rx"),
       length(F.col("rule")).as("gr_rlen"))
-    val paths = df.select(F.col(idCol).as("gr_id"),
-      registrableDomain(urlHost(F.col(urlCol))).as("gr_dom"),
-      when(urlPath(F.col(urlCol)) === "", lit("/"))
-        .otherwise(urlPath(F.col(urlCol))).as("gr_path"))
+    val paths = foldDomainByHost(
+      df.select(F.col(idCol).as("gr_id"),
+        urlHost(F.col(urlCol)).as("gr_vh"),
+        when(urlPath(F.col(urlCol)) === "", lit("/"))
+          .otherwise(urlPath(F.col(urlCol))).as("gr_path")),
+      F.col("gr_vh"), "gr_dom")
+      .select(F.col("gr_id"), F.col("gr_dom"), F.col("gr_path"))
     val verdict = paths
       .join(broadcast(rx), F.col("gr_dom") === F.col("gr_rdom") &&
         F.expr("gr_path rlike gr_rx")) // rlike with a COLUMN pattern
@@ -565,6 +623,15 @@ object WebOps {
     * collapses, so `<a href=u><b>bold deal</b> now</a>` yields
     * "bold deal now". All codegen'd projections, no shuffle; patterns
     * stay in the Java-regex/RE2 common subset for the oracle replay.
+    *
+    * Known bound of the lazy-body trade-off: an UNCLOSED `<a>` tag
+    * swallows everything up to the NEXT `</a>`, so anchors nested in
+    * the swallowed span lose their own rows (their hrefs drop, their
+    * text merges into the malformed anchor's). Stopping the body at
+    * the next `<a` open tag needs a negative lookahead, which RE2
+    * (the oracle's engine) does not support - inside the common
+    * subset, swallow-to-close is the documented behavior for
+    * malformed HTML; well-formed anchors are unaffected.
     */
   def anchorTexts(df: DataFrame, htmlCol: String): DataFrame = {
     val pat = "(?is)<a[^>]*href\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>(.*?)</a>"
@@ -591,8 +658,15 @@ object WebOps {
   def anchorProfile(df: DataFrame, htmlCol: String): DataFrame =
     anchorTexts(df, htmlCol)
       .select(
-        registrableDomain(urlHost(F.col("link"))).as("dst_domain"),
+        urlHost(F.col("link")).as("gr_dh"),
         explode(graft.ops.DedupOps.tokens(F.col("anchor"))).as("token"))
+      .groupBy(F.col("gr_dh"), F.col("token"))
+      .agg(count(lit(1)).as("gr_n"))
+      // fold eTLD+1 on the (host, token) vocabulary frame, then
+      // re-aggregate: the PSL fold runs per distinct host-token pair
+      // instead of per anchor occurrence
+      .select(registrableDomain(F.col("gr_dh")).as("dst_domain"),
+        F.col("token"), F.col("gr_n"))
       .groupBy(F.col("dst_domain"), F.col("token"))
-      .agg(count(lit(1)).as("n_mentions"))
+      .agg(sum(F.col("gr_n")).as("n_mentions"))
 }

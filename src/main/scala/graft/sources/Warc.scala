@@ -1,0 +1,251 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions.col
+
+/** WARC (Web ARChive, ISO 28500 / WARC-1.1) ingestion - the missing
+  * FIRST hop of the web tier: everything downstream of HTML (strip, C4,
+  * links, robots, domain curation) already exists over parquet columns;
+  * this module turns raw crawl archives (the CommonCrawl interchange
+  * format) into those columns. Framing is implemented from the public
+  * spec: records are `WARC/1.x` version line + CRLF-terminated
+  * `Name: value` header lines + empty line + exactly `Content-Length`
+  * payload bytes + CRLF CRLF separator, concatenated.
+  *
+  * Scale shape: WARC has NO splittable sync marker (records are
+  * length-prefixed, and production archives are per-record gzip
+  * members), so the unit of parallelism is the FILE - exactly how
+  * CommonCrawl ships: ~1 GB segment files, tens of thousands per
+  * crawl. [[readWarcFiles]] lists them through Spark's binaryFile
+  * source (file-level tasks, partition pruning at listing) and each
+  * task streams its file's records sequentially; a 1000-executor
+  * cluster saturates on file count, never on intra-file splits.
+  * Parsing is refuse-don't-crash: a malformed record header or a
+  * truncated payload ends that FILE's parse with the records already
+  * framed (corrupt crawl segments are routine; one bad tail must not
+  * kill the task).
+  *
+  * Only `response` records carrying an HTTP payload surface as pages
+  * (warcinfo/request/metadata/revisit records are framing, not
+  * content); the HTTP status line and headers are parsed off the
+  * payload, the declared `Content-Type`'s media type becomes `mime`,
+  * and the body decodes as UTF-8 into `html`.
+  */
+object Warc {
+
+  /** One parsed page: target URL, WARC-Date as written, HTTP status,
+    * media type (lowercased, parameters stripped), and the decoded
+    * body.
+    */
+  final case class WarcPage(
+      url: String,
+      fetchTime: String,
+      status: Int,
+      mime: String,
+      html: String)
+
+  private val CRLF = "\r\n"
+
+  /** Parse every well-formed record of one WARC blob, returning the
+    * `response` pages in file order. Stops (returning what it has) at
+    * the first malformed record boundary - never throws on corrupt
+    * input.
+    */
+  def parseWarcPages(bytes: Array[Byte]): Seq[WarcPage] = {
+    if (bytes == null) return Nil
+    val out = Seq.newBuilder[WarcPage]
+    var i = 0
+    var ok = true
+    while (ok && i < bytes.length) {
+      parseRecord(bytes, i) match {
+        case Some((headers, payloadStart, payloadLen, next)) =>
+          if (headers.getOrElse("warc-type", "") == "response" &&
+            headers.getOrElse("content-type", "").toLowerCase
+              .startsWith("application/http")) {
+            httpPage(headers, bytes, payloadStart, payloadLen).foreach(out += _)
+          }
+          i = next
+        case None => ok = false
+      }
+    }
+    out.result()
+  }
+
+  /** Frame ONE record at `start`: (lowercased headers, payload offset,
+    * payload length, offset of the next record). None on any framing
+    * violation: bad version line, non-CRLF header block, missing or
+    * non-numeric Content-Length, payload or separator running past the
+    * buffer.
+    */
+  private def parseRecord(
+      bytes: Array[Byte],
+      start: Int): Option[(Map[String, String], Int, Int, Int)] = {
+    val headerEnd = indexOfCrlfCrlf(bytes, start)
+    if (headerEnd < 0) return None
+    val head = new String(bytes, start, headerEnd - start, StandardCharsets.UTF_8)
+    val lines = head.split("\r\n", -1)
+    if (lines.isEmpty || !lines(0).startsWith("WARC/1.")) return None
+    val headers = Map.newBuilder[String, String]
+    var li = 1
+    while (li < lines.length) {
+      val ln = lines(li)
+      val c = ln.indexOf(':')
+      if (c <= 0) return None // header without a colon: malformed block
+      headers += (ln.substring(0, c).trim.toLowerCase ->
+        ln.substring(c + 1).trim)
+      li += 1
+    }
+    val hs = headers.result()
+    val len = hs.get("content-length").flatMap(s => s.toIntOption).getOrElse(-1)
+    if (len < 0) return None
+    val payloadStart = headerEnd + 4
+    val sepEnd = payloadStart + len + 4 // payload + CRLF CRLF
+    if (sepEnd > bytes.length) return None // truncated record
+    val p = payloadStart + len
+    if (bytes(p) != '\r' || bytes(p + 1) != '\n' ||
+      bytes(p + 2) != '\r' || bytes(p + 3) != '\n') return None
+    Some((hs, payloadStart, len, sepEnd))
+  }
+
+  /** Parse an HTTP response payload into a [[WarcPage]]. None when the
+    * payload is not an HTTP response (missing status line or header
+    * terminator) - the record is skipped, not fatal to the file.
+    */
+  private def httpPage(
+      warcHeaders: Map[String, String],
+      bytes: Array[Byte],
+      payloadStart: Int,
+      payloadLen: Int): Option[WarcPage] = {
+    val end = payloadStart + payloadLen
+    val bodyAt = indexOfCrlfCrlf(bytes, payloadStart) match {
+      case at if at >= 0 && at + 4 <= end => at + 4
+      case _ => return None
+    }
+    val head = new String(bytes, payloadStart, bodyAt - 4 - payloadStart,
+      StandardCharsets.UTF_8)
+    val lines = head.split("\r\n", -1)
+    if (lines.isEmpty || !lines(0).startsWith("HTTP/")) return None
+    val statusParts = lines(0).split(" ")
+    val status =
+      if (statusParts.length >= 2) statusParts(1).toIntOption.getOrElse(-1)
+      else -1
+    if (status < 0) return None
+    val mime = lines.drop(1).iterator
+      .map { ln => val c = ln.indexOf(':'); (ln, c) }
+      .collectFirst {
+        case (ln, c) if c > 0 &&
+          ln.substring(0, c).trim.equalsIgnoreCase("content-type") =>
+          ln.substring(c + 1).split(";")(0).trim.toLowerCase
+      }
+      .getOrElse("")
+    Some(WarcPage(
+      url = warcHeaders.getOrElse("warc-target-uri", ""),
+      fetchTime = warcHeaders.getOrElse("warc-date", ""),
+      status = status,
+      mime = mime,
+      html = new String(bytes, bodyAt, end - bodyAt, StandardCharsets.UTF_8)))
+  }
+
+  private def indexOfCrlfCrlf(bytes: Array[Byte], from: Int): Int = {
+    var i = from
+    val last = bytes.length - 4
+    while (i <= last) {
+      if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+        bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  // ---------------------------------------------------------------
+  // writer side: spec-compliant WARC synthesis (the synthPng pattern -
+  // fixtures the reader is proven against, and a usable archiver)
+  // ---------------------------------------------------------------
+
+  /** Serialize pages as a spec-compliant WARC/1.1 blob: a `warcinfo`
+    * record, then per page a `request` record followed by its
+    * `response` record (the CommonCrawl layout). Byte-exact framing:
+    * Content-Length counts payload bytes (UTF-8), every line ends
+    * CRLF, records separate with CRLF CRLF - so
+    * [[parseWarcPages]] ([[writeWarcBytes]] x) == x for any pages
+    * whose fields are themselves CRLF-free.
+    */
+  def writeWarcBytes(pages: Seq[WarcPage], infoLine: String = "graft-crawler"): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def record(headers: Seq[(String, String)], payload: Array[Byte]): Unit = {
+      val head = new StringBuilder("WARC/1.1").append(CRLF)
+      headers.foreach { case (k, v) => head.append(k).append(": ").append(v).append(CRLF) }
+      head.append("Content-Length: ").append(payload.length).append(CRLF).append(CRLF)
+      bos.write(head.toString.getBytes(StandardCharsets.UTF_8))
+      bos.write(payload)
+      bos.write(CRLF.getBytes(StandardCharsets.UTF_8))
+      bos.write(CRLF.getBytes(StandardCharsets.UTF_8))
+    }
+    record(
+      Seq("WARC-Type" -> "warcinfo", "Content-Type" -> "application/warc-fields"),
+      s"software: $infoLine$CRLF".getBytes(StandardCharsets.UTF_8))
+    pages.foreach { p =>
+      record(
+        Seq("WARC-Type" -> "request",
+          "WARC-Target-URI" -> p.url,
+          "WARC-Date" -> p.fetchTime,
+          "Content-Type" -> "application/http;msgtype=request"),
+        s"GET ${p.url} HTTP/1.1${CRLF}User-Agent: graft$CRLF$CRLF"
+          .getBytes(StandardCharsets.UTF_8))
+      val body = p.html.getBytes(StandardCharsets.UTF_8)
+      val httpHead =
+        s"HTTP/1.1 ${p.status} OK${CRLF}Content-Type: ${p.mime}; charset=UTF-8$CRLF" +
+          s"Content-Length: ${body.length}$CRLF$CRLF"
+      record(
+        Seq("WARC-Type" -> "response",
+          "WARC-Target-URI" -> p.url,
+          "WARC-Date" -> p.fetchTime,
+          "Content-Type" -> "application/http;msgtype=response"),
+        httpHead.getBytes(StandardCharsets.UTF_8) ++ body)
+    }
+    bos.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // Spark wiring
+  // ---------------------------------------------------------------
+
+  /** Explode a binary WARC-blob column into page rows: one output row
+    * per `response` record, beside the blob's id. Typed flatMap (no
+    * UDF registry, codegen'd object path); the parse is the genuinely
+    * imperative per-record step, everything around it stays
+    * declarative. Output: (idCol, url, fetch_time, status, mime,
+    * html).
+    */
+  def ingest(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(F.col(idCol).cast("long"), F.col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        parseWarcPages(bytes).map(p =>
+          (id, p.url, p.fetchTime, p.status, p.mime, p.html))
+      }
+      .toDF(idCol, "url", "fetch_time", "status", "mime", "html")
+  }
+
+  /** Read a directory of .warc files into page rows: binaryFile scan
+    * (one task per file - the WARC unit of parallelism) + [[ingest]].
+    * Output: (path, url, fetch_time, status, mime, html).
+    */
+  def readWarcFiles(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc").load(path)
+      .select(col("path"), col("content"))
+    val pages = files.as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        parseWarcPages(bytes).map(pg =>
+          (p, pg.url, pg.fetchTime, pg.status, pg.mime, pg.html))
+      }
+    pages.toDF("path", "url", "fetch_time", "status", "mime", "html")
+  }
+}

@@ -922,8 +922,14 @@ object StreamOps {
     * [[domainMaintenance]].
     *
     * `onBatch(fresh, seen)` gets the batch's new frontier and the
-    * advanced seen set; both are self-contained checkpoints, released
-    * on the NEXT batch (a callback may hand them to an async fetcher).
+    * advanced seen set; both are self-contained checkpoints whose
+    * storage is RELEASED when the next batch lands. The callback must
+    * therefore finish consuming them - or copy the rows out (collect,
+    * write, or its own persist) - BEFORE returning: an async consumer
+    * still reading a handed-off frame after the next batch fails,
+    * because a released LogicalRDD checkpoint cannot recompute its
+    * dropped blocks. An async fetcher should be handed the COPY, not
+    * the frame.
     */
   def frontierMaintenance(
       stream: DataFrame,

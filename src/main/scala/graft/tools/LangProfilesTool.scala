@@ -1,7 +1,7 @@
 package graft.tools
 
 /** Regenerate the checked-in language-ID profile table
-  * (src/main/resources/graft/lang_profiles.tsv): a 26-language
+  * (src/main/resources/graft/lang_profiles.tsv): a 42-language
   * character-trigram multinomial Naive Bayes, trained here from the
   * embedded public-knowledge seed paragraphs and emitted as INTEGER
   * log-probability codes in the same 32-per-octave family as
@@ -38,7 +38,11 @@ package graft.tools
   */
 object LangProfilesTool {
 
-  val VOCAB_PER_SIZE = 200
+  // 300 (was 200 at 26 languages): breadth needs coverage - with 42
+  // languages the shared vocabulary dilutes, and near neighbors
+  // (es/ca/fr, cs/sk, hr/sl) need the deeper per-language gram lists
+  // to keep short held-out sentences separating
+  val VOCAB_PER_SIZE = 300
   val GRAM_SIZES: Seq[Int] = Seq(1, 2, 3)
 
   /** Seed paragraphs - plain contemporary prose written for this tool
@@ -55,7 +59,8 @@ object LangProfilesTool {
       "děti si často hrají v parku zatímco jejich rodiče je sledují s velkou pozorností. " +
       "měli bychom se vždy snažit naučit něco nového každý den protože vědění je to nejdůležitější co máme. " +
       "ráno jezdí mnoho lidí do práce vlakem a cestou si čtou zprávy. " + 
-      "včera večer jsme se procházeli podél řeky a mluvili o našich plánech do budoucna. bylo chladno ale obloha byla jasná a plná hvězd. moje sestra pracuje v malém obchodě blízko nádraží a její práce ji moc baví."),
+      "včera večer jsme se procházeli podél řeky a mluvili o našich plánech do budoucna. bylo chladno ale obloha byla jasná a plná hvězd. moje sestra pracuje v malém obchodě blízko nádraží a její práce ji moc baví. " +
+      "každé ráno piju kávu a čtu si noviny u okna. náš děda vypráví dlouhé příběhy o svém mládí a všichni ho rádi posloucháme. v zimě padá sníh a děti staví sněhuláky na zahradě u babičky."),
     "da" -> ("den hurtige brune ræv hopper over den dovne hund. det var den bedste af tider og folk læste mange bøger om historie og videnskab. " +
       "børnene leger ofte i parken mens deres forældre ser på dem med stor opmærksomhed. " +
       "vi bør altid forsøge at lære noget nyt hver dag fordi viden er det vigtigste vi har. " +
@@ -79,7 +84,8 @@ object LangProfilesTool {
       "los niños juegan en el parque mientras sus padres los miran con mucha atención. " +
       "siempre debemos intentar aprender algo nuevo cada día porque el conocimiento es lo más importante que tenemos. " +
       "por la mañana mucha gente toma el tren para ir al trabajo y lee las noticias por el camino. " + 
-      "ayer por la tarde caminamos junto al río y hablamos de nuestros planes para el futuro. hacía frío pero el cielo estaba despejado y lleno de estrellas. mi hermana trabaja en una tienda pequeña cerca de la estación y le gusta mucho su trabajo."),
+      "ayer por la tarde caminamos junto al río y hablamos de nuestros planes para el futuro. hacía frío pero el cielo estaba despejado y lleno de estrellas. mi hermana trabaja en una tienda pequeña cerca de la estación y le gusta mucho su trabajo. " +
+      "muchos señores mayores pasean despacio por las calles de la ciudad antigua cada domingo. cuando llega el verano vamos a la playa con los abuelos y comemos pescado fresco mientras escuchamos canciones españolas."),
     "fi" -> ("nopea ruskea kettu hyppää laiskan koiran yli. se oli aikojen paras ja ihmiset lukivat monia kirjoja historiasta ja tieteestä. " +
       "lapset leikkivät usein puistossa kun heidän vanhempansa katsovat heitä suurella tarkkaavaisuudella. " +
       "meidän pitäisi aina yrittää oppia jotain uutta joka päivä koska tieto on tärkein asia joka meillä on. " +
@@ -173,8 +179,90 @@ object LangProfilesTool {
     "zh" -> ("敏捷的棕色狐狸跳过了懒狗。那是最好的时代人们阅读了许多关于历史和科学的书籍。" +
       "孩子们经常在公园里玩耍而他们的父母则非常专注地看着他们。" +
       "我们应该每天努力学习新的东西因为知识是我们拥有的最重要的东西。" +
-      "早上很多人坐火车去上班并在路上看新闻。 " + 
-      "昨天晚上我们沿着河边散步谈论我们未来的计划。天气很冷但是天空晴朗满天星星。我的姐姐在车站附近的一家小商店工作她非常喜欢自己的工作。")
+      "早上很多人坐火车去上班并在路上看新闻。 " +
+      "昨天晚上我们沿着河边散步谈论我们未来的计划。天气很冷但是天空晴朗满天星星。我的姐姐在车站附近的一家小商店工作她非常喜欢自己的工作。"),
+    // --- round-12 breadth: 16 further languages, same prose template ---
+    "bg" -> ("бързата кафява лисица прескача мързеливото куче. беше най-доброто време и хората четяха много книги за история и наука. " +
+      "децата често играят в парка докато родителите им ги наблюдават с голямо внимание. " +
+      "трябва винаги да се опитваме да научим нещо ново всеки ден защото знанието е най-важното което имаме. " +
+      "сутрин много хора пътуват с влака до работа и четат новините по пътя. " +
+      "снощи се разхождахме покрай реката и говорихме за плановете си за бъдещето. времето беше студено но небето беше ясно и пълно със звезди. сестра ми работи в малък магазин близо до гарата и много харесва работата си."),
+    "bn" -> ("দ্রুত বাদামী শিয়াল অলস কুকুরের উপর দিয়ে লাফ দেয়। এটি ছিল সেরা সময় এবং মানুষ ইতিহাস ও বিজ্ঞান সম্পর্কে অনেক বই পড়ত। " +
+      "শিশুরা প্রায়ই পার্কে খেলা করে এবং তাদের বাবা মা তাদের মনোযোগ দিয়ে দেখেন। " +
+      "আমাদের প্রতিদিন নতুন কিছু শেখার চেষ্টা করা উচিত কারণ জ্ঞান আমাদের সবচেয়ে গুরুত্বপূর্ণ সম্পদ। " +
+      "সকালে অনেক মানুষ ট্রেনে করে কাজে যায় এবং পথে খবর পড়ে। " +
+      "গতকাল সন্ধ্যায় আমরা নদীর ধারে হাঁটলাম এবং ভবিষ্যতের পরিকল্পনা নিয়ে কথা বললাম। আবহাওয়া ঠান্ডা ছিল কিন্তু আকাশ পরিষ্কার এবং তারায় ভরা ছিল। আমার বোন স্টেশনের কাছে একটি ছোট দোকানে কাজ করে এবং সে তার কাজ খুব পছন্দ করে।"),
+    "ca" -> ("la ràpida guineu marró salta per sobre del gos mandrós. era el millor dels temps i la gent llegia molts llibres sobre història i ciència. " +
+      "els nens juguen sovint al parc mentre els seus pares els miren amb molta atenció. " +
+      "hauríem d'intentar aprendre alguna cosa nova cada dia perquè el coneixement és el més important que tenim. " +
+      "al matí molta gent agafa el tren per anar a la feina i llegeix les notícies pel camí. " +
+      "ahir al vespre vam passejar al llarg del riu i vam parlar dels nostres plans per al futur. feia fred però el cel era clar i ple d'estrelles. la meva germana treballa en una botiga petita a prop de l'estació i li agrada molt la seva feina."),
+    "et" -> ("kiire pruun rebane hüppab üle laisa koera. see oli parim aeg ja inimesed lugesid palju raamatuid ajaloost ja teadusest. " +
+      "lapsed mängivad sageli pargis samal ajal kui nende vanemad neid suure tähelepanuga jälgivad. " +
+      "me peaksime alati püüdma iga päev midagi uut õppida sest teadmised on kõige tähtsam mis meil on. " +
+      "hommikul sõidavad paljud inimesed rongiga tööle ja loevad teel uudiseid. " +
+      "eile õhtul jalutasime mööda jõge ja rääkisime oma tulevikuplaanidest. ilm oli külm aga taevas oli selge ja tähti täis. minu õde töötab väikeses poes jaama lähedal ja talle meeldib tema töö väga."),
+    "eu" -> ("azeri marroi azkarrak txakur alferraren gainetik salto egiten du. garai onenak ziren eta jendeak liburu asko irakurtzen zituen historiari eta zientziari buruz. " +
+      "haurrek askotan parkean jolasten dute gurasoek arreta handiz begiratzen dieten bitartean. " +
+      "egunero zerbait berria ikasten saiatu beharko genuke jakintza baita dugun gauzarik garrantzitsuena. " +
+      "goizean jende askok trena hartzen du lanera joateko eta bidean albisteak irakurtzen ditu. " +
+      "atzo arratsaldean ibaiertzean ibili ginen eta etorkizunerako gure asmoez hitz egin genuen. hotz egiten zuen baina zerua garbi zegoen eta izarrez beteta. nire ahizpak denda txiki batean lan egiten du geltokitik gertu eta bere lana asko gustatzen zaio."),
+    "fa" -> ("روباه قهوه ای سریع از روی سگ تنبل می پرد. بهترین روزگار بود و مردم کتاب های زیادی درباره تاریخ و علم می خواندند. " +
+      "بچه ها اغلب در پارک بازی می کنند در حالی که پدر و مادرشان با دقت زیاد آنها را تماشا می کنند. " +
+      "ما باید هر روز تلاش کنیم چیز جدیدی یاد بگیریم زیرا دانش مهم ترین چیزی است که داریم. " +
+      "صبح ها بسیاری از مردم با قطار به سر کار می روند و در راه اخبار را می خوانند. " +
+      "دیشب کنار رودخانه قدم زدیم و درباره برنامه هایمان برای آینده صحبت کردیم. هوا سرد بود اما آسمان صاف و پر از ستاره بود. خواهر من در یک مغازه کوچک نزدیک ایستگاه کار می کند و کارش را خیلی دوست دارد."),
+    "he" -> ("השועל החום המהיר קופץ מעל הכלב העצלן. אלה היו הזמנים הטובים ביותר ואנשים קראו ספרים רבים על היסטוריה ומדע. " +
+      "ילדים משחקים לעתים קרובות בפארק בזמן שהוריהם צופים בהם בתשומת לב רבה. " +
+      "עלינו תמיד לנסות ללמוד משהו חדש בכל יום כי הידע הוא הדבר החשוב ביותר שיש לנו. " +
+      "בבוקר אנשים רבים נוסעים ברכבת לעבודה וקוראים את החדשות בדרך. " +
+      "אתמול בערב טיילנו לאורך הנהר ודיברנו על התוכניות שלנו לעתיד. היה קר אבל השמיים היו בהירים ומלאי כוכבים. אחותי עובדת בחנות קטנה ליד התחנה והיא מאוד אוהבת את העבודה שלה."),
+    "hr" -> ("brza smeđa lisica skače preko lijenog psa. bila su to najbolja vremena i ljudi su čitali mnogo knjiga o povijesti i znanosti. " +
+      "djeca se često igraju u parku dok ih roditelji promatraju s velikom pažnjom. " +
+      "trebali bismo svaki dan pokušati naučiti nešto novo jer je znanje najvažnije što imamo. " +
+      "ujutro mnogi ljudi putuju vlakom na posao i putem čitaju vijesti. " +
+      "sinoć smo šetali uz rijeku i razgovarali o našim planovima za budućnost. bilo je hladno ali nebo je bilo vedro i puno zvijezda. moja sestra radi u maloj trgovini blizu kolodvora i jako voli svoj posao."),
+    "lt" -> ("greita ruda lapė šokinėja per tingų šunį. tai buvo geriausi laikai ir žmonės skaitė daug knygų apie istoriją ir mokslą. " +
+      "vaikai dažnai žaidžia parke o jų tėvai juos atidžiai stebi. " +
+      "turėtume kasdien stengtis išmokti ką nors naujo nes žinios yra svarbiausia ką turime. " +
+      "rytą daug žmonių važiuoja traukiniu į darbą ir kelyje skaito naujienas. " +
+      "vakar vakare vaikščiojome palei upę ir kalbėjome apie savo ateities planus. buvo šalta bet dangus buvo giedras ir pilnas žvaigždžių. mano sesuo dirba mažoje parduotuvėje netoli stoties ir jai labai patinka jos darbas."),
+    "lv" -> ("ātrā brūnā lapsa lec pāri slinkajam sunim. tie bija labākie laiki un cilvēki lasīja daudz grāmatu par vēsturi un zinātni. " +
+      "bērni bieži spēlējas parkā kamēr viņu vecāki viņus vēro ar lielu uzmanību. " +
+      "mums katru dienu vajadzētu censties iemācīties ko jaunu jo zināšanas ir vissvarīgākais kas mums ir. " +
+      "no rīta daudzi cilvēki brauc ar vilcienu uz darbu un pa ceļam lasa ziņas. " +
+      "vakar vakarā mēs pastaigājāmies gar upi un runājām par saviem nākotnes plāniem. bija auksts bet debesis bija skaidras un pilnas zvaigžņu. mana māsa strādā mazā veikalā netālu no stacijas un viņai ļoti patīk viņas darbs."),
+    "sk" -> ("rýchla hnedá líška skáče cez lenivého psa. boli to najlepšie časy a ľudia čítali veľa kníh o histórii a vede. " +
+      "deti sa často hrajú v parku zatiaľ čo ich rodičia ich pozorne sledujú. " +
+      "mali by sme sa každý deň snažiť naučiť niečo nové pretože vedomosti sú to najdôležitejšie čo máme. " +
+      "ráno veľa ľudí cestuje vlakom do práce a cestou si číta správy. " +
+      "včera večer sme sa prechádzali popri rieke a rozprávali sa o našich plánoch do budúcnosti. bolo chladno ale obloha bola jasná a plná hviezd. moja sestra pracuje v malom obchode blízko stanice a jej práca sa jej veľmi páči. " +
+      "každé ráno pijem kávu a čítam si noviny pri okne. náš dedko rozpráva dlhé príbehy o svojej mladosti a všetci ho radi počúvame. v zime padá sneh a deti stavajú snehuliakov na dvore u starej mamy."),
+    "sl" -> ("hitra rjava lisica skače čez lenega psa. bili so najboljši časi in ljudje so brali veliko knjig o zgodovini in znanosti. " +
+      "otroci se pogosto igrajo v parku medtem ko jih starši pozorno opazujejo. " +
+      "vsak dan bi se morali truditi naučiti nekaj novega saj je znanje najpomembnejše kar imamo. " +
+      "zjutraj se veliko ljudi pelje z vlakom na delo in med potjo bere novice. " +
+      "včeraj zvečer smo se sprehajali ob reki in se pogovarjali o naših načrtih za prihodnost. bilo je hladno vendar je bilo nebo jasno in polno zvezd. moja sestra dela v majhni trgovini blizu postaje in ima svoje delo zelo rada."),
+    "sr" -> ("брза смеђа лисица скаче преко лењог пса. била су то најбоља времена и људи су читали много књига о историји и науци. " +
+      "деца се често играју у парку док их родитељи посматрају са великом пажњом. " +
+      "требало би сваког дана да покушамо да научимо нешто ново јер је знање најважније што имамо. " +
+      "ујутру многи људи путују возом на посао и успут читају вести. " +
+      "синоћ смо шетали поред реке и разговарали о нашим плановима за будућност. било је хладно али небо је било ведро и пуно звезда. моја сестра ради у малој продавници близу станице и веома воли свој посао."),
+    "sw" -> ("mbweha mwepesi wa kahawia anaruka juu ya mbwa mvivu. ilikuwa nyakati bora zaidi na watu walisoma vitabu vingi kuhusu historia na sayansi. " +
+      "watoto mara nyingi hucheza katika bustani huku wazazi wao wakiwatazama kwa makini sana. " +
+      "tunapaswa kujaribu kujifunza kitu kipya kila siku kwa sababu maarifa ndiyo kitu muhimu zaidi tulicho nacho. " +
+      "asubuhi watu wengi husafiri kwa treni kwenda kazini na kusoma habari njiani. " +
+      "jana jioni tulitembea kando ya mto na kuzungumza kuhusu mipango yetu ya baadaye. kulikuwa na baridi lakini anga ilikuwa safi na imejaa nyota. dada yangu anafanya kazi katika duka dogo karibu na kituo na anapenda kazi yake sana."),
+    "ta" -> ("வேகமான பழுப்பு நரி சோம்பேறி நாயின் மேல் குதிக்கிறது. அது சிறந்த காலம் அப்போது மக்கள் வரலாறு மற்றும் அறிவியல் பற்றி பல புத்தகங்களைப் படித்தார்கள். " +
+      "குழந்தைகள் அடிக்கடி பூங்காவில் விளையாடுகிறார்கள் அவர்களின் பெற்றோர்கள் அவர்களை மிகுந்த கவனத்துடன் பார்க்கிறார்கள். " +
+      "அறிவு நம்மிடம் உள்ள மிக முக்கியமான விஷயம் என்பதால் ஒவ்வொரு நாளும் புதிதாக ஏதாவது கற்றுக்கொள்ள முயற்சிக்க வேண்டும். " +
+      "காலையில் பலர் ரயிலில் வேலைக்குச் சென்று வழியில் செய்திகளைப் படிக்கிறார்கள். " +
+      "நேற்று மாலை நாங்கள் ஆற்றங்கரையில் நடந்து எதிர்காலத் திட்டங்களைப் பற்றி பேசினோம். குளிராக இருந்தது ஆனால் வானம் தெளிவாகவும் நட்சத்திரங்கள் நிறைந்ததாகவும் இருந்தது. என் சகோதரி நிலையத்திற்கு அருகில் ஒரு சிறிய கடையில் வேலை செய்கிறாள் அவள் தன் வேலையை மிகவும் விரும்புகிறாள்."),
+    "th" -> ("สุนัขจิ้งจอกสีน้ำตาลที่ว่องไวกระโดดข้ามสุนัขขี้เกียจ มันเป็นช่วงเวลาที่ดีที่สุดและผู้คนอ่านหนังสือมากมายเกี่ยวกับประวัติศาสตร์และวิทยาศาสตร์ " +
+      "เด็กๆมักจะเล่นในสวนสาธารณะขณะที่พ่อแม่เฝ้าดูพวกเขาด้วยความใส่ใจอย่างมาก " +
+      "เราควรพยายามเรียนรู้สิ่งใหม่ทุกวันเพราะความรู้คือสิ่งสำคัญที่สุดที่เรามี " +
+      "ในตอนเช้าผู้คนจำนวนมากนั่งรถไฟไปทำงานและอ่านข่าวระหว่างทาง " +
+      "เมื่อเย็นวานนี้เราเดินเล่นริมแม่น้ำและพูดคุยเกี่ยวกับแผนการในอนาคตของเรา อากาศหนาวแต่ท้องฟ้าแจ่มใสและเต็มไปด้วยดวงดาว น้องสาวของฉันทำงานในร้านเล็กๆใกล้สถานีและเธอชอบงานของเธอมาก")
   )
 
   /** The scorer's normalization, host-side: lowercase, everything that

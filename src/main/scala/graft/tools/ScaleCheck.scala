@@ -191,6 +191,86 @@ object ScaleCheck {
       val trie = graft.ptree.PrefixTree.create(df, "c_name", prefixLen = 12)
       graft.ptree.Query.queryBatch(trieQueries(df), "query_string", trie, maxDist = 2)
     }
+    // image near-dup: copy-LOCAL collision classes ((copy, id % 37) -
+    // the copy index is id / stride on the shifted fixture), so 10x is
+    // 10 independent dedup problems and the pigeonhole join's blocks
+    // keep their 1x size - pair volume grows linearly, never n^2
+    timed("media_dup_pairs", docs1, docs10) { df =>
+      import spark.implicits._
+      val media = graft.ops.MultimodalOps.asMedia(
+        df.as[Long].mapPartitions(_.map { id =>
+          val seed = (id / docStride) * 37 + id % 37
+          val w = 8 + ((id % 37) % 24).toInt
+          val h = 8 + (((id % 37) * 3) % 24).toInt
+          (id, graft.ops.MultimodalOps.synthPngImageBytes(seed, w, h))
+        }).toDF("doc_id", "payload"),
+        "doc_id", "payload", "image")
+      graft.ops.MultimodalOps.imageDupPairs(media, maxHamming = 2)
+    }
+    // span removal: the token-suffixed copies keep window texts
+    // copy-disjoint, so the window-frequency shuffle carries 10
+    // independent vocabularies and duplicate density per copy holds
+    timed("dedup_span_removal", docsT1, docsT10) { df =>
+      graft.ops.DedupOps.removeDuplicateSpans(df, "doc_id", "text",
+        window = 40, step = 10)
+    }
+    // exact-alignment spans: same fixture, step=1 - the honest
+    // window-per-character cost, expected data-proportional
+    timed("dedup_spans_exact", docsT1, docsT10) { df =>
+      graft.ops.DedupOps.exactDuplicateSpans(df, "doc_id", "text", minLen = 40)
+    }
+    // robots gate: the rules table is domain-sized (10x domains in the
+    // copy-suffixed web fixture) and BROADCASTS; the verdict stays a
+    // scan + per-id aggregate
+    timed("web_robots", webify(webBase), webify(web10)) { df =>
+      val pages = df.select(col("doc_id"), col("url"))
+      val domains = pages.select(graft.ops.WebOps.registrableDomain(
+        graft.ops.WebOps.urlHost(col("url"))).as("domain")).distinct()
+      val robots = domains.withColumn("txt", concat(
+        lit("User-agent: *\nDisallow: /p/"),
+        substring(col("domain"), 1, 1),
+        lit("\nAllow: /p/\nDisallow: /q*z$\n")))
+      val rules = graft.ops.WebOps.robotsRules(robots, "domain", "txt", "graftbot")
+      graft.ops.WebOps.robotsAllowed(pages, "doc_id", "url", rules)
+    }
+    // URL canonicalization: pure codegen per-row normalization chain -
+    // the scan-shaped floor, like the pixel probe
+    timed("web_url_canon", webify(webBase), webify(web10)) { df =>
+      df.select(col("doc_id"),
+        graft.ops.WebOps.canonicalizeUrl(concat(
+          lit("HTTP://User@WWW."), col("source"),
+          lit(".COM:80/a/./b/../c%7Ex%3f?b=2&a=1#frag"))).as("canonical"))
+    }
+    // WARC ingestion: per-row serialize + frame + HTTP parse, no
+    // shuffle anywhere - scan-shaped
+    timed("web_warc_ingest", docsT1, docsT10) { df =>
+      import spark.implicits._
+      val blobs = df.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, graft.sources.Warc.writeWarcBytes(Seq(graft.sources.Warc.WarcPage(
+            s"https://w$id.example.org/p/$id", "2024-01-01T00:00:00Z", 200,
+            "text/html", s"<html><body>$text</body></html>"))))
+        }).toDF("doc_id", "blob")
+      graft.sources.Warc.ingest(blobs, "doc_id", "blob")
+    }
+    // video near-dup: copy-local frame-seed classes, same discipline as
+    // media_dup_pairs - container demux + per-frame decode + hash +
+    // pigeonhole join
+    timed("media_video_dup", docs1, docs10) { df =>
+      import spark.implicits._
+      val media = graft.ops.MultimodalOps.asMedia(
+        df.as[Long].mapPartitions(_.map { id =>
+          val vs = id % 97
+          val w = 16 + (vs % 7).toInt * 8
+          val h = 16 + ((vs * 3) % 5).toInt * 8
+          val n = 2 + (id % 3).toInt
+          (id, graft.ops.MultimodalOps.synthMjpegVideoBytes(
+            (0 until n).map(f => 160 + ((id / docStride) * 4 + vs * 4 + f) * 31 % 96), w, h))
+        }).toDF("doc_id", "payload"),
+        "doc_id", "payload", "video")
+      graft.ops.MultimodalOps.videoDupPairs(media, maxHamming = 0)
+    }
     spark.stop()
   }
 }

@@ -229,6 +229,36 @@ class PlanFeaturesSpec extends SparkSpec {
     assert(indexed.agg(countDistinct($"position")).as[Long].head() == 10000L)
   }
 
+  test("keySkew ranks via range partitioning, never a single-partition window funnel") {
+    import graft.ops.ProfileOps
+    val df = (1L to 20000L).map(i => "k" + (i % 257)).toDF("key")
+    val skew = ProfileOps.keySkew(df, "key")
+    // key cardinality is unbounded at corpus scale: the rank/cumulative
+    // stage must never plan an unpartitioned window (WindowExec over
+    // SinglePartition) - the zipWithIndex-style offset lift has no
+    // window at all
+    val plan = skew.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("singlepartition"),
+      s"single-partition exchange in the keySkew plan:\n$plan")
+    assert(!plan.contains("windowexec") && !plan.contains("window"),
+      s"window operator in the keySkew plan:\n$plan")
+    // the frequency-ordering stage itself plans range partitioning
+    val orderingPlan = df.groupBy($"key").agg(count(lit(1)).as("n"))
+      .repartitionByRange($"n".desc, $"key".asc_nulls_last)
+      .sortWithinPartitions($"n".desc, $"key".asc_nulls_last)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(orderingPlan.contains("rangepartitioning"),
+      s"no range partitioning in the keySkew ordering stage:\n$orderingPlan")
+    // and the values still match the naive global-window semantics
+    val rows = skew.orderBy($"rank").collect()
+    assert(rows.length == 257)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 257))
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.last == 1.0 && cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    val expectTop = rows.maxBy(_.getAs[Long]("n"))
+    assert(expectTop.getAs[Int]("rank") == 1)
+  }
+
   test("fixedHistogram plans ONE exchange with map-side partial aggregation") {
     val df = (1L to 5000L).map(i => ("g" + (i % 3), (i % 97).toDouble)).toDF("g", "v")
     val plan = graft.ops.SketchOps.fixedHistogram(df, "v", Seq("g"), 0.0, 100.0, 20)

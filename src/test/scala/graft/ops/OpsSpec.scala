@@ -814,7 +814,7 @@ class OpsSpec extends SparkSpec {
     assert(got(5) == "released 2024-01-01 14:30 and 1999 2000 2001")
   }
 
-  test("langId: all 26 languages separate on their own seed prose") {
+  test("langId: all 42 languages separate on their own seed prose") {
     // self-consistency of the trained table: every training paragraph
     // must classify as its own language (if this breaks, the resource
     // and the tool have drifted apart)
@@ -824,7 +824,7 @@ class OpsSpec extends SparkSpec {
       .as[(String, String)].collect()
     val wrong = r.filter { case (l, p) => l != p }
     assert(wrong.isEmpty, s"seed misclassified: ${wrong.mkString(", ")}")
-    assert(r.length == 26)
+    assert(r.length == 42)
   }
 
   test("langId: novel sentences classify; digits/unknown/null/empty are und") {
@@ -854,7 +854,25 @@ class OpsSpec extends SparkSpec {
       "ja" -> "昨日の夜は友達と一緒においしい料理を食べました",
       "ko" -> "오늘 아침에 친구와 함께 도서관에서 책을 읽었습니다",
       "vi" -> "sáng nay chúng tôi cùng nhau đi chợ mua rau và trái cây tươi",
-      "id" -> "besok pagi kami akan pergi ke pasar untuk membeli buah segar"
+      "id" -> "besok pagi kami akan pergi ke pasar untuk membeli buah segar",
+      // round-12 breadth languages, same held-out discipline: none of
+      // these sentences appear in the training seeds
+      "bg" -> "утре сутринта ще отидем на пазара да купим пресни плодове и зеленчуци",
+      "bn" -> "আগামীকাল সকালে আমরা বাজারে গিয়ে তাজা ফল কিনব",
+      "ca" -> "demà al matí anirem al mercat a comprar fruita fresca i verdures",
+      "et" -> "homme hommikul läheme turule värskeid puuvilju ostma",
+      "eu" -> "bihar goizean merkatura joango gara fruta freskoa erostera",
+      "fa" -> "فردا صبح به بازار می رویم تا میوه تازه بخریم",
+      "he" -> "מחר בבוקר נלך לשוק לקנות פירות טריים וירקות",
+      "hr" -> "sutra ujutro idemo na tržnicu kupiti svježe voće i povrće",
+      "lt" -> "rytoj ryte eisime į turgų pirkti šviežių vaisių ir daržovių",
+      "lv" -> "rīt no rīta mēs iesim uz tirgu pirkt svaigus augļus un dārzeņus",
+      "sk" -> "zajtra ráno pôjdeme na trh kúpiť čerstvé ovocie a zeleninu",
+      "sl" -> "jutri zjutraj gremo na tržnico kupit sveže sadje in zelenjavo",
+      "sr" -> "сутра ујутру идемо на пијацу да купимо свеже воће и поврће",
+      "sw" -> "kesho asubuhi tutaenda sokoni kununua matunda mapya na mboga",
+      "ta" -> "நாளை காலையில் நாங்கள் சந்தைக்குச் சென்று புதிய பழங்களை வாங்குவோம்",
+      "th" -> "พรุ่งนี้เช้าเราจะไปตลาดเพื่อซื้อผลไม้สดและผัก"
     )
     val r = fixtures.toDF("lang", "t")
       .select($"lang", TextOps.langId($"t").as("pred"))
@@ -1168,6 +1186,46 @@ class OpsSpec extends SparkSpec {
     assert(got(6L)._3 == "" && got(7L)._3 == "", "exact dups collapse to empty")
     assert(got(1L)._3.nonEmpty && !got(1L)._3.contains("quick brown"),
       "shared prefix excised, unique tail survives")
+  }
+
+  test("exactDuplicateSpans recovers planted regions exactly where stride-10 is blind") {
+    val L = 40
+    // 44-char shared region: only 5 step-1 window starts fit inside it
+    // ([a, a+4]), so planting it at a ≡ 2 (mod 10) leaves NO stride-10
+    // window fully inside - the strided profile cannot see it
+    val region = ('a' to 'z').mkString + "0123456789" + "abcdefgh"
+    assert(region.length == 44)
+    val rpt = "zyxwvu-9876 repeated block padding!" // intra-doc only
+    val corpus = Seq(
+      // boundary discipline: the two prefixes end in DIFFERENT chars
+      // ('.' vs '!') and the two suffixes start in different chars
+      // (' ' vs '-'), so no window crossing a region edge can match
+      // cross-doc and the recovered span is the region, exactly
+      (1L, "px1 filler." + region + " tail one, unique here."), // a = 12
+      (2L, "px2 longer filler ab!" + region.toUpperCase + "-other tail."), // a = 22
+      (3L, "completely unrelated writing about columnar engines and scans"),
+      (4L, rpt + rpt + rpt), // repetition inside ONE doc: never flagged
+      (5L, null.asInstanceOf[String]),
+      (6L, "exact duplicate pair shares its whole text from start to end!!"),
+      (7L, "exact duplicate pair shares its whole text from start to end!!")
+    ).toDF("doc_id", "text")
+    assert(corpus.collect()(0).getString(1).indexOf(region) == 11) // 1-based 12
+    assert(corpus.collect()(1).getString(1).indexOf(region.toUpperCase) == 21)
+    val exact = DedupOps.exactDuplicateSpans(corpus, "doc_id", "text", minLen = L)
+      .as[(Long, Int, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val wholeLen = "exact duplicate pair shares its whole text from start to end!!".length
+    // planted regions come back at character-exact boundaries (doc 2's
+    // UPPERCASE copy matches through the lowercase fold, positions stay
+    // original); exact-dup docs collapse to one whole-text span
+    assert(exact == Seq(
+      (1L, 12, 44), (2L, 22, 44),
+      (6L, 1, wholeLen), (7L, 1, wholeLen)), s"got $exact")
+    // recall quantified: the strided profile sees ZERO duplicated
+    // windows on the same corpus (0/2 planted regions; exact gets 2/2)
+    val strided = DedupOps.duplicateSpans(corpus, "doc_id", "text", window = L, step = 10)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(strided.filter(r => r._1 == 1L || r._1 == 2L).forall(_._3 == 0L),
+      "stride-10 must miss the badly-aligned 44-char region")
   }
 
   test("tokenBudgetSample: expected volume tracks the budget, under-budget strata intact") {
@@ -1875,6 +1933,62 @@ class OpsSpec extends SparkSpec {
           s"ImageIO seed=$seed pixel ($x,$y)")
       }
     }
+  }
+
+  test("synthMjpegVideoBytes/decodeVideoSamples: sample-table roundtrip, frames byte-exact") {
+    import MultimodalOps._
+    val seeds = Seq(3L, 4L, 5L)
+    val bytes = synthMjpegVideoBytes(seeds, 17, 9)
+    val Some((codec, frames)) = decodeVideoSamples(bytes)
+    assert(codec == "jpeg")
+    assert(frames.length == 3)
+    // each extracted sample is byte-identical to the standalone encode
+    seeds.zip(frames).foreach { case (s, f) =>
+      assert(java.util.Arrays.equals(f, synthJpegImageBytes(s, 17, 9)))
+    }
+    // and decodes to the per-frame block formula
+    val Some((w, h, _, px)) = decodeJpegPixels(frames(1))
+    assert((w, h) == ((17, 9)))
+    for (y <- 0 until 9; x <- 0 until 17)
+      assert((px(y * 17 + x) & 0xff) == (((x / 8) * 7 + (y / 8) * 13 + 4L) % 256).toInt)
+    // the metadata walk reads the same container (writer is spec-shaped)
+    val (fmt, _, _, durMs, mw, mh) = decodeAvMeta(bytes)
+    assert(fmt == "mp4" && mw == 17 && mh == 9 && durMs == 120L)
+    // negative frame seeds are legal (floorMod block values)
+    assert(decodeVideoSamples(synthMjpegVideoBytes(Seq(-5L), 8, 8)).get._2.length == 1)
+  }
+
+  test("decodeVideoSamples refuses malformed containers without throwing") {
+    import MultimodalOps._
+    assert(decodeVideoSamples(null).isEmpty)
+    assert(decodeVideoSamples("garbage not a container".getBytes).isEmpty)
+    val good = synthMjpegVideoBytes(Seq(1L, 2L), 8, 8)
+    // truncation anywhere inside mdat/moov: refuse, never crash
+    for (cut <- Seq(10, good.length / 3, good.length - 6))
+      assert(decodeVideoSamples(java.util.Arrays.copyOfRange(good, 0, cut)).isEmpty,
+        s"cut at $cut must refuse")
+  }
+
+  test("videoFrames/videoDupPairs: per-frame rows, pigeonhole pairing across videos") {
+    import MultimodalOps._
+    // wrap-heavy seeds: DC-only block-constant frames have coarse
+    // gradients, and only the mod-256 wrap differentiates their dHash -
+    // these seeds/dims are verified pairwise-distinct across the two
+    // families, so radius 0 pairs exactly the planted shared frames
+    val media = asMedia(Seq(
+      // videos 1 and 2 share frame seeds (200, 237); video 3 disjoint
+      (1L, synthMjpegVideoBytes(Seq(200L, 237L), 48, 40)),
+      (2L, synthMjpegVideoBytes(Seq(200L, 237L, 251L), 48, 40)),
+      (3L, synthMjpegVideoBytes(Seq(160L, 185L), 32, 56))
+    ).toDF("vid", "payload"), "vid", "payload", "video")
+    val fr = videoFrames(media)
+    assert(fr.columns.toSeq == Seq("media_id", "kind", "meta", "frame_idx", "payload"))
+    val counts = fr.groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 2L, 2L -> 3L, 3L -> 2L))
+    val pairs = videoDupPairs(media, maxHamming = 0)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 2L)),
+      s"videos 1,2 share exactly frames 10,11; got $pairs")
   }
 
   test("decodeJpegPixels: ImageIO-ENCODED grayscale decodes within IDCT rounding tolerance") {
@@ -3957,24 +4071,40 @@ class OpsSpec extends SparkSpec {
     assert(got(3L) == 0 && got(4L) == 0)
   }
 
-  test("parseUrls/blockDomains plan shuffle-free codegen scans; domainStats never a product") {
+  test("web-tier eTLD+1 folds once per distinct host: broadcast joins, no corpus shuffle") {
     // spark.range, not a local Seq: a LocalRelation constant-folds the
     // whole projection into a LocalTableScan and there is no plan left
     // to assert on
     val urls = spark.range(100).select(col("id"),
       concat(lit("https://h"), col("id") % 7, lit(".example.com/x")).as("url"),
       (col("id") % 13).as("n"))
+    // parseUrls: the PSL fold runs on the distinct-host vocabulary and
+    // comes back as ONE broadcast hash join; the only hash exchange in
+    // the plan is the vocab distinct (partial-agg'd host strings), the
+    // corpus row stream itself never shuffles
     val parsePlan = WebOps.parseUrls(urls, "url").queryExecution.executedPlan.toString
-    assert(!parsePlan.contains("Exchange"), s"parse must not shuffle, plan:\n$parsePlan")
-    // executedPlan.toString renders whole-stage codegen stages as "*(n)"
-    assert(parsePlan.contains("*(1)"), s"parse must codegen, plan:\n$parsePlan")
+    assert(parsePlan.contains("BroadcastHashJoin"),
+      s"domain vocab must broadcast back, plan:\n$parsePlan")
+    assert(!parsePlan.contains("SortMergeJoin"),
+      s"corpus must never sort-shuffle for the domain fold, plan:\n$parsePlan")
+    assert("Exchange hashpartitioning".r.findAllIn(parsePlan).size == 1,
+      s"only the host-vocab distinct may hash-shuffle, plan:\n$parsePlan")
+    // blockDomains: blocked-host vocabulary -> broadcast ANTI join; the
+    // corpus is filtered in place
     val blockPlan = WebOps.blockDomains(urls, "url", Seq("bad.com"))
       .queryExecution.executedPlan.toString
-    assert(!blockPlan.contains("Exchange"), s"blocklist filter must not shuffle, plan:\n$blockPlan")
+    assert(blockPlan.contains("BroadcastHashJoin") && blockPlan.contains("LeftAnti"),
+      s"blocklist must anti-join a broadcast host vocab, plan:\n$blockPlan")
+    assert(!blockPlan.contains("SortMergeJoin"),
+      s"blocklist filter must not shuffle the corpus, plan:\n$blockPlan")
+    // domainStats: host partial -> per-host fold -> domain re-aggregate;
+    // two vocabulary-sized hash exchanges, no join of any kind
     val statsPlan = WebOps.domainStats(urls, "url", "n")
       .queryExecution.executedPlan.toString
-    assert(!statsPlan.contains("CartesianProduct") && !statsPlan.contains("BroadcastNestedLoop"),
-      s"domain profile must stay key-partitioned aggregation, plan:\n$statsPlan")
+    assert(!statsPlan.contains("Join") && !statsPlan.contains("CartesianProduct"),
+      s"domain profile is pure aggregation, plan:\n$statsPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(statsPlan).size == 2,
+      s"host partial + domain re-aggregate only, plan:\n$statsPlan")
   }
 
   test("blockDomains: drops exactly the rows whose registrable domain is listed") {

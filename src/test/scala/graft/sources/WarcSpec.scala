@@ -1,0 +1,110 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import graft.SparkSpec
+import graft.sources.Warc.WarcPage
+
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pages = Seq(
+    WarcPage("https://a.example.org/1", "2024-01-02T03:00:00Z", 200,
+      "text/html", "<html><body>hello <b>world</b></body></html>"),
+    WarcPage("https://b.example.com/x?q=1", "2024-02-03T04:05:06Z", 404,
+      "text/plain", "not here"),
+    WarcPage("https://c.example.net/", "2024-03-04T05:06:07Z", 200,
+      "text/html", "umlauts äöü and 中文 survive"))
+
+  test("write -> parse roundtrip: all response pages, in order, byte-exact fields") {
+    val parsed = Warc.parseWarcPages(Warc.writeWarcBytes(pages))
+    assert(parsed == pages)
+  }
+
+  test("non-response records (warcinfo, request) never surface as pages") {
+    val bytes = Warc.writeWarcBytes(pages)
+    // the blob holds 1 warcinfo + 3 requests + 3 responses = 7 records;
+    // exactly the 3 responses come back
+    assert(Warc.parseWarcPages(bytes).length == 3)
+  }
+
+  test("multi-byte bodies frame by BYTE length, not char length") {
+    val p = pages(2)
+    val round = Warc.parseWarcPages(Warc.writeWarcBytes(Seq(p)))
+    assert(round == Seq(p))
+    assert(p.html.getBytes(StandardCharsets.UTF_8).length > p.html.length)
+  }
+
+  test("truncated payload refuses the tail but keeps prior records") {
+    val bytes = Warc.writeWarcBytes(pages)
+    val cut = java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 10)
+    val parsed = Warc.parseWarcPages(cut)
+    // the last response record is truncated: everything before it parses
+    assert(parsed == pages.take(2))
+  }
+
+  test("garbage and malformed version lines refuse without throwing") {
+    assert(Warc.parseWarcPages(null) == Nil)
+    assert(Warc.parseWarcPages(Array[Byte]()) == Nil)
+    assert(Warc.parseWarcPages("not a warc at all".getBytes) == Nil)
+    val bad = Warc.writeWarcBytes(pages.take(1))
+    bad(0) = 'X' // corrupt the WARC/1.1 magic
+    assert(Warc.parseWarcPages(bad) == Nil)
+    // non-numeric Content-Length: flip a digit to a letter
+    val s = new String(Warc.writeWarcBytes(pages.take(1)), StandardCharsets.ISO_8859_1)
+    val hacked = s.replaceFirst("Content-Length: [0-9]", "Content-Length: x")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(Warc.parseWarcPages(hacked) == Nil)
+  }
+
+  test("header names parse case-insensitively") {
+    val blob = new String(Warc.writeWarcBytes(pages.take(1)), StandardCharsets.ISO_8859_1)
+      .replace("WARC-Type: response", "warc-TYPE: response")
+      .replace("WARC-Target-URI", "warc-target-uri")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(Warc.parseWarcPages(blob) == pages.take(1))
+  }
+
+  test("a response without an HTTP payload is skipped, not fatal") {
+    val good = pages.take(1)
+    val raw = Warc.writeWarcBytes(good)
+    // append a response record whose payload is NOT an HTTP message
+    val payload = "just bytes".getBytes(StandardCharsets.UTF_8)
+    val head = ("WARC/1.1\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://broken.example/\r\n" +
+      "Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+    val blob = raw ++ head ++ payload ++ "\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+    assert(Warc.parseWarcPages(blob) == good)
+  }
+
+  test("ingest explodes blob rows into page rows beside the id") {
+    val df = Seq(
+      (10L, Warc.writeWarcBytes(pages.take(2))),
+      (20L, Warc.writeWarcBytes(pages.drop(2)))
+    ).toDF("blob_id", "blob")
+    val out = Warc.ingest(df, "blob_id", "blob")
+      .orderBy("blob_id", "url")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3),
+        r.getString(4), r.getString(5)))
+    assert(out.toSeq == Seq(
+      (10L, pages(0).url, pages(0).fetchTime, 200, "text/html", pages(0).html),
+      (10L, pages(1).url, pages(1).fetchTime, 404, "text/plain", pages(1).html),
+      (20L, pages(2).url, pages(2).fetchTime, 200, "text/html", pages(2).html)))
+  }
+
+  test("readWarcFiles: one .warc file per task, directory scan roundtrip") {
+    val dir = java.nio.file.Files.createTempDirectory("warcsrc")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.write(dir.resolve("a.warc"), Warc.writeWarcBytes(pages.take(2)))
+    java.nio.file.Files.write(dir.resolve("b.warc"), Warc.writeWarcBytes(pages.drop(2)))
+    java.nio.file.Files.write(dir.resolve("ignore.txt"), "noise".getBytes)
+    val out = Warc.readWarcFiles(spark, dir.toString)
+    assert(out.count() == 3)
+    assert(out.select("url").as[String].collect().sorted.toSeq ==
+      pages.map(_.url).sorted)
+    // the glob keeps the non-warc file out of the scan entirely
+    assert(!out.select("path").as[String].collect().exists(_.endsWith("ignore.txt")))
+  }
+}
