@@ -273,15 +273,31 @@ object WebOps {
     val entries = blocked.map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
     require(entries.nonEmpty, "blocklist had only blank entries")
     val host = urlHost(F.col(urlCol))
-    // the eTLD+1 fold runs once per DISTINCT host: the blocked-host
-    // vocabulary (a tiny frame) broadcasts back as an anti-join - the
-    // corpus is still filtered in place, never shuffled. Null-url rows
-    // drop, matching the inline fold's null-predicate semantics.
+    // the eTLD+1 fold runs once per DISTINCT host, in ONE bounded
+    // micro-job: the blocked-host vocabulary is resolved eagerly and
+    // rides the returned plan as a small literal IN-set, so the (large)
+    // PSL expression never enters the caller's plan at all - a filter
+    // frame that downstream pipelines reuse across several branches and
+    // jobs would otherwise re-optimize and re-codegen that expression
+    // per copy (measured: whole seconds of fixed driver time in the
+    // composed web_pipeline). The corpus is filtered in place, never
+    // shuffled. Null-url rows drop, matching the inline fold's
+    // null-predicate semantics. A blocklist whose host fan-out exceeds
+    // the literal cap (pathological - a blocked domain with >10k
+    // distinct crawled hosts) falls back to the broadcast anti-join.
     val blockedHosts = df.select(host.as("gr_bh")).distinct()
       .filter(registrableDomain(F.col("gr_bh")).isin(entries: _*) ||
         F.col("gr_bh").isin(entries: _*))
-    df.filter(host.isNotNull)
-      .join(broadcast(blockedHosts), host === F.col("gr_bh"), "left_anti")
+    val cap = 10000
+    val resolved = blockedHosts.take(cap + 1)
+    if (resolved.length <= cap) {
+      val hs = resolved.map(_.getString(0))
+      if (hs.isEmpty) df.filter(host.isNotNull)
+      else df.filter(host.isNotNull && !host.isin(hs.toSeq: _*))
+    } else {
+      df.filter(host.isNotNull)
+        .join(broadcast(blockedHosts), host === F.col("gr_bh"), "left_anti")
+    }
   }
 
   /** href attribute values in `htmlCol`, one output row per link (the

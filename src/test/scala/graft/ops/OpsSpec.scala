@@ -4089,14 +4089,16 @@ class OpsSpec extends SparkSpec {
       s"corpus must never sort-shuffle for the domain fold, plan:\n$parsePlan")
     assert("Exchange hashpartitioning".r.findAllIn(parsePlan).size == 1,
       s"only the host-vocab distinct may hash-shuffle, plan:\n$parsePlan")
-    // blockDomains: blocked-host vocabulary -> broadcast ANTI join; the
-    // corpus is filtered in place
+    // blockDomains: the blocked-host vocabulary resolves in ONE bounded
+    // micro-job and the returned plan carries only a literal IN-set
+    // filter - no join, no shuffle, and crucially no PSL expression for
+    // downstream pipelines to re-optimize per plan branch
     val blockPlan = WebOps.blockDomains(urls, "url", Seq("bad.com"))
       .queryExecution.executedPlan.toString
-    assert(blockPlan.contains("BroadcastHashJoin") && blockPlan.contains("LeftAnti"),
-      s"blocklist must anti-join a broadcast host vocab, plan:\n$blockPlan")
-    assert(!blockPlan.contains("SortMergeJoin"),
-      s"blocklist filter must not shuffle the corpus, plan:\n$blockPlan")
+    assert(!blockPlan.contains("Join") && !blockPlan.contains("Exchange"),
+      s"blocklist verdict must ride as an in-place literal filter, plan:\n$blockPlan")
+    assert(!blockPlan.contains("greatest"),
+      s"the PSL fold must not leak into the caller's plan:\n$blockPlan")
     // domainStats: host partial -> per-host fold -> domain re-aggregate;
     // two vocabulary-sized hash exchanges, no join of any kind
     val statsPlan = WebOps.domainStats(urls, "url", "n")
