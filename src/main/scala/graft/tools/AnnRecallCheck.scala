@@ -80,7 +80,16 @@ object AnnRecallCheck {
           numSub = 8, numCodes = 16, rerank = 50)),
       "pq_8x16_rerank200" -> (() =>
         SimilarityOps.pqTopK(emb, "id", "v", queries, "id", "v", k,
-          numSub = 8, numCodes = 16, rerank = 200)))
+          numSub = 8, numCodes = 16, rerank = 200)),
+      "ivf_64c_probe32" -> (() =>
+        SimilarityOps.ivfTopK(emb, "id", "v", queries, "id", "v", k,
+          nCentroids = 64, nProbe = 32)),
+      "pq_16x16_rerank200" -> (() =>
+        SimilarityOps.pqTopK(emb, "id", "v", queries, "id", "v", k,
+          numSub = 16, numCodes = 16, rerank = 200)),
+      "pq_16x16_rerank500" -> (() =>
+        SimilarityOps.pqTopK(emb, "id", "v", queries, "id", "v", k,
+          numSub = 16, numCodes = 16, rerank = 500)))
     settings.foreach { case (tag, build) =>
       val (res, t) = timed(build())
       val r = recallOf(res)

