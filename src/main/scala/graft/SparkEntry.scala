@@ -98,6 +98,37 @@ object SparkEntry {
     lit("<a href=\"/rel/p\">rel</a><a href=\"mailto:a@b.c\">write us</a>" +
       "</body></html>"))
 
+  /** Deterministic HEAD-metadata shell for `web_page_meta`: optional
+    * html lang attribute (case fold exercised), a title with nested
+    * markup + an embedded newline, the description meta in BOTH
+    * attribute orders (and absent on a slice), an optional canonical
+    * link. ONE builder + the inline CTE in the oracle - same no-drift
+    * rule as the other shells.
+    */
+  private def synthMetaHtmlCol: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      lit("<html"),
+      when(id % 4 === 1, lit(" lang=\"en\""))
+        .when(id % 4 === 2, lit(" lang=\"DE\""))
+        .when(id % 4 === 3, lit(" lang=\"fr-FR\""))
+        .otherwise(lit("")),
+      lit("><head><title>doc "), (id % 7).cast(StringType),
+      lit("\n<b>best</b> page</title>"),
+      when(id % 5 === 0, lit(""))
+        .when(id % 2 === 0, concat(
+          lit("<meta name=\"description\" content=\"about topic "),
+          (id % 11).cast(StringType), lit("\">")))
+        .otherwise(concat(
+          lit("<meta content=\"rev topic "),
+          (id % 11).cast(StringType), lit("\" name=\"description\">"))),
+      when(id % 2 === 0, concat(
+        lit("<link rel=\"canonical\" href=\"https://c"),
+        (id % 9).cast(StringType), lit(".example.org/p\">")))
+        .otherwise(lit("")),
+      lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
+  }
+
   /** Deterministic multi-line text shell for the C4-filter queries
     * (`docs_c4_filter`, `web_pipeline`): good lines, a javascript
     * notice, a too-short line, a no-punctuation line, and page-level
@@ -226,6 +257,24 @@ object SparkEntry {
     * shells: href extraction (ALL hrefs), the RFC 3986 §5 resolution
     * CASE, and the absolute-http(s) frontier cut.
     */
+  /** Field-formula replay shared by the plain and gzip WARC ingestion
+    * queries: the containers differ, the framed pages do not.
+    */
+  private val warcIngestOracleSql: String =
+    """SELECT doc_id,
+      |  'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example' ||
+      |    CAST(doc_id % 3 AS VARCHAR) || '.org/p/' ||
+      |    CAST(doc_id AS VARCHAR) AS url,
+      |  '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+      |    'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') ||
+      |    ':00:00Z' AS fetch_time,
+      |  200 AS status,
+      |  CASE WHEN doc_id % 4 = 0 THEN 'text/plain'
+      |       ELSE 'text/html' END AS mime,
+      |  '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title></head><body>' || text || '</body></html>' AS html
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
   private def linksResolvedOracleSql: String =
     s"""WITH $urlShellCte, $linkShellCte, lr AS MATERIALIZED (
       |  -- MATERIALIZED: inlining an unnest CTE under the SELECT-*
@@ -1744,6 +1793,40 @@ object SparkEntry {
           val html =
             s"<html><head><title>doc $id</title></head><body>$text</body></html>"
           (id, graft.sources.Warc.writeWarcBytes(Seq(
+            graft.sources.Warc.WarcPage(url, date, 200, mime, html))))
+        }).toDF("doc_id", "blob")
+      graft.sources.Warc.ingest(blobs, "doc_id", "blob")
+        .select(col("doc_id"), col("url"), col("fetch_time"), col("status"),
+          col("mime"), col("html"))
+    },
+    "web_page_meta" -> { (s, dir) =>
+      // page self-description: title (nested markup + newline survive
+      // the strip), description meta in both attribute orders, lang
+      // declaration case-folded, canonical hint - all codegen regex
+      // extracts fused into the scan
+      WebOps.pageMeta(
+          tbl(s, dir, "documents")
+            .select(col("doc_id"), synthMetaHtmlCol.as("html")),
+          "html")
+        .select(col("doc_id"), col("title"), col("meta_description"),
+          col("html_lang"), col("canonical_url"))
+    },
+    "web_warc_gz" -> { (s, dir) =>
+      // the CommonCrawl wire layout: each WARC record gzipped as its
+      // OWN member, members concatenated; the reader auto-detects gzip,
+      // inflates the multi-member stream, and frames identically to the
+      // plain path - so the oracle is the same field-formula replay
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val url = s"https://w${id % 7}.example${id % 3}.org/p/$id"
+          val date = f"2024-01-${1 + id % 28}%02dT${id % 24}%02d:00:00Z"
+          val mime = if (id % 4 == 0) "text/plain" else "text/html"
+          val html =
+            s"<html><head><title>doc $id</title></head><body>$text</body></html>"
+          (id, graft.sources.Warc.writeWarcGzBytes(Seq(
             graft.sources.Warc.WarcPage(url, date, 200, mime, html))))
         }).toDF("doc_id", "blob")
       graft.sources.Warc.ingest(blobs, "doc_id", "blob")
@@ -4703,22 +4786,55 @@ object SparkEntry {
         |FROM lpred p JOIN scd d USING (doc_id)""".stripMargin
     },
     "web_links_resolved" -> linksResolvedOracleSql,
-    "web_warc_ingest" ->
-      // the WARC writer/reader pair is byte-exact framing around these
-      // formula fields; the oracle replays the fields directly
-      """SELECT doc_id,
-        |  'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example' ||
-        |    CAST(doc_id % 3 AS VARCHAR) || '.org/p/' ||
-        |    CAST(doc_id AS VARCHAR) AS url,
-        |  '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
-        |    'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') ||
-        |    ':00:00Z' AS fetch_time,
-        |  200 AS status,
-        |  CASE WHEN doc_id % 4 = 0 THEN 'text/plain'
-        |       ELSE 'text/html' END AS mime,
-        |  '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
-        |    '</title></head><body>' || text || '</body></html>' AS html
-        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    // the WARC writer/reader pair is byte-exact framing around formula
+    // fields; the oracle replays the fields directly - the gzip variant
+    // inflates to the SAME records, so it shares the replay verbatim
+    "web_page_meta" ->
+      // head-shell construction + the same RE2-subset extracts: title
+      // tag-strip/collapse, description in both attribute orders
+      // (forward wins when non-empty), lang lowercased, canonical href
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html' ||
+        |    CASE WHEN doc_id % 4 = 1 THEN ' lang="en"'
+        |         WHEN doc_id % 4 = 2 THEN ' lang="DE"'
+        |         WHEN doc_id % 4 = 3 THEN ' lang="fr-FR"' ELSE '' END ||
+        |    '><head><title>doc ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+        |    '<b>best</b> page</title>' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ''
+        |         WHEN doc_id % 2 = 0 THEN
+        |           '<meta name="description" content="about topic ' ||
+        |           CAST(doc_id % 11 AS VARCHAR) || '">'
+        |         ELSE '<meta content="rev topic ' ||
+        |           CAST(doc_id % 11 AS VARCHAR) || '" name="description">' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      '<link rel="canonical" href="https://c' ||
+        |      CAST(doc_id % 9 AS VARCHAR) || '.example.org/p">' ELSE '' END ||
+        |    '</head><body><p>' || text || '</p></body></html>' AS html
+        |  FROM documents
+        |), x AS (
+        |  SELECT doc_id, html,
+        |    regexp_extract(html,
+        |      '(?is)<meta[^>]*name\s*=\s*["'']description["''][^>]*content\s*=\s*["'']([^"'']*)["'']', 1) AS d_fwd,
+        |    regexp_extract(html,
+        |      '(?is)<meta[^>]*content\s*=\s*["'']([^"'']*)["''][^>]*name\s*=\s*["'']description["'']', 1) AS d_rev,
+        |    regexp_extract(html,
+        |      '(?is)<link[^>]*rel\s*=\s*["'']canonical["''][^>]*href\s*=\s*["'']([^"'']*)["'']', 1) AS c_fwd,
+        |    regexp_extract(html,
+        |      '(?is)<link[^>]*href\s*=\s*["'']([^"'']*)["''][^>]*rel\s*=\s*["'']canonical["'']', 1) AS c_rev
+        |  FROM h
+        |)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+        |    '<[^>]+>', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS title,
+        |  CASE WHEN d_fwd <> '' THEN d_fwd ELSE d_rev END AS meta_description,
+        |  lower(regexp_extract(html,
+        |    '(?is)<html[^>]*\slang\s*=\s*["'']([^"'']+)["'']', 1)) AS html_lang,
+        |  CASE WHEN c_fwd <> '' THEN c_fwd ELSE c_rev END AS canonical_url
+        |FROM x""".stripMargin,
+    "web_warc_ingest" -> warcIngestOracleSql,
+    "web_warc_gz" -> warcIngestOracleSql,
     "web_url_canon" -> urlCanonOracleSql,
     "web_robots" -> robotsOracleSql,
     "text_bigram_lm" ->

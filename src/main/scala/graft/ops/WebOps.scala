@@ -661,6 +661,41 @@ object WebOps {
       .drop("a_elem")
   }
 
+  /** Page-level HEAD metadata - the self-description signals a web
+    * curation pass reads before any body analysis: `<title>` text
+    * (inner tags stripped, whitespace collapsed - same discipline as
+    * [[anchorTexts]]), the `description` meta tag's content (BOTH
+    * attribute orders - real HTML writes `name=.. content=..` and
+    * `content=.. name=..` about equally), the `<html lang=..>`
+    * declaration (lowercased - the value [[graft.ops.TextOps]]'
+    * language-consistency screen audits against the trained
+    * prediction), and the `rel=canonical` link href (the page's OWN
+    * dedup hint, to be resolved + canonicalized like any href). All
+    * codegen'd `regexp_extract` projections in the Java-regex/RE2
+    * common subset; absent fields are "" (the no-match value both
+    * engines agree on), null HTML stays null.
+    *
+    * Output: input columns + (title, meta_description, html_lang,
+    * canonical_url).
+    */
+  def pageMeta(df: DataFrame, htmlCol: String): DataFrame = {
+    val h = F.col(htmlCol)
+    def attr2(tag: String, k1: String, v1: String, k2: String): Column = {
+      // k1=v1 ... k2=(captured), in either attribute order
+      val fwd = s"(?is)<$tag[^>]*$k1\\s*=\\s*[\"']$v1[\"'][^>]*$k2\\s*=\\s*[\"']([^\"']*)[\"']"
+      val rev = s"(?is)<$tag[^>]*$k2\\s*=\\s*[\"']([^\"']*)[\"'][^>]*$k1\\s*=\\s*[\"']$v1[\"']"
+      val f = regexp_extract(h, fwd, 1)
+      when(f =!= "", f).otherwise(regexp_extract(h, rev, 1))
+    }
+    df.withColumn("title", trim(regexp_replace(regexp_replace(
+        regexp_extract(h, "(?is)<title[^>]*>(.*?)</title>", 1),
+        "<[^>]+>", " "), "[ \\t\\n\\x0B\\f\\r]+", " ")))
+      .withColumn("meta_description", attr2("meta", "name", "description", "content"))
+      .withColumn("html_lang",
+        lower(regexp_extract(h, "(?is)<html[^>]*\\slang\\s*=\\s*[\"']([^\"']+)[\"']", 1)))
+      .withColumn("canonical_url", attr2("link", "rel", "canonical", "href"))
+  }
+
   /** Per-target-domain anchor-text vocabulary: for every registrable
     * domain, the tokens other pages link to it WITH, and how often -
     * the aggregated form search/curation ranks on (a domain described

@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions.col
   *
   * Scale shape: WARC has NO splittable sync marker (records are
   * length-prefixed, and production archives are per-record gzip
-  * members), so the unit of parallelism is the FILE - exactly how
+  * members - handled: [[parseWarcPages]] auto-detects gzip and
+  * inflates multi-member streams), so the unit of parallelism is the
+  * FILE - exactly how
   * CommonCrawl ships: ~1 GB segment files, tens of thousands per
   * crawl. [[readWarcFiles]] lists them through Spark's binaryFile
   * source (file-level tasks, partition pruning at listing) and each
@@ -49,12 +51,44 @@ object Warc {
 
   private val CRLF = "\r\n"
 
+  /** Decompress a gzip blob, INCLUDING multi-member streams - the
+    * CommonCrawl layout gzips each WARC record as its own member and
+    * concatenates them, so a conformant reader must keep inflating
+    * past member boundaries (`GZIPInputStream` does, given buffered
+    * input). Returns None on corrupt/truncated gzip data rather than
+    * throwing - same refuse-don't-crash contract as the framing.
+    * Inflated size is capped (default 1 GiB) so a gzip bomb in a
+    * crawled archive cannot OOM the task.
+    */
+  def gunzipAll(bytes: Array[Byte], maxBytes: Int = 1 << 30): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.BufferedInputStream(
+          new java.io.ByteArrayInputStream(bytes)), 64 * 1024)
+      val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 20))
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size > maxBytes) return None // inflation bomb: refuse
+        n = in.read(buf)
+      }
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+
+  private def isGzip(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 2 &&
+      (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+
   /** Parse every well-formed record of one WARC blob, returning the
-    * `response` pages in file order. Stops (returning what it has) at
+    * `response` pages in file order. Gzip blobs (single- OR
+    * multi-member - the per-record-member CommonCrawl layout)
+    * decompress transparently first. Stops (returning what it has) at
     * the first malformed record boundary - never throws on corrupt
     * input.
     */
-  def parseWarcPages(bytes: Array[Byte]): Seq[WarcPage] = {
+  def parseWarcPages(raw: Array[Byte]): Seq[WarcPage] = {
+    val bytes = if (isGzip(raw)) gunzipAll(raw).orNull else raw
     if (bytes == null) return Nil
     val out = Seq.newBuilder[WarcPage]
     var i = 0
@@ -173,22 +207,37 @@ object Warc {
     * [[parseWarcPages]] ([[writeWarcBytes]] x) == x for any pages
     * whose fields are themselves CRLF-free.
     */
-  def writeWarcBytes(pages: Seq[WarcPage], infoLine: String = "graft-crawler"): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    def record(headers: Seq[(String, String)], payload: Array[Byte]): Unit = {
+  def writeWarcBytes(pages: Seq[WarcPage], infoLine: String = "graft-crawler"): Array[Byte] =
+    recordBlocks(pages, infoLine).flatten.toArray
+
+  /** The CommonCrawl wire layout: each WARC record gzipped as its OWN
+    * member, members concatenated - a reader can then seek to a record
+    * offset and inflate just that member, while a conformant stream
+    * reader (like [[gunzipAll]]) inflates the whole file. Parses back
+    * through the same [[parseWarcPages]] entry point (gzip
+    * auto-detected).
+    */
+  def writeWarcGzBytes(pages: Seq[WarcPage], infoLine: String = "graft-crawler"): Array[Byte] =
+    recordBlocks(pages, infoLine).flatMap { rec =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(rec); gz.finish(); gz.close()
+      bos.toByteArray
+    }.toArray
+
+  private def recordBlocks(pages: Seq[WarcPage], infoLine: String): Seq[Array[Byte]] = {
+    def record(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
       val head = new StringBuilder("WARC/1.1").append(CRLF)
       headers.foreach { case (k, v) => head.append(k).append(": ").append(v).append(CRLF) }
       head.append("Content-Length: ").append(payload.length).append(CRLF).append(CRLF)
-      bos.write(head.toString.getBytes(StandardCharsets.UTF_8))
-      bos.write(payload)
-      bos.write(CRLF.getBytes(StandardCharsets.UTF_8))
-      bos.write(CRLF.getBytes(StandardCharsets.UTF_8))
+      head.toString.getBytes(StandardCharsets.UTF_8) ++ payload ++
+        (CRLF + CRLF).getBytes(StandardCharsets.UTF_8)
     }
-    record(
+    val info = record(
       Seq("WARC-Type" -> "warcinfo", "Content-Type" -> "application/warc-fields"),
       s"software: $infoLine$CRLF".getBytes(StandardCharsets.UTF_8))
-    pages.foreach { p =>
-      record(
+    info +: pages.flatMap { p =>
+      val req = record(
         Seq("WARC-Type" -> "request",
           "WARC-Target-URI" -> p.url,
           "WARC-Date" -> p.fetchTime,
@@ -199,14 +248,14 @@ object Warc {
       val httpHead =
         s"HTTP/1.1 ${p.status} OK${CRLF}Content-Type: ${p.mime}; charset=UTF-8$CRLF" +
           s"Content-Length: ${body.length}$CRLF$CRLF"
-      record(
+      val resp = record(
         Seq("WARC-Type" -> "response",
           "WARC-Target-URI" -> p.url,
           "WARC-Date" -> p.fetchTime,
           "Content-Type" -> "application/http;msgtype=response"),
         httpHead.getBytes(StandardCharsets.UTF_8) ++ body)
+      Seq(req, resp)
     }
-    bos.toByteArray
   }
 
   // ---------------------------------------------------------------
@@ -232,14 +281,15 @@ object Warc {
       .toDF(idCol, "url", "fetch_time", "status", "mime", "html")
   }
 
-  /** Read a directory of .warc files into page rows: binaryFile scan
-    * (one task per file - the WARC unit of parallelism) + [[ingest]].
-    * Output: (path, url, fetch_time, status, mime, html).
+  /** Read a directory of .warc / .warc.gz files into page rows:
+    * binaryFile scan (one task per file - the WARC unit of
+    * parallelism) + [[ingest]]; gzip members decompress inside the
+    * task. Output: (path, url, fetch_time, status, mime, html).
     */
   def readWarcFiles(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc").load(path)
+      .option("pathGlobFilter", "*.warc*").load(path)
       .select(col("path"), col("content"))
     val pages = files.as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>

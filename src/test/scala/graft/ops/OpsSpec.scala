@@ -4109,6 +4109,29 @@ class OpsSpec extends SparkSpec {
       s"host partial + domain re-aggregate only, plan:\n$statsPlan")
   }
 
+  test("pageMeta: title strip, both meta orders, lang fold, canonical; absent fields empty") {
+    val rows = Seq(
+      (1L, "<html lang=\"EN-us\"><head><title>Big <i>Sale</i>\nToday</title>" +
+        "<meta name=\"description\" content=\"forward order desc\">" +
+        "<link rel=\"canonical\" href=\"https://x.example/canon\">" +
+        "</head><body>b</body></html>"),
+      (2L, "<html><head><title>plain</title>" +
+        "<meta content=\"reversed order desc\" name=\"description\">" +
+        "<link href=\"https://y.example/c2\" rel=\"canonical\">" +
+        "</head></html>"),
+      (3L, "<html><body>no head at all</body></html>"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "html")
+    val got = WebOps.pageMeta(rows, "html")
+      .select($"id", $"title", $"meta_description", $"html_lang", $"canonical_url")
+      .as[(Long, String, String, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "Big Sale Today", "forward order desc", "en-us",
+      "https://x.example/canon")))
+    assert(got(2L) == ((2L, "plain", "reversed order desc", "", "https://y.example/c2")))
+    assert(got(3L) == ((3L, "", "", "", "")))
+    assert(got(4L)._2 == null && got(4L)._3 == null && got(4L)._5 == null)
+  }
+
   test("blockDomains: drops exactly the rows whose registrable domain is listed") {
     val urls = Seq(
       (1L, "https://a.bad.com/x"), // bad.com -> blocked

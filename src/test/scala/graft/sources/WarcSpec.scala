@@ -78,6 +78,33 @@ class WarcSpec extends SparkSpec {
     assert(Warc.parseWarcPages(blob) == good)
   }
 
+  test("gzip WARC: per-record members (CommonCrawl layout) parse identically") {
+    val gz = Warc.writeWarcGzBytes(pages)
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b)
+    // per-record members concatenated: the multi-member stream inflates
+    // whole and frames exactly like the plain file
+    assert(Warc.parseWarcPages(gz) == pages)
+    // single-member gzip of the whole plain file also parses
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.util.zip.GZIPOutputStream(bos)
+    out.write(Warc.writeWarcBytes(pages)); out.finish(); out.close()
+    assert(Warc.parseWarcPages(bos.toByteArray) == pages)
+    // corrupt gzip refuses without throwing
+    val bad = gz.clone(); bad(gz.length / 2) = (bad(gz.length / 2) ^ 0x55).toByte
+    val parsed = Warc.parseWarcPages(bad) // prefix may survive; must not throw
+    assert(parsed.length <= pages.length)
+    val cut = java.util.Arrays.copyOfRange(gz, 0, gz.length / 2)
+    assert(Warc.parseWarcPages(cut).length <= pages.length)
+  }
+
+  test("gunzipAll refuses an inflation bomb at the cap") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.util.zip.GZIPOutputStream(bos)
+    out.write(new Array[Byte](4 * 1024 * 1024)); out.finish(); out.close()
+    assert(Warc.gunzipAll(bos.toByteArray, maxBytes = 1024 * 1024).isEmpty)
+    assert(Warc.gunzipAll(bos.toByteArray).exists(_.length == 4 * 1024 * 1024))
+  }
+
   test("ingest explodes blob rows into page rows beside the id") {
     val df = Seq(
       (10L, Warc.writeWarcBytes(pages.take(2))),
