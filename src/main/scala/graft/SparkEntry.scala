@@ -549,6 +549,32 @@ object SparkEntry {
   /** `h(doc_id, html)` - the [[synthLinkHtmlCol]] shell replayed with
     * `||`. Like [[urlShellCte]], deliberately NOT pre-stripMargin'd.
     */
+  /** `h(doc_id, html)` - the [[synthMetaHtmlCol]] head shell replayed
+    * with `||`; shared by `web_page_meta` and `web_lang_declared`.
+    * Like [[linkShellCte]], deliberately NOT pre-stripMargin'd.
+    */
+  private val metaShellCte: String =
+    """h AS (
+      |  SELECT doc_id,
+      |    '<html' ||
+      |    CASE WHEN doc_id % 4 = 1 THEN ' lang="en"'
+      |         WHEN doc_id % 4 = 2 THEN ' lang="DE"'
+      |         WHEN doc_id % 4 = 3 THEN ' lang="fr-FR"' ELSE '' END ||
+      |    '><head><title>doc ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+      |    '<b>best</b> page</title>' ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ''
+      |         WHEN doc_id % 2 = 0 THEN
+      |           '<meta name="description" content="about topic ' ||
+      |           CAST(doc_id % 11 AS VARCHAR) || '">'
+      |         ELSE '<meta content="rev topic ' ||
+      |           CAST(doc_id % 11 AS VARCHAR) || '" name="description">' END ||
+      |    CASE WHEN doc_id % 2 = 0 THEN
+      |      '<link rel="canonical" href="https://c' ||
+      |      CAST(doc_id % 9 AS VARCHAR) || '.example.org/p">' ELSE '' END ||
+      |    '</head><body><p>' || text || '</p></body></html>' AS html
+      |  FROM documents
+      |)"""
+
   private val linkShellCte: String =
     """h AS (
       |  SELECT doc_id,
@@ -1810,6 +1836,22 @@ object SparkEntry {
           "html")
         .select(col("doc_id"), col("title"), col("meta_description"),
           col("html_lang"), col("canonical_url"))
+    },
+    "web_lang_declared" -> { (s, dir) =>
+      // declared-vs-trained language cross-check (the CommonCrawl
+      // metadata-vs-classifier audit): the html lang attribute's
+      // primary subtag against the trained langId prediction, with an
+      // agreement flag. Both signals are per-row scans; the only
+      // shuffle is the doc-keyed join of the two frames.
+      val base = tbl(s, dir, "documents")
+        .select(col("doc_id"), synthMetaHtmlCol.as("html"), col("text"))
+      val declared = WebOps.pageMeta(base.select(col("doc_id"), col("html")), "html")
+        .select(col("doc_id"),
+          regexp_extract(col("html_lang"), "^([a-z]+)", 1).as("declared"))
+      val pred = base.select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+      declared.join(pred, "doc_id")
+        .withColumn("agree",
+          col("declared") =!= "" && col("declared") === col("lang_pred"))
     },
     "web_warc_gz" -> { (s, dir) =>
       // the CommonCrawl wire layout: each WARC record gzipped as its
@@ -4793,46 +4835,40 @@ object SparkEntry {
       // head-shell construction + the same RE2-subset extracts: title
       // tag-strip/collapse, description in both attribute orders
       // (forward wins when non-empty), lang lowercased, canonical href
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    '<html' ||
-        |    CASE WHEN doc_id % 4 = 1 THEN ' lang="en"'
-        |         WHEN doc_id % 4 = 2 THEN ' lang="DE"'
-        |         WHEN doc_id % 4 = 3 THEN ' lang="fr-FR"' ELSE '' END ||
-        |    '><head><title>doc ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
-        |    '<b>best</b> page</title>' ||
-        |    CASE WHEN doc_id % 5 = 0 THEN ''
-        |         WHEN doc_id % 2 = 0 THEN
-        |           '<meta name="description" content="about topic ' ||
-        |           CAST(doc_id % 11 AS VARCHAR) || '">'
-        |         ELSE '<meta content="rev topic ' ||
-        |           CAST(doc_id % 11 AS VARCHAR) || '" name="description">' END ||
-        |    CASE WHEN doc_id % 2 = 0 THEN
-        |      '<link rel="canonical" href="https://c' ||
-        |      CAST(doc_id % 9 AS VARCHAR) || '.example.org/p">' ELSE '' END ||
-        |    '</head><body><p>' || text || '</p></body></html>' AS html
-        |  FROM documents
-        |), x AS (
+      s"""WITH $metaShellCte, x AS (
         |  SELECT doc_id, html,
         |    regexp_extract(html,
-        |      '(?is)<meta[^>]*name\s*=\s*["'']description["''][^>]*content\s*=\s*["'']([^"'']*)["'']', 1) AS d_fwd,
+        |      '(?is)<meta[^>]*name\\s*=\\s*["'']description["''][^>]*content\\s*=\\s*["'']([^"'']*)["'']', 1) AS d_fwd,
         |    regexp_extract(html,
-        |      '(?is)<meta[^>]*content\s*=\s*["'']([^"'']*)["''][^>]*name\s*=\s*["'']description["'']', 1) AS d_rev,
+        |      '(?is)<meta[^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*name\\s*=\\s*["'']description["'']', 1) AS d_rev,
         |    regexp_extract(html,
-        |      '(?is)<link[^>]*rel\s*=\s*["'']canonical["''][^>]*href\s*=\s*["'']([^"'']*)["'']', 1) AS c_fwd,
+        |      '(?is)<link[^>]*rel\\s*=\\s*["'']canonical["''][^>]*href\\s*=\\s*["'']([^"'']*)["'']', 1) AS c_fwd,
         |    regexp_extract(html,
-        |      '(?is)<link[^>]*href\s*=\s*["'']([^"'']*)["''][^>]*rel\s*=\s*["'']canonical["'']', 1) AS c_rev
+        |      '(?is)<link[^>]*href\\s*=\\s*["'']([^"'']*)["''][^>]*rel\\s*=\\s*["'']canonical["'']', 1) AS c_rev
         |  FROM h
         |)
         |SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(
         |    regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
-        |    '<[^>]+>', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS title,
+        |    '<[^>]+>', ' ', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS title,
         |  CASE WHEN d_fwd <> '' THEN d_fwd ELSE d_rev END AS meta_description,
         |  lower(regexp_extract(html,
-        |    '(?is)<html[^>]*\slang\s*=\s*["'']([^"'']+)["'']', 1)) AS html_lang,
+        |    '(?is)<html[^>]*\\slang\\s*=\\s*["'']([^"'']+)["'']', 1)) AS html_lang,
         |  CASE WHEN c_fwd <> '' THEN c_fwd ELSE c_rev END AS canonical_url
         |FROM x""".stripMargin,
+    "web_lang_declared" ->
+      // shared meta shell -> lang-attr extraction, joined to the shared
+      // langId CTE chain over the raw text
+      s"""WITH $metaShellCte, ${langIdCtes("documents", "text")}, decl AS (
+        |  SELECT doc_id,
+        |    regexp_extract(lower(regexp_extract(html,
+        |      '(?is)<html[^>]*\\slang\\s*=\\s*["'']([^"'']+)["'']', 1)),
+        |      '^([a-z]+)', 1) AS declared
+        |  FROM h
+        |)
+        |SELECT d.doc_id, d.declared, p.lang_pred,
+        |       (d.declared <> '' AND d.declared = p.lang_pred) AS agree
+        |FROM decl d JOIN lpred p USING (doc_id)""".stripMargin,
     "web_warc_ingest" -> warcIngestOracleSql,
     "web_warc_gz" -> warcIngestOracleSql,
     "web_url_canon" -> urlCanonOracleSql,
