@@ -2344,6 +2344,28 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
           col("px_sum"), col("px_tl"), col("px_br"))
     },
+    "media_video_features" -> { (s, dir) =>
+      // frame-level video embeddings: MJPEG demux -> per-frame JPEG
+      // pixel decode -> 16x16 resample -> PatchProjection forward pass
+      // OVER FRAME PIXELS, frame_idx riding the media frame through
+      // the whole chain - the video counterpart of
+      // media_pixel_features, sharing its forward-pass oracle tail
+      import s.implicits._
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = 8 + (id % 24).toInt
+            val h = 8 + ((id * 3) % 24).toInt
+            val n = 2 + (id % 3).toInt
+            (id, MultimodalOps.synthMjpegVideoBytes(
+              (0 until n).map(f => id * 4 + f), w, h))
+          }).toDF("doc_id", "payload"),
+        "doc_id", "payload", "video")
+      MultimodalOps.decodeResizeFeaturize(MultimodalOps.videoFrames(media),
+          outW = 16, outH = 16, model = MultimodalOps.PatchProjectionModel)
+        .select(Seq(col("media_id"), col("frame_idx"), col("width"), col("height")) ++
+          (0 until 8).map(j => element_at(col("features"), j + 1).as(s"f$j")): _*)
+    },
     "media_video_dup" -> { (s, dir) =>
       // video near-dup: frame seeds collide mod 97 (frame f of any two
       // same-class videos is byte-identical), frame dHashes pair
@@ -5661,6 +5683,31 @@ object SparkEntry {
         |       CAST(MAX(CASE WHEN i = 0 AND j = 0 THEN p END) AS INT) AS px_tl,
         |       CAST(MAX(CASE WHEN i = 7 AND j = 7 THEN p END) AS INT) AS px_br
         |FROM px GROUP BY doc_id, f, w, h""".stripMargin,
+    // per-frame replay keyed on the frame seed (doc_id*4+f) riding
+    // through the shared PatchProjection forward-pass tail as its
+    // surrogate doc_id
+    "media_video_features" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 24 AS INT) AS w,
+        |         CAST(8 + (doc_id * 3) % 24 AS INT) AS h,
+        |         CAST(2 + doc_id % 3 AS INT) AS n
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, w, h, CAST(f AS INT) AS f, doc_id * 4 + f AS seed
+        |  FROM d CROSS JOIN generate_series(0, 3) ff(f)
+        |  WHERE f < n
+        |), bv AS (
+        |  SELECT seed AS doc_id, (i * 16 + j) % 8 AS u,
+        |         (((((j * w) // 16) // 8) * 7 +
+        |           (((i * h) // 16) // 8) * 13 + seed) % 256) AS byte
+        |  FROM fr
+        |  CROSS JOIN generate_series(0, 15) ii(i)
+        |  CROSS JOIN generate_series(0, 15) jj(j)
+        |), $ppForwardCtes
+        |SELECT fr.doc_id AS media_id, fr.f AS frame_idx,
+        |       fr.w AS width, fr.h AS height,
+        |       p.f0, p.f1, p.f2, p.f3, p.f4, p.f5, p.f6, p.f7
+        |FROM fr JOIN piv p ON p.doc_id = fr.seed""".stripMargin,
     // frame dHash replay + O(n^2) frame-pair join folded to video
     // pairs - the composite-key order (doc*65536+f) with doc_a <>
     // doc_b reduces to doc_a < doc_b
