@@ -1718,6 +1718,17 @@ object SparkEntry {
         tbl(s, dir, "documents").withColumn("ltext", synthLinedCol),
         "doc_id", "ltext", minWords = 3, minLines = 2)
     },
+    "docs_line_dedup" -> { (s, dir) =>
+      // C4's OTHER famous cleaning step: cross-document line dedup -
+      // only the global first occurrence of each boilerplate line
+      // survives (the shared lined shell plants the same JavaScript /
+      // subscribe / closing lines across many docs, so the dedup has
+      // real work); short lines are formatting and never dedup. One
+      // line-keyed min aggregate + one join back, no window.
+      TextOps.dedupLines(
+        tbl(s, dir, "documents").select(col("doc_id"), synthLinedCol.as("ltext")),
+        "doc_id", "ltext", minLen = 10)
+    },
     "web_pipeline" -> { (s, dir) =>
       // the FineWeb-shaped curation pipeline END-TO-END in one plan:
       // domain blocklist cut (in-place filter, no shuffle) -> C4 line
@@ -4066,6 +4077,32 @@ object SparkEntry {
         |       CAST(len(kept) AS BIGINT) AS n_kept,
         |       array_to_string(kept, chr(10)) AS clean
         |FROM f WHERE len(kept) >= 2""".stripMargin,
+    // same lined shell; global-first-occurrence verdict replayed with
+    // a struct min per line text (struct comparison is field-order in
+    // both engines), reassembly as an ordered string_agg
+    "docs_line_dedup" ->
+      s"""WITH ${c4LinedCtes("documents")}, la AS (
+        |  SELECT doc_id, string_split(ltext, chr(10)) AS arr FROM lined
+        |), l AS (
+        |  SELECT doc_id, CAST(i AS INT) AS ln, arr[CAST(i AS INT)] AS line
+        |  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+        |        FROM la)
+        |), firsts AS (
+        |  SELECT line, min(struct_pack(id := doc_id, ln := ln)) AS first
+        |  FROM l WHERE length(trim(line)) >= 10 GROUP BY line
+        |), v AS (
+        |  SELECT l.doc_id, l.ln, l.line,
+        |    (length(trim(l.line)) < 10 OR
+        |     (struct_extract(f.first, 'id') = l.doc_id AND
+        |      struct_extract(f.first, 'ln') = l.ln)) AS keep
+        |  FROM l LEFT JOIN firsts f USING (line)
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY ln),
+        |           '') AS clean_text
+        |FROM v GROUP BY doc_id""".stripMargin,
     "web_pipeline" -> {
       // the end-to-end composition: url-shell blocklist cut -> shared
       // C4 CTEs -> NB weight CTEs over the CLEANED text -> the same

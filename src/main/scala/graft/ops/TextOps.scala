@@ -1148,6 +1148,66 @@ object TextOps {
       .filter(F.col("n_kept") >= minLines)
   }
 
+  /** Cross-document LINE dedup - C4's other famous cleaning step
+    * (beside the line-quality rules of [[c4LineFilter]]): every line
+    * of every document competes globally, and only the FIRST
+    * occurrence (smallest (doc_id-as-given, line_no)) survives; later
+    * copies of the same line text drop, wherever they appear. This is
+    * what strips repeated boilerplate lines (nav bars, footers, share
+    * buttons) that per-document filters cannot see.
+    *
+    * Semantics pinned for the oracle:
+    *   - lines split on '\n', matched on EXACT raw text;
+    *   - lines whose trimmed length is < `minLen` never dedup (blank
+    *     lines and short connectors are formatting, not boilerplate -
+    *     collapsing every empty line corpus-wide to one survivor would
+    *     shred documents);
+    *   - the survivor is the lexicographically smallest (id, line_no)
+    *     pair, so the result is deterministic under any partitioning;
+    *   - clean_text is the kept lines re-joined with '\n' in original
+    *     order; documents keeping zero lines emit clean_text = "".
+    *
+    * Scale shape: ONE line-keyed aggregate (map-side-combined min of a
+    * (id, line_no) struct - a hot boilerplate line folds to one cell
+    * per partition before the shuffle, so skew is capped by partition
+    * count) + one shuffle-hash join back on the line text + the
+    * doc-keyed reassembly fold. No window over unbounded keys, no
+    * per-character work.
+    *
+    * Output: (idCol, n_lines, n_dropped, clean_text), one row per
+    * non-null-text document.
+    */
+  def dedupLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 10
+  ): DataFrame = {
+    require(minLen >= 1, s"need minLen >= 1, got $minLen")
+    val base = df.filter(F.col(textCol).isNotNull)
+      .select(F.col(idCol).as("id"), F.col(textCol).as("t"))
+    val lines = base.select(F.col("id"),
+      posexplode(split(F.col("t"), "\n")).as(Seq("ln", "line")))
+    val keyed = lines.filter(length(trim(F.col("line"))) >= minLen)
+    val firsts = keyed.groupBy(F.col("line"))
+      .agg(min(struct(F.col("id"), F.col("ln"))).as("first"))
+    val verdict = lines
+      .join(firsts.hint("shuffle_hash"), Seq("line"), "left")
+      .withColumn("keep",
+        length(trim(F.col("line"))) < minLen ||
+          (F.col("first.id") === F.col("id") && F.col("first.ln") === F.col("ln")))
+    verdict.groupBy(F.col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(F.col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(F.col("keep"),
+            struct(F.col("ln"), F.col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"))
+      .select(F.col("id").as(idCol), F.col("n_lines"), F.col("n_dropped"),
+        F.col("clean_text"))
+  }
+
   /** Pointwise mutual information over adjacent token pairs - the
     * classic collocation extractor (Church & Hanks 1990), the signal
     * tokenizer-merge audits and stopword/phrase mining read at corpus

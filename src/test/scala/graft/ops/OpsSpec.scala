@@ -1188,6 +1188,27 @@ class OpsSpec extends SparkSpec {
       "shared prefix excised, unique tail survives")
   }
 
+  test("dedupLines: global first occurrence wins; short lines never dedup; order kept") {
+    val corpus = Seq(
+      (1L, "unique first line of doc one\nShare this article now!\nok\nbody text one here"),
+      (2L, "Share this article now!\nunique line of doc two\nok\nShare this article now!"),
+      (3L, "Share this article now!\nbody text one here\nok"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.dedupLines(corpus, "doc_id", "text", minLen = 10)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // doc 1 owns the first "Share this article now!" (line 1 beats doc
+    // 2/3's copies) and the first "body text one here"
+    assert(got(1L) == ((1L, 4L, 0L,
+      "unique first line of doc one\nShare this article now!\nok\nbody text one here")))
+    // doc 2 loses BOTH its copies (doc 1 published first), keeps its
+    // unique line and the short 'ok' connector
+    assert(got(2L) == ((2L, 4L, 2L, "unique line of doc two\nok")))
+    // doc 3 loses both boilerplate lines, keeps only the short line
+    assert(got(3L) == ((3L, 3L, 2L, "ok")))
+    assert(!got.contains(4L))
+  }
+
   test("exactDuplicateSpans recovers planted regions exactly where stride-10 is blind") {
     val L = 40
     // 44-char shared region: only 5 step-1 window starts fit inside it
