@@ -1182,13 +1182,30 @@ object TextOps {
       idCol: String,
       textCol: String,
       minLen: Int = 10
-  ): DataFrame = {
+  ): DataFrame = dedupLinesAgainst(df, idCol, textCol, minLen, None)._1
+
+  /** The [[dedupLines]] core with an optional externally-SEEN line set:
+    * lines present in `seen` lose outright (their first occurrence
+    * already surfaced elsewhere - the streaming lifecycle's state),
+    * and the second return is the batch's NEWLY-claimed line
+    * vocabulary (this frame's winners), which is exactly what the
+    * maintained seen set advances by.
+    */
+  private[graft] def dedupLinesAgainst(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      seen: Option[DataFrame]
+  ): (DataFrame, DataFrame) = {
     require(minLen >= 1, s"need minLen >= 1, got $minLen")
     val base = df.filter(F.col(textCol).isNotNull)
       .select(F.col(idCol).as("id"), F.col(textCol).as("t"))
     val lines = base.select(F.col("id"),
       posexplode(split(F.col("t"), "\n")).as(Seq("ln", "line")))
-    val keyed = lines.filter(length(trim(F.col("line"))) >= minLen)
+    val keyed0 = lines.filter(length(trim(F.col("line"))) >= minLen)
+    val keyed = seen.fold(keyed0)(s =>
+      keyed0.join(s.select(F.col("line")), Seq("line"), "left_anti"))
     val firsts = keyed.groupBy(F.col("line"))
       .agg(min(struct(F.col("id"), F.col("ln"))).as("first"))
     val verdict = lines
@@ -1196,7 +1213,7 @@ object TextOps {
       .withColumn("keep",
         length(trim(F.col("line"))) < minLen ||
           (F.col("first.id") === F.col("id") && F.col("first.ln") === F.col("ln")))
-    verdict.groupBy(F.col("id"))
+    val cleaned = verdict.groupBy(F.col("id"))
       .agg(
         count(lit(1)).as("n_lines"),
         sum(when(F.col("keep"), 0L).otherwise(1L)).as("n_dropped"),
@@ -1206,6 +1223,7 @@ object TextOps {
           s => s.getField("line")), "\n").as("clean_text"))
       .select(F.col("id").as(idCol), F.col("n_lines"), F.col("n_dropped"),
         F.col("clean_text"))
+    (cleaned, firsts.select(F.col("line")))
   }
 
   /** Pointwise mutual information over adjacent token pairs - the

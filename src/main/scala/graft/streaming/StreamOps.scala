@@ -961,6 +961,51 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming cross-document LINE dedup - the sixteenth maintained
+    * lifecycle, C4's boilerplate-line cut kept live over a document
+    * stream: each micro-batch's lines compete against the maintained
+    * SEEN-line vocabulary (already-claimed lines lose outright) and
+    * against each other (batch-local first occurrence - smallest
+    * (id, line_no) - wins), short lines never dedup, and the seen set
+    * advances by exactly the batch's newly-claimed winners. Arrival
+    * order IS precedence: streamed over id-ordered batches, the
+    * concatenated cleaned output equals ONE batch
+    * [[graft.ops.TextOps.dedupLines]] over the union (the parity the
+    * spec pins).
+    *
+    * State is the line vocabulary of lines >= minLen chars (never the
+    * documents); per-batch work is one line-keyed min aggregate + two
+    * key-equality joins. Same checkpoint-graveyard release discipline
+    * as [[domainMaintenance]]: `onBatch(cleaned, seen)` gets frames
+    * whose storage is released when the NEXT batch lands - consume or
+    * copy out before returning.
+    */
+  def lineDedupMaintenance(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      initialSeen: DataFrame,
+      minLen: Int = 10
+  )(onBatch: (DataFrame, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    @volatile var seen = initialSeen.select(F.col("line")).localCheckpoint()
+    @volatile var graveyard: Seq[DataFrame] = Nil
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val prev = seen
+          val (cleaned0, fresh) = graft.ops.TextOps.dedupLinesAgainst(
+            batch.toDF(), idCol, textCol, minLen, Some(prev))
+          val cleaned = cleaned0.localCheckpoint()
+          seen = prev.unionByName(fresh).localCheckpoint()
+          onBatch(cleaned, seen)
+          graveyard.foreach(unpersistCheckpoint)
+          graveyard = Seq(prev, cleaned)
+        }
+      }
+      .start()
+  }
+
   /** See [[graft.ops.OpsUtil.unpersistCheckpoint]] - shared with the
     * batch-side audits that also pin localCheckpoint snapshots.
     */

@@ -853,6 +853,46 @@ class StreamOpsSpec extends SparkSpec {
       freshes(0) ++ freshes(1))
   }
 
+  test("lineDedupMaintenance: streamed over id-ordered batches == one batch dedupLines") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1 claims the boilerplate lines; batch 2 re-sends one of
+    // them (must drop), adds an intra-batch duplicate pair (first in
+    // the batch wins), and a short connector that never dedups
+    val batch1 = Seq(
+      (1L, "unique opening of doc one\nShare this article now!\nok"),
+      (2L, "Share this article now!\nsecond doc's own line here"))
+    val batch2 = Seq(
+      (3L, "Share this article now!\nbrand new batch-two line\nok"),
+      (4L, "brand new batch-two line\nclosing line of doc four"))
+    val cleanedBatches = scala.collection.mutable.ArrayBuffer[Seq[(Long, Long, Long, String)]]()
+    @volatile var seenFinal: org.apache.spark.sql.DataFrame = null
+    val mem = MemoryStream[(Long, String)]
+    val initial = Seq.empty[String].toDF("line")
+    val sq = StreamOps.lineDedupMaintenance(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", initial) { (cleaned, seen) =>
+      cleanedBatches += cleaned.as[(Long, Long, Long, String)].collect().toSeq
+      seenFinal = seen
+    }
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    val streamed = cleanedBatches.flatten.sortBy(_._1)
+    val direct = graft.ops.TextOps.dedupLines(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed == direct,
+      s"streamed:\n${streamed.mkString("\n")}\nbatch:\n${direct.mkString("\n")}")
+    // the cross-batch drop actually happened, and state is the claimed
+    // line vocabulary only
+    assert(streamed.find(_._1 == 3L).get._4 == "brand new batch-two line\nok")
+    assert(seenFinal.as[String].collect().toSet == Set(
+      "unique opening of doc one", "Share this article now!",
+      "second doc's own line here", "brand new batch-two line",
+      "closing line of doc four"))
+  }
+
   test("sampleMaintenance: streamed state == one-shot sampleState, quantiles served") {
     implicit val sqlCtx = spark.sqlContext
     val batch1 = (1L to 30L).map(i => ("a", i, i.toDouble)) ++
