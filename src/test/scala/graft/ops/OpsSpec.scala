@@ -1979,6 +1979,40 @@ class OpsSpec extends SparkSpec {
     assert(decodeVideoSamples(synthMjpegVideoBytes(Seq(-5L), 8, 8)).get._2.length == 1)
   }
 
+  test("property: media decoders never throw - noise, flipped, and truncated containers") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    import MultimodalOps._
+    val realJpeg = synthJpegImageBytes(5L, 17, 9)
+    val realPng = synthPngImageBytes(5L, 17, 9)
+    val realMp4 = synthMjpegVideoBytes(Seq(1L, 2L), 16, 16)
+    val realWav = synthWavPcmBytes(5L, 8000, 300)
+    val reals = Seq(realJpeg, realPng, realMp4, realWav)
+    val junk = Gen.chooseNum(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    val mutated = for {
+      base <- Gen.oneOf(reals)
+      i <- Gen.chooseNum(0, base.length - 1)
+      b <- Gen.chooseNum(-128, 127).map(_.toByte)
+    } yield { val c = base.clone(); c(i) = b; c }
+    val truncated = for {
+      base <- Gen.oneOf(reals)
+      n <- Gen.chooseNum(0, base.length - 1)
+    } yield java.util.Arrays.copyOfRange(base, 0, n)
+    val anyBytes = Gen.oneOf(junk, mutated, truncated)
+    // the refuse-don't-crash contract, fuzzed: every decoder must
+    // RETURN (Some or None) on every input - a single uncaught index
+    // or parse exception here is a task-killer on corrupt crawl media
+    val prop = Prop.forAll(anyBytes) { bytes =>
+      decodeImagePixels(bytes); decodeVideoSamples(bytes)
+      decodeWavSamples(bytes); decodeImageMeta(bytes); decodeAvMeta(bytes)
+      true
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(300).withInitialSeed(Seed(13L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("decodeVideoSamples refuses malformed containers without throwing") {
     import MultimodalOps._
     assert(decodeVideoSamples(null).isEmpty)

@@ -105,6 +105,32 @@ class WarcSpec extends SparkSpec {
     assert(Warc.gunzipAll(bos.toByteArray).exists(_.length == 4 * 1024 * 1024))
   }
 
+  test("property: parseWarcPages never throws - arbitrary bytes and mutated real archives") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val junk = Gen.chooseNum(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))
+    val real = Warc.writeWarcBytes(pages)
+    val realGz = Warc.writeWarcGzBytes(pages)
+    // three hostile families: pure noise, a real archive with one byte
+    // flipped anywhere, and a gzip archive cut anywhere
+    val mutated = for {
+      base <- Gen.oneOf(real, realGz)
+      i <- Gen.chooseNum(0, base.length - 1)
+      b <- Gen.chooseNum(-128, 127).map(_.toByte)
+    } yield { val c = base.clone(); c(i) = b; c }
+    val truncated = Gen.chooseNum(0, realGz.length - 1)
+      .map(n => java.util.Arrays.copyOfRange(realGz, 0, n))
+    val anyBytes = Gen.oneOf(junk.map(_.toArray), mutated, truncated)
+    val prop = Prop.forAll(anyBytes) { bytes =>
+      Warc.parseWarcPages(bytes) // must return, never throw
+      true
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(200).withInitialSeed(Seed(11L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("ingest explodes blob rows into page rows beside the id") {
     val df = Seq(
       (10L, Warc.writeWarcBytes(pages.take(2))),
