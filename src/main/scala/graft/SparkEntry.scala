@@ -1848,6 +1848,29 @@ object SparkEntry {
         .select(col("doc_id"), col("title"), col("meta_description"),
           col("html_lang"), col("canonical_url"))
     },
+    "web_sitemap" -> { (s, dir) =>
+      // sitemap ingestion, the frontier's second seed source: index
+      // documents (every 4th doc) yield child-sitemap entries, urlset
+      // documents yield page entries - whitespace-padded locs trim,
+      // lastmod optional, a relative loc is cut. Two codegen
+      // extract+explode passes, no shuffle.
+      val id = col("doc_id")
+      val xml = when(id % 4 === 0, concat(
+          lit("<sitemapindex><sitemap><loc>https://s"),
+          (id % 9).cast(StringType), lit(".example.org/sitemap"),
+          (id % 5).cast(StringType), lit(".xml</loc><lastmod>2024-02-0"),
+          (id % 9 + 1).cast(StringType),
+          lit("</lastmod></sitemap></sitemapindex>")))
+        .otherwise(concat(
+          lit("<urlset><url><loc>\n  https://p"), (id % 9).cast(StringType),
+          lit(".example.org/a/"), (id % 5).cast(StringType),
+          lit("\n</loc><lastmod>2024-01-0"), (id % 9 + 1).cast(StringType),
+          lit("</lastmod></url><url><loc>https://p"), (id % 9).cast(StringType),
+          lit(".example.org/b/"), (id % 7).cast(StringType),
+          lit("</loc></url><url><loc>/relative/only</loc></url></urlset>")))
+      WebOps.sitemapEntries(
+        tbl(s, dir, "documents").select(col("doc_id"), xml.as("xml")), "xml")
+    },
     "web_lang_declared" -> { (s, dir) =>
       // declared-vs-trained language cross-check (the CommonCrawl
       // metadata-vs-classifier audit): the html lang attribute's
@@ -4915,6 +4938,46 @@ object SparkEntry {
         |    '(?is)<html[^>]*\\slang\\s*=\\s*["'']([^"'']+)["'']', 1)) AS html_lang,
         |  CASE WHEN c_fwd <> '' THEN c_fwd ELSE c_rev END AS canonical_url
         |FROM x""".stripMargin,
+    "web_sitemap" ->
+      // shell + the same two whole-element extraction passes; the
+      // unnest CTE is MATERIALIZED (chained SELECT-* over an unnest
+      // trips a DuckDB binder error otherwise)
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |      '<sitemapindex><sitemap><loc>https://s' ||
+        |      CAST(doc_id % 9 AS VARCHAR) || '.example.org/sitemap' ||
+        |      CAST(doc_id % 5 AS VARCHAR) || '.xml</loc><lastmod>2024-02-0' ||
+        |      CAST(doc_id % 9 + 1 AS VARCHAR) ||
+        |      '</lastmod></sitemap></sitemapindex>'
+        |    ELSE
+        |      '<urlset><url><loc>' || chr(10) || '  https://p' ||
+        |      CAST(doc_id % 9 AS VARCHAR) || '.example.org/a/' ||
+        |      CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+        |      '</loc><lastmod>2024-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) ||
+        |      '</lastmod></url><url><loc>https://p' ||
+        |      CAST(doc_id % 9 AS VARCHAR) || '.example.org/b/' ||
+        |      CAST(doc_id % 7 AS VARCHAR) ||
+        |      '</loc></url><url><loc>/relative/only</loc></url></urlset>'
+        |    END AS xml
+        |  FROM documents
+        |), u AS MATERIALIZED (
+        |  SELECT doc_id, 'page' AS kind,
+        |         unnest(regexp_extract_all(xml, '(?is)<url>(.*?)</url>', 1)) AS e
+        |  FROM x
+        |  UNION ALL
+        |  SELECT doc_id, 'sitemap' AS kind,
+        |         unnest(regexp_extract_all(xml, '(?is)<sitemap>(.*?)</sitemap>', 1)) AS e
+        |  FROM x
+        |), p AS (
+        |  SELECT doc_id, kind,
+        |    regexp_extract(e, '(?is)<loc>\s*(.*?)\s*</loc>', 1) AS loc,
+        |    regexp_extract(e, '(?is)<lastmod>\s*(.*?)\s*</lastmod>', 1) AS lastmod
+        |  FROM u
+        |)
+        |SELECT doc_id, kind, loc, lastmod FROM p
+        |WHERE lower(regexp_extract(loc, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      IN ('http', 'https')""".stripMargin,
     "web_lang_declared" ->
       // shared meta shell -> lang-attr extraction, joined to the shared
       // langId CTE chain over the raw text

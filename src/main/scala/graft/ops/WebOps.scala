@@ -661,6 +661,37 @@ object WebOps {
       .drop("a_elem")
   }
 
+  /** Sitemap parsing (sitemaps.org protocol) - the crawl frontier's
+    * OTHER seed source beside in-page links: `<urlset>` documents
+    * yield page entries, `<sitemapindex>` documents yield child
+    * sitemap entries, each with its `<loc>` (whitespace-trimmed, as
+    * the protocol requires readers to tolerate) and optional
+    * `<lastmod>` ("" when absent - the recrawl-scheduling signal).
+    * Only absolute http(s) locs survive, same cut as
+    * [[extractLinks]]. Two whole-element `regexp_extract_all` +
+    * explode passes (projection-side 1->N, RE2 subset, no shuffle) -
+    * one per element kind, unioned; a document that is neither kind
+    * emits nothing.
+    *
+    * Output: input rows (xmlCol dropped) + (kind: 'page'|'sitemap',
+    * loc, lastmod).
+    */
+  def sitemapEntries(df: DataFrame, xmlCol: String): DataFrame = {
+    def entries(tag: String, kind: String): DataFrame = {
+      val elem = s"(?is)<$tag>(.*?)</$tag>"
+      df.withColumn("gr_e", explode(regexp_extract_all(
+          F.col(xmlCol), lit(elem), lit(1))))
+        .withColumn("kind", lit(kind))
+        .withColumn("loc", regexp_extract(F.col("gr_e"),
+          "(?is)<loc>\\s*(.*?)\\s*</loc>", 1))
+        .withColumn("lastmod", regexp_extract(F.col("gr_e"),
+          "(?is)<lastmod>\\s*(.*?)\\s*</lastmod>", 1))
+        .filter(urlScheme(F.col("loc")).isin("http", "https"))
+        .drop("gr_e", xmlCol)
+    }
+    entries("url", "page").unionByName(entries("sitemap", "sitemap"))
+  }
+
   /** Page-level HEAD metadata - the self-description signals a web
     * curation pass reads before any body analysis: `<title>` text
     * (inner tags stripped, whitespace collapsed - same discipline as

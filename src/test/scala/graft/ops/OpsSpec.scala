@@ -4164,6 +4164,25 @@ class OpsSpec extends SparkSpec {
       s"host partial + domain re-aggregate only, plan:\n$statsPlan")
   }
 
+  test("sitemapEntries: urlset pages and index children, trim, lastmod optional, relative cut") {
+    val rows = Seq(
+      (1L, "<urlset><url><loc>\n https://a.example/p1 \n</loc>" +
+        "<lastmod>2024-01-02</lastmod></url>" +
+        "<url><loc>https://a.example/p2</loc></url>" +
+        "<url><loc>/rel</loc></url></urlset>"),
+      (2L, "<sitemapindex><sitemap><loc>https://a.example/s1.xml</loc>" +
+        "</sitemap></sitemapindex>"),
+      (3L, "not xml at all"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "xml")
+    val got = WebOps.sitemapEntries(rows, "xml")
+      .as[(Long, String, String, String)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got == Seq(
+      (1L, "page", "https://a.example/p1", "2024-01-02"),
+      (1L, "page", "https://a.example/p2", ""),
+      (2L, "sitemap", "https://a.example/s1.xml", "")))
+  }
+
   test("pageMeta: title strip, both meta orders, lang fold, canonical; absent fields empty") {
     val rows = Seq(
       (1L, "<html lang=\"EN-us\"><head><title>Big <i>Sale</i>\nToday</title>" +
