@@ -257,6 +257,17 @@ object SparkEntry {
     * shells: href extraction (ALL hrefs), the RFC 3986 §5 resolution
     * CASE, and the absolute-http(s) frontier cut.
     */
+  /** Ground truth straight off parquet for the text-lines roundtrips
+    * (plain and gzip): the encode -> lines -> decode hop must be
+    * byte-lossless, so the read-back aggregate equals this exactly.
+    */
+  private val textRoundtripOracleSql: String =
+    """SELECT count(*) AS n_docs,
+      |       CAST(sum(len(text)) AS BIGINT) AS sum_len,
+      |       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT)
+      |            AS BIGINT) AS text_checksum
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
   /** Field-formula replay shared by the plain and gzip WARC ingestion
     * queries: the containers differ, the framed pages do not.
     */
@@ -3169,6 +3180,28 @@ object SparkEntry {
         .filter(col("text").isNotNull)
         .select(graft.sources.Sinks.encodeTextLine(col("text")).as("value"))
         .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(graft.sources.Sinks.decodeTextLine(col("value")).as("text"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_len"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType))
+            .as("text_checksum"))
+    },
+    "docs_text_gz_roundtrip" -> { (s, dir) =>
+      // the same text-lines dump, GZIP-compressed at rest (the WET-like
+      // shape compressed pretraining corpora actually ship in): Spark's
+      // text source decompresses transparently on read, the escape
+      // discipline is unchanged, and the aggregate must equal the
+      // uncompressed path's ground truth byte-for-byte. Note the scale
+      // trade documented here: gzip text is NOT splittable - one task
+      // per file on read - so corpus dumps shard into many files (the
+      // write below inherits the corpus partitioning, exactly that).
+      val path = scratchPath("docs_text_gz", dir)
+      tbl(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(graft.sources.Sinks.encodeTextLine(col("text")).as("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(path)
       s.read.text(path)
         .select(graft.sources.Sinks.decodeTextLine(col("value")).as("text"))
         .agg(
@@ -6253,15 +6286,10 @@ object SparkEntry {
         |            AS BIGINT) AS text_checksum
         |FROM documents
         |GROUP BY lang""".stripMargin,
-    "docs_text_roundtrip" ->
-      // ground truth straight off parquet: the encode -> text lines ->
-      // decode hop must be byte-lossless, so the read-back aggregate
-      // equals this one exactly
-      """SELECT count(*) AS n_docs,
-        |       CAST(sum(len(text)) AS BIGINT) AS sum_len,
-        |       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT)
-        |            AS BIGINT) AS text_checksum
-        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    "docs_text_roundtrip" -> textRoundtripOracleSql,
+    // compression is transparent to the roundtrip contract: same
+    // ground-truth aggregate
+    "docs_text_gz_roundtrip" -> textRoundtripOracleSql,
     "events_json_roundtrip" ->
       """SELECT event_type, count(*) AS n_events,
         |       count(DISTINCT user_id) AS n_users,
