@@ -205,6 +205,37 @@ object SparkEntry {
       |    AND NOT contains(lower(ltext), 'cookie policy')
       |)"""
 
+  /** The [[graft.ops.TextOps.dedupLines]] replay (global
+    * first-occurrence-wins, short lines never dedup, ordered
+    * reassembly) over `rel(doc_id, $txt)` - ONE fragment for the
+    * standalone (`docs_line_dedup`) and composed (`web_wet_pipeline`)
+    * oracles, so the composition cannot drift from the piece. Includes
+    * the final SELECT; NOT pre-stripMargin'd.
+    */
+  private def lineDedupReplaySql(rel: String, txt: String): String =
+    s"""la AS (
+      |  SELECT doc_id, string_split($txt, chr(10)) AS arr FROM $rel
+      |), l AS (
+      |  SELECT doc_id, CAST(i AS INT) AS ln, arr[CAST(i AS INT)] AS line
+      |  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+      |        FROM la)
+      |), firsts AS (
+      |  SELECT line, min(struct_pack(id := doc_id, ln := ln)) AS first
+      |  FROM l WHERE length(trim(line)) >= 10 GROUP BY line
+      |), v AS (
+      |  SELECT l.doc_id, l.ln, l.line,
+      |    (length(trim(l.line)) < 10 OR
+      |     (struct_extract(f.first, 'id') = l.doc_id AND
+      |      struct_extract(f.first, 'ln') = l.ln)) AS keep
+      |  FROM l LEFT JOIN firsts f USING (line)
+      |)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+      |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY ln),
+      |           '') AS clean_text
+      |FROM v GROUP BY doc_id"""
+
   /** The eTLD+1 fold of [[graft.ops.WebOps.registrableDomain]] as a SQL
     * CASE over a host expression - ONE builder for every oracle that
     * folds a host (the url-shell `d` CTE, the link-target fold, the
@@ -1919,6 +1950,140 @@ object SparkEntry {
       graft.sources.Warc.ingest(blobs, "doc_id", "blob")
         .select(col("doc_id"), col("url"), col("fetch_time"), col("status"),
           col("mime"), col("html"))
+    },
+    "web_warc_charset" -> { (s, dir) =>
+      // charset-aware body decode - input correctness for the whole web
+      // tier: real CommonCrawl is heavily non-UTF-8, and a hard-coded
+      // UTF-8 decode silently mojibakes those pages. Each doc's body
+      // encodes in a rotating legacy charset (Latin-1 / Shift_JIS / GBK
+      // header-declared; windows-1251 declared ONLY via <meta charset>,
+      // exercising the sniff path - the writer omits the header param
+      // when the html self-declares). The reader must recover the exact
+      // original text + the charset used; the oracle replays both from
+      // the doc_id formulas - the legacy bytes never enter the compare.
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (cs, phrase) = (id % 4).toInt match {
+            case 0 => ("iso-8859-1", "café déjà vu ñandú ")
+            case 1 => ("shift_jis", "日本語のテキスト ")
+            case 2 => ("gbk", "中文文本处理 ")
+            case _ => ("windows-1251", "русский текст ")
+          }
+          val meta = if (id % 4 == 3) s"<meta charset=$cs>" else ""
+          val html = s"<html><head>$meta</head><body>$phrase$id</body></html>"
+          (id, graft.sources.Warc.writeWarcBytes(Seq(graft.sources.Warc.WarcPage(
+            s"https://c${id % 5}.example.org/p/$id",
+            "2024-03-01T00:00:00Z", 200, "text/html", html, cs))))
+        }).toDF("doc_id", "blob")
+      graft.sources.Warc.ingest(blobs, "doc_id", "blob")
+        .select(col("doc_id"), col("charset"), col("html"))
+    },
+    "web_warc_stream" -> { (s, dir) =>
+      // the STREAMING archive reader end-to-end: executors write a few
+      // multi-page .warc.gz part files (the CommonCrawl per-record-member
+      // layout) into scratch, then readWarcFiles streams them back
+      // record-at-a-time - one task per file, memory bounded by one
+      // record, no whole-file materialization (the 2 GiB binaryFile
+      // ceiling is gone). Pages carry the SAME field formulas as
+      // web_warc_ingest, so the oracle is the shared replay; doc_id
+      // comes back out of the URL.
+      import s.implicits._
+      val outDir = scratchPath("warc_stream", dir)
+      val hPath = new org.apache.hadoop.fs.Path(outDir)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(hPath)) fs.delete(hPath, true)
+      fs.mkdirs(hPath)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+        .repartition(8, col("doc_id"))
+        .as[(Long, String)]
+        .foreachPartition { (it: Iterator[(Long, String)]) =>
+          val pages = it.map { case (id, text) =>
+            val url = s"https://w${id % 7}.example${id % 3}.org/p/$id"
+            val date = f"2024-01-${1 + id % 28}%02dT${id % 24}%02d:00:00Z"
+            val mime = if (id % 4 == 0) "text/plain" else "text/html"
+            val html =
+              s"<html><head><title>doc $id</title></head><body>$text</body></html>"
+            graft.sources.Warc.WarcPage(url, date, 200, mime, html)
+          }.toSeq
+          if (pages.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val p = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d.warc.gz")
+            val pfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val out = pfs.create(p, true)
+            try out.write(graft.sources.Warc.writeWarcGzBytes(pages))
+            finally out.close()
+          }
+        }
+      graft.sources.Warc.readWarcFiles(s, outDir)
+        .select(
+          regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast(LongType).as("doc_id"),
+          col("url"), col("fetch_time"), col("status"), col("mime"), col("html"))
+    },
+    "web_robots_ext" -> { (s, dir) =>
+      // the politeness extras beside allow/disallow: per-domain
+      // Crawl-delay (group-scoped - the graftbot group wins over * for
+      // even-digit domains; max of valid values within the chosen
+      // group; non-numeric values drop; badbot's 99 never applies) and
+      // Sitemap directives (group-INDEPENDENT per the protocol:
+      // duplicates collapse, relative locs cut). The delay feeds the
+      // frontier's per-domain pacing; the sitemap URLs are
+      // sitemapEntries' seed wire.
+      val pages = tbl(s, dir, "documents").withColumn("url", synthUrlCol)
+      val domains = pages
+        .select(WebOps.registrableDomain(WebOps.urlHost(col("url"))).as("domain"))
+        .distinct()
+      val n = regexp_extract(col("domain"), "src([0-9])", 1)
+      val robots = domains.withColumn("txt", concat(
+        lit("User-agent: badbot\nCrawl-delay: 99\nDisallow: /\n\n"),
+        lit("Sitemap: https://maps."), col("domain"), lit("/sm-"), n, lit(".xml\n"),
+        lit("Sitemap: https://maps."), col("domain"), lit("/sm-"), n, lit(".xml\n"),
+        lit("Sitemap: /relative.xml\n\n"),
+        lit("User-agent: *\nCrawl-delay: "), n,
+        lit(".5\nCrawl-delay: 1\nCrawl-delay: fast\nAllow: /p/\n\n"),
+        when(n.cast(IntegerType) % 2 === 0,
+          lit("User-agent: graftbot\nCrawl-delay: 2\nDisallow: /none\n"))
+          .otherwise(lit(""))))
+      val delays = WebOps.robotsCrawlDelay(robots, "domain", "txt", "graftbot")
+      val maps = WebOps.robotsSitemaps(robots, "domain", "txt")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_sitemaps"), min(col("sitemap_url")).as("first_sitemap"))
+      delays.join(maps, Seq("domain"))
+        .select(col("domain"), col("crawl_delay"), col("n_sitemaps"),
+          col("first_sitemap"))
+    },
+    "web_wet_pipeline" -> { (s, dir) =>
+      // the full CommonCrawl-to-clean-text recipe in ONE declarative
+      // plan: WARC archive -> charset-aware page decode ->
+      // line-preserving HTML strip (stripHtmlLines: <br>/block-closers
+      // newline, script/style/comment cut) -> C4 line-quality filter ->
+      // cross-document line dedup. The HTML wrap uses <br> separators
+      // and puts no text outside the body, so the WARC + strip hops are
+      // IDENTITY on the lined shell by construction (proven by
+      // WarcSpec/OpsSpec) and the oracle composes the shared c4 +
+      // line-dedup fragments directly over the shell.
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), synthLinedCol.as("ltext"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, ltext) =>
+          val html = "<html><head><script type=\"x\">if (a<b) { fail(); }" +
+            "</script><style>p { color: red; }</style></head><body>" +
+            ltext.replace("\n", "<br>") +
+            "<!-- trailing\ncomment --></body></html>"
+          (id, graft.sources.Warc.writeWarcBytes(Seq(graft.sources.Warc.WarcPage(
+            s"https://w${id % 7}.example${id % 3}.org/p/$id",
+            "2024-02-02T00:00:00Z", 200, "text/html", html))))
+        }).toDF("doc_id", "blob")
+      val pages = graft.sources.Warc.ingest(blobs, "doc_id", "blob")
+      val wet = pages.select(col("doc_id"),
+        TextOps.stripHtmlLines(col("html")).as("wtext"))
+      val cleaned = TextOps.c4LineFilter(wet, "doc_id", "wtext",
+          minWords = 3, minLines = 2)
+        .select(col("doc_id"), col("clean"))
+      TextOps.dedupLines(cleaned, "doc_id", "clean", minLen = 10)
     },
     "web_url_canon" -> { (s, dir) =>
       // URL canonicalization: the cheapest dedup in the pipeline (one
@@ -4137,28 +4302,7 @@ object SparkEntry {
     // a struct min per line text (struct comparison is field-order in
     // both engines), reassembly as an ordered string_agg
     "docs_line_dedup" ->
-      s"""WITH ${c4LinedCtes("documents")}, la AS (
-        |  SELECT doc_id, string_split(ltext, chr(10)) AS arr FROM lined
-        |), l AS (
-        |  SELECT doc_id, CAST(i AS INT) AS ln, arr[CAST(i AS INT)] AS line
-        |  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
-        |        FROM la)
-        |), firsts AS (
-        |  SELECT line, min(struct_pack(id := doc_id, ln := ln)) AS first
-        |  FROM l WHERE length(trim(line)) >= 10 GROUP BY line
-        |), v AS (
-        |  SELECT l.doc_id, l.ln, l.line,
-        |    (length(trim(l.line)) < 10 OR
-        |     (struct_extract(f.first, 'id') = l.doc_id AND
-        |      struct_extract(f.first, 'ln') = l.ln)) AS keep
-        |  FROM l LEFT JOIN firsts f USING (line)
-        |)
-        |SELECT doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_lines,
-        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
-        |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY ln),
-        |           '') AS clean_text
-        |FROM v GROUP BY doc_id""".stripMargin,
+      s"""WITH ${c4LinedCtes("documents")}, ${lineDedupReplaySql("lined", "ltext")}""".stripMargin,
     "web_pipeline" -> {
       // the end-to-end composition: url-shell blocklist cut -> shared
       // C4 CTEs -> NB weight CTEs over the CLEANED text -> the same
@@ -4263,7 +4407,9 @@ object SparkEntry {
       // s-interp so the \\s collapses to \s in the SQL literal (plain
       // triple-quoted would ship a literal backslash-s, which RE2
       // treats as an escaped backslash, not whitespace)
-      val pat = s"""(?is)<a[^>]*href\\s*=\\s*["'']([^"'']+)["''][^>]*>(.*?)</a>"""
+      // body capped at {0,1000} in lockstep with WebOps.anchorTexts:
+      // the unclosed-<a> damage bound (RE2's max counted repetition)
+      val pat = s"""(?is)<a[^>]*href\\s*=\\s*["'']([^"'']+)["''][^>]*>(.{0,1000}?)</a>"""
       s"""WITH $linkShellCte, ae AS (
         |  SELECT unnest(regexp_extract_all(html, '$pat', 0)) AS a_elem FROM h
         |), ax AS (
@@ -5026,6 +5172,51 @@ object SparkEntry {
         |FROM decl d JOIN lpred p USING (doc_id)""".stripMargin,
     "web_warc_ingest" -> warcIngestOracleSql,
     "web_warc_gz" -> warcIngestOracleSql,
+    // the streaming reader frames the SAME pages the whole-blob reader
+    // does - shared field-formula replay, container bytes never compared
+    "web_warc_stream" -> warcIngestOracleSql,
+    "web_warc_charset" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'iso-8859-1' WHEN 1 THEN 'shift_jis'
+        |       WHEN 2 THEN 'gbk' ELSE 'windows-1251' END AS charset,
+        |  '<html><head>' ||
+        |  CASE WHEN doc_id % 4 = 3 THEN '<meta charset=windows-1251>' ELSE '' END ||
+        |  '</head><body>' ||
+        |  CASE doc_id % 4 WHEN 0 THEN 'café déjà vu ñandú '
+        |       WHEN 1 THEN '日本語のテキスト '
+        |       WHEN 2 THEN '中文文本处理 '
+        |       ELSE 'русский текст ' END ||
+        |  CAST(doc_id AS VARCHAR) || '</body></html>' AS html
+        |FROM documents""".stripMargin,
+    "web_robots_ext" -> {
+      // closed-form expectations independently derived from the fixture
+      // formulas: even-digit domains are governed by the graftbot group
+      // (delay 2), odd by the * group (max of n.5 and 1 - the only valid
+      // numeric values; 'fast' drops); exactly one sitemap survives (the
+      // duplicate collapses, the relative loc is cut)
+      s"""WITH $urlShellCte, doms AS (
+        |  SELECT DISTINCT domain FROM d
+        |), x AS (
+        |  SELECT domain, regexp_extract(domain, 'src([0-9])', 1) AS n FROM doms
+        |)
+        |SELECT domain,
+        |  CAST(CASE WHEN CAST(n AS INT) % 2 = 0 THEN 2.0
+        |            ELSE greatest(CAST(n || '.5' AS DOUBLE), 1.0) END
+        |       AS DOUBLE) AS crawl_delay,
+        |  CAST(1 AS BIGINT) AS n_sitemaps,
+        |  'https://maps.' || domain || '/sm-' || n || '.xml' AS first_sitemap
+        |FROM x""".stripMargin
+    },
+    "web_wet_pipeline" -> {
+      // the composed recipe entirely from shared fragments: the WARC +
+      // line-preserving strip hops are identity on the lined shell
+      // (spec-proven), so the replay is c4LinedCtes -> surviving docs'
+      // cleaned text -> the SAME line-dedup tail as docs_line_dedup
+      s"""WITH ${c4LinedCtes("documents")}, cleaned AS (
+        |  SELECT doc_id, array_to_string(kept, chr(10)) AS clean
+        |  FROM f WHERE len(kept) >= 2
+        |), ${lineDedupReplaySql("cleaned", "clean")}""".stripMargin
+    },
     "web_url_canon" -> urlCanonOracleSql,
     "web_robots" -> robotsOracleSql,
     "text_bigram_lm" ->

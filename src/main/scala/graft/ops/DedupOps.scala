@@ -681,16 +681,25 @@ object DedupOps {
     * every in-region window is duplicated at step 1, so the merged
     * span is the region itself, at any alignment.
     *
-    * Scale shape: the explode emits one row PER CHARACTER carrying a
-    * `minLen`-byte key - a minLen-times shuffle amplification over the
-    * corpus; this is the honest price of exactness (the suffix-array
-    * equivalent pays the same constant in its sort). At 100 TB, swap
-    * the window-text key for a 128-bit fingerprint (md5 of the window)
-    * to shuffle 16 bytes/char instead - kept as raw text here so the
-    * oracle replays byte-exactly without hashing semantics in the
-    * compare. Run merging is a per-document HOF fold over the sorted
-    * window starts (one doc-keyed shuffle, no per-character second
-    * explode).
+    * Scale shape: the explode emits one row per character, but the
+    * shuffle key is an 8-byte `xxhash64` FINGERPRINT of the window, not
+    * the `minLen`-byte window text: the doc-frequency exchange moves
+    * ~(8 + id/pos) bytes per character instead of ~minLen bytes - at
+    * the 40-char default a 4x-5x shuffle-byte cut, independent of
+    * minLen (a 100-char window costs the same 8 bytes). The price of
+    * fingerprinting is collision OVER-flagging: two different windows
+    * sharing a hash count as one span text. That is (a) deterministic,
+    * (b) conservative for a dedup profile (a span is flagged that
+    * shouldn't be - never the reverse... strictly: a window is flagged
+    * iff >= 2 distinct docs share its HASH, which a colliding pair
+    * fakes), and (c) vanishingly rare: 10^14 windows (100 TB at one
+    * window per char) see ~(10^14)^2 / 2^65 ~ 2.7e8 colliding pairs,
+    * an over-flag rate of ~3e-6 of windows - noise against the
+    * profile's purpose, and zero in practice at oracle scale (the
+    * DuckDB replay groups by the window TEXT and stays byte-green,
+    * which is itself the no-collisions-at-test-scale proof). Run
+    * merging is a per-document HOF fold over the sorted window starts
+    * (one doc-keyed shuffle, no per-character second explode).
     *
     * Output: one row per maximal duplicated span,
     * (idCol, span_start, span_len), 1-based original-text positions;
@@ -710,7 +719,10 @@ object DedupOps {
     val wins = df.filter(F.col(textCol).isNotNull)
       .select(F.col(idCol).as("id"), lower(F.col(textCol)).as("t"))
       .select(F.col("id"), explode(positions).as("p"), t)
-      .select(F.col("id"), F.col("p"), t.substr(F.col("p"), lit(minLen)).as("win"))
+      // the fingerprint replaces the window text BEFORE the shuffle:
+      // 8 bytes/char through the exchange instead of minLen bytes
+      .select(F.col("id"), F.col("p"),
+        xxhash64(t.substr(F.col("p"), lit(minLen))).as("win"))
     val docFreq = wins.select(F.col("win"), F.col("id")).distinct()
       .groupBy("win").agg(count(lit(1)).as("docs_with"))
     val dupPos = wins.join(docFreq.hint("shuffle_hash"), Seq("win"))

@@ -1338,6 +1338,14 @@ object MultimodalOps {
     * (trimmed/shifted copies still pair), so the count is over frame
     * PAIRS within the radius.
     *
+    * The packing steals 16 low bits, so media ids must fit 47 bits
+    * (non-negative): an id past that would overflow the Long SILENTLY
+    * and the shiftright decomposition would attribute matches to the
+    * wrong videos - so out-of-range ids fail the task loudly
+    * (raise_error) instead. 2^47 ~ 1.4e14 ids is comfortably past any
+    * real corpus; a caller with synthetic/hashed ids that wide should
+    * densify them first.
+    *
     * Output: (id_a, id_b, n_frame_matches) with id_a < id_b.
     */
   def videoDupPairs(
@@ -1345,10 +1353,15 @@ object MultimodalOps {
       maxHamming: Int = 2,
       maxBlockSize: Long = Long.MaxValue
   ): DataFrame = {
+    val mid = F.col("media_id").cast(LongType)
+    val fid = when(mid >= 0L && mid < (1L << 47),
+        mid * 65536L + F.col("frame_idx"))
+      .otherwise(F.raise_error(F.format_string(
+        "videoDupPairs: media_id %d outside [0, 2^47) - the 16-bit frame " +
+          "packing would overflow; densify ids first", mid)).cast(LongType))
     val hashed = imageDHash(videoFrames(media))
       .filter(F.col("dhash").isNotNull)
-      .select((F.col("media_id") * 65536L + F.col("frame_idx")).as("fid"),
-        F.col("dhash"))
+      .select(fid.as("fid"), F.col("dhash"))
     graft.ops.DedupOps.hammingPairs(hashed, "fid", "dhash", maxHamming, maxBlockSize)
       .select(shiftright(F.col("id_a").cast(LongType), 16).as("vid_a"),
         shiftright(F.col("id_b").cast(LongType), 16).as("vid_b"))

@@ -609,6 +609,39 @@ object TextOps {
     trim(regexp_replace(unescaped, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 
+  /** LINE-preserving HTML -> text extraction - the WET-extractor
+    * variant of [[stripHtml]]: `<br>` and block-CLOSING tags (`</p>`,
+    * `</div>`, `</h1..6>`, `</li>`, `</tr>`) become newlines, every
+    * other tag (and script/style/comment content) is removed, entities
+    * decode identically to [[stripHtml]] - and NO whitespace collapse
+    * runs, because the line structure IS the output's point: this is
+    * the extraction that feeds line-granular cleaning
+    * ([[c4LineFilter]], [[dedupLines]]), where [[stripHtml]]'s
+    * newline-collapsing single-string shape would destroy every line
+    * boundary before the filters could see one. Inline tags strip to
+    * "" (not " ") so within-word markup (`co<b>ol</b>`) does not split
+    * words - the jusText-style choice; block boundaries, which would
+    * otherwise join, are exactly the tags that newline (a TRAILING
+    * block-closer therefore yields a trailing newline - formatting the
+    * line consumers treat as a blank line). All patterns in the
+    * Java-regex/RE2 common subset; null html stays null.
+    */
+  def stripHtmlLines(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
+    val breaks = regexp_replace(noComment,
+      "(?i)<br\\s*/?>|</p>|</div>|</h[1-6]>|</li>|</tr>", "\n")
+    val noTags = regexp_replace(breaks, "<[^>]+>", "")
+    val noNumRefs = decodeNumericRefs(noTags)
+    Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noNumRefs) { case (c, (from, to)) =>
+      F.replace(c, lit(from), lit(to))
+    }
+  }
+
   /** Vocabulary coverage: per-document token and out-of-vocabulary
     * counts against the corpus's own top-`vocabSize` token types
     * (frequency desc, token asc on ties - fully deterministic). High

@@ -176,13 +176,31 @@ object WebOps {
     * projected host column + ONE broadcast hash join; the corpus
     * itself never shuffles. Appends `outCol` = registrableDomain of
     * `hostExpr` (null host folds to null, same as the inline fold).
+    *
+    * The bounded-vocabulary assumption is a real PRECONDITION, not a
+    * hope: a host frame past the broadcast/driver budget (hundreds of
+    * millions of distinct hosts) would fail the broadcast outright.
+    * Callers that cannot bound their host fan-out pass
+    * `broadcastHosts = false`: the fold then rides a plain equi-join
+    * (AQE still picks a broadcast at runtime when the distinct frame
+    * turns out small, and degrades to a shuffle join - the corpus
+    * pays one exchange - when it does not, instead of failing). The
+    * default stays `true` because the inline alternative is strictly
+    * worse for every real crawl (per-ROW PSL evaluation measured
+    * whole seconds of the web tier), and a crawl's host vocabulary IS
+    * frontier-bounded.
     */
-  def foldDomainByHost(df: DataFrame, hostExpr: Column, outCol: String): DataFrame = {
+  def foldDomainByHost(
+      df: DataFrame,
+      hostExpr: Column,
+      outCol: String,
+      broadcastHosts: Boolean = true): DataFrame = {
     require(!df.columns.exists(Set("gr_fh", "gr_frd")),
       "input already has a gr_fh/gr_frd column; rename it first")
     val hosts = df.select(hostExpr.as("gr_fh")).distinct()
       .select(F.col("gr_fh"), registrableDomain(F.col("gr_fh")).as("gr_frd"))
-    df.join(broadcast(hosts), hostExpr <=> F.col("gr_fh"), "left")
+    val build = if (broadcastHosts) broadcast(hosts) else hosts
+    df.join(build, hostExpr <=> F.col("gr_fh"), "left")
       .withColumn(outCol, F.col("gr_frd"))
       .drop("gr_fh", "gr_frd")
   }
@@ -267,6 +285,22 @@ object WebOps {
     * emits. The blocklist rides into the plan as a literal IN-set (a
     * broadcast-join degenerates to this for any list that fits a driver
     * string set); corpus rows are filtered in place, never shuffled.
+    *
+    * EAGER-SNAPSHOT SEMANTICS (deliberate, and part of the contract):
+    * this method runs a bounded micro-job AT CALL TIME (a distinct over
+    * the projected host column + a capped take) and bakes the resolved
+    * blocked-host set into the returned plan as a literal. The verdict
+    * is therefore FROZEN against the input as of the call: if the
+    * underlying files change before (or between) executions of the
+    * returned frame, hosts that newly appear under a blocked domain are
+    * NOT re-resolved - re-call blockDomains after a data refresh. Every
+    * call also pays the micro-job's latency even if the result is never
+    * executed. This trade is intentional: the PSL fold expression in a
+    * REUSED plan branch re-optimizes and re-codegens per copy (measured
+    * whole seconds of fixed driver time in the composed web_pipeline),
+    * while the literal IN-set is free everywhere it rides. A blocklist
+    * whose host fan-out exceeds the literal cap falls back to the lazy
+    * broadcast anti-join, which re-resolves per execution.
     */
   def blockDomains(df: DataFrame, urlCol: String, blocked: Seq[String]): DataFrame = {
     require(blocked.nonEmpty, "empty blocklist: nothing to block")
@@ -570,6 +604,97 @@ object WebOps {
         F.col("value").as("rule"))
   }
 
+  /** Per-domain `Crawl-delay` for `agent` - the politeness interval a
+    * frontier's per-domain scheduler honors between fetches.
+    * Crawl-delay is not in RFC 9309 but is the de-facto extension
+    * every major crawler parses; it is GROUP-scoped like
+    * allow/disallow, so the same specificity rule applies: groups
+    * naming `agent` exactly beat `*` groups, same-specificity groups
+    * merge, and the governing delay is the MAX of the chosen groups'
+    * valid numeric values (most-conservative politeness; fractional
+    * seconds allowed). Non-numeric values drop; domains with no
+    * governing delay emit nothing (callers coalesce to their default
+    * pacing). Group assignment here sees user-agent + crawl-delay
+    * lines only (an allow line between two user-agent lines is the
+    * rules path's concern) - real robots files list their user-agent
+    * lines adjacently, where the two assignments agree.
+    *
+    * Scale shape: identical to [[robotsRules]] - domain-sized frames
+    * end to end. Output: (domain, crawl_delay: double).
+    */
+  def robotsCrawlDelay(
+      robots: DataFrame,
+      domainCol: String,
+      txtCol: String,
+      agent: String
+  ): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val lines = robots
+      .select(F.col(domainCol).as("domain"),
+        posexplode(split(F.col(txtCol), "\r?\n")).as(Seq("line_no", "raw")))
+      .select(F.col("domain"), F.col("line_no"),
+        trim(regexp_replace(F.col("raw"), "#.*", "")).as("ln"))
+      .filter(F.col("ln") =!= "")
+      .withColumn("directive",
+        lower(regexp_extract(F.col("ln"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("value",
+        trim(regexp_extract(F.col("ln"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1)))
+      .filter(F.col("directive").isin("user-agent", "crawl-delay"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy("line_no")
+    val grouped = lines
+      .withColumn("is_ua", F.col("directive") === "user-agent")
+      .withColumn("prev_ua",
+        coalesce(lag(F.col("is_ua"), 1).over(w), lit(false)))
+      .withColumn("grp",
+        sum(when(F.col("is_ua") && !F.col("prev_ua"), 1).otherwise(0)).over(w))
+    val groupSpec = grouped.filter(F.col("is_ua"))
+      .groupBy(F.col("domain"), F.col("grp"))
+      .agg(max(when(lower(F.col("value")) === a, 2)
+        .when(F.col("value") === "*", 1).otherwise(0)).as("spec"))
+      .filter(F.col("spec") > 0)
+    val bestSpec = groupSpec.groupBy(F.col("domain")).agg(max("spec").as("best"))
+    val chosen = groupSpec.join(bestSpec, "domain")
+      .filter(F.col("spec") === F.col("best"))
+      .select(F.col("domain"), F.col("grp"))
+    grouped.filter(!F.col("is_ua"))
+      // try_cast, not cast: ANSI mode throws on non-numeric values, and
+      // "Crawl-delay: fast" in a crawled robots file must DROP, not kill
+      // the task
+      .withColumn("delay", F.col("value").try_cast(DoubleType))
+      .filter(F.col("delay").isNotNull && F.col("delay") >= 0)
+      .join(chosen, Seq("domain", "grp"))
+      .groupBy(F.col("domain"))
+      .agg(max(F.col("delay")).as("crawl_delay"))
+  }
+
+  /** `Sitemap:` directives of robots.txt bodies - the in-robots seed
+    * wire into [[sitemapEntries]]: per the sitemaps.org protocol the
+    * directive is INDEPENDENT of any user-agent group (it may appear
+    * anywhere in the file and applies to all agents), so no group
+    * logic runs - every valid absolute http(s) sitemap URL surfaces,
+    * deduplicated per domain. Fetching those URLs and piping the
+    * bodies through [[sitemapEntries]] completes the frontier's
+    * second seed source. Output: (domain, sitemap_url), distinct.
+    */
+  def robotsSitemaps(
+      robots: DataFrame,
+      domainCol: String,
+      txtCol: String
+  ): DataFrame =
+    robots
+      .select(F.col(domainCol).as("domain"),
+        explode(split(F.col(txtCol), "\r?\n")).as("raw"))
+      .select(F.col("domain"),
+        trim(regexp_replace(F.col("raw"), "#.*", "")).as("ln"))
+      .filter(lower(regexp_extract(F.col("ln"), "^([A-Za-z-]+)\\s*:", 1))
+        === "sitemap")
+      .select(F.col("domain"),
+        trim(regexp_extract(F.col("ln"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1))
+          .as("sitemap_url"))
+      .filter(urlScheme(F.col("sitemap_url")).isin("http", "https"))
+      .distinct()
+
   /** The path-pattern regex of a robots rule: `*` matches any run,
     * a TRAILING `$` anchors the end, everything else is literal
     * (regex specials escaped with plain literal replaces - backslash
@@ -593,10 +718,17 @@ object WebOps {
     * An empty path evaluates as `/`.
     *
     * Scale shape: the rule table (from [[robotsRules]]) is
-    * domain-sized and BROADCASTS; matching is an rlike against the
-    * per-rule pattern inside the broadcast join, and the verdict is
-    * ONE aggregate keyed on `idCol`. The corpus never shuffles to be
-    * judged. Output: df's rows + (allowed boolean).
+    * domain-sized and BROADCASTS; matching inside the broadcast join
+    * takes a LITERAL-PREFIX fast path for the (overwhelming) majority
+    * of rules that carry no `*` and no trailing `$`: for those,
+    * RFC 9309 matching is exactly `startsWith(path, rule)` - a
+    * codegen'd byte compare - and the rlike (which compiles its
+    * COLUMN pattern per evaluated pair: a real constant-factor CPU
+    * tax on every fetch decision) is demoted to the wildcard
+    * minority. Same verdict byte-for-byte: a wildcard-free rule's
+    * built regex is `^` + escaped-literal, i.e. a prefix test. The
+    * verdict is ONE aggregate keyed on `idCol`. The corpus never
+    * shuffles to be judged. Output: df's rows + (allowed boolean).
     */
   def robotsAllowed(
       df: DataFrame,
@@ -605,6 +737,9 @@ object WebOps {
       rules: DataFrame
   ): DataFrame = {
     val rx = rules.select(F.col("domain").as("gr_rdom"), F.col("is_allow"),
+      (!F.col("rule").contains("*") && !F.col("rule").endsWith("$"))
+        .as("gr_lit"),
+      F.col("rule").as("gr_rule"),
       robotsRuleRegex(F.col("rule")).as("gr_rx"),
       length(F.col("rule")).as("gr_rlen"))
     val paths = foldDomainByHost(
@@ -616,7 +751,10 @@ object WebOps {
       .select(F.col("gr_id"), F.col("gr_dom"), F.col("gr_path"))
     val verdict = paths
       .join(broadcast(rx), F.col("gr_dom") === F.col("gr_rdom") &&
-        F.expr("gr_path rlike gr_rx")) // rlike with a COLUMN pattern
+        // literal rules: codegen'd prefix compare; wildcard rules only
+        // pay the per-pair rlike COLUMN-pattern compile
+        when(F.col("gr_lit"), F.col("gr_path").startsWith(F.col("gr_rule")))
+          .otherwise(F.expr("gr_path rlike gr_rx")))
       .groupBy(F.col("gr_id"))
       .agg(max(struct(F.col("gr_rlen"),
         F.col("is_allow").cast(IntegerType).as("a"))).as("best"))
@@ -641,16 +779,21 @@ object WebOps {
     * stay in the Java-regex/RE2 common subset for the oracle replay.
     *
     * Known bound of the lazy-body trade-off: an UNCLOSED `<a>` tag
-    * swallows everything up to the NEXT `</a>`, so anchors nested in
-    * the swallowed span lose their own rows (their hrefs drop, their
-    * text merges into the malformed anchor's). Stopping the body at
-    * the next `<a` open tag needs a negative lookahead, which RE2
-    * (the oracle's engine) does not support - inside the common
-    * subset, swallow-to-close is the documented behavior for
-    * malformed HTML; well-formed anchors are unaffected.
+    * swallows everything up to the NEXT `</a>` - but the body is
+    * CAPPED at 1000 chars (`.{0,1000}?` - RE2, the oracle's engine,
+    * rejects counted repetitions past 1000, so this is the largest
+    * bound inside the common subset; genuine anchor texts are two
+    * orders of magnitude shorter). An unclosed tag therefore swallows
+    * at most 1 KB: anchors further than that survive as their own
+    * rows instead of merging into the malformed one (they previously
+    * lost their rows for the REST OF THE PAGE). Stopping the body at
+    * the next `<a` open tag outright needs a negative lookahead,
+    * which RE2 does not support - the cap is the common-subset
+    * damage bound. Anchors nested within 1000 chars of an unclosed
+    * tag still merge; well-formed anchors are unaffected.
     */
   def anchorTexts(df: DataFrame, htmlCol: String): DataFrame = {
-    val pat = "(?is)<a[^>]*href\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>(.*?)</a>"
+    val pat = "(?is)<a[^>]*href\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>(.{0,1000}?)</a>"
     df.withColumn("a_elem", explode(regexp_extract_all(
         F.col(htmlCol), lit(pat), lit(0))))
       .withColumn("link", regexp_extract(F.col("a_elem"), pat, 1))

@@ -125,18 +125,45 @@ object PrefixTree {
     * `parent_id` so the per-iteration frontier join shuffles only the
     * (small) frontier side. The Spark analog of the reference's
     * `BUILDINDEX(..., parent_id)` (/root/reference/PrefixTree.ecl:612-613).
+    *
+    * Beside the data, a one-row `_graft_stats` SIDECAR (underscore
+    * prefix: invisible to the parquet listing, like `_SUCCESS`) records
+    * the trie's [[TrieStats]], computed from the JUST-WRITTEN files (a
+    * cheap two-column scan - never a second pass over the input plan).
+    * [[read]] registers it, so queries against a persisted index run
+    * ZERO sizing jobs - the sizing belongs with the index, not with
+    * every query call.
     */
-  def writeIndexed(trie: Dataset[PTNode], path: String, buckets: Int = 32): Unit =
+  def writeIndexed(trie: Dataset[PTNode], path: String, buckets: Int = 32): Unit = {
     trie
       .repartition(buckets, trie("parent_id"))
       .sortWithinPartitions("parent_id")
       .write
       .mode("overwrite")
       .parquet(path)
+    val spark = trie.sparkSession
+    import spark.implicits._
+    val st = Query.computeTrieStats(spark.read.parquet(path).as[PTNode])
+    Seq((st.nodes, st.chars, st.maxWordLen, st.minTopEdge))
+      .toDF("nodes", "chars", "max_word_len", "min_top_edge")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  private def statsPath(path: String): String =
+    path.stripSuffix("/") + "/_graft_stats"
 
   def read(spark: SparkSession, path: String): Dataset[PTNode] = {
     import spark.implicits._
-    spark.read.parquet(path).as[PTNode]
+    val ds = spark.read.parquet(path).as[PTNode]
+    // sidecar stats ride in with the index; absent (an index written by
+    // an older writer, or plain parquet) they compute lazily on first use
+    try {
+      val r = spark.read.parquet(statsPath(path)).head()
+      Query.registerStats(ds,
+        TrieStats(r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    } catch { case scala.util.control.NonFatal(_) => () }
+    ds
   }
 
   /** Persist a trie as a BUCKETED table on `parent_id` - the closest
@@ -166,10 +193,29 @@ object PrefixTree {
       .bucketBy(buckets, "parent_id")
       .sortBy("parent_id")
       .saveAsTable(table) // managed table in the session warehouse
+    // sizing stats ride the catalog entry as a table property (the
+    // bucketed sibling of writeIndexed's sidecar): computed once from
+    // the written table, read back by readTable - queries then run zero
+    // sizing jobs
+    val st = Query.computeTrieStats(readTable(spark, table))
+    spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES (" +
+      s"'graft.trie.stats' = '${st.nodes},${st.chars},${st.maxWordLen},${st.minTopEdge}')")
   }
 
   def readTable(spark: SparkSession, table: String): Dataset[PTNode] = {
     import spark.implicits._
-    spark.table(table).as[PTNode]
+    val ds = spark.table(table).as[PTNode]
+    try {
+      val props = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .properties
+      props.get("graft.trie.stats").foreach { s =>
+        val p = s.split(",")
+        if (p.length == 4)
+          Query.registerStats(ds,
+            TrieStats(p(0).toLong, p(1).toLong, p(2).toInt, p(3).toInt))
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    ds
   }
 }

@@ -58,6 +58,65 @@ object Query {
     } finally t.unpersist()
   }
 
+  // -------------------------------------------------------------------
+  // trie sizing: computed ONCE per trie, never per query call
+  // -------------------------------------------------------------------
+
+  /** Session-lifetime stats cache, keyed on the trie's analyzed-plan
+    * semantic hash: a trie READ back from a persisted index
+    * ([[PrefixTree.read]] / [[PrefixTree.readTable]]) registers its
+    * sidecar/table-property stats here, and a trie built in-session
+    * computes them at most once - so [[queryJoin]]'s strategy selection
+    * costs ZERO extra jobs on the paths that used to pay a per-call
+    * sizing aggregate (the round-12 pt_* bench regressions). Entries
+    * are 4 numbers each; staleness (same plan, changed underlying
+    * files) only mis-sizes a strategy choice - [[queryJoin]]'s phase-2
+    * loop makes any chain-height guess correct.
+    */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, TrieStats]()
+
+  private def cacheKey(trie: Dataset[PTNode]): Int =
+    trie.queryExecution.analyzed.semanticHash()
+
+  /** Register externally-known stats (a persisted index's sidecar) for
+    * a trie plan. Called by [[PrefixTree.read]]/[[PrefixTree.readTable]].
+    */
+  private[ptree] def registerStats(trie: Dataset[PTNode], st: TrieStats): Unit =
+    statsCache.put(cacheKey(trie), st)
+
+  /** The trie's [[TrieStats]]: cache hit, or ONE single-pass aggregate
+    * (count, total edge chars, longest word, shortest root edge)
+    * computed and cached. On a trie the caller just persisted, the agg
+    * doubles as the cache materialization - no wasted pass either way.
+    */
+  def trieStats(trie: Dataset[PTNode]): TrieStats = {
+    val k = cacheKey(trie)
+    val hit = statsCache.get(k)
+    if (hit != null) hit
+    else {
+      val st = computeTrieStats(trie)
+      statsCache.put(k, st)
+      st
+    }
+  }
+
+  /** The uncached one-pass stats aggregate. [[PrefixTree.writeIndexed]]
+    * runs this over the just-written files (a cheap columnar scan) to
+    * build the sidecar.
+    */
+  private[ptree] def computeTrieStats(trie: Dataset[PTNode]): TrieStats = {
+    val r = trie.toDF().agg(
+      count(lit(1)),
+      coalesce(sum(length(column("node"))), lit(0L)),
+      max(when(column("is_word"), length(column("node")))),
+      min(when(!column("is_word") && column("parent_id") === 0L,
+        length(column("node"))))).head()
+    val maxWord = if (r.isNullAt(2)) 0 else r.getInt(2)
+    val minTop = if (r.isNullAt(3)) math.max(maxWord, 1) else r.getInt(3)
+    TrieStats(r.getLong(0), r.getLong(1), maxWord, minTop)
+  }
+
   /** Estimated JVM heap for the collected children index
     * (`Map[parent_id -> Array[PTNode]]`) - the quantity the broadcast
     * decision must bound. A row COUNT is the wrong guard: 20M nodes with
@@ -68,16 +127,14 @@ object Query {
     * (header 16 + 3 longs + 3 ints + bool + padding + String ref ≈ 72 B)
     * plus its slot in a children array and amortized map-entry overhead
     * (≈ 56 B) → 128 B fixed, plus the String payload at 2 B/char (UTF-16
-    * worst case; compact strings halve it for ASCII). One single-pass agg
-    * over the (persisted) trie - same cost as the count() it replaces.
+    * worst case; compact strings halve it for ASCII). Served from
+    * [[trieStats]] - a persisted index answers with no job at all.
     * The 512 MB default leaves a multi-GB driver comfortable: ~2 copies
     * driver-side during collect+broadcast plus serialization scratch.
     */
   private[ptree] def estimatedIndexBytes(trie: Dataset[PTNode]): Long = {
-    val r = trie.toDF()
-      .agg(count(lit(1)), coalesce(sum(length(column("node"))), lit(0L)))
-      .head()
-    r.getLong(0) * 128L + 2L * r.getLong(1)
+    val st = trieStats(trie)
+    st.nodes * 128L + 2L * st.chars
   }
 
   /** Best-`k` matches per query within `maxDist`: the reference's
@@ -255,18 +312,15 @@ object Query {
     // build side comfortably in a task's memory.
     val ownCache = trie.storageLevel == StorageLevel.NONE
     val tIn = if (ownCache) trie.persist(StorageLevel.MEMORY_AND_DISK) else trie
-    // one pass over the input trie collects sizing AND height together:
-    // bytes drive the partition count and the physical join strategy,
-    // the height bounds the unrolled chain
-    val sz = tIn.toDF().agg(
-      count(lit(1)),
-      coalesce(sum(length($"node")), lit(0L)),
-      max(when($"is_word", length($"node"))),
-      min(when(!$"is_word" && $"parent_id" === 0L, length($"node")))).head()
-    val trieBytes = sz.getLong(0) * 48L + 2L * sz.getLong(1)
+    // sizing AND height come from trieStats - a cache hit (persisted
+    // index sidecar, or any earlier query over the same trie plan) costs
+    // zero jobs here; a miss runs the one-pass aggregate exactly once
+    // per trie per session instead of once per queryJoin call
+    val st = trieStats(tIn)
+    val trieBytes = st.nodes * 48L + 2L * st.chars
     val partsT = math.max(1L, math.min(parts.toLong, trieBytes / (32L * 1024 * 1024) + 1)).toInt
-    val maxWord = if (sz.isNullAt(2)) 0 else sz.getInt(2)
-    val minTop = if (sz.isNullAt(3)) math.max(maxWord, 1) else sz.getInt(3)
+    val maxWord = st.maxWordLen
+    val minTop = st.minTopEdge
     val hChain = math.min(1 + math.max(0, maxWord - minTop) + 1, 24)
     // physical strategy for the chain levels: a trie that fits a task's
     // memory comfortably joins as a BROADCAST hash join - all hChain

@@ -1,6 +1,8 @@
 package graft.sources
 
-import java.nio.charset.StandardCharsets
+import java.nio.charset.{Charset, StandardCharsets}
+
+import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
@@ -19,35 +21,51 @@ import org.apache.spark.sql.functions.col
   * length-prefixed, and production archives are per-record gzip
   * members - handled: [[parseWarcPages]] auto-detects gzip and
   * inflates multi-member streams), so the unit of parallelism is the
-  * FILE - exactly how
-  * CommonCrawl ships: ~1 GB segment files, tens of thousands per
-  * crawl. [[readWarcFiles]] lists them through Spark's binaryFile
-  * source (file-level tasks, partition pruning at listing) and each
-  * task streams its file's records sequentially; a 1000-executor
-  * cluster saturates on file count, never on intra-file splits.
-  * Parsing is refuse-don't-crash: a malformed record header or a
-  * truncated payload ends that FILE's parse with the records already
-  * framed (corrupt crawl segments are routine; one bad tail must not
-  * kill the task).
+  * FILE - exactly how CommonCrawl ships: ~1 GB segment files, tens of
+  * thousands per crawl. [[readWarcFiles]] lists the files (file-level
+  * tasks) and each task STREAMS its file's records through
+  * [[parseWarcStream]] - memory per task is bounded by ONE record
+  * (capped), never the file, so multi-GB archives read fine (the old
+  * binaryFile path materialized the whole file per task: a hard 2 GiB
+  * JVM ceiling and full-file memory). A 1000-executor cluster
+  * saturates on file count, never on intra-file splits. Parsing is
+  * refuse-don't-crash: a malformed record header or a truncated
+  * payload ends that FILE's parse with the records already framed
+  * (corrupt crawl segments are routine; one bad tail must not kill
+  * the task).
   *
   * Only `response` records carrying an HTTP payload surface as pages
   * (warcinfo/request/metadata/revisit records are framing, not
   * content); the HTTP status line and headers are parsed off the
   * payload, the declared `Content-Type`'s media type becomes `mime`,
-  * and the body decodes as UTF-8 into `html`.
+  * and the body decodes CHARSET-AWARE into `html`: real CommonCrawl is
+  * heavily non-UTF-8 (Latin-1, Windows-125x, Shift_JIS, GBK), and a
+  * hard-coded UTF-8 decode silently mojibakes those pages, corrupting
+  * every downstream operator (langId, dedup, quality). Detection
+  * order (the HTML5 encoding-sniffing precedence): byte-order mark >
+  * Content-Type `charset=` parameter > `<meta charset>` /
+  * `http-equiv` sniff in the first 1024 body bytes > UTF-8 fallback;
+  * malformed sequences decode with replacement (never throw), and the
+  * charset actually used surfaces as the `charset` column so
+  * downstream audits can slice by it.
   */
 object Warc {
 
   /** One parsed page: target URL, WARC-Date as written, HTTP status,
-    * media type (lowercased, parameters stripped), and the decoded
-    * body.
+    * media type (lowercased, parameters stripped), the decoded body,
+    * and the charset the body was decoded with (lowercased canonical
+    * java.nio name, e.g. "utf-8", "iso-8859-1", "shift_jis", "gbk").
+    * On the WRITE side `charset` is the encoding the body is
+    * serialized with (and declared, unless the html carries its own
+    * `<meta charset>` - see [[writeWarcBytes]]).
     */
   final case class WarcPage(
       url: String,
       fetchTime: String,
       status: Int,
       mime: String,
-      html: String)
+      html: String,
+      charset: String = "utf-8")
 
   private val CRLF = "\r\n"
 
@@ -58,14 +76,19 @@ object Warc {
     * input). Returns None on corrupt/truncated gzip data rather than
     * throwing - same refuse-don't-crash contract as the framing.
     * Inflated size is capped (default 1 GiB) so a gzip bomb in a
-    * crawled archive cannot OOM the task.
+    * crawled archive cannot OOM the task. The initial buffer size is
+    * computed in Long: `bytes.length * 4` as an Int overflows negative
+    * past 512 MiB input and ByteArrayOutputStream would throw
+    * IllegalArgumentException - on routine ~1 GB CommonCrawl segments,
+    * exactly the input this module targets.
     */
   def gunzipAll(bytes: Array[Byte], maxBytes: Int = 1 << 30): Option[Array[Byte]] =
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.BufferedInputStream(
           new java.io.ByteArrayInputStream(bytes)), 64 * 1024)
-      val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 20))
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(bytes.length.toLong * 4, 1L << 20).toInt)
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
       while (n >= 0) {
@@ -74,7 +97,7 @@ object Warc {
         n = in.read(buf)
       }
       Some(out.toByteArray)
-    } catch { case _: java.io.IOException => None }
+    } catch { case NonFatal(_) => None }
 
   private def isGzip(bytes: Array[Byte]): Boolean =
     bytes != null && bytes.length >= 2 &&
@@ -108,6 +131,24 @@ object Warc {
     out.result()
   }
 
+  /** Parse the CRLF-separated `Name: value` lines after a version line
+    * into lowercased-key headers. None on a line without a colon
+    * (malformed block). Shared by the whole-blob and streaming paths.
+    */
+  private def parseHeaderLines(lines: Array[String]): Option[Map[String, String]] = {
+    val headers = Map.newBuilder[String, String]
+    var li = 1
+    while (li < lines.length) {
+      val ln = lines(li)
+      val c = ln.indexOf(':')
+      if (c <= 0) return None // header without a colon: malformed block
+      headers += (ln.substring(0, c).trim.toLowerCase ->
+        ln.substring(c + 1).trim)
+      li += 1
+    }
+    Some(headers.result())
+  }
+
   /** Frame ONE record at `start`: (lowercased headers, payload offset,
     * payload length, offset of the next record). None on any framing
     * violation: bad version line, non-CRLF header block, missing or
@@ -122,17 +163,10 @@ object Warc {
     val head = new String(bytes, start, headerEnd - start, StandardCharsets.UTF_8)
     val lines = head.split("\r\n", -1)
     if (lines.isEmpty || !lines(0).startsWith("WARC/1.")) return None
-    val headers = Map.newBuilder[String, String]
-    var li = 1
-    while (li < lines.length) {
-      val ln = lines(li)
-      val c = ln.indexOf(':')
-      if (c <= 0) return None // header without a colon: malformed block
-      headers += (ln.substring(0, c).trim.toLowerCase ->
-        ln.substring(c + 1).trim)
-      li += 1
+    val hs = parseHeaderLines(lines) match {
+      case Some(h) => h
+      case None => return None
     }
-    val hs = headers.result()
     val len = hs.get("content-length").flatMap(s => s.toIntOption).getOrElse(-1)
     if (len < 0) return None
     val payloadStart = headerEnd + 4
@@ -144,9 +178,73 @@ object Warc {
     Some((hs, payloadStart, len, sepEnd))
   }
 
+  // ---------------------------------------------------------------
+  // charset detection (the HTML5 encoding-sniffing precedence)
+  // ---------------------------------------------------------------
+
+  private val metaCharsetRx =
+    java.util.regex.Pattern.compile(
+      "(?i)<meta[^>]*charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9._:-]+)")
+
+  /** Resolve a declared charset token to a usable Charset; None for
+    * unknown/illegal names (the caller falls through its chain).
+    */
+  private def lookupCharset(name: String): Option[Charset] = {
+    val t = name.trim
+    if (t.isEmpty) None
+    else try Some(Charset.forName(t)) catch { case NonFatal(_) => None }
+  }
+
+  /** Pick the body charset: BOM > Content-Type `charset=` param >
+    * `<meta charset>` / `http-equiv content=..charset=..` sniff in the
+    * first 1024 body bytes (sniffed through an ISO-8859-1 view - the
+    * ASCII-transparent decode sniffers use) > UTF-8. Returns the
+    * charset plus the number of BOM bytes to skip.
+    */
+  private def detectCharset(
+      contentType: String,
+      bytes: Array[Byte],
+      from: Int,
+      len: Int): (Charset, Int) = {
+    // 1. byte-order mark (HTML5: the BOM outranks every declaration)
+    if (len >= 3 && (bytes(from) & 0xff) == 0xef &&
+      (bytes(from + 1) & 0xff) == 0xbb && (bytes(from + 2) & 0xff) == 0xbf)
+      return (StandardCharsets.UTF_8, 3)
+    if (len >= 2 && (bytes(from) & 0xff) == 0xfe && (bytes(from + 1) & 0xff) == 0xff)
+      return (StandardCharsets.UTF_16BE, 2)
+    if (len >= 2 && (bytes(from) & 0xff) == 0xff && (bytes(from + 1) & 0xff) == 0xfe)
+      return (StandardCharsets.UTF_16LE, 2)
+    // 2. Content-Type charset parameter
+    val param = contentType.split(";").iterator.map(_.trim)
+      .collectFirst {
+        case p if p.toLowerCase.startsWith("charset=") =>
+          p.substring("charset=".length).trim.stripPrefix("\"").stripSuffix("\"")
+      }
+    param.flatMap(lookupCharset) match {
+      case Some(cs) => return (cs, 0)
+      case None => ()
+    }
+    // 3. meta sniff in the first 1024 bytes (covers <meta charset=..>
+    //    AND <meta http-equiv=Content-Type content="..charset=..">,
+    //    whose content value contains the same charset= token)
+    val sniffLen = math.min(1024, len)
+    val head = new String(bytes, from, sniffLen, StandardCharsets.ISO_8859_1)
+    val m = metaCharsetRx.matcher(head)
+    if (m.find()) lookupCharset(m.group(1)) match {
+      case Some(cs) => return (cs, 0)
+      case None => ()
+    }
+    (StandardCharsets.UTF_8, 0)
+  }
+
   /** Parse an HTTP response payload into a [[WarcPage]]. None when the
     * payload is not an HTTP response (missing status line or header
-    * terminator) - the record is skipped, not fatal to the file.
+    * terminator) - the record is skipped, not fatal to the file. The
+    * body decodes per [[detectCharset]] with REPLACEMENT on malformed
+    * sequences (a mis-declared page yields U+FFFD runs, never a task
+    * failure), a leading U+FEFF strips (a UTF-8 BOM declared via
+    * header would otherwise leak into the text), and the charset used
+    * is recorded on the page.
     */
   private def httpPage(
       warcHeaders: Map[String, String],
@@ -167,20 +265,28 @@ object Warc {
       if (statusParts.length >= 2) statusParts(1).toIntOption.getOrElse(-1)
       else -1
     if (status < 0) return None
-    val mime = lines.drop(1).iterator
+    val contentType = lines.drop(1).iterator
       .map { ln => val c = ln.indexOf(':'); (ln, c) }
       .collectFirst {
         case (ln, c) if c > 0 &&
           ln.substring(0, c).trim.equalsIgnoreCase("content-type") =>
-          ln.substring(c + 1).split(";")(0).trim.toLowerCase
+          ln.substring(c + 1).trim
       }
       .getOrElse("")
+    val mime = contentType.split(";")(0).trim.toLowerCase
+    val (cs, bomSkip) = detectCharset(contentType, bytes, bodyAt, end - bodyAt)
+    // String(bytes, Charset) decodes with REPLACE on malformed input -
+    // exactly the refuse-don't-crash discipline the framing keeps
+    val decoded = new String(bytes, bodyAt + bomSkip, end - bodyAt - bomSkip, cs)
+    val html = if (decoded.nonEmpty && decoded.charAt(0) == '\uFEFF')
+      decoded.substring(1) else decoded
     Some(WarcPage(
       url = warcHeaders.getOrElse("warc-target-uri", ""),
       fetchTime = warcHeaders.getOrElse("warc-date", ""),
       status = status,
       mime = mime,
-      html = new String(bytes, bodyAt, end - bodyAt, StandardCharsets.UTF_8)))
+      html = html,
+      charset = cs.name().toLowerCase(java.util.Locale.ROOT)))
   }
 
   private def indexOfCrlfCrlf(bytes: Array[Byte], from: Int): Int = {
@@ -195,6 +301,120 @@ object Warc {
   }
 
   // ---------------------------------------------------------------
+  // streaming record reader: bounded memory per task, any file size
+  // ---------------------------------------------------------------
+
+  /** Stream the `response` pages of one WARC stream (plain or gzip -
+    * auto-detected off the first two bytes) record-at-a-time: memory
+    * is bounded by ONE record's payload (capped at `maxRecordBytes`,
+    * refused past it), never the file - the reader multi-GB archives
+    * need where [[parseWarcPages]]' whole-blob materialization hits
+    * the 2 GiB JVM array ceiling. Same refuse-don't-crash contract:
+    * any framing violation, oversized record, or IO error ends the
+    * iteration with the pages already framed; nothing throws. The
+    * caller owns closing `in0`.
+    */
+  def parseWarcStream(
+      in0: java.io.InputStream,
+      maxRecordBytes: Int = 1 << 30): Iterator[WarcPage] = {
+    val headerCap = 1 << 20 // a sane WARC header block is < 1 KB
+    val buffered = new java.io.BufferedInputStream(in0, 64 * 1024)
+    val in: java.io.InputStream =
+      try {
+        buffered.mark(2)
+        val b0 = buffered.read(); val b1 = buffered.read()
+        buffered.reset()
+        if (b0 == 0x1f && b1 == 0x8b)
+          new java.util.zip.GZIPInputStream(buffered, 64 * 1024)
+        else buffered
+      } catch { case NonFatal(_) => buffered }
+
+    // read exactly n bytes; None on early EOF
+    def readFully(n: Int): Option[Array[Byte]] = {
+      val buf = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, n - off)
+        if (r < 0) return None
+        off += r
+      }
+      Some(buf)
+    }
+
+    // accumulate bytes until CRLF CRLF (exclusive); None on EOF-at-start
+    // (clean end of stream), malformed (cap hit), or EOF mid-header
+    def readHeaderBlock(): Option[Array[Byte]] = {
+      val out = new java.io.ByteArrayOutputStream(512)
+      var state = 0 // run length of the \r\n\r\n suffix matched so far
+      var first = in.read()
+      if (first < 0) return None
+      while (first >= 0) {
+        out.write(first)
+        if (out.size > headerCap) return None
+        state = (state, first) match {
+          case (0, '\r') => 1
+          case (1, '\n') => 2
+          case (2, '\r') => 3
+          case (3, '\n') => 4
+          case (_, '\r') => 1
+          case _ => 0
+        }
+        if (state == 4) {
+          val all = out.toByteArray
+          return Some(java.util.Arrays.copyOfRange(all, 0, all.length - 4))
+        }
+        first = in.read()
+      }
+      None // EOF inside a header block: truncated record
+    }
+
+    // one record: (headers, payload); None ends the stream
+    def readRecord(): Option[(Map[String, String], Array[Byte])] =
+      readHeaderBlock().flatMap { headBytes =>
+        val head = new String(headBytes, StandardCharsets.UTF_8)
+        val lines = head.split("\r\n", -1)
+        if (lines.isEmpty || !lines(0).startsWith("WARC/1.")) None
+        else parseHeaderLines(lines).flatMap { hs =>
+          val len = hs.get("content-length").flatMap(_.toIntOption).getOrElse(-1)
+          if (len < 0 || len > maxRecordBytes) None // oversized record: refuse
+          else readFully(len).flatMap { payload =>
+            readFully(4).flatMap { sep =>
+              if (sep(0) == '\r' && sep(1) == '\n' &&
+                sep(2) == '\r' && sep(3) == '\n') Some((hs, payload))
+              else None
+            }
+          }
+        }
+      }
+
+    new Iterator[WarcPage] {
+      private var nextPage: WarcPage = _
+      private var done = false
+      private def advance(): Unit = {
+        nextPage = null
+        try {
+          while (nextPage == null && !done) {
+            readRecord() match {
+              case Some((hs, payload)) =>
+                if (hs.getOrElse("warc-type", "") == "response" &&
+                  hs.getOrElse("content-type", "").toLowerCase
+                    .startsWith("application/http"))
+                  httpPage(hs, payload, 0, payload.length)
+                    .foreach(p => nextPage = p)
+              case None => done = true
+            }
+          }
+        } catch { case NonFatal(_) => done = true } // refuse, never throw
+      }
+      advance()
+      override def hasNext: Boolean = nextPage != null
+      override def next(): WarcPage = {
+        val p = nextPage; advance(); p
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
   // writer side: spec-compliant WARC synthesis (the synthPng pattern -
   // fixtures the reader is proven against, and a usable archiver)
   // ---------------------------------------------------------------
@@ -202,10 +422,16 @@ object Warc {
   /** Serialize pages as a spec-compliant WARC/1.1 blob: a `warcinfo`
     * record, then per page a `request` record followed by its
     * `response` record (the CommonCrawl layout). Byte-exact framing:
-    * Content-Length counts payload bytes (UTF-8), every line ends
-    * CRLF, records separate with CRLF CRLF - so
+    * Content-Length counts payload bytes (in the page's charset),
+    * every line ends CRLF, records separate with CRLF CRLF. The body
+    * encodes with `page.charset` and the HTTP Content-Type declares it
+    * - UNLESS the html carries its own `<meta charset>` declaration,
+    * in which case the header stays parameter-less and the reader must
+    * sniff (how meta-declared pages are served in the wild; this is
+    * what makes the sniffing path provable end-to-end). So
     * [[parseWarcPages]] ([[writeWarcBytes]] x) == x for any pages
-    * whose fields are themselves CRLF-free.
+    * whose fields are CRLF-free, charset names are lowercase-canonical
+    * java.nio names, and bodies are encodable in their charset.
     */
   def writeWarcBytes(pages: Seq[WarcPage], infoLine: String = "graft-crawler"): Array[Byte] =
     recordBlocks(pages, infoLine).flatten.toArray
@@ -244,9 +470,15 @@ object Warc {
           "Content-Type" -> "application/http;msgtype=request"),
         s"GET ${p.url} HTTP/1.1${CRLF}User-Agent: graft$CRLF$CRLF"
           .getBytes(StandardCharsets.UTF_8))
-      val body = p.html.getBytes(StandardCharsets.UTF_8)
+      val cs = lookupCharset(p.charset).getOrElse(StandardCharsets.UTF_8)
+      val body = p.html.getBytes(cs)
+      // a page that declares its charset in-document is served without
+      // the header parameter (the sniffing path); otherwise declare it
+      val declared =
+        if (metaCharsetRx.matcher(p.html).find()) p.mime
+        else s"${p.mime}; charset=${p.charset}"
       val httpHead =
-        s"HTTP/1.1 ${p.status} OK${CRLF}Content-Type: ${p.mime}; charset=UTF-8$CRLF" +
+        s"HTTP/1.1 ${p.status} OK${CRLF}Content-Type: $declared$CRLF" +
           s"Content-Length: ${body.length}$CRLF$CRLF"
       val resp = record(
         Seq("WARC-Type" -> "response",
@@ -267,7 +499,7 @@ object Warc {
     * UDF registry, codegen'd object path); the parse is the genuinely
     * imperative per-record step, everything around it stays
     * declarative. Output: (idCol, url, fetch_time, status, mime,
-    * html).
+    * html, charset).
     */
   def ingest(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -276,26 +508,52 @@ object Warc {
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         parseWarcPages(bytes).map(p =>
-          (id, p.url, p.fetchTime, p.status, p.mime, p.html))
+          (id, p.url, p.fetchTime, p.status, p.mime, p.html, p.charset))
       }
-      .toDF(idCol, "url", "fetch_time", "status", "mime", "html")
+      .toDF(idCol, "url", "fetch_time", "status", "mime", "html", "charset")
   }
 
-  /** Read a directory of .warc / .warc.gz files into page rows:
-    * binaryFile scan (one task per file - the WARC unit of
-    * parallelism) + [[ingest]]; gzip members decompress inside the
-    * task. Output: (path, url, fetch_time, status, mime, html).
+  /** Read a directory of .warc / .warc.gz files into page rows: one
+    * task per file (the WARC unit of parallelism), each task STREAMING
+    * its file through [[parseWarcStream]] - per-task memory is one
+    * record (capped at `maxRecordBytes`), so files beyond the 2 GiB
+    * JVM array ceiling read fine and an oversized RECORD refuses that
+    * file's tail instead of OOMing the task. Executors open the files
+    * through a default-resource Hadoop `Configuration` (core-site.xml
+    * etc. on the executor classpath - the standard deployment); gzip
+    * members decompress inside the task.
+    * Output: (path, url, fetch_time, status, mime, html, charset).
     */
-  def readWarcFiles(spark: SparkSession, path: String): DataFrame = {
+  def readWarcFiles(
+      spark: SparkSession,
+      path: String,
+      maxRecordBytes: Int = 1 << 30): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc*").load(path)
-      .select(col("path"), col("content"))
-    val pages = files.as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) =>
-        parseWarcPages(bytes).map(pg =>
-          (p, pg.url, pg.fetchTime, pg.status, pg.mime, pg.html))
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(hPath, "*.warc*"))
+    val paths = if (files == null) Seq.empty[String]
+      else files.toSeq.filter(_.isFile).map(_.getPath.toString).sorted
+    val schema = Seq("path", "url", "fetch_time", "status", "mime", "html", "charset")
+    if (paths.isEmpty)
+      return spark.emptyDataset[(String, String, String, Int, String, String, String)]
+        .toDF(schema: _*)
+    spark.createDataset(paths)
+      .repartition(paths.length) // one task per file
+      .flatMap { p =>
+        val fp = new org.apache.hadoop.fs.Path(p)
+        val efs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = efs.open(fp)
+        // the page iterator is consumed LAZILY downstream (that is the
+        // bounded-memory point), so the stream closes at task completion,
+        // not in a try/finally that would fire before consumption
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case NonFatal(_) => () }
+          })
+        parseWarcStream(in, maxRecordBytes)
+          .map(pg => (p, pg.url, pg.fetchTime, pg.status, pg.mime, pg.html, pg.charset))
       }
-    pages.toDF("path", "url", "fetch_time", "status", "mime", "html")
+      .toDF(schema: _*)
   }
 }

@@ -220,10 +220,23 @@ object ScaleCheck {
       graft.ops.DedupOps.removeDuplicateSpans(df, "doc_id", "text",
         window = 40, step = 10)
     }
-    // exact-alignment spans: same fixture, step=1 - the honest
-    // window-per-character cost, expected data-proportional
+    // exact-alignment spans: same fixture, step=1 - one window row per
+    // character, but the shuffle key is the 8-byte xxhash64 fingerprint
+    // (not the 40-byte window text); expected data-proportional
     timed("dedup_spans_exact", docsT1, docsT10) { df =>
       graft.ops.DedupOps.exactDuplicateSpans(df, "doc_id", "text", minLen = 40)
+    }
+    // cross-document line dedup: per copy, one hot boilerplate line
+    // shared by every doc (its map-side-combined min folds to one cell
+    // per partition) + unique lines from the copy-suffixed text, so the
+    // line-keyed aggregate carries 10 independent vocabularies at 10x
+    def lineify(df: DataFrame): DataFrame = df.withColumn("ltext", concat(
+      substring(col("text"), 1, 60), lit("\n"),
+      lit("subscribe to our newsletter today copy"),
+      expr(s"doc_id div $docStride"), lit("\n"),
+      substring(col("text"), 61, 60)))
+    timed("docs_line_dedup", lineify(docsT1), lineify(docsT10)) { df =>
+      graft.ops.TextOps.dedupLines(df, "doc_id", "ltext", minLen = 10)
     }
     // robots gate: the rules table is domain-sized (10x domains in the
     // copy-suffixed web fixture) and BROADCASTS; the verdict stays a

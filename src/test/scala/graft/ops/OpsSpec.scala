@@ -4011,6 +4011,102 @@ class OpsSpec extends SparkSpec {
       5L -> true, 6L -> true, 7L -> true, 8L -> true), got.toString)
   }
 
+  test("stripHtmlLines: block tags newline, inline tags join, structure survives exactly") {
+    val cases = Seq(
+      // <br> variants and block-closers become newlines; inline tags join
+      ("a<br>b<BR/>c<br />d", "a\nb\nc\nd"),
+      // every block-closer newlines, INCLUDING a trailing one (the
+      // trailing blank line is formatting; line consumers drop blanks)
+      ("<p>one</p><p>two</p>", "one\ntwo\n"),
+      ("<div>x</div><h2>t</h2><li>i</li><tr>r</tr>", "x\nt\ni\nr\n"),
+      ("co<b>ol</b> word", "cool word"),
+      // script/style/comments vanish entirely (incl. braces and '<')
+      ("<script>if (a<b) { x(); }</script>keep", "keep"),
+      ("<style>p { c: red; }</style>keep", "keep"),
+      ("a<!-- multi\nline -->b", "ab"),
+      // NO whitespace collapse: spacing and blank lines are preserved
+      ("  two  spaces <br><br>tail ", "  two  spaces \n\ntail "),
+      // entities decode like stripHtml
+      ("x &amp; y &lt;z&gt; caf&#233;", "x & y <z> café"))
+    val got = cases.map(_._1).toDF("h")
+      .select(TextOps.stripHtmlLines($"h")).as[String].collect().toSeq
+    cases.zip(got).foreach { case ((in, exp), g) => assert(g == exp, s"input: $in") }
+    // the WET identity the composed pipeline rests on: wrap a multi-line
+    // text (boundary spaces, blank line) with <br> separators inside a
+    // tag-only shell -> strip recovers it byte-for-byte
+    val ltext = "Doc 1 begins here.\n line with edges \n\nThe final line ends properly!"
+    val html = "<html><head><script type=\"x\">if (a<b) { fail(); }</script>" +
+      "<style>p { color: red; }</style></head><body>" +
+      ltext.replace("\n", "<br>") + "<!-- trailing\ncomment --></body></html>"
+    val round = Seq(html).toDF("h")
+      .select(TextOps.stripHtmlLines($"h")).as[String].head()
+    assert(round == ltext)
+    // null stays null
+    assert(Seq((1, null: String)).toDF("i", "h")
+      .select(TextOps.stripHtmlLines($"h")).as[String].head() == null)
+  }
+
+  test("robotsCrawlDelay/robotsSitemaps: group-scoped delay, group-free sitemaps") {
+    val txt =
+      """User-agent: badbot
+        |Crawl-delay: 99
+        |Disallow: /
+        |
+        |Sitemap: https://maps.site.com/a.xml
+        |Sitemap: https://maps.site.com/a.xml
+        |Sitemap: /relative.xml
+        |
+        |User-agent: *
+        |Crawl-delay: 2.5
+        |Crawl-delay: 1
+        |Crawl-delay: fast
+        |Allow: /p/
+        |
+        |User-agent: graftbot
+        |Crawl-delay: 7
+        |Sitemap: https://maps.site.com/b.xml
+        |""".stripMargin
+    val robots = Seq(
+      ("site.com", txt),
+      // only a * group: its delay governs; an all-invalid delay yields no row
+      ("star.org", "User-agent: *\nCrawl-delay: 0.25\n"),
+      ("bad.net", "User-agent: *\nCrawl-delay: soon\n"),
+      ("none.io", "User-agent: *\nAllow: /\n")
+    ).toDF("domain", "txt")
+    val delays = WebOps.robotsCrawlDelay(robots, "domain", "txt", "GraftBot")
+      .as[(String, Double)].collect().toMap
+    // site.com: the exact-agent group (7) wins over * (max(2.5, 1) = 2.5)
+    // and over badbot's 99; invalid values never surface
+    assert(delays == Map("site.com" -> 7.0, "star.org" -> 0.25), delays.toString)
+    val maps = WebOps.robotsSitemaps(robots, "domain", "txt")
+      .as[(String, String)].collect().toSet
+    // duplicates collapse, the relative loc cuts, group position is
+    // irrelevant (b.xml sits inside the graftbot group and still counts)
+    assert(maps == Set(
+      ("site.com", "https://maps.site.com/a.xml"),
+      ("site.com", "https://maps.site.com/b.xml")), maps.toString)
+  }
+
+  test("anchorTexts: an unclosed <a> swallows at most 1000 chars - later anchors survive") {
+    val filler = "x" * 1500 // no '</a>' within the bound: the malformed anchor drops
+    val html = "<a href=\"https://lost.example/u\">unclosed " + filler +
+      "<a href=\"https://kept.example/v\">still here</a>" +
+      "<a href=\"https://also.example/w\"><b>bold</b> too</a>"
+    val got = WebOps.anchorTexts(Seq((1L, html)).toDF("id", "html"), "html")
+      .select($"link", $"anchor").as[(String, String)].collect().toSet
+    // pre-bound behavior merged EVERYTHING to the unclosed anchor and
+    // lost kept/also; now the damage stops at 1000 chars
+    assert(got == Set(
+      ("https://kept.example/v", "still here"),
+      ("https://also.example/w", "bold too")), got.toString)
+    // anchors nested WITHIN the bound still merge (the documented residue)
+    val near = "<a href=\"https://l.example/a\">open " +
+      "<a href=\"https://n.example/b\">near</a>"
+    val got2 = WebOps.anchorTexts(Seq((1L, near)).toDF("id", "html"), "html")
+      .select($"link", $"anchor").as[(String, String)].collect().toSet
+    assert(got2 == Set(("https://l.example/a", "open near")), got2.toString)
+  }
+
   test("canonicalizeUrl: case/port/dots/escapes/query-order collapse to one fetch key") {
     val cases = Seq(
       // scheme+host case fold, default port strip, fragment drop

@@ -81,6 +81,31 @@ class PrefixTreeSpec extends SparkSpec {
       Set(("aaa", "aaa", 0)))
   }
 
+  test("trieStats: sidecar/table-property stats match a fresh compute; queries run off them") {
+    // the per-call sizing aggregate moved to create/read time: writeIndexed
+    // writes a _graft_stats sidecar, read() registers it, and trieStats
+    // answers from the cache - verify the registered stats EQUAL a fresh
+    // aggregate over the same data (a wrong sidecar would silently
+    // mis-route strategy choices)
+    val dir = java.nio.file.Files.createTempDirectory("pt_stats").toString
+    PrefixTree.writeIndexed(trie, dir)
+    val back = PrefixTree.read(spark, dir)
+    val cached = Query.trieStats(back) // must be the registered sidecar row
+    val fresh = Query.computeTrieStats(back)
+    assert(cached == fresh, s"sidecar=$cached fresh=$fresh")
+    assert(cached.nodes == trie.count())
+    // the parquet listing must NOT pick the sidecar up as trie rows
+    assert(back.count() == trie.count())
+    // bucketed-table route: stats ride the catalog as a table property
+    PrefixTree.writeIndexedTable(trie, "graft_pt_stats_spec", buckets = 2)
+    val backT = PrefixTree.readTable(spark, "graft_pt_stats_spec")
+    assert(Query.trieStats(backT) == fresh)
+    // and the queries over the read-back index still answer correctly
+    val q = Seq("kaminski").toDF("q")
+    assert(rows3(Query.queryBatch(q, "q", back, 1)) ==
+      rows3(Query.queryBroadcast(q, "q", trie, 1)))
+  }
+
   test("queryJoin (loop mode) matches broadcast mode") {
     val queries = Seq("dog", "doer", "kaminski", "ab").toDF("q")
     val a = Query.queryBroadcast(queries, "q", trie, 2)

@@ -140,11 +140,162 @@ class WarcSpec extends SparkSpec {
       .orderBy("blob_id", "url")
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3),
-        r.getString(4), r.getString(5)))
+        r.getString(4), r.getString(5), r.getString(6)))
     assert(out.toSeq == Seq(
-      (10L, pages(0).url, pages(0).fetchTime, 200, "text/html", pages(0).html),
-      (10L, pages(1).url, pages(1).fetchTime, 404, "text/plain", pages(1).html),
-      (20L, pages(2).url, pages(2).fetchTime, 200, "text/html", pages(2).html)))
+      (10L, pages(0).url, pages(0).fetchTime, 200, "text/html", pages(0).html, "utf-8"),
+      (10L, pages(1).url, pages(1).fetchTime, 404, "text/plain", pages(1).html, "utf-8"),
+      (20L, pages(2).url, pages(2).fetchTime, 200, "text/html", pages(2).html, "utf-8")))
+  }
+
+  // ---------------------------------------------------------------
+  // charset-aware decode (the HTML5 sniffing precedence)
+  // ---------------------------------------------------------------
+
+  test("charset roundtrip: header-declared Latin-1, Shift_JIS, GBK, cp1251 decode back exactly") {
+    val exotic = Seq(
+      WarcPage("https://l1.example.org/", "2024-01-01T00:00:00Z", 200,
+        "text/html", "<html><body>café déjà vu ñandú</body></html>",
+        "iso-8859-1"),
+      WarcPage("https://sj.example.org/", "2024-01-01T00:00:00Z", 200,
+        "text/html", "<html><body>日本語のテキスト</body></html>",
+        "shift_jis"),
+      WarcPage("https://gb.example.org/", "2024-01-01T00:00:00Z", 200,
+        "text/html", "<html><body>中文文本处理</body></html>",
+        "gbk"),
+      WarcPage("https://ru.example.org/", "2024-01-01T00:00:00Z", 200,
+        "text/html", "<html><body>русский текст</body></html>",
+        "windows-1251"))
+    assert(Warc.parseWarcPages(Warc.writeWarcBytes(exotic)) == exotic)
+    // the non-UTF-8 bodies are NOT valid UTF-8: a hard-coded UTF-8
+    // decode would have mojibake'd them (this is what the chain fixes)
+    val sjBytes = exotic(1).html.getBytes("shift_jis")
+    assert(new String(sjBytes, StandardCharsets.UTF_8) != exotic(1).html)
+  }
+
+  test("charset sniff: meta-declared pages serve without the header param and decode via the meta") {
+    val metaPage = WarcPage("https://m.example.org/", "2024-01-01T00:00:00Z", 200,
+      "text/html",
+      "<html><head><meta charset=windows-1251></head><body>привет мир</body></html>",
+      "windows-1251")
+    val bytes = Warc.writeWarcBytes(Seq(metaPage))
+    // the writer left the Content-Type parameter-less (meta present)
+    val raw = new String(bytes, StandardCharsets.ISO_8859_1)
+    assert(raw.contains("Content-Type: text/html\r\n"))
+    assert(!raw.contains("text/html; charset"))
+    assert(Warc.parseWarcPages(bytes) == Seq(metaPage))
+    // http-equiv form sniffs through the same charset= token
+    val equivPage = metaPage.copy(html =
+      "<html><head><meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1251\"></head><body>да</body></html>")
+    assert(Warc.parseWarcPages(Warc.writeWarcBytes(Seq(equivPage))) == Seq(equivPage))
+  }
+
+  test("charset precedence: BOM outranks a (wrong) header declaration; BOM strips from the text") {
+    // hand-build an HTTP payload: UTF-8 BOM + UTF-8 body, header LYING iso-8859-1
+    val body = "élève 中文".getBytes(StandardCharsets.UTF_8)
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte)
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=iso-8859-1\r\n" +
+      s"Content-Length: ${bom.length + body.length}\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8) ++ bom ++ body
+    val rec = ("WARC/1.1\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://bom.example/\r\n" +
+      "Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(StandardCharsets.UTF_8) ++
+      http ++ "\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+    val parsed = Warc.parseWarcPages(rec)
+    assert(parsed.length == 1)
+    assert(parsed.head.charset == "utf-8")
+    assert(parsed.head.html == "élève 中文") // BOM stripped
+    // UTF-16 BOMs resolve too
+    val b16 = "hi".getBytes(StandardCharsets.UTF_16BE)
+    val bom16 = Array[Byte](0xfe.toByte, 0xff.toByte)
+    val http16 = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      s"Content-Length: ${bom16.length + b16.length}\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8) ++ bom16 ++ b16
+    val rec16 = ("WARC/1.1\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://bom16.example/\r\n" +
+      "Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${http16.length}\r\n\r\n").getBytes(StandardCharsets.UTF_8) ++
+      http16 ++ "\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+    val p16 = Warc.parseWarcPages(rec16)
+    assert(p16.head.charset == "utf-16be" && p16.head.html == "hi")
+  }
+
+  test("charset fallbacks refuse-don't-crash: unknown names and mis-declared bytes") {
+    // unknown charset name falls through to UTF-8
+    val body = "plain ascii.".getBytes(StandardCharsets.UTF_8)
+    def respond(ct: String): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(StandardCharsets.UTF_8) ++ body
+      ("WARC/1.1\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: https://x.example/\r\n" +
+        "Content-Type: application/http;msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(StandardCharsets.UTF_8) ++
+        http ++ "\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+    }
+    val unk = Warc.parseWarcPages(respond("text/html; charset=not-a-charset"))
+    assert(unk.head.charset == "utf-8" && unk.head.html == "plain ascii.")
+    val quoted = Warc.parseWarcPages(respond("text/html; charset=\"iso-8859-1\""))
+    assert(quoted.head.charset == "iso-8859-1")
+    // bytes invalid in the declared charset decode with replacement, not a
+    // throw (0xff is never valid UTF-8; deliberately NOT a BOM prefix -
+    // a leading FF FE would legitimately win as UTF-16LE)
+    val junk = Array[Byte](0x41, 0xff.toByte, 0x42) // declared utf-8
+    val httpJ = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${junk.length}\r\n\r\n").getBytes(StandardCharsets.UTF_8) ++ junk
+    val recJ = ("WARC/1.1\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://j.example/\r\n" +
+      "Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${httpJ.length}\r\n\r\n").getBytes(StandardCharsets.UTF_8) ++
+      httpJ ++ "\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+    val pj = Warc.parseWarcPages(recJ)
+    assert(pj.length == 1 && pj.head.html.contains("�"))
+  }
+
+  // ---------------------------------------------------------------
+  // streaming record reader (bounded memory, any file size)
+  // ---------------------------------------------------------------
+
+  test("parseWarcStream frames identically to the whole-blob parse, plain and gzip") {
+    val plain = Warc.writeWarcBytes(pages)
+    val gz = Warc.writeWarcGzBytes(pages)
+    def stream(bytes: Array[Byte]) =
+      Warc.parseWarcStream(new java.io.ByteArrayInputStream(bytes)).toSeq
+    assert(stream(plain) == pages)
+    assert(stream(gz) == pages)
+    // truncated tail keeps prior records, never throws
+    val cut = java.util.Arrays.copyOfRange(plain, 0, plain.length - 10)
+    assert(stream(cut) == pages.take(2))
+    assert(stream(Array[Byte]()) == Nil)
+    assert(stream("garbage".getBytes) == Nil)
+  }
+
+  test("parseWarcStream refuses an oversized record, keeping everything before it") {
+    // third page's response record blows past the cap; every record
+    // before it (info, requests, first two responses) stays under it
+    val local = pages.take(2) :+ pages(2).copy(html = "x" * 5000)
+    val blob = Warc.writeWarcBytes(local)
+    val got = Warc.parseWarcStream(
+      new java.io.ByteArrayInputStream(blob), maxRecordBytes = 2000).toSeq
+    assert(got == local.take(2))
+  }
+
+  test("property: parseWarcStream never throws on mutated archives") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val real = Warc.writeWarcBytes(pages)
+    val realGz = Warc.writeWarcGzBytes(pages)
+    val mutated = for {
+      base <- Gen.oneOf(real, realGz)
+      i <- Gen.chooseNum(0, base.length - 1)
+      b <- Gen.chooseNum(-128, 127).map(_.toByte)
+    } yield { val c = base.clone(); c(i) = b; c }
+    val prop = Prop.forAll(mutated) { bytes =>
+      Warc.parseWarcStream(new java.io.ByteArrayInputStream(bytes)).foreach(_ => ())
+      true
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(200).withInitialSeed(Seed(13L)), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("readWarcFiles: one .warc file per task, directory scan roundtrip") {
