@@ -205,6 +205,27 @@ object SparkEntry {
       |    AND NOT contains(lower(ltext), 'cookie policy')
       |)"""
 
+  /** The robots-extras fixture body over a `domain` column - ONE Scala
+    * builder shared by `web_robots_ext` and `web_frontier_schedule` (the
+    * no-drift rule): a badbot group whose delay must never apply, the
+    * sitemap block (duplicate + relative), a `*` group with one
+    * fractional + one integer + one invalid delay, and for even-digit
+    * domains a graftbot group that must win.
+    */
+  private def robotsExtTxtCol: org.apache.spark.sql.Column = {
+    val n = regexp_extract(col("domain"), "src([0-9])", 1)
+    concat(
+      lit("User-agent: badbot\nCrawl-delay: 99\nDisallow: /\n\n"),
+      lit("Sitemap: https://maps."), col("domain"), lit("/sm-"), n, lit(".xml\n"),
+      lit("Sitemap: https://maps."), col("domain"), lit("/sm-"), n, lit(".xml\n"),
+      lit("Sitemap: /relative.xml\n\n"),
+      lit("User-agent: *\nCrawl-delay: "), n,
+      lit(".5\nCrawl-delay: 1\nCrawl-delay: fast\nAllow: /p/\n\n"),
+      when(n.cast(IntegerType) % 2 === 0,
+        lit("User-agent: graftbot\nCrawl-delay: 2\nDisallow: /none\n"))
+        .otherwise(lit("")))
+  }
+
   /** The [[graft.ops.TextOps.dedupLines]] replay (global
     * first-occurrence-wins, short lines never dedup, ordered
     * reassembly) over `rel(doc_id, $txt)` - ONE fragment for the
@@ -2035,17 +2056,7 @@ object SparkEntry {
       val domains = pages
         .select(WebOps.registrableDomain(WebOps.urlHost(col("url"))).as("domain"))
         .distinct()
-      val n = regexp_extract(col("domain"), "src([0-9])", 1)
-      val robots = domains.withColumn("txt", concat(
-        lit("User-agent: badbot\nCrawl-delay: 99\nDisallow: /\n\n"),
-        lit("Sitemap: https://maps."), col("domain"), lit("/sm-"), n, lit(".xml\n"),
-        lit("Sitemap: https://maps."), col("domain"), lit("/sm-"), n, lit(".xml\n"),
-        lit("Sitemap: /relative.xml\n\n"),
-        lit("User-agent: *\nCrawl-delay: "), n,
-        lit(".5\nCrawl-delay: 1\nCrawl-delay: fast\nAllow: /p/\n\n"),
-        when(n.cast(IntegerType) % 2 === 0,
-          lit("User-agent: graftbot\nCrawl-delay: 2\nDisallow: /none\n"))
-          .otherwise(lit(""))))
+      val robots = domains.withColumn("txt", robotsExtTxtCol)
       val delays = WebOps.robotsCrawlDelay(robots, "domain", "txt", "graftbot")
       val maps = WebOps.robotsSitemaps(robots, "domain", "txt")
         .groupBy(col("domain"))
@@ -2053,6 +2064,24 @@ object SparkEntry {
       delays.join(maps, Seq("domain"))
         .select(col("domain"), col("crawl_delay"), col("n_sitemaps"),
           col("first_sitemap"))
+    },
+    "web_frontier_schedule" -> { (s, dir) =>
+      // politeness scheduling end-to-end: the per-domain Crawl-delay
+      // parsed by robotsCrawlDelay (domains with digit % 3 == 2 publish
+      // no robots -> the default 1s pacing) becomes per-URL fetch
+      // offsets - slot k within a domain fetches no earlier than
+      // k * delay seconds. ONE domain-keyed window; delays broadcast.
+      val pages = tbl(s, dir, "documents").withColumn("url", synthUrlCol)
+      val domains = pages
+        .select(WebOps.registrableDomain(WebOps.urlHost(col("url"))).as("domain"))
+        .distinct()
+      val n = regexp_extract(col("domain"), "src([0-9])", 1)
+      val robots = domains.filter(n.cast(IntegerType) % 3 =!= 2)
+        .withColumn("txt", robotsExtTxtCol)
+      val delays = WebOps.robotsCrawlDelay(robots, "domain", "txt", "graftbot")
+      WebOps.frontierSchedule(pages.select(col("doc_id"), col("url")),
+          "doc_id", "url", delays, defaultDelay = 1.0)
+        .select(col("doc_id"), col("domain"), col("slot"), col("not_before_s"))
     },
     "web_wet_pipeline" -> { (s, dir) =>
       // the full CommonCrawl-to-clean-text recipe in ONE declarative
@@ -5206,6 +5235,28 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS n_sitemaps,
         |  'https://maps.' || domain || '/sm-' || n || '.xml' AS first_sitemap
         |FROM x""".stripMargin
+    },
+    "web_frontier_schedule" -> {
+      // slot = deterministic per-domain rank over (url, doc_id); delay =
+      // the same closed-form governing verdict as web_robots_ext, with
+      // digit % 3 == 2 domains falling to the 1s default (no robots)
+      s"""WITH $urlShellCte, x AS (
+        |  SELECT doc_id, url, domain,
+        |    regexp_extract(domain, 'src([0-9])', 1) AS n
+        |  FROM d
+        |), r AS (
+        |  SELECT doc_id, domain, url,
+        |    CAST(row_number() OVER (PARTITION BY domain ORDER BY url, doc_id)
+        |         AS BIGINT) - 1 AS slot,
+        |    CAST(CASE WHEN CAST(n AS INT) % 3 = 2 THEN 1.0
+        |              WHEN CAST(n AS INT) % 2 = 0 THEN 2.0
+        |              ELSE greatest(CAST(n || '.5' AS DOUBLE), 1.0) END
+        |         AS DOUBLE) AS delay
+        |  FROM x
+        |)
+        |SELECT doc_id, domain, slot,
+        |  CAST(slot * delay AS DOUBLE) AS not_before_s
+        |FROM r""".stripMargin
     },
     "web_wet_pipeline" -> {
       // the composed recipe entirely from shared fragments: the WARC +

@@ -695,6 +695,44 @@ object WebOps {
       .filter(urlScheme(F.col("sitemap_url")).isin("http", "https"))
       .distinct()
 
+  /** Politeness SCHEDULING for a fetch frontier - the stage that turns
+    * [[robotsCrawlDelay]]'s per-domain pacing into per-URL fetch
+    * offsets: candidate URLs order deterministically within their
+    * registrable domain (by (urlCol, idCol) - the tiebreaker makes the
+    * schedule total even when two pages share a URL) and slot k gets
+    * `not_before_s = k * delay`, where delay is the domain's
+    * crawl_delay or `defaultDelay`. A scheduler draining the frontier
+    * honors the offsets per domain and fetches domains in parallel -
+    * exactly the shape crawl workers consume.
+    *
+    * Scale shape: ONE shuffle keyed on the domain (the ranking
+    * window); a window partition is one domain's frontier slice -
+    * bounded by per-domain candidate counts, which the domain caps
+    * upstream ([[domainStats]]-driven curation) keep sane, and
+    * Spark's window spills rather than OOMs on a hot domain. The
+    * delays frame is domain-sized and broadcasts.
+    *
+    * Output: frontier columns + (domain, slot, not_before_s).
+    */
+  def frontierSchedule(
+      frontier: DataFrame,
+      idCol: String,
+      urlCol: String,
+      delays: DataFrame,
+      defaultDelay: Double = 1.0
+  ): DataFrame = {
+    require(defaultDelay >= 0, s"defaultDelay must be >= 0, got $defaultDelay")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy(F.col(urlCol), F.col(idCol))
+    foldDomainByHost(frontier, urlHost(F.col(urlCol)), "domain")
+      .join(broadcast(delays.select(F.col("domain").as("gr_dd"),
+        F.col("crawl_delay"))), F.col("domain") <=> F.col("gr_dd"), "left")
+      .withColumn("slot", row_number().over(w).cast(LongType) - 1L)
+      .withColumn("not_before_s",
+        F.col("slot") * coalesce(F.col("crawl_delay"), lit(defaultDelay)))
+      .drop("gr_dd", "crawl_delay")
+  }
+
   /** The path-pattern regex of a robots rule: `*` matches any run,
     * a TRAILING `$` anchors the end, everything else is literal
     * (regex specials escaped with plain literal replaces - backslash

@@ -4107,6 +4107,35 @@ class OpsSpec extends SparkSpec {
     assert(got2 == Set(("https://l.example/a", "open near")), got2.toString)
   }
 
+  test("frontierSchedule: per-domain slots by (url, id), delay or default spacing") {
+    val frontier = Seq(
+      (1L, "https://a.site.com/x"),
+      (2L, "https://www.site.com/b"), // host folds: same domain as a.site.com
+      (3L, "https://a.site.com/x"), // same URL: doc_id breaks the tie
+      (4L, "https://other.org/only"),
+      (5L, "https://nodelay.net/p")
+    ).toDF("id", "url")
+    val delays = Seq(("site.com", 2.5), ("other.org", 4.0)).toDF("domain", "crawl_delay")
+    val got = WebOps.frontierSchedule(frontier, "id", "url", delays, defaultDelay = 1.0)
+      .select($"id", $"domain", $"slot", $"not_before_s")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      // site.com ordered by (url, id): a.site.com/x (id 1, then id 3 on
+      // the URL tie), then www.site.com/b ('a' < 'w' in the url sort)
+      (1L, "site.com", 0L, 0.0),
+      (3L, "site.com", 1L, 2.5),
+      (2L, "site.com", 2L, 5.0),
+      (4L, "other.org", 0L, 0.0),
+      (5L, "nodelay.net", 0L, 0.0)), got.toString)
+    // second slot on an un-delayed domain paces at the default
+    val got2 = WebOps.frontierSchedule(
+        frontier.union(Seq((6L, "https://nodelay.net/q")).toDF("id", "url")),
+        "id", "url", delays, defaultDelay = 1.5)
+      .filter($"domain" === "nodelay.net")
+      .select($"id", $"not_before_s").as[(Long, Double)].collect().toMap
+    assert(got2 == Map(5L -> 0.0, 6L -> 1.5), got2.toString)
+  }
+
   test("canonicalizeUrl: case/port/dots/escapes/query-order collapse to one fetch key") {
     val cases = Seq(
       // scheme+host case fold, default port strip, fragment drop
