@@ -2065,6 +2065,25 @@ object SparkEntry {
         .select(col("domain"), col("crawl_delay"), col("n_sitemaps"),
           col("first_sitemap"))
     },
+    "web_wet_roundtrip" -> { (s, dir) =>
+      // the OTHER CommonCrawl interchange file: WET extracted-text
+      // archives (conversion records, text/plain, per-record gzip
+      // members). Writer -> reader roundtrip over the corpus; the
+      // oracle replays the url/date formulas - container bytes never
+      // enter the compare.
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val url = s"https://w${id % 7}.example${id % 3}.org/p/$id"
+          val date = f"2024-01-${1 + id % 28}%02dT${id % 24}%02d:00:00Z"
+          (id, graft.sources.Warc.writeWetGzBytes(Seq(
+            graft.sources.Warc.WetDoc(url, date, text))))
+        }).toDF("doc_id", "blob")
+      graft.sources.Warc.wetIngest(blobs, "doc_id", "blob")
+        .select(col("doc_id"), col("url"), col("fetch_time"), col("text"))
+    },
     "web_frontier_schedule" -> { (s, dir) =>
       // politeness scheduling end-to-end: the per-domain Crawl-delay
       // parsed by robotsCrawlDelay (domains with digit % 3 == 2 publish
@@ -5236,6 +5255,16 @@ object SparkEntry {
         |  'https://maps.' || domain || '/sm-' || n || '.xml' AS first_sitemap
         |FROM x""".stripMargin
     },
+    "web_wet_roundtrip" ->
+      """SELECT doc_id,
+        |  'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example' ||
+        |    CAST(doc_id % 3 AS VARCHAR) || '.org/p/' ||
+        |    CAST(doc_id AS VARCHAR) AS url,
+        |  '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+        |    'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') ||
+        |    ':00:00Z' AS fetch_time,
+        |  text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "web_frontier_schedule" -> {
       // slot = deterministic per-domain rank over (url, doc_id); delay =
       // the same closed-form governing verdict as web_robots_ext, with

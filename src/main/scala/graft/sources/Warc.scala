@@ -131,6 +131,149 @@ object Warc {
     out.result()
   }
 
+  // ---------------------------------------------------------------
+  // WET (extracted text) - the OTHER CommonCrawl interchange file
+  // ---------------------------------------------------------------
+
+  /** One WET document: target URL, WARC-Date as written, and the
+    * extracted plain text. The WET format (CommonCrawl's *.warc.wet.gz
+    * files) is WARC framing whose records are `conversion` type with a
+    * `text/plain` payload - the already-extracted text, no HTTP
+    * envelope, UTF-8 by definition.
+    */
+  final case class WetDoc(url: String, fetchTime: String, text: String)
+
+  private def wetDoc(
+      hs: Map[String, String], payload: Array[Byte]): Option[WetDoc] =
+    if (hs.getOrElse("warc-type", "") == "conversion" &&
+      hs.getOrElse("content-type", "").toLowerCase.startsWith("text/plain"))
+      Some(WetDoc(
+        url = hs.getOrElse("warc-target-uri", ""),
+        fetchTime = hs.getOrElse("warc-date", ""),
+        // WET is UTF-8 by spec; malformed sequences decode with
+        // replacement, same contract as the page path
+        text = new String(payload, StandardCharsets.UTF_8)))
+    else None
+
+  /** Parse the `conversion` documents of one WET blob (plain or gzip -
+    * the CommonCrawl *.warc.wet.gz layout), in file order. Same
+    * refuse-don't-crash framing as [[parseWarcPages]].
+    */
+  def parseWetDocs(raw: Array[Byte]): Seq[WetDoc] = {
+    val bytes = if (isGzip(raw)) gunzipAll(raw).orNull else raw
+    if (bytes == null) return Nil
+    val out = Seq.newBuilder[WetDoc]
+    var i = 0
+    var ok = true
+    while (ok && i < bytes.length) {
+      parseRecord(bytes, i) match {
+        case Some((headers, payloadStart, payloadLen, next)) =>
+          wetDoc(headers, java.util.Arrays.copyOfRange(
+            bytes, payloadStart, payloadStart + payloadLen)).foreach(out += _)
+          i = next
+        case None => ok = false
+      }
+    }
+    out.result()
+  }
+
+  /** Stream one WET file's documents record-at-a-time - the bounded-
+    * memory reader, sharing [[parseWarcStream]]'s framer.
+    */
+  def parseWetStream(
+      in0: java.io.InputStream,
+      maxRecordBytes: Int = 1 << 30): Iterator[WetDoc] =
+    streamRecords(in0, maxRecordBytes).flatMap { case (hs, payload) =>
+      wetDoc(hs, payload)
+    }
+
+  /** Serialize docs as a spec-shaped WET blob: a `warcinfo` record then
+    * one `conversion` record per document (text/plain, UTF-8) - the
+    * CommonCrawl extracted-text layout. Roundtrips through
+    * [[parseWetDocs]]/[[parseWetStream]] for CRLF-free header fields.
+    */
+  def writeWetBytes(docs: Seq[WetDoc], infoLine: String = "graft-extractor"): Array[Byte] =
+    wetRecordBlocks(docs, infoLine).flatten.toArray
+
+  /** Per-record gzip members, like [[writeWarcGzBytes]] - the actual
+    * *.warc.wet.gz wire layout.
+    */
+  def writeWetGzBytes(docs: Seq[WetDoc], infoLine: String = "graft-extractor"): Array[Byte] =
+    wetRecordBlocks(docs, infoLine).flatMap { rec =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(rec); gz.finish(); gz.close()
+      bos.toByteArray
+    }.toArray
+
+  private def wetRecordBlocks(docs: Seq[WetDoc], infoLine: String): Seq[Array[Byte]] = {
+    def record(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+      val head = new StringBuilder("WARC/1.1").append(CRLF)
+      headers.foreach { case (k, v) => head.append(k).append(": ").append(v).append(CRLF) }
+      head.append("Content-Length: ").append(payload.length).append(CRLF).append(CRLF)
+      head.toString.getBytes(StandardCharsets.UTF_8) ++ payload ++
+        (CRLF + CRLF).getBytes(StandardCharsets.UTF_8)
+    }
+    val info = record(
+      Seq("WARC-Type" -> "warcinfo", "Content-Type" -> "application/warc-fields"),
+      s"software: $infoLine$CRLF".getBytes(StandardCharsets.UTF_8))
+    info +: docs.map { d =>
+      record(
+        Seq("WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> d.url,
+          "WARC-Date" -> d.fetchTime,
+          "Content-Type" -> "text/plain"),
+        d.text.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Explode a binary WET-blob column into document rows beside the
+    * blob's id. Output: (idCol, url, fetch_time, text).
+    */
+  def wetIngest(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(F.col(idCol).cast("long"), F.col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        parseWetDocs(bytes).map(d => (id, d.url, d.fetchTime, d.text))
+      }
+      .toDF(idCol, "url", "fetch_time", "text")
+  }
+
+  /** Read a directory of .wet / .warc.wet.gz files into document rows:
+    * one STREAMING task per file, the same bounded-memory discipline as
+    * [[readWarcFiles]]. Output: (path, url, fetch_time, text).
+    */
+  def readWetFiles(
+      spark: SparkSession,
+      path: String,
+      maxRecordBytes: Int = 1 << 30): DataFrame = {
+    import spark.implicits._
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(hPath, "*.wet*"))
+    val paths = if (files == null) Seq.empty[String]
+      else files.toSeq.filter(_.isFile).map(_.getPath.toString).sorted
+    val schema = Seq("path", "url", "fetch_time", "text")
+    if (paths.isEmpty)
+      return spark.emptyDataset[(String, String, String, String)].toDF(schema: _*)
+    spark.createDataset(paths)
+      .repartition(paths.length) // one task per file
+      .flatMap { p =>
+        val fp = new org.apache.hadoop.fs.Path(p)
+        val efs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = efs.open(fp)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case NonFatal(_) => () }
+          })
+        parseWetStream(in, maxRecordBytes)
+          .map(d => (p, d.url, d.fetchTime, d.text))
+      }
+      .toDF(schema: _*)
+  }
+
   /** Parse the CRLF-separated `Name: value` lines after a version line
     * into lowercased-key headers. None on a line without a colon
     * (malformed block). Shared by the whole-blob and streaming paths.
@@ -316,7 +459,23 @@ object Warc {
     */
   def parseWarcStream(
       in0: java.io.InputStream,
-      maxRecordBytes: Int = 1 << 30): Iterator[WarcPage] = {
+      maxRecordBytes: Int = 1 << 30): Iterator[WarcPage] =
+    streamRecords(in0, maxRecordBytes).flatMap { case (hs, payload) =>
+      if (hs.getOrElse("warc-type", "") == "response" &&
+        hs.getOrElse("content-type", "").toLowerCase
+          .startsWith("application/http"))
+        httpPage(hs, payload, 0, payload.length)
+      else None
+    }
+
+  /** The shared streaming record framer behind [[parseWarcStream]] and
+    * [[parseWetStream]]: (lowercased headers, payload) per record,
+    * bounded memory, refuse-don't-crash (any framing violation,
+    * oversized record, or IO error ends the iteration; never throws).
+    */
+  private def streamRecords(
+      in0: java.io.InputStream,
+      maxRecordBytes: Int): Iterator[(Map[String, String], Array[Byte])] = {
     val headerCap = 1 << 20 // a sane WARC header block is < 1 KB
     val buffered = new java.io.BufferedInputStream(in0, 64 * 1024)
     val in: java.io.InputStream =
@@ -387,29 +546,24 @@ object Warc {
         }
       }
 
-    new Iterator[WarcPage] {
-      private var nextPage: WarcPage = _
+    new Iterator[(Map[String, String], Array[Byte])] {
+      private var nextRec: (Map[String, String], Array[Byte]) = _
       private var done = false
       private def advance(): Unit = {
-        nextPage = null
-        try {
-          while (nextPage == null && !done) {
+        nextRec = null
+        if (!done) {
+          try {
             readRecord() match {
-              case Some((hs, payload)) =>
-                if (hs.getOrElse("warc-type", "") == "response" &&
-                  hs.getOrElse("content-type", "").toLowerCase
-                    .startsWith("application/http"))
-                  httpPage(hs, payload, 0, payload.length)
-                    .foreach(p => nextPage = p)
+              case Some(r) => nextRec = r
               case None => done = true
             }
-          }
-        } catch { case NonFatal(_) => done = true } // refuse, never throw
+          } catch { case NonFatal(_) => done = true } // refuse, never throw
+        }
       }
       advance()
-      override def hasNext: Boolean = nextPage != null
-      override def next(): WarcPage = {
-        val p = nextPage; advance(); p
+      override def hasNext: Boolean = nextRec != null
+      override def next(): (Map[String, String], Array[Byte]) = {
+        val r = nextRec; advance(); r
       }
     }
   }

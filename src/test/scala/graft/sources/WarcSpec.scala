@@ -298,6 +298,47 @@ class WarcSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("WET: conversion-record roundtrip plain + gzip, stream == blob, framing shared") {
+    val docs = Seq(
+      Warc.WetDoc("https://a.example.org/1", "2024-01-02T03:00:00Z",
+        "first extracted text.\nwith a second line."),
+      Warc.WetDoc("https://b.example.com/x", "2024-02-03T04:05:06Z",
+        "umlauts äöü and 中文 survive"),
+      Warc.WetDoc("https://c.example.net/", "2024-03-04T05:06:07Z", ""))
+    assert(Warc.parseWetDocs(Warc.writeWetBytes(docs)) == docs)
+    val gz = Warc.writeWetGzBytes(docs)
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b)
+    assert(Warc.parseWetDocs(gz) == docs)
+    def stream(bytes: Array[Byte]) =
+      Warc.parseWetStream(new java.io.ByteArrayInputStream(bytes)).toSeq
+    assert(stream(Warc.writeWetBytes(docs)) == docs)
+    assert(stream(gz) == docs)
+    // a WET file's warcinfo record never surfaces; a WARC PAGE file has
+    // no conversion records, so the WET view of it is empty (and vice
+    // versa: the page view of a WET file is empty)
+    assert(Warc.parseWetDocs(Warc.writeWarcBytes(pages)).isEmpty)
+    assert(Warc.parseWarcPages(Warc.writeWetBytes(docs)).isEmpty)
+    // truncation refuses the tail, keeps prior docs
+    val cut = Warc.writeWetBytes(docs)
+    assert(Warc.parseWetDocs(
+      java.util.Arrays.copyOfRange(cut, 0, cut.length - 6)) == docs.take(2))
+  }
+
+  test("readWetFiles: one .wet file per task, directory scan roundtrip") {
+    val docs = Seq(
+      Warc.WetDoc("https://a.example.org/1", "2024-01-02T03:00:00Z", "text one."),
+      Warc.WetDoc("https://b.example.org/2", "2024-01-02T03:00:00Z", "text two."))
+    val dir = java.nio.file.Files.createTempDirectory("wetsrc")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.write(dir.resolve("a.warc.wet.gz"),
+      Warc.writeWetGzBytes(docs.take(1)))
+    java.nio.file.Files.write(dir.resolve("b.wet"), Warc.writeWetBytes(docs.drop(1)))
+    java.nio.file.Files.write(dir.resolve("ignore.warc"), Warc.writeWarcBytes(pages))
+    val out = Warc.readWetFiles(spark, dir.toString)
+    assert(out.select("url").as[String].collect().sorted.toSeq ==
+      docs.map(_.url).sorted)
+  }
+
   test("readWarcFiles: one .warc file per task, directory scan roundtrip") {
     val dir = java.nio.file.Files.createTempDirectory("warcsrc")
     dir.toFile.deleteOnExit()
