@@ -2065,6 +2065,41 @@ object SparkEntry {
         .select(col("domain"), col("crawl_delay"), col("n_sitemaps"),
           col("first_sitemap"))
     },
+    "web_wat_links" -> { (s, dir) =>
+      // the THIRD CommonCrawl interchange file: WAT metadata records
+      // (application/json envelopes). The source only frames; the JSON
+      // parses with Spark's codegen'd from_json - title off the Head,
+      // one row per extracted link. Oracle replays the field formulas
+      // closed-form (1 + doc_id % 3 links per page).
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val links = (0L until (1 + id % 3)).map { k =>
+            s"""{"url":"https://l${(id + k) % 8}.example.org/t/$k","text":"anchor $k"}"""
+          }.mkString("[", ",", "]")
+          val json =
+            s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"https://w${id % 7}.example.org/p/$id"},""" +
+              s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Head":{"Title":"doc $id"},"Links":$links}}}}}"""
+          (id, graft.sources.Warc.writeWatGzBytes(Seq(graft.sources.Warc.WatEntry(
+            s"https://w${id % 7}.example.org/p/$id",
+            "2024-04-01T00:00:00Z", json))))
+        }).toDF("doc_id", "blob")
+      val schema = org.apache.spark.sql.types.DataType.fromDDL(
+        "STRUCT<Envelope: STRUCT<`Payload-Metadata`: STRUCT<" +
+          "`HTTP-Response-Metadata`: STRUCT<`HTML-Metadata`: STRUCT<" +
+          "Head: STRUCT<Title: STRING>, " +
+          "Links: ARRAY<STRUCT<url: STRING, text: STRING>>>>>>>")
+      val html = col("m").getField("Envelope").getField("Payload-Metadata")
+        .getField("HTTP-Response-Metadata").getField("HTML-Metadata")
+      graft.sources.Warc.watIngest(blobs, "doc_id", "blob")
+        .withColumn("m", from_json(col("json"), schema))
+        .select(col("doc_id"),
+          html.getField("Head").getField("Title").as("title"),
+          explode(html.getField("Links")).as("lnk"))
+        .select(col("doc_id"), col("title"),
+          col("lnk.url").as("link_url"), col("lnk.text").as("link_text"))
+    },
     "web_wet_roundtrip" -> { (s, dir) =>
       // the OTHER CommonCrawl interchange file: WET extracted-text
       // archives (conversion records, text/plain, per-record gzip
@@ -5255,6 +5290,14 @@ object SparkEntry {
         |  'https://maps.' || domain || '/sm-' || n || '.xml' AS first_sitemap
         |FROM x""".stripMargin
     },
+    "web_wat_links" ->
+      """SELECT doc_id,
+        |  'doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |  'https://l' || CAST((doc_id + k) % 8 AS VARCHAR) ||
+        |    '.example.org/t/' || CAST(k AS VARCHAR) AS link_url,
+        |  'anchor ' || CAST(k AS VARCHAR) AS link_text
+        |FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS k
+        |      FROM documents)""".stripMargin,
     "web_wet_roundtrip" ->
       """SELECT doc_id,
         |  'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example' ||

@@ -274,6 +274,143 @@ object Warc {
       .toDF(schema: _*)
   }
 
+  // ---------------------------------------------------------------
+  // WAT (metadata JSON) - the THIRD CommonCrawl interchange file
+  // ---------------------------------------------------------------
+
+  /** One WAT entry: target URL, WARC-Date, and the metadata JSON
+    * envelope as a raw string. WAT files (*.warc.wat.gz) are WARC
+    * framing whose records are `metadata` type with an
+    * `application/json` payload - per-page crawl metadata (headers,
+    * extracted links, title) that downstream plans parse with Spark's
+    * codegen'd JSON functions (`from_json`/`get_json_object`), never a
+    * bespoke parser here: the source's job is framing, the engine's
+    * job is JSON.
+    */
+  final case class WatEntry(url: String, fetchTime: String, json: String)
+
+  private def watEntry(
+      hs: Map[String, String], payload: Array[Byte]): Option[WatEntry] =
+    if (hs.getOrElse("warc-type", "") == "metadata" &&
+      hs.getOrElse("content-type", "").toLowerCase.startsWith("application/json"))
+      Some(WatEntry(
+        url = hs.getOrElse("warc-target-uri", ""),
+        fetchTime = hs.getOrElse("warc-date", ""),
+        json = new String(payload, StandardCharsets.UTF_8)))
+    else None
+
+  /** Parse the `metadata` entries of one WAT blob (plain or gzip), in
+    * file order - same refuse-don't-crash framing as the page path.
+    */
+  def parseWatEntries(raw: Array[Byte]): Seq[WatEntry] = {
+    val bytes = if (isGzip(raw)) gunzipAll(raw).orNull else raw
+    if (bytes == null) return Nil
+    val out = Seq.newBuilder[WatEntry]
+    var i = 0
+    var ok = true
+    while (ok && i < bytes.length) {
+      parseRecord(bytes, i) match {
+        case Some((headers, payloadStart, payloadLen, next)) =>
+          watEntry(headers, java.util.Arrays.copyOfRange(
+            bytes, payloadStart, payloadStart + payloadLen)).foreach(out += _)
+          i = next
+        case None => ok = false
+      }
+    }
+    out.result()
+  }
+
+  /** Stream one WAT file's entries record-at-a-time (bounded memory,
+    * shared framer).
+    */
+  def parseWatStream(
+      in0: java.io.InputStream,
+      maxRecordBytes: Int = 1 << 30): Iterator[WatEntry] =
+    streamRecords(in0, maxRecordBytes).flatMap { case (hs, payload) =>
+      watEntry(hs, payload)
+    }
+
+  /** Serialize entries as a WAT blob: warcinfo + one `metadata` record
+    * per entry (application/json). */
+  def writeWatBytes(entries: Seq[WatEntry], infoLine: String = "graft-meta"): Array[Byte] =
+    watRecordBlocks(entries, infoLine).flatten.toArray
+
+  /** Per-record gzip members - the *.warc.wat.gz wire layout. */
+  def writeWatGzBytes(entries: Seq[WatEntry], infoLine: String = "graft-meta"): Array[Byte] =
+    watRecordBlocks(entries, infoLine).flatMap { rec =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(rec); gz.finish(); gz.close()
+      bos.toByteArray
+    }.toArray
+
+  private def watRecordBlocks(entries: Seq[WatEntry], infoLine: String): Seq[Array[Byte]] = {
+    def record(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+      val head = new StringBuilder("WARC/1.1").append(CRLF)
+      headers.foreach { case (k, v) => head.append(k).append(": ").append(v).append(CRLF) }
+      head.append("Content-Length: ").append(payload.length).append(CRLF).append(CRLF)
+      head.toString.getBytes(StandardCharsets.UTF_8) ++ payload ++
+        (CRLF + CRLF).getBytes(StandardCharsets.UTF_8)
+    }
+    val info = record(
+      Seq("WARC-Type" -> "warcinfo", "Content-Type" -> "application/warc-fields"),
+      s"software: $infoLine$CRLF".getBytes(StandardCharsets.UTF_8))
+    info +: entries.map { e =>
+      record(
+        Seq("WARC-Type" -> "metadata",
+          "WARC-Target-URI" -> e.url,
+          "WARC-Date" -> e.fetchTime,
+          "Content-Type" -> "application/json"),
+        e.json.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Explode a binary WAT-blob column into entry rows beside the blob's
+    * id. Output: (idCol, url, fetch_time, json).
+    */
+  def watIngest(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(F.col(idCol).cast("long"), F.col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        parseWatEntries(bytes).map(e => (id, e.url, e.fetchTime, e.json))
+      }
+      .toDF(idCol, "url", "fetch_time", "json")
+  }
+
+  /** Read a directory of .wat / .warc.wat.gz files into entry rows: one
+    * STREAMING task per file. Output: (path, url, fetch_time, json).
+    */
+  def readWatFiles(
+      spark: SparkSession,
+      path: String,
+      maxRecordBytes: Int = 1 << 30): DataFrame = {
+    import spark.implicits._
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(hPath, "*.wat*"))
+    val paths = if (files == null) Seq.empty[String]
+      else files.toSeq.filter(_.isFile).map(_.getPath.toString).sorted
+    val schema = Seq("path", "url", "fetch_time", "json")
+    if (paths.isEmpty)
+      return spark.emptyDataset[(String, String, String, String)].toDF(schema: _*)
+    spark.createDataset(paths)
+      .repartition(paths.length) // one task per file
+      .flatMap { p =>
+        val fp = new org.apache.hadoop.fs.Path(p)
+        val efs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = efs.open(fp)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case NonFatal(_) => () }
+          })
+        parseWatStream(in, maxRecordBytes)
+          .map(e => (p, e.url, e.fetchTime, e.json))
+      }
+      .toDF(schema: _*)
+  }
+
   /** Parse the CRLF-separated `Name: value` lines after a version line
     * into lowercased-key headers. None on a line without a colon
     * (malformed block). Shared by the whole-blob and streaming paths.

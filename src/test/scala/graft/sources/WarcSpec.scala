@@ -324,6 +324,22 @@ class WarcSpec extends SparkSpec {
       java.util.Arrays.copyOfRange(cut, 0, cut.length - 6)) == docs.take(2))
   }
 
+  test("WAT: metadata-record roundtrip plain + gzip, stream == blob, cross-format empty") {
+    val entries = Seq(
+      Warc.WatEntry("https://a.example.org/1", "2024-01-02T03:00:00Z",
+        """{"Envelope":{"Links":[{"url":"https://x.example/"}]}}"""),
+      Warc.WatEntry("https://b.example.com/x", "2024-02-03T04:05:06Z",
+        """{"Envelope":{"Title":"中文 title"}}"""))
+    assert(Warc.parseWatEntries(Warc.writeWatBytes(entries)) == entries)
+    val gz = Warc.writeWatGzBytes(entries)
+    assert(Warc.parseWatEntries(gz) == entries)
+    assert(Warc.parseWatStream(new java.io.ByteArrayInputStream(gz)).toSeq == entries)
+    // page / wet / wat views are mutually exclusive record types
+    assert(Warc.parseWatEntries(Warc.writeWarcBytes(pages)).isEmpty)
+    assert(Warc.parseWarcPages(Warc.writeWatBytes(entries)).isEmpty)
+    assert(Warc.parseWetDocs(Warc.writeWatBytes(entries)).isEmpty)
+  }
+
   test("readWetFiles: one .wet file per task, directory scan roundtrip") {
     val docs = Seq(
       Warc.WetDoc("https://a.example.org/1", "2024-01-02T03:00:00Z", "text one."),
