@@ -65,6 +65,34 @@ object SparkEntry {
       concat(lit("?q="), substring(md5(col("text")), 7, 4))).otherwise(lit("")),
     when(col("doc_id") % 17 === 0, lit("#sec")).otherwise(lit("")))
 
+  /** Dedicated messy shell for `web_surt`: stacks the SURT cases the
+    * shared [[synthUrlCol]] shell lacks - default ports (:443 under
+    * https, :80 under http) that must DROP from the key vs an :8080
+    * that must survive, a `WWW.` label that must strip, a mixed-case
+    * path that must lowercase, and a two-param query in the WRONG
+    * order that must sort. Replayed inline in the one oracle (same
+    * no-drift rule as web_url_canon's messy shell).
+    */
+  private def surtShellCol: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      when(id % 2 === 0, lit("https")).otherwise(lit("HTTP")),
+      lit("://"),
+      when(id % 13 === 0, lit("User@")).otherwise(lit("")),
+      when(id % 5 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Src"), (id % 10).cast(StringType),
+      when(id % 3 === 0, lit(".COM"))
+        .when(id % 3 === 1, lit(".co.UK")).otherwise(lit(".org")),
+      when(id % 2 === 0, lit(":443")).when(id % 13 === 0, lit(":80"))
+        .when(id % 11 === 0, lit(":8080")).otherwise(lit("")),
+      when(id % 9 === 0, lit(""))
+        .otherwise(concat(lit("/P/"), (id % 7).cast(StringType))),
+      when(id % 7 === 0,
+        concat(lit("?b="), (id % 5).cast(StringType), lit("&A=1")))
+        .otherwise(lit("")),
+      when(id % 17 === 0, lit("#Frag")).otherwise(lit("")))
+  }
+
   /** Deterministic HTML shell with anchor elements for the link-graph
     * queries (`web_link_graph` / `web_domain_rank` / `web_anchor_text`):
     * two absolute hrefs with worded anchor texts (double- AND
@@ -730,6 +758,23 @@ object SparkEntry {
     // that strip margins themselves, and stripping here first would let
     // the OUTER pass eat the first '|' of every '||' concat operator
   }
+
+  /** SQL replay of [[WebOps.surtKey]] over the parse columns
+    * `(scheme, host, port, path, qstr)` that [[urlShellCte]]'s `p`
+    * CTE (and the inline parse in the web_surt oracle) provide - ONE
+    * fragment shared by all four SURT/CDX oracles so the replays
+    * cannot drift. list_reverse/list_sort are the same binary-order
+    * primitives as Spark's reverse/array_sort.
+    */
+  private val surtReplaySql: String =
+    "array_to_string(list_reverse(string_split(" +
+      "regexp_replace(host, '^www\\.', ''), '.')), ',')" +
+      " || (CASE WHEN port <> 0 AND port <> (CASE scheme WHEN 'http' THEN 80" +
+      " WHEN 'https' THEN 443 ELSE 0 END)" +
+      " THEN ':' || CAST(port AS VARCHAR) ELSE '' END)" +
+      " || ')' || (CASE WHEN path = '' THEN '/' ELSE lower(path) END)" +
+      " || (CASE WHEN qstr = '' THEN '' ELSE '?' ||" +
+      " lower(array_to_string(list_sort(string_split(qstr, '&')), '&')) END)"
 
   /** 26-letter transliteration alphabets for the `text_scripts` shell -
     * ONE definition used by the Spark query and (interpolated) by the
@@ -2167,6 +2212,141 @@ object SparkEntry {
           minWords = 3, minLines = 2)
         .select(col("doc_id"), col("clean"))
       TextOps.dedupLines(cleaned, "doc_id", "clean", minLen = 10)
+    },
+    "web_surt" -> { (s, dir) =>
+      // SURT keys (the web-archive index key): host labels reversed so
+      // one site's URLs sort adjacently, default ports and www. folded,
+      // query params sorted, fragments cut. The dedicated shell stacks
+      // the cases the shared URL shell lacks: default :443/:80 ports
+      // that must DROP vs an :8080 that must survive, a mixed-case
+      // path that must lowercase, and a two-param unsorted query.
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), surtShellCol.as("url"))
+        .select(col("doc_id"), col("url"),
+          WebOps.surtKey(col("url")).as("surt"))
+    },
+    "web_cdx_roundtrip" -> { (s, dir) =>
+      // the FOURTH CommonCrawl interchange artifact: the CDX(J) cluster
+      // index ("surt timestamp14 json" lines, gzip shards). Build index
+      // lines for the corpus's synthetic captures, write -> read ->
+      // parse; the oracle replays every field closed-form (container
+      // bytes never enter the compare). Read parallelism = shard file,
+      // exactly how CommonCrawl ships its ~300-shard index.
+      val path = scratchPath("web_cdx", dir)
+      val id = col("doc_id")
+      val lines = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("url", synthUrlCol)
+        .select(graft.sources.Cdx.cdxLine(
+          WebOps.surtKey(col("url")),
+          graft.sources.Cdx.timestamp14(lit(2024), id % 12 + 1, id % 28 + 1,
+            id % 24, id % 60, lit(0)),
+          col("url"), lit("text/html"),
+          when(id % 31 === 0, lit("404")).otherwise(lit("200")),
+          md5(col("text")),
+          col("n_chars").cast(StringType),
+          (id * 512).cast(StringType),
+          concat(lit("cdx/shard-"), (id % 16).cast(StringType),
+            lit(".warc.gz"))).as("line"))
+      graft.sources.Cdx.writeCdx(lines, "line", path)
+      graft.sources.Cdx.readCdx(s, path)
+    },
+    "web_cdx_fetchlist" -> { (s, dir) =>
+      // incremental-crawl cut: candidate URLs anti-join the archive
+      // index on (surt, digest) - unchanged content never refetches.
+      // A quarter of the index carries a stale digest (content changed
+      // since capture), so those URLs survive into the fetch list.
+      // ONE equi-anti-join on the two key columns; the index side
+      // projects nothing else.
+      val id = col("doc_id")
+      val base = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("url", synthUrlCol)
+        .select(id, col("url"), WebOps.surtKey(col("url")).as("surt"),
+          col("text"))
+      val cand = base.select(id, col("url"), col("surt"),
+        md5(col("text")).as("digest"))
+      val index = base.select(col("surt"),
+        when(id % 4 === 0, md5(concat(col("text"), lit("x"))))
+          .otherwise(md5(col("text"))).as("digest"))
+      WebOps.fetchList(cand, "surt", "digest", index, "surt", "digest")
+        .select(col("doc_id"), col("url"), col("surt"), col("digest"))
+    },
+    "web_recrawl" -> { (s, dir) =>
+      // adaptive revisit scheduling from two index snapshots: per SURT,
+      // the interval halves when the content digest changed between
+      // snapshots and doubles when stable (clamped) - the freshness
+      // policy every production crawler runs. Duplicate captures of a
+      // surt fold by min digest inside recrawlSchedule.
+      val id = col("doc_id")
+      val base = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("url", synthUrlCol)
+        .select(id, WebOps.surtKey(col("url")).as("surt"), col("text"))
+      val prev = base.select(col("surt"), md5(col("text")).as("digest"))
+      val cur = base.select(col("surt"),
+        when(id % 3 === 0, md5(concat(col("text"), lit("y"))))
+          .otherwise(md5(col("text"))).as("digest"))
+      WebOps.recrawlSchedule(prev, "surt", "digest", cur, "surt", "digest")
+    },
+    "web_cdx_latest" -> { (s, dir) =>
+      // the "current state of the web" view: two captures per page
+      // (2024 + 2025, the later digest changed on a third of pages)
+      // fold to the per-SURT latest by ONE max-struct aggregate -
+      // timestamp14 sorts lexically==chronologically, and the struct
+      // compare breaks same-second ties deterministically (never
+      // max_by's arbitrary pick). Map-side partials carry one struct
+      // per (partition, surt).
+      val id = col("doc_id")
+      val base = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("url", synthUrlCol)
+      def cap(ts: org.apache.spark.sql.Column, dg: org.apache.spark.sql.Column) =
+        base.select(
+          WebOps.surtKey(col("url")).as("surt_key"), ts.as("cdx_ts"),
+          col("url"), lit("text/html").as("mime"), lit("200").as("status"),
+          dg.as("digest"), col("n_chars").cast(StringType).as("length"),
+          (id * 512).cast(StringType).as("offset"),
+          concat(lit("s-"), (id % 16).cast(StringType)).as("filename"))
+      val c1 = cap(lit("20240101000000"), md5(col("text")))
+      val c2 = cap(lit("20250101000000"),
+        when(id % 3 === 0, md5(concat(col("text"), lit("z"))))
+          .otherwise(md5(col("text"))))
+      graft.sources.Cdx.latestCaptures(c1.unionByName(c2))
+    },
+    "web_robots_meta" -> { (s, dir) =>
+      // the in-page half of the exclusion protocol: meta robots parsed
+      // in BOTH attribute orders (and single quotes, and case-folded
+      // content), noindex/nofollow as token matches so `noindexing`
+      // never false-positives, `none` meaning both
+      val id = col("doc_id")
+      val html = concat(lit("<html><head>"),
+        when(id % 5 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+          .when(id % 5 === 1, lit("<meta content=\"NOFOLLOW\" name=\"robots\">"))
+          .when(id % 5 === 2, lit("<meta name='robots' content='none'>"))
+          .when(id % 5 === 3,
+            lit("<meta name=\"robots\" content=\"index, follow\">"))
+          .otherwise(lit("")),
+        lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
+      WebOps.robotsMetaDirectives(
+          tbl(s, dir, "documents").select(col("doc_id"), html.as("html")),
+          "html")
+        .select(col("doc_id"), col("robots_content"),
+          col("noindex"), col("nofollow"))
+    },
+    "web_crawl_traps" -> { (s, dir) =>
+      // domain-level trap detection: even-numbered hosts mix repeating
+      // calendar-recursion paths (repeat_share trips), odd hosts mix
+      // deep-but-distinct paths (avg_depth trips) - both flag routes
+      // exercised, plus unflagged shallow traffic on every host
+      val id = col("doc_id")
+      val url = concat(lit("https://t"), (id % 6).cast(StringType),
+        lit(".org"),
+        when(id % 4 === 0,
+          concat(lit("/cal/2024/cal/2024/cal/"), (id % 12).cast(StringType)))
+          .when(id % 4 === 1,
+            concat(lit("/a/b/c/d/e/f/g/"), (id % 9).cast(StringType)))
+          .otherwise(concat(lit("/p/"), (id % 7).cast(StringType))))
+      WebOps.crawlTraps(
+        tbl(s, dir, "documents").select(url.as("url")), "url",
+        minUrls = 5, maxAvgDepth = 4.5, maxRepeatShare = 0.3)
     },
     "web_url_canon" -> { (s, dir) =>
       // URL canonicalization: the cheapest dedup in the pipeline (one
@@ -5339,6 +5519,187 @@ object SparkEntry {
         |  SELECT doc_id, array_to_string(kept, chr(10)) AS clean
         |  FROM f WHERE len(kept) >= 2
         |), ${lineDedupReplaySql("cleaned", "clean")}""".stripMargin
+    },
+    "web_surt" -> {
+      // the dedicated messy shell replayed inline (same no-drift rule
+      // as web_url_canon), the parse replayed with the SAME regexes as
+      // urlShellCte's p, and the key by the shared surt fragment
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+        |    || '://'
+        |    || (CASE WHEN doc_id % 13 = 0 THEN 'User@' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+        |    || 'Src' || CAST(doc_id % 10 AS VARCHAR)
+        |    || (CASE doc_id % 3 WHEN 0 THEN '.COM' WHEN 1 THEN '.co.UK' ELSE '.org' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ':443' WHEN doc_id % 13 = 0 THEN ':80'
+        |             WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN '' ELSE '/P/' || CAST(doc_id % 7 AS VARCHAR) END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '?b=' || CAST(doc_id % 5 AS VARCHAR) || '&A=1' ELSE '' END)
+        |    || (CASE WHEN doc_id % 17 = 0 THEN '#Frag' ELSE '' END) AS url
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |                         '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+        |    CASE WHEN regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |                             ':([0-9]{1,5})$$', 1) = '' THEN 0
+        |         ELSE CAST(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |                                  ':([0-9]{1,5})$$', 1) AS INT) END AS port,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\\?([^#]*)', 1) AS qstr
+        |  FROM u
+        |)
+        |SELECT doc_id, url, $surtReplaySql AS surt FROM p""".stripMargin
+    },
+    "web_cdx_roundtrip" -> {
+      // every CDX field replayed closed-form over the shared URL shell;
+      // the container (gzip text shards) never enters the compare
+      s"""WITH $urlShellCte
+        |SELECT $surtReplaySql AS surt_key,
+        |  '2024' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+        |         || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |         || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+        |         || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || '00' AS cdx_ts,
+        |  p.url AS url, 'text/html' AS mime,
+        |  CASE WHEN doc_id % 31 = 0 THEN '404' ELSE '200' END AS status,
+        |  md5(dd.text) AS digest,
+        |  CAST(p.n_chars AS VARCHAR) AS length,
+        |  CAST(doc_id * 512 AS VARCHAR) AS offset,
+        |  'cdx/shard-' || CAST(doc_id % 16 AS VARCHAR) || '.warc.gz' AS filename
+        |FROM p JOIN documents dd USING (doc_id) WHERE dd.text IS NOT NULL""".stripMargin
+    },
+    "web_cdx_fetchlist" -> {
+      // anti-join replay: NOT EXISTS on the (surt, digest) pair
+      s"""WITH $urlShellCte, b AS (
+        |  SELECT doc_id, p.url, $surtReplaySql AS surt, dd.text
+        |  FROM p JOIN documents dd USING (doc_id) WHERE dd.text IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id, url, surt, md5(text) AS digest FROM b
+        |), i AS (
+        |  SELECT surt, CASE WHEN doc_id % 4 = 0 THEN md5(text || 'x')
+        |               ELSE md5(text) END AS digest FROM b
+        |)
+        |SELECT c.doc_id, c.url, c.surt, c.digest FROM c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM i WHERE i.surt = c.surt AND i.digest = c.digest)""".stripMargin
+    },
+    "web_recrawl" -> {
+      // min-digest fold per surt in each snapshot, then the halve/double
+      // policy (base 7 days: changed -> 3, stable -> 14, both in-clamp)
+      s"""WITH $urlShellCte, b AS (
+        |  SELECT doc_id, $surtReplaySql AS surt, dd.text
+        |  FROM p JOIN documents dd USING (doc_id) WHERE dd.text IS NOT NULL
+        |), a1 AS (
+        |  SELECT surt, min(md5(text)) AS d1 FROM b GROUP BY 1
+        |), a2 AS (
+        |  SELECT surt, min(CASE WHEN doc_id % 3 = 0 THEN md5(text || 'y')
+        |                   ELSE md5(text) END) AS d2 FROM b GROUP BY 1
+        |)
+        |SELECT surt, d1 <> d2 AS changed,
+        |       CAST(CASE WHEN d1 <> d2 THEN 3 ELSE 14 END AS INT) AS interval_days
+        |FROM a1 JOIN a2 USING (surt)""".stripMargin
+    },
+    "web_cdx_latest" -> {
+      // max(struct_pack(...)) replays Spark's max(struct(...)) - both
+      // compare field-order lexicographically (the docs_line_dedup
+      // precedent), cdx_ts leading
+      s"""WITH $urlShellCte, b AS (
+        |  SELECT doc_id, p.url, $surtReplaySql AS surt, dd.text, p.n_chars
+        |  FROM p JOIN documents dd USING (doc_id) WHERE dd.text IS NOT NULL
+        |), caps AS (
+        |  SELECT surt AS surt_key, '20240101000000' AS cdx_ts, url,
+        |         'text/html' AS mime, '200' AS status, md5(text) AS digest,
+        |         CAST(n_chars AS VARCHAR) AS length,
+        |         CAST(doc_id * 512 AS VARCHAR) AS "offset",
+        |         's-' || CAST(doc_id % 16 AS VARCHAR) AS filename
+        |  FROM b
+        |  UNION ALL
+        |  SELECT surt, '20250101000000', url, 'text/html', '200',
+        |         CASE WHEN doc_id % 3 = 0 THEN md5(text || 'z') ELSE md5(text) END,
+        |         CAST(n_chars AS VARCHAR), CAST(doc_id * 512 AS VARCHAR),
+        |         's-' || CAST(doc_id % 16 AS VARCHAR)
+        |  FROM b
+        |), agg AS (
+        |  SELECT surt_key, max(struct_pack(cdx_ts := cdx_ts, url := url,
+        |    mime := mime, status := status, digest := digest,
+        |    length := length, "offset" := "offset", filename := filename)) AS m
+        |  FROM caps GROUP BY 1
+        |)
+        |SELECT surt_key,
+        |  struct_extract(m, 'cdx_ts') AS cdx_ts,
+        |  struct_extract(m, 'url') AS url,
+        |  struct_extract(m, 'mime') AS mime,
+        |  struct_extract(m, 'status') AS status,
+        |  struct_extract(m, 'digest') AS digest,
+        |  struct_extract(m, 'length') AS length,
+        |  struct_extract(m, 'offset') AS "offset",
+        |  struct_extract(m, 'filename') AS filename
+        |FROM agg""".stripMargin
+    },
+    "web_robots_meta" -> {
+      // shell + parse replayed with the SAME regexes; token matches so
+      // noindexING never false-positives; none = both
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head>' ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '<meta name="robots" content="noindex, nofollow">'
+        |          WHEN doc_id % 5 = 1 THEN '<meta content="NOFOLLOW" name="robots">'
+        |          WHEN doc_id % 5 = 2 THEN '<meta name=''robots'' content=''none''>'
+        |          WHEN doc_id % 5 = 3 THEN '<meta name="robots" content="index, follow">'
+        |          ELSE '' END) ||
+        |    '</head><body><p>' || text || '</p></body></html>' AS html
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id,
+        |    lower(CASE WHEN regexp_extract(html,
+        |        '(?is)<meta[^>]*name\\s*=\\s*["'']robots["''][^>]*content\\s*=\\s*["'']([^"'']*)["'']', 1) <> ''
+        |      THEN regexp_extract(html,
+        |        '(?is)<meta[^>]*name\\s*=\\s*["'']robots["''][^>]*content\\s*=\\s*["'']([^"'']*)["'']', 1)
+        |      ELSE regexp_extract(html,
+        |        '(?is)<meta[^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*name\\s*=\\s*["'']robots["'']', 1)
+        |      END) AS robots_content
+        |  FROM h
+        |)
+        |SELECT doc_id, robots_content,
+        |  (regexp_matches(robots_content, '(^|[\\s,])noindex($$|[\\s,])') OR
+        |   regexp_matches(robots_content, '(^|[\\s,])none($$|[\\s,])')) AS noindex,
+        |  (regexp_matches(robots_content, '(^|[\\s,])nofollow($$|[\\s,])') OR
+        |   regexp_matches(robots_content, '(^|[\\s,])none($$|[\\s,])')) AS nofollow
+        |FROM c""".stripMargin
+    },
+    "web_crawl_traps" -> {
+      // per-URL signals as list ops, the PSL fold via the shared
+      // domainFoldSql, exact integer-sum divisions for avg/share
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |    'https://t' || CAST(doc_id % 6 AS VARCHAR) || '.org' ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '/cal/2024/cal/2024/cal/' || CAST(doc_id % 12 AS VARCHAR)
+        |          WHEN doc_id % 4 = 1 THEN '/a/b/c/d/e/f/g/' || CAST(doc_id % 9 AS VARCHAR)
+        |          ELSE '/p/' || CAST(doc_id % 7 AS VARCHAR) END) AS url
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |                         '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+        |    list_filter(string_split(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'),
+        |                s -> s <> '') AS segs
+        |  FROM u
+        |), s AS (
+        |  SELECT ${domainFoldSql("host")} AS domain, len(segs) AS depth,
+        |    CASE WHEN len(segs) - len(list_distinct(segs)) >= 2 THEN 1 ELSE 0 END AS rep
+        |  FROM q
+        |), a AS (
+        |  SELECT domain, count(*) AS n_urls, sum(depth) AS sd, sum(rep) AS sr
+        |  FROM s GROUP BY 1
+        |)
+        |SELECT domain, n_urls,
+        |  CAST(sd AS DOUBLE) / n_urls AS avg_depth,
+        |  CAST(sr AS DOUBLE) / n_urls AS repeat_share,
+        |  (n_urls >= 5 AND (CAST(sd AS DOUBLE) / n_urls > 4.5 OR
+        |                    CAST(sr AS DOUBLE) / n_urls > 0.3)) AS flagged
+        |FROM a""".stripMargin
     },
     "web_url_canon" -> urlCanonOracleSql,
     "web_robots" -> robotsOracleSql,

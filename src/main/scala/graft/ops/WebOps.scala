@@ -110,6 +110,48 @@ object WebOps {
   /** Query string of `url` (without the '?'), "" when absent. */
   def urlQuery(url: Column): Column = rx(url, "\\?([^#]*)")
 
+  /** SURT key (Sort-friendly URI Reordering Transform) of `url` - the
+    * canonical lookup key of web-archive indexes (CDX): URLs of one
+    * site sort adjacently because the host's dot-labels are REVERSED
+    * and comma-joined (`www.example.com/A?b=2&a=1` ->
+    * `com,example)/a?a=1&b=2`). Semantics (pywb-style, documented
+    * here as THE contract):
+    *
+    *   1. host lowercased (via [[urlHost]]), ONE leading `www.` label
+    *      stripped, labels reversed and joined with `,`;
+    *   2. an explicit port survives as `:port` UNLESS it is the
+    *      scheme default (http:80 / https:443) - default ports and
+    *      portless URLs key identically;
+    *   3. `)` separator, then the path lowercased (`""` keys as `/`:
+    *      `http://h` and `http://h/` are the same resource);
+    *   4. a non-empty query appends as `?` + the `&`-split parameters
+    *      SORTED (byte order) and lowercased - parameter order never
+    *      splits an archive entry; fragments never reach the key
+    *      ([[urlPath]]/[[urlQuery]] already cut them).
+    *
+    * Pure codegen (regex extracts + split/reverse/sort/join) - the key
+    * fuses into the scan that reads the URL, and a CDX build over a
+    * 100-TB crawl pays exactly one sort on an already-computed string
+    * column. Byte-replayable in DuckDB (list_reverse/list_sort are the
+    * same binary-order primitives).
+    */
+  def surtKey(url: Column): Column = {
+    val scheme = urlScheme(url)
+    val host = regexp_replace(urlHost(url), "^www\\.", "")
+    val hostKey = array_join(reverse(split(host, "\\.")), ",")
+    val defPort = when(scheme === "http", lit(80))
+      .when(scheme === "https", lit(443)).otherwise(lit(0))
+    val port = urlPort(url)
+    val portPart = when(port =!= 0 && port =!= defPort,
+      concat(lit(":"), port.cast(StringType))).otherwise(lit(""))
+    val p = urlPath(url)
+    val pathPart = when(p === "", lit("/")).otherwise(lower(p))
+    val q = urlQuery(url)
+    val qPart = when(q === "", lit("")).otherwise(
+      concat(lit("?"), lower(array_join(array_sort(split(q, "&")), "&"))))
+    concat(hostKey, portPart, lit(")"), pathPart, qPart)
+  }
+
   /** Registrable domain (eTLD+1) of a host, by the Public Suffix List
     * algorithm over the checked-in snapshot ([[pslRules]]):
     *
@@ -733,6 +775,71 @@ object WebOps {
       .drop("gr_dd", "crawl_delay")
   }
 
+  /** Fetch list against an archive index: candidate URLs whose
+    * (surt, digest) pair is ALREADY in the index are dropped - the
+    * "don't refetch unchanged content" cut every incremental crawl
+    * runs before spending bandwidth. The index side carries only the
+    * two key columns into a LEFT ANTI equi-join (Spark never
+    * materializes the non-matching index rows), so at 100 TB this is
+    * one shuffle of 8-byte-digest + surt keys on both sides - and the
+    * candidates frame (a frontier, orders of magnitude smaller than
+    * the archive) is the side AQE will happily broadcast when it
+    * fits. Candidates with no archive entry, or whose content digest
+    * changed, survive as the fetch list.
+    */
+  def fetchList(
+      candidates: DataFrame,
+      surtCol: String,
+      digestCol: String,
+      index: DataFrame,
+      indexSurtCol: String,
+      indexDigestCol: String
+  ): DataFrame =
+    candidates.join(
+      index.select(F.col(indexSurtCol).as("gr_fs"), F.col(indexDigestCol).as("gr_fd")),
+      F.col(surtCol) === F.col("gr_fs") && F.col(digestCol) === F.col("gr_fd"),
+      "left_anti")
+
+  /** Adaptive revisit scheduling from two archive-index snapshots
+    * (the classic crawl-freshness policy: halve the revisit interval
+    * for URLs whose content changed between snapshots, double it for
+    * stable ones, clamped to [minDays, maxDays]). Snapshots key on
+    * the SURT; duplicate keys within a snapshot (one URL captured
+    * twice) fold by MIN digest first - deterministic, and the
+    * interesting signal is "any change", not which capture. One
+    * aggregate per snapshot + one equi-join on the surt, all partial-
+    * aggregated map-side: at crawl scale both frames are
+    * frontier-sized (distinct URLs), never corpus-sized.
+    *
+    * Output: (surt, changed, interval_days) - URLs present in only
+    * one snapshot don't schedule (inner join): a first-seen URL has
+    * no change signal yet and gets the crawler's default cadence.
+    */
+  def recrawlSchedule(
+      prev: DataFrame,
+      prevSurtCol: String,
+      prevDigestCol: String,
+      cur: DataFrame,
+      curSurtCol: String,
+      curDigestCol: String,
+      baseDays: Int = 7,
+      minDays: Int = 1,
+      maxDays: Int = 30
+  ): DataFrame = {
+    require(minDays >= 0 && minDays <= baseDays && baseDays <= maxDays,
+      s"need 0 <= minDays <= baseDays <= maxDays, got $minDays/$baseDays/$maxDays")
+    val a = prev.groupBy(F.col(prevSurtCol).as("surt"))
+      .agg(F.min(F.col(prevDigestCol)).as("gr_d1"))
+    val b = cur.groupBy(F.col(curSurtCol).as("surt"))
+      .agg(F.min(F.col(curDigestCol)).as("gr_d2"))
+    a.join(b, "surt")
+      .withColumn("changed", F.col("gr_d1") =!= F.col("gr_d2"))
+      .withColumn("interval_days",
+        when(F.col("changed"), greatest(lit(baseDays / 2), lit(minDays)))
+          .otherwise(least(lit(baseDays * 2), lit(maxDays))).cast(IntegerType))
+      .drop("gr_d1", "gr_d2")
+  }
+
   /** The path-pattern regex of a robots rule: `*` matches any run,
     * a TRAILING `$` anchors the end, everything else is literal
     * (regex specials escaped with plain literal replaces - backslash
@@ -906,6 +1013,81 @@ object WebOps {
       .withColumn("html_lang",
         lower(regexp_extract(h, "(?is)<html[^>]*\\slang\\s*=\\s*[\"']([^\"']+)[\"']", 1)))
       .withColumn("canonical_url", attr2("link", "rel", "canonical", "href"))
+  }
+
+  /** Robots META directives from page HTML (the in-page half of the
+    * exclusion protocol: robots.txt gates the FETCH, `<meta
+    * name="robots">` gates what an indexer may DO with the fetched
+    * page - a corpus builder honoring publisher intent filters on
+    * both). The content attribute parses in either attribute order
+    * (the [[pageMeta]] discipline), folds to lowercase, and the
+    * noindex / nofollow verdicts are token matches (comma/whitespace
+    * separated, so `noindexing` never false-positives); `none` means
+    * both (the protocol's shorthand). Pure codegen regex projections
+    * fused into the scan - RE2 subset, replayed byte-for-byte in the
+    * oracle.
+    *
+    * Adds: robots_content (lowercased, "" when no tag), noindex,
+    * nofollow.
+    */
+  def robotsMetaDirectives(df: DataFrame, htmlCol: String): DataFrame = {
+    val h = F.col(htmlCol)
+    val fwd = "(?is)<meta[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*content\\s*=\\s*[\"']([^\"']*)[\"']"
+    val rev = "(?is)<meta[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*name\\s*=\\s*[\"']robots[\"']"
+    val f = regexp_extract(h, fwd, 1)
+    val content = lower(when(f =!= "", f).otherwise(regexp_extract(h, rev, 1)))
+    def tok(t: String): Column =
+      F.col("robots_content").rlike(s"(^|[\\s,])$t($$|[\\s,])")
+    df.withColumn("robots_content", content)
+      .withColumn("noindex", tok("noindex") || tok("none"))
+      .withColumn("nofollow", tok("nofollow") || tok("none"))
+  }
+
+  /** Per-domain crawl-trap signals: infinite calendars, session-id
+    * mazes and path-recursion bugs generate unbounded URL spaces that
+    * drown a frontier unless cut at the DOMAIN level. Two per-URL
+    * signals that need no fetch at all: path depth, and repeated path
+    * segments (a segment occurring 3+ times in one path - `/cal/2024/
+    * cal/2024/cal/...` - the recursion signature; one repeat is
+    * normal nesting). Aggregated per registrable domain (the PSL fold
+    * runs once per distinct host): n_urls, avg_depth, repeat_share,
+    * and the flag = enough URLs AND (too deep on average OR too many
+    * repeating paths). avg/share are exact integer-sum divisions, so
+    * the oracle replays them bit-for-bit.
+    *
+    * One aggregate shuffle keyed on the domain - frontier-sized, never
+    * corpus-sized; the signals are codegen'd list ops fused into the
+    * scan.
+    */
+  def crawlTraps(
+      df: DataFrame,
+      urlCol: String,
+      minUrls: Long = 5,
+      maxAvgDepth: Double = 6.0,
+      maxRepeatShare: Double = 0.3
+  ): DataFrame = {
+    val segs = F.filter(split(urlPath(F.col("gr_tu")), "/"),
+      (s: Column) => s =!= "")
+    val sigs = df.select(F.col(urlCol).as("gr_tu"))
+      .withColumn("gr_depth", F.size(segs))
+      .withColumn("gr_rep",
+        (F.size(segs) - F.size(F.array_distinct(segs)) >= 2)
+          .cast(IntegerType))
+    foldDomainByHost(
+      sigs.withColumn("gr_th", urlHost(F.col("gr_tu"))), F.col("gr_th"), "domain")
+      .groupBy(F.col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(F.col("gr_depth")).as("gr_sd"),
+        sum(F.col("gr_rep")).as("gr_sr"))
+      .withColumn("avg_depth",
+        F.col("gr_sd").cast(DoubleType) / F.col("n_urls"))
+      .withColumn("repeat_share",
+        F.col("gr_sr").cast(DoubleType) / F.col("n_urls"))
+      .withColumn("flagged",
+        F.col("n_urls") >= minUrls &&
+          (F.col("avg_depth") > maxAvgDepth ||
+            F.col("repeat_share") > maxRepeatShare))
+      .drop("gr_sd", "gr_sr")
   }
 
   /** Per-target-domain anchor-text vocabulary: for every registrable

@@ -1006,6 +1006,45 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming CDX-index maintenance - the seventeenth maintained
+    * lifecycle: the latest-capture-per-SURT view
+    * ([[graft.sources.Cdx.latestCaptures]]) kept live as new crawl
+    * captures stream in, so fetch-list / recrawl decisions
+    * ([[graft.ops.WebOps.fetchList]] / `recrawlSchedule`) always join
+    * against the current state of the web without re-scanning the
+    * capture history. Each micro-batch folds to its own per-surt
+    * latest, unions with the maintained index, and re-folds - the
+    * max-struct aggregate is associative, so streamed batches in any
+    * arrival order equal ONE batch latestCaptures over the union (the
+    * parity the spec pins). State is one row per surt (frontier-sized,
+    * never capture-history-sized); same checkpoint-graveyard release
+    * discipline as [[lineDedupMaintenance]]: `onBatch(index)` frames
+    * release when the NEXT batch lands - consume or copy out before
+    * returning.
+    */
+  def cdxMaintenance(
+      stream: DataFrame,
+      initialIndex: DataFrame
+  )(onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    @volatile var index =
+      graft.sources.Cdx.latestCaptures(initialIndex).localCheckpoint()
+    @volatile var graveyard: Seq[DataFrame] = Nil
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val prev = index
+          index = graft.sources.Cdx
+            .latestCaptures(prev.unionByName(batch.toDF()))
+            .localCheckpoint()
+          onBatch(index)
+          graveyard.foreach(unpersistCheckpoint)
+          graveyard = Seq(prev)
+        }
+      }
+      .start()
+  }
+
   /** See [[graft.ops.OpsUtil.unpersistCheckpoint]] - shared with the
     * batch-side audits that also pin localCheckpoint snapshots.
     */

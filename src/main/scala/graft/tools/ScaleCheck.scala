@@ -296,6 +296,35 @@ object ScaleCheck {
       graft.ops.MultimodalOps.videoDupPairs(media, maxHamming = 0,
         maxBlockSize = 200)
     }
+    // CDX fetch-list: surt-key projections fuse into the scan; the one
+    // shuffle is the (surt, digest) anti-join, whose key count grows
+    // with the data (copy-suffixed sources keep the 10x surts distinct)
+    timed("web_cdx_fetchlist", webify(webBase), webify(web10)) { df =>
+      val base = df.select(col("doc_id"), col("url"),
+        graft.ops.WebOps.surtKey(col("url")).as("surt"), col("text"))
+      val cand = base.select(col("doc_id"), col("url"), col("surt"),
+        md5(col("text")).as("digest"))
+      val index = base.select(col("surt"),
+        when(col("doc_id") % 4 === 0, md5(concat(col("text"), lit("x"))))
+          .otherwise(md5(col("text"))).as("digest"))
+      graft.ops.WebOps.fetchList(cand, "surt", "digest",
+        index, "surt", "digest")
+    }
+    // CDX latest-capture fold: ONE max-struct aggregate keyed on the
+    // surt - map-side partials mean the shuffle carries one candidate
+    // struct per (partition, surt), so the 10x run should track the
+    // 10x key count, never the 2x-capture history
+    timed("web_cdx_latest", webify(webBase), webify(web10)) { df =>
+      val base = df.select(col("doc_id"), col("url"),
+        graft.ops.WebOps.surtKey(col("url")).as("surt_key"), col("text"))
+      def cap(ts: String, dg: org.apache.spark.sql.Column) = base.select(
+        col("surt_key"), lit(ts).as("cdx_ts"), col("url"),
+        lit("text/html").as("mime"), lit("200").as("status"), dg.as("digest"),
+        lit("1").as("length"), lit("0").as("offset"), lit("f").as("filename"))
+      graft.sources.Cdx.latestCaptures(
+        cap("20240101000000", md5(col("text"))).unionByName(
+          cap("20250101000000", md5(concat(col("text"), lit("z"))))))
+    }
     spark.stop()
   }
 }

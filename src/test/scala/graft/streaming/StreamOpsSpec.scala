@@ -893,6 +893,42 @@ class StreamOpsSpec extends SparkSpec {
       "closing line of doc four"))
   }
 
+  test("cdxMaintenance: streamed captures == one batch latestCaptures over the union") {
+    implicit val sqlCtx = spark.sqlContext
+    def cap(surt: String, ts: String, dg: String) =
+      (surt, ts, s"https://$surt", "text/html", "200", dg, "10", "0", "f.warc.gz")
+    // batch 1 seeds two surts; batch 2 recaptures one LATER (must win),
+    // one EARLIER (must lose), and adds a new surt
+    val batch1 = Seq(cap("s1", "20240101000000", "d1"),
+      cap("s2", "20240601000000", "d2"))
+    val batch2 = Seq(cap("s1", "20250101000000", "d1b"),
+      cap("s2", "20230101000000", "d2-old"),
+      cap("s3", "20240301000000", "d3"))
+    val cols = Seq("surt_key", "cdx_ts", "url", "mime", "status",
+      "digest", "length", "offset", "filename")
+    @volatile var latest: org.apache.spark.sql.DataFrame = null
+    val mem = MemoryStream[(String, String, String, String, String, String, String, String, String)]
+    val initial = Seq.empty[(String, String, String, String, String, String, String, String, String)]
+      .toDF(cols: _*)
+    val sq = StreamOps.cdxMaintenance(mem.toDF().toDF(cols: _*), initial)(latest = _)
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    val streamed = latest.select("surt_key", "cdx_ts", "digest")
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    sq.stop()
+    val direct = graft.sources.Cdx.latestCaptures(
+        (batch1 ++ batch2).toDF(cols: _*))
+      .select("surt_key", "cdx_ts", "digest")
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    assert(streamed == direct)
+    assert(streamed == Seq(
+      ("s1", "20250101000000", "d1b"),
+      ("s2", "20240601000000", "d2"),
+      ("s3", "20240301000000", "d3")))
+  }
+
   test("sampleMaintenance: streamed state == one-shot sampleState, quantiles served") {
     implicit val sqlCtx = spark.sqlContext
     val batch1 = (1L to 30L).map(i => ("a", i, i.toDouble)) ++
