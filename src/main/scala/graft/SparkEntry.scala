@@ -1888,6 +1888,22 @@ object SparkEntry {
       GraphOps.pageRank(sym, "sd", "dd", iterations = 10)
         .select(col("node").as("domain"), col("rank_int"))
     },
+    "web_trustrank" -> { (s, dir) =>
+      // spam demotion: trust propagates from a vetted seed set (.com
+      // domains here) along DIRECTED links only - integer map, so the
+      // replay is exact; domains no trusted page reaches hold 0, which
+      // IS the spam verdict
+      val pages = tbl(s, dir, "documents")
+        .withColumn("url", synthUrlCol).withColumn("html", synthLinkHtmlCol)
+      val edges = WebOps.linkGraph(pages, "url", "html")
+        .filter(col("src_domain") =!= col("dst_domain"))
+        .select(col("src_domain").as("sd"), col("dst_domain").as("dd"))
+      val seeds = edges.select(col("sd").as("d"))
+        .union(edges.select(col("dd").as("d"))).distinct()
+        .filter(col("d").endsWith(".com"))
+      GraphOps.trustRank(edges, "sd", "dd", seeds, "d", iterations = 10)
+        .select(col("node").as("domain"), col("trust_int"))
+    },
     "web_anchor_text" -> { (s, dir) =>
       // anchor-text profile: how the crawl DESCRIBES each target
       // domain (the classic off-page relevance signal) - anchor
@@ -1978,6 +1994,32 @@ object SparkEntry {
           lit("</loc></url><url><loc>/relative/only</loc></url></urlset>")))
       WebOps.sitemapEntries(
         tbl(s, dir, "documents").select(col("doc_id"), xml.as("xml")), "xml")
+    },
+    "web_sitemap_recrawl" -> { (s, dir) =>
+      // publishers TELL crawlers what changed: sitemap lastmod vs the
+      // CDX latest-capture view. Entries parsed by sitemapEntries,
+      // lastmod normalized to timestamp14, then the staleCaptures cut -
+      // never-captured URLs (host digit divisible by 3) and lastmods
+      // newer than the 2024-01-05 capture survive as the fetch list
+      val id = col("doc_id")
+      val xml = concat(lit("<urlset><url><loc>https://p"),
+        (id % 9).cast(StringType), lit(".example.org/a/"),
+        (id % 5).cast(StringType), lit("</loc><lastmod>2024-01-0"),
+        (id % 9 + 1).cast(StringType), lit("</lastmod></url></urlset>"))
+      val entries = WebOps.sitemapEntries(
+          tbl(s, dir, "documents").select(col("doc_id"), xml.as("xml")), "xml")
+        .filter(col("kind") === "page" && col("lastmod") =!= "")
+        .select(col("doc_id"), col("loc"), col("lastmod"))
+      val pages = entries.withColumn("lm14",
+        concat(regexp_replace(col("lastmod"), "-", ""), lit("000000")))
+      val hostDigit = regexp_extract(col("loc"), "https://p([0-9])", 1)
+        .cast(IntegerType)
+      val index = pages.filter(hostDigit % 3 =!= 0)
+        .select(WebOps.surtKey(col("loc")).as("surt_key")).distinct()
+        .withColumn("cdx_ts", lit("20240105000000"))
+      WebOps.staleCaptures(pages, "loc", "lm14", index)
+        .select(col("doc_id"), col("loc"), col("lastmod"),
+          col("never_captured"))
     },
     "web_lang_declared" -> { (s, dir) =>
       // declared-vs-trained language cross-check (the CommonCrawl
@@ -4663,6 +4705,42 @@ object SparkEntry {
         |), $rounds
         |SELECT node AS domain, r AS rank_int FROM r10""".stripMargin
     },
+    "web_trustrank" -> {
+      // the trustRank integer map unrolled: DIRECTED edges, teleport
+      // mass only on the .com seeds, never-reached nodes stay 0; each
+      // round-table is MATERIALIZED (referenced by the next round's
+      // join AND the left-join shell - plain inlining would double the
+      // 10-round chain per reference)
+      val rounds = (1 to 10).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT n.node,
+           |         CAST(n.boost + (85 * coalesce(f.infl, 0)) // 100 AS BIGINT) AS r
+           |  FROM nb n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(p.r // d2.deg) AS infl
+           |    FROM r${i - 1} p JOIN od d2 USING (node) JOIN e ON e.src = p.node
+           |    WHERE p.r > 0
+           |    GROUP BY 1) f USING (node)
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $urlShellCte, $linkShellCte, $linkFoldCtes, e AS (
+        |  SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM dd
+        |  WHERE src_domain <> dst_domain
+        |), nodes AS (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e
+        |), nb AS MATERIALIZED (
+        |  SELECT node,
+        |    CASE WHEN node LIKE '%.com' THEN CAST(150000000 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS boost,
+        |    CASE WHEN node LIKE '%.com' THEN CAST(1000000000 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS r0
+        |  FROM nodes
+        |), od AS (
+        |  SELECT src AS node, count(*) AS deg FROM e GROUP BY 1
+        |), r0 AS (
+        |  SELECT node, r0 AS r FROM nb
+        |), $rounds
+        |SELECT node AS domain, r AS trust_int FROM r10""".stripMargin
+    },
     "web_anchor_text" -> {
       // anchor elements re-extracted whole, then split into (link,
       // anchor); the same http(s) cut and host fold as the link CTEs,
@@ -5700,6 +5778,30 @@ object SparkEntry {
         |  (n_urls >= 5 AND (CAST(sd AS DOUBLE) / n_urls > 4.5 OR
         |                    CAST(sr AS DOUBLE) / n_urls > 0.3)) AS flagged
         |FROM a""".stripMargin
+    },
+    "web_sitemap_recrawl" -> {
+      // entry formulas replayed closed-form (the sitemap parse is
+      // web_sitemap's oracled ground); the surt of the simple
+      // https://pK.example.org/a/M loc collapses to a direct formula,
+      // and the fetch cut is the left-join staleness predicate
+      """WITH en AS (
+        |  SELECT doc_id,
+        |    'https://p' || CAST(doc_id % 9 AS VARCHAR) || '.example.org/a/' ||
+        |      CAST(doc_id % 5 AS VARCHAR) AS loc,
+        |    '2024-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS lastmod
+        |  FROM documents
+        |), pg AS (
+        |  SELECT doc_id, loc, lastmod,
+        |    replace(lastmod, '-', '') || '000000' AS lm14,
+        |    'org,example,p' || CAST(doc_id % 9 AS VARCHAR) || ')/a/' ||
+        |      CAST(doc_id % 5 AS VARCHAR) AS sk
+        |  FROM en
+        |), ix AS (
+        |  SELECT DISTINCT sk FROM pg WHERE (doc_id % 9) % 3 <> 0
+        |)
+        |SELECT doc_id, loc, lastmod, (ix.sk IS NULL) AS never_captured
+        |FROM pg LEFT JOIN ix USING (sk)
+        |WHERE ix.sk IS NULL OR pg.lm14 > '20240105000000'""".stripMargin
     },
     "web_url_canon" -> urlCanonOracleSql,
     "web_robots" -> robotsOracleSql,

@@ -1015,6 +1015,31 @@ object WebOps {
       .withColumn("canonical_url", attr2("link", "rel", "canonical", "href"))
   }
 
+  /** Staleness cut against an archive index: keep the rows whose
+    * declared last-modification (`ts14Col`, timestamp14 - e.g. a
+    * sitemap `lastmod` normalized to 14 digits) is NEWER than their
+    * latest archived capture, or that were never captured at all
+    * (surfaced as the `never_captured` flag). The lexical ts14 compare
+    * IS the chronological one ([[graft.sources.Cdx.timestamp14]]'s
+    * invariant). This is the sitemap-driven half of recrawl: publishers
+    * TELL crawlers what changed; [[recrawlSchedule]] infers it when
+    * they don't. One left equi-join on the surt against the
+    * (frontier-sized) latest-capture view - the pages side never
+    * shuffles more than its join key.
+    */
+  def staleCaptures(
+      pages: DataFrame,
+      urlCol: String,
+      ts14Col: String,
+      index: DataFrame
+  ): DataFrame =
+    pages.withColumn("gr_sk", surtKey(F.col(urlCol)))
+      .join(index.select(F.col("surt_key").as("gr_sk"),
+        F.col("cdx_ts").as("gr_cts")), Seq("gr_sk"), "left")
+      .withColumn("never_captured", F.col("gr_cts").isNull)
+      .filter(F.col("gr_cts").isNull || F.col(ts14Col) > F.col("gr_cts"))
+      .drop("gr_sk", "gr_cts")
+
   /** Robots META directives from page HTML (the in-page half of the
     * exclusion protocol: robots.txt gates the FETCH, `<meta
     * name="robots">` gates what an indexer may DO with the fetched

@@ -244,6 +244,25 @@ class OpsSpec extends SparkSpec {
     assert(init == Map(1L -> 100L, 2L -> 100L, 3L -> 100L))
   }
 
+  test("trustRank: hand-computed directed chain, seeds hold teleport, unreached stay 0") {
+    // 1->2->3 and spam 4->2; seed = {1}, unit=100, boost=15
+    // r0 = {1:100, 2:0, 3:0, 4:0}
+    // round 1: inflow(2)=100 -> r = {1:15, 2:85, 3:0, 4:0}
+    // round 2: inflow(2)=15, inflow(3)=85
+    //   -> r = {1:15, 2: 85*15 div 100 = 12, 3: 85*85 div 100 = 72, 4:0}
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 2L)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("d")
+    val got = GraphOps.trustRank(edges, "a", "b", seeds, "d",
+        iterations = 2, unit = 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 15L, 2L -> 12L, 3L -> 72L, 4L -> 0L))
+    // 0 iterations: the teleport support itself
+    val init = GraphOps.trustRank(edges, "a", "b", seeds, "d",
+        iterations = 0, unit = 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(init == Map(1L -> 100L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
   test("pageRank: null endpoints drop, duplicate/reversed edges collapse, center outranks leaves") {
     val edges = Seq(
       (Some(1L), Some(2L)), (Some(2L), Some(1L)), (Some(1L), Some(2L)), // one undirected edge

@@ -172,6 +172,20 @@ class CdxSpec extends SparkSpec {
     assert(out.find(_._1 == "trap.org").get._3 == 1.0)
   }
 
+  test("staleCaptures: newer lastmod or never-captured survive, fresh captures drop") {
+    val pages = Seq(
+      ("https://a.com/p", "20240110000000", 1L), // captured 01-05, modified 01-10 -> stale
+      ("https://a.com/q", "20240101000000", 2L), // captured 01-05, modified 01-01 -> fresh
+      ("https://b.com/r", "20240101000000", 3L)) // never captured
+      .toDF("url", "lm14", "id")
+    val index = Seq(("com,a)/p", "20240105000000"), ("com,a)/q", "20240105000000"))
+      .toDF("surt_key", "cdx_ts")
+    val out = WebOps.staleCaptures(pages, "url", "lm14", index)
+      .select(col("id"), col("never_captured"))
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, false), (3L, true)))
+  }
+
   test("recrawlSchedule clamps to [minDays, maxDays]") {
     val prev = Seq(("s1", "a"), ("s2", "c")).toDF("surt", "digest")
     val cur = Seq(("s1", "a"), ("s2", "z")).toDF("surt", "digest")
