@@ -1995,6 +1995,16 @@ object SparkEntry {
       WebOps.sitemapEntries(
         tbl(s, dir, "documents").select(col("doc_id"), xml.as("xml")), "xml")
     },
+    "web_domain_cap" -> { (s, dir) =>
+      // anti-dominance cut: at most 5 pages per registrable domain,
+      // kept subset ranked by md5(url) (doc_id tie-break) so the cap
+      // never systematically keeps the alphabetically-first pages.
+      // ONE domain-keyed window; the PSL fold per distinct host.
+      val pages = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("url", synthUrlCol)
+        .select(col("doc_id"), col("url"))
+      WebOps.domainCap(pages, "url", "doc_id", maxPerDomain = 5)
+    },
     "web_sitemap_recrawl" -> { (s, dir) =>
       // publishers TELL crawlers what changed: sitemap lastmod vs the
       // CDX latest-capture view. Entries parsed by sitemapEntries,
@@ -2904,6 +2914,26 @@ object SparkEntry {
           }).toDF("doc_id", "payload"),
         "doc_id", "payload", "video")
       MultimodalOps.videoDupPairs(media, maxHamming = 0)
+    },
+    "media_video_scenes" -> { (s, dir) =>
+      // shot-boundary detection: consecutive-frame dHash Hamming
+      // distance over the same MJPEG fixture as media_video_dup (the
+      // 31-step seed walk makes real cuts); frame 0 always opens a
+      // scene. ONE per-video window after the embarrassingly-parallel
+      // decode.
+      import s.implicits._
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val vs = id % 97
+            val w = 16 + (vs % 7).toInt * 8
+            val h = 16 + ((vs * 3) % 5).toInt * 8
+            val n = 2 + (id % 3).toInt
+            (id, MultimodalOps.synthMjpegVideoBytes(
+              (0 until n).map(f => 160 + (vs * 4 + f) * 31 % 96), w, h))
+          }).toDF("doc_id", "payload"),
+        "doc_id", "payload", "video")
+      MultimodalOps.videoSceneChanges(media, threshold = 8)
     },
     "media_pixel_features" -> { (s, dir) =>
       // the full inference shape: real PNG encode -> pixel decode ->
@@ -5779,6 +5809,20 @@ object SparkEntry {
         |                    CAST(sr AS DOUBLE) / n_urls > 0.3)) AS flagged
         |FROM a""".stripMargin
     },
+    "web_domain_cap" -> {
+      // the shared shell/parse/fold CTEs + the same md5-ranked window
+      s"""WITH $urlShellCte, base AS (
+        |  SELECT d.doc_id, d.url, d.domain
+        |  FROM d JOIN documents dd USING (doc_id)
+        |  WHERE dd.text IS NOT NULL
+        |), rk AS (
+        |  SELECT doc_id, url, domain,
+        |         ROW_NUMBER() OVER (PARTITION BY domain
+        |                            ORDER BY md5(url), doc_id) AS rn
+        |  FROM base
+        |)
+        |SELECT doc_id, url, domain FROM rk WHERE rn <= 5""".stripMargin
+    },
     "web_sitemap_recrawl" -> {
       // entry formulas replayed closed-form (the sitemap parse is
       // web_sitemap's oracled ground); the surt of the simple
@@ -6654,6 +6698,43 @@ object SparkEntry {
         |  ON a.doc_id < z.doc_id
         | AND bit_count(xor(a.dh, z.dh)) <= 0
         |GROUP BY a.doc_id, z.doc_id""".stripMargin,
+    "media_video_scenes" ->
+      // the media_video_dup dHash replay chain + a per-video lag window
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 97 AS vs,
+        |         CAST(16 + ((doc_id % 97) % 7) * 8 AS INT) AS w,
+        |         CAST(16 + (((doc_id % 97) * 3) % 5) * 8 AS INT) AS h,
+        |         CAST(2 + doc_id % 3 AS INT) AS n
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, CAST(f AS INT) AS f, w, h,
+        |         160 + (vs * 4 + f) * 31 % 96 AS seed
+        |  FROM d CROSS JOIN generate_series(0, 3) ff(f)
+        |  WHERE f < n
+        |), b AS (
+        |  SELECT doc_id, f,
+        |    CASE WHEN (((((x + 1) * w) // 9) // 8) * 7 +
+        |               (((y * h) // 8) // 8) * 13 + seed) % 256 >
+        |              ((((x * w) // 9) // 8) * 7 +
+        |               (((y * h) // 8) // 8) * 13 + seed) % 256
+        |         THEN (CASE WHEN y * 8 + x = 63 THEN (-9223372036854775807 - 1)
+        |                    ELSE (1::BIGINT << CAST(y * 8 + x AS INT)) END)
+        |         ELSE 0::BIGINT END AS bit
+        |  FROM fr
+        |  CROSS JOIN generate_series(0, 7) yy(y)
+        |  CROSS JOIN generate_series(0, 7) xx(x)
+        |), hsh AS (
+        |  SELECT doc_id, f, bit_or(bit) AS dh FROM b GROUP BY doc_id, f
+        |), lg AS (
+        |  SELECT doc_id, f, dh,
+        |         lag(dh) OVER (PARTITION BY doc_id ORDER BY f) AS pdh
+        |  FROM hsh
+        |)
+        |SELECT doc_id AS media_id, f AS frame_idx,
+        |  CAST(CASE WHEN pdh IS NULL THEN NULL
+        |       ELSE bit_count(xor(dh, pdh)) END AS INT) AS hamming_prev,
+        |  (pdh IS NULL OR bit_count(xor(dh, pdh)) >= 8) AS scene_change
+        |FROM lg""".stripMargin,
     "media_jpeg_pixels" ->
       // block-formula replay: resampled pixel (i,j) reads source pixel
       // (sy, sx) = ((i*h)//8, (j*w)//8), whose 8x8 BLOCK carries the

@@ -1370,6 +1370,37 @@ object MultimodalOps {
       .agg(count(lit(1)).as("n_frame_matches"))
   }
 
+  /** Scene-change detection over video frames: consecutive-frame dHash
+    * Hamming distance >= `threshold` marks a cut (the cheap shot-
+    * boundary detector every video curation pass runs before sampling
+    * frames for captioning/embedding - one frame per SCENE beats one
+    * frame per second on redundant content). Frame 0 always opens a
+    * scene. The demux + per-frame decode is embarrassingly parallel;
+    * the only shuffle is the per-video window (frame counts are capped
+    * at 65536 by the demuxer, so no partition outgrows a single video's
+    * frames).
+    *
+    * Output: (media_id, frame_idx, hamming_prev - NULL on frame 0,
+    * scene_change).
+    */
+  def videoSceneChanges(media: DataFrame, threshold: Int = 16): DataFrame = {
+    require(threshold >= 0 && threshold <= 64,
+      s"threshold must be in [0, 64], got $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    imageDHash(videoFrames(media))
+      .filter(F.col("dhash").isNotNull)
+      .select(F.col("media_id"), F.col("frame_idx"), F.col("dhash"))
+      .withColumn("gr_pdh", F.lag(F.col("dhash"), 1).over(w))
+      .withColumn("hamming_prev",
+        when(F.col("gr_pdh").isNull, lit(null).cast(IntegerType))
+          .otherwise(F.bit_count(
+            F.col("dhash").bitwiseXOR(F.col("gr_pdh"))).cast(IntegerType)))
+      .withColumn("scene_change",
+        F.col("gr_pdh").isNull || F.col("hamming_prev") >= threshold)
+      .drop("gr_pdh", "dhash")
+  }
+
   /** A REAL (if minimal) MJPEG-in-MP4 WRITER - the fixture generator
     * for the video frame path, [[synthJpegImageBytes]]' container
     * sibling: a spec-compliant ISO BMFF file (ftyp + mdat + moov with

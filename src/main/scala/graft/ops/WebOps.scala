@@ -1015,6 +1015,33 @@ object WebOps {
       .withColumn("canonical_url", attr2("link", "rel", "canonical", "href"))
   }
 
+  /** Per-domain page cap: keep at most `maxPerDomain` pages per
+    * registrable domain (the Dolma/RefinedWeb-style anti-dominance
+    * cut - without it a handful of mega-sites contribute most of the
+    * corpus and the model overfits their boilerplate). The kept subset
+    * is a deterministic PSEUDO-RANDOM sample within each domain: rank
+    * by md5(url) (id tie-break), never lexicographically - alphabetic
+    * ranking would systematically keep `/a...` pages. One domain-keyed
+    * window; the PSL fold runs per distinct host.
+    *
+    * Output: input columns + domain, rows over the cap dropped.
+    */
+  def domainCap(
+      df: DataFrame,
+      urlCol: String,
+      idCol: String,
+      maxPerDomain: Int
+  ): DataFrame = {
+    require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain")
+      .orderBy(F.md5(F.col(urlCol)), F.col(idCol))
+    foldDomainByHost(df, urlHost(F.col(urlCol)), "domain")
+      .withColumn("gr_rk", row_number().over(w))
+      .filter(F.col("gr_rk") <= maxPerDomain)
+      .drop("gr_rk")
+  }
+
   /** Staleness cut against an archive index: keep the rows whose
     * declared last-modification (`ts14Col`, timestamp14 - e.g. a
     * sitemap `lastmod` normalized to 14 digits) is NEWER than their

@@ -1975,6 +1975,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("videoSceneChanges: frame 0 opens, identical frames never cut, changed frames do") {
+    import MultimodalOps._
+    // frames 0 and 1 identical (seed 10), frame 2 in the wrap band
+    // (seed 250: block constants wrap past 256, flipping dHash
+    // comparisons - a plain constant shift like seed 200 would NOT,
+    // since dHash is invariant to uniform brightness)
+    val media = asMedia(
+      Seq((7L, synthMjpegVideoBytes(Seq(10L, 10L, 250L), 16, 16)))
+        .toDF("doc_id", "payload"), "doc_id", "payload", "video")
+    val out = videoSceneChanges(media, threshold = 1)
+      .select(col("frame_idx"), col("hamming_prev"), col("scene_change"))
+      .collect().sortBy(_.getInt(0))
+    assert(out.length == 3)
+    assert(out(0).isNullAt(1) && out(0).getBoolean(2)) // frame 0 opens
+    assert(out(1).getInt(1) == 0 && !out(1).getBoolean(2)) // identical
+    assert(out(2).getInt(1) >= 1 && out(2).getBoolean(2)) // cut
+  }
+
+  test("domainCap: keeps at most k per registrable domain, md5-ranked") {
+    val pages = ((1 to 8).map(i => (i.toLong, s"https://a.example.com/p$i")) ++
+      (9 to 10).map(i => (i.toLong, s"https://www.b.org/q$i")))
+      .toDF("id", "url")
+    val out = WebOps.domainCap(pages, "url", "id", maxPerDomain = 3)
+      .select(col("domain")).as[String].collect().toSeq
+    assert(out.count(_ == "example.com") == 3)
+    assert(out.count(_ == "b.org") == 2) // below the cap: all kept
+  }
+
   test("synthMjpegVideoBytes/decodeVideoSamples: sample-table roundtrip, frames byte-exact") {
     import MultimodalOps._
     val seeds = Seq(3L, 4L, 5L)
