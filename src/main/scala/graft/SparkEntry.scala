@@ -2971,6 +2971,35 @@ object SparkEntry {
         .select(col("media_id"), col("sample_rate"), col("n_samples"),
           col("energy"), col("zero_crossings"), col("peak"))
     },
+    "media_audio_segments" -> { (s, dir) =>
+      // silence-based segmentation (VAD-lite): gated PCM fixture -
+      // every third 100-sample block silent - windows of 100, energy
+      // floor, gaps-and-islands segment ids. Decode embarrassingly
+      // parallel; ONE per-clip window.
+      import s.implicits._
+      val media = MultimodalOps.asMedia(
+        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, MultimodalOps.synthWavPcmGatedBytes(
+              id, 8000, (500 + id % 1000).toInt, 100))
+          }).toDF("doc_id", "payload"),
+        "doc_id", "payload", "audio")
+      MultimodalOps.audioSegments(media,
+          windowSamples = 100, silenceEnergy = 1000000L)
+        .select(col("media_id"), col("win_idx"), col("energy"),
+          col("is_silent"), col("segment_id"))
+    },
+    "text_sentences" -> { (s, dir) =>
+      // sentence segmentation: terminator-run + whitespace boundaries,
+      // trimmed non-empty pieces with their 0-based index and word
+      // count - the boundary pass between documents and chunk/pack
+      tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(TextOps.sentences(col("text"))).as(Seq("sent_idx", "sentence")))
+        .select(col("doc_id"), col("sent_idx").cast(IntegerType),
+          col("sentence"),
+          size(split(col("sentence"), "\\s+")).as("n_words"))
+    },
     "media_av_decode" -> { (s, dir) =>
       // audio/video metadata decode, all four paths under oracle: every
       // 3rd doc a REAL 44-byte WAV header (RIFF + PCM fmt + data size)
@@ -6762,6 +6791,56 @@ object SparkEntry {
         |       CAST(1 AS INT) AS channels,
         |       a.px_sum, a.px_tl, a.px_tr, a.px_bl, a.px_br
         |FROM d JOIN agg a USING (doc_id)""".stripMargin,
+    "media_audio_segments" ->
+      // gated sample formula replayed per (window, offset); the gate
+      // block size equals the window size, so silence IS win_idx%3=2;
+      // two window stages (lag nested in a running SUM is illegal)
+      """WITH d AS (
+        |  SELECT doc_id, CAST(500 + doc_id % 1000 AS INT) AS n FROM documents
+        |), w AS (
+        |  SELECT doc_id, CAST(wi AS INT) AS win_idx
+        |  FROM d CROSS JOIN generate_series(0, 14) ww(wi)
+        |  WHERE (wi + 1) * 100 <= n
+        |), smp AS (
+        |  SELECT doc_id, win_idx,
+        |    CASE WHEN win_idx % 3 = 2 THEN 0
+        |         ELSE ((win_idx * 100 + k) * 37 + doc_id * 11) % 4096 - 2048
+        |    END AS v
+        |  FROM w CROSS JOIN generate_series(0, 99) kk(k)
+        |), e AS (
+        |  SELECT doc_id, win_idx, CAST(SUM(v * v) AS BIGINT) AS energy
+        |  FROM smp GROUP BY 1, 2
+        |), t AS (
+        |  SELECT doc_id, win_idx, energy, energy < 1000000 AS is_silent,
+        |    coalesce(lag(energy < 1000000)
+        |      OVER (PARTITION BY doc_id ORDER BY win_idx), true) AS prev_silent
+        |  FROM e
+        |), g AS (
+        |  SELECT doc_id, win_idx, energy, is_silent,
+        |    SUM(CASE WHEN NOT is_silent AND prev_silent THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY win_idx) AS seg
+        |  FROM t
+        |)
+        |SELECT doc_id AS media_id, win_idx, energy, is_silent,
+        |  CAST(CASE WHEN is_silent THEN NULL ELSE seg - 1 END AS INT) AS segment_id
+        |FROM g""".stripMargin,
+    "text_sentences" ->
+      // the same boundary regex + trim/drop chain, unnest with index
+      """WITH sa AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      string_split_regex(text, '[.!?]+[ \t\n\x0B\f\r]+'),
+        |      s -> trim(s)), s -> s <> '') AS arr
+        |  FROM documents WHERE text IS NOT NULL
+        |), x AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx,
+        |         arr[CAST(i AS INT)] AS sentence
+        |  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+        |        FROM sa)
+        |)
+        |SELECT doc_id, sent_idx, sentence,
+        |  CAST(len(string_split_regex(sentence, '\s+')) AS INT) AS n_words
+        |FROM x""".stripMargin,
     "media_audio_features" ->
       // per-sample replay: v_i = ((i*37 + doc_id*11) % 4096) - 2048,
       // energy/zero-crossing/peak via the same integer window arithmetic

@@ -1650,6 +1650,89 @@ object MultimodalOps {
     bb.array()
   }
 
+  /** [[synthWavPcmBytes]] with SILENCE GATES: every third
+    * `gate`-sample block is all-zero, the rest carry the same
+    * deterministic ramp formula - the fixture shape for segmentation
+    * (real speech is bursts separated by silence).
+    */
+  def synthWavPcmGatedBytes(
+      seed: Long, sampleRate: Int, nSamples: Int, gate: Int): Array[Byte] = {
+    require(sampleRate > 0 && nSamples >= 0 && gate > 0,
+      s"bad args $sampleRate/$nSamples/$gate")
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 2 * nSamples).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1) // PCM, mono
+    bb.putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(2 * nSamples)
+    var i = 0
+    while (i < nSamples) {
+      val v = if ((i / gate) % 3 == 2) 0L
+      else ((i * 37L + seed * 11L) % 4096L) - 2048L
+      bb.putShort(v.toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Silence-based audio segmentation (the VAD-lite every speech
+    * pipeline runs before transcription/embedding: windows below the
+    * energy floor are silence; maximal runs of voiced windows are the
+    * SEGMENTS). One decode pass emits per-window energies (windows of
+    * exactly `windowSamples`; a trailing partial window drops -
+    * deterministic), then ONE per-media window computes the
+    * gaps-and-islands fold: `segment_id` numbers each voiced run
+    * 0-based within its media, NULL on silent windows. The decode is
+    * embarrassingly parallel; window counts are bounded by clip
+    * length, so no partition outgrows one clip.
+    *
+    * Output: (media frame columns minus payload) + (win_idx, energy,
+    * is_silent, segment_id).
+    */
+  def audioSegments(
+      media: DataFrame,
+      windowSamples: Int,
+      silenceEnergy: Long
+  ): DataFrame = {
+    require(windowSamples > 0, s"windowSamples must be positive, got $windowSamples")
+    require(silenceEnergy >= 0, s"silenceEnergy must be >= 0, got $silenceEnergy")
+    val outSchema = StructType(
+      media.schema.fields.filterNot(_.name == "payload") ++ Seq(
+        StructField("win_idx", IntegerType, nullable = false),
+        StructField("energy", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val wins = media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val keep = nonPayload(r)
+        decodeWavSamples(r.getAs[Array[Byte]]("payload")).toSeq.flatMap {
+          case (_, _, s) =>
+            (0 until s.length / windowSamples).map { w0 =>
+              var e = 0L
+              var i = w0 * windowSamples
+              val end = i + windowSamples
+              while (i < end) { val v = s(i).toLong; e += v * v; i += 1 }
+              // Seq[Any], not Seq(w0, e): the latter infers Seq[Long]
+              // and silently WIDENS the Int window index
+              Row.fromSeq(keep ++ Seq[Any](w0, e))
+            }
+        }
+      }
+    }(enc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("win_idx")
+    // two projections: a lag nested inside the running SUM's argument
+    // would be an illegal nested window call (both engines)
+    wins.withColumn("is_silent", F.col("energy") < silenceEnergy)
+      .withColumn("gr_prev",
+        coalesce(F.lag(F.col("is_silent"), 1).over(w), lit(true)))
+      .withColumn("gr_seg",
+        sum(when(!F.col("is_silent") && F.col("gr_prev"), 1).otherwise(0)).over(w))
+      .withColumn("segment_id",
+        when(F.col("is_silent"), lit(null).cast(IntegerType))
+          .otherwise((F.col("gr_seg") - 1).cast(IntegerType)))
+      .drop("gr_prev", "gr_seg")
+  }
+
   /** Frame-level audio feature extraction: decode
     * ([[decodeWavSamples]]) -> integer signal statistics in one
     * mapPartitions pass - energy (sum of squared samples), zero

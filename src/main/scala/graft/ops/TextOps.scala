@@ -626,6 +626,22 @@ object TextOps {
     * line consumers treat as a blank line). All patterns in the
     * Java-regex/RE2 common subset; null html stays null.
     */
+  /** Sentence segmentation (the boundary pass between documents and
+    * chunking/packing: sentence-aligned chunks beat arbitrary word
+    * cuts for training examples). Deliberately simple, REPLAYABLE
+    * contract: a boundary is one-or-more terminators (`.!?`) followed
+    * by whitespace; pieces trim, empties drop. The boundary run itself
+    * is consumed (interior sentences lose their terminal punctuation -
+    * the trade for staying in the RE2 subset on BOTH engines: the
+    * keep-the-terminator split needs lookbehind, which RE2 refuses).
+    * Abbreviation false-splits ("Dr. Smith") are accepted and
+    * documented - at corpus scale they shorten some sentences, never
+    * corrupt text. Pure codegen; fuses into the scan.
+    */
+  def sentences(text: Column): Column =
+    F.filter(F.transform(split(text, "[.!?]+[ \\t\\n\\x0B\\f\\r]+"),
+      (s: Column) => trim(s)), (s: Column) => s =!= "")
+
   def stripHtmlLines(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", "")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")

@@ -1975,6 +1975,46 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("audioSegments: silence splits voiced runs into 0-based segment ids") {
+    import MultimodalOps._
+    // 500 samples, gate 100: windows 0,1 voiced (seg 0), 2 silent,
+    // 3,4 voiced (seg 1)
+    val media = asMedia(
+      Seq((9L, synthWavPcmGatedBytes(9L, 8000, 500, 100)))
+        .toDF("doc_id", "payload"), "doc_id", "payload", "audio")
+    val out = audioSegments(media, windowSamples = 100, silenceEnergy = 1000000L)
+      .select(col("win_idx"), col("is_silent"), col("segment_id"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+    assert(out == Seq((0, false, 0), (1, false, 0), (2, true, -1),
+      (3, false, 1), (4, false, 1)))
+  }
+
+  test("audioSegments: trailing partial window drops") {
+    import MultimodalOps._
+    val media = asMedia(
+      Seq((3L, synthWavPcmGatedBytes(3L, 8000, 250, 100)))
+        .toDF("doc_id", "payload"), "doc_id", "payload", "audio")
+    // 250 samples / 100 = 2 full windows; the 50-sample tail drops
+    assert(audioSegments(media, 100, 1000000L).count() == 2)
+  }
+
+  test("sentences: terminator runs split, pieces trim, empties drop, abbreviations documented") {
+    val got = Seq("One two. Three four!  Five?\nSix...   ")
+      .toDF("t").select(TextOps.sentences(col("t"))).as[Seq[String]].head()
+    // trailing terminators + whitespace are a boundary too: "Six...   "
+    // loses its dots; only end-of-string terminators survive (below)
+    assert(got == Seq("One two", "Three four", "Five", "Six"))
+    val eos = Seq("Ends here...").toDF("t")
+      .select(TextOps.sentences(col("t"))).as[Seq[String]].head()
+    assert(eos == Seq("Ends here..."))
+    // no boundary whitespace -> no split (URLs/decimals survive)
+    val one = Seq("pi is 3.14 exactly").toDF("t")
+      .select(TextOps.sentences(col("t"))).as[Seq[String]].head()
+    assert(one == Seq("pi is 3.14 exactly"))
+  }
+
   test("videoSceneChanges: frame 0 opens, identical frames never cut, changed frames do") {
     import MultimodalOps._
     // frames 0 and 1 identical (seed 10), frame 2 in the wrap band
