@@ -2989,6 +2989,16 @@ object SparkEntry {
         .select(col("media_id"), col("win_idx"), col("energy"),
           col("is_silent"), col("segment_id"))
     },
+    "docs_temperature_mix" -> { (s, dir) =>
+      // T-scaled multilingual/source rebalancing: keep fractions from
+      // p_s ∝ n_s^(1/T) (T=2 flattens the head) under one total
+      // budget; md5-thresholded keeps, corpus never shuffles
+      SampleOps.temperatureMix(
+        tbl(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "source", "n_chars",
+        totalBudget = 30000.0, temperature = 2.0)
+    },
     "text_sentences" -> { (s, dir) =>
       // sentence segmentation: terminator-run + whitespace boundaries,
       // trimmed non-empty pieces with their 0-based index and word
@@ -5318,6 +5328,26 @@ object SparkEntry {
         |FROM documents d JOIN st ON d.lang IS NOT DISTINCT FROM st.lang
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
         |      < least(1.0, 50000.0 / stratum_volume) * 4294967296.0""".stripMargin,
+    "docs_temperature_mix" ->
+      // pow(n, 0.5) on both engines (IEEE doubles over exact integer
+      // sums); the md5 threshold is the family's shared integer<double
+      // promotion compare
+      """WITH t AS (
+        |  SELECT source AS s, CAST(sum(n_chars) AS DOUBLE) AS n
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1
+        |), p AS (
+        |  SELECT s, n, pow(n, 0.5) AS pp FROM t
+        |), z AS (
+        |  SELECT CAST(sum(CAST(pp AS DECIMAL(38,18))) AS DOUBLE) AS zz FROM p
+        |), f AS (
+        |  SELECT s, least(1.0, 30000.0 * pp / z.zz / n) AS keep
+        |  FROM p CROSS JOIN z
+        |)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN f ON d.source IS NOT DISTINCT FROM f.s
+        |WHERE d.text IS NOT NULL
+        |  AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      < keep * 4294967296.0""".stripMargin,
     "docs_split" ->
       s"""SELECT doc_id,
         |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)

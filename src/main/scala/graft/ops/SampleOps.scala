@@ -311,6 +311,49 @@ object SampleOps {
       .drop("gr_stratum", "stratum_volume")
   }
 
+  /** Temperature-scaled source rebalancing - the multilingual-mix
+    * sampler (Conneau/Lample's T-scaling: sampling probability
+    * p_s ∝ n_s^(1/T) flattens the source distribution as T grows,
+    * so low-resource strata stop drowning under the head): each
+    * stratum keeps fraction min(1, totalBudget · p_s / n_s) of its
+    * volume, selected by the family's md5 threshold - reproducible
+    * across runs, engines, and partitionings. T = 1 is proportional
+    * sampling (every stratum keeps the same fraction); T → ∞
+    * approaches uniform-per-stratum budgets.
+    *
+    * One stratum-sized aggregate + one single-row normalizer, both
+    * broadcast back onto a scan-speed filter: the corpus never
+    * shuffles. NULL strata count as a stratum (null-safe join, same
+    * rule as [[tokenBudgetSample]]).
+    */
+  def temperatureMix(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      volumeCol: String,
+      totalBudget: Double,
+      temperature: Double
+  ): DataFrame = {
+    require(totalBudget >= 0.0, s"budget must be non-negative, got $totalBudget")
+    require(temperature > 0.0, s"temperature must be positive, got $temperature")
+    require(!df.columns.exists(Set("gr_stratum", "gr_n", "gr_p", "gr_z")),
+      "input already has a gr_stratum/gr_n/gr_p/gr_z column; rename it first")
+    val totals = df.groupBy(F.col(strataCol).as("gr_stratum"))
+      .agg(sum(F.col(volumeCol)).cast(DoubleType).as("gr_n"))
+      .withColumn("gr_p", F.pow(F.col("gr_n"), lit(1.0 / temperature)))
+    // DECIMAL sum: the normalizer must be aggregation-order exact or
+    // boundary keys flip between runs/engines
+    val z = totals.agg(
+      sum(F.col("gr_p").cast(DecimalType(38, 18))).cast(DoubleType).as("gr_z"))
+    val fracs = totals.crossJoin(broadcast(z))
+      .select(F.col("gr_stratum"),
+        least(lit(1.0), lit(totalBudget) * F.col("gr_p") / F.col("gr_z") / F.col("gr_n"))
+          .as("gr_keep"))
+    df.join(broadcast(fracs), F.col(strataCol) <=> F.col("gr_stratum"))
+      .filter(md5U(keyCol) < F.col("gr_keep") * lit(4294967296.0))
+      .drop("gr_stratum", "gr_keep")
+  }
+
   /** Per-stratum deterministic sampling: each stratum value gets its own
     * keep-fraction (e.g. downsample boilerplate-heavy sources hard,
     * keep rare ones whole); strata absent from `fractions` get

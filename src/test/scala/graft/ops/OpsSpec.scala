@@ -1295,6 +1295,32 @@ class OpsSpec extends SparkSpec {
     assert(keptNull.count(_._2.isEmpty) == 50, "NULL-stratum rows must survive")
   }
 
+  test("temperatureMix: T flattens the head, T=1 is proportional, budgets track") {
+    val n = 4000
+    // head: ~3000 rows x 100 = 300k; tail: ~1000 rows x 20 = 20k
+    val df = (1L to n.toLong).map(i =>
+      (i, if (i % 4 == 0) "tail" else "head", if (i % 4 == 0) 20L else 100L))
+      .toDF("id", "src", "vol")
+    def keptVol(t: Double, budget: Double): Map[String, Double] =
+      SampleOps.temperatureMix(df, "id", "src", "vol", budget, t)
+        .as[(Long, String, Long)].collect()
+        .groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum.toDouble }
+    // T=1: p_s = n_s/N -> keep fraction identical across strata
+    val t1 = keptVol(1.0, 32000.0)
+    val fHead = t1.getOrElse("head", 0.0) / 300000.0
+    val fTail = t1.getOrElse("tail", 0.0) / 20000.0
+    assert(math.abs(fHead - fTail) < 0.05, s"T=1 proportional: $fHead vs $fTail")
+    // T=2: sqrt weighting shifts share toward the tail
+    val t2 = keptVol(2.0, 32000.0)
+    assert(t2("tail") / t2("head") > t1("tail") / t1("head"),
+      s"T=2 must favor the tail: $t2 vs $t1")
+    // total kept volume tracks the budget at T=2 (no stratum clamped)
+    val tot2 = t2.values.sum
+    assert(tot2 > 32000 * 0.7 && tot2 < 32000 * 1.3, s"total $tot2 vs 32k budget")
+    // deterministic
+    assert(keptVol(2.0, 32000.0) == t2)
+  }
+
   test("weightedSample: keep-rate tracks min(1, frac*w), deterministic, null/zero weights drop") {
     val n = 4000
     val df = (1L to n.toLong).map(i => (i, (i % 4) match {
