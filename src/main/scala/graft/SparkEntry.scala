@@ -1898,10 +1898,11 @@ object SparkEntry {
       val edges = WebOps.linkGraph(pages, "url", "html")
         .filter(col("src_domain") =!= col("dst_domain"))
         .select(col("src_domain").as("sd"), col("dst_domain").as("dd"))
-      val seeds = edges.select(col("sd").as("d"))
-        .union(edges.select(col("dd").as("d"))).distinct()
-        .filter(col("d").endsWith(".com"))
-      GraphOps.trustRank(edges, "sd", "dd", seeds, "d", iterations = 10)
+      // seed-by-predicate: the rule evaluates over the op's own
+      // materialized node frame, so the link extraction above runs
+      // ONCE (a seeds frame would re-execute the whole plan)
+      GraphOps.trustRankSeedBy(edges, "sd", "dd",
+          col("node").endsWith(".com"), iterations = 10)
         .select(col("node").as("domain"), col("trust_int"))
     },
     "web_anchor_text" -> { (s, dir) =>

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
@@ -333,6 +333,43 @@ object GraphOps {
       unit: Long = 1000000000L,
       broadcastNodeLimit: Long = 1L << 22
   ): DataFrame = {
+    val sd = seeds.select(F.col(seedCol).as("gr_sn"), lit(true).as("gr_seed"))
+      .distinct()
+    trustRankCore(edges, srcCol, dstCol,
+      n => n.join(broadcast(sd), n("node") === F.col("gr_sn"), "left")
+        .select(n("node"), coalesce(F.col("gr_seed"), lit(false)).as("gr_is_seed")),
+      iterations, unit, broadcastNodeLimit)
+  }
+
+  /** [[trustRank]] with the seed set given as a PREDICATE over the
+    * node id instead of a frame - e.g. `F.col("node").endsWith(".com")`.
+    * Preferable when seeds are rule-defined: the predicate evaluates
+    * over the op's own (already materialized) node frame, so the
+    * caller's edge-derivation plan never executes a second time just
+    * to list seeds.
+    */
+  def trustRankSeedBy(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      isSeed: Column,
+      iterations: Int = 10,
+      unit: Long = 1000000000L,
+      broadcastNodeLimit: Long = 1L << 22
+  ): DataFrame =
+    trustRankCore(edges, srcCol, dstCol,
+      n => n.select(F.col("node"), isSeed.as("gr_is_seed")),
+      iterations, unit, broadcastNodeLimit)
+
+  private def trustRankCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      markSeeds: DataFrame => DataFrame,
+      iterations: Int,
+      unit: Long,
+      broadcastNodeLimit: Long
+  ): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(unit > 0, s"unit must be positive, got $unit")
     val e = edges.select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
@@ -346,17 +383,21 @@ object GraphOps {
     val boost = 15L * unit / 100L
     // node universe = src ∪ dst; seeds mark the teleport support (a
     // seed not in the graph contributes nothing - semi-join semantics)
-    val sd = seeds.select(F.col(seedCol).as("node")).distinct()
-    val nodes = e.select(F.col("src").as("node"))
+    val nodes0 = e.select(F.col("src").as("node"))
       .union(e.select(F.col("dst").as("node"))).distinct()
-      .join(sd.select(F.col("node"), lit(true).as("gr_seed")), Seq("node"), "left")
+    val nodes = markSeeds(nodes0)
       .select(F.col("node"),
-        when(F.col("gr_seed"), lit(boost)).otherwise(lit(0L)).as("gr_boost"),
-        when(F.col("gr_seed"), lit(unit)).otherwise(lit(0L)).as("gr_r0"))
+        when(F.col("gr_is_seed"), lit(boost)).otherwise(lit(0L)).as("gr_boost"))
       .localCheckpoint()
     val nodeCount = nodes.count()
     val smallRanks = nodeCount <= broadcastNodeLimit &&
       estBroadcastBytes(nodes, "node", nodeCount) <= BroadcastByteLimit
+    // rounds iterate over the trust SUPPORT (seeds ∪ reached nodes),
+    // never the full node frame: early rounds touch a seed-sized
+    // frontier, and at web scale the reputable subgraph trust actually
+    // reaches is far smaller than the crawl's node universe. Unreached
+    // nodes join back as zeros ONCE, at the end.
+    val seedFrame = nodes.filter(F.col("gr_boost") > 0L).localCheckpoint()
     def round(state: DataFrame): DataFrame = {
       val contrib = state.filter(F.col("r") > 0L)
         .join(outdeg, Seq("node"))
@@ -367,21 +408,20 @@ object GraphOps {
       val inflow = joined
         .groupBy(F.col("dst").as("node"))
         .agg(sum(F.col("c")).as("s"))
-      val inflowB = if (smallRanks) broadcast(inflow) else inflow
-      nodes.join(inflowB, Seq("node"), "left")
+      seedFrame.join(inflow, Seq("node"), "full")
         .select(F.col("node"),
-          (F.col("gr_boost") +
-            coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"),
-          F.col("gr_boost"))
+          (coalesce(F.col("gr_boost"), lit(0L)) +
+            coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
     }
-    var ranks = nodes.select(F.col("node"), F.col("gr_r0").as("r"), F.col("gr_boost"))
+    var ranks = seedFrame.select(F.col("node"), lit(unit).as("r"))
     var i = 0
     while (i < iterations) {
       ranks = round(ranks)
       if (i % 3 == 2 && i != iterations - 1) ranks = ranks.localCheckpoint()
       i += 1
     }
-    ranks.select(F.col("node"), F.col("r").as("trust_int"))
+    nodes.join(ranks, Seq("node"), "left")
+      .select(F.col("node"), coalesce(F.col("r"), lit(0L)).as("trust_int"))
   }
 
   /** Conservative byte estimate of a per-round broadcast of `rows`
