@@ -1905,6 +1905,20 @@ object SparkEntry {
           col("node").endsWith(".com"), iterations = 10)
         .select(col("node").as("domain"), col("trust_int"))
     },
+    "web_hits" -> { (s, dir) =>
+      // hubs vs authorities over the DIRECTED domain graph: link
+      // directories rank as hubs (crawl-discovery priority), content
+      // domains as authorities (quality weighting) - the split
+      // PageRank flattens. Integer max-normalization per half-step
+      // replaces the float L2 norm, so every round replays exactly.
+      val pages = tbl(s, dir, "documents")
+        .withColumn("url", synthUrlCol).withColumn("html", synthLinkHtmlCol)
+      val edges = WebOps.linkGraph(pages, "url", "html")
+        .filter(col("src_domain") =!= col("dst_domain"))
+        .select(col("src_domain").as("sd"), col("dst_domain").as("dd"))
+      GraphOps.hits(edges, "sd", "dd", iterations = 8, unit = 1000000L)
+        .select(col("node").as("domain"), col("hub_int"), col("auth_int"))
+    },
     "web_anchor_text" -> { (s, dir) =>
       // anchor-text profile: how the crawl DESCRIBES each target
       // domain (the classic off-page relevance signal) - anchor
@@ -4810,6 +4824,46 @@ object SparkEntry {
         |  SELECT node, r0 AS r FROM nb
         |), $rounds
         |SELECT node AS domain, r AS trust_int FROM r10""".stripMargin
+    },
+    "web_hits" -> {
+      // the HITS mutual recurrence unrolled: per round an authority
+      // half-step (sum of hub scores over in-edges, max-rescaled to
+      // the unit) then a hub half-step (sum of authority scores over
+      // out-edges, same rescale); MATERIALIZED per half-step so the
+      // 8-round chain never re-expands
+      val rounds = (1 to 8).map { i =>
+        s"""ar$i AS (
+           |  SELECT e.dst AS node, sum(p.h) AS s
+           |  FROM h${i - 1} p JOIN e ON e.src = p.node GROUP BY 1
+           |), am$i AS (
+           |  SELECT max(s) AS m FROM ar$i
+           |), a$i AS MATERIALIZED (
+           |  SELECT node, CAST(CASE WHEN m > 0 THEN s * 1000000 // m
+           |                    ELSE 0 END AS BIGINT) AS a
+           |  FROM ar$i CROSS JOIN am$i
+           |), hr$i AS (
+           |  SELECT e.src AS node, sum(q.a) AS s
+           |  FROM a$i q JOIN e ON e.dst = q.node GROUP BY 1
+           |), hm$i AS (
+           |  SELECT max(s) AS m FROM hr$i
+           |), h$i AS MATERIALIZED (
+           |  SELECT node, CAST(CASE WHEN m > 0 THEN s * 1000000 // m
+           |                    ELSE 0 END AS BIGINT) AS h
+           |  FROM hr$i CROSS JOIN hm$i
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $urlShellCte, $linkShellCte, $linkFoldCtes, e AS (
+        |  SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM dd
+        |  WHERE src_domain <> dst_domain
+        |), nodes AS (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e
+        |), h0 AS (
+        |  SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes
+        |), $rounds
+        |SELECT n.node AS domain,
+        |       coalesce(h8.h, 0) AS hub_int,
+        |       coalesce(a8.a, 0) AS auth_int
+        |FROM nodes n LEFT JOIN h8 USING (node) LEFT JOIN a8 USING (node)""".stripMargin
     },
     "web_anchor_text" -> {
       // anchor elements re-extracted whole, then split into (link,

@@ -424,6 +424,95 @@ object GraphOps {
       .select(F.col("node"), coalesce(F.col("r"), lit(0L)).as("trust_int"))
   }
 
+  /** HITS hubs & authorities (Kleinberg): the directory-vs-content
+    * split PageRank flattens - a page can be a great INDEX of good
+    * content (hub) without being good content (authority), and link
+    * lists/seed directories are exactly the hub shape a crawl wants to
+    * prioritize for DISCOVERY while ranking authorities for QUALITY.
+    * Mutual recurrence over directed edges:
+    *
+    *   a'(v) = Σ_{u→v} h(u),   h'(u) = Σ_{u→v} a'(v)
+    *
+    * each half-step rescaled so its MAX equals `unit` - the integer
+    * replacement for the float formulation's L2 normalization: max and
+    * floor-div are aggregation-order exact, so every round replays
+    * bit-for-bit in the oracle, where a float norm never would.
+    * Overflow bound: a pre-scale sum is at most nodeCount·unit, and
+    * the rescale multiplies by unit before dividing, so
+    * nodeCount·unit² must fit a Long - enforced by a require, sized
+    * via the node count the broadcast guard measures anyway (the
+    * default unit=1e6 allows ~9.2e6 nodes; lower unit for bigger
+    * graphs - it is a RESOLUTION knob, not a semantic one).
+    *
+    * Scale shape: TWO checkpointed edge copies (dst-partitioned for
+    * the authority step, src-partitioned for the hub step); under the
+    * broadcast guards each half-step is a map-side broadcast join plus
+    * an aggregation that reuses its copy's partitioning - zero
+    * per-round edge shuffles. Every third round materializes (the
+    * [[pageRankCounted]] plan-depth discipline).
+    *
+    * Output: (node, hub_int, auth_int) for every node in the edge
+    * list (sources that nothing links to have auth 0; sinks that link
+    * to nothing have hub 0).
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 8,
+      unit: Long = 1000000L,
+      broadcastNodeLimit: Long = 1L << 22
+  ): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(unit > 0, s"unit must be positive, got $unit")
+    val e0 = edges.select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
+      .filter(F.col("src").isNotNull && F.col("dst").isNotNull)
+    val eByDst = e0.repartition(F.col("dst")).distinct().localCheckpoint()
+    val eBySrc = eByDst.repartition(F.col("src")).localCheckpoint()
+    val nodes = eByDst.select(F.col("src").as("node"))
+      .union(eByDst.select(F.col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val nodeCount = nodes.count()
+    require(nodeCount <= Long.MaxValue / unit / unit,
+      s"$nodeCount nodes at unit=$unit risks Long overflow in the rescale; " +
+        "lower unit (it is a resolution knob)")
+    val small = nodeCount <= broadcastNodeLimit &&
+      estBroadcastBytes(nodes, "node", nodeCount) <= BroadcastByteLimit
+    def bcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // rescale so max == unit; max is a one-row frame cross-joined back
+    // (order-exact, no window, no driver action)
+    def rescale(scores: DataFrame, col: String): DataFrame = {
+      val m = scores.agg(F.max(F.col(col)).as("gr_m"))
+      scores.crossJoin(broadcast(m))
+        .select(F.col("node"),
+          when(F.col("gr_m") > 0L, expr(s"($col * ${unit}L) div gr_m"))
+            .otherwise(lit(0L)).as(col))
+    }
+    def authStep(h: DataFrame): DataFrame = rescale(
+      eByDst.join(bcast(h.select(F.col("node").as("src"), F.col("h"))), Seq("src"))
+        .groupBy(F.col("dst").as("node")).agg(sum(F.col("h")).as("a")), "a")
+    def hubStep(a: DataFrame): DataFrame = rescale(
+      eBySrc.join(bcast(a.select(F.col("node").as("dst"), F.col("a"))), Seq("dst"))
+        .groupBy(F.col("src").as("node")).agg(sum(F.col("a")).as("h")), "h")
+    var h = nodes.select(F.col("node"), lit(unit).as("h"))
+    var a = h.select(F.col("node"), lit(0L).as("a"))
+    var i = 0
+    while (i < iterations) {
+      a = authStep(h)
+      h = hubStep(a)
+      if (i % 3 == 2 && i != iterations - 1) {
+        a = a.localCheckpoint(); h = h.localCheckpoint()
+      }
+      i += 1
+    }
+    nodes
+      .join(h, Seq("node"), "left")
+      .join(a, Seq("node"), "left")
+      .select(F.col("node"),
+        coalesce(F.col("h"), lit(0L)).as("hub_int"),
+        coalesce(F.col("a"), lit(0L)).as("auth_int"))
+  }
+
   /** Conservative byte estimate of a per-round broadcast of `rows`
     * (id, value) pairs keyed by `idCol` of `nodeSized` (which callers
     * have already materialized - this one node-sized agg reads the

@@ -263,6 +263,23 @@ class OpsSpec extends SparkSpec {
     assert(init == Map(1L -> 100L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("hits: hand-computed hub/authority split, zeros for unlinked roles") {
+    // 1->3, 2->3, 3->4: 1 and 2 are pure hubs, 3 the authority (and a
+    // weaker hub), 4 a pure (weaker) authority. unit=100, 1 round:
+    //   a(3) = 200, a(4) = 100 -> rescale: 100, 50
+    //   h(1) = 100, h(2) = 100, h(3) = 50 -> rescale: 100, 100, 50
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val got = GraphOps.hits(edges, "s", "d", iterations = 1, unit = 100L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((100L, 0L)), 2L -> ((100L, 0L)),
+      3L -> ((50L, 100L)), 4L -> ((0L, 50L))))
+    // more rounds keep the fixpoint of this graph (it converges fast)
+    val deep = GraphOps.hits(edges, "s", "d", iterations = 6, unit = 100L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(deep(1L)._1 == 100L && deep(3L)._2 == 100L && deep(4L)._1 == 0L)
+  }
+
   test("pageRank: null endpoints drop, duplicate/reversed edges collapse, center outranks leaves") {
     val edges = Seq(
       (Some(1L), Some(2L)), (Some(2L), Some(1L)), (Some(1L), Some(2L)), // one undirected edge
