@@ -3004,6 +3004,17 @@ object SparkEntry {
         .select(col("media_id"), col("win_idx"), col("energy"),
           col("is_silent"), col("segment_id"))
     },
+    "text_readability" -> { (s, dir) =>
+      // Flesch-style prose-difficulty screen from exact integer counts
+      // (sentences via the shared boundary regex, words, vowel-group
+      // syllable proxy) - the fixed-coefficient double formula replays
+      // bit-for-bit
+      TextOps.readability(
+          tbl(s, dir, "documents").filter(col("text").isNotNull)
+            .select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("n_sentences"), col("n_words"),
+          col("n_syllables"), col("flesch"))
+    },
     "docs_temperature_mix" -> { (s, dir) =>
       // T-scaled multilingual/source rebalancing: keep fractions from
       // p_s ∝ n_s^(1/T) (T=2 flattens the head) under one total
@@ -5383,6 +5394,28 @@ object SparkEntry {
         |FROM documents d JOIN st ON d.lang IS NOT DISTINCT FROM st.lang
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
         |      < least(1.0, 50000.0 / stratum_volume) * 4294967296.0""".stripMargin,
+    "text_readability" ->
+      // ::DOUBLE on every coefficient - bare 1.015 parses as DECIMAL in
+      // DuckDB and the decimal arithmetic would drift from Spark's
+      // double literals
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(list_transform(
+        |      string_split_regex(text, '[.!?]+[ \t\n\x0B\f\r]+'),
+        |      s -> trim(s)), s -> s <> '')) AS INT) AS n_sentences,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                         w -> w <> '')) AS INT) AS n_words,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT)
+        |      AS n_syllables
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT doc_id, n_sentences, n_words, n_syllables,
+        |  CASE WHEN n_sentences > 0 AND n_words > 0
+        |       THEN 206.835::DOUBLE
+        |            - 1.015::DOUBLE * (CAST(n_words AS DOUBLE) / n_sentences)
+        |            - 84.6::DOUBLE * (CAST(n_syllables AS DOUBLE) / n_words)
+        |       END AS flesch
+        |FROM b""".stripMargin,
     "docs_temperature_mix" ->
       // pow(n, 0.5) on both engines (IEEE doubles over exact integer
       // sums); the md5 threshold is the family's shared integer<double

@@ -642,6 +642,38 @@ object TextOps {
     F.filter(F.transform(split(text, "[.!?]+[ \\t\\n\\x0B\\f\\r]+"),
       (s: Column) => trim(s)), (s: Column) => s =!= "")
 
+  /** Flesch-style readability signals (the classic prose-difficulty
+    * screen - a quality dimension the length/punctuation heuristics
+    * miss: wall-of-jargon text scores low, simple prose high). Inputs
+    * are exact integer counts, so the fixed-coefficient double
+    * formula replays bit-for-bit:
+    *
+    *   flesch = 206.835 - 1.015·(words/sentences) - 84.6·(syllables/words)
+    *
+    * with syllables approximated as VOWEL GROUPS (`[aeiouy]+` runs
+    * over the lowercased text - the standard cheap proxy; word
+    * boundaries don't affect the corpus-level sum) and sentences from
+    * [[sentences]]. Degenerate docs (no words or no sentences) score
+    * NULL rather than dividing by zero. Pure codegen projections.
+    *
+    * Adds: n_sentences, n_words, n_syllables, flesch.
+    */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    val t = F.col(textCol)
+    val nS = F.size(sentences(t))
+    val nW = F.size(F.filter(split(trim(t), "\\s+"), (w: Column) => w =!= ""))
+    val nY = F.size(F.regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+    df.withColumn("n_sentences", nS)
+      .withColumn("n_words", nW)
+      .withColumn("n_syllables", nY)
+      .withColumn("flesch",
+        when(F.col("n_sentences") > 0 && F.col("n_words") > 0,
+          lit(206.835) -
+            lit(1.015) * (F.col("n_words").cast(DoubleType) / F.col("n_sentences")) -
+            lit(84.6) * (F.col("n_syllables").cast(DoubleType) / F.col("n_words")))
+          .otherwise(lit(null).cast(DoubleType)))
+  }
+
   def stripHtmlLines(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", "")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")

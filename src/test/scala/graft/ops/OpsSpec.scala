@@ -2043,6 +2043,22 @@ class OpsSpec extends SparkSpec {
     assert(audioSegments(media, 100, 1000000L).count() == 2)
   }
 
+  test("readability: hand-counted signals, simple prose outscores jargon, degenerate -> NULL") {
+    val rows = Seq(
+      (1L, "The cat sat. The dog ran. It was fun."), // simple: 3 sent, 9 words
+      (2L, "Incomprehensibility characterizes organizational bureaucratization."),
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = TextOps.readability(rows, "text")
+      .select(col("doc_id"), col("n_sentences"), col("n_words"), col("flesch"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(1L)._1 == 3 && out(1L)._2 == 9)
+    assert(out(2L)._1 == 1 && out(2L)._2 == 4)
+    assert(out(1L)._3.get > out(2L)._3.get, "simple prose must outscore jargon")
+    // whitespace-only: 0 sentences, 0 words -> NULL, never a div-by-zero
+    assert(out(3L) == ((0, 0, None)))
+  }
+
   test("sentences: terminator runs split, pieces trim, empties drop, abbreviations documented") {
     val got = Seq("One two. Three four!  Five?\nSix...   ")
       .toDF("t").select(TextOps.sentences(col("t"))).as[Seq[String]].head()
