@@ -1905,6 +1905,29 @@ object SparkEntry {
           col("node").endsWith(".com"), iterations = 10)
         .select(col("node").as("domain"), col("trust_int"))
     },
+    "web_redirects" -> { (s, dir) =>
+      // 301-chain resolution: every non-multiple-of-7 URL redirects one
+      // step down (chains of <= 6 hops ending at 7-multiples), 41-
+      // multiples self-loop - those flag resolved=false instead of
+      // spinning; 8 unrolled hops, ONE lazy plan
+      val id = col("doc_id")
+      def u(i: org.apache.spark.sql.Column) =
+        concat(lit("https://r.org/p"), i.cast(StringType))
+      val redirects = tbl(s, dir, "documents").filter(id % 7 =!= 0)
+        .select(u(id).as("from_url"),
+          when(id % 41 === 0, u(id)).otherwise(u(id - 1)).as("to_url"))
+      WebOps.redirectChains(redirects, "from_url", "to_url", maxHops = 8)
+    },
+    "web_cocite" -> { (s, dir) =>
+      // related-domain discovery: domains cited by the SAME page pair
+      // up; mega-hub sources past the shared skew cap drop entirely
+      // (the degenerate-key discipline of every capped self-join here)
+      val pages = tbl(s, dir, "documents")
+        .withColumn("url", synthUrlCol).withColumn("html", synthLinkHtmlCol)
+      val edges = WebOps.linkGraph(pages, "url", "html")
+        .select(col("src_domain"), col("dst_domain"))
+      WebOps.coCitation(edges, "src_domain", "dst_domain", maxFanout = skewCap)
+    },
     "web_hits" -> { (s, dir) =>
       // hubs vs authorities over the DIRECTED domain graph: link
       // directories rank as hubs (crawl-discovery priority), content
@@ -4835,6 +4858,46 @@ object SparkEntry {
         |  SELECT node, r0 AS r FROM nb
         |), $rounds
         |SELECT node AS domain, r AS trust_int FROM r10""".stripMargin
+    },
+    "web_redirects" -> {
+      // the min-fold + 8 unrolled left-join hops + the final
+      // still-in-map probe; r MATERIALIZED (referenced by all 8 hops)
+      val hops = (2 to 8).map { i =>
+        s"""s$i AS (
+           |  SELECT s.url, coalesce(r.t, s.target) AS target,
+           |         CASE WHEN r.t IS NOT NULL THEN s.hops + 1
+           |              ELSE s.hops END AS hops
+           |  FROM s${i - 1} s LEFT JOIN r ON s.target = r.f
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH r AS MATERIALIZED (
+        |  SELECT 'https://r.org/p' || CAST(doc_id AS VARCHAR) AS f,
+        |         min(CASE WHEN doc_id % 41 = 0
+        |              THEN 'https://r.org/p' || CAST(doc_id AS VARCHAR)
+        |              ELSE 'https://r.org/p' || CAST(doc_id - 1 AS VARCHAR)
+        |              END) AS t
+        |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1
+        |), s1 AS (
+        |  SELECT f AS url, t AS target, 1 AS hops FROM r
+        |), $hops
+        |SELECT s.url, s.target, CAST(s.hops AS INT) AS hops,
+        |       (r.f IS NULL) AS resolved
+        |FROM s8 s LEFT JOIN r ON s.target = r.f""".stripMargin
+    },
+    "web_cocite" -> {
+      // same cap, same ordered-pair self-join over the shared link CTEs
+      s"""WITH $urlShellCte, $linkShellCte, $linkFoldCtes, e AS (
+        |  SELECT DISTINCT src_domain AS s, dst_domain AS d FROM dd
+        |), ok AS (
+        |  SELECT s FROM (SELECT s, count(*) AS n FROM e GROUP BY 1)
+        |  WHERE n <= $skewCap
+        |), k AS MATERIALIZED (
+        |  SELECT e.s, e.d FROM e JOIN ok USING (s)
+        |)
+        |SELECT a.d AS dst_a, b.d AS dst_b,
+        |       CAST(count(*) AS BIGINT) AS n_cociting
+        |FROM k a JOIN k b ON a.s = b.s AND a.d < b.d
+        |GROUP BY 1, 2""".stripMargin
     },
     "web_hits" -> {
       // the HITS mutual recurrence unrolled: per round an authority

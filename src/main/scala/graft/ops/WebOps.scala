@@ -1095,6 +1095,82 @@ object WebOps {
       .withColumn("nofollow", tok("nofollow") || tok("none"))
   }
 
+  /** Resolve HTTP redirect chains to their final targets - the fetch
+    * tier's canonical-location pass (301/302 hops are how the web
+    * actually moves; a frontier that stores hop-1 targets re-crawls
+    * every intermediate forever). A URL redirecting to several places
+    * (recrawled over time) folds to its MIN target first -
+    * deterministic, like every snapshot fold here. `maxHops` unrolled
+    * left joins follow the chain; a URL still pointing INTO the
+    * redirect map after maxHops (a loop, or a chain longer than any
+    * real site uses - browsers cap near 20) flags `resolved = false`
+    * rather than spinning. Each hop is one equi-join of the
+    * chain-state frame against the (frontier-sized) redirect map; the
+    * unrolled chain is ONE lazy plan.
+    *
+    * Output: (url, target, hops, resolved) - one row per redirecting
+    * URL.
+    */
+  def redirectChains(
+      redirects: DataFrame,
+      fromCol: String,
+      toCol: String,
+      maxHops: Int = 8
+  ): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val r = redirects
+      .filter(F.col(fromCol).isNotNull && F.col(toCol).isNotNull)
+      .groupBy(F.col(fromCol).as("gr_f"))
+      .agg(F.min(F.col(toCol)).as("gr_t"))
+    var state = r.select(F.col("gr_f").as("url"),
+      F.col("gr_t").as("target"), lit(1).as("hops"))
+    for (_ <- 2 to maxHops) {
+      state = state.join(r, state("target") === r("gr_f"), "left")
+        .select(state("url"),
+          coalesce(F.col("gr_t"), state("target")).as("target"),
+          when(F.col("gr_t").isNotNull, state("hops") + 1)
+            .otherwise(state("hops")).as("hops"))
+    }
+    state.join(r.select(F.col("gr_f")), state("target") === F.col("gr_f"), "left")
+      .select(state("url"), state("target"), state("hops"),
+        F.col("gr_f").isNull.as("resolved"))
+  }
+
+  /** Co-citation relatedness: two domains cited BY the same page are
+    * topically related (the related-domain discovery signal behind
+    * "people who link to X also link to Y" - direction matters: this
+    * is the in-link sibling of bibliographic coupling). One
+    * dst-pair-per-src self-join with the family's skew discipline:
+    * sources whose fan-out exceeds `maxFanout` drop ENTIRELY (mega-hub
+    * link lists pair everything with everything at near-zero precision
+    * - the same degenerate-key argument as every capped sketch join
+    * here), bounding the quadratic blowup per source. Output pairs
+    * order (a < b) so each pair counts once.
+    */
+  def coCitation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxFanout: Long = 100
+  ): DataFrame = {
+    require(maxFanout >= 2, s"maxFanout must be >= 2, got $maxFanout")
+    val e = edges.select(F.col(srcCol).as("gr_cs"), F.col(dstCol).as("gr_cd"))
+      .filter(F.col("gr_cs").isNotNull && F.col("gr_cd").isNotNull)
+      .distinct()
+    val ok = e.groupBy(F.col("gr_cs")).agg(count(lit(1)).as("gr_n"))
+      .filter(F.col("gr_n") <= maxFanout)
+      .select(F.col("gr_cs"))
+    // no broadcast hint: the eligible-src frame is frontier-sized and
+    // AQE picks the strategy (the foldDomainByHost lesson - an
+    // unconditional broadcast fails outright past driver memory)
+    val kept = e.join(ok, Seq("gr_cs"))
+    kept.as("a").join(kept.as("b"),
+        F.col("a.gr_cs") === F.col("b.gr_cs") &&
+          F.col("a.gr_cd") < F.col("b.gr_cd"))
+      .groupBy(F.col("a.gr_cd").as("dst_a"), F.col("b.gr_cd").as("dst_b"))
+      .agg(count(lit(1)).as("n_cociting"))
+  }
+
   /** Per-domain crawl-trap signals: infinite calendars, session-id
     * mazes and path-recursion bugs generate unbounded URL spaces that
     * drown a frontier unless cut at the DOMAIN level. Two per-URL

@@ -263,6 +263,32 @@ class OpsSpec extends SparkSpec {
     assert(init == Map(1L -> 100L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("redirectChains: chains resolve with hop counts, loops flag unresolved") {
+    val r = Seq(
+      ("a", "b"), ("b", "c"),          // a -> b -> c (terminal)
+      ("x", "y"), ("y", "x"),          // 2-cycle: both unresolved
+      ("m", "m"),                      // self-loop
+      ("d", "z2"), ("d", "z1"))        // duplicate from: min target wins
+      .toDF("f", "t")
+    val out = WebOps.redirectChains(r, "f", "t", maxHops = 8)
+      .as[(String, String, Int, Boolean)].collect().map(x => x._1 -> x).toMap
+    assert(out("a") == (("a", "c", 2, true)))
+    assert(out("b") == (("b", "c", 1, true)))
+    assert(!out("x")._4 && !out("y")._4 && !out("m")._4)
+    assert(out("d") == (("d", "z1", 1, true)))
+  }
+
+  test("coCitation: shared-source pairs count, over-fanout sources drop") {
+    val e = Seq(("h1", "a"), ("h1", "b"), ("h1", "c"),
+      ("h2", "a"), ("h2", "b"),
+      ("mega", "a"), ("mega", "b"), ("mega", "c"), ("mega", "d"))
+      .toDF("s", "d")
+    val out = WebOps.coCitation(e, "s", "d", maxFanout = 3)
+      .as[(String, String, Long)].collect().map(x => (x._1, x._2) -> x._3).toMap
+    // mega (fanout 4 > 3) contributes nothing
+    assert(out == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+  }
+
   test("hits: hand-computed hub/authority split, zeros for unlinked roles") {
     // 1->3, 2->3, 3->4: 1 and 2 are pure hubs, 3 the authority (and a
     // weaker hub), 4 a pure (weaker) authority. unit=100, 1 round:
