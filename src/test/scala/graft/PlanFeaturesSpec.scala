@@ -380,4 +380,45 @@ class PlanFeaturesSpec extends SparkSpec {
     // and it returns the same rows as running it end to end
     assert(out.count() > 0)
   }
+
+  test("fetchList plans a LEFT ANTI equi-join, never a nested-loop product") {
+    import graft.ops.WebOps
+    val cand = (1L to 2000L).map(i => (s"surt$i", s"d$i", i))
+      .toDF("surt", "digest", "id")
+    val index = (1L to 1500L).map(i => (s"surt$i", s"d$i")).toDF("surt", "digest")
+    val out = WebOps.fetchList(cand, "surt", "digest", index, "surt", "digest")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"no anti join in the fetchList plan:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct") &&
+      !plan.toLowerCase.contains("broadcastnestedloop"),
+      s"nested-loop product in the fetchList plan:\n$plan")
+    assert(out.count() == 500)
+  }
+
+  test("domainCap windows partition by domain, never a single-partition funnel") {
+    import graft.ops.WebOps
+    val pages = (1L to 5000L).map(i => (i, s"https://h${i % 127}.org/p/$i"))
+      .toDF("id", "url")
+    val out = WebOps.domainCap(pages, "url", "id", maxPerDomain = 5)
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    // the window must key on the domain (127 partitions of work), not
+    // funnel the corpus through one partition
+    assert(!plan.contains("singlepartition"),
+      s"single-partition exchange in the domainCap plan:\n$plan")
+    assert(plan.contains("hashpartitioning"),
+      s"no hash partitioning for the domain window:\n$plan")
+    assert(out.count() == 127L * 5)
+  }
+
+  test("crawlTraps plans map-side partial aggregation before its one exchange") {
+    import graft.ops.WebOps
+    val urls = (1L to 4000L).map(i => s"https://t${i % 11}.org/a/b/$i").toDF("url")
+    val out = WebOps.crawlTraps(urls, "url")
+    val plan = out.queryExecution.executedPlan.toString
+    // signals fuse into the scan; the domain aggregate partial-aggs
+    // map-side (partial_count/partial_sum markers) before shuffling
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"no map-side partial aggregation in the crawlTraps plan:\n${plan.take(2000)}")
+    assert(out.count() == 11)
+  }
 }
