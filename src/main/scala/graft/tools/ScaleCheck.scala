@@ -325,6 +325,30 @@ object ScaleCheck {
         cap("20240101000000", md5(col("text"))).unionByName(
           cap("20250101000000", md5(concat(col("text"), lit("z"))))))
     }
+    // TrustRank: directed domain edges (10x copies carry 10x distinct
+    // domains via the copy-suffixed sources), .com seeds by predicate
+    timed("web_trustrank", webify(webBase), webify(web10)) { df =>
+      val edges = graft.ops.WebOps.linkGraph(df, "url", "html")
+        .filter(col("src_domain") =!= col("dst_domain"))
+        .select(col("src_domain").as("sd"), col("dst_domain").as("dd"))
+      graft.ops.GraphOps.trustRankSeedBy(edges, "sd", "dd",
+        col("node").endsWith(".com"), iterations = 10)
+    }
+    // HITS: the double-half-step loop over the same directed graph
+    timed("web_hits", webify(webBase), webify(web10)) { df =>
+      val edges = graft.ops.WebOps.linkGraph(df, "url", "html")
+        .filter(col("src_domain") =!= col("dst_domain"))
+        .select(col("src_domain").as("sd"), col("dst_domain").as("dd"))
+      graft.ops.GraphOps.hits(edges, "sd", "dd", iterations = 8)
+    }
+    // co-citation: ordered-pair self-join under the skew cap - the
+    // quadratic-per-source shape the cap exists to bound
+    timed("web_cocite", webify(webBase), webify(web10)) { df =>
+      graft.ops.WebOps.coCitation(
+        graft.ops.WebOps.linkGraph(df, "url", "html")
+          .select(col("src_domain"), col("dst_domain")),
+        "src_domain", "dst_domain", maxFanout = 50)
+    }
     spark.stop()
   }
 }
