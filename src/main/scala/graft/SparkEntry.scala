@@ -3009,6 +3009,32 @@ object SparkEntry {
         .select(col("media_id"), col("sample_rate"), col("n_samples"),
           col("energy"), col("zero_crossings"), col("peak"))
     },
+    "media_sniff" -> { (s, dir) =>
+      // trust-the-bytes content typing: six REAL container classes
+      // (every generator here writes spec-compliant bytes) dispatched
+      // purely on magic prefixes - declared Content-Type never enters.
+      // The oracle replays the class formula; the sniff itself is the
+      // thing under test.
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val payload = (id % 6) match {
+            case 0 => MultimodalOps.synthPngImageBytes(id, 8, 8)
+            case 1 => MultimodalOps.synthJpegImageBytes(id, 8, 8)
+            case 2 => MultimodalOps.synthWavPcmBytes(id, 8000, 100)
+            case 3 => MultimodalOps.synthMjpegVideoBytes(Seq(id), 8, 8)
+            case 4 =>
+              val bos = new java.io.ByteArrayOutputStream()
+              val gz = new java.util.zip.GZIPOutputStream(bos)
+              gz.write(s"doc $id".getBytes("UTF-8")); gz.close()
+              bos.toByteArray
+            case _ => s"<html><body>doc $id</body></html>".getBytes("UTF-8")
+          }
+          (id, payload)
+        }).toDF("doc_id", "payload")
+      blobs.select(col("doc_id"),
+        MultimodalOps.sniffMime(col("payload")).as("mime"))
+    },
     "media_audio_segments" -> { (s, dir) =>
       // silence-based segmentation (VAD-lite): gated PCM fixture -
       // every third 100-sample block silent - windows of 100, energy
@@ -6972,6 +6998,17 @@ object SparkEntry {
         |       CAST(1 AS INT) AS channels,
         |       a.px_sum, a.px_tl, a.px_tr, a.px_bl, a.px_br
         |FROM d JOIN agg a USING (doc_id)""".stripMargin,
+    "media_sniff" ->
+      // the class formula; the Spark side must SNIFF its way back to it
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'image/png'
+        |    WHEN 1 THEN 'image/jpeg'
+        |    WHEN 2 THEN 'audio/wav'
+        |    WHEN 3 THEN 'video/mp4'
+        |    WHEN 4 THEN 'application/gzip'
+        |    ELSE 'text/html' END AS mime
+        |FROM documents""".stripMargin,
     "media_audio_segments" ->
       // gated sample formula replayed per (window, offset); the gate
       // block size equals the window size, so silence IS win_idx%3=2;

@@ -1650,6 +1650,35 @@ object MultimodalOps {
     bb.array()
   }
 
+  /** Magic-byte MIME sniffing - the trust-the-bytes half of content
+    * typing (declared Content-Type headers LIE routinely; every
+    * production ingest sniffs before dispatching decoders, which is
+    * exactly what [[decodeImagePixels]] does per-format - this is the
+    * corpus-wide column form). Pure codegen: hex-prefix compares on
+    * binary slices, no UDF, fuses into the scan. Signatures covered:
+    * PNG, JPEG, GIF, RIFF/WAVE, ISO-BMFF ftyp (mp4), gzip, zip, PDF,
+    * and the `<html`/`<!DOCTYPE`/`<HTML` HTML openers (the
+    * casings that occur; full case-folding of markup belongs to the
+    * HTML tier, not the sniffer). Anything else - including payloads
+    * too short for their would-be signature - reads
+    * application/octet-stream; NULL stays NULL.
+    */
+  def sniffMime(payload: Column): Column = {
+    def hx(from: Int, len: Int): Column = F.hex(F.substring(payload, from, len))
+    when(payload.isNull, lit(null).cast(org.apache.spark.sql.types.StringType))
+      .when(hx(1, 8) === "89504E470D0A1A0A", lit("image/png"))
+      .when(hx(1, 3) === "FFD8FF", lit("image/jpeg"))
+      .when(hx(1, 3) === "474946", lit("image/gif"))
+      .when(hx(1, 4) === "52494646" && hx(9, 4) === "57415645", lit("audio/wav"))
+      .when(hx(5, 4) === "66747970", lit("video/mp4"))
+      .when(hx(1, 2) === "1F8B", lit("application/gzip"))
+      .when(hx(1, 4) === "504B0304", lit("application/zip"))
+      .when(hx(1, 4) === "25504446", lit("application/pdf"))
+      .when(hx(1, 4) === "3C68746D" || hx(1, 4) === "3C48544D" ||
+        hx(1, 4) === "3C21444F" || hx(1, 4) === "3C21646F", lit("text/html"))
+      .otherwise(lit("application/octet-stream"))
+  }
+
   /** [[synthWavPcmBytes]] with SILENCE GATES: every third
     * `gate`-sample block is all-zero, the rest carry the same
     * deterministic ramp formula - the fixture shape for segmentation

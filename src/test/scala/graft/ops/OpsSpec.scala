@@ -2044,6 +2044,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("sniffMime: real container bytes classify; short/unknown/null degrade cleanly") {
+    import MultimodalOps._
+    val gz = { val b = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(b); g.write("x".getBytes); g.close()
+      b.toByteArray }
+    val rows = Seq[(Long, Array[Byte])](
+      (1L, synthPngImageBytes(1L, 8, 8)),
+      (2L, synthJpegImageBytes(2L, 8, 8)),
+      (3L, synthWavPcmBytes(3L, 8000, 10)),
+      (4L, synthMjpegVideoBytes(Seq(4L), 8, 8)),
+      (5L, gz),
+      (6L, "<!DOCTYPE html><html></html>".getBytes),
+      (7L, "%PDF-1.4 fake".getBytes),
+      (8L, "PKzipish".getBytes("ISO-8859-1")),
+      (9L, Array[Byte](0x42, 0x42)), // unknown + too short for anything
+      (10L, null)).toDF("id", "p")
+    val got = rows.select(col("id"), sniffMime(col("p")).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got == Map(1L -> "image/png", 2L -> "image/jpeg", 3L -> "audio/wav",
+      4L -> "video/mp4", 5L -> "application/gzip", 6L -> "text/html",
+      7L -> "application/pdf", 8L -> "application/zip",
+      9L -> "application/octet-stream", 10L -> null))
+  }
+
   test("audioSegments: silence splits voiced runs into 0-based segment ids") {
     import MultimodalOps._
     // 500 samples, gate 100: windows 0,1 voiced (seg 0), 2 silent,
