@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
-import org.apache.spark.sql.functions.{col, concat_ws, lit, when}
+import org.apache.spark.sql.functions.{col, concat_ws, lit}
 import org.apache.spark.sql.types.DataType
 
 /** CDX(J) archive-index files - the FOURTH CommonCrawl interchange
@@ -140,9 +140,4 @@ object Cdx {
     F.concat(F.lpad(year.cast("string"), 4, "0"),
       p2(month), p2(day), p2(hour), p2(minute), p2(second))
   }
-
-  /** Convenience: `when` absent fields should read "-" (the classic
-    * CDX placeholder) rather than null, apply on the consumer side.
-    */
-  def orDash(c: Column): Column = when(c.isNull, lit("-")).otherwise(c)
 }

@@ -70,6 +70,20 @@ class CdxSpec extends SparkSpec {
     assert(parsed.map(_.getString(0)).sorted.toSeq == Seq("com,ex)/p", "com,ex)/r"))
   }
 
+  test("parseCdxLines never throws on fuzz noise (refuse-don't-crash)") {
+    val rnd = new scala.util.Random(1234)
+    val noise = (1 to 200).map { i =>
+      val len = rnd.nextInt(80)
+      new String((0 until len).map(_ => (rnd.nextInt(95) + 32).toChar).toArray)
+    } ++ Seq(
+      "surt 20240101000000 {\"url\":null}", // null url -> drops
+      "surt 20240101000000 [1,2,3]",        // json, wrong shape -> drops
+      "a b {\"url\":\"u\",\"extra\":\"ignored\"}") // extra fields fine
+    val out = Cdx.parseCdxLines(noise.toDF("value"), "value").collect()
+    // whatever survives framed as a real record; nothing threw
+    assert(out.forall(r => r.getString(2) != null))
+  }
+
   test("write -> read gzip shards roundtrip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdx_spec").toString
     val df = Seq(
