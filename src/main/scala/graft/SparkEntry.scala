@@ -1928,6 +1928,17 @@ object SparkEntry {
         .select(col("src_domain"), col("dst_domain"))
       WebOps.coCitation(edges, "src_domain", "dst_domain", maxFanout = skewCap)
     },
+    "web_coupling" -> { (s, dir) =>
+      // seed expansion: sources linking to the same targets pair up
+      // (the out-link transpose of web_cocite); mega-authority targets
+      // past the cap drop - everyone links to them, pairing their
+      // citers says nothing
+      val pages = tbl(s, dir, "documents")
+        .withColumn("url", synthUrlCol).withColumn("html", synthLinkHtmlCol)
+      val edges = WebOps.linkGraph(pages, "url", "html")
+        .select(col("src_domain"), col("dst_domain"))
+      WebOps.coupling(edges, "src_domain", "dst_domain", maxFanin = skewCap)
+    },
     "web_hits" -> { (s, dir) =>
       // hubs vs authorities over the DIRECTED domain graph: link
       // directories rank as hubs (crawl-discovery priority), content
@@ -4923,6 +4934,22 @@ object SparkEntry {
         |SELECT a.d AS dst_a, b.d AS dst_b,
         |       CAST(count(*) AS BIGINT) AS n_cociting
         |FROM k a JOIN k b ON a.s = b.s AND a.d < b.d
+        |GROUP BY 1, 2""".stripMargin
+    },
+    "web_coupling" -> {
+      // the cocite replay transposed: cap on target in-degree, pairs
+      // over sources
+      s"""WITH $urlShellCte, $linkShellCte, $linkFoldCtes, e AS (
+        |  SELECT DISTINCT src_domain AS s, dst_domain AS d FROM dd
+        |), ok AS (
+        |  SELECT d FROM (SELECT d, count(*) AS n FROM e GROUP BY 1)
+        |  WHERE n <= $skewCap
+        |), k AS MATERIALIZED (
+        |  SELECT e.s, e.d FROM e JOIN ok USING (d)
+        |)
+        |SELECT a.s AS src_a, b.s AS src_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared_targets
+        |FROM k a JOIN k b ON a.d = b.d AND a.s < b.s
         |GROUP BY 1, 2""".stripMargin
     },
     "web_hits" -> {

@@ -1171,6 +1171,37 @@ object WebOps {
       .agg(count(lit(1)).as("n_cociting"))
   }
 
+  /** Bibliographic coupling - the out-link transpose of
+    * [[coCitation]]: two SOURCES that link to the same targets are
+    * topically similar (Kessler's measure; the seed-expansion signal -
+    * "find more domains like the vetted ones" ranks candidates by
+    * coupling strength to the seed set). Same engine, roles swapped:
+    * targets whose in-degree exceeds `maxFanin` drop entirely
+    * (everyone links to the mega-authorities - pairing their citers
+    * says nothing and costs a quadratic key). Output pairs order
+    * (a < b), one count per pair.
+    */
+  def coupling(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxFanin: Long = 100
+  ): DataFrame = {
+    require(maxFanin >= 2, s"maxFanin must be >= 2, got $maxFanin")
+    val e = edges.select(F.col(srcCol).as("gr_cs"), F.col(dstCol).as("gr_cd"))
+      .filter(F.col("gr_cs").isNotNull && F.col("gr_cd").isNotNull)
+      .distinct()
+    val ok = e.groupBy(F.col("gr_cd")).agg(count(lit(1)).as("gr_n"))
+      .filter(F.col("gr_n") <= maxFanin)
+      .select(F.col("gr_cd"))
+    val kept = e.join(ok, Seq("gr_cd"))
+    kept.as("a").join(kept.as("b"),
+        F.col("a.gr_cd") === F.col("b.gr_cd") &&
+          F.col("a.gr_cs") < F.col("b.gr_cs"))
+      .groupBy(F.col("a.gr_cs").as("src_a"), F.col("b.gr_cs").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_targets"))
+  }
+
   /** Per-domain crawl-trap signals: infinite calendars, session-id
     * mazes and path-recursion bugs generate unbounded URL spaces that
     * drown a frontier unless cut at the DOMAIN level. Two per-URL

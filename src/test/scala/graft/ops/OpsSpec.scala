@@ -289,6 +289,17 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
   }
 
+  test("coupling: shared-target pairs count, over-fanin targets drop") {
+    val e = Seq(("a", "t1"), ("b", "t1"), ("c", "t1"),
+      ("a", "t2"), ("b", "t2"),
+      ("a", "mega"), ("b", "mega"), ("c", "mega"), ("d", "mega"))
+      .toDF("s", "d")
+    val out = WebOps.coupling(e, "s", "d", maxFanin = 3)
+      .as[(String, String, Long)].collect().map(x => (x._1, x._2) -> x._3).toMap
+    // mega (fanin 4 > 3) contributes nothing
+    assert(out == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+  }
+
   test("hits: hand-computed hub/authority split, zeros for unlinked roles") {
     // 1->3, 2->3, 3->4: 1 and 2 are pure hubs, 3 the authority (and a
     // weaker hub), 4 a pure (weaker) authority. unit=100, 1 round:
