@@ -774,7 +774,7 @@ object SparkEntry {
       " THEN ':' || CAST(port AS VARCHAR) ELSE '' END)" +
       " || ')' || (CASE WHEN path = '' THEN '/' ELSE lower(path) END)" +
       " || (CASE WHEN qstr = '' THEN '' ELSE '?' ||" +
-      " lower(array_to_string(list_sort(string_split(qstr, '&')), '&')) END)"
+      " array_to_string(list_sort(string_split(lower(qstr), '&')), '&') END)"
 
   /** 26-letter transliteration alphabets for the `text_scripts` shell -
     * ONE definition used by the Spark query and (interpolated) by the
@@ -5860,16 +5860,21 @@ object SparkEntry {
         |  text
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "web_frontier_schedule" -> {
-      // slot = deterministic per-domain rank over (url, doc_id); delay =
-      // the same closed-form governing verdict as web_robots_ext, with
-      // digit % 3 == 2 domains falling to the 1s default (no robots)
+      // slot = deterministic per-domain rank over (salt, url, doc_id)
+      // where salt is the first md5(url) hex nibble - the salt-major
+      // dense order the de-skewed two-phase plan produces (local rank
+      // within (domain, salt) + broadcast salt offsets == ONE window in
+      // salt-major order); delay = the same closed-form governing
+      // verdict as web_robots_ext, with digit % 3 == 2 domains falling
+      // to the 1s default (no robots)
       s"""WITH $urlShellCte, x AS (
         |  SELECT doc_id, url, domain,
+        |    instr('0123456789abcdef', substring(md5(url), 1, 1)) - 1 AS salt,
         |    regexp_extract(domain, 'src([0-9])', 1) AS n
         |  FROM d
         |), r AS (
         |  SELECT doc_id, domain, url,
-        |    CAST(row_number() OVER (PARTITION BY domain ORDER BY url, doc_id)
+        |    CAST(row_number() OVER (PARTITION BY domain ORDER BY salt, url, doc_id)
         |         AS BIGINT) - 1 AS slot,
         |    CAST(CASE WHEN CAST(n AS INT) % 3 = 2 THEN 1.0
         |              WHEN CAST(n AS INT) % 2 = 0 THEN 2.0

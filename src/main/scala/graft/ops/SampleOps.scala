@@ -336,8 +336,8 @@ object SampleOps {
   ): DataFrame = {
     require(totalBudget >= 0.0, s"budget must be non-negative, got $totalBudget")
     require(temperature > 0.0, s"temperature must be positive, got $temperature")
-    require(!df.columns.exists(Set("gr_stratum", "gr_n", "gr_p", "gr_z")),
-      "input already has a gr_stratum/gr_n/gr_p/gr_z column; rename it first")
+    require(!df.columns.exists(Set("gr_stratum", "gr_n", "gr_p", "gr_z", "gr_keep")),
+      "input already has a gr_stratum/gr_n/gr_p/gr_z/gr_keep column; rename it first")
     val totals = df.groupBy(F.col(strataCol).as("gr_stratum"))
       .agg(sum(F.col(volumeCol)).cast(DoubleType).as("gr_n"))
       .withColumn("gr_p", F.pow(F.col("gr_n"), lit(1.0 / temperature)))

@@ -125,7 +125,7 @@ object WebOps {
     *   3. `)` separator, then the path lowercased (`""` keys as `/`:
     *      `http://h` and `http://h/` are the same resource);
     *   4. a non-empty query appends as `?` + the `&`-split parameters
-    *      SORTED (byte order) and lowercased - parameter order never
+    *      LOWERCASED then SORTED (byte order) - parameter order never
     *      splits an archive entry; fragments never reach the key
     *      ([[urlPath]]/[[urlQuery]] already cut them).
     *
@@ -147,8 +147,11 @@ object WebOps {
     val p = urlPath(url)
     val pathPart = when(p === "", lit("/")).otherwise(lower(p))
     val q = urlQuery(url)
+    // lowercase BEFORE sorting (pywb's order): sorting the raw-case
+    // params and folding after can emit an unsorted key, splitting
+    // ?a=1&B=2 and ?a=1&b=2 into two archive entries
     val qPart = when(q === "", lit("")).otherwise(
-      concat(lit("?"), lower(array_join(array_sort(split(q, "&")), "&"))))
+      concat(lit("?"), array_join(array_sort(split(lower(q), "&")), "&")))
     concat(hostKey, portPart, lit(")"), pathPart, qPart)
   }
 
@@ -747,12 +750,23 @@ object WebOps {
     * honors the offsets per domain and fetches domains in parallel -
     * exactly the shape crawl workers consume.
     *
-    * Scale shape: ONE shuffle keyed on the domain (the ranking
-    * window); a window partition is one domain's frontier slice -
-    * bounded by per-domain candidate counts, which the domain caps
-    * upstream ([[domainStats]]-driven curation) keep sane, and
-    * Spark's window spills rather than OOMs on a hot domain. The
-    * delays frame is domain-sized and broadcasts.
+    * Scale shape - salted local ranks + broadcast offsets (the
+    * [[graft.ops.ShardOps.runningTotal]] discipline), because a
+    * mega-domain's frontier must never serialize on one window task:
+    *
+    *   1. rank within `(domain, salt)` where salt is the first
+    *      md5(url) hex nibble (16 buckets, byte-replayable in any
+    *      engine with md5) - each window task bounded by slice/16;
+    *   2. per-(domain, salt) counts prefix-sum into salt offsets on a
+    *      (#domains x 16)-row frame that broadcasts back;
+    *   3. slot = local_rank + salt_offset.
+    *
+    * Slots stay DENSE (each domain uses 0..n-1 exactly once - no idle
+    * pacing gaps), deterministic, and total; the within-domain order
+    * is (salt, url, id), md5-bucket-major - a politeness schedule
+    * orders arbitrarily anyway, it only needs determinism and the
+    * distinct-slot inter-fetch gap. The delays frame is domain-sized
+    * and broadcasts.
     *
     * Output: frontier columns + (domain, slot, not_before_s).
     */
@@ -764,15 +778,35 @@ object WebOps {
       defaultDelay: Double = 1.0
   ): DataFrame = {
     require(defaultDelay >= 0, s"defaultDelay must be >= 0, got $defaultDelay")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("domain").orderBy(F.col(urlCol), F.col(idCol))
-    foldDomainByHost(frontier, urlHost(F.col(urlCol)), "domain")
+    require(!frontier.columns.exists(
+      Set("gr_salt", "gr_lrk", "gr_off", "gr_od", "gr_os", "gr_dd",
+        "domain", "slot", "not_before_s")),
+      "frontier already has a gr_*/domain/slot/not_before_s column; rename it first")
+    val W = org.apache.spark.sql.expressions.Window
+    val wLocal = W.partitionBy(F.col("domain"), F.col("gr_salt"))
+      .orderBy(F.col(urlCol), F.col(idCol))
+    // the corpus-scale ranking window is salted; THIS window runs on
+    // the (#domains x 16)-row count frame only, where per-key is fine
+    val wOff = W.partitionBy(F.col("domain")).orderBy(F.col("gr_salt"))
+      .rowsBetween(Long.MinValue, -1)
+    val salted = foldDomainByHost(frontier, urlHost(F.col(urlCol)), "domain")
+      .withColumn("gr_salt", F.expr(
+        s"instr('0123456789abcdef', substring(md5($urlCol), 1, 1)) - 1"))
+    val offsets = salted.groupBy(F.col("domain"), F.col("gr_salt"))
+      .agg(count(lit(1)).as("gr_cnt"))
+      .withColumn("gr_off", coalesce(sum(F.col("gr_cnt")).over(wOff), lit(0L)))
+      .select(F.col("domain").as("gr_od"), F.col("gr_salt").as("gr_os"),
+        F.col("gr_off"))
+    salted
+      .withColumn("gr_lrk", row_number().over(wLocal).cast(LongType) - 1L)
+      .join(broadcast(offsets),
+        F.col("domain") <=> F.col("gr_od") && F.col("gr_salt") === F.col("gr_os"))
       .join(broadcast(delays.select(F.col("domain").as("gr_dd"),
         F.col("crawl_delay"))), F.col("domain") <=> F.col("gr_dd"), "left")
-      .withColumn("slot", row_number().over(w).cast(LongType) - 1L)
+      .withColumn("slot", F.col("gr_lrk") + F.col("gr_off"))
       .withColumn("not_before_s",
         F.col("slot") * coalesce(F.col("crawl_delay"), lit(defaultDelay)))
-      .drop("gr_dd", "crawl_delay")
+      .drop("gr_dd", "crawl_delay", "gr_salt", "gr_lrk", "gr_off", "gr_od", "gr_os")
   }
 
   /** Fetch list against an archive index: candidate URLs whose
@@ -1021,8 +1055,25 @@ object WebOps {
     * corpus and the model overfits their boilerplate). The kept subset
     * is a deterministic PSEUDO-RANDOM sample within each domain: rank
     * by md5(url) (id tie-break), never lexicographically - alphabetic
-    * ranking would systematically keep `/a...` pages. One domain-keyed
-    * window; the PSL fold runs per distinct host.
+    * ranking would systematically keep `/a...` pages.
+    *
+    * Scale shape - two-phase salted top-K, because domains are
+    * Zipf-distributed and a single per-domain window would rank a
+    * mega-domain's ENTIRE slice (terabytes, at a raw-crawl 100 TB) in
+    * one task, in exactly the operator whose job is cutting
+    * mega-domains:
+    *
+    *   1. rank within `(domain, hash(url) % saltBuckets)` and keep at
+    *      most `maxPerDomain` per salt - any one window task is
+    *      bounded by slice/saltBuckets, and every row of the TRUE
+    *      per-domain top-K survives (a row in the global top-K is in
+    *      the top-K of any subset containing it);
+    *   2. exact re-rank of the <= saltBuckets*maxPerDomain survivors
+    *      per domain by the same (md5(url), id) key.
+    *
+    * Same output as the one-window plan, row for row; the salt never
+    * reaches the result, so it uses the engine-native hash. The PSL
+    * fold runs per distinct host.
     *
     * Output: input columns + domain, rows over the cap dropped.
     */
@@ -1030,16 +1081,25 @@ object WebOps {
       df: DataFrame,
       urlCol: String,
       idCol: String,
-      maxPerDomain: Int
+      maxPerDomain: Int,
+      saltBuckets: Int = 16
   ): DataFrame = {
     require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("domain")
-      .orderBy(F.md5(F.col(urlCol)), F.col(idCol))
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    require(!df.columns.exists(Set("gr_rk", "gr_salt", "domain")),
+      "input already has a gr_rk/gr_salt/domain column; rename it first")
+    val W = org.apache.spark.sql.expressions.Window
+    val orderKey = Seq(F.md5(F.col(urlCol)), F.col(idCol))
+    val w1 = W.partitionBy(F.col("domain"), F.col("gr_salt")).orderBy(orderKey: _*)
+    val w2 = W.partitionBy(F.col("domain")).orderBy(orderKey: _*)
     foldDomainByHost(df, urlHost(F.col(urlCol)), "domain")
-      .withColumn("gr_rk", row_number().over(w))
+      .withColumn("gr_salt", pmod(hash(F.col(urlCol)), lit(saltBuckets)))
+      .withColumn("gr_rk", row_number().over(w1))
       .filter(F.col("gr_rk") <= maxPerDomain)
       .drop("gr_rk")
+      .withColumn("gr_rk", row_number().over(w2))
+      .filter(F.col("gr_rk") <= maxPerDomain)
+      .drop("gr_rk", "gr_salt")
   }
 
   /** Staleness cut against an archive index: keep the rows whose
@@ -1059,13 +1119,18 @@ object WebOps {
       urlCol: String,
       ts14Col: String,
       index: DataFrame
-  ): DataFrame =
+  ): DataFrame = {
+    require(!pages.columns.exists(Set("gr_sk", "gr_cts", "never_captured")),
+      "pages already has a gr_sk/gr_cts/never_captured column; rename it first")
+    require(index.columns.contains("surt_key") && index.columns.contains("cdx_ts"),
+      s"index must carry surt_key and cdx_ts columns, got ${index.columns.mkString(",")}")
     pages.withColumn("gr_sk", surtKey(F.col(urlCol)))
       .join(index.select(F.col("surt_key").as("gr_sk"),
         F.col("cdx_ts").as("gr_cts")), Seq("gr_sk"), "left")
       .withColumn("never_captured", F.col("gr_cts").isNull)
       .filter(F.col("gr_cts").isNull || F.col(ts14Col) > F.col("gr_cts"))
       .drop("gr_sk", "gr_cts")
+  }
 
   /** Robots META directives from page HTML (the in-page half of the
     * exclusion protocol: robots.txt gates the FETCH, `<meta
@@ -1206,9 +1271,10 @@ object WebOps {
     * mazes and path-recursion bugs generate unbounded URL spaces that
     * drown a frontier unless cut at the DOMAIN level. Two per-URL
     * signals that need no fetch at all: path depth, and repeated path
-    * segments (a segment occurring 3+ times in one path - `/cal/2024/
-    * cal/2024/cal/...` - the recursion signature; one repeat is
-    * normal nesting). Aggregated per registrable domain (the PSL fold
+    * segments (at least TWO duplicate segment occurrences across the
+    * path - `/cal/2024/cal/2024/...` or one segment appearing 3+
+    * times - the recursion signature; a single repeat is normal
+    * nesting). Aggregated per registrable domain (the PSL fold
     * runs once per distinct host): n_urls, avg_depth, repeat_share,
     * and the flag = enough URLs AND (too deep on average OR too many
     * repeating paths). avg/share are exact integer-sum divisions, so

@@ -349,6 +349,28 @@ object ScaleCheck {
           .select(col("src_domain"), col("dst_domain")),
         "src_domain", "dst_domain", maxFanout = 50)
     }
+    // per-domain page cap under a PLANTED Zipf head: half of every copy
+    // lands on ONE mega-domain (the exact shape the old single-window
+    // plan serialized on one task). The salted two-phase top-K bounds
+    // any window task at slice/16, so 10x the corpus - and 10x the
+    // mega-domain - should track ~linearly
+    def hotify(df: DataFrame): DataFrame = df.withColumn("url", concat(
+      lit("https://"),
+      when(col("doc_id") % 2 === 0, lit("mega-domain"))
+        .otherwise(concat(lit("s"), (col("doc_id") % 997).cast("string"))),
+      lit(".example/p/"), col("doc_id").cast("string")))
+    timed("web_domain_cap_hot", hotify(docsT1), hotify(docsT10)) { df =>
+      graft.ops.WebOps.domainCap(df.select(col("doc_id"), col("url")),
+        "url", "doc_id", maxPerDomain = 20)
+    }
+    // salted frontier schedule over the same hot fixture: the ranking
+    // window is (domain, salt)-keyed, offsets/delays broadcast
+    timed("web_frontier_hot", hotify(docsT1), hotify(docsT10)) { df =>
+      import spark.implicits._
+      val delays = Seq(("mega-domain.example", 2.0)).toDF("domain", "crawl_delay")
+      graft.ops.WebOps.frontierSchedule(df.select(col("doc_id"), col("url")),
+        "doc_id", "url", delays)
+    }
     spark.stop()
   }
 }

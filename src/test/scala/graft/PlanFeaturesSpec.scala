@@ -395,19 +395,60 @@ class PlanFeaturesSpec extends SparkSpec {
     assert(out.count() == 500)
   }
 
-  test("domainCap windows partition by domain, never a single-partition funnel") {
+  test("domainCap ranks salted before the exact per-domain pass - no hot-domain funnel") {
     import graft.ops.WebOps
     val pages = (1L to 5000L).map(i => (i, s"https://h${i % 127}.org/p/$i"))
       .toDF("id", "url")
-    val out = WebOps.domainCap(pages, "url", "id", maxPerDomain = 5)
+    val out = WebOps.domainCap(pages, "url", "id", maxPerDomain = 5, saltBuckets = 16)
     val plan = out.queryExecution.executedPlan.toString.toLowerCase
-    // the window must key on the domain (127 partitions of work), not
-    // funnel the corpus through one partition
     assert(!plan.contains("singlepartition"),
       s"single-partition exchange in the domainCap plan:\n$plan")
     assert(plan.contains("hashpartitioning"),
       s"no hash partitioning for the domain window:\n$plan")
+    // TWO window stages: the first partitions by (domain, gr_salt) so no
+    // task ever ranks more than one salt slice of a hot domain; only the
+    // second (over <= saltBuckets*cap survivors per domain) keys on the
+    // domain alone. The salt column appears in exactly one window's
+    // partition spec.
+    assert(plan.contains("gr_salt"),
+      s"no salted window stage in the domainCap plan:\n$plan")
+    val nWindows = "\\bwindow\\b".r.findAllIn(plan).length
+    assert(nWindows >= 2, s"expected two window stages, plan:\n$plan")
     assert(out.count() == 127L * 5)
+    // output equivalence with the unsalted spec: the two-phase top-K
+    // keeps EXACTLY the single-window top-K rows (hot-domain fixture:
+    // one domain holds half the corpus)
+    val hot = (1L to 2000L).map(i =>
+      (i, if (i <= 1000) s"https://mega.example/p/$i" else s"https://s${i % 97}.org/p/$i"))
+      .toDF("id", "url")
+    val salted = WebOps.domainCap(hot, "url", "id", maxPerDomain = 7, saltBuckets = 16)
+      .select($"id").as[Long].collect().toSet
+    val oneWindow = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"domain").orderBy(md5($"url"), $"id")
+      WebOps.foldDomainByHost(hot, WebOps.urlHost($"url"), "domain")
+        .withColumn("rk", row_number().over(w)).filter($"rk" <= 7)
+        .select($"id").as[Long].collect().toSet
+    }
+    assert(salted == oneWindow,
+      s"two-phase top-K diverged from the single-window spec: ${salted.diff(oneWindow)} / ${oneWindow.diff(salted)}")
+  }
+
+  test("frontierSchedule's corpus-scale window is salted; offsets broadcast back") {
+    import graft.ops.WebOps
+    val frontier = (1L to 3000L).map(i => (i, s"https://h${i % 61}.org/p/$i"))
+      .toDF("id", "url")
+    val delays = Seq(("h1.org", 2.0)).toDF("domain", "crawl_delay")
+    val out = WebOps.frontierSchedule(frontier, "id", "url", delays)
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("singlepartition"),
+      s"single-partition exchange in the frontierSchedule plan:\n$plan")
+    // the row_number window partitions by (domain, gr_salt); the offset
+    // frame comes back as a broadcast join, never a corpus shuffle
+    assert(plan.contains("gr_salt"),
+      s"no salted ranking window in the frontierSchedule plan:\n$plan")
+    assert(plan.contains("broadcast"),
+      s"offsets/delays not broadcast in the frontierSchedule plan:\n$plan")
   }
 
   test("crawlTraps plans map-side partial aggregation before its one exchange") {

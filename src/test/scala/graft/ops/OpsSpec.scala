@@ -4315,7 +4315,7 @@ class OpsSpec extends SparkSpec {
     assert(got2 == Set(("https://l.example/a", "open near")), got2.toString)
   }
 
-  test("frontierSchedule: per-domain slots by (url, id), delay or default spacing") {
+  test("frontierSchedule: per-domain salt-major slots, delay or default spacing") {
     val frontier = Seq(
       (1L, "https://a.site.com/x"),
       (2L, "https://www.site.com/b"), // host folds: same domain as a.site.com
@@ -4328,8 +4328,9 @@ class OpsSpec extends SparkSpec {
       .select($"id", $"domain", $"slot", $"not_before_s")
       .as[(Long, String, Long, Double)].collect().toSet
     assert(got == Set(
-      // site.com ordered by (url, id): a.site.com/x (id 1, then id 3 on
-      // the URL tie), then www.site.com/b ('a' < 'w' in the url sort)
+      // site.com ordered by (salt, url, id): a.site.com/x has md5
+      // nibble 0 (id 1, then id 3 on the URL tie), www.site.com/b
+      // nibble 10 - salt-major order
       (1L, "site.com", 0L, 0.0),
       (3L, "site.com", 1L, 2.5),
       (2L, "site.com", 2L, 5.0),
@@ -4342,6 +4343,37 @@ class OpsSpec extends SparkSpec {
       .filter($"domain" === "nodelay.net")
       .select($"id", $"not_before_s").as[(Long, Double)].collect().toMap
     assert(got2 == Map(5L -> 0.0, 6L -> 1.5), got2.toString)
+    // the order is SALT-major, not url-major: /p/0 (nibble 8) schedules
+    // AFTER /p/3 (nibble 0) despite sorting first lexically
+    val pin = WebOps.frontierSchedule(
+        Seq((1L, "https://hot.example/p/0"), (2L, "https://hot.example/p/3"))
+          .toDF("id", "url"),
+        "id", "url", delays, defaultDelay = 1.0)
+      .select($"id", $"slot").as[(Long, Long)].collect().toMap
+    assert(pin == Map(2L -> 0L, 1L -> 1L), pin.toString)
+  }
+
+  test("frontierSchedule: dense slots and pacing invariant on a hot domain") {
+    // one mega-domain (200 URLs) + a small one: slots must be a dense
+    // 0..n-1 permutation per domain (no idle gaps from the salting) and
+    // the per-domain inter-fetch gap must be >= the governing delay
+    val frontier = ((1L to 200L).map(i => (i, s"https://mega.example/p/$i")) ++
+      Seq((900L, "https://tiny.org/a"), (901L, "https://tiny.org/b")))
+      .toDF("id", "url")
+    val delays = Seq(("mega.example", 2.0)).toDF("domain", "crawl_delay")
+    val rows = WebOps.frontierSchedule(frontier, "id", "url", delays, defaultDelay = 1.0)
+      .select($"domain", $"slot", $"not_before_s")
+      .as[(String, Long, Double)].collect()
+    val byDom = rows.groupBy(_._1)
+    assert(byDom("mega.example").map(_._2).sorted.toSeq == (0L until 200L),
+      "mega slots not a dense permutation")
+    assert(byDom("tiny.org").map(_._2).sorted.toSeq == Seq(0L, 1L))
+    // gap >= delay: consecutive not_before_s within a domain differ by
+    // exactly the governing delay under dense slots
+    val megaTimes = byDom("mega.example").map(_._3).sorted
+    assert(megaTimes.zip(megaTimes.tail).forall { case (a, b) => b - a >= 2.0 - 1e-9 },
+      "inter-fetch gap < crawl_delay on mega.example")
+    assert(byDom("tiny.org").map(_._3).sorted.toSeq == Seq(0.0, 1.0))
   }
 
   test("canonicalizeUrl: case/port/dots/escapes/query-order collapse to one fetch key") {

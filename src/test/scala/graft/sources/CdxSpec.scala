@@ -30,6 +30,15 @@ class CdxSpec extends SparkSpec {
     assert(surtOf("https://ex.com/p?b=2&a=1&c=3") == "com,ex)/p?a=1&b=2&c=3")
   }
 
+  test("surt: query params lowercase BEFORE sorting (pywb order)") {
+    // with sort-then-lower, 'B=2' < 'a=1' bytewise would emit the
+    // UNSORTED key b=2&a=1 - and ?a=1&B=2 / ?a=1&b=2 would split what
+    // is one archive entry
+    assert(surtOf("https://ex.com/p?a=1&B=2") == "com,ex)/p?a=1&b=2")
+    assert(surtOf("https://ex.com/p?B=2&a=1") == "com,ex)/p?a=1&b=2")
+    assert(surtOf("https://ex.com/p?b=2&a=1") == "com,ex)/p?a=1&b=2")
+  }
+
   test("surt: userinfo strips with the host parse; only ONE www label strips") {
     assert(surtOf("https://user:pw@ex.com/p") == "com,ex)/p")
     assert(surtOf("https://www.www.ex.com/p") == "com,ex,www)/p")
