@@ -2351,6 +2351,64 @@ object SparkEntry {
       graft.sources.Cdx.writeCdx(lines, "line", path)
       graft.sources.Cdx.readCdx(s, path)
     },
+    "web_cdx_fetch" -> { (s, dir) =>
+      // the point-lookup half of the archive-index lifecycle: executors
+      // write warc.gz part files (per-record gzip members) and RETURN
+      // the member coordinates from the same pass; a real CDX(J) index
+      // built from those coordinates (write -> read -> parse) then
+      // drives ranged fetches of a SUBSET (doc_id % 3 == 0) - one
+      // seek + ranged read + single-member inflate per record, no
+      // archive re-scan. Fields byte-match the full-scan ingest (the
+      // shared warc page formulas), proving offset/length delimit the
+      // records exactly.
+      import s.implicits._
+      val outDir = scratchPath("cdx_fetch", dir)
+      val hPath = new org.apache.hadoop.fs.Path(outDir)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(hPath)) fs.delete(hPath, true)
+      fs.mkdirs(hPath)
+      val entries = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+        .repartition(8, col("doc_id"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val docs = it.toSeq
+          if (docs.isEmpty) Iterator.empty
+          else {
+            val pages = docs.map { case (id, text) =>
+              val url = s"https://w${id % 7}.example${id % 3}.org/p/$id"
+              val date = f"2024-01-${1 + id % 28}%02dT${id % 24}%02d:00:00Z"
+              val mime = if (id % 4 == 0) "text/plain" else "text/html"
+              val html =
+                s"<html><head><title>doc $id</title></head><body>$text</body></html>"
+              graft.sources.Warc.WarcPage(url, date, 200, mime, html)
+            }
+            val (bytes, members) = graft.sources.Warc.writeWarcGzBytesIndexed(pages)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val fname = f"part-$pid%05d.warc.gz"
+            val p = new org.apache.hadoop.fs.Path(outDir, fname)
+            val pfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val out = pfs.create(p, true)
+            try out.write(bytes) finally out.close()
+            members.iterator.map(m =>
+              (fname, m.offset.toString, m.length.toString, m.url, m.fetchTime))
+          }
+        }.toDF("filename", "offset", "length", "url", "fetch_time")
+      val cdxPath = scratchPath("cdx_fetch_idx", dir)
+      val lines = entries.select(graft.sources.Cdx.cdxLine(
+        WebOps.surtKey(col("url")),
+        regexp_replace(col("fetch_time"), "[^0-9]", ""),
+        col("url"), lit("text/html"), lit("200"), md5(col("url")),
+        col("length"), col("offset"), col("filename")).as("line"))
+      graft.sources.Cdx.writeCdx(lines, "line", cdxPath)
+      val index = graft.sources.Cdx.readCdx(s, cdxPath)
+        .filter(regexp_extract(col("url"), "/p/([0-9]+)$", 1)
+          .cast(LongType) % 3 === 0)
+      graft.sources.Warc.fetchRecords(index, outDir)
+        .select(
+          regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast(LongType).as("doc_id"),
+          col("url"), col("fetch_time"), col("status"), col("mime"), col("html"))
+    },
     "web_cdx_fetchlist" -> { (s, dir) =>
       // incremental-crawl cut: candidate URLs anti-join the archive
       // index on (surt, digest) - unchanged content never refetches.
@@ -5809,6 +5867,11 @@ object SparkEntry {
     // the streaming reader frames the SAME pages the whole-blob reader
     // does - shared field-formula replay, container bytes never compared
     "web_warc_stream" -> warcIngestOracleSql,
+    "web_cdx_fetch" ->
+      // the ranged fetch must byte-match the full-scan ingest on the
+      // indexed subset - the shared warc page replay, cut to the
+      // fetched doc_ids
+      s"SELECT * FROM ($warcIngestOracleSql) WHERE doc_id % 3 = 0",
     "web_warc_charset" ->
       """SELECT doc_id,
         |  CASE doc_id % 4 WHEN 0 THEN 'iso-8859-1' WHEN 1 THEN 'shift_jis'

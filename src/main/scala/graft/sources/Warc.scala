@@ -735,12 +735,49 @@ object Warc {
     * auto-detected).
     */
   def writeWarcGzBytes(pages: Seq[WarcPage], infoLine: String = "graft-crawler"): Array[Byte] =
-    recordBlocks(pages, infoLine).flatMap { rec =>
-      val bos = new java.io.ByteArrayOutputStream()
-      val gz = new java.util.zip.GZIPOutputStream(bos)
-      gz.write(rec); gz.finish(); gz.close()
-      bos.toByteArray
-    }.toArray
+    recordBlocks(pages, infoLine).flatMap(gzMember).toArray
+
+  private def gzMember(rec: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(rec); gz.finish(); gz.close()
+    bos.toByteArray
+  }
+
+  /** CDX coordinates of one response record's own gzip member within
+    * a [[writeWarcGzBytesIndexed]] archive: `offset`/`length` delimit
+    * the member exactly (seek + read + inflate fetches the record with
+    * no scan) - the filename/offset/length triple a CDX index stores.
+    */
+  final case class GzMember(url: String, fetchTime: String, offset: Long, length: Long)
+
+  /** [[writeWarcGzBytes]] plus the index: byte-identical archive bytes
+    * (same member-per-record layout - the spec pins the identity), and
+    * for every RESPONSE record the (offset, length) of its gzip member.
+    * This is the write half of the archive-index lifecycle; the CDX
+    * built from these coordinates drives [[fetchRecords]]' ranged
+    * point-lookups without re-scanning archives (reference analog: the
+    * query-through-INDEX path, /root/reference/PrefixTree.ecl:612-640).
+    */
+  def writeWarcGzBytesIndexed(
+      pages: Seq[WarcPage],
+      infoLine: String = "graft-crawler"): (Array[Byte], Seq[GzMember]) = {
+    val blocks = recordBlocks(pages, infoLine).map(gzMember)
+    val out = new java.io.ByteArrayOutputStream()
+    val members = Seq.newBuilder[GzMember]
+    var off = 0L
+    blocks.zipWithIndex.foreach { case (b, i) =>
+      // recordBlocks layout: info, then (request, response) per page -
+      // response members sit at block indexes 2, 4, 6, ...
+      if (i >= 2 && i % 2 == 0) {
+        val p = pages((i - 2) / 2)
+        members += GzMember(p.url, p.fetchTime, off, b.length.toLong)
+      }
+      out.write(b)
+      off += b.length
+    }
+    (out.toByteArray, members.result())
+  }
 
   private def recordBlocks(pages: Seq[WarcPage], infoLine: String): Seq[Array[Byte]] = {
     def record(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
@@ -846,5 +883,96 @@ object Warc {
           .map(pg => (p, pg.url, pg.fetchTime, pg.status, pg.mime, pg.html, pg.charset))
       }
       .toDF(schema: _*)
+  }
+
+  /** Ranged record fetch by CDX index coordinates - the point-lookup
+    * half of the archive-index lifecycle, and the reason CommonCrawl
+    * publishes the index at all: a consumer holding
+    * (filename, offset, length) rows reads each record with ONE
+    * seek + ranged read + single-member inflate, never re-scanning
+    * whole archive files ([[readWarcFiles]] is the full-scan path).
+    * Per-record gzip members ([[writeWarcGzBytes]]' CommonCrawl
+    * layout) make the ranged read exact: offset/length delimit a
+    * member. Reference analog: the query-through-INDEX path,
+    * /root/reference/PrefixTree.ecl:612-640.
+    *
+    * `index` must carry filename/offset/length columns (strings
+    * accepted - CDX wire fidelity; non-numeric values drop via
+    * try_cast). `filename` resolves against `archiveRoot`.
+    *
+    * Scale shape: index rows repartition BY FILENAME and sort by
+    * offset, so each task streams its archive files once in offset
+    * order through a single open handle - reads are positioned
+    * (pread), the handle is reused across consecutive records of the
+    * same file, and a 100-TB archive tree fans out by file exactly
+    * like the full-scan reader. Refuse-don't-crash: coordinates past
+    * EOF, non-gzip bytes at the offset, a truncated/corrupt member,
+    * an oversized record, or a non-response record drop that index
+    * row; nothing throws.
+    *
+    * Output: (filename, offset, url, fetch_time, status, mime, html,
+    * charset) - offset as BIGINT, the join-back key to the index row.
+    */
+  def fetchRecords(
+      index: DataFrame,
+      archiveRoot: String,
+      maxRecordBytes: Int = 1 << 30): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val keyed = index.select(
+        F.col("filename").cast("string").as("gr_f"),
+        F.expr("try_cast(cast(`offset` AS STRING) AS BIGINT)").as("gr_o"),
+        F.expr("try_cast(cast(`length` AS STRING) AS BIGINT)").as("gr_l"))
+      .filter(F.col("gr_f").isNotNull && F.col("gr_o").isNotNull &&
+        F.col("gr_l").isNotNull && F.col("gr_o") >= 0L &&
+        F.col("gr_l") > 0L && F.col("gr_l") <= maxRecordBytes.toLong)
+      .repartition(F.col("gr_f"))
+      .sortWithinPartitions(F.col("gr_f"), F.col("gr_o"))
+      .as[(String, Long, Long)]
+    keyed.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      var curName: String = null
+      var curIn: org.apache.hadoop.fs.FSDataInputStream = null
+      var curLen: Long = -1L
+      def closeCur(): Unit = {
+        if (curIn != null) {
+          try curIn.close() catch { case NonFatal(_) => () }
+          curIn = null; curName = null; curLen = -1L
+        }
+      }
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => closeCur()))
+      it.flatMap { case (name, off, len) =>
+        try {
+          if (name != curName) {
+            closeCur()
+            val p = if (archiveRoot.isEmpty) new org.apache.hadoop.fs.Path(name)
+              else new org.apache.hadoop.fs.Path(archiveRoot, name)
+            val fs = p.getFileSystem(conf)
+            curLen = fs.getFileStatus(p).getLen
+            curIn = fs.open(p)
+            curName = name
+          }
+          if (off + len > curLen) None // coordinates past EOF: refuse
+          else {
+            val buf = new Array[Byte](len.toInt)
+            curIn.readFully(off, buf) // positioned read: no seek state
+            val rec = if (isGzip(buf)) gunzipAll(buf, maxRecordBytes).orNull else buf
+            if (rec == null) None
+            else parseRecord(rec, 0) match {
+              case Some((hs, ps, pl, _))
+                  if hs.getOrElse("warc-type", "") == "response" &&
+                    hs.getOrElse("content-type", "").toLowerCase
+                      .startsWith("application/http") =>
+                httpPage(hs, rec, ps, pl).map(pg =>
+                  (name, off, pg.url, pg.fetchTime, pg.status, pg.mime,
+                    pg.html, pg.charset))
+              case _ => None
+            }
+          }
+        } catch { case NonFatal(_) => closeCur(); None }
+      }
+    }.toDF("filename", "offset", "url", "fetch_time", "status", "mime",
+      "html", "charset")
   }
 }

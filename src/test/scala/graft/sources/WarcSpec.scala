@@ -368,4 +368,66 @@ class WarcSpec extends SparkSpec {
     // the glob keeps the non-warc file out of the scan entirely
     assert(!out.select("path").as[String].collect().exists(_.endsWith("ignore.txt")))
   }
+
+  test("indexed gz writer: byte-identical archive, members delimit response records") {
+    val (bytes, members) = Warc.writeWarcGzBytesIndexed(pages)
+    assert(bytes.sameElements(Warc.writeWarcGzBytes(pages)),
+      "indexed writer must produce byte-identical archives")
+    assert(members.map(_.url) == pages.map(_.url))
+    // every member inflates standalone to exactly its response record
+    members.zip(pages).foreach { case (m, p) =>
+      val slice = bytes.slice(m.offset.toInt, (m.offset + m.length).toInt)
+      val got = Warc.parseWarcPages(slice)
+      assert(got == Seq(p), s"member at ${m.offset}+${m.length} -> $got")
+    }
+  }
+
+  test("fetchRecords: ranged point-lookups by (filename, offset, length)") {
+    val dir = java.nio.file.Files.createTempDirectory("warcfetch")
+    dir.toFile.deleteOnExit()
+    val (aBytes, aMembers) = Warc.writeWarcGzBytesIndexed(pages.take(2))
+    val (bBytes, bMembers) = Warc.writeWarcGzBytesIndexed(pages.drop(2))
+    java.nio.file.Files.write(dir.resolve("a.warc.gz"), aBytes)
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"), bBytes)
+    val index = (aMembers.map(("a.warc.gz", _)) ++ bMembers.map(("b.warc.gz", _)))
+      .map { case (f, m) => (f, m.offset.toString, m.length.toString, m.url) }
+      .toDF("filename", "offset", "length", "idx_url")
+    val got = Warc.fetchRecords(index, dir.toString)
+      .select($"url", $"fetch_time", $"status", $"mime", $"html")
+      .as[(String, String, Int, String, String)].collect().toSet
+    assert(got == pages.map(p => (p.url, p.fetchTime, p.status, p.mime, p.html)).toSet)
+    // subset fetch reads ONLY the requested records
+    val one = Warc.fetchRecords(index.filter($"idx_url".contains("b.example")), dir.toString)
+    assert(one.select("url").as[String].collect().toSeq ==
+      Seq("https://b.example.com/x?q=1"))
+  }
+
+  test("fetchRecords refuses corrupt coordinates, truncated members, and junk - never throws") {
+    val dir = java.nio.file.Files.createTempDirectory("warcfetchbad")
+    dir.toFile.deleteOnExit()
+    val (bytes, members) = Warc.writeWarcGzBytesIndexed(pages)
+    java.nio.file.Files.write(dir.resolve("a.warc.gz"), bytes)
+    val m = members.head
+    val bad = Seq(
+      // offset past EOF
+      ("a.warc.gz", (bytes.length + 10).toString, "100"),
+      // length runs past EOF (truncated member)
+      ("a.warc.gz", m.offset.toString, (bytes.length + 1).toString),
+      // mid-member offset: not a gzip header, not a WARC record
+      ("a.warc.gz", (m.offset + 7).toString, m.length.toString),
+      // short length: gzip member truncated
+      ("a.warc.gz", m.offset.toString, (m.length - 5).toString),
+      // non-numeric wire values (CDX strings)
+      ("a.warc.gz", "xyz", m.length.toString),
+      ("a.warc.gz", m.offset.toString, "-3"),
+      // missing file
+      ("nope.warc.gz", m.offset.toString, m.length.toString))
+      .toDF("filename", "offset", "length")
+    assert(Warc.fetchRecords(bad, dir.toString).count() == 0)
+    // a good row BESIDE the corrupt ones still fetches (same file handle path)
+    val mixed = bad.union(Seq(("a.warc.gz", m.offset.toString, m.length.toString))
+      .toDF("filename", "offset", "length"))
+    assert(Warc.fetchRecords(mixed, dir.toString)
+      .select("url").as[String].collect().toSeq == Seq(pages.head.url))
+  }
 }
