@@ -2351,6 +2351,53 @@ object SparkEntry {
       graft.sources.Cdx.writeCdx(lines, "line", path)
       graft.sources.Cdx.readCdx(s, path)
     },
+    "web_warc_revisit" -> { (s, dir) =>
+      // deduplicated recaptures: every 4th doc's archive carries a
+      // `revisit` record beside the response (WARC 1.1
+      // identical-payload-digest profile - pointer + digest, no body);
+      // revisitIngest surfaces them WITHOUT touching page ingest, and
+      // resolveRevisits joins (surt, digest) against the capture index
+      // to recover the original's coordinates. Every 8th-mod-4 doc's
+      // digest is planted stale -> dangling pointer, resolved = false
+      // but the row SURVIVES (capture history must not silently drop).
+      import s.implicits._
+      val blobs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val url = s"https://w${id % 7}.example${id % 3}.org/p/$id"
+          val page = graft.sources.Warc.WarcPage(url, "2024-01-01T00:00:00Z",
+            200, "text/html", s"<html><body>$text</body></html>")
+          val revisits =
+            if (id % 4 == 0) {
+              val digest =
+                if (id % 8 == 4) "sha1:missing"
+                else java.security.MessageDigest.getInstance("MD5")
+                  .digest(text.getBytes("UTF-8"))
+                  .map("%02x".format(_)).mkString
+              Seq(graft.sources.Warc.WarcRevisit(url, "2024-03-01T00:00:00Z",
+                s"<urn:graft:$id>", digest))
+            } else Nil
+          (id, graft.sources.Warc.writeWarcBytesWithRevisits(Seq(page), revisits))
+        }).toDF("doc_id", "blob")
+      val revisits = graft.sources.Warc.revisitIngest(blobs, "doc_id", "blob")
+      val id = col("doc_id")
+      val index = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("url", concat(lit("https://w"), (id % 7).cast(StringType),
+          lit(".example"), (id % 3).cast(StringType), lit(".org/p/"),
+          id.cast(StringType)))
+        .select(WebOps.surtKey(col("url")).as("surt_key"),
+          graft.sources.Cdx.timestamp14(lit(2024), id % 12 + 1, id % 28 + 1,
+            id % 24, id % 60, lit(0)).as("cdx_ts"),
+          md5(col("text")).as("digest"),
+          concat(lit("shard-"), (id % 16).cast(StringType), lit(".warc.gz"))
+            .as("filename"),
+          (id * 512).cast(StringType).as("offset"),
+          col("n_chars").cast(StringType).as("length"))
+      WebOps.resolveRevisits(revisits, "url", "digest", index)
+        .select(col("doc_id"), col("url"), col("refers_to"), col("digest"),
+          col("orig_ts"), col("orig_filename"), col("orig_offset"), col("resolved"))
+    },
     "web_cdx_fetch" -> { (s, dir) =>
       // the point-lookup half of the archive-index lifecycle: executors
       // write warc.gz part files (per-record gzip members) and RETURN
@@ -5872,6 +5919,35 @@ object SparkEntry {
       // indexed subset - the shared warc page replay, cut to the
       // fetched doc_ids
       s"SELECT * FROM ($warcIngestOracleSql) WHERE doc_id % 3 = 0",
+    "web_warc_revisit" ->
+      // revisit rows (every 4th doc) with the planted-stale digests
+      // (every 8th-mod-4) dangling: orig_* NULL, resolved false; the
+      // rest resolve to the closed-form index coordinates
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |    'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example' ||
+        |      CAST(doc_id % 3 AS VARCHAR) || '.org/p/' ||
+        |      CAST(doc_id AS VARCHAR) AS url,
+        |    '<urn:graft:' || CAST(doc_id AS VARCHAR) || '>' AS refers_to,
+        |    CASE WHEN doc_id % 8 = 4 THEN 'sha1:missing'
+        |         ELSE md5(text) END AS digest,
+        |    doc_id % 8 <> 4 AS resolved
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 0
+        |)
+        |SELECT doc_id, url, refers_to, digest,
+        |  CASE WHEN resolved THEN
+        |    '2024' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') ||
+        |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |    lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') ||
+        |    lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || '00'
+        |  END AS orig_ts,
+        |  CASE WHEN resolved THEN
+        |    'shard-' || CAST(doc_id % 16 AS VARCHAR) || '.warc.gz'
+        |  END AS orig_filename,
+        |  CASE WHEN resolved THEN CAST(doc_id * 512 AS VARCHAR)
+        |  END AS orig_offset,
+        |  resolved
+        |FROM r""".stripMargin,
     "web_warc_charset" ->
       """SELECT doc_id,
         |  CASE doc_id % 4 WHEN 0 THEN 'iso-8859-1' WHEN 1 THEN 'shift_jis'

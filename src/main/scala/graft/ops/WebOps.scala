@@ -1132,6 +1132,43 @@ object WebOps {
       .drop("gr_sk", "gr_cts")
   }
 
+  /** Resolve WARC `revisit` records to their original capture via an
+    * archive index: a revisit stores only (url, payload digest,
+    * pointer) - the BYTES live in the original capture the index
+    * maps ([[graft.sources.Warc.parseWarcRevisits]]). Join key is
+    * (surt(url), digest) against the index (typically the
+    * latest-capture view - frontier-sized, never the archive);
+    * matches surface the original's coordinates (orig_ts,
+    * orig_filename, orig_offset, orig_length) ready for
+    * [[graft.sources.Warc.fetchRecords]]' ranged reads; revisits
+    * whose original is missing flag `resolved = false` - a dangling
+    * pointer must surface, not drop (LEFT join, the revisits frame
+    * never loses rows). The revisit side shuffles only its join key;
+    * AQE broadcasts the index when it fits.
+    */
+  def resolveRevisits(
+      revisits: DataFrame,
+      urlCol: String,
+      digestCol: String,
+      index: DataFrame
+  ): DataFrame = {
+    require(!revisits.columns.exists(Set("gr_sk", "orig_ts", "orig_filename",
+      "orig_offset", "orig_length", "resolved")),
+      "revisits already has a gr_sk/orig_*/resolved column; rename it first")
+    require(Seq("surt_key", "cdx_ts", "digest", "filename", "offset", "length")
+      .forall(index.columns.contains),
+      s"index must carry surt_key/cdx_ts/digest/filename/offset/length, got ${index.columns.mkString(",")}")
+    revisits.withColumn("gr_sk", surtKey(F.col(urlCol)))
+      .join(index.select(F.col("surt_key").as("gr_ik"),
+        F.col("digest").as("gr_dg"), F.col("cdx_ts").as("orig_ts"),
+        F.col("filename").as("orig_filename"), F.col("offset").as("orig_offset"),
+        F.col("length").as("orig_length")),
+        F.col("gr_sk") === F.col("gr_ik") && F.col(digestCol) === F.col("gr_dg"),
+        "left")
+      .withColumn("resolved", F.col("orig_ts").isNotNull)
+      .drop("gr_sk", "gr_ik", "gr_dg")
+  }
+
   /** Robots META directives from page HTML (the in-page half of the
     * exclusion protocol: robots.txt gates the FETCH, `<meta
     * name="robots">` gates what an indexer may DO with the fetched

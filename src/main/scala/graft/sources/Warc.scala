@@ -131,6 +131,51 @@ object Warc {
     out.result()
   }
 
+  /** One `revisit` record: a re-fetch whose payload was IDENTICAL to
+    * an earlier capture, so the archive stores only the pointer -
+    * target URL, WARC-Date, the original record's id (WARC-Refers-To)
+    * and the shared payload digest. Real CommonCrawl archives carry
+    * these for deduplicated recaptures; ignoring them silently
+    * undercounts capture history in the CDX/recrawl tier. Resolution
+    * to the original capture joins (surt(url), digest) against the
+    * latest-capture view ([[graft.ops.WebOps.resolveRevisits]]).
+    */
+  final case class WarcRevisit(
+      url: String,
+      fetchTime: String,
+      refersTo: String,
+      digest: String)
+
+  /** Parse the `revisit` records of one WARC blob, in file order -
+    * the capture-history complement of [[parseWarcPages]] (which
+    * keeps `response` records only; the two never overlap, so plain
+    * page ingest is unchanged by revisits in the stream). Same
+    * refuse-don't-crash framing: stops at the first malformed record
+    * boundary.
+    */
+  def parseWarcRevisits(raw: Array[Byte]): Seq[WarcRevisit] = {
+    val bytes = if (isGzip(raw)) gunzipAll(raw).orNull else raw
+    if (bytes == null) return Nil
+    val out = Seq.newBuilder[WarcRevisit]
+    var i = 0
+    var ok = true
+    while (ok && i < bytes.length) {
+      parseRecord(bytes, i) match {
+        case Some((headers, _, _, next)) =>
+          if (headers.getOrElse("warc-type", "") == "revisit") {
+            out += WarcRevisit(
+              headers.getOrElse("warc-target-uri", ""),
+              headers.getOrElse("warc-date", ""),
+              headers.getOrElse("warc-refers-to", ""),
+              headers.getOrElse("warc-payload-digest", ""))
+          }
+          i = next
+        case None => ok = false
+      }
+    }
+    out.result()
+  }
+
   // ---------------------------------------------------------------
   // WET (extracted text) - the OTHER CommonCrawl interchange file
   // ---------------------------------------------------------------
@@ -818,6 +863,49 @@ object Warc {
     }
   }
 
+  /** [[writeWarcBytes]] plus trailing `revisit` records - the
+    * deduplicated-recapture layout real crawls ship (the WARC 1.1
+    * identical-payload-digest profile: HTTP headers only as payload,
+    * the body lives in the referred-to original). Revisits parse back
+    * via [[parseWarcRevisits]]; [[parseWarcPages]] over the same blob
+    * still returns exactly `pages` (the spec pins it).
+    */
+  def writeWarcBytesWithRevisits(
+      pages: Seq[WarcPage],
+      revisits: Seq[WarcRevisit],
+      infoLine: String = "graft-crawler"): Array[Byte] =
+    (recordBlocks(pages, infoLine) ++ revisitRecordBlocks(revisits)).flatten.toArray
+
+  /** Gzip (per-record-member) variant of [[writeWarcBytesWithRevisits]]. */
+  def writeWarcGzBytesWithRevisits(
+      pages: Seq[WarcPage],
+      revisits: Seq[WarcRevisit],
+      infoLine: String = "graft-crawler"): Array[Byte] =
+    (recordBlocks(pages, infoLine) ++ revisitRecordBlocks(revisits))
+      .flatMap(gzMember).toArray
+
+  private def revisitRecordBlocks(revisits: Seq[WarcRevisit]): Seq[Array[Byte]] =
+    revisits.map { r =>
+      val head = new StringBuilder("WARC/1.1").append(CRLF)
+      Seq(
+        "WARC-Type" -> "revisit",
+        "WARC-Target-URI" -> r.url,
+        "WARC-Date" -> r.fetchTime,
+        "WARC-Profile" ->
+          "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+        "WARC-Refers-To" -> r.refersTo,
+        "WARC-Payload-Digest" -> r.digest,
+        "Content-Type" -> "application/http;msgtype=response"
+      ).foreach { case (k, v) => head.append(k).append(": ").append(v).append(CRLF) }
+      // payload: the revisit's HTTP headers only - the body is elsewhere
+      val payload = s"HTTP/1.1 304 Not Modified$CRLF$CRLF"
+        .getBytes(StandardCharsets.UTF_8)
+      head.append("Content-Length: ").append(payload.length)
+        .append(CRLF).append(CRLF)
+      head.toString.getBytes(StandardCharsets.UTF_8) ++ payload ++
+        (CRLF + CRLF).getBytes(StandardCharsets.UTF_8)
+    }
+
   // ---------------------------------------------------------------
   // Spark wiring
   // ---------------------------------------------------------------
@@ -839,6 +927,23 @@ object Warc {
           (id, p.url, p.fetchTime, p.status, p.mime, p.html, p.charset))
       }
       .toDF(idCol, "url", "fetch_time", "status", "mime", "html", "charset")
+  }
+
+  /** Explode a binary WARC-blob column into REVISIT rows - the
+    * capture-history complement of [[ingest]] (same typed-flatMap
+    * shape, zero overlap: a record is a response or a revisit, never
+    * both). Output: (idCol, url, fetch_time, refers_to, digest).
+    */
+  def revisitIngest(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(F.col(idCol).cast("long"), F.col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        parseWarcRevisits(bytes).map(r =>
+          (id, r.url, r.fetchTime, r.refersTo, r.digest))
+      }
+      .toDF(idCol, "url", "fetch_time", "refers_to", "digest")
   }
 
   /** Read a directory of .warc / .warc.gz files into page rows: one

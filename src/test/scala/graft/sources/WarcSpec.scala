@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 
+import org.apache.spark.sql.functions.lit
+
 import graft.SparkSpec
 import graft.sources.Warc.WarcPage
 
@@ -367,6 +369,57 @@ class WarcSpec extends SparkSpec {
       pages.map(_.url).sorted)
     // the glob keeps the non-warc file out of the scan entirely
     assert(!out.select("path").as[String].collect().exists(_.endsWith("ignore.txt")))
+  }
+
+  test("revisit records: roundtrip plain + gzip; page ingest UNCHANGED by revisits") {
+    val revisits = Seq(
+      Warc.WarcRevisit("https://a.example.org/1", "2024-03-01T00:00:00Z",
+        "<urn:uuid:orig-1>", "sha1:AAAA"),
+      Warc.WarcRevisit("https://b.example.com/x?q=1", "2024-03-02T00:00:00Z",
+        "<urn:uuid:orig-2>", "sha1:BBBB"))
+    val blob = Warc.writeWarcBytesWithRevisits(pages, revisits)
+    assert(Warc.parseWarcRevisits(blob) == revisits)
+    // the same blob's PAGE parse is exactly the pages - revisits never
+    // surface as responses, responses never surface as revisits
+    assert(Warc.parseWarcPages(blob) == pages)
+    val gz = Warc.writeWarcGzBytesWithRevisits(pages, revisits)
+    assert(Warc.parseWarcRevisits(gz) == revisits)
+    assert(Warc.parseWarcPages(gz) == pages)
+    // a revisit-free archive parses to zero revisits
+    assert(Warc.parseWarcRevisits(Warc.writeWarcBytes(pages)) == Nil)
+    // junk never throws
+    assert(Warc.parseWarcRevisits("not a warc".getBytes) == Nil)
+  }
+
+  test("revisitIngest explodes revisit rows beside the id; resolveRevisits joins the index") {
+    val revisits = Seq(
+      Warc.WarcRevisit("https://a.example.org/1", "2024-03-01T00:00:00Z",
+        "<urn:uuid:orig-1>", "sha1:AAAA"),
+      Warc.WarcRevisit("https://gone.example.net/z", "2024-03-02T00:00:00Z",
+        "<urn:uuid:orig-9>", "sha1:ZZZZ"))
+    val blobs = Seq((7L, Warc.writeWarcBytesWithRevisits(pages.take(1), revisits)))
+      .toDF("id", "blob")
+    val rv = Warc.revisitIngest(blobs, "id", "blob")
+    assert(rv.columns.toSeq ==
+      Seq("id", "url", "fetch_time", "refers_to", "digest"))
+    assert(rv.count() == 2)
+    // index: the original capture of a.example.org/1 (surt
+    // org,example,a)/1) with the matching digest; gone.example.net has
+    // no entry -> dangling
+    val index = Seq(
+      ("org,example,a)/1", "20240102030000", "sha1:AAAA", "seg/f.warc.gz", "100", "2345"))
+      .toDF("surt_key", "cdx_ts", "digest", "filename", "offset", "length")
+    val got = graft.ops.WebOps.resolveRevisits(rv, "url", "digest", index)
+      .select($"url", $"resolved", $"orig_ts", $"orig_filename")
+      .as[(String, Boolean, Option[String], Option[String])].collect().toSet
+    assert(got == Set(
+      ("https://a.example.org/1", true, Some("20240102030000"), Some("seg/f.warc.gz")),
+      ("https://gone.example.net/z", false, None, None)), got.toString)
+    // digest mismatch (content changed since the capture) is NOT a match
+    val stale = graft.ops.WebOps.resolveRevisits(
+      rv.filter($"url".contains("a.example")), "url", "digest",
+      index.withColumn("digest", lit("sha1:OTHER")))
+    assert(stale.select("resolved").as[Boolean].collect().toSeq == Seq(false))
   }
 
   test("indexed gz writer: byte-identical archive, members delimit response records") {
