@@ -367,13 +367,35 @@ object SparkEntry {
       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
   private def linksResolvedOracleSql: String =
-    s"""WITH $urlShellCte, $linkShellCte, lr AS MATERIALIZED (
+    s"""WITH $urlShellCte, $linkShellCte, hb AS (
+      |  -- the planted <base href> slice: absolute on doc_id % 6 = 0,
+      |  -- root-relative on % 6 = 3 (prepended so the base-tag href is
+      |  -- ALSO an extracted link, exactly as the Spark regex sees it)
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 6 = 0 THEN '<base href="https://base' ||
+      |            CAST(doc_id % 5 AS VARCHAR) || '.example.net/dir/sub/page.html">'
+      |          WHEN doc_id % 6 = 3 THEN '<base href="/newroot/">'
+      |          ELSE '' END) || html AS html
+      |  FROM h
+      |), lr AS MATERIALIZED (
       |  -- MATERIALIZED: inlining an unnest CTE under the SELECT-*
-      |  -- resolution chain trips a DuckDB internal binder error
-      |  SELECT u.doc_id, u.url,
-      |         unnest(regexp_extract_all(h.html,
+      |  -- resolution chain trips a DuckDB internal binder error.
+      |  -- url = the EFFECTIVE base: the absolute base verbatim, the
+      |  -- root-relative one grafted onto the page URL's scheme://auth
+      |  -- (raw-case scheme - resolveUrl never case-folds), else the
+      |  -- page URL
+      |  SELECT u.doc_id,
+      |         CASE WHEN u.doc_id % 6 = 0 THEN 'https://base' ||
+      |                CAST(u.doc_id % 5 AS VARCHAR) || '.example.net/dir/sub/page.html'
+      |              WHEN u.doc_id % 6 = 3 THEN
+      |                regexp_extract(u.url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)
+      |                || '://' ||
+      |                regexp_extract(u.url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+      |                || '/newroot/'
+      |              ELSE u.url END AS url,
+      |         unnest(regexp_extract_all(hb.html,
       |                'href\\s*=\\s*["'']([^"'']+)["'']', 1)) AS link
-      |  FROM u JOIN h USING (doc_id)
+      |  FROM u JOIN hb USING (doc_id)
       |), p1 AS (
       |  SELECT doc_id, url, link,
       |    regexp_replace(link, '#.*', '', 'g') AS r,
@@ -2580,11 +2602,21 @@ object SparkEntry {
     "web_links_resolved" -> { (s, dir) =>
       // crawl-frontier builder: EVERY href (relative, dotted,
       // protocol-relative, query-only, fragment) resolved against the
-      // page URL per RFC 3986 section 5, then the absolute-http(s)
-      // cut - all codegen projections fused into the scan
+      // page's EFFECTIVE base per RFC 3986 section 5, then the
+      // absolute-http(s) cut - all codegen projections fused into the
+      // scan. <base href> honored: every 6th doc declares an absolute
+      // base (different host + directory), every 6th-mod-3 a
+      // root-relative one resolved against the page URL first
+      val baseTag = when(col("doc_id") % 6 === 0,
+          concat(lit("<base href=\"https://base"),
+            (col("doc_id") % 5).cast(StringType),
+            lit(".example.net/dir/sub/page.html\">")))
+        .when(col("doc_id") % 6 === 3, lit("<base href=\"/newroot/\">"))
+        .otherwise(lit(""))
       WebOps.resolveLinks(
         tbl(s, dir, "documents")
-          .withColumn("url", synthUrlCol).withColumn("html", synthLinkHtmlCol),
+          .withColumn("url", synthUrlCol)
+          .withColumn("html", concat(baseTag, synthLinkHtmlCol)),
         "url", "html")
         .select(col("doc_id"), col("link"), col("resolved"))
     },

@@ -534,22 +534,37 @@ object WebOps {
   }
 
   /** EVERY href of `htmlCol` - relative ones included - resolved
-    * against the page's own URL, then the frontier cut: one row per
-    * href that resolves to an absolute http(s) target. This is the
-    * crawl-frontier builder [[extractLinks]]'s docstring promises:
+    * against the page's EFFECTIVE base URL, then the frontier cut: one
+    * row per href that resolves to an absolute http(s) target. This is
+    * the crawl-frontier builder [[extractLinks]]'s docstring promises:
     * `extractLinks` keeps only already-absolute links; on real pages
-    * the majority are relative and THIS stage recovers them. Same
-    * plan shape - extraction, resolution and the scheme cut are all
-    * codegen'd projections fused into the scan, no shuffle.
+    * the majority are relative and THIS stage recovers them.
+    *
+    * The effective base honors `<base href>` (common on CDN-served
+    * sites; resolving against the page URL instead mis-resolves every
+    * relative link): the FIRST base href in the document (the HTML5
+    * rule), itself resolved against the page URL when relative, else
+    * the page URL. Same plan shape - extraction, base pick, resolution
+    * and the scheme cut are all codegen'd projections fused into the
+    * scan, no shuffle.
     *
     * Output: input row + (link = raw href, resolved = absolute URL).
     */
-  def resolveLinks(df: DataFrame, urlCol: String, htmlCol: String): DataFrame =
-    df.withColumn("link", explode(regexp_extract_all(
+  def resolveLinks(df: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
+    require(!df.columns.exists(Set("gr_base", "link", "resolved")),
+      "input already has a gr_base/link/resolved column; rename it first")
+    val baseHref = regexp_extract(F.col(htmlCol),
+      "(?is)<base[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val effBase = when(baseHref === "", F.col(urlCol))
+      .otherwise(resolveUrl(F.col(urlCol), baseHref))
+    df.withColumn("gr_base", effBase)
+      .withColumn("link", explode(regexp_extract_all(
         F.col(htmlCol),
         lit("href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1))))
-      .withColumn("resolved", resolveUrl(F.col(urlCol), F.col("link")))
+      .withColumn("resolved", resolveUrl(F.col("gr_base"), F.col("link")))
       .filter(urlScheme(F.col("resolved")).isin("http", "https"))
+      .drop("gr_base")
+  }
 
   /** Registrable-domain link graph of a crawled page set - the
     * host-graph every link-based curation signal (domain authority,
@@ -1023,13 +1038,15 @@ object WebOps {
     * declaration (lowercased - the value [[graft.ops.TextOps]]'
     * language-consistency screen audits against the trained
     * prediction), and the `rel=canonical` link href (the page's OWN
-    * dedup hint, to be resolved + canonicalized like any href). All
-    * codegen'd `regexp_extract` projections in the Java-regex/RE2
-    * common subset; absent fields are "" (the no-match value both
-    * engines agree on), null HTML stays null.
+    * dedup hint, to be resolved + canonicalized like any href), and
+    * the `<base href>` declaration (the document's link-resolution
+    * base - first one wins, the HTML5 rule). All codegen'd
+    * `regexp_extract` projections in the Java-regex/RE2 common
+    * subset; absent fields are "" (the no-match value both engines
+    * agree on), null HTML stays null.
     *
     * Output: input columns + (title, meta_description, html_lang,
-    * canonical_url).
+    * canonical_url, base_href).
     */
   def pageMeta(df: DataFrame, htmlCol: String): DataFrame = {
     val h = F.col(htmlCol)
@@ -1047,6 +1064,11 @@ object WebOps {
       .withColumn("html_lang",
         lower(regexp_extract(h, "(?is)<html[^>]*\\slang\\s*=\\s*[\"']([^\"']+)[\"']", 1)))
       .withColumn("canonical_url", attr2("link", "rel", "canonical", "href"))
+      // first <base href> wins (the HTML5 rule) - the document's
+      // declared resolution base, "" when absent; [[resolveLinks]]
+      // extracts the same value to pick its effective base
+      .withColumn("base_href",
+        regexp_extract(h, "(?is)<base[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']", 1))
   }
 
   /** Per-domain page cap: keep at most `maxPerDomain` pages per

@@ -4172,6 +4172,39 @@ class OpsSpec extends SparkSpec {
       ("#f", "https://s.org/d/p")))
   }
 
+  test("resolveLinks honors <base href>: absolute, relative, and first-wins") {
+    val pages = Seq(
+      // absolute base on another host: EVERY relative link re-anchors
+      (1L, "https://page.example/real/loc",
+        "<head><base href=\"https://cdn.example.net/assets/v2/\"></head>" +
+          "<a href=\"a.html\">1</a><a href=\"../up\">2</a><a href=\"/root\">3</a>"),
+      // relative base: resolved against the page URL first
+      (2L, "https://s.org/d/p",
+        "<base href=\"/newroot/\"><a href=\"x\">1</a>"),
+      // two base tags: the FIRST wins (HTML5)
+      (3L, "https://s.org/d/p",
+        "<base href=\"https://first.example/f/\">" +
+          "<base href=\"https://second.example/s/\"><a href=\"y\">1</a>"),
+      // no base: plain page-URL resolution
+      (4L, "https://s.org/d/p", "<a href=\"z\">1</a>")
+    ).toDF("id", "url", "html")
+    val got = WebOps.resolveLinks(pages, "url", "html")
+      .select($"id", $"link", $"resolved").as[(Long, String, String)]
+      .collect().toSet
+    assert(got == Set(
+      // the base-tag href itself is an extracted link too (absolute -> kept)
+      (1L, "https://cdn.example.net/assets/v2/", "https://cdn.example.net/assets/v2/"),
+      (1L, "a.html", "https://cdn.example.net/assets/v2/a.html"),
+      (1L, "../up", "https://cdn.example.net/assets/up"),
+      (1L, "/root", "https://cdn.example.net/root"),
+      (2L, "/newroot/", "https://s.org/newroot/"),
+      (2L, "x", "https://s.org/newroot/x"),
+      (3L, "https://first.example/f/", "https://first.example/f/"),
+      (3L, "https://second.example/s/", "https://second.example/s/"),
+      (3L, "y", "https://first.example/f/y"),
+      (4L, "z", "https://s.org/d/z")), got.toString)
+  }
+
   test("robotsRules/robotsAllowed: RFC 9309 group choice and longest-match verdicts") {
     val robotsTxt =
       """# policy
@@ -4569,6 +4602,14 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == ((2L, "plain", "reversed order desc", "", "https://y.example/c2")))
     assert(got(3L) == ((3L, "", "", "", "")))
     assert(got(4L)._2 == null && got(4L)._3 == null && got(4L)._5 == null)
+    // base_href: first base wins, absent -> ""
+    val bh = WebOps.pageMeta(Seq(
+        (1L, "<head><base href=\"https://b.example/dir/\">" +
+          "<base href=\"https://ignored.example/\"></head>"),
+        (2L, "<head><base target=\"_blank\" href=\"/rel/\"></head>"),
+        (3L, "<head></head>")).toDF("id", "html"), "html")
+      .select($"id", $"base_href").as[(Long, String)].collect().toMap
+    assert(bh == Map(1L -> "https://b.example/dir/", 2L -> "/rel/", 3L -> ""))
   }
 
   test("blockDomains: drops exactly the rows whose registrable domain is listed") {
