@@ -806,6 +806,9 @@ object SparkEntry {
   private val scriptLatinAbc = "abcdefghijklmnopqrstuvwxyz"
   private val scriptCyrAbc = "абвгдежзийклмнопрстуфхцчшщ"
   private val scriptGreekAbc = "αβγδεζηθικλμνξοπρστυφχψωϊϋ"
+  // 26 consecutive CJK Unified Ideographs - inside scriptClasses' cjk
+  // range AND DedupOps.noSpaceScriptPattern, for the segmentation shell
+  private val scriptCjkAbc = (0x4E00 to 0x4E19).map(_.toChar).mkString
 
   /** base/tok/types/tot/xx/wt CTE chain of the NB log-odds weight
     * replay (tokenize + label on the src0-src2 seed, per-class token
@@ -1785,6 +1788,24 @@ object SparkEntry {
         .withColumn("avg_bits",
           col("sum_score").cast(DoubleType) /
             (col("sum_tokens") * 32).cast(DoubleType))
+    },
+    "text_cjk_tokens" -> { (s, dir) =>
+      // the no-space-script tokenization fallback: a deterministic
+      // slice transliterated to CJK (lowercase first - the live
+      // tokenizer folds case, so the shell must transliterate the
+      // SAME letters both engines see), then tokens containing a
+      // no-space-script char re-cut into character bigrams while
+      // whitespace tokens pass untouched. The segmented column is the
+      // opt-in wire into shingle dedup / BM25 / vocab / contamination.
+      val mapped = when(col("doc_id") % 3 === 0,
+          translate(lower(col("text")), scriptLatinAbc, scriptCjkAbc))
+        .otherwise(col("text"))
+      tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("ctext", mapped)
+        .select(col("doc_id"),
+          DedupOps.segmentNoSpaceScripts(col("ctext")).as("segmented"),
+          size(DedupOps.scriptAwareTokens(col("ctext"))).cast(LongType)
+            .as("n_tokens"))
     },
     "text_scripts" -> { (s, dir) =>
       // Unicode-script profile: a deterministic slice of docs is
@@ -4856,6 +4877,32 @@ object SparkEntry {
         |         AS avg_bits
         |FROM d JOIN scored USING (doc_id)
         |GROUP BY domain""".stripMargin,
+    "text_cjk_tokens" -> {
+      // the same transliteration shell (lower-then-translate) and the
+      // bigram re-cut replayed with nested list lambdas; the no-space
+      // class is interpolated from DedupOps.noSpaceScriptPattern so
+      // the two engines cannot drift
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN translate(lower(text), '$scriptLatinAbc', '$scriptCjkAbc')
+        |         ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), tk AS (
+        |  SELECT doc_id,
+        |    flatten(list_transform(
+        |      list_filter(string_split_regex(lower(trim(t)), '\\s+'), x -> x <> ''),
+        |      x -> CASE WHEN regexp_matches(x, '${graft.ops.DedupOps.noSpaceScriptPattern}')
+        |                THEN list_transform(
+        |                       generate_series(1, greatest(length(x) - 1, 1)),
+        |                       i -> substring(x, i, 2))
+        |                ELSE [x] END)) AS toks
+        |  FROM m
+        |)
+        |SELECT doc_id, array_to_string(toks, ' ') AS segmented,
+        |       CAST(len(toks) AS BIGINT) AS n_tokens
+        |FROM tk""".stripMargin
+    },
     "text_scripts" -> {
       // transliteration shell + the range-count chain, both
       // interpolated from the same definitions the Spark side uses

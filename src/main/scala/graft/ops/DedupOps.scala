@@ -28,6 +28,46 @@ object DedupOps {
   def tokens(c: Column): Column =
     filter(split(lower(trim(c)), "\\s+"), t => t =!= "")
 
+  /** Character class of the NO-SPACE scripts (CJK Unified Ideographs,
+    * Hiragana/Katakana, Thai): writing systems without word
+    * separators, where whitespace tokenization yields one giant
+    * "token" per sentence and every token-based signal - shingle
+    * dedup, BM25, vocabulary/OOV, contamination - silently degrades.
+    * BMP-only `\x{...}` ranges, the [[graft.ops.TextOps.scriptClasses]]
+    * discipline: spelled and matched identically in Java regex and
+    * RE2, and UTF-16 positions == code-point positions.
+    */
+  private[graft] val noSpaceScriptPattern: String =
+    "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{0E00}-\\x{0E7F}]"
+
+  /** Script-aware tokens - the no-space-script fallback: [[tokens]],
+    * with any token CONTAINING a no-space-script character re-cut
+    * into overlapping character bigrams (the standard CJK analyzer
+    * cut; a single-char token stays itself). Spaced-script tokens
+    * pass through untouched, so mixed corpora pay nothing on their
+    * Latin slice. Higher-order array expressions (not codegen) - the
+    * opt-in path for multilingual corpora, not the default hot loop.
+    */
+  def scriptAwareTokens(c: Column): Column = {
+    val toks = tokens(c)
+    flatten(transform(toks, t =>
+      when(t.rlike(noSpaceScriptPattern),
+        transform(sequence(lit(1), greatest(length(t) - 1, lit(1))),
+          i => t.substr(i, lit(2))))
+        .otherwise(array(t))))
+  }
+
+  /** Pre-segmented text: [[scriptAwareTokens]] joined on single
+    * spaces - the opt-in WIRE into every whitespace tokenizer
+    * downstream. Map a no-space-script corpus's text column through
+    * this once and [[jaccardPairs]]/[[minhashLshPairs]]/BM25/
+    * vocabulary/contamination run unchanged over bigram "words"
+    * (gate on [[graft.ops.TextOps.scriptProfile]]'s dominant class
+    * to leave spaced-script documents untouched).
+    */
+  def segmentNoSpaceScripts(c: Column): Column =
+    array_join(scriptAwareTokens(c), " ")
+
   /** Distinct word `n`-shingles as strings ("a b c"). For n = 1 this is
     * the distinct token set. Documents shorter than `n` words yield their
     * whole token list as one (short) shingle.

@@ -564,6 +564,33 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("scriptAwareTokens: CJK bigrams recover the near-dup pair whitespace tokens miss") {
+    // two CJK sentences differing in 2 of 16 chars: whitespace
+    // tokenization sees two distinct giant tokens (jaccard 0); the
+    // char-bigram cut shares 12 of 18 bigrams
+    val a = "机器学习模型训练数据质量至关重要"
+    val b = "机器学习模型训练数据质量非常重要"
+    val docs = Seq((1L, a), (2L, b), (3L, "unrelated latin words entirely"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.jaccardPairs(docs, "doc_id", "text", 0.3).count() == 0,
+      "whitespace tokens must NOT find the CJK pair (that is the gap)")
+    val seg = docs.withColumn("text", DedupOps.segmentNoSpaceScripts($"text"))
+    val after = DedupOps.jaccardPairs(seg, "doc_id", "text", 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(after == Set((1L, 2L)), after.toString)
+    // the sketch path over the same segmented column finds it too
+    val lsh = DedupOps.minhashLshPairs(seg, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleLen = 1, threshold = 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.contains((1L, 2L)), lsh.toString)
+    // token mechanics: mixed tokens bigram whole, spaced tokens pass,
+    // single-char no-space tokens stay themselves
+    val toks = Seq(("中文abc def 學 plain")).toDF("t")
+      .select(DedupOps.scriptAwareTokens($"t").as("k"))
+      .as[Seq[String]].head()
+    assert(toks == Seq("中文", "文a", "ab", "bc", "def", "學", "plain"), toks.toString)
+  }
+
   test("containmentPairs catches a quoted subset that Jaccard misses; reference equality") {
     val corpus = Seq(
       (1L, "the exam answer is forty two"), // short doc...
