@@ -2087,6 +2087,44 @@ object SparkEntry {
       WebOps.sitemapEntries(
         tbl(s, dir, "documents").select(col("doc_id"), xml.as("xml")), "xml")
     },
+    "web_sitemap_deep" -> { (s, dir) =>
+      // one-level sitemapindex walk: each doc's index lists a plain
+      // child, a GZIP child (.xml.gz - the protocol's standard
+      // compression, inflated by sitemapBodies' gunzipAll path), and a
+      // never-fetched child that must drop; child urlset pages union
+      // with provenance in `via`
+      import s.implicits._
+      val id = col("doc_id")
+      val index = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(id, concat(
+          lit("<sitemapindex><sitemap><loc>https://s"), id.cast(StringType),
+          lit(".example.org/a.xml</loc></sitemap><sitemap><loc>https://s"),
+          id.cast(StringType),
+          lit(".example.org/b.xml.gz</loc></sitemap>" +
+            "<sitemap><loc>https://missing.example.org/m"),
+          id.cast(StringType),
+          lit(".xml</loc></sitemap></sitemapindex>")).as("xml"))
+      val bodyRows = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(id).as[Long]
+        .mapPartitions(_.flatMap { i =>
+          def gz(s2: String): Array[Byte] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(s2.getBytes("UTF-8")); g.finish(); g.close()
+            bos.toByteArray
+          }
+          val aXml = s"<urlset><url><loc>https://p${i % 9}.example.org/pa/" +
+            s"${i % 5}</loc><lastmod>2024-02-0${i % 9 + 1}</lastmod></url></urlset>"
+          val bXml = s"<urlset><url><loc>https://p${i % 9}.example.org/pb/" +
+            s"${i % 3}</loc></url></urlset>"
+          Iterator(
+            (s"https://s$i.example.org/a.xml", aXml.getBytes("UTF-8")),
+            (s"https://s$i.example.org/b.xml.gz", gz(bXml)))
+        }).toDF("body_loc", "payload")
+      val bodies = WebOps.sitemapBodies(bodyRows, "body_loc", "payload")
+      WebOps.sitemapEntriesDeep(index, "xml", bodies, "body_loc", "xml")
+        .select(col("doc_id"), col("via"), col("loc"), col("lastmod"))
+    },
     "web_domain_cap" -> { (s, dir) =>
       // anti-dominance cut: at most 5 pages per registrable domain,
       // kept subset ranked by md5(url) (doc_id tie-break) so the cap
@@ -5935,6 +5973,24 @@ object SparkEntry {
         |    '(?is)<html[^>]*\\slang\\s*=\\s*["'']([^"'']+)["'']', 1)) AS html_lang,
         |  CASE WHEN c_fwd <> '' THEN c_fwd ELSE c_rev END AS canonical_url
         |FROM x""".stripMargin,
+    "web_sitemap_deep" ->
+      // closed-form replay: the plain child contributes its pa page
+      // (with lastmod), the gz child its pb page (container bytes
+      // never enter the compare - gunzip is spec-pinned), the missing
+      // child nothing
+      """SELECT doc_id,
+        |  'https://s' || CAST(doc_id AS VARCHAR) || '.example.org/a.xml' AS via,
+        |  'https://p' || CAST(doc_id % 9 AS VARCHAR) || '.example.org/pa/' ||
+        |    CAST(doc_id % 5 AS VARCHAR) AS loc,
+        |  '2024-02-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS lastmod
+        |FROM documents WHERE text IS NOT NULL
+        |UNION ALL
+        |SELECT doc_id,
+        |  'https://s' || CAST(doc_id AS VARCHAR) || '.example.org/b.xml.gz',
+        |  'https://p' || CAST(doc_id % 9 AS VARCHAR) || '.example.org/pb/' ||
+        |    CAST(doc_id % 3 AS VARCHAR),
+        |  ''
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "web_sitemap" ->
       // shell + the same two whole-element extraction passes; the
       // unnest CTE is MATERIALIZED (chained SELECT-* over an unnest

@@ -1029,6 +1029,77 @@ object WebOps {
     entries("url", "page").unionByName(entries("sitemap", "sitemap"))
   }
 
+  /** Decode fetched sitemap bodies into XML text rows: `.xml.gz`
+    * payloads (the protocol's standard compression - Google caps
+    * sitemaps at 50 MB UNCOMPRESSED and most publishers gzip) inflate
+    * via [[graft.sources.Warc.gunzipAll]], plain bytes decode as
+    * UTF-8 directly. Refuse-don't-crash: corrupt gzip and null
+    * payloads drop the row (a crawled body must never kill the task).
+    * Per-row typed flatMap - the genuinely imperative decode step,
+    * everything around it declarative (the [[graft.sources.Warc]]
+    * ingest discipline).
+    *
+    * Output: (locCol, xml).
+    */
+  def sitemapBodies(df: DataFrame, locCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(F.col(locCol).cast(StringType), F.col(bytesCol))
+      .as[(String, Array[Byte])]
+      .flatMap { case (loc, bytes) =>
+        if (bytes == null) None
+        else {
+          val raw =
+            if (graft.sources.Warc.isGzip(bytes))
+              graft.sources.Warc.gunzipAll(bytes).orNull
+            else bytes
+          if (raw == null) None
+          else Some((loc, new String(raw, java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }
+      .toDF(locCol, "xml")
+  }
+
+  /** One-level sitemapindex expansion - the protocol's standard depth
+    * (an index lists child sitemaps; children list pages; indexes of
+    * indexes are against the spec and real crawlers cap the walk):
+    * page entries of `df`'s own XML, UNIONED with the page entries of
+    * every child sitemap whose fetched body appears in `bodies`
+    * (join on the child loc - children without a fetched body drop;
+    * a child that is itself an index contributes nothing below its
+    * own page entries, no level-2 walk). `via` carries the child
+    * sitemap's loc ("" for the index's own entries) - the provenance
+    * a recrawl scheduler keys politeness on.
+    *
+    * Scale shape: the bodies frame is sitemap-count-sized (thousands
+    * of rows per large site, never corpus-sized) - AQE broadcasts the
+    * join; entry extraction is the same codegen regex chain as
+    * [[sitemapEntries]], fused into each side's scan.
+    *
+    * Output: df's non-xml columns + (via, kind = "page", loc, lastmod).
+    */
+  def sitemapEntriesDeep(
+      df: DataFrame,
+      xmlCol: String,
+      bodies: DataFrame,
+      bodyLocCol: String,
+      bodyXmlCol: String
+  ): DataFrame = {
+    require(!df.columns.exists(Set("via", "kind", "loc", "lastmod", "gr_x")),
+      "input already has a via/kind/loc/lastmod/gr_x column; rename it first")
+    val own = sitemapEntries(df, xmlCol)
+    val ownPages = own.filter(F.col("kind") === "page")
+      .withColumn("via", lit(""))
+    val children = own.filter(F.col("kind") === "sitemap")
+      .drop("kind", "lastmod")
+      .withColumnRenamed("loc", "via")
+      .join(bodies.select(F.col(bodyLocCol).as("via"),
+        F.col(bodyXmlCol).as("gr_x")), Seq("via"))
+    val childPages = sitemapEntries(children, "gr_x")
+      .filter(F.col("kind") === "page")
+    ownPages.unionByName(childPages)
+  }
+
   /** Page-level HEAD metadata - the self-description signals a web
     * curation pass reads before any body analysis: `<title>` text
     * (inner tags stripped, whitespace collapsed - same discipline as

@@ -99,7 +99,7 @@ object Warc {
       Some(out.toByteArray)
     } catch { case NonFatal(_) => None }
 
-  private def isGzip(bytes: Array[Byte]): Boolean =
+  private[graft] def isGzip(bytes: Array[Byte]): Boolean =
     bytes != null && bytes.length >= 2 &&
       (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
 

@@ -4608,6 +4608,52 @@ class OpsSpec extends SparkSpec {
       (2L, "sitemap", "https://a.example/s1.xml", "")))
   }
 
+  test("sitemapEntriesDeep: one-level index walk, gz bodies, dangling/corrupt children drop") {
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.finish(); g.close()
+      bos.toByteArray
+    }
+    val index = Seq(
+      // own page + three children: plain, gz, dangling (never fetched)
+      (1L, "<urlset><url><loc>https://a.example/own</loc></url></urlset>" +
+        "<sitemapindex>" +
+        "<sitemap><loc>https://a.example/c1.xml</loc></sitemap>" +
+        "<sitemap><loc>https://a.example/c2.xml.gz</loc></sitemap>" +
+        "<sitemap><loc>https://a.example/never.xml</loc></sitemap>" +
+        "</sitemapindex>"),
+      // a child that is ITSELF an index: its page entries surface, its
+      // grandchildren do NOT (one level, the protocol's depth)
+      (2L, "<sitemapindex><sitemap><loc>https://b.example/cx.xml</loc>" +
+        "</sitemap></sitemapindex>")
+    ).toDF("id", "xml")
+    val bodies = WebOps.sitemapBodies(Seq(
+      ("https://a.example/c1.xml",
+        "<urlset><url><loc>https://a.example/p1</loc><lastmod>2024-05-06</lastmod></url></urlset>"
+          .getBytes("UTF-8")),
+      ("https://a.example/c2.xml.gz",
+        gz("<urlset><url><loc>https://a.example/p2</loc></url></urlset>")),
+      ("https://b.example/cx.xml",
+        ("<urlset><url><loc>https://b.example/px</loc></url></urlset>" +
+          "<sitemapindex><sitemap><loc>https://b.example/grandchild.xml" +
+          "</loc></sitemap></sitemapindex>").getBytes("UTF-8")),
+      // corrupt gzip: magic bytes but garbage - the row must drop
+      ("https://a.example/bad.xml.gz",
+        Array[Byte](0x1f.toByte, 0x8b.toByte, 1, 2, 3, 4))
+    ).toDF("loc", "payload"), "loc", "payload")
+    assert(bodies.count() == 3) // the corrupt gzip dropped
+    val got = WebOps.sitemapEntriesDeep(index, "xml", bodies, "loc", "xml")
+      .select($"id", $"via", $"loc", $"lastmod")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "", "https://a.example/own", ""),
+      (1L, "https://a.example/c1.xml", "https://a.example/p1", "2024-05-06"),
+      (1L, "https://a.example/c2.xml.gz", "https://a.example/p2", ""),
+      // cx's own page surfaces; grandchild.xml is NOT followed
+      (2L, "https://b.example/cx.xml", "https://b.example/px", "")), got.toString)
+  }
+
   test("pageMeta: title strip, both meta orders, lang fold, canonical; absent fields empty") {
     val rows = Seq(
       (1L, "<html lang=\"EN-us\"><head><title>Big <i>Sale</i>\nToday</title>" +
