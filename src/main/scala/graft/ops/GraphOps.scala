@@ -443,6 +443,11 @@ object GraphOps {
     * via the node count the broadcast guard measures anyway (the
     * default unit=1e6 allows ~9.2e6 nodes; lower unit for bigger
     * graphs - it is a RESOLUTION knob, not a semantic one).
+    * Choosing unit from node count: the largest safe value is
+    * sqrt(Long.Max / n) - n = 1e8 domains allows unit ~ 9.6e3 (~10^4
+    * score levels), n = 1e9 allows ~3e3 (~3000 levels); rank ORDER is
+    * what downstream curation consumes and it stabilizes far below
+    * that resolution, so the shrinking knob costs nothing real.
     *
     * Scale shape: TWO checkpointed edge copies (dst-partitioned for
     * the authority step, src-partitioned for the hub step); under the

