@@ -2479,6 +2479,81 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("refers_to"), col("digest"),
           col("orig_ts"), col("orig_filename"), col("orig_offset"), col("resolved"))
     },
+    "web_revisit_fetch" -> { (s, dir) =>
+      // the capture-history loop CLOSED: originals land in warc.gz part
+      // files whose member coordinates feed a capture index; a later
+      // crawl's revisit records (pointer + digest, no body) resolve
+      // through that index and the resolved coordinates drive ranged
+      // fetches of the ORIGINAL bytes - the exact consumer story
+      // revisits exist for ("don't store the body twice; fetch the
+      // original when you need it"). Dangling revisits (planted stale
+      // digests, id % 8 == 4) resolve=false and never reach the fetch.
+      import s.implicits._
+      val outDir = scratchPath("revisit_fetch", dir)
+      val hPath = new org.apache.hadoop.fs.Path(outDir)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(hPath)) fs.delete(hPath, true)
+      fs.mkdirs(hPath)
+      def md5hex(t: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      // originals: indexed warc.gz parts; entries carry the digest the
+      // index needs (computed beside the member coordinates)
+      val entries = docs.repartition(8, col("doc_id"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val ds = it.toSeq
+          if (ds.isEmpty) Iterator.empty
+          else {
+            val pages = ds.map { case (id, text) =>
+              val url = s"https://w${id % 7}.example${id % 3}.org/p/$id"
+              val date = f"2024-01-${1 + id % 28}%02dT${id % 24}%02d:00:00Z"
+              val mime = if (id % 4 == 0) "text/plain" else "text/html"
+              val html =
+                s"<html><head><title>doc $id</title></head><body>$text</body></html>"
+              graft.sources.Warc.WarcPage(url, date, 200, mime, html)
+            }
+            val (bytes, members) = graft.sources.Warc.writeWarcGzBytesIndexed(pages)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val fname = f"orig-$pid%05d.warc.gz"
+            val p = new org.apache.hadoop.fs.Path(outDir, fname)
+            val pfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val out = pfs.create(p, true)
+            try out.write(bytes) finally out.close()
+            members.iterator.zip(ds.iterator).map { case (m, (_, text)) =>
+              (fname, m.offset.toString, m.length.toString, m.url,
+                m.fetchTime, md5hex(text))
+            }
+          }
+        }.toDF("filename", "offset", "length", "url", "fetch_time", "digest")
+      val index = entries.select(
+        WebOps.surtKey(col("url")).as("surt_key"),
+        regexp_replace(col("fetch_time"), "[^0-9]", "").as("cdx_ts"),
+        col("digest"), col("filename"), col("offset"), col("length"))
+      // the later crawl's revisits, in-memory blobs (the file half is
+      // web_warc_revisit's ground)
+      val rv = graft.sources.Warc.revisitIngest(
+        docs.filter(col("doc_id") % 4 === 0)
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val url = s"https://w${id % 7}.example${id % 3}.org/p/$id"
+            val digest = if (id % 8 == 4) "sha1:missing" else md5hex(text)
+            (id, graft.sources.Warc.writeWarcBytesWithRevisits(Nil, Seq(
+              graft.sources.Warc.WarcRevisit(url, "2024-06-01T00:00:00Z",
+                s"<urn:graft:$id>", digest))))
+          }).toDF("doc_id", "blob"),
+        "doc_id", "blob")
+      val coords = WebOps.resolveRevisits(rv, "url", "digest", index)
+        .filter(col("resolved"))
+        .select(col("orig_filename").as("filename"),
+          col("orig_offset").as("offset"), col("orig_length").as("length"))
+      graft.sources.Warc.fetchRecords(coords, outDir)
+        .select(
+          regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast(LongType).as("doc_id"),
+          col("url"), col("fetch_time"), col("status"), col("mime"), col("html"))
+    },
     "web_cdx_fetch" -> { (s, dir) =>
       // the point-lookup half of the archive-index lifecycle: executors
       // write warc.gz part files (per-record gzip members) and RETURN
@@ -6054,6 +6129,12 @@ object SparkEntry {
       // indexed subset - the shared warc page replay, cut to the
       // fetched doc_ids
       s"SELECT * FROM ($warcIngestOracleSql) WHERE doc_id % 3 = 0",
+    "web_revisit_fetch" ->
+      // the closed loop fetches exactly the resolvable revisits'
+      // originals: every 4th doc revisits, every 8th-mod-4 digest is
+      // planted stale and never reaches the fetch
+      (s"SELECT * FROM ($warcIngestOracleSql) " +
+        "WHERE doc_id % 4 = 0 AND doc_id % 8 <> 4"),
     "web_warc_revisit" ->
       // revisit rows (every 4th doc) with the planted-stale digests
       // (every 8th-mod-4) dangling: orig_* NULL, resolved false; the
