@@ -2680,18 +2680,42 @@ object SparkEntry {
       val id = col("doc_id")
       val html = concat(lit("<html><head>"),
         when(id % 5 === 0,
-          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+          lit("<meta name=\"robots\" content=\"noindex, noarchive, nofollow\">"))
           .when(id % 5 === 1, lit("<meta content=\"NOFOLLOW\" name=\"robots\">"))
           .when(id % 5 === 2, lit("<meta name='robots' content='none'>"))
           .when(id % 5 === 3,
-            lit("<meta name=\"robots\" content=\"index, follow\">"))
+            lit("<meta name=\"robots\" content=\"index, follow, nosnippet\">"))
           .otherwise(lit("")),
         lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
       WebOps.robotsMetaDirectives(
           tbl(s, dir, "documents").select(col("doc_id"), html.as("html")),
           "html")
         .select(col("doc_id"), col("robots_content"),
-          col("noindex"), col("nofollow"))
+          col("noindex"), col("nofollow"), col("noarchive"), col("nosnippet"))
+    },
+    "web_hreflang" -> { (s, dir) =>
+      // the declared multilingual site map: rel=alternate hreflang
+      // links in both attribute orders, an x-default, a stylesheet
+      // link with an hreflang-LOOKING attribute that must drop (no
+      // rel=alternate), and a docs slice with no alternates at all
+      val id = col("doc_id")
+      val html = concat(lit("<html><head>"),
+        when(id % 3 === 0, concat(
+          lit("<link rel=\"alternate\" hreflang=\"EN\" href=\"https://en.s"),
+          (id % 7).cast(StringType), lit(".example/p/"), (id % 5).cast(StringType),
+          lit("\"><link hreflang='de' rel='alternate' href='/de/p/"),
+          (id % 5).cast(StringType),
+          lit("'><link rel=\"alternate\" hreflang=\"x-default\" href=\"https://s"),
+          (id % 7).cast(StringType), lit(".example/p\">")))
+          .when(id % 3 === 1,
+            lit("<link rel=\"stylesheet\" hreflang=\"fr\" href=\"/css/m.css\">"))
+          .otherwise(lit("")),
+        lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
+      WebOps.hreflangAlternates(
+          tbl(s, dir, "documents").filter(col("text").isNotNull)
+            .select(col("doc_id"), html.as("html")),
+          "html")
+        .select(col("doc_id"), col("hreflang"), col("alt_href"))
     },
     "web_crawl_traps" -> { (s, dir) =>
       // domain-level trap detection: even-numbered hosts mix repeating
@@ -6375,10 +6399,10 @@ object SparkEntry {
       s"""WITH h AS (
         |  SELECT doc_id,
         |    '<html><head>' ||
-        |    (CASE WHEN doc_id % 5 = 0 THEN '<meta name="robots" content="noindex, nofollow">'
+        |    (CASE WHEN doc_id % 5 = 0 THEN '<meta name="robots" content="noindex, noarchive, nofollow">'
         |          WHEN doc_id % 5 = 1 THEN '<meta content="NOFOLLOW" name="robots">'
         |          WHEN doc_id % 5 = 2 THEN '<meta name=''robots'' content=''none''>'
-        |          WHEN doc_id % 5 = 3 THEN '<meta name="robots" content="index, follow">'
+        |          WHEN doc_id % 5 = 3 THEN '<meta name="robots" content="index, follow, nosnippet">'
         |          ELSE '' END) ||
         |    '</head><body><p>' || text || '</p></body></html>' AS html
         |  FROM documents WHERE text IS NOT NULL
@@ -6397,8 +6421,44 @@ object SparkEntry {
         |  (regexp_matches(robots_content, '(^|[\\s,])noindex($$|[\\s,])') OR
         |   regexp_matches(robots_content, '(^|[\\s,])none($$|[\\s,])')) AS noindex,
         |  (regexp_matches(robots_content, '(^|[\\s,])nofollow($$|[\\s,])') OR
-        |   regexp_matches(robots_content, '(^|[\\s,])none($$|[\\s,])')) AS nofollow
+        |   regexp_matches(robots_content, '(^|[\\s,])none($$|[\\s,])')) AS nofollow,
+        |  regexp_matches(robots_content, '(^|[\\s,])noarchive($$|[\\s,])') AS noarchive,
+        |  regexp_matches(robots_content, '(^|[\\s,])nosnippet($$|[\\s,])') AS nosnippet
         |FROM c""".stripMargin
+    },
+    "web_hreflang" -> {
+      // shell + the two-stage extract replayed: whole hreflang-bearing
+      // link elements, rel=alternate gate, per-element attribute pulls.
+      // NOTE the s-interpolator: it processes \\ escapes, matching the
+      // sibling oracles' regex spelling
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head>' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN
+        |       '<link rel="alternate" hreflang="EN" href="https://en.s' ||
+        |       CAST(doc_id % 7 AS VARCHAR) || '.example/p/' ||
+        |       CAST(doc_id % 5 AS VARCHAR) ||
+        |       '"><link hreflang=''de'' rel=''alternate'' href=''/de/p/' ||
+        |       CAST(doc_id % 5 AS VARCHAR) ||
+        |       ''''  || '><link rel="alternate" hreflang="x-default" href="https://s' ||
+        |       CAST(doc_id % 7 AS VARCHAR) || '.example/p">'
+        |     WHEN doc_id % 3 = 1 THEN
+        |       '<link rel="stylesheet" hreflang="fr" href="/css/m.css">'
+        |     ELSE '' END) ||
+        |    '</head><body><p>' || text || '</p></body></html>' AS html
+        |  FROM documents WHERE text IS NOT NULL
+        |), le AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(html, '(?is)<link[^>]*hreflang[^>]*>', 0)) AS l
+        |  FROM h
+        |)
+        |SELECT doc_id,
+        |  lower(regexp_extract(l, '(?is)hreflang\\s*=\\s*["'']([^"'']*)["'']', 1)) AS hreflang,
+        |  regexp_extract(l, '(?is)href\\s*=\\s*["'']([^"'']*)["'']', 1) AS alt_href
+        |FROM le
+        |WHERE regexp_matches(l, '(?is)rel\\s*=\\s*["'']alternate["'']')
+        |  AND regexp_extract(l, '(?is)hreflang\\s*=\\s*["'']([^"'']*)["'']', 1) <> ''
+        |  AND regexp_extract(l, '(?is)href\\s*=\\s*["'']([^"'']*)["'']', 1) <> ''""".stripMargin
     },
     "web_crawl_traps" -> {
       // per-URL signals as list ops, the PSL fold via the shared

@@ -1270,12 +1270,16 @@ object WebOps {
     * (the [[pageMeta]] discipline), folds to lowercase, and the
     * noindex / nofollow verdicts are token matches (comma/whitespace
     * separated, so `noindexing` never false-positives); `none` means
-    * both (the protocol's shorthand). Pure codegen regex projections
+    * noindex AND nofollow (the protocol's shorthand - it does NOT
+    * imply noarchive/nosnippet). Pure codegen regex projections
     * fused into the scan - RE2 subset, replayed byte-for-byte in the
     * oracle.
     *
     * Adds: robots_content (lowercased, "" when no tag), noindex,
-    * nofollow.
+    * nofollow, noarchive (don't serve cached copies - a corpus
+    * honoring publisher intent drops these from any user-facing
+    * cache/replay tier), nosnippet (don't excerpt - gates snippet
+    * fields in derived datasets).
     */
   def robotsMetaDirectives(df: DataFrame, htmlCol: String): DataFrame = {
     val h = F.col(htmlCol)
@@ -1288,6 +1292,38 @@ object WebOps {
     df.withColumn("robots_content", content)
       .withColumn("noindex", tok("noindex") || tok("none"))
       .withColumn("nofollow", tok("nofollow") || tok("none"))
+      .withColumn("noarchive", tok("noarchive"))
+      .withColumn("nosnippet", tok("nosnippet"))
+  }
+
+  /** `rel=alternate hreflang` link elements - the multilingual site
+    * map publishers declare (the per-page ground truth a multilingual
+    * curation pass joins against [[graft.ops.TextOps.scriptProfile]]/
+    * langId: a page whose declared alternates contradict its detected
+    * language is mislabeled or spam, and the alternate cluster is a
+    * cross-language near-dup HINT no content hash finds). One row per
+    * alternate: hreflang lowercased (BCP 47 tags are case-insensitive;
+    * `x-default` passes through), href RAW - resolution against the
+    * effective base is [[resolveLinks]]' job, not the extractor's.
+    * Attribute order free; link elements without rel=alternate (or
+    * without both attributes) drop. Whole-element extract + per-element
+    * pulls, the [[sitemapEntries]] two-stage discipline - pure codegen,
+    * fused into the scan.
+    *
+    * Output: input columns + (hreflang, alt_href).
+    */
+  def hreflangAlternates(df: DataFrame, htmlCol: String): DataFrame = {
+    require(!df.columns.exists(Set("gr_l", "hreflang", "alt_href")),
+      "input already has a gr_l/hreflang/alt_href column; rename it first")
+    df.withColumn("gr_l", explode(regexp_extract_all(F.col(htmlCol),
+        lit("(?is)<link[^>]*hreflang[^>]*>"), lit(0))))
+      .filter(F.col("gr_l").rlike("(?is)rel\\s*=\\s*[\"']alternate[\"']"))
+      .withColumn("hreflang", lower(regexp_extract(F.col("gr_l"),
+        "(?is)hreflang\\s*=\\s*[\"']([^\"']*)[\"']", 1)))
+      .withColumn("alt_href", regexp_extract(F.col("gr_l"),
+        "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']", 1))
+      .filter(F.col("hreflang") =!= "" && F.col("alt_href") =!= "")
+      .drop("gr_l")
   }
 
   /** Resolve HTTP redirect chains to their final targets - the fetch

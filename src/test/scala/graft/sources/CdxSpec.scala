@@ -178,6 +178,43 @@ class CdxSpec extends SparkSpec {
       (4L, false, false), (5L, false, false), (6L, false, false)))
   }
 
+  test("robotsMetaDirectives: noarchive/nosnippet tokens; none does NOT imply them") {
+    val rows = Seq(
+      (1L, "<head><meta name=\"robots\" content=\"noarchive, nosnippet\"></head>"),
+      (2L, "<head><meta name='robots' content='none'></head>"),
+      (3L, "<head><meta name=\"robots\" content=\"noarchiveX, Xnosnippet\"></head>"),
+      (4L, "<head><meta name=\"robots\" content=\"NOARCHIVE\"></head>"))
+      .toDF("id", "html")
+    val out = WebOps.robotsMetaDirectives(rows, "html")
+      .select(col("id"), col("noindex"), col("noarchive"), col("nosnippet"))
+      .as[(Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, false, true, true),
+      // none = noindex+nofollow ONLY (the protocol's shorthand)
+      (2L, true, false, false),
+      (3L, false, false, false), // token boundaries hold
+      (4L, false, true, false))) // content case-folds
+  }
+
+  test("hreflangAlternates: both attribute orders, x-default, rel gate, raw hrefs") {
+    val rows = Seq(
+      (1L, "<head><link rel=\"alternate\" hreflang=\"EN\" href=\"https://en.ex/p\">" +
+        "<link hreflang='de-AT' rel='alternate' href='/de/p'>" +
+        "<link rel=\"alternate\" hreflang=\"x-default\" href=\"https://ex/p\"></head>"),
+      // no rel=alternate: a stylesheet with an hreflang attribute drops
+      (2L, "<link rel=\"stylesheet\" hreflang=\"fr\" href=\"/m.css\">"),
+      // missing href drops; missing hreflang never matched the element scan
+      (3L, "<link rel=\"alternate\" hreflang=\"it\">"),
+      (4L, "no links here")).toDF("id", "html")
+    val got = WebOps.hreflangAlternates(rows, "html")
+      .select(col("id"), col("hreflang"), col("alt_href"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "en", "https://en.ex/p"),
+      (1L, "de-at", "/de/p"), // raw relative href - resolution is resolveLinks' job
+      (1L, "x-default", "https://ex/p")), got.toString)
+  }
+
   test("crawlTraps: repeat_share flags recursion, avg_depth flags mazes, minUrls gates") {
     val urls =
       (1 to 6).map(i => s"https://trap.org/cal/2024/cal/2024/cal/$i") ++
