@@ -2717,6 +2717,42 @@ object SparkEntry {
           "html")
         .select(col("doc_id"), col("hreflang"), col("alt_href"))
     },
+    "web_url_quality" -> { (s, dir) =>
+      // zero-fetch per-URL spam screen: a dedicated messy shell plants
+      // deep auto-generated paths (every 4th doc: 10 segments > the
+      // depth-8 default), session ids (every 3rd), percent escapes and
+      // digit-heavy tails; signals and the suspect fold replay exactly
+      val id = col("doc_id")
+      val url = concat(
+        lit("https://s"), (id % 10).cast(StringType), lit(".example.com"),
+        when(id % 4 === 0,
+          concat(lit("/d1/d2/d3/d4/d5/d6/d7/d8/d9/"), id.cast(StringType)))
+          .otherwise(concat(lit("/a/b%2Fc/"), (id % 5).cast(StringType))),
+        when(id % 3 === 0,
+          concat(lit("?x=1&y=2&PHPSESSID="), id.cast(StringType)))
+          .when(id % 3 === 1, concat(lit("?a="), (id % 7).cast(StringType)))
+          .otherwise(lit("")))
+      WebOps.urlQualitySignals(
+          tbl(s, dir, "documents").filter(col("text").isNotNull)
+            .select(col("doc_id"), url.as("url")),
+          "url")
+        .select(col("doc_id"), col("url"), col("url_len"), col("path_depth"),
+          col("n_params"), col("digit_ratio"), col("n_pct_escapes"),
+          col("has_session_id"), col("url_suspect"))
+    },
+    "web_link_signals" -> { (s, dir) =>
+      // per-page outlink profile over the shared url + link shells:
+      // total hrefs, absolute http(s), external (registrable domain
+      // differs from the page's - the PSL fold per link element), and
+      // the exact-count external share
+      WebOps.pageLinkSignals(
+          tbl(s, dir, "documents")
+            .withColumn("url", synthUrlCol).withColumn("html", synthLinkHtmlCol)
+            .select(col("doc_id"), col("url"), col("html")),
+          "url", "html")
+        .select(col("doc_id"), col("n_hrefs"), col("n_abs"), col("n_ext"),
+          col("ext_share"))
+    },
     "web_crawl_traps" -> { (s, dir) =>
       // domain-level trap detection: even-numbered hosts mix repeating
       // calendar-recursion paths (repeat_share trips), odd hosts mix
@@ -6459,6 +6495,77 @@ object SparkEntry {
         |WHERE regexp_matches(l, '(?is)rel\\s*=\\s*["'']alternate["'']')
         |  AND regexp_extract(l, '(?is)hreflang\\s*=\\s*["'']([^"'']*)["'']', 1) <> ''
         |  AND regexp_extract(l, '(?is)href\\s*=\\s*["'']([^"'']*)["'']', 1) <> ''""".stripMargin
+    },
+    "web_url_quality" -> {
+      // shell + every signal replayed with the same regex/list chain;
+      // digit_ratio divides exact integer counts
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |    'https://s' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' ||
+        |    (CASE WHEN doc_id % 4 = 0
+        |          THEN '/d1/d2/d3/d4/d5/d6/d7/d8/d9/' || CAST(doc_id AS VARCHAR)
+        |          ELSE '/a/b%2Fc/' || CAST(doc_id % 5 AS VARCHAR) END) ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |          THEN '?x=1&y=2&PHPSESSID=' || CAST(doc_id AS VARCHAR)
+        |          WHEN doc_id % 3 = 1 THEN '?a=' || CAST(doc_id % 7 AS VARCHAR)
+        |          ELSE '' END) AS url
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id, url,
+        |    CAST(length(url) AS INT) AS url_len,
+        |    CAST(len(list_filter(string_split(
+        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |      '/'), x -> x <> '')) AS INT) AS path_depth,
+        |    CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN 0
+        |         ELSE CAST(len(string_split(
+        |           regexp_extract(url, '\\?([^#]*)', 1), '&')) AS INT)
+        |    END AS n_params,
+        |    length(url) - length(regexp_replace(url, '[0-9]', '', 'g')) AS nd,
+        |    CAST(len(regexp_extract_all(url, '%[0-9A-Fa-f]{2}', 0)) AS INT)
+        |      AS n_pct_escapes,
+        |    regexp_matches(lower(url),
+        |      '(sessionid|phpsessid|jsessionid|[?&]sid=)') AS has_session_id
+        |  FROM u
+        |)
+        |SELECT doc_id, url, url_len, path_depth, n_params,
+        |  CAST(nd AS DOUBLE) / greatest(length(url), 1) AS digit_ratio,
+        |  n_pct_escapes, has_session_id,
+        |  (url_len > 200 OR path_depth > 8 OR n_params > 6 OR has_session_id)
+        |    AS url_suspect
+        |FROM c""".stripMargin
+    },
+    "web_link_signals" -> {
+      // shared url + link shells; per-link PSL fold via domainFoldSql,
+      // exact-count external share
+      s"""WITH $urlShellCte, $linkShellCte, nl AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(html,
+        |      'href\\s*=\\s*["'']([^"'']+)["'']', 1)) AS INT) AS n_hrefs
+        |  FROM h
+        |), cl AS MATERIALIZED (
+        |  SELECT d.doc_id, d.domain AS page_domain,
+        |         unnest(regexp_extract_all(h.html,
+        |                'href\\s*=\\s*["'']([^"'']+)["'']', 1)) AS link
+        |  FROM d JOIN h USING (doc_id)
+        |), ab AS (
+        |  SELECT doc_id, page_domain, ${hostOfSql("link")} AS lh
+        |  FROM cl
+        |  WHERE lower(regexp_extract(link, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |        IN ('http', 'https')
+        |), dd2 AS (
+        |  SELECT doc_id, page_domain, ${domainFoldSql("lh")} AS ld
+        |  FROM ab
+        |), ag AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_abs,
+        |         CAST(sum(CASE WHEN ld <> page_domain THEN 1 ELSE 0 END) AS INT)
+        |           AS n_ext
+        |  FROM dd2 GROUP BY doc_id
+        |)
+        |SELECT nl.doc_id, nl.n_hrefs,
+        |  coalesce(ag.n_abs, 0) AS n_abs, coalesce(ag.n_ext, 0) AS n_ext,
+        |  CASE WHEN coalesce(ag.n_abs, 0) > 0
+        |       THEN CAST(ag.n_ext AS DOUBLE) / ag.n_abs END AS ext_share
+        |FROM nl LEFT JOIN ag USING (doc_id)""".stripMargin
     },
     "web_crawl_traps" -> {
       // per-URL signals as list ops, the PSL fold via the shared

@@ -4685,6 +4685,49 @@ class OpsSpec extends SparkSpec {
     assert(bh == Map(1L -> "https://b.example/dir/", 2L -> "/rel/", 3L -> ""))
   }
 
+  test("urlQualitySignals: depth/params/digits/escapes/session verdicts") {
+    val rows = Seq(
+      (1L, "https://a.com/x/y?p=1&q=2"), // benign
+      (2L, "https://a.com/1/2/3/4/5/6/7/8/9/10"), // depth 10 > 8
+      (3L, "https://a.com/p?PHPSESSID=deadbeef"), // session id
+      (4L, "https://a.com/p%2Fq%3Dr"), // two escapes
+      (5L, "https://a.com/" + "z" * 250) // over-long
+    ).toDF("id", "url")
+    val got = WebOps.urlQualitySignals(rows, "url")
+      .select($"id", $"path_depth", $"n_params", $"n_pct_escapes",
+        $"has_session_id", $"url_suspect")
+      .as[(Long, Int, Int, Int, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2, 2, 0, false, false)))
+    assert(got(2L) == ((2L, 10, 0, 0, false, true)))
+    assert(got(3L) == ((3L, 1, 1, 0, true, true)))
+    assert(got(4L) == ((4L, 1, 0, 2, false, false)))
+    assert(got(5L)._6 && got(5L)._2 == 1)
+    // digit ratio: 4 digits in a 24-char url
+    val dr = WebOps.urlQualitySignals(
+        Seq("https://d.org/aa/11?b=22").toDF("url"), "url")
+      .select($"digit_ratio").as[Double].head()
+    assert(math.abs(dr - 4.0 / 24.0) < 1e-12, dr.toString)
+  }
+
+  test("pageLinkSignals: href/absolute/external counts and the exact share") {
+    val rows = Seq(
+      (1L, "https://page.example/p",
+        "<a href=\"https://other.net/x\">e</a>" + // external
+          "<a href=\"https://sub.page.example/y\">i</a>" + // same eTLD+1
+          "<a href=\"/rel\">r</a><a href=\"mailto:a@b.c\">m</a>"),
+      (2L, "https://page.example/p", "<a href=\"/only/relative\">r</a>"),
+      (3L, "https://page.example/p", "no links")
+    ).toDF("id", "url", "html")
+    val got = WebOps.pageLinkSignals(rows, "url", "html")
+      .select($"id", $"n_hrefs", $"n_abs", $"n_ext", $"ext_share")
+      .as[(Long, Int, Int, Int, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4, 2, 1, Some(0.5))))
+    assert(got(2L) == ((2L, 1, 0, 0, None))) // no absolute links -> NULL share
+    assert(got(3L) == ((3L, 0, 0, 0, None)))
+  }
+
   test("blockDomains: drops exactly the rows whose registrable domain is listed") {
     val urls = Seq(
       (1L, "https://a.bad.com/x"), // bad.com -> blocked
