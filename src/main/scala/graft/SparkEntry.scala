@@ -3416,6 +3416,31 @@ object SparkEntry {
         "doc_id", "source", "n_chars",
         totalBudget = 30000.0, temperature = 2.0)
     },
+    "docs_lang_mix" -> { (s, dir) =>
+      // the multilingual rebalance END-TO-END: strata come from the
+      // TRAINED langId over the transliteration shell (several real
+      // languages, not metadata labels), volumes in whitespace tokens,
+      // T=2 flattening under one token budget so low-resource strata
+      // survive the head cut. langId + token count fuse into the scan;
+      // temperatureMix's stratum frame broadcasts - the corpus never
+      // shuffles.
+      val mapped =
+        when(col("doc_id") % 5 === 1,
+          translate(col("text"), scriptLatinAbc, scriptCyrAbc))
+          .when(col("doc_id") % 5 === 2,
+            translate(col("text"), scriptLatinAbc, scriptGreekAbc))
+          .when(col("doc_id") % 5 === 3,
+            translate(col("text"), "aeiou", "01234"))
+          .when(col("doc_id") % 5 === 4,
+            translate(col("text"), "aeiout", "аеиоут"))
+          .otherwise(col("text"))
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("stext", mapped)
+        .select(col("doc_id"), TextOps.langId(col("stext")).as("lang"),
+          size(DedupOps.tokens(col("stext"))).cast(LongType).as("n_tok"))
+      SampleOps.temperatureMix(docs, "doc_id", "lang", "n_tok",
+        totalBudget = 20000.0, temperature = 2.0)
+    },
     "text_sentences" -> { (s, dir) =>
       // sentence segmentation: terminator-run + whitespace boundaries,
       // trimmed non-empty pieces with their 0-based index and word
@@ -5908,6 +5933,36 @@ object SparkEntry {
         |FROM documents d JOIN f ON d.source IS NOT DISTINCT FROM f.s
         |WHERE d.text IS NOT NULL
         |  AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      < keep * 4294967296.0""".stripMargin,
+    "docs_lang_mix" ->
+      // transliteration shell -> the shared langId replay -> the
+      // docs_temperature_mix keep-fraction chain over token volumes
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN translate(text, '$scriptLatinAbc', '$scriptCyrAbc')
+        |         WHEN doc_id % 5 = 2 THEN translate(text, '$scriptLatinAbc', '$scriptGreekAbc')
+        |         WHEN doc_id % 5 = 3 THEN translate(text, 'aeiou', '01234')
+        |         WHEN doc_id % 5 = 4 THEN translate(text, 'aeiout', 'аеиоут')
+        |         ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), ${langIdCtes("m", "t")}, base AS (
+        |  SELECT m.doc_id, lp.lang_pred AS lang,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(m.t)), '\\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM m JOIN lpred lp USING (doc_id)
+        |), t2 AS (
+        |  SELECT lang AS s, CAST(sum(n_tok) AS DOUBLE) AS n FROM base GROUP BY 1
+        |), p2 AS (
+        |  SELECT s, n, pow(n, 0.5) AS pp FROM t2
+        |), z2 AS (
+        |  SELECT CAST(sum(CAST(pp AS DECIMAL(38,18))) AS DOUBLE) AS zz FROM p2
+        |), f2 AS (
+        |  SELECT s, least(1.0, 20000.0 * pp / z2.zz / n) AS keep
+        |  FROM p2 CROSS JOIN z2
+        |)
+        |SELECT b.doc_id, b.lang, b.n_tok
+        |FROM base b JOIN f2 ON b.lang IS NOT DISTINCT FROM f2.s
+        |WHERE ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT
         |      < keep * 4294967296.0""".stripMargin,
     "docs_split" ->
       s"""SELECT doc_id,
