@@ -3434,10 +3434,25 @@ object SparkEntry {
           .when(col("doc_id") % 5 === 4,
             translate(col("text"), "aeiout", "аеиоут"))
           .otherwise(col("text"))
-      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
-        .withColumn("stext", mapped)
+      // TWO materialization points (the 100-TB discipline for feeding
+      // a classifier from a computed column): (1) the transliterated
+      // text itself - langId's gram windows reference their input
+      // hundreds of times and an INLINED translate-CASE gets
+      // re-evaluated per window (519s at sf0.1; an attribute input is
+      // subexpression-eliminated to one evaluation); (2) the narrow
+      // (id, lang, n_tok) output, because temperatureMix's plan reads
+      // its input on three branches and a classifier must run once
+      // per document, not once per consumer.
+      val shell = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), mapped.as("stext"))
+        .localCheckpoint()
+      val docsPre = shell
         .select(col("doc_id"), TextOps.langId(col("stext")).as("lang"),
           size(DedupOps.tokens(col("stext"))).cast(LongType).as("n_tok"))
+      println("GRAFT_LANGMIX_PLAN_START")
+      println(docsPre.queryExecution.executedPlan.toString.take(4000))
+      println("GRAFT_LANGMIX_PLAN_END")
+      val docs = docsPre.localCheckpoint()
       SampleOps.temperatureMix(docs, "doc_id", "lang", "n_tok",
         totalBudget = 20000.0, temperature = 2.0)
     },
