@@ -6,8 +6,23 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. A small warmup pass on sf0.001 runs first so the
   * timed numbers measure the queries, not session/JIT/codegen-compiler
   * startup.
+  *
+  * The timed action is a noop-sink WRITE, not `.count()`: count lets
+  * Catalyst prune every column a projection-only query computes (a scan
+  * of 5,000 docs through the langId classifier "ran" in 0.146s as a
+  * count - a parquet metadata read - vs its ~seconds of honest work), so
+  * counted walls for scan-shaped queries measure nothing. The `noop`
+  * format consumes every row of every column and discards them, forcing
+  * full evaluation with zero sink I/O cost. Bench totals from the
+  * count() era (BENCH_r14 and earlier) are a different epoch - do not
+  * compare across the action change.
   */
 object Bench {
+  /** Force full evaluation of a frame: every column of every row flows
+    * to the noop sink, so column pruning cannot skip the measured work.
+    */
+  private def exhaust(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional arg: comma-separated query names for targeted timing runs;
@@ -37,7 +52,7 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       wanted.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count()
+        try exhaust(fn(spark, warmDir))
         catch { case _: Throwable => () }
       }
       // drop warmup residue (broadcast blocks, checkpoint RDDs) so the
@@ -76,7 +91,7 @@ object Bench {
       System.gc()
       def timed(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
+        val ok = try { exhaust(fn(spark, sfDir)); true } catch {
           // stderr, not stdout: the driver parses stdout as one JSON line
           case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false
         }

@@ -3449,9 +3449,6 @@ object SparkEntry {
       val docsPre = shell
         .select(col("doc_id"), TextOps.langId(col("stext")).as("lang"),
           size(DedupOps.tokens(col("stext"))).cast(LongType).as("n_tok"))
-      println("GRAFT_LANGMIX_PLAN_START")
-      println(docsPre.queryExecution.executedPlan.toString.take(4000))
-      println("GRAFT_LANGMIX_PLAN_END")
       val docs = docsPre.localCheckpoint()
       SampleOps.temperatureMix(docs, "doc_id", "lang", "n_tok",
         totalBudget = 20000.0, temperature = 2.0)

@@ -611,6 +611,100 @@ object ExprKernels {
     total
   }
 
+  // ---- language-ID scoring ------------------------------------------
+
+  /** The trained language-ID weight table, loaded once per JVM from the
+    * checked-in classpath resource (same single-parse stance as
+    * [[bpeRanks]]): language codes in alphabetical order (the argmax
+    * tie-break order) and gram -> per-language integer weight vector.
+    * TextOps.langProfiles derives its Seq/Map view (which SparkEntry
+    * interpolates into the DuckDB oracle) from THIS parse, so kernel
+    * and oracle score from one table by construction.
+    */
+  private[graft] lazy val langTable
+      : (Array[String], java.util.HashMap[String, Array[Long]]) = {
+    val in = getClass.getResourceAsStream("/graft/lang_profiles.tsv")
+    require(in != null, "graft/lang_profiles.tsv missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val lines = src.getLines().toList
+      require(lines.nonEmpty && lines.head.startsWith("#langs\t"),
+        "lang_profiles.tsv must start with a #langs header")
+      val langs = lines.head.stripPrefix("#langs\t").split(",")
+      val m = new java.util.HashMap[String, Array[Long]](1 << 15)
+      lines.tail.filter(_.nonEmpty).foreach { l =>
+        val cut = l.indexOf('\t')
+        val ws = l.substring(cut + 1).split(",").map(_.toLong)
+        require(ws.length == langs.length,
+          s"profile row arity ${ws.length} != ${langs.length}")
+        m.put(l.substring(0, cut), ws)
+      }
+      (langs, m)
+    } finally src.close()
+  }
+
+  // language codes pre-encoded once: the kernel returns shared
+  // immutable UTF8Strings, never re-encodes per row
+  private lazy val langUtf8: Array[UTF8String] =
+    langTable._1.map(UTF8String.fromString)
+  private val langUnd = UTF8String.fromString("und")
+
+  /** Language of an ALREADY-NORMALIZED-AND-CAPPED text (callers pass
+    * `substring(langNormalize(text), 1, 256)`): slide 1/2/3-code-point
+    * gram windows (code points, the unit Spark's `substring` counts,
+    * so the gram multiset is identical to the column-side
+    * `norm.substr(i, n)` spelling), sum each matched gram's weight
+    * vector from [[langTable]], argmax with first-index (alphabetical)
+    * tie-break; 'und' on zero vocabulary hits.
+    *
+    * This is the O(grams) HashMap form of what a map-literal
+    * `element_at` spells as a LINEAR probe of all ~12k keys per gram
+    * inside an interpreted fold - measured ~51 ms per 300-char doc
+    * (9.1M UTF8String equality tests); here ~765 hash lookups.
+    */
+  def langIdScore(norm: UTF8String): UTF8String = {
+    val langs = langTable._1
+    val table = langTable._2
+    val s = norm.toString
+    val nChars = s.length
+    // code-point start offsets (UTF-16 units); idx(cp) .. idx(cp+n)
+    // bounds the n-code-point gram starting at code point cp
+    val idx = new Array[Int](nChars + 1)
+    var cpCount = 0
+    var i = 0
+    while (i < nChars) {
+      idx(cpCount) = i
+      i += Character.charCount(s.codePointAt(i))
+      cpCount += 1
+    }
+    idx(cpCount) = nChars
+    val sums = new Array[Long](langs.length)
+    var hits = 0L
+    var n = 1
+    while (n <= 3) {
+      var j = 0
+      while (j + n <= cpCount) {
+        val w = table.get(s.substring(idx(j), idx(j + n)))
+        if (w != null) {
+          hits += 1
+          var k = 0
+          while (k < sums.length) { sums(k) += w(k); k += 1 }
+        }
+        j += 1
+      }
+      n += 1
+    }
+    if (hits == 0L) langUnd
+    else {
+      // strictly-greater keeps the FIRST max: alphabetical first-wins,
+      // the same rule as array_position(sums, array_max(sums))
+      var best = 0
+      var k = 1
+      while (k < sums.length) { if (sums(k) > sums(best)) best = k; k += 1 }
+      langUtf8(best)
+    }
+  }
+
   /** Bit test against a byte-packed bitset (bit `p` lives at
     * `bytes(p >> 3)`, mask `1 << (p & 7)`). Out-of-range positions are
     * absent, not an error - a Bloom probe with a stale/smaller filter
@@ -1122,6 +1216,28 @@ case class BpeCount(child: Expression) extends UnaryExpression {
   override def prettyName: String = "bpe_count"
 }
 
+/** `lang_id_score(norm)` - language code of an already-normalized,
+  * already-capped text (see ExprKernels.langIdScore; callers pass
+  * `substring(langNormalize(text), 1, 256)`). The trained weight table
+  * is the checked-in classpath resource loaded once per JVM - O(1)
+  * HashMap probe per gram, fully codegen'd, no per-row allocation
+  * beyond the gram substrings.
+  */
+case class LangIdScore(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.langIdScore(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.langIdScore($c)")
+  override protected def withNewChildInternal(c: Expression): LangIdScore = copy(child = c)
+  override def prettyName: String = "lang_id_score"
+}
+
 /** `bitset_contains(pos)` - membership test of a long position against a
   * driver-computed byte-packed bitset (the probe half of the broadcast
   * Bloom filter in TextOps.bloomDecontam). The bitset rides the plan as
@@ -1290,6 +1406,9 @@ object GraftFunctions {
   def bpe_count(loweredText: Column): Column =
     Bridge.column(BpeCount(Bridge.expression(loweredText)))
 
+  def lang_id_score(norm: Column): Column =
+    Bridge.column(LangIdScore(Bridge.expression(norm)))
+
   // no SQL registration: the bitset is a driver-computed value, not a
   // literal a SQL call site could spell (same stance as nearest_lists)
   def bitset_contains(pos: Column, bits: Array[Byte]): Column =
@@ -1322,6 +1441,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("jw_upper", es => JwUpper(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("greedy_pack", greedyPackBuilder, "built-in")
     reg.createOrReplaceTempFunction("bpe_count", es => BpeCount(es.head), "built-in")
+    reg.createOrReplaceTempFunction("lang_id_score", es => LangIdScore(es.head), "built-in")
     reg.createOrReplaceTempFunction("shingles", shinglesBuilder, "built-in")
     reg.createOrReplaceTempFunction("char_grams", charGramsBuilder, "built-in")
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
@@ -1402,5 +1522,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("bpe_count"),
       new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),
       (es: Seq[Expression]) => BpeCount(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("lang_id_score"),
+      new ExpressionInfo(classOf[LangIdScore].getName, "lang_id_score"),
+      (es: Seq[Expression]) => LangIdScore(es.head)))
   }
 }

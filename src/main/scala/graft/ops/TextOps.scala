@@ -887,22 +887,14 @@ object TextOps {
     * engine-exact log family).
     */
   lazy val langProfiles: (Seq[String], Map[String, Seq[Long]]) = {
-    val in = getClass.getResourceAsStream("/graft/lang_profiles.tsv")
-    require(in != null, "graft/lang_profiles.tsv missing from classpath")
-    val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    try {
-      val lines = src.getLines().toList
-      require(lines.nonEmpty && lines.head.startsWith("#langs\t"),
-        "lang_profiles.tsv must start with a #langs header")
-      val langs = lines.head.stripPrefix("#langs\t").split(",").toSeq
-      val rows = lines.tail.filter(_.nonEmpty).map { l =>
-        val cut = l.indexOf('\t')
-        val ws = l.substring(cut + 1).split(",").toSeq.map(_.toLong)
-        require(ws.size == langs.size, s"profile row arity ${ws.size} != ${langs.size}")
-        l.substring(0, cut) -> ws
-      }.toMap
-      (langs, rows)
-    } finally src.close()
+    // the Seq/Map VIEW of the kernel's table (one parse per JVM,
+    // graft.functions.ExprKernels.langTable): the oracle SQL is
+    // interpolated from this view, so the scoring kernel and its
+    // replay cannot load different tables
+    val (langs, table) = graft.functions.ExprKernels.langTable
+    val rows = Map.newBuilder[String, Seq[Long]]
+    table.forEach((g, ws) => rows += g -> ws.toSeq)
+    (langs.toSeq, rows.result())
   }
 
   /** Expected dominant [[scriptClasses]] class per [[langId]] language
@@ -953,51 +945,23 @@ object TextOps {
     * first-wins tie-break). 'und' when the text is NULL or no gram
     * hits the vocabulary (no evidence).
     *
-    * Scale shape: a pure per-row column - the weight table rides as
-    * ONE map literal inside the expression (task-binary broadcast,
-    * never a join), the window sum is a higher-order-function fold, no
-    * shuffle, fuses into the scan. Integer weights end-to-end, so the
-    * DuckDB oracle replays the exact scores from the same interpolated
-    * table.
+    * Scale shape: a pure per-row column - ONE codegen kernel call
+    * ([[graft.functions.LangIdScore]]) whose weight table is a static
+    * JVM HashMap loaded once per executor from the classpath resource
+    * (the ExprKernels.bpeRanks stance): O(1) probe per gram, ~765
+    * probes per capped doc, no shuffle, fuses into the scan. The
+    * map-LITERAL spelling this replaced (`element_at(typedLit(prof),
+    * g)` inside an interpreted higher-order-function fold)
+    * linear-scanned all ~12k keys per gram - measured ~51 ms per
+    * 300-char document, ~10^4 core-years at 100 TB; the kernel form
+    * scores the same table at scan speed. Integer weights end-to-end,
+    * so the DuckDB oracle replays the exact scores from the same
+    * interpolated table.
     */
-  def langId(text: Column): Column = {
-    val (langs, prof) = langProfiles
-    val mapCol = typedLit(prof)
-    val norm = substring(langNormalize(text), 1, 256)
-    val len = length(norm)
-    val emptyGrams = array().cast(ArrayType(StringType))
-    def gramsOf(n: Int): Column = when(len >= n,
-      transform(sequence(lit(1), len - (n - 1)), i => norm.substr(i, lit(n))))
-      .otherwise(emptyGrams)
-    // Expression-tree discipline (the 100-TB detail): the weight-table
-    // literal and the fold must each appear ONCE. Gram strings are
-    // built first (no lookups), ONE transform does the map lookups
-    // (one copy of the table literal in the plan/task binary - a
-    // 26-branch argmax CASE over the fold would embed the fold, and
-    // the table inside it, dozens of times: measured 155 MB task
-    // binaries), and hits/sums/argmax all live inside one aggregate()
-    // whose finish lambda references the accumulator as a lambda
-    // VARIABLE, not a re-expanded subtree.
-    val matched = transform(
-      concat(gramsOf(1), gramsOf(2), gramsOf(3)),
-      g => element_at(mapCol, g))
-    val init = struct(
-      lit(0L).as("hits"),
-      typedLit(Seq.fill(langs.size)(0L)).as("sums"))
-    val folded = aggregate(matched, init,
-      (acc, v) => when(v.isNull, acc).otherwise(struct(
-        (acc.getField("hits") + 1L).as("hits"),
-        zip_with(acc.getField("sums"), v, _ + _).as("sums"))),
-      acc => {
-        val sums = acc.getField("sums")
-        // array_position = FIRST index of the max: ties break to the
-        // earliest (alphabetical) language, same rule as the oracle
-        val idx = array_position(sums, array_max(sums))
-        when(acc.getField("hits") === 0L, lit("und"))
-          .otherwise(element_at(typedLit(langs), idx.cast(IntegerType)))
-      })
-    when(text.isNull, lit("und")).otherwise(folded)
-  }
+  def langId(text: Column): Column =
+    when(text.isNull, lit("und")).otherwise(
+      graft.functions.GraftFunctions.lang_id_score(
+        substring(langNormalize(text), 1, 256)))
 
   /** Unicode-script classes counted by [[scriptProfile]], in DOMINANCE
     * order (the tie-break: earlier wins on equal counts). Explicit

@@ -553,8 +553,11 @@ object WebOps {
   def resolveLinks(df: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
     require(!df.columns.exists(Set("gr_base", "link", "resolved")),
       "input already has a gr_base/link/resolved column; rename it first")
+    // \s after the tag name: without it the pattern also matches any
+    // tag merely STARTING with 'base' (<basefont href=..>), and a
+    // false match re-anchors every relative link of the page
     val baseHref = regexp_extract(F.col(htmlCol),
-      "(?is)<base[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+      "(?is)<base\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
     val effBase = when(baseHref === "", F.col(urlCol))
       .otherwise(resolveUrl(F.col(urlCol), baseHref))
     df.withColumn("gr_base", effBase)
@@ -773,15 +776,20 @@ object WebOps {
     *      md5(url) hex nibble (16 buckets, byte-replayable in any
     *      engine with md5) - each window task bounded by slice/16;
     *   2. per-(domain, salt) counts prefix-sum into salt offsets on a
-    *      (#domains x 16)-row frame that broadcasts back;
+    *      (#domains x 16)-row frame joined back on (domain, salt);
     *   3. slot = local_rank + salt_offset.
     *
     * Slots stay DENSE (each domain uses 0..n-1 exactly once - no idle
     * pacing gaps), deterministic, and total; the within-domain order
     * is (salt, url, id), md5-bucket-major - a politeness schedule
     * orders arbitrarily anyway, it only needs determinism and the
-    * distinct-slot inter-fetch gap. The delays frame is domain-sized
-    * and broadcasts.
+    * distinct-slot inter-fetch gap. Rows with a NULL/unparseable url
+    * (null md5) fold to salt bucket 0 so they schedule like any other
+    * row instead of dropping at the offsets join. The offsets and
+    * delays frames are domain-sized; no forced broadcast() hint - at
+    * tens of millions of registrable domains a forced broadcast can
+    * blow the 8 GB broadcast limit with no fallback, while AQE
+    * broadcasts them whenever they actually fit.
     *
     * Output: frontier columns + (domain, slot, not_before_s).
     */
@@ -804,9 +812,15 @@ object WebOps {
     // the (#domains x 16)-row count frame only, where per-key is fine
     val wOff = W.partitionBy(F.col("domain")).orderBy(F.col("gr_salt"))
       .rowsBetween(Long.MinValue, -1)
+    // column functions, not an interpolated F.expr: a url column name
+    // needing backticks (space/dot/keyword) must not break parsing.
+    // conv(hexDigit, 16, 10) == instr('0123456789abcdef', hexDigit) - 1
+    // for every md5 nibble, so the oracle's instr replay is unchanged;
+    // null url -> null md5 folds to bucket 0 (row survives the join)
     val salted = foldDomainByHost(frontier, urlHost(F.col(urlCol)), "domain")
-      .withColumn("gr_salt", F.expr(
-        s"instr('0123456789abcdef', substring(md5($urlCol), 1, 1)) - 1"))
+      .withColumn("gr_salt", coalesce(
+        F.conv(substring(F.md5(F.col(urlCol)), 1, 1), 16, 10).cast(IntegerType),
+        lit(0)))
     val offsets = salted.groupBy(F.col("domain"), F.col("gr_salt"))
       .agg(count(lit(1)).as("gr_cnt"))
       .withColumn("gr_off", coalesce(sum(F.col("gr_cnt")).over(wOff), lit(0L)))
@@ -814,10 +828,10 @@ object WebOps {
         F.col("gr_off"))
     salted
       .withColumn("gr_lrk", row_number().over(wLocal).cast(LongType) - 1L)
-      .join(broadcast(offsets),
+      .join(offsets,
         F.col("domain") <=> F.col("gr_od") && F.col("gr_salt") === F.col("gr_os"))
-      .join(broadcast(delays.select(F.col("domain").as("gr_dd"),
-        F.col("crawl_delay"))), F.col("domain") <=> F.col("gr_dd"), "left")
+      .join(delays.select(F.col("domain").as("gr_dd"),
+        F.col("crawl_delay")), F.col("domain") <=> F.col("gr_dd"), "left")
       .withColumn("slot", F.col("gr_lrk") + F.col("gr_off"))
       .withColumn("not_before_s",
         F.col("slot") * coalesce(F.col("crawl_delay"), lit(defaultDelay)))
@@ -1138,8 +1152,10 @@ object WebOps {
       // first <base href> wins (the HTML5 rule) - the document's
       // declared resolution base, "" when absent; [[resolveLinks]]
       // extracts the same value to pick its effective base
+      // \s boundary after the tag name, same rule as [[resolveLinks]]:
+      // <basefont href=..> must not masquerade as a base declaration
       .withColumn("base_href",
-        regexp_extract(h, "(?is)<base[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']", 1))
+        regexp_extract(h, "(?is)<base\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']", 1))
   }
 
   /** Per-domain page cap: keep at most `maxPerDomain` pages per

@@ -1006,22 +1006,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
-  test("langId plan: shuffle-free scan-fused projection (the weight table is a literal)") {
+  test("langId plan: shuffle-free scan-fused codegen kernel (no table in the plan)") {
     val df = spark.range(50).select(col("id"),
       concat(lit("the quick brown fox number "), col("id")).as("t"))
     val scored = df.select(TextOps.langId(col("t")))
     val plan = scored.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"langId must not shuffle:\n${plan.take(2000)}")
     assert(!plan.contains("Join"), s"langId must not join:\n${plan.take(2000)}")
-    // the weight-table literal must appear EXACTLY ONCE in the plan: a
-    // careless argmax CASE re-expands the scoring fold per language and
-    // was measured shipping 155 MB task binaries (dozens of copies of
-    // the table) - pin the single-copy discipline
+    // the scorer must be the O(1)-per-gram codegen kernel, and the
+    // weight table must ride as the per-JVM static (loaded once from
+    // the classpath), NOT as a plan literal: the map-literal spelling
+    // linear-scanned all ~12k keys per gram inside an interpreted fold
+    // (~51 ms per 300-char doc) and embedded the table in every task
+    // binary
+    assert(plan.contains("lang_id_score"),
+      s"langId must score through the LangIdScore kernel:\n${plan.take(2000)}")
     val mapLiterals = scored.queryExecution.analyzed.expressions.map(_.collect {
       case l: org.apache.spark.sql.catalyst.expressions.Literal
         if l.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => l
     }.size).sum
-    assert(mapLiterals == 1, s"weight-table literal embedded $mapLiterals times, want 1")
+    assert(mapLiterals == 0, s"weight-table literal embedded $mapLiterals times, want 0")
   }
 
   test("qualitySignals: each band moves the score; good text scores 1.0") {
@@ -4411,6 +4415,15 @@ class OpsSpec extends SparkSpec {
         "id", "url", delays, defaultDelay = 1.0)
       .select($"id", $"slot").as[(Long, Long)].collect().toMap
     assert(pin == Map(2L -> 0L, 1L -> 1L), pin.toString)
+    // a NULL url must SURVIVE scheduling (null md5 folds to salt
+    // bucket 0, null domain <=>-joins), not silently drop at the
+    // offsets join
+    val withNull = WebOps.frontierSchedule(
+        Seq((1L, "https://a.site.com/x"), (2L, null.asInstanceOf[String]))
+          .toDF("id", "url"),
+        "id", "url", delays, defaultDelay = 1.0)
+      .select($"id", $"slot").as[(Long, Long)].collect().toMap
+    assert(withNull == Map(1L -> 0L, 2L -> 0L), withNull.toString)
   }
 
   test("frontierSchedule: dense slots and pacing invariant on a hot domain") {
@@ -4675,14 +4688,19 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == ((2L, "plain", "reversed order desc", "", "https://y.example/c2")))
     assert(got(3L) == ((3L, "", "", "", "")))
     assert(got(4L)._2 == null && got(4L)._3 == null && got(4L)._5 == null)
-    // base_href: first base wins, absent -> ""
+    // base_href: first base wins, absent -> ""; tag-name boundary:
+    // <basefont href> is NOT a base declaration
     val bh = WebOps.pageMeta(Seq(
         (1L, "<head><base href=\"https://b.example/dir/\">" +
           "<base href=\"https://ignored.example/\"></head>"),
         (2L, "<head><base target=\"_blank\" href=\"/rel/\"></head>"),
-        (3L, "<head></head>")).toDF("id", "html"), "html")
+        (3L, "<head></head>"),
+        (4L, "<head><basefont href=\"https://font.example/\"></head>"),
+        (5L, "<head><basefont href=\"https://font.example/\">" +
+          "<base href=\"https://real.example/\"></head>")).toDF("id", "html"), "html")
       .select($"id", $"base_href").as[(Long, String)].collect().toMap
-    assert(bh == Map(1L -> "https://b.example/dir/", 2L -> "/rel/", 3L -> ""))
+    assert(bh == Map(1L -> "https://b.example/dir/", 2L -> "/rel/", 3L -> "",
+      4L -> "", 5L -> "https://real.example/"))
   }
 
   test("urlQualitySignals: depth/params/digits/escapes/session verdicts") {
