@@ -735,6 +735,34 @@ object SparkEntry {
       |  FROM lk
       |)"""
 
+  /** `e0/e/deg/r0/r1..r10` over [[linkFoldCtes]]' `dd`: the
+    * graph_pagerank integer replay (same unit, restart, and floor
+    * divisions as [[graft.ops.GraphOps.pageRank]]) on the symmetrized
+    * cross-domain edge set, ending in `r10(node, r)`. ONE fragment
+    * shared by `web_domain_rank` and `web_fetch_priority` so the
+    * authority replays cannot drift.
+    */
+  private val domainRankCtes: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |         CAST(150000000 + (85 * sum(p.r // d2.deg)) // 100 AS BIGINT) AS r
+         |  FROM r${i - 1} p JOIN deg d2 USING (node) JOIN e ON e.src = p.node
+         |  GROUP BY 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""e0 AS (
+      |  SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM dd
+      |  WHERE src_domain <> dst_domain
+      |), e AS (
+      |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+      |), deg AS (
+      |  SELECT src AS node, count(*) AS deg FROM e GROUP BY 1
+      |), r0 AS (
+      |  SELECT node, CAST(1000000000 AS BIGINT) AS r FROM deg
+      |), $rounds"""
+  }
+
   /** `u(doc_id, source, n_chars, url)` + `p(..., scheme, host, port,
     * path, qstr)` + `d(..., domain)` CTE chain: the [[synthUrlCol]]
     * shell replayed with `||` (null-propagating, like Spark `concat`)
@@ -2363,6 +2391,80 @@ object SparkEntry {
       WebOps.frontierSchedule(pages.select(col("doc_id"), col("url")),
           "doc_id", "url", delays, defaultDelay = 1.0)
         .select(col("doc_id"), col("domain"), col("slot"), col("not_before_s"))
+    },
+    "web_fetch_priority" -> { (s, dir) =>
+      // crawl prioritization END-TO-END - the ranked fetch list a
+      // crawler actually drains: zero-fetch URL screen
+      // (urlQualitySignals) x domain trap verdict (crawlTraps) x
+      // link-graph authority (the web_domain_rank PageRank) x robots
+      // politeness pacing (frontierSchedule), ONE declarative plan
+      // over the shared crawl shells. Scale shape: the screen and trap
+      // signals fuse into the frontier scan; traps, authority and
+      // delays are all DOMAIN-sized frames joined back (AQE
+      // broadcasts); the only corpus-sized shuffles are the salted
+      // schedule windows and the one link-graph edge aggregate.
+      val id = col("doc_id")
+      val docs = tbl(s, dir, "documents")
+      val pages = docs
+        .withColumn("url", synthUrlCol).withColumn("html", synthLinkHtmlCol)
+      // planted frontier slices on top of the shell: a
+      // calendar-recursion trap domain (whole domain must drop), a
+      // session-id URL per shell domain (per-URL suspect cut), and a
+      // no-inlink newcomer domain (authority coalesces to 0 - new
+      // domains are still fetchable, just lowest-priority)
+      val planted = docs.select(
+        (id + 1000000L).as("doc_id"),
+        when(id % 3 === 0,
+          concat(lit("https://trapsite.org/cal/2024/cal/2024/cal/"),
+            (id % 12).cast(StringType)))
+          .when(id % 3 === 1,
+            concat(lit("https://newcomer.net/fresh/"), (id % 11).cast(StringType)))
+          .otherwise(concat(lit("https://src"), (id % 10).cast(StringType),
+            lit(".com/l?PHPSESSID="), id.cast(StringType)))
+          .as("url"))
+      // materialization point (the docs_lang_mix discipline): the
+      // frontier feeds the screen AND the trap verdict, and the
+      // screened rows feed BOTH of frontierSchedule's branches (local
+      // ranks + salt offsets) - without the pin the shell + PSL fold
+      // re-executes once per consumer
+      val frontier = pages.select(id, col("url")).unionByName(planted)
+        .localCheckpoint()
+      // (1) per-URL screen: suspect URLs never reach scheduling
+      val clean = WebOps.urlQualitySignals(frontier, "url")
+        .filter(!col("url_suspect")).select(col("doc_id"), col("url"))
+        .localCheckpoint()
+      // (2) trap verdict over the FULL frontier (a trap domain's
+      // suspect URLs still evidence the trap)
+      val trapped = WebOps.crawlTraps(frontier, "url",
+          minUrls = 5, maxAvgDepth = 4.5, maxRepeatShare = 0.3)
+        .filter(col("flagged")).select(col("domain"))
+      // (3) authority: the same symmetrized integer PageRank as
+      // web_domain_rank, over the same link shell
+      val edges = WebOps.linkGraph(pages, "url", "html")
+        .filter(col("src_domain") =!= col("dst_domain"))
+        .select(col("src_domain").as("sd"), col("dst_domain").as("dd"))
+      val sym = edges.union(edges.select(col("dd").as("sd"), col("sd").as("dd")))
+      val rank = GraphOps.pageRank(sym, "sd", "dd", iterations = 10)
+        .select(col("node").as("gr_rd"), col("rank_int"))
+      // (4) robots pacing, same shell as web_frontier_schedule
+      val domains = pages
+        .select(WebOps.registrableDomain(WebOps.urlHost(col("url"))).as("domain"))
+        .distinct()
+      val nD = regexp_extract(col("domain"), "src([0-9])", 1)
+      val robots = domains.filter(nD.cast(IntegerType) % 3 =!= 2)
+        .withColumn("txt", robotsExtTxtCol)
+      val delays = WebOps.robotsCrawlDelay(robots, "domain", "txt", "graftbot")
+      // schedule the screened frontier, then cut trap domains WHOLESALE
+      // and attach authority: traps drop whole domains, so surviving
+      // domains' slot density is untouched by cutting after scheduling
+      // (frontierSchedule owns the domain fold, so the domain-keyed
+      // joins ride its output)
+      WebOps.frontierSchedule(clean, "doc_id", "url", delays, defaultDelay = 1.0)
+        .join(trapped, Seq("domain"), "left_anti")
+        .join(rank, col("domain") === col("gr_rd"), "left")
+        .select(col("doc_id"), col("url"), col("domain"),
+          coalesce(col("rank_int"), lit(0L)).as("authority"),
+          col("slot"), col("not_before_s"))
     },
     "web_wet_pipeline" -> { (s, dir) =>
       // the full CommonCrawl-to-clean-text recipe in ONE declarative
@@ -5233,25 +5335,10 @@ object SparkEntry {
     "web_domain_rank" -> {
       // the graph_pagerank integer replay (same unit, restart, and
       // floor divisions) over the symmetrized cross-domain edges of
-      // the shared link CTEs
-      val rounds = (1 to 10).map { i =>
-        s"""r$i AS (
-           |  SELECT e.dst AS node,
-           |         CAST(150000000 + (85 * sum(p.r // d2.deg)) // 100 AS BIGINT) AS r
-           |  FROM r${i - 1} p JOIN deg d2 USING (node) JOIN e ON e.src = p.node
-           |  GROUP BY 1
-           |)""".stripMargin
-      }.mkString(", ")
-      s"""WITH $urlShellCte, $linkShellCte, $linkFoldCtes, e0 AS (
-        |  SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM dd
-        |  WHERE src_domain <> dst_domain
-        |), e AS (
-        |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
-        |), deg AS (
-        |  SELECT src AS node, count(*) AS deg FROM e GROUP BY 1
-        |), r0 AS (
-        |  SELECT node, CAST(1000000000 AS BIGINT) AS r FROM deg
-        |), $rounds
+      // the shared link CTEs; rounds from the shared
+      // [[domainRankCtes]] fragment (also the web_fetch_priority
+      // authority stage - one replay, no drift)
+      s"""WITH $urlShellCte, $linkShellCte, $linkFoldCtes, $domainRankCtes
         |SELECT node AS domain, r AS rank_int FROM r10""".stripMargin
     },
     "web_trustrank" -> {
@@ -6367,6 +6454,85 @@ object SparkEntry {
         |SELECT doc_id, domain, slot,
         |  CAST(slot * delay AS DOUBLE) AS not_before_s
         |FROM r""".stripMargin
+    },
+    "web_fetch_priority" -> {
+      // the capstone composed from the SHARED fragments: urlShell (d)
+      // for the frontier, the quality-screen and trap predicates
+      // replayed inline (same regex/list chains as web_url_quality /
+      // web_crawl_traps), domainRankCtes for authority (the
+      // web_domain_rank replay verbatim), the web_robots_ext governing
+      // delay rule extended with the no-digit default, and the
+      // web_frontier_schedule salt-major slot replay
+      s"""WITH $urlShellCte, $linkShellCte, $linkFoldCtes, $domainRankCtes, fr AS (
+        |  SELECT doc_id, url, domain FROM d
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'https://trapsite.org/cal/2024/cal/2024/cal/' ||
+        |              CAST(doc_id % 12 AS VARCHAR)
+        |         WHEN doc_id % 3 = 1
+        |         THEN 'https://newcomer.net/fresh/' || CAST(doc_id % 11 AS VARCHAR)
+        |         ELSE 'https://src' || CAST(doc_id % 10 AS VARCHAR) ||
+        |              '.com/l?PHPSESSID=' || CAST(doc_id AS VARCHAR) END,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'trapsite.org'
+        |         WHEN doc_id % 3 = 1 THEN 'newcomer.net'
+        |         ELSE 'src' || CAST(doc_id % 10 AS VARCHAR) || '.com' END
+        |  FROM documents
+        |), scr AS (
+        |  SELECT doc_id, url, domain,
+        |    CAST(length(url) AS INT) AS url_len,
+        |    len(list_filter(string_split(
+        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |      '/'), x -> x <> '')) AS path_depth,
+        |    CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN 0
+        |         ELSE len(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'))
+        |    END AS n_params,
+        |    regexp_matches(lower(url),
+        |      '(sessionid|phpsessid|jsessionid|[?&]sid=)') AS has_session_id
+        |  FROM fr
+        |), clean AS (
+        |  SELECT doc_id, url, domain FROM scr
+        |  WHERE NOT (url_len > 200 OR path_depth > 8 OR n_params > 6
+        |             OR has_session_id)
+        |), tsig AS (
+        |  SELECT domain,
+        |    list_filter(string_split(
+        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |      '/'), x -> x <> '') AS segs
+        |  FROM fr
+        |), ta AS (
+        |  SELECT domain, count(*) AS n_urls, sum(len(segs)) AS sd,
+        |    sum(CASE WHEN len(segs) - len(list_distinct(segs)) >= 2
+        |             THEN 1 ELSE 0 END) AS sr
+        |  FROM tsig GROUP BY 1
+        |), traps AS (
+        |  SELECT domain FROM ta
+        |  WHERE n_urls >= 5 AND (CAST(sd AS DOUBLE) / n_urls > 4.5 OR
+        |                         CAST(sr AS DOUBLE) / n_urls > 0.3)
+        |), dl AS (
+        |  SELECT domain,
+        |    CASE WHEN regexp_extract(domain, 'src([0-9])', 1) = '' THEN 1.0
+        |         WHEN CAST(regexp_extract(domain, 'src([0-9])', 1) AS INT) % 3 = 2
+        |           THEN 1.0
+        |         WHEN CAST(regexp_extract(domain, 'src([0-9])', 1) AS INT) % 2 = 0
+        |           THEN 2.0
+        |         ELSE greatest(CAST(regexp_extract(domain, 'src([0-9])', 1) || '.5'
+        |                            AS DOUBLE), 1.0) END AS delay
+        |  FROM (SELECT DISTINCT domain FROM clean)
+        |), sch AS (
+        |  SELECT doc_id, url, domain,
+        |    CAST(row_number() OVER (PARTITION BY domain ORDER BY
+        |           instr('0123456789abcdef', substring(md5(url), 1, 1)) - 1,
+        |           url, doc_id)
+        |         AS BIGINT) - 1 AS slot
+        |  FROM clean
+        |)
+        |SELECT s.doc_id, s.url, s.domain,
+        |  CAST(coalesce(r.r, 0) AS BIGINT) AS authority,
+        |  s.slot, CAST(s.slot * dl.delay AS DOUBLE) AS not_before_s
+        |FROM sch s JOIN dl USING (domain)
+        |LEFT JOIN r10 r ON r.node = s.domain
+        |WHERE s.domain NOT IN (SELECT domain FROM traps)""".stripMargin
     },
     "web_wet_pipeline" -> {
       // the composed recipe entirely from shared fragments: the WARC +
