@@ -763,6 +763,36 @@ object SparkEntry {
       |), $rounds"""
   }
 
+  /** The web-pipeline domain blocklist as a SQL IN-list - ONE
+    * definition for `web_pipeline` and `web_pipeline_multilingual`
+    * (the Spark sides spell the same four entries).
+    */
+  private val webPipelineBlocklistSql: String =
+    Seq("src2.com", "src5.co.uk", "src8.org", "www.src3.com")
+      .map("'" + _ + "'").mkString(", ")
+
+  /** `t2/p2/z2/f2` + the final keep SELECT over a `base(doc_id, lang,
+    * n_tok)` CTE: the [[graft.ops.SampleOps.temperatureMix]] replay at
+    * T=2 (pow .5 over exact integer sums, DECIMAL normalizer, md5
+    * keep threshold) under a 20000-token budget. ONE fragment shared
+    * by `docs_lang_mix` and `web_pipeline_multilingual`.
+    */
+  private val langTempMixTailSql: String =
+    """t2 AS (
+      |  SELECT lang AS s, CAST(sum(n_tok) AS DOUBLE) AS n FROM base GROUP BY 1
+      |), p2 AS (
+      |  SELECT s, n, pow(n, 0.5) AS pp FROM t2
+      |), z2 AS (
+      |  SELECT CAST(sum(CAST(pp AS DECIMAL(38,18))) AS DOUBLE) AS zz FROM p2
+      |), f2 AS (
+      |  SELECT s, least(1.0, 20000.0 * pp / z2.zz / n) AS keep
+      |  FROM p2 CROSS JOIN z2
+      |)
+      |SELECT b.doc_id, b.lang, b.n_tok
+      |FROM base b JOIN f2 ON b.lang IS NOT DISTINCT FROM f2.s
+      |WHERE ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      < keep * 4294967296.0"""
+
   /** `u(doc_id, source, n_chars, url)` + `p(..., scheme, host, port,
     * path, qstr)` + `d(..., domain)` CTE chain: the [[synthUrlCol]]
     * shell replayed with `||` (null-propagating, like Spark `concat`)
@@ -3555,6 +3585,45 @@ object SparkEntry {
       SampleOps.temperatureMix(docs, "doc_id", "lang", "n_tok",
         totalBudget = 20000.0, temperature = 2.0)
     },
+    "web_pipeline_multilingual" -> { (s, dir) =>
+      // the FineWeb-2 shape END-TO-END: web curation (domain blocklist
+      // -> C4 line cleaning, the exact web_pipeline prefix) feeding
+      // langId-stratified temperature mixing - the TRAINED classifier
+      // over the CLEANED text decides the strata, token volumes per
+      // language flatten under T=2 so low-resource strata survive the
+      // head cut. The transliteration slice manufactures several real
+      // language strata out of one corpus (the docs_lang_mix device);
+      // the operator chain is the production shape. Scale: blocklist +
+      // C4 + translit + langId + token count all fuse into ONE scan;
+      // temperatureMix's stratum frame broadcasts; the corpus never
+      // shuffles.
+      val pages = tbl(s, dir, "documents").withColumn("url", synthUrlCol)
+      val survivors = WebOps.blockDomains(pages, "url",
+        Seq("src2.com", "src5.co.uk", "src8.org", "www.src3.com"))
+      val cleaned = TextOps.c4LineFilter(
+        survivors.withColumn("ltext", synthLinedCol),
+        "doc_id", "ltext", minWords = 3, minLines = 2)
+      val mapped =
+        when(col("doc_id") % 5 === 1,
+          translate(col("clean"), scriptLatinAbc, scriptCyrAbc))
+          .when(col("doc_id") % 5 === 2,
+            translate(col("clean"), scriptLatinAbc, scriptGreekAbc))
+          .when(col("doc_id") % 5 === 3,
+            translate(col("clean"), "aeiou", "01234"))
+          .when(col("doc_id") % 5 === 4,
+            translate(col("clean"), "aeiout", "аеиоут"))
+          .otherwise(col("clean"))
+      // one materialization point (the docs_lang_mix discipline): the
+      // blocklist + C4 + translit chain must run once, not once per
+      // temperatureMix branch
+      val shell = cleaned.select(col("doc_id"), mapped.as("stext"))
+        .localCheckpoint()
+      val docs2 = shell.select(col("doc_id"),
+        TextOps.langId(col("stext")).as("lang"),
+        size(DedupOps.tokens(col("stext"))).cast(LongType).as("n_tok"))
+      SampleOps.temperatureMix(docs2, "doc_id", "lang", "n_tok",
+        totalBudget = 20000.0, temperature = 2.0)
+    },
     "text_sentences" -> { (s, dir) =>
       // sentence segmentation: terminator-run + whitespace boundaries,
       // trimmed non-empty pieces with their 0-based index and word
@@ -5263,12 +5332,11 @@ object SparkEntry {
       // the end-to-end composition: url-shell blocklist cut -> shared
       // C4 CTEs -> NB weight CTEs over the CLEANED text -> the same
       // greedy budget tail as docs_quality_budget (budget 2500)
-      val bl = Seq("src2.com", "src5.co.uk", "src8.org", "www.src3.com")
-        .map("'" + _ + "'").mkString(", ")
       s"""WITH $urlShellCte, blocked AS (
         |  SELECT d.doc_id, d.source, x.text
         |  FROM d JOIN documents x USING (doc_id)
-        |  WHERE NOT (domain IN ($bl) OR host IN ($bl))
+        |  WHERE NOT (domain IN ($webPipelineBlocklistSql)
+        |             OR host IN ($webPipelineBlocklistSql))
         |), ${c4LinedCtes("blocked")}, cleaned AS (
         |  SELECT doc_id, source, array_to_string(kept, chr(10)) AS clean
         |  FROM f WHERE len(kept) >= 2
@@ -6049,20 +6117,33 @@ object SparkEntry {
         |    CAST(len(list_filter(string_split_regex(lower(trim(m.t)), '\\s+'),
         |      x -> x <> '')) AS BIGINT) AS n_tok
         |  FROM m JOIN lpred lp USING (doc_id)
-        |), t2 AS (
-        |  SELECT lang AS s, CAST(sum(n_tok) AS DOUBLE) AS n FROM base GROUP BY 1
-        |), p2 AS (
-        |  SELECT s, n, pow(n, 0.5) AS pp FROM t2
-        |), z2 AS (
-        |  SELECT CAST(sum(CAST(pp AS DECIMAL(38,18))) AS DOUBLE) AS zz FROM p2
-        |), f2 AS (
-        |  SELECT s, least(1.0, 20000.0 * pp / z2.zz / n) AS keep
-        |  FROM p2 CROSS JOIN z2
-        |)
-        |SELECT b.doc_id, b.lang, b.n_tok
-        |FROM base b JOIN f2 ON b.lang IS NOT DISTINCT FROM f2.s
-        |WHERE ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |      < keep * 4294967296.0""".stripMargin,
+        |), $langTempMixTailSql""".stripMargin,
+    "web_pipeline_multilingual" ->
+      // the web_pipeline curation prefix (shared url-shell blocklist +
+      // C4 CTEs), the docs_lang_mix translit + langId replay over the
+      // CLEANED text, and the shared T=2 keep-fraction tail
+      s"""WITH $urlShellCte, blocked AS (
+        |  SELECT d.doc_id, d.source, x.text
+        |  FROM d JOIN documents x USING (doc_id)
+        |  WHERE NOT (domain IN (${webPipelineBlocklistSql})
+        |             OR host IN (${webPipelineBlocklistSql}))
+        |), ${c4LinedCtes("blocked")}, cleaned AS (
+        |  SELECT doc_id, array_to_string(kept, chr(10)) AS clean
+        |  FROM f WHERE len(kept) >= 2
+        |), m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN translate(clean, '$scriptLatinAbc', '$scriptCyrAbc')
+        |         WHEN doc_id % 5 = 2 THEN translate(clean, '$scriptLatinAbc', '$scriptGreekAbc')
+        |         WHEN doc_id % 5 = 3 THEN translate(clean, 'aeiou', '01234')
+        |         WHEN doc_id % 5 = 4 THEN translate(clean, 'aeiout', 'аеиоут')
+        |         ELSE clean END AS t
+        |  FROM cleaned
+        |), ${langIdCtes("m", "t")}, base AS (
+        |  SELECT m.doc_id, lp.lang_pred AS lang,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(m.t)), '\\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM m JOIN lpred lp USING (doc_id)
+        |), $langTempMixTailSql""".stripMargin,
     "docs_split" ->
       s"""SELECT doc_id,
         |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
