@@ -3153,6 +3153,19 @@ object SparkEntry {
         .filter(col("text").isNotNull)
         .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))
     },
+    "text_bpe_public" -> { (s, dir) =>
+      // published-tokenizer interop: token counts under the GPT-2
+      // byte-level conventions (the real pre-tokenizer, the
+      // bytes-to-unicode table, a checked-in vocab.bpe-FORMAT merge
+      // table - swap in a published vocab.bpe and budgets account in
+      // that tokenizer's units). One codegen kernel call fused into
+      // the scan; the oracle replays the merge loop over the same
+      // interpolated table
+      tbl(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextOps.bpeTokenCountPublic(col("text")).as("n_gpt2_tokens"))
+    },
     "text_bpe_train" -> { (s, dir) =>
       // the LEARNING half of the tokenizer lifecycle: train 8 BPE
       // merges from the corpus itself (count adjacent symbol pairs on
@@ -8407,6 +8420,7 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type, ms
         |FROM x WHERE prev_ms IS NULL OR ms - prev_ms > 5000""".stripMargin,
     "text_bpe_tokens" -> bpeOracleFinalSql,
+    "text_bpe_public" -> bpePublicOracleFinalSql,
     "text_bpe_train" -> bpeTrainOracleSql,
     "text_bpe_apply" -> bpeApplyOracleSql,
     "text_bpe_pack" ->
@@ -9004,9 +9018,16 @@ object SparkEntry {
     * are unique; both are NULL exactly when no pair is mergeable, which
     * is the termination predicate).
     */
-  private lazy val bpeOracleCtes: String = {
+  /** The generic merge-loop replay chain: `units` (from `unitsCte`,
+    * which must emit `(doc_id, u)`) -> distinct units -> the recursive
+    * single-step merge under the interpolated `merges` ranks -> `term`
+    * -> `perdoc(doc_id, n)`. Shared by the trained-table and the
+    * vocab.bpe-format oracles - one replay of the merge semantics.
+    */
+  private def bpeMergeLoopCtes(
+      merges: Seq[(String, String)], unitsCte: String): String = {
     val rankCase = "CASE toks[i] || ' ' || toks[i+1] " +
-      bpeMerges.zipWithIndex
+      merges.zipWithIndex
         .map { case ((a, b), r) => s"WHEN ${sq(a + " " + b)} THEN $r" }
         .mkString(" ") + " END"
     // the rank list is projected ONCE per row (subquery), then min and
@@ -9020,12 +9041,7 @@ object SparkEntry {
     // legitimately appear as a single-punctuation merge operand
     def withRks(src: String) = s"SELECT u, toks, $bestPos AS p FROM (" +
       s"SELECT u, toks, list_transform(range(1, len(toks)), i -> $rankCase) AS rks FROM $src)"
-    s"""units AS MATERIALIZED (
-      |  SELECT doc_id,
-      |         unnest(regexp_extract_all(lower(text),
-      |                '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]')) AS u
-      |  FROM documents WHERE text IS NOT NULL
-      |), du AS MATERIALIZED (
+    s"""$unitsCte, du AS MATERIALIZED (
       |  SELECT DISTINCT u FROM units
       |), bpe(u, toks) AS (
       |  SELECT u, regexp_extract_all(u, '.') FROM du
@@ -9044,9 +9060,59 @@ object SparkEntry {
       |)""".stripMargin
   }
 
+  private lazy val bpeOracleCtes: String = bpeMergeLoopCtes(bpeMerges,
+    """units AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         unnest(regexp_extract_all(lower(text),
+      |                '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]')) AS u
+      |  FROM documents WHERE text IS NOT NULL
+      |)""".stripMargin)
+
   private lazy val bpeOracleFinalSql: String =
     s"""WITH RECURSIVE $bpeOracleCtes
       |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS INT) AS n_bpe_tokens
+      |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+      |LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+
+  /** The checked-in vocab.bpe-format table, read from the SAME
+    * classpath resource the codegen kernel loads
+    * (ExprKernels.gpt2Ranks) and interpolated into the oracle - one
+    * table for both engines, and regenerating the resource re-oracles
+    * automatically. The `#version` header is the format contract.
+    */
+  private lazy val gpt2Merges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/vocab.bpe")
+    require(in != null, "graft/vocab.bpe missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val lines = src.getLines().toList
+      require(lines.nonEmpty && lines.head.startsWith("#version:"),
+        "vocab.bpe must start with a #version header")
+      lines.tail.map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l => val Array(a, b) = l.split(" ", 2); (a, b) }
+    } finally src.close()
+  }
+
+  /** GPT-2-convention replay over the pinned corpus: the documents
+    * fixture is `^[a-z ]*$` single-spaced text (asserted ASCII,
+    * no runs, no edge whitespace), on which the published GPT-2
+    * pre-tokenizer collapses to ` ?[a-z]+` (the lookahead branch that
+    * RE2 cannot spell never fires) and the bytes-to-unicode map
+    * collapses to the ' ' -> 'Ġ' substitution. The KERNEL runs the
+    * full published pattern + byte table; FunctionsSpec pins that
+    * contract against an independent reference on adversarial inputs
+    * (case, contractions, multi-space, non-ASCII). Merge loop via the
+    * shared [[bpeMergeLoopCtes]] over the interpolated vocab.bpe.
+    */
+  private lazy val bpePublicOracleFinalSql: String =
+    s"""WITH RECURSIVE ${bpeMergeLoopCtes(gpt2Merges,
+      """units AS MATERIALIZED (
+        |  SELECT doc_id, replace(u0, ' ', 'Ġ') AS u FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(text, ' ?[a-z]+')) AS u0
+        |    FROM documents WHERE text IS NOT NULL)
+        |)""".stripMargin)}
+      |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS INT) AS n_gpt2_tokens
       |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
       |LEFT JOIN perdoc p USING (doc_id)""".stripMargin
 

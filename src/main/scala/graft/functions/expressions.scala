@@ -569,8 +569,22 @@ object ExprKernels {
     * occurrence - the same single-step rule the DuckDB oracle replays
     * as a recursive CTE, so counts are bit-identical by construction.
     */
-  private def bpeUnitLen(unit: String): Int = {
-    val cached = bpeMemo.get(unit)
+  private def bpeUnitLen(unit: String): Int =
+    mergeLoopLen(unit, bpeRanks, bpeMemo)
+
+  /** The shared single-step merge loop: split `unit` into code points,
+    * repeatedly fuse the LEFTMOST occurrence of the lowest-rank
+    * adjacent pair under `ranks` (keys "left right"; ranks unique, so
+    * no tie exists), count the surviving tokens. Memoized per distinct
+    * unit (Zipfian vocabularies collapse per-row work to a lookup),
+    * capped so adversarial unique-token corpora cannot grow the memo
+    * unboundedly.
+    */
+  private def mergeLoopLen(
+      unit: String,
+      ranks: java.util.HashMap[String, Integer],
+      memo: java.util.concurrent.ConcurrentHashMap[String, Integer]): Int = {
+    val cached = memo.get(unit)
     if (cached != null) return cached.intValue()
     var toks = new java.util.ArrayList[String]()
     var i = 0
@@ -585,7 +599,7 @@ object ExprKernels {
       var bestPos = -1
       var j = 0
       while (j < toks.size() - 1) {
-        val r = bpeRanks.get(toks.get(j) + " " + toks.get(j + 1))
+        val r = ranks.get(toks.get(j) + " " + toks.get(j + 1))
         if (r != null && r.intValue() < bestRank) { bestRank = r.intValue(); bestPos = j }
         j += 1
       }
@@ -596,7 +610,7 @@ object ExprKernels {
       }
     }
     val n = toks.size()
-    if (bpeMemo.size() < BpeMemoCap) bpeMemo.put(unit, Integer.valueOf(n))
+    if (memo.size() < BpeMemoCap) memo.put(unit, Integer.valueOf(n))
     n
   }
 
@@ -608,6 +622,86 @@ object ExprKernels {
     val m = bpeUnitPattern.matcher(text.toString)
     var total = 0
     while (m.find()) total += bpeUnitLen(m.group())
+    total
+  }
+
+  // ---- GPT-2-convention byte-level BPE ------------------------------
+
+  /** The GPT-2 bytes-to-unicode table (public algorithm from the GPT-2
+    * release): printable/extended bytes ('!'..'~', '¡'..'¬',
+    * '®'..'ÿ') map to their own code points; every other
+    * byte b maps to 256+k in first-gap order - so ' ' becomes 'Ġ'
+    * (U+0120), the space marker every vocab.bpe-format merge table
+    * spells. All targets are BMP, one char each.
+    */
+  private[graft] val gpt2ByteEncoder: Array[Char] = {
+    val enc = new Array[Char](256)
+    val keep = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ'))
+      .map(_.toInt).toSet
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (keep(b)) enc(b) = b.toChar
+      else { enc(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    enc
+  }
+
+  /** The GPT-2 pre-tokenizer (the published pattern): contraction
+    * suffixes, space-led letter/digit/punctuation runs, and the
+    * trailing-whitespace lookahead split. Unicode classes, case
+    * preserved - unlike [[bpeUnitRegex]] this is the REAL GPT-2 unit
+    * rule, so a user's actual vocab.bpe tokenizes identically here.
+    */
+  private[graft] val gpt2UnitRegex =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+  private val gpt2UnitPattern = java.util.regex.Pattern.compile(gpt2UnitRegex)
+
+  /** The checked-in vocab.bpe-format merge table (GPT-2 byte-level
+    * conventions: `#version` header required, Ġ-marked word-initial
+    * tokens), loaded once per JVM from the classpath - drop in a real
+    * published vocab.bpe and [[bpeCountPublic]] budgets with it.
+    */
+  private[graft] lazy val gpt2Ranks: java.util.HashMap[String, Integer] = {
+    val in = getClass.getResourceAsStream("/graft/vocab.bpe")
+    require(in != null, "graft/vocab.bpe missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val lines = src.getLines().toList
+      require(lines.nonEmpty && lines.head.startsWith("#version:"),
+        "vocab.bpe must start with a #version header (GPT-2 format)")
+      val m = new java.util.HashMap[String, Integer]()
+      var rank = 0
+      for (line <- lines.tail; t = line.trim
+           if t.nonEmpty && !t.startsWith("#")) {
+        require(t.count(_ == ' ') == 1, s"malformed vocab.bpe line: '$t'")
+        m.put(t, rank)
+        rank += 1
+      }
+      m
+    } finally src.close()
+  }
+
+  private val gpt2Memo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Number of BPE tokens of `text` under the GPT-2 conventions: the
+    * published pre-tokenizer over the RAW text (no case fold - GPT-2
+    * distinguishes case), each unit's UTF-8 bytes through
+    * [[gpt2ByteEncoder]], then the same single-step merge loop as
+    * [[bpeCount]] against the vocab.bpe ranks. Byte-level means NO
+    * unknown tokens: any input, any script, always tokenizes.
+    */
+  def bpeCountPublic(text: UTF8String): Int = {
+    val m = gpt2UnitPattern.matcher(text.toString)
+    var total = 0
+    while (m.find()) {
+      val bytes = m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val sb = new java.lang.StringBuilder(bytes.length)
+      var i = 0
+      while (i < bytes.length) { sb.append(gpt2ByteEncoder(bytes(i) & 0xFF)); i += 1 }
+      total += mergeLoopLen(sb.toString, gpt2Ranks, gpt2Memo)
+    }
     total
   }
 
@@ -1216,6 +1310,28 @@ case class BpeCount(child: Expression) extends UnaryExpression {
   override def prettyName: String = "bpe_count"
 }
 
+/** `bpe_count_public(text)` - GPT-2-convention byte-level BPE token
+  * count (int) over the RAW text: published pre-tokenizer, bytes-to-
+  * unicode table, checked-in vocab.bpe-format merge table (see
+  * ExprKernels.gpt2Ranks). The budget number a pipeline interoperating
+  * with a published tokenizer accounts by.
+  */
+case class BpeCountPublic(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.bpeCountPublic(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.bpeCountPublic($c)")
+  override protected def withNewChildInternal(c: Expression): BpeCountPublic =
+    copy(child = c)
+  override def prettyName: String = "bpe_count_public"
+}
+
 /** `lang_id_score(norm)` - language code of an already-normalized,
   * already-capped text (see ExprKernels.langIdScore; callers pass
   * `substring(langNormalize(text), 1, 256)`). The trained weight table
@@ -1409,6 +1525,9 @@ object GraftFunctions {
   def lang_id_score(norm: Column): Column =
     Bridge.column(LangIdScore(Bridge.expression(norm)))
 
+  def bpe_count_public(text: Column): Column =
+    Bridge.column(BpeCountPublic(Bridge.expression(text)))
+
   // no SQL registration: the bitset is a driver-computed value, not a
   // literal a SQL call site could spell (same stance as nearest_lists)
   def bitset_contains(pos: Column, bits: Array[Byte]): Column =
@@ -1442,6 +1561,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("greedy_pack", greedyPackBuilder, "built-in")
     reg.createOrReplaceTempFunction("bpe_count", es => BpeCount(es.head), "built-in")
     reg.createOrReplaceTempFunction("lang_id_score", es => LangIdScore(es.head), "built-in")
+    reg.createOrReplaceTempFunction("bpe_count_public", es => BpeCountPublic(es.head), "built-in")
     reg.createOrReplaceTempFunction("shingles", shinglesBuilder, "built-in")
     reg.createOrReplaceTempFunction("char_grams", charGramsBuilder, "built-in")
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
@@ -1526,5 +1646,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("lang_id_score"),
       new ExpressionInfo(classOf[LangIdScore].getName, "lang_id_score"),
       (es: Seq[Expression]) => LangIdScore(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("bpe_count_public"),
+      new ExpressionInfo(classOf[BpeCountPublic].getName, "bpe_count_public"),
+      (es: Seq[Expression]) => BpeCountPublic(es.head)))
   }
 }

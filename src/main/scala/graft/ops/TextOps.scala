@@ -43,6 +43,19 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     graft.functions.GraftFunctions.bpe_count(lower(text))
 
+  /** GPT-2-convention byte-level BPE token count - the published-
+    * tokenizer interop path: the REAL GPT-2 pre-tokenizer (contraction
+    * suffixes, space-led runs, case preserved), the bytes-to-unicode
+    * table, and the checked-in vocab.bpe-format merge table
+    * (src/main/resources/graft/vocab.bpe, `#version` header +
+    * Ġ-marked word-initial tokens - swap in a real published
+    * vocab.bpe and budgets account in that tokenizer's units).
+    * Byte-level: any input, any script, no unknown tokens. One codegen
+    * kernel call per row, memoized per distinct unit.
+    */
+  def bpeTokenCountPublic(text: Column): Column =
+    graft.functions.GraftFunctions.bpe_count_public(text)
+
   /** The pre-token unit classes shared by [[bpeTokenCount]] (the
     * kernel lowercases first, so the classes are spelled lowercase):
     * letter runs, digit runs, single non-space punctuation.

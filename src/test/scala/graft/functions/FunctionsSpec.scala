@@ -499,6 +499,106 @@ class FunctionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("bpe_count_public == independent GPT-2-convention reference; format + byte-level contract") {
+    // independent reference sharing no code with the kernel: its own
+    // bytes-to-unicode construction, its own pre-tokenizer compile,
+    // its own merge loop over the parsed vocab.bpe
+    val ranks: Map[(String, String), Int] = {
+      val src = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/graft/vocab.bpe"), "UTF-8")
+      try {
+        val lines = src.getLines().toList
+        // the format contract: a GPT-2-release vocab.bpe leads with a
+        // #version header
+        assert(lines.head.startsWith("#version:"), lines.head)
+        lines.tail.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+          .zipWithIndex
+          .map { case (l, r) => val Array(a, b) = l.split(" ", 2); (a, b) -> r }
+          .toMap
+      } finally src.close()
+    }
+    assert(ranks.nonEmpty)
+    // byte-level convention: the space marker is Ġ (U+0120) and some
+    // word-initial merges carry it (what makes the table vocab.bpe-
+    // shaped rather than plain merges)
+    assert(ranks.keys.exists(_._1.contains('Ġ')))
+    val byteEnc: Map[Int, Char] = {
+      val keep = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).map(_.toInt).toSet
+      var n = -1
+      (0 until 256).map { b =>
+        if (keep(b)) b -> b.toChar
+        else { n += 1; b -> (256 + n).toChar }
+      }.toMap
+    }
+    assert(byteEnc(' '.toInt) == 'Ġ') // the published Ġ identity
+    def refUnitCount(encoded: String): Int = {
+      var toks = encoded.map(_.toString).toVector
+      var cont = true
+      while (cont && toks.size > 1) {
+        val cands = toks.sliding(2).zipWithIndex.collect {
+          case (Seq(a, b), i) if ranks.contains((a, b)) => (ranks((a, b)), i)
+        }.toSeq
+        if (cands.isEmpty) cont = false
+        else {
+          val (_, i) = cands.min
+          toks = (toks.take(i) :+ (toks(i) + toks(i + 1))) ++ toks.drop(i + 2)
+        }
+      }
+      toks.size
+    }
+    val pat = java.util.regex.Pattern.compile(
+      "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+    def refText(text: String): Int = {
+      val m = pat.matcher(text)
+      var total = 0
+      while (m.find()) {
+        val enc = m.group().getBytes("UTF-8")
+          .map(b => byteEnc(b & 0xFF)).mkString
+        total += refUnitCount(enc)
+      }
+      total
+    }
+    val samples = Seq(
+      "the quick spark window joins a stream",
+      "Big DATA tables: merge, filter & sort 42 columns!", // case preserved
+      "it's won't we're I'll they've he'd I'm", // contraction splits
+      "double  space and trailing   ", // the \\s+(?!\\S) lookahead branch
+      "tabs\tand\nnewlines", "", "x",
+      "naïve café 日本語 🙂", // non-ASCII -> multi-byte byte-level units
+      "spark spark spark customer customer")
+    val got = samples.toDF("t")
+      .select(GraftFunctions.bpe_count_public($"t"))
+      .as[Int].collect().toSeq
+    assert(got == samples.map(refText), s"got $got want ${samples.map(refText)}")
+    // byte-level means NO unknown tokens: an emoji still counts (as its
+    // UTF-8 bytes at worst), never zero, never an error
+    assert(Seq("🙂").toDF("t")
+      .select(GraftFunctions.bpe_count_public($"t")).as[Int].head() >= 1)
+    // a high-frequency corpus word fuses to ONE token in its space-led
+    // (Ġ) form - the vocab.bpe convention working end-to-end
+    assert(Seq("data spark").toDF("t")
+      .select(GraftFunctions.bpe_count_public($"t")).as[Int].head() == 2)
+    // property check: random texts over letters/digits/punct/whitespace
+    // incl. multi-space runs (the lookahead edge) - kernel == reference
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaLowerChar, 2 -> Gen.numChar, 3 -> Gen.const(' '),
+      1 -> Gen.oneOf('.', ',', '!', '\''), 2 -> Gen.alphaUpperChar,
+      1 -> Gen.oneOf('\t', '\n', 'é', 'ß', '中'))
+    val textGen = Gen.listOf(charGen).map(_.mkString)
+    val prop = Prop.forAll(textGen) { t =>
+      graft.functions.ExprKernels.bpeCountPublic(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)) == refText(t)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(300)
+        .withInitialSeed(Seed(11L)),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bitset_contains + BitsetAgg: build/probe round-trip, bounds, codegen path") {
     // build a bitset from a known position set via the mergeable UDAF
     val m = 1 << 10 // 1024 bits = 128 bytes
