@@ -3637,6 +3637,42 @@ object SparkEntry {
       SampleOps.temperatureMix(docs2, "doc_id", "lang", "n_tok",
         totalBudget = 20000.0, temperature = 2.0)
     },
+    "docs_lang_drift" -> { (s, dir) =>
+      // multilingual drift monitoring: language-mix PSI between a
+      // frozen reference snapshot and a candidate snapshot whose
+      // planted transliteration rule SHIFTS the mix (more cyrillic,
+      // no digit-vowel slice) - the "did the language distribution
+      // move between corpus versions" gate. Scale shape: the
+      // classifier + bin fold fuse into ONE scan of the union; the
+      // PSI compares 42-cell histogram frames, never corpus rows.
+      val id = col("doc_id")
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val refMapped =
+        when(id % 5 === 1, translate(col("text"), scriptLatinAbc, scriptCyrAbc))
+          .when(id % 5 === 2, translate(col("text"), scriptLatinAbc, scriptGreekAbc))
+          .when(id % 5 === 3, translate(col("text"), "aeiou", "01234"))
+          .when(id % 5 === 4, translate(col("text"), "aeiout", "аеиоут"))
+          .otherwise(col("text"))
+      val candMapped =
+        when(id % 7 === 1 || id % 7 === 2,
+          translate(col("text"), scriptLatinAbc, scriptCyrAbc))
+          .when(id % 7 === 3, translate(col("text"), scriptLatinAbc, scriptGreekAbc))
+          .otherwise(col("text"))
+      // one scan classifies BOTH snapshots (ids offset to keep the
+      // union keyed); the tiny (doc_id, bin) frame pins so the two
+      // histogram branches don't re-run the scan
+      val scored = docs.select(id.as("doc_id"), refMapped.as("stext"))
+        .unionByName(docs.select((id + 1000000L).as("doc_id"),
+          candMapped.as("stext")))
+        .select(col("doc_id"), TextOps.langBin(col("stext")).as("bin"))
+        .localCheckpoint()
+      val hA = scored.filter(col("doc_id") < 1000000L)
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+      val hB = scored.filter(col("doc_id") >= 1000000L)
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+      StatOps.psiFromHistograms(hA, hB,
+        bins = graft.ops.TextOps.langProfiles._1.size)
+    },
     "text_sentences" -> { (s, dir) =>
       // sentence segmentation: terminator-run + whitespace boundaries,
       // trimmed non-empty pieces with their 0-based index and word
@@ -6157,6 +6193,48 @@ object SparkEntry {
         |      x -> x <> '')) AS BIGINT) AS n_tok
         |  FROM m JOIN lpred lp USING (doc_id)
         |), $langTempMixTailSql""".stripMargin,
+    "docs_lang_drift" ->
+      // both snapshot shells in ONE langId replay (ids offset), then
+      // the docs_psi_snapshots PSI chain over language cells (the
+      // lang<->bin mapping is a bijection, so category cells equal the
+      // engine's integer-bin cells)
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN translate(text, '$scriptLatinAbc', '$scriptCyrAbc')
+        |         WHEN doc_id % 5 = 2 THEN translate(text, '$scriptLatinAbc', '$scriptGreekAbc')
+        |         WHEN doc_id % 5 = 3 THEN translate(text, 'aeiou', '01234')
+        |         WHEN doc_id % 5 = 4 THEN translate(text, 'aeiout', 'аеиоут')
+        |         ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    CASE WHEN doc_id % 7 IN (1, 2) THEN translate(text, '$scriptLatinAbc', '$scriptCyrAbc')
+        |         WHEN doc_id % 7 = 3 THEN translate(text, '$scriptLatinAbc', '$scriptGreekAbc')
+        |         ELSE text END
+        |  FROM documents WHERE text IS NOT NULL
+        |), ${langIdCtes("m", "t")}, ha AS (
+        |  SELECT lang_pred AS lang, count(*) AS ca FROM lpred
+        |  WHERE doc_id < 1000000 GROUP BY 1
+        |), hb AS (
+        |  SELECT lang_pred AS lang, count(*) AS cb FROM lpred
+        |  WHERE doc_id >= 1000000 GROUP BY 1
+        |), cells AS (
+        |  SELECT coalesce(ha.lang, hb.lang) AS lang,
+        |         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM ha FULL OUTER JOIN hb ON ha.lang = hb.lang
+        |), tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |                  CAST(sum(cb) AS BIGINT) AS n_b FROM cells),
+        |terms AS (
+        |  SELECT t.n_a, t.n_b,
+        |         CAST((greatest(CAST(ca AS DOUBLE) / CAST(t.n_a AS DOUBLE), 1.0E-6)
+        |               - greatest(CAST(cb AS DOUBLE) / CAST(t.n_b AS DOUBLE), 1.0E-6))
+        |              * ln(greatest(CAST(ca AS DOUBLE) / CAST(t.n_a AS DOUBLE), 1.0E-6)
+        |                   / greatest(CAST(cb AS DOUBLE) / CAST(t.n_b AS DOUBLE), 1.0E-6))
+        |              AS DECIMAL(38,18)) AS term
+        |  FROM cells CROSS JOIN tot t
+        |)
+        |SELECT n_a, n_b, round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY 1, 2""".stripMargin,
     "docs_split" ->
       s"""SELECT doc_id,
         |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)

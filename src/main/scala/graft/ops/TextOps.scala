@@ -976,6 +976,20 @@ object TextOps {
       graft.functions.GraftFunctions.lang_id_score(
         substring(langNormalize(text), 1, 256)))
 
+  /** Language histogram bin of `text`: the 1-based index of [[langId]]'s
+    * verdict in the alphabetical [[langProfiles]] language list, 0 for
+    * 'und' - the integer cell id that lets the 42-category language mix
+    * ride the numeric histogram/PSI machinery
+    * ([[graft.ops.StatOps.psiFromHistograms]], cells in [0, 42] within
+    * its [-1, bins] contract). ONE definition shared by the batch
+    * drift query and the streaming monitor
+    * ([[graft.streaming.StreamOps.langMixMaintenance]]).
+    */
+  def langBin(text: Column): Column =
+    coalesce(
+      array_position(typedLit(langProfiles._1), langId(text)),
+      lit(0L)).cast(IntegerType)
+
   /** Unicode-script classes counted by [[scriptProfile]], in DOMINANCE
     * order (the tie-break: earlier wins on equal counts). Explicit
     * code-point RANGES, not `\p{Script}` properties: the property

@@ -1045,6 +1045,57 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming language-mix drift monitoring - the eighteenth
+    * maintained lifecycle, closing the multilingual loop: as document
+    * micro-batches stream in, the TRAINED classifier
+    * ([[graft.ops.TextOps.langBin]], one codegen kernel call per row)
+    * folds each batch to its 42-cell language histogram, the running
+    * histogram accumulates, and every batch emits the PSI of the
+    * accumulated mix against a FROZEN reference histogram
+    * ([[graft.ops.StatOps.psiFromHistograms]]) - "has the language
+    * distribution of what we're ingesting drifted from the corpus we
+    * trained the mixture weights on". Count sums are associative, so
+    * batches in any arrival order equal ONE batch over the union (the
+    * parity the spec pins). State is the <= 43-row cell frame, never
+    * document-sized; same checkpoint-graveyard release discipline as
+    * [[lineDedupMaintenance]]: `onBatch(psi, counts)` frames release
+    * when the NEXT batch lands - consume or copy out before returning.
+    */
+  def langMixMaintenance(
+      stream: DataFrame,
+      textCol: String,
+      referenceHist: DataFrame
+  )(onBatch: (DataFrame, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val nLangs = graft.ops.TextOps.langProfiles._1.size
+    val frozen = referenceHist.select(F.col("bin"), F.col("c")).localCheckpoint()
+    @volatile var counts = frozen.sparkSession
+      .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("bin", IntegerType, nullable = false),
+          StructField("c", LongType, nullable = false))))
+      .localCheckpoint()
+    @volatile var graveyard: Seq[DataFrame] = Nil
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val prev = counts
+          counts = prev
+            .unionByName(batch.toDF()
+              .select(graft.ops.TextOps.langBin(F.col(textCol)).as("bin"))
+              .groupBy("bin").agg(count(lit(1)).as("c")))
+            .groupBy("bin").agg(sum(F.col("c")).as("c"))
+            .localCheckpoint()
+          val psi = graft.ops.StatOps
+            .psiFromHistograms(frozen, counts, bins = nLangs)
+            .localCheckpoint()
+          onBatch(psi, counts)
+          graveyard.foreach(unpersistCheckpoint)
+          graveyard = Seq(prev, psi)
+        }
+      }
+      .start()
+  }
+
   /** See [[graft.ops.OpsUtil.unpersistCheckpoint]] - shared with the
     * batch-side audits that also pin localCheckpoint snapshots.
     */

@@ -929,6 +929,57 @@ class StreamOpsSpec extends SparkSpec {
       ("s3", "20240301000000", "d3")))
   }
 
+  test("langMixMaintenance: streamed mix PSI == one-shot psiFromHistograms over the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{StatOps, TextOps}
+    val nLangs = TextOps.langProfiles._1.size
+    // frozen reference: an English/German-leaning mix
+    val refDocs = Seq(
+      "the quick brown fox jumps over the lazy dog near the riverbank",
+      "a spark cluster shuffles sorted partitions through columnar scans",
+      "der schnelle braune fuchs springt über den faulen hund im wald")
+    val refHist = refDocs.toDF("t")
+      .select(TextOps.langBin($"t").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    // the stream drifts french/spanish in over two batches
+    val batch1 = Seq(
+      "le renard brun rapide saute par dessus le chien paresseux",
+      "the query planner prunes partitions before the shuffle begins")
+    val batch2 = Seq(
+      "el zorro marron salta sobre el perro perezoso cerca del rio",
+      "la灯... non, la lumière du matin traverse la fenêtre ouverte",
+      "die katze schläft den ganzen tag auf dem warmen fensterbrett")
+    val psis = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    @volatile var lastCounts: Seq[(Int, Long)] = Nil
+    val mem = MemoryStream[String]
+    val sq = StreamOps.langMixMaintenance(
+      mem.toDF().toDF("t"), "t", refHist) { (psi, counts) =>
+      psis += psi.as[(Long, Long, Double)].head()
+      lastCounts = counts.as[(Int, Long)].collect().toSeq.sorted
+    }
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    // per-batch emission happened, totals track the ingested volume
+    assert(psis.size == 2)
+    assert(psis(0)._2 == batch1.size && psis(1)._2 == (batch1 ++ batch2).size)
+    // final accumulated PSI == the one-shot batch composition over the
+    // SAME union (count sums are associative)
+    val directHist = (batch1 ++ batch2).toDF("t")
+      .select(TextOps.langBin($"t").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val direct = StatOps.psiFromHistograms(refHist, directHist, bins = nLangs)
+      .as[(Long, Long, Double)].head()
+    assert(psis(1) == direct, s"streamed ${psis(1)} vs batch $direct")
+    // the maintained state is the cell frame of the accumulated mix
+    assert(lastCounts.map(_._2).sum == (batch1 ++ batch2).size)
+    // drift direction sanity: the fr/es injection moved the mix away
+    // from the en/de reference
+    assert(psis(1)._3 > 0.0)
+  }
+
   test("sampleMaintenance: streamed state == one-shot sampleState, quantiles served") {
     implicit val sqlCtx = spark.sqlContext
     val batch1 = (1L to 30L).map(i => ("a", i, i.toDouble)) ++
