@@ -31,8 +31,14 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
 
     def timed(tag: String, d1: DataFrame, d10: DataFrame)(f: DataFrame => DataFrame): Unit = {
+      // noop-sink write, NOT .count(): same honesty fix as graft.Bench -
+      // count lets Catalyst prune projection-only operators down to a
+      // metadata read, and a pruned 10x run would "scale" perfectly
+      // while measuring nothing
       def once(df: DataFrame): Double = {
-        val t0 = System.nanoTime(); f(df).count(); (System.nanoTime() - t0) / 1e9
+        val t0 = System.nanoTime()
+        f(df).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }
       once(d1); once(d10) // warm codegen
       val a = math.min(once(d1), once(d1))
@@ -129,6 +135,13 @@ object ScaleCheck {
     }.reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
     timed("docs_surprisal", docsT1, docsT10) { df =>
       graft.ops.TextOps.bigramSurprisal(df, "doc_id", "text")
+    }
+    // language ID: the scan-shaped floor of the text tier - pure
+    // per-row kernel scoring (O(1) HashMap probe per gram, ~765 probes
+    // per capped doc), no shuffle; this row is what the map-literal
+    // fold it replaced could never ship (~51 ms/doc = minutes at 1x)
+    timed("text_langid", docsT1, docsT10) { df =>
+      df.select(col("doc_id"), graft.ops.TextOps.langId(col("text")).as("lang"))
     }
     // duplication profile: the per-copy token suffixes make shingles
     // copy-disjoint, so 10x is 10 independent duplication problems and
