@@ -625,6 +625,85 @@ object ExprKernels {
     total
   }
 
+  // ---- HTML numeric character references ----------------------------
+
+  // same pattern string as TextOps.numRefPattern (Java-regex/RE2 common
+  // subset; the oracle replays it in RE2)
+  private val numRefPattern = java.util.regex.Pattern.compile(
+    "&#[0-9]{1,7};|&#[xX][0-9A-Fa-f]{1,6};")
+
+  /** Decode HTML numeric character references (`&#233;`, `&#x1F600;`)
+    * to their code points; out-of-range (0, > U+10FFFF) and
+    * surrogate-range references stay literal (the lenient-browser
+    * rule). One linear pass, ONE output builder - this replaces a
+    * split + extract_all + interpreted aggregate() refold whose lambda
+    * re-evaluated the whole upstream strip chain per step (no
+    * common-subexpression elimination inside interpreted HOFs;
+    * measured ~3 ms/doc, 16s of a 5,000-doc scan).
+    */
+  def decodeNumRefs(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val m = numRefPattern.matcher(str)
+    if (!m.find()) return s
+    val sb = new java.lang.StringBuilder(str.length)
+    var last = 0
+    do {
+      sb.append(str, last, m.start())
+      val r = m.group()
+      val isHex = r.charAt(2) == 'x' || r.charAt(2) == 'X'
+      // bounded by the pattern: <= 7 decimal / <= 6 hex digits, fits long
+      val cp = java.lang.Long.parseLong(
+        r.substring(if (isHex) 3 else 2, r.length - 1), if (isHex) 16 else 10)
+      if (cp >= 1L && cp <= 0x10FFFFL && !(cp >= 0xD800L && cp <= 0xDFFFL))
+        sb.appendCodePoint(cp.toInt)
+      else sb.append(r)
+      last = m.end()
+    } while (m.find())
+    sb.append(str, last, str.length)
+    UTF8String.fromString(sb.toString)
+  }
+
+  // ---- n-gram repetition stats --------------------------------------
+
+  private val wsSplit = java.util.regex.Pattern.compile("\\s+")
+
+  /** (n_grams, max_rep) of the token n-gram multiset of `text`:
+    * whitespace tokens of the space-trimmed lowercased text (the
+    * DedupOps.tokens recipe - UTF8String.trim is Spark's space-only
+    * trim, UTF8String.toLowerCase is Spark's locale-independent
+    * lower), all n-grams with duplicates kept (short/empty docs yield
+    * the single joined gram, "" for empty - the sequence/slice
+    * semantics of the column form), max_rep = the largest multiplicity
+    * (== the longest equal-run after sort_array, which is what the
+    * interpreted sort+fold this replaces computed at ~1.2 ms/doc).
+    */
+  def repStats(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val t = text.trim().toLowerCase().toString
+    val raw = wsSplit.split(t, -1)
+    val toks = new java.util.ArrayList[String](raw.length)
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) toks.add(raw(i)); i += 1 }
+    val last = math.max(toks.size() - n, 0)
+    val counts = new java.util.HashMap[String, Integer]((last + 1) * 2)
+    var best = 0
+    i = 0
+    while (i <= last) {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      val end = math.min(i + n, toks.size())
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks.get(j))
+        j += 1
+      }
+      val c = counts.merge(sb.toString, Integer.valueOf(1),
+        (a, b) => Integer.valueOf(a.intValue() + b.intValue()))
+      if (c.intValue() > best) best = c.intValue()
+      i += 1
+    }
+    new GenericInternalRow(Array[Any]((last + 1).toLong, best.toLong))
+  }
+
   // ---- GPT-2-convention byte-level BPE ------------------------------
 
   /** The GPT-2 bytes-to-unicode table (public algorithm from the GPT-2
@@ -1310,6 +1389,50 @@ case class BpeCount(child: Expression) extends UnaryExpression {
   override def prettyName: String = "bpe_count"
 }
 
+/** `decode_num_refs(text)` - HTML numeric character references decoded
+  * to their code points, invalid/surrogate/out-of-range refs left
+  * literal (see ExprKernels.decodeNumRefs). One codegen kernel call
+  * replacing an interpreted HOF refold in the stripHtml chain.
+  */
+case class DecodeNumRefs(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.decodeNumRefs(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.decodeNumRefs($c)")
+  override protected def withNewChildInternal(c: Expression): DecodeNumRefs =
+    copy(child = c)
+  override def prettyName: String = "decode_num_refs"
+}
+
+/** `rep_stats(text, n)` - struct(n_grams, max_rep) of the token n-gram
+  * multiset (see ExprKernels.repStats): the repetition-boilerplate
+  * signal as ONE codegen kernel call, replacing a per-row
+  * sort_array + interpreted aggregate() run-length fold.
+  */
+case class RepStats(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("max_rep", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.repStats(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.repStats($c, $n)")
+  override protected def withNewChildInternal(c: Expression): RepStats =
+    copy(child = c)
+  override def prettyName: String = "rep_stats"
+}
+
 /** `bpe_count_public(text)` - GPT-2-convention byte-level BPE token
   * count (int) over the RAW text: published pre-tokenizer, bytes-to-
   * unicode table, checked-in vocab.bpe-format merge table (see
@@ -1528,6 +1651,12 @@ object GraftFunctions {
   def bpe_count_public(text: Column): Column =
     Bridge.column(BpeCountPublic(Bridge.expression(text)))
 
+  def decode_num_refs(text: Column): Column =
+    Bridge.column(DecodeNumRefs(Bridge.expression(text)))
+
+  def rep_stats(text: Column, n: Int): Column =
+    Bridge.column(RepStats(Bridge.expression(text), n))
+
   // no SQL registration: the bitset is a driver-computed value, not a
   // literal a SQL call site could spell (same stance as nearest_lists)
   def bitset_contains(pos: Column, bits: Array[Byte]): Column =
@@ -1562,6 +1691,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("bpe_count", es => BpeCount(es.head), "built-in")
     reg.createOrReplaceTempFunction("lang_id_score", es => LangIdScore(es.head), "built-in")
     reg.createOrReplaceTempFunction("bpe_count_public", es => BpeCountPublic(es.head), "built-in")
+    reg.createOrReplaceTempFunction("decode_num_refs", es => DecodeNumRefs(es.head), "built-in")
     reg.createOrReplaceTempFunction("shingles", shinglesBuilder, "built-in")
     reg.createOrReplaceTempFunction("char_grams", charGramsBuilder, "built-in")
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
@@ -1650,5 +1780,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("bpe_count_public"),
       new ExpressionInfo(classOf[BpeCountPublic].getName, "bpe_count_public"),
       (es: Seq[Expression]) => BpeCountPublic(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("decode_num_refs"),
+      new ExpressionInfo(classOf[DecodeNumRefs].getName, "decode_num_refs"),
+      (es: Seq[Expression]) => DecodeNumRefs(es.head)))
   }
 }

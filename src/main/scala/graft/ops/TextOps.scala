@@ -579,30 +579,17 @@ object TextOps {
     * Double-escaped input (`&amp;#39;`) stays literal: the pattern
     * needs `&#` adjacency, which `&amp;#...` does not contain - run
     * this BEFORE the named-entity replaces (the [[stripHtml]] order).
+    *
+    * ONE codegen kernel call ([[graft.functions.DecodeNumRefs]]): the
+    * split + extract_all + interpreted `aggregate` refold this
+    * replaced re-evaluated the whole upstream strip chain once per
+    * fold STEP (interpreted HOF lambdas get no common-subexpression
+    * elimination, and `parts`/`refs` each root the full regex chain) -
+    * measured ~3 ms/doc, 16s of a 5,000-doc text_strip_html scan; the
+    * kernel is one linear pass.
     */
-  def decodeNumericRefs(c: Column): Column = {
-    val parts = split(c, numRefPattern, -1)
-    val refs = regexp_extract_all(c, lit(numRefPattern), lit(0))
-    val n = size(refs)
-    def decodeRef(r: Column): Column = {
-      val isHex = lower(r.substr(lit(3), lit(1))) === "x"
-      val cp = when(isHex,
-        conv(r.substr(lit(4), length(r) - 4), 16, 10).cast(LongType))
-        .otherwise(r.substr(lit(3), length(r) - 3).cast(LongType))
-      val valid = cp.between(1L, 0x10FFFFL) && !cp.between(0xD800L, 0xDFFFL)
-      val rem = cp - lit(0x10000L)
-      val hi = shiftright(rem, 10) + lit(0xD800L)
-      val lo = rem.bitwiseAND(lit(0x3FFL)) + lit(0xDC00L)
-      val hexStr = when(cp <= 0xFFFFL, lpad(hex(cp), 4, "0"))
-        .otherwise(concat(lpad(hex(hi), 4, "0"), lpad(hex(lo), 4, "0")))
-      when(valid, decode(unhex(hexStr), "UTF-16BE")).otherwise(r)
-    }
-    val refolded = aggregate(
-      sequence(lit(1), greatest(n, lit(1))), element_at(parts, 1),
-      (acc, i) => concat(acc, decodeRef(element_at(refs, i)),
-        element_at(parts, i + 1)))
-    when(n === 0, c).otherwise(refolded)
-  }
+  def decodeNumericRefs(c: Column): Column =
+    graft.functions.GraftFunctions.decode_num_refs(c)
 
   def stripHtml(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
@@ -1857,34 +1844,21 @@ object TextOps {
       textCol: String,
       n: Int = 3
   ): DataFrame = {
-    val toks = DedupOps.tokens(F.col(textCol))
-    // ALL n-grams, duplicates kept (shingleStrings dedups - here the
-    // duplicates ARE the signal); empty docs yield one "" n-gram.
-    // NULL text is excluded (not scored as maximally-repetitive
-    // boilerplate): tokens(NULL) is NULL, size(NULL) = -1, and the
-    // sequence would otherwise degenerate to the empty-doc [""] shape
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    // ALL n-grams, duplicates kept (the duplicates ARE the signal);
+    // empty docs yield one "" n-gram. NULL text is excluded (not
+    // scored as maximally-repetitive boilerplate). ONE codegen kernel
+    // call ([[graft.functions.RepStats]]: tokens -> gram multiset ->
+    // max multiplicity, == the longest equal-run after sort) - the
+    // per-row sort_array + interpreted aggregate() fold it replaced
+    // measured ~1.2 ms/doc (interpreted HOF lambdas get no CSE and the
+    // gram tree re-expanded per consumer)
     df.filter(F.col(textCol).isNotNull)
-      .withColumn("_sorted", sort_array(grams))
-      .withColumn("_best", expr(
-        """aggregate(
-          |  _sorted,
-          |  struct(cast('' as string) as prev, cast(0 as bigint) as run,
-          |         cast(0 as bigint) as best),
-          |  (acc, x) -> struct(
-          |    x as prev,
-          |    CASE WHEN x = acc.prev THEN acc.run + 1
-          |         ELSE cast(1 as bigint) END as run,
-          |    greatest(acc.best,
-          |      CASE WHEN x = acc.prev THEN acc.run + 1
-          |           ELSE cast(1 as bigint) END) as best),
-          |  acc -> acc.best)""".stripMargin))
+      .withColumn("_rs",
+        graft.functions.GraftFunctions.rep_stats(F.col(textCol), n))
       .select(F.col(idCol),
-        size(F.col("_sorted")).cast(LongType).as("n_grams"),
-        F.col("_best").as("max_rep"),
-        round(F.col("_best").cast(DoubleType) / size(F.col("_sorted")), 6)
+        F.col("_rs.n_grams").as("n_grams"),
+        F.col("_rs.max_rep").as("max_rep"),
+        round(F.col("_rs.max_rep").cast(DoubleType) / F.col("_rs.n_grams"), 6)
           .as("rep_ratio"))
   }
 
