@@ -663,6 +663,65 @@ object ExprKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  // ---- public-suffix-list eTLD+1 fold --------------------------------
+
+  private val ipLiteralPattern =
+    java.util.regex.Pattern.compile("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$")
+  private val dotSplit = java.util.regex.Pattern.compile("\\.")
+
+  /** Registrable domain (eTLD+1) of `host` under the PSL longest-match
+    * algorithm, against a [[PslTable]] of hashed rule sets: exception
+    * rules first (longest k wins), else public-suffix length = the
+    * largest matching exact-k / wildcard-(b+1) rule (floor 1), then the
+    * last psLen+1 labels; IP literals and bracketed/colon hosts pass
+    * through whole. O(#rule-group) HashSet probes per host - the
+    * column spelling of the same fold is a greatest-of-InSet CASE
+    * chain whose per-ROW interpretation measured whole seconds of the
+    * web tier wherever it could not ride the distinct-host broadcast
+    * (e.g. inside per-link filter lambdas).
+    */
+  def pslFold(host: UTF8String, t: PslTable): UTF8String = {
+    val h = host.toString
+    if (ipLiteralPattern.matcher(h).matches() ||
+      h.indexOf(':') >= 0 || h.startsWith("[")) return host
+    val parts = dotSplit.split(h, -1)
+    val n = parts.length
+    def lastK(k: Int): String = {
+      val start = math.max(n - k, 0)
+      val sb = new java.lang.StringBuilder()
+      var i = start
+      while (i < n) {
+        if (i > start) sb.append('.')
+        sb.append(parts(i))
+        i += 1
+      }
+      sb.toString
+    }
+    // exceptions override everything, longest first (t.eks descending)
+    var i = 0
+    while (i < t.eks.length) {
+      val k = t.eks(i)
+      if (n >= k && t.esets(i).contains(lastK(k)))
+        return UTF8String.fromString(lastK(k))
+      i += 1
+    }
+    var psLen = 1
+    i = 0
+    while (i < t.ks.length) {
+      val k = t.ks(i)
+      if (k > psLen && n >= k && t.sets(i).contains(lastK(k))) psLen = k
+      i += 1
+    }
+    i = 0
+    while (i < t.wks.length) {
+      val b = t.wks(i)
+      if (b + 1 > psLen && n >= b + 1 && t.wsets(i).contains(lastK(b)))
+        psLen = b + 1
+      i += 1
+    }
+    if (n > psLen) UTF8String.fromString(lastK(psLen + 1)) else host
+  }
+
   // ---- n-gram repetition stats --------------------------------------
 
   private val wsSplit = java.util.regex.Pattern.compile("\\s+")
@@ -1410,6 +1469,44 @@ case class DecodeNumRefs(child: Expression) extends UnaryExpression {
   override def prettyName: String = "decode_num_refs"
 }
 
+/** The PSL rule sets in kernel form: parallel (k, HashSet) arrays for
+  * exact / wildcard / exception rule groups (exceptions pre-sorted by
+  * k DESCENDING - longest exception wins first, the fold's override
+  * order). One instance per JVM rides the plan as a reference object.
+  */
+final class PslTable(
+    val ks: Array[Int], val sets: Array[java.util.HashSet[String]],
+    val wks: Array[Int], val wsets: Array[java.util.HashSet[String]],
+    val eks: Array[Int], val esets: Array[java.util.HashSet[String]])
+  extends Serializable
+
+/** `psl_fold(host)` - registrable domain (eTLD+1) under the PSL
+  * longest-match algorithm (see ExprKernels.pslFold), the rule table a
+  * reference object. Replaces the greatest-of-InSet CASE-chain column
+  * spelling wherever the fold runs inline (per-link lambdas, URL
+  * shells) - O(#rule-group) HashSet probes instead of an interpreted
+  * scan of every rule per row.
+  */
+case class PslFold(child: Expression, table: PslTable) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string host argument, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.pslFold(v.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val t = ctx.addReferenceObj("pslTable", table, "graft.functions.PslTable")
+      s"${ev.value} = graft.functions.ExprKernels.pslFold($c, $t);"
+    })
+  override protected def withNewChildInternal(c: Expression): PslFold =
+    copy(child = c)
+  override def prettyName: String = "psl_fold"
+}
+
 /** `rep_stats(text, n)` - struct(n_grams, max_rep) of the token n-gram
   * multiset (see ExprKernels.repStats): the repetition-boilerplate
   * signal as ONE codegen kernel call, replacing a per-row
@@ -1656,6 +1753,11 @@ object GraftFunctions {
 
   def rep_stats(text: Column, n: Int): Column =
     Bridge.column(RepStats(Bridge.expression(text), n))
+
+  // no SQL registration: the rule table is a driver-computed value,
+  // not a literal a SQL call site could spell (the nearest_lists stance)
+  def psl_fold(host: Column, table: PslTable): Column =
+    Bridge.column(PslFold(Bridge.expression(host), table))
 
   // no SQL registration: the bitset is a driver-computed value, not a
   // literal a SQL call site could spell (same stance as nearest_lists)

@@ -172,43 +172,38 @@ object WebOps {
     *   4. A host that IS a public suffix (or has no extra label -
     *      `localhost`, "") passes through unchanged.
     *
-    * Pure codegen column: label-list slicing + literal InSet
-    * membership per rule-length, no join/shuffle - and byte-replayable
-    * in the oracle from the same interpolated rule sets.
+    * ONE codegen kernel call ([[graft.functions.PslFold]]), the rule
+    * table a per-plan reference object of hashed sets - O(#rule-group)
+    * probes per host. The column spelling this replaced (label-list
+    * slicing + a greatest-of-InSet CASE chain per rule-length) was
+    * measured at whole seconds of the web tier wherever it ran inline
+    * (per-link filter lambdas are interpreted and re-evaluate the
+    * whole chain per element); byte-replayable in the oracle from the
+    * same interpolated rule sets either way.
     */
-  def registrableDomain(host: Column): Column = {
+  def registrableDomain(host: Column): Column =
+    graft.functions.GraftFunctions.psl_fold(host, pslTable)
+
+  /** [[pslRules]] in kernel form (see [[graft.functions.PslTable]]):
+    * exact/wildcard groups k-ascending, exceptions k-DESCENDING (the
+    * longest-exception-first override order the fold requires).
+    */
+  private lazy val pslTable: graft.functions.PslTable = {
     val (exact, wild, exc) = pslRules
-    val parts = split(host, "\\.")
-    val n = size(parts)
-    // last k labels, gracefully whole-host when n < k (slice start is
-    // clamped to 1, mirroring DuckDB's list[-k:] short-list behavior);
-    // membership tests still guard on n >= k
-    def lastK(k: Int): Column =
-      array_join(slice(parts, greatest(n - lit(k - 1), lit(1)), lit(k)), ".")
-    val psCandidates =
-      exact.toSeq.sortBy(_._1).map { case (k, rules) =>
-        when(n >= k && lastK(k).isin(rules: _*), lit(k)).otherwise(lit(1))
-      } ++
-        wild.toSeq.sortBy(_._1).map { case (b, bases) =>
-          when(n >= b + 1 && lastK(b).isin(bases: _*), lit(b + 1)).otherwise(lit(1))
-        }
-    val psLen = psCandidates match {
-      case Seq(one) => one
-      case cs => greatest(cs: _*)
+    def conv(m: Map[Int, Seq[String]], desc: Boolean)
+        : (Array[Int], Array[java.util.HashSet[String]]) = {
+      val sorted = m.toSeq.sortBy(kv => if (desc) -kv._1 else kv._1)
+      (sorted.map(_._1).toArray,
+        sorted.map { case (_, vs) =>
+          val s = new java.util.HashSet[String](vs.size * 2)
+          vs.foreach(s.add)
+          s
+        }.toArray)
     }
-    // registrable = last (psLen + 1) labels; 1-based start = n - psLen
-    val folded = when(n > psLen,
-      array_join(slice(parts, n - psLen, psLen + lit(1)), "."))
-      .otherwise(host)
-    // exceptions override everything (longest exception first)
-    val withExceptions = exc.toSeq.sortBy(-_._1).foldRight(folded) {
-      case ((k, domains), els) =>
-        when(n >= k && lastK(k).isin(domains: _*), lastK(k)).otherwise(els)
-    }
-    val isIpLiteral =
-      host.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$") ||
-        host.contains(":") || host.startsWith("[")
-    when(isIpLiteral, host).otherwise(withExceptions)
+    val (ks, sets) = conv(exact, desc = false)
+    val (wks, wsets) = conv(wild, desc = false)
+    val (eks, esets) = conv(exc, desc = true)
+    new graft.functions.PslTable(ks, sets, wks, wsets, eks, esets)
   }
 
   /** The eTLD+1 fold applied ONCE PER DISTINCT HOST, broadcast back
