@@ -763,6 +763,46 @@ object SparkEntry {
       |), $rounds"""
   }
 
+  /** `gbase/gfeat/gv` - the [[graft.ops.TextOps.gopherFilters]] replay
+    * over relation `rel`'s `(doc_id, textExpr)`: exact counts, integer
+    * cross-multiplied verdicts, ending in `gv(doc_id, counts...,
+    * verdicts..., keep)`. ONE fragment shared by `text_gopher` and
+    * `docs_lang_quality`.
+    */
+  private def gopherCtes(rel: String, textExpr: String): String =
+    s"""gbase AS (
+      |  SELECT doc_id, $textExpr AS gt,
+      |         list_filter(string_split_regex(lower(trim($textExpr)), '\\s+'), t -> t <> '') AS tk,
+      |         list_filter(string_split($textExpr, chr(10)), l -> trim(l) <> '') AS ln
+      |  FROM $rel WHERE $textExpr IS NOT NULL
+      |), gfeat AS (
+      |  SELECT doc_id,
+      |    CAST(len(tk) AS INT) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0) AS BIGINT) AS word_chars,
+      |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS INT) AS n_alpha,
+      |    CAST(len(list_intersect(list_distinct(tk),
+      |         ['the','and','of','to','a','in','is','that','for','it'])) AS INT) AS n_stop,
+      |    CAST(len(ln) AS INT) AS n_lines,
+      |    CAST(len(list_filter(ln, l -> substr(trim(l), 1, 1) IN ('-','*','•'))) AS INT) AS n_bullet,
+      |    CAST(len(list_filter(ln, l -> ends_with(trim(l), '...'))) AS INT) AS n_ellipsis,
+      |    CAST(length(gt) - length(translate(gt, '#…', '')) AS INT) AS n_symbols
+      |  FROM gbase
+      |), gv AS (
+      |  SELECT *,
+      |    n_words BETWEEN 50 AND 100000 AS words_ok,
+      |    word_chars >= n_words * 3 AND word_chars <= n_words * 10 AS mean_len_ok,
+      |    n_words > 0 AND n_alpha * 5 >= n_words * 4 AS alpha_ok,
+      |    n_stop >= 2 AS stop_ok,
+      |    n_bullet * 10 <= n_lines * 9 AS bullet_ok,
+      |    n_ellipsis * 10 <= n_lines * 3 AS ellipsis_ok,
+      |    n_symbols * 10 <= n_words AS symbol_ok,
+      |    (n_words BETWEEN 50 AND 100000) AND (word_chars >= n_words*3 AND word_chars <= n_words*10)
+      |      AND (n_words > 0 AND n_alpha*5 >= n_words*4) AND n_stop >= 2
+      |      AND n_bullet*10 <= n_lines*9 AND n_ellipsis*10 <= n_lines*3
+      |      AND n_symbols*10 <= n_words AS keep
+      |  FROM gfeat
+      |)"""
+
   /** The web-pipeline domain blocklist as a SQL IN-list - ONE
     * definition for `web_pipeline` and `web_pipeline_multilingual`
     * (the Spark sides spell the same four entries).
@@ -3673,6 +3713,37 @@ object SparkEntry {
       StatOps.psiFromHistograms(hA, hB,
         bins = graft.ops.TextOps.langProfiles._1.size)
     },
+    "docs_lang_quality" -> { (s, dir) =>
+      // per-language quality-filter CALIBRATION audit (the FineWeb-2
+      // lesson: a one-size filter battery is miscalibrated per
+      // language - the English stopword rule fails systematically
+      // off-English, alpha/word-length bands shift with orthography):
+      // langId strata x the published Gopher verdict battery, folded
+      // to per-language pass rates with failure attribution on the
+      // three language-sensitive rules. ONE scan (lang rides through
+      // gopherFilters - no doc-keyed re-join), one 43-key aggregate;
+      // exact integer counts, one double division per output row.
+      val id = col("doc_id")
+      val mapped =
+        when(id % 5 === 1, translate(col("text"), scriptLatinAbc, scriptCyrAbc))
+          .when(id % 5 === 2, translate(col("text"), scriptLatinAbc, scriptGreekAbc))
+          .when(id % 5 === 3, translate(col("text"), "aeiou", "01234"))
+          .when(id % 5 === 4, translate(col("text"), "aeiout", "аеиоут"))
+          .otherwise(col("text"))
+      val shell = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(id, mapped.as("stext"))
+        .withColumn("lang", TextOps.langId(col("stext")))
+      TextOps.gopherFilters(shell, "doc_id", "stext", keepCols = Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("keep").cast(LongType)).as("n_keep"),
+          sum((!col("stop_ok")).cast(LongType)).as("n_stop_fail"),
+          sum((!col("alpha_ok")).cast(LongType)).as("n_alpha_fail"),
+          sum((!col("words_ok")).cast(LongType)).as("n_words_fail"))
+        .withColumn("keep_rate",
+          round(col("n_keep").cast(DoubleType) / col("n_docs"), 6))
+    },
     "text_sentences" -> { (s, dir) =>
       // sentence segmentation: terminator-run + whitespace boundaries,
       // trimmed non-empty pieces with their 0-based index and word
@@ -6235,6 +6306,33 @@ object SparkEntry {
         |)
         |SELECT n_a, n_b, round(CAST(sum(term) AS DOUBLE), 6) AS psi
         |FROM terms GROUP BY 1, 2""".stripMargin,
+    "docs_lang_quality" ->
+      // translit shell -> shared langId replay -> shared gopher replay
+      // -> per-language exact-count pass rates (one double division
+      // per output row)
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN translate(text, '$scriptLatinAbc', '$scriptCyrAbc')
+        |         WHEN doc_id % 5 = 2 THEN translate(text, '$scriptLatinAbc', '$scriptGreekAbc')
+        |         WHEN doc_id % 5 = 3 THEN translate(text, 'aeiou', '01234')
+        |         WHEN doc_id % 5 = 4 THEN translate(text, 'aeiout', 'аеиоут')
+        |         ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), ${langIdCtes("m", "t")}, ${gopherCtes("m", "t")}, j AS (
+        |  SELECT lp.lang_pred AS lang, gv.keep, gv.stop_ok, gv.alpha_ok, gv.words_ok
+        |  FROM gv JOIN lpred lp USING (doc_id)
+        |), a AS (
+        |  SELECT lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |    CAST(sum(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_fail,
+        |    CAST(sum(CASE WHEN NOT alpha_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_fail,
+        |    CAST(sum(CASE WHEN NOT words_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_words_fail
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT lang, n_docs, n_keep, n_stop_fail, n_alpha_fail, n_words_fail,
+        |       round(CAST(n_keep AS DOUBLE) / n_docs, 6) AS keep_rate
+        |FROM a""".stripMargin,
     "docs_split" ->
       s"""SELECT doc_id,
         |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
@@ -8272,37 +8370,8 @@ object SparkEntry {
         |                        FOR x IN t.tk], ',') AS ids_csv
         |FROM tk t CROSS JOIN vocabmap vm""".stripMargin,
     "text_gopher" ->
-      """WITH base AS (
-        |  SELECT doc_id, text,
-        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk,
-        |         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ln
-        |  FROM documents WHERE text IS NOT NULL
-        |), feat AS (
-        |  SELECT doc_id,
-        |    CAST(len(tk) AS INT) AS n_words,
-        |    CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0) AS BIGINT) AS word_chars,
-        |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS INT) AS n_alpha,
-        |    CAST(len(list_intersect(list_distinct(tk),
-        |         ['the','and','of','to','a','in','is','that','for','it'])) AS INT) AS n_stop,
-        |    CAST(len(ln) AS INT) AS n_lines,
-        |    CAST(len(list_filter(ln, l -> substr(trim(l), 1, 1) IN ('-','*','•'))) AS INT) AS n_bullet,
-        |    CAST(len(list_filter(ln, l -> ends_with(trim(l), '...'))) AS INT) AS n_ellipsis,
-        |    CAST(length(text) - length(translate(text, '#…', '')) AS INT) AS n_symbols
-        |  FROM base
-        |)
-        |SELECT *,
-        |  n_words BETWEEN 50 AND 100000 AS words_ok,
-        |  word_chars >= n_words * 3 AND word_chars <= n_words * 10 AS mean_len_ok,
-        |  n_words > 0 AND n_alpha * 5 >= n_words * 4 AS alpha_ok,
-        |  n_stop >= 2 AS stop_ok,
-        |  n_bullet * 10 <= n_lines * 9 AS bullet_ok,
-        |  n_ellipsis * 10 <= n_lines * 3 AS ellipsis_ok,
-        |  n_symbols * 10 <= n_words AS symbol_ok,
-        |  (n_words BETWEEN 50 AND 100000) AND (word_chars >= n_words*3 AND word_chars <= n_words*10)
-        |    AND (n_words > 0 AND n_alpha*5 >= n_words*4) AND n_stop >= 2
-        |    AND n_bullet*10 <= n_lines*9 AND n_ellipsis*10 <= n_lines*3
-        |    AND n_symbols*10 <= n_words AS keep
-        |FROM feat""".stripMargin,
+      s"""WITH ${gopherCtes("documents", "text")}
+        |SELECT * FROM gv""".stripMargin,
     "text_repetition" ->
       """WITH tk AS (
         |  SELECT doc_id AS id, list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -1117,7 +1117,11 @@ object TextOps {
     * so a pipeline can re-threshold without re-scanning. Pure per-row
     * column arithmetic - scan-fused, zero shuffles.
     */
-  def gopherFilters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherFilters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val t = F.col(textCol)
     val toks = DedupOps.tokens(t)
     val lines = F.filter(split(t, "\n"), l => trim(l) =!= "")
@@ -1134,9 +1138,13 @@ object TextOps {
       l => substring(trim(l), 1, 1).isin("-", "*", "•"))).as("n_bullet")
     val nEllipsis = size(F.filter(lines, l => endswith(trim(l), lit("...")))).as("n_ellipsis")
     val nSymbols = (length(t) - length(translate(t, "#…", ""))).as("n_symbols")
+    // keepCols ride through (e.g. a language stratum for per-language
+    // calibration audits) so a one-scan consumer needs no doc-keyed
+    // re-join against the input
     df.filter(t.isNotNull)
-      .select(F.col(idCol).as("doc_id"),
-        nWords, wordChars, nAlpha, nStop, nLines, nBullet, nEllipsis, nSymbols)
+      .select(Seq(F.col(idCol).as("doc_id")) ++ keepCols.map(F.col) ++
+        Seq(nWords, wordChars, nAlpha, nStop, nLines, nBullet,
+          nEllipsis, nSymbols): _*)
       .select(F.col("*"),
         F.col("n_words").between(50, 100000).as("words_ok"),
         (F.col("word_chars") >= F.col("n_words") * 3 &&
