@@ -927,6 +927,25 @@ class OpsSpec extends SparkSpec {
     assert(r.length == 42)
   }
 
+  test("langId kernel: non-BMP input walks code points (gram windows never split surrogate pairs)") {
+    // astral-plane chars are 2 UTF-16 units but ONE code point - the
+    // kernel's gram windows must count code points (the unit Spark's
+    // substring counts), never char units; emoji-only text has no
+    // vocabulary evidence -> und, and emoji mixed into a real sentence
+    // must not corrupt the verdict or crash the offset walk
+    val got = Seq(
+      (1L, "😀😀😀"), // emoji only -> und
+      (2L, "she opened the 😀 window and looked at the quiet street"),
+      (3L, "🎉 los estudiantes escriben cartas largas durante las vacaciones 🎉"),
+      (4L, "😀")
+    ).toDF("id", "t").select($"id", TextOps.langId($"t").as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "und", got.toString)
+    assert(got(2L) == "en", got.toString)
+    assert(got(3L) == "es", got.toString)
+    assert(got(4L) == "und", got.toString)
+  }
+
   test("langId: novel sentences classify; digits/unknown/null/empty are und") {
     val fixtures = Seq(
       "en" -> "she opened the window and looked at the quiet street below",
