@@ -143,6 +143,19 @@ object ScaleCheck {
     timed("text_langid", docsT1, docsT10) { df =>
       df.select(col("doc_id"), graft.ops.TextOps.langId(col("text")).as("lang"))
     }
+    // HTML strip: regex-chain + DecodeNumRefs kernel, scan-shaped (the
+    // interpreted refold it replaced re-ran the chain per numeric ref)
+    timed("text_strip_html", docsT1, docsT10) { df =>
+      val html = concat(lit("<html><head><script>if (x<3) { y(); }</script>" +
+        "<style>p{}</style></head><body><p>"), col("text"),
+        lit(" &amp; caf&#233; grin&#128512;</p><!-- c --></body></html>"))
+      df.select(col("doc_id"), graft.ops.TextOps.stripHtml(html).as("clean"))
+    }
+    // repetition score: RepStats kernel (gram-multiset max multiplicity),
+    // scan-shaped per-doc statistic
+    timed("text_repetition", docsT1, docsT10) { df =>
+      graft.ops.TextOps.repetitionScore(df, "doc_id", "text", n = 3)
+    }
     // duplication profile: the per-copy token suffixes make shingles
     // copy-disjoint, so 10x is 10 independent duplication problems and
     // the shingle-keyed shuffle grows linearly with the corpus
