@@ -6708,7 +6708,9 @@ object SparkEntry {
       // to the 1s default (no robots)
       s"""WITH $urlShellCte, x AS (
         |  SELECT doc_id, url, domain,
-        |    instr('0123456789abcdef', substring(md5(url), 1, 1)) - 1 AS salt,
+        |    coalesce(
+        |      instr('0123456789abcdef', substring(md5(url), 1, 1)) - 1,
+        |      0) AS salt,
         |    regexp_extract(domain, 'src([0-9])', 1) AS n
         |  FROM d
         |), r AS (
@@ -6792,7 +6794,9 @@ object SparkEntry {
         |), sch AS (
         |  SELECT doc_id, url, domain,
         |    CAST(row_number() OVER (PARTITION BY domain ORDER BY
-        |           instr('0123456789abcdef', substring(md5(url), 1, 1)) - 1,
+        |           coalesce(
+        |             instr('0123456789abcdef', substring(md5(url), 1, 1)) - 1,
+        |             0),
         |           url, doc_id)
         |         AS BIGINT) - 1 AS slot
         |  FROM clean
@@ -9242,21 +9246,30 @@ object SparkEntry {
   }
 
   /** GPT-2-convention replay over the pinned corpus: the documents
-    * fixture is `^[a-z ]*$` single-spaced text (asserted ASCII,
-    * no runs, no edge whitespace), on which the published GPT-2
-    * pre-tokenizer collapses to ` ?[a-z]+` (the lookahead branch that
-    * RE2 cannot spell never fires) and the bytes-to-unicode map
-    * collapses to the ' ' -> 'Ġ' substitution. The KERNEL runs the
+    * fixture is `^[a-z ]*$` single-spaced text (no runs, no edge
+    * whitespace), on which the published GPT-2 pre-tokenizer collapses
+    * to ` ?[a-z]+` (the lookahead branch that RE2 cannot spell never
+    * fires) and the bytes-to-unicode map collapses to the ' ' -> 'Ġ'
+    * substitution. The units CTE ASSERTS that premise (DuckDB error()
+    * on any out-of-alphabet char, double space, or edge space), so a
+    * regenerated fixture outside it fails with a clear invariant
+    * message instead of an opaque count mismatch. The KERNEL runs the
     * full published pattern + byte table; FunctionsSpec pins that
     * contract against an independent reference on adversarial inputs
-    * (case, contractions, multi-space, non-ASCII). Merge loop via the
-    * shared [[bpeMergeLoopCtes]] over the interpolated vocab.bpe.
+    * (case, contractions, multi-space, non-ASCII, U+00A0). Merge loop
+    * via the shared [[bpeMergeLoopCtes]] over the interpolated
+    * vocab.bpe.
     */
   private lazy val bpePublicOracleFinalSql: String =
     s"""WITH RECURSIVE ${bpeMergeLoopCtes(gpt2Merges,
       """units AS MATERIALIZED (
         |  SELECT doc_id, replace(u0, ' ', 'Ġ') AS u FROM (
-        |    SELECT doc_id, unnest(regexp_extract_all(text, ' ?[a-z]+')) AS u0
+        |    SELECT doc_id, unnest(regexp_extract_all(
+        |      CASE WHEN regexp_matches(text, '[^a-z ]|  |^ | $')
+        |           THEN error('text_bpe_public premise violated: ' ||
+        |                      'documents.text must match ^[a-z ]*$, ' ||
+        |                      'single-spaced, no edge whitespace')
+        |           ELSE text END, ' ?[a-z]+')) AS u0
         |    FROM documents WHERE text IS NOT NULL)
         |)""".stripMargin)}
       |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS INT) AS n_gpt2_tokens

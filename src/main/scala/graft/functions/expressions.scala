@@ -794,7 +794,14 @@ object ExprKernels {
     */
   private[graft] val gpt2UnitRegex =
     "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
-  private val gpt2UnitPattern = java.util.regex.Pattern.compile(gpt2UnitRegex)
+  // UNICODE_CHARACTER_CLASS: the published tokenizer is a Python
+  // regex whose \s is Unicode-wide (U+00A0, U+3000, ...); Java's \s
+  // is ASCII-only without the flag, which would mis-bucket Unicode
+  // whitespace into the punctuation class next to real punctuation
+  private[graft] val gpt2UnitFlags =
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS
+  private val gpt2UnitPattern =
+    java.util.regex.Pattern.compile(gpt2UnitRegex, gpt2UnitFlags)
 
   /** The checked-in vocab.bpe-format merge table (GPT-2 byte-level
     * conventions: `#version` header required, Ġ-marked word-initial

@@ -1122,6 +1122,13 @@ object TextOps {
       idCol: String,
       textCol: String,
       keepCols: Seq[String] = Nil): DataFrame = {
+    val gopherOut = Set("doc_id", "n_words", "word_chars", "n_alpha",
+      "n_stop", "n_lines", "n_bullet", "n_ellipsis", "n_symbols",
+      "words_ok", "mean_len_ok", "alpha_ok", "stop_ok", "bullet_ok",
+      "ellipsis_ok", "symbol_ok", "keep")
+    require(keepCols.forall(!gopherOut.contains(_)),
+      s"keepCols ${keepCols.filter(gopherOut.contains)} collide with " +
+        "gopherFilters output columns; rename them first")
     val t = F.col(textCol)
     val toks = DedupOps.tokens(t)
     val lines = F.filter(split(t, "\n"), l => trim(l) =!= "")

@@ -810,8 +810,9 @@ object WebOps {
     // column functions, not an interpolated F.expr: a url column name
     // needing backticks (space/dot/keyword) must not break parsing.
     // conv(hexDigit, 16, 10) == instr('0123456789abcdef', hexDigit) - 1
-    // for every md5 nibble, so the oracle's instr replay is unchanged;
-    // null url -> null md5 folds to bucket 0 (row survives the join)
+    // for every md5 nibble; null url -> null md5 folds to bucket 0
+    // (row survives the join), and the oracle salt mirrors the same
+    // coalesce-to-0 so a null-url fixture cannot break parity
     val salted = foldDomainByHost(frontier, urlHost(F.col(urlCol)), "domain")
       .withColumn("gr_salt", coalesce(
         F.conv(substring(F.md5(F.col(urlCol)), 1, 1), 16, 10).cast(IntegerType),

@@ -46,7 +46,8 @@ object PublicVocabTool {
 
     // unit frequencies under the GPT-2 pre-tokenizer + byte encoder
     val pat = java.util.regex.Pattern.compile(
-      graft.functions.ExprKernels.gpt2UnitRegex)
+      graft.functions.ExprKernels.gpt2UnitRegex,
+      graft.functions.ExprKernels.gpt2UnitFlags)
     val enc = graft.functions.ExprKernels.gpt2ByteEncoder
     val unitFreq = new scala.collection.mutable.HashMap[String, Long]()
     for (text <- corpus ++ seedRows) {

@@ -547,7 +547,8 @@ class FunctionsSpec extends SparkSpec {
       toks.size
     }
     val pat = java.util.regex.Pattern.compile(
-      "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+      "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+",
+      java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
     def refText(text: String): Int = {
       val m = pat.matcher(text)
       var total = 0
@@ -565,7 +566,17 @@ class FunctionsSpec extends SparkSpec {
       "double  space and trailing   ", // the \\s+(?!\\S) lookahead branch
       "tabs\tand\nnewlines", "", "x",
       "naïve café 日本語 🙂", // non-ASCII -> multi-byte byte-level units
+      "nbsp !here 　?", // Unicode whitespace next to punctuation
       "spark spark spark customer customer")
+    // the UNICODE_CHARACTER_CLASS contract: U+00A0/U+3000 are \s (as
+    // in the published Python pattern), so they split AWAY from
+    // adjacent punctuation instead of fusing into the [^\s\p{L}\p{N}]
+    // class (Java's ASCII-only \s default would fuse " !")
+    locally {
+      val m = pat.matcher("x !y")
+      val units = Iterator.continually(m).takeWhile(_.find()).map(_.group()).toSeq
+      assert(units == Seq("x", " ", "!", "y"), s"unit split was $units")
+    }
     val got = samples.toDF("t")
       .select(GraftFunctions.bpe_count_public($"t"))
       .as[Int].collect().toSeq
