@@ -84,11 +84,28 @@ object Bench {
     // (a wrapper exporting AB=0 expects adaptive sampling, not 4 passes)
     val abMode = sys.env.get("SPARK_GRAFT_BENCH_AB")
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
-    val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // drop the previous query's residue (checkpoint RDDs, broadcast
-      // blocks held only by dead references) BEFORE timing, so query N
-      // doesn't pay query N-1's GC bill
+    // isolation barrier between queries (round-16): the full 247-query
+    // suite used to read 2-4x the isolated walls for the dedup family
+    // (dedup_clusters 4.16s in-suite vs 2.08s isolated) because dead
+    // localCheckpoint blocks from prior queries are only reclaimed
+    // ASYNC by the ContextCleaner - it unpersists query N-1's blocks
+    // while query N is being timed, and the backlog grows with the
+    // suite. A 14-query subset shows no inflation; the residue
+    // accumulates over the long run. So before each query: clear the
+    // DataFrame cache, synchronously unpersist every leftover
+    // persistent RDD (safe: no query holds frames across entries -
+    // the only process-level caches are POJO stats/merge tables), and
+    // GC so reference-queue cleanup (broadcasts) drains off the clock.
+    val settleMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE", "0").toLong
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
+      if (settleMs > 0) Thread.sleep(settleMs)
+    }
+    val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
+      isolate()
       def timed(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok = try { exhaust(fn(spark, sfDir)); true } catch {

@@ -1023,6 +1023,97 @@ object SparkEntry {
     System.getProperty("java.io.tmpdir") +
       s"/graft_${prefix}_${scratchTag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  /** The `web_fetch_priority` capstone plan - crawl prioritization
+    * END-TO-END, the ranked fetch list a crawler actually drains:
+    * zero-fetch URL screen (urlQualitySignals) x domain trap verdict
+    * (crawlTraps) x link-graph authority (the web_domain_rank
+    * PageRank) x robots politeness pacing (frontierSchedule), ONE
+    * declarative plan over the shared crawl shells. Scale shape: the
+    * screen and trap signals fuse into the frontier scan; traps,
+    * authority and delays are all DOMAIN-sized frames joined back (AQE
+    * broadcasts); the only corpus-sized shuffles are the salted
+    * schedule windows and the one link-graph edge aggregate.
+    *
+    * `pinPages` materializes the url+html shell that feeds the
+    * frontier, the link graph, and the robots domain list (three
+    * scan re-executions without it). Measured sf0.1/32
+    * (tools/FetchPriorityProbe, round 16, interleaved A/B min-of-2):
+    * unpinned 6.40s vs pinned 5.22s (0.82x) - the shell re-execution
+    * is NOT free here because the planted-frontier union and the PSL
+    * host fold ride it, so the registry runs pinPages = true. At
+    * cluster scale the call stays right: the pin is one
+    * corpus-partitioned in-memory materialization consumed by three
+    * column-pruned readers, in place of three full scans of the raw
+    * corpus. Re-run the probe after changing the plan's sharing
+    * structure.
+    */
+  private[graft] def fetchPriorityPlan(
+      s: SparkSession, dir: String, pinPages: Boolean): DataFrame = {
+    val id = col("doc_id")
+    val docs = tbl(s, dir, "documents")
+    val pages0 = docs
+      .withColumn("url", synthUrlCol).withColumn("html", synthLinkHtmlCol)
+    val pages = if (pinPages) pages0.localCheckpoint() else pages0
+    // planted frontier slices on top of the shell: a
+    // calendar-recursion trap domain (whole domain must drop), a
+    // session-id URL per shell domain (per-URL suspect cut), and a
+    // no-inlink newcomer domain (authority coalesces to 0 - new
+    // domains are still fetchable, just lowest-priority)
+    val planted = docs.select(
+      (id + 1000000L).as("doc_id"),
+      when(id % 3 === 0,
+        concat(lit("https://trapsite.org/cal/2024/cal/2024/cal/"),
+          (id % 12).cast(StringType)))
+        .when(id % 3 === 1,
+          concat(lit("https://newcomer.net/fresh/"), (id % 11).cast(StringType)))
+        .otherwise(concat(lit("https://src"), (id % 10).cast(StringType),
+          lit(".com/l?PHPSESSID="), id.cast(StringType)))
+        .as("url"))
+    // materialization point (the docs_lang_mix discipline): the
+    // frontier feeds the screen AND the trap verdict, and the
+    // screened rows feed BOTH of frontierSchedule's branches (local
+    // ranks + salt offsets) - without the pin the shell + PSL fold
+    // re-executes once per consumer
+    val frontier = pages.select(id, col("url")).unionByName(planted)
+      .localCheckpoint()
+    // (1) per-URL screen: suspect URLs never reach scheduling
+    val clean = WebOps.urlQualitySignals(frontier, "url")
+      .filter(!col("url_suspect")).select(col("doc_id"), col("url"))
+      .localCheckpoint()
+    // (2) trap verdict over the FULL frontier (a trap domain's
+    // suspect URLs still evidence the trap)
+    val trapped = WebOps.crawlTraps(frontier, "url",
+        minUrls = 5, maxAvgDepth = 4.5, maxRepeatShare = 0.3)
+      .filter(col("flagged")).select(col("domain"))
+    // (3) authority: the same symmetrized integer PageRank as
+    // web_domain_rank, over the same link shell
+    val edges = WebOps.linkGraph(pages, "url", "html")
+      .filter(col("src_domain") =!= col("dst_domain"))
+      .select(col("src_domain").as("sd"), col("dst_domain").as("dd"))
+    val sym = edges.union(edges.select(col("dd").as("sd"), col("sd").as("dd")))
+    val rank = GraphOps.pageRank(sym, "sd", "dd", iterations = 10)
+      .select(col("node").as("gr_rd"), col("rank_int"))
+    // (4) robots pacing, same shell as web_frontier_schedule
+    val domains = pages
+      .select(WebOps.registrableDomain(WebOps.urlHost(col("url"))).as("domain"))
+      .distinct()
+    val nD = regexp_extract(col("domain"), "src([0-9])", 1)
+    val robots = domains.filter(nD.cast(IntegerType) % 3 =!= 2)
+      .withColumn("txt", robotsExtTxtCol)
+    val delays = WebOps.robotsCrawlDelay(robots, "domain", "txt", "graftbot")
+    // schedule the screened frontier, then cut trap domains WHOLESALE
+    // and attach authority: traps drop whole domains, so surviving
+    // domains' slot density is untouched by cutting after scheduling
+    // (frontierSchedule owns the domain fold, so the domain-keyed
+    // joins ride its output)
+    WebOps.frontierSchedule(clean, "doc_id", "url", delays, defaultDelay = 1.0)
+      .join(trapped, Seq("domain"), "left_anti")
+      .join(rank, col("domain") === col("gr_rd"), "left")
+      .select(col("doc_id"), col("url"), col("domain"),
+        coalesce(col("rank_int"), lit(0L)).as("authority"),
+        col("slot"), col("not_before_s"))
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = tbl(s, dir, "events")
@@ -1166,6 +1257,37 @@ object SparkEntry {
         half1, cust.filter(col("c_custkey") % 2 =!= 0), "c_name", prefixLen = 12)
       val queries = cust
         .filter(col("c_custkey") % 7 === 0)
+        .select(expr("concat(substr(c_name, 1, length(c_name)-1), 'X')").as("query_string"))
+      Query.queryBatch(queries, "query_string", trie, maxDist = 2)
+        .select(col("query_string"), col("node"),
+          col("final_distance").cast(IntegerType).as("final_distance"))
+    },
+    "pt_maintained_index" -> { (s, dir) =>
+      // the persisted-index maintenance lifecycle's batch replay
+      // (StreamOps.trieIndexMaintenance is the streaming form, spec'd
+      // streamed == one-shot): seed an indexed trie from a third of
+      // the corpus, fold two vocabulary-delta batches through the
+      // ping/pong writeIndexed images exactly as the stream does, then
+      // serve the flagship fuzzy query from the final DISK image
+      // (sidecar stats -> zero sizing jobs). Oracle: the same
+      // brute-force join as pt_incremental - incremental maintenance
+      // must be indistinguishable from a full-corpus build.
+      val cust = tbl(s, dir, "customer")
+      val base = scratchPath("pt_maint", dir)
+      PrefixTree.writeIndexed(
+        PrefixTree.create(cust.filter(col("c_custkey") % 3 === 0),
+          "c_name", prefixLen = 12),
+        s"$base/ping")
+      PrefixTree.writeIndexed(
+        PrefixTree.merge(PrefixTree.read(s, s"$base/ping"),
+          cust.filter(col("c_custkey") % 3 === 1), "c_name", prefixLen = 12),
+        s"$base/pong")
+      PrefixTree.writeIndexed(
+        PrefixTree.merge(PrefixTree.read(s, s"$base/pong"),
+          cust.filter(col("c_custkey") % 3 === 2), "c_name", prefixLen = 12),
+        s"$base/ping")
+      val trie = PrefixTree.read(s, s"$base/ping")
+      val queries = cust.filter(col("c_custkey") % 11 === 0)
         .select(expr("concat(substr(c_name, 1, length(c_name)-1), 'X')").as("query_string"))
       Query.queryBatch(queries, "query_string", trie, maxDist = 2)
         .select(col("query_string"), col("node"),
@@ -2462,80 +2584,7 @@ object SparkEntry {
           "doc_id", "url", delays, defaultDelay = 1.0)
         .select(col("doc_id"), col("domain"), col("slot"), col("not_before_s"))
     },
-    "web_fetch_priority" -> { (s, dir) =>
-      // crawl prioritization END-TO-END - the ranked fetch list a
-      // crawler actually drains: zero-fetch URL screen
-      // (urlQualitySignals) x domain trap verdict (crawlTraps) x
-      // link-graph authority (the web_domain_rank PageRank) x robots
-      // politeness pacing (frontierSchedule), ONE declarative plan
-      // over the shared crawl shells. Scale shape: the screen and trap
-      // signals fuse into the frontier scan; traps, authority and
-      // delays are all DOMAIN-sized frames joined back (AQE
-      // broadcasts); the only corpus-sized shuffles are the salted
-      // schedule windows and the one link-graph edge aggregate.
-      val id = col("doc_id")
-      val docs = tbl(s, dir, "documents")
-      val pages = docs
-        .withColumn("url", synthUrlCol).withColumn("html", synthLinkHtmlCol)
-      // planted frontier slices on top of the shell: a
-      // calendar-recursion trap domain (whole domain must drop), a
-      // session-id URL per shell domain (per-URL suspect cut), and a
-      // no-inlink newcomer domain (authority coalesces to 0 - new
-      // domains are still fetchable, just lowest-priority)
-      val planted = docs.select(
-        (id + 1000000L).as("doc_id"),
-        when(id % 3 === 0,
-          concat(lit("https://trapsite.org/cal/2024/cal/2024/cal/"),
-            (id % 12).cast(StringType)))
-          .when(id % 3 === 1,
-            concat(lit("https://newcomer.net/fresh/"), (id % 11).cast(StringType)))
-          .otherwise(concat(lit("https://src"), (id % 10).cast(StringType),
-            lit(".com/l?PHPSESSID="), id.cast(StringType)))
-          .as("url"))
-      // materialization point (the docs_lang_mix discipline): the
-      // frontier feeds the screen AND the trap verdict, and the
-      // screened rows feed BOTH of frontierSchedule's branches (local
-      // ranks + salt offsets) - without the pin the shell + PSL fold
-      // re-executes once per consumer
-      val frontier = pages.select(id, col("url")).unionByName(planted)
-        .localCheckpoint()
-      // (1) per-URL screen: suspect URLs never reach scheduling
-      val clean = WebOps.urlQualitySignals(frontier, "url")
-        .filter(!col("url_suspect")).select(col("doc_id"), col("url"))
-        .localCheckpoint()
-      // (2) trap verdict over the FULL frontier (a trap domain's
-      // suspect URLs still evidence the trap)
-      val trapped = WebOps.crawlTraps(frontier, "url",
-          minUrls = 5, maxAvgDepth = 4.5, maxRepeatShare = 0.3)
-        .filter(col("flagged")).select(col("domain"))
-      // (3) authority: the same symmetrized integer PageRank as
-      // web_domain_rank, over the same link shell
-      val edges = WebOps.linkGraph(pages, "url", "html")
-        .filter(col("src_domain") =!= col("dst_domain"))
-        .select(col("src_domain").as("sd"), col("dst_domain").as("dd"))
-      val sym = edges.union(edges.select(col("dd").as("sd"), col("sd").as("dd")))
-      val rank = GraphOps.pageRank(sym, "sd", "dd", iterations = 10)
-        .select(col("node").as("gr_rd"), col("rank_int"))
-      // (4) robots pacing, same shell as web_frontier_schedule
-      val domains = pages
-        .select(WebOps.registrableDomain(WebOps.urlHost(col("url"))).as("domain"))
-        .distinct()
-      val nD = regexp_extract(col("domain"), "src([0-9])", 1)
-      val robots = domains.filter(nD.cast(IntegerType) % 3 =!= 2)
-        .withColumn("txt", robotsExtTxtCol)
-      val delays = WebOps.robotsCrawlDelay(robots, "domain", "txt", "graftbot")
-      // schedule the screened frontier, then cut trap domains WHOLESALE
-      // and attach authority: traps drop whole domains, so surviving
-      // domains' slot density is untouched by cutting after scheduling
-      // (frontierSchedule owns the domain fold, so the domain-keyed
-      // joins ride its output)
-      WebOps.frontierSchedule(clean, "doc_id", "url", delays, defaultDelay = 1.0)
-        .join(trapped, Seq("domain"), "left_anti")
-        .join(rank, col("domain") === col("gr_rd"), "left")
-        .select(col("doc_id"), col("url"), col("domain"),
-          coalesce(col("rank_int"), lit(0L)).as("authority"),
-          col("slot"), col("not_before_s"))
-    },
+    "web_fetch_priority" -> ((s, dir) => fetchPriorityPlan(s, dir, pinPages = true)),
     "web_wet_pipeline" -> { (s, dir) =>
       // the full CommonCrawl-to-clean-text recipe in ONE declarative
       // plan: WARC archive -> charset-aware page decode ->
@@ -5003,6 +5052,16 @@ object SparkEntry {
         |       CAST(levenshtein(q.query_string, d.c_name) AS INT) AS final_distance
         |FROM (SELECT substr(c_name, 1, length(c_name)-1) || 'X' AS query_string
         |      FROM customer WHERE c_custkey % 7 = 0) q
+        |CROSS JOIN customer d
+        |WHERE levenshtein(q.query_string, d.c_name) <= 2""".stripMargin,
+    "pt_maintained_index" ->
+      // maintenance through the persisted ping/pong images must be
+      // indistinguishable from a full-corpus build: same brute-force
+      // replay as pt_incremental, over the %11 query slice
+      """SELECT q.query_string AS query_string, d.c_name AS node,
+        |       CAST(levenshtein(q.query_string, d.c_name) AS INT) AS final_distance
+        |FROM (SELECT substr(c_name, 1, length(c_name)-1) || 'X' AS query_string
+        |      FROM customer WHERE c_custkey % 11 = 0) q
         |CROSS JOIN customer d
         |WHERE levenshtein(q.query_string, d.c_name) <= 2""".stripMargin,
     "pt_topk" ->

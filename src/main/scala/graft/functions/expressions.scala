@@ -580,7 +580,7 @@ object ExprKernels {
     * capped so adversarial unique-token corpora cannot grow the memo
     * unboundedly.
     */
-  private def mergeLoopLen(
+  private[graft] def mergeLoopLen(
       unit: String,
       ranks: java.util.HashMap[String, Integer],
       memo: java.util.concurrent.ConcurrentHashMap[String, Integer]): Int = {

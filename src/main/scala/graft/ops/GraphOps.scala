@@ -792,7 +792,20 @@ object GraphOps {
       dstCol: String,
       k: Int,
       maxIter: Int = 200
-  ): DataFrame = {
+  ): DataFrame = kCoreCounted(edges, srcCol, dstCol, k, maxIter)._1
+
+  /** [[kCore]] plus the number of peel rounds executed - the measurable
+    * form of the "round count = peel depth, never vertex count" claim
+    * (ScaleCheck pins it constant across 1x/10x on a planted
+    * fixed-depth gadget graph).
+    */
+  private[graft] def kCoreCounted(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxIter: Int = 200
+  ): (DataFrame, Int) = {
     require(k >= 1, s"k must be positive, got $k")
     val sym = edges.select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
       .filter(F.col("src").isNotNull && F.col("dst").isNotNull &&
@@ -835,6 +848,6 @@ object GraphOps {
       .groupBy(F.col("src").as("node_id")).agg(count(lit(1)).as("core_degree"))
       .localCheckpoint()
     OpsUtil.unpersistCheckpoint(cur)
-    out
+    (out, it)
   }
 }

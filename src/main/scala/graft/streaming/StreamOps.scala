@@ -335,6 +335,53 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming maintenance of a PERSISTED prefix-tree index - the
+    * reference's full INDEX lifecycle (BUILDINDEX on Thor, serve on
+    * Roxie - /root/reference/PrefixTree.ecl:592-660) made incremental:
+    * batched vocabulary deltas fold into the on-disk index via
+    * [[graft.ptree.PrefixTree.merge]] (per-batch rebuild input =
+    * vocabulary-sized weighted end-caps + the batch, never the raw
+    * corpus the index has accumulated), each fold lands as a fresh
+    * `writeIndexed` image (parent_id-organized + `_graft_stats`
+    * sidecar), and `onUpdate` hands out the index READ BACK from disk -
+    * so serving between batches runs zero sizing jobs and survives this
+    * process dying (the next process resumes from `basePath`).
+    *
+    * Ping/pong versioning: writes alternate `basePath/ping` |
+    * `basePath/pong`, so the image handed out by the PREVIOUS onUpdate
+    * is never touched by the CURRENT batch's write - readers get a full
+    * batch interval to drain before their files are overwritten (the
+    * disk form of [[trieMaintenance]]'s one-batch graveyard grace).
+    *
+    * Cold start: seed `basePath/ping` with
+    * `PrefixTree.writeIndexed(PrefixTree.create(...), basePath + "/ping")`
+    * (an empty-corpus build works) before starting the stream.
+    */
+  def trieIndexMaintenance(
+      stream: DataFrame,
+      col: String,
+      basePath: String,
+      prefixLen: Int = 2,
+      buckets: Int = 32
+  )(onUpdate: Dataset[graft.ptree.PTNode] => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    @volatile var cur = "ping"
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val served = graft.ptree.PrefixTree.read(spark, s"$basePath/$cur")
+          val next = if (cur == "ping") "pong" else "ping"
+          graft.ptree.PrefixTree.writeIndexed(
+            graft.ptree.PrefixTree.merge(served, batch.toDF(), col, prefixLen),
+            s"$basePath/$next", buckets)
+          cur = next
+          onUpdate(graft.ptree.PrefixTree.read(spark, s"$basePath/$cur"))
+        }
+      }
+      .start()
+  }
+
   /** Streaming BM25 index maintenance: fold a stream of documents into
     * a served [[graft.ops.SearchOps.Bm25Index]], the retrieval-side
     * parallel of [[trieMaintenance]]. Per non-empty batch, the batch's

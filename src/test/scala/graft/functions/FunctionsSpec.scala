@@ -610,6 +610,63 @@ class FunctionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("BpeCountPublic conventions vs the published GPT-2 merge excerpt") {
+    // gpt2_merges_excerpt.bpe is the FIRST 30 merge rules of the
+    // published GPT-2 vocab.bpe (MIT-licensed; the table is reproduced
+    // across every BPE tutorial/port) - ground truth the self-generated
+    // resource cannot provide: the assertions below only hold if the
+    // kernel's byte-level conventions (Ġ marks a word-initial space,
+    // contraction suffixes split as units, case is preserved, merges
+    // apply lowest-rank-first) match the real tokenizer's on real
+    // published ranks.
+    val in = getClass.getResourceAsStream("/graft/gpt2_merges_excerpt.bpe")
+    assert(in != null, "gpt2_merges_excerpt.bpe missing from test classpath")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    assert(lines.head.startsWith("#version:")) // same format contract
+    val ranks = new java.util.HashMap[String, Integer]()
+    lines.tail.filter(l => l.trim.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex.foreach { case (l, r) => ranks.put(l.trim, r) }
+    assert(ranks.size == 30)
+    val memo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val pat = java.util.regex.Pattern.compile(
+      graft.functions.ExprKernels.gpt2UnitRegex,
+      graft.functions.ExprKernels.gpt2UnitFlags)
+    val enc = graft.functions.ExprKernels.gpt2ByteEncoder
+    def count(text: String): Int = {
+      val m = pat.matcher(text)
+      var total = 0
+      while (m.find()) {
+        val bytes = m.group().getBytes("UTF-8")
+        total += graft.functions.ExprKernels.mergeLoopLen(
+          bytes.map(b => enc(b & 0xFF)).mkString, ranks, memo)
+      }
+      total
+    }
+    // " the" fully fuses through the published chain
+    // Ġ+t(rank 0) -> h+e(2) -> Ġt+he(6); bare "the" has no "t he" rule
+    // in the first 30, so the Ġ word-initial convention is load-bearing
+    assert(count(" the") == 1)
+    assert(count("the") == 2)
+    // " to" via Ġ+t(0) then Ġt+o(28)
+    assert(count(" to") == 1)
+    // "ing" via i+n(3) then in+g(22); " ing" stops at [Ġ, ing] (no
+    // "Ġ in"-then-g path: the loop is pairwise on the CURRENT tokens)
+    assert(count("ing") == 1)
+    assert(count(" ing") == 2)
+    // " an" via Ġ+a(1) then Ġa+n(25): rank order matters - (a,n)=16
+    // loses to (Ġ,a)=1, and the result still fuses
+    assert(count(" an") == 1)
+    // contraction split: " it's" -> units " it" + "'s"; " it" stops at
+    // [Ġ, it] (i+t=14 fires, "Ġ it" is not in the excerpt), "'s" has
+    // no rule -> 2+2
+    assert(count(" it's") == 4)
+    // case preserved: no rules mention 'T', so " The" stays [Ġ, T, he]
+    assert(count(" The") == 3)
+    // byte-level non-ASCII: " café" -> [Ġc(13), a, f, Ã, ©] (é is two
+    // UTF-8 bytes; no rule joins them) - counts bytes, never errors
+    assert(count(" café") == 5)
+  }
+
   test("bitset_contains + BitsetAgg: build/probe round-trip, bounds, codegen path") {
     // build a bitset from a known position set via the mergeable UDAF
     val m = 1 << 10 // 1024 bits = 128 bytes

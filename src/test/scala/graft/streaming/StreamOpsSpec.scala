@@ -346,6 +346,47 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set("cat", "car", "cart"))
   }
 
+  test("trieIndexMaintenance: persisted deltas == full build; disk-served between batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_trie_idx").toString
+    val batch1 = Seq("dog", "drop")
+    val batch2 = Seq("cat", "car", "cart", "dog") // re-appearing word accumulates
+    // cold-start seed: an indexed EMPTY build at ping
+    PrefixTree.writeIndexed(
+      PrefixTree.create(spark.emptyDataset[String].toDF("w"), "w", 2, 2),
+      s"$base/ping", buckets = 2)
+    @volatile var latest: org.apache.spark.sql.Dataset[graft.ptree.PTNode] = null
+    val mem = MemoryStream[String]
+    val sq = StreamOps.trieIndexMaintenance(
+      mem.toDF().toDF("w"), "w", base, 2, 2)(latest = _)
+    mem.addData(batch1: _*)
+    sq.processAllAvailable()
+    // serving BETWEEN batches, from the on-disk image: sidecar stats are
+    // registered on read, so this query runs zero sizing jobs
+    val mid = Query.queryBroadcast(Seq("dog").toDF("q"), "q", latest, 2)
+      .select("node").as[String].collect().toSet
+    assert(mid == Set("dog", "drop")) // lev(dog, drop) = 2
+    mem.addData(batch2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    // streamed folds == one build over everything, counts included
+    val streamed = latest.filter(_.is_word).collect()
+      .map(n => n.node -> n.n_occurrences).toMap
+    val full = PrefixTree.create((batch1 ++ batch2).toDF("w"), "w", 2, 2)
+      .filter(_.is_word).collect().map(n => n.node -> n.n_occurrences).toMap
+    assert(streamed == full)
+    assert(streamed("dog") == 2L)
+    // the served frame really is the persisted image: re-reading the
+    // current version dir from disk yields the same end-caps
+    val ping = new java.io.File(s"$base/ping")
+    val pong = new java.io.File(s"$base/pong")
+    assert(ping.isDirectory && pong.isDirectory) // both versions exercised
+    // two batches -> ping(seed) -> pong(b1) -> ping(b1+b2): cur == ping
+    val reread = PrefixTree.read(spark, s"$base/ping")
+      .filter(_.is_word).collect().map(n => n.node -> n.n_occurrences).toMap
+    assert(reread == full)
+  }
+
   test("bm25Maintenance: streamed micro-batches == full-corpus build, incl. re-appearing doc") {
     implicit val sqlCtx = spark.sqlContext
     val batch1 = Seq((1L, "the quick brown fox"), (2L, "pack my box"))
