@@ -763,6 +763,77 @@ object ExprKernels {
     new GenericInternalRow(Array[Any]((last + 1).toLong, best.toLong))
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken) as one
+    * O(len) pass: hash every k-code-point shingle (h = first 8 md5 hex
+    * digits of its UTF-8 bytes, the exact value `conv(substring(md5(
+    * substr(text,pos,k)),1,8),16,10)` computes), pack the rightmost-on-
+    * ties rule as c = h * 2^31 + (2^31-1-pos), and take the min of each
+    * full trailing-w window with a monotonic deque. Selections of the
+    * same shingle instance are provably CONSECUTIVE (anything that
+    * displaces the current min is newer and outlives it), so dedup is a
+    * last-selected check - the array is exactly the DISTINCT (pos, fp)
+    * set the explode + per-doc window-min + filter + distinct plan
+    * produced, without the len(text)-rows-per-doc explode, the shuffle
+    * into a per-doc window sort, or the distinct exchange.
+    *
+    * Returns array<struct<pos:int, fp:bigint>>; empty when the text has
+    * fewer than k + w - 1 code points (no full window).
+    */
+  def winnowFps(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = text.toString
+    val cps = str.codePoints().toArray
+    val nSh = cps.length - k + 1
+    if (nSh < w) return new GenericArrayData(new Array[Any](0))
+    val bytes = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val off = new Array[Int](cps.length + 1)
+    var i = 0
+    var b = 0
+    while (i < cps.length) {
+      off(i) = b
+      val cp = cps(i)
+      b += (if (cp < 0x80) 1 else if (cp < 0x800) 2
+            else if (cp < 0x10000) 3 else 4)
+      i += 1
+    }
+    off(cps.length) = b
+    val md = md5Local.get()
+    val half = 1L << 31
+    val c = new Array[Long](nSh)
+    var p = 0
+    while (p < nSh) {
+      md.reset()
+      md.update(bytes, off(p), off(p + k) - off(p))
+      val d = md.digest()
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      c(p) = h * half + (half - 1L - (p + 1L))
+      p += 1
+    }
+    val deque = new Array[Int](nSh)
+    var head = 0
+    var tail = 0
+    val out = new java.util.ArrayList[Any](2 * nSh / (w + 1) + 4)
+    var lastSel = -1
+    var e = 0
+    while (e < nSh) {
+      while (tail > head && c(deque(tail - 1)) > c(e)) tail -= 1
+      deque(tail) = e
+      tail += 1
+      if (deque(head) < e - w + 1) head += 1
+      if (e >= w - 1) {
+        val sel = deque(head)
+        if (sel != lastSel) {
+          lastSel = sel
+          val cm = c(sel)
+          out.add(new GenericInternalRow(Array[Any](
+            (half - 1L - (cm % half)).toInt, cm / half)))
+        }
+      }
+      e += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   // ---- GPT-2-convention byte-level BPE ------------------------------
 
   /** The GPT-2 bytes-to-unicode table (public algorithm from the GPT-2
@@ -1537,6 +1608,31 @@ case class RepStats(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "rep_stats"
 }
 
+/** `winnow_fps(text, k, w)` - the distinct winnowing-selected
+  * (pos, fp) fingerprints of a document as ONE codegen kernel call
+  * (see ExprKernels.winnowFps): replaces the one-row-per-character
+  * explode, the per-doc window-min shuffle, and the distinct exchange
+  * with a per-row O(len) deque scan whose only remaining cost is the
+  * same md5-per-shingle the fingerprint definition requires.
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.winnowFps(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.winnowFps($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFps =
+    copy(child = c)
+  override def prettyName: String = "winnow_fps"
+}
+
 /** `bpe_count_public(text)` - GPT-2-convention byte-level BPE token
   * count (int) over the RAW text: published pre-tokenizer, bytes-to-
   * unicode table, checked-in vocab.bpe-format merge table (see
@@ -1761,6 +1857,9 @@ object GraftFunctions {
   def rep_stats(text: Column, n: Int): Column =
     Bridge.column(RepStats(Bridge.expression(text), n))
 
+  def winnow_fps(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFps(Bridge.expression(text), k, w))
+
   // no SQL registration: the rule table is a driver-computed value,
   // not a literal a SQL call site could spell (the nearest_lists stance)
   def psl_fold(host: Column, table: PslTable): Column =
@@ -1801,6 +1900,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("lang_id_score", es => LangIdScore(es.head), "built-in")
     reg.createOrReplaceTempFunction("bpe_count_public", es => BpeCountPublic(es.head), "built-in")
     reg.createOrReplaceTempFunction("decode_num_refs", es => DecodeNumRefs(es.head), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fps", {
+      case Seq(t, Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+        WinnowFps(t, k, w)
+      case es => throw new IllegalArgumentException(
+        s"winnow_fps(text, kLiteral, wLiteral); got ${es.length} args")
+    }, "built-in")
     reg.createOrReplaceTempFunction("shingles", shinglesBuilder, "built-in")
     reg.createOrReplaceTempFunction("char_grams", charGramsBuilder, "built-in")
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")

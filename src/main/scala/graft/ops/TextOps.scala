@@ -1892,10 +1892,17 @@ object TextOps {
     * LARGEST position among equal hashes. h is the first 8 md5 hex
     * digits of the shingle (< 2^32), so c < 2^63.
     *
-    * Scale shape: explode is per-document (positions <= doc length), the
-    * window is per-document ordered by position - one shuffle on doc id,
-    * bounded partitions. Output: (idCol, pos, fp) distinct selected
-    * fingerprints.
+    * Scale shape (round-16): the whole selection is ONE codegen kernel
+    * call per row ([[graft.functions.WinnowFps]]: rolling monotonic-
+    * deque window-min over the packed c = h*2^31 + (2^31-1-pos)
+    * values, consecutive-run dedup) followed by a per-row explode of
+    * the selected set - zero shuffles, zero distinct exchange. The
+    * expression-tree spelling it replaced exploded one row per
+    * CHARACTER of the corpus through a per-doc window sort (a corpus-
+    * length shuffle) plus a distinct exchange; the fingerprints are
+    * bit-identical (h is still the first 8 md5 hex digits of the
+    * shingle, so the engine-portable SQL replay is unchanged). Output:
+    * (idCol, pos, fp) distinct selected fingerprints.
     */
   def winnowFingerprints(
       df: DataFrame,
@@ -1905,24 +1912,10 @@ object TextOps {
       w: Int = 4
   ): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
-    val half = 1L << 31
-    import org.apache.spark.sql.expressions.Window
-    val win = Window.partitionBy(F.col(idCol)).orderBy(F.col("pos"))
-      .rowsBetween(-(w - 1), Window.currentRow)
     df.filter(F.col(textCol).isNotNull && length(F.col(textCol)) >= k)
       .select(F.col(idCol),
-        explode(sequence(lit(1), length(F.col(textCol)) - (k - 1))).as("pos"),
-        F.col(textCol).as("_t"))
-      .withColumn("h",
-        conv(substring(md5(F.col("_t").substr(F.col("pos"), lit(k))), 1, 8), 16, 10)
-          .cast(LongType))
-      .withColumn("c", F.col("h") * half + (lit(half - 1) - F.col("pos")))
-      .withColumn("cmin", min(F.col("c")).over(win))
-      // full windows only: the window ending at pos spans pos-w+1..pos
-      .filter(F.col("pos") >= w)
-      .select(F.col(idCol),
-        (lit(half - 1) - F.col("cmin") % half).cast(IntegerType).as("pos"),
-        expr(s"cmin div ${half}L").as("fp"))
-      .distinct()
+        explode(graft.functions.GraftFunctions.winnow_fps(
+          F.col(textCol), k, w)).as("_s"))
+      .select(F.col(idCol), F.col("_s.pos").as("pos"), F.col("_s.fp").as("fp"))
   }
 }

@@ -84,9 +84,12 @@ class ShardOpsSpec extends SparkSpec {
     * window-function formulation.
     */
   private def winnowRef(text: String, k: Int, w: Int): Set[(Int, Long)] = {
-    if (text.length < k + w - 1) return Set.empty
-    val hs = (1 to text.length - k + 1).map { p =>
-      p -> java.lang.Long.parseLong(md5Hex(text.substring(p - 1, p - 1 + k)).take(8), 16)
+    // code-point shingles (Spark substr counts code points, not UTF-16
+    // units - an emoji is ONE position), hashed over their UTF-8 bytes
+    val cps = text.codePoints().toArray
+    if (cps.length < k + w - 1) return Set.empty
+    val hs = (1 to cps.length - k + 1).map { p =>
+      p -> java.lang.Long.parseLong(md5Hex(new String(cps, p - 1, k)).take(8), 16)
     }
     (w to hs.length).map { e =>
       val win = hs.slice(e - w, e)
@@ -106,7 +109,12 @@ class ShardOpsSpec extends SparkSpec {
       2L -> (randStr(40) + shared + randStr(10)),
       3L -> randStr(90),
       4L -> "tiny", // shorter than k: no fingerprints
-      5L -> "aaaaaaaaaaaaaaaaaaaaaaaa" // all-equal hashes: pure tie-break path
+      5L -> "aaaaaaaaaaaaaaaaaaaaaaaa", // all-equal hashes: pure tie-break path
+      6L -> "abcdefghij", // k <= len < k + w - 1: shingles but NO full window
+      // multi-byte path: 2-byte BMP chars and a 4-byte non-BMP emoji -
+      // positions count CODE POINTS (Spark substr semantics), hashes
+      // cover the shingle's UTF-8 bytes
+      7L -> ("café y niño 😀 jalapeño " + randStr(20))
     )
     val got = TextOps.winnowFingerprints(texts.toDF("doc_id", "text"), "doc_id", "text")
       .select($"doc_id", $"pos", $"fp").as[(Long, Int, Long)].collect()
