@@ -3151,6 +3151,69 @@ object SparkEntry {
       val keptDocs = docs.join(kept.select("doc_id"), "doc_id")
       TextOps.chunkDocuments(keptDocs, "doc_id", "text", budget = 64, overlap = 16)
     },
+    "docs_pretrain_e2e" -> { (s, dir) =>
+      // the PRETRAINING-CORPUS build end-to-end, emitted as the
+      // per-source data-card funnel every corpus release ships: raw ->
+      // Gopher quality battery -> exact dedup (min-id survivor) ->
+      // MinHash-LSH fuzzy dedup (greedy min-id winner: any doc paired
+      // at >= 0.5 estimated Jaccard with a SMALLER id drops - the
+      // deterministic one-pass form of cluster-representative
+      // selection) -> Bloom decontamination against the held-out eval
+      // slice (doc_id % 10 == 0; any flagged 4-gram drops the doc,
+      // Bloom overcounts are deterministic in the md5 family so the
+      // replay is bit-for-bit) -> per-source token budget. Every stage
+      // is the individually-oracled operator at its production shape;
+      // this query oracles the COMPOSITION, stage formulas shared with
+      // the standalone replays. Scale shape: quality + token counts
+      // fuse into the scan; dedup shuffles move narrow (id, key) rows;
+      // the Bloom bitset broadcasts (zero corpus shuffle); the budget
+      // stage broadcasts a source-sized frame; funnel joins are
+      // source-dim-sized. localCheckpoints pin each stage's survivor
+      // frame because it feeds 2-3 consumers (next stage + anti-join +
+      // funnel count) - the docs_lang_mix multi-consumer discipline.
+      val all = tbl(s, dir, "documents")
+      val evalSlice = all.filter(col("doc_id") % 10 === 0)
+      val train = all.filter(col("doc_id") % 10 =!= 0 && col("text").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"))
+      val q = TextOps.gopherFilters(train, "doc_id", "text",
+          keepCols = Seq("source", "text"))
+        .filter(col("keep")).select(col("doc_id"), col("source"), col("text"))
+        .localCheckpoint()
+      val ed = q.join(DedupOps.exactDedup(q, "doc_id", "text")
+          .select("doc_id"), "doc_id")
+        .localCheckpoint()
+      val pairs = DedupOps.minhashLshPairs(ed, "doc_id", "text",
+        numHashes = 64, bands = 8, shingleLen = 3, threshold = 0.5,
+        maxBucketSize = skewCap)
+      val fd = ed.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val flagged = TextOps.bloomDecontam(fd, "doc_id", "text",
+        evalSlice, "text", shingleLen = 4, mBits = 1 << 18, kHashes = 3)
+      val clean = fd.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"),
+          size(DedupOps.tokens(col("text"))).cast(LongType).as("n_tok"))
+        .localCheckpoint()
+      val sampled = SampleOps.tokenBudgetSample(clean, "doc_id", "source",
+        "n_tok", budgetPerStratum = 300.0)
+      def cnt(df: DataFrame, name: String) =
+        df.groupBy("source").agg(count(lit(1)).as(name))
+      train.groupBy("source").agg(count(lit(1)).as("n_raw"))
+        .join(cnt(q, "q_n"), Seq("source"), "left")
+        .join(cnt(ed, "e_n"), Seq("source"), "left")
+        .join(cnt(fd, "f_n"), Seq("source"), "left")
+        .join(cnt(clean, "c_n"), Seq("source"), "left")
+        .join(sampled.groupBy("source").agg(
+            count(lit(1)).as("s_n"), sum(col("n_tok")).as("s_tok")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_raw"),
+          coalesce(col("q_n"), lit(0L)).as("n_quality"),
+          coalesce(col("e_n"), lit(0L)).as("n_exact"),
+          coalesce(col("f_n"), lit(0L)).as("n_fuzzy"),
+          coalesce(col("c_n"), lit(0L)).as("n_clean"),
+          coalesce(col("s_n"), lit(0L)).as("n_sampled"),
+          coalesce(col("s_tok"), lit(0L)).as("tok_sampled"))
+    },
     "text_search" -> { (s, dir) =>
       // grep-shaped substring search through the inverted trigram
       // index: needles are 16-char prefixes of a deterministic doc
@@ -7660,6 +7723,112 @@ object SparkEntry {
         |                     t -> t <> '') AS tk
         |  FROM documents d JOIN kept USING (doc_id)
         |), ${chunkReplaySql("kd", budget = 64, overlap = 16)}""".stripMargin,
+    "docs_pretrain_e2e" ->
+      // composed replay: the gopherCtes battery, the dedup_exact
+      // min-id survivor, the full dedup_minhash sketch pipeline
+      // (signatures, banding, skew cap, estimate) restricted to the
+      // exact-dedup survivors, the text_bloom_decontam bitset replay
+      // with the train side restricted to fuzzy survivors, and the
+      // docs_token_budget keep predicate per source - chained into the
+      // per-source funnel
+      s"""WITH train AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id % 10 <> 0 AND text IS NOT NULL
+        |), ${gopherCtes("train", "text")},
+        |gq AS (
+        |  SELECT t.doc_id, t.source, t.text
+        |  FROM train t JOIN gv USING (doc_id) WHERE gv.keep
+        |), exw AS (
+        |  SELECT min(doc_id) AS doc_id FROM gq GROUP BY text
+        |), ed AS (
+        |  SELECT gq.* FROM gq SEMI JOIN exw USING (doc_id)
+        |), coef(h, a, b) AS (VALUES ${coefValues(64, 42)}),
+        |mtk AS (
+        |  SELECT doc_id AS id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                                   t -> t <> '') AS tk FROM ed
+        |), msh AS (
+        |  SELECT id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                                   FOR i IN generate_series(1, greatest(len(tk)-2, 1))])) AS sh
+        |  FROM mtk
+        |), mhv AS (
+        |  SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647 AS s FROM msh
+        |), msigv AS (
+        |  SELECT id, h, min((a * s + b) % 2147483647) AS v
+        |  FROM mhv CROSS JOIN coef GROUP BY id, h
+        |), msig AS (
+        |  SELECT id, list(v ORDER BY h) AS sig FROM msigv GROUP BY id
+        |), mbanded AS (
+        |  SELECT id, sig, band, sig[band*8+1 : band*8+8] AS bucket
+        |  FROM msig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band)
+        |), mkeep AS (
+        |  SELECT band, bucket FROM mbanded GROUP BY band, bucket HAVING COUNT(*) <= $skewCap
+        |), mb2 AS (
+        |  SELECT mbanded.* FROM mbanded SEMI JOIN mkeep USING (band, bucket)
+        |), mpairs AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        |  FROM mb2 x JOIN mb2 y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+        |), losers AS (
+        |  SELECT DISTINCT id_b AS doc_id FROM (
+        |    SELECT id_a, id_b,
+        |           len([i FOR i IN generate_series(1, 64) IF sa.sig[i] = sb.sig[i]]) / 64.0 AS e
+        |    FROM mpairs JOIN msig sa ON id_a = sa.id JOIN msig sb ON id_b = sb.id
+        |  ) WHERE e >= 0.5
+        |), fd AS (
+        |  SELECT ed.* FROM ed ANTI JOIN losers USING (doc_id)
+        |), etk AS (
+        |  SELECT doc_id AS id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                                   t -> t <> '') AS tk
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), esh AS (
+        |  SELECT id, unnest(list_distinct([array_to_string(tk[i:i+3], ' ')
+        |                                   FOR i IN generate_series(1, greatest(len(tk)-3, 1))])) AS sh
+        |  FROM etk
+        |), pos AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(s.sh || '#' || g.i), 1, 15))::BIGINT % 262144 AS p
+        |  FROM (SELECT DISTINCT sh FROM esh) s
+        |  CROSS JOIN generate_series(0, 2) AS g(i)
+        |), ttk AS (
+        |  SELECT doc_id AS id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                                   t -> t <> '') AS tk FROM fd
+        |), tsh AS (
+        |  SELECT id, unnest(list_distinct([array_to_string(tk[i:i+3], ' ')
+        |                                   FOR i IN generate_series(1, greatest(len(tk)-3, 1))])) AS sh
+        |  FROM ttk
+        |), probe AS (
+        |  SELECT id, sh,
+        |         min(CASE WHEN (('0x' || substr(md5(sh || '#' || g.i), 1, 15))::BIGINT % 262144)
+        |                       IN (SELECT p FROM pos) THEN 1 ELSE 0 END) AS hit
+        |  FROM tsh CROSS JOIN generate_series(0, 2) AS g(i)
+        |  GROUP BY id, sh
+        |), contaminated AS (
+        |  SELECT id AS doc_id FROM probe GROUP BY id HAVING sum(hit) > 0
+        |), clean AS (
+        |  SELECT f.doc_id, f.source, CAST(len(t.tk) AS BIGINT) AS n_tok
+        |  FROM (SELECT fd.* FROM fd ANTI JOIN contaminated USING (doc_id)) f
+        |  JOIN ttk t ON f.doc_id = t.id
+        |), st AS (
+        |  SELECT source AS s_src, CAST(sum(n_tok) AS DOUBLE) AS sv FROM clean GROUP BY 1
+        |), samp AS (
+        |  SELECT c.* FROM clean c JOIN st ON c.source IS NOT DISTINCT FROM st.s_src
+        |  WHERE ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        < least(1.0, 300.0 / sv) * 4294967296.0
+        |), fr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw FROM train GROUP BY 1),
+        |fq AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM gq GROUP BY 1),
+        |fe AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ed GROUP BY 1),
+        |ff AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM fd GROUP BY 1),
+        |fc AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM clean GROUP BY 1),
+        |fs AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(n_tok) AS BIGINT) AS tok FROM samp GROUP BY 1)
+        |SELECT fr.source, fr.n_raw,
+        |       coalesce(fq.n, 0) AS n_quality,
+        |       coalesce(fe.n, 0) AS n_exact,
+        |       coalesce(ff.n, 0) AS n_fuzzy,
+        |       coalesce(fc.n, 0) AS n_clean,
+        |       coalesce(fs.n, 0) AS n_sampled,
+        |       coalesce(fs.tok, 0) AS tok_sampled
+        |FROM fr LEFT JOIN fq USING (source) LEFT JOIN fe USING (source)
+        |        LEFT JOIN ff USING (source) LEFT JOIN fc USING (source)
+        |        LEFT JOIN fs USING (source)""".stripMargin,
     "docs_profile" ->
       """WITH m AS (
         |  SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS v FROM documents

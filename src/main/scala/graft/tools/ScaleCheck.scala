@@ -471,6 +471,51 @@ object ScaleCheck {
     timedPair("text_repetition", docsT10, docsT100, "10x", "100x") { df =>
       graft.ops.TextOps.repetitionScore(df, "doc_id", "text", n = 3)
     }
+
+    // ---------------------------------------------------------------
+    // pretrain-funnel tail (the docs_pretrain_e2e composition minus
+    // the Gopher scan, whose weak scaling the scan rows above already
+    // pin): exact dedup -> MinHash-LSH fuzzy dedup -> Bloom
+    // decontamination -> per-source token budget. Per-copy token
+    // suffixes make shingles copy-disjoint (no cross-copy minhash
+    // pairs, per-copy eval slices) and per-copy source suffixes grow
+    // the stratum table 10x - ten independent funnel problems.
+    // Placed LAST: the stage checkpoints leak blocks by design (each
+    // survivor frame feeds 2-3 consumers), so the row ends with a
+    // blanket unpersist no later row depends on.
+    // ---------------------------------------------------------------
+    val docsE1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint()
+    val docsE10 = (0 until 10).map { c =>
+      docsE1.select((col("doc_id") + lit(c.toLong * docStride)).as("doc_id"),
+        concat(col("source"), lit(s"_c$c")).as("source"),
+        regexp_replace(col("text"), "(\\S+)", "$1" + s"zz$c").as("text"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
+    timed("docs_pretrain_tail", docsE1, docsE10) { df =>
+      val ed = df.join(graft.ops.DedupOps.exactDedup(df, "doc_id", "text")
+          .select("doc_id"), "doc_id")
+        .localCheckpoint()
+      val pairs = graft.ops.DedupOps.minhashLshPairs(ed, "doc_id", "text",
+        numHashes = 64, bands = 8, shingleLen = 3, threshold = 0.5,
+        maxBucketSize = 50L)
+      val fd = ed.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val flagged = graft.ops.TextOps.bloomDecontam(fd, "doc_id", "text",
+        df.filter(col("doc_id") % 10 === 0), "text",
+        shingleLen = 4, mBits = 1 << 18, kHashes = 3)
+      val clean = fd.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"),
+          size(graft.ops.DedupOps.tokens(col("text"))).cast("long").as("n_tok"))
+      graft.ops.SampleOps.tokenBudgetSample(clean, "doc_id", "source",
+        "n_tok", budgetPerStratum = 300.0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_tok")).as("tok_sampled"))
+    }
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
     spark.stop()
   }
 }
