@@ -736,4 +736,47 @@ class FunctionsSpec extends SparkSpec {
     assert(got(5L).isEmpty, "null array -> null")
     assert(got(6L).contains(1), "null element skipped, real member counted")
   }
+
+  test("winnowFps kernel == in-memory reference: 400-case property check incl. w=1/k=1 edges") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // independent reference: code-point shingles hashed over UTF-8
+    // bytes (the exact value conv(substring(md5(...),1,8),16,10)
+    // yields), window-min with rightmost-on-ties, distinct selections
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ref(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+      val cps = text.codePoints().toArray
+      if (cps.length < k + w - 1) return Set.empty
+      val hs = (1 to cps.length - k + 1).map { p =>
+        p -> java.lang.Long.parseLong(md5Hex(new String(cps, p - 1, k)).take(8), 16)
+      }
+      (w to hs.length).map { e =>
+        val win = hs.slice(e - w, e)
+        val mn = win.map(_._2).min
+        win.filter(_._2 == mn).last // rightmost minimum
+      }.toSet
+    }
+    def kernel(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+      val arr = ExprKernels.winnowFps(UTF8String.fromString(text), k, w)
+      (0 until arr.numElements()).map { i =>
+        val row = arr.getStruct(i, 2)
+        (row.getInt(0), row.getLong(1))
+      }.toSet
+    }
+    val rnd = new scala.util.Random(47)
+    val alphabets = Seq("ab", "abcd", "aé😀b") // ties-heavy, mixed, multi-byte
+    var cases = 0
+    for (_ <- 0 until 100; (k, w) <- Seq((8, 4), (3, 2), (4, 1), (1, 3))) {
+      val alpha = alphabets(rnd.nextInt(alphabets.length))
+      val n = rnd.nextInt(41) // code points, 0..40: spans empty/short/no-full-window
+      val cps = Seq.fill(n)(alpha.codePointAt(
+        alpha.offsetByCodePoints(0, rnd.nextInt(alpha.codePointCount(0, alpha.length)))))
+      val text = cps.map(Character.toChars(_).mkString).mkString
+      assert(kernel(text, k, w) === ref(text, k, w),
+        s"k=$k w=$w alpha=$alpha text=${text.take(40)}")
+      cases += 1
+    }
+    assert(cases == 400)
+  }
 }
