@@ -3196,15 +3196,19 @@ object SparkEntry {
         .localCheckpoint()
       val sampled = SampleOps.tokenBudgetSample(clean, "doc_id", "source",
         "n_tok", budgetPerStratum = 300.0)
+      // funnel joins: each side is a source-dim-sized aggregate (the
+      // corpus-sized shuffle happened inside the map-side-combined
+      // groupBys) - broadcast pins the plan instead of leaving the
+      // post-aggregate SMJ for AQE to convert at runtime
       def cnt(df: DataFrame, name: String) =
-        df.groupBy("source").agg(count(lit(1)).as(name))
+        broadcast(df.groupBy("source").agg(count(lit(1)).as(name)))
       train.groupBy("source").agg(count(lit(1)).as("n_raw"))
         .join(cnt(q, "q_n"), Seq("source"), "left")
         .join(cnt(ed, "e_n"), Seq("source"), "left")
         .join(cnt(fd, "f_n"), Seq("source"), "left")
         .join(cnt(clean, "c_n"), Seq("source"), "left")
-        .join(sampled.groupBy("source").agg(
-            count(lit(1)).as("s_n"), sum(col("n_tok")).as("s_tok")),
+        .join(broadcast(sampled.groupBy("source").agg(
+            count(lit(1)).as("s_n"), sum(col("n_tok")).as("s_tok"))),
           Seq("source"), "left")
         .select(col("source"), col("n_raw"),
           coalesce(col("q_n"), lit(0L)).as("n_quality"),
