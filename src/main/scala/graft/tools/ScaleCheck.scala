@@ -514,6 +514,38 @@ object ScaleCheck {
         .groupBy("source")
         .agg(count(lit(1)).as("n_sampled"), sum(col("n_tok")).as("tok_sampled"))
     }
+    // 100x pair for the funnel tail: the 1x/10x row sits near the
+    // fixed-overhead floor (stage job overheads dominate), so - like
+    // the kernel-scan rows above - the linear-regime evidence needs
+    // the next decade. Same copy-disjoint construction, 100 strata
+    // sets.
+    val docsE100 = (0 until 100).map { c =>
+      docsE1.select((col("doc_id") + lit(c.toLong * docStride)).as("doc_id"),
+        concat(col("source"), lit(s"_c$c")).as("source"),
+        regexp_replace(col("text"), "(\\S+)", "$1" + s"zz$c").as("text"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt).localCheckpoint()
+    println(s"docsE rows: 10x=${docsE10.count()} 100x=${docsE100.count()}")
+    timedPair("docs_pretrain_tail", docsE10, docsE100, "10x", "100x") { df =>
+      val ed = df.join(graft.ops.DedupOps.exactDedup(df, "doc_id", "text")
+          .select("doc_id"), "doc_id")
+        .localCheckpoint()
+      val pairs = graft.ops.DedupOps.minhashLshPairs(ed, "doc_id", "text",
+        numHashes = 64, bands = 8, shingleLen = 3, threshold = 0.5,
+        maxBucketSize = 50L)
+      val fd = ed.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val flagged = graft.ops.TextOps.bloomDecontam(fd, "doc_id", "text",
+        df.filter(col("doc_id") % 10 === 0), "text",
+        shingleLen = 4, mBits = 1 << 18, kHashes = 3)
+      val clean = fd.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"),
+          size(graft.ops.DedupOps.tokens(col("text"))).cast("long").as("n_tok"))
+      graft.ops.SampleOps.tokenBudgetSample(clean, "doc_id", "source",
+        "n_tok", budgetPerStratum = 300.0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_tok")).as("tok_sampled"))
+    }
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
     spark.stop()
