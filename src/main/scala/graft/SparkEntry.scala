@@ -27,6 +27,27 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** [[tbl]] + OpsUtil.spread, for queries whose PRE-SHUFFLE per-row work
+    * is heavy (payload synthesis + codec decode, kernel scans, wide
+    * partial aggregates). The sf fixtures are single-row-group parquet
+    * files, so a scan arrives as ONE split no matter the core count and
+    * everything before the first exchange runs single-threaded (measured:
+    * 5.1 s of media_video_dup's 7.8 s wall in one task at local[32]).
+    * spread() rebalances only small inputs (< ~32 MB/core); at warehouse
+    * scale a splittable source already carries a split per ~128 MB and
+    * this is a no-op - scale-adaptive, not a local[32] tune (guide §2.2).
+    *
+    * Deliberately NOT applied to every query: an A/B over the full suite
+    * measured that queries with LIGHT pre-shuffle work lose 0.1-1.0 s to
+    * the extra round-robin exchange plus 32-way tiny-task overhead
+    * (sampled 40-query tail: 21.6 s -> 30.0 s spread-everywhere), while
+    * kernel/decode-bound queries win 2-5x. So the spread is opt-in per
+    * query, driven by the bench. Results are partition-agnostic by
+    * construction (every oracle is replayed SQL), re-verified byte-exact.
+    */
+  private def tblS(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.ops.OpsUtil.spread(tbl(s, dir, name))
+
   /** Hot-key cap shared by the sketch-dedup pipelines (jaccard token doc
     * freq / LSH bucket size / SimHash block size). A key with B members
     * yields O(B²) pairs in the candidate self-join, and keys that hot at
@@ -1530,7 +1551,7 @@ object SparkEntry {
       // run merge - recovers every cross-doc duplicated region of
       // >= 40 chars exactly, at any alignment, where stride-10 windows
       // can miss short or badly-aligned regions
-      DedupOps.exactDuplicateSpans(tbl(s, dir, "documents"), "doc_id", "text",
+      DedupOps.exactDuplicateSpans(tblS(s, dir, "documents"), "doc_id", "text",
         minLen = 40)
     },
     // Skew caps are ON in every shipped sketch-dedup pipeline: one
@@ -1708,7 +1729,7 @@ object SparkEntry {
       // round-trips the index exactly (float vectors and the double
       // norms both travel bit-exact through parquet) and that the query
       // half runs without rebuild jobs (pinned by OpsSpec).
-      val emb = tbl(s, dir, "embeddings")
+      val emb = tblS(s, dir, "embeddings")
       val built = SimilarityOps.ivfBuild(emb, "vec_id", "embedding",
         nCentroids = 32, lloydIters = 0)
       val path = scratchPath("ivf_index", dir)
@@ -1814,7 +1835,7 @@ object SparkEntry {
       // train/test (per-id splitting separates them ~28% of the time).
       // Composition: jaccard pairs -> connected components -> md5 split
       // on the representative.
-      val docs = tbl(s, dir, "documents")
+      val docs = tblS(s, dir, "documents")
       val clusters = GraphOps.connectedComponents(
         DedupOps.jaccardPairs(docs, "doc_id", "text",
           threshold = 0.5, maxTokenDocFreq = skewCap, shingleLen = 3),
@@ -1887,7 +1908,7 @@ object SparkEntry {
       // perplexity-style quality scoring from the corpus's own bigram
       // LM, integer-exact via the hdrSketch log-code family - the
       // CCNet/KenLM filter cut, engine-replayable
-      TextOps.bigramSurprisal(tbl(s, dir, "documents"), "doc_id", "text")
+      TextOps.bigramSurprisal(tblS(s, dir, "documents"), "doc_id", "text")
     },
     "text_strip_html" -> { (s, dir) =>
       // HTML -> text extraction, the web-crawl pipeline's first stage:
@@ -2256,7 +2277,7 @@ object SparkEntry {
       // oracle replays the page fields from the same doc_id formulas -
       // container bytes never enter the compare.
       import s.implicits._
-      val blobs = tbl(s, dir, "documents")
+      val blobs = tblS(s, dir, "documents")
         .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
@@ -2403,7 +2424,7 @@ object SparkEntry {
       // inflates the multi-member stream, and frames identically to the
       // plain path - so the oracle is the same field-formula replay
       import s.implicits._
-      val blobs = tbl(s, dir, "documents")
+      val blobs = tblS(s, dir, "documents")
         .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
@@ -2430,7 +2451,7 @@ object SparkEntry {
       // original text + the charset used; the oracle replays both from
       // the doc_id formulas - the legacy bytes never enter the compare.
       import s.implicits._
-      val blobs = tbl(s, dir, "documents")
+      val blobs = tblS(s, dir, "documents")
         .select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
           val (cs, phrase) = (id % 4).toInt match {
@@ -2519,7 +2540,7 @@ object SparkEntry {
       // one row per extracted link. Oracle replays the field formulas
       // closed-form (1 + doc_id % 3 links per page).
       import s.implicits._
-      val blobs = tbl(s, dir, "documents")
+      val blobs = tblS(s, dir, "documents")
         .select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
           val links = (0L until (1 + id % 3)).map { k =>
@@ -2554,7 +2575,7 @@ object SparkEntry {
       // oracle replays the url/date formulas - container bytes never
       // enter the compare.
       import s.implicits._
-      val blobs = tbl(s, dir, "documents")
+      val blobs = tblS(s, dir, "documents")
         .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
@@ -2596,7 +2617,7 @@ object SparkEntry {
       // WarcSpec/OpsSpec) and the oracle composes the shared c4 +
       // line-dedup fragments directly over the shell.
       import s.implicits._
-      val blobs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val blobs = tblS(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"), synthLinedCol.as("ltext"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, ltext) =>
@@ -3029,7 +3050,7 @@ object SparkEntry {
         .when(col("doc_id") % 6 === 3, lit("<base href=\"/newroot/\">"))
         .otherwise(lit(""))
       WebOps.resolveLinks(
-        tbl(s, dir, "documents")
+        tblS(s, dir, "documents")
           .withColumn("url", synthUrlCol)
           .withColumn("html", concat(baseTag, synthLinkHtmlCol)),
         "url", "html")
@@ -3120,12 +3141,12 @@ object SparkEntry {
       // exact top-20 tokens via the sketch-first two-phase pipeline
       // (SpaceSaving UDAF candidates -> exact recount); the oracle is a
       // plain exact top-20, which the two-phase result must EQUAL
-      TextOps.heavyHitterTokens(tbl(s, dir, "documents"), "text", k = 20)
+      TextOps.heavyHitterTokens(tblS(s, dir, "documents"), "text", k = 20)
     },
     "text_chunks" -> { (s, dir) =>
       // context-window packing: token-budgeted training chunks with
       // overlap; per-row 1->N expansion, zero shuffles (scan speed)
-      TextOps.chunkDocuments(tbl(s, dir, "documents"), "doc_id", "text",
+      TextOps.chunkDocuments(tblS(s, dir, "documents"), "doc_id", "text",
         budget = 64, overlap = 16)
     },
     "docs_profile" -> { (s, dir) =>
@@ -3384,7 +3405,7 @@ object SparkEntry {
       // The oracle replays the real-format dims from the same doc_id
       // arithmetic and the raw dims from its own md5.
       val media = MultimodalOps.asMedia(
-        tbl(s, dir, "documents").withColumn("payload",
+        tblS(s, dir, "documents").withColumn("payload",
           when(col("doc_id") % 5 === 0,
             MultimodalOps.synthPngHeader(
               lit(1) + col("doc_id") % 1024,
@@ -3417,7 +3438,7 @@ object SparkEntry {
       // the Float outputs are exact and the oracle replays the entire
       // forward pass from hex(payload) byte extraction in SQL
       val media = MultimodalOps.asMedia(
-        tbl(s, dir, "documents").withColumn("payload", encode(col("text"), "utf-8")),
+        tblS(s, dir, "documents").withColumn("payload", encode(col("text"), "utf-8")),
         "doc_id", "payload", "image")
       val feats = MultimodalOps.decodeAndFeaturize(
         media, MultimodalOps.PatchProjectionModel)
@@ -3432,7 +3453,7 @@ object SparkEntry {
       // per-pixel formula, never touching the compressed representation.
       import s.implicits._
       val media = MultimodalOps.asMedia(
-        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        tblS(s, dir, "documents").select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             val w = 8 + (id % 24).toInt
             val h = 8 + ((id * 3) % 24).toInt
@@ -3449,7 +3470,7 @@ object SparkEntry {
       // integer sample formula
       import s.implicits._
       val media = MultimodalOps.asMedia(
-        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        tblS(s, dir, "documents").select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             val seed = id % 29
             val n = 325 + (seed % 7).toInt * 50
@@ -3463,7 +3484,7 @@ object SparkEntry {
       // Hamming join finds every pair within radius 2 losslessly
       import s.implicits._
       val media = MultimodalOps.asMedia(
-        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        tblS(s, dir, "documents").select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             val seed = id % 29
             val n = 325 + (seed % 7).toInt * 50
@@ -3479,7 +3500,7 @@ object SparkEntry {
       // hash from the pixel formula (bit 63 via the min-BIGINT literal)
       import s.implicits._
       val media = MultimodalOps.asMedia(
-        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        tblS(s, dir, "documents").select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             val w = 8 + (id % 24).toInt
             val h = 8 + ((id * 3) % 24).toInt
@@ -3495,7 +3516,7 @@ object SparkEntry {
       // is exactly what the oracle's O(n^2) replay computes
       import s.implicits._
       val media = MultimodalOps.asMedia(
-        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        tblS(s, dir, "documents").select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             val seed = id % 37
             val w = 8 + (seed % 24).toInt
@@ -3515,7 +3536,7 @@ object SparkEntry {
       // The oracle replays the stats from the per-BLOCK formula.
       import s.implicits._
       val media = MultimodalOps.asMedia(
-        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        tblS(s, dir, "documents").select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             val w = 8 + (id % 24).toInt
             val h = 8 + ((id * 3) % 24).toInt
@@ -3536,7 +3557,7 @@ object SparkEntry {
       // bytes never enter the compare.
       import s.implicits._
       val media = MultimodalOps.asMedia(
-        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        tblS(s, dir, "documents").select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             val w = 8 + (id % 24).toInt
             val h = 8 + ((id * 3) % 24).toInt
@@ -3558,7 +3579,7 @@ object SparkEntry {
       // media_pixel_features, sharing its forward-pass oracle tail
       import s.implicits._
       val media = MultimodalOps.asMedia(
-        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        tblS(s, dir, "documents").select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             val w = 8 + (id % 24).toInt
             val h = 8 + ((id * 3) % 24).toInt
@@ -3584,7 +3605,7 @@ object SparkEntry {
       // broad) collision families deterministic on both engines.
       import s.implicits._
       val media = MultimodalOps.asMedia(
-        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        tblS(s, dir, "documents").select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             val vs = id % 97
             val w = 16 + (vs % 7).toInt * 8
@@ -3604,7 +3625,7 @@ object SparkEntry {
       // decode.
       import s.implicits._
       val media = MultimodalOps.asMedia(
-        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        tblS(s, dir, "documents").select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             val vs = id % 97
             val w = 16 + (vs % 7).toInt * 8
@@ -3624,7 +3645,7 @@ object SparkEntry {
       // compressed bytes never enter the feature math.
       import s.implicits._
       val media = MultimodalOps.asMedia(
-        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        tblS(s, dir, "documents").select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             val w = 8 + (id % 24).toInt
             val h = 8 + ((id * 3) % 24).toInt
@@ -3643,7 +3664,7 @@ object SparkEntry {
       // window arithmetic; compressed/container bytes never enter it.
       import s.implicits._
       val media = MultimodalOps.asMedia(
-        tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        tblS(s, dir, "documents").select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             (id, MultimodalOps.synthWavPcmBytes(id, 8000, (500 + id % 1000).toInt))
           }).toDF("doc_id", "payload"),
@@ -3744,7 +3765,7 @@ object SparkEntry {
       // (id, lang, n_tok) output, because temperatureMix's plan reads
       // its input on three branches and a classifier must run once
       // per document, not once per consumer.
-      val shell = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val shell = tblS(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"), mapped.as("stext"))
         .localCheckpoint()
       val docsPre = shell
@@ -3879,7 +3900,7 @@ object SparkEntry {
       // both with fields from doc_id arithmetic, emitted spec-compliant
       // by synthWav/Mp4Header; the rest raw text ('unknown'/'empty').
       val media = MultimodalOps.asMedia(
-        tbl(s, dir, "documents").withColumn("payload",
+        tblS(s, dir, "documents").withColumn("payload",
           when(col("doc_id") % 3 === 0,
             MultimodalOps.synthWavHeader(
               lit(8000) * (lit(1) + col("doc_id") % 6),
@@ -3938,7 +3959,7 @@ object SparkEntry {
       // chunk METADATA (id, index, byte count) so the whole explode/
       // substring pipeline is oracle-checkable without binary compares
       val media = MultimodalOps.asMedia(
-        tbl(s, dir, "documents").withColumn("payload", encode(col("text"), "utf-8")),
+        tblS(s, dir, "documents").withColumn("payload", encode(col("text"), "utf-8")),
         "doc_id", "payload", "video")
       MultimodalOps.sampleChunks(media, chunkBytes = 64, stride = 2)
         .select(col("media_id"),
@@ -4022,7 +4043,7 @@ object SparkEntry {
       // width 16 is deliberately undersized for the 31-token vocabulary
       // so the collision/overestimate path is exercised (est >= exact,
       // min-of-4-rows; mirrors the undersized-SpaceSaving spec)
-      val docs = tbl(s, dir, "documents")
+      val docs = tblS(s, dir, "documents")
       val toks = TextOps.tokenize(docs, "doc_id", "text").select(col("token"))
       val sketch = SketchOps.countMinSketch(toks, "token", depth = 4, width = 16)
       val probes = TextOps.heavyHitterTokens(docs, "text", k = 20)
@@ -4157,7 +4178,7 @@ object SparkEntry {
       // triangle counts + local clustering coefficient per node over the
       // mutual-5NN graph (degree <= 5 by construction, so the wedge
       // join is O(k^2 * N); candidates swap to LSH/IVF at larger N)
-      val emb = tbl(s, dir, "embeddings")
+      val emb = tblS(s, dir, "embeddings")
       val edges = SimilarityOps.mutualKnnEdges(emb, "vec_id", "embedding", k = 5)
       GraphOps.triangleCounts(edges, "a", "b")
         .select(col("node").as("node_id"), col("degree"),
@@ -4169,7 +4190,7 @@ object SparkEntry {
       // in the core) - the cohesive-cluster extraction that runs BEFORE
       // anything quadratic; measured peel depth 8-12 rounds on this
       // fixture, each round degree-agg + two key-equality anti-joins
-      val emb = tbl(s, dir, "embeddings")
+      val emb = tblS(s, dir, "embeddings")
       val edges = SimilarityOps.mutualKnnEdges(emb, "vec_id", "embedding", k = 5)
       GraphOps.kCore(edges, "a", "b", k = 3)
     },
@@ -4458,7 +4479,7 @@ object SparkEntry {
       // CUBE: all 2^k grouping combinations in one pass (q7_rollup
       // covers the hierarchical subset). grouping_id disambiguates
       // subtotal rows from genuine NULL groups, as in q7.
-      tbl(s, dir, "lineitem")
+      tblS(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(
           grouping_id().cast(IntegerType).as("gid"),
@@ -4486,7 +4507,7 @@ object SparkEntry {
       // is a stable fact of the dataset, not a flaky assertion). At
       // 100 TB the sketch is the only affordable distinct count: fixed
       // ~kb of state per group, no distinct-key shuffle.
-      tbl(s, dir, "lineitem")
+      tblS(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_orderkey")).as("exact_nd"),
@@ -4672,8 +4693,8 @@ object SparkEntry {
       // node ids disambiguated by parity). 10 integer-arithmetic rounds -
       // bit-exact under any aggregation order (GraphOps.pageRank), which
       // is what lets a second engine replay it to an exact hash
-      val ord = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = tblS(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = tblS(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val edges = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
@@ -4685,8 +4706,8 @@ object SparkEntry {
       // exact period-<=2 fixed point and parity-corrects, so its output
       // is BIT-IDENTICAL to the fixed-round path - same oracle as
       // graph_pagerank (whether or not the probe fires at this sf)
-      val ord = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = tblS(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = tblS(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val edges = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
@@ -4698,8 +4719,8 @@ object SparkEntry {
       // 5 synchronous label-propagation rounds, most-frequent-neighbor
       // label with min-label tie-break - deterministic integer
       // arithmetic, so the oracle replays all rounds exactly
-      val ord = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = tblS(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = tblS(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val edges = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
@@ -4846,7 +4867,7 @@ object SparkEntry {
       // template-heavy, so the hot-fp cap is tighter than skewCap and
       // the evidence threshold higher: 38 true near-dup pairs at
       // sf0.01, not a 88k-pair boilerplate hairball
-      DedupOps.winnowPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      DedupOps.winnowPairs(tblS(s, dir, "documents"), "doc_id", "text",
         k = 8, w = 4, minShared = 8, maxFpDocFreq = 20)
     },
     "docs_repeat_mix" -> { (s, dir) =>
@@ -4885,7 +4906,7 @@ object SparkEntry {
       // treeAggregate pass (corpus never shuffles); decimal-fixed
       // accumulation is order-independent, so the oracle re-sums the
       // identical decimals
-      SimilarityOps.covarianceUpper(tbl(s, dir, "embeddings"), "embedding", dim = 64)),
+      SimilarityOps.covarianceUpper(tblS(s, dir, "embeddings"), "embedding", dim = 64)),
     "docs_interleave" -> { (s, dir) =>
       // stride-scheduled mixture: a 50/30/20 three-source training
       // stream whose every prefix tracks the weights (spec pins the

@@ -627,25 +627,69 @@ object DedupOps {
       col("id"),
       col("hsh"),
       explode(array(blockStructs: _*)).as("bk")
-    )
+    ).select(col("id"), col("hsh"),
+      col("bk.blk").as("blk"), col("bk.key").as("key"))
     // same skew guard as minhashLshPairs: bound the quadratic worst key
     val keyed =
       if (maxBlockSize == Long.MaxValue) keyedAll
       else {
-        val hot = keyedAll.groupBy("bk").count()
-          .filter(col("count") > maxBlockSize).select("bk")
-        keyedAll.join(broadcast(hot), Seq("bk"), "left_anti")
+        val hot = keyedAll.groupBy("blk", "key").count()
+          .filter(col("count") > maxBlockSize).select("blk", "key")
+        keyedAll.join(broadcast(hot), Seq("blk", "key"), "left_anti")
       }
-    keyed.as("a")
+    // The pair enumeration inside a block is O(B^2), and real fingerprint
+    // distributions are wildly skewed (measured on the sf0.1 media
+    // fixtures: ONE dHash class holds 51% of all video-frame pairs; the
+    // three degenerate all-ones image blocks hold ~97% of 17.4M pairs) -
+    // so a plain self-join runs almost the whole join in one or two
+    // tasks no matter the partition count, and AQE's skew handling can't
+    // help (it splits by BYTES, and one equality key can't be split at
+    // all). Standard hot-key treatment (guide §2.5): decompose each
+    // block's pair space into triangle sub-quadrants. Rows get a
+    // deterministic sub-group g in [0, G) with G = ceil(B / subBlockRows)
+    // (capped - a block at the cap is degenerate and maxBlockSize is the
+    // intended guard); the LEFT side carries a copy per (g, h >= g)
+    // sub-key, the RIGHT side per (l <= g, g), and the join key grows to
+    // (blk, key, lo, hi): a same-group pair meets once on the diagonal
+    // (kept iff a.id < b.id, exactly the old condition), a cross-group
+    // pair meets exactly once off-diagonal (normalized to id_a < id_b by
+    // least/greatest). The produced pair SET is identical to the plain
+    // a.id < b.id self-join; work per task is bounded by ~subBlockRows^2
+    // pairs. Small blocks (B <= subBlockRows) have G = 1 and reduce to
+    // the old plan shape. The window count rides the same (blk, key)
+    // shuffle the join needed anyway, and the final EXPLICIT repartition
+    // pins the parallelism to spark.sql.shuffle.partitions (the scale
+    // knob) so AQE's bytes-based coalescing cannot serialize this
+    // compute-bound stage (measured: it folded the 390 KB exchange to
+    // one partition and ran 5.1 s single-task at local[32]).
+    val subBlockRows = 256L
+    val maxSubGroups = 64L
+    val wspec = org.apache.spark.sql.expressions.Window.partitionBy("blk", "key")
+    val grouped = keyed
+      .withColumn("gr_gn",
+        least(ceil(count(lit(1)).over(wspec) / subBlockRows), lit(maxSubGroups))
+          .cast(org.apache.spark.sql.types.LongType))
+      .withColumn("gr_g", pmod(xxhash64(col("id")), col("gr_gn")))
+    val left = grouped
+      .withColumn("gr_hi", explode(sequence(col("gr_g"), col("gr_gn") - 1)))
+      .select(col("id"), col("hsh"), col("blk"), col("key"),
+        col("gr_g").as("lo"), col("gr_hi").as("hi"))
+    val right = grouped
+      .withColumn("gr_lo", explode(sequence(lit(0L), col("gr_g"))))
+      .select(col("id"), col("hsh"), col("blk"), col("key"),
+        col("gr_lo").as("lo"), col("gr_g").as("hi"))
+    val nParts = fps.sparkSession.sessionState.conf.numShufflePartitions
+    val jk = Seq("blk", "key", "lo", "hi")
+    left.repartition(nParts, jk.map(col): _*).as("a")
       .join(
-        keyed.as("b").hint("shuffle_hash"),
-        col("a.bk.blk") === col("b.bk.blk") &&
-          col("a.bk.key") === col("b.bk.key") &&
-          col("a.id") < col("b.id")
+        right.repartition(nParts, jk.map(col): _*).as("b").hint("shuffle_hash"),
+        jk.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+          (col("a.lo") =!= col("a.hi") || col("a.id") < col("b.id"))
       )
       // filter on hamming FIRST (codegen'd xor+bit_count on values already
       // in the join row), then dedupe the narrow survivors
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
         bit_count(col("a.hsh").bitwiseXOR(col("b.hsh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
