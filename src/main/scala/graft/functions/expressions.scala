@@ -1616,6 +1616,11 @@ case class RepStats(child: Expression, n: Int) extends UnaryExpression {
   * same md5-per-shingle the fingerprint definition requires.
   */
 case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  // fail at construction (plan time), not as an executor
+  // ArrayIndexOutOfBounds: k <= 0 indexes off(p + k) negative inside the
+  // kernel, w <= 0 makes the window deque degenerate
+  require(k >= 1 && w >= 1,
+    s"winnow_fps needs k >= 1 and w >= 1 (shingle length / window size), got k=$k, w=$w")
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType.isInstanceOf[StringType])
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess

@@ -244,8 +244,15 @@ object GraphOps {
     val smallRanks = nodeCount <= broadcastNodeLimit &&
       estBroadcastBytes(deg, "node", nodeCount) <= BroadcastByteLimit
     val restart = 15L * unit / 100L
+    // deg is a checkpointed LogicalRDD: its stats are UNKNOWN, so the
+    // planner picked a SortMergeJoin with TWO exchanges + sorts for the
+    // node-sized contribution join INSIDE EVERY ROUND (plan audit r17:
+    // Exchange/Sort/SMJ under each round's BroadcastExchange). Under the
+    // same size guard that already broadcasts contrib, broadcast deg:
+    // one reused broadcast per materialization instead of 2 exchanges +
+    // 2 sorts per round. Oversized graphs keep the shuffled join.
     def round(state: DataFrame): DataFrame = {
-      val contrib = state.join(deg, Seq("node"))
+      val contrib = state.join(if (smallRanks) broadcast(deg) else deg, Seq("node"))
         .select(F.col("node").as("src"), expr("r div deg").as("c"))
       val joined =
         if (smallRanks) edgesByDst.join(broadcast(contrib), Seq("src"))
@@ -271,7 +278,10 @@ object GraphOps {
         if (i % 3 != 1 || i == iterations - 1) ranks = ranks.localCheckpoint()
         if (i % 3 == 2 && i != iterations - 1 && prev != null) {
           val delta = ranks
-            .join(prev.select(F.col("node"), F.col("r").as("pr")), Seq("node"))
+            .join(
+              if (smallRanks) broadcast(prev.select(F.col("node"), F.col("r").as("pr")))
+              else prev.select(F.col("node"), F.col("r").as("pr")),
+              Seq("node"))
             .agg(coalesce(max(F.abs(F.col("r") - F.col("pr"))), lit(0L)))
             .head().getLong(0)
           if (delta <= tol) {
@@ -398,9 +408,11 @@ object GraphOps {
     // reaches is far smaller than the crawl's node universe. Unreached
     // nodes join back as zeros ONCE, at the end.
     val seedFrame = nodes.filter(F.col("gr_boost") > 0L).localCheckpoint()
+    // same checkpointed-stats SMJ trap as pageRank's round: broadcast
+    // the node-sized outdeg under the existing size guard
     def round(state: DataFrame): DataFrame = {
       val contrib = state.filter(F.col("r") > 0L)
-        .join(outdeg, Seq("node"))
+        .join(if (smallRanks) broadcast(outdeg) else outdeg, Seq("node"))
         .select(F.col("node").as("src"), expr("r div deg").as("c"))
       val joined =
         if (smallRanks) e.join(broadcast(contrib), Seq("src"))
@@ -744,6 +756,13 @@ object GraphOps {
     // long before the row-count guard trips (same guard as pageRank)
     val smallLabels = nodeCount <= broadcastNodeLimit &&
       estBroadcastBytes(nodes, "node", nodeCount, carriedW = -1) <= BroadcastByteLimit
+    // NOTE (r17 probe, VERDICT r16 #3): materializing every third round
+    // (pageRank's plan-depth discipline) was tried against the fused
+    // 5-round plan and measured NO improvement (4.71 s vs 4.21-4.72 s
+    // session band at sf0.1/32) - the isolated-wall bimodality is not
+    // plan-depth/analysis-dominated at this scale, so the fused lazy
+    // plan (each round's broadcast subtree executes once, zero
+    // intermediate materializations) stays.
     var labels = nodes.withColumn("lab", F.col("node"))
     for (_ <- 1 to rounds) {
       val prev = labels.withColumnRenamed("node", "src")
@@ -810,12 +829,41 @@ object GraphOps {
     val sym = edges.select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
       .filter(F.col("src").isNotNull && F.col("dst").isNotNull &&
         F.col("src") =!= F.col("dst"))
+    // hash on src alone satisfies the distinct's (src, dst) clustering
+    // requirement (subset clustering - the pageRank edgesByDst trick),
+    // and BHJ anti-joins preserve the stream side's partitioning, so
+    // EVERY round's degree aggregate then reuses this one exchange:
+    // the per-round broadcast builds become single-stage jobs instead
+    // of shuffle+reduce pairs
     var cur = sym
       .union(sym.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      .repartition(F.col("src"))
       .distinct()
       .localCheckpoint()
+    // Loop discipline reworked for job count (measured: the old
+    // materialize-bad / probe-emptiness / materialize-next shape cost
+    // ~11 Spark jobs per peel round, ~5 s of pure scheduling at
+    // local[32], with bad's unknown checkpoint stats additionally
+    // forcing SortMergeJoin anti-joins - 2 exchanges + 2 sorts of the
+    // full edge set per round). Now:
+    //   - `bad` is never materialized on the common path: it rides the
+    //     two anti-joins as a broadcast build (one cheap degree
+    //     aggregate per build, read from the checkpointed edge cache);
+    //   - the fixpoint probe is FREE: a peeled vertex always owns >= 1
+    //     edge row, so the edge count strictly decreases iff bad was
+    //     non-empty - comparing the (needed anyway) count of `next`
+    //     with the previous round's count detects convergence without a
+    //     separate emptiness job;
+    //   - the broadcast guard needs no count of bad: |bad| <= |cur
+    //     vertices| <= |cur| rows, and the previous round's count is in
+    //     hand, so `curCnt * 64 <= BroadcastByteLimit` is a sound
+    //     conservative bytes bound. Giant early peels (curCnt over the
+    //     cap) take the materialized-bad shuffled path as before.
+    // Round count semantics unchanged: the round that discovers the
+    // fixpoint still increments `it` (ScaleCheck pins 9/9 on the gadget).
+    var curCnt = cur.count()
     var it = 0
-    var done = cur.isEmpty
+    var done = curCnt == 0L
     while (!done) {
       if (it >= maxIter)
         throw new IllegalStateException(
@@ -825,18 +873,39 @@ object GraphOps {
         .agg(count(lit(1)).as("deg"))
         .filter(F.col("deg") < k)
         .select(F.col("src"))
-        .localCheckpoint()
-      if (bad.isEmpty) done = true
-      else {
+      if (curCnt * 64L <= BroadcastByteLimit) {
         val next = cur
-          .join(bad, Seq("src"), "left_anti")
-          .join(bad.withColumnRenamed("src", "dst"), Seq("dst"), "left_anti")
+          .join(broadcast(bad), Seq("src"), "left_anti")
+          .join(broadcast(bad.withColumnRenamed("src", "dst")), Seq("dst"), "left_anti")
           .select(F.col("src"), F.col("dst")) // pin column order across rounds
           .localCheckpoint()
-        OpsUtil.unpersistCheckpoint(cur)
-        cur = next
+        val nextCnt = next.count()
+        if (nextCnt == curCnt) { // nothing peeled: bad was empty, cur is the core
+          OpsUtil.unpersistCheckpoint(next)
+          done = true
+        } else {
+          OpsUtil.unpersistCheckpoint(cur)
+          cur = next
+          curCnt = nextCnt
+        }
+      } else {
+        // oversized frontier: materialize + size bad once, then decide
+        val badP = bad.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nBad = badP.count()
+        if (nBad == 0L) done = true
+        else {
+          val badJ = if (nBad * 64L <= BroadcastByteLimit) broadcast(badP) else badP
+          val next = cur
+            .join(badJ, Seq("src"), "left_anti")
+            .join(badJ.withColumnRenamed("src", "dst"), Seq("dst"), "left_anti")
+            .select(F.col("src"), F.col("dst"))
+            .localCheckpoint()
+          OpsUtil.unpersistCheckpoint(cur)
+          cur = next
+          curCnt = next.count()
+        }
+        badP.unpersist(blocking = false)
       }
-      OpsUtil.unpersistCheckpoint(bad) // next is materialized; bad is consumed
       it += 1
     }
     // Release contract (same as the other iterative ops here): the

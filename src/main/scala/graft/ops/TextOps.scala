@@ -1902,7 +1902,11 @@ object TextOps {
     * length shuffle) plus a distinct exchange; the fingerprints are
     * bit-identical (h is still the first 8 md5 hex digits of the
     * shingle, so the engine-portable SQL replay is unchanged). Output:
-    * (idCol, pos, fp) distinct selected fingerprints.
+    * (idCol, pos, fp) - the selected fingerprints, distinct PER ROW:
+    * the kernel emits each row's selected set once, so callers must
+    * ensure idCol is unique per input row (the old plan-level distinct
+    * also collapsed duplicate (id, pos, fp) across repeated-id rows; a
+    * union of corpora with colliding ids now yields duplicated rows).
     */
   def winnowFingerprints(
       df: DataFrame,

@@ -25,6 +25,10 @@ object ScaleCheck {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same parallelism floor as graft.Bench (r17): never let AQE
+      // coalesce a compute-bound stage below one task per core
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -503,9 +507,23 @@ object ScaleCheck {
       val fd = ed.join(pairs.select(col("id_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
         .localCheckpoint()
+      // size the Bloom bitset WITH the eval slice (ADVICE r16): a fixed
+      // 1<<18 saturates once the arm's distinct 4-gram set outgrows it,
+      // the false-positive rate climbs, far more of the corpus gets
+      // flagged "contaminated", and the bigger arm then runs a smaller
+      // downstream stage - the weak-scaling ratio would understate true
+      // cost. ~500 bits per eval doc (~100 distinct 4-grams/doc at
+      // ~5 bits/item for k=3), rounded up to a power of two, floored at
+      // the original 1<<18. df is a checkpointed leaf, so the sizing
+      // count is cheap and OUTSIDE the timed region (timedPair/timed
+      // time the returned frame only).
+      val evalDocs = df.filter(col("doc_id") % 10 === 0).count()
+      val mBits = math.max(1 << 18, Integer.highestOneBit(
+        math.min(1L << 30, math.max(1L, evalDocs * 500L) * 2 - 1).toInt))
+      println(s"docs_pretrain_tail: evalDocs=$evalDocs mBits=$mBits")
       val flagged = graft.ops.TextOps.bloomDecontam(fd, "doc_id", "text",
         df.filter(col("doc_id") % 10 === 0), "text",
-        shingleLen = 4, mBits = 1 << 18, kHashes = 3)
+        shingleLen = 4, mBits = mBits, kHashes = 3)
       val clean = fd.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"),
           size(graft.ops.DedupOps.tokens(col("text"))).cast("long").as("n_tok"))
@@ -535,9 +553,23 @@ object ScaleCheck {
       val fd = ed.join(pairs.select(col("id_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
         .localCheckpoint()
+      // size the Bloom bitset WITH the eval slice (ADVICE r16): a fixed
+      // 1<<18 saturates once the arm's distinct 4-gram set outgrows it,
+      // the false-positive rate climbs, far more of the corpus gets
+      // flagged "contaminated", and the bigger arm then runs a smaller
+      // downstream stage - the weak-scaling ratio would understate true
+      // cost. ~500 bits per eval doc (~100 distinct 4-grams/doc at
+      // ~5 bits/item for k=3), rounded up to a power of two, floored at
+      // the original 1<<18. df is a checkpointed leaf, so the sizing
+      // count is cheap and OUTSIDE the timed region (timedPair/timed
+      // time the returned frame only).
+      val evalDocs = df.filter(col("doc_id") % 10 === 0).count()
+      val mBits = math.max(1 << 18, Integer.highestOneBit(
+        math.min(1L << 30, math.max(1L, evalDocs * 500L) * 2 - 1).toInt))
+      println(s"docs_pretrain_tail: evalDocs=$evalDocs mBits=$mBits")
       val flagged = graft.ops.TextOps.bloomDecontam(fd, "doc_id", "text",
         df.filter(col("doc_id") % 10 === 0), "text",
-        shingleLen = 4, mBits = 1 << 18, kHashes = 3)
+        shingleLen = 4, mBits = mBits, kHashes = 3)
       val clean = fd.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"),
           size(graft.ops.DedupOps.tokens(col("text"))).cast("long").as("n_tok"))

@@ -686,6 +686,35 @@ class OpsSpec extends SparkSpec {
     assert(simCapped.count() == 0)
   }
 
+  test("hammingPairs: sub-quadrant split (hot blocks > 256 rows) matches the O(n^2) reference") {
+    // the r17 skew decomposition replicates rows of hot blocks across
+    // triangle sub-quadrants; the produced pair SET must stay identical
+    // to a plain all-pairs reference. Fixture engineered to cross the
+    // G=1 threshold (subBlockRows = 256): one class of 600 identical
+    // hashes (G=3 at radius 0), one of 300 sharing only the LOW block at
+    // radius 1 (so cross-block dedupe also exercises), plus scattered
+    // near-pairs and singletons.
+    val rows =
+      (0L until 600L).map(i => (i, 0x1234567890abcdefL)) ++ // hot equal class
+      (1000L until 1300L).map(i => (i, (i % 7) << 32 | 0x00000000000000ffL)) ++
+      Seq((2000L, 0x0f0f0f0f0f0f0f0fL), (2001L, 0x0f0f0f0f0f0f0f1fL), // hamming 1
+        (2002L, 0x7000000000000000L), (2003L, 0x7000000000000001L)) ++
+      (3000L until 3050L).map(i => (i, i * 0x9e3779b97f4a7c15L)) // scatter
+    for (radius <- Seq(0, 1, 3)) {
+      val fps = rows.toDF("id", "h")
+      val got = DedupOps.hammingPairs(fps, "id", "h", maxHamming = radius)
+        .as[(Long, Long, Int)].collect().toSet
+      val arr = rows.toArray
+      val expect = (for {
+        i <- arr.indices.iterator; j <- (i + 1) until arr.length
+        d = java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2) if d <= radius
+        a = math.min(arr(i)._1, arr(j)._1); b = math.max(arr(i)._1, arr(j)._1)
+      } yield (a, b, d)).toSet
+      assert(got == expect,
+        s"radius $radius: got ${got.size} pairs, expected ${expect.size}")
+    }
+  }
+
   test("jaccardPairs: hot-token cap bounds candidate pairs, keeps real matches") {
     // every doc shares a stop token, so uncapped candidate generation is
     // quadratic in the corpus (the 100 TB scale-killer); docs 1,2 are
