@@ -36,5 +36,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default raised 8g -> 20g (r17): local[32] runs 32 concurrent tasks
+  // whose sort/aggregate buffers share execution memory - at 8g the
+  // in-suite walls of allocation-heavy queries ran 1.5-2x their isolated
+  // walls (GC pressure), on a 128 GiB host. Env-overridable as before.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )
