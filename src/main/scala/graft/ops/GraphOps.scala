@@ -294,13 +294,17 @@ object GraphOps {
         prev = before
       } else {
         // fixed iteration count = no per-round convergence probe, so no
-        // per-round action either: materialize only every third round to
+        // per-round action either: materialize only every FIFTH round to
         // cap plan depth (the edge table re-enters the plan each round;
         // unbounded, analysis cost grows superlinearly). The rounds in
         // between fuse into ONE query whose nested broadcast subtrees
-        // each execute once - measured faster than both per-round
-        // checkpoints and a fully fused 10-round plan.
-        if (i % 3 == 2 && i != iterations - 1) ranks = ranks.localCheckpoint()
+        // each execute once. Stride re-measured r17 after the contrib
+        // join went broadcast (each fused round is now one cheap BHJ
+        // subtree, so deeper fusion pays): stride 5 reads 3.16 s vs
+        // stride 3's 3.78 s on graph_pagerank at sf0.1/32; trustRank
+        // keeps stride 3 - its rounds nest an extra full-outer join and
+        // measured 1.7x WORSE at stride 5.
+        if (i % 5 == 4 && i != iterations - 1) ranks = ranks.localCheckpoint()
       }
       i += 1
     }
