@@ -767,6 +767,26 @@ object GraphOps {
     // plan-depth/analysis-dominated at this scale, so the fused lazy
     // plan (each round's broadcast subtree executes once, zero
     // intermediate materializations) stays.
+    // Vote-argmin form (r17): min(struct(-votes, lab)) is a
+    // DeclarativeAggregate over a STRUCT buffer, which HashAggregate
+    // cannot hold - the plan audit showed a SortAggregate + TWO sorts of
+    // the edge-sized vote frame in EVERY round (20 Sort/SortAggregate
+    // nodes across 5 rounds). When the label domain is integral,
+    // non-negative and < 2^31 - labels are always node ids, so one
+    // bounds check of the materialized node frame settles every round -
+    // and the vote count fits an int (votes <= |E|, checked), the
+    // (votes, lab) argmin packs losslessly into ONE long:
+    //   enc = votes * 2^32 + (2^32 - 1 - lab)
+    // whose plain MAX (hash-aggregate-friendly) is exactly "most votes
+    // first, smallest label on ties". Out-of-bounds / non-integral ids
+    // keep the struct-min path.
+    val idType = nodes.schema("node").dataType
+    val packable = (idType == LongType || idType == IntegerType) && {
+      val r = nodes.agg(F.min(F.col("node").cast(LongType)),
+        F.max(F.col("node").cast(LongType))).head()
+      !r.isNullAt(0) && r.getLong(0) >= 0L && r.getLong(1) < (1L << 31) &&
+        e.count() < (1L << 31) // votes bound; e is checkpointed, count cheap
+    }
     var labels = nodes.withColumn("lab", F.col("node"))
     for (_ <- 1 to rounds) {
       val prev = labels.withColumnRenamed("node", "src")
@@ -775,12 +795,25 @@ object GraphOps {
         else e.join(prev, "src")
       // most votes first, smallest label on ties == lexicographic min
       // of (-votes, lab)
-      labels = joined
+      val votes = joined
         .groupBy(F.col("dst").as("node"), F.col("lab"))
         .agg(count(lit(1)).as("votes"))
-        .groupBy(F.col("node"))
-        .agg(min(struct((-F.col("votes")).as("nv"), F.col("lab").as("lab"))).as("best"))
-        .select(F.col("node"), F.col("best.lab").as("lab"))
+      labels =
+        if (packable)
+          votes
+            .select(F.col("node"),
+              (F.col("votes") * lit(4294967296L) +
+                (lit(4294967295L) - F.col("lab").cast(LongType))).as("gr_enc"))
+            .groupBy(F.col("node"))
+            .agg(F.max(F.col("gr_enc")).as("gr_m"))
+            .select(F.col("node"),
+              (lit(4294967295L) - F.col("gr_m").bitwiseAND(lit(4294967295L)))
+                .cast(idType).as("lab"))
+        else
+          votes
+            .groupBy(F.col("node"))
+            .agg(min(struct((-F.col("votes")).as("nv"), F.col("lab").as("lab"))).as("best"))
+            .select(F.col("node"), F.col("best.lab").as("lab"))
     }
     labels
   }

@@ -3415,6 +3415,31 @@ class OpsSpec extends SparkSpec {
     assert(got === labels)
   }
 
+  test("labelPropagation: packed-long argmin path == struct-min fallback path") {
+    // the r17 hash-aggregate encoding (enc = votes*2^32 + (2^32-1-lab),
+    // plain max) must pick EXACTLY the struct-min winner, ties included.
+    // Same random graph run three ways: long ids in-range (packed path),
+    // the ids as strings (non-integral -> struct fallback), and the ids
+    // shifted past 2^31 (integral but out of range -> struct fallback).
+    // All three must produce isomorphic labelings.
+    val rnd = new scala.util.Random(41)
+    val raw = Seq.fill(150)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val packed = GraphOps.labelPropagation(raw.toDF("src", "dst"), "src", "dst", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val asStr = GraphOps.labelPropagation(
+      raw.map { case (a, b) => (f"n$a%03d", f"n$b%03d") }.toDF("src", "dst"),
+      "src", "dst", rounds = 4).as[(String, String)].collect().toMap
+    val shift = 1L << 32
+    val shifted = GraphOps.labelPropagation(
+      raw.map { case (a, b) => (a + shift, b + shift) }.toDF("src", "dst"),
+      "src", "dst", rounds = 4).as[(Long, Long)].collect().toMap
+    // zero-padded strings and shifted longs order identically to the
+    // original longs, so the fallback labelings must translate 1:1
+    assert(asStr == packed.map { case (n, l) => (f"n$n%03d", f"n$l%03d") })
+    assert(shifted == packed.map { case (n, l) => (n + shift, l + shift) })
+  }
+
   test("labelPropagation: a bridged pair of cliques splits into two communities") {
     val clique = (off: Long) => for {
       a <- 0L to 3L; b <- 0L to 3L if a < b
