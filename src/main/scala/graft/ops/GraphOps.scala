@@ -181,9 +181,11 @@ object GraphOps {
       dstCol: String,
       iterations: Int = 10,
       unit: Long = 1000000000L,
-      broadcastNodeLimit: Long = 1L << 22
+      broadcastNodeLimit: Long = 1L << 22,
+      driverEdgeLimit: Long = DriverEdgeLimit
   ): DataFrame =
-    pageRankCounted(edges, srcCol, dstCol, iterations, unit, broadcastNodeLimit)._1
+    pageRankCounted(edges, srcCol, dstCol, iterations, unit, broadcastNodeLimit,
+      driverEdgeLimit = driverEdgeLimit)._1
 
   /** [[pageRank]] plus the number of rounds actually executed, with an
     * optional convergence stop: `tol >= 0` probes every third round and
@@ -212,7 +214,8 @@ object GraphOps {
       iterations: Int = 10,
       unit: Long = 1000000000L,
       broadcastNodeLimit: Long = 1L << 22,
-      tol: Long = -1L
+      tol: Long = -1L,
+      driverEdgeLimit: Long = DriverEdgeLimit
   ): (DataFrame, Int) = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(unit > 0, s"unit must be positive, got $unit")
@@ -228,6 +231,21 @@ object GraphOps {
       .repartition(F.col("dst"))
       .distinct()
       .localCheckpoint()
+    // driver off-ramp (the connectedComponents driverUnionFind
+    // discipline - see the off-ramp section at the end of this file):
+    // below the guard the identical integer recurrence runs on collected
+    // arrays, bit-exact, skipping the per-round job-scheduling floor;
+    // the edge derivation above stayed in Spark. The count is one cheap
+    // job over the just-materialized checkpoint.
+    val edgeCnt0 = edgesByDst.count()
+    if (offRampIdType(edgesByDst.schema("src").dataType) &&
+        edgeCnt0 <= driverEdgeLimit &&
+        estBroadcastBytes(edgesByDst, "src", edgeCnt0, carriedW = -1) <= BroadcastByteLimit) {
+      val out = pageRankLocal(edgesByDst, iterations, unit, tol)
+      OpsUtil.unpersistCheckpoint(sym)
+      OpsUtil.unpersistCheckpoint(edgesByDst)
+      return out
+    }
     // symmetrized: every vertex appears as a src, so deg doubles as the
     // vertex set and no vertex dangles (inflow is never empty)
     val deg = edgesByDst.groupBy(F.col("src").as("node"))
@@ -345,14 +363,15 @@ object GraphOps {
       seedCol: String,
       iterations: Int = 10,
       unit: Long = 1000000000L,
-      broadcastNodeLimit: Long = 1L << 22
+      broadcastNodeLimit: Long = 1L << 22,
+      driverEdgeLimit: Long = DriverEdgeLimit
   ): DataFrame = {
     val sd = seeds.select(F.col(seedCol).as("gr_sn"), lit(true).as("gr_seed"))
       .distinct()
     trustRankCore(edges, srcCol, dstCol,
       n => n.join(broadcast(sd), n("node") === F.col("gr_sn"), "left")
         .select(n("node"), coalesce(F.col("gr_seed"), lit(false)).as("gr_is_seed")),
-      iterations, unit, broadcastNodeLimit)
+      iterations, unit, broadcastNodeLimit, driverEdgeLimit)
   }
 
   /** [[trustRank]] with the seed set given as a PREDICATE over the
@@ -369,11 +388,12 @@ object GraphOps {
       isSeed: Column,
       iterations: Int = 10,
       unit: Long = 1000000000L,
-      broadcastNodeLimit: Long = 1L << 22
+      broadcastNodeLimit: Long = 1L << 22,
+      driverEdgeLimit: Long = DriverEdgeLimit
   ): DataFrame =
     trustRankCore(edges, srcCol, dstCol,
       n => n.select(F.col("node"), isSeed.as("gr_is_seed")),
-      iterations, unit, broadcastNodeLimit)
+      iterations, unit, broadcastNodeLimit, driverEdgeLimit)
 
   private def trustRankCore(
       edges: DataFrame,
@@ -382,7 +402,8 @@ object GraphOps {
       markSeeds: DataFrame => DataFrame,
       iterations: Int,
       unit: Long,
-      broadcastNodeLimit: Long
+      broadcastNodeLimit: Long,
+      driverEdgeLimit: Long = DriverEdgeLimit
   ): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(unit > 0, s"unit must be positive, got $unit")
@@ -403,6 +424,13 @@ object GraphOps {
       .select(F.col("node"),
         when(F.col("gr_is_seed"), lit(boost)).otherwise(lit(0L)).as("gr_boost"))
       .localCheckpoint()
+    // driver off-ramp (pageRank discipline): the seed marking already
+    // ran in Spark over the materialized node frame - only the rounds
+    // collect. Same directed integer map, bit-exact.
+    val edgeCnt0 = e.count()
+    if (offRampIdType(e.schema("src").dataType) && edgeCnt0 <= driverEdgeLimit &&
+        estBroadcastBytes(e, "src", edgeCnt0, carriedW = -1) <= BroadcastByteLimit)
+      return trustRankLocal(e, nodes, iterations, unit)
     val nodeCount = nodes.count()
     val smallRanks = nodeCount <= broadcastNodeLimit &&
       estBroadcastBytes(nodes, "node", nodeCount) <= BroadcastByteLimit
@@ -424,10 +452,25 @@ object GraphOps {
       val inflow = joined
         .groupBy(F.col("dst").as("node"))
         .agg(sum(F.col("c")).as("s"))
-      seedFrame.join(inflow, Seq("node"), "full")
-        .select(F.col("node"),
-          (coalesce(F.col("gr_boost"), lit(0L)) +
-            coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
+      if (smallRanks)
+        // the seedFrame-vs-inflow FULL OUTER of two node-sized frames
+        // planned as a SortMergeJoin - 2 exchanges + 2 sorts inside
+        // EVERY round (plan audit r18). Under the guard, LEFT-join the
+        // broadcast inflow onto the already-materialized `nodes` frame
+        // (which carries gr_boost for every node): every node the full
+        // outer produced gets the identical r, and the extra rows are
+        // exactly the nodes the full outer omitted - which only ever
+        // held r = 0 there, a value the next round's r > 0 filter and
+        // the final coalesce both erase. Zero exchanges per round.
+        nodes.join(broadcast(inflow), Seq("node"), "left")
+          .select(F.col("node"),
+            (F.col("gr_boost") +
+              coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
+      else
+        seedFrame.join(inflow, Seq("node"), "full")
+          .select(F.col("node"),
+            (coalesce(F.col("gr_boost"), lit(0L)) +
+              coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
     }
     var ranks = seedFrame.select(F.col("node"), lit(unit).as("r"))
     var i = 0
@@ -436,7 +479,9 @@ object GraphOps {
       if (i % 3 == 2 && i != iterations - 1) ranks = ranks.localCheckpoint()
       i += 1
     }
-    nodes.join(ranks, Seq("node"), "left")
+    // final join: broadcast the lazily-built rank frame under the same
+    // guard (checkpointed-stats SMJ otherwise, as in pageRank/hits)
+    nodes.join(if (smallRanks) broadcast(ranks) else ranks, Seq("node"), "left")
       .select(F.col("node"), coalesce(F.col("r"), lit(0L)).as("trust_int"))
   }
 
@@ -482,13 +527,23 @@ object GraphOps {
       dstCol: String,
       iterations: Int = 8,
       unit: Long = 1000000L,
-      broadcastNodeLimit: Long = 1L << 22
+      broadcastNodeLimit: Long = 1L << 22,
+      driverEdgeLimit: Long = DriverEdgeLimit
   ): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(unit > 0, s"unit must be positive, got $unit")
     val e0 = edges.select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
       .filter(F.col("src").isNotNull && F.col("dst").isNotNull)
     val eByDst = e0.repartition(F.col("dst")).distinct().localCheckpoint()
+    // driver off-ramp (pageRank discipline): the mutual recurrence with
+    // its per-half-step max rescale is the family's worst job-scheduling
+    // floor (StageProbe r18: 100 jobs, 0.9 s task time, 5.7 s wall at
+    // sf0.1/32); below the guard it runs on collected arrays, bit-exact
+    val edgeCnt0 = eByDst.count()
+    if (offRampIdType(eByDst.schema("src").dataType) &&
+        edgeCnt0 <= driverEdgeLimit &&
+        estBroadcastBytes(eByDst, "src", edgeCnt0, carriedW = -1) <= BroadcastByteLimit)
+      return hitsLocal(eByDst, iterations, unit)
     val eBySrc = eByDst.repartition(F.col("src")).localCheckpoint()
     val nodes = eByDst.select(F.col("src").as("node"))
       .union(eByDst.select(F.col("dst").as("node"))).distinct()
@@ -501,15 +556,24 @@ object GraphOps {
       estBroadcastBytes(nodes, "node", nodeCount) <= BroadcastByteLimit
     def bcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // rescale so max == unit; max is a one-row frame cross-joined back
-    // (order-exact, no window). The pre-scale frame is MATERIALIZED
-    // first: the max aggregate and the rescale both read it, and
-    // without the checkpoint each half-step's subtree enters the plan
-    // TWICE - compounding to 2^k recomputation between the every-third
-    // round checkpoints (measured 17s -> ~5s at sf0.1 on the domain
-    // graph). The frame is node-sized, so the materialization is the
-    // cheap half of the trade everywhere above toy scale too.
+    // (order-exact, no window). The pre-scale frame is shared by two
+    // readers (the max aggregate and the rescale projection); without
+    // truncation each half-step's subtree would enter the NEXT plan
+    // TWICE - the logical tree doubles per half-step, 2^(2*iterations)
+    // analysis blowup (a plain persist hung exactly that way when
+    // tried, r18). r18: localCheckpoint LAZILY - eager=false truncates
+    // the logical plan to a LogicalRDD leaf at build time (no
+    // recomputation, no tree growth) but runs NO per-half-step driver
+    // job; the whole 2*iterations-half-step recurrence materializes
+    // inside the single final action below. The eager per-half-step
+    // checkpoint was the op's real wall at local[32]: 2*iterations
+    // scheduled jobs for sub-second task time (StageProbe at sf0.1/32:
+    // 100 jobs, 0.9 s task time, 5.7 s wall). Every checkpoint's
+    // blocks are released after the final materialization.
+    val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def rescale(scores: DataFrame, col: String): DataFrame = {
-      val s = scores.localCheckpoint()
+      val s = scores.localCheckpoint(false)
+      pending += s
       val m = s.agg(F.max(F.col(col)).as("gr_m"))
       s.crossJoin(broadcast(m))
         .select(F.col("node"),
@@ -525,16 +589,26 @@ object GraphOps {
     var h = nodes.select(F.col("node"), lit(unit).as("h"))
     var a = h.select(F.col("node"), lit(0L).as("a"))
     var i = 0
-    // no extra per-3-rounds checkpoint: rescale already materializes
-    // every half-step, so plan depth is bounded at one half-step
     while (i < iterations) {
       a = authStep(h)
       h = hubStep(a)
       i += 1
     }
+    // release contract: materialize the two final node-sized frames
+    // (ONE execution of the fused recurrence - h's plan contains a's,
+    // so a's checkpoint reads its own pre-scale cache), then drop every
+    // intermediate cache in one sweep
+    if (iterations > 0) {
+      h = h.localCheckpoint()
+      a = a.localCheckpoint()
+    }
+    pending.foreach(OpsUtil.unpersistCheckpoint)
+    // final joins: h and a are checkpointed LogicalRDDs with unknown
+    // stats, which planned as TWO SortMergeJoins (plan audit r18);
+    // broadcast them under the same size guard as the round joins
     nodes
-      .join(h, Seq("node"), "left")
-      .join(a, Seq("node"), "left")
+      .join(bcast(h), Seq("node"), "left")
+      .join(bcast(a), Seq("node"), "left")
       .select(F.col("node"),
         coalesce(F.col("h"), lit(0L)).as("hub_int"),
         coalesce(F.col("a"), lit(0L)).as("auth_int"))
@@ -744,7 +818,8 @@ object GraphOps {
       srcCol: String,
       dstCol: String,
       rounds: Int,
-      broadcastNodeLimit: Long = 1L << 22
+      broadcastNodeLimit: Long = 1L << 22,
+      driverEdgeLimit: Long = DriverEdgeLimit
   ): DataFrame = {
     require(rounds >= 0, s"rounds must be non-negative, got $rounds")
     val sym = edges.select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
@@ -753,6 +828,13 @@ object GraphOps {
       .repartition(F.col("dst"))
       .distinct()
       .localCheckpoint() // joined every round: materialize ONCE
+    // driver off-ramp (pageRank discipline): synchronous integer vote
+    // rounds with the orderingFor tie-break run bit-exact on collected
+    // arrays below the guard
+    val edgeCnt0 = e.count()
+    if (offRampIdType(e.schema("src").dataType) && edgeCnt0 <= driverEdgeLimit &&
+        estBroadcastBytes(e, "src", edgeCnt0, carriedW = -1) <= BroadcastByteLimit)
+      return labelPropagationLocal(e, rounds)
     val nodes = e.select(F.col("src").as("node")).distinct().localCheckpoint()
     val nodeCount = nodes.count() // free: just materialized
     // row count AND estimated bytes: broadcasting a multi-million-row
@@ -847,8 +929,9 @@ object GraphOps {
       srcCol: String,
       dstCol: String,
       k: Int,
-      maxIter: Int = 200
-  ): DataFrame = kCoreCounted(edges, srcCol, dstCol, k, maxIter)._1
+      maxIter: Int = 200,
+      driverEdgeLimit: Long = DriverEdgeLimit
+  ): DataFrame = kCoreCounted(edges, srcCol, dstCol, k, maxIter, driverEdgeLimit)._1
 
   /** [[kCore]] plus the number of peel rounds executed - the measurable
     * form of the "round count = peel depth, never vertex count" claim
@@ -860,7 +943,8 @@ object GraphOps {
       srcCol: String,
       dstCol: String,
       k: Int,
-      maxIter: Int = 200
+      maxIter: Int = 200,
+      driverEdgeLimit: Long = DriverEdgeLimit
   ): (DataFrame, Int) = {
     require(k >= 1, s"k must be positive, got $k")
     val sym = edges.select(F.col(srcCol).as("src"), F.col(dstCol).as("dst"))
@@ -899,21 +983,39 @@ object GraphOps {
     // Round count semantics unchanged: the round that discovers the
     // fixpoint still increments `it` (ScaleCheck pins 9/9 on the gadget).
     var curCnt = cur.count()
+    // driver off-ramp (pageRank discipline): the peel loop's per-round
+    // degree-aggregate broadcasts + checkpoint + count cost ~10 jobs per
+    // round (StageProbe r18: 93 jobs at sf0.1/32); below the guard the
+    // identical peel (same round counting, same non-convergence error)
+    // runs on collected arrays
+    if (offRampIdType(cur.schema("src").dataType) && curCnt <= driverEdgeLimit &&
+        estBroadcastBytes(cur, "src", curCnt, carriedW = -1) <= BroadcastByteLimit) {
+      val out = kCoreLocal(cur, k, maxIter)
+      OpsUtil.unpersistCheckpoint(cur)
+      return out
+    }
     var it = 0
     var done = curCnt == 0L
     while (!done) {
       if (it >= maxIter)
         throw new IllegalStateException(
           s"kCore did not converge in $maxIter rounds; raise maxIter")
-      // symmetrized + deduped: the per-src row count IS the degree
+      // symmetrized + deduped: the per-src row count IS the degree.
+      // The peeled-vertex set is aliased ONCE (gr_bad) and both
+      // anti-joins consume the SAME frame with a join condition
+      // instead of a renamed copy: the two broadcast exchanges then
+      // canonicalize identically and the second is a ReusedExchange -
+      // one degree-aggregate build per round instead of two (r18;
+      // the renamed copy planned as a second independent build)
       val bad = cur.groupBy(F.col("src"))
         .agg(count(lit(1)).as("deg"))
         .filter(F.col("deg") < k)
-        .select(F.col("src"))
+        .select(F.col("src").as("gr_bad"))
       if (curCnt * 64L <= BroadcastByteLimit) {
+        val badB = broadcast(bad)
         val next = cur
-          .join(broadcast(bad), Seq("src"), "left_anti")
-          .join(broadcast(bad.withColumnRenamed("src", "dst")), Seq("dst"), "left_anti")
+          .join(badB, F.col("src") === F.col("gr_bad"), "left_anti")
+          .join(badB, F.col("dst") === F.col("gr_bad"), "left_anti")
           .select(F.col("src"), F.col("dst")) // pin column order across rounds
           .localCheckpoint()
         val nextCnt = next.count()
@@ -933,8 +1035,8 @@ object GraphOps {
         else {
           val badJ = if (nBad * 64L <= BroadcastByteLimit) broadcast(badP) else badP
           val next = cur
-            .join(badJ, Seq("src"), "left_anti")
-            .join(badJ.withColumnRenamed("src", "dst"), Seq("dst"), "left_anti")
+            .join(badJ, F.col("src") === F.col("gr_bad"), "left_anti")
+            .join(badJ, F.col("dst") === F.col("gr_bad"), "left_anti")
             .select(F.col("src"), F.col("dst"))
             .localCheckpoint()
           OpsUtil.unpersistCheckpoint(cur)
@@ -955,5 +1057,336 @@ object GraphOps {
       .localCheckpoint()
     OpsUtil.unpersistCheckpoint(cur)
     (out, it)
+  }
+
+  // ---------------------------------------------------------------------
+  // Driver off-ramps for tiny graphs (the driverUnionFind discipline,
+  // generalized to the whole iterative family - r18)
+  // ---------------------------------------------------------------------
+  //
+  // Every iterative op above costs a FIXED number of Spark jobs per
+  // round: broadcast builds, checkpoint materializations, convergence
+  // probes, AQE stage submissions. Measured at sf0.1/local[32]
+  // (StageProbe): web_hits 100 jobs for 0.9 s of task time, graph_kcore
+  // 93 jobs, graph_pagerank_tol 59 - the wall is job SCHEDULING, not
+  // compute, and it does not shrink with cores (PERF_r17 scaling ratios
+  // 0.8-1.03 for this family). Below an explicit size guard the same
+  // integer recurrence runs on collected primitive arrays in
+  // microseconds with BIT-IDENTICAL results - integer exactness under
+  // any evaluation order is precisely these ops' determinism contract -
+  // while the corpus-scale edge DERIVATION above the loop always stays
+  // in Spark, and graphs over the guard (or with exotic id types) take
+  // the distributed loop unchanged. This mirrors the long-standing
+  // [[connectedComponents]] driver union-find off-ramp (same guard
+  // value), extended to the rank/label/peel recurrences.
+
+  /** Edge-count guard for the driver off-ramps. The byte side of the
+    * guard (checked at each call site via [[estBroadcastBytes]]) is the
+    * same 128 MB cap the per-round node-frame broadcasts obey: if the
+    * loop would re-broadcast node-sized frames to every executor EVERY
+    * round, collecting an edge frame of the same byte budget ONCE to
+    * the driver is strictly less data movement.
+    */
+  private[graft] val DriverEdgeLimit: Long = 1L << 21
+
+  /** Off-ramps only fire for id types whose driver-side equality and
+    * ordering provably match Spark's (the [[orderingFor]] set).
+    */
+  private def offRampIdType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | StringType => true
+    case _ => false
+  }
+
+  /** A collected edge list re-indexed to dense ints. Symmetrization /
+    * dedup / null-filtering happened IN SPARK before the collect - this
+    * is a faithful copy of the materialized edge frame (columns 0 and 1
+    * = src and dst), never a recomputation.
+    */
+  private final class LocalGraph(val ids: Array[Any], val src: Array[Int], val dst: Array[Int]) {
+    def n: Int = ids.length
+    def m: Int = src.length
+  }
+
+  private def collectGraph(e: DataFrame): LocalGraph = {
+    val rows = e.collect()
+    val idx = new java.util.HashMap[Any, Integer](rows.length * 2)
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def of(v: Any): Int = {
+      val g = idx.get(v)
+      if (g != null) g.intValue
+      else { idx.put(v, Integer.valueOf(ids.length)); ids += v; ids.length - 1 }
+    }
+    val src = new Array[Int](rows.length)
+    val dst = new Array[Int](rows.length)
+    var i = 0
+    while (i < rows.length) { src(i) = of(rows(i).get(0)); dst(i) = of(rows(i).get(1)); i += 1 }
+    new LocalGraph(ids.toArray, src, dst)
+  }
+
+  private def localResult(df: DataFrame, schema: StructType, rows: Seq[Row]): DataFrame = {
+    val spark = df.sparkSession
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** [[pageRankCounted]]'s integer map on collected arrays - the same
+    * recurrence, probe cadence, parity correction and round counting,
+    * statement for statement.
+    */
+  private def pageRankLocal(
+      edgesByDst: DataFrame,
+      iterations: Int,
+      unit: Long,
+      tol: Long
+  ): (DataFrame, Int) = {
+    val g = collectGraph(edgesByDst)
+    val n = g.n
+    val deg = new Array[Long](n)
+    var k = 0
+    while (k < g.m) { deg(g.src(k)) += 1L; k += 1 }
+    val restart = 15L * unit / 100L
+    def round(r: Array[Long]): Array[Long] = {
+      val s = new Array[Long](n)
+      var e = 0
+      while (e < g.m) { s(g.dst(e)) += r(g.src(e)) / deg(g.src(e)); e += 1 }
+      val out = new Array[Long](n)
+      var v = 0
+      while (v < n) { out(v) = restart + (85L * s(v)) / 100L; v += 1 }
+      out
+    }
+    var ranks = Array.fill(n)(unit)
+    var prev: Array[Long] = null
+    var i = 0
+    var converged = false
+    while (i < iterations && !converged) {
+      val before = ranks
+      ranks = round(ranks)
+      if (tol >= 0L) {
+        if (i % 3 == 2 && i != iterations - 1 && prev != null) {
+          var delta = 0L
+          var v = 0
+          while (v < n) {
+            val d = math.abs(ranks(v) - prev(v)); if (d > delta) delta = d; v += 1
+          }
+          if (delta <= tol) {
+            if ((iterations - (i + 1)) % 2 == 1) { ranks = round(ranks); i += 1 }
+            converged = true
+          }
+        }
+        prev = before
+      }
+      i += 1
+    }
+    // schema mirrors the distributed path exactly, nullability included
+    // (the oracle artifacts are parquet, which records optional/required):
+    // node inherits the unioned edge frame's nullability; rank_int is the
+    // nullable sum arithmetic after >= 1 round, the non-nullable literal
+    // unit at iterations = 0
+    val srcF = edgesByDst.schema("src")
+    val schema = StructType(Seq(
+      StructField("node", srcF.dataType, srcF.nullable),
+      StructField("rank_int", LongType, nullable = iterations > 0)))
+    (localResult(edgesByDst, schema,
+      (0 until n).map(v => Row(g.ids(v), ranks(v)))), i)
+  }
+
+  /** [[trustRankCore]]'s directed seeded map on collected arrays. */
+  private def trustRankLocal(
+      e: DataFrame,
+      nodes: DataFrame, // (node, gr_boost) - seed marking already ran in Spark
+      iterations: Int,
+      unit: Long
+  ): DataFrame = {
+    val g = collectGraph(e)
+    val n = g.n
+    val outdeg = new Array[Long](n)
+    var k = 0
+    while (k < g.m) { outdeg(g.src(k)) += 1L; k += 1 }
+    val boostRows = nodes.collect()
+    val boost = new Array[Long](n)
+    val idx = new java.util.HashMap[Any, Integer](n * 2)
+    var v = 0
+    while (v < n) { idx.put(g.ids(v), Integer.valueOf(v)); v += 1 }
+    boostRows.foreach { r =>
+      val i = idx.get(r.get(0)); if (i != null) boost(i.intValue) = r.getLong(1)
+    }
+    var ranks = Array.tabulate(n)(v => if (boost(v) > 0L) unit else 0L)
+    var i = 0
+    while (i < iterations) {
+      val s = new Array[Long](n)
+      var e2 = 0
+      while (e2 < g.m) {
+        val u = g.src(e2)
+        if (ranks(u) > 0L) s(g.dst(e2)) += ranks(u) / outdeg(u)
+        e2 += 1
+      }
+      val out = new Array[Long](n)
+      var w = 0
+      while (w < n) { out(w) = boost(w) + (85L * s(w)) / 100L; w += 1 }
+      ranks = out
+      i += 1
+    }
+    // node = the distributed path's src-union-dst node frame; trust_int
+    // = coalesce(r, lit 0), non-nullable
+    val (srcF, dstF) = (e.schema("src"), e.schema("dst"))
+    val schema = StructType(Seq(
+      StructField("node", srcF.dataType, srcF.nullable || dstF.nullable),
+      StructField("trust_int", LongType, nullable = false)))
+    localResult(e, schema, (0 until n).map(v => Row(g.ids(v), ranks(v))))
+  }
+
+  /** [[hits]]' mutual recurrence on collected arrays: same per-half-step
+    * max-rescale in the same integer arithmetic. Nodes that a half-step's
+    * aggregate frame omitted (non-sources for h, non-sinks for a) read 0
+    * in the distributed path's final coalesce; the arrays hold the same 0.
+    */
+  private def hitsLocal(eByDst: DataFrame, iterations: Int, unit: Long): DataFrame = {
+    val g = collectGraph(eByDst)
+    val n = g.n
+    require(n.toLong <= Long.MaxValue / unit / unit,
+      s"$n nodes at unit=$unit risks Long overflow in the rescale; " +
+        "lower unit (it is a resolution knob)")
+    def rescale(x: Array[Long]): Array[Long] = {
+      var m = 0L
+      var v = 0
+      while (v < n) { if (x(v) > m) m = x(v); v += 1 }
+      val out = new Array[Long](n)
+      v = 0
+      while (v < n) { out(v) = if (m > 0L) (x(v) * unit) / m else 0L; v += 1 }
+      out
+    }
+    var h = Array.fill(n)(unit)
+    var a = new Array[Long](n)
+    var i = 0
+    while (i < iterations) {
+      val aPre = new Array[Long](n)
+      var e = 0
+      while (e < g.m) { aPre(g.dst(e)) += h(g.src(e)); e += 1 }
+      a = rescale(aPre)
+      val hPre = new Array[Long](n)
+      e = 0
+      while (e < g.m) { hPre(g.src(e)) += a(g.dst(e)); e += 1 }
+      h = rescale(hPre)
+      i += 1
+    }
+    // node = src-union-dst; hub/auth = coalesce(_, lit 0), non-nullable
+    val (srcF, dstF) = (eByDst.schema("src"), eByDst.schema("dst"))
+    val schema = StructType(Seq(
+      StructField("node", srcF.dataType, srcF.nullable || dstF.nullable),
+      StructField("hub_int", LongType, nullable = false),
+      StructField("auth_int", LongType, nullable = false)))
+    localResult(eByDst, schema, (0 until n).map(v => Row(g.ids(v), h(v), a(v))))
+  }
+
+  /** [[labelPropagation]]'s synchronous vote rounds on collected arrays:
+    * most votes first, ties to the smallest label under the id column
+    * type's ordering (the [[orderingFor]] comparators, so string labels
+    * break ties by UTF-8 bytes exactly as Spark's min does).
+    */
+  private def labelPropagationLocal(e: DataFrame, rounds: Int): DataFrame = {
+    val g = collectGraph(e)
+    val n = g.n
+    val ord = orderingFor(e.schema("src").dataType)
+    // rank of each node id under the type's total order = the tie-break key
+    val byId = (0 until n).sortWith((x, y) => ord.lt(g.ids(x), g.ids(y)))
+    val rank = new Array[Int](n)
+    var p = 0
+    while (p < byId.length) { rank(byId(p)) = p; p += 1 }
+    // CSR by dst: every round reads each node's in-neighbors
+    val off = new Array[Int](n + 1)
+    var k = 0
+    while (k < g.m) { off(g.dst(k) + 1) += 1; k += 1 }
+    var v = 0
+    while (v < n) { off(v + 1) += off(v); v += 1 }
+    val nbr = new Array[Int](g.m)
+    val cur = off.clone()
+    k = 0
+    while (k < g.m) { val d = g.dst(k); nbr(cur(d)) = g.src(k); cur(d) += 1; k += 1 }
+    var lab = Array.tabulate(n)(identity)
+    val votes = new java.util.HashMap[Integer, Integer]()
+    var r = 0
+    while (r < rounds) {
+      val next = new Array[Int](n)
+      var w = 0
+      while (w < n) {
+        votes.clear()
+        var j = off(w)
+        while (j < off(w + 1)) {
+          val l = Integer.valueOf(lab(nbr(j)))
+          val c = votes.get(l)
+          votes.put(l, if (c == null) 1 else c.intValue + 1)
+          j += 1
+        }
+        var bestLab = -1
+        var bestVotes = 0
+        val it = votes.entrySet().iterator()
+        while (it.hasNext) {
+          val en = it.next()
+          val l = en.getKey.intValue
+          val c = en.getValue.intValue
+          if (c > bestVotes || (c == bestVotes && rank(l) < rank(bestLab))) {
+            bestLab = l; bestVotes = c
+          }
+        }
+        // every node has >= 1 neighbor (it appears in the symmetrized
+        // edge list), so bestLab is always set
+        next(w) = bestLab
+        w += 1
+      }
+      lab = next
+      r += 1
+    }
+    // node inherits the symmetrized frame's nullability; lab is the
+    // nullable vote-argmin output after >= 1 round, the node column
+    // itself at rounds = 0
+    val srcF = e.schema("src")
+    val schema = StructType(Seq(
+      StructField("node", srcF.dataType, srcF.nullable),
+      StructField("lab", srcF.dataType,
+        nullable = if (rounds > 0) true else srcF.nullable)))
+    localResult(e, schema, (0 until n).map(v => Row(g.ids(v), g.ids(lab(v)))))
+  }
+
+  /** [[kCoreCounted]]'s peel loop on collected arrays - identical round
+    * counting (the discovery round increments `it`) and the identical
+    * non-convergence error.
+    */
+  private def kCoreLocal(cur: DataFrame, k: Int, maxIter: Int): (DataFrame, Int) = {
+    val g = collectGraph(cur)
+    val n = g.n
+    val alive = Array.fill(g.m)(true)
+    var aliveCnt = g.m.toLong
+    var it = 0
+    var done = aliveCnt == 0L
+    while (!done) {
+      if (it >= maxIter)
+        throw new IllegalStateException(
+          s"kCore did not converge in $maxIter rounds; raise maxIter")
+      val deg = new Array[Long](n)
+      var e = 0
+      while (e < g.m) { if (alive(e)) deg(g.src(e)) += 1L; e += 1 }
+      var removed = 0L
+      e = 0
+      while (e < g.m) {
+        if (alive(e) &&
+          ((deg(g.src(e)) > 0L && deg(g.src(e)) < k) ||
+            (deg(g.dst(e)) > 0L && deg(g.dst(e)) < k))) {
+          alive(e) = false; removed += 1L
+        }
+        e += 1
+      }
+      if (removed == 0L) done = true else aliveCnt -= removed
+      it += 1
+    }
+    val coreDeg = new Array[Long](n)
+    var e = 0
+    while (e < g.m) { if (alive(e)) coreDeg(g.src(e)) += 1L; e += 1 }
+    // node_id inherits the symmetrized frame's nullability; core_degree
+    // = count(lit), non-nullable
+    val srcF = cur.schema("src")
+    val schema = StructType(Seq(
+      StructField("node_id", srcF.dataType, srcF.nullable),
+      StructField("core_degree", LongType, nullable = false)))
+    (localResult(cur, schema,
+      (0 until n).filter(coreDeg(_) > 0L).map(v => Row(g.ids(v), coreDeg(v)))), it)
   }
 }

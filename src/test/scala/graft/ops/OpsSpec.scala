@@ -5062,4 +5062,73 @@ class OpsSpec extends SparkSpec {
       ("n.org", "bold", 1L), ("n.org", "deal", 1L), ("n.org", "today", 1L),
       ("n.org", "case", 1L), ("n.org", "anchor", 1L)))
   }
+
+  test("graph driver off-ramps == distributed loops (pageRank/tol, trustRank, hits, labelprop, kCore)") {
+    // r18: below DriverEdgeLimit the iterative ops run their integer
+    // recurrences on collected arrays (the driverUnionFind discipline).
+    // The same pseudo-random graph runs through BOTH paths - the
+    // off-ramp by default, the distributed loop forced with
+    // driverEdgeLimit = 0 - and every op must agree row for row,
+    // including round counts. String ids cover the orderingFor
+    // tie-break and the hash-index path.
+    val raw = (for {
+      i <- 0L until 60L; j <- (i + 1) until 60L
+      if (i * 11 + j * 7) % 23 < 3
+    } yield (i, j)) ++ Seq((1L, 1L), (2L, 1L)) // self-loop + reversed dup
+    val edges = raw.toDF("a", "b")
+    val sEdges = raw.map { case (x, y) => (s"n$x", s"n$y") }.toDF("a", "b")
+
+    // pageRank, fixed rounds
+    val prL = GraphOps.pageRank(edges, "a", "b", iterations = 7, unit = 1000L)
+    val prD = GraphOps.pageRank(edges, "a", "b", iterations = 7, unit = 1000L,
+      driverEdgeLimit = 0L)
+    assert(prL.schema == prD.schema)
+    assert(prL.as[(Long, Long)].collect().toSet == prD.as[(Long, Long)].collect().toSet)
+
+    // pageRankCounted with tol: same ranks AND same executed-round count
+    val (ptL, rlL) = GraphOps.pageRankCounted(edges, "a", "b", iterations = 40,
+      unit = 1000L, tol = 0L)
+    val (ptD, rlD) = GraphOps.pageRankCounted(edges, "a", "b", iterations = 40,
+      unit = 1000L, tol = 0L, driverEdgeLimit = 0L)
+    assert(rlL == rlD, s"round counts differ: local $rlL vs distributed $rlD")
+    assert(ptL.as[(Long, Long)].collect().toSet == ptD.as[(Long, Long)].collect().toSet)
+
+    // trustRank over string ids (directed; seed predicate)
+    val trL = GraphOps.trustRankSeedBy(sEdges, "a", "b",
+      col("node").isin("n0", "n3", "n5"), iterations = 6, unit = 1000L)
+    val trD = GraphOps.trustRankSeedBy(sEdges, "a", "b",
+      col("node").isin("n0", "n3", "n5"), iterations = 6, unit = 1000L,
+      driverEdgeLimit = 0L)
+    assert(trL.schema == trD.schema)
+    assert(trL.as[(String, Long)].collect().toSet == trD.as[(String, Long)].collect().toSet)
+
+    // hits (directed, per-half-step max rescale)
+    val hL = GraphOps.hits(sEdges, "a", "b", iterations = 5, unit = 1000L)
+    val hD = GraphOps.hits(sEdges, "a", "b", iterations = 5, unit = 1000L,
+      driverEdgeLimit = 0L)
+    assert(hL.schema == hD.schema)
+    assert(hL.as[(String, Long, Long)].collect().toSet ==
+      hD.as[(String, Long, Long)].collect().toSet)
+
+    // labelPropagation: long ids (packed argmin path) and string ids
+    // (struct-min path + UTF-8 tie-break ordering)
+    val lpL = GraphOps.labelPropagation(edges, "a", "b", rounds = 4)
+    val lpD = GraphOps.labelPropagation(edges, "a", "b", rounds = 4,
+      driverEdgeLimit = 0L)
+    assert(lpL.schema == lpD.schema)
+    assert(lpL.as[(Long, Long)].collect().toSet == lpD.as[(Long, Long)].collect().toSet)
+    val lpsL = GraphOps.labelPropagation(sEdges, "a", "b", rounds = 4)
+    val lpsD = GraphOps.labelPropagation(sEdges, "a", "b", rounds = 4,
+      driverEdgeLimit = 0L)
+    assert(lpsL.as[(String, String)].collect().toSet ==
+      lpsD.as[(String, String)].collect().toSet)
+
+    // kCore: rows AND peel-round count
+    val (kcL, kitL) = GraphOps.kCoreCounted(edges, "a", "b", k = 3)
+    val (kcD, kitD) = GraphOps.kCoreCounted(edges, "a", "b", k = 3,
+      driverEdgeLimit = 0L)
+    assert(kitL == kitD, s"peel round counts differ: local $kitL vs distributed $kitD")
+    assert(kcL.schema == kcD.schema)
+    assert(kcL.as[(Long, Long)].collect().toSet == kcD.as[(Long, Long)].collect().toSet)
+  }
 }
