@@ -44,6 +44,19 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", cpus))
+      // r18 (guide §2.2 - M x R shuffle blocks): the bypass-merge shuffle
+      // writer opens ONE FILE PER REDUCE PARTITION PER MAP TASK, so every
+      // small shuffle at R = cores cost cores^2 file creations - measured
+      // as the dedup sketch family's 32-core ANTI-scaling (StageProbe
+      // sampling: ~7 s of FileOutputStream.open0 + mmap/unmap +
+      // writeMetadataFileAndCommit [BLOCKED] per query at 32 cores;
+      // dedup_jaccard stage task-time 46.5 s -> 14.2 s with the sort
+      // writer). Threshold 1 = always take the serialized sort writer
+      // (one data file + index per map task) - exactly the writer every
+      // R > 200 shuffle uses anyway, so cluster-scale plans are
+      // unchanged by construction; only small-R shuffles switch.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

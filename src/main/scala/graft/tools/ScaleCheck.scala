@@ -29,6 +29,10 @@ object ScaleCheck {
       // coalesce a compute-bound stage below one task per core
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", cpus))
+      // same shuffle-writer choice as graft.Bench (r18): the bypass
+      // writer's R-files-per-map-task cost anti-scales with cores
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
